@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table registry for the graft engine.
+  *
+  * Mirrors the reference's connection bootstrap
+  * (swanlake-core/src/engine/factory.rs:34-93: per-connection init SQL,
+  * thread-count override) as SparkSession configuration: AQE on, UTC,
+  * shuffle partitions sized to cores rather than the 200 default —
+  * at 100 TB on a real cluster the same builder takes cluster-sized
+  * shuffle partitions from spark-submit conf instead.
+  */
+object Engine {
+
+  /** All driver-provided test tables (see TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def newSession(appName: String = "graft", cores: Int = defaultCores): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  /** Read one test table as a DataFrame (plain parquet scan; Catalyst
+    * pushes filters/projection into the scan).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; it is read as raw nanos (legacy nanosAsLong) and
+    * truncated to a microsecond TimestampType column — the same ns->us
+    * truncation DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // integer `div` — a double-typed division would lose precision on
+      // ~1.7e18 nanosecond values (53-bit mantissa)
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every test table as a temp view so `spark.sql` works
+    * against bare names (the reference resolves bare names against the
+    * session's current catalog, session/mod.rs:448-463).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { n => table(spark, dir, n).createOrReplaceTempView(n) }
+
+  /** Execute SQL through the compat shim (multi-statement scripts, lock
+    * stripping), returning the last statement's result — reference
+    * semantics at sql/parser.rs:39-60.
+    */
+  def sql(spark: SparkSession, sqlText: String): DataFrame = {
+    val statements = SqlShim.splitStatements(sqlText)
+    require(statements.nonEmpty, "empty SQL script")
+    statements.map(s => spark.sql(SqlShim.stripSelectLocks(s))).last
+  }
+}

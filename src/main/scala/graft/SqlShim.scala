@@ -1,0 +1,146 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+/** SQL dialect shim: the pre-execution rewrites + classification the
+  * reference performs before delegating to its engine.
+  *
+  * - strip `FOR UPDATE` / `FOR SHARE` locking clauses
+  *   (swanlake-core/src/sql/rewrite.rs:21-66);
+  * - split multi-statement scripts on top-level `;`
+  *   (sql/parser.rs:34-60 statement_count / execute_batch routing);
+  * - classify row-returning statements — SELECT/VALUES/WITH plus
+  *   SHOW/EXPLAIN/DESCRIBE/PRAGMA count as queries
+  *   (sql/parser.rs:278-291).
+  *
+  * All string scanning is quote-aware ('', "", ``, line/block comments)
+  * so `;`, keywords, or quotes inside literals/identifiers never
+  * confuse the shim (the reference gets this from its SQL parser).
+  */
+object SqlShim {
+
+  /** Scan `sql`, invoking `onBare(i, c)` for each char outside quotes
+    * and comments; returns positions of top-level semicolons.
+    */
+  private def scanTopLevel(sql: String): Vector[Int] = {
+    val semis = Vector.newBuilder[Int]
+    var i = 0
+    val n = sql.length
+    var state = 0 // 0 bare, 1 '…', 2 "…", 3 `…`, 4 --, 5 /*
+    while (i < n) {
+      val c = sql.charAt(i)
+      state match {
+        case 0 =>
+          c match {
+            case '\'' => state = 1
+            case '"'  => state = 2
+            case '`'  => state = 3
+            case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => state = 4; i += 1
+            case '/' if i + 1 < n && sql.charAt(i + 1) == '*' => state = 5; i += 1
+            case ';' => semis += i
+            case _ =>
+          }
+        case 1 => if (c == '\'') { if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 1 else state = 0 }
+        case 2 => if (c == '"') { if (i + 1 < n && sql.charAt(i + 1) == '"') i += 1 else state = 0 }
+        case 3 => if (c == '`') state = 0
+        case 4 => if (c == '\n') state = 0
+        case 5 => if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') { state = 0; i += 1 }
+        case _ =>
+      }
+      i += 1
+    }
+    semis.result()
+  }
+
+  /** Split a script into individual statements at top-level `;`,
+    * dropping empty fragments.
+    */
+  def splitStatements(sql: String): Seq[String] = {
+    val cuts = scanTopLevel(sql)
+    val out = ArrayBuffer.empty[String]
+    var start = 0
+    (cuts :+ sql.length).foreach { end =>
+      val frag = sql.substring(start, math.min(end, sql.length)).trim
+      if (frag.nonEmpty) out += frag
+      start = end + 1
+    }
+    out.toSeq
+  }
+
+  def statementCount(sql: String): Int = splitStatements(sql).size
+
+  private val rowReturningPrefixes =
+    Seq("SELECT", "VALUES", "WITH", "SHOW", "EXPLAIN", "DESCRIBE", "DESC", "PRAGMA", "TABLE", "FROM")
+
+  /** Is a single statement row-returning? (sql/parser.rs:278-291 —
+    * SHOW/EXPLAIN/PRAGMA count as queries.)
+    */
+  def isQuery(statement: String): Boolean = {
+    val s = statement.trim
+    // strip leading comments
+    val stripped = stripLeadingComments(s).toUpperCase
+    rowReturningPrefixes.exists(p => stripped.startsWith(p + " ") || stripped == p ||
+      stripped.startsWith(p + "\n") || stripped.startsWith(p + "\t") || stripped.startsWith(p + "("))
+  }
+
+  /** Does any statement in the script return rows?
+    * (`contains_query` scans all statements, sql/parser.rs:57-60.)
+    */
+  def containsQuery(sql: String): Boolean = splitStatements(sql).exists(isQuery)
+
+  @annotation.tailrec
+  private def stripLeadingComments(s: String): String = {
+    val t = s.dropWhile(_.isWhitespace)
+    if (t.startsWith("--")) stripLeadingComments(t.dropWhile(_ != '\n'))
+    else if (t.startsWith("/*")) {
+      val end = t.indexOf("*/")
+      if (end < 0) "" else stripLeadingComments(t.substring(end + 2))
+    } else t
+  }
+
+  private val forClause =
+    "(?is)\\s+FOR\\s+(UPDATE|SHARE|NO\\s+KEY\\s+UPDATE|KEY\\s+SHARE)(\\s+OF\\s+[\\w,\\s`\"]+)?(\\s+(NOWAIT|SKIP\\s+LOCKED))?\\s*$".r
+
+  /** Remove trailing SELECT … FOR UPDATE / FOR SHARE locking clauses
+    * (rewrite.rs:21-66). Quote-aware: only applied when the clause sits
+    * outside quotes (checked by re-scanning the candidate cut point).
+    */
+  def stripSelectLocks(statement: String): String = {
+    forClause.findFirstMatchIn(statement) match {
+      case Some(m) =>
+        // ensure the match start is at top level (not inside a literal)
+        val prefix = statement.substring(0, m.start)
+        if (balancedQuotes(prefix)) prefix else statement
+      case None => statement
+    }
+  }
+
+  private def balancedQuotes(s: String): Boolean = {
+    var i = 0; var state = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      state match {
+        case 0 => c match {
+          case '\'' => state = 1
+          case '"' => state = 2
+          case '`' => state = 3
+          case _ =>
+        }
+        case 1 => if (c == '\'') state = 0
+        case 2 => if (c == '"') state = 0
+        case 3 => if (c == '`') state = 0
+        case _ =>
+      }
+      i += 1
+    }
+    state == 0
+  }
+
+  /** Quote an identifier for Spark SQL (reference: util.rs:13-34 quotes
+    * `catalog.schema.table` parts with double quotes, doubling embedded
+    * quotes; Spark uses backticks).
+    */
+  def quoteIdent(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  def quoteQualified(parts: Seq[String]): String = parts.map(quoteIdent).mkString(".")
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline (SURVEY §7.5):
+  * exact (hash group-by), n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup: one shuffle on the content hash — the canonical
+  *    map-side-combinable group-by;
+  *  - n-gram Jaccard: shingle explode -> join on shingle. The shingle join
+  *    is the standard inverted-index trick: candidate pairs are generated
+  *    only for documents sharing a shingle, never the O(n^2) cross join;
+  *  - MinHash+LSH: k=64 hashes, 16 bands x 4 rows. Documents collide in a
+  *    band bucket with probability ~ 1-(1-j^4)^16, so the band join
+  *    explodes each doc into only 16 rows regardless of corpus size;
+  *  - SimHash: 64-bit signature; near-dup candidates via the pigeonhole
+  *    band join (4 x 16-bit chunks catches every pair within Hamming
+  *    distance 3) instead of an all-pairs scan.
+  *
+  * MinHash/SimHash signatures use Spark's xxhash64 (no DuckDB equivalent,
+  * so those two queries carry no SQL oracle — they are validated against
+  * exact Jaccard/Hamming ground truth in DedupSpec instead).
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
+
+  // === exact dedup =========================================================
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+  }
+
+  val exactDedupSql: String =
+    """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+      | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // === shared shingling ====================================================
+  /** Distinct 3-token shingles per document (1-indexed element_at matches
+    * DuckDB's 1-indexed list access in the oracle).
+    */
+  def shingles(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*))
+      ).as("shingle"))
+      .distinct()
+  }
+
+  // === n-gram Jaccard near-dup pairs =======================================
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        (col("n_common").cast(DecimalType(18, 6)) / (col("n_a") + col("n_b") - col("n_common")))
+          .cast(DecimalType(38, 6)))
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_common,
+      | CAST(CAST(n_common AS DECIMAL(18,6)) / (ca.n_sh + cb.n_sh - n_common) AS DECIMAL(38,6))
+      |   AS jaccard
+      |FROM common
+      | JOIN counts ca ON ca.doc_id = doc_a
+      | JOIN counts cb ON cb.doc_id = doc_b
+      |WHERE CAST(CAST(n_common AS DECIMAL(18,6)) / (ca.n_sh + cb.n_sh - n_common) AS DECIMAL(38,6)) >= 0.05
+      |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin
+
+  // === MinHash + LSH =======================================================
+  val minhashK = 64
+  val lshBands = 16
+  val lshRows = 4 // minhashK / lshBands
+
+  /** Per-document MinHash signature: array of k min-hashes, where hash i of
+    * a shingle is xxhash64(shingle, i). Computed with k aggregate columns —
+    * a single map-side-combinable group-by on doc_id.
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until minhashK).map { i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until minhashK).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: documents sharing any band bucket. Each band key
+    * is a hash of `lshRows` consecutive signature values; the explode is a
+    * constant factor of `lshBands` rows per document.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(shingles(s, dir))
+    val banded = sig.select(col("doc_id"), posexplode(
+      array((0 until lshBands).map { b =>
+        xxhash64((b * lshRows until (b + 1) * lshRows).map(i => element_at(col("sig"), i + 1)): _*)
+      }: _*)).as(Seq("band", "band_key")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_band_hits"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Estimated Jaccard from MinHash signatures for candidate pairs
+    * (fraction of agreeing components) — used by DedupSpec to validate the
+    * sketch against exact Jaccard.
+    */
+  def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(shingles(s, dir))
+    val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    minhashLsh(s, dir)
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / minhashK)
+      .select(col("doc_a"), col("doc_b"), col("n_band_hits"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // === SimHash =============================================================
+  /** 64-bit SimHash per document: sign of per-bit vote sums over token
+    * hashes. Pure column expressions (64 conditional sums in one group-by).
+    */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
+        }.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Near-dup candidates within Hamming distance 3 via the 4-chunk
+    * pigeonhole band join (any pair with distance <= 3 must agree on at
+    * least one 16-bit chunk).
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(s, dir)
+    val chunks = sig.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until 4).map(c => shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFF)): _*))
+      .as(Seq("chunk", "chunk_val")))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("chunk"), col("chunk_val"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("chunk"), col("chunk_val"))
+    val hamming = {
+      val x = col("sh_a").bitwiseXOR(col("sh_b"))
+      bit_count(x)
+    }
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", hamming.cast(IntegerType))
+      .filter(col("hamming") <= 16)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact_dedup" -> exactDedup _,
+    "dd2_ngram_jaccard" -> ngramJaccard _,
+    "dd3_minhash_lsh" -> minhashLsh _,
+    "dd4_simhash_pairs" -> simhashPairs _)
+
+  /** dd3/dd4 are xxhash64-based sketches with no DuckDB-expressible
+    * equivalent -> rows-only driver check; validated in DedupSpec.
+    */
+  val oracles: Map[String, String] = Map(
+    "dd1_exact_dedup" -> exactDedupSql,
+    "dd2_ngram_jaccard" -> ngramJaccardSql)
+}

@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational surface beyond the TPC-H battery: window functions, set
+  * operations, ROLLUP grouping, scalar-function coverage, and the events
+  * table (time-series) workload. The reference accepts these through its
+  * SQL passthrough (SURVEY §2.B "window functions", "set ops", "scalar
+  * functions"); here each family is an explicit Spark-first query with a
+  * DuckDB oracle.
+  */
+object Relational {
+
+  private val D18 = DecimalType(18, 6)
+  private val D38 = DecimalType(38, 6)
+  private def dsum(c: Column): Column = sum(c.cast(D18)).cast(D38)
+  private def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
+
+  // === window: rank + running total per customer ===========================
+  def windowOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run_total",
+        sum(col("o_totalprice").cast(D18)).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(D38))
+      .filter(col("rn") <= 3 && col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast(IntegerType).as("rn"), col("run_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val windowOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn,
+      | CAST(run_total AS DECIMAL(38,6)) AS run_total
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+      |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |            ROWS UNBOUNDED PRECEDING) AS run_total
+      |  FROM orders) t
+      |WHERE rn <= 3 AND o_custkey <= 100
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // === window: lag/lead + sessionization over events =======================
+  // 30-minute-gap sessionization: the canonical lag -> gap-flag -> running
+  // sum pattern; at 100 TB this shuffles once on user_id and stays fully
+  // partition-parallel.
+  def eventSessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).cast(IntegerType).as("n_sessions"),
+        max(col("cnt")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventSessionsSql: String =
+    """WITH gaps AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |      AS session_id
+      |  FROM gaps),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS cnt FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, CAST(MAX(session_id) AS INTEGER) AS n_sessions,
+      |       MAX(cnt) AS max_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // === set operations: INTERSECT / EXCEPT / UNION ==========================
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+    val su = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+    val both = c.intersect(su).withColumn("src", lit("both"))
+    val custOnly = c.except(su).withColumn("src", lit("cust_only"))
+    val all = c.union(su).distinct.withColumn("src", lit("either"))
+    both.union(custOnly).union(all)
+      .select(col("src"), col("k"))
+      .orderBy(col("src"), col("k"))
+  }
+
+  val setOpsSql: String =
+    """SELECT src, k FROM (
+      |  SELECT 'both' AS src, k FROM
+      |    (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) a
+      |  UNION ALL
+      |  SELECT 'cust_only', k FROM
+      |    (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) b
+      |  UNION ALL
+      |  SELECT 'either', k FROM
+      |    (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) c
+      |) t ORDER BY src, k""".stripMargin
+
+  // === ROLLUP grouping sets ================================================
+  def rollupOrders(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  val rollupOrdersSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       | ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // === scalar string/conditional battery ===================================
+  def scalarStrings(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").filter(col("p_partkey") <= 100)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        substring(col("p_type"), 1, 4).as("type4"),
+        length(col("p_name")).cast(IntegerType).as("name_len"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "a", "_").as("repl"),
+        coalesce(nullif(col("p_type"), lit("PROMO")), lit("OTHER")).as("coal"),
+        when(col("p_size") < 10, "S").when(col("p_size") < 30, "M").otherwise("L").as("size_class"),
+        (col("p_size") % 7).as("size_mod7"),
+        round(col("p_retailprice"), 1).as("price_r1"),
+        greatest(col("p_size"), lit(25)).as("size_floor25"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val scalarStringsSql: String =
+    """SELECT p_partkey,
+      | upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
+      | substring(p_type, 1, 4) AS type4,
+      | CAST(length(p_name) AS INTEGER) AS name_len,
+      | concat(p_brand, '/', p_type) AS brand_type,
+      | regexp_replace(p_name, 'a', '_', 'g') AS repl,
+      | coalesce(nullif(p_type, 'PROMO'), 'OTHER') AS coal,
+      | CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class,
+      | p_size % 7 AS size_mod7,
+      | round(p_retailprice, 1) AS price_r1,
+      | greatest(p_size, 25) AS size_floor25
+      |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin
+
+  // === scalar date battery =================================================
+  def scalarDates(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast(DateType).as("due_date"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val scalarDatesSql: String =
+    """SELECT o_orderkey,
+      | CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+      | CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+      | CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS d,
+      | CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+      | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      | CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+      | CAST(EXTRACT(epoch FROM o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin
+
+  // === events: hourly tumbling-window aggregation ==========================
+  // Timestamps are emitted as epoch seconds (naive-vs-UTC parquet encoding
+  // differences between engines make raw timestamp outputs non-comparable).
+  def eventsHourly(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+
+  val eventsHourlySql: String =
+    s"""SELECT CAST(EXTRACT(epoch FROM date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+       | event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // === events: top-k users by purchase value ===============================
+  def eventsTopUsers(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val eventsTopUsersSql: String =
+    s"""SELECT user_id, COUNT(*) AS n_events, ${sqlDsum("value")} AS total_value
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin
+
+  // === events: JSON property extraction ====================================
+  def eventsJson(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").filter(col("event_id") < 1000)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType).as("k_val"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsJsonSql: String =
+    """SELECT event_id,
+      | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
+      |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_customer_running_total" -> windowOrders _,
+    "w2_event_sessions" -> eventSessions _,
+    "set1_nation_setops" -> setOps _,
+    "agg1_rollup_orders" -> rollupOrders _,
+    "f1_scalar_strings" -> scalarStrings _,
+    "f2_scalar_dates" -> scalarDates _,
+    "ev1_hourly_windows" -> eventsHourly _,
+    "ev2_top_purchasers" -> eventsTopUsers _,
+    "ev3_json_extract" -> eventsJson _)
+
+  val oracles: Map[String, String] = Map(
+    "w1_customer_running_total" -> windowOrdersSql,
+    "w2_event_sessions" -> eventSessionsSql,
+    "set1_nation_setops" -> setOpsSql,
+    "agg1_rollup_orders" -> rollupOrdersSql,
+    "f1_scalar_strings" -> scalarStringsSql,
+    "f2_scalar_dates" -> scalarDatesSql,
+    "ev1_hourly_windows" -> eventsHourlySql,
+    "ev2_top_purchasers" -> eventsTopUsersSql,
+    "ev3_json_extract" -> eventsJsonSql)
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the embedding column (SURVEY §7.5).
+  *
+  * - Brute-force cosine top-k: the correctness baseline. Query set x corpus
+  *   join; at scale the query side is broadcast and the corpus side stays
+  *   partitioned, so the scan is embarrassingly parallel.
+  * - LSH-bucketed ANN (random hyperplanes): the scale path. Each vector is
+  *   hashed to a small signature; the candidate join is bucket-local. The
+  *   hyperplanes are pseudo-random but deterministic (hash-seeded), so the
+  *   operator needs no driver-side randomness or broadcast model state.
+  * - Label centroids: the distributed vector-aggregate pattern
+  *   (posexplode -> per-dimension mean), the building block for IVFced
+  *   coarse quantizers.
+  *
+  * Dot products use `zip_with` + `aggregate` over DoubleType — sequential
+  * left-fold, bit-identical to DuckDB's list_dot_product ordering.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
+
+  private def vecD(name: String): Column =
+    transform(col(name), _.cast(DoubleType))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  // === brute-force cosine top-k ===========================================
+  def cosineTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v"))
+    val q = e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val pairs = broadcast(q).join(e.select(col("vec_id").as("n_id"), col("v").as("nv")))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"),
+        round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"),
+        col("rnk").cast(IntegerType).as("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  def cosineTopKSql(k: Int = 5, nQueries: Int = 10): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |p AS (
+       |  SELECT q_id, e.vec_id AS n_id,
+       |    list_dot_product(qv, v) / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) AS cos
+       |  FROM q, e WHERE e.vec_id <> q_id),
+       |r AS (SELECT q_id, n_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |      FROM p)
+       |SELECT q_id, n_id, CAST(round(cos, 6) AS DECIMAL(18,6)) AS cos_sim,
+       |       CAST(rnk AS INTEGER) AS rnk
+       |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  // === per-label centroids (distributed vector aggregate) ==================
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val exploded = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(vecD("embedding")).as(Seq("pos", "x")))
+    val dims = exploded.groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("c"))
+    dims.groupBy(col("label"))
+      .agg(round(sqrt(sum(col("c") * col("c"))), 4).cast(DecimalType(18, 4)).as("centroid_norm"),
+        count(lit(1)).as("n_dims"))
+      .orderBy(col("label"))
+  }
+
+  val labelCentroidsSql: String =
+    """WITH dims AS (
+      |  SELECT label, i AS pos, AVG(v[i]) AS c
+      |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e,
+      |       (SELECT UNNEST(generate_series(1, 64)) AS i) idx
+      |  GROUP BY label, i)
+      |SELECT label, CAST(round(sqrt(SUM(c*c)), 4) AS DECIMAL(18,4)) AS centroid_norm,
+      |       COUNT(*) AS n_dims
+      |FROM dims GROUP BY label ORDER BY label""".stripMargin
+
+  // === LSH-bucketed ANN (scale path) =======================================
+  val lshPlanes = 12
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 mapped to [-1, 1). No RNG, no driver state — reproducible
+    * across executors and engines.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast(DoubleType) / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bit signature: bit p = 1 iff v . plane_p >= 0. */
+  def lshSignature(v: Column): Column = {
+    val bits = (0 until lshPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(63)), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN top-k: candidates restricted to the query's LSH bucket, then exact
+    * cosine within the bucket. Recall vs the brute-force baseline is
+    * asserted in SimilaritySpec.
+    */
+  def annTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), vecD("embedding").as("v"))
+      .withColumn("bucket", lshSignature(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val pairs = q.join(e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("bucket")), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"),
+        round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"),
+        col("rnk").cast(IntegerType).as("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim1_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
+    "sim2_label_centroids" -> labelCentroids _,
+    "sim3_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)))
+
+  /** sim3 is xxhash64-seeded LSH (no DuckDB equivalent) -> rows-only check;
+    * recall validated in SimilaritySpec.
+    */
+  val oracles: Map[String, String] = Map(
+    "sim1_cosine_topk" -> cosineTopKSql(),
+    "sim2_label_centroids" -> labelCentroidsSql)
+}

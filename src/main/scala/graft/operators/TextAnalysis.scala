@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (beyond-reference additions, SURVEY §7.5): token counting, quality
+  * scoring, n-gram-heuristic language ID, and document fingerprinting.
+  *
+  * All operators are pure column expressions (whole-stage codegen, no
+  * UDFs), so they scale linearly with partitions: at 100 TB each is a
+  * single map-only pass over `documents` with zero shuffle.
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
+
+  /** Whitespace tokens of the lower-cased text. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast(IntegerType)
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * non-alpha character ratio. Mirrors the length/punct/stopword-ratio
+    * heuristics used by public corpus-cleaning pipelines.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  // === token / quality stats ===============================================
+  def docTokenStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val nNonSpace = length(regexp_replace(col("text"), "\\s", ""))
+    val stopCount = size(filter(toks, x => x.isInCollection(stopwords)))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        nTokens.cast(IntegerType).as("n_tokens"),
+        length(col("text")).cast(IntegerType).as("n_chars_actual"),
+        nNonSpace.cast(IntegerType).as("n_nonspace"),
+        (nNonSpace.cast(DoubleType) / nTokens).cast(DecimalType(18, 4)).as("avg_token_len"),
+        stopCount.cast(IntegerType).as("n_stopwords"),
+        (stopCount.cast(DoubleType) / nTokens).cast(DecimalType(18, 4)).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docTokenStatsSql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       | CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens,
+       | CAST(length(text) AS INTEGER) AS n_chars_actual,
+       | CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS n_nonspace,
+       | CAST(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |      / length(string_split_regex(lower(trim(text)), '\\s+')) AS DECIMAL(18,4))
+       |   AS avg_token_len,
+       | CAST(length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> x IN ($stopList))) AS INTEGER) AS n_stopwords,
+       | CAST(CAST(length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> x IN ($stopList))) AS DOUBLE)
+       |      / length(string_split_regex(lower(trim(text)), '\\s+')) AS DECIMAL(18,4))
+       |   AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // === language ID (stopword-hit heuristic) ================================
+  // Per-language function-word lists; prediction = argmax hit count with a
+  // fixed priority order on ties (en > de > es > fr > zh > unknown).
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "和", "在"))
+
+  def docLangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val hitCols = langMarkers.map { case (lang, words) =>
+      size(filter(toks, x => x.isInCollection(words))).cast(IntegerType).as(s"${lang}_hits")
+    }
+    val base = t(s, dir, "documents").select(col("doc_id") +: hitCols: _*)
+    val best = langMarkers.map(_._1).map(l => col(s"${l}_hits")).reduce(greatest(_, _))
+    val pred = langMarkers.map(_._1).foldRight(lit("unknown"): Column) { (l, acc) =>
+      when(col(s"${l}_hits") === best && best > 0, l).otherwise(acc)
+    }
+    val outCols = Seq(col("doc_id"), col("pred_lang")) ++
+      langMarkers.map { case (l, _) => col(s"${l}_hits") }
+    base.withColumn("pred_lang", pred)
+      .select(outCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val docLangIdSql: String = {
+    def hits(words: Seq[String]) = {
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(length(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ($list))) AS INTEGER)"
+    }
+    val hitExprs = langMarkers.map { case (l, ws) => s"${hits(ws)} AS ${l}_hits" }.mkString(",\n ")
+    val bestExpr = "greatest(" + langMarkers.map { case (l, _) => s"${l}_hits" }.mkString(", ") + ")"
+    val caseExpr = langMarkers.map { case (l, _) =>
+      s"WHEN ${l}_hits = $bestExpr AND $bestExpr > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'unknown' END")
+    s"""SELECT doc_id, $caseExpr AS pred_lang,
+       | ${langMarkers.map { case (l, _) => s"${l}_hits" }.mkString(", ")}
+       |FROM (SELECT doc_id, $hitExprs FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // === document fingerprint ================================================
+  // Whitespace-normalized MD5 prefix: a content-addressable fingerprint for
+  // exact-duplicate detection across shards (128-bit -> 64-bit hex prefix).
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16).as("fingerprint"),
+        length(col("text")).cast(IntegerType).as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      | substring(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fingerprint,
+      | CAST(length(text) AS INTEGER) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // === multimodal payload plumbing =========================================
+  // Models the multimodal-column pattern: an opaque binary payload plus
+  // typed metadata. The "decode" step is a deterministic fake (utf-8 bytes
+  // of the text stand in for image bytes — the real decoder would be a
+  // mapInPandas/mapPartitions stage); the Spark-side schema, checksum, and
+  // metadata plumbing are real.
+  def mmPayloadStats(s: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast(BinaryType)
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        octet_length(payload).cast(IntegerType).as("n_bytes"),
+        md5(payload).as("payload_md5"),
+        col("source").as("modality_hint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmPayloadStatsSql: String =
+    """SELECT doc_id,
+      | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      | md5(text) AS payload_md5,
+      | source AS modality_hint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt1_token_stats" -> docTokenStats _,
+    "txt2_lang_id" -> docLangId _,
+    "txt3_fingerprint" -> docFingerprint _,
+    "mm1_payload_stats" -> mmPayloadStats _)
+
+  val oracles: Map[String, String] = Map(
+    "txt1_token_stats" -> docTokenStatsSql,
+    "txt2_lang_id" -> docLangIdSql,
+    "txt3_fingerprint" -> docFingerprintSql,
+    "mm1_payload_stats" -> mmPayloadStatsSql)
+}
