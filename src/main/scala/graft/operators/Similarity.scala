@@ -89,7 +89,14 @@ object Similarity {
       |FROM dims GROUP BY label ORDER BY label""".stripMargin
 
   // === LSH-bucketed ANN (scale path) =======================================
-  val lshPlanes = 12
+  // Multi-table random-hyperplane LSH: T independent tables of P sign bits
+  // each. A candidate pair must agree on all P bits of SOME table — with
+  // random vectors that prunes ~(1 - 2^-P) of pairs per table, while a
+  // genuinely similar pair (angle θ) collides in a table with probability
+  // (1 - θ/π)^P, amplified across T tables. T*P stays a constant per-row
+  // explode factor, so the candidate join scales linearly with the corpus.
+  val lshTables = 8
+  val lshPlanes = 6
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 mapped to [-1, 1). No RNG, no driver state — reproducible
@@ -98,30 +105,39 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (xxhash64(lit(plane), dim).cast(DoubleType) / lit(Long.MaxValue.toDouble))
 
-  /** Sign-bit signature: bit p = 1 iff v . plane_p >= 0. */
-  def lshSignature(v: Column): Column = {
+  /** Sign-bit signature for one table: bit p = 1 iff v . plane_{t,p} >= 0. */
+  def lshSignature(v: Column, table: Int): Column = {
     val bits = (0 until lshPlanes).map { p =>
+      val plane = table * lshPlanes + p
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(63)), (x, i) => x * planeComponent(p, i)),
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(plane, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** ANN top-k: candidates restricted to the query's LSH bucket, then exact
-    * cosine within the bucket. Recall vs the brute-force baseline is
-    * asserted in SimilaritySpec.
+  /** (table, bucket) rows per vector — the multi-table LSH index. */
+  private def lshBuckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"), posexplode(
+      array((0 until lshTables).map(tb => lshSignature(col("v"), tb)): _*))
+      .as(Seq("tbl", "bucket")))
+
+  /** ANN top-k: candidates = union over tables of the query's bucket
+    * members, then exact cosine on the (deduped) candidate set. Recall vs
+    * the brute-force baseline is asserted in SimilaritySpec.
     */
   def annTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), vecD("embedding").as("v"))
-      .withColumn("bucket", lshSignature(col("v")))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-    val pairs = q.join(e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("bucket")), Seq("bucket"))
+    val e = t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v"))
+    val idx = lshBuckets(e)
+    val q = idx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+    val cand = q.join(idx.select(col("vec_id").as("n_id"), col("v").as("nv"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .select(col("q_id"), col("qv"), col("n_id"), col("nv"))
+      .dropDuplicates("q_id", "n_id")
+    val pairs = cand.withColumn("cos", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

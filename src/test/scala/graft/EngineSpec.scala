@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.types.TimestampType
+
+class EngineSpec extends SparkTestBase {
+
+  test("table reads every testdata table") {
+    Engine.tableNames.foreach { n =>
+      assert(Engine.table(spark, sfDir, n).count() > 0, s"table $n is empty")
+    }
+  }
+
+  test("events ns timestamps are truncated to microsecond TimestampType") {
+    val ev = Engine.table(spark, sfDir, "events")
+    assert(ev.schema("ts").dataType == TimestampType)
+    val minTs = ev.agg(org.apache.spark.sql.functions.min("ts")).head.getTimestamp(0)
+    assert(minTs.toString.startsWith("2024-01-01"))
+  }
+
+  test("Engine.sql executes multi-statement scripts, returning the last result") {
+    Engine.registerAll(spark, sfDir)
+    val df = Engine.sql(spark,
+      "SELECT 1 AS one; SELECT count(*) AS n FROM region FOR UPDATE")
+    assert(df.columns.toSeq == Seq("n"))
+    assert(df.head.getLong(0) == 5)
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlShimSpec extends AnyFunSuite {
+
+  test("splitStatements splits on top-level semicolons only") {
+    val script = "USE swanlake; SELECT 'a;b' AS x; -- trailing ; comment\nSELECT 1"
+    val parts = SqlShim.splitStatements(script)
+    assert(parts.size == 3)
+    assert(parts(1) == "SELECT 'a;b' AS x")
+  }
+
+  test("splitStatements handles quoted identifiers and block comments") {
+    val script = """SELECT ";" FROM "tab;le"; /* c;mment */ SELECT 2"""
+    assert(SqlShim.splitStatements(script).size == 2)
+  }
+
+  test("splitStatements drops empty fragments") {
+    assert(SqlShim.splitStatements("SELECT 1;;;") == Seq("SELECT 1"))
+  }
+
+  test("isQuery classifies row-returning statements like the reference") {
+    assert(SqlShim.isQuery("SELECT 1"))
+    assert(SqlShim.isQuery("  WITH t AS (SELECT 1) SELECT * FROM t"))
+    assert(SqlShim.isQuery("SHOW TABLES"))
+    assert(SqlShim.isQuery("EXPLAIN SELECT 1"))
+    assert(SqlShim.isQuery("DESCRIBE t"))
+    assert(SqlShim.isQuery("PRAGMA database_list"))
+    assert(SqlShim.isQuery("VALUES (1), (2)"))
+    assert(!SqlShim.isQuery("INSERT INTO t VALUES (1)"))
+    assert(!SqlShim.isQuery("CREATE TABLE t (a INT)"))
+    assert(!SqlShim.isQuery("UPDATE t SET a = 1"))
+  }
+
+  test("isQuery skips leading comments") {
+    assert(SqlShim.isQuery("-- comment\nSELECT 1"))
+    assert(SqlShim.isQuery("/* c */ SELECT 1"))
+  }
+
+  test("containsQuery scans all statements (reference contains_query)") {
+    assert(SqlShim.containsQuery("CREATE TEMP VIEW v AS SELECT 1; SELECT * FROM v; DROP VIEW v"))
+    assert(!SqlShim.containsQuery("CREATE TABLE t (a INT); INSERT INTO t VALUES (1)"))
+  }
+
+  test("stripSelectLocks removes FOR UPDATE / FOR SHARE variants") {
+    assert(SqlShim.stripSelectLocks("SELECT * FROM t FOR UPDATE") == "SELECT * FROM t")
+    assert(SqlShim.stripSelectLocks("SELECT * FROM t FOR SHARE") == "SELECT * FROM t")
+    assert(SqlShim.stripSelectLocks("SELECT * FROM t FOR UPDATE NOWAIT") == "SELECT * FROM t")
+    assert(SqlShim.stripSelectLocks("SELECT * FROM t FOR NO KEY UPDATE") == "SELECT * FROM t")
+    assert(SqlShim.stripSelectLocks("SELECT * FROM t FOR UPDATE SKIP LOCKED") == "SELECT * FROM t")
+  }
+
+  test("stripSelectLocks leaves literals alone") {
+    val sql = "SELECT 'use FOR UPDATE here' FROM t"
+    assert(SqlShim.stripSelectLocks(sql) == sql)
+    val plain = "SELECT * FROM orders"
+    assert(SqlShim.stripSelectLocks(plain) == plain)
+  }
+
+  test("quoteIdent escapes backticks") {
+    assert(SqlShim.quoteIdent("CamelCase") == "`CamelCase`")
+    assert(SqlShim.quoteIdent("we`ird") == "`we``ird`")
+    assert(SqlShim.quoteQualified(Seq("cat", "db", "t")) == "`cat`.`db`.`t`")
+  }
+}
