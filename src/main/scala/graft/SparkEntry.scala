@@ -12,6 +12,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Tpch.queries ++
       operators.Relational.queries ++
+      operators.Advanced.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries
@@ -21,6 +22,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Tpch.oracles ++
       operators.Relational.oracles ++
+      operators.Advanced.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles

@@ -196,16 +196,50 @@ object Dedup {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
+  // === embedding-cosine near-dup ===========================================
+  /** Near-duplicate pairs by embedding cosine >= threshold. Exact all-pairs
+    * here (oracle-checkable; 500 vectors); the 100 TB path swaps the
+    * pair source for Similarity's multi-table LSH candidate join and keeps
+    * the same exact-cosine filter — the filter, not the candidate
+    * generator, defines the operator's semantics.
+    */
+  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def embeddingNearDupSql(threshold: Double = 0.3): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  CAST(round(list_dot_product(a.v, b.v)
+       |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS DECIMAL(18,6))
+       |    AS cos_sim
+       |FROM e a, e b
+       |WHERE a.vec_id < b.vec_id
+       | AND list_dot_product(a.v, b.v)
+       |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> exactDedup _,
     "dd2_ngram_jaccard" -> ngramJaccard _,
     "dd3_minhash_lsh" -> minhashLsh _,
-    "dd4_simhash_pairs" -> simhashPairs _)
+    "dd4_simhash_pairs" -> simhashPairs _,
+    "dd5_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)))
 
   /** dd3/dd4 are xxhash64-based sketches with no DuckDB-expressible
     * equivalent -> rows-only driver check; validated in DedupSpec.
     */
   val oracles: Map[String, String] = Map(
     "dd1_exact_dedup" -> exactDedupSql,
-    "dd2_ngram_jaccard" -> ngramJaccardSql)
+    "dd2_ngram_jaccard" -> ngramJaccardSql,
+    "dd5_embedding_neardup" -> embeddingNearDupSql())
 }
