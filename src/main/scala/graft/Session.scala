@@ -1,0 +1,220 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** One client session: an isolated `SparkSession.newSession()` plus the
+  * stateful surfaces the reference keeps per session
+  * (swanlake-core/src/session/mod.rs:134-145):
+  *
+  *  - a 128-entry LRU schema cache keyed by trimmed SQL, invalidated by
+  *    DDL/DML statements (session/mod.rs:84-131, trigger list :423-433);
+  *  - a prepared-statement registry: handle → (sql, cached schema, pending
+  *    params, ephemeral flag), with close/take and the empty-handle →
+  *    last-created fallback (session/mod.rs:465-609,
+  *    service/handlers/prepared.rs:38-68);
+  *  - lenient transaction state (session/mod.rs:613-686): BEGIN/COMMIT/
+  *    ROLLBACK tracked per session; commit/rollback without an active
+  *    transaction is a tolerated no-op (transaction.rs:68-93). Spark has
+  *    no multi-statement atomicity — semantics here are the reference's
+  *    *tolerance* contract, not serializable isolation (SURVEY §7.4).
+  *
+  * `newSession()` gives temp-view + SQL-conf isolation over the shared
+  * SparkContext — the same isolation shape as the reference's per-session
+  * in-memory DuckDB over a shared DuckLake catalog (engine/factory.rs:72-93).
+  */
+final class Session(val id: String, val spark: SparkSession) {
+
+  @volatile private[graft] var lastAccessMillis: Long = System.currentTimeMillis()
+  def touch(): Unit = lastAccessMillis = System.currentTimeMillis()
+
+  // === schema cache (A5) ====================================================
+  private val schemaCacheMax = 128
+  private val schemaCache = new java.util.LinkedHashMap[String, StructType](140, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, StructType]): Boolean =
+      size() > schemaCacheMax
+  }
+
+  /** Plan-only schema for a query (A4, engine/connection.rs:56-65), LRU
+    * cached by trimmed SQL text.
+    */
+  def schemaForQuery(sql: String): StructType = {
+    val key = sql.trim
+    schemaCache.synchronized {
+      val hit = schemaCache.get(key)
+      if (hit != null) return hit
+    }
+    val schema = spark.sql(SqlShim.stripSelectLocks(key)).schema
+    schemaCache.synchronized { schemaCache.put(key, schema) }
+    schema
+  }
+
+  private[graft] def schemaCacheSize: Int = schemaCache.synchronized(schemaCache.size())
+
+  /** The DDL/DML prefixes that invalidate the schema cache
+    * (session/mod.rs:423-433).
+    */
+  private val invalidating =
+    Seq("CREATE", "DROP", "ALTER", "INSERT", "UPDATE", "DELETE", "ATTACH", "DETACH", "USE", "SET")
+
+  private def invalidatesSchemas(sql: String): Boolean = {
+    val u = sql.trim.toUpperCase
+    invalidating.exists(u.startsWith)
+  }
+
+  /** Execute a statement/script through the shim; DDL/DML clears the
+    * schema cache exactly as the reference's trigger list does.
+    */
+  def sql(sqlText: String): DataFrame = {
+    touch()
+    val statements = SqlShim.splitStatements(sqlText)
+    require(statements.nonEmpty, "empty SQL script")
+    if (statements.exists(invalidatesSchemas))
+      schemaCache.synchronized(schemaCache.clear())
+    statements.map(s => spark.sql(SqlShim.stripSelectLocks(s))).last
+  }
+
+  // === prepared statements (A12/A21) =======================================
+  final case class Prepared(
+      handle: String,
+      sql: String,
+      schema: Option[StructType],
+      ephemeral: Boolean,
+      var pendingParams: Option[Seq[Any]] = None)
+
+  private val prepared = mutable.LinkedHashMap.empty[String, Prepared]
+  private val handleCounter = new AtomicLong()
+  @volatile private var lastHandle: Option[String] = None
+
+  def createPrepared(sqlText: String, ephemeral: Boolean = false): Prepared = {
+    touch()
+    val clean = SqlShim.stripSelectLocks(sqlText.trim)
+    val handle = s"$id-stmt-${handleCounter.incrementAndGet()}"
+    val schema =
+      if (SqlShim.statementCount(clean) == 1 && SqlShim.isQuery(clean) && !clean.contains("?"))
+        scala.util.Try(schemaForQuery(clean)).toOption
+      else None
+    val p = Prepared(handle, clean, schema, ephemeral)
+    prepared.synchronized {
+      prepared(handle) = p
+      lastHandle = Some(handle)
+    }
+    p
+  }
+
+  /** Resolve a handle; an empty handle falls back to the last-created
+    * statement (prepared.rs:44-60).
+    */
+  def getPrepared(handle: String): Option[Prepared] = prepared.synchronized {
+    if (handle.isEmpty) lastHandle.flatMap(prepared.get) else prepared.get(handle)
+  }
+
+  def bindParams(handle: String, params: Seq[Any]): Unit = prepared.synchronized {
+    getPrepared(handle).foreach(_.pendingParams = Some(params))
+  }
+
+  /** Execute a prepared statement: substitute pending positional params as
+    * escaped literals (A2 — the reference binds Values into the engine,
+    * connection.rs:279-295; missing params bind NULL :286-292), run, and
+    * eagerly close ephemerals (execute.rs:64-73).
+    */
+  def executePrepared(handle: String): DataFrame = {
+    touch()
+    val p = getPrepared(handle).getOrElse(
+      throw new NoSuchElementException(s"unknown prepared statement handle: $handle"))
+    val params = prepared.synchronized { val ps = p.pendingParams; p.pendingParams = None; ps }
+    val bound = SqlParams.bind(p.sql, params.getOrElse(Seq.empty))
+    val out = sql(bound)
+    if (p.ephemeral) closePrepared(p.handle)
+    out
+  }
+
+  def closePrepared(handle: String): Unit = prepared.synchronized {
+    prepared.remove(handle)
+    if (lastHandle.contains(handle)) lastHandle = prepared.keys.lastOption
+  }
+
+  private[graft] def preparedCount: Int = prepared.synchronized(prepared.size)
+
+  // === transactions (A22, lenient) =========================================
+  @volatile private var txnActive: Boolean = false
+  def inTransaction: Boolean = txnActive
+
+  def begin(): Unit = { touch(); txnActive = true }
+
+  /** COMMIT with no active transaction is a tolerated no-op
+    * (transaction.rs:68-93: autocommit commit succeeds).
+    */
+  def commit(): Unit = { touch(); txnActive = false }
+
+  /** ROLLBACK with no active transaction is likewise a no-op; with one, we
+    * can only drop the flag — Spark writes are not transactional (§7.4).
+    */
+  def rollback(): Unit = { touch(); txnActive = false }
+}
+
+/** Positional-parameter literal binding: replace each top-level `?` with
+  * an escaped SQL literal. The scan is quote/comment-aware so `?` inside
+  * strings is never touched. Missing parameters bind NULL, matching
+  * `push_params` (engine/connection.rs:286-292).
+  */
+object SqlParams {
+
+  def bind(sql: String, params: Seq[Any]): String = {
+    val out = new StringBuilder(sql.length + 32)
+    var i = 0
+    var nextParam = 0
+    var state = 0 // 0 bare, 1 '…', 2 "…", 3 `…`, 4 --, 5 /*
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      state match {
+        case 0 =>
+          c match {
+            case '\'' => state = 1; out += c
+            case '"'  => state = 2; out += c
+            case '`'  => state = 3; out += c
+            case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => state = 4; out += c
+            case '/' if i + 1 < n && sql.charAt(i + 1) == '*' => state = 5; out += c
+            case '?' =>
+              out ++= literal(if (nextParam < params.length) params(nextParam) else null)
+              nextParam += 1
+            case _ => out += c
+          }
+        case 1 => out += c; if (c == '\'') { if (i + 1 < n && sql.charAt(i + 1) == '\'') { out += '\''; i += 1 } else state = 0 }
+        case 2 => out += c; if (c == '"') state = 0
+        case 3 => out += c; if (c == '`') state = 0
+        case 4 => out += c; if (c == '\n') state = 0
+        case 5 => out += c; if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') { out += '/'; state = 0; i += 1 }
+        case _ =>
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** SQL literal for a parameter value, single-quote-escaped. Covers the
+    * value kinds the reference's param path binds (types.rs:184-350).
+    */
+  def literal(v: Any): String = v match {
+    case null                     => "NULL"
+    case None                     => "NULL"
+    case Some(x)                  => literal(x)
+    case s: String                => "'" + s.replace("'", "''") + "'"
+    case b: Boolean               => if (b) "TRUE" else "FALSE"
+    case b: Array[Byte]           => "X'" + b.map("%02X".format(_)).mkString + "'"
+    case t: java.sql.Timestamp    => s"TIMESTAMP '${t.toString}'"
+    case d: java.sql.Date         => s"DATE '${d.toString}'"
+    case d: java.time.LocalDate   => s"DATE '${d.toString}'"
+    case t: java.time.Instant     => s"TIMESTAMP '${java.sql.Timestamp.from(t)}'"
+    case d: BigDecimal            => d.toString
+    case d: java.math.BigDecimal  => d.toString
+    case x @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => x.toString
+    case other => throw new IllegalArgumentException(
+      s"unsupported parameter type: ${other.getClass.getName}") // types.rs:349 UnsupportedParameter
+  }
+}

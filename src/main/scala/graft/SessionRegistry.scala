@@ -1,0 +1,64 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+
+/** Session registry keyed by peer id — the reference's
+  * `SessionRegistry` (swanlake-core/src/session/registry.rs:53-243):
+  * get-or-create with a max-session cap (default 100, config.rs:49-70),
+  * idle timeout (default 900 s), and a cleanup sweep the server runs every
+  * 5 minutes (swanlake-server/src/main.rs:42-52).
+  *
+  * Each session wraps `root.newSession()`: isolated temp views and SQL
+  * conf over one shared SparkContext — the Spark analogue of one
+  * in-memory DuckDB per session over a shared lake (engine/factory.rs:72-93).
+  *
+  * Creation is TOCTOU-safe via `computeIfAbsent` (the reference fixed the
+  * same race at registry.rs:192-207).
+  */
+final class SessionRegistry(
+    root: SparkSession,
+    val maxSessions: Int = 100,
+    val idleTimeoutMillis: Long = 900L * 1000) {
+
+  private val sessions = new ConcurrentHashMap[String, Session]()
+  private val created = new AtomicLong()
+
+  final class TooManySessionsException
+    extends IllegalStateException(s"session limit reached ($maxSessions)")
+
+  /** Get the peer's session, creating it if absent. Throws when at the cap
+    * (registry.rs:57,73 semaphore).
+    */
+  def getOrCreate(peerId: String): Session = {
+    val s = sessions.computeIfAbsent(peerId, { id =>
+      if (sessions.size() >= maxSessions) throw new TooManySessionsException
+      created.incrementAndGet()
+      new Session(id, root.newSession())
+    })
+    s.touch()
+    s
+  }
+
+  def get(peerId: String): Option[Session] = Option(sessions.get(peerId))
+
+  def remove(peerId: String): Unit = sessions.remove(peerId)
+
+  def size: Int = sessions.size()
+
+  def totalCreated: Long = created.get()
+
+  /** Drop sessions idle longer than the timeout (registry.rs
+    * `cleanup_idle_sessions`); returns how many were removed.
+    */
+  def cleanupIdle(nowMillis: Long = System.currentTimeMillis()): Int = {
+    var removed = 0
+    sessions.forEach { (id, s) =>
+      if (nowMillis - s.lastAccessMillis > idleTimeoutMillis)
+        if (sessions.remove(id, s)) removed += 1
+    }
+    removed
+  }
+}

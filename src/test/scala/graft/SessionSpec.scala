@@ -1,0 +1,90 @@
+package graft
+
+class SessionSpec extends SparkTestBase {
+
+  private def newSession(id: String = "s1") = new Session(id, spark.newSession())
+
+  test("schemaForQuery caches by trimmed SQL (session/mod.rs:84-131)") {
+    val s = newSession()
+    val a = s.schemaForQuery("SELECT 1 AS x")
+    val b = s.schemaForQuery("  SELECT 1 AS x  ")
+    assert(a == b)
+    assert(s.schemaCacheSize == 1)
+  }
+
+  test("schema cache is LRU-bounded at 128") {
+    val s = newSession()
+    (0 until 140).foreach(i => s.schemaForQuery(s"SELECT $i AS x"))
+    assert(s.schemaCacheSize == 128)
+  }
+
+  test("DDL invalidates the schema cache (session/mod.rs:423-433)") {
+    val s = newSession()
+    s.schemaForQuery("SELECT 1 AS x")
+    assert(s.schemaCacheSize == 1)
+    s.sql("CREATE OR REPLACE TEMP VIEW t_inval AS SELECT 2 AS y")
+    assert(s.schemaCacheSize == 0)
+  }
+
+  test("prepared statement lifecycle: create, execute, close (session/mod.rs:465-609)") {
+    val s = newSession()
+    val p = s.createPrepared("SELECT 41 + 1 AS answer")
+    assert(p.schema.exists(_.fieldNames.sameElements(Array("answer"))))
+    assert(s.executePrepared(p.handle).head.getInt(0) == 42)
+    s.closePrepared(p.handle)
+    assert(s.preparedCount == 0)
+    intercept[NoSuchElementException](s.executePrepared(p.handle))
+  }
+
+  test("empty handle falls back to last-created statement (prepared.rs:44-60)") {
+    val s = newSession()
+    s.createPrepared("SELECT 1 AS a")
+    val p2 = s.createPrepared("SELECT 2 AS b")
+    assert(s.getPrepared("").map(_.handle).contains(p2.handle))
+    assert(s.executePrepared("").head.getInt(0) == 2)
+  }
+
+  test("parameter binding substitutes positional ? as literals (A2)") {
+    val s = newSession()
+    val p = s.createPrepared("SELECT ? + 1 AS n, ? AS t")
+    s.bindParams(p.handle, Seq(41, "x'y"))
+    val row = s.executePrepared(p.handle).head
+    assert(row.getInt(0) == 42)
+    assert(row.getString(1) == "x'y")
+  }
+
+  test("missing params bind NULL (connection.rs:286-292)") {
+    val s = newSession()
+    val p = s.createPrepared("SELECT CAST(? AS INT) AS a")
+    val row = s.executePrepared(p.handle).head
+    assert(row.isNullAt(0))
+  }
+
+  test("ephemeral statements close eagerly after execute (execute.rs:64-73)") {
+    val s = newSession()
+    val p = s.createPrepared("SELECT 7 AS x", ephemeral = true)
+    s.executePrepared(p.handle)
+    assert(s.preparedCount == 0)
+  }
+
+  test("transactions are lenient: commit/rollback without begin are no-ops (transaction.rs:68-93)") {
+    val s = newSession()
+    s.commit(); s.rollback() // must not throw
+    s.begin()
+    assert(s.inTransaction)
+    s.commit()
+    assert(!s.inTransaction)
+  }
+
+  test("SqlParams escapes and skips placeholders inside literals/comments") {
+    assert(SqlParams.bind("SELECT '?' , ?", Seq(1)) == "SELECT '?' , 1")
+    assert(SqlParams.bind("SELECT ? -- ? comment\n, ?", Seq("a", "b")) ==
+      "SELECT 'a' -- ? comment\n, 'b'")
+    assert(SqlParams.literal(null) == "NULL")
+    assert(SqlParams.literal("O'Brien") == "'O''Brien'")
+    assert(SqlParams.literal(Array[Byte](0x0A, 0x7F)) == "X'0A7F'")
+    assert(SqlParams.literal(true) == "TRUE")
+    assert(SqlParams.literal(java.time.LocalDate.of(2026, 1, 2)) == "DATE '2026-01-02'")
+    intercept[IllegalArgumentException](SqlParams.literal(new Object))
+  }
+}
