@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Snapshot-versioned mutable parquet table — the Spark re-expression of
+  * what DuckLake gives the reference (SURVEY §7.4): ACID-ish
+  * UPDATE/DELETE/PK-errors over immutable parquet files.
+  *
+  * Layout (a micro-lake: snapshot id + file list, exactly the shape the
+  * survey prescribes):
+  * {{{
+  *   root/data/part-<uuid>.parquet     immutable data files
+  *   root/manifest-<v>.json            file list + schema for version v
+  *   root/_version                     current version pointer (atomic swap)
+  * }}}
+  *
+  * - INSERT appends new files and a new manifest — old files untouched.
+  * - DELETE/UPDATE are file-level copy-on-write: only files that contain
+  *   matching rows are rewritten (located via `input_file_name`), the
+  *   rest carry over by reference. At 100 TB with partition-pruned
+  *   predicates this rewrites only the touched partitions, the same
+  *   mechanics as DuckLake/Iceberg/Delta CoW.
+  * - PRIMARY KEY duplicate inserts raise `DuplicateKeyException`
+  *   (tests/sql/error_status.test contract; Spark itself enforces no
+  *   keys, so this is the engine-level anti-join check from SURVEY §2.B).
+  * - `checkpoint()` compacts the file set (maintenance/mod.rs:24-223 —
+  *   `CHECKPOINT` ≈ compaction job; the reference's cross-instance
+  *   Postgres advisory lock becomes a single-writer assumption here).
+  * - Old manifests remain readable: `asOf(v)` is snapshot time travel.
+  *
+  * Commit protocol: write manifest-v, then atomically swap `_version`.
+  * Readers resolve the pointer once and read an immutable file list, so
+  * a concurrent commit never yields a torn read.
+  */
+final class MutableTable private (
+    val spark: SparkSession,
+    val root: Path,
+    val schema: StructType,
+    val primaryKey: Option[String]) {
+
+  final class DuplicateKeyException(msg: String) extends RuntimeException(msg)
+
+  private def dataDir: Path = root.resolve("data")
+  private def versionFile: Path = root.resolve("_version")
+
+  def currentVersion: Long = new String(Files.readAllBytes(versionFile)).trim.toLong
+
+  private def manifestPath(v: Long): Path = root.resolve(s"manifest-$v.json")
+
+  private def readManifest(v: Long): Seq[String] = {
+    val txt = new String(Files.readAllBytes(manifestPath(v)))
+    // minimal JSON: {"files": ["a.parquet", ...]}
+    val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']')).trim
+    if (body.isEmpty) Seq.empty
+    else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+  }
+
+  private def writeManifest(v: Long, files: Seq[String]): Unit = {
+    val json = files.map(f => "\"" + f + "\"").mkString("{\"files\": [", ", ", "]}")
+    Files.write(manifestPath(v), json.getBytes)
+  }
+
+  private def commit(newVersion: Long, files: Seq[String]): Unit = {
+    writeManifest(newVersion, files)
+    val tmp = root.resolve(s"_version.tmp.${UUID.randomUUID()}")
+    Files.write(tmp, newVersion.toString.getBytes)
+    Files.move(tmp, versionFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current table contents (empty-schema DataFrame when no files). */
+  def df: DataFrame = asOf(currentVersion)
+
+  /** Snapshot read of any retained version. */
+  def asOf(version: Long): DataFrame = {
+    val files = readManifest(version).map(f => dataDir.resolve(f).toString)
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  /** Move the part files of a staged spark write into data/, returning
+    * their new (unique) names.
+    */
+  private def adoptStaged(staged: Path): Seq[String] = {
+    val parts = Files.list(staged).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") && p.toString.endsWith(".parquet"))
+      .toSeq
+    parts.map { p =>
+      val name = s"part-${UUID.randomUUID()}.parquet"
+      Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+  }
+
+  private def stageWrite(data: DataFrame): Seq[String] = {
+    val staged = root.resolve(s"stage-${UUID.randomUUID()}")
+    BatchAlign.alignToSchema(data, schema).write.parquet(staged.toString)
+    val names = adoptStaged(staged)
+    Files.walk(staged).sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.deleteIfExists(p))
+    names
+  }
+
+  /** Append rows; enforces the primary key when declared — duplicates in
+    * the batch or against existing rows error, nothing is committed.
+    */
+  def insert(data: DataFrame): Long = {
+    primaryKey.foreach { pk =>
+      val incoming = data.select(col(pk))
+      val dupIn = incoming.groupBy(col(pk)).count().filter(col("count") > 1).limit(1).collect()
+      if (dupIn.nonEmpty)
+        throw new DuplicateKeyException(s"duplicate key in batch: $pk=${dupIn.head.get(0)}")
+      val clash = incoming.join(df.select(col(pk)), Seq(pk), "left_semi").limit(1).collect()
+      if (clash.nonEmpty)
+        throw new DuplicateKeyException(s"duplicate key violates primary key: $pk=${clash.head.get(0)}")
+    }
+    val n = data.count()
+    val newFiles = stageWrite(data)
+    commit(currentVersion + 1, readManifest(currentVersion) ++ newFiles)
+    n
+  }
+
+  /** Files (by name) containing at least one row matching `cond`. */
+  private def affectedFiles(cond: Column): Seq[String] = {
+    val v = currentVersion
+    val files = readManifest(v)
+    if (files.isEmpty) return Seq.empty
+    val hit = spark.read.schema(schema).parquet(files.map(f => dataDir.resolve(f).toString): _*)
+      .filter(cond)
+      .select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    files.filter(f => hit.exists(h => h.endsWith("/" + f) || h.endsWith(f)))
+  }
+
+  /** Copy-on-write DELETE: rewrite only files containing matches; returns
+    * the number of rows deleted.
+    */
+  def delete(cond: Column): Long = {
+    val v = currentVersion
+    val all = readManifest(v)
+    val affected = affectedFiles(cond)
+    if (affected.isEmpty) return 0L
+    val affectedDf = spark.read.schema(schema)
+      .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
+    val deleted = affectedDf.filter(cond).count()
+    val survivors = affectedDf.filter(!cond)
+    val replacement = if (survivors.isEmpty) Seq.empty else stageWrite(survivors)
+    commit(v + 1, all.filterNot(affected.contains) ++ replacement)
+    deleted
+  }
+
+  /** Copy-on-write UPDATE: SET col -> expression for rows matching `cond`;
+    * returns the number of rows updated.
+    */
+  def update(cond: Column, set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "UPDATE requires at least one assignment")
+    set.keys.foreach(k => require(schema.fieldNames.contains(k), s"unknown column: $k"))
+    val v = currentVersion
+    val all = readManifest(v)
+    val affected = affectedFiles(cond)
+    if (affected.isEmpty) return 0L
+    val affectedDf = spark.read.schema(schema)
+      .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
+    val updated = affectedDf.filter(cond).count()
+    val rewritten = affectedDf.select(schema.fieldNames.toSeq.map { name =>
+      set.get(name) match {
+        case Some(e) => when(cond, e.cast(schema(name).dataType)).otherwise(col(name)).as(name)
+        case None    => col(name)
+      }
+    }: _*)
+    val replacement = stageWrite(rewritten)
+    commit(v + 1, all.filterNot(affected.contains) ++ replacement)
+    updated
+  }
+
+  /** CHECKPOINT ≈ compaction (A26): coalesce the live file set into
+    * `targetFiles` files; data unchanged, old versions still readable.
+    */
+  def checkpoint(targetFiles: Int = 1): Long = {
+    val v = currentVersion
+    val files = readManifest(v)
+    if (files.size <= targetFiles) return v
+    val compacted = stageWrite(df.repartition(targetFiles))
+    commit(v + 1, compacted)
+    currentVersion
+  }
+
+  def fileCount: Int = readManifest(currentVersion).size
+
+  /** Drop data files no longer referenced by ANY retained manifest
+    * (vacuum; the reference's checkpoint cleanup).
+    */
+  def vacuum(): Int = {
+    val live = mutable.Set.empty[String]
+    Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest-"))
+      .foreach { m =>
+        val v = m.getFileName.toString.stripPrefix("manifest-").stripSuffix(".json").toLong
+        live ++= readManifest(v)
+      }
+    var removed = 0
+    Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
+      if (!live.contains(p.getFileName.toString)) { Files.delete(p); removed += 1 }
+    }
+    removed
+  }
+}
+
+object MutableTable {
+
+  /** Create an empty table at `path` (errors if one exists). */
+  def create(spark: SparkSession, path: String, schema: StructType,
+      primaryKey: Option[String] = None): MutableTable = {
+    val root = Paths.get(path)
+    require(!Files.exists(root.resolve("_version")), s"table already exists at $path")
+    Files.createDirectories(root.resolve("data"))
+    Files.write(root.resolve("schema.json"), schema.json.getBytes)
+    primaryKey.foreach(pk => Files.write(root.resolve("pk"), pk.getBytes))
+    val t = new MutableTable(spark, root, schema, primaryKey)
+    t.writeManifest(0, Seq.empty)
+    Files.write(root.resolve("_version"), "0".getBytes)
+    t
+  }
+
+  /** Open an existing table. */
+  def load(spark: SparkSession, path: String): MutableTable = {
+    val root = Paths.get(path)
+    val schema = DataType.fromJson(new String(Files.readAllBytes(root.resolve("schema.json"))))
+      .asInstanceOf[StructType]
+    val pk = if (Files.exists(root.resolve("pk")))
+      Some(new String(Files.readAllBytes(root.resolve("pk")))) else None
+    new MutableTable(spark, root, schema, pk)
+  }
+}

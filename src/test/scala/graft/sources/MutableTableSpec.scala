@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MutableTableSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private def mkTable(pk: Option[String] = Some("id")) = {
+    val dir = Files.createTempDirectory("graft_mt").resolve("t").toString
+    MutableTable.create(spark, dir, schema, pk)
+  }
+
+  private def rows(data: (Long, String, Double)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(d => Row(d._1, d._2, d._3)), 1), schema)
+
+  test("insert appends and bumps the version") {
+    val t = mkTable()
+    assert(t.currentVersion == 0 && t.df.count() == 0)
+    assert(t.insert(rows((1L, "a", 1.0), (2L, "b", 2.0))) == 2)
+    assert(t.currentVersion == 1)
+    assert(t.df.count() == 2)
+    t.insert(rows((3L, "c", 3.0)))
+    assert(t.df.count() == 3)
+  }
+
+  test("duplicate primary key errors, nothing committed (error_status.test)") {
+    val t = mkTable()
+    t.insert(rows((1L, "a", 1.0)))
+    val v = t.currentVersion
+    intercept[RuntimeException](t.insert(rows((1L, "dup", 9.9))))
+    intercept[RuntimeException](t.insert(rows((5L, "x", 1.0), (5L, "y", 2.0))))
+    assert(t.currentVersion == v)
+    assert(t.df.count() == 1)
+  }
+
+  test("no primary key -> duplicates allowed") {
+    val t = mkTable(pk = None)
+    t.insert(rows((1L, "a", 1.0)))
+    t.insert(rows((1L, "a", 1.0)))
+    assert(t.df.count() == 2)
+  }
+
+  test("delete is file-level copy-on-write: untouched files carry over") {
+    val t = mkTable()
+    t.insert(rows((1L, "a", 1.0), (2L, "b", 2.0)))  // file A
+    t.insert(rows((3L, "c", 3.0), (4L, "d", 4.0)))  // file B
+    assert(t.fileCount == 2)
+    assert(t.delete(col("id") === 3L) == 1)
+    assert(t.df.count() == 3)
+    assert(t.df.filter(col("id") === 3L).count() == 0)
+    // file A (ids 1,2) must not have been rewritten: still 2 files, one of
+    // which is the original
+    assert(t.fileCount == 2)
+  }
+
+  test("delete removing a whole file shrinks the manifest") {
+    val t = mkTable()
+    t.insert(rows((1L, "a", 1.0)))
+    t.insert(rows((2L, "b", 2.0)))
+    t.delete(col("id") === 1L)
+    assert(t.fileCount == 1)
+    assert(t.df.collect().toSeq == Seq(Row(2L, "b", 2.0)))
+  }
+
+  test("update rewrites matching rows only (copy-on-write)") {
+    val t = mkTable()
+    t.insert(rows((1L, "a", 1.0), (2L, "b", 2.0)))
+    val n = t.update(col("id") === 2L, Map("score" -> lit(20.0), "name" -> lit("B")))
+    assert(n == 1)
+    val got = t.df.orderBy("id").collect().toSeq
+    assert(got == Seq(Row(1L, "a", 1.0), Row(2L, "B", 20.0)))
+  }
+
+  test("update with predicate matching nothing is a no-op version-wise") {
+    val t = mkTable()
+    t.insert(rows((1L, "a", 1.0)))
+    val v = t.currentVersion
+    assert(t.update(col("id") === 99L, Map("score" -> lit(0.0))) == 0)
+    assert(t.currentVersion == v)
+  }
+
+  test("snapshot time travel: asOf reads historic versions") {
+    val t = mkTable()
+    t.insert(rows((1L, "a", 1.0)))
+    val v1 = t.currentVersion
+    t.insert(rows((2L, "b", 2.0)))
+    t.delete(col("id") === 1L)
+    assert(t.asOf(v1).collect().toSeq == Seq(Row(1L, "a", 1.0)))
+    assert(t.df.collect().toSeq == Seq(Row(2L, "b", 2.0)))
+  }
+
+  test("checkpoint compacts files without changing data (A26)") {
+    val t = mkTable()
+    (1 to 5).foreach(i => t.insert(rows((i.toLong, s"r$i", i.toDouble))))
+    assert(t.fileCount == 5)
+    t.checkpoint(targetFiles = 1)
+    assert(t.fileCount == 1)
+    assert(t.df.count() == 5)
+    assert(t.df.agg(sum("score")).head.getDouble(0) == 15.0)
+  }
+
+  test("load reopens a table with schema and pk intact") {
+    val t = mkTable()
+    t.insert(rows((1L, "a", 1.0)))
+    val re = MutableTable.load(spark, t.root.toString)
+    assert(re.schema == schema)
+    assert(re.primaryKey.contains("id"))
+    assert(re.df.count() == 1)
+    intercept[RuntimeException](re.insert(rows((1L, "dup", 0.0))))
+  }
+
+  test("vacuum removes files unreferenced by any manifest") {
+    val t = mkTable()
+    t.insert(rows((1L, "a", 1.0)))
+    t.update(col("id") === 1L, Map("score" -> lit(2.0)))
+    // the pre-update file is still referenced by manifest v1 -> not removable
+    assert(t.vacuum() == 0)
+  }
+}
