@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming dataflow — its "streaming ingestion"
+  * (README.md:38) is micro-batched Arrow DoPut appends
+  * (service/handlers/prepared.rs:429-515). Here that ingest path is
+  * re-expressed as a real Structured Streaming pipeline (SURVEY §1.1
+  * "Streams" row: batch writes, optionally `foreachBatch`), plus the two
+  * beyond-reference streaming operators a training-data pipeline needs:
+  * watermarked tumbling-window aggregation and stateful sessionization.
+  *
+  * Scale notes: all three run per-key partition-parallel; state for
+  * sessionization is per-user in the state store (RocksDB on a real
+  * cluster), watermarks bound its size; the ingest path is exactly-once
+  * per file via checkpointed file tracking.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Micro-batch file ingest: stream parquet files landing in `sourceDir`
+    * into a parquet sink — the reference's DoPut appender loop (A7) as a
+    * Structured Streaming job with checkpointed exactly-once file
+    * tracking. `foreachBatch` would swap in a MutableTable.insert for
+    * PK-checked ingest.
+    */
+  def fileIngest(spark: SparkSession, sourceDir: String, sinkDir: String,
+      checkpointDir: String, schema: org.apache.spark.sql.types.StructType): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Watermarked tumbling-window aggregation over an event stream:
+    * 1-hour windows, 30-minute allowed lateness; append mode emits only
+    * finalized windows. Mirrors the batch ev1_hourly_windows query.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Stateful sessionization: 30-minute-gap sessions per user via
+    * flatMapGroupsWithState with event-time timeout. A session is emitted
+    * when the watermark passes its gap (timeout), giving the same
+    * sessions the batch lag/running-sum query (w2_event_sessions)
+    * computes retrospectively.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, new Timestamp(s.sessionStart), new Timestamp(s.lastTs), s.nEvents))
+      }
+      val sorted = batch.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTs <= gapMs =>
+            cur = Some(s.copy(lastTs = math.max(s.lastTs, t), nEvents = s.nEvents + 1))
+          case Some(s) =>
+            closed ::= SessionOut(userId, new Timestamp(s.sessionStart), new Timestamp(s.lastTs), s.nEvents)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastTs + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

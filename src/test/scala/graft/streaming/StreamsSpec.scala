@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamsSpec extends SparkTestBase {
+
+  import Streams._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+  private def tsAt(hour: Int, minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+
+  test("fileIngest streams landed parquet files into the sink exactly once (A7)") {
+    val base = Files.createTempDirectory("graft_stream")
+    val src = base.resolve("src").toString
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val events = graft.Engine.table(spark, sfDir, "events").limit(100)
+    events.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q1 = Streams.fileIngest(spark, src, sink, ckpt, schema)
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(sink).count() == 100)
+    // second AvailableNow run sees no new files -> no duplicates
+    val q2 = Streams.fileIngest(spark, src, sink, ckpt, schema)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(sink).count() == 100)
+  }
+
+  test("hourlyCounts emits finalized windows after the watermark passes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, tsAt(10, 5), 1, "view", 1.0),
+        Event(2, tsAt(10, 20), 2, "view", 2.0),
+        Event(3, tsAt(10, 40), 1, "purchase", 3.0))
+      q.processAllAvailable()
+      // watermark still inside the 10:00 window -> nothing finalized
+      assert(spark.table("hourly_out").count() == 0)
+      // event at 12:00 pushes watermark to 11:30 -> 10:00 window finalizes
+      mem.addData(Event(4, tsAt(12, 0), 3, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out").collect()
+      assert(rows.map(_.getString(1)).toSet == Set("view", "purchase"))
+      val view = rows.find(_.getString(1) == "view").get
+      assert(view.getLong(2) == 2)
+      assert(view.getDouble(3) == 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the gap times out, splits on in-batch gaps") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 50-min gap
+      // inside the same batch -> first session closes in-batch
+      mem.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(10), 1, "view", 1.0),
+        Event(3, Timestamp.valueOf("2026-01-01 11:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val inBatch = spark.table("sessions_out").as[SessionOut].collect()
+      assert(inBatch.length == 1)
+      assert(inBatch.head.n_events == 2)
+      assert(inBatch.head.session_start == ts(0) && inBatch.head.session_end == ts(10))
+      // advance watermark far past the open session's gap -> timeout emits it
+      mem.addData(Event(9, Timestamp.valueOf("2026-01-01 14:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, Timestamp.valueOf("2026-01-01 16:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions_out").as[SessionOut].collect()
+      assert(all.exists(s => s.user_id == 1 && s.n_events == 1 &&
+        s.session_start == Timestamp.valueOf("2026-01-01 11:00:00")))
+    } finally q.stop()
+  }
+}
