@@ -15,7 +15,8 @@ object SparkEntry {
       operators.Advanced.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.TextAnalysis.queries
+      operators.TextAnalysis.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       operators.Advanced.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.TextAnalysis.oracles
+      operators.TextAnalysis.oracles ++
+      operators.Multimodal.oracles
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column pipeline (SURVEY §7.5): media as opaque `binary`
+  * payloads with a typed metadata struct, processed by batch-shaped
+  * `mapPartitions` stages.
+  *
+  * The decode kernels are DETERMINISTIC STUBS — this container has no
+  * image/audio codecs, so `decodePayload` fakes a decode from the payload
+  * bytes (byte-histogram "features", hash-derived "dimensions"). Swap the
+  * stub body for JNI/FFmpeg/libvips calls and nothing else changes: the
+  * schema contract, per-partition batching, and partitioning strategy are
+  * the real, tested plumbing.
+  *
+  * Scale notes (100 TB of media):
+  *  - payloads never pass through a shuffle: every stage is map-only over
+  *    the scan partitioning; metadata-only queries prune the payload
+  *    column at the parquet reader (columnar projection);
+  *  - `mapPartitions` amortizes decoder init (model load, codec context)
+  *    across a partition — the same reason the PySpark world uses
+  *    mapInPandas batches;
+  *  - frame sampling explodes rows but NOT bytes (each pseudo-frame
+  *    references a slice), keeping the explode factor's memory bounded.
+  */
+object Multimodal {
+
+  /** Metadata struct carried beside every payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("modality", StringType),
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", IntegerType)))
+
+  val featureDim = 16
+
+  /** Documents table → multimodal frame: payload binary + metadata.
+    * (Text bytes stand in for media bytes; `source` drives the modality.)
+    */
+  def payloads(s: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast(BinaryType)
+    Engine.table(s, dir, "documents").select(
+      col("doc_id"),
+      payload.as("payload"),
+      struct(
+        when(col("source") === "web", "image").otherwise("audio").as("modality"),
+        when(col("source") === "web", "image/png").otherwise("audio/wav").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        octet_length(payload).as("n_bytes")).as("meta"))
+  }
+
+  /** STUB decode kernel: a real implementation calls the codec here.
+    * Deterministic fake: "dimensions" from payload length, features =
+    * 16-bin byte histogram normalized to [0,1].
+    */
+  private def decodeBytes(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    // ??? <- real codec goes here (libvips/FFmpeg); deterministic fake below
+    val hist = new Array[Float](featureDim)
+    payload.foreach(b => hist((b & 0xFF) / featureDim) += 1f)
+    val n = math.max(payload.length, 1).toFloat
+    (payload.length % 1920, payload.length % 1080, hist.map(_ / n))
+  }
+
+  private val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("modality", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Decode + feature-extract stage: batch-shaped mapPartitions so the
+    * (stubbed) decoder context is initialized once per partition.
+    */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    val in = payloads(s, dir)
+    val out = in.select(col("doc_id"), col("payload"), col("meta.modality"), col("meta.n_bytes"))
+      .mapPartitions { rows =>
+        // decoder init happens HERE, once per partition (stub: nothing)
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, feats) = decodeBytes(payload)
+          Row(r.getAs[Long]("doc_id"), r.getAs[String]("modality"), w, h,
+            r.getAs[Int]("n_bytes"), feats)
+        }
+      }(RowEncoder.encoderFor(decodedSchema))
+    out.orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling for video-class payloads: every k-th byte-slice
+    * becomes a pseudo-frame row (slice plumbing real, decode stubbed).
+    */
+  def sampleFrames(s: SparkSession, dir: String, everyN: Int = 64, maxFrames: Int = 8): DataFrame = {
+    payloads(s, dir)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), least(lit(maxFrames - 1), (col("meta.n_bytes") / everyN).cast(IntegerType)))))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * everyN).as("frame_offset"),
+        substring(col("payload"), col("frame_idx") * everyN + 1, lit(everyN)).as("frame_bytes"))
+      .withColumn("frame_md5", md5(col("frame_bytes")))
+      .drop("frame_bytes")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Metadata-only stats — must never touch the payload column (verified
+    * by plan inspection in MultimodalSpec: payload is pruned at the scan).
+    */
+  def metaStats(s: SparkSession, dir: String): DataFrame =
+    payloads(s, dir)
+      .groupBy(col("meta.modality").as("modality"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        max(col("meta.n_bytes")).as("max_bytes"))
+      .orderBy(col("modality"))
+
+  val metaStatsSql: String =
+    """SELECT CASE WHEN source = 'web' THEN 'image' ELSE 'audio' END AS modality,
+      | COUNT(*) AS n,
+      | SUM(octet_length(encode(text))) AS total_bytes,
+      | MAX(octet_length(encode(text))) AS max_bytes
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm2_decode_features" -> decodeFeatures _,
+    "mm3_frame_sample" -> ((s: SparkSession, d: String) => sampleFrames(s, d)),
+    "mm4_meta_stats" -> metaStats _)
+
+  /** mm2/mm3 run the stubbed decode kernel (no SQL equivalent) →
+    * rows-only driver check; validated in MultimodalSpec.
+    */
+  val oracles: Map[String, String] = Map(
+    "mm4_meta_stats" -> metaStatsSql)
+}

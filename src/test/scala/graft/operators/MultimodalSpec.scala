@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("payloads carry binary + typed metadata struct") {
+    val df = Multimodal.payloads(spark, sfDir)
+    assert(df.schema("payload").dataType.typeName == "binary")
+    val meta = df.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("modality", "mime", "width", "height", "n_bytes"))
+    val mods = df.select(col("meta.modality")).distinct().collect().map(_.getString(0)).toSet
+    assert(mods.subsetOf(Set("image", "audio")))
+  }
+
+  test("decodeFeatures is deterministic, batched, and feature-normalized") {
+    val a = Multimodal.decodeFeatures(spark, sfDir).collect()
+    val b = Multimodal.decodeFeatures(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "stub decode must be deterministic")
+    assert(a.length == 500)
+    a.take(20).foreach { r =>
+      val feats = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(feats.length == Multimodal.featureDim)
+      val sum = feats.sum
+      assert(sum > 0.99f && sum < 1.01f, s"histogram must normalize, got $sum")
+    }
+  }
+
+  test("sampleFrames bounds the explode factor and offsets are consistent") {
+    val frames = Multimodal.sampleFrames(spark, sfDir, everyN = 64, maxFrames = 8).collect()
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 8))
+    frames.take(50).foreach { r =>
+      assert(r.getAs[Int]("frame_offset") == r.getAs[Int]("frame_idx") * 64)
+      assert(r.getAs[String]("frame_md5").length == 32)
+    }
+  }
+
+  test("metaStats prunes the payload column at the scan (columnar projection)") {
+    val plan = Multimodal.metaStats(spark, sfDir).queryExecution.executedPlan.toString
+    // the parquet scan must read only the columns the metadata needs
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("text") || plan.contains("octet_length"),
+      "payload (text) bytes may only appear inside the length projection")
+    val rows = Multimodal.metaStats(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 500)
+  }
+}
