@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for graft's native Catalyst expressions.
+  *
+  * Spark 4 wraps columns in `ColumnNode`s and keeps the converters
+  * `private[sql]`; this shim (in an org.apache.spark.sql subpackage, the
+  * standard extension-library technique) exposes exactly the two
+  * conversions graft needs to register codegen'd expressions without a
+  * SparkSessionExtensions round-trip.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
