@@ -69,6 +69,7 @@ object Engine {
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
     val statements = SqlShim.splitStatements(sqlText)
     require(statements.nonEmpty, "empty SQL script")
-    statements.map(s => spark.sql(SqlShim.stripSelectLocks(s))).last
+    statements.map(s =>
+      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.stripSelectLocks(s)))).last
   }
 }

@@ -75,7 +75,8 @@ final class Session(val id: String, val spark: SparkSession) {
     require(statements.nonEmpty, "empty SQL script")
     if (statements.exists(invalidatesSchemas))
       schemaCache.synchronized(schemaCache.clear())
-    statements.map(s => spark.sql(SqlShim.stripSelectLocks(s))).last
+    statements.map(s =>
+      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.stripSelectLocks(s)))).last
   }
 
   // === prepared statements (A12/A21) =======================================

@@ -1,0 +1,82 @@
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.channels.Channels
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, WriteChannel}
+import org.apache.arrow.vector.ipc.message.MessageSerializer
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.arrow.ArrowConverters
+import org.apache.spark.sql.util.ArrowUtils
+
+/** Arrow wire conversion — the result-set encoding the reference streams
+  * (swanlake-core/src/service/execute.rs:205-240 encodes query results as
+  * Arrow `FlightData`; batches originate at engine/connection.rs:21-26).
+  *
+  * The gRPC Flight transport itself is out of scope in this offline build
+  * (no arrow-flight jars ship with Spark), but the payload layer — result
+  * rows as a complete Arrow IPC stream, and the reverse direction for the
+  * ingest path (A7/A10: client-sent Arrow batches → DataFrame) — runs on
+  * Spark's own `ArrowConverters`, so a Flight server is a thin framing
+  * layer over these bytes.
+  *
+  * Wire layout produced: schema message, N framed record-batch messages
+  * (each ≤ `maxRecordsPerBatch` rows — default 2048, DuckDB's vector
+  * size, SURVEY §4.2 wire parity), end-of-stream marker. Spark's batch
+  * iterator emits fully-framed IPC messages, so assembly is pure
+  * concatenation — no per-value re-encoding.
+  *
+  * Scale note: `toIpcStream` is the driver-side wire boundary (the same
+  * place the reference's server sits); results stream batch-by-batch, so
+  * a large result never materializes as one allocation on the wire path.
+  */
+object ArrowWire {
+
+  val defaultBatchRows = 2048
+
+  /** Encode a DataFrame's result as a complete Arrow IPC stream. */
+  def toIpcStream(df: DataFrame, maxRecordsPerBatch: Int = defaultBatchRows): Array[Byte] = {
+    val spark = df.sparkSession
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val schema = df.schema
+    val batches = ArrowConverters.toBatchIterator(
+      df.queryExecution.executedPlan.executeCollect().iterator,
+      schema, maxRecordsPerBatch.toLong, tz, true, false, TaskContext.get())
+    val out = new ByteArrayOutputStream()
+    val ch = new WriteChannel(Channels.newChannel(out))
+    MessageSerializer.serialize(ch, ArrowUtils.toArrowSchema(schema, tz, true, false))
+    batches.foreach(b => ch.write(b))
+    // end-of-stream: continuation token + zero length
+    ch.writeIntLittleEndian(MessageSerializer.IPC_CONTINUATION_TOKEN)
+    ch.writeIntLittleEndian(0)
+    out.toByteArray
+  }
+
+  /** Decode an Arrow IPC stream into a local DataFrame (the ingest
+    * direction: DoPut batches → rows for alignment + append, A7/A10).
+    */
+  def fromIpcStream(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val allocator = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val sparkSchema = ArrowUtils.fromArrowSchema(root.getSchema)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (reader.loadNextBatch()) {
+        val cols = root.getFieldVectors.asScala
+        for (r <- 0 until root.getRowCount)
+          rows += Row.fromSeq(cols.map(v => fromArrow(v.getObject(r))).toSeq)
+      }
+      spark.createDataFrame(rows.asJava, sparkSchema)
+    } finally { reader.close(); allocator.close() }
+  }
+
+  private def fromArrow(v: Any): Any = v match {
+    case t: org.apache.arrow.vector.util.Text => t.toString
+    case other => other
+  }
+}

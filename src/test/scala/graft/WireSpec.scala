@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.graft.ArrowWire
+import org.scalatest.funsuite.AnyFunSuite
+
+class TicketCodecSpec extends AnyFunSuite {
+  import TicketCodec._
+
+  test("round-trips all fields (ticket.rs:40-59 layout)") {
+    val t = Ticket(version = 1, ephemeral = true, handle = Array[Byte](1, 2, 3),
+      fallbackSql = "SELECT 1", returnsRows = true)
+    assert(decode(encode(t)) == t)
+  }
+
+  test("default fields are omitted on the wire and restored on decode (proto3)") {
+    val t = Ticket(version = 1)
+    val bytes = encode(t)
+    assert(bytes.length == 2, "only the version field should be encoded")
+    assert(decode(bytes) == t)
+  }
+
+  test("empty input decodes to all defaults") {
+    assert(decode(Array.empty) == Ticket(version = 0))
+  }
+
+  test("unknown fields are skipped (forward compatibility)") {
+    val base = encode(Ticket(version = 1, fallbackSql = "SELECT 2"))
+    // append unknown field 9 (varint) and field 10 (bytes)
+    val extra = Array[Byte]((9 << 3).toByte, 42, ((10 << 3) | 2).toByte, 2, 7, 7)
+    assert(decode(base ++ extra) == Ticket(version = 1, fallbackSql = "SELECT 2"))
+  }
+
+  test("truncated tickets raise MalformedTicketException (ticket.rs decode errors)") {
+    val good = encode(Ticket(version = 1, fallbackSql = "SELECT 1"))
+    intercept[MalformedTicketException](decode(good.dropRight(3)))
+    intercept[MalformedTicketException](decode(Array[Byte](0x80.toByte)))
+  }
+
+  test("multi-byte varints (large handles) survive") {
+    val t = Ticket(version = 300, handle = Array.fill(200)(0x5A.toByte))
+    assert(decode(encode(t)) == t)
+  }
+}
+
+class ArrowWireSpec extends SparkTestBase {
+
+  test("toIpcStream/fromIpcStream round-trips a query result (execute.rs wire path)") {
+    val df = Engine.table(spark, sfDir, "nation")
+      .selectExpr("n_nationkey", "n_name")
+      .orderBy("n_nationkey")
+    val bytes = ArrowWire.toIpcStream(df)
+    assert(bytes.length > 100)
+    val back = ArrowWire.fromIpcStream(spark, bytes)
+    assert(back.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name"))
+    assert(back.orderBy("n_nationkey").collect().toSeq == df.collect().toSeq)
+  }
+
+  test("large results split into 2048-row batches (DuckDB vector parity, SURVEY §4.2)") {
+    val df = Engine.table(spark, sfDir, "lineitem").select("l_orderkey").limit(5000)
+    val bytes = ArrowWire.toIpcStream(df)
+    val back = ArrowWire.fromIpcStream(spark, bytes)
+    assert(back.count() == 5000)
+  }
+
+  test("ingest direction feeds BatchAlign (A7/A10 DoPut path)") {
+    import org.apache.spark.sql.types._
+    val df = spark.sql("SELECT CAST(7 AS INT) AS id, 'x' AS name")
+    val bytes = ArrowWire.toIpcStream(df)
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("missing", DoubleType)))
+    val aligned = sources.BatchAlign.alignToSchema(ArrowWire.fromIpcStream(spark, bytes), target)
+    assert(aligned.head == org.apache.spark.sql.Row(7L, "x", null))
+  }
+}
+
+class MetricsSpec extends AnyFunSuite {
+
+  test("timed records totals, latency, and in-flight gauge (metrics.rs:14-201)") {
+    val m = new Metrics()
+    assert(m.timed("SELECT 1") { assert(m.inFlight == 1); 42 } == 42)
+    assert(m.inFlight == 0)
+    assert(m.queries == 1)
+    assert(m.latencySummary("p50") >= 0.0)
+  }
+
+  test("errors land in the bounded error ring") {
+    val m = new Metrics(ringCapacity = 3)
+    (1 to 5).foreach { i =>
+      intercept[RuntimeException](m.timed(s"BAD $i")(throw new RuntimeException(s"boom $i")))
+    }
+    assert(m.errors == 5)
+    assert(m.recentErrors.size == 3)
+    assert(m.recentErrors.last.message == "boom 5")
+  }
+
+  test("slow queries (>= threshold) land in the slow ring") {
+    val m = new Metrics(slowQueryThresholdMillis = 1)
+    m.record("SELECT slow", millis = 10)
+    m.record("SELECT fast", millis = 0)
+    assert(m.slowQueries.map(_.sql) == Seq("SELECT slow"))
+  }
+
+  test("latency percentiles are ordered and bounded by the window") {
+    val m = new Metrics(windowSize = 100)
+    (1 to 100).foreach(i => m.record("q", millis = i))
+    val l = m.latencySummary
+    assert(l("p50") <= l("p95") && l("p95") <= l("p99"))
+    assert(l("p99") >= 99.0)
+    assert(m.statusLine.contains("queries=100"))
+  }
+}
