@@ -109,22 +109,43 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (xxhash64(lit(plane), dim).cast(DoubleType) / lit(Long.MaxValue.toDouble))
 
+  val maxDim = 64
+
+  /** Hyperplane components materialized once (evaluated through Spark's
+    * own xxhash64 so they are identical to the expression form) and then
+    * embedded as array literals — each projection becomes one codegen'd
+    * vec_dot instead of an interpreted higher-order fold.
+    */
+  @volatile private var planeCache: Array[Array[Double]] = _
+  private def planes(s: SparkSession): Array[Array[Double]] = {
+    if (planeCache == null) synchronized {
+      if (planeCache == null) {
+        val nPlanes = lshTables * lshPlanes
+        val cols = for (p <- 0 until nPlanes; d <- 0 until maxDim)
+          yield planeComponent(p, lit(d)).as(s"c_${p}_$d")
+        val row = s.range(1).select(cols: _*).head()
+        planeCache = Array.tabulate(nPlanes, maxDim)((p, d) => row.getDouble(p * maxDim + d))
+      }
+    }
+    planeCache
+  }
+
   /** Sign-bit signature for one table: bit p = 1 iff v . plane_{t,p} >= 0. */
-  def lshSignature(v: Column, table: Int): Column = {
+  def lshSignature(s: SparkSession, v: Column, table: Int): Column = {
+    val pl = planes(s)
     val bits = (0 until lshPlanes).map { p =>
-      val plane = table * lshPlanes + p
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(plane, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = pl(table * lshPlanes + p)
+      val planeLit = array(plane.map(lit(_)): _*)
+      val proj = graft.functions.VectorFunctions.vecDot(v, planeLit)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
 
   /** (table, bucket) rows per vector — the multi-table LSH index. */
-  private def lshBuckets(e: DataFrame): DataFrame =
+  private def lshBuckets(s: SparkSession, e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("v"), posexplode(
-      array((0 until lshTables).map(tb => lshSignature(col("v"), tb)): _*))
+      array((0 until lshTables).map(tb => lshSignature(s, col("v"), tb)): _*))
       .as(Seq("tbl", "bucket")))
 
   /** ANN top-k: candidates = union over tables of the query's bucket
@@ -133,7 +154,7 @@ object Similarity {
     */
   def annTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v"))
-    val idx = lshBuckets(e)
+    val idx = lshBuckets(s, e)
     val q = idx.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"), col("bucket"))
     val cand = q.join(idx.select(col("vec_id").as("n_id"), col("v").as("nv"), col("tbl"), col("bucket")),
