@@ -1,0 +1,336 @@
+package graft.sqltest
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.mutable
+
+import graft.{InfoSchema, SqlShim, TypeBridge}
+import graft.sources.BatchAlign
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Scala port of the reference's sqllogictest-dialect runner
+  * (tests/runner/src/main.rs:145-323): parses `.test` scripts
+  * (`require` / `statement ok|error` / `query <types|error>` with
+  * `----`-delimited expectations, `__TEST_DIR__` substitution) and runs
+  * them against the Spark engine through a dialect-compat executor.
+  *
+  * Dialect mapping (each a reference behavior this engine reproduces):
+  *  - `ATTACH 'ducklake:…' AS n (DATA_PATH …)` → `CREATE DATABASE` —
+  *    catalog registration; DETACH is a no-op so re-attach sees the same
+  *    data (ducklake_basic.test durability sequence);
+  *  - DuckDB type names in DDL → Spark types via [[TypeBridge]];
+  *  - `"quoted"` identifiers (with `""` escapes) → backticks
+  *    (quoted_identifiers.test, sql_injection_identifiers.test);
+  *  - PRIMARY KEY is recorded and enforced engine-side on INSERT with the
+  *    appender-style align + anti-join check (error_status.test — Spark
+  *    itself enforces no keys, SURVEY §2.B);
+  *  - `information_schema.tables` queries answer through the compat view
+  *    with DuckDB's `BASE TABLE` naming (metadata_visibility.test);
+  *  - `SHOW TABLES` projects the single name column the reference's
+  *    runner expects.
+  *
+  * Row comparison: cells normalize like the reference runner (NULL
+  * literal, booleans lowercase, binary as utf-8, ISO timestamps); rows
+  * compare in order when the query has ORDER BY, as multisets otherwise
+  * (parquet scans do not preserve insertion order the way DuckDB does).
+  */
+object SqlLogicParser {
+
+  sealed trait Directive
+  final case class Statement(sql: String, expectError: Boolean, line: Int) extends Directive
+  final case class Query(sql: String, expected: Seq[String], expectError: Boolean, line: Int) extends Directive
+
+  def parse(text: String): Seq[Directive] = {
+    val lines = text.linesIterator.toVector
+    val out = mutable.Buffer.empty[Directive]
+    var i = 0
+    def collectSql(until: String => Boolean): String = {
+      val sql = mutable.Buffer.empty[String]
+      while (i < lines.length && lines(i).trim.nonEmpty && !until(lines(i))) {
+        sql += lines(i); i += 1
+      }
+      sql.mkString("\n")
+    }
+    while (i < lines.length) {
+      val line = lines(i).trim
+      if (line.isEmpty || line.startsWith("#") || line.startsWith("require ")) { i += 1 }
+      else if (line.startsWith("statement")) {
+        val expectError = line.split("\\s+")(1) == "error"
+        val at = i; i += 1
+        out += Statement(collectSql(_ => false), expectError, at + 1)
+      } else if (line.startsWith("query")) {
+        val expectError = line.split("\\s+").lift(1).contains("error")
+        val at = i; i += 1
+        val sql = collectSql(_.trim == "----")
+        if (i < lines.length && lines(i).trim == "----") i += 1
+        val expected = mutable.Buffer.empty[String]
+        while (i < lines.length && lines(i).trim.nonEmpty) { expected += lines(i); i += 1 }
+        out += Query(sql, expected.toSeq, expectError, at + 1)
+      } else i += 1
+    }
+    out.toSeq
+  }
+}
+
+final class SqlLogicExec(spark: SparkSession, testDir: Path) {
+  import SqlLogicParser._
+
+  /** table (lowercase, qualified) → primary key column */
+  private val primaryKeys = mutable.Map.empty[String, String]
+
+  def runFile(path: Path): Unit = {
+    val text = new String(Files.readAllBytes(path))
+      .replace("__TEST_DIR__", testDir.toString)
+    SqlLogicParser.parse(text).foreach {
+      case Statement(sql, expectError, line) =>
+        val r = scala.util.Try(execStatement(sql))
+        if (expectError && r.isSuccess)
+          throw new AssertionError(s"${path.getFileName}:$line expected error, got success: $sql")
+        if (!expectError && r.isFailure)
+          throw new AssertionError(s"${path.getFileName}:$line failed: $sql\n  ${r.failed.get}")
+      case Query(sql, expected, expectError, line) =>
+        val r = scala.util.Try(execQuery(sql))
+        if (expectError) {
+          if (r.isSuccess)
+            throw new AssertionError(s"${path.getFileName}:$line expected error, got rows: $sql")
+        } else {
+          if (r.isFailure)
+            throw new AssertionError(s"${path.getFileName}:$line failed: $sql\n  ${r.failed.get}")
+          compare(path, line, sql, expected, r.get)
+        }
+    }
+  }
+
+  private def compare(path: Path, line: Int, sql: String,
+      expectedLines: Seq[String], got: Seq[Seq[String]]): Unit = {
+    val expected = expectedLines.map { l =>
+      if (l.contains('\t')) l.split("\t", -1).toSeq else Seq(l)
+    }
+    val ordered = sql.toUpperCase.contains("ORDER BY")
+    val (e, g) = if (ordered) (expected, got)
+      else (expected.sortBy(_.mkString("")), got.sortBy(_.mkString("")))
+    if (e != g)
+      throw new AssertionError(
+        s"${path.getFileName}:$line mismatch for: $sql\n  expected: $e\n  got:      $g")
+  }
+
+  // === statement execution with dialect mapping ============================
+
+  private val attachRe =
+    "(?is)^\\s*ATTACH\\s+'[^']*'\\s+AS\\s+([A-Za-z_][\\w]*)\\s*(\\(.*\\))?\\s*;?\\s*$".r
+  private val detachRe = "(?is)^\\s*DETACH\\s+([A-Za-z_][\\w]*)\\s*;?\\s*$".r
+  private val createTableRe = "(?is)^\\s*(CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?)(.+?)\\s*\\((.*)\\)\\s*;?\\s*$".r
+  private val insertValuesRe = "(?is)^\\s*INSERT\\s+INTO\\s+([^(\\s]+)\\s+VALUES\\s*(.+?);?\\s*$".r
+
+  def execStatement(raw: String): Unit = {
+    val sql = quoteIdents(raw.trim)
+    sql match {
+      case attachRe(name, _) =>
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+      case detachRe(_) => // catalog stays registered; data survives re-attach
+      case _ if sql.toUpperCase.startsWith("SHOW ALL TABLES") =>
+        spark.sql("SHOW TABLES").collect()
+      case createTableRe(prefix, name, cols) if !cols.toUpperCase.startsWith("SELECT") =>
+        spark.sql(s"$prefix$name (${rewriteColumns(name, cols)}) USING parquet")
+      case insertValuesRe(table, values) if pkOf(table).isDefined =>
+        pkCheckedInsert(table, values)
+      case other =>
+        spark.sql(other).collect()
+    }
+  }
+
+  def execQuery(raw: String): Seq[Seq[String]] = {
+    val sql = quoteIdents(raw.trim)
+    val df: DataFrame =
+      if (sql.toUpperCase.startsWith("SHOW TABLES"))
+        spark.sql(sql).select(col("tableName"))
+      else if (sql.toLowerCase.contains("information_schema.")) {
+        registerInfoSchemaRaw()
+        spark.sql(InfoSchema.rewriteInfoSchema(sql))
+      } else spark.sql(SqlShim.stripSelectLocks(sql))
+    df.collect().toSeq.map(r => (0 until r.length).map(i => normalize(r.get(i))))
+  }
+
+  // === helpers =============================================================
+
+  /** DuckDB `"ident"` (with `""` escape) → Spark backtick form, outside
+    * single-quoted string literals.
+    */
+  private[sqltest] def quoteIdents(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out += c
+        if (c == '\'') inStr = false
+        i += 1
+      } else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '"') {
+        val ident = new StringBuilder
+        i += 1
+        var done = false
+        while (!done && i < sql.length) {
+          val d = sql.charAt(i)
+          if (d == '"' && i + 1 < sql.length && sql.charAt(i + 1) == '"') { ident += '"'; i += 2 }
+          else if (d == '"') { done = true; i += 1 }
+          else { ident += d; i += 1 }
+        }
+        // Spark's in-memory catalog only accepts [A-Za-z0-9_] object names
+        // (DuckDB accepts anything inside quotes) — mangle special-char
+        // identifiers deterministically so CREATE and later references
+        // agree; result values are unaffected.
+        val id = ident.toString
+        if (id.matches("[A-Za-z0-9_]+") || id.exists(_ == '`'))
+          out ++= "`" + id.replace("`", "``") + "`"
+        else if (id.matches("[A-Za-z0-9_ ]+"))
+          out ++= "`" + id + "`" // spaces are fine for columns
+        else
+          out ++= "slt_" + id.getBytes("UTF-8").map("%02x".format(_)).mkString
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Rewrite a DuckDB column list: map type names via TypeBridge, strip
+    * PRIMARY KEY (recording it), drop NOT NULL, keep DEFAULT exprs.
+    */
+  private def rewriteColumns(table: String, colList: String): String = {
+    val parts = splitTopLevel(colList)
+    parts.map { colDef =>
+      val d = colDef.trim
+      val (name, rest) =
+        if (d.startsWith("`")) {
+          val end = findBacktickEnd(d)
+          (d.substring(0, end + 1), d.substring(end + 1).trim)
+        } else {
+          val sp = d.indexWhere(_.isWhitespace)
+          (d.substring(0, if (sp < 0) d.length else sp), if (sp < 0) "" else d.substring(sp).trim)
+        }
+      var constraints = ""
+      var typePart = rest
+      val upper = rest.toUpperCase
+      val constraintIdx = Seq("PRIMARY KEY", "NOT NULL", "DEFAULT")
+        .map(k => upper.indexOf(k)).filter(_ >= 0).sorted.headOption
+      constraintIdx.foreach { idx =>
+        typePart = rest.substring(0, idx).trim
+        constraints = rest.substring(idx)
+      }
+      if (constraints.toUpperCase.contains("PRIMARY KEY"))
+        primaryKeys(normalizeTable(table)) = stripQuotes(name)
+      val keptConstraints = {
+        val u = constraints
+          .replaceAll("(?i)PRIMARY\\s+KEY", "")
+          .replaceAll("(?i)NOT\\s+NULL", "")
+          .trim
+        if (u.isEmpty) "" else " " + u
+      }
+      val sparkType = TypeBridge.toSpark(typePart).sql
+      s"$name $sparkType$keptConstraints"
+    }.mkString(", ")
+  }
+
+  private def findBacktickEnd(s: String): Int = {
+    var i = 1
+    while (i < s.length) {
+      if (s.charAt(i) == '`') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '`') i += 2 else return i
+      } else i += 1
+    }
+    s.length - 1
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.Buffer.empty[String]
+    var depth = 0; var start = 0; var inStr = false; var inTick = false
+    for (i <- s.indices) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  private def stripQuotes(n: String): String =
+    n.stripPrefix("`").stripSuffix("`").replace("``", "`")
+
+  private def normalizeTable(t: String): String = stripQuotes(t.trim).toLowerCase
+
+  private def pkOf(table: String): Option[String] = primaryKeys.get(normalizeTable(table))
+
+  /** Engine-level PK enforcement on the appender path (SURVEY §2.B "PK
+    * duplicate-key error"): align the VALUES batch to the table schema,
+    * reject duplicates within the batch or against existing rows, then
+    * append.
+    */
+  private def pkCheckedInsert(table: String, values: String): Unit = {
+    val pk = pkOf(table).get
+    val batch = spark.sql(s"SELECT * FROM (VALUES $values)")
+    val target = spark.table(table)
+    val aligned = BatchAlign.alignToSchema(
+      batch.toDF(target.schema.fieldNames.take(batch.schema.length).toIndexedSeq: _*),
+      target.schema)
+    val dupIn = aligned.groupBy(col(s"`$pk`")).count().filter(col("count") > 1).limit(1).collect()
+    if (dupIn.nonEmpty)
+      throw new IllegalStateException(s"duplicate key in batch: $pk=${dupIn.head.get(0)}")
+    val clash = aligned.join(target, Seq(pk), "left_semi").limit(1).collect()
+    if (clash.nonEmpty)
+      throw new IllegalStateException(s"Constraint Error: duplicate key $pk violates primary key")
+    aligned.write.mode("append").insertInto(table)
+  }
+
+  /** information_schema view with DuckDB's raw naming (`BASE TABLE`) —
+    * the Flight metadata answer (InfoSchema.tables) normalizes to TABLE,
+    * but SQL passthrough must show what DuckDB shows
+    * (metadata_visibility.test).
+    */
+  private def registerInfoSchemaRaw(): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cat = spark.catalog.currentCatalog()
+    val rows = spark.catalog.listTables().collect().map { t =>
+      val typ = t.tableType match {
+        case "VIEW" | "TEMPORARY" => "VIEW"
+        case _                    => "BASE TABLE"
+      }
+      val schema = Option(t.namespace).filter(_.nonEmpty).map(_.mkString(".")).getOrElse("temp")
+      Row(cat, schema, t.name, typ)
+    }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), InfoSchema.tablesSchema)
+      .createOrReplaceTempView("information_schema_tables")
+  }
+
+  // === cell normalization (main.rs:230-323 row normalization) ==============
+
+  private[sqltest] def normalize(v: Any): String = v match {
+    case null => "NULL"
+    case b: Boolean => if (b) "true" else "false"
+    case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    case t: java.sql.Timestamp =>
+      val s = t.toLocalDateTime.toString // ISO with T, fraction trimmed
+      if (s.length == 16) s + ":00" else s
+    case t: java.time.LocalDateTime =>
+      val s = t.toString
+      if (s.length == 16) s + ":00" else s
+    case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
+    case d: java.math.BigDecimal => {
+      val s = d.stripTrailingZeros.toPlainString
+      if (s.isEmpty || s == "-0") "0" else s
+    }
+    case f: Float => f.toString
+    case d: Double => d.toString
+    case other => other.toString
+  }
+}
