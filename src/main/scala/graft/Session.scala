@@ -85,6 +85,7 @@ final class Session(val id: String, val spark: SparkSession) {
       sql: String,
       schema: Option[StructType],
       ephemeral: Boolean,
+      paramSchema: StructType = new StructType(),
       var pendingParams: Option[Seq[Any]] = None)
 
   private val prepared = mutable.LinkedHashMap.empty[String, Prepared]
@@ -99,7 +100,12 @@ final class Session(val id: String, val spark: SparkSession) {
       if (SqlShim.statementCount(clean) == 1 && SqlShim.isQuery(clean) && !clean.contains("?"))
         scala.util.Try(schemaForQuery(clean)).toOption
       else None
-    val p = Prepared(handle, clean, schema, ephemeral)
+    // typed parameter schema via the AST walk (A12, parser.rs:103-221)
+    val paramSchema =
+      if (ParamInference.countPlaceholders(clean) > 0)
+        ParamInference.inferParameterSchema(spark, clean)
+      else new StructType()
+    val p = Prepared(handle, clean, schema, ephemeral, paramSchema)
     prepared.synchronized {
       prepared(handle) = p
       lastHandle = Some(handle)
@@ -118,18 +124,25 @@ final class Session(val id: String, val spark: SparkSession) {
     getPrepared(handle).foreach(_.pendingParams = Some(params))
   }
 
-  /** Execute a prepared statement: substitute pending positional params as
-    * escaped literals (A2 — the reference binds Values into the engine,
-    * connection.rs:279-295; missing params bind NULL :286-292), run, and
-    * eagerly close ephemerals (execute.rs:64-73).
+  /** Execute a prepared statement with its pending positional params (A2
+    * — the reference binds Values into the engine, connection.rs:279-295;
+    * missing params bind NULL :286-292) and eagerly close ephemerals
+    * (execute.rs:64-73). Single statements bind through Spark's native
+    * parameterized-SQL path (no literal re-parsing); multi-statement
+    * scripts fall back to escaped-literal substitution.
     */
   def executePrepared(handle: String): DataFrame = {
     touch()
     val p = getPrepared(handle).getOrElse(
       throw new NoSuchElementException(s"unknown prepared statement handle: $handle"))
     val params = prepared.synchronized { val ps = p.pendingParams; p.pendingParams = None; ps }
-    val bound = SqlParams.bind(p.sql, params.getOrElse(Seq.empty))
-    val out = sql(bound)
+      .getOrElse(Seq.empty)
+    val n = ParamInference.countPlaceholders(p.sql)
+    val padded = params.padTo(n, null)
+    val out =
+      if (n > 0 && SqlShim.statementCount(p.sql) == 1)
+        spark.sql(p.sql, padded.toArray)
+      else sql(SqlParams.bind(p.sql, padded))
     if (p.ephemeral) closePrepared(p.handle)
     out
   }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-quality gate: asserts the physical-plan properties that decide
+  * whether these operators survive a 100 TB cluster run — filters reach
+  * the parquet scan, projections prune columns, dimension joins
+  * broadcast, nothing degenerates to a cartesian product, and shuffle
+  * counts stay at the algorithmic minimum. These are the SURVEY §4.2 /
+  * builder-prompt "explain and iterate" checks, pinned as tests so a
+  * regression in plan shape fails CI, not the cluster.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countShuffles(df: DataFrame): Int = {
+    df.collect()
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case other => other.children.map(walk).sum
+      }
+      self + kids
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("q6: filter pushdown reaches the parquet scan (PushedFilters)") {
+    val plan = planOf(operators.Tpch.q6(spark, sfDir))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate"), "shipdate range must be pushed")
+  }
+
+  test("q6: column pruning — scan reads only the needed columns (ReadSchema)") {
+    val plan = planOf(operators.Tpch.q6(spark, sfDir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q5: dimension tables broadcast (no shuffle join against nation/region)") {
+    val plan = planOf(operators.Tpch.q5(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q3: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(operators.Tpch.q3(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("no operator degenerates to a cartesian product") {
+    val exempt = Set("dd5_embedding_neardup") // exact all-pairs by design (oracle baseline)
+    for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+  }
+
+  test("q1: single-shuffle aggregation (partial map-side combine before exchange)") {
+    val n = countShuffles(operators.Tpch.q1(spark, sfDir))
+    // one exchange for the group-by, one for the final 5-row sort
+    assert(n <= 2, s"q1 must shuffle at most twice, saw $n")
+  }
+
+  test("dd1 exact dedup: one shuffle (hash group-by with map-side combine)") {
+    val n = countShuffles(operators.Dedup.exactDedup(spark, sfDir))
+    assert(n <= 2, s"exact dedup must be a single shuffle + result sort, saw $n")
+  }
+
+  test("whole-stage codegen spans cover the hot paths (starred operators)") {
+    Seq(
+      operators.Tpch.q1(spark, sfDir),
+      operators.Tpch.q6(spark, sfDir),
+      operators.TextAnalysis.docTokenStats(spark, sfDir)).foreach { df =>
+      val plan = planOf(df)
+      assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+        s"expected WholeStageCodegen stages in:\n$plan")
+    }
+  }
+
+  test("mm4 metadata stats never materializes payload bytes beyond the length projection") {
+    val plan = planOf(operators.Multimodal.metaStats(spark, sfDir))
+    // documents scan must read only doc-id-free metadata inputs: text is
+    // needed solely for octet_length, source for the modality
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars"), "unused metadata columns must be pruned")
+  }
+}
