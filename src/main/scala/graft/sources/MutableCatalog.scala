@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.types.StructType
+
+/** SQL front for mutable tables: routes the DML the reference accepts
+  * over Flight SQL — `INSERT`, `UPDATE … SET … WHERE`, `DELETE FROM …
+  * WHERE` (exercised by scenarios/prepared_statements.rs:47-238 and the
+  * YCSB workload mix, tests/benchbase/ycsb-flight-sql.xml:24) — onto the
+  * copy-on-write [[MutableTable]] layer, since Spark SQL itself cannot
+  * mutate parquet v1 tables (SURVEY §7.4).
+  *
+  * Every managed table is also registered as a temp view of its current
+  * snapshot, so reads are plain Spark SQL; the view refreshes after each
+  * mutation (snapshot isolation: a running query keeps scanning the file
+  * list it planned against).
+  */
+final class MutableCatalog(spark: SparkSession, root: Path) {
+
+  private val tables = mutable.Map.empty[String, MutableTable]
+
+  def create(name: String, schema: StructType, primaryKey: Option[String] = None): MutableTable = {
+    val t = MutableTable.create(spark, root.resolve(name).toString, schema, primaryKey)
+    tables(name.toLowerCase) = t
+    refresh(name)
+    t
+  }
+
+  def get(name: String): Option[MutableTable] = tables.get(name.toLowerCase)
+
+  def drop(name: String): Unit = {
+    tables.remove(name.toLowerCase)
+    spark.catalog.dropTempView(name)
+  }
+
+  private def refresh(name: String): Unit =
+    tables(name.toLowerCase).df.createOrReplaceTempView(name)
+
+  private val insertRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+([A-Za-z_][\\w]*)\\s*(\\([^)]*\\))?\\s*VALUES\\s*(.+?);?\\s*$".r
+  private val updateRe =
+    "(?is)^\\s*UPDATE\\s+([A-Za-z_][\\w]*)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?;?\\s*$".r
+  private val deleteRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][\\w]*)(?:\\s+WHERE\\s+(.+?))?;?\\s*$".r
+
+  /** Route a DML statement against a managed table. Returns the affected
+    * row count, or None when the statement doesn't target a managed
+    * table (caller falls through to plain `spark.sql`).
+    */
+  def route(sql: String): Option[Long] = sql match {
+    case insertRe(table, colsOpt, values) =>
+      get(table).map { t =>
+        val batch = spark.sql(s"SELECT * FROM (VALUES $values)")
+        val explicit = Option(colsOpt).map(_.stripPrefix("(").stripSuffix(")")
+          .split(",").map(_.trim).toSeq)
+        // name the incoming columns after the target list (or table
+        // prefix) so alignment matches the appender path (A8)
+        val named = explicit match {
+          case Some(cols) => batch.toDF(cols: _*)
+          case None => batch.toDF(t.schema.fieldNames.take(batch.schema.length).toIndexedSeq: _*)
+        }
+        val n = t.insert(BatchAlign.alignToSchema(named, t.schema, explicit))
+        refresh(table)
+        n
+      }
+    case updateRe(table, setClause, whereOpt) =>
+      get(table).map { t =>
+        val assignments = splitAssignments(setClause).map { case (k, v) => k -> expr(v) }.toMap
+        val cond = Option(whereOpt).map(expr).getOrElse(lit(true))
+        val n = t.update(cond, assignments)
+        refresh(table)
+        n
+      }
+    case deleteRe(table, whereOpt) =>
+      get(table).map { t =>
+        val cond = Option(whereOpt).map(expr).getOrElse(lit(true))
+        val n = t.delete(cond)
+        refresh(table)
+        n
+      }
+    case _ => None
+  }
+
+  /** Split `a = 1, b = 'x,y'` on top-level commas (quote-aware). */
+  private def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = mutable.Buffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0
+    for (i <- s.indices) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    parts += s.substring(start)
+    parts.toSeq.map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"malformed assignment: $a")
+      (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"), a.substring(eq + 1).trim)
+    }
+  }
+}
+
+object MutableCatalog {
+  def apply(spark: SparkSession): MutableCatalog =
+    new MutableCatalog(spark, Files.createTempDirectory("graft_mcat"))
+}
