@@ -27,6 +27,12 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local test files are single small parquet files; the default
+      // 128 MB split gives the whole scan to ONE task. 4 MB splits fan
+      // the scan across row groups (q1/q16 measured 2x). On a real
+      // cluster with 128-512 MB files the default is correct — this
+      // knob scales with file size, not a magic constant.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
       .getOrCreate()

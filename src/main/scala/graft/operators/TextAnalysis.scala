@@ -126,6 +126,63 @@ object TextAnalysis {
       | CAST(length(text) AS INTEGER) AS n_chars_actual
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // === BPE-style regex tokenization ========================================
+  // The GPT-2 pre-tokenizer pattern family: contractions, letter runs
+  // with optional leading space, digit runs, punctuation runs, trailing
+  // whitespace. Token COUNT under this segmentation is the standard
+  // proxy for "LLM tokens" before merges; both engines run the same
+  // regex so counts hash-match.
+  val bpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  def docBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val pieces = expr(s"regexp_extract_all(text, '${bpePattern.replace("'", "\\'")}', 0)")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(pieces).cast(IntegerType).as("n_bpe_pieces"),
+        size(filter(pieces, p => p.rlike("^ ?[A-Za-z]+$"))).cast(IntegerType).as("n_word_pieces"),
+        size(filter(pieces, p => p.rlike("^ ?[0-9]+$"))).cast(IntegerType).as("n_digit_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docBpeTokensSql: String = {
+    val pat = bpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$pat', 0)) AS INTEGER) AS n_bpe_pieces,
+       | CAST(len(list_filter(regexp_extract_all(text, '$pat', 0),
+       |      p -> regexp_matches(p, '^ ?[A-Za-z]+$$'))) AS INTEGER) AS n_word_pieces,
+       | CAST(len(list_filter(regexp_extract_all(text, '$pat', 0),
+       |      p -> regexp_matches(p, '^ ?[0-9]+$$'))) AS INTEGER) AS n_digit_pieces
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // === rolling-hash fingerprint ============================================
+  // Polynomial rolling hash over the code points of the normalized text:
+  // h = (h * 131 + codepoint) mod 1e9+7. Pure integer arithmetic both
+  // engines compute identically (every intermediate < 2^63), giving a
+  // content fingerprint that, unlike md5, supports incremental extension
+  // across chunks — the standard building block for shard-local dedup.
+  def docRollingHash(s: SparkSession, dir: String): DataFrame = {
+    val normalized = regexp_replace(lower(col("text")), "\\s+", " ")
+    val h = aggregate(
+      split(normalized, ""),
+      lit(0L),
+      (acc, ch) => (acc * 131 + ascii(ch)) % 1000000007L)
+    t(s, dir, "documents")
+      .select(col("doc_id"), h.as("rolling_hash"),
+        length(col("text")).cast(IntegerType).as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docRollingHashSql: String =
+    """SELECT doc_id,
+      | list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |   list_transform(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ''),
+      |     ch -> CAST(unicode(ch) AS BIGINT))),
+      |   (acc, c) -> (acc * 131 + c) % 1000000007) AS rolling_hash,
+      | CAST(length(text) AS INTEGER) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // === multimodal payload plumbing =========================================
   // Models the multimodal-column pattern: an opaque binary payload plus
   // typed metadata. The "decode" step is a deterministic fake (utf-8 bytes
@@ -154,11 +211,15 @@ object TextAnalysis {
     "txt1_token_stats" -> docTokenStats _,
     "txt2_lang_id" -> docLangId _,
     "txt3_fingerprint" -> docFingerprint _,
+    "txt4_bpe_tokens" -> docBpeTokens _,
+    "txt5_rolling_hash" -> docRollingHash _,
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
     "txt1_token_stats" -> docTokenStatsSql,
     "txt2_lang_id" -> docLangIdSql,
     "txt3_fingerprint" -> docFingerprintSql,
+    "txt4_bpe_tokens" -> docBpeTokensSql,
+    "txt5_rolling_hash" -> docRollingHashSql,
     "mm1_payload_stats" -> mmPayloadStatsSql)
 }
