@@ -1,0 +1,72 @@
+package graft.maintenance
+
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, StandardOpenOption}
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.sources.MutableTable
+
+/** Background checkpoint maintenance — the reimplementation of the
+  * reference's DuckLake checkpointing (swanlake-core/src/maintenance/
+  * mod.rs:24-223): per-table checkpoint interval (24 h default), a
+  * cross-instance advisory lock so only one process compacts a table at
+  * a time (maintenance/lock.rs uses a Postgres advisory lock; here an
+  * OS file lock on the table directory fills the same role for
+  * file-hosted tables — a real deployment swaps in the JDBC advisory
+  * lock), and a completed-checkpoint registry standing in for the
+  * `ducklake_checkpoints` table (mod.rs:242-254).
+  *
+  * `tick()` is the loop body the server schedules (swanlake-server/src/
+  * main.rs:42-52 runs cleanup every 5 min); tests drive it directly
+  * with a synthetic clock.
+  */
+final class Maintenance(intervalMillis: Long = 24L * 3600 * 1000) {
+
+  final case class Registered(table: MutableTable, targetFiles: Int)
+
+  private val tables = new ConcurrentHashMap[String, Registered]()
+  private val lastCheckpoint = new ConcurrentHashMap[String, Long]()
+
+  def register(name: String, table: MutableTable, targetFiles: Int = 8): Unit =
+    tables.put(name, Registered(table, targetFiles))
+
+  def checkpointCount(name: String): Long =
+    if (lastCheckpoint.containsKey(name)) 1L else 0L
+
+  def lastCheckpointAt(name: String): Option[Long] = Option(lastCheckpoint.get(name))
+
+  /** One maintenance sweep: checkpoint every registered table whose
+    * interval has elapsed, each under the advisory lock. Returns the
+    * names checkpointed this tick.
+    */
+  def tick(nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    val done = Seq.newBuilder[String]
+    tables.forEach { (name, reg) =>
+      val last = lastCheckpoint.getOrDefault(name, 0L)
+      if (nowMillis - last >= intervalMillis) {
+        withAdvisoryLock(reg.table.root) {
+          reg.table.checkpoint(reg.targetFiles)
+          lastCheckpoint.put(name, nowMillis)
+          done += name
+        }
+      }
+    }
+    done.result()
+  }
+
+  /** Cross-process advisory lock on the table directory (lock.rs
+    * analogue). Non-blocking: if another process holds the lock, this
+    * tick skips the table — the same "someone else is checkpointing"
+    * semantics as the reference's `pg_try_advisory_lock`.
+    */
+  def withAdvisoryLock[T](tableRoot: Path)(f: => T): Option[T] = {
+    val lockFile = tableRoot.resolve("_maintenance.lock")
+    val ch = FileChannel.open(lockFile,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val lock = ch.tryLock()
+      if (lock == null) None
+      else try Some(f) finally lock.release()
+    } finally ch.close()
+  }
+}

@@ -172,10 +172,90 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // === IVF-partitioned ANN (coarse quantizer) ==============================
+  // The inverted-file index: K coarse centroids partition the corpus into
+  // cells; a query probes only its nProbe nearest cells. At 100 TB the
+  // cell assignment is the partitioning key — each probe touches
+  // nProbe/K of the data, and cells are scanned in parallel. Centroids
+  // here are deterministic seeds (the first K vectors) refined by one
+  // Lloyd iteration — swap in k-means++ offline training for production
+  // without touching the query path.
+  val ivfCells = 16
+  val ivfProbes = 4
+
+  @volatile private var centroidCache: Map[String, Array[Array[Double]]] = Map.empty
+
+  /** K cell centroids: seed with the first K vectors, refine with one
+    * mean-of-assigned iteration (computed once per dataset, cached).
+    */
+  private def centroids(s: SparkSession, dir: String): Array[Array[Double]] = {
+    centroidCache.get(dir) match {
+      case Some(c) => c
+      case None =>
+        val e = t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v"))
+        val seeds = e.filter(col("vec_id") < ivfCells).orderBy(col("vec_id"))
+          .collect().map(_.getSeq[Double](1).toArray)
+        val assigned = e.withColumn("cell", cellOf(col("v"), seeds))
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
+          .collect()
+        val refined = Array.tabulate(ivfCells, maxDim)((c, _) => 0.0)
+        assigned.foreach(r => refined(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("c"))
+        // cells that captured no vectors keep their seed
+        for (c <- 0 until ivfCells if refined(c).forall(_ == 0.0) && c < seeds.length)
+          refined(c) = seeds(c)
+        synchronized { centroidCache += dir -> refined }
+        refined
+    }
+  }
+
+  /** Index of the max-cosine centroid for a vector: argmax via
+    * array_max over (score, idx) structs (struct ordering compares by
+    * leading field, so the max carries the best cell's index).
+    */
+  private def cellOf(v: Column, cents: Array[Array[Double]]): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(v, array(c.map(lit(_)): _*)).as("s"), lit(i).as("i"))
+    }: _*)
+    array_max(scored).getField("i").cast("int")
+  }
+
+  /** IVF ANN top-k: probe the query's `ivfProbes` best cells, exact
+    * cosine within them. Recall vs brute force asserted in
+    * SimilaritySpec.
+    */
+  def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val cents = centroids(s, dir)
+    val e = t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v"))
+      .withColumn("cell", cellOf(col("v"), cents))
+    val probeArray = {
+      // top nProbe cells by score: sort (score, idx) structs descending
+      val scored = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(cosine(col("qv"), array(c.map(lit(_)): _*)).as("s"), lit(i).as("i"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, ivfProbes)
+    }
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("probe", explode(probeArray))
+      .select(col("q_id"), col("qv"), col("probe.i").as("cell"))
+    val pairs = q.join(e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"),
+        round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"),
+        col("rnk").cast(IntegerType).as("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "sim2_label_centroids" -> labelCentroids _,
-    "sim3_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)))
+    "sim3_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
+    "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   /** sim3 is xxhash64-seeded LSH (no DuckDB equivalent) -> rows-only check;
     * recall validated in SimilaritySpec.

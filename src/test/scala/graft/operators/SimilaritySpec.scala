@@ -42,6 +42,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(ann == ann2, "LSH signature must be deterministic")
   }
 
+  test("IVF ANN probes cells and achieves nontrivial recall, deterministically") {
+    val exact = Similarity.cosineTopK(spark, sfDir, k = 5, nQueries = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir, k = 5, nQueries = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(ivf.nonEmpty, "IVF returned nothing — cells degenerate")
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall (${Similarity.ivfProbes}/${Similarity.ivfCells} cells probed)")
+    assert(recall >= 0.2, s"IVF recall too low: $recall")
+    val ivf2 = Similarity.ivfTopK(spark, sfDir, k = 5, nQueries = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(ivf == ivf2, "IVF must be deterministic")
+  }
+
   test("label centroids cover all labels with full dimensionality") {
     val rows = Similarity.labelCentroids(spark, sfDir).collect()
     assert(rows.length == 10)
