@@ -60,7 +60,11 @@ object Dedup {
 
   // === n-gram Jaccard near-dup pairs =======================================
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    // join on the 8-byte shingle hash, not the ~30-byte string: same
+    // pairs (a 64-bit collision among ~10^5 shingles has p < 1e-9) with
+    // a quarter of the shuffle bytes — at 100 TB the inverted-index
+    // shuffle IS the cost of this operator
+    val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
