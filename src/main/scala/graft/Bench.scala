@@ -43,7 +43,36 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Concurrent throughput over the TPC-H-shape mix — the reference's
+    // headline metric (BENCHMARK.md:42: 10.428 req/s, 4 terminals,
+    // equal-weight mix, SF 0.1). Four client threads round-robin the q*
+    // battery against the shared long-lived session for ~30 s.
+    val mix = names.filter(_.startsWith("q")).toArray
+    val terminals = 4
+    val windowNanos = 30L * 1000 * 1000 * 1000
+    val completed = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val threads = (0 until terminals).map { t =>
+      val th = new Thread(() => {
+        var i = t
+        while (System.nanoTime() - t0 < windowNanos) {
+          try {
+            SparkEntry.queries(mix(i % mix.length))(spark, sfDir).collect()
+            completed.incrementAndGet()
+          } catch { case _: Throwable => }
+          i += 1
+        }
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val rps = completed.get() / elapsed
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""throughput_rps":$rps,"throughput_terminals":$terminals,""" +
+      s""""throughput_requests":${completed.get()},"throughput_window_sec":$elapsed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,17 +45,21 @@ object Dedup {
   // === shared shingling ====================================================
   /** Distinct 3-token shingles per document (1-indexed element_at matches
     * DuckDB's 1-indexed list access in the oracle).
+    *
+    * `dedup=false` skips the distinct shuffle for consumers whose
+    * aggregate is duplicate-insensitive (MinHash's `min` — one less
+    * full-data shuffle on the 100 TB path).
     */
-  def shingles(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+  def shingles(s: SparkSession, dir: String, n: Int = 3, dedup: Boolean = true): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    t(s, dir, "documents")
+    val exploded = t(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("toks")) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*))
       ).as("shingle"))
-      .distinct()
+    if (dedup) exploded.distinct() else exploded
   }
 
   // === n-gram Jaccard near-dup pairs =======================================
@@ -127,7 +131,7 @@ object Dedup {
     * constant factor of `lshBands` rows per document.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(shingles(s, dir))
+    val sig = minhashSignatures(shingles(s, dir, dedup = false))
     val banded = sig.select(col("doc_id"), posexplode(
       array((0 until lshBands).map { b =>
         xxhash64((b * lshRows until (b + 1) * lshRows).map(i => element_at(col("sig"), i + 1)): _*)
@@ -146,7 +150,7 @@ object Dedup {
     * sketch against exact Jaccard.
     */
   def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(shingles(s, dir))
+    val sig = minhashSignatures(shingles(s, dir, dedup = false))
     val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     minhashLsh(s, dir)
