@@ -227,6 +227,8 @@ object SqlParams {
     case t: java.time.Instant     => s"TIMESTAMP '${java.sql.Timestamp.from(t)}'"
     case d: BigDecimal            => d.toString
     case d: java.math.BigDecimal  => d.toString
+    case d: java.time.Duration    => s"INTERVAL '${d.getSeconds}' SECOND" // day-time interval (types.rs:292-326)
+    case p: java.time.Period      => s"INTERVAL '${p.toTotalMonths}' MONTH" // year-month interval
     case x @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => x.toString
     case other => throw new IllegalArgumentException(
       s"unsupported parameter type: ${other.getClass.getName}") // types.rs:349 UnsupportedParameter

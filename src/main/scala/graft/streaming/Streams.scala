@@ -58,6 +58,18 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events whose key was already seen
+    * within the watermark horizon — the streaming form of dd1's
+    * content-hash dedup (state bounded by the watermark, so the state
+    * store never grows past one horizon of keys; at 100 TB/day this is
+    * the only dedup shape that doesn't require a full-history shuffle).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String = "ts", horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(watermarkCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Stateful sessionization: 30-minute-gap sessions per user via
     * flatMapGroupsWithState with event-time timeout. A session is emitted
     * when the watermark passes its gap (timeout), giving the same
