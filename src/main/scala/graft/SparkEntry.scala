@@ -13,6 +13,7 @@ object SparkEntry {
     operators.Tpch.queries ++
       operators.Relational.queries ++
       operators.Advanced.queries ++
+      operators.AsOf.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
@@ -24,6 +25,7 @@ object SparkEntry {
     operators.Tpch.oracles ++
       operators.Relational.oracles ++
       operators.Advanced.oracles ++
+      operators.AsOf.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++

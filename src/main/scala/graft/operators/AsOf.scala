@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** As-of (point-in-time) join — beyond-reference (SURVEY §2.B notes the
+  * reference surface has none), but a staple of time-series feature
+  * pipelines, and natively supported by the DuckDB oracle (`ASOF JOIN`),
+  * so correctness is hash-pinned.
+  *
+  * Implementation is the union-tag-window pattern: tag right-side rows,
+  * union with the left side on the shared (key, time) spine, and carry
+  * the latest right value forward with `last(ignoreNulls) OVER (ORDER BY
+  * time, is_left)` per key. ONE shuffle on the key + an in-partition
+  * sort — the same cost as a co-partitioned merge join, with no range
+  * condition exploding into a cross product. At 100 TB both sides
+  * shuffle once on user_id; skew handling composes via Skew.saltedJoin
+  * on the spine when a key is pathological.
+  */
+object AsOf {
+
+  /** Left rows joined with the most recent right row at-or-before their
+    * time. `right` must carry `key`, `time`, and `valueCols`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tagged =
+      left.withColumn("__is_left", lit(1))
+        .select((leftCols.map(col) :+ col("__is_left")) ++
+          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rightTagged = right
+      .select((Seq(col(key), col(time)) :+ lit(0).as("__is_left")) ++
+        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    // align schemas: left-only columns are null on right rows
+    val fullCols = tagged.columns.toSeq
+    val rightAligned = rightTagged.select(fullCols.map { c =>
+      if (rightTagged.columns.contains(c)) col(c)
+      else lit(null).cast(tagged.schema(c).dataType).as(c)
+    }: _*)
+    // right rows sort BEFORE left rows at the same timestamp: at-or-before
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(tagged.unionByName(rightAligned)) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__r_$c").as(c)): _*)
+  }
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
+
+  /** ev4: each view event joined to the user's most recent purchase
+    * at-or-before it (classic point-in-time feature lookup).
+    */
+  def eventAsofPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // unique (user, ts) on the right side — both engines would otherwise
+    // pick an arbitrary row among same-instant purchases
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"))
+    asofJoin(views, purchases, "user_id", "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        // -1 sentinel for "no purchase yet": decimal NULLs render
+        // differently across the two engines' pandas paths
+        coalesce(col("value"), lit(-1.0)).cast(DecimalType(18, 4)).as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventAsofPurchaseSql: String =
+    """SELECT v.event_id, v.user_id,
+      | epoch_us(CAST(v.ts AS TIMESTAMP)) AS ts_us,
+      | CAST(COALESCE(p.value, -1.0) AS DECIMAL(18,4)) AS last_purchase_value
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'view') v
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+      |  ON v.user_id = p.user_id AND v.ts >= p.ts
+      |ORDER BY v.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev4_asof_purchase" -> eventAsofPurchase _)
+
+  val oracles: Map[String, String] = Map(
+    "ev4_asof_purchase" -> eventAsofPurchaseSql)
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.functions.UuidFunctions
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkTestBase {
+
+  test("asofJoin picks the latest right row at-or-before each left time") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val left = Seq((1L, ts(5)), (1L, ts(20)), (2L, ts(10)), (3L, ts(10)))
+      .toDF("k", "t")
+    val right = Seq((1L, ts(0), "a"), (1L, ts(5), "b"), (1L, ts(15), "c"), (2L, ts(11), "late"))
+      .toDF("k", "t", "v")
+    val out = AsOf.asofJoin(left, right, "k", "t", Seq("v"))
+      .orderBy("k", "t").collect()
+    // k=1 @10:05 -> "b" (exact at-or-before), @10:20 -> "c"
+    assert(out(0).getString(2) == "b")
+    assert(out(1).getString(2) == "c")
+    // k=2 @10:10: only right row is later -> null
+    assert(out(2).isNullAt(2))
+    // k=3: no right rows at all -> null
+    assert(out(3).isNullAt(2))
+  }
+
+  test("ev4 returns one row per view event with monotone state per user") {
+    val rows = AsOf.eventAsofPurchase(spark, sfDir).collect()
+    val nViews = graft.Engine.table(spark, sfDir, "events")
+      .filter(col("event_type") === "view").count()
+    assert(rows.length == nViews)
+  }
+
+  test("uuid canonical text round-trips through binary (table_schema_test.test value)") {
+    val u = "550e8400-e29b-41d4-a716-446655440000"
+    val row = spark.sql(s"SELECT '$u' AS t")
+      .select(UuidFunctions.uuidCanonical(UuidFunctions.uuidToBinary(col("t"))).as("rt"),
+        length(UuidFunctions.uuidToBinary(col("t"))).as("n"))
+      .head
+    assert(row.getString(0) == u)
+    assert(row.getInt(1) == 16)
+  }
+}
