@@ -236,12 +236,41 @@ object Dedup {
        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  // === blocked fuzzy matching (edit distance) ==============================
+  /** Fuzzy near-dup part names within a blocking key (p_brand): the
+    * classic entity-resolution shape — block to kill the O(n²) cross
+    * join, then exact Levenshtein inside each block. At 100 TB the block
+    * key is the shuffle partitioner and block sizes bound the quadratic
+    * term; skewed blocks compose with Skew.saltedJoin.
+    */
+  def fuzzyNamePairs(s: SparkSession, dir: String, maxDist: Int = 8): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_brand"), col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("p_brand"), col("key_a"), col("key_b"), col("dist"))
+      .orderBy(col("dist"), col("key_a"), col("key_b"))
+      .limit(200)
+  }
+
+  def fuzzyNamePairsSql(maxDist: Int = 8): String =
+    s"""SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+       |  levenshtein(a.p_name, b.p_name) AS dist
+       |FROM part a JOIN part b
+       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |WHERE levenshtein(a.p_name, b.p_name) <= $maxDist
+       |ORDER BY dist, key_a, key_b LIMIT 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> exactDedup _,
     "dd2_ngram_jaccard" -> ngramJaccard _,
     "dd3_minhash_lsh" -> minhashLsh _,
     "dd4_simhash_pairs" -> simhashPairs _,
-    "dd5_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)))
+    "dd5_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
+    "dd6_fuzzy_name_pairs" -> ((s: SparkSession, d: String) => fuzzyNamePairs(s, d)))
 
   /** dd3/dd4 are xxhash64-based sketches with no DuckDB-expressible
     * equivalent -> rows-only driver check; validated in DedupSpec.
@@ -249,5 +278,6 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_ngram_jaccard" -> ngramJaccardSql,
-    "dd5_embedding_neardup" -> embeddingNearDupSql())
+    "dd5_embedding_neardup" -> embeddingNearDupSql(),
+    "dd6_fuzzy_name_pairs" -> fuzzyNamePairsSql())
 }
