@@ -237,7 +237,85 @@ object Relational {
       | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
       |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin
 
+  // === window ranking-function battery =====================================
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank",
+        round(percent_rank().over(w), 6).cast(DecimalType(18, 6)))
+      .withColumn("cdist",
+        round(cume_dist().over(w), 6).cast(DecimalType(18, 6)))
+      .withColumn("next_bal", lead(col("c_acctbal"), 1).over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        col("rnk").cast(IntegerType).as("rnk"),
+        col("drnk").cast(IntegerType).as("drnk"),
+        col("quartile").cast(IntegerType).as("quartile"),
+        col("pct_rank"), col("cdist"), col("next_bal"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  val windowRanksSql: String =
+    """SELECT c_mktsegment, c_custkey,
+      | CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk,
+      | CAST(quartile AS INTEGER) AS quartile, pct_rank, cdist, next_bal
+      |FROM (
+      |  SELECT c_mktsegment, c_custkey,
+      |    rank() OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk,
+      |    ntile(4) OVER w AS quartile,
+      |    CAST(round(percent_rank() OVER w, 6) AS DECIMAL(18,6)) AS pct_rank,
+      |    CAST(round(cume_dist() OVER w, 6) AS DECIMAL(18,6)) AS cdist,
+      |    lead(c_acctbal, 1) OVER w AS next_bal
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) t
+      |WHERE rnk <= 5
+      |ORDER BY c_mktsegment, rnk""".stripMargin
+
+  // === exact-algebra correlation ===========================================
+  // corr(x, y) from exact decimal sums (same motivation as
+  // stat1_exact_variance: Spark's corr merges float state in partition
+  // order). corr = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)*(n*syy - sy^2)),
+  // computed on exact sums, final sqrt/divide in IEEE double — identical
+  // in both engines given identical exact inputs.
+  def exactCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(D18)).as("sx"), sum(y.cast(D18)).as("sy"),
+        sum((x * x).cast(D18)).as("sxx"), sum((y * y).cast(D18)).as("syy"),
+        sum((x * y).cast(D18)).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))), 6)
+          .cast(DecimalType(18, 6)).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val exactCorrelationSql: String =
+    """SELECT l_returnflag, n,
+      | CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+      |   AS DECIMAL(18,6)) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+      |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS sxx,
+      |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS syy,
+      |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS sxy
+      |  FROM lineitem GROUP BY 1) t
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w3_ranking_battery" -> windowRanks _,
+    "stat2_exact_correlation" -> exactCorrelation _,
     "w1_customer_running_total" -> windowOrders _,
     "w2_event_sessions" -> eventSessions _,
     "set1_nation_setops" -> setOps _,
@@ -249,6 +327,8 @@ object Relational {
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
+    "w3_ranking_battery" -> windowRanksSql,
+    "stat2_exact_correlation" -> exactCorrelationSql,
     "w1_customer_running_total" -> windowOrdersSql,
     "w2_event_sessions" -> eventSessionsSql,
     "set1_nation_setops" -> setOpsSql,

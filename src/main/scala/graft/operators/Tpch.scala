@@ -416,23 +416,35 @@ object Tpch {
   // === Q21: waiting suppliers — EXISTS + NOT EXISTS (semi + anti join) =====
   // Adapted: "late" = shipped > 90 days after order date (testdata has no
   // commit/receipt dates).
+  //
+  // Single-scan formulation of the EXISTS/NOT-EXISTS pair: per
+  // (order, supplier) count late rows, then per order count suppliers
+  // and late suppliers. A late supplier "waits" iff the order has other
+  // suppliers (EXISTS l2) and no OTHER supplier is late (NOT EXISTS l3)
+  // ⇔ n_supp > 1 AND n_late_supp == 1; its numwait contribution is its
+  // late-row count (COUNT(*) over qualifying l1 rows). One pass over
+  // lineitem instead of the three of the naive semi+anti plan — at
+  // 100 TB that is two fewer full-fact shuffles.
   def q21(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
     val l = t(s, dir, "lineitem")
-    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val l2 = l.select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
-    val late3 = late.select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
-    val candidate = late
-      .join(l2, col("l_orderkey") === col("l2_orderkey") && col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
-      .join(late3, col("l_orderkey") === col("l3_orderkey") && col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+    val perOrderSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+        .otherwise(0L)).as("n_late_rows"))
+    val perOrder = perOrderSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("n_late_rows") > 0, 1L).otherwise(0L)).as("n_late_supp"))
+    val waiting = perOrderSupp
+      .join(perOrder, "l_orderkey")
+      .filter(col("n_late_rows") > 0 && col("n_supp") > 1 && col("n_late_supp") === 1)
     val su = t(s, dir, "supplier")
     val n = broadcast(t(s, dir, "nation"))
-    candidate.join(su, col("l_suppkey") === col("s_suppkey"))
+    waiting.join(su, col("l_suppkey") === col("s_suppkey"))
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("s_name"), col("n_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_rows")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }
