@@ -99,6 +99,6 @@ object Engine {
     val statements = SqlShim.splitStatements(sqlText)
     require(statements.nonEmpty, "empty SQL script")
     statements.map(s =>
-      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.stripSelectLocks(s)))).last
+      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))))).last
   }
 }

@@ -76,7 +76,7 @@ final class Session(val id: String, val spark: SparkSession) {
     if (statements.exists(invalidatesSchemas))
       schemaCache.synchronized(schemaCache.clear())
     statements.map(s =>
-      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.stripSelectLocks(s)))).last
+      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))))).last
   }
 
   // === prepared statements (A12/A21) =======================================

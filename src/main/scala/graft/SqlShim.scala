@@ -136,6 +136,18 @@ object SqlShim {
     state == 0
   }
 
+  /** DuckDB introspection statements → Spark equivalents
+    * (metadata.rs:36 answers GetCatalogs with `PRAGMA database_list`;
+    * `SHOW ALL TABLES` appears in ducklake_basic.test).
+    */
+  def rewritePragma(statement: String): String = {
+    val s = statement.trim
+    if (s.matches("(?is)PRAGMA\\s+database_list\\s*;?")) "SHOW CATALOGS"
+    else if (s.matches("(?is)PRAGMA\\s+show_tables\\s*;?")) "SHOW TABLES"
+    else if (s.matches("(?is)SHOW\\s+ALL\\s+TABLES\\s*;?")) "SHOW TABLES"
+    else statement
+  }
+
   /** Quote an identifier for Spark SQL (reference: util.rs:13-34 quotes
     * `catalog.schema.table` parts with double quotes, doubling embedded
     * quotes; Spark uses backticks).

@@ -183,6 +183,64 @@ object TextAnalysis {
       | CAST(length(text) AS INTEGER) AS n_chars_actual
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // === composite quality filter ============================================
+  // Gopher/C4-style rule battery (public corpus-cleaning heuristics):
+  // word-count bounds, mean-word-length bounds, symbol ratio, stopword
+  // presence. Emits keep/drop plus a reasons bitmask so downstream
+  // pipelines can audit WHY a document fell out — single map-only pass.
+  def docQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val meanLen = length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType) / nTok
+    val symbolRatio =
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast(DoubleType) /
+        greatest(length(col("text")), lit(1))
+    val stopHits = size(filter(toks, x => x.isInCollection(stopwords)))
+    val rules = Seq(
+      (nTok < 5) -> 1,            // too few words
+      (nTok > 100000) -> 2,       // too many words
+      (meanLen < 2.0) -> 4,       // mean word length too small
+      (meanLen > 12.0) -> 8,      // mean word length too large
+      (symbolRatio > 0.3) -> 16,  // symbol-heavy
+      (stopHits === 0) -> 32)     // no stopwords at all
+    val mask = rules.map { case (cond, bit) => when(cond, bit).otherwise(0) }
+      .reduce(_ + _)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        mask.cast(IntegerType).as("drop_reasons"),
+        (mask === 0).as("keep"),
+        nTok.cast(IntegerType).as("n_tokens"),
+        round(symbolRatio, 4).cast(DecimalType(18, 4)).as("symbol_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docQualityFilterSql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS mean_len,
+       |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |      / greatest(length(text), 1) AS sym_ratio,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |        x -> x IN ($stopList))) AS stop_hits
+       |  FROM documents),
+       |masked AS (
+       |  SELECT doc_id, n_tok, sym_ratio,
+       |    (CASE WHEN n_tok < 5 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN n_tok > 100000 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN mean_len < 2.0 THEN 4 ELSE 0 END)
+       |    + (CASE WHEN mean_len > 12.0 THEN 8 ELSE 0 END)
+       |    + (CASE WHEN sym_ratio > 0.3 THEN 16 ELSE 0 END)
+       |    + (CASE WHEN stop_hits = 0 THEN 32 ELSE 0 END) AS mask
+       |  FROM base)
+       |SELECT doc_id, CAST(mask AS INTEGER) AS drop_reasons, mask = 0 AS keep,
+       |  CAST(n_tok AS INTEGER) AS n_tokens,
+       |  CAST(round(sym_ratio, 4) AS DECIMAL(18,4)) AS symbol_ratio
+       |FROM masked ORDER BY doc_id""".stripMargin
+  }
+
   // === multimodal payload plumbing =========================================
   // Models the multimodal-column pattern: an opaque binary payload plus
   // typed metadata. The "decode" step is a deterministic fake (utf-8 bytes
@@ -213,6 +271,7 @@ object TextAnalysis {
     "txt3_fingerprint" -> docFingerprint _,
     "txt4_bpe_tokens" -> docBpeTokens _,
     "txt5_rolling_hash" -> docRollingHash _,
+    "txt6_quality_filter" -> docQualityFilter _,
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
@@ -221,5 +280,6 @@ object TextAnalysis {
     "txt3_fingerprint" -> docFingerprintSql,
     "txt4_bpe_tokens" -> docBpeTokensSql,
     "txt5_rolling_hash" -> docRollingHashSql,
+    "txt6_quality_filter" -> docQualityFilterSql,
     "mm1_payload_stats" -> mmPayloadStatsSql)
 }
