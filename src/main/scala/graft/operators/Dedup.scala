@@ -236,6 +236,60 @@ object Dedup {
        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  // === duplicate clustering (connected components) =========================
+  /** Connected components over a candidate-pair edge list — the final
+    * stage of the LSH dedup pipeline (SURVEY §7.5 "MinHash-LSH +
+    * connected components"): every document gets the minimum doc_id of
+    * its duplicate cluster as the canonical representative.
+    *
+    * Iterative min-label propagation (the dataframe form of
+    * large-star/small-star): each round joins labels across edges and
+    * keeps the per-node minimum; converges in O(log n) rounds for the
+    * short chains dedup produces. Each round is one shuffle on doc_id —
+    * no driver-side graph state, so 100 TB of edges partitions cleanly.
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("component", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // each node adopts the min of its own and its neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("component")).as("n_comp"))
+      val updated = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .cache()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("doc_id"))
+        .filter(col("u.component") =!= col("l.component"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** dd7: duplicate clusters from the MinHash-LSH candidate pairs —
+    * (doc_id, canonical_id) for every document in a near-dup cluster.
+    */
+  def duplicateClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashLsh(s, dir).filter(col("n_band_hits") >= 2))
+      .select(col("doc_id"), col("component").as("canonical_id"))
+      .orderBy(col("doc_id"))
+
   // === blocked fuzzy matching (edit distance) ==============================
   /** Fuzzy near-dup part names within a blocking key (p_brand): the
     * classic entity-resolution shape — block to kill the O(n²) cross
@@ -270,7 +324,8 @@ object Dedup {
     "dd3_minhash_lsh" -> minhashLsh _,
     "dd4_simhash_pairs" -> simhashPairs _,
     "dd5_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
-    "dd6_fuzzy_name_pairs" -> ((s: SparkSession, d: String) => fuzzyNamePairs(s, d)))
+    "dd6_fuzzy_name_pairs" -> ((s: SparkSession, d: String) => fuzzyNamePairs(s, d)),
+    "dd7_duplicate_clusters" -> duplicateClusters _)
 
   /** dd3/dd4 are xxhash64-based sketches with no DuckDB-expressible
     * equivalent -> rows-only driver check; validated in DedupSpec.

@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkTestBase {
 
+  test("connected components labels every node with its cluster minimum") {
+    import spark.implicits._
+    // two chains and a singleton-edge: {1-2-3-4}, {10-11}, {20-21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicate clusters are consistent: canonical id is in the same cluster and minimal") {
+    val rows = Dedup.duplicateClusters(spark, sfDir).collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (canon, members) =>
+      assert(members.map(_.getLong(0)).min == canon,
+        s"canonical $canon must be the min doc_id of its cluster")
+    }
+  }
+
   test("exact dedup groups by normalized content hash") {
     val out = Dedup.exactDedup(spark, sfDir).collect()
     assert(out.length > 0)
