@@ -298,23 +298,30 @@ object Dedup {
     * term; skewed blocks compose with Skew.saltedJoin.
     */
   def fuzzyNamePairs(s: SparkSession, dir: String, maxDist: Int = 8): DataFrame = {
-    val p = t(s, dir, "part").select(col("p_brand"), col("p_partkey"), col("p_name"))
-    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand"))
-      .filter(col("key_a") < col("key_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
-      .select(col("p_brand"), col("key_a"), col("key_b"), col("dist"))
+    val p = t(s, dir, "part")
+      .select(col("p_brand"), col("p_size"), col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter(col("key_a") < col("key_b") &&
+        // cheap bound before the quadratic kernel: edit distance >=
+        // length difference
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      // 3-arg levenshtein bails out early past the threshold (returns -1)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("p_brand"), col("p_size"), col("key_a"), col("key_b"), col("dist"))
       .orderBy(col("dist"), col("key_a"), col("key_b"))
       .limit(200)
   }
 
   def fuzzyNamePairsSql(maxDist: Int = 8): String =
-    s"""SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+    s"""SELECT a.p_brand, a.p_size, a.p_partkey AS key_a, b.p_partkey AS key_b,
        |  levenshtein(a.p_name, b.p_name) AS dist
        |FROM part a JOIN part b
-       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
        |WHERE levenshtein(a.p_name, b.p_name) <= $maxDist
        |ORDER BY dist, key_a, key_b LIMIT 200""".stripMargin
 
