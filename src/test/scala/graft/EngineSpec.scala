@@ -32,4 +32,15 @@ class EngineSpec extends SparkTestBase {
   test("every oracle key has a matching query") {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
+
+  test("PRAGMA database_list answers as SHOW CATALOGS (metadata.rs:36)") {
+    val rows = Engine.sql(spark, "PRAGMA database_list").collect()
+    assert(rows.map(_.getString(0)).contains("spark_catalog"))
+  }
+
+  test("SHOW ALL TABLES and DESCRIBE QUERY execute (ducklake_basic.test, A6)") {
+    assert(Engine.sql(spark, "SHOW ALL TABLES").columns.contains("tableName"))
+    val desc = Engine.sql(spark, "DESCRIBE QUERY SELECT 1 AS one, 'x' AS s").collect()
+    assert(desc.map(_.getString(0)).toSeq == Seq("one", "s"))
+  }
 }
