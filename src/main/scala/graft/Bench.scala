@@ -54,11 +54,15 @@ object Bench {
     val completed = new java.util.concurrent.atomic.AtomicLong()
     val t0 = System.nanoTime()
     val threads = (0 until terminals).map { t =>
+      // one isolated session per terminal — the reference's per-client
+      // session model (engine/factory.rs:72-93); a shared session
+      // serializes on SQLConf/analysis state (~20% throughput measured)
+      val clientSession = spark.newSession()
       val th = new Thread(() => {
         var i = t
         while (System.nanoTime() - t0 < windowNanos) {
           try {
-            SparkEntry.queries(mix(i % mix.length))(spark, sfDir).collect()
+            SparkEntry.queries(mix(i % mix.length))(clientSession, sfDir).collect()
             completed.incrementAndGet()
           } catch { case _: Throwable => }
           i += 1
