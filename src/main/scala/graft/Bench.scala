@@ -34,13 +34,7 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(execute) // warmup pass (not reported)
-    // two measured passes, best-of — approximates the steady-state the
-    // reference's 180 s window averages into, without 180 s per query
-    val r1 = names.map(n => n -> execute(n)).toMap
-    val results = names.map { n =>
-      val b = execute(n)
-      n -> (if (r1(n) < 0 || b < 0) math.max(r1(n), b) else math.min(r1(n), b))
-    }
+    val results = names.map(n => n -> execute(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
