@@ -265,9 +265,16 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("component")).as("n_comp"))
-      val updated = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val propagated = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+      // pointer jumping: comp := label(comp) — doubles the propagation
+      // distance per round, so convergence is O(log diameter) rounds
+      val updated = propagated.alias("a")
+        .join(propagated.select(col("doc_id").as("component"), col("component").as("jump")).alias("b"),
+          Seq("component"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("jump"), col("component"))).as("component"))
         .cache()
       val changed = updated.alias("u")
         .join(labels.alias("l"), Seq("doc_id"))
@@ -289,6 +296,34 @@ object Dedup {
     connectedComponents(minhashLsh(s, dir).filter(col("n_band_hits") >= 2))
       .select(col("doc_id"), col("component").as("canonical_id"))
       .orderBy(col("doc_id"))
+
+  /** dd8: the complete dedup decision — one row per document with its
+    * keep/drop verdict and reason: exact duplicates keep only the
+    * minimum doc_id of each content hash; near-dup clusters (dd7) keep
+    * only the canonical member. This is the composite output a training
+    * pipeline consumes; every stage is the already-verified operator.
+    */
+  def dedupKeepList(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val exactCanon = t(s, dir, "documents")
+      .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("members"))
+      .select(explode(col("members")).as("doc_id"), col("keep_id"))
+    val near = duplicateClusters(s, dir)
+    docs
+      .join(exactCanon, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") === col("keep_id")).as("exact_canonical"),
+        coalesce(col("canonical_id") === col("doc_id"), lit(true)).as("near_canonical"))
+      .withColumn("keep", col("exact_canonical") && col("near_canonical"))
+      .withColumn("drop_reason",
+        when(!col("exact_canonical"), "exact_duplicate")
+          .when(!col("near_canonical"), "near_duplicate")
+          .otherwise(lit(null)))
+      .select(col("doc_id"), col("keep"), col("drop_reason"))
+      .orderBy(col("doc_id"))
+  }
 
   // === blocked fuzzy matching (edit distance) ==============================
   /** Fuzzy near-dup part names within a blocking key (p_brand): the
@@ -332,7 +367,8 @@ object Dedup {
     "dd4_simhash_pairs" -> simhashPairs _,
     "dd5_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
     "dd6_fuzzy_name_pairs" -> ((s: SparkSession, d: String) => fuzzyNamePairs(s, d)),
-    "dd7_duplicate_clusters" -> duplicateClusters _)
+    "dd7_duplicate_clusters" -> duplicateClusters _,
+    "dd8_dedup_keep_list" -> dedupKeepList _)
 
   /** dd3/dd4 are xxhash64-based sketches with no DuckDB-expressible
     * equivalent -> rows-only driver check; validated in DedupSpec.

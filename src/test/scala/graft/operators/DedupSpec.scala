@@ -16,6 +16,17 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dedup keep-list covers every document with consistent verdicts") {
+    val rows = Dedup.dedupKeepList(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val keep = r.getBoolean(1)
+      val reason = if (r.isNullAt(2)) None else Some(r.getString(2))
+      assert(keep == reason.isEmpty, s"doc ${r.getLong(0)}: keep=$keep but reason=$reason")
+    }
+    assert(rows.exists(_.getBoolean(1)), "some documents must be kept")
+  }
+
   test("duplicate clusters are consistent: canonical id is in the same cluster and minimal") {
     val rows = Dedup.duplicateClusters(spark, sfDir).collect()
     val byCluster = rows.groupBy(_.getLong(1))
