@@ -183,6 +183,59 @@ object TextAnalysis {
       | CAST(length(text) AS INTEGER) AS n_chars_actual
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // === corpus token frequencies ============================================
+  // The wordcount of the corpus: explode + map-side-combined groupBy —
+  // the canonical one-shuffle vocabulary builder.
+  def topTokens(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
+  def topTokensSql(k: Int = 50): String =
+    s"""SELECT token, COUNT(*) AS n
+       |FROM (SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+       |      FROM documents)
+       |WHERE length(token) > 0
+       |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
+
+  // === compression-ratio quality signal ====================================
+  // deflate(text)/len(text): a cheap entropy proxy — highly repetitive
+  // (low-quality) documents compress far below natural text. Needs an
+  // imperative kernel (java.util.zip), so it runs as a batch-shaped
+  // mapPartitions with one Deflater per partition — the documented
+  // last-resort tier of the operator preference order, used only where
+  // no expression can express the semantics.
+  def compressionRatio(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("n_compressed", IntegerType),
+      StructField("ratio", DoubleType)))
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 20)
+        rows.map { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var total = 0
+          while (!deflater.finished()) total += deflater.deflate(buf)
+          Row(r.getLong(0), bytes.length, total,
+            total.toDouble / math.max(bytes.length, 1))
+        }
+      }(RowEncoder.encoderFor(outSchema))
+      .orderBy(col("doc_id"))
+  }
+
   // === composite quality filter ============================================
   // Gopher/C4-style rule battery (public corpus-cleaning heuristics):
   // word-count bounds, mean-word-length bounds, symbol ratio, stopword
@@ -272,6 +325,8 @@ object TextAnalysis {
     "txt4_bpe_tokens" -> docBpeTokens _,
     "txt5_rolling_hash" -> docRollingHash _,
     "txt6_quality_filter" -> docQualityFilter _,
+    "txt7_top_tokens" -> ((s: SparkSession, d: String) => topTokens(s, d)),
+    "txt8_compression_ratio" -> compressionRatio _,
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
@@ -281,5 +336,6 @@ object TextAnalysis {
     "txt4_bpe_tokens" -> docBpeTokensSql,
     "txt5_rolling_hash" -> docRollingHashSql,
     "txt6_quality_filter" -> docQualityFilterSql,
+    "txt7_top_tokens" -> topTokensSql(),
     "mm1_payload_stats" -> mmPayloadStatsSql)
 }

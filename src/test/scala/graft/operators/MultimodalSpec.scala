@@ -37,6 +37,17 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("compression ratio is deterministic and low for repetitive text") {
+    val a = TextAnalysis.compressionRatio(spark, sfDir).collect()
+    val b = TextAnalysis.compressionRatio(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "deflate kernel must be deterministic")
+    assert(a.length == 500)
+    a.foreach { r =>
+      val ratio = r.getDouble(3)
+      assert(ratio > 0.0 && ratio <= 1.5, s"doc ${r.getLong(0)} ratio $ratio out of range")
+    }
+  }
+
   test("metaStats prunes the payload column at the scan (columnar projection)") {
     val plan = Multimodal.metaStats(spark, sfDir).queryExecution.executedPlan.toString
     // the parquet scan must read only the columns the metadata needs
