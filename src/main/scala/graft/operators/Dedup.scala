@@ -248,12 +248,41 @@ object Dedup {
     * short chains dedup produces. Each round is one shuffle on doc_id —
     * no driver-side graph state, so 100 TB of edges partitions cleanly.
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
+      driverThreshold: Long = 1000000L): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .cache()
+    // The candidate-pair edge list is orders of magnitude smaller than
+    // the corpus (LSH already pruned it); below the threshold a driver
+    // union-find beats log(n) distributed rounds of stage overhead. The
+    // loop below stays the path for genuinely huge edge sets.
+    val nEdges = edges.count()
+    if (nEdges <= driverThreshold) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val nodes = edges.select(col("src")).distinct().collect().map(_.getLong(0))
+      edges.unpersist()
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(nodes.toSeq.map(n => Row(n, find(n))), 1),
+        StructType(Seq(StructField("doc_id", LongType), StructField("component", LongType))))
+    }
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("component", col("doc_id"))

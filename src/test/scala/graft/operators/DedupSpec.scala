@@ -5,15 +5,20 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkTestBase {
 
-  test("connected components labels every node with its cluster minimum") {
+  test("connected components labels every node with its cluster minimum (both paths)") {
     import spark.implicits._
     // two chains and a singleton-edge: {1-2-3-4}, {10-11}, {20-21}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
       .toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    val unionFind = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(unionFind == expected)
+    // force the distributed label-propagation path
+    val distributed = Dedup.connectedComponents(pairs, driverThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == expected)
   }
 
   test("dedup keep-list covers every document with consistent verdicts") {
