@@ -110,3 +110,12 @@ class MetricsSpec extends AnyFunSuite {
     assert(m.statusLine.contains("queries=100"))
   }
 }
+
+class SqlInfoSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("SqlInfo constants mirror the reference (sql_info.rs:20-36)") {
+    assert(SqlInfo.values(SqlInfo.FLIGHT_SQL_SERVER_READ_ONLY) == false)
+    assert(SqlInfo.values(SqlInfo.FLIGHT_SQL_SERVER_TRANSACTION) == 1)
+    assert(SqlInfo.isolationMask == 0x1e)
+    assert(SqlInfo.values(SqlInfo.SQL_IDENTIFIER_QUOTE_CHAR) == "\"")
+  }
+}
