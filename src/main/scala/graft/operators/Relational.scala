@@ -313,7 +313,33 @@ object Relational {
       |  FROM lineitem GROUP BY 1) t
       |ORDER BY l_returnflag""".stripMargin
 
+  // === events: structured JSON processing ==================================
+  // from_json into a typed struct + get_json_object path extraction —
+  // the JSON surface the reference exposes (SURVEY §1.2: JSON is Utf8 +
+  // extraction functions). Aggregates the parsed field per event type.
+  def eventsJsonStruct(s: SparkSession, dir: String): DataFrame = {
+    val parsed = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+    t(s, dir, "events")
+      .withColumn("k_parsed", parsed.getField("k"))
+      .withColumn("k_path", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_parsed")).as("sum_k"),
+        sum(when(col("k_parsed") === col("k_path"), 1L).otherwise(0L)).as("n_paths_agree"),
+        min(col("k_parsed")).as("min_k"), max(col("k_parsed")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsJsonStructSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      | COUNT(*) AS n_paths_agree,
+      | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev6_json_struct" -> eventsJsonStruct _,
     "w3_ranking_battery" -> windowRanks _,
     "stat2_exact_correlation" -> exactCorrelation _,
     "w1_customer_running_total" -> windowOrders _,
@@ -327,6 +353,7 @@ object Relational {
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
+    "ev6_json_struct" -> eventsJsonStructSql,
     "w3_ranking_battery" -> windowRanksSql,
     "stat2_exact_correlation" -> exactCorrelationSql,
     "w1_customer_running_total" -> windowOrdersSql,

@@ -33,6 +33,18 @@ class EngineSpec extends SparkTestBase {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("SQL passthrough matches the DataFrame battery (the reference's usage mode)") {
+    Engine.registerAll(spark, sfDir)
+    // run two oracle SQL texts through the engine's SQL entry and compare
+    // with the DataFrame-API results (same logical queries)
+    val viaSql = Engine.sql(spark, operators.Tpch.q6Sql).collect().toSeq
+    val viaDf = operators.Tpch.q6(spark, sfDir).collect().toSeq
+    assert(viaSql.map(_.toString) == viaDf.map(_.toString))
+    val q1Sql = Engine.sql(spark, operators.Tpch.q1Sql).collect().toSeq
+    val q1Df = operators.Tpch.q1(spark, sfDir).collect().toSeq
+    assert(q1Sql.map(_.toString) == q1Df.map(_.toString))
+  }
+
   test("PRAGMA database_list answers as SHOW CATALOGS (metadata.rs:36)") {
     val rows = Engine.sql(spark, "PRAGMA database_list").collect()
     assert(rows.map(_.getString(0)).contains("spark_catalog"))
