@@ -26,22 +26,12 @@ import org.apache.spark.sql.types._
   */
 object Advanced {
 
-  private val D18 = DecimalType(18, 6)
-  private val D38 = DecimalType(38, 6)
-  // Exact decimal sum, micros-encoded: per-row round to 6 decimals (the
-  // same HALF_UP rounding CAST(x AS DECIMAL(18,6)) performs), then sum the
-  // integer micros as DECIMAL(38,0) — long-backed and codegen-fast (~25x
-  // the per-row double->BigDecimal cast path), overflow-safe to 38 digits,
-  // and equal in value to SUM(CAST(x AS DECIMAL(18,6))).
-  // floor(x+0.5)/ceil(x-0.5) is the codegen-fast half-away rounding (the
-  // builtin round() routes every value through BigDecimal — measured ~2.5x
-  // slower on a full-table aggregate).
-  private def micros(c: Column): Column =
-    when(c >= 0, floor(c * 1000000L + 0.5)).otherwise(ceil(c * 1000000L - 0.5)).cast(LongType)
-  private def dsum(c: Column): Column =
-    (sum(micros(c).cast(DecimalType(38, 0))) / 1000000L).cast(D38)
-  private def sqlDsum(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+  // Bit-portable fractional aggregates (Exact.scala): micros-encoded exact
+  // sums emitted as IEEE doubles by the identical operation sequence on
+  // both engines — value- and representation-identical in the driver's
+  // pandas compare.
+  private def dsum(c: Column): Column = Exact.dsum(c)
+  private def sqlDsum(e: String): String = Exact.sqlDsum(e)
   private def ts(d: String): Column = to_timestamp(lit(d))
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
@@ -66,17 +56,18 @@ object Advanced {
       .join(su, col("l_suppkey") === col("s_suppkey"))
       .join(nSupp, col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
-      .agg((sum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0)).cast(D18)) /
-        sum(rev.cast(D18))).cast(D38).as("mkt_share"))
+      // ratio of two bit-portable exact-sum doubles: one division on each
+      // engine over bit-identical operands
+      .agg((dsum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0))) /
+        dsum(rev)).as("mkt_share"))
       .orderBy(col("o_year"))
   }
 
   val q8Sql: String =
-    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-      | CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_2'
-      |        THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(18,6)))
-      |      / SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6))
-      |   AS mkt_share
+    s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       | (${sqlDsum("CASE WHEN n2.n_name = 'NATION_2' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END")}
+       |      / ${sqlDsum("l_extendedprice*(1-l_discount)")})
+       |   AS mkt_share
       |FROM lineitem, orders, customer, supplier, nation n1, region, nation n2
       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
       | AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
@@ -100,8 +91,8 @@ object Advanced {
 
   val q12Sql: String =
     """SELECT l_linestatus,
-      | SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM lineitem, orders
       |WHERE l_orderkey = o_orderkey
       | AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -187,7 +178,7 @@ object Advanced {
     val l = t(s, dir, "lineitem")
     val perSupp = l.groupBy(col("l_suppkey"))
       .agg(dsum(rev).as("supp_revenue"))
-    val total = perSupp.agg((sum(col("supp_revenue")) * lit(0.02)).cast(D38).as("threshold"))
+    val total = perSupp.agg((sum(col("supp_revenue")) * lit(0.02)).as("threshold"))
     val su = t(s, dir, "supplier")
     perSupp.join(broadcast(total))
       .filter(col("supp_revenue") > col("threshold"))
@@ -203,7 +194,7 @@ object Advanced {
        |SELECT s_suppkey, s_name, supp_revenue
        |FROM per_supp, supplier
        |WHERE l_suppkey = s_suppkey
-       | AND supp_revenue > (SELECT CAST(SUM(supp_revenue) * 0.02 AS DECIMAL(38,6)) FROM per_supp)
+       | AND supp_revenue > (SELECT SUM(supp_revenue) * 0.02 FROM per_supp)
        |ORDER BY supp_revenue DESC, s_suppkey""".stripMargin
 
   // === CUBE ================================================================
@@ -251,8 +242,10 @@ object Advanced {
   }
 
   val pivotSegmentsSql: String = {
+    // CAST AS BIGINT: DuckDB widens SUM(INTEGER) to HUGEINT (-> float64 in
+    // pandas) while Spark's pivot-count emits int64
     val cols = segments.map(sg =>
-      s"""SUM(CASE WHEN c_mktsegment = '$sg' THEN 1 ELSE 0 END) AS "$sg"""").mkString(",\n ")
+      s"""CAST(SUM(CASE WHEN c_mktsegment = '$sg' THEN 1 ELSE 0 END) AS BIGINT) AS "$sg"""").mkString(",\n ")
     s"""SELECT n_name, $cols
        |FROM customer, nation WHERE c_nationkey = n_nationkey
        |GROUP BY n_name ORDER BY n_name""".stripMargin
@@ -313,27 +306,26 @@ object Advanced {
       .select(
         col("vec_id"),
         size(v).as("dim"),
-        round(array_max(v), 4).cast(DecimalType(18, 4)).as("vmax"),
-        round(array_min(v), 4).cast(DecimalType(18, 4)).as("vmin"),
-        round(element_at(v, 1), 4).cast(DecimalType(18, 4)).as("v1"),
-        round(aggregate(slice(v, 1, 8), lit(0.0), (a, x) => a + x), 4)
-          .cast(DecimalType(18, 4)).as("head8_sum"),
-        round(element_at(array_sort(v), 1), 4).cast(DecimalType(18, 4)).as("sorted_first"),
+        Exact.dround(array_max(v), 4).as("vmax"),
+        Exact.dround(array_min(v), 4).as("vmin"),
+        Exact.dround(element_at(v, 1), 4).as("v1"),
+        Exact.dround(aggregate(slice(v, 1, 8), lit(0.0), (a, x) => a + x), 4).as("head8_sum"),
+        Exact.dround(element_at(array_sort(v), 1), 4).as("sorted_first"),
         size(filter(v, x => x > 0)).as("n_positive"))
       .orderBy(col("vec_id"))
   }
 
   val arrayBatterySql: String =
-    """SELECT vec_id,
-      | CAST(len(v) AS INTEGER) AS dim,
-      | CAST(round(list_max(v), 4) AS DECIMAL(18,4)) AS vmax,
-      | CAST(round(list_min(v), 4) AS DECIMAL(18,4)) AS vmin,
-      | CAST(round(v[1], 4) AS DECIMAL(18,4)) AS v1,
-      | CAST(round(list_sum(v[1:8]), 4) AS DECIMAL(18,4)) AS head8_sum,
-      | CAST(round(list_sort(v)[1], 4) AS DECIMAL(18,4)) AS sorted_first,
-      | CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive
-      |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-      |WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+    s"""SELECT vec_id,
+       | CAST(len(v) AS INTEGER) AS dim,
+       | ${Exact.sqlDround("list_max(v)", 4)} AS vmax,
+       | ${Exact.sqlDround("list_min(v)", 4)} AS vmin,
+       | ${Exact.sqlDround("v[1]", 4)} AS v1,
+       | ${Exact.sqlDround("list_sum(v[1:8])", 4)} AS head8_sum,
+       | ${Exact.sqlDround("list_sort(v)[1]", 4)} AS sorted_first,
+       | CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive
+       |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
 
   // === exact-algebra variance ==============================================
   // Spark's stddev/var use Welford merges whose float error depends on
@@ -344,24 +336,32 @@ object Advanced {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(x.cast(D18)).as("sx"),
-        sum((x * x).cast(D18)).as("sxx"))
+        Exact.msum(x).as("sx"),
+        Exact.msum(x * x).as("sxx"))
       .select(col("l_returnflag"), col("n"),
-        col("sx").cast(D38).as("sum_x"),
-        ((col("n") * col("sxx") - col("sx") * col("sx")) /
-          (col("n") * (col("n") - 1))).cast(D38).as("var_samp"))
+        Exact.toUnits(col("sx")).as("sum_x"), {
+          // operands to double FIRST, then one fixed IEEE op sequence
+          // mirrored verbatim in the oracle
+          val nd = col("n").cast(DoubleType)
+          val sxd = Exact.toUnits(col("sx"))
+          val sxxd = Exact.toUnits(col("sxx"))
+          ((nd * sxxd - sxd * sxd) / (nd * (nd - lit(1.0)))).as("var_samp")
+        })
       .orderBy(col("l_returnflag"))
   }
 
-  val exactVarianceSql: String =
-    """SELECT l_returnflag, n, CAST(sx AS DECIMAL(38,6)) AS sum_x,
-      | CAST((n * sxx - sx * sx) / (n * (n - 1)) AS DECIMAL(38,6)) AS var_samp
-      |FROM (
-      |  SELECT l_returnflag, COUNT(*) AS n,
-      |    SUM(CAST(l_discount AS DECIMAL(18,6))) AS sx,
-      |    SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS sxx
-      |  FROM lineitem GROUP BY 1) t
-      |ORDER BY l_returnflag""".stripMargin
+  val exactVarianceSql: String = {
+    def u(m: String) = Exact.sqlToUnits(m)
+    s"""SELECT l_returnflag, n, ${u("sx")} AS sum_x,
+       | ((CAST(n AS DOUBLE) * ${u("sxx")} - ${u("sx")} * ${u("sx")})
+       |   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS var_samp
+       |FROM (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${Exact.sqlMsum("l_discount")} AS sx,
+       |    ${Exact.sqlMsum("l_discount * l_discount")} AS sxx
+       |  FROM lineitem GROUP BY 1) t
+       |ORDER BY l_returnflag""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_min_cost_supplier" -> q2 _,

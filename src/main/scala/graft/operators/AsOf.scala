@@ -96,16 +96,17 @@ object AsOf {
     asofJoin(views, purchases, "user_id", "ts", Seq("value"))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
-        // -1 sentinel for "no purchase yet": decimal NULLs render
-        // differently across the two engines' pandas paths
-        coalesce(col("value"), lit(-1.0)).cast(DecimalType(18, 4)).as("last_purchase_value"))
+        // -1 sentinel for "no purchase yet" (NULLs render differently
+        // across the two engines' pandas paths); raw double out — the
+        // carried value is the identical parquet double on both engines
+        coalesce(col("value"), lit(-1.0)).as("last_purchase_value"))
       .orderBy(col("event_id"))
   }
 
   val eventAsofPurchaseSql: String =
     """SELECT v.event_id, v.user_id,
       | epoch_us(CAST(v.ts AS TIMESTAMP)) AS ts_us,
-      | CAST(COALESCE(p.value, -1.0) AS DECIMAL(18,4)) AS last_purchase_value
+      | COALESCE(p.value, -1.0) AS last_purchase_value
       |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
       |      FROM events WHERE event_type = 'view') v
       |ASOF LEFT JOIN
@@ -127,14 +128,13 @@ object AsOf {
     rangeJoin(views, purchases, "user_id", "ts", 0L, 3600L, Seq("value"))
       .groupBy(col("event_id"))
       .agg(count(lit(1)).as("n_purch_1h"),
-        (sum(floor(col("value") * 1000000L + 0.5).cast(LongType).cast(DecimalType(38, 0))) / 1000000L)
-          .cast(DecimalType(38, 6)).as("sum_purch_1h"))
+        Exact.dsum(col("value")).as("sum_purch_1h"))
       .orderBy(col("event_id"))
   }
 
   val eventRangeHourSql: String =
-    """SELECT v.event_id, COUNT(*) AS n_purch_1h,
-      | CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_purch_1h
+    s"""SELECT v.event_id, COUNT(*) AS n_purch_1h,
+      | ${Exact.sqlDsum("p.value")} AS sum_purch_1h
       |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
       |      FROM events WHERE event_type = 'view') v
       |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -79,9 +79,9 @@ object Dedup {
     common
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      // one IEEE division over identical integer operands on both engines
       .withColumn("jaccard",
-        (col("n_common").cast(DecimalType(18, 6)) / (col("n_a") + col("n_b") - col("n_common")))
-          .cast(DecimalType(38, 6)))
+        col("n_common").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.05)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
@@ -101,12 +101,11 @@ object Dedup {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, n_common,
-      | CAST(CAST(n_common AS DECIMAL(18,6)) / (ca.n_sh + cb.n_sh - n_common) AS DECIMAL(38,6))
-      |   AS jaccard
+      | (CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)) AS jaccard
       |FROM common
       | JOIN counts ca ON ca.doc_id = doc_a
       | JOIN counts cb ON cb.doc_id = doc_b
-      |WHERE CAST(CAST(n_common AS DECIMAL(18,6)) / (ca.n_sh + cb.n_sh - n_common) AS DECIMAL(38,6)) >= 0.05
+      |WHERE (CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)) >= 0.05
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin
 
   // === MinHash + LSH =======================================================
@@ -220,15 +219,15 @@ object Dedup {
       .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"),
-        round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"))
+        Exact.dround(col("cos"), 6).as("cos_sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
   def embeddingNearDupSql(threshold: Double = 0.3): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  CAST(round(list_dot_product(a.v, b.v)
-       |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS DECIMAL(18,6))
+       |  ${Exact.sqlDround(
+             "list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))", 6)}
        |    AS cos_sim
        |FROM e a, e b
        |WHERE a.vec_id < b.vec_id

@@ -45,17 +45,40 @@ object Exact {
   def micros(c: Column): Column =
     when(c >= 0, floor(c * 1000000L + 0.5)).otherwise(ceil(c * 1000000L - 0.5)).cast(LongType)
 
+  /** Deterministic scale-`s` rounding emitted as a double: the SAME
+    * floor/ceil fixed-point formula on both engines (library round()
+    * differs — Spark routes through BigDecimal HALF_UP while DuckDB
+    * computes std::round(x*p)/p, which can diverge by an ulp near
+    * half-way boundaries). Valid while |x|*10^s < 2^53.
+    */
+  def dround(c: Column, s: Int): Column = {
+    val p = math.pow(10, s)
+    (when(c >= 0, floor(c * p + 0.5)).otherwise(ceil(c * p - 0.5)).cast(LongType)
+      .cast(DoubleType) / lit(p))
+  }
+
+  def sqlDround(e: String, s: Int): String = {
+    val p = s"1e$s"
+    s"(CAST(CAST(CASE WHEN ($e) >= 0 THEN FLOOR(($e)*$p+0.5) ELSE CEIL(($e)*$p-0.5) END AS BIGINT) AS DOUBLE)/$p)"
+  }
+
   /** Exact integer micros sum (order-independent, overflow-safe). */
   def msum(c: Column): Column = sum(micros(c).cast(D380))
 
   /** Exact micros count-less conversion: micros decimal/long -> double/1e6. */
   def toUnits(m: Column): Column = m.cast(DoubleType) / lit(1000000.0)
 
-  /** Order-independent fractional sum emitted as a bit-portable double. */
+  /** Order-independent fractional sum emitted as a bit-portable double.
+    * Inputs must be finite (the testdata contract): Spark's non-ANSI
+    * double->long cast and DuckDB's HUGEINT cast diverge on NaN/Inf.
+    */
   def dsum(c: Column): Column = toUnits(msum(c))
 
-  /** Order-independent fractional mean emitted as a bit-portable double. */
-  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  /** Order-independent fractional mean emitted as a bit-portable double.
+    * Divides by the non-null count (standard SQL AVG semantics), matching
+    * COUNT(e) in the oracle fragment.
+    */
+  def davg(c: Column): Column = dsum(c) / count(c)
 
   // --- DuckDB oracle fragments mirroring the exact same arithmetic ---
 
@@ -64,9 +87,15 @@ object Exact {
 
   def sqlMsum(e: String): String = s"SUM(${sqlMicros(e)})"
 
-  def sqlToUnits(m: String): String = s"(CAST($m AS DOUBLE)/1000000.0)"
+  /** HUGEINT -> DOUBLE routed through VARCHAR: DuckDB's direct
+    * HUGEINT->DOUBLE composes the two 64-bit halves and is not guaranteed
+    * correctly rounded past 2^53, while its string->double (fast_float)
+    * is — matching Spark's correctly-rounded Decimal.toDouble at any
+    * magnitude (the 100 TB sums exceed 2^53).
+    */
+  def sqlToUnits(m: String): String = s"(CAST(CAST($m AS VARCHAR) AS DOUBLE)/1000000.0)"
 
   def sqlDsum(e: String): String = sqlToUnits(sqlMsum(e))
 
-  def sqlDavg(e: String): String = s"(${sqlDsum(e)}/COUNT(*))"
+  def sqlDavg(e: String): String = s"(${sqlDsum(e)}/COUNT($e))"
 }

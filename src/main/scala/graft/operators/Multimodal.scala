@@ -73,21 +73,36 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_bytes", IntegerType),
-    StructField("features", ArrayType(FloatType))))
+    StructField("feat_md5", StringType),
+    StructField("feat_min", DoubleType),
+    StructField("feat_max", DoubleType),
+    StructField("feat_mean", DoubleType)))
 
   /** Decode + feature-extract stage: batch-shaped mapPartitions so the
     * (stubbed) decoder context is initialized once per partition.
+    *
+    * The feature VECTOR stays internal to the stage; the query output is
+    * its digest (md5 over big-endian float bits) plus scalar stats —
+    * downstream-comparable columns instead of a raw array<float> (which
+    * the driver's pandas compare cannot sort on).
     */
   def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
     val in = payloads(s, dir)
     val out = in.select(col("doc_id"), col("payload"), col("meta.modality"), col("meta.n_bytes"))
       .mapPartitions { rows =>
         // decoder init happens HERE, once per partition (stub: nothing)
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val (w, h, feats) = decodeBytes(payload)
+          val bb = java.nio.ByteBuffer.allocate(feats.length * 4)
+          feats.foreach(bb.putFloat)
+          md.reset()
+          val digest = md.digest(bb.array()).map("%02x".format(_)).mkString
+          var min = Double.MaxValue; var max = Double.MinValue; var sum = 0.0
+          feats.foreach { f => val d = f.toDouble; if (d < min) min = d; if (d > max) max = d; sum += d }
           Row(r.getAs[Long]("doc_id"), r.getAs[String]("modality"), w, h,
-            r.getAs[Int]("n_bytes"), feats)
+            r.getAs[Int]("n_bytes"), digest, min, max, sum / math.max(feats.length, 1))
         }
       }(RowEncoder.encoderFor(decodedSchema))
     out.orderBy(col("doc_id"))
@@ -117,14 +132,14 @@ object Multimodal {
       .groupBy(col("meta.modality").as("modality"))
       .agg(count(lit(1)).as("n"),
         sum(col("meta.n_bytes")).as("total_bytes"),
-        max(col("meta.n_bytes")).as("max_bytes"))
+        max(col("meta.n_bytes")).cast(LongType).as("max_bytes"))
       .orderBy(col("modality"))
 
   val metaStatsSql: String =
     """SELECT CASE WHEN source = 'web' THEN 'image' ELSE 'audio' END AS modality,
       | COUNT(*) AS n,
-      | SUM(octet_length(encode(text))) AS total_bytes,
-      | MAX(octet_length(encode(text))) AS max_bytes
+      | CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      | CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

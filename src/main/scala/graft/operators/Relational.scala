@@ -15,22 +15,12 @@ import org.apache.spark.sql.types._
   */
 object Relational {
 
-  private val D18 = DecimalType(18, 6)
-  private val D38 = DecimalType(38, 6)
-  // Exact decimal sum, micros-encoded: per-row round to 6 decimals (the
-  // same HALF_UP rounding CAST(x AS DECIMAL(18,6)) performs), then sum the
-  // integer micros as DECIMAL(38,0) — long-backed and codegen-fast (~25x
-  // the per-row double->BigDecimal cast path), overflow-safe to 38 digits,
-  // and equal in value to SUM(CAST(x AS DECIMAL(18,6))).
-  // floor(x+0.5)/ceil(x-0.5) is the codegen-fast half-away rounding (the
-  // builtin round() routes every value through BigDecimal — measured ~2.5x
-  // slower on a full-table aggregate).
-  private def micros(c: Column): Column =
-    when(c >= 0, floor(c * 1000000L + 0.5)).otherwise(ceil(c * 1000000L - 0.5)).cast(LongType)
-  private def dsum(c: Column): Column =
-    (sum(micros(c).cast(DecimalType(38, 0))) / 1000000L).cast(D38)
-  private def sqlDsum(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+  // Bit-portable fractional aggregates (Exact.scala): micros-encoded exact
+  // sums emitted as IEEE doubles by the identical operation sequence on
+  // both engines — value- and representation-identical in the driver's
+  // pandas compare.
+  private def dsum(c: Column): Column = Exact.dsum(c)
+  private def sqlDsum(e: String): String = Exact.sqlDsum(e)
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
   // === window: rank + running total per customer ===========================
@@ -38,25 +28,28 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
     t(s, dir, "orders")
       .withColumn("rn", row_number().over(w))
+      // exact long micros running sum, ONE conversion to double at the end
+      // (Exact contract: bit-identical to the oracle's mirrored arithmetic)
       .withColumn("run_total",
-        sum(col("o_totalprice").cast(D18)).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(D38))
+        Exact.toUnits(
+          sum(Exact.micros(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))))
       .filter(col("rn") <= 3 && col("o_custkey") <= 100)
       .select(col("o_custkey"), col("o_orderkey"), col("rn").cast(IntegerType).as("rn"), col("run_total"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
   val windowOrdersSql: String =
-    """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn,
-      | CAST(run_total AS DECIMAL(38,6)) AS run_total
-      |FROM (
-      |  SELECT o_custkey, o_orderkey,
-      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
-      |    SUM(CAST(o_totalprice AS DECIMAL(18,6)))
-      |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |            ROWS UNBOUNDED PRECEDING) AS run_total
-      |  FROM orders) t
-      |WHERE rn <= 3 AND o_custkey <= 100
-      |ORDER BY o_custkey, rn""".stripMargin
+    s"""SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn,
+       | ${Exact.sqlToUnits("run_total_m")} AS run_total
+       |FROM (
+       |  SELECT o_custkey, o_orderkey,
+       |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+       |    SUM(${Exact.sqlMicros("o_totalprice")})
+       |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |            ROWS UNBOUNDED PRECEDING) AS run_total_m
+       |  FROM orders) t
+       |WHERE rn <= 3 AND o_custkey <= 100
+       |ORDER BY o_custkey, rn""".stripMargin
 
   // === window: lag/lead + sessionization over events =======================
   // 30-minute-gap sessionization: the canonical lag -> gap-flag -> running
@@ -244,10 +237,10 @@ object Relational {
       .withColumn("rnk", rank().over(w))
       .withColumn("drnk", dense_rank().over(w))
       .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank",
-        round(percent_rank().over(w), 6).cast(DecimalType(18, 6)))
-      .withColumn("cdist",
-        round(cume_dist().over(w), 6).cast(DecimalType(18, 6)))
+      // deterministic fixed-point rounding to double (no decimal cast):
+      // identical formula on both engines -> identical float64 bits
+      .withColumn("pct_rank", Exact.dround(percent_rank().over(w), 6))
+      .withColumn("cdist", Exact.dround(cume_dist().over(w), 6))
       .withColumn("next_bal", lead(col("c_acctbal"), 1).over(w))
       .filter(col("rnk") <= 5)
       .select(col("c_mktsegment"), col("c_custkey"),
@@ -259,7 +252,7 @@ object Relational {
   }
 
   val windowRanksSql: String =
-    """SELECT c_mktsegment, c_custkey,
+    s"""SELECT c_mktsegment, c_custkey,
       | CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk,
       | CAST(quartile AS INTEGER) AS quartile, pct_rank, cdist, next_bal
       |FROM (
@@ -267,8 +260,8 @@ object Relational {
       |    rank() OVER w AS rnk,
       |    dense_rank() OVER w AS drnk,
       |    ntile(4) OVER w AS quartile,
-      |    CAST(round(percent_rank() OVER w, 6) AS DECIMAL(18,6)) AS pct_rank,
-      |    CAST(round(cume_dist() OVER w, 6) AS DECIMAL(18,6)) AS cdist,
+      |    ${Exact.sqlDround("percent_rank() OVER w", 6)} AS pct_rank,
+      |    ${Exact.sqlDround("cume_dist() OVER w", 6)} AS cdist,
       |    lead(c_acctbal, 1) OVER w AS next_bal
       |  FROM customer
       |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) t
@@ -287,31 +280,40 @@ object Relational {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(x.cast(D18)).as("sx"), sum(y.cast(D18)).as("sy"),
-        sum((x * x).cast(D18)).as("sxx"), sum((y * y).cast(D18)).as("syy"),
-        sum((x * y).cast(D18)).as("sxy"))
-      .select(col("l_returnflag"), col("n"),
-        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
-            (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))), 6)
-          .cast(DecimalType(18, 6)).as("corr_qty_price"))
+        Exact.msum(x).as("sx"), Exact.msum(y).as("sy"),
+        Exact.msum(x * x).as("sxx"), Exact.msum(y * y).as("syy"),
+        Exact.msum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"), {
+        // every operand converted to double FIRST, then one fixed IEEE
+        // op sequence — mirrored verbatim in the oracle, so bits match
+        val nd = col("n").cast(DoubleType)
+        val sxd = Exact.toUnits(col("sx")); val syd = Exact.toUnits(col("sy"))
+        val sxxd = Exact.toUnits(col("sxx")); val syyd = Exact.toUnits(col("syy"))
+        val sxyd = Exact.toUnits(col("sxy"))
+        Exact.dround((nd * sxyd - sxd * syd) /
+          sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6).as("corr_qty_price")
+      })
       .orderBy(col("l_returnflag"))
   }
 
-  val exactCorrelationSql: String =
-    """SELECT l_returnflag, n,
-      | CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
-      |   AS DECIMAL(18,6)) AS corr_qty_price
-      |FROM (
-      |  SELECT l_returnflag, COUNT(*) AS n,
-      |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
-      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
-      |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS sxx,
-      |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS syy,
-      |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS sxy
-      |  FROM lineitem GROUP BY 1) t
-      |ORDER BY l_returnflag""".stripMargin
+  val exactCorrelationSql: String = {
+    def u(m: String) = Exact.sqlToUnits(m)
+    s"""SELECT l_returnflag, n,
+       | ${Exact.sqlDround(
+             s"""(CAST(n AS DOUBLE) * ${u("sxy")} - ${u("sx")} * ${u("sy")})
+       |      / sqrt((CAST(n AS DOUBLE) * ${u("sxx")} - ${u("sx")} * ${u("sx")})
+       |             * (CAST(n AS DOUBLE) * ${u("syy")} - ${u("sy")} * ${u("sy")}))""", 6)}
+       |   AS corr_qty_price
+       |FROM (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${Exact.sqlMsum("l_quantity")} AS sx,
+       |    ${Exact.sqlMsum("l_extendedprice")} AS sy,
+       |    ${Exact.sqlMsum("l_quantity * l_quantity")} AS sxx,
+       |    ${Exact.sqlMsum("l_extendedprice * l_extendedprice")} AS syy,
+       |    ${Exact.sqlMsum("l_quantity * l_extendedprice")} AS sxy
+       |  FROM lineitem GROUP BY 1) t
+       |ORDER BY l_returnflag""".stripMargin
+  }
 
   // === events: structured JSON processing ==================================
   // from_json into a typed struct + get_json_object path extraction —
@@ -332,8 +334,8 @@ object Relational {
 
   val eventsJsonStructSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-      | COUNT(*) AS n_paths_agree,
+      | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | CAST(COUNT(*) AS BIGINT) AS n_paths_agree,
       | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

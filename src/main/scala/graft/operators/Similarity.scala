@@ -51,7 +51,7 @@ object Similarity {
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"),
-        round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"),
+        graft.operators.Exact.dround(col("cos"), 6).as("cos_sim"),
         col("rnk").cast(IntegerType).as("rnk"))
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -66,7 +66,7 @@ object Similarity {
        |r AS (SELECT q_id, n_id, cos,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
        |      FROM p)
-       |SELECT q_id, n_id, CAST(round(cos, 6) AS DECIMAL(18,6)) AS cos_sim,
+       |SELECT q_id, n_id, ${Exact.sqlDround("cos", 6)} AS cos_sim,
        |       CAST(rnk AS INTEGER) AS rnk
        |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
@@ -77,20 +77,20 @@ object Similarity {
     val dims = exploded.groupBy(col("label"), col("pos"))
       .agg(avg(col("x")).as("c"))
     dims.groupBy(col("label"))
-      .agg(round(sqrt(sum(col("c") * col("c"))), 4).cast(DecimalType(18, 4)).as("centroid_norm"),
+      .agg(Exact.dround(sqrt(sum(col("c") * col("c"))), 4).as("centroid_norm"),
         count(lit(1)).as("n_dims"))
       .orderBy(col("label"))
   }
 
   val labelCentroidsSql: String =
-    """WITH dims AS (
-      |  SELECT label, i AS pos, AVG(v[i]) AS c
-      |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e,
-      |       (SELECT UNNEST(generate_series(1, 64)) AS i) idx
-      |  GROUP BY label, i)
-      |SELECT label, CAST(round(sqrt(SUM(c*c)), 4) AS DECIMAL(18,4)) AS centroid_norm,
-      |       COUNT(*) AS n_dims
-      |FROM dims GROUP BY label ORDER BY label""".stripMargin
+    s"""WITH dims AS (
+       |  SELECT label, i AS pos, AVG(v[i]) AS c
+       |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e,
+       |       (SELECT UNNEST(generate_series(1, 64)) AS i) idx
+       |  GROUP BY label, i)
+       |SELECT label, ${Exact.sqlDround("sqrt(SUM(c*c))", 4)} AS centroid_norm,
+       |       COUNT(*) AS n_dims
+       |FROM dims GROUP BY label ORDER BY label""".stripMargin
 
   // === LSH-bucketed ANN (scale path) =======================================
   // Multi-table random-hyperplane LSH: T independent tables of P sign bits

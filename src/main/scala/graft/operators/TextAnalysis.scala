@@ -42,9 +42,11 @@ object TextAnalysis {
         nTokens.cast(IntegerType).as("n_tokens"),
         length(col("text")).cast(IntegerType).as("n_chars_actual"),
         nNonSpace.cast(IntegerType).as("n_nonspace"),
-        (nNonSpace.cast(DoubleType) / nTokens).cast(DecimalType(18, 4)).as("avg_token_len"),
+        // raw double ratios: one IEEE division over identical integer
+        // operands on both engines -> bit-identical
+        (nNonSpace.cast(DoubleType) / nTokens).as("avg_token_len"),
         stopCount.cast(IntegerType).as("n_stopwords"),
-        (stopCount.cast(DoubleType) / nTokens).cast(DecimalType(18, 4)).as("stopword_ratio"))
+        (stopCount.cast(DoubleType) / nTokens).as("stopword_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -54,14 +56,14 @@ object TextAnalysis {
        | CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens,
        | CAST(length(text) AS INTEGER) AS n_chars_actual,
        | CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS n_nonspace,
-       | CAST(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-       |      / length(string_split_regex(lower(trim(text)), '\\s+')) AS DECIMAL(18,4))
+       | (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |      / length(string_split_regex(lower(trim(text)), '\\s+')))
        |   AS avg_token_len,
        | CAST(length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
        |      x -> x IN ($stopList))) AS INTEGER) AS n_stopwords,
-       | CAST(CAST(length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       | (CAST(length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
        |      x -> x IN ($stopList))) AS DOUBLE)
-       |      / length(string_split_regex(lower(trim(text)), '\\s+')) AS DECIMAL(18,4))
+       |      / length(string_split_regex(lower(trim(text)), '\\s+')))
        |   AS stopword_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
   }
@@ -263,7 +265,7 @@ object TextAnalysis {
         mask.cast(IntegerType).as("drop_reasons"),
         (mask === 0).as("keep"),
         nTok.cast(IntegerType).as("n_tokens"),
-        round(symbolRatio, 4).cast(DecimalType(18, 4)).as("symbol_ratio"))
+        Exact.dround(symbolRatio, 4).as("symbol_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -290,7 +292,7 @@ object TextAnalysis {
        |  FROM base)
        |SELECT doc_id, CAST(mask AS INTEGER) AS drop_reasons, mask = 0 AS keep,
        |  CAST(n_tok AS INTEGER) AS n_tokens,
-       |  CAST(round(sym_ratio, 4) AS DECIMAL(18,4)) AS symbol_ratio
+       |  ${Exact.sqlDround("sym_ratio", 4)} AS symbol_ratio
        |FROM masked ORDER BY doc_id""".stripMargin
   }
 

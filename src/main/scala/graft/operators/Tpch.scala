@@ -29,30 +29,16 @@ object Tpch {
   private val D18 = DecimalType(18, 6)
   private val D38 = DecimalType(38, 6)
 
-  /** Exact decimal sum: per-row cast (deterministic IEEE double -> decimal
-    * round) then exact decimal addition; final cast pins the result type
-    * to DECIMAL(38,6) on both engines.
+  /** Bit-portable fractional aggregates (Exact.scala): exact micros sums
+    * emitted as IEEE doubles via the identical operation sequence on both
+    * engines, so values AND representation hash-match in the driver's
+    * pandas compare (Spark DECIMAL(38,6) arrives as decimal.Decimal while
+    * DuckDB DECIMAL comes back float64 — value-equal yet hash-red).
     */
-  // Exact decimal sum, micros-encoded: per-row round to 6 decimals (the
-  // same HALF_UP rounding CAST(x AS DECIMAL(18,6)) performs), then sum the
-  // integer micros as DECIMAL(38,0) — long-backed and codegen-fast (~25x
-  // the per-row double->BigDecimal cast path), overflow-safe to 38 digits,
-  // and equal in value to SUM(CAST(x AS DECIMAL(18,6))).
-  // floor(x+0.5)/ceil(x-0.5) is the codegen-fast half-away rounding (the
-  // builtin round() routes every value through BigDecimal — measured ~2.5x
-  // slower on a full-table aggregate).
-  private def micros(c: Column): Column =
-    when(c >= 0, floor(c * 1000000L + 0.5)).otherwise(ceil(c * 1000000L - 0.5)).cast(LongType)
-  private def dsum(c: Column): Column =
-    (sum(micros(c).cast(DecimalType(38, 0))) / 1000000L).cast(D38)
-  private def davg(c: Column): Column =
-    ((sum(micros(c).cast(DecimalType(38, 0))) / 1000000L).cast(D38) / count(lit(1))).cast(D38)
-
-  /** Shared SQL fragment builders for the oracle strings. */
-  private def sqlDsum(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6))"
-  private def sqlDavg(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,6)))/COUNT(*) AS DECIMAL(38,6))"
+  private def dsum(c: Column): Column = Exact.dsum(c)
+  private def davg(c: Column): Column = Exact.davg(c)
+  private def sqlDsum(e: String): String = Exact.sqlDsum(e)
+  private def sqlDavg(e: String): String = Exact.sqlDavg(e)
 
   private def ts(d: String): Column = to_timestamp(lit(d))
 
@@ -475,7 +461,7 @@ object Tpch {
       .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy((col("c_nationkey") % 5).cast(IntegerType).as("cntrycode"))
       .agg(count(lit(1)).as("numcust"),
-        sum(col("c_acctbal").cast(D18)).cast(D38).as("totacctbal"))
+        dsum(col("c_acctbal")).as("totacctbal"))
       .orderBy(col("cntrycode"))
   }
 

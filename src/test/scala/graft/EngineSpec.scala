@@ -36,11 +36,15 @@ class EngineSpec extends SparkTestBase {
   test("SQL passthrough matches the DataFrame battery (the reference's usage mode)") {
     Engine.registerAll(spark, sfDir)
     // run two oracle SQL texts through the engine's SQL entry and compare
-    // with the DataFrame-API results (same logical queries)
-    val viaSql = Engine.sql(spark, operators.Tpch.q6Sql).collect().toSeq
+    // with the DataFrame-API results (same logical queries). The oracle
+    // strings are DuckDB dialect; map its two non-Spark type names to the
+    // Spark equivalents (HUGEINT ~ 128-bit exact int, VARCHAR unsized).
+    def sparkDialect(sql: String): String =
+      sql.replace("AS HUGEINT", "AS DECIMAL(38,0)").replace("AS VARCHAR", "AS STRING")
+    val viaSql = Engine.sql(spark, sparkDialect(operators.Tpch.q6Sql)).collect().toSeq
     val viaDf = operators.Tpch.q6(spark, sfDir).collect().toSeq
     assert(viaSql.map(_.toString) == viaDf.map(_.toString))
-    val q1Sql = Engine.sql(spark, operators.Tpch.q1Sql).collect().toSeq
+    val q1Sql = Engine.sql(spark, sparkDialect(operators.Tpch.q1Sql)).collect().toSeq
     val q1Df = operators.Tpch.q1(spark, sfDir).collect().toSeq
     assert(q1Sql.map(_.toString) == q1Df.map(_.toString))
   }

@@ -106,6 +106,6 @@ class DedupSpec extends SparkTestBase {
   test("ngram jaccard pairs are symmetric-deduped and thresholded") {
     val rows = Dedup.ngramJaccard(spark, sfDir).collect()
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
-    assert(rows.forall(r => r.getAs[java.math.BigDecimal]("jaccard").doubleValue >= 0.05))
+    assert(rows.forall(r => r.getAs[Double]("jaccard") >= 0.05))
   }
 }

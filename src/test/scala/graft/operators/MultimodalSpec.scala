@@ -20,10 +20,13 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq, "stub decode must be deterministic")
     assert(a.length == 500)
     a.take(20).foreach { r =>
-      val feats = r.getAs[scala.collection.Seq[Float]]("features")
-      assert(feats.length == Multimodal.featureDim)
-      val sum = feats.sum
-      assert(sum > 0.99f && sum < 1.01f, s"histogram must normalize, got $sum")
+      // digest is 32-hex of the feature vector; stats summarize a
+      // normalized histogram (mean * dim == sum ~= 1)
+      assert(r.getAs[String]("feat_md5").matches("[0-9a-f]{32}"))
+      val mean = r.getAs[Double]("feat_mean")
+      val sum = mean * Multimodal.featureDim
+      assert(sum > 0.99 && sum < 1.01, s"histogram must normalize, got $sum")
+      assert(r.getAs[Double]("feat_min") <= mean && mean <= r.getAs[Double]("feat_max"))
     }
   }
 

@@ -11,7 +11,7 @@ class SimilaritySpec extends SparkTestBase {
     assert(byQ.size == 10)
     byQ.foreach { case (_, rs) =>
       assert(rs.length == 5)
-      val sims = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[java.math.BigDecimal]("cos_sim").doubleValue)
+      val sims = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos_sim"))
       assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
       assert(sims.sameElements(sims.sorted.reverse), "cos_sim must be non-increasing in rank")
     }
