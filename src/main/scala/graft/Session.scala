@@ -199,8 +199,16 @@ object SqlParams {
               nextParam += 1
             case _ => out += c
           }
-        case 1 => out += c; if (c == '\'') { if (i + 1 < n && sql.charAt(i + 1) == '\'') { out += '\''; i += 1 } else state = 0 }
-        case 2 => out += c; if (c == '"') state = 0
+        case 1 =>
+          out += c
+          // Spark's default parser treats backslash as an escape inside
+          // literals: skip the escaped char so \' does not close the string
+          if (c == '\\' && i + 1 < n) { out += sql.charAt(i + 1); i += 1 }
+          else if (c == '\'') { if (i + 1 < n && sql.charAt(i + 1) == '\'') { out += '\''; i += 1 } else state = 0 }
+        case 2 =>
+          out += c
+          if (c == '\\' && i + 1 < n) { out += sql.charAt(i + 1); i += 1 }
+          else if (c == '"') state = 0
         case 3 => out += c; if (c == '`') state = 0
         case 4 => out += c; if (c == '\n') state = 0
         case 5 => out += c; if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') { out += '/'; state = 0; i += 1 }
@@ -218,7 +226,11 @@ object SqlParams {
     case null                     => "NULL"
     case None                     => "NULL"
     case Some(x)                  => literal(x)
-    case s: String                => "'" + s.replace("'", "''") + "'"
+    // backslashes FIRST, then quotes: Spark's default parser gives
+    // backslash escape semantics inside literals, so an unescaped
+    // trailing \ (or embedded \') would break out of the literal —
+    // the classic injection vector (ADVICE r2, high)
+    case s: String                => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     case b: Boolean               => if (b) "TRUE" else "FALSE"
     case b: Array[Byte]           => "X'" + b.map("%02X".format(_)).mkString + "'"
     case t: java.sql.Timestamp    => s"TIMESTAMP '${t.toString}'"

@@ -149,7 +149,10 @@ final class MutableTable private (
     val affectedDf = spark.read.schema(schema)
       .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
     val deleted = affectedDf.filter(cond).count()
-    val survivors = affectedDf.filter(!cond)
+    // survivors are rows where cond is FALSE **or NULL** — filter(!cond)
+    // alone drops NULL-predicate rows from the rewritten file (data loss;
+    // SQL three-valued logic: DELETE removes only WHERE-true rows)
+    val survivors = affectedDf.filter(!coalesce(cond, lit(false)))
     val replacement = if (survivors.isEmpty) Seq.empty else stageWrite(survivors)
     commit(v + 1, all.filterNot(affected.contains) ++ replacement)
     deleted

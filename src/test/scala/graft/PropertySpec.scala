@@ -39,8 +39,9 @@ class PropertySpec extends AnyFunSuite {
     forAll(Gen.asciiPrintableStr) { s =>
       val lit = SqlParams.literal(s)
       assert(lit.startsWith("'") && lit.endsWith("'"))
-      // un-escaping recovers the original
-      assert(lit.substring(1, lit.length - 1).replace("''", "'") == s)
+      // un-escaping (reverse order of escaping) recovers the original
+      assert(lit.substring(1, lit.length - 1)
+        .replace("''", "'").replace("\\\\", "\\") == s)
     }
   }
 

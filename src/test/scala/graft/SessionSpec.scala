@@ -87,4 +87,18 @@ class SessionSpec extends SparkTestBase {
     assert(SqlParams.literal(java.time.LocalDate.of(2026, 1, 2)) == "DATE '2026-01-02'")
     intercept[IllegalArgumentException](SqlParams.literal(new Object))
   }
+
+  test("SqlParams escapes backslashes (injection regression, ADVICE r2 high)") {
+    assert(SqlParams.literal("a\\") == "'a\\\\'")
+    // end-to-end through Spark's parser: trailing backslash round-trips
+    assert(spark.sql("SELECT " + SqlParams.literal("payload\\") + " AS s")
+      .head.getString(0) == "payload\\")
+    // a quote-smuggling attempt stays one literal, verbatim
+    val evil = "x\\' OR '1'='1"
+    assert(spark.sql("SELECT " + SqlParams.literal(evil) + " AS s")
+      .head.getString(0) == evil)
+    // scanner: a ? following a backslash-escaped quote is still inside
+    // the string literal, so only the bare ? binds
+    assert(SqlParams.bind("SELECT 'a\\'? not me', ?", Seq(7)) == "SELECT 'a\\'? not me', 7")
+  }
 }

@@ -63,6 +63,18 @@ class MutableTableSpec extends SparkTestBase {
     assert(t.fileCount == 2)
   }
 
+  test("delete keeps rows whose predicate is NULL (data-loss regression, ADVICE r2 high)") {
+    val t = mkTable()
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "a", 1.0), Row(2L, null, 2.0), Row(3L, "b", 3.0)), 1), schema)
+    t.insert(withNull)
+    // cond is NULL for id=2 (name IS NULL): three-valued logic — DELETE
+    // removes only WHERE-true rows, so id=2 must survive the rewrite
+    assert(t.delete(col("name") === "a") == 1)
+    assert(t.df.orderBy(col("id")).collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
   test("delete removing a whole file shrinks the manifest") {
     val t = mkTable()
     t.insert(rows((1L, "a", 1.0)))
