@@ -204,13 +204,48 @@ object Dedup {
   }
 
   // === embedding-cosine near-dup ===========================================
-  /** Near-duplicate pairs by embedding cosine >= threshold. Exact all-pairs
-    * here (oracle-checkable; 500 vectors); the 100 TB path swaps the
-    * pair source for Similarity's multi-table LSH candidate join and keeps
-    * the same exact-cosine filter — the filter, not the candidate
-    * generator, defines the operator's semantics.
+  val ndTables = 32
+  val ndPlanes = 4
+
+  /** Near-duplicate pairs by embedding cosine >= threshold, candidates
+    * from the multi-table hyperplane LSH index (Similarity.lshBuckets):
+    * a pair is examined only when it shares some (table, bucket) —
+    * never the all-pairs cross join. 32 tables x 4 sign bits catch a
+    * boundary pair (cos = 0.3) with p ~ 0.987 per table-set and
+    * essentially always above it; recall vs the exact all-pairs oracle
+    * is asserted >= 0.95 in DedupSpec. The band join ships only
+    * (id, tbl, bucket); vectors re-join AFTER pair dedup.
+    *
+    * The oracle regenerates the IDENTICAL candidate set (the LCG planes
+    * are three lines of exact integer SQL — Similarity.sqlPlaneComponent)
+    * so both engines compute the same pairs bit-for-bit. At 100 TB,
+    * raise `planes` with log(n) to keep bucket sizes bounded and swap
+    * the threshold up for true near-dup semantics.
     */
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+    val idx = Similarity.lshBuckets(e, ndTables, ndPlanes)
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+    val cand = idx.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+      .join(idx.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        Exact.dround(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact all-pairs ground truth — DedupSpec's recall oracle ONLY (the
+    * registered query never plans a cartesian product).
+    */
+  def embeddingNearDupAllPairs(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
@@ -223,17 +258,28 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  def embeddingNearDupSql(threshold: Double = 0.3): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  def embeddingNearDupSql(threshold: Double = 0.3): String = {
+    val nPl = ndTables * ndPlanes
+    s"""WITH RECURSIVE ${Similarity.sqlPlanesCte(nPl)},
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (
+       |  SELECT e.vec_id, (pl.p // $ndPlanes) AS tbl,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+       |             THEN (1 << (pl.p % $ndPlanes)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e, pl GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sig a JOIN sig b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b,
        |  ${Exact.sqlDround(
              "list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))", 6)}
        |    AS cos_sim
-       |FROM e a, e b
-       |WHERE a.vec_id < b.vec_id
-       | AND list_dot_product(a.v, b.v)
+       |FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
+       |WHERE list_dot_product(a.v, b.v)
        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // === duplicate clustering (connected components) =========================
   /** Connected components over a candidate-pair edge list — the final

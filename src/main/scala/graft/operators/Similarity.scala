@@ -102,39 +102,52 @@ object Similarity {
   val lshTables = 8
   val lshPlanes = 6
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 mapped to [-1, 1). No RNG, no driver state — reproducible
-    * across executors and engines.
-    */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim).cast(DoubleType) / lit(Long.MaxValue.toDouble))
-
   val maxDim = 64
+  val maxPlanes = 256
 
-  /** Hyperplane components materialized once (evaluated through Spark's
-    * own xxhash64 so they are identical to the expression form) and then
-    * embedded as array literals — each projection becomes one codegen'd
-    * vec_dot instead of an interpreted higher-order fold.
+  /** Deterministic pseudo-random hyperplane components in [-1, 1): the
+    * MINSTD Lehmer sequence x_{k+1} = 48271 * x_k mod (2^31 - 1), walked
+    * over the flat (plane, dim) index. ITERATED, not a closed form in
+    * the index — an affine-in-index variant has consecutive components
+    * perfectly correlated and measurably destroys LSH recall. Exact
+    * integer arithmetic (every intermediate < 2^46) followed by the same
+    * two IEEE double ops on both engines, so a SQL oracle regenerates
+    * the IDENTICAL planes with a 4-line recursive CTE
+    * (see sqlPlanesCte / Dedup.embeddingNearDupSql).
     */
-  @volatile private var planeCache: Array[Array[Double]] = _
-  private def planes(s: SparkSession): Array[Array[Double]] = {
-    if (planeCache == null) synchronized {
-      if (planeCache == null) {
-        val nPlanes = lshTables * lshPlanes
-        val cols = for (p <- 0 until nPlanes; d <- 0 until maxDim)
-          yield planeComponent(p, lit(d)).as(s"c_${p}_$d")
-        val row = s.range(1).select(cols: _*).head()
-        planeCache = Array.tabulate(nPlanes, maxDim)((p, d) => row.getDouble(p * maxDim + d))
-      }
+  val lcgSeed = 424242L
+  private lazy val allPlanes: Array[Array[Double]] = {
+    val out = Array.ofDim[Double](maxPlanes, maxDim)
+    var x = lcgSeed
+    for (p <- 0 until maxPlanes; d <- 0 until maxDim) {
+      x = (48271L * x) % 2147483647L
+      out(p)(d) = x.toDouble / 2147483647.0 * 2.0 - 1.0
     }
-    planeCache
+    out
   }
 
-  /** Sign-bit signature for one table: bit p = 1 iff v . plane_{t,p} >= 0. */
-  def lshSignature(s: SparkSession, v: Column, table: Int): Column = {
-    val pl = planes(s)
-    val bits = (0 until lshPlanes).map { p =>
-      val plane = pl(table * lshPlanes + p)
+  /** Recursive-CTE SQL regenerating `allPlanes` bit-for-bit as
+    * (p, plane-list) rows for the first `nPlanes` planes of `planesPer`
+    * dims each. Compose as: WITH RECURSIVE <sqlPlanesCte(n)>, <rest...>
+    */
+  def sqlPlanesCte(nPlanes: Int): String = {
+    val total = nPlanes * maxDim
+    s"""lcg(k, x) AS (
+       |  SELECT 0, (CAST(48271 AS BIGINT) * $lcgSeed) % 2147483647
+       |  UNION ALL
+       |  SELECT k + 1, (CAST(48271 AS BIGINT) * x) % 2147483647 FROM lcg WHERE k < ${total - 1}),
+       |pl AS (
+       |  SELECT (k // $maxDim) AS p,
+       |         list(CAST(x AS DOUBLE) / 2147483647.0 * 2.0 - 1.0 ORDER BY k % $maxDim) AS plane
+       |  FROM lcg GROUP BY 1)""".stripMargin
+  }
+
+  /** Sign-bit signature for one table: bit p = 1 iff v . plane_{t,p} >= 0.
+    * Each projection is one codegen'd vec_dot against a plane literal.
+    */
+  def lshSignature(v: Column, table: Int, nPlanes: Int = lshPlanes): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val plane = allPlanes(table * nPlanes + p)
       val planeLit = array(plane.map(lit(_)): _*)
       val proj = graft.functions.VectorFunctions.vecDot(v, planeLit)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -142,11 +155,15 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** (table, bucket) rows per vector — the multi-table LSH index. */
-  private def lshBuckets(s: SparkSession, e: DataFrame): DataFrame =
+  /** (table, bucket) rows per vector — the multi-table LSH index.
+    * `tables * planes` must stay <= maxPlanes.
+    */
+  def lshBuckets(e: DataFrame, tables: Int = lshTables, planes: Int = lshPlanes): DataFrame = {
+    require(tables * planes <= maxPlanes, s"need ${tables * planes} planes > $maxPlanes")
     e.select(col("vec_id"), col("v"), posexplode(
-      array((0 until lshTables).map(tb => lshSignature(s, col("v"), tb)): _*))
+      array((0 until tables).map(tb => lshSignature(col("v"), tb, planes)): _*))
       .as(Seq("tbl", "bucket")))
+  }
 
   /** ANN top-k: candidates = union over tables of the query's bucket
     * members, then exact cosine on the (deduped) candidate set. Recall vs
@@ -154,14 +171,19 @@ object Similarity {
     */
   def annTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v"))
-    val idx = lshBuckets(s, e)
+    // ship only (id, tbl, bucket) through the candidate shuffle — the
+    // 64-dim vectors are re-joined AFTER pair dedup, so the band join
+    // moves 3 longs per row instead of 512 bytes of vector
+    val idx = lshBuckets(e).select(col("vec_id"), col("tbl"), col("bucket"))
     val q = idx.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"), col("bucket"))
-    val cand = q.join(idx.select(col("vec_id").as("n_id"), col("v").as("nv"), col("tbl"), col("bucket")),
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val cand = q.join(idx.select(col("vec_id").as("n_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("qv"), col("n_id"), col("nv"))
+      .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
     val pairs = cand.withColumn("cos", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     pairs.withColumn("rnk", row_number().over(w))

@@ -108,4 +108,18 @@ class DedupSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
     assert(rows.forall(r => r.getAs[Double]("jaccard") >= 0.05))
   }
+
+  test("embedding near-dup: LSH candidates, no cartesian, recall >= 0.95 vs all-pairs") {
+    val lsh = Dedup.embeddingNearDup(spark, sfDir)
+    // the registered query must never plan a cartesian / nested-loop join
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"dd5 planned a cross join:\n$plan")
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.embeddingNearDupAllPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "LSH candidates produced a pair outside ground truth")
+    val recall = got.size.toDouble / math.max(truth.size, 1)
+    assert(recall >= 0.95, s"recall $recall (${got.size}/${truth.size})")
+  }
 }
