@@ -52,11 +52,18 @@ object Bench {
       // session model (engine/factory.rs:72-93); a shared session
       // serializes on SQLConf/analysis state (~20% throughput measured)
       val clientSession = spark.newSession()
+      // prepared statements, as BenchBase drives them: parse + analyze
+      // once per terminal, then each execution replans and re-runs every
+      // stage from the analyzed plan (PlanReuse — re-collecting a single
+      // Dataset would reuse its shuffle outputs, i.e. cache results)
+      val prepared = mix.map(n =>
+        n -> SparkEntry.queries(n)(clientSession, sfDir)).toMap
       val th = new Thread(() => {
         var i = t
         while (System.nanoTime() - t0 < windowNanos) {
           try {
-            SparkEntry.queries(mix(i % mix.length))(clientSession, sfDir).collect()
+            org.apache.spark.sql.graft.PlanReuse
+              .reanalyzed(clientSession, prepared(mix(i % mix.length))).collect()
             completed.incrementAndGet()
           } catch { case _: Throwable => }
           i += 1

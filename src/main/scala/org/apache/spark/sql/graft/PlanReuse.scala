@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.classic.{DataFrame => ClassicDataFrame, Dataset, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Prepared-statement plan reuse (A21 / engine prepared path).
+  *
+  * A DuckDB prepared statement parses and binds once, then re-executes the
+  * SAME plan per execution. Spark's nearest safe equivalent: keep the
+  * ANALYZED logical plan and spin a fresh QueryExecution per execution —
+  * parsing + analysis (catalog/schema resolution) are amortized, while
+  * optimization, physical planning, and EVERY stage re-run from scratch
+  * (re-collecting one Dataset instance would silently reuse its
+  * materialized shuffle outputs — result caching, not plan reuse).
+  *
+  * Lives in org.apache.spark.sql.* because Dataset.ofRows is private[sql].
+  */
+object PlanReuse {
+
+  /** Fresh executable DataFrame over `df`'s analyzed plan. */
+  def reanalyzed(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[ClassicSparkSession]
+    Dataset.ofRows(cs, df.asInstanceOf[ClassicDataFrame].queryExecution.analyzed)
+  }
+}
