@@ -1,0 +1,246 @@
+package graft.flight
+
+import java.nio.charset.StandardCharsets
+
+import graft._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graft.ArrowWire
+
+/** Flight SQL producer facade — the reference's `FlightSqlService`
+  * handler layer (swanlake-core/src/service/handlers/mod.rs:29-323)
+  * re-expressed transport-agnostically: every RPC is a method over
+  * bytes (tickets in, Arrow IPC streams out), so a gRPC layer — absent
+  * here because no arrow-flight/tonic jars ship in the offline build —
+  * is a thin framing adapter: each tonic handler unwraps its prost
+  * command and delegates 1:1 to the method of the same name.
+  *
+  * Deviation, documented: the reference's metadata tickets wrap prost
+  * `Command*` messages in a protobuf `Any` (metadata.rs); this facade
+  * namespaces them into the statement ticket's handle field
+  * (`meta:<kind>[:<arg>]`) so the offline build needs no protobuf Any.
+  * The adapter translates ticket payloads at the framing boundary.
+  *
+  * Scale note: `doGet` returns one materialized IPC byte array because
+  * the in-proc consumer is the test harness; the underlying
+  * `ArrowWire.toIpcStream` iterates executeCollect batches, so a
+  * streaming transport can emit the same frames incrementally.
+  */
+final class FlightSqlProducer(val registry: SessionRegistry) {
+
+  /** A wire error: Flight status code (ErrorMapping, mod.rs:153-325)
+    * plus message — what the gRPC adapter turns into `tonic::Status`.
+    */
+  final case class FlightStatusException(code: Int, message: String)
+    extends RuntimeException(message)
+
+  final case class Endpoint(ticket: Array[Byte])
+
+  /** GetFlightInfo answer: IPC-encoded result schema + one endpoint
+    * whose ticket DoGet accepts (statement.rs:74-92).
+    */
+  final case class Info(schemaIpc: Array[Byte], endpoints: Seq[Endpoint]) {
+    def ticket: Array[Byte] = endpoints.head.ticket
+  }
+
+  private def wrap[A](f: => A): A =
+    try f catch {
+      case fs: FlightStatusException => throw fs
+      case t: Throwable =>
+        throw FlightStatusException(ErrorMapping.classify(t).code,
+          Option(t.getMessage).getOrElse(t.getClass.getSimpleName))
+    }
+
+  private def session(peer: String): Session = wrap(registry.getOrCreate(peer))
+
+  private def schemaIpcOf(df: DataFrame): Array[Byte] =
+    ArrowWire.toIpcStream(df.limit(0))
+
+  // === handshake (mod.rs:33-58) ============================================
+  /** No-auth handshake: echo the client's protocol version, empty
+    * payload; materializes the peer's session as a side effect.
+    */
+  def handshake(peer: String, protocolVersion: Long): (Long, Array[Byte]) = {
+    session(peer)
+    (protocolVersion, Array.empty[Byte])
+  }
+
+  // === ad-hoc statements (statement.rs:24-162) =============================
+  /** Plan a statement: schema for queries, empty schema for commands;
+    * ticket is an EPHEMERAL statement ticket carrying the SQL.
+    */
+  def getFlightInfoStatement(peer: String, sql: String): Info = wrap {
+    val s = session(peer)
+    val clean = SqlShim.stripSelectLocks(sql)
+    val multi = SqlShim.statementCount(clean) > 1
+    var returnsRows = SqlShim.isQuery(clean)
+    val schema: Option[DataFrame] =
+      if (!multi && returnsRows) {
+        val df = s.spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(clean)))
+        returnsRows = true
+        Some(df)
+      } else None
+    val ticket = TicketCodec.encode(TicketCodec.ephemeral(clean, returnsRows))
+    Info(schema.map(schemaIpcOf).getOrElse(Array.empty), Seq(Endpoint(ticket)))
+  }
+
+  /** Execute a ticket: prepared handle → session lookup; else fallback
+    * SQL; queries stream IPC, commands execute and return an empty
+    * stream (statement.rs:97-162 — ExecuteQuery callers issuing DDL
+    * must not fail).
+    */
+  def doGet(peer: String, ticketBytes: Array[Byte]): Array[Byte] = wrap {
+    val t =
+      try TicketCodec.decode(ticketBytes)
+      catch { case e: TicketCodec.MalformedTicketException =>
+        throw FlightStatusException(ErrorMapping.InvalidArgument.code, e.msg) }
+    val handleStr = new String(t.handle, StandardCharsets.UTF_8)
+    if (handleStr.startsWith("meta:")) doGetMetadata(peer, handleStr)
+    else {
+      val s = session(peer)
+      val df =
+        if (t.handle.nonEmpty) s.executePrepared(handleStr)
+        else t.fallbackSql match {
+          case Some(sql) => s.sql(sql)
+          case None => throw FlightStatusException(
+            ErrorMapping.InvalidArgument.code, "ticket has neither handle nor SQL")
+        }
+      if (t.returnsRowsFlag) ArrowWire.toIpcStream(df)
+      else { df.collect(); ArrowWire.toIpcStream(df.limit(0)) }
+    }
+  }
+
+  /** DoPut of a command statement: execute, answer affected-row count
+    * (statement.rs do_put_statement_update).
+    */
+  def doPutStatementUpdate(peer: String, sql: String): Long = wrap {
+    val s = session(peer)
+    val df = s.sql(sql)
+    if (df.columns.contains("num_affected_rows"))
+      df.collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    else { df.collect(); 0L }
+  }
+
+  // === prepared statements (prepared.rs) ===================================
+  final case class PreparedInfo(handle: Array[Byte], datasetSchemaIpc: Array[Byte],
+      parameterSchemaIpc: Array[Byte])
+
+  def createPreparedStatement(peer: String, sql: String): PreparedInfo = wrap {
+    val s = session(peer)
+    val p = s.createPrepared(sql)
+    val dsSchema = p.schema.map(sc => schemaIpcOf(s.spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), sc)))
+      .getOrElse(Array.empty[Byte])
+    val paramSchema =
+      if (p.paramSchema.isEmpty) Array.empty[Byte]
+      else schemaIpcOf(s.spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), p.paramSchema))
+    PreparedInfo(p.handle.getBytes(StandardCharsets.UTF_8), dsSchema, paramSchema)
+  }
+
+  def getFlightInfoPreparedStatement(peer: String, handle: Array[Byte]): Info = wrap {
+    val s = session(peer)
+    val handleStr = new String(handle, StandardCharsets.UTF_8)
+    val p = s.getPrepared(handleStr).getOrElse(throw FlightStatusException(
+      ErrorMapping.NotFound.code, s"unknown prepared statement handle: $handleStr"))
+    val schemaIpc = p.schema.map(sc => schemaIpcOf(s.spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), sc)))
+      .getOrElse(Array.empty[Byte])
+    Info(schemaIpc, Seq(Endpoint(TicketCodec.encode(
+      TicketCodec.prepared(p.handle.getBytes(StandardCharsets.UTF_8))))))
+  }
+
+  /** Bind positional parameters carried as a one-row Arrow record batch
+    * (prepared.rs do_put_prepared_statement_query; A10 param-set
+    * extraction).
+    */
+  def doPutPreparedStatementQuery(peer: String, handle: Array[Byte],
+      paramsIpc: Array[Byte]): Unit = wrap {
+    val s = session(peer)
+    val handleStr = new String(handle, StandardCharsets.UTF_8)
+    if (s.getPrepared(handleStr).isEmpty)
+      throw FlightStatusException(ErrorMapping.NotFound.code,
+        s"unknown prepared statement handle: $handleStr")
+    if (paramsIpc.nonEmpty) {
+      val rows = ArrowWire.fromIpcStream(s.spark, paramsIpc).collect()
+      rows.headOption.foreach(r => s.bindParams(handleStr, r.toSeq))
+    }
+  }
+
+  def doPutPreparedStatementUpdate(peer: String, handle: Array[Byte],
+      paramsIpc: Array[Byte]): Long = wrap {
+    doPutPreparedStatementQuery(peer, handle, paramsIpc)
+    val s = session(peer)
+    val df = s.executePrepared(new String(handle, StandardCharsets.UTF_8))
+    if (df.columns.contains("num_affected_rows"))
+      df.collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    else { df.collect(); 0L }
+  }
+
+  def closePreparedStatement(peer: String, handle: Array[Byte]): Unit = wrap {
+    session(peer).closePrepared(new String(handle, StandardCharsets.UTF_8))
+  }
+
+  // === metadata RPCs (metadata.rs) =========================================
+  private def metaTicket(kind: String): Array[Byte] =
+    TicketCodec.encode(TicketCodec.Ticket(
+      kind = TicketCodec.KindEphemeral,
+      handle = s"meta:$kind".getBytes(StandardCharsets.UTF_8),
+      returnsRows = Some(true)))
+
+  private def metaDf(peer: String, kind: String): DataFrame = {
+    val spark = session(peer).spark
+    kind match {
+      case "catalogs"    => InfoSchema.catalogs(spark)
+      case "schemas"     => InfoSchema.schemata(spark)
+      case "tables"      => InfoSchema.tables(spark)
+      case "table_types" => InfoSchema.tableTypes(spark)
+      case "primary_keys"    => InfoSchema.primaryKeys(spark)
+      case "exported_keys"   => InfoSchema.exportedKeys(spark)
+      case "imported_keys"   => InfoSchema.importedKeys(spark)
+      case "cross_reference" => InfoSchema.crossReference(spark)
+      case "sql_info"        => sqlInfoDf(spark)
+      case other => throw FlightStatusException(
+        ErrorMapping.InvalidArgument.code, s"unknown metadata ticket: $other")
+    }
+  }
+
+  private def doGetMetadata(peer: String, handleStr: String): Array[Byte] =
+    ArrowWire.toIpcStream(metaDf(peer, handleStr.stripPrefix("meta:")))
+
+  private def metaInfo(peer: String, kind: String): Info =
+    Info(schemaIpcOf(metaDf(peer, kind)), Seq(Endpoint(metaTicket(kind))))
+
+  def getFlightInfoCatalogs(peer: String): Info = wrap(metaInfo(peer, "catalogs"))
+  def getFlightInfoDbSchemas(peer: String): Info = wrap(metaInfo(peer, "schemas"))
+  def getFlightInfoTables(peer: String): Info = wrap(metaInfo(peer, "tables"))
+  def getFlightInfoTableTypes(peer: String): Info = wrap(metaInfo(peer, "table_types"))
+  def getFlightInfoPrimaryKeys(peer: String): Info = wrap(metaInfo(peer, "primary_keys"))
+  def getFlightInfoExportedKeys(peer: String): Info = wrap(metaInfo(peer, "exported_keys"))
+  def getFlightInfoImportedKeys(peer: String): Info = wrap(metaInfo(peer, "imported_keys"))
+  def getFlightInfoCrossReference(peer: String): Info = wrap(metaInfo(peer, "cross_reference"))
+  def getFlightInfoSqlInfo(peer: String): Info = wrap(metaInfo(peer, "sql_info"))
+
+  /** GetSqlInfo rows: (info id, stringified value) — the static
+    * capability map (sql_info.rs:20-36). The gRPC adapter re-encodes
+    * values into the spec's dense union; the id->value contract and
+    * ordering live here.
+    */
+  private def sqlInfoDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    SqlInfo.values.toSeq.sortBy(_._1)
+      .map { case (k, v) => (k, v.toString) }
+      .toDF("info_name", "value")
+  }
+
+  // === transactions (transaction.rs) =======================================
+  def beginTransaction(peer: String): Array[Byte] = wrap {
+    val s = session(peer)
+    s.begin()
+    s.id.getBytes(StandardCharsets.UTF_8)
+  }
+
+  def endTransaction(peer: String, transactionId: Array[Byte], commit: Boolean): Unit = wrap {
+    val s = session(peer)
+    if (commit) s.commit() else s.rollback()
+  }
+}

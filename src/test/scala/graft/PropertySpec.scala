@@ -25,11 +25,11 @@ class PropertySpec extends AnyFunSuite {
   test("ticket codec round-trips arbitrary tickets") {
     val gen = for {
       version <- Gen.chooseNum(0, 1 << 20)
-      eph <- Gen.oneOf(true, false)
+      kind <- Gen.chooseNum(0, 3)
       handle <- Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
-      sql <- Gen.asciiPrintableStr
-      rows <- Gen.oneOf(true, false)
-    } yield TicketCodec.Ticket(version, eph, handle, sql, rows)
+      sql <- Gen.option(Gen.asciiPrintableStr)
+      rows <- Gen.option(Gen.oneOf(true, false))
+    } yield TicketCodec.Ticket(version, kind, handle, sql, rows)
     forAll(gen) { t =>
       assert(TicketCodec.decode(TicketCodec.encode(t)) == t)
     }

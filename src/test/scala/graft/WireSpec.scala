@@ -7,13 +7,37 @@ class TicketCodecSpec extends AnyFunSuite {
   import TicketCodec._
 
   test("round-trips all fields (ticket.rs:40-59 layout)") {
-    val t = Ticket(version = 1, ephemeral = true, handle = Array[Byte](1, 2, 3),
-      fallbackSql = "SELECT 1", returnsRows = true)
+    val t = Ticket(version = 2, kind = KindEphemeral, handle = Array[Byte](1, 2, 3),
+      fallbackSql = Some("SELECT 1"), returnsRows = Some(true))
     assert(decode(encode(t)) == t)
   }
 
+  test("wire fixture: bytes prost emits for a reference ticket decode identically (ticket.rs:40-62)") {
+    // TicketStatementPayload { version: 2, kind: Ephemeral=2,
+    //   fallback_sql: Some("SELECT 1"), returns_rows: Some(true) }
+    // prost: 08 02 | 10 02 | 22 08 "SELECT 1" | 28 01
+    val prostBytes = Array[Byte](0x08, 0x02, 0x10, 0x02, 0x22, 0x08) ++
+      "SELECT 1".getBytes("UTF-8") ++ Array[Byte](0x28, 0x01)
+    val t = decode(prostBytes)
+    assert(t.version == CurrentVersion && t.isEphemeral &&
+      t.fallbackSql.contains("SELECT 1") && t.returnsRowsFlag)
+    assert(encode(t).sameElements(prostBytes), "encode must emit prost's exact bytes")
+  }
+
+  test("absent returns_rows defaults to TRUE; optional false is still encoded (ticket.rs:106-108)") {
+    assert(decode(encode(Ticket(kind = KindPrepared, handle = Array[Byte](9)))).returnsRowsFlag)
+    val cmd = decode(encode(Ticket(kind = KindEphemeral, returnsRows = Some(false))))
+    assert(cmd.returnsRows.contains(false) && !cmd.returnsRowsFlag)
+  }
+
+  test("length-overflow varint in a bytes field is rejected, not wrapped") {
+    // field 3 (bytes) with a 2^32-scale length that would wrap negative as Int
+    val evil = Array[Byte](0x1A, 0x90.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x10, 0x01)
+    intercept[MalformedTicketException](decode(evil))
+  }
+
   test("default fields are omitted on the wire and restored on decode (proto3)") {
-    val t = Ticket(version = 1)
+    val t = Ticket(version = 2)
     val bytes = encode(t)
     assert(bytes.length == 2, "only the version field should be encoded")
     assert(decode(bytes) == t)
@@ -24,14 +48,14 @@ class TicketCodecSpec extends AnyFunSuite {
   }
 
   test("unknown fields are skipped (forward compatibility)") {
-    val base = encode(Ticket(version = 1, fallbackSql = "SELECT 2"))
+    val base = encode(Ticket(version = 1, fallbackSql = Some("SELECT 2")))
     // append unknown field 9 (varint) and field 10 (bytes)
     val extra = Array[Byte]((9 << 3).toByte, 42, ((10 << 3) | 2).toByte, 2, 7, 7)
-    assert(decode(base ++ extra) == Ticket(version = 1, fallbackSql = "SELECT 2"))
+    assert(decode(base ++ extra) == Ticket(version = 1, fallbackSql = Some("SELECT 2")))
   }
 
   test("truncated tickets raise MalformedTicketException (ticket.rs decode errors)") {
-    val good = encode(Ticket(version = 1, fallbackSql = "SELECT 1"))
+    val good = encode(Ticket(version = 1, fallbackSql = Some("SELECT 1")))
     intercept[MalformedTicketException](decode(good.dropRight(3)))
     intercept[MalformedTicketException](decode(Array[Byte](0x80.toByte)))
   }

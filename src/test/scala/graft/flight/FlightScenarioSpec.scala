@@ -1,0 +1,136 @@
+package graft.flight
+
+import java.nio.charset.StandardCharsets
+
+import graft._
+import org.apache.spark.sql.graft.ArrowWire
+
+/** End-to-end scenarios through the Flight SQL producer facade — the
+  * in-proc loopback equivalent of the reference's runner driving the
+  * gRPC server (tests/runner/src/scenarios/mod.rs): every byte that
+  * would cross the wire (tickets, Arrow IPC) does so here, minus the
+  * gRPC framing.
+  */
+class FlightScenarioSpec extends SparkTestBase {
+
+  private def newProducer() =
+    new FlightSqlProducer(new SessionRegistry(spark))
+
+  private def rowsOf(ipc: Array[Byte]) =
+    ArrowWire.fromIpcStream(spark, ipc).collect()
+
+  test("handshake echoes protocol version with empty payload (mod.rs:33-58)") {
+    val p = newProducer()
+    val (ver, payload) = p.handshake("peer-h", 7L)
+    assert(ver == 7L && payload.isEmpty)
+    assert(p.registry.get("peer-h").isDefined, "handshake materializes the session")
+  }
+
+  test("ad-hoc query: GetFlightInfo plans schema, DoGet streams rows (statement.rs)") {
+    val p = newProducer()
+    Engine.registerAll(spark, sfDir)
+    p.registry.getOrCreate("peer-q") // session shares the root catalog? use root views
+    val info = p.getFlightInfoStatement("peer-q",
+      s"SELECT n_nationkey, n_name FROM parquet.`$sfDir/nation.parquet` ORDER BY n_nationkey")
+    assert(info.schemaIpc.nonEmpty, "query FlightInfo carries a planned schema")
+    val ticket = TicketCodec.decode(info.ticket)
+    assert(ticket.isEphemeral && ticket.returnsRowsFlag && ticket.version == TicketCodec.CurrentVersion)
+    val rows = rowsOf(p.doGet("peer-q", info.ticket))
+    assert(rows.length == 25 && rows.head.getString(1).nonEmpty)
+  }
+
+  test("commands flow through DoGet with an empty stream (statement.rs:97-162)") {
+    val p = newProducer()
+    val info = p.getFlightInfoStatement("peer-c", "DROP TABLE IF EXISTS flight_cmd_t")
+    assert(info.schemaIpc.isEmpty, "command FlightInfo has the empty schema")
+    assert(!TicketCodec.decode(info.ticket).returnsRowsFlag)
+    assert(rowsOf(p.doGet("peer-c", info.ticket)).isEmpty)
+  }
+
+  test("prepared statement lifecycle: create, bind Arrow params, execute, close (prepared.rs)") {
+    val p = newProducer()
+    val prep = p.createPreparedStatement("peer-p",
+      s"SELECT n_name FROM parquet.`$sfDir/nation.parquet` WHERE n_nationkey = ? ORDER BY n_name")
+    assert(prep.handle.nonEmpty)
+    // params ride as a one-row Arrow record batch (A10)
+    val paramsDf = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(java.util.List.of(Row(2L)),
+        StructType(Seq(StructField("p1", LongType))))
+    }
+    p.doPutPreparedStatementQuery("peer-p", prep.handle, ArrowWire.toIpcStream(paramsDf))
+    val info = p.getFlightInfoPreparedStatement("peer-p", prep.handle)
+    val t = TicketCodec.decode(info.ticket)
+    assert(t.isPrepared && t.handle.sameElements(prep.handle))
+    val rows = rowsOf(p.doGet("peer-p", info.ticket))
+    assert(rows.length == 1)
+    p.closePreparedStatement("peer-p", prep.handle)
+    intercept[FlightSqlProducer#FlightStatusException] {
+      p.getFlightInfoPreparedStatement("peer-p", prep.handle)
+    }
+  }
+
+  test("prepared update via DoPut answers affected rows (prepared.rs update path)") {
+    val p = newProducer()
+    val s = p.registry.getOrCreate("peer-u")
+    s.spark.sql("DROP TABLE IF EXISTS flight_upd_t")
+    s.spark.sql("CREATE TABLE flight_upd_t (id INT, v STRING) USING parquet")
+    val prep = p.createPreparedStatement("peer-u", "INSERT INTO flight_upd_t VALUES (?, ?)")
+    val paramsDf = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(java.util.List.of(Row(1, "x")),
+        StructType(Seq(StructField("p1", IntegerType), StructField("p2", StringType))))
+    }
+    val n = p.doPutPreparedStatementUpdate("peer-u", prep.handle, ArrowWire.toIpcStream(paramsDf))
+    // Spark SQL INSERT reports no change count (num_affected_rows is a
+    // v2-DML-only column) -> 0; the write itself must have landed
+    assert(n >= 0L)
+    assert(s.spark.sql("SELECT COUNT(*) FROM flight_upd_t").head.getLong(0) == 1)
+    s.spark.sql("DROP TABLE flight_upd_t")
+  }
+
+  test("metadata RPCs serve catalogs/schemas/tables/table-types/keys/sql-info (metadata.rs)") {
+    val p = newProducer()
+    val peer = "peer-m"
+    val cats = rowsOf(p.doGet(peer, p.getFlightInfoCatalogs(peer).ticket))
+    assert(cats.map(_.getString(0)).contains("spark_catalog"))
+    val types = rowsOf(p.doGet(peer, p.getFlightInfoTableTypes(peer).ticket))
+    assert(types.map(_.getString(0)).toSet == Set("TABLE", "VIEW"))
+    assert(rowsOf(p.doGet(peer, p.getFlightInfoPrimaryKeys(peer).ticket)).isEmpty)
+    assert(rowsOf(p.doGet(peer, p.getFlightInfoImportedKeys(peer).ticket)).isEmpty)
+    val sqlInfo = rowsOf(p.doGet(peer, p.getFlightInfoSqlInfo(peer).ticket))
+    assert(sqlInfo.exists(r => r.getInt(0) == SqlInfo.FLIGHT_SQL_SERVER_NAME))
+    // a table registered in the peer's session shows up via GetTables
+    p.registry.getOrCreate(peer).spark.range(1).createOrReplaceTempView("flight_meta_v")
+    val tables = rowsOf(p.doGet(peer, p.getFlightInfoTables(peer).ticket))
+    assert(tables.exists(_.getString(2) == "flight_meta_v"))
+  }
+
+  test("errors map to Flight status codes (mod.rs:153-325 / ErrorMapping)") {
+    val p = newProducer()
+    val bad = intercept[FlightSqlProducer#FlightStatusException] {
+      p.getFlightInfoStatement("peer-e", "SELECT definitely broken FROM")
+    }
+    assert(bad.code == ErrorMapping.InvalidArgument.code)
+    val missing = intercept[FlightSqlProducer#FlightStatusException] {
+      p.doGet("peer-e", TicketCodec.encode(
+        TicketCodec.prepared("nope".getBytes(StandardCharsets.UTF_8))))
+    }
+    assert(missing.code == ErrorMapping.NotFound.code)
+    val garbage = intercept[FlightSqlProducer#FlightStatusException] {
+      p.doGet("peer-e", Array[Byte](0x1A, 0x7F))
+    }
+    assert(garbage.code == ErrorMapping.InvalidArgument.code)
+  }
+
+  test("transactions begin/commit/rollback through the action surface (transaction.rs)") {
+    val p = newProducer()
+    val txn = p.beginTransaction("peer-t")
+    assert(txn.nonEmpty)
+    assert(p.registry.getOrCreate("peer-t").inTransaction)
+    p.endTransaction("peer-t", txn, commit = true)
+    assert(!p.registry.getOrCreate("peer-t").inTransaction)
+  }
+}
