@@ -113,7 +113,11 @@ object Engine {
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
     val statements = SqlShim.splitStatements(sqlText)
     require(statements.nonEmpty, "empty SQL script")
-    statements.map(s =>
-      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))))).last
+    statements.map { s =>
+      // recompute-per-query semantics for the metadata views
+      // (metadata.rs:26-34): DDL between statements must be visible
+      if (InfoSchema.referencesInfoSchema(s)) InfoSchema.register(spark)
+      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))))
+    }.last
   }
 }

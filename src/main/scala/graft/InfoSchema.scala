@@ -69,6 +69,26 @@ object InfoSchema {
     StructField("table_name", StringType),
     StructField("table_type", StringType)))
 
+  /** GetTables with include_schema=true (metadata.rs:223-270): each row
+    * additionally carries the table's Arrow schema as IPC bytes — the
+    * Flight SQL `table_schema` column ADBC clients deserialize to plan
+    * reads without a round-trip per table.
+    */
+  def tablesWithSchema(spark: SparkSession): DataFrame = {
+    val base = tables(spark).collect()
+    val rows = base.map { r =>
+      val name = r.getString(2)
+      val qualified =
+        if (r.getString(1) == "temp") name else s"${r.getString(1)}.$name"
+      val ipc = scala.util.Try(
+        org.apache.spark.sql.graft.ArrowWire.toIpcStream(spark.table(qualified).limit(0)))
+        .getOrElse(Array.empty[Byte])
+      Row(r.getString(0), r.getString(1), name, r.getString(3), ipc)
+    }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      tablesSchema.add(StructField("table_schema", BinaryType)))
+  }
+
   /** GetTableTypes: the constant {TABLE, VIEW} (metadata.rs:294-309). */
   def tableTypes(spark: SparkSession): DataFrame =
     spark.createDataFrame(
@@ -113,4 +133,12 @@ object InfoSchema {
     */
   def rewriteInfoSchema(sql: String): String =
     sql.replaceAll("(?i)information_schema\\.(tables|schemata)", "information_schema_$1")
+
+  /** Whether a statement touches the information_schema surface — the
+    * SQL entry points re-register the snapshot views first, giving the
+    * reference's recompute-per-query semantics (metadata.rs:26-34)
+    * without holding a stale snapshot between DDL statements.
+    */
+  def referencesInfoSchema(sql: String): Boolean =
+    java.util.regex.Pattern.compile("(?i)information_schema[._]").matcher(sql).find()
 }

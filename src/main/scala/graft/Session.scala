@@ -75,8 +75,11 @@ final class Session(val id: String, val spark: SparkSession) {
     require(statements.nonEmpty, "empty SQL script")
     if (statements.exists(invalidatesSchemas))
       schemaCache.synchronized(schemaCache.clear())
-    statements.map(s =>
-      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))))).last
+    statements.map { s =>
+      // metadata views recompute per query (metadata.rs:26-34)
+      if (InfoSchema.referencesInfoSchema(s)) InfoSchema.register(spark)
+      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))))
+    }.last
   }
 
   // === prepared statements (A12/A21) =======================================

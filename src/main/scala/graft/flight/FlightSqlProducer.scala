@@ -193,6 +193,7 @@ final class FlightSqlProducer(val registry: SessionRegistry) {
       case "catalogs"    => InfoSchema.catalogs(spark)
       case "schemas"     => InfoSchema.schemata(spark)
       case "tables"      => InfoSchema.tables(spark)
+      case "tables_schema" => InfoSchema.tablesWithSchema(spark)
       case "table_types" => InfoSchema.tableTypes(spark)
       case "primary_keys"    => InfoSchema.primaryKeys(spark)
       case "exported_keys"   => InfoSchema.exportedKeys(spark)
@@ -212,7 +213,11 @@ final class FlightSqlProducer(val registry: SessionRegistry) {
 
   def getFlightInfoCatalogs(peer: String): Info = wrap(metaInfo(peer, "catalogs"))
   def getFlightInfoDbSchemas(peer: String): Info = wrap(metaInfo(peer, "schemas"))
-  def getFlightInfoTables(peer: String): Info = wrap(metaInfo(peer, "tables"))
+  /** `includeSchema` adds the per-table Arrow-IPC schema column
+    * (metadata.rs:223-270 include_schema).
+    */
+  def getFlightInfoTables(peer: String, includeSchema: Boolean = false): Info =
+    wrap(metaInfo(peer, if (includeSchema) "tables_schema" else "tables"))
   def getFlightInfoTableTypes(peer: String): Info = wrap(metaInfo(peer, "table_types"))
   def getFlightInfoPrimaryKeys(peer: String): Info = wrap(metaInfo(peer, "primary_keys"))
   def getFlightInfoExportedKeys(peer: String): Info = wrap(metaInfo(peer, "exported_keys"))

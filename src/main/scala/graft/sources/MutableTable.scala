@@ -158,6 +158,39 @@ final class MutableTable private (
     deleted
   }
 
+  /** Copy-on-write DELETE by key set: rows whose `keyCol` appears in
+    * `keys` are removed via a distributed anti-join — nothing about the
+    * key set ever reaches the driver (the isin-predicate form collects
+    * keys and caps out at driver memory; this is the upsert path's
+    * at-scale shape). Only files containing a matching key are
+    * rewritten; the only collect is over FILE NAMES, bounded by the
+    * manifest size.
+    */
+  def deleteKeys(keys: DataFrame, keyCol: String): Long = {
+    require(schema.fieldNames.contains(keyCol), s"unknown column: $keyCol")
+    val v = currentVersion
+    val all = readManifest(v)
+    if (all.isEmpty) return 0L
+    val keySet = keys.select(col(keyCol)).distinct()
+    // file name must attach AT THE SCAN (input_file_name() evaluated
+    // after the join runs outside the file-read task and yields "")
+    val fileDf = spark.read.schema(schema).parquet(all.map(f => dataDir.resolve(f).toString): _*)
+      .select(col(keyCol), input_file_name().as("__f"))
+    val hit = fileDf.join(keySet, Seq(keyCol), "left_semi")
+      .select(col("__f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val affected = all.filter(f => hit.exists(h => h.endsWith("/" + f) || h.endsWith(f)))
+    if (affected.isEmpty) return 0L
+    val affectedDf = spark.read.schema(schema)
+      .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
+    val deleted = affectedDf.join(keySet, Seq(keyCol), "left_semi").count()
+    val survivors = affectedDf.join(keySet, Seq(keyCol), "left_anti")
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    val replacement = if (survivors.isEmpty) Seq.empty else stageWrite(survivors)
+    commit(v + 1, all.filterNot(affected.contains) ++ replacement)
+    deleted
+  }
+
   /** Copy-on-write UPDATE: SET col -> expression for rows matching `cond`;
     * returns the number of rows updated.
     */

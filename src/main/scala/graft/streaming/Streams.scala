@@ -70,12 +70,12 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // one row per key (arbitrary-latest within the micro-batch), so
-        // the PK check holds; key list is collected — at larger batch
-        // sizes swap the isin for an anti-join delete
+        // the PK check holds; existing rows leave via a distributed
+        // anti-join (deleteKeys) — no key set ever reaches the driver,
+        // so batch size is bounded by the cluster, not driver memory
         val deduped = batch.dropDuplicates(pk).cache()
-        val keys = deduped.select(pk).collect().map(_.get(0)).toIndexedSeq
-        if (keys.nonEmpty) {
-          table.delete(org.apache.spark.sql.functions.col(pk).isin(keys: _*))
+        if (!deduped.isEmpty) {
+          table.deleteKeys(deduped, pk)
           table.insert(deduped)
         }
         deduped.unpersist()

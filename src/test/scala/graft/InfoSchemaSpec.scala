@@ -45,4 +45,28 @@ class InfoSchemaSpec extends SparkTestBase {
     assert(names.contains("vis_probe"))
     spark.sql("DROP VIEW vis_probe")
   }
+
+  test("information_schema recomputes per query: DDL is immediately visible (metadata.rs:26-34)") {
+    InfoSchema.register(spark) // snapshot BEFORE the create
+    spark.sql("CREATE OR REPLACE TEMP VIEW fresh_ddl_probe AS SELECT 1 AS x")
+    // no manual re-register: the SQL entry refreshes the views itself
+    val names = Engine.sql(spark,
+      "SELECT table_name FROM information_schema.tables").collect().map(_.getString(0))
+    assert(names.contains("fresh_ddl_probe"), "new view must be visible without re-registration")
+    spark.sql("DROP VIEW fresh_ddl_probe")
+    val after = Engine.sql(spark,
+      "SELECT table_name FROM information_schema.tables").collect().map(_.getString(0))
+    assert(!after.contains("fresh_ddl_probe"), "dropped view must disappear")
+  }
+
+  test("tablesWithSchema carries a decodable Arrow IPC schema per table (metadata.rs include_schema)") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW schema_probe AS SELECT 1 AS a, 'x' AS b")
+    val row = InfoSchema.tablesWithSchema(spark).collect()
+      .find(_.getString(2) == "schema_probe").get
+    val ipc = row.getAs[Array[Byte]]("table_schema")
+    assert(ipc.nonEmpty)
+    val decoded = org.apache.spark.sql.graft.ArrowWire.fromIpcStream(spark, ipc)
+    assert(decoded.schema.fieldNames.toSeq == Seq("a", "b"))
+    spark.sql("DROP VIEW schema_probe")
+  }
 }

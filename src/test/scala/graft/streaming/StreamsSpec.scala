@@ -58,6 +58,32 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("upsertStream: per-batch delete-then-insert keyed on the PK, no driver key collect") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_upsert").resolve("t").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val table = graft.sources.MutableTable.create(spark, dir, schema, Some("event_id"))
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streams.upsertStream(
+      mem.toDF().toDF("event_id", "value"), table, "event_id", ckpt)
+    try {
+      mem.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      assert(table.df.count() == 2)
+      // second batch re-keys 2 and adds 3: upsert, not append
+      mem.addData((2L, 20.0), (3L, 3.0))
+      q.processAllAvailable()
+      val rows = table.df.orderBy("event_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      assert(rows.find(_.getLong(0) == 2L).get.getDouble(1) == 20.0)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap times out, splits on in-batch gaps") {
     val sparkS = spark
     import sparkS.implicits._
