@@ -109,17 +109,22 @@ object Dedup {
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin
 
   // === MinHash + LSH =======================================================
-  val minhashK = 64
-  val lshBands = 16
+  val minhashK = 32
+  val lshBands = 8
   val lshRows = 4 // minhashK / lshBands
 
-  /** Per-document MinHash signature: array of k min-hashes, where hash i of
-    * a shingle is xxhash64(shingle, i). Computed with k aggregate columns —
-    * a single map-side-combinable group-by on doc_id.
+  /** Per-document MinHash signature: array of k min-hashes, where hash i
+    * of a shingle is md5(shingle + "#" + i) — an engine-portable hash
+    * family (lexicographic min over hex digests), so the DuckDB oracle
+    * computes the IDENTICAL signatures and dd3/dd7/dd8 are hash-checked
+    * end-to-end rather than spec-only. Computed with k aggregate
+    * columns — a single map-side-combinable group-by on doc_id. (The
+    * xxhash64 family is ~3x cheaper per hash; md5 is the price of an
+    * engine-portable oracle, still map-only and shuffle-free.)
     */
   def minhashSignatures(sh: DataFrame): DataFrame = {
     val mins = (0 until minhashK).map { i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+      min(md5(concat_ws("#", col("shingle"), lit(i.toString)))).as(s"h$i")
     }
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until minhashK).map(i => col(s"h$i")): _*).as("sig"))
@@ -133,7 +138,8 @@ object Dedup {
     val sig = minhashSignatures(shingles(s, dir, dedup = false))
     val banded = sig.select(col("doc_id"), posexplode(
       array((0 until lshBands).map { b =>
-        xxhash64((b * lshRows until (b + 1) * lshRows).map(i => element_at(col("sig"), i + 1)): _*)
+        md5(concat_ws("|", (b * lshRows until (b + 1) * lshRows)
+          .map(i => element_at(col("sig"), i + 1)): _*))
       }: _*)).as(Seq("band", "band_key")))
     val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
@@ -143,6 +149,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_band_hits"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** DuckDB mirror of shingles(dedup=false) + minhashSignatures +
+    * banding — shared by the dd3/dd7/dd8 oracles. Exposes CTEs
+    * `sh`, `sig`, `bands`, and `lsh_pairs` (== minhashLsh's output).
+    */
+  def minhashLshSqlCtes: String = {
+    val minExprs = (0 until minhashK)
+      .map(i => s"MIN(md5(shingle || '#$i')) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until lshBands).map { b =>
+      val parts = (b * lshRows until (b + 1) * lshRows).map(i => s"h$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+       |  FROM toks WHERE len(t) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minExprs
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |lsh_pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_band_hits
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  def minhashLshSql: String =
+    s"""WITH $minhashLshSqlCtes
+       |SELECT doc_a, doc_b, CAST(n_band_hits AS BIGINT) AS n_band_hits
+       |FROM lsh_pairs ORDER BY doc_a, doc_b""".stripMargin
 
   /** Estimated Jaccard from MinHash signatures for candidate pairs
     * (fraction of agreeing components) — used by DedupSpec to validate the
@@ -162,31 +203,41 @@ object Dedup {
   }
 
   // === SimHash =============================================================
-  /** 64-bit SimHash per document: sign of per-bit vote sums over token
-    * hashes. Pure column expressions (64 conditional sums in one group-by).
+  val simhashBits = 60 // 15 hex chars of md5 — fits BIGINT on both engines
+
+  /** 60-bit SimHash per document: sign of per-bit vote sums over token
+    * hashes. Pure column expressions (60 conditional sums in one group-by).
+    *
+    * The token hash is the first 15 hex chars of md5 parsed as an
+    * integer — an engine-portable family (same tradeoff as the dd3
+    * MinHash: ~3x the per-hash cost of xxhash64, bought back as a
+    * DuckDB oracle computing IDENTICAL signatures, so dd4 is
+    * hash-checked end-to-end). 60 bits rather than 64 because a full
+    * 16-char parse overflows signed BIGINT — Spark's conv would wrap
+    * while DuckDB errors.
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
+    val votes = (0 until simhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
     }
     toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map { i =>
+        (0 until simhashBits).map { i =>
           when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
         }.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
   /** Near-dup candidates within Hamming distance 3 via the 4-chunk
     * pigeonhole band join (any pair with distance <= 3 must agree on at
-    * least one 16-bit chunk).
+    * least one 15-bit chunk).
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(s, dir)
     val chunks = sig.select(col("doc_id"), col("simhash"), posexplode(
-      array((0 until 4).map(c => shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFF)): _*))
+      array((0 until 4).map(c => shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(0x7FFF)): _*))
       .as(Seq("chunk", "chunk_val")))
     val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("chunk"), col("chunk_val"))
     val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("chunk"), col("chunk_val"))
@@ -201,6 +252,40 @@ object Dedup {
       .filter(col("hamming") <= 16)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
+  /** dd4 oracle: DuckDB mirror of the portable-hash SimHash — identical
+    * token split, md5-prefix hash, vote sums, pigeonhole chunks, and
+    * Hamming filter, so the driver hash-checks the sketch end-to-end.
+    */
+  def simhashPairsSql: String = {
+    val votes = (0 until simhashBits)
+      .map(i => s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n    ")
+    val simExpr = (0 until simhashBits)
+      .map(i => s"CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END")
+      .mkString(" + ")
+    val chunkSelects = (0 until 4).map { c =>
+      s"SELECT doc_id, sim, $c AS chunk, (sim >> ${c * 15}) & 32767 AS chunk_val FROM sim"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents),
+       |hashes AS (
+       |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hashes GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simExpr AS sim FROM votes),
+       |chunks AS (
+       |  $chunkSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sh_a, b.sim AS sh_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 16
+       |ORDER BY hamming, doc_a, doc_b""".stripMargin
   }
 
   // === embedding-cosine near-dup ===========================================
@@ -434,6 +519,52 @@ object Dedup {
        |WHERE levenshtein(a.p_name, b.p_name) <= $maxDist
        |ORDER BY dist, key_a, key_b LIMIT 200""".stripMargin
 
+  /** dd7 oracle: the LSH pairs' connected components as a recursive-CTE
+    * transitive closure (label = min reachable doc_id). Cluster sizes
+    * are LSH-pruned, so the closure stays tiny in the oracle; the Spark
+    * side scales via min-label propagation + pointer jumping.
+    */
+  val duplicateClustersSql: String =
+    s"""WITH RECURSIVE $minhashLshSqlCtes,
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs WHERE n_band_hits >= 2
+       |  UNION
+       |  SELECT doc_b, doc_a FROM lsh_pairs WHERE n_band_hits >= 2),
+       |reach(n, l) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n)
+       |SELECT n AS doc_id, CAST(MIN(l) AS BIGINT) AS canonical_id
+       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
+
+  /** dd8 oracle: exact-dup canon (min doc_id per content hash) composed
+    * with the near-dup closure, mirroring dedupKeepList's verdicts.
+    */
+  val dedupKeepListSql: String =
+    s"""WITH RECURSIVE $minhashLshSqlCtes,
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs WHERE n_band_hits >= 2
+       |  UNION
+       |  SELECT doc_b, doc_a FROM lsh_pairs WHERE n_band_hits >= 2),
+       |reach(n, l) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n),
+       |clusters AS (SELECT n AS doc_id, MIN(l) AS canonical_id FROM reach GROUP BY n),
+       |exact_canon AS (
+       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keep_id
+       |  FROM (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+       |        FROM documents) t)
+       |SELECT d.doc_id,
+       |  ((d.doc_id = ec.keep_id) AND COALESCE(c.canonical_id = d.doc_id, TRUE)) AS keep,
+       |  CASE WHEN d.doc_id <> ec.keep_id THEN 'exact_duplicate'
+       |       WHEN NOT COALESCE(c.canonical_id = d.doc_id, TRUE) THEN 'near_duplicate'
+       |       ELSE NULL END AS drop_reason
+       |FROM documents d
+       |JOIN exact_canon ec ON ec.doc_id = d.doc_id
+       |LEFT JOIN clusters c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> exactDedup _,
     "dd2_ngram_jaccard" -> ngramJaccard _,
@@ -444,12 +575,17 @@ object Dedup {
     "dd7_duplicate_clusters" -> duplicateClusters _,
     "dd8_dedup_keep_list" -> dedupKeepList _)
 
-  /** dd3/dd4 are xxhash64-based sketches with no DuckDB-expressible
-    * equivalent -> rows-only driver check; validated in DedupSpec.
+  /** Every dedup operator is oracle-checked: the sketch families (dd3
+    * MinHash, dd4 SimHash) use engine-portable md5-derived hashes so the
+    * DuckDB oracle regenerates identical signatures.
     */
   val oracles: Map[String, String] = Map(
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_ngram_jaccard" -> ngramJaccardSql,
+    "dd3_minhash_lsh" -> minhashLshSql,
+    "dd4_simhash_pairs" -> simhashPairsSql,
     "dd5_embedding_neardup" -> embeddingNearDupSql(),
-    "dd6_fuzzy_name_pairs" -> fuzzyNamePairsSql())
+    "dd6_fuzzy_name_pairs" -> fuzzyNamePairsSql(),
+    "dd7_duplicate_clusters" -> duplicateClustersSql,
+    "dd8_dedup_keep_list" -> dedupKeepListSql)
 }

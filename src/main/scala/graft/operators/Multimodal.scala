@@ -119,7 +119,11 @@ object Multimodal {
         col("doc_id"), col("frame_idx"),
         (col("frame_idx") * everyN).as("frame_offset"),
         substring(col("payload"), col("frame_idx") * everyN + 1, lit(everyN)).as("frame_bytes"))
-      .withColumn("frame_md5", md5(col("frame_bytes")))
+      // digest the hex rendering of the byte slice: hex is byte-aligned,
+      // so hex(substring(bytes)) == substring(hex(bytes)) and the DuckDB
+      // oracle (no BLOB substring) can mirror the digest exactly; the
+      // Spark-side slice plumbing stays genuinely binary
+      .withColumn("frame_md5", md5(hex(col("frame_bytes"))))
       .drop("frame_bytes")
       .orderBy(col("doc_id"), col("frame_idx"))
   }
@@ -147,9 +151,24 @@ object Multimodal {
     "mm3_frame_sample" -> ((s: SparkSession, d: String) => sampleFrames(s, d)),
     "mm4_meta_stats" -> metaStats _)
 
-  /** mm2/mm3 run the stubbed decode kernel (no SQL equivalent) →
+  /** mm3 oracle: the frame-sampling slice plumbing is pure byte
+    * arithmetic, so DuckDB mirrors it exactly over encode(text) blobs.
+    */
+  val sampleFramesSql: String =
+    """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+      | CAST(f * 64 AS INTEGER) AS frame_offset,
+      | md5(substring(hex_payload, CAST(f * 128 + 1 AS INTEGER), 128)) AS frame_md5
+      |FROM (
+      |  SELECT doc_id, hex_payload, nb,
+      |         UNNEST(generate_series(0, least(7, nb // 64))) AS f
+      |  FROM (SELECT doc_id, hex(encode(text)) AS hex_payload,
+      |               octet_length(encode(text)) AS nb FROM documents) b) t
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** mm2 runs the stubbed decode kernel (no SQL equivalent) →
     * rows-only driver check; validated in MultimodalSpec.
     */
   val oracles: Map[String, String] = Map(
+    "mm3_frame_sample" -> sampleFramesSql,
     "mm4_meta_stats" -> metaStatsSql)
 }
