@@ -24,6 +24,12 @@ final class Metrics(
   final case class SlowQuery(sql: String, millis: Long, atMillis: Long)
   final case class ErrorEntry(sql: String, message: String, atMillis: Long)
 
+  /** Construction time — the status page's started_at/uptime fields
+    * (metrics.rs MetricsSnapshot.started_at_ms/uptime_ms).
+    */
+  val startedAtMillis: Long = System.currentTimeMillis()
+  def uptimeMillis: Long = math.max(0L, System.currentTimeMillis() - startedAtMillis)
+
   private val inFlightGauge = new AtomicLong()
   private val totalQueries = new LongAdder()
   private val totalErrors = new LongAdder()

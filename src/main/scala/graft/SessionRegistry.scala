@@ -50,6 +50,28 @@ final class SessionRegistry(
 
   def totalCreated: Long = created.get()
 
+  /** Point-in-time registry stats for the status page — the reference's
+    * `SessionRegistrySnapshot` (registry.rs:36-42): live count, caps, and
+    * idle-age aggregates over the current session set.
+    */
+  def snapshot(nowMillis: Long = System.currentTimeMillis()): SessionRegistry.Snapshot = {
+    var n = 0
+    var oldest = 0L
+    var sumIdle = 0L
+    sessions.forEach { (_, s) =>
+      val idle = math.max(0L, nowMillis - s.lastAccessMillis)
+      n += 1
+      sumIdle += idle
+      if (idle > oldest) oldest = idle
+    }
+    SessionRegistry.Snapshot(
+      totalSessions = n,
+      maxSessions = maxSessions,
+      sessionTimeoutSeconds = idleTimeoutMillis / 1000,
+      oldestIdleMs = oldest,
+      averageIdleMs = if (n == 0) 0L else sumIdle / n)
+  }
+
   /** Drop sessions idle longer than the timeout (registry.rs
     * `cleanup_idle_sessions`); returns how many were removed.
     */
@@ -61,4 +83,13 @@ final class SessionRegistry(
     }
     removed
   }
+}
+
+object SessionRegistry {
+  final case class Snapshot(
+      totalSessions: Int,
+      maxSessions: Int,
+      sessionTimeoutSeconds: Long,
+      oldestIdleMs: Long,
+      averageIdleMs: Long)
 }
