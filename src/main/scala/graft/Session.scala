@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.StructType
   * SparkContext — the same isolation shape as the reference's per-session
   * in-memory DuckDB over a shared DuckLake catalog (engine/factory.rs:72-93).
   */
-final class Session(val id: String, val spark: SparkSession) {
+final class Session(val id: String, val spark: SparkSession,
+    val catalog: Option[graft.sources.MutableCatalog] = None) {
 
   @volatile private[graft] var lastAccessMillis: Long = System.currentTimeMillis()
   def touch(): Unit = lastAccessMillis = System.currentTimeMillis()
@@ -157,21 +158,20 @@ final class Session(val id: String, val spark: SparkSession) {
 
   private[graft] def preparedCount: Int = prepared.synchronized(prepared.size)
 
-  // === transactions (A22, lenient) =========================================
+  // === transactions (A22) ==================================================
+  // Lenient contract (transaction.rs:68-93): COMMIT/ROLLBACK without an
+  // active transaction are tolerated no-ops. When the session is backed
+  // by a MutableCatalog, BEGIN snapshots table versions and ROLLBACK
+  // restores them (the §7.4 pointer-swap commit points); without one,
+  // only the flag is tracked — plain Spark writes are not transactional.
   @volatile private var txnActive: Boolean = false
   def inTransaction: Boolean = txnActive
 
-  def begin(): Unit = { touch(); txnActive = true }
+  def begin(): Unit = { touch(); txnActive = true; catalog.foreach(_.begin()) }
 
-  /** COMMIT with no active transaction is a tolerated no-op
-    * (transaction.rs:68-93: autocommit commit succeeds).
-    */
-  def commit(): Unit = { touch(); txnActive = false }
+  def commit(): Unit = { touch(); txnActive = false; catalog.foreach(_.commit()) }
 
-  /** ROLLBACK with no active transaction is likewise a no-op; with one, we
-    * can only drop the flag — Spark writes are not transactional (§7.4).
-    */
-  def rollback(): Unit = { touch(); txnActive = false }
+  def rollback(): Unit = { touch(); txnActive = false; catalog.foreach(_.rollback()) }
 }
 
 /** Positional-parameter literal binding: replace each top-level `?` with

@@ -21,7 +21,8 @@ import org.apache.spark.sql.SparkSession
 final class SessionRegistry(
     root: SparkSession,
     val maxSessions: Int = 100,
-    val idleTimeoutMillis: Long = 900L * 1000) {
+    val idleTimeoutMillis: Long = 900L * 1000,
+    val catalog: Option[graft.sources.MutableCatalog] = None) {
 
   private val sessions = new ConcurrentHashMap[String, Session]()
   private val created = new AtomicLong()
@@ -36,7 +37,7 @@ final class SessionRegistry(
     val s = sessions.computeIfAbsent(peerId, { id =>
       if (sessions.size() >= maxSessions) throw new TooManySessionsException
       created.incrementAndGet()
-      new Session(id, root.newSession())
+      new Session(id, root.newSession(), catalog)
     })
     s.touch()
     s

@@ -257,30 +257,37 @@ object Advanced {
   // interpolation (a + f*(b-a) vs (1-f)*a + f*b) is float-exact, so the
   // results hash-match where raw-double interpolation differs in the ulp.
   //
-  // Implementation is sort-based — rank rows per group with one window
-  // sort, then each percentile is a weighted sum of the two rows flanking
-  // its fractional rank. One shuffle + sort (codegen'd, spill-aware)
-  // instead of the builtin percentile aggregate's per-group value maps,
-  // which profiled ~4x slower and buffer the whole group on one core.
+  // Implementation is histogram-based — pre-aggregate to per-group
+  // DISTINCT-value counts (one map-side-combinable shuffle of
+  // (group, cents) pairs), take a cumulative count over the value-sorted
+  // histogram, and select each percentile's two flanking values as
+  // min(value | cum >= rank). At 100 TB the window sort runs over
+  // distinct prices (bounded domain), not rows — versus ranking every
+  // row (full-table window sort) or the builtin percentile aggregate's
+  // per-group value maps (profiled ~4x slower, whole group on one core).
   def pricePercentiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-    val ranked = t(s, dir, "lineitem")
+    val hist = t(s, dir, "lineitem")
       .select(col("l_returnflag"), cents.as("cents"))
-      .withColumn("rn", row_number().over(w))
-    val counts = ranked.groupBy(col("l_returnflag")).agg(
-      count(lit(1)).as("n"), min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
+      .groupBy(col("l_returnflag"), col("cents")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val counts = hist.groupBy(col("l_returnflag")).agg(
+      sum(col("c")).as("n"), min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
     def pctCol(p: Double): Column = {
       val k = lit(p) * (col("n") - 1) + 1 // 1-based fractional rank
       val lo = floor(k)
       val frac = k - lo
-      (sum(
-        when(col("rn") === lo, col("cents") * (lit(1.0) - frac))
-          .when(col("rn") === lo + 1, col("cents") * frac)) / 100)
+      // flanking values: smallest cents whose cumulative count reaches
+      // the rank; same (1-f)*a + f*b arithmetic as before, so results
+      // stay bit-identical with the oracle's interpolation
+      ((min(when(col("cum") >= lo, col("cents"))) * max(lit(1.0) - frac)
+        + coalesce(min(when(col("cum") >= lo + 1, col("cents"))), lit(0L)) * max(frac)) / 100)
         .cast(DecimalType(18, 2))
     }
-    ranked.join(broadcast(counts), "l_returnflag")
+    cum.join(broadcast(counts), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(pctCol(0.25).as("p25"), pctCol(0.5).as("p50"), pctCol(0.75).as("p75"),
         (min(col("min_c")) / lit(100.0)).cast(DecimalType(18, 2)).as("pmin"),

@@ -38,6 +38,43 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     spark.catalog.dropTempView(name)
   }
 
+  // === transactions (SURVEY §7.4 session-buffered commit points) ===========
+  // BEGIN snapshots every managed table's version; ROLLBACK restores each
+  // mutated table to its snapshot (roll-forward commit) and drops tables
+  // created inside the transaction. The semantics are the reference's
+  // LENIENT contract (session/mod.rs:613-686): single-writer rollback
+  // capability, not cross-session serializable isolation — a concurrent
+  // writer's commits inside the window are rolled back with ours, exactly
+  // the caveat the survey accepts.
+  private var txnSnapshot: Option[Map[String, Long]] = None
+
+  def inTransaction: Boolean = synchronized(txnSnapshot.isDefined)
+
+  def begin(): Unit = synchronized {
+    txnSnapshot = Some(tables.map { case (n, t) => n -> t.currentVersion }.toMap)
+  }
+
+  /** Per-statement writes are already durable (pointer swaps); COMMIT
+    * just discards the rollback point (transaction.rs:68-93 tolerance:
+    * commit without BEGIN is a no-op).
+    */
+  def commit(): Unit = synchronized { txnSnapshot = None }
+
+  /** Restore every table to its BEGIN version; without an active
+    * transaction this is the tolerated no-op.
+    */
+  def rollback(): Unit = synchronized {
+    txnSnapshot.foreach { snap =>
+      tables.keys.toSeq.filterNot(snap.contains).foreach(drop)
+      snap.foreach { case (n, v) =>
+        tables.get(n).foreach { t =>
+          if (t.currentVersion != v) { t.restore(v); refresh(n) }
+        }
+      }
+    }
+    txnSnapshot = None
+  }
+
   private def refresh(name: String): Unit =
     tables(name.toLowerCase).df.createOrReplaceTempView(name)
 

@@ -75,6 +75,25 @@ final class MutableTable private (
     Files.move(tmp, versionFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Roll the table forward to a NEW version whose contents are those of
+    * `version` — the rollback primitive (SURVEY §7.4 "committed
+    * atomically via the catalog pointer swap"). Roll-FORWARD, not
+    * pointer rewind: version numbers stay monotonic, every manifest
+    * written stays immutable, and `asOf` time travel over the rolled-back
+    * interval keeps working. Requires the target manifest's files to
+    * still exist (i.e. no intervening `vacuum`).
+    */
+  def restore(version: Long): Long = {
+    require(Files.exists(manifestPath(version)), s"unknown version $version")
+    val v = currentVersion
+    if (version == v) v
+    else {
+      val nv = v + 1
+      commit(nv, readManifest(version))
+      nv
+    }
+  }
+
   /** Current table contents (empty-schema DataFrame when no files). */
   def df: DataFrame = asOf(currentVersion)
 

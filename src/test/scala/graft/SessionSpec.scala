@@ -101,4 +101,24 @@ class SessionSpec extends SparkTestBase {
     // the string literal, so only the bare ? binds
     assert(SqlParams.bind("SELECT 'a\\'? not me', ?", Seq(7)) == "SELECT 'a\\'? not me', 7")
   }
+
+  test("catalog-backed session: ROLLBACK reverts mutable-table writes (A22, SURVEY 7.4)") {
+    import org.apache.spark.sql.types._
+    val cat = graft.sources.MutableCatalog(spark)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val t = cat.create("sess_txn_t", schema, Some("id"))
+    cat.route("INSERT INTO sess_txn_t VALUES (1, 'a')")
+    val s = new Session("txn-sess", spark.newSession(), Some(cat))
+    s.begin()
+    assert(s.inTransaction && cat.inTransaction)
+    cat.route("INSERT INTO sess_txn_t VALUES (2, 'b')")
+    s.rollback()
+    assert(!s.inTransaction && !cat.inTransaction)
+    assert(t.df.count() == 1, "session rollback restored the table")
+    s.begin()
+    cat.route("INSERT INTO sess_txn_t VALUES (3, 'c')")
+    s.commit()
+    assert(t.df.count() == 2, "session commit kept the write")
+    cat.drop("sess_txn_t")
+  }
 }

@@ -148,4 +148,50 @@ class MutableTableSpec extends SparkTestBase {
     // the pre-update file is still referenced by manifest v1 -> not removable
     assert(t.vacuum() == 0)
   }
+
+  test("restore rolls forward to a past version's contents, history intact") {
+    val t = mkTable()
+    t.insert(rows((1L, "a", 1.0)))           // v1
+    t.insert(rows((2L, "b", 2.0)))           // v2
+    t.delete(col("id") === 1L)               // v3
+    val nv = t.restore(1)                    // v4 == v1 contents
+    assert(nv == 4 && t.currentVersion == 4)
+    assert(t.df.collect().map(_.getLong(0)).toSet == Set(1L))
+    // the rolled-back interval still time-travels
+    assert(t.asOf(3).collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(t.restore(4) == 4, "restore to the current version is a no-op")
+    intercept[IllegalArgumentException](t.restore(99))
+  }
+
+  test("catalog transaction: rollback restores every table, drops created ones (SURVEY 7.4)") {
+    val cat = MutableCatalog(spark)
+    val a = cat.create("txn_a", schema, Some("id"))
+    a.insert(rows((1L, "a", 1.0)))
+    cat.begin()
+    assert(cat.inTransaction)
+    assert(cat.route("INSERT INTO txn_a VALUES (2, 'b', 2.0)").contains(1L))
+    assert(cat.route("DELETE FROM txn_a WHERE id = 1").contains(1L))
+    cat.create("txn_new", schema).insert(rows((9L, "z", 9.0)))
+    cat.rollback()
+    assert(!cat.inTransaction)
+    assert(a.df.collect().map(_.getLong(0)).toSet == Set(1L),
+      "rollback restores pre-transaction contents")
+    assert(cat.get("txn_new").isEmpty, "tables created inside the txn are dropped")
+    // the view tracks the restored snapshot
+    assert(spark.sql("SELECT COUNT(*) FROM txn_a").head.getLong(0) == 1L)
+    cat.drop("txn_a")
+  }
+
+  test("catalog transaction: commit keeps writes; commit/rollback without BEGIN are no-ops") {
+    val cat = MutableCatalog(spark)
+    val t = cat.create("txn_c", schema, Some("id"))
+    cat.commit(); cat.rollback() // tolerated no-ops (transaction.rs:68-93)
+    cat.begin()
+    cat.route("INSERT INTO txn_c VALUES (1, 'a', 1.0)")
+    cat.commit()
+    assert(t.df.count() == 1, "commit keeps transactional writes")
+    cat.rollback()
+    assert(t.df.count() == 1, "rollback after commit is a no-op")
+    cat.drop("txn_c")
+  }
 }
