@@ -18,8 +18,9 @@ object Engine {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def newSession(appName: String = "graft", cores: Int = defaultCores): SparkSession = {
-    val spark = SparkSession.builder()
+  def newSession(appName: String = "graft", cores: Int = defaultCores,
+                 extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       // sized for concurrent clients: 4 in-flight queries x cores/4
@@ -58,6 +59,7 @@ object Engine {
       // concurrent clients share the pool fairly (the reference serves 4
       // BenchBase terminals from one server process)
       .config("spark.scheduler.mode", "FAIR")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -88,11 +90,15 @@ object Engine {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+      val df = spark.read.schema(schema).parquet(path)
       // integer `div` — a double-typed division would lose precision on
-      // ~1.7e18 nanosecond values (53-bit mantissa)
-      spark.read.schema(schema).parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      // ~1.7e18 nanosecond values (53-bit mantissa). Skipped when the
+      // file already carries a TIMESTAMP ts (e.g. a re-ingested copy
+      // written by this engine, where the conversion is materialized).
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      else df
     } else {
       val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
       spark.read.schema(schema).parquet(path)
