@@ -257,41 +257,91 @@ object Advanced {
   // interpolation (a + f*(b-a) vs (1-f)*a + f*b) is float-exact, so the
   // results hash-match where raw-double interpolation differs in the ulp.
   //
-  // Implementation is histogram-based — pre-aggregate to per-group
-  // DISTINCT-value counts (one map-side-combinable shuffle of
-  // (group, cents) pairs), take a cumulative count over the value-sorted
-  // histogram, and select each percentile's two flanking values as
-  // min(value | cum >= rank). At 100 TB the window sort runs over
-  // distinct prices (bounded domain), not rows — versus ranking every
-  // row (full-table window sort) or the builtin percentile aggregate's
-  // per-group value maps (profiled ~4x slower, whole group on one core).
+  // Two-pass sketch-and-refine selection (no full-histogram window):
+  // pass 1 aggregates a coarse bucket histogram — bucket count bounded by
+  // the value DOMAIN / 4096, not by row count — and collects it to locate,
+  // per percentile rank, the single bucket holding that rank plus the
+  // cumulative count before it. Pass 2 re-scans with a (group, bucket)
+  // semi-filter (a handful of buckets), builds the exact cents histogram
+  // of ONLY those buckets (<= 4096 distinct values each), and selects the
+  // flanking values as min(cents | offset + running count >= rank). The
+  // previous design window-sorted the full ~200k-distinct-value histogram
+  // through one task per group — the bench's slowest query and a
+  // single-task-per-group sort at 100 TB; here the largest sort is
+  // O(bucket width), invariant in table size.
   def pricePercentiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val W = 4096L
     val cents = floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)
-    val hist = t(s, dir, "lineitem")
-      .select(col("l_returnflag"), cents.as("cents"))
-      .groupBy(col("l_returnflag"), col("cents")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("c")).over(w))
-    val counts = hist.groupBy(col("l_returnflag")).agg(
-      sum(col("c")).as("n"), min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
-    def pctCol(p: Double): Column = {
-      val k = lit(p) * (col("n") - 1) + 1 // 1-based fractional rank
-      val lo = floor(k)
-      val frac = k - lo
-      // flanking values: smallest cents whose cumulative count reaches
-      // the rank; same (1-f)*a + f*b arithmetic as before, so results
-      // stay bit-identical with the oracle's interpolation
-      ((min(when(col("cum") >= lo, col("cents"))) * max(lit(1.0) - frac)
-        + coalesce(min(when(col("cum") >= lo + 1, col("cents"))), lit(0L)) * max(frac)) / 100)
-        .cast(DecimalType(18, 2))
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"), cents.as("cents"))
+    val coarse = li.groupBy(col("l_returnflag"), expr(s"cents div $W").as("b"))
+      .agg(count(lit(1)).as("c"), min(col("cents")).as("bmin"), max(col("cents")).as("bmax"))
+      .collect()
+
+    // Driver-side rank location over the collected sketch (bounded by
+    // domain/W buckets per group, never by table size). Rank arithmetic
+    // uses the exact op sequence the in-plan version used, so the
+    // interpolation below stays bit-identical with the oracle.
+    val ranksRows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double, Long, Double, Long, Double, Long, Long)]
+    val targets = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    coarse.groupBy(_.getString(0)).foreach { case (flag, rows) =>
+      // (bucket, count, bmin, bmax) ascending by bucket
+      val bs = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+      val n = bs.map(_._2).sum
+      if (n > 0) {
+        def rank(p: Double): (Long, Double) = {
+          val k = p * (n - 1).toDouble + 1.0 // 1-based fractional rank
+          val lo = math.floor(k).toLong
+          (lo, k - lo.toDouble)
+        }
+        val (lo25, f25) = rank(0.25); val (lo50, f50) = rank(0.5); val (lo75, f75) = rank(0.75)
+        Seq(lo25, lo25 + 1, lo50, lo50 + 1, lo75, lo75 + 1)
+          .filter(r => r >= 1 && r <= n).distinct.foreach { r =>
+            // locate the bucket holding rank r and the cumulative count
+            // of all buckets before it
+            var cum = 0L
+            var i = 0
+            var found = false
+            while (!found && i < bs.length) {
+              val (b, c, _, _) = bs(i)
+              if (cum + c >= r) { targets += ((flag, b, cum)); found = true }
+              else { cum += c; i += 1 }
+            }
+          }
+        ranksRows += ((flag, lo25, f25, lo50, f50, lo75, f75,
+          bs.map(_._3).min, bs.map(_._4).max))
+      }
     }
-    cum.join(broadcast(counts), "l_returnflag")
+    import s.implicits._
+    val ranksDf = ranksRows.toSeq
+      .toDF("rf", "k25", "f25", "k50", "f50", "k75", "f75", "minc", "maxc")
+    val targetDf = targets.distinct.toSeq.toDF("tf", "tb", "off")
+
+    // pass 2: exact histogram of the target buckets only (tiny both in
+    // rows in and rows out; the window below covers <= W rows per bucket)
+    val fine = li.join(broadcast(targetDf),
+        col("l_returnflag") === col("tf") && expr(s"cents div $W") === col("tb"))
+      .groupBy(col("l_returnflag"), col("tb"), col("off"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_returnflag"), col("tb")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = fine.withColumn("cum", sum(col("c")).over(w) + col("off"))
+
+    def pctCol(loC: Column, fracC: Column): Column =
+      // flanking values: smallest cents whose global cumulative count
+      // reaches the rank; (1-f)*a + f*b with integer endpoints
+      ((min(when(col("cum") >= loC, col("cents"))) * max(lit(1.0) - fracC)
+        + coalesce(min(when(col("cum") >= loC + 1, col("cents"))), lit(0L)) * max(fracC)) / 100)
+        .cast(DecimalType(18, 2))
+
+    cum.join(broadcast(ranksDf), col("l_returnflag") === col("rf"))
       .groupBy(col("l_returnflag"))
-      .agg(pctCol(0.25).as("p25"), pctCol(0.5).as("p50"), pctCol(0.75).as("p75"),
-        (min(col("min_c")) / lit(100.0)).cast(DecimalType(18, 2)).as("pmin"),
-        (min(col("max_c")) / lit(100.0)).cast(DecimalType(18, 2)).as("pmax"))
+      .agg(pctCol(col("k25"), col("f25")).as("p25"),
+        pctCol(col("k50"), col("f50")).as("p50"),
+        pctCol(col("k75"), col("f75")).as("p75"),
+        (max(col("minc")) / lit(100.0)).cast(DecimalType(18, 2)).as("pmin"),
+        (max(col("maxc")) / lit(100.0)).cast(DecimalType(18, 2)).as("pmax"))
       .orderBy(col("l_returnflag"))
   }
 

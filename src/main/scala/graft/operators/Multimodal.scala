@@ -57,14 +57,17 @@ object Multimodal {
 
   /** STUB decode kernel: a real implementation calls the codec here.
     * Deterministic fake: "dimensions" from payload length, features =
-    * 16-bin byte histogram normalized to [0,1].
+    * 16-bin byte histogram (bin = high nibble) normalized to [0,1].
+    * Returns the raw integer counts too — the digest is computed over
+    * them so the DuckDB oracle can reproduce it without float-bit
+    * introspection.
     */
-  private def decodeBytes(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+  private def decodeBytes(payload: Array[Byte]): (Int, Int, Array[Int], Array[Float]) = {
     // ??? <- real codec goes here (libvips/FFmpeg); deterministic fake below
-    val hist = new Array[Float](featureDim)
-    payload.foreach(b => hist((b & 0xFF) / featureDim) += 1f)
+    val counts = new Array[Int](featureDim)
+    payload.foreach(b => counts((b & 0xFF) / featureDim) += 1)
     val n = math.max(payload.length, 1).toFloat
-    (payload.length % 1920, payload.length % 1080, hist.map(_ / n))
+    (payload.length % 1920, payload.length % 1080, counts, counts.map(_ / n))
   }
 
   private val decodedSchema: StructType = StructType(Seq(
@@ -82,9 +85,9 @@ object Multimodal {
     * (stubbed) decoder context is initialized once per partition.
     *
     * The feature VECTOR stays internal to the stage; the query output is
-    * its digest (md5 over big-endian float bits) plus scalar stats —
-    * downstream-comparable columns instead of a raw array<float> (which
-    * the driver's pandas compare cannot sort on).
+    * its digest (md5 over the comma-joined integer histogram counts)
+    * plus scalar stats — downstream-comparable columns instead of a raw
+    * array<float> (which the driver's pandas compare cannot sort on).
     */
   def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
     val in = payloads(s, dir)
@@ -94,11 +97,10 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          val (w, h, feats) = decodeBytes(payload)
-          val bb = java.nio.ByteBuffer.allocate(feats.length * 4)
-          feats.foreach(bb.putFloat)
+          val (w, h, counts, feats) = decodeBytes(payload)
           md.reset()
-          val digest = md.digest(bb.array()).map("%02x".format(_)).mkString
+          val digest = md.digest(counts.mkString(",").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
           var min = Double.MaxValue; var max = Double.MinValue; var sum = 0.0
           feats.foreach { f => val d = f.toDouble; if (d < min) min = d; if (d > max) max = d; sum += d }
           Row(r.getAs[Long]("doc_id"), r.getAs[String]("modality"), w, h,
@@ -165,10 +167,50 @@ object Multimodal {
       |               octet_length(encode(text)) AS nb FROM documents) b) t
       |ORDER BY doc_id, frame_idx""".stripMargin
 
-  /** mm2 runs the stubbed decode kernel (no SQL equivalent) →
-    * rows-only driver check; validated in MultimodalSpec.
+  /** mm2 oracle: the stub decode is pure byte arithmetic — the 16-bin
+    * histogram bin of a byte is its HIGH NIBBLE, i.e. the first hex char
+    * of each hex(payload) pair, so DuckDB rebuilds the counts by
+    * exploding byte positions and the normalized features as
+    * REAL-division (IEEE float32, same op as the Scala Float divide).
+    * The digest hashes the comma-joined integer counts on both engines.
     */
+  val decodeFeaturesSql: String = {
+    val fi = (i: Int) => s"CAST(CAST(cs[$i] AS REAL) / CAST(greatest(nb, 1) AS REAL) AS DOUBLE)"
+    val sum16 = (1 to featureDim).map(fi).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN source = 'web' THEN 'image' ELSE 'audio' END AS modality,
+       |    hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS nb
+       |  FROM documents),
+       |by_pos AS (SELECT doc_id, UNNEST(generate_series(1, nb)) AS i FROM b),
+       |nib AS (
+       |  SELECT by_pos.doc_id,
+       |    strpos('0123456789ABCDEF', substring(b.hx, 2 * by_pos.i - 1, 1)) - 1 AS h
+       |  FROM by_pos JOIN b USING (doc_id)),
+       |cnt AS (SELECT doc_id, h, COUNT(*) AS c FROM nib GROUP BY 1, 2),
+       |grid AS (SELECT b.doc_id, g.h
+       |         FROM b, (SELECT UNNEST(generate_series(0, ${featureDim - 1})) AS h) g),
+       |feats AS (
+       |  SELECT grid.doc_id, list(CAST(COALESCE(cnt.c, 0) AS BIGINT) ORDER BY grid.h) AS cs
+       |  FROM grid LEFT JOIN cnt ON cnt.doc_id = grid.doc_id AND cnt.h = grid.h
+       |  GROUP BY 1)
+       |SELECT b.doc_id, b.modality,
+       |  CAST(b.nb % 1920 AS INTEGER) AS width,
+       |  CAST(b.nb % 1080 AS INTEGER) AS height,
+       |  CAST(b.nb AS INTEGER) AS n_bytes,
+       |  md5(array_to_string(cs, ',')) AS feat_md5,
+       |  CAST(list_min(list_transform(cs, x ->
+       |    CAST(x AS REAL) / CAST(greatest(nb, 1) AS REAL))) AS DOUBLE) AS feat_min,
+       |  CAST(list_max(list_transform(cs, x ->
+       |    CAST(x AS REAL) / CAST(greatest(nb, 1) AS REAL))) AS DOUBLE) AS feat_max,
+       |  ($sum16) / $featureDim AS feat_mean
+       |FROM b JOIN feats USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm2_decode_features" -> decodeFeaturesSql,
     "mm3_frame_sample" -> sampleFramesSql,
     "mm4_meta_stats" -> metaStatsSql)
 }

@@ -332,13 +332,23 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  // n_paths_agree is a REAL parsed-vs-path comparison on both engines:
+  // DuckDB extracts k twice through two different mechanisms (JSON-typed
+  // ->> operator vs json_extract_string path walk) and counts equality,
+  // mirroring Spark's from_json-struct vs get_json_object comparison —
+  // a divergence between the two extraction paths now turns the row red
+  // instead of being asserted away by COUNT(*).
   val eventsJsonStructSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      | CAST(COUNT(*) AS BIGINT) AS n_paths_agree,
-      | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-      | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      | CAST(SUM(k_parsed) AS BIGINT) AS sum_k,
+      | CAST(SUM(CASE WHEN k_parsed = k_path THEN 1 ELSE 0 END) AS BIGINT) AS n_paths_agree,
+      | MIN(k_parsed) AS min_k,
+      | MAX(k_parsed) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(props::JSON->>'k' AS BIGINT) AS k_parsed,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path
+      |      FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev6_json_struct" -> eventsJsonStruct _,

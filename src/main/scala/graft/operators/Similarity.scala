@@ -189,9 +189,42 @@ object Similarity {
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"),
-        round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"),
+        Exact.dround(col("cos"), 6).as("cos_sim"),
         col("rnk").cast(IntegerType).as("rnk"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** DuckDB oracle for annTopK: regenerates the LCG hyperplanes
+    * bit-for-bit (sqlPlanesCte — the same pattern dd5's oracle proves
+    * end-to-end at Dedup.embeddingNearDupSql), rebuilds every table's
+    * sign-bit bucket with list_dot_product (identical left-fold order to
+    * the codegen'd vec_dot), and reruns candidate-join + exact-cosine
+    * rank in SQL.
+    */
+  def annTopKSql(k: Int = 5, nQueries: Int = 10): String = {
+    val nPl = lshTables * lshPlanes
+    s"""WITH RECURSIVE ${sqlPlanesCte(nPl)},
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (
+       |  SELECT e.vec_id, (pl.p // $lshPlanes) AS tbl,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+       |             THEN (1 << (pl.p % $lshPlanes)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e, pl GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+       |  FROM sig q JOIN sig n ON q.tbl = n.tbl AND q.bucket = n.bucket
+       |  WHERE q.vec_id < $nQueries AND q.vec_id <> n.vec_id),
+       |p AS (
+       |  SELECT q_id, n_id,
+       |    list_dot_product(a.v, b.v)
+       |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+       |  FROM cand JOIN e a ON a.vec_id = q_id JOIN e b ON b.vec_id = n_id),
+       |r AS (SELECT q_id, n_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |      FROM p)
+       |SELECT q_id, n_id, ${Exact.sqlDround("cos", 6)} AS cos_sim,
+       |       CAST(rnk AS INTEGER) AS rnk
+       |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
   // === IVF-partitioned ANN (coarse quantizer) ==============================
@@ -209,6 +242,12 @@ object Similarity {
 
   /** K cell centroids: seed with the first K vectors, refine with one
     * mean-of-assigned iteration (computed once per dataset, cached).
+    *
+    * The refinement mean is the Exact micros-sum divided by the count —
+    * order-INDEPENDENT (integer partial sums), so the centroids come out
+    * bit-identical regardless of partitioning AND are regenerable by the
+    * DuckDB oracle (a float avg's value depends on partition merge order,
+    * which would make every downstream cell assignment unverifiable).
     */
   private def centroids(s: SparkSession, dir: String): Array[Array[Double]] = {
     centroidCache.get(dir) match {
@@ -219,7 +258,8 @@ object Similarity {
           .collect().map(_.getSeq[Double](1).toArray)
         val assigned = e.withColumn("cell", cellOf(col("v"), seeds))
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
+          .groupBy(col("cell"), col("pos"))
+          .agg((Exact.toUnits(Exact.msum(col("x"))) / count(lit(1)).cast(DoubleType)).as("c"))
           .collect()
         val refined = Array.tabulate(ivfCells, maxDim)((c, _) => 0.0)
         assigned.foreach(r => refined(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("c"))
@@ -268,9 +308,61 @@ object Similarity {
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"),
-        round(col("cos"), 6).cast(DecimalType(18, 6)).as("cos_sim"),
+        Exact.dround(col("cos"), 6).as("cos_sim"),
         col("rnk").cast(IntegerType).as("rnk"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** DuckDB oracle for ivfTopK: replays the whole pipeline in SQL —
+    * seed assignment (argmax cosine, larger index wins ties, mirroring
+    * array_max's struct ordering), one Lloyd iteration with the exact
+    * micros mean, empty-cell seed fallback, probe selection, and the
+    * final in-cell exact-cosine rank. Every decision compares
+    * bit-identical doubles on both engines (LCG-free: the only inputs
+    * are the vectors themselves and exact integer sums).
+    */
+  def ivfTopKSql(k: Int = 5, nQueries: Int = 10): String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (SELECT vec_id AS s_id, v AS sv FROM e WHERE vec_id < $ivfCells),
+       |idx AS (SELECT UNNEST(generate_series(1, $maxDim)) AS i),
+       |a1 AS (
+       |  SELECT e.vec_id, s.s_id AS cell, e.v,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.v", "s.sv")} DESC, s.s_id DESC) AS rn
+       |  FROM e, seeds s),
+       |asn AS (SELECT vec_id, cell, v FROM a1 WHERE rn = 1),
+       |ref0 AS (
+       |  SELECT cell, i AS pos,
+       |    (${Exact.sqlToUnits(Exact.sqlMsum("v[i]"))} / CAST(COUNT(*) AS DOUBLE)) AS c
+       |  FROM asn, idx GROUP BY 1, 2),
+       |cents AS (
+       |  SELECT s.s_id AS cell, list(COALESCE(ref0.c, s.sv[idx.i]) ORDER BY idx.i) AS cv
+       |  FROM seeds s CROSS JOIN idx
+       |  LEFT JOIN ref0 ON ref0.cell = s.s_id AND ref0.pos = idx.i
+       |  GROUP BY 1),
+       |a2 AS (
+       |  SELECT e.vec_id, c.cell, e.v,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cell DESC) AS rn
+       |  FROM e, cents c),
+       |corpus AS (SELECT vec_id AS n_id, cell, v AS nv FROM a2 WHERE rn = 1),
+       |probes AS (
+       |  SELECT q.vec_id AS q_id, c.cell, q.v AS qv,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cos("q.v", "c.cv")} DESC, c.cell DESC) AS rn
+       |  FROM e q, cents c WHERE q.vec_id < $nQueries),
+       |p AS (
+       |  SELECT q.q_id, n.n_id, ${cos("q.qv", "n.nv")} AS cos
+       |  FROM probes q JOIN corpus n ON n.cell = q.cell AND n.n_id <> q.q_id
+       |  WHERE q.rn <= $ivfProbes),
+       |r AS (SELECT q_id, n_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |      FROM p)
+       |SELECT q_id, n_id, ${Exact.sqlDround("cos", 6)} AS cos_sim,
+       |       CAST(rnk AS INTEGER) AS rnk
+       |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -279,10 +371,9 @@ object Similarity {
     "sim3_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
-  /** sim3 is xxhash64-seeded LSH (no DuckDB equivalent) -> rows-only check;
-    * recall validated in SimilaritySpec.
-    */
   val oracles: Map[String, String] = Map(
     "sim1_cosine_topk" -> cosineTopKSql(),
-    "sim2_label_centroids" -> labelCentroidsSql)
+    "sim2_label_centroids" -> labelCentroidsSql,
+    "sim3_ann_lsh_topk" -> annTopKSql(),
+    "sim4_ann_ivf_topk" -> ivfTopKSql())
 }
