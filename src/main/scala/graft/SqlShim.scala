@@ -155,4 +155,82 @@ object SqlShim {
   def quoteIdent(name: String): String = "`" + name.replace("`", "``") + "`"
 
   def quoteQualified(parts: Seq[String]): String = parts.map(quoteIdent).mkString(".")
+
+  // one identifier: `…`, "…", or bare word
+  private val identPat = "(?:`(?:[^`]|``)+`|\"(?:[^\"]|\"\")+\"|[A-Za-z_][A-Za-z_0-9$]*)"
+  private val insertPat =
+    ("(?is)^INSERT\\s+INTO\\s+(" + identPat + "(?:\\s*\\.\\s*" + identPat + "){0,2})" +
+      "\\s*(?:\\(([^()]*)\\)\\s*)?(?:VALUES|SELECT|TABLE|FROM|WITH)\\b.*").r
+
+  private def unquoteIdent(raw: String): String = {
+    val t = raw.trim
+    if (t.length >= 2 && t.head == '`' && t.last == '`')
+      t.substring(1, t.length - 1).replace("``", "`")
+    else if (t.length >= 2 && t.head == '"' && t.last == '"')
+      t.substring(1, t.length - 1).replace("\"\"", "\"")
+    else t
+  }
+
+  /** Parse a plain `INSERT INTO <table> [(col, …)] VALUES/SELECT …`
+    * statement into (table name parts, optional explicit column list) —
+    * the classification the reference's appender fast path needs
+    * (sql/parser.rs:63-160 is_insert / get_insert_table /
+    * get_insert_columns). Returns None for anything else (non-INSERT,
+    * INSERT OVERWRITE, multi-statement scripts, table functions) so the
+    * caller falls back to plain statement execution.
+    */
+  def parseInsert(statement: String): Option[(Seq[String], Option[Seq[String]])] = {
+    val s = stripLeadingComments(statement.trim.stripSuffix(";"))
+    if (statementCount(s) != 1) return None
+    s match {
+      case insertPat(table, cols) =>
+        val parts = splitQualified(table).map(unquoteIdent)
+        val colList = Option(cols).map(_.split(",").map(c => unquoteIdent(c)).toSeq)
+          .filter(_.forall(_.nonEmpty)).filter(_.nonEmpty)
+        Some((parts, colList))
+      case _ => None
+    }
+  }
+
+  /** True when the INSERT source is a VALUES list made solely of
+    * parameter placeholders — `VALUES (?, ?), (?, ?)` — the only shape
+    * where appending the raw parameter batch is value-preserving. The
+    * reference appends for ANY resolvable INSERT (prepared.rs:429-441),
+    * which silently drops source expressions like `VALUES (?, upper(?))`
+    * or `SELECT ? + 1`; restricting the fast path here routes those
+    * through per-parameter-set execution instead, preserving values.
+    */
+  def insertSourceIsPureParams(statement: String): Boolean = {
+    val s = stripLeadingComments(statement.trim.stripSuffix(";"))
+    val idx = "(?is)\\bVALUES\\b".r.findFirstMatchIn(s).map(_.end)
+    idx.exists { e =>
+      val rest = s.substring(e)
+      rest.nonEmpty && rest.exists(_ == '?') &&
+        rest.forall(c => c == '?' || c == ',' || c == '(' || c == ')' || c.isWhitespace)
+    }
+  }
+
+  /** Split `a.b.c` on dots outside quoted identifier segments. */
+  private def splitQualified(qualified: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0; var state = 0 // 0 bare, 2 "…", 3 `…`
+    while (i < qualified.length) {
+      val c = qualified.charAt(i)
+      state match {
+        case 0 => c match {
+          case '.' => out += cur.toString; cur.clear()
+          case '"' => state = 2; cur += c
+          case '`' => state = 3; cur += c
+          case _   => cur += c
+        }
+        case 2 => cur += c; if (c == '"') state = 0
+        case 3 => cur += c; if (c == '`') state = 0
+        case _ =>
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 }

@@ -99,6 +99,22 @@ final class FlightSqlClient private (val producer: FlightSqlProducer, val peer: 
     } finally producer.closePreparedStatement(peer, prep.handle)
   }
 
+  /** Multi-row parameterized update via the prepared DoPut path
+    * (internal execute_update_with_batch, exercised by
+    * integration_async_pool.rs:72-92): the whole parameter batch rides
+    * as ONE Arrow IPC stream, so resolvable INSERTs hit the server's
+    * appender fast path.
+    */
+  def updateWithBatch(sql: String, rows: Seq[Row], schema: StructType): UpdateResult = {
+    val prep = producer.createPreparedStatement(peer, sql)
+    try {
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(rows.asJava, schema)
+      UpdateResult(producer.doPutPreparedStatementUpdate(peer, prep.handle,
+        ArrowWire.toIpcStream(df)))
+    } finally producer.closePreparedStatement(peer, prep.handle)
+  }
+
   def healthcheck(sql: String): Boolean =
     sql.trim.isEmpty || (try { query(sql); true } catch { case _: Throwable => false })
 
@@ -145,10 +161,14 @@ final class FlightSqlPool(producer: FlightSqlProducer,
     }
   }
 
+  // connection creation is NOT gated on the configured healthcheck —
+  // the reference's pool calls driver.new_connection directly
+  // (pool.rs:138-139) and only the client constructor probes with the
+  // fixed "SELECT 1" (client.rs:122-128); the configured healthcheck
+  // runs solely on error-return (release_connection:196-215)
   private def newClient(): FlightSqlClient =
     FlightSqlClient.connect(producer,
-      peer = s"pool-${seq.incrementAndGet()}-${UUID.randomUUID().toString.take(8)}",
-      healthcheckSql = config.healthcheckSql)
+      peer = s"pool-${seq.incrementAndGet()}-${UUID.randomUUID().toString.take(8)}")
 
   def totalConnections: Int = total.get()
   def idleConnections: Int = lock.synchronized(idle.size)
@@ -258,6 +278,9 @@ final class FlightSqlPool(producer: FlightSqlProducer,
 
   def queryWithParams(sql: String, params: Row, paramSchema: StructType): QueryResult =
     withConnection(_.queryWithParams(sql, params, paramSchema))
+
+  def updateWithBatch(sql: String, rows: Seq[Row], schema: StructType): UpdateResult =
+    withConnection(_.updateWithBatch(sql, rows, schema))
 
   /** Exclusive session for stateful workflows — transactions, temp
     * views, session-lifetime prepared statements (pool.rs

@@ -166,14 +166,53 @@ final class FlightSqlProducer(val registry: SessionRegistry) {
     }
   }
 
+  /** DoPut of a prepared update (prepared.rs:420-545): a resolvable
+    * plain INSERT routes the WHOLE parameter batch through the appender
+    * (reshape + align + append — the reference's bulk-ingest fast
+    * path); anything else executes once per parameter set, summing
+    * affected rows (execute.rs:16-32). An empty batch executes the
+    * statement once with NULL-bound params (prepared.rs:436-452).
+    */
   def doPutPreparedStatementUpdate(peer: String, handle: Array[Byte],
       paramsIpc: Array[Byte]): Long = wrap {
-    doPutPreparedStatementQuery(peer, handle, paramsIpc)
     val s = session(peer)
-    val df = s.executePrepared(new String(handle, StandardCharsets.UTF_8))
-    if (df.columns.contains("num_affected_rows"))
-      df.collect().headOption.map(_.getLong(0)).getOrElse(0L)
-    else { df.collect(); 0L }
+    val handleStr = new String(handle, StandardCharsets.UTF_8)
+    val p = s.getPrepared(handleStr).getOrElse(throw FlightStatusException(
+      ErrorMapping.NotFound.code, s"unknown prepared statement handle: $handleStr"))
+
+    def affectedOf(df: DataFrame): Long =
+      if (df.columns.contains("num_affected_rows"))
+        df.collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      else { df.collect(); 0L }
+
+    // appender eligibility: plain single-statement INSERT of a
+    // pure-placeholder VALUES list whose target table resolves in this
+    // session (prepared.rs:429-441; the pure-params restriction is a
+    // documented tightening — see SqlShim.insertSourceIsPureParams)
+    val appendTarget = SqlShim.parseInsert(p.sql)
+      .filter(_ => SqlShim.insertSourceIsPureParams(p.sql))
+      .flatMap { case (parts, cols) =>
+        val qualified = SqlShim.quoteQualified(parts)
+        scala.util.Try(s.spark.table(qualified)).toOption.map(_ => (qualified, cols))
+      }
+
+    if (paramsIpc.isEmpty) affectedOf(s.executePrepared(handleStr))
+    else appendTarget match {
+      case Some((table, cols)) =>
+        val batch = ArrowWire.fromIpcStream(s.spark, paramsIpc)
+        val n = graft.sources.BatchAlign.appendParamBatch(s.spark, table, batch, cols)
+        if (p.ephemeral) s.closePrepared(p.handle)
+        n
+      case None =>
+        // facade prepared statements are non-ephemeral, so the
+        // bind-execute loop never races the auto-close in executePrepared
+        val rows = ArrowWire.fromIpcStream(s.spark, paramsIpc).collect()
+        if (rows.isEmpty) affectedOf(s.executePrepared(handleStr))
+        else rows.iterator.map { r =>
+          s.bindParams(handleStr, r.toSeq)
+          affectedOf(s.executePrepared(handleStr))
+        }.sum
+    }
   }
 
   def closePreparedStatement(peer: String, handle: Array[Byte]): Unit = wrap {

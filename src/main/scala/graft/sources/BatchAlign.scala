@@ -88,4 +88,32 @@ object BatchAlign {
     alignToSchema(batch, target, explicitCols)
       .write.mode("append").insertInto(table)
   }
+
+  /** DoPut prepared-INSERT ingest — the reference's appender fast path
+    * (prepared.rs:429-515 + batch.rs:117-259): reshape a Go-driver
+    * one-row positional batch back into rows, bind positional parameter
+    * columns onto the fed column names BY POSITION (batch.rs:131-141 —
+    * extended to arbitrary placeholder labels that match none of the
+    * fed columns, since DoPut parameter batches are positional by
+    * contract), align to the table schema, append. Returns the number
+    * of rows appended — the DoPut result's affected-row count.
+    */
+  def appendParamBatch(spark: SparkSession, table: String, batch: DataFrame,
+      explicitCols: Option[Seq[String]] = None): Long = {
+    val target = spark.table(table).schema
+    val fed = explicitCols.getOrElse(target.fields.map(_.name).toSeq)
+    val width = fed.length
+    val reshaped = reshapePositional(spark, batch, width)
+    val batchNames = reshaped.schema.fields.map(_.name.toLowerCase).toSet
+    val named =
+      if (reshaped.schema.length == width &&
+          (hasPositionalFieldNames(reshaped.schema) ||
+           !fed.exists(c => batchNames(c.toLowerCase))))
+        reshaped.toDF(fed: _*)
+      else reshaped
+    val appended = named.count()
+    alignToSchema(named, target, explicitCols)
+      .write.mode("append").insertInto(table)
+    appended
+  }
 }

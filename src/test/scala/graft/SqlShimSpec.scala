@@ -63,4 +63,28 @@ class SqlShimSpec extends AnyFunSuite {
     assert(SqlShim.quoteIdent("we`ird") == "`we``ird`")
     assert(SqlShim.quoteQualified(Seq("cat", "db", "t")) == "`cat`.`db`.`t`")
   }
+
+  test("parseInsert extracts table parts and column list (parser.rs:63-160)") {
+    assert(SqlShim.parseInsert("INSERT INTO t VALUES (1, 2)") == Some((Seq("t"), None)))
+    assert(SqlShim.parseInsert("insert into cat.db.t (a, b) values (?, ?)") ==
+      Some((Seq("cat", "db", "t"), Some(Seq("a", "b")))))
+    assert(SqlShim.parseInsert("INSERT INTO `we ird`.t2 SELECT * FROM s") ==
+      Some((Seq("we ird", "t2"), None)))
+    assert(SqlShim.parseInsert("""INSERT INTO "q t" (x) VALUES (?)""") ==
+      Some((Seq("q t"), Some(Seq("x")))))
+    assert(SqlShim.parseInsert("-- c\nINSERT INTO t VALUES (?)") == Some((Seq("t"), None)))
+    assert(SqlShim.parseInsert("UPDATE t SET a = 1").isEmpty)
+    assert(SqlShim.parseInsert("INSERT OVERWRITE TABLE t VALUES (1)").isEmpty)
+    assert(SqlShim.parseInsert("INSERT INTO t VALUES (1); INSERT INTO t VALUES (2)").isEmpty)
+    assert(SqlShim.parseInsert("SELECT 'INSERT INTO t VALUES (1)'").isEmpty)
+  }
+
+  test("insertSourceIsPureParams gates the appender fast path") {
+    assert(SqlShim.insertSourceIsPureParams("INSERT INTO t VALUES (?, ?)"))
+    assert(SqlShim.insertSourceIsPureParams("INSERT INTO t (a,b) VALUES (?,?), (?,?)"))
+    assert(!SqlShim.insertSourceIsPureParams("INSERT INTO t VALUES (?, upper(?))"))
+    assert(!SqlShim.insertSourceIsPureParams("INSERT INTO t VALUES (?, 1)"))
+    assert(!SqlShim.insertSourceIsPureParams("INSERT INTO t SELECT ?, ?"))
+    assert(!SqlShim.insertSourceIsPureParams("INSERT INTO t VALUES ()"))
+  }
 }

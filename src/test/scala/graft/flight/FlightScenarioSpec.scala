@@ -91,6 +91,76 @@ class FlightScenarioSpec extends SparkTestBase {
     s.spark.sql("DROP TABLE flight_upd_t")
   }
 
+  test("multi-row DoPut INSERT routes the whole batch through the appender (prepared.rs:429-515)") {
+    val p = newProducer()
+    val s = p.registry.getOrCreate("peer-mr")
+    s.spark.sql("DROP TABLE IF EXISTS flight_mr_t")
+    s.spark.sql("CREATE TABLE flight_mr_t (id INT, v STRING) USING parquet")
+    val prep = p.createPreparedStatement("peer-mr", "INSERT INTO flight_mr_t VALUES (?, ?)")
+    // three parameter sets with positional field names, as ADBC drivers send them
+    val batch = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(java.util.List.of(Row(1, "a"), Row(2, "b"), Row(3, "c")),
+        StructType(Seq(StructField("1", IntegerType), StructField("2", StringType))))
+    }
+    val n = p.doPutPreparedStatementUpdate("peer-mr", prep.handle, ArrowWire.toIpcStream(batch))
+    assert(n == 3L, s"appender must report 3 appended rows, got $n")
+    val got = s.spark.sql("SELECT id, v FROM flight_mr_t ORDER BY id").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")), "all three parameter rows must land with values")
+    s.spark.sql("DROP TABLE flight_mr_t")
+  }
+
+  test("Go-driver one-row positional batch reshapes to N rows; explicit column list aligns (batch.rs:52-115,180-259)") {
+    val p = newProducer()
+    val s = p.registry.getOrCreate("peer-go")
+    s.spark.sql("DROP TABLE IF EXISTS flight_go_t")
+    s.spark.sql("CREATE TABLE flight_go_t (id INT, v STRING, extra DOUBLE) USING parquet")
+    val prep = p.createPreparedStatement("peer-go",
+      "INSERT INTO flight_go_t (v, id) VALUES (?, ?)")
+    // VALUES (?,?),(?,?),(?,?) shipped as ONE row of 6 positional columns
+    val batch = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(java.util.List.of(Row("a", 1, "b", 2, "c", 3)),
+        StructType(Seq(
+          StructField("1", StringType), StructField("2", IntegerType),
+          StructField("3", StringType), StructField("4", IntegerType),
+          StructField("5", StringType), StructField("6", IntegerType))))
+    }
+    val n = p.doPutPreparedStatementUpdate("peer-go", prep.handle, ArrowWire.toIpcStream(batch))
+    assert(n == 3L, s"reshaped batch must append 3 rows, got $n")
+    val got = s.spark.sql("SELECT id, v, extra FROM flight_go_t ORDER BY id").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1), r.isNullAt(2))).toSeq ==
+      Seq((1, "a", true), (2, "b", true), (3, "c", true)),
+      "column list (v, id) must reorder and extra must NULL-fill")
+    s.spark.sql("DROP TABLE flight_go_t")
+  }
+
+  test("non-appender prepared update executes once per parameter set (execute.rs:16-32)") {
+    val p = newProducer()
+    val s = p.registry.getOrCreate("peer-lp")
+    s.spark.sql("DROP TABLE IF EXISTS flight_lp_t")
+    s.spark.sql("CREATE TABLE flight_lp_t (id INT, v STRING) USING parquet")
+    // VALUES with a source expression is NOT appender-eligible (raw
+    // batch append would drop the upper()) → parameter-set loop
+    val prep = p.createPreparedStatement("peer-lp",
+      "INSERT INTO flight_lp_t VALUES (?, upper(?))")
+    val batch = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(java.util.List.of(Row(1, "one"), Row(2, "two")),
+        StructType(Seq(StructField("1", IntegerType), StructField("2", StringType))))
+    }
+    p.doPutPreparedStatementUpdate("peer-lp", prep.handle, ArrowWire.toIpcStream(batch))
+    val got = s.spark.sql("SELECT id, v FROM flight_lp_t ORDER BY id").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "ONE"), (2, "TWO")),
+      "both parameter sets must execute through the statement, applying upper()")
+    s.spark.sql("DROP TABLE flight_lp_t")
+  }
+
   test("metadata RPCs serve catalogs/schemas/tables/table-types/keys/sql-info (metadata.rs)") {
     val p = newProducer()
     val peer = "peer-m"
