@@ -46,18 +46,34 @@ object Bench {
     val terminals = 4
     val windowNanos = 30L * 1000 * 1000 * 1000
     val completed = new java.util.concurrent.atomic.AtomicLong()
+    // one isolated session per terminal — the reference's per-client
+    // session model (engine/factory.rs:72-93); a shared session
+    // serializes on SQLConf/analysis state (~20% throughput measured)
+    val sessions = (0 until terminals).map(_ => spark.newSession())
+    // prepared statements, as BenchBase drives them: parse + analyze
+    // once per terminal, then each execution replans and re-runs every
+    // stage from the analyzed plan (PlanReuse — re-collecting a single
+    // Dataset would reuse its shuffle outputs, i.e. cache results)
+    val preparedPer = sessions.map { cs =>
+      mix.map(n => n -> SparkEntry.queries(n)(cs, sfDir)).toMap
+    }
+    // per-terminal warmup BEFORE the clock starts — the reference
+    // measures after a 30 s BenchBase warmup against the long-lived
+    // server (BENCHMARK.md:29-36); without this, 4 terminals × 22
+    // first-executions of fresh plans (analysis + codegen compilation)
+    // land inside the measured window and halve the reported rate
+    val warm = sessions.zip(preparedPer).map { case (cs, prepared) =>
+      val th = new Thread(() => mix.foreach { n =>
+        try org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, prepared(n)).collect()
+        catch { case _: Throwable => }
+      })
+      th.start(); th
+    }
+    warm.foreach(_.join())
     val t0 = System.nanoTime()
     val threads = (0 until terminals).map { t =>
-      // one isolated session per terminal — the reference's per-client
-      // session model (engine/factory.rs:72-93); a shared session
-      // serializes on SQLConf/analysis state (~20% throughput measured)
-      val clientSession = spark.newSession()
-      // prepared statements, as BenchBase drives them: parse + analyze
-      // once per terminal, then each execution replans and re-runs every
-      // stage from the analyzed plan (PlanReuse — re-collecting a single
-      // Dataset would reuse its shuffle outputs, i.e. cache results)
-      val prepared = mix.map(n =>
-        n -> SparkEntry.queries(n)(clientSession, sfDir)).toMap
+      val clientSession = sessions(t)
+      val prepared = preparedPer(t)
       val th = new Thread(() => {
         var i = t
         while (System.nanoTime() - t0 < windowNanos) {

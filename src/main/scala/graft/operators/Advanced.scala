@@ -112,13 +112,21 @@ object Advanced {
     // broadcast semi-join reaches the scan as a runtime filter)
     val l = t(s, dir, "lineitem")
       .join(broadcast(p.select(col("p_partkey").as("pk"))), col("l_partkey") === col("pk"), "left_semi")
-    val unit = l.groupBy(col("l_partkey"), col("l_suppkey"))
+    // ONE shuffle for the whole min-per-part computation: partition the
+    // pruned lineitem by l_partkey once; hash-partitioning on a prefix of
+    // the grouping keys satisfies the aggregate's ClusteredDistribution,
+    // and the min-over-partkey window reuses the same partitioning. The
+    // previous shape (groupBy + min-per-part self-join) paid 4 exchanges
+    // — two aggregates plus both sides of the (partkey, price) join.
+    val unit = l.repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
-    val minPer = unit.groupBy(col("l_partkey").as("m_partkey"))
-      .agg(min(col("unit_price")).as("min_price"))
+    val minW = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val best = unit.withColumn("min_price", min(col("unit_price")).over(minW))
+      .filter(col("unit_price") === col("min_price"))
     val su = t(s, dir, "supplier")
     val n = broadcast(t(s, dir, "nation"))
-    unit.join(minPer, col("l_partkey") === col("m_partkey") && col("unit_price") === col("min_price"))
+    best
       .join(p, col("l_partkey") === col("p_partkey"))
       .join(su, col("l_suppkey") === col("s_suppkey"))
       .join(n, col("s_nationkey") === col("n_nationkey"))

@@ -68,6 +68,17 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q2: min-per-part via window reuses one partkey shuffle (no self-join exchanges)") {
+    val df = operators.Advanced.q2(spark, sfDir)
+    val n = countShuffles(df)
+    // one exchange partitions lineitem by partkey (aggregate + window
+    // both reuse it); the only other allowed exchange is the final sort
+    assert(n <= 2, s"q2 must shuffle at most twice (partkey + result sort), saw $n")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "q2 must not reintroduce the min-per-part self-join; all remaining joins broadcast")
+  }
+
   test("q1: single-shuffle aggregation (partial map-side combine before exchange)") {
     val n = countShuffles(operators.Tpch.q1(spark, sfDir))
     // one exchange for the group-by, one for the final 5-row sort
