@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
   * Flags: cacheDims (persist region/nation/customer/supplier/part),
   * cacheAll (persist every test table), noAqe (terminals disable AQE),
   * reopt (reuse optimized instead of analyzed plans), sp4 (terminals use
-  * 4 shuffle partitions). Window via LAB_WINDOW seconds (default 20).
+  * 4 shuffle partitions), serial (skip the throughput window; instead
+  * time each TPC-H query warm, min of 3 runs, under the flag set —
+  * isolates the per-query latency floor). Window via LAB_WINDOW seconds
+  * (default 20).
   */
 object BenchLab {
   def main(args: Array[String]): Unit = {
@@ -19,6 +22,26 @@ object BenchLab {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val windowSec = sys.env.getOrElse("LAB_WINDOW", "20").toInt
     val spark = Engine.newSession("graft-lab", Engine.defaultCores)
+
+    if (flags("serial")) {
+      val cs = spark.newSession()
+      if (flags("noAqe")) cs.conf.set("spark.sql.adaptive.enabled", "false")
+      if (flags("sp4")) cs.conf.set("spark.sql.shuffle.partitions", "4")
+      val mixS = SparkEntry.queries.keys.filter(_.startsWith("q")).toSeq.sorted
+      val out = mixS.map { n =>
+        val df = SparkEntry.queries(n)(cs, sfDir)
+        org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, df).collect() // warm
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, df).collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        f"$n%s=$best%.2f"
+      }
+      println(s"[lab-serial] flags=${flags.toSeq.sorted.mkString("+")} " + out.mkString(" "))
+      spark.stop()
+      return
+    }
 
     val dims = Seq("region", "nation", "customer", "supplier", "part")
     val toCache =

@@ -43,12 +43,19 @@ final class Session(val id: String, val spark: SparkSession,
   /** Plan-only schema for a query (A4, engine/connection.rs:56-65), LRU
     * cached by trimmed SQL text.
     */
+  /** Expose the micro-lake's current snapshots in THIS session's view
+    * namespace before planning against Spark SQL (newSession isolates
+    * temp views; the catalog's views live on the root session).
+    */
+  private[graft] def ensureCatalogViews(): Unit = catalog.foreach(_.syncViews(spark))
+
   def schemaForQuery(sql: String): StructType = {
     val key = sql.trim
     schemaCache.synchronized {
       val hit = schemaCache.get(key)
       if (hit != null) return hit
     }
+    ensureCatalogViews()
     val schema = spark.sql(SqlShim.stripSelectLocks(key)).schema
     schemaCache.synchronized { schemaCache.put(key, schema) }
     schema
@@ -67,8 +74,22 @@ final class Session(val id: String, val spark: SparkSession,
     invalidating.exists(u.startsWith)
   }
 
+  /** The reference's update-count answer shape: DuckDB DML returns a
+    * one-row changed-rows count (connection.rs execute → usize); Spark
+    * v2 DML uses the same `num_affected_rows` column name.
+    */
+  private def affectedDf(n: Long): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(n)),
+      StructType(Seq(org.apache.spark.sql.types.StructField("num_affected_rows",
+        org.apache.spark.sql.types.LongType))))
+
   /** Execute a statement/script through the shim; DDL/DML clears the
     * schema cache exactly as the reference's trigger list does.
+    * DML against a catalog-managed mutable table routes through the
+    * MutableCatalog (the reference serves the YCSB UPDATE/DELETE mix
+    * through its engine the same way — session/mod.rs:285-340); other
+    * statements go to Spark SQL.
     */
   def sql(sqlText: String): DataFrame = {
     touch()
@@ -77,9 +98,15 @@ final class Session(val id: String, val spark: SparkSession,
     if (statements.exists(invalidatesSchemas))
       schemaCache.synchronized(schemaCache.clear())
     statements.map { s =>
-      // metadata views recompute per query (metadata.rs:26-34)
-      if (InfoSchema.referencesInfoSchema(s)) InfoSchema.register(spark)
-      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))))
+      val clean = SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))
+      catalog.flatMap(_.route(clean)) match {
+        case Some(n) => affectedDf(n)
+        case None =>
+          // metadata views recompute per query (metadata.rs:26-34)
+          if (InfoSchema.referencesInfoSchema(s)) InfoSchema.register(spark)
+          ensureCatalogViews()
+          spark.sql(InfoSchema.rewriteInfoSchema(clean))
+      }
     }.last
   }
 
@@ -144,8 +171,17 @@ final class Session(val id: String, val spark: SparkSession,
     val n = ParamInference.countPlaceholders(p.sql)
     val padded = params.padTo(n, null)
     val out =
-      if (n > 0 && SqlShim.statementCount(p.sql) == 1)
-        spark.sql(p.sql, padded.toArray)
+      if (n > 0 && SqlShim.statementCount(p.sql) == 1) {
+        // catalog-managed DML binds literals engine-side and routes
+        // (connection.rs:279-295 Value binding); everything else uses
+        // Spark's native parameterized-SQL path
+        catalog.flatMap(_.route(SqlParams.bind(p.sql, padded))) match {
+          case Some(count) => affectedDf(count)
+          case None =>
+            ensureCatalogViews()
+            spark.sql(p.sql, padded.toArray)
+        }
+      }
       else sql(SqlParams.bind(p.sql, padded))
     if (p.ephemeral) closePrepared(p.handle)
     out

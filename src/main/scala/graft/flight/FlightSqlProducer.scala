@@ -75,6 +75,7 @@ final class FlightSqlProducer(val registry: SessionRegistry) {
     var returnsRows = SqlShim.isQuery(clean)
     val schema: Option[DataFrame] =
       if (!multi && returnsRows) {
+        s.ensureCatalogViews() // micro-lake tables resolve in this session
         val df = s.spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(clean)))
         returnsRows = true
         Some(df)
@@ -193,14 +194,18 @@ final class FlightSqlProducer(val registry: SessionRegistry) {
       .filter(_ => SqlShim.insertSourceIsPureParams(p.sql))
       .flatMap { case (parts, cols) =>
         val qualified = SqlShim.quoteQualified(parts)
-        scala.util.Try(s.spark.table(qualified)).toOption.map(_ => (qualified, cols))
+        scala.util.Try(s.spark.table(qualified)).toOption.map(_ => (parts, qualified, cols))
       }
 
     if (paramsIpc.isEmpty) affectedOf(s.executePrepared(handleStr))
     else appendTarget match {
-      case Some((table, cols)) =>
+      case Some((parts, qualified, cols)) =>
         val batch = ArrowWire.fromIpcStream(s.spark, paramsIpc)
-        val n = graft.sources.BatchAlign.appendParamBatch(s.spark, table, batch, cols)
+        // a micro-lake-managed table appends through its MutableTable
+        // (temp views can't take insertInto); saved tables through the
+        // catalog appender
+        val n = s.catalog.flatMap(_.insertBatch(parts.last, batch, cols)).getOrElse(
+          graft.sources.BatchAlign.appendParamBatch(s.spark, qualified, batch, cols))
         if (p.ephemeral) s.closePrepared(p.handle)
         n
       case None =>

@@ -100,7 +100,19 @@ object BatchAlign {
     */
   def appendParamBatch(spark: SparkSession, table: String, batch: DataFrame,
       explicitCols: Option[Seq[String]] = None): Long = {
-    val target = spark.table(table).schema
+    val aligned = shapeParamBatch(spark, batch, spark.table(table).schema, explicitCols)
+    val appended = aligned.count()
+    aligned.write.mode("append").insertInto(table)
+    appended
+  }
+
+  /** The shaping half of the appender path, target-storage-agnostic:
+    * reshape + positional rename + align, returning the table-shaped
+    * batch for whichever writer owns the table (saved table via
+    * [[appendParamBatch]], micro-lake via `MutableCatalog.insertBatch`).
+    */
+  def shapeParamBatch(spark: SparkSession, batch: DataFrame, target: StructType,
+      explicitCols: Option[Seq[String]] = None): DataFrame = {
     val fed = explicitCols.getOrElse(target.fields.map(_.name).toSeq)
     val width = fed.length
     val reshaped = reshapePositional(spark, batch, width)
@@ -111,9 +123,6 @@ object BatchAlign {
            !fed.exists(c => batchNames(c.toLowerCase))))
         reshaped.toDF(fed: _*)
       else reshaped
-    val appended = named.count()
     alignToSchema(named, target, explicitCols)
-      .write.mode("append").insertInto(table)
-    appended
   }
 }

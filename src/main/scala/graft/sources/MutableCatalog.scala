@@ -78,6 +78,35 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   private def refresh(name: String): Unit =
     tables(name.toLowerCase).df.createOrReplaceTempView(name)
 
+  /** Register every managed table's current snapshot as a temp view in
+    * `target`'s OWN view namespace. Each server session wraps
+    * `newSession()` (isolated temp views), so shared-lake visibility —
+    * the reference's per-session DuckDB connections over one DuckLake
+    * catalog (engine/factory.rs:72-93) — needs the snapshot re-exposed
+    * per session; the plan transplant is the same analyzed-plan rebind
+    * the prepared path uses.
+    */
+  def syncViews(target: SparkSession): Unit = synchronized {
+    tables.foreach { case (name, t) =>
+      org.apache.spark.sql.graft.PlanReuse.reanalyzed(target, t.df)
+        .createOrReplaceTempView(name)
+    }
+  }
+
+  /** Arrow-ingest appender over a managed table — the micro-lake side
+    * of the reference's `insert_with_appender`
+    * (engine/connection.rs:163-196): shape the DoPut parameter batch to
+    * the table schema and append. None when the table isn't managed
+    * (caller falls through to the saved-table appender).
+    */
+  def insertBatch(name: String, batch: DataFrame,
+      explicitCols: Option[Seq[String]] = None): Option[Long] =
+    get(name).map { t =>
+      val n = t.insert(BatchAlign.shapeParamBatch(spark, batch, t.schema, explicitCols))
+      refresh(name)
+      n
+    }
+
   private val insertRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+([A-Za-z_][\\w]*)\\s*(\\([^)]*\\))?\\s*VALUES\\s*(.+?);?\\s*$".r
   private val updateRe =

@@ -161,6 +161,38 @@ class FlightScenarioSpec extends SparkTestBase {
     s.spark.sql("DROP TABLE flight_lp_t")
   }
 
+  test("YCSB mix over the facade: catalog-backed sessions serve INSERT/UPDATE/DELETE/SELECT (ycsb-flight-sql.xml)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cat = graft.sources.MutableCatalog(spark)
+    cat.create("fl_usertable", StructType(Seq(
+      StructField("ycsb_key", LongType), StructField("field1", StringType))),
+      primaryKey = Some("ycsb_key"))
+    val p = new FlightSqlProducer(new SessionRegistry(spark, catalog = Some(cat)))
+    val peer = "peer-ycsb"
+    // multi-row DoPut INSERT lands through the MutableTable appender
+    val prep = p.createPreparedStatement(peer, "INSERT INTO fl_usertable VALUES (?, ?)")
+    val batch = spark.createDataFrame(
+      java.util.List.of(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")),
+      StructType(Seq(StructField("1", LongType), StructField("2", StringType))))
+    assert(p.doPutPreparedStatementUpdate(peer, prep.handle, ArrowWire.toIpcStream(batch)) == 3L)
+    // parameterized UPDATE routes through the catalog and reports its count
+    val upd = p.createPreparedStatement(peer,
+      "UPDATE fl_usertable SET field1 = ? WHERE ycsb_key = ?")
+    val updBatch = spark.createDataFrame(java.util.List.of(Row("updated", 2L)),
+      StructType(Seq(StructField("1", StringType), StructField("2", LongType))))
+    assert(p.doPutPreparedStatementUpdate(peer, upd.handle, ArrowWire.toIpcStream(updBatch)) == 1L)
+    // ad-hoc DELETE via DoPut statement update
+    assert(p.doPutStatementUpdate(peer, "DELETE FROM fl_usertable WHERE ycsb_key = 3") == 1L)
+    // reads from a DIFFERENT peer session see the shared lake state
+    val info = p.getFlightInfoStatement("peer-ycsb2",
+      "SELECT ycsb_key, field1 FROM fl_usertable ORDER BY ycsb_key")
+    val rows = rowsOf(p.doGet("peer-ycsb2", info.ticket))
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "updated")))
+    cat.drop("fl_usertable")
+  }
+
   test("metadata RPCs serve catalogs/schemas/tables/table-types/keys/sql-info (metadata.rs)") {
     val p = newProducer()
     val peer = "peer-m"
