@@ -232,7 +232,9 @@ final class FlightSqlProducer(val registry: SessionRegistry) {
       returnsRows = Some(true)))
 
   private def metaDf(peer: String, kind: String): DataFrame = {
-    val spark = session(peer).spark
+    val s = session(peer)
+    s.ensureCatalogViews() // micro-lake tables list in this session's metadata
+    val spark = s.spark
     kind match {
       case "catalogs"    => InfoSchema.catalogs(spark)
       case "schemas"     => InfoSchema.schemata(spark)

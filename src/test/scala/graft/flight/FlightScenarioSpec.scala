@@ -190,6 +190,11 @@ class FlightScenarioSpec extends SparkTestBase {
     val rows = rowsOf(p.doGet("peer-ycsb2", info.ticket))
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "updated")))
+    // managed tables are visible in a FRESH session's GetTables
+    // (metadata_visibility.test — DuckLake tables list in metadata)
+    val tables = rowsOf(p.doGet("peer-ycsb3", p.getFlightInfoTables("peer-ycsb3").ticket))
+    assert(tables.exists(_.getString(2) == "fl_usertable"),
+      "micro-lake table must appear in metadata for a fresh session")
     cat.drop("fl_usertable")
   }
 
