@@ -53,6 +53,14 @@ final class MutableTable private (
 
   def currentVersion: Long = new String(Files.readAllBytes(versionFile)).trim.toLong
 
+  // In-process writer serialization: concurrent server sessions share
+  // one MutableTable instance per name, and every mutator is a
+  // read-version -> stage -> commit(v+1) sequence -- without a lock two
+  // writers both commit v+1 and one update is lost. Cross-PROCESS
+  // writes remain the documented single-writer assumption (the
+  // reference's Postgres advisory lock, maintenance/mod.rs).
+  private val writeLock = new Object
+
   private def manifestPath(v: Long): Path = root.resolve(s"manifest-$v.json")
 
   private def readManifest(v: Long): Seq[String] = {
@@ -83,7 +91,7 @@ final class MutableTable private (
     * interval keeps working. Requires the target manifest's files to
     * still exist (i.e. no intervening `vacuum`).
     */
-  def restore(version: Long): Long = {
+  def restore(version: Long): Long = writeLock.synchronized {
     require(Files.exists(manifestPath(version)), s"unknown version $version")
     val v = currentVersion
     if (version == v) v
@@ -129,7 +137,7 @@ final class MutableTable private (
   /** Append rows; enforces the primary key when declared — duplicates in
     * the batch or against existing rows error, nothing is committed.
     */
-  def insert(data: DataFrame): Long = {
+  def insert(data: DataFrame): Long = writeLock.synchronized {
     primaryKey.foreach { pk =>
       val incoming = data.select(col(pk))
       val dupIn = incoming.groupBy(col(pk)).count().filter(col("count") > 1).limit(1).collect()
@@ -160,7 +168,7 @@ final class MutableTable private (
   /** Copy-on-write DELETE: rewrite only files containing matches; returns
     * the number of rows deleted.
     */
-  def delete(cond: Column): Long = {
+  def delete(cond: Column): Long = writeLock.synchronized {
     val v = currentVersion
     val all = readManifest(v)
     val affected = affectedFiles(cond)
@@ -185,7 +193,7 @@ final class MutableTable private (
     * rewritten; the only collect is over FILE NAMES, bounded by the
     * manifest size.
     */
-  def deleteKeys(keys: DataFrame, keyCol: String): Long = {
+  def deleteKeys(keys: DataFrame, keyCol: String): Long = writeLock.synchronized {
     require(schema.fieldNames.contains(keyCol), s"unknown column: $keyCol")
     val v = currentVersion
     val all = readManifest(v)
@@ -213,7 +221,7 @@ final class MutableTable private (
   /** Copy-on-write UPDATE: SET col -> expression for rows matching `cond`;
     * returns the number of rows updated.
     */
-  def update(cond: Column, set: Map[String, Column]): Long = {
+  def update(cond: Column, set: Map[String, Column]): Long = writeLock.synchronized {
     require(set.nonEmpty, "UPDATE requires at least one assignment")
     set.keys.foreach(k => require(schema.fieldNames.contains(k), s"unknown column: $k"))
     val v = currentVersion
@@ -237,7 +245,7 @@ final class MutableTable private (
   /** CHECKPOINT ≈ compaction (A26): coalesce the live file set into
     * `targetFiles` files; data unchanged, old versions still readable.
     */
-  def checkpoint(targetFiles: Int = 1): Long = {
+  def checkpoint(targetFiles: Int = 1): Long = writeLock.synchronized {
     val v = currentVersion
     val files = readManifest(v)
     if (files.size <= targetFiles) return v
@@ -251,7 +259,7 @@ final class MutableTable private (
   /** Drop data files no longer referenced by ANY retained manifest
     * (vacuum; the reference's checkpoint cleanup).
     */
-  def vacuum(): Int = {
+  def vacuum(): Int = writeLock.synchronized {
     val live = mutable.Set.empty[String]
     Files.list(root).iterator().asScala
       .filter(_.getFileName.toString.startsWith("manifest-"))

@@ -194,4 +194,20 @@ class MutableTableSpec extends SparkTestBase {
     assert(t.df.count() == 1, "rollback after commit is a no-op")
     cat.drop("txn_c")
   }
+
+  test("concurrent in-process writers serialize: no lost updates") {
+    val t = mkTable(pk = None)
+    val writers = 8
+    val threads = (0 until writers).map { w =>
+      val th = new Thread(() => t.insert(rows((w.toLong, s"w$w", w.toDouble))))
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    // every writer's commit must survive: version advanced once per
+    // insert and all rows are present (an unserialized read-version ->
+    // commit(v+1) race drops whole batches)
+    assert(t.currentVersion == writers.toLong,
+      s"expected $writers commits, saw version ${t.currentVersion}")
+    assert(t.df.count() == writers.toLong)
+  }
 }
