@@ -320,7 +320,106 @@ object TextAnalysis {
       | source AS modality_hint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // === sequence packing ====================================================
+  /** pack1: deterministic sequence packing — assign each document a
+    * (bin, offset) inside fixed-token-budget training sequences, packed
+    * per language shard in doc_id order. The "start-offset" rule (a doc
+    * belongs to the bin where its cumulative start falls; long docs may
+    * overflow their bin) is the deterministic, join-free variant of
+    * greedy next-fit that a 100 TB pipeline can compute with ONE window
+    * pass per shard: Window.partitionBy(shard) keeps every prefix sum
+    * partition-local — there is no global ordering bottleneck, which is
+    * why packing shards by language (the unit training runs sample by)
+    * rather than globally.
+    */
+  def sequencePacking(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")).cast(DoubleType) / budget)
+          .cast(LongType).as("seq_bin"),
+        ((col("cum") - col("n_tokens")) % budget).cast(LongType).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sequencePackingSql(budget: Int = 512): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM toks)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS seq_bin,
+       |  CAST((cum - n_tokens) % $budget AS BIGINT) AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // === benchmark contamination =============================================
+  /** cont1: eval-set decontamination sweep — for every document, the
+    * fraction of its distinct 3-gram shingles that also appear in the
+    * held-out benchmark slice (source = 'src0'), excluding itself.
+    * Candidates come from an inverted-index join on the 8-byte shingle
+    * hash (the dd2 construction — same collision-probability argument,
+    * Dedup.scala): contamination is only ever computed for docs sharing
+    * a shingle with the benchmark, never all-pairs. At 100 TB the
+    * benchmark side is tiny relative to the corpus, so the join
+    * broadcast-prunes; the corpus-side shingle scan is map-only.
+    */
+  def benchmarkContamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val bench = t(s, dir, "documents").filter(col("source") === "src0")
+      .select(col("doc_id").as("bench_id"))
+    val benchSh = sh.join(bench, col("doc_id") === col("bench_id"))
+      .select(col("h"), col("bench_id"))
+    val hits = sh.join(benchSh, "h")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(col("doc_id"),
+        col("n_shingles").cast(LongType).as("n_shingles"),
+        col("n_contaminated").cast(LongType).as("n_contaminated"),
+        // one IEEE division over identical integers on both engines
+        (col("n_contaminated").cast(DoubleType) / col("n_shingles")).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  val benchmarkContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+      |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+      |    FROM toks WHERE len(t) >= 3)),
+      |bench AS (SELECT doc_id AS bench_id FROM documents WHERE source = 'src0'),
+      |bsh AS (SELECT sh.shingle, bench_id FROM sh JOIN bench ON sh.doc_id = bench_id),
+      |hits AS (
+      |  SELECT sh.doc_id, COUNT(DISTINCT sh.shingle) AS n_contaminated
+      |  FROM sh JOIN bsh ON sh.shingle = bsh.shingle AND sh.doc_id <> bsh.bench_id
+      |  GROUP BY sh.doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
+      |SELECT tot.doc_id,
+      |  CAST(n_shingles AS BIGINT) AS n_shingles,
+      |  CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_shingles AS contamination
+      |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack1_sequence_packing" -> ((s: SparkSession, d: String) => sequencePacking(s, d)),
+    "cont1_benchmark_overlap" -> benchmarkContamination _,
     "txt1_token_stats" -> docTokenStats _,
     "txt2_lang_id" -> docLangId _,
     "txt3_fingerprint" -> docFingerprint _,
@@ -332,6 +431,8 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "pack1_sequence_packing" -> sequencePackingSql(),
+    "cont1_benchmark_overlap" -> benchmarkContaminationSql,
     "txt1_token_stats" -> docTokenStatsSql,
     "txt2_lang_id" -> docLangIdSql,
     "txt3_fingerprint" -> docFingerprintSql,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-7 pipeline additions (pack1 sequence
+  * packing, cont1 benchmark decontamination). Value-level correctness is
+  * hash-checked against the DuckDB oracle by the driver gate; these pin
+  * the structural properties the oracle compare can't express.
+  */
+class TextPipelineSpec extends SparkTestBase {
+
+  test("pack1: offsets stay inside the budget and bins are dense from 0 per shard") {
+    val budget = 512
+    val packed = TextAnalysis.sequencePacking(spark, sfDir, budget).cache()
+    assert(packed.filter(col("seq_offset") < 0 || col("seq_offset") >= budget).isEmpty,
+      "every start offset must lie in [0, budget)")
+    assert(packed.filter(col("seq_bin") < 0).isEmpty)
+    // the first document of every language shard starts bin 0 at offset 0
+    val firsts = packed.groupBy(col("lang")).agg(min(col("doc_id")).as("doc_id"))
+      .join(packed, Seq("lang", "doc_id"))
+    assert(firsts.filter(col("seq_bin") =!= 0 || col("seq_offset") =!= 0).isEmpty)
+    // bins within a shard are non-decreasing in doc_id order and skip at
+    // most when a document overflows its bin (start-offset rule)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val monotone = packed
+      .withColumn("prev_bin", lag(col("seq_bin"), 1).over(w))
+      .filter(col("prev_bin").isNotNull && col("seq_bin") < col("prev_bin"))
+    assert(monotone.isEmpty, "bins must be non-decreasing per shard")
+    packed.unpersist()
+  }
+
+  test("cont1: fractions well-formed; self-overlap never counts as contamination") {
+    val c = TextAnalysis.benchmarkContamination(spark, sfDir).cache()
+    assert(c.filter(col("n_contaminated") > col("n_shingles")).isEmpty)
+    assert(c.filter(col("contamination") < 0.0 || col("contamination") > 1.0).isEmpty)
+    // a benchmark doc whose shingles are all unique to itself must read 0
+    // (self-matches excluded); verify via a synthetic unique-text check:
+    // every doc's contamination is 0 unless SOME OTHER doc shares a
+    // shingle with the benchmark slice — spot-check with the raw join
+    val sh = Dedup.shingles(spark, sfDir)
+    val bench = graft.Engine.table(spark, sfDir, "documents")
+      .filter(col("source") === "src0").select(col("doc_id").as("bench_id"))
+    val benchSh = sh.join(bench, col("doc_id") === col("bench_id"))
+      .select(col("shingle"), col("bench_id"))
+    val expectNonZero = sh.join(benchSh, "shingle")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id")).distinct().count()
+    assert(c.filter(col("contamination") > 0.0).count() == expectNonZero,
+      "exactly the docs sharing a shingle with the benchmark (excluding self) are contaminated")
+    c.unpersist()
+  }
+}
