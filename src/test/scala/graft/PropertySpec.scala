@@ -74,4 +74,41 @@ class PropertySpec extends AnyFunSuite {
       assert(dt.precision <= 38 && dt.scale <= dt.precision)
     }
   }
+
+  test("parseInsert round-trips arbitrary identifiers and column lists") {
+    val bare = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(12))
+    val weird = Gen.oneOf("we ird", "a.b", "x`y", "q\"t", "1st", "select")
+    val ident = Gen.oneOf(bare, weird)
+    val gen = for {
+      parts <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, ident))
+      cols <- Gen.option(Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, bare)))
+      kw <- Gen.oneOf("VALUES (?, ?)", "SELECT 1, 2", "values(?,?)")
+    } yield (parts, cols, kw)
+    forAll(gen) { case (parts, cols, kw) =>
+      // quote every part with backticks — parseInsert must unquote back
+      val table = parts.map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+      val colSql = cols.map(_.mkString("(", ", ", ") ")).getOrElse("")
+      val sql = s"INSERT INTO $table $colSql$kw"
+      val parsed = SqlShim.parseInsert(sql)
+      assert(parsed.isDefined, s"failed to parse: $sql")
+      assert(parsed.get._1 == parts, s"table parts mangled for: $sql")
+      assert(parsed.get._2 == cols, s"column list mangled for: $sql")
+    }
+  }
+
+  test("insertSourceIsPureParams accepts only placeholder-only VALUES") {
+    // any expression fragment mixed into VALUES must disqualify the
+    // appender fast path (values would be silently dropped otherwise)
+    val exprFrag = Gen.oneOf("1", "upper(?)", "'x'", "? + 1", "now()")
+    forAll(exprFrag) { frag =>
+      assert(!SqlShim.insertSourceIsPureParams(s"INSERT INTO t VALUES (?, $frag)"))
+    }
+    val pureShape = Gen.chooseNum(1, 5).flatMap(w =>
+      Gen.chooseNum(1, 4).map(r => (w, r)))
+    forAll(pureShape) { case (w, r) =>
+      val tuple = Seq.fill(w)("?").mkString("(", ", ", ")")
+      val sql = s"INSERT INTO t VALUES ${Seq.fill(r)(tuple).mkString(", ")}"
+      assert(SqlShim.insertSourceIsPureParams(sql), sql)
+    }
+  }
 }
