@@ -417,9 +417,55 @@ object TextAnalysis {
       |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  // === stratified (temperature) sampling ===================================
+  /** Per-language keep rates for the sampling mix — the shape of a
+    * temperature-resampled training mixture (downweight the dominant
+    * language, keep the rest nearly whole).
+    */
+  val sampleRates: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "de" -> 0.9, "es" -> 0.9, "fr" -> 0.9, "zh" -> 0.9)
+
+  /** smp1: deterministic stratified sampling — keep each document iff
+    * its engine-portable hash fraction (first 8 md5 hex chars of
+    * `lang#doc_id` over 2^32) falls under the language's rate. This is
+    * how a training mix up/down-weights slices WITHOUT materializing
+    * randomness: the keep set is identical on every engine, every run,
+    * and every cluster size. Map-only — at 100 TB it fuses into the
+    * scan with zero shuffle; the hash family is the dd3/dd4 md5 trick
+    * (Dedup.scala), bought back as a DuckDB oracle computing the
+    * IDENTICAL keep set.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val frac = (conv(substring(md5(concat_ws("#", col("lang"), col("doc_id"))), 1, 8), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(4294967296.0)).as("keep_frac")
+    val rate = coalesce(
+      element_at(
+        map(sampleRates.flatMap { case (l, r) => Seq(lit(l), lit(r)) }: _*),
+        col("lang")),
+      lit(1.0))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), frac, rate.as("rate"))
+      .filter(col("keep_frac") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("keep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val cases = sampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH f AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substring(md5(concat_ws('#', lang, CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT AS DOUBLE)
+       |      / 4294967296.0 AS keep_frac
+       |  FROM documents)
+       |SELECT doc_id, lang, keep_frac FROM f
+       |WHERE keep_frac < CASE lang $cases ELSE 1.0 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack1_sequence_packing" -> ((s: SparkSession, d: String) => sequencePacking(s, d)),
     "cont1_benchmark_overlap" -> benchmarkContamination _,
+    "smp1_stratified_sample" -> stratifiedSample _,
     "txt1_token_stats" -> docTokenStats _,
     "txt2_lang_id" -> docLangId _,
     "txt3_fingerprint" -> docFingerprint _,
@@ -433,6 +479,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "pack1_sequence_packing" -> sequencePackingSql(),
     "cont1_benchmark_overlap" -> benchmarkContaminationSql,
+    "smp1_stratified_sample" -> stratifiedSampleSql,
     "txt1_token_stats" -> docTokenStatsSql,
     "txt2_lang_id" -> docLangIdSql,
     "txt3_fingerprint" -> docFingerprintSql,

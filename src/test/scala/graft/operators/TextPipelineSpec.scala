@@ -30,6 +30,29 @@ class TextPipelineSpec extends SparkTestBase {
     packed.unpersist()
   }
 
+  test("smp1: per-language keep rates land near their targets and the keep set is stable") {
+    val docs = graft.Engine.table(spark, sfDir, "documents")
+    val kept = TextAnalysis.stratifiedSample(spark, sfDir).cache()
+    val totals = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBy = kept.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TextAnalysis.sampleRates.foreach { case (lang, rate) =>
+      val total = totals.getOrElse(lang, 0L)
+      if (total >= 20) {
+        val got = keptBy.getOrElse(lang, 0L).toDouble / total
+        // md5 fractions are uniform: expect the rate within a generous
+        // binomial tolerance at these counts
+        assert(math.abs(got - rate) < 0.25, f"$lang: kept $got%.2f vs rate $rate")
+      }
+    }
+    // determinism: a second evaluation yields the identical keep set
+    val again = TextAnalysis.stratifiedSample(spark, sfDir)
+    assert(kept.select(col("doc_id")).except(again.select(col("doc_id"))).isEmpty)
+    assert(again.select(col("doc_id")).except(kept.select(col("doc_id"))).isEmpty)
+    kept.unpersist()
+  }
+
   test("cont1: fractions well-formed; self-overlap never counts as contamination") {
     val c = TextAnalysis.benchmarkContamination(spark, sfDir).cache()
     assert(c.filter(col("n_contaminated") > col("n_shingles")).isEmpty)
