@@ -198,6 +198,33 @@ class FlightScenarioSpec extends SparkTestBase {
     cat.drop("fl_usertable")
   }
 
+  test("transactions over the facade roll back micro-lake writes (transaction.rs + SURVEY §7.4)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cat = graft.sources.MutableCatalog(spark)
+    cat.create("fl_txn_t", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val p = new FlightSqlProducer(new SessionRegistry(spark, catalog = Some(cat)))
+    val peer = "peer-txn2"
+    p.doPutStatementUpdate(peer, "INSERT INTO fl_txn_t VALUES (1, 'committed')")
+    val txn = p.beginTransaction(peer)
+    p.doPutStatementUpdate(peer, "INSERT INTO fl_txn_t VALUES (2, 'doomed')")
+    p.doPutStatementUpdate(peer, "UPDATE fl_txn_t SET v = 'mutated' WHERE id = 1")
+    p.endTransaction(peer, txn, commit = false)
+    // rollback restored the BEGIN snapshot: insert gone, update undone
+    val info = p.getFlightInfoStatement(peer, "SELECT id, v FROM fl_txn_t ORDER BY id")
+    val rows = rowsOf(p.doGet(peer, info.ticket))
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "committed")))
+    // parameterized prepared SELECT over the managed table
+    val prep = p.createPreparedStatement(peer, "SELECT v FROM fl_txn_t WHERE id = ?")
+    val paramsDf = spark.createDataFrame(java.util.List.of(Row(1L)),
+      StructType(Seq(StructField("1", LongType))))
+    p.doPutPreparedStatementQuery(peer, prep.handle, ArrowWire.toIpcStream(paramsDf))
+    val got = rowsOf(p.doGet(peer, p.getFlightInfoPreparedStatement(peer, prep.handle).ticket))
+    assert(got.length == 1 && got.head.getString(0) == "committed")
+    cat.drop("fl_txn_t")
+  }
+
   test("metadata RPCs serve catalogs/schemas/tables/table-types/keys/sql-info (metadata.rs)") {
     val p = newProducer()
     val peer = "peer-m"
