@@ -98,6 +98,11 @@ object Bench {
       th.start(); th
     }
     warm.foreach(_.join())
+    // settle before the clock starts: the serial phase leaves the heap
+    // full of dropped plan/broadcast state whose collection otherwise
+    // lands inside the measured window (observed ±25% window variance)
+    System.gc()
+    Thread.sleep(500)
     val t0 = System.nanoTime()
     val threads = (0 until terminals).map { t =>
       val clientSession = sessions(t)
