@@ -22,7 +22,11 @@ import org.apache.spark.sql.types.StructType
   */
 final class MutableCatalog(spark: SparkSession, root: Path) {
 
-  private val tables = mutable.Map.empty[String, MutableTable]
+  // concurrent server sessions share ONE catalog: reads (get/route/
+  // syncViews) race creates/drops from other peers, so the registry is
+  // a lock-free concurrent map — per-table mutation ordering is already
+  // serialized inside MutableTable
+  private val tables = scala.collection.concurrent.TrieMap.empty[String, MutableTable]
 
   def create(name: String, schema: StructType, primaryKey: Option[String] = None): MutableTable = {
     val t = MutableTable.create(spark, root.resolve(name).toString, schema, primaryKey)

@@ -111,6 +111,32 @@ class ClientPoolSpec extends SparkTestBase {
     assert(pool.idleConnections >= 1, "closed session returns its connection")
   }
 
+  test("concurrent pooled clients mutate and read the shared micro-lake consistently") {
+    val cat = graft.sources.MutableCatalog(spark)
+    cat.create("fl_conc_t", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    val producer = new FlightSqlProducer(new SessionRegistry(spark, catalog = Some(cat)))
+    val pool = new FlightSqlPool(producer, PoolConfig(minIdle = 0, maxSize = 4))
+    val writers = 6
+    val perWriter = 3
+    val ex = Executors.newFixedThreadPool(writers)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(ex)
+    val work = (0 until writers).map { w =>
+      Future {
+        (0 until perWriter).foreach { i =>
+          pool.update(s"INSERT INTO fl_conc_t VALUES (${w * 100 + i}, $w)")
+          pool.query("SELECT COUNT(*) AS c FROM fl_conc_t") // interleaved reads
+        }
+      }
+    }
+    Await.result(Future.sequence(work), 3.minutes)
+    ex.shutdown()
+    val n = pool.query("SELECT COUNT(*) AS c FROM fl_conc_t").rows.head.getLong(0)
+    assert(n == writers * perWriter,
+      s"all ${writers}x$perWriter concurrent inserts must survive, saw $n")
+    cat.drop("fl_conc_t")
+  }
+
   test("concurrent pooled queries stay within the cap (pool.rs total accounting)") {
     val pool = newPool(PoolConfig(minIdle = 0, maxSize = 3, acquireTimeoutMs = 30000))
     val ex = Executors.newFixedThreadPool(8)
