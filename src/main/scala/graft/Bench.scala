@@ -21,14 +21,74 @@ object Bench {
     val cpus = Engine.defaultCores
     val spark = Engine.newSession("graft-bench", cpus)
 
-    // Per-query timing = PREPARED re-execution, exactly what the
-    // reference's per-query numbers average (BENCHMARK.md:73-96 are
-    // BenchBase prepared-statement executions against a warm server):
-    // the DataFrame is built once ("prepare"), then each measured run
-    // replans from the analyzed plan and re-runs every stage
-    // (PlanReuse.reanalyzed — no shuffle/result reuse). Rebuilding the
-    // DataFrame per run instead would re-pay file listing + analysis
-    // (~2x on sub-second queries), which BenchBase clients never do.
+    // ---- Phase 1: concurrent throughput over the TPC-H-shape mix — the
+    // reference's headline metric (BENCHMARK.md:42: 10.428 req/s, 4
+    // terminals, equal-weight mix, SF 0.1). This phase runs FIRST, on a
+    // JVM whose only prior work is its own per-terminal warmup pass —
+    // BenchBase likewise opens its measured window against a server that
+    // has executed nothing but the warmup mix (BENCHMARK.md:29-36).
+    // Running the 69-query serial phase first was measured to depress
+    // the window ~35% (4.90 vs ~7.7 req/s isolated): it leaves heap and
+    // codegen-cache state behind that a pre-window System.gc() does not
+    // reclaim.
+    val mix = SparkEntry.queries.keys.filter(_.startsWith("q")).toArray.sorted
+    val terminals = 4
+    val windowNanos = 30L * 1000 * 1000 * 1000
+    val completed = new java.util.concurrent.atomic.AtomicLong()
+    // one isolated session per terminal — the reference's per-client
+    // session model (engine/factory.rs:72-93); a shared session
+    // serializes on SQLConf/analysis state (~20% throughput measured)
+    val sessions = (0 until terminals).map(_ => spark.newSession())
+    // prepared statements, as BenchBase drives them: parse + analyze
+    // once per terminal, then each execution replans and re-runs every
+    // stage from the analyzed plan (PlanReuse — re-collecting a single
+    // Dataset would reuse its shuffle outputs, i.e. cache results)
+    val preparedPer = sessions.map { cs =>
+      mix.map(n => n -> SparkEntry.queries(n)(cs, sfDir)).toMap
+    }
+    // per-terminal warmup BEFORE the clock starts — the reference
+    // measures after a 30 s BenchBase warmup against the long-lived
+    // server (BENCHMARK.md:29-36); without this, 4 terminals × 22
+    // first-executions of fresh plans (analysis + codegen compilation)
+    // land inside the measured window and halve the reported rate
+    val warm = sessions.zip(preparedPer).map { case (cs, prepared) =>
+      val th = new Thread(() => mix.foreach { n =>
+        try org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, prepared(n)).collect()
+        catch { case _: Throwable => }
+      })
+      th.start(); th
+    }
+    warm.foreach(_.join())
+    val t0 = System.nanoTime()
+    val threads = (0 until terminals).map { t =>
+      val clientSession = sessions(t)
+      val prepared = preparedPer(t)
+      val th = new Thread(() => {
+        var i = t
+        while (System.nanoTime() - t0 < windowNanos) {
+          try {
+            org.apache.spark.sql.graft.PlanReuse
+              .reanalyzed(clientSession, prepared(mix(i % mix.length))).collect()
+            completed.incrementAndGet()
+          } catch { case _: Throwable => }
+          i += 1
+        }
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val rps = completed.get() / elapsed
+
+    // ---- Phase 2: serial per-query timing = PREPARED re-execution,
+    // exactly what the reference's per-query numbers average
+    // (BENCHMARK.md:73-96 are BenchBase prepared-statement executions
+    // against a warm server): the DataFrame is built once ("prepare"),
+    // then each measured run replans from the analyzed plan and re-runs
+    // every stage (PlanReuse.reanalyzed — no shuffle/result reuse).
+    // Rebuilding the DataFrame per run instead would re-pay file listing
+    // + analysis (~2x on sub-second queries), which BenchBase clients
+    // never do.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val prepared = names.flatMap { n =>
       try Some(n -> SparkEntry.queries(n)(spark, sfDir))
@@ -65,64 +125,6 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-
-    // Concurrent throughput over the TPC-H-shape mix — the reference's
-    // headline metric (BENCHMARK.md:42: 10.428 req/s, 4 terminals,
-    // equal-weight mix, SF 0.1). Four client threads round-robin the q*
-    // battery against the shared long-lived session for ~30 s.
-    val mix = names.filter(_.startsWith("q")).toArray
-    val terminals = 4
-    val windowNanos = 30L * 1000 * 1000 * 1000
-    val completed = new java.util.concurrent.atomic.AtomicLong()
-    // one isolated session per terminal — the reference's per-client
-    // session model (engine/factory.rs:72-93); a shared session
-    // serializes on SQLConf/analysis state (~20% throughput measured)
-    val sessions = (0 until terminals).map(_ => spark.newSession())
-    // prepared statements, as BenchBase drives them: parse + analyze
-    // once per terminal, then each execution replans and re-runs every
-    // stage from the analyzed plan (PlanReuse — re-collecting a single
-    // Dataset would reuse its shuffle outputs, i.e. cache results)
-    val preparedPer = sessions.map { cs =>
-      mix.map(n => n -> SparkEntry.queries(n)(cs, sfDir)).toMap
-    }
-    // per-terminal warmup BEFORE the clock starts — the reference
-    // measures after a 30 s BenchBase warmup against the long-lived
-    // server (BENCHMARK.md:29-36); without this, 4 terminals × 22
-    // first-executions of fresh plans (analysis + codegen compilation)
-    // land inside the measured window and halve the reported rate
-    val warm = sessions.zip(preparedPer).map { case (cs, prepared) =>
-      val th = new Thread(() => mix.foreach { n =>
-        try org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, prepared(n)).collect()
-        catch { case _: Throwable => }
-      })
-      th.start(); th
-    }
-    warm.foreach(_.join())
-    // settle before the clock starts: the serial phase leaves the heap
-    // full of dropped plan/broadcast state whose collection otherwise
-    // lands inside the measured window (observed ±25% window variance)
-    System.gc()
-    Thread.sleep(500)
-    val t0 = System.nanoTime()
-    val threads = (0 until terminals).map { t =>
-      val clientSession = sessions(t)
-      val prepared = preparedPer(t)
-      val th = new Thread(() => {
-        var i = t
-        while (System.nanoTime() - t0 < windowNanos) {
-          try {
-            org.apache.spark.sql.graft.PlanReuse
-              .reanalyzed(clientSession, prepared(mix(i % mix.length))).collect()
-            completed.incrementAndGet()
-          } catch { case _: Throwable => }
-          i += 1
-        }
-      })
-      th.start(); th
-    }
-    threads.foreach(_.join())
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    val rps = completed.get() / elapsed
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""throughput_rps":$rps,"throughput_terminals":$terminals,""" +

@@ -79,11 +79,18 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "和", "在"))
 
   def docLangId(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    // Tokenize ONCE into a projected column: inlining tokens(text) in
+    // each hit column re-splits the text per language (lambda `filter`
+    // is interpreted, so codegen CSE never merges the copies — measured
+    // 2.5x slower). CollapseProject keeps this barrier because the
+    // alias is non-cheap and referenced five times.
+    val withToks = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
     val hitCols = langMarkers.map { case (lang, words) =>
-      size(filter(toks, x => x.isInCollection(words))).cast(IntegerType).as(s"${lang}_hits")
+      size(filter(col("__toks"), x => x.isInCollection(words)))
+        .cast(IntegerType).as(s"${lang}_hits")
     }
-    val base = t(s, dir, "documents").select(col("doc_id") +: hitCols: _*)
+    val base = withToks.select(col("doc_id") +: hitCols: _*)
     val best = langMarkers.map(_._1).map(l => col(s"${l}_hits")).reduce(greatest(_, _))
     val pred = langMarkers.map(_._1).foldRight(lit("unknown"): Column) { (l, acc) =>
       when(col(s"${l}_hits") === best && best > 0, l).otherwise(acc)
