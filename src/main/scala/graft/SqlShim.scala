@@ -185,7 +185,9 @@ object SqlShim {
     s match {
       case insertPat(table, cols) =>
         val parts = splitQualified(table).map(unquoteIdent)
-        val colList = Option(cols).map(_.split(",").map(c => unquoteIdent(c)).toSeq)
+        // quote-aware split: a raw comma split would mangle a quoted
+        // column name containing a comma (`a,b`) and mis-align the batch
+        val colList = Option(cols).map(splitList(_, ',').map(unquoteIdent))
           .filter(_.forall(_.nonEmpty)).filter(_.nonEmpty)
         Some((parts, colList))
       case _ => None
@@ -210,19 +212,19 @@ object SqlShim {
     }
   }
 
-  /** Split `a.b.c` on dots outside quoted identifier segments. */
-  private def splitQualified(qualified: String): Seq[String] = {
+  /** Split on `sep` outside quoted identifier segments. */
+  private def splitList(s: String, sep: Char): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var i = 0; var state = 0 // 0 bare, 2 "…", 3 `…`
-    while (i < qualified.length) {
-      val c = qualified.charAt(i)
+    while (i < s.length) {
+      val c = s.charAt(i)
       state match {
         case 0 => c match {
-          case '.' => out += cur.toString; cur.clear()
-          case '"' => state = 2; cur += c
-          case '`' => state = 3; cur += c
-          case _   => cur += c
+          case `sep` => out += cur.toString; cur.clear()
+          case '"'   => state = 2; cur += c
+          case '`'   => state = 3; cur += c
+          case _     => cur += c
         }
         case 2 => cur += c; if (c == '"') state = 0
         case 3 => cur += c; if (c == '`') state = 0
@@ -231,6 +233,12 @@ object SqlShim {
       i += 1
     }
     out += cur.toString
-    out.toSeq.map(_.trim).filter(_.nonEmpty)
+    // keep empty segments: callers decide (an empty column segment must
+    // disqualify the appender fast path, not silently vanish)
+    out.toSeq.map(_.trim)
   }
+
+  /** Split `a.b.c` on dots outside quoted identifier segments. */
+  private def splitQualified(qualified: String): Seq[String] =
+    splitList(qualified, '.').filter(_.nonEmpty)
 }

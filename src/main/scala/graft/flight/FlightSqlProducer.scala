@@ -193,6 +193,10 @@ final class FlightSqlProducer(val registry: SessionRegistry) {
     val appendTarget = SqlShim.parseInsert(p.sql)
       .filter(_ => SqlShim.insertSourceIsPureParams(p.sql))
       .flatMap { case (parts, cols) =>
+        // sync micro-lake views first: a fresh peer whose FIRST call is
+        // this DoPut would otherwise fail the resolve below and silently
+        // degrade to the per-row bind/execute loop
+        s.ensureCatalogViews()
         val qualified = SqlShim.quoteQualified(parts)
         scala.util.Try(s.spark.table(qualified)).toOption.map(_ => (parts, qualified, cols))
       }
@@ -203,20 +207,31 @@ final class FlightSqlProducer(val registry: SessionRegistry) {
         val batch = ArrowWire.fromIpcStream(s.spark, paramsIpc)
         // a micro-lake-managed table appends through its MutableTable
         // (temp views can't take insertInto); saved tables through the
-        // catalog appender
-        val n = s.catalog.flatMap(_.insertBatch(parts.last, batch, cols)).getOrElse(
+        // catalog appender. Only a BARE table name may resolve to the
+        // micro-lake: a qualified `db.t` resolved `db.t` above, and
+        // routing it by its last part would append the batch to an
+        // unrelated managed table that happens to be named `t`.
+        val viaCatalog =
+          if (parts.size == 1) s.catalog.flatMap(_.insertBatch(parts.last, batch, cols))
+          else None
+        val n = viaCatalog.getOrElse(
           graft.sources.BatchAlign.appendParamBatch(s.spark, qualified, batch, cols))
         if (p.ephemeral) s.closePrepared(p.handle)
         n
       case None =>
-        // facade prepared statements are non-ephemeral, so the
-        // bind-execute loop never races the auto-close in executePrepared
         val rows = ArrowWire.fromIpcStream(s.spark, paramsIpc).collect()
         if (rows.isEmpty) affectedOf(s.executePrepared(handleStr))
-        else rows.iterator.map { r =>
-          s.bindParams(handleStr, r.toSeq)
-          affectedOf(s.executePrepared(handleStr))
-        }.sum
+        else {
+          // executePrepared auto-closes ephemeral handles after one run,
+          // which would orphan rows 2..n; the facade only creates durable
+          // handles — enforce the invariant rather than assume it
+          require(!p.ephemeral,
+            "multi-row DoPut requires a durable prepared statement handle")
+          rows.iterator.map { r =>
+            s.bindParams(handleStr, r.toSeq)
+            affectedOf(s.executePrepared(handleStr))
+          }.sum
+        }
     }
   }
 

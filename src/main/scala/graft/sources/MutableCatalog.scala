@@ -39,6 +39,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
 
   def drop(name: String): Unit = {
     tables.remove(name.toLowerCase)
+    viewVersions.remove(name.toLowerCase)
     spark.catalog.dropTempView(name)
   }
 
@@ -79,21 +80,51 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     txnSnapshot = None
   }
 
-  private def refresh(name: String): Unit =
-    tables(name.toLowerCase).df.createOrReplaceTempView(name)
+  // Per-table view versions, bumped on every snapshot refresh, plus a
+  // per-session record of the last version each session registered:
+  // sessions call syncViews on every non-routed statement, so it must
+  // re-register only CHANGED views and touch no lock when nothing
+  // changed — the previous catalog-wide synchronized re-registration of
+  // every table was an O(tables) serialization point shared by all
+  // sessions.
+  private val viewVersions = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val versionClock = new java.util.concurrent.atomic.AtomicLong()
+  private val syncedBySession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, mutable.Map[String, Long]]())
 
-  /** Register every managed table's current snapshot as a temp view in
+  private def refresh(name: String): Unit = {
+    tables(name.toLowerCase).df.createOrReplaceTempView(name)
+    viewVersions(name.toLowerCase) = versionClock.incrementAndGet()
+  }
+
+  /** Register each managed table's current snapshot as a temp view in
     * `target`'s OWN view namespace. Each server session wraps
     * `newSession()` (isolated temp views), so shared-lake visibility —
     * the reference's per-session DuckDB connections over one DuckLake
     * catalog (engine/factory.rs:72-93) — needs the snapshot re-exposed
     * per session; the plan transplant is the same analyzed-plan rebind
-    * the prepared path uses.
+    * the prepared path uses. Views whose table version the session has
+    * already registered are skipped, so the steady-state call is a
+    * version compare per table.
     */
-  def syncViews(target: SparkSession): Unit = synchronized {
+  def syncViews(target: SparkSession): Unit = {
+    if (tables.isEmpty) return
+    val seen = {
+      val m = syncedBySession.get(target)
+      if (m != null) m
+      else {
+        val fresh = mutable.Map.empty[String, Long]
+        syncedBySession.put(target, fresh)
+        fresh
+      }
+    }
     tables.foreach { case (name, t) =>
-      org.apache.spark.sql.graft.PlanReuse.reanalyzed(target, t.df)
-        .createOrReplaceTempView(name)
+      val v = viewVersions.getOrElse(name, 0L)
+      if (!seen.synchronized(seen.get(name).contains(v))) {
+        org.apache.spark.sql.graft.PlanReuse.reanalyzed(target, t.df)
+          .createOrReplaceTempView(name)
+        seen.synchronized(seen(name) = v)
+      }
     }
   }
 

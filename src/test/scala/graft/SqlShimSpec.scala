@@ -77,6 +77,15 @@ class SqlShimSpec extends AnyFunSuite {
     assert(SqlShim.parseInsert("INSERT OVERWRITE TABLE t VALUES (1)").isEmpty)
     assert(SqlShim.parseInsert("INSERT INTO t VALUES (1); INSERT INTO t VALUES (2)").isEmpty)
     assert(SqlShim.parseInsert("SELECT 'INSERT INTO t VALUES (1)'").isEmpty)
+    // quoted column names containing commas split quote-aware, not on
+    // raw commas (a mangled list would mis-align the appended batch)
+    assert(SqlShim.parseInsert("INSERT INTO t (`a,b`, c) VALUES (?, ?)") ==
+      Some((Seq("t"), Some(Seq("a,b", "c")))))
+    assert(SqlShim.parseInsert("""INSERT INTO t ("x,y", z) VALUES (?, ?)""") ==
+      Some((Seq("t"), Some(Seq("x,y", "z")))))
+    // an empty column segment disqualifies the explicit list entirely
+    assert(SqlShim.parseInsert("INSERT INTO t (a,,b) VALUES (?, ?, ?)") ==
+      Some((Seq("t"), None)))
   }
 
   test("insertSourceIsPureParams gates the appender fast path") {

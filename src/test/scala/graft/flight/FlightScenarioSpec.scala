@@ -198,6 +198,54 @@ class FlightScenarioSpec extends SparkTestBase {
     cat.drop("fl_usertable")
   }
 
+  test("qualified DoPut INSERT never routes to a same-named micro-lake table") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cat = graft.sources.MutableCatalog(spark)
+    val managed = cat.create("flq_t", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val p = new FlightSqlProducer(new SessionRegistry(spark, catalog = Some(cat)))
+    val s = p.registry.getOrCreate("peer-qn")
+    s.spark.sql("DROP TABLE IF EXISTS default.flq_t")
+    s.spark.sql("CREATE TABLE default.flq_t (id BIGINT, v STRING) USING parquet")
+    // the INSERT names the SAVED table with a qualifier; routing the
+    // batch by the bare last part would append to the managed table
+    val prep = p.createPreparedStatement("peer-qn", "INSERT INTO default.flq_t VALUES (?, ?)")
+    val batch = spark.createDataFrame(java.util.List.of(Row(1L, "x"), Row(2L, "y")),
+      StructType(Seq(StructField("1", LongType), StructField("2", StringType))))
+    p.doPutPreparedStatementUpdate("peer-qn", prep.handle, ArrowWire.toIpcStream(batch))
+    assert(managed.df.count() == 0L,
+      "micro-lake table of the same bare name must stay untouched")
+    assert(s.spark.sql("SELECT COUNT(*) FROM default.flq_t").head.getLong(0) == 2L,
+      "the batch must land in the qualified saved table")
+    s.spark.sql("DROP TABLE default.flq_t")
+    cat.drop("flq_t")
+  }
+
+  test("a fresh peer's FIRST call hits the micro-lake appender, not the per-row loop") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cat = graft.sources.MutableCatalog(spark)
+    val managed = cat.create("flf_t", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val p = new FlightSqlProducer(new SessionRegistry(spark, catalog = Some(cat)))
+    // no prior statement for this peer: the eligibility resolve must
+    // sync catalog views itself instead of silently degrading
+    val prep = p.createPreparedStatement("peer-fresh", "INSERT INTO flf_t VALUES (?, ?)")
+    val batch = spark.createDataFrame(
+      java.util.List.of(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")),
+      StructType(Seq(StructField("1", LongType), StructField("2", StringType))))
+    val v0 = managed.currentVersion
+    assert(p.doPutPreparedStatementUpdate("peer-fresh", prep.handle,
+      ArrowWire.toIpcStream(batch)) == 3L)
+    // the appender commits the whole batch as ONE table version; the
+    // bind/execute loop would commit once per row (the marker ADVICE r7
+    // asked for — row counts alone cannot tell the paths apart)
+    assert(managed.currentVersion == v0 + 1,
+      s"expected one appender commit, saw ${managed.currentVersion - v0}")
+    cat.drop("flf_t")
+  }
+
   test("transactions over the facade roll back micro-lake writes (transaction.rs + SURVEY §7.4)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

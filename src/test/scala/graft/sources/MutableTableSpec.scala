@@ -195,6 +195,28 @@ class MutableTableSpec extends SparkTestBase {
     cat.drop("txn_c")
   }
 
+  test("syncViews re-registers a session's view only when the table version changed") {
+    val cat = MutableCatalog(spark)
+    val t = cat.create("sv_t", schema, Some("id"))
+    t.insert(rows((1L, "a", 1.0)))
+    val sess = spark.newSession()
+    cat.syncViews(sess)
+    assert(sess.sql("SELECT COUNT(*) FROM sv_t").head.getLong(0) == 1L)
+    // plant a decoy view: an unchanged table version must NOT be
+    // re-registered (the per-statement sync call would otherwise be an
+    // O(tables) re-analysis under the catalog lock)
+    sess.range(42).toDF("id").createOrReplaceTempView("sv_t")
+    cat.syncViews(sess)
+    assert(sess.sql("SELECT COUNT(*) FROM sv_t").head.getLong(0) == 42L,
+      "unchanged version must skip re-registration")
+    // a mutation bumps the version and the next sync replaces the decoy
+    cat.route("INSERT INTO sv_t VALUES (2, 'b', 2.0)")
+    cat.syncViews(sess)
+    assert(sess.sql("SELECT COUNT(*) FROM sv_t").head.getLong(0) == 2L,
+      "changed version must re-register the snapshot view")
+    cat.drop("sv_t")
+  }
+
   test("concurrent in-process writers serialize: no lost updates") {
     val t = mkTable(pk = None)
     val writers = 8
