@@ -325,8 +325,10 @@ object Tpch {
       .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("PROMO%") &&
         col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
     val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-    val l = t(s, dir, "lineitem")
-      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+    // Anti join AFTER the part join: the part filter drops ~87% of
+    // lineitem rows first, so the bad-supplier probe touches 75k rows
+    // instead of 600k (Catalyst does not reorder anti joins itself —
+    // A/B at sf0.1: 0.30 s before, 0.27 s after, same rows).
     // COUNT(DISTINCT) via collect_set: countDistinct plans TWO exchanges
     // (partial-distinct on (b,t,s,suppkey), then re-shuffle on (b,t,s) —
     // measured 3.5x baseline); collect_set is ObjectHashAggregate with
@@ -339,7 +341,8 @@ object Tpch {
     // a whole extra AQE stage — buys nothing; the single-task final
     // merge handles 215 sets bounded by supplier cardinality at any SF.
     // A/B at sf0.1 (warm, min of 7): orderBy 0.340 s, this 0.267 s.
-    p.join(l, col("p_partkey") === col("l_partkey"))
+    p.join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(size(collect_set(col("l_suppkey"))).cast("long").as("supplier_cnt"))
       .coalesce(1)
