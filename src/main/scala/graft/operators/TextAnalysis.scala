@@ -469,7 +469,121 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // === within-document repetition ==========================================
+  /** txt9: repetition signals — the Gopher-style duplicate-token and
+    * duplicate-bigram fractions of each document (high repetition is
+    * the canonical low-quality marker for generated/boilerplate text).
+    * Pure array expressions over one projected tokenization: map-only,
+    * fuses into the scan at any scale.
+    */
+  def docRepetition(s: SparkSession, dir: String): DataFrame = {
+    val withT = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val n = size(col("t"))
+    val bigrams = zip_with(
+      slice(col("t"), lit(1), n - 1), slice(col("t"), lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    withT.select(
+      col("doc_id"),
+      n.cast(IntegerType).as("n_tokens"),
+      (lit(1.0) - size(array_distinct(col("t"))).cast(DoubleType) / n.cast(DoubleType))
+        .as("dup_token_frac"),
+      when(n >= 2,
+        lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / (n - 1).cast(DoubleType))
+        .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |b AS (
+      |  SELECT doc_id, t, len(t) AS n,
+      |    list_transform(generate_series(1, len(t) - 1),
+      |      i -> concat_ws(' ', t[i], t[i+1])) AS big
+      |  FROM toks)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+      |  1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n AS dup_token_frac,
+      |  CASE WHEN n >= 2
+      |    THEN 1.0 - CAST(len(list_distinct(big)) AS DOUBLE) / (n - 1)
+      |    ELSE 0.0 END AS dup_bigram_frac
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // === vocabulary richness =================================================
+  /** txt10: type/token and hapax-legomena ratios per document — the
+    * complement of txt9's repetition view (a doc whose tokens are
+    * mostly one-offs is informative; one that reuses a tiny vocabulary
+    * is boilerplate). Wordcount-shape: the (doc, token) aggregate is
+    * map-side combinable, so at 100 TB the shuffle ships per-partition
+    * partial counts, never raw tokens.
+    */
+  def docVocabRichness(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).cast(LongType).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast(LongType).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("type_token_ratio"),
+        (col("n_hapax").cast(DoubleType) / col("n_types").cast(DoubleType))
+          .as("hapax_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docVocabRichnessSql: String =
+    """WITH ex AS (
+      |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |pc AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS hapax_ratio
+      |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // === per-language cap sampling ===========================================
+  /** smp2: deterministic per-language cap — keep at most `cap` documents
+    * per language, chosen by the engine-portable md5 order (the smp1
+    * hash family), so the sample is identical on every engine and
+    * cluster size. The window is partitioned by language: each shard's
+    * row_number is partition-local, the same no-global-ordering argument
+    * as pack1 — this is how a training mix bounds a dominant slice
+    * without a global sort.
+    */
+  def languageCap(s: SparkSession, dir: String, cap: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(concat_ws("#", col("lang"), col("doc_id"))).as("h"))
+      .withColumn("sample_rank", row_number().over(w).cast(LongType))
+      .filter(col("sample_rank") <= cap)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  def languageCapSql(cap: Int = 100): String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY md5(concat_ws('#', lang, CAST(doc_id AS VARCHAR))), doc_id)
+       |      AS sample_rank
+       |  FROM documents)
+       |SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+       |FROM r WHERE sample_rank <= $cap ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt9_repetition" -> docRepetition _,
+    "txt10_vocab_richness" -> docVocabRichness _,
+    "smp2_language_cap" -> ((s: SparkSession, d: String) => languageCap(s, d)),
     "pack1_sequence_packing" -> ((s: SparkSession, d: String) => sequencePacking(s, d)),
     "cont1_benchmark_overlap" -> benchmarkContamination _,
     "smp1_stratified_sample" -> stratifiedSample _,
@@ -484,6 +598,9 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "txt9_repetition" -> docRepetitionSql,
+    "txt10_vocab_richness" -> docVocabRichnessSql,
+    "smp2_language_cap" -> languageCapSql(),
     "pack1_sequence_packing" -> sequencePackingSql(),
     "cont1_benchmark_overlap" -> benchmarkContaminationSql,
     "smp1_stratified_sample" -> stratifiedSampleSql,
