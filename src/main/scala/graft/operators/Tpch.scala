@@ -44,6 +44,18 @@ object Tpch {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
+  /** Total order for a BOUNDED result (a fixed group domain at any SF —
+    * return flags, priorities, nations, country codes): sort the final
+    * rows in one task instead of planning a rangepartitioning exchange,
+    * a whole AQE stage spent ordering a handful of rows (~0.07 s each
+    * at sf0.1 — the q16 ledger in STATUS.md). Never used where output
+    * cardinality grows with data volume.
+    */
+  private implicit class BoundedOrder(df: DataFrame) {
+    def orderedSmall(keys: Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(keys: _*)
+  }
+
   // === Q1: pricing summary — multi-aggregate GROUP BY ======================
   def q1(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem")
@@ -58,7 +70,7 @@ object Tpch {
         davg(col("l_extendedprice")).as("avg_price"),
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .orderedSmall(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1Sql: String =
@@ -110,7 +122,7 @@ object Tpch {
         "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
-      .orderBy(col("o_orderpriority"))
+      .orderedSmall(col("o_orderpriority"))
   }
 
   val q4Sql: String =
@@ -137,7 +149,7 @@ object Tpch {
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .orderedSmall(col("revenue").desc, col("n_name"))
   }
 
   val q5Sql: String =
@@ -181,7 +193,7 @@ object Tpch {
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .orderedSmall(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
   val q7Sql: String =
@@ -207,7 +219,7 @@ object Tpch {
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_profit"))
-      .orderBy(col("nation"), col("o_year").desc)
+      .orderedSmall(col("nation"), col("o_year").desc)
   }
 
   val q9Sql: String =
@@ -261,7 +273,7 @@ object Tpch {
       .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
+      .orderedSmall(col("custdist").desc, col("c_count").desc)
   }
 
   val q13Sql: String =
@@ -304,7 +316,7 @@ object Tpch {
       .join(revenue, col("s_suppkey") === col("supplier_no"))
       .join(broadcast(maxRev), col("total_revenue") === col("m"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
-      .orderBy(col("s_suppkey"))
+      .orderedSmall(col("s_suppkey"))
   }
 
   val q15Sql: String =
@@ -488,7 +500,7 @@ object Tpch {
       .groupBy((col("c_nationkey") % 5).cast(IntegerType).as("cntrycode"))
       .agg(count(lit(1)).as("numcust"),
         dsum(col("c_acctbal")).as("totacctbal"))
-      .orderBy(col("cntrycode"))
+      .orderedSmall(col("cntrycode"))
   }
 
   val q22Sql: String =
