@@ -365,13 +365,61 @@ object Similarity {
        |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
+  // === int8 scalar quantization ===========================================
+  /** sim5: per-vector min/max int8 quantization — the standard vector
+    * compression step before an ANN index ships to serving (4x smaller
+    * than float32). Codes use FLOOR (not round — floor is bit-portable
+    * across engines; round's half-way rule is not), the max value
+    * clamps to 255, and the operator reports the code checksum plus the
+    * dequantization error so a pipeline can gate on reconstruction
+    * quality. Map-only: fuses into the scan at any scale.
+    */
+  def embeddingQuantization(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), vecD("embedding").as("v"))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("rng", col("vmax") - col("vmin"))
+    val codes = transform(col("v"), x =>
+      when(col("rng") === 0, lit(0))
+        .otherwise(least(floor((x - col("vmin")) * lit(255.0) / col("rng")), lit(255.0))
+          .cast(IntegerType)))
+    base.withColumn("q", codes)
+      .select(col("vec_id"), col("vmin"), col("vmax"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast(LongType)).as("code_sum"),
+        Exact.dround(
+          aggregate(
+            zip_with(col("v"), col("q"), (x, qq) =>
+              abs(x - (col("vmin") + qq.cast(DoubleType) * col("rng") / lit(255.0)))),
+            lit(0.0), (acc, e) => acc + e) / size(col("v")).cast(DoubleType),
+          6).as("mean_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embeddingQuantizationSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax,
+       |        list_max(v) - list_min(v) AS rng FROM e),
+       |c AS (SELECT vec_id, v, vmin, vmax, rng,
+       |        list_transform(v, x -> CASE WHEN rng = 0 THEN 0
+       |          ELSE CAST(LEAST(FLOOR((x - vmin) * 255.0 / rng), 255.0) AS INTEGER) END) AS q
+       |      FROM m)
+       |SELECT vec_id, vmin, vmax,
+       |  CAST(list_sum(q) AS BIGINT) AS code_sum,
+       |  ${Exact.sqlDround(
+        "list_sum(list_transform(generate_series(1, len(v)), " +
+          "i -> abs(v[i] - (vmin + q[i] * rng / 255.0)))) / len(v)", 6)} AS mean_abs_err
+       |FROM c ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim5_int8_quantization" -> embeddingQuantization _,
     "sim1_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "sim2_label_centroids" -> labelCentroids _,
     "sim3_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "sim5_int8_quantization" -> embeddingQuantizationSql,
     "sim1_cosine_topk" -> cosineTopKSql(),
     "sim2_label_centroids" -> labelCentroidsSql,
     "sim3_ann_lsh_topk" -> annTopKSql(),
