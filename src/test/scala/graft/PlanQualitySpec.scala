@@ -101,6 +101,44 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q16: one data exchange (collect_set partial merge) and no range sort exchange") {
+    val df = operators.Tpch.q16(spark, sfDir)
+    val n = countShuffles(df)
+    assert(n <= 1, s"q16 must ship only partial sets on (brand,type,size), saw $n shuffles")
+    val plan = planOf(df)
+    assert(!plan.contains("rangepartitioning"),
+      "the 215-row result must sort locally, not through a range exchange")
+  }
+
+  test("q13: orders aggregate below the outer join (no raw-order-row shuffle)") {
+    val df = operators.Tpch.q13(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-custkey count must sit under the join: a HashAggregate on
+    // o_custkey appears, and the join input is the aggregated side
+    assert(plan.contains("o_custkey"), plan)
+    assert("(?s)HashAggregate.*keys=\\[o_custkey".r.findFirstIn(plan).isDefined,
+      "orders must partially aggregate per custkey before the join")
+  }
+
+  test("bounded-domain results sort in one task, not a rangepartitioning stage") {
+    Seq(
+      operators.Tpch.q1(spark, sfDir),
+      operators.Tpch.q4(spark, sfDir),
+      operators.Tpch.q22(spark, sfDir)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("rangepartitioning"),
+        s"fixed-domain result must not range-exchange:\n$plan")
+    }
+  }
+
+  test("txt2 lang-id tokenizes once (no per-language re-split of text)") {
+    val df = operators.TextAnalysis.docLangId(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val splits = "split\\(".r.findAllIn(plan).length
+    assert(splits <= 1, s"expected a single projected tokenization, saw $splits splits")
+  }
+
   test("mm4 metadata stats never materializes payload bytes beyond the length projection") {
     val plan = planOf(operators.Multimodal.metaStats(spark, sfDir))
     // documents scan must read only doc-id-free metadata inputs: text is
