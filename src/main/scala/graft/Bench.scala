@@ -80,6 +80,13 @@ object Bench {
     val elapsed = (System.nanoTime() - t0) / 1e9
     val rps = completed.get() / elapsed
 
+    // settle between phases: the window leaves 4 terminals' worth of
+    // dropped plan/result state whose collection otherwise lands inside
+    // the serial measurements (q16 measured 0.26 s isolated vs 0.32 s
+    // straight after the window)
+    System.gc()
+    Thread.sleep(1000)
+
     // ---- Phase 2: serial per-query timing = PREPARED re-execution,
     // exactly what the reference's per-query numbers average
     // (BENCHMARK.md:73-96 are BenchBase prepared-statement executions

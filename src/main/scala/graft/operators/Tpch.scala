@@ -115,7 +115,12 @@ object Tpch {
   def q4(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    // implied bound pushed to the scan: o_orderdate >= 1996-01-01 means
+    // the correlated condition can only hold for l_shipdate past
+    // 1996-03-01, so the scan prunes those rows before the orderkey
+    // shuffle (Catalyst cannot derive a cross-table implication itself)
     val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > ts("1996-03-01"))
     o.join(l,
         o("o_orderkey") === l("l_orderkey") &&
           l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
@@ -135,18 +140,23 @@ object Tpch {
 
   // === Q5: local supplier volume — 6-way join ==============================
   def q5(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
-    val l = t(s, dir, "lineitem")
-    val su = t(s, dir, "supplier")
     val n = broadcast(t(s, dir, "nation"))
     val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
-    c.join(o, col("c_custkey") === col("o_custkey"))
-      .join(l, col("l_orderkey") === col("o_orderkey"))
-      .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+    // ASIA suppliers reduce lineitem BEFORE the fact-fact shuffle: the
+    // region filter keeps ~1/5 of suppliers, so joining them (broadcast
+    // at bench scale, AQE decides on a cluster) up front cuts the rows
+    // shuffled on orderkey by ~80% — Catalyst has no stats to reorder
+    // this itself. A/B at sf0.1: 0.56 -> 0.48 s warm min, same rows.
+    val suAsia = t(s, dir, "supplier")
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    t(s, dir, "lineitem").join(suAsia, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"),
+        col("c_custkey") === col("o_custkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderedSmall(col("revenue").desc, col("n_name"))
@@ -397,10 +407,14 @@ object Tpch {
     val big = l.groupBy(col("l_orderkey"))
       .agg(dsum(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > 120)
-    val o = t(s, dir, "orders")
-    val c = t(s, dir, "customer")
-    c.join(o, col("c_custkey") === col("o_custkey"))
-      .join(big, col("o_orderkey") === col("l_orderkey"))
+    // join the HAVING-filtered order set FIRST: it is tiny, so orders
+    // probe it broadcast instead of shuffling customer x orders on
+    // custkey before the selective filter applies (A/B at sf0.1:
+    // 0.42 -> 0.35 s warm min, same rows). At scale AQE falls back to
+    // the orderkey sort-merge join — the same exchanges as the old
+    // plan, in a better order.
+    t(s, dir, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate").cast(DateType).as("o_orderdate"), col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
