@@ -29,6 +29,29 @@ object Dedup {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
+  /** The session's configured shuffle width — used to PIN exchanges
+    * whose output explodes (band/inverted-index self-joins). AQE sizes
+    * post-shuffle partitions by INPUT bytes, so it coalesces a few-MB
+    * band index to one task and then that task generates millions of
+    * candidate pairs serially (measured 3.5x on dd5). Pinning to the
+    * configured width keeps `spark.sql.shuffle.partitions` the single
+    * scale knob a deployment already tunes.
+    */
+  private def shuffleWidth(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Fan a tiny scan out to the shuffle width before heavy per-row map
+    * work (shingling, 32 md5 min-hashes per shingle, 60-bit vote sums):
+    * bench-scale inputs arrive as ONE file split, which serializes that
+    * work on a single core. A real deployment's scan already has more
+    * splits than the threshold, making this the identity — no extra
+    * shuffle at scale.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = shuffleWidth(df)
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+
   // === exact dedup =========================================================
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents")
@@ -52,7 +75,7 @@ object Dedup {
     */
   def shingles(s: SparkSession, dir: String, n: Int = 3, dedup: Boolean = true): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val exploded = t(s, dir, "documents")
+    val exploded = fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(
@@ -69,6 +92,9 @@ object Dedup {
     // a quarter of the shuffle bytes — at 100 TB the inverted-index
     // shuffle IS the cost of this operator
     val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      // pinned width: the inverted-index self-join fans each shared
+      // shingle into pairs, which AQE's input-byte coalescing can't see
+      .repartition(shuffleWidth(t(s, dir, "documents")), col("shingle"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -141,6 +167,7 @@ object Dedup {
         md5(concat_ws("|", (b * lshRows until (b + 1) * lshRows)
           .map(i => element_at(col("sig"), i + 1)): _*))
       }: _*)).as(Seq("band", "band_key")))
+      .repartition(shuffleWidth(sig), col("band"), col("band_key")) // pinned: band join fans out
     val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
@@ -217,7 +244,7 @@ object Dedup {
     * while DuckDB errors.
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+    val toks = fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
     val votes = (0 until simhashBits).map { i =>
@@ -239,8 +266,10 @@ object Dedup {
     val chunks = sig.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until 4).map(c => shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(0x7FFF)): _*))
       .as(Seq("chunk", "chunk_val")))
-    val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("chunk"), col("chunk_val"))
-    val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("chunk"), col("chunk_val"))
+    val pinned = chunks
+      .repartition(shuffleWidth(sig), col("chunk"), col("chunk_val")) // pinned: chunk join fans out
+    val a = pinned.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("chunk"), col("chunk_val"))
+    val b = pinned.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("chunk"), col("chunk_val"))
     val hamming = {
       val x = col("sh_a").bitwiseXOR(col("sh_b"))
       bit_count(x)
@@ -308,19 +337,25 @@ object Dedup {
     * the threshold up for true near-dup semantics.
     */
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+    val e = fanOut(t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v")))
+    // norms once per vector, not twice per candidate pair — sqrt(na*nb)
+    // over the same doubles is bit-identical to the inline cosine
+    val en = e.withColumn("nrm", Similarity.dot(col("v"), col("v")))
+    val np = shuffleWidth(e)
     val idx = Similarity.lshBuckets(e, ndTables, ndPlanes)
       .select(col("vec_id"), col("tbl"), col("bucket"))
+      .repartition(np, col("tbl"), col("bucket")) // pinned: bucket join fans out
     val cand = idx.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
       .join(idx.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      .repartition(np, col("id_a"), col("id_b")) // pinned: millions of pre-distinct pairs
       .distinct()
     cand
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .join(en.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(en.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"),
         Exact.dround(col("cos"), 6).as("cos_sim"))
