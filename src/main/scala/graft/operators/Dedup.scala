@@ -29,28 +29,8 @@ object Dedup {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
-  /** The session's configured shuffle width — used to PIN exchanges
-    * whose output explodes (band/inverted-index self-joins). AQE sizes
-    * post-shuffle partitions by INPUT bytes, so it coalesces a few-MB
-    * band index to one task and then that task generates millions of
-    * candidate pairs serially (measured 3.5x on dd5). Pinning to the
-    * configured width keeps `spark.sql.shuffle.partitions` the single
-    * scale knob a deployment already tunes.
-    */
-  private def shuffleWidth(df: DataFrame): Int =
-    df.sparkSession.sessionState.conf.numShufflePartitions
-
-  /** Fan a tiny scan out to the shuffle width before heavy per-row map
-    * work (shingling, 32 md5 min-hashes per shingle, 60-bit vote sums):
-    * bench-scale inputs arrive as ONE file split, which serializes that
-    * work on a single core. A real deployment's scan already has more
-    * splits than the threshold, making this the identity — no extra
-    * shuffle at scale.
-    */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val target = shuffleWidth(df)
-    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
-  }
+  private def shuffleWidth(df: DataFrame): Int = Par.shuffleWidth(df)
+  private def fanOut(df: DataFrame): DataFrame = Par.fanOut(df)
 
   // === exact dedup =========================================================
   def exactDedup(s: SparkSession, dir: String): DataFrame = {

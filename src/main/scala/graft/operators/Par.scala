@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism guards shared by the operator families.
+  *
+  * Both exist because AQE sizes post-shuffle partitions by INPUT
+  * bytes: a few-MB band index coalesces to one task that then
+  * generates millions of candidate pairs serially (measured 3.5x on
+  * dd5), and a single-split bench file serializes per-row-expensive
+  * map work (md5 sketches, regex tokenization) on one core.
+  */
+object Par {
+
+  /** The session's configured shuffle width — used to PIN exchanges
+    * whose output explodes (band/inverted-index self-joins), keeping
+    * `spark.sql.shuffle.partitions` the single scale knob a deployment
+    * already tunes.
+    */
+  def shuffleWidth(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Fan a tiny scan out to the shuffle width before heavy per-row map
+    * work. A real deployment's scan already has more splits than the
+    * threshold, making this the identity — no extra shuffle at scale.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = shuffleWidth(df)
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+}

@@ -42,7 +42,7 @@ object Similarity {
 
   // === brute-force cosine top-k ===========================================
   def cosineTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v"))
+    val e = Par.fanOut(t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v")))
     val q = e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"), col("v").as("qv"))
     val pairs = broadcast(q).join(e.select(col("vec_id").as("n_id"), col("v").as("nv")))
       .filter(col("q_id") =!= col("n_id"))
@@ -72,7 +72,7 @@ object Similarity {
 
   // === per-label centroids (distributed vector aggregate) ==================
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
-    val exploded = t(s, dir, "embeddings")
+    val exploded = Par.fanOut(t(s, dir, "embeddings").select(col("label"), col("embedding")))
       .select(col("label"), posexplode(vecD("embedding")).as(Seq("pos", "x")))
     val dims = exploded.groupBy(col("label"), col("pos"))
       .agg(avg(col("x")).as("c"))
@@ -170,11 +170,13 @@ object Similarity {
     * the brute-force baseline is asserted in SimilaritySpec.
     */
   def annTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v"))
+    val e = Par.fanOut(t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v")))
     // ship only (id, tbl, bucket) through the candidate shuffle — the
     // 64-dim vectors are re-joined AFTER pair dedup, so the band join
-    // moves 3 longs per row instead of 512 bytes of vector
+    // moves 3 longs per row instead of 512 bytes of vector; the width
+    // is pinned because the join's output fans out (Par.shuffleWidth)
     val idx = lshBuckets(e).select(col("vec_id"), col("tbl"), col("bucket"))
+      .repartition(Par.shuffleWidth(e), col("tbl"), col("bucket"))
     val q = idx.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
     val cand = q.join(idx.select(col("vec_id").as("n_id"), col("tbl"), col("bucket")),

@@ -17,6 +17,13 @@ object TextAnalysis {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
+  /** documents (doc_id, text) fanned to the shuffle width before the
+    * per-row-expensive text kernels (md5 sketches, regex tokenization,
+    * char folds) — identity once the scan has real splits (Par.fanOut).
+    */
+  private def dFan(s: SparkSession, dir: String): DataFrame =
+    Par.fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+
   /** Whitespace tokens of the lower-cased text. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
@@ -36,7 +43,7 @@ object TextAnalysis {
     val nTokens = size(toks)
     val nNonSpace = length(regexp_replace(col("text"), "\\s", ""))
     val stopCount = size(filter(toks, x => x.isInCollection(stopwords)))
-    t(s, dir, "documents")
+    dFan(s, dir)
       .select(
         col("doc_id"),
         nTokens.cast(IntegerType).as("n_tokens"),
@@ -84,7 +91,7 @@ object TextAnalysis {
     // is interpreted, so codegen CSE never merges the copies — measured
     // 2.5x slower). CollapseProject keeps this barrier because the
     // alias is non-cheap and referenced five times.
-    val withToks = t(s, dir, "documents")
+    val withToks = dFan(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("__toks"))
     val hitCols = langMarkers.map { case (lang, words) =>
       size(filter(col("__toks"), x => x.isInCollection(words)))
@@ -145,7 +152,7 @@ object TextAnalysis {
 
   def docBpeTokens(s: SparkSession, dir: String): DataFrame = {
     val pieces = expr(s"regexp_extract_all(text, '${bpePattern.replace("'", "\\'")}', 0)")
-    t(s, dir, "documents")
+    dFan(s, dir)
       .select(
         col("doc_id"),
         size(pieces).cast(IntegerType).as("n_bpe_pieces"),
@@ -177,7 +184,7 @@ object TextAnalysis {
       split(normalized, ""),
       lit(0L),
       (acc, ch) => (acc * 131 + ascii(ch)) % 1000000007L)
-    t(s, dir, "documents")
+    dFan(s, dir)
       .select(col("doc_id"), h.as("rolling_hash"),
         length(col("text")).cast(IntegerType).as("n_chars_actual"))
       .orderBy(col("doc_id"))
@@ -196,7 +203,7 @@ object TextAnalysis {
   // The wordcount of the corpus: explode + map-side-combined groupBy —
   // the canonical one-shuffle vocabulary builder.
   def topTokens(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
-    t(s, dir, "documents")
+    dFan(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"))
@@ -227,7 +234,7 @@ object TextAnalysis {
       StructField("n_bytes", IntegerType),
       StructField("n_compressed", IntegerType),
       StructField("ratio", DoubleType)))
-    t(s, dir, "documents").select(col("doc_id"), col("text"))
+    dFan(s, dir).select(col("doc_id"), col("text"))
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](1 << 20)
@@ -267,7 +274,7 @@ object TextAnalysis {
       (stopHits === 0) -> 32)     // no stopwords at all
     val mask = rules.map { case (cond, bit) => when(cond, bit).otherwise(0) }
       .reduce(_ + _)
-    t(s, dir, "documents")
+    dFan(s, dir)
       .select(col("doc_id"),
         mask.cast(IntegerType).as("drop_reasons"),
         (mask === 0).as("keep"),
@@ -477,7 +484,7 @@ object TextAnalysis {
     * fuses into the scan at any scale.
     */
   def docRepetition(s: SparkSession, dir: String): DataFrame = {
-    val withT = t(s, dir, "documents")
+    val withT = dFan(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
     val n = size(col("t"))
     val bigrams = zip_with(
@@ -518,7 +525,7 @@ object TextAnalysis {
     * partial counts, never raw tokens.
     */
   def docVocabRichness(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "documents")
+    dFan(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
