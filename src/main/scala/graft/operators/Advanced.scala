@@ -60,7 +60,9 @@ object Advanced {
       // engine over bit-identical operands
       .agg((dsum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0))) /
         dsum(rev)).as("mkt_share"))
-      .orderBy(col("o_year"))
+      // two-row fixed-domain result: one-task sort, no range exchange
+      // (the Tpch.orderedSmall argument)
+      .coalesce(1).sortWithinPartitions(col("o_year"))
   }
 
   val q8Sql: String =
@@ -77,7 +79,11 @@ object Advanced {
 
   // === Q12 shape: late-shipment priority classification ====================
   def q12(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
+    // implied scan bound: the join condition needs o_orderdate <
+    // l_shipdate - 60d, and l_shipdate < 1997-01-01, so only orders
+    // before 1996-11-02 can qualify — pushed to the orders scan, which
+    // Catalyst cannot derive across tables itself (the q4 trick)
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < ts("1996-11-02"))
     val l = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
     val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -86,7 +92,8 @@ object Advanced {
       .groupBy(col("l_linestatus"))
       .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
         sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
-      .orderBy(col("l_linestatus"))
+      // two-row fixed-domain result: one-task sort, no range exchange
+      .coalesce(1).sortWithinPartitions(col("l_linestatus"))
   }
 
   val q12Sql: String =
