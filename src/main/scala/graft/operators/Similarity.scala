@@ -171,15 +171,16 @@ object Similarity {
     */
   def annTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val e = Par.fanOut(t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v")))
-    // ship only (id, tbl, bucket) through the candidate shuffle — the
-    // 64-dim vectors are re-joined AFTER pair dedup, so the band join
-    // moves 3 longs per row instead of 512 bytes of vector; the width
-    // is pinned because the join's output fans out (Par.shuffleWidth)
+    // ship only (id, tbl, bucket) through the candidate join — the
+    // 64-dim vectors are re-joined AFTER pair dedup. The QUERY side is
+    // nQueries x tables rows at any corpus size, so it broadcasts and
+    // the corpus-side index never shuffles at all (unlike dd5, whose
+    // two corpus-sized sides need the pinned-width exchange).
     val idx = lshBuckets(e).select(col("vec_id"), col("tbl"), col("bucket"))
-      .repartition(Par.shuffleWidth(e), col("tbl"), col("bucket"))
     val q = idx.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-    val cand = q.join(idx.select(col("vec_id").as("n_id"), col("tbl"), col("bucket")),
+    val cand = broadcast(q)
+      .join(idx.select(col("vec_id").as("n_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
