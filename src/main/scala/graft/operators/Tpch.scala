@@ -242,13 +242,16 @@ object Tpch {
 
   // === Q10: returned items — top-k 20 over 4-way join ======================
   def q10(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= ts("1996-07-01") && col("o_orderdate") < ts("1996-10-01"))
     val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
     val n = broadcast(t(s, dir, "nation"))
-    c.join(o, col("c_custkey") === col("o_custkey"))
-      .join(l, col("l_orderkey") === col("o_orderkey"))
+    // the quarter-filtered orders (~4% selectivity) drive both joins:
+    // lineitem probes the small order set, then the small joined result
+    // probes customer — instead of shuffling customer x orders first
+    // (A/B at sf0.1: 0.35 -> 0.23 s warm min, same rows)
+    o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"), col("c_mktsegment"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
