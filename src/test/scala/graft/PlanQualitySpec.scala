@@ -125,7 +125,9 @@ class PlanQualitySpec extends SparkTestBase {
     Seq(
       operators.Tpch.q1(spark, sfDir),
       operators.Tpch.q4(spark, sfDir),
-      operators.Tpch.q22(spark, sfDir)).foreach { df =>
+      operators.Tpch.q22(spark, sfDir),
+      operators.Advanced.q8(spark, sfDir),
+      operators.Advanced.q12(spark, sfDir)).foreach { df =>
       val plan = planOf(df)
       assert(!plan.contains("rangepartitioning"),
         s"fixed-domain result must not range-exchange:\n$plan")
