@@ -555,6 +555,51 @@ object TextAnalysis {
       |    AS hapax_ratio
       |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // === unigram LM quality score ============================================
+  /** txt11: per-document mean negative log-probability under the
+    * corpus's own unigram model — the cheap LM-score quality filter
+    * (a doc of globally-rare tokens scores high/surprising, boilerplate
+    * of corpus-dominant tokens scores low). Two map-side-combinable
+    * aggregates plus a frequency join the optimizer broadcasts while
+    * the vocabulary is small (at 100 TB vocabulary scales sub-linearly
+    * with the corpus, and the join key is the token — AQE picks the
+    * join side). The per-doc sum uses the Exact micros scheme so the
+    * score is order-independent and bit-portable; each -ln value is
+    * rounded to micros, which also absorbs any last-ulp libm
+    * difference between the engines' log implementations.
+    */
+  def docUnigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    val ex = dFan(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freqs = ex.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = freqs.agg(sum(col("tf")).as("nt"))
+    val nlp = -log(col("tf").cast(DoubleType) / col("nt").cast(DoubleType))
+    ex.join(freqs, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_tokens"),
+        Exact.dsum(nlp).as("neg_logp_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("neg_logp_sum"),
+        // one IEEE division over bit-identical operands on both engines
+        (col("neg_logp_sum") / col("n_tokens").cast(DoubleType)).as("mean_neg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docUnigramLogProbSql: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |f AS (SELECT tok, COUNT(*) AS tf FROM ex GROUP BY tok),
+       |n AS (SELECT SUM(tf) AS nt FROM f),
+       |sc AS (
+       |  SELECT doc_id, -ln(CAST(tf AS DOUBLE) / CAST(nt AS DOUBLE)) AS nlp
+       |  FROM ex JOIN f USING (tok) CROSS JOIN n)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  ${Exact.sqlDsum("nlp")} AS neg_logp_sum,
+       |  ${Exact.sqlDsum("nlp")} / CAST(COUNT(*) AS DOUBLE) AS mean_neg_logp
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // === per-language cap sampling ===========================================
   /** smp2: deterministic per-language cap — keep at most `cap` documents
     * per language, chosen by the engine-portable md5 order (the smp1
@@ -588,6 +633,7 @@ object TextAnalysis {
        |FROM r WHERE sample_rank <= $cap ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt11_unigram_logprob" -> docUnigramLogProb _,
     "txt9_repetition" -> docRepetition _,
     "txt10_vocab_richness" -> docVocabRichness _,
     "smp2_language_cap" -> ((s: SparkSession, d: String) => languageCap(s, d)),
@@ -605,6 +651,7 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "txt11_unigram_logprob" -> docUnigramLogProbSql,
     "txt9_repetition" -> docRepetitionSql,
     "txt10_vocab_richness" -> docVocabRichnessSql,
     "smp2_language_cap" -> languageCapSql(),
