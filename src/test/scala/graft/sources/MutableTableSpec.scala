@@ -217,6 +217,32 @@ class MutableTableSpec extends SparkTestBase {
     cat.drop("sv_t")
   }
 
+  test("concurrent syncViews across sessions race a writer safely and converge") {
+    val cat = MutableCatalog(spark)
+    val t = cat.create("svc_t", schema, Some("id"))
+    t.insert(rows((1L, "a", 1.0)))
+    val sessions = (0 until 6).map(_ => spark.newSession())
+    val fail = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val readers = sessions.map { cs =>
+      val th = new Thread(() =>
+        try (1 to 15).foreach { _ => cat.syncViews(cs); cs.sql("SELECT COUNT(*) FROM svc_t").collect() }
+        catch { case e: Throwable => fail.compareAndSet(null, e) })
+      th.start(); th
+    }
+    val writer = new Thread(() =>
+      try (2 to 6).foreach(i => cat.route(s"INSERT INTO svc_t VALUES ($i, 'x', 1.0)"))
+      catch { case e: Throwable => fail.compareAndSet(null, e) })
+    writer.start()
+    (readers :+ writer).foreach(_.join())
+    assert(fail.get() == null, s"concurrent sync/read/write raised: ${fail.get()}")
+    // after the dust settles every session converges on the final snapshot
+    sessions.foreach { cs =>
+      cat.syncViews(cs)
+      assert(cs.sql("SELECT COUNT(*) FROM svc_t").head.getLong(0) == 6L)
+    }
+    cat.drop("svc_t")
+  }
+
   test("concurrent in-process writers serialize: no lost updates") {
     val t = mkTable(pk = None)
     val writers = 8
