@@ -217,6 +217,63 @@ object Relational {
        |FROM events WHERE event_type = 'purchase'
        |GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin
 
+  // === events: conversion funnel with sequence constraint ==================
+  /** ev7: classic ordered funnel — per user, the first view, the first
+    * click AFTER that view, and the first purchase AFTER that click;
+    * `funnel_stage` counts how deep the user got. Three conditional-min
+    * aggregates chained by user-keyed joins: every stage is map-side
+    * combinable, the joins align on the same user_id partitioning, and
+    * the sequence constraint is a plain timestamp comparison — no
+    * per-user event collection, so a power user with millions of events
+    * costs the same shuffle bytes as anyone else. Timestamps are
+    * emitted as epoch micros (the eventsHourly naive-vs-UTC note).
+    */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_type"))
+    val users = e.select(col("user_id")).distinct()
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (when(col("t_view").isNotNull, 1).otherwise(0) +
+          when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0)).cast(IntegerType)
+          .as("funnel_stage"),
+        unix_micros(col("t_view")).as("t_view_us"),
+        unix_micros(col("t_click")).as("t_click_us"),
+        unix_micros(col("t_purchase")).as("t_purchase_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      |      FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click GROUP BY 1)
+      |SELECT u.user_id,
+      |  CAST((CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS funnel_stage,
+      |  CAST(epoch_us(t_view) AS BIGINT) AS t_view_us,
+      |  CAST(epoch_us(t_click) AS BIGINT) AS t_click_us,
+      |  CAST(epoch_us(t_purchase) AS BIGINT) AS t_purchase_us
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY u.user_id""".stripMargin
+
   // === events: JSON property extraction ====================================
   def eventsJson(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").filter(col("event_id") < 1000)
@@ -362,6 +419,7 @@ object Relational {
     "f2_scalar_dates" -> scalarDates _,
     "ev1_hourly_windows" -> eventsHourly _,
     "ev2_top_purchasers" -> eventsTopUsers _,
+    "ev7_funnel_stages" -> eventFunnel _,
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
@@ -376,5 +434,6 @@ object Relational {
     "f2_scalar_dates" -> scalarDatesSql,
     "ev1_hourly_windows" -> eventsHourlySql,
     "ev2_top_purchasers" -> eventsTopUsersSql,
+    "ev7_funnel_stages" -> eventFunnelSql,
     "ev3_json_extract" -> eventsJsonSql)
 }

@@ -33,6 +33,24 @@ class AsOfSpec extends SparkTestBase {
     assert(rows.length == nViews)
   }
 
+  test("ev7 funnel stages are prefix-consistent and strictly ordered in time") {
+    val rows = Relational.eventFunnel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stage = r.getInt(1)
+      val v = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val c = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val p = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      // stage counts exactly the non-null prefix: no click without a view, etc.
+      assert(stage == Seq(v, c, p).count(_.isDefined))
+      assert(c.isEmpty || v.isDefined)
+      assert(p.isEmpty || c.isDefined)
+      // the sequence constraint is strict in event time
+      for (tv <- v; tc <- c) assert(tc > tv)
+      for (tc <- c; tp <- p) assert(tp > tc)
+    }
+  }
+
   test("uuid canonical text round-trips through binary (table_schema_test.test value)") {
     val u = "550e8400-e29b-41d4-a716-446655440000"
     val row = spark.sql(s"SELECT '$u' AS t")
