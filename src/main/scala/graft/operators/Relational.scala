@@ -274,6 +274,41 @@ object Relational {
       |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |ORDER BY u.user_id""".stripMargin
 
+  // === events: weekly cohort retention =====================================
+  /** ev8: cohort retention triangle — users bucketed by the epoch week of
+    * their first event, then (cohort_week, week_offset) cells count the
+    * distinct users still active that many weeks later. One window-min
+    * over user_id — a single events scan and a single full shuffle; the
+    * self-join formulation would scan events twice — feeding a final
+    * cell aggregate that is map-side combinable with a key space
+    * (weeks × offsets) that stays tiny regardless of corpus size.
+    * Week buckets are integer `div` on epoch micros — bit-exact on any
+    * engine, no timezone or date-truncation semantics to disagree on.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val wk = 604800000000L // micros per week
+    t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("first_us", min(col("us")).over(Window.partitionBy(col("user_id"))))
+      .select(col("user_id"),
+        expr(s"first_us div ${wk}L").as("cohort_week"),
+        expr(s"(us div ${wk}L) - (first_us div ${wk}L)").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"), count(lit(1)).as("n_events"))
+      // retention triangle is weeks×offsets cells — bounded by calendar
+      // time, not data volume, so sort it in one task (the q16 ledger)
+      .coalesce(1).sortWithinPartitions(col("cohort_week"), col("week_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |f AS (SELECT user_id, MIN(us) AS first_us FROM e GROUP BY 1)
+      |SELECT first_us // 604800000000 AS cohort_week,
+      |  (us // 604800000000) - (first_us // 604800000000) AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS active_users, COUNT(*) AS n_events
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // === events: JSON property extraction ====================================
   def eventsJson(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").filter(col("event_id") < 1000)
@@ -420,6 +455,7 @@ object Relational {
     "ev1_hourly_windows" -> eventsHourly _,
     "ev2_top_purchasers" -> eventsTopUsers _,
     "ev7_funnel_stages" -> eventFunnel _,
+    "ev8_cohort_retention" -> cohortRetention _,
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
@@ -435,5 +471,6 @@ object Relational {
     "ev1_hourly_windows" -> eventsHourlySql,
     "ev2_top_purchasers" -> eventsTopUsersSql,
     "ev7_funnel_stages" -> eventFunnelSql,
+    "ev8_cohort_retention" -> cohortRetentionSql,
     "ev3_json_extract" -> eventsJsonSql)
 }
