@@ -309,6 +309,43 @@ object Relational {
       |FROM e JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // === events: trailing time-range window aggregates =======================
+  /** ev9: per purchase event, the count and exact sum of the user's
+    * purchases in the trailing 7 days — a RANGE frame over epoch micros
+    * (the one window-frame family the w1-w3 battery doesn't exercise;
+    * ROWS frames count rows, RANGE frames bound event TIME, which is
+    * what a rate limit or rolling-spend feature actually wants). One
+    * shuffle on user_id, frame evaluation is partition-local, and the
+    * value-based frame makes tie handling deterministic: peers at the
+    * same timestamp always share a frame regardless of sort order. The
+    * sum rides the Exact micros contract, so the emitted doubles are
+    * bit-identical on both engines.
+    */
+  def trailingSpend(s: SparkSession, dir: String): DataFrame = {
+    val week = 604800000000L // micros
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-week, Window.currentRow)
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") <= 200)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d", Exact.toUnits(sum(Exact.micros(col("value"))).over(w)))
+      .select(col("user_id"), col("event_id"), col("us"), col("n_7d"), col("sum_7d"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  val trailingSpendSql: String =
+    s"""SELECT user_id, event_id, us, n_7d, ${Exact.sqlToUnits("sum_m")} AS sum_7d
+       |FROM (
+       |  SELECT user_id, event_id, us,
+       |    COUNT(*) OVER w AS n_7d,
+       |    SUM(${Exact.sqlMicros("value")}) OVER w AS sum_m
+       |  FROM (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+       |        FROM events WHERE event_type = 'purchase' AND user_id <= 200)
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+       |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)) t
+       |ORDER BY user_id, us, event_id""".stripMargin
+
   // === events: JSON property extraction ====================================
   def eventsJson(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").filter(col("event_id") < 1000)
@@ -456,6 +493,7 @@ object Relational {
     "ev2_top_purchasers" -> eventsTopUsers _,
     "ev7_funnel_stages" -> eventFunnel _,
     "ev8_cohort_retention" -> cohortRetention _,
+    "ev9_trailing_spend" -> trailingSpend _,
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
@@ -472,5 +510,6 @@ object Relational {
     "ev2_top_purchasers" -> eventsTopUsersSql,
     "ev7_funnel_stages" -> eventFunnelSql,
     "ev8_cohort_retention" -> cohortRetentionSql,
+    "ev9_trailing_spend" -> trailingSpendSql,
     "ev3_json_extract" -> eventsJsonSql)
 }

@@ -600,6 +600,54 @@ object TextAnalysis {
        |  ${Exact.sqlDsum("nlp")} / CAST(COUNT(*) AS DOUBLE) AS mean_neg_logp
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // === TF-IDF top terms ====================================================
+  /** txt12: the k most characteristic terms of each document by
+    * tf·idf. The score is kept INTEGER end to end — tf (a count) times
+    * the micros-rounded idf ln(N/df) — so ranking ties resolve
+    * identically on every engine (the single rounding also absorbs
+    * last-ulp libm differences, the txt11 argument). Shape at 100 TB:
+    * tf is one map-side-combinable shuffle on (doc, token); df reduces
+    * the already-distinct tf pairs, so it never re-reads the corpus;
+    * the doc-count is a broadcast scalar; and the top-k window shuffles
+    * scored pairs (3 small columns), not text.
+    */
+  def docTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score_m").desc, col("tok"))
+    val ex = dFan(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    // idf >= 0 (df <= n_docs), so half-away rounding is plain floor(x+0.5)
+    val idfM = floor(log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType))
+      * 1000000L + 0.5).cast(LongType)
+    tf.join(df, "tok").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"), (col("tf") * idfM).as("score_m"))
+      .withColumn("term_rank", row_number().over(w).cast(LongType))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term_rank"), col("tok"), col("score_m"))
+      .orderBy(col("doc_id"), col("term_rank"))
+  }
+
+  def docTfidfSql(k: Int = 3): String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT doc_id, tok,
+       |    tf * CAST(FLOOR(ln(CAST(n_docs AS DOUBLE)/CAST(df AS DOUBLE))*1000000+0.5)
+       |              AS BIGINT) AS score_m
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+       |r AS (SELECT doc_id, tok, score_m,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_m DESC, tok)
+       |          AS term_rank
+       |      FROM sc)
+       |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, tok, score_m
+       |FROM r WHERE term_rank <= $k ORDER BY doc_id, term_rank""".stripMargin
+
   // === per-language cap sampling ===========================================
   /** smp2: deterministic per-language cap — keep at most `cap` documents
     * per language, chosen by the engine-portable md5 order (the smp1
@@ -634,6 +682,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt11_unigram_logprob" -> docUnigramLogProb _,
+    "txt12_tfidf_terms" -> ((s: SparkSession, d: String) => docTfidf(s, d)),
     "txt9_repetition" -> docRepetition _,
     "txt10_vocab_richness" -> docVocabRichness _,
     "smp2_language_cap" -> ((s: SparkSession, d: String) => languageCap(s, d)),
@@ -652,6 +701,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "txt11_unigram_logprob" -> docUnigramLogProbSql,
+    "txt12_tfidf_terms" -> docTfidfSql(),
     "txt9_repetition" -> docRepetitionSql,
     "txt10_vocab_richness" -> docVocabRichnessSql,
     "smp2_language_cap" -> languageCapSql(),

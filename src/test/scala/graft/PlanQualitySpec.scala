@@ -141,6 +141,29 @@ class PlanQualitySpec extends SparkTestBase {
     assert(splits <= 1, s"expected a single projected tokenization, saw $splits splits")
   }
 
+  test("ev8 cohort retention: one events scan, window + cell-agg shuffles only") {
+    val df = operators.Relational.cohortRetention(spark, sfDir)
+    // one user_id window exchange + countDistinct's two-phase cell
+    // aggregate; the bounded triangle sorts locally (no range exchange)
+    assert(countShuffles(df) <= 3, "ev8 must not re-scan or re-shuffle events")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"bounded triangle must not range-exchange:\n$plan")
+    // AQE's toString appends an "== Initial Plan ==" copy — count scans
+    // in the final plan section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).length <= 1,
+      "the window-min formulation reads events exactly once")
+  }
+
+  test("ev9 trailing spend: single user_id shuffle feeds the RANGE-frame window") {
+    val df = operators.Relational.trailingSpend(spark, sfDir)
+    // user_id window exchange + the final result sort, nothing else
+    assert(countShuffles(df) <= 2, "ev9 must shuffle once for the window plus the sort")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters"), "event_type/user_id filters must reach the scan")
+  }
+
   test("mm4 metadata stats never materializes payload bytes beyond the length projection") {
     val plan = planOf(operators.Multimodal.metaStats(spark, sfDir))
     // documents scan must read only doc-id-free metadata inputs: text is
