@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
+      operators.CorpusPipeline.queries ++
       operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++
+      operators.CorpusPipeline.oracles ++
       operators.Multimodal.oracles
 }

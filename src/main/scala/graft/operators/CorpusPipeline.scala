@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-preparation manifest: the composite verdict a
+  * training-data pipeline consumes, built ONLY from the already-verified
+  * stage operators — quality filtering (txt6), benchmark decontamination
+  * (cont1), exact+near dedup (dd8) and stratified temperature sampling
+  * (smp1). Each stage's verdict is computed independently over the full
+  * corpus (the audit-manifest view: which stage WOULD drop each
+  * document), and `drop_stage` reports the first failing stage in
+  * pipeline order. At 100 TB the manifest is four doc_id-keyed joins of
+  * per-document verdicts — each upstream plan keeps its own verified
+  * scale shape, and the join ships one boolean per stage, never text.
+  */
+object CorpusPipeline {
+
+  /** pipe1: one row per document — per-stage keep verdicts, the final
+    * keep decision, and the first failing stage.
+    */
+  def corpusManifest(s: SparkSession, dir: String, contamMax: Double = 0.2): DataFrame = {
+    val docs = Engine.table(s, dir, "documents").select(col("doc_id"))
+    val q = TextAnalysis.docQualityFilter(s, dir)
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val c = TextAnalysis.benchmarkContamination(s, dir)
+      .select(col("doc_id"), (col("contamination") <= contamMax).as("kd"))
+    val d = Dedup.dedupKeepList(s, dir)
+      .select(col("doc_id"), col("keep").as("keep_dedup"))
+    val sm = TextAnalysis.stratifiedSample(s, dir)
+      .select(col("doc_id"), lit(true).as("ks"))
+    docs
+      .join(q, "doc_id")
+      // a doc too short to shingle has no contamination row -> clean
+      .join(c, Seq("doc_id"), "left")
+      .join(d, "doc_id")
+      // smp1 emits only the kept rows -> absence means sampled out
+      .join(sm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_quality"),
+        coalesce(col("kd"), lit(true)).as("keep_decontam"),
+        col("keep_dedup"),
+        coalesce(col("ks"), lit(false)).as("keep_sample"))
+      .withColumn("final_keep",
+        col("keep_quality") && col("keep_decontam") && col("keep_dedup") && col("keep_sample"))
+      .withColumn("drop_stage",
+        when(!col("keep_quality"), "quality")
+          .when(!col("keep_decontam"), "decontamination")
+          .when(!col("keep_dedup"), "dedup")
+          .when(!col("keep_sample"), "sampling")
+          .otherwise(lit(null)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** pipe1 oracle: each stage's published oracle text embedded verbatim
+    * as a subquery (DuckDB scopes a nested WITH [RECURSIVE] to its
+    * parenthesized subquery, so the stage CTE names cannot collide),
+    * joined exactly as the Spark plan joins the stage outputs.
+    */
+  def corpusManifestSql(contamMax: Double = 0.2): String =
+    s"""WITH q AS (SELECT doc_id, keep AS keep_quality
+       |           FROM (${TextAnalysis.docQualityFilterSql}) tq),
+       |c AS (SELECT doc_id, (contamination <= $contamMax) AS keep_decontam
+       |      FROM (${TextAnalysis.benchmarkContaminationSql}) tc),
+       |d AS (SELECT doc_id, keep AS keep_dedup
+       |      FROM (${Dedup.dedupKeepListSql}) td),
+       |sm AS (SELECT doc_id, TRUE AS keep_sample
+       |       FROM (${TextAnalysis.stratifiedSampleSql}) ts)
+       |SELECT dd.doc_id, keep_quality,
+       |  COALESCE(keep_decontam, TRUE) AS keep_decontam, keep_dedup,
+       |  COALESCE(sm.keep_sample, FALSE) AS keep_sample,
+       |  (keep_quality AND COALESCE(keep_decontam, TRUE) AND keep_dedup
+       |   AND COALESCE(sm.keep_sample, FALSE)) AS final_keep,
+       |  CASE WHEN NOT keep_quality THEN 'quality'
+       |       WHEN NOT COALESCE(keep_decontam, TRUE) THEN 'decontamination'
+       |       WHEN NOT keep_dedup THEN 'dedup'
+       |       WHEN NOT COALESCE(sm.keep_sample, FALSE) THEN 'sampling'
+       |       ELSE NULL END AS drop_stage
+       |FROM (SELECT doc_id FROM documents) dd
+       |JOIN q USING (doc_id)
+       |LEFT JOIN c USING (doc_id)
+       |JOIN d USING (doc_id)
+       |LEFT JOIN sm USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe1_corpus_manifest" -> ((s: SparkSession, d: String) => corpusManifest(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "pipe1_corpus_manifest" -> corpusManifestSql())
+}
