@@ -109,7 +109,8 @@ object Bench {
     // phase 1, so prepared re-execution would skip it and report only
     // the final pass. They rebuild from scratch every measured run.
     val driverStepped = Set("dd7_duplicate_clusters", "dd8_dedup_keep_list",
-      "sim4_ann_ivf_topk", "pct1_price_percentiles")
+      "sim4_ann_ivf_topk", "pct1_price_percentiles",
+      "pipe1_corpus_manifest") // composes dd8's union-find stage
 
     def execute(name: String): Double = {
       val t0 = System.nanoTime()

@@ -56,13 +56,25 @@ object Cli {
       Engine.registerAll(producer.registry.getOrCreate(client.peer).spark, d))
     out.println("Connected successfully!\n")
     val shell = new Shell(client, out, errOut, debug)
-    oneShot match {
-      case Some(sql) => shell.executeAndDisplay(sql)
-      case None =>
-        val hist = Paths.get(sys.props.getOrElse("user.home", "."), ".graft_history")
-        shell.runInteractive(new BufferedReader(new InputStreamReader(System.in)), Some(hist))
-    }
-    spark.stop()
+    var failed = false
+    try {
+      oneShot match {
+        case Some(sql) =>
+          // one-shot errors use the shell's display contract, not a raw
+          // stack trace, and must still release the session below
+          try shell.executeAndDisplay(sql)
+          catch {
+            case t: Throwable =>
+              errOut.println(s"Error: ${Option(t.getMessage).getOrElse(t.toString)}")
+              if (debug) t.printStackTrace(errOut)
+              failed = true
+          }
+        case None =>
+          val hist = Paths.get(sys.props.getOrElse("user.home", "."), ".graft_history")
+          shell.runInteractive(new BufferedReader(new InputStreamReader(System.in)), Some(hist))
+      }
+    } finally spark.stop()
+    if (failed) sys.exit(1)
   }
 }
 
@@ -128,10 +140,10 @@ final class Shell(client: FlightSqlClient, out: PrintStream, err: PrintStream,
       val u = client.update(sql)
       val secs = (System.nanoTime() - t0) / 1e9
       // the reference's update() surfaces a count only for DML; DDL
-      // answers None -> "Query executed successfully" (cli.rs:176-184)
-      val upper = sql.trim.toUpperCase
-      if (upper.startsWith("INSERT") || upper.startsWith("UPDATE") ||
-          upper.startsWith("DELETE"))
+      // answers None -> "Query executed successfully" (cli.rs:176-184);
+      // keyword is comment-aware, matching the isQuery classification
+      val upper = SqlShim.leadingKeyword(sql)
+      if (upper == "INSERT" || upper == "UPDATE" || upper == "DELETE")
         out.println(s"${u.rowsAffected} row${plural(u.rowsAffected)} affected")
       else out.println("Query executed successfully")
       out.println(f"$secs%.3fs")

@@ -88,6 +88,13 @@ object SqlShim {
     */
   def containsQuery(sql: String): Boolean = splitStatements(sql).exists(isQuery)
 
+  /** First SQL keyword after leading comments, upper-cased — the same
+    * comment-aware view isQuery classifies on, for callers that branch
+    * on the statement verb (e.g. the CLI's DML row-count display).
+    */
+  def leadingKeyword(statement: String): String =
+    stripLeadingComments(statement.trim).takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
+
   @annotation.tailrec
   private def stripLeadingComments(s: String): String = {
     val t = s.dropWhile(_.isWhitespace)
@@ -188,8 +195,11 @@ object SqlShim {
         // quote-aware split: a raw comma split would mangle a quoted
         // column name containing a comma (`a,b`) and mis-align the batch
         val colList = Option(cols).map(splitList(_, ',').map(unquoteIdent))
-          .filter(_.forall(_.nonEmpty)).filter(_.nonEmpty)
-        Some((parts, colList))
+        // a malformed list (`a,,b` or `()`) must disqualify the appender
+        // entirely — collapsing it to "no explicit list" would silently
+        // reinterpret the batch as a positional full-table append
+        if (colList.exists(cs => cs.isEmpty || cs.exists(_.isEmpty))) None
+        else Some((parts, colList))
       case _ => None
     }
   }

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import Par.BoundedOrder
+
 /** Second relational battery: the TPC-H families not yet covered by
   * Tpch.scala (market-share CASE ratio, shipmode-style classification,
   * min-cost supplier lookup, threshold semi-join chain, value-fraction
@@ -61,8 +63,7 @@ object Advanced {
       .agg((dsum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0))) /
         dsum(rev)).as("mkt_share"))
       // two-row fixed-domain result: one-task sort, no range exchange
-      // (the Tpch.orderedSmall argument)
-      .coalesce(1).sortWithinPartitions(col("o_year"))
+      .orderedSmall(col("o_year"))
   }
 
   val q8Sql: String =
@@ -93,7 +94,7 @@ object Advanced {
       .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
         sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
       // two-row fixed-domain result: one-task sort, no range exchange
-      .coalesce(1).sortWithinPartitions(col("l_linestatus"))
+      .orderedSmall(col("l_linestatus"))
   }
 
   val q12Sql: String =

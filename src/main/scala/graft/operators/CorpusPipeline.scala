@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.Engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,7 +20,8 @@ object CorpusPipeline {
     * keep decision, and the first failing stage.
     */
   def corpusManifest(s: SparkSession, dir: String, contamMax: Double = 0.2): DataFrame = {
-    val docs = Engine.table(s, dir, "documents").select(col("doc_id"))
+    // the quality stage is map-only with exactly one row per document,
+    // so it IS the document spine — no separate documents scan needed
     val q = TextAnalysis.docQualityFilter(s, dir)
       .select(col("doc_id"), col("keep").as("keep_quality"))
     val c = TextAnalysis.benchmarkContamination(s, dir)
@@ -30,8 +30,7 @@ object CorpusPipeline {
       .select(col("doc_id"), col("keep").as("keep_dedup"))
     val sm = TextAnalysis.stratifiedSample(s, dir)
       .select(col("doc_id"), lit(true).as("ks"))
-    docs
-      .join(q, "doc_id")
+    q
       // a doc too short to shingle has no contamination row -> clean
       .join(c, Seq("doc_id"), "left")
       .join(d, "doc_id")
@@ -66,7 +65,7 @@ object CorpusPipeline {
        |      FROM (${Dedup.dedupKeepListSql}) td),
        |sm AS (SELECT doc_id, TRUE AS keep_sample
        |       FROM (${TextAnalysis.stratifiedSampleSql}) ts)
-       |SELECT dd.doc_id, keep_quality,
+       |SELECT doc_id, keep_quality,
        |  COALESCE(keep_decontam, TRUE) AS keep_decontam, keep_dedup,
        |  COALESCE(sm.keep_sample, FALSE) AS keep_sample,
        |  (keep_quality AND COALESCE(keep_decontam, TRUE) AND keep_dedup
@@ -76,8 +75,7 @@ object CorpusPipeline {
        |       WHEN NOT keep_dedup THEN 'dedup'
        |       WHEN NOT COALESCE(sm.keep_sample, FALSE) THEN 'sampling'
        |       ELSE NULL END AS drop_stage
-       |FROM (SELECT doc_id FROM documents) dd
-       |JOIN q USING (doc_id)
+       |FROM q
        |LEFT JOIN c USING (doc_id)
        |JOIN d USING (doc_id)
        |LEFT JOIN sm USING (doc_id)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Parallelism guards shared by the operator families.
   *
@@ -27,5 +27,17 @@ object Par {
   def fanOut(df: DataFrame): DataFrame = {
     val target = shuffleWidth(df)
     if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+
+  /** Bounded-domain result ordering: results whose cardinality is fixed
+    * by the query's value domain (a few hundred rows at ANY scale
+    * factor) sort in one task instead of paying a rangepartitioning
+    * exchange — a whole AQE stage spent ordering a handful of rows
+    * (~0.07 s each at sf0.1; the q16 ledger in STATUS.md). Never used
+    * where output cardinality grows with data volume.
+    */
+  implicit class BoundedOrder(private val df: DataFrame) {
+    def orderedSmall(keys: Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(keys: _*)
   }
 }

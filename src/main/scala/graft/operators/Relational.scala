@@ -6,6 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import Par.BoundedOrder
+
 /** Relational surface beyond the TPC-H battery: window functions, set
   * operations, ROLLUP grouping, scalar-function coverage, and the events
   * table (time-series) workload. The reference accepts these through its
@@ -287,17 +289,21 @@ object Relational {
     */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     val wk = 604800000000L // micros per week
+    // FLOOR division (pmod makes the remainder nonnegative): Spark's
+    // `div` truncates toward zero, which would disagree with the
+    // oracle's flooring `//` for pre-1970 timestamps
+    def weekOf(c: Column): Column = ((c - pmod(c, lit(wk))) / lit(wk)).cast(LongType)
     t(s, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .withColumn("first_us", min(col("us")).over(Window.partitionBy(col("user_id"))))
       .select(col("user_id"),
-        expr(s"first_us div ${wk}L").as("cohort_week"),
-        expr(s"(us div ${wk}L) - (first_us div ${wk}L)").as("week_offset"))
+        weekOf(col("first_us")).as("cohort_week"),
+        (weekOf(col("us")) - weekOf(col("first_us"))).as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("active_users"), count(lit(1)).as("n_events"))
       // retention triangle is weeks×offsets cells — bounded by calendar
       // time, not data volume, so sort it in one task (the q16 ledger)
-      .coalesce(1).sortWithinPartitions(col("cohort_week"), col("week_offset"))
+      .orderedSmall(col("cohort_week"), col("week_offset"))
   }
 
   val cohortRetentionSql: String =

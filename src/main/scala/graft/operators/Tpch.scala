@@ -44,17 +44,8 @@ object Tpch {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
-  /** Total order for a BOUNDED result (a fixed group domain at any SF —
-    * return flags, priorities, nations, country codes): sort the final
-    * rows in one task instead of planning a rangepartitioning exchange,
-    * a whole AQE stage spent ordering a handful of rows (~0.07 s each
-    * at sf0.1 — the q16 ledger in STATUS.md). Never used where output
-    * cardinality grows with data volume.
-    */
-  private implicit class BoundedOrder(df: DataFrame) {
-    def orderedSmall(keys: Column*): DataFrame =
-      df.coalesce(1).sortWithinPartitions(keys: _*)
-  }
+  // bounded-result ordering shared across the operator families
+  import Par.BoundedOrder
 
   // === Q1: pricing summary — multi-aggregate GROUP BY ======================
   def q1(s: SparkSession, dir: String): DataFrame = {
@@ -370,9 +361,7 @@ object Tpch {
       .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(size(collect_set(col("l_suppkey"))).cast("long").as("supplier_cnt"))
-      .coalesce(1)
-      .sortWithinPartitions(
-        col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .orderedSmall(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
   }
 
   val q16Sql: String =

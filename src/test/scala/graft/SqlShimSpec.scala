@@ -83,9 +83,9 @@ class SqlShimSpec extends AnyFunSuite {
       Some((Seq("t"), Some(Seq("a,b", "c")))))
     assert(SqlShim.parseInsert("""INSERT INTO t ("x,y", z) VALUES (?, ?)""") ==
       Some((Seq("t"), Some(Seq("x,y", "z")))))
-    // an empty column segment disqualifies the explicit list entirely
-    assert(SqlShim.parseInsert("INSERT INTO t (a,,b) VALUES (?, ?, ?)") ==
-      Some((Seq("t"), None)))
+    // an empty column segment is malformed: the whole statement is
+    // disqualified from the appender, never degraded to positional
+    assert(SqlShim.parseInsert("INSERT INTO t (a,,b) VALUES (?, ?, ?)").isEmpty)
   }
 
   test("insertSourceIsPureParams gates the appender fast path") {
