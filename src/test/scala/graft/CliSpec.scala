@@ -63,6 +63,21 @@ class CliSpec extends SparkTestBase {
     spark.sql("DROP TABLE cli_t")
   }
 
+  test("comment-prefixed DML still reports its affected-row count") {
+    val (shell, out, _) = newShell()
+    spark.sql("DROP TABLE IF EXISTS cli_c")
+    run(shell,
+      "CREATE TABLE cli_c (id INT) USING parquet\n" +
+        "/* retry */ INSERT INTO cli_c VALUES (1)\n" +
+        "/* and */ /* chained */ INSERT INTO cli_c VALUES (2)\nexit\n")
+    val o = s(out)
+    // the DML branch classifies on the comment-stripped keyword, so
+    // neither statement falls through to the bare success line
+    assert("rows? affected".r.findAllIn(o).length == 2,
+      s"both comment-prefixed DML statements must report counts:\n$o")
+    spark.sql("DROP TABLE cli_c")
+  }
+
   test("a failing statement prints an error and the loop continues (cli.rs:113-118)") {
     val (shell, out, err) = newShell()
     run(shell, "SELECT definitely broken FROM\nSELECT 7 AS k\nexit\n")

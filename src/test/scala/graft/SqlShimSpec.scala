@@ -88,6 +88,13 @@ class SqlShimSpec extends AnyFunSuite {
     assert(SqlShim.parseInsert("INSERT INTO t (a,,b) VALUES (?, ?, ?)").isEmpty)
   }
 
+  test("leadingKeyword sees through comments and parentheses") {
+    assert(SqlShim.leadingKeyword("/* retry */ INSERT INTO t VALUES (1)") == "INSERT")
+    assert(SqlShim.leadingKeyword("-- note\n  update t set a = 1") == "UPDATE")
+    assert(SqlShim.leadingKeyword("(SELECT 1)") == "")
+    assert(SqlShim.leadingKeyword("DELETE FROM t") == "DELETE")
+  }
+
   test("insertSourceIsPureParams gates the appender fast path") {
     assert(SqlShim.insertSourceIsPureParams("INSERT INTO t VALUES (?, ?)"))
     assert(SqlShim.insertSourceIsPureParams("INSERT INTO t (a,b) VALUES (?,?), (?,?)"))

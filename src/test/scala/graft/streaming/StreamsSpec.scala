@@ -58,6 +58,48 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("hourlyCounts over real events matches the batch aggregation (stream-batch parity)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.{count, lit, sum, window}
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus rows, time-ordered so the watermark never drops any
+    val real = graft.Engine.table(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(_.ts.getTime).take(500).toSeq
+    val mem = MemoryStream[Event]
+    val q = Streams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("parity_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = real.splitAt(250) // two micro-batches, state carries over
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      // a sentinel far past max(ts) pushes the watermark over every real window
+      val maxTs = real.map(_.ts.getTime).max
+      mem.addData(Event(-1L, new Timestamp(maxTs + 48L * 3600 * 1000), 0L, "sentinel", 0.0))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getTimestamp(0), r.getString(1))
+      val streamed = spark.table("parity_out")
+        .filter($"event_type" =!= "sentinel").collect()
+        .map(r => key(r) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val batch = real.toDF()
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+        .select($"window.start", $"event_type", $"n", $"sum_value").collect()
+        .map(r => key(r) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed.keySet == batch.keySet,
+        "every finalized (window, type) cell matches the batch group set")
+      for ((k, (n, sv)) <- streamed) {
+        assert(n == batch(k)._1, s"count parity at $k")
+        // incremental state merge may reorder the double sum: ulp tolerance
+        assert(math.abs(sv - batch(k)._2) < 1e-6, s"sum parity at $k")
+      }
+    } finally q.stop()
+  }
+
   test("upsertStream: per-batch delete-then-insert keyed on the PK, no driver key collect") {
     val sparkS = spark
     import sparkS.implicits._
