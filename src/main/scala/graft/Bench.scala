@@ -59,6 +59,8 @@ object Bench {
       th.start(); th
     }
     warm.foreach(_.join())
+    // per-request latencies for the BASELINE.md avg/p50/p95/p99 bars
+    val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val t0 = System.nanoTime()
     val threads = (0 until terminals).map { t =>
       val clientSession = sessions(t)
@@ -66,10 +68,12 @@ object Bench {
       val th = new Thread(() => {
         var i = t
         while (System.nanoTime() - t0 < windowNanos) {
+          val r0 = System.nanoTime()
           try {
             org.apache.spark.sql.graft.PlanReuse
               .reanalyzed(clientSession, prepared(mix(i % mix.length))).collect()
             completed.incrementAndGet()
+            latencies.add(System.nanoTime() - r0)
           } catch { case _: Throwable => }
           i += 1
         }
@@ -79,6 +83,14 @@ object Bench {
     threads.foreach(_.join())
     val elapsed = (System.nanoTime() - t0) / 1e9
     val rps = completed.get() / elapsed
+    val latMs = {
+      import scala.jdk.CollectionConverters._
+      latencies.asScala.toArray.sorted.map(_ / 1e6)
+    }
+    def pct(p: Double): Double =
+      if (latMs.isEmpty) -1.0
+      else latMs(math.min(latMs.length - 1, (p * latMs.length).toInt))
+    val avgMs = if (latMs.isEmpty) -1.0 else latMs.sum / latMs.length
 
     // settle between phases: the window leaves 4 terminals' worth of
     // dropped plan/result state whose collection otherwise lands inside
@@ -136,7 +148,10 @@ object Bench {
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""throughput_rps":$rps,"throughput_terminals":$terminals,""" +
-      s""""throughput_requests":${completed.get()},"throughput_window_sec":$elapsed,"sf":"$sfDir"}""")
+      s""""throughput_requests":${completed.get()},"throughput_window_sec":$elapsed,""" +
+      f""""latency_avg_ms":$avgMs%.3f,"latency_p50_ms":${pct(0.50)}%.3f,""" +
+      f""""latency_p95_ms":${pct(0.95)}%.3f,"latency_p99_ms":${pct(0.99)}%.3f,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
