@@ -222,29 +222,31 @@ object Relational {
   // === events: conversion funnel with sequence constraint ==================
   /** ev7: classic ordered funnel — per user, the first view, the first
     * click AFTER that view, and the first purchase AFTER that click;
-    * `funnel_stage` counts how deep the user got. Three conditional-min
-    * aggregates chained by user-keyed joins: every stage is map-side
-    * combinable, the joins align on the same user_id partitioning, and
-    * the sequence constraint is a plain timestamp comparison — no
-    * per-user event collection, so a power user with millions of events
-    * costs the same shuffle bytes as anyone else. Timestamps are
-    * emitted as epoch micros (the eventsHourly naive-vs-UTC note).
+    * `funnel_stage` counts how deep the user got. ONE events scan and
+    * ONE user_id shuffle: the three conditional mins are chained
+    * whole-partition window aggregates over the same partitioning (each
+    * stage's predicate references the previous stage's column, and a
+    * null propagates so a click without a prior view never counts), and
+    * the per-user rollup reuses that partitioning — no per-user event
+    * collection, so a power user with millions of events costs the same
+    * shuffle bytes as anyone else. The join formulation this replaced
+    * read events once per funnel stage. Timestamps are emitted as epoch
+    * micros (the eventsHourly naive-vs-UTC note).
     */
   def eventFunnel(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_type"))
-    val users = e.select(col("user_id")).distinct()
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    users
-      .join(v, Seq("user_id"), "left")
-      .join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+    val byUser = Window.partitionBy(col("user_id"))
+    t(s, dir, "events").select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts")))
+          .over(byUser))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts")))
+          .over(byUser))
+      .groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("t_view"), min(col("t_click")).as("t_click"),
+        min(col("t_purchase")).as("t_purchase"))
       .select(col("user_id"),
         (when(col("t_view").isNotNull, 1).otherwise(0) +
           when(col("t_click").isNotNull, 1).otherwise(0) +

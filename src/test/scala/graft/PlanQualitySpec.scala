@@ -156,6 +156,18 @@ class PlanQualitySpec extends SparkTestBase {
       "the window-min formulation reads events exactly once")
   }
 
+  test("ev7 funnel: one events scan, chained windows reuse one user_id shuffle") {
+    val df = operators.Relational.eventFunnel(spark, sfDir)
+    // one user_id window exchange (all three stages + the rollup reuse
+    // it) plus the final result sort — the join formulation this
+    // replaced scanned events once per funnel stage
+    assert(countShuffles(df) <= 2, "ev7 must not re-shuffle between funnel stages")
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).length <= 1,
+      "the chained-window formulation reads events exactly once")
+  }
+
   test("ev9 trailing spend: single user_id shuffle feeds the RANGE-frame window") {
     val df = operators.Relational.trailingSpend(spark, sfDir)
     // user_id window exchange + the final result sort, nothing else
