@@ -87,9 +87,10 @@ object Bench {
       import scala.jdk.CollectionConverters._
       latencies.asScala.toArray.sorted.map(_ / 1e6)
     }
+    // nearest-rank percentile, uniformly ceil(p*n)-1 (clamped)
     def pct(p: Double): Double =
       if (latMs.isEmpty) -1.0
-      else latMs(math.min(latMs.length - 1, (p * latMs.length).toInt))
+      else latMs(math.min(latMs.length - 1, math.max(0, math.ceil(p * latMs.length).toInt - 1)))
     val avgMs = if (latMs.isEmpty) -1.0 else latMs.sum / latMs.length
 
     // settle between phases: the window leaves 4 terminals' worth of
@@ -149,8 +150,10 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""throughput_rps":$rps,"throughput_terminals":$terminals,""" +
       s""""throughput_requests":${completed.get()},"throughput_window_sec":$elapsed,""" +
-      f""""latency_avg_ms":$avgMs%.3f,"latency_p50_ms":${pct(0.50)}%.3f,""" +
-      f""""latency_p95_ms":${pct(0.95)}%.3f,"latency_p99_ms":${pct(0.99)}%.3f,""" +
+      // raw Double.toString, not %f: the f-interpolator is locale-
+      // sensitive and a comma decimal separator would corrupt the JSON
+      s""""latency_avg_ms":$avgMs,"latency_p50_ms":${pct(0.50)},""" +
+      s""""latency_p95_ms":${pct(0.95)},"latency_p99_ms":${pct(0.99)},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

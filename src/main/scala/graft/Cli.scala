@@ -63,12 +63,7 @@ object Cli {
           // one-shot errors use the shell's display contract, not a raw
           // stack trace, and must still release the session below
           try shell.executeAndDisplay(sql)
-          catch {
-            case t: Throwable =>
-              errOut.println(s"Error: ${Option(t.getMessage).getOrElse(t.toString)}")
-              if (debug) t.printStackTrace(errOut)
-              failed = true
-          }
+          catch { case t: Throwable => shell.displayError(t); failed = true }
         case None =>
           val hist = Paths.get(sys.props.getOrElse("user.home", "."), ".graft_history")
           shell.runInteractive(new BufferedReader(new InputStreamReader(System.in)), Some(hist))
@@ -106,11 +101,7 @@ final class Shell(client: FlightSqlClient, out: PrintStream, err: PrintStream,
             done = true
           } else {
             try executeAndDisplay(q)
-            catch {
-              case t: Throwable =>
-                err.println(s"Error: ${Option(t.getMessage).getOrElse(t.toString)}")
-                if (debug) t.printStackTrace(err)
-            }
+            catch { case t: Throwable => displayError(t) }
             out.println()
           }
         }
@@ -148,6 +139,14 @@ final class Shell(client: FlightSqlClient, out: PrintStream, err: PrintStream,
       else out.println("Query executed successfully")
       out.println(f"$secs%.3fs")
     }
+  }
+
+  /** The one error-display contract shared by the interactive loop and
+    * one-shot mode (cli.rs:113-118).
+    */
+  def displayError(t: Throwable): Unit = {
+    err.println(s"Error: ${Option(t.getMessage).getOrElse(t.toString)}")
+    if (debug) t.printStackTrace(err)
   }
 
   private def plural(n: Long): String = if (n == 1L) "" else "s"

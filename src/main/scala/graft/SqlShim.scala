@@ -93,7 +93,9 @@ object SqlShim {
     * on the statement verb (e.g. the CLI's DML row-count display).
     */
   def leadingKeyword(statement: String): String =
-    stripLeadingComments(statement.trim).takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
+    // letters only: stops at whitespace, '(' AND an immediately-adjacent
+    // comment (INSERT/*hint*/INTO), which whitespace-splitting would keep
+    stripLeadingComments(statement.trim).takeWhile(_.isLetter).toUpperCase
 
   @annotation.tailrec
   private def stripLeadingComments(s: String): String = {

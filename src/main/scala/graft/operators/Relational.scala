@@ -291,16 +291,18 @@ object Relational {
     */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     val wk = 604800000000L // micros per week
-    // FLOOR division (pmod makes the remainder nonnegative): Spark's
-    // `div` truncates toward zero, which would disagree with the
-    // oracle's flooring `//` for pre-1970 timestamps
-    def weekOf(c: Column): Column = ((c - pmod(c, lit(wk))) / lit(wk)).cast(LongType)
+    // FLOOR division kept entirely in integers: pmod makes the remainder
+    // nonnegative (plain `div` truncates toward zero and would disagree
+    // with the oracle's flooring `//` for pre-1970 timestamps), and the
+    // exact-multiple `div` never routes through a double, so week buckets
+    // stay exact even past 2^53 micros (years beyond 2255)
+    def weekOf(c: String): Column = expr(s"(($c - pmod($c, ${wk}L)) div ${wk}L)")
     t(s, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .withColumn("first_us", min(col("us")).over(Window.partitionBy(col("user_id"))))
       .select(col("user_id"),
-        weekOf(col("first_us")).as("cohort_week"),
-        (weekOf(col("us")) - weekOf(col("first_us"))).as("week_offset"))
+        weekOf("first_us").as("cohort_week"),
+        (weekOf("us") - weekOf("first_us")).as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("active_users"), count(lit(1)).as("n_events"))
       // retention triangle is weeks×offsets cells — bounded by calendar

@@ -93,6 +93,9 @@ class SqlShimSpec extends AnyFunSuite {
     assert(SqlShim.leadingKeyword("-- note\n  update t set a = 1") == "UPDATE")
     assert(SqlShim.leadingKeyword("(SELECT 1)") == "")
     assert(SqlShim.leadingKeyword("DELETE FROM t") == "DELETE")
+    // a comment glued to the verb must not leak into the keyword
+    assert(SqlShim.leadingKeyword("INSERT/*+ append */INTO t VALUES (1)") == "INSERT")
+    assert(SqlShim.leadingKeyword("UPDATE--x\nt SET a = 1") == "UPDATE")
   }
 
   test("insertSourceIsPureParams gates the appender fast path") {
