@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.CorpusPipeline.queries ++
+      operators.Skew.queries ++
       operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++
       operators.CorpusPipeline.oracles ++
+      operators.Skew.oracles ++
       operators.Multimodal.oracles
 }

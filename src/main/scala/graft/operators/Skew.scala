@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import Par.BoundedOrder
 
 /** Skew-mitigation utilities for 100 TB joins (builder-prompt "skewed
   * keys → salting or AQE skew-join"; SURVEY §2.B notes AQE handles skew
@@ -46,4 +49,37 @@ object Skew {
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(key))
       .limit(topN)
+
+  /** skw1: per-nation revenue through the salted join — the query a
+    * deployment runs when l_suppkey goes hot (one mega-supplier). The
+    * output is IDENTICAL to the unsalted join + GROUP BY (the oracle
+    * below), which is the whole point of salting: only the shuffle
+    * distribution changes. Revenue rides the Exact micros contract, so
+    * the sum is order-independent across any salt assignment.
+    */
+  def saltedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Engine.table(s, dir, "lineitem")
+      .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val sup = Engine.table(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    saltedJoin(l, sup, "s_suppkey", buckets = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderedSmall(col("s_nationkey"))
+  }
+
+  val saltedRevenueSql: String =
+    s"""SELECT s_nationkey,
+       |  ${Exact.sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skw1_salted_revenue" -> saltedRevenue _)
+
+  val oracles: Map[String, String] = Map(
+    "skw1_salted_revenue" -> saltedRevenueSql)
 }
