@@ -123,7 +123,7 @@ object Bench {
     // the final pass. They rebuild from scratch every measured run.
     val driverStepped = Set("dd7_duplicate_clusters", "dd8_dedup_keep_list",
       "sim4_ann_ivf_topk", "pct1_price_percentiles",
-      "pipe1_corpus_manifest") // composes dd8's union-find stage
+      "pipe1_corpus_manifest", "pipe2_training_mix") // compose dd8's union-find stage
 
     def execute(name: String): Double = {
       val t0 = System.nanoTime()

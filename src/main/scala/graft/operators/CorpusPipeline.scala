@@ -18,8 +18,15 @@ object CorpusPipeline {
 
   /** pipe1: one row per document — per-stage keep verdicts, the final
     * keep decision, and the first failing stage.
+    *
+    * `contamMax` gates on cont1's 3-gram overlap fraction. Short
+    * n-grams give every document a background overlap (this corpus:
+    * mean 0.38 — small shared vocabulary), so the default 0.7 targets
+    * the verbatim/near-verbatim eval-leakage tail, which is what a
+    * decontamination pass is for; a threshold below the background band
+    * would silently discard most of the corpus.
     */
-  def corpusManifest(s: SparkSession, dir: String, contamMax: Double = 0.2): DataFrame = {
+  def corpusManifest(s: SparkSession, dir: String, contamMax: Double = 0.7): DataFrame = {
     // the quality stage is map-only with exactly one row per document,
     // so it IS the document spine — no separate documents scan needed
     val q = TextAnalysis.docQualityFilter(s, dir)
@@ -56,7 +63,7 @@ object CorpusPipeline {
     * parenthesized subquery, so the stage CTE names cannot collide),
     * joined exactly as the Spark plan joins the stage outputs.
     */
-  def corpusManifestSql(contamMax: Double = 0.2): String =
+  def corpusManifestSql(contamMax: Double = 0.7): String =
     s"""WITH q AS (SELECT doc_id, keep AS keep_quality
        |           FROM (${TextAnalysis.docQualityFilterSql}) tq),
        |c AS (SELECT doc_id, (contamination <= $contamMax) AS keep_decontam
@@ -81,9 +88,43 @@ object CorpusPipeline {
        |LEFT JOIN sm USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** pipe2: the training mix itself — pipe1's surviving documents
+    * packed into fixed-token-budget sequences (the pack1 pass over the
+    * kept slice only). This is the artifact a training run actually
+    * reads: (doc, bin, offset) per language shard, deterministic on any
+    * engine. The semi join is doc_id-keyed booleans; the packing window
+    * stays partition-local per language shard, so composing the stages
+    * adds no new scale hazard.
+    */
+  def trainingMix(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val kept = corpusManifest(s, dir).filter(col("final_keep")).select(col("doc_id"))
+    TextAnalysis.packDocs(
+      graft.Engine.table(s, dir, "documents").join(kept, "doc_id"), budget)
+  }
+
+  def trainingMixSql(budget: Int = 512): String =
+    s"""WITH keep AS (
+       |  SELECT doc_id FROM (${corpusManifestSql()}) m WHERE final_keep),
+       |toks AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(length(string_split_regex(lower(trim(d.text)), '\\s+')) AS INTEGER)
+       |      AS n_tokens
+       |  FROM documents d JOIN keep USING (doc_id)),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM toks)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS seq_bin,
+       |  CAST((cum - n_tokens) % $budget AS BIGINT) AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe1_corpus_manifest" -> ((s: SparkSession, d: String) => corpusManifest(s, d)))
+    "pipe1_corpus_manifest" -> ((s: SparkSession, d: String) => corpusManifest(s, d)),
+    "pipe2_training_mix" -> ((s: SparkSession, d: String) => trainingMix(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "pipe1_corpus_manifest" -> corpusManifestSql())
+    "pipe1_corpus_manifest" -> corpusManifestSql(),
+    "pipe2_training_mix" -> trainingMixSql())
 }

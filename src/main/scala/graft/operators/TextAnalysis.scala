@@ -346,12 +346,18 @@ object TextAnalysis {
     * why packing shards by language (the unit training runs sample by)
     * rather than globally.
     */
-  def sequencePacking(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+  def sequencePacking(s: SparkSession, dir: String, budget: Int = 512): DataFrame =
+    packDocs(t(s, dir, "documents"), budget)
+
+  /** The packing pass itself, over any (doc_id, lang, text) slice —
+    * pack1 feeds it the whole corpus, pipe2 only the manifest survivors.
+    */
+  private[operators] def packDocs(docs: DataFrame, budget: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
