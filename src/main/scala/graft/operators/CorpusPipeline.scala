@@ -28,9 +28,11 @@ object CorpusPipeline {
     */
   def corpusManifest(s: SparkSession, dir: String, contamMax: Double = 0.7): DataFrame = {
     // the quality stage is map-only with exactly one row per document,
-    // so it IS the document spine — no separate documents scan needed
+    // so it IS the document spine — no separate documents scan needed;
+    // its token count rides along so downstream packing (pipe2) never
+    // re-reads the text column
     val q = TextAnalysis.docQualityFilter(s, dir)
-      .select(col("doc_id"), col("keep").as("keep_quality"))
+      .select(col("doc_id"), col("keep").as("keep_quality"), col("n_tokens"))
     val c = TextAnalysis.benchmarkContamination(s, dir)
       .select(col("doc_id"), (col("contamination") <= contamMax).as("kd"))
     val d = Dedup.dedupKeepList(s, dir)
@@ -46,7 +48,8 @@ object CorpusPipeline {
       .select(col("doc_id"), col("keep_quality"),
         coalesce(col("kd"), lit(true)).as("keep_decontam"),
         col("keep_dedup"),
-        coalesce(col("ks"), lit(false)).as("keep_sample"))
+        coalesce(col("ks"), lit(false)).as("keep_sample"),
+        col("n_tokens"))
       .withColumn("final_keep",
         col("keep_quality") && col("keep_decontam") && col("keep_dedup") && col("keep_sample"))
       .withColumn("drop_stage",
@@ -64,7 +67,7 @@ object CorpusPipeline {
     * joined exactly as the Spark plan joins the stage outputs.
     */
   def corpusManifestSql(contamMax: Double = 0.7): String =
-    s"""WITH q AS (SELECT doc_id, keep AS keep_quality
+    s"""WITH q AS (SELECT doc_id, keep AS keep_quality, n_tokens
        |           FROM (${TextAnalysis.docQualityFilterSql}) tq),
        |c AS (SELECT doc_id, (contamination <= $contamMax) AS keep_decontam
        |      FROM (${TextAnalysis.benchmarkContaminationSql}) tc),
@@ -74,7 +77,7 @@ object CorpusPipeline {
        |       FROM (${TextAnalysis.stratifiedSampleSql}) ts)
        |SELECT doc_id, keep_quality,
        |  COALESCE(keep_decontam, TRUE) AS keep_decontam, keep_dedup,
-       |  COALESCE(sm.keep_sample, FALSE) AS keep_sample,
+       |  COALESCE(sm.keep_sample, FALSE) AS keep_sample, n_tokens,
        |  (keep_quality AND COALESCE(keep_decontam, TRUE) AND keep_dedup
        |   AND COALESCE(sm.keep_sample, FALSE)) AS final_keep,
        |  CASE WHEN NOT keep_quality THEN 'quality'
@@ -97,28 +100,24 @@ object CorpusPipeline {
     * adds no new scale hazard.
     */
   def trainingMix(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
-    val kept = corpusManifest(s, dir).filter(col("final_keep")).select(col("doc_id"))
-    TextAnalysis.packDocs(
-      graft.Engine.table(s, dir, "documents").join(kept, "doc_id"), budget)
+    // survivors carry their token counts from the manifest, so packing
+    // touches the documents table only for the narrow lang column —
+    // the text column is never read a second time
+    val kept = corpusManifest(s, dir).filter(col("final_keep"))
+      .select(col("doc_id"), col("n_tokens"))
+    TextAnalysis.packCounts(
+      graft.Engine.table(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(kept, "doc_id"),
+      budget)
   }
 
   def trainingMixSql(budget: Int = 512): String =
-    s"""WITH keep AS (
-       |  SELECT doc_id FROM (${corpusManifestSql()}) m WHERE final_keep),
-       |toks AS (
-       |  SELECT d.doc_id, d.lang,
-       |    CAST(length(string_split_regex(lower(trim(d.text)), '\\s+')) AS INTEGER)
-       |      AS n_tokens
-       |  FROM documents d JOIN keep USING (doc_id)),
-       |c AS (
-       |  SELECT doc_id, lang, n_tokens,
-       |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM toks)
-       |SELECT doc_id, lang, n_tokens,
-       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS seq_bin,
-       |  CAST((cum - n_tokens) % $budget AS BIGINT) AS seq_offset
-       |FROM c ORDER BY doc_id""".stripMargin
+    TextAnalysis.packSqlOver(
+      s"""  SELECT m.doc_id, d.lang, m.n_tokens
+         |  FROM (${corpusManifestSql()}) m
+         |  JOIN documents d USING (doc_id)
+         |  WHERE m.final_keep""".stripMargin,
+      budget)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_corpus_manifest" -> ((s: SparkSession, d: String) => corpusManifest(s, d)),

@@ -347,18 +347,21 @@ object TextAnalysis {
     * rather than globally.
     */
   def sequencePacking(s: SparkSession, dir: String, budget: Int = 512): DataFrame =
-    packDocs(t(s, dir, "documents"), budget)
+    packCounts(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens")),
+      budget)
 
-  /** The packing pass itself, over any (doc_id, lang, text) slice —
-    * pack1 feeds it the whole corpus, pipe2 only the manifest survivors.
+  /** The packing pass itself, over any (doc_id, lang, n_tokens) slice —
+    * pack1 feeds it the freshly-tokenized corpus, pipe2 the manifest
+    * survivors' already-computed counts (no second text scan).
     */
-  private[operators] def packDocs(docs: DataFrame, budget: Int): DataFrame = {
+  private[operators] def packCounts(counted: DataFrame, budget: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    docs
-      .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens"))
+    counted
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")).cast(DoubleType) / budget)
@@ -367,11 +370,13 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  def sequencePackingSql(budget: Int = 512): String =
+  /** Shared oracle fragment: the packing window + bin/offset SELECT over
+    * a `toks(doc_id, lang, n_tokens)` CTE body — ONE text for pack1 and
+    * pipe2 so the packing rule cannot drift between their oracles.
+    */
+  def packSqlOver(toksBody: String, budget: Int): String =
     s"""WITH toks AS (
-       |  SELECT doc_id, lang,
-       |    CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens
-       |  FROM documents),
+       |$toksBody),
        |c AS (
        |  SELECT doc_id, lang, n_tokens,
        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
@@ -381,6 +386,13 @@ object TextAnalysis {
        |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS seq_bin,
        |  CAST((cum - n_tokens) % $budget AS BIGINT) AS seq_offset
        |FROM c ORDER BY doc_id""".stripMargin
+
+  def sequencePackingSql(budget: Int = 512): String =
+    packSqlOver(
+      """  SELECT doc_id, lang,
+        |    CAST(length(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents""".stripMargin,
+      budget)
 
   // === benchmark contamination =============================================
   /** cont1: eval-set decontamination sweep — for every document, the
