@@ -666,6 +666,49 @@ object TextAnalysis {
        |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, tok, score_m
        |FROM r WHERE term_rank <= $k ORDER BY doc_id, term_rank""".stripMargin
 
+  // === benchmark leakage audit =============================================
+  /** cont2: the decontamination sweep's reverse view — for each held-out
+    * benchmark document, how many corpus documents share at least one
+    * 3-gram with it and how many distinct (corpus doc, shingle) overlap
+    * pairs exist. This is the audit a benchmark owner reads to find
+    * WHICH eval items leaked, where cont1 tells the corpus owner which
+    * training docs to drop. Same inverted-index join as cont1 (never
+    * all-pairs); the per-benchmark-doc aggregate is map-side combinable
+    * and its key space is the benchmark size, tiny by construction.
+    */
+  def benchmarkLeakage(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val bench = t(s, dir, "documents").filter(col("source") === "src0")
+      .select(col("doc_id").as("bench_id"))
+    val benchSh = sh.join(bench, col("doc_id") === col("bench_id"))
+      .select(col("h"), col("bench_id"))
+    sh.join(benchSh, "h")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("bench_id"), col("doc_id"), col("h")).distinct()
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("doc_id")).as("n_leaky_docs"),
+        count(lit(1)).as("n_overlap_pairs"))
+      .orderBy(col("bench_id"))
+  }
+
+  val benchmarkLeakageSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+      |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+      |    FROM toks WHERE len(t) >= 3)),
+      |bench AS (SELECT doc_id AS bench_id FROM documents WHERE source = 'src0'),
+      |bsh AS (SELECT sh.shingle, bench_id FROM sh JOIN bench ON sh.doc_id = bench_id),
+      |pairs AS (
+      |  SELECT DISTINCT bsh.bench_id, sh.doc_id, sh.shingle
+      |  FROM sh JOIN bsh ON sh.shingle = bsh.shingle AND sh.doc_id <> bsh.bench_id)
+      |SELECT bench_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_leaky_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+      |FROM pairs GROUP BY bench_id ORDER BY bench_id""".stripMargin
+
   // === per-language cap sampling ===========================================
   /** smp2: deterministic per-language cap — keep at most `cap` documents
     * per language, chosen by the engine-portable md5 order (the smp1
@@ -706,6 +749,7 @@ object TextAnalysis {
     "smp2_language_cap" -> ((s: SparkSession, d: String) => languageCap(s, d)),
     "pack1_sequence_packing" -> ((s: SparkSession, d: String) => sequencePacking(s, d)),
     "cont1_benchmark_overlap" -> benchmarkContamination _,
+    "cont2_benchmark_leakage" -> benchmarkLeakage _,
     "smp1_stratified_sample" -> stratifiedSample _,
     "txt1_token_stats" -> docTokenStats _,
     "txt2_lang_id" -> docLangId _,
@@ -725,6 +769,7 @@ object TextAnalysis {
     "smp2_language_cap" -> languageCapSql(),
     "pack1_sequence_packing" -> sequencePackingSql(),
     "cont1_benchmark_overlap" -> benchmarkContaminationSql,
+    "cont2_benchmark_leakage" -> benchmarkLeakageSql,
     "smp1_stratified_sample" -> stratifiedSampleSql,
     "txt1_token_stats" -> docTokenStatsSql,
     "txt2_lang_id" -> docLangIdSql,
