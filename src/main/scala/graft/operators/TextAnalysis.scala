@@ -405,16 +405,44 @@ object TextAnalysis {
     * benchmark side is tiny relative to the corpus, so the join
     * broadcast-prunes; the corpus-side shingle scan is map-only.
     */
-  def benchmarkContamination(s: SparkSession, dir: String): DataFrame = {
+  /** The shingle inverted index and the distinct (bench_id, doc_id,
+    * hash) overlap triples — ONE construction shared by cont1 and
+    * cont2, so the two directions of the decontamination story can
+    * never audit different overlap sets.
+    */
+  private def shingleOverlap(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sh = Dedup.shingles(s, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val bench = t(s, dir, "documents").filter(col("source") === "src0")
       .select(col("doc_id").as("bench_id"))
     val benchSh = sh.join(bench, col("doc_id") === col("bench_id"))
       .select(col("h"), col("bench_id"))
-    val hits = sh.join(benchSh, "h")
+    val pairs = sh.join(benchSh, "h")
       .filter(col("doc_id") =!= col("bench_id"))
-      .select(col("doc_id"), col("h")).distinct()
+      .select(col("bench_id"), col("doc_id"), col("h")).distinct()
+    (sh, pairs)
+  }
+
+  /** Shared DuckDB mirror of shingleOverlap: CTEs `sh` (the distinct
+    * shingle index) and `pairs` (the overlap triples).
+    */
+  private val shingleOverlapSqlCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+      |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+      |    FROM toks WHERE len(t) >= 3)),
+      |bench AS (SELECT doc_id AS bench_id FROM documents WHERE source = 'src0'),
+      |bsh AS (SELECT sh.shingle, bench_id FROM sh JOIN bench ON sh.doc_id = bench_id),
+      |pairs AS (
+      |  SELECT DISTINCT bsh.bench_id, sh.doc_id, sh.shingle
+      |  FROM sh JOIN bsh ON sh.shingle = bsh.shingle AND sh.doc_id <> bsh.bench_id)""".stripMargin
+
+  def benchmarkContamination(s: SparkSession, dir: String): DataFrame = {
+    val (sh, pairs) = shingleOverlap(s, dir)
+    val hits = pairs.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
       .join(hits, Seq("doc_id"), "left")
@@ -428,26 +456,17 @@ object TextAnalysis {
   }
 
   val benchmarkContaminationSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, shingle FROM (
-      |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
-      |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
-      |    FROM toks WHERE len(t) >= 3)),
-      |bench AS (SELECT doc_id AS bench_id FROM documents WHERE source = 'src0'),
-      |bsh AS (SELECT sh.shingle, bench_id FROM sh JOIN bench ON sh.doc_id = bench_id),
-      |hits AS (
-      |  SELECT sh.doc_id, COUNT(DISTINCT sh.shingle) AS n_contaminated
-      |  FROM sh JOIN bsh ON sh.shingle = bsh.shingle AND sh.doc_id <> bsh.bench_id
-      |  GROUP BY sh.doc_id),
-      |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
-      |SELECT tot.doc_id,
-      |  CAST(n_shingles AS BIGINT) AS n_shingles,
-      |  CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
-      |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_shingles AS contamination
-      |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
-      |ORDER BY tot.doc_id""".stripMargin
+    s"""WITH $shingleOverlapSqlCtes,
+       |hits AS (
+       |  SELECT doc_id, COUNT(DISTINCT shingle) AS n_contaminated
+       |  FROM pairs GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
+       |SELECT tot.doc_id,
+       |  CAST(n_shingles AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_shingles AS contamination
+       |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
 
   // === stratified (temperature) sampling ===================================
   /** Per-language keep rates for the sampling mix — the shape of a
@@ -677,15 +696,8 @@ object TextAnalysis {
     * and its key space is the benchmark size, tiny by construction.
     */
   def benchmarkLeakage(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(s, dir)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val bench = t(s, dir, "documents").filter(col("source") === "src0")
-      .select(col("doc_id").as("bench_id"))
-    val benchSh = sh.join(bench, col("doc_id") === col("bench_id"))
-      .select(col("h"), col("bench_id"))
-    sh.join(benchSh, "h")
-      .filter(col("doc_id") =!= col("bench_id"))
-      .select(col("bench_id"), col("doc_id"), col("h")).distinct()
+    val (_, pairs) = shingleOverlap(s, dir)
+    pairs
       .groupBy(col("bench_id"))
       .agg(countDistinct(col("doc_id")).as("n_leaky_docs"),
         count(lit(1)).as("n_overlap_pairs"))
@@ -693,21 +705,10 @@ object TextAnalysis {
   }
 
   val benchmarkLeakageSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, shingle FROM (
-      |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
-      |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
-      |    FROM toks WHERE len(t) >= 3)),
-      |bench AS (SELECT doc_id AS bench_id FROM documents WHERE source = 'src0'),
-      |bsh AS (SELECT sh.shingle, bench_id FROM sh JOIN bench ON sh.doc_id = bench_id),
-      |pairs AS (
-      |  SELECT DISTINCT bsh.bench_id, sh.doc_id, sh.shingle
-      |  FROM sh JOIN bsh ON sh.shingle = bsh.shingle AND sh.doc_id <> bsh.bench_id)
-      |SELECT bench_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_leaky_docs,
-      |  CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
-      |FROM pairs GROUP BY bench_id ORDER BY bench_id""".stripMargin
+    s"""WITH $shingleOverlapSqlCtes
+       |SELECT bench_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_leaky_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+       |FROM pairs GROUP BY bench_id ORDER BY bench_id""".stripMargin
 
   // === per-language cap sampling ===========================================
   /** smp2: deterministic per-language cap — keep at most `cap` documents

@@ -53,6 +53,20 @@ class TextPipelineSpec extends SparkTestBase {
     kept.unpersist()
   }
 
+  test("cont2: audit rows are benchmark docs only; pair counts bound doc counts") {
+    val a = TextAnalysis.benchmarkLeakage(spark, sfDir).cache()
+    // each (doc, shingle) pair involves >= 1 doc, so pairs bound docs
+    assert(a.filter(col("n_leaky_docs") > col("n_overlap_pairs")).isEmpty)
+    assert(a.filter(col("n_leaky_docs") <= 0).isEmpty,
+      "only benchmark docs with at least one leak appear")
+    // every audited id is actually in the held-out slice
+    val benchIds = graft.Engine.table(spark, sfDir, "documents")
+      .filter(col("source") === "src0").select(col("doc_id").as("bench_id"))
+    assert(a.select(col("bench_id")).except(benchIds).isEmpty,
+      "audit ids are a subset of the src0 benchmark slice")
+    a.unpersist()
+  }
+
   test("cont1: fractions well-formed; self-overlap never counts as contamination") {
     val c = TextAnalysis.benchmarkContamination(spark, sfDir).cache()
     assert(c.filter(col("n_contaminated") > col("n_shingles")).isEmpty)
