@@ -1,0 +1,92 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import graft.flight.FlightSqlProducer
+
+/** The server boot sequence — the reference's `main.rs:17-126` minus the
+  * gRPC bind (jar-blocked in-sandbox; the facade stands where tonic's
+  * FlightServiceServer would). Order mirrors the reference exactly:
+  * load config → boot the engine (thread override + init SQL) → spawn
+  * checkpoint maintenance → create the session registry → spawn the
+  * 5-minute idle-session cleanup → metrics → Flight SQL service →
+  * status server → block until SIGINT/SIGTERM, then shut everything
+  * down in reverse.
+  *
+  * `Server.boot` returns the running assembly so tests (and an eventual
+  * gRPC adapter) drive it in-process; `Server.main` adds the signal
+  * wait the reference's tokio::select! performs.
+  */
+object Server {
+
+  final case class Running(
+      config: ServerConfig,
+      spark: org.apache.spark.sql.SparkSession,
+      registry: SessionRegistry,
+      metrics: Metrics,
+      producer: FlightSqlProducer,
+      maint: graft.maintenance.Maintenance,
+      status: Option[StatusServer],
+      ownsSpark: Boolean) {
+
+    private[Server] val scheduler = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-server-timers"); t.setDaemon(true); t
+    }
+
+    /** main.rs:42-52 — idle sessions reaped every 5 minutes; the
+      * maintenance tick shares the timer (CheckpointService's poll).
+      */
+    private[Server] def startTimers(cleanupPeriodSeconds: Long = 300L): Unit = {
+      scheduler.scheduleAtFixedRate(
+        () => registry.cleanupIdle(),
+        cleanupPeriodSeconds, cleanupPeriodSeconds, TimeUnit.SECONDS)
+      config.checkpointPollSeconds.foreach(poll =>
+        scheduler.scheduleAtFixedRate(
+          () => maint.tick(), poll, poll, TimeUnit.SECONDS))
+    }
+
+    /** Reverse-order teardown (main.rs's graceful shutdown). A borrowed
+      * session (in-proc embedding, tests) is left running.
+      */
+    def shutdown(): Unit = {
+      scheduler.shutdownNow()
+      status.foreach(_.stop())
+      if (ownsSpark) spark.stop()
+    }
+  }
+
+  /** Assemble and start every component from the configuration. Pass
+    * `sharedSpark` to embed the server over an existing session (the
+    * in-proc analog of the reference's EngineFactory reuse); shutdown
+    * then leaves that session alone.
+    */
+  def boot(config: ServerConfig = ServerConfig.load(),
+      sharedSpark: Option[org.apache.spark.sql.SparkSession] = None): Running = {
+    val spark = sharedSpark.getOrElse(config.newRootSession("graft-server"))
+    val maint = config.newMaintenance()
+    val registry = config.newRegistry(spark)
+    val metrics = config.newMetrics()
+    val producer = new FlightSqlProducer(registry)
+    val status = config.startStatus(metrics, registry)
+    val running =
+      Running(config, spark, registry, metrics, producer, maint, status, sharedSpark.isEmpty)
+    running.startTimers()
+    running
+  }
+
+  def main(args: Array[String]): Unit = {
+    val running = boot()
+    val port = running.status.map(_.boundPort)
+    println(s"graft server up: sessions<=${running.config.maxSessions}, " +
+      s"status=${port.map(p => s"${running.config.statusHost}:$p").getOrElse("disabled")} " +
+      "(Flight SQL service is in-process; gRPC framing requires arrow-flight jars)")
+    // block until SIGINT/SIGTERM — the reference's tokio::select! wait
+    val done = new CountDownLatch(1)
+    sys.addShutdownHook {
+      running.shutdown()
+      done.countDown()
+      println("server shutdown complete")
+    }
+    done.await()
+  }
+}
