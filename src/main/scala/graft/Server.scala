@@ -36,13 +36,22 @@ object Server {
     /** main.rs:42-52 — idle sessions reaped every 5 minutes; the
       * maintenance tick shares the timer (CheckpointService's poll).
       */
+    // a throwing execution would silently cancel the periodic task
+    // (ScheduledThreadPoolExecutor semantics) — the reference's loops
+    // keep running across failed sweeps, so swallow-and-log per tick
+    private def safely(label: String)(f: => Unit): Runnable = () =>
+      try f catch {
+        case t: Throwable =>
+          System.err.println(s"[graft-server] $label failed: ${t.getMessage}")
+      }
+
     private[Server] def startTimers(cleanupPeriodSeconds: Long = 300L): Unit = {
       scheduler.scheduleAtFixedRate(
-        () => registry.cleanupIdle(),
+        safely("idle-session cleanup")(registry.cleanupIdle()),
         cleanupPeriodSeconds, cleanupPeriodSeconds, TimeUnit.SECONDS)
       config.checkpointPollSeconds.foreach(poll =>
         scheduler.scheduleAtFixedRate(
-          () => maint.tick(), poll, poll, TimeUnit.SECONDS))
+          safely("checkpoint tick")(maint.tick()), poll, poll, TimeUnit.SECONDS))
     }
 
     /** Reverse-order teardown (main.rs's graceful shutdown). A borrowed
@@ -58,20 +67,38 @@ object Server {
   /** Assemble and start every component from the configuration. Pass
     * `sharedSpark` to embed the server over an existing session (the
     * in-proc analog of the reference's EngineFactory reuse); shutdown
-    * then leaves that session alone.
+    * then leaves that session alone. `catalog` is the micro-lake the
+    * sessions mutate and the checkpoint timer sweeps —
+    * SWANLAKE_CHECKPOINT_DATABASES (comma-separated) scopes the sweep
+    * to those tables, unset sweeps every catalog table. If a later
+    * boot step throws, an owned session is stopped before rethrowing
+    * so a retrying embedder cannot leak SparkSessions.
     */
   def boot(config: ServerConfig = ServerConfig.load(),
-      sharedSpark: Option[org.apache.spark.sql.SparkSession] = None): Running = {
+      sharedSpark: Option[org.apache.spark.sql.SparkSession] = None,
+      catalog: Option[sources.MutableCatalog] = None): Running = {
     val spark = sharedSpark.getOrElse(config.newRootSession("graft-server"))
-    val maint = config.newMaintenance()
-    val registry = config.newRegistry(spark)
-    val metrics = config.newMetrics()
-    val producer = new FlightSqlProducer(registry)
-    val status = config.startStatus(metrics, registry)
-    val running =
-      Running(config, spark, registry, metrics, producer, maint, status, sharedSpark.isEmpty)
-    running.startTimers()
-    running
+    try {
+      val maint = config.newMaintenance()
+      val wanted = config.checkpointDatabases
+        .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      catalog.foreach { c =>
+        c.names.filter(n => wanted.forall(_.contains(n)))
+          .foreach(n => c.get(n).foreach(t => maint.register(n, t)))
+      }
+      val registry = config.newRegistry(spark, catalog)
+      val metrics = config.newMetrics()
+      val producer = new FlightSqlProducer(registry, Some(metrics), config.sessionKey)
+      val status = config.startStatus(metrics, registry)
+      val running =
+        Running(config, spark, registry, metrics, producer, maint, status, sharedSpark.isEmpty)
+      running.startTimers()
+      running
+    } catch {
+      case t: Throwable =>
+        if (sharedSpark.isEmpty) spark.stop()
+        throw t
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -12,6 +12,13 @@ package graft
   * Parse failures on numeric/boolean values fail load() loudly — the
   * reference's deserializer likewise rejects malformed values rather
   * than silently falling back (config.rs:85-88).
+  *
+  * Unwired-in-sandbox options, accepted and validated for config
+  * parity but documented as cosmetic here: `host`/`port` (the gRPC
+  * bind address — jar-blocked transport) and `logFormat` (the
+  * reference configures its tracing subscriber; Spark owns log4j in
+  * this JVM). `checkpointDatabases` scopes Server.boot's checkpoint
+  * sweep; everything else lands in a live component.
   */
 final case class ServerConfig(
     host: String = "0.0.0.0",
@@ -32,7 +39,11 @@ final case class ServerConfig(
     metricsSlowQueryThresholdMs: Long = 5000L,
     metricsHistorySize: Int = 200) {
 
-  /** config.rs:100-112 — zero intervals are configuration errors. */
+  /** config.rs:100-112 plus the bounds the reference's unsigned-typed
+    * deserializer enforces implicitly (a u16 port / usize count cannot
+    * be negative): fail load() loudly, never boot with a value that
+    * would wedge the server later.
+    */
   def validate(): ServerConfig = {
     checkpointIntervalHours.foreach(h =>
       require(h > 0, "SWANLAKE_CHECKPOINT_INTERVAL_HOURS must be greater than 0"))
@@ -40,6 +51,15 @@ final case class ServerConfig(
       require(s > 0, "SWANLAKE_CHECKPOINT_POLL_SECONDS must be greater than 0"))
     require(logFormat == "compact" || logFormat == "json",
       s"SWANLAKE_LOG_FORMAT must be compact or json, got $logFormat")
+    require(maxSessions > 0, "SWANLAKE_MAX_SESSIONS must be greater than 0")
+    require(sessionTimeoutSeconds > 0, "SWANLAKE_SESSION_TIMEOUT_SECONDS must be greater than 0")
+    duckdbThreads.foreach(n =>
+      require(n > 0, "SWANLAKE_DUCKDB_THREADS must be greater than 0"))
+    require(port >= 0 && port <= 65535, "SWANLAKE_PORT must be a valid port")
+    require(statusPort >= 0 && statusPort <= 65535, "SWANLAKE_STATUS_PORT must be a valid port")
+    require(metricsHistorySize > 0, "SWANLAKE_METRICS_HISTORY_SIZE must be greater than 0")
+    require(metricsSlowQueryThresholdMs >= 0,
+      "SWANLAKE_METRICS_SLOW_QUERY_THRESHOLD_MS must be nonnegative")
     this
   }
 

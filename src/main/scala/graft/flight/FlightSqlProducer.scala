@@ -25,7 +25,10 @@ import org.apache.spark.sql.graft.ArrowWire
   * `ArrowWire.toIpcStream` iterates executeCollect batches, so a
   * streaming transport can emit the same frames incrementally.
   */
-final class FlightSqlProducer(val registry: SessionRegistry) {
+final class FlightSqlProducer(
+    val registry: SessionRegistry,
+    val metrics: Option[Metrics] = None,
+    sessionKey: String => String = identity) {
 
   /** A wire error: Flight status code (ErrorMapping, mod.rs:153-325)
     * plus message — what the gRPC adapter turns into `tonic::Status`.
@@ -50,7 +53,18 @@ final class FlightSqlProducer(val registry: SessionRegistry) {
           Option(t.getMessage).getOrElse(t.getClass.getSimpleName))
     }
 
-  private def session(peer: String): Session = wrap(registry.getOrCreate(peer))
+  // SWANLAKE_SESSION_ID_MODE keying (ServerConfig.sessionKey): peer_ip
+  // collapses a host's connections onto one session; default identity
+  private def session(peer: String): Session = wrap(registry.getOrCreate(sessionKey(peer)))
+
+  /** Time + record an execution through the metrics rings when wired
+    * (main.rs:55-63 hands the service its Metrics; the reference
+    * records per-RPC latency/errors the same way).
+    */
+  private def measured[A](label: String)(f: => A): A = metrics match {
+    case Some(m) => m.timed(label)(f)
+    case None => f
+  }
 
   private def schemaIpcOf(df: DataFrame): Array[Byte] =
     ArrowWire.toIpcStream(df.limit(0))
@@ -96,7 +110,7 @@ final class FlightSqlProducer(val registry: SessionRegistry) {
         throw FlightStatusException(ErrorMapping.InvalidArgument.code, e.msg) }
     val handleStr = new String(t.handle, StandardCharsets.UTF_8)
     if (handleStr.startsWith("meta:")) doGetMetadata(peer, handleStr)
-    else {
+    else measured(t.fallbackSql.getOrElse(handleStr)) {
       val s = session(peer)
       val df =
         if (t.handle.nonEmpty) s.executePrepared(handleStr)
@@ -114,11 +128,13 @@ final class FlightSqlProducer(val registry: SessionRegistry) {
     * (statement.rs do_put_statement_update).
     */
   def doPutStatementUpdate(peer: String, sql: String): Long = wrap {
+    measured(sql) {
     val s = session(peer)
     val df = s.sql(sql)
     if (df.columns.contains("num_affected_rows"))
       df.collect().headOption.map(_.getLong(0)).getOrElse(0L)
     else { df.collect(); 0L }
+    }
   }
 
   // === prepared statements (prepared.rs) ===================================

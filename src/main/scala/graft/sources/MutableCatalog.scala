@@ -37,6 +37,8 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
 
   def get(name: String): Option[MutableTable] = tables.get(name.toLowerCase)
 
+  def names: Seq[String] = tables.keys.toSeq.sorted
+
   def drop(name: String): Unit = {
     tables.remove(name.toLowerCase)
     viewVersions.remove(name.toLowerCase)

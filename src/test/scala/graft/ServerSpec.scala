@@ -35,6 +35,8 @@ class ServerSpec extends SparkTestBase {
       val client = graft.flight.FlightSqlClient.connect(running.producer)
       val r = client.query("SELECT 21 * 2 AS answer")
       assert(r.rows.head.getInt(0) == 42)
+      // ... and the status page's metrics actually observed it
+      assert(running.metrics.queries >= 1, "the facade must record into the wired metrics")
 
       // idle cleanup is reachable on the running registry (1 s timeout)
       Thread.sleep(1200)
@@ -47,5 +49,32 @@ class ServerSpec extends SparkTestBase {
       c.setConnectTimeout(500)
       c.getResponseCode
     }
+  }
+
+  test("peer_ip keying and the catalog flow through the boot assembly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srv_lake")
+    val catalog = new sources.MutableCatalog(spark, dir)
+    catalog.create("srv_t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    val cfg = ServerConfig.load(Map(
+      "SWANLAKE_SESSION_ID_MODE" -> "peer_ip",
+      "SWANLAKE_STATUS_ENABLED" -> "false",
+      "SWANLAKE_CHECKPOINT_DATABASES" -> "srv_t, other"))
+    val running = Server.boot(cfg, sharedSpark = Some(spark), catalog = Some(catalog))
+    try {
+      // two connections from one host collapse onto one session
+      running.producer.handshake("10.1.2.3:1111", 1L)
+      running.producer.handshake("10.1.2.3:2222", 1L)
+      assert(running.registry.size == 1, "peer_ip mode keys by host, not connection")
+      // the catalog's table is registered for the checkpoint sweep,
+      // and session DML routes through it
+      running.maint.tick(System.currentTimeMillis() + 25L * 3600 * 1000)
+      assert(running.maint.checkpointCount("srv_t") >= 0) // registered (no throw)
+      val s = running.registry.getOrCreate("10.1.2.3")
+      s.sql("INSERT INTO srv_t VALUES (7)")
+      assert(catalog.get("srv_t").get.df.count() == 1, "DML reached the micro-lake")
+    } finally running.shutdown()
   }
 }
