@@ -27,7 +27,8 @@ object Server {
       producer: FlightSqlProducer,
       maint: graft.maintenance.Maintenance,
       status: Option[StatusServer],
-      ownsSpark: Boolean) {
+      ownsSpark: Boolean,
+      catalog: Option[sources.MutableCatalog]) {
 
     private[Server] val scheduler = Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-server-timers"); t.setDaemon(true); t
@@ -38,12 +39,26 @@ object Server {
       */
     // a throwing execution would silently cancel the periodic task
     // (ScheduledThreadPoolExecutor semantics) — the reference's loops
-    // keep running across failed sweeps, so swallow-and-log per tick
+    // keep running across failed sweeps, so swallow-and-log per tick;
+    // fatals (OOM etc.) still propagate and take the timer down
     private def safely(label: String)(f: => Unit): Runnable = () =>
       try f catch {
-        case t: Throwable =>
-          System.err.println(s"[graft-server] $label failed: ${t.getMessage}")
+        case scala.util.control.NonFatal(t) =>
+          System.err.println(
+            s"[graft-server] $label failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
       }
+
+    /** Registration follows the LIVE catalog: tables created after boot
+      * join the sweep, dropped tables leave it — a boot-time snapshot
+      * would sweep stale directories and miss new tables.
+      */
+    private[graft] def syncCheckpointRegistrations(): Unit = catalog.foreach { c =>
+      val wanted = config.checkpointDatabases
+        .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      val live = c.names.filter(n => wanted.forall(_.contains(n))).toSet
+      maint.registered.filterNot(live).foreach(maint.unregister)
+      live.foreach(n => c.get(n).foreach(t => maint.register(n, t)))
+    }
 
     private[Server] def startTimers(cleanupPeriodSeconds: Long = 300L): Unit = {
       scheduler.scheduleAtFixedRate(
@@ -51,7 +66,8 @@ object Server {
         cleanupPeriodSeconds, cleanupPeriodSeconds, TimeUnit.SECONDS)
       config.checkpointPollSeconds.foreach(poll =>
         scheduler.scheduleAtFixedRate(
-          safely("checkpoint tick")(maint.tick()), poll, poll, TimeUnit.SECONDS))
+          safely("checkpoint tick") { syncCheckpointRegistrations(); maint.tick() },
+          poll, poll, TimeUnit.SECONDS))
     }
 
     /** Reverse-order teardown (main.rs's graceful shutdown). A borrowed
@@ -77,26 +93,39 @@ object Server {
   def boot(config: ServerConfig = ServerConfig.load(),
       sharedSpark: Option[org.apache.spark.sql.SparkSession] = None,
       catalog: Option[sources.MutableCatalog] = None): Running = {
+    // misconfiguration fails loudly even for hand-built configs (load()
+    // already validated env-sourced ones)
+    config.validate()
+    // a listed checkpoint name with no catalog table is warned once at
+    // boot — it may name a table created later, so it is not an error
+    for (c <- catalog; listed <- config.checkpointDatabases.toSeq;
+         n <- listed.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
+         if c.get(n).isEmpty)
+      System.err.println(s"[graft-server] SWANLAKE_CHECKPOINT_DATABASES: no table '$n' yet")
     val spark = sharedSpark.getOrElse(config.newRootSession("graft-server"))
+    var status: Option[StatusServer] = None
+    var running: Option[Running] = None
     try {
       val maint = config.newMaintenance()
-      val wanted = config.checkpointDatabases
-        .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
-      catalog.foreach { c =>
-        c.names.filter(n => wanted.forall(_.contains(n)))
-          .foreach(n => c.get(n).foreach(t => maint.register(n, t)))
-      }
       val registry = config.newRegistry(spark, catalog)
       val metrics = config.newMetrics()
       val producer = new FlightSqlProducer(registry, Some(metrics), config.sessionKey)
-      val status = config.startStatus(metrics, registry)
-      val running =
-        Running(config, spark, registry, metrics, producer, maint, status, sharedSpark.isEmpty)
-      running.startTimers()
-      running
+      status = config.startStatus(metrics, registry)
+      val r = Running(config, spark, registry, metrics, producer, maint, status,
+        sharedSpark.isEmpty, catalog)
+      running = Some(r)
+      r.syncCheckpointRegistrations()
+      r.startTimers()
+      r
     } catch {
       case t: Throwable =>
-        if (sharedSpark.isEmpty) spark.stop()
+        // release EVERYTHING acquired so a retrying embedder starts clean
+        running match {
+          case Some(r) => r.shutdown()
+          case None =>
+            status.foreach(_.stop())
+            if (sharedSpark.isEmpty) spark.stop()
+        }
         throw t
     }
   }

@@ -110,17 +110,24 @@ final class FlightSqlProducer(
         throw FlightStatusException(ErrorMapping.InvalidArgument.code, e.msg) }
     val handleStr = new String(t.handle, StandardCharsets.UTF_8)
     if (handleStr.startsWith("meta:")) doGetMetadata(peer, handleStr)
-    else measured(t.fallbackSql.getOrElse(handleStr)) {
+    else {
       val s = session(peer)
-      val df =
-        if (t.handle.nonEmpty) s.executePrepared(handleStr)
-        else t.fallbackSql match {
-          case Some(sql) => s.sql(sql)
-          case None => throw FlightStatusException(
-            ErrorMapping.InvalidArgument.code, "ticket has neither handle nor SQL")
-        }
-      if (t.returnsRowsFlag) ArrowWire.toIpcStream(df)
-      else { df.collect(); ArrowWire.toIpcStream(df.limit(0)) }
+      // metrics label: statement text, not an opaque handle — the
+      // slow-query/error rings are read by humans
+      val label = t.fallbackSql
+        .orElse(if (t.handle.nonEmpty) s.getPrepared(handleStr).map(_.sql) else None)
+        .getOrElse(handleStr)
+      measured(label) {
+        val df =
+          if (t.handle.nonEmpty) s.executePrepared(handleStr)
+          else t.fallbackSql match {
+            case Some(sql) => s.sql(sql)
+            case None => throw FlightStatusException(
+              ErrorMapping.InvalidArgument.code, "ticket has neither handle nor SQL")
+          }
+        if (t.returnsRowsFlag) ArrowWire.toIpcStream(df)
+        else { df.collect(); ArrowWire.toIpcStream(df.limit(0)) }
+      }
     }
   }
 
@@ -196,6 +203,7 @@ final class FlightSqlProducer(
     val handleStr = new String(handle, StandardCharsets.UTF_8)
     val p = s.getPrepared(handleStr).getOrElse(throw FlightStatusException(
       ErrorMapping.NotFound.code, s"unknown prepared statement handle: $handleStr"))
+    measured(p.sql) {
 
     def affectedOf(df: DataFrame): Long =
       if (df.columns.contains("num_affected_rows"))
@@ -248,6 +256,7 @@ final class FlightSqlProducer(
             affectedOf(s.executePrepared(handleStr))
           }.sum
         }
+    }
     }
   }
 

@@ -30,6 +30,19 @@ final class Maintenance(intervalMillis: Long = 24L * 3600 * 1000) {
   def register(name: String, table: MutableTable, targetFiles: Int = 8): Unit =
     tables.put(name, Registered(table, targetFiles))
 
+  /** Dropped tables leave the sweep (Server re-syncs from the live
+    * catalog each tick, so registration follows table lifecycle).
+    */
+  def unregister(name: String): Unit = {
+    tables.remove(name)
+    lastCheckpoint.remove(name)
+  }
+
+  def registered: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.keySet.asScala.toSeq.sorted
+  }
+
   def checkpointCount(name: String): Long =
     if (lastCheckpoint.containsKey(name)) 1L else 0L
 

@@ -58,23 +58,35 @@ class ServerSpec extends SparkTestBase {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType))))
+    catalog.create("srv_u",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
     val cfg = ServerConfig.load(Map(
       "SWANLAKE_SESSION_ID_MODE" -> "peer_ip",
       "SWANLAKE_STATUS_ENABLED" -> "false",
-      "SWANLAKE_CHECKPOINT_DATABASES" -> "srv_t, other"))
+      "SWANLAKE_CHECKPOINT_DATABASES" -> "srv_t, later"))
     val running = Server.boot(cfg, sharedSpark = Some(spark), catalog = Some(catalog))
     try {
       // two connections from one host collapse onto one session
       running.producer.handshake("10.1.2.3:1111", 1L)
       running.producer.handshake("10.1.2.3:2222", 1L)
       assert(running.registry.size == 1, "peer_ip mode keys by host, not connection")
-      // the catalog's table is registered for the checkpoint sweep,
-      // and session DML routes through it
+      // the sweep honors the SWANLAKE_CHECKPOINT_DATABASES scope: the
+      // listed table checkpoints, the unlisted one never registers
+      running.syncCheckpointRegistrations()
       running.maint.tick(System.currentTimeMillis() + 25L * 3600 * 1000)
-      assert(running.maint.checkpointCount("srv_t") >= 0) // registered (no throw)
+      assert(running.maint.checkpointCount("srv_t") == 1, "listed table swept")
+      assert(running.maint.checkpointCount("srv_u") == 0, "unlisted table excluded")
+      assert(running.maint.registered == Seq("srv_t"))
+      // dropped tables leave the sweep on the next sync
+      catalog.drop("srv_t")
+      running.syncCheckpointRegistrations()
+      assert(running.maint.registered.isEmpty, "dropped table unregistered")
+      // session DML routes through the catalog
       val s = running.registry.getOrCreate("10.1.2.3")
-      s.sql("INSERT INTO srv_t VALUES (7)")
-      assert(catalog.get("srv_t").get.df.count() == 1, "DML reached the micro-lake")
+      s.sql("INSERT INTO srv_u VALUES (7)")
+      assert(catalog.get("srv_u").get.df.count() == 1, "DML reached the micro-lake")
     } finally running.shutdown()
   }
 }
