@@ -48,25 +48,31 @@ object Cli {
     val errOut = new PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.err),
       true, "UTF-8")
     out.println("Connecting to in-process graft engine...")
-    val client = FlightSqlClient.connect(producer)
-    // table views go into the CLIENT's peer session — server sessions
-    // isolate temp views, so registering on the root session would
-    // leave bare names unresolvable over the wire
-    dataDir.foreach(d =>
-      Engine.registerAll(producer.registry.getOrCreate(client.peer).spark, d))
-    out.println("Connected successfully!\n")
-    val shell = new Shell(client, out, errOut, debug)
     var failed = false
+    // connect + --data registration happen inside the try: a bad data
+    // dir must render through the shell's error contract and still
+    // stop the session, same as a failing one-shot statement
     try {
-      oneShot match {
-        case Some(sql) =>
-          // one-shot errors use the shell's display contract, not a raw
-          // stack trace, and must still release the session below
-          try shell.executeAndDisplay(sql)
-          catch { case t: Throwable => shell.displayError(t); failed = true }
-        case None =>
-          val hist = Paths.get(sys.props.getOrElse("user.home", "."), ".graft_history")
-          shell.runInteractive(new BufferedReader(new InputStreamReader(System.in)), Some(hist))
+      val client = FlightSqlClient.connect(producer)
+      val shell = new Shell(client, out, errOut, debug)
+      // table views go into the CLIENT's peer session — server sessions
+      // isolate temp views, so registering on the root session would
+      // leave bare names unresolvable over the wire
+      try dataDir.foreach(d =>
+        Engine.registerAll(producer.registry.getOrCreate(client.peer).spark, d))
+      catch { case t: Throwable => shell.displayError(t); failed = true }
+      if (!failed) {
+        out.println("Connected successfully!\n")
+        oneShot match {
+          case Some(sql) =>
+            // one-shot errors use the shell's display contract, not a raw
+            // stack trace, and must still release the session below
+            try shell.executeAndDisplay(sql)
+            catch { case t: Throwable => shell.displayError(t); failed = true }
+          case None =>
+            val hist = Paths.get(sys.props.getOrElse("user.home", "."), ".graft_history")
+            shell.runInteractive(new BufferedReader(new InputStreamReader(System.in)), Some(hist))
+        }
       }
     } finally spark.stop()
     if (failed) sys.exit(1)

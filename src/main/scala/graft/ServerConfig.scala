@@ -71,8 +71,18 @@ final case class ServerConfig(
   def sessionKey(peerAddr: String): String = sessionIdMode match {
     case ServerConfig.PeerAddr => peerAddr
     case ServerConfig.PeerIp =>
-      val i = peerAddr.lastIndexOf(':')
-      if (i < 0) peerAddr else peerAddr.substring(0, i)
+      // IPv6-safe port strip: '[addr]:port' and '[addr]' unwrap to the
+      // bracketed host; a bare multi-colon address ('fe80::1') has no
+      // port to strip — blindly cutting at the last ':' would drop its
+      // final hextet and collapse distinct hosts onto one session key
+      if (peerAddr.startsWith("[")) {
+        val j = peerAddr.indexOf(']')
+        if (j > 0) peerAddr.substring(1, j) else peerAddr
+      } else {
+        val i = peerAddr.lastIndexOf(':')
+        if (i < 0 || peerAddr.indexOf(':') != i) peerAddr
+        else peerAddr.substring(0, i)
+      }
   }
 
   // --- component factories: each option lands where it is consumed ---

@@ -345,23 +345,32 @@ object Tpch {
     // lineitem rows first, so the bad-supplier probe touches 75k rows
     // instead of 600k (Catalyst does not reorder anti joins itself —
     // A/B at sf0.1: 0.30 s before, 0.27 s after, same rows).
-    // COUNT(DISTINCT) via collect_set: countDistinct plans TWO exchanges
-    // (partial-distinct on (b,t,s,suppkey), then re-shuffle on (b,t,s) —
-    // measured 3.5x baseline); collect_set is ObjectHashAggregate with
-    // map-side set merging, so ONE exchange ships partial sets keyed on
-    // (b,t,s). Scale-safe for this query shape: the group domain is the
-    // fixed (brand,type,size) cross product (~215 groups at any SF) and
-    // each set is bounded by supplier cardinality, not lineitem rows.
-    // coalesce(1) + local sort instead of orderBy: the result is ~215
-    // rows (the fixed group domain), so a rangepartitioning exchange —
-    // a whole extra AQE stage — buys nothing; the single-task final
-    // merge handles 215 sets bounded by supplier cardinality at any SF.
-    // A/B at sf0.1 (warm, min of 7): orderBy 0.340 s, this 0.267 s.
-    p.join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+    val joined = p.join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
       .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-      .agg(size(collect_set(col("l_suppkey"))).cast("long").as("supplier_cnt"))
-      .orderedSmall(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    // Two plans by scale — the set sizes are bounded by SUPPLIER
+    // cardinality, which grows linearly with SF, so the small-scale
+    // trick must not travel to the cluster:
+    //  * small supplier table (bench scales): collect_set is
+    //    ObjectHashAggregate with map-side set merging — ONE exchange
+    //    instead of countDistinct's two (3.5x baseline measured) — and
+    //    the ~215-row fixed group domain sorts in one task instead of
+    //    paying a rangepartitioning stage. A/B at sf0.1 (warm, min of
+    //    7): countDistinct+orderBy 0.47 s, collect_set+orderBy 0.34,
+    //    this 0.267.
+    //  * big supplier table (cluster scales): per-group suppkey sets
+    //    reach millions of entries and the coalesce(1) merge would hold
+    //    ALL of them in one task — countDistinct's two distributed
+    //    exchanges are the plan that survives 100 TB.
+    val smallSupplier = t(s, dir, "supplier")
+      .queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20)
+    if (smallSupplier)
+      joined.groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(size(collect_set(col("l_suppkey"))).cast("long").as("supplier_cnt"))
+        .orderedSmall(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    else
+      joined.groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
   }
 
   val q16Sql: String =

@@ -111,14 +111,16 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     */
   def syncViews(target: SparkSession): Unit = {
     if (tables.isEmpty) return
-    val seen = {
-      val m = syncedBySession.get(target)
-      if (m != null) m
-      else {
-        val fresh = mutable.Map.empty[String, Long]
-        syncedBySession.put(target, fresh)
-        fresh
+    // lookup-or-insert under ONE lock on the map: a racing get-then-put
+    // would let two threads install distinct 'seen' maps for the same
+    // session and silently lose recorded versions
+    val seen = syncedBySession.synchronized {
+      var m = syncedBySession.get(target)
+      if (m == null) {
+        m = mutable.Map.empty[String, Long]
+        syncedBySession.put(target, m)
       }
+      m
     }
     tables.foreach { case (name, t) =>
       val v = viewVersions.getOrElse(name, 0L)

@@ -67,6 +67,13 @@ class ServerConfigSpec extends AnyFunSuite {
     val ip = ServerConfig.load(Map("SWANLAKE_SESSION_ID_MODE" -> "peer_ip"))
     assert(ip.sessionKey("10.0.0.5:50312") == "10.0.0.5")
     assert(ip.sessionKey("no-port-form") == "no-port-form")
+    // IPv6: bracketed forms unwrap to the host; a bare address has no
+    // port — its last hextet must survive
+    assert(ip.sessionKey("[fe80::1]:50312") == "fe80::1")
+    assert(ip.sessionKey("[fe80::1]") == "fe80::1")
+    assert(ip.sessionKey("fe80::1") == "fe80::1")
+    assert(ip.sessionKey("2001:db8::8a2e:370:7334") == "2001:db8::8a2e:370:7334")
+    assert(addr.sessionKey("[fe80::1]:50312") == "[fe80::1]:50312")
   }
 
   test("factories wire each option into its consumer") {
