@@ -10,13 +10,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Flags: cacheDims (persist region/nation/customer/supplier/part),
   * cacheAll (persist every test table), noAqe (terminals disable AQE),
-  * reopt (reuse optimized instead of analyzed plans), sp4 (terminals use
-  * 4 shuffle partitions), serial (skip the throughput window; instead
+  * reopt (reuse optimized instead of analyzed plans), spN — e.g. sp4,
+  * sp8, sp16 — (terminals use N shuffle partitions), serial (skip the throughput window; instead
   * time each TPC-H query warm, min of 3 runs, under the flag set —
   * isolates the per-query latency floor). Window via LAB_WINDOW seconds
   * (default 20).
   */
 object BenchLab {
+  private def spWidth(flags: Set[String]): Option[Int] =
+    flags.collectFirst { case f if f.matches("sp\\d+") => f.drop(2).toInt }
+
   def main(args: Array[String]): Unit = {
     val flags = args.headOption.getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,7 +29,7 @@ object BenchLab {
     if (flags("serial")) {
       val cs = spark.newSession()
       if (flags("noAqe")) cs.conf.set("spark.sql.adaptive.enabled", "false")
-      if (flags("sp4")) cs.conf.set("spark.sql.shuffle.partitions", "4")
+      spWidth(flags).foreach(n => cs.conf.set("spark.sql.shuffle.partitions", n.toString))
       val mixS = SparkEntry.queries.keys.filter(_.startsWith("q")).toSeq.sorted
       val out = mixS.map { n =>
         val df = SparkEntry.queries(n)(cs, sfDir)
@@ -57,7 +60,7 @@ object BenchLab {
     val sessions = (0 until terminals).map { _ =>
       val cs = spark.newSession()
       if (flags("noAqe")) cs.conf.set("spark.sql.adaptive.enabled", "false")
-      if (flags("sp4")) cs.conf.set("spark.sql.shuffle.partitions", "4")
+      spWidth(flags).foreach(n => cs.conf.set("spark.sql.shuffle.partitions", n.toString))
       cs
     }
     val preparedPer = sessions.map { cs =>

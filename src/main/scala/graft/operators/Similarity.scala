@@ -414,7 +414,49 @@ object Similarity {
           "i -> abs(v[i] - (vmin + q[i] * rng / 255.0)))) / len(v)", 6)} AS mean_abs_err
        |FROM c ORDER BY vec_id""".stripMargin
 
+  // === covariance / second-moment matrix (PCA prep) ========================
+  /** cov1: the embedding corpus's exact moment matrix — for every
+    * dimension pair i <= j, the count and the exact sums of x_i, x_j
+    * and x_i·x_j — everything PCA, whitening, or a Mahalanobis metric
+    * needs, produced distributed (the eigensolve itself is a driver-side
+    * d x d problem — operators.Pca). Sums use the Exact micros scheme
+    * over doubles widened from the stored floats, so the matrix is
+    * bit-portable. Shape at 100 TB: the per-vector dimension explode
+    * and self-join fan out n·d² product rows, but partial aggregation
+    * collapses each partition to at most d(d+1)/2 groups before the
+    * single exchange — the shuffle ships one bounded matrix per
+    * partition regardless of n; compute is the unavoidable n·d² of any
+    * covariance pass and parallelizes per partition.
+    */
+  def embeddingCovariance(s: SparkSession, dir: String): DataFrame = {
+    val ex = Par.fanOut(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"), col("col").cast(DoubleType).as("x"))
+    val b = ex.select(col("vec_id"), col("i").as("j"), col("x").as("y"))
+    ex.join(b, "vec_id").filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        Exact.dsum(col("x") * col("y")).as("sum_xy"),
+        Exact.dsum(col("x")).as("sum_x"),
+        Exact.dsum(col("y")).as("sum_y"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val embeddingCovarianceSql: String =
+    s"""WITH idx AS (SELECT UNNEST(generate_series(1, 64)) AS i),
+       |ex AS (
+       |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN idx WHERE i <= len(embedding))
+       |SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Exact.sqlDsum("a.x * b.x")} AS sum_xy,
+       |  ${Exact.sqlDsum("a.x")} AS sum_x,
+       |  ${Exact.sqlDsum("b.x")} AS sum_y
+       |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cov1_embedding_covariance" -> embeddingCovariance _,
     "sim5_int8_quantization" -> embeddingQuantization _,
     "sim1_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "sim2_label_centroids" -> labelCentroids _,
@@ -422,6 +464,7 @@ object Similarity {
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "cov1_embedding_covariance" -> embeddingCovarianceSql,
     "sim5_int8_quantization" -> embeddingQuantizationSql,
     "sim1_cosine_topk" -> cosineTopKSql(),
     "sim2_label_centroids" -> labelCentroidsSql,

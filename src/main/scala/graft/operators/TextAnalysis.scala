@@ -742,7 +742,163 @@ object TextAnalysis {
        |SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
        |FROM r WHERE sample_rank <= $cap ORDER BY doc_id""".stripMargin
 
+  // === vocabulary construction + coverage ==================================
+  /** tok1: build the top-V corpus vocabulary (wordpiece-style frequency
+    * cut: rank by count desc, token asc) and report each document's
+    * out-of-vocabulary rate against it — the coverage check run before
+    * committing to a tokenizer vocab. Shape at 100 TB: the vocabulary
+    * is a map-side-combinable wordcount plus a k-sized limit (top-V
+    * never leaves the driver's broadcast budget by construction), and
+    * the coverage pass is the token explode re-joined to the broadcast
+    * vocab — no shuffle beyond the per-doc aggregate.
+    */
+  def vocabCoverage(s: SparkSession, dir: String, v: Int = 24): DataFrame = {
+    val ex = dFan(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(v)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    ex.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        // one IEEE division over identical integer operands -> bit-identical
+        (col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("oov_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  def vocabCoverageSql(v: Int = 24): String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |v AS (SELECT tok FROM
+       |        (SELECT tok, COUNT(*) AS tf FROM ex GROUP BY tok
+       |         ORDER BY tf DESC, tok LIMIT $v)),
+       |j AS (SELECT ex.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+       |      FROM ex LEFT JOIN v ON ex.tok = v.tok)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |  CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_ratio
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // === bigram language model ===============================================
+  /** lm1: corpus bigram conditional probabilities — for every context
+    * token, its top-k successors by P(w2|w1) = c(w1,w2)/c(w1,·), the
+    * table a bigram scorer or next-token heuristic reads. Probabilities
+    * are integer micros (one rounding over bit-identical division
+    * operands) so ranking ties resolve identically on both engines.
+    * Shape at 100 TB: pair extraction is map-only (adjacent-position
+    * zip inside the row, no positional self-join); c(w1,w2) is one
+    * map-side-combinable shuffle keyed on the pair; c(w1,·) reduces the
+    * already-aggregated pairs, never the corpus; the top-k window
+    * shuffles counts, not text, keyed on a vocabulary-bounded w1.
+    */
+  def bigramLm(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("p_micro").desc, col("w2"))
+    val pairs = dFan(s, dir)
+      .select(tokens(col("text")).as("toks")).filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("pair_n")).as("ctx_n"))
+    c2.join(c1, "w1")
+      .select(col("w1"), col("w2"), col("pair_n"),
+        floor(col("pair_n").cast(DoubleType) / col("ctx_n").cast(DoubleType)
+          * 1000000L + 0.5).cast(LongType).as("p_micro"))
+      .withColumn("succ_rank", row_number().over(w).cast(LongType))
+      .filter(col("succ_rank") <= k)
+      .select(col("w1"), col("succ_rank"), col("w2"), col("pair_n"), col("p_micro"))
+      .orderBy(col("w1"), col("succ_rank"))
+  }
+
+  def bigramLmSql(k: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |pr AS (SELECT UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
+       |       FROM toks WHERE len(t) >= 2),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS pair_n FROM pr GROUP BY 1, 2),
+       |c1 AS (SELECT w1, SUM(pair_n) AS ctx_n FROM c2 GROUP BY 1),
+       |sc AS (SELECT c2.w1, w2, pair_n,
+       |         CAST(FLOOR(CAST(pair_n AS DOUBLE) / CAST(ctx_n AS DOUBLE)
+       |              * 1000000 + 0.5) AS BIGINT) AS p_micro
+       |       FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+       |r AS (SELECT w1, w2, pair_n, p_micro,
+       |        ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY p_micro DESC, w2)
+       |          AS succ_rank
+       |      FROM sc)
+       |SELECT w1, CAST(succ_rank AS BIGINT) AS succ_rank, w2,
+       |  CAST(pair_n AS BIGINT) AS pair_n, p_micro
+       |FROM r WHERE succ_rank <= $k ORDER BY w1, succ_rank""".stripMargin
+
+  // === DSIR-style importance weights =======================================
+  /** sel1: data-selection importance weights — per-document sum of
+    * ln(p_target(tok)/p_corpus(tok)) under add-one-smoothed unigram
+    * models, where the target distribution is the English slice (the
+    * importance-resampling recipe for selecting pretraining data that
+    * matches a target domain). Both models come out of ONE token pass
+    * (the target count is a conditional aggregate of the same
+    * wordcount); the per-token log-ratio is micros-rounded (absorbing
+    * last-ulp libm differences, the txt11 argument) and summed exactly,
+    * so weights are bit-portable. Shape at 100 TB: one
+    * map-side-combinable wordcount, a vocabulary-keyed join the
+    * optimizer broadcasts while the vocab fits, one per-doc aggregate.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val exL = Par.fanOut(t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val counts = exL.groupBy(col("tok")).agg(
+      count(lit(1)).as("cf"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tf_target"))
+    val totals = counts.agg(
+      sum(col("cf")).cast(LongType).as("nc"),
+      sum(col("tf_target")).cast(LongType).as("ntg"),
+      count(lit(1)).cast(LongType).as("v"))
+    val pT = (col("tf_target") + lit(1L)).cast(DoubleType) /
+      (col("ntg") + col("v")).cast(DoubleType)
+    val pC = (col("cf") + lit(1L)).cast(DoubleType) /
+      (col("nc") + col("v")).cast(DoubleType)
+    val scored = counts.crossJoin(broadcast(totals))
+      .select(col("tok"), log(pT / pC).as("lr"))
+    exL.join(scored, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        Exact.dsum(col("lr")).as("dsir_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_sum"),
+        (col("dsir_sum") / col("n_tokens").cast(DoubleType)).as("dsir_mean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, lang,
+       |    UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |c AS (SELECT tok, COUNT(*) AS cf,
+       |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tf_target
+       |      FROM ex GROUP BY tok),
+       |n AS (SELECT CAST(SUM(cf) AS BIGINT) AS nc,
+       |        CAST(SUM(tf_target) AS BIGINT) AS ntg,
+       |        CAST(COUNT(*) AS BIGINT) AS v FROM c),
+       |sc AS (
+       |  SELECT tok,
+       |    ln((CAST(tf_target + 1 AS DOUBLE) / CAST(ntg + v AS DOUBLE))
+       |     / (CAST(cf + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE))) AS lr
+       |  FROM c CROSS JOIN n),
+       |j AS (SELECT doc_id, lr FROM ex JOIN sc USING (tok))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  ${Exact.sqlDsum("lr")} AS dsir_sum,
+       |  ${Exact.sqlDsum("lr")} / CAST(COUNT(*) AS DOUBLE) AS dsir_mean
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok1_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
+    "lm1_bigram_topk" -> ((s: SparkSession, d: String) => bigramLm(s, d)),
+    "sel1_dsir_weights" -> dsirWeights _,
     "txt11_unigram_logprob" -> docUnigramLogProb _,
     "txt12_tfidf_terms" -> ((s: SparkSession, d: String) => docTfidf(s, d)),
     "txt9_repetition" -> docRepetition _,
@@ -763,6 +919,9 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "tok1_vocab_coverage" -> vocabCoverageSql(),
+    "lm1_bigram_topk" -> bigramLmSql(),
+    "sel1_dsir_weights" -> dsirWeightsSql,
     "txt11_unigram_logprob" -> docUnigramLogProbSql,
     "txt12_tfidf_terms" -> docTfidfSql(),
     "txt9_repetition" -> docRepetitionSql,
