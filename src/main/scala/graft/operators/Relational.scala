@@ -356,6 +356,50 @@ object Relational {
        |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)) t
        |ORDER BY user_id, us, event_id""".stripMargin
 
+  // === events: behavior transition matrix ==================================
+  /** ev10: the event-type Markov transition matrix — for each ordered
+    * (prev, next) pair along every user's event sequence, the count and
+    * conditional probability P(next|prev) in integer micros. The
+    * behavioral fingerprint session-analytics and sequence-model
+    * pipelines start from. One shuffle keys the sequence window on
+    * user_id (lag is partition-local); the matrix aggregate is bounded
+    * by the event-type vocabulary squared at any scale. Ordering inside
+    * a user uses (epoch micros, event_id) on BOTH engines, so nano-level
+    * timestamp ties cannot reorder pairs between Spark (micros) and
+    * DuckDB (nanos).
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(seq))
+      .filter(col("prev_type").isNotNull)
+    val c2 = pairs.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val c1 = c2.groupBy(col("prev_type")).agg(sum(col("n_pairs")).as("n_from"))
+    c2.join(c1, "prev_type")
+      .select(col("prev_type"), col("event_type").as("next_type"), col("n_pairs"),
+        floor(col("n_pairs").cast(DoubleType) / col("n_from").cast(DoubleType)
+          * 1000000L + 0.5).cast(LongType).as("p_micro"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH seqd AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+      |  FROM events),
+      |c2 AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n_pairs
+      |       FROM seqd WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |c1 AS (SELECT prev_type, SUM(n_pairs) AS n_from FROM c2 GROUP BY 1)
+      |SELECT prev_type, next_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(FLOOR(CAST(n_pairs AS DOUBLE) / CAST(n_from AS DOUBLE)
+      |       * 1000000 + 0.5) AS BIGINT) AS p_micro
+      |FROM c2 JOIN c1 USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
+
   // === events: JSON property extraction ====================================
   def eventsJson(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").filter(col("event_id") < 1000)
@@ -504,6 +548,7 @@ object Relational {
     "ev7_funnel_stages" -> eventFunnel _,
     "ev8_cohort_retention" -> cohortRetention _,
     "ev9_trailing_spend" -> trailingSpend _,
+    "ev10_event_transitions" -> eventTransitions _,
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
@@ -520,6 +565,7 @@ object Relational {
     "ev2_top_purchasers" -> eventsTopUsersSql,
     "ev7_funnel_stages" -> eventFunnelSql,
     "ev8_cohort_retention" -> cohortRetentionSql,
+    "ev10_event_transitions" -> eventTransitionsSql,
     "ev9_trailing_spend" -> trailingSpendSql,
     "ev3_json_extract" -> eventsJsonSql)
 }
