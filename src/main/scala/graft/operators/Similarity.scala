@@ -421,19 +421,27 @@ object Similarity {
     * needs, produced distributed (the eigensolve itself is a driver-side
     * d x d problem — operators.Pca). Sums use the Exact micros scheme
     * over doubles widened from the stored floats, so the matrix is
-    * bit-portable. Shape at 100 TB: the per-vector dimension explode
-    * and self-join fan out n·d² product rows, but partial aggregation
-    * collapses each partition to at most d(d+1)/2 groups before the
-    * single exchange — the shuffle ships one bounded matrix per
-    * partition regardless of n; compute is the unavoidable n·d² of any
-    * covariance pass and parallelizes per partition.
+    * bit-portable. Shape at 100 TB: the upper-triangle (i, j) pairs are
+    * generated INSIDE each row (nested transform over the dimension
+    * range — no dimension explode, no vec_id self-join, so nothing
+    * shuffles per vector), and partial aggregation collapses each
+    * partition to at most d(d+1)/2 groups before the operator's single
+    * exchange — the shuffle ships one bounded matrix per partition
+    * regardless of n; compute is the unavoidable n·d² of any covariance
+    * pass and parallelizes per partition. Plan shape pinned in
+    * PlanQualitySpec.
     */
   def embeddingCovariance(s: SparkSession, dir: String): DataFrame = {
-    val ex = Par.fanOut(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").as("i"), col("col").cast(DoubleType).as("x"))
-    val b = ex.select(col("vec_id"), col("i").as("j"), col("x").as("y"))
-    ex.join(b, "vec_id").filter(col("i") <= col("j"))
+    val v = transform(col("embedding"), _.cast(DoubleType))
+    val pairs = flatten(transform(sequence(lit(0), size(col("v")) - 1), i =>
+      transform(sequence(i, size(col("v")) - 1), j =>
+        struct(i.as("i"), j.as("j"),
+          element_at(col("v"), i + 1).as("x"),
+          element_at(col("v"), j + 1).as("y")))))
+    Par.fanOut(t(s, dir, "embeddings").select(col("embedding")))
+      .select(v.as("v"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.x").as("x"), col("p.y").as("y"))
       .groupBy(col("i"), col("j"))
       .agg(
         count(lit(1)).cast(LongType).as("n"),

@@ -183,4 +183,11 @@ class PlanQualitySpec extends SparkTestBase {
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("n_chars"), "unused metadata columns must be pruned")
   }
+
+  test("cov1: pair generation is in-row — at most the fan-out and aggregate exchanges") {
+    val df = operators.Similarity.embeddingCovariance(spark, sfDir)
+    val n = countShuffles(df)
+    assert(n <= 2, s"cov1 must not shuffle per-vector pair rows (self-join regression), saw $n shuffles")
+    assert(!planOf(df).contains("SortMergeJoin"), "cov1 has no join at all")
+  }
 }
