@@ -17,8 +17,11 @@ import org.apache.spark.sql.SparkSession
   * (default 20).
   */
 object BenchLab {
+  // deterministic pick (sorted) and overflow-safe parse; one spN flag
+  // is the expected usage
   private def spWidth(flags: Set[String]): Option[Int] =
-    flags.collectFirst { case f if f.matches("sp\\d+") => f.drop(2).toInt }
+    flags.filter(_.matches("sp\\d+")).toSeq.sorted
+      .flatMap(f => f.drop(2).toIntOption).headOption
 
   def main(args: Array[String]): Unit = {
     val flags = args.headOption.getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSet

@@ -29,7 +29,8 @@ object Pca {
       basis: Array[Array[Double]],
       eigenvalues: Array[Double])
 
-  /** Mean vector + sample covariance from cov1's exact moment rows
+  /** Mean vector + population (divide-by-n) covariance from cov1's
+    * exact moment rows
     * (i <= j upper triangle; n, sum_xy, sum_x, sum_y per pair).
     */
   def covariance(moments: DataFrame): (Array[Double], Array[Array[Double]]) = {
@@ -74,7 +75,12 @@ object Pca {
           off += apq * apq
           if (math.abs(apq) > tol) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // theta == 0 (equal diagonal entries) takes the 45-degree
+            // rotation: signum(0) = 0 would make this the identity and
+            // the pair would never be annihilated
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var k = 0

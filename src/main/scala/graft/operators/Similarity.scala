@@ -439,6 +439,10 @@ object Similarity {
           element_at(col("v"), i + 1).as("x"),
           element_at(col("v"), j + 1).as("y")))))
     Par.fanOut(t(s, dir, "embeddings").select(col("embedding")))
+      // zero-length vectors contribute no pairs (sequence(0, -1) would
+      // otherwise run descending and hit element_at index 0); the
+      // oracle's `WHERE i <= len(embedding)` drops the same rows
+      .filter(size(col("embedding")) > 0)
       .select(v.as("v"))
       .select(explode(pairs).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.x").as("x"), col("p.y").as("y"))
@@ -452,7 +456,7 @@ object Similarity {
   }
 
   val embeddingCovarianceSql: String =
-    s"""WITH idx AS (SELECT UNNEST(generate_series(1, 64)) AS i),
+    s"""WITH idx AS (SELECT UNNEST(generate_series(1, $maxDim)) AS i),
        |ex AS (
        |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
        |  FROM embeddings CROSS JOIN idx WHERE i <= len(embedding))

@@ -13,6 +13,16 @@ class PcaSpec extends SparkTestBase {
   private lazy val d = mean.length
   private lazy val (values, vectors) = Pca.jacobiEigen(cov)
 
+  test("jacobi annihilates pairs with equal diagonal entries (theta == 0)") {
+    // [[2,1],[1,2]] has eigenvalues {3,1}; signum(0) = 0 would leave it
+    // unrotated and return {2,2}
+    val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) <= 1e-12 && math.abs(vals(1) - 1.0) <= 1e-12,
+      vals.mkString(","))
+    val s = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).map(math.abs).forall(x => math.abs(x - s) <= 1e-12))
+  }
+
   test("covariance is symmetric with nonnegative diagonal") {
     assert(d == 64)
     for (i <- 0 until d) assert(cov(i)(i) >= -1e-12)
