@@ -400,6 +400,61 @@ object Relational {
       |FROM c2 JOIN c1 USING (prev_type)
       |ORDER BY prev_type, next_type""".stripMargin
 
+  // === events: hourly anomaly detection ====================================
+  /** ev11: hourly event-count anomaly z-scores — per event type, hours
+    * whose count deviates more than 2.5 sigma from that type's own
+    * hourly mean, the basic traffic-monitoring sweep. All statistics
+    * derive from integer sums (n, sum, sum-of-squares), so mean,
+    * variance and z follow the identical IEEE operation sequence on
+    * both engines; zero-variance types are excluded before the division
+    * (NaN ordering semantics differ across engines). Shape at 100 TB:
+    * the hourly rollup is one map-side-combinable shuffle keyed on
+    * (type, hour); the per-type moments reduce the already-aggregated
+    * hours, and the tiny stats table broadcasts back.
+    */
+  def eventAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val hours = t(s, dir, "events")
+      .select(col("event_type"),
+        (floor(unix_micros(col("ts")) / lit(3600000000L)).cast(LongType)
+          * 3600000000L).as("hour_us"))
+      .groupBy(col("event_type"), col("hour_us")).agg(count(lit(1)).as("cnt"))
+    val stats = hours.groupBy(col("event_type")).agg(
+      count(lit(1)).cast(LongType).as("n_hours"),
+      sum(col("cnt")).cast(LongType).as("s1"),
+      sum(col("cnt") * col("cnt")).cast(LongType).as("s2"))
+    val mean = col("s1").cast(DoubleType) / col("n_hours").cast(DoubleType)
+    val varc = col("s2").cast(DoubleType) / col("n_hours").cast(DoubleType) - mean * mean
+    hours.join(broadcast(stats), "event_type")
+      .filter(varc > 0)
+      .select(col("event_type"), col("hour_us"), col("cnt"),
+        ((col("cnt").cast(DoubleType) - mean) / sqrt(varc)).as("z"))
+      .filter(abs(col("z")) > 2.5)
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  val eventAnomaliesSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
+      |      * 3600000000 AS hour_us,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |         CAST(SUM(cnt) AS BIGINT) AS s1, CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+      |       FROM h GROUP BY 1),
+      |z AS (
+      |  SELECT h.event_type, hour_us, CAST(cnt AS BIGINT) AS cnt,
+      |    (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+      |      / sqrt(CAST(s2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+      |             - (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+      |               * (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))) AS z
+      |  FROM h JOIN st USING (event_type)
+      |  WHERE CAST(s2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+      |        - (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+      |          * (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE)) > 0)
+      |SELECT event_type, hour_us, cnt, z FROM z WHERE abs(z) > 2.5
+      |ORDER BY event_type, hour_us""".stripMargin
+
   // === events: JSON property extraction ====================================
   def eventsJson(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").filter(col("event_id") < 1000)
@@ -549,6 +604,7 @@ object Relational {
     "ev8_cohort_retention" -> cohortRetention _,
     "ev9_trailing_spend" -> trailingSpend _,
     "ev10_event_transitions" -> eventTransitions _,
+    "ev11_hourly_anomalies" -> eventAnomalies _,
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
@@ -566,6 +622,7 @@ object Relational {
     "ev7_funnel_stages" -> eventFunnelSql,
     "ev8_cohort_retention" -> cohortRetentionSql,
     "ev10_event_transitions" -> eventTransitionsSql,
+    "ev11_hourly_anomalies" -> eventAnomaliesSql,
     "ev9_trailing_spend" -> trailingSpendSql,
     "ev3_json_extract" -> eventsJsonSql)
 }

@@ -895,7 +895,85 @@ object TextAnalysis {
        |  ${Exact.sqlDsum("lr")} / CAST(COUNT(*) AS DOUBLE) AS dsir_mean
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // === corpus composition report ===========================================
+  /** rep1: the per-(source, language) corpus report card — document and
+    * token counts plus the quality-kept fraction, the first table a
+    * corpus owner reads before touching mixture weights. Composes the
+    * verified txt6 verdict by doc_id (the pipe1 join discipline: one
+    * boolean and one int per doc cross the join, never text); the
+    * rollup itself is map-side combinable with a (sources × languages)-
+    * bounded key space at any scale.
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val q = docQualityFilter(s, dir).select(col("doc_id"), col("keep"), col("n_tokens"))
+    t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang"))
+      .join(q, "doc_id")
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n_tokens").cast(LongType)).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("n_kept"),
+        (col("n_kept").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("kept_ratio"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val corpusReportSql: String =
+    s"""WITH q AS (SELECT doc_id, keep, n_tokens FROM ($docQualityFilterSql) tq),
+       |d AS (SELECT doc_id, source, lang FROM documents)
+       |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS kept_ratio
+       |FROM d JOIN q USING (doc_id)
+       |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  // === mixture balancing ===================================================
+  /** smp3: re-balance the corpus toward uniform language shares — each
+    * language's keep rate is (total/k)/n_l capped at 1, applied with
+    * the deterministic md5-fraction coin (salted differently from smp1,
+    * so the two sampling passes are independent). The rate table is a
+    * language-bounded aggregate broadcast back over the corpus; the
+    * keep decision is map-only, zero data shuffle, identical keep set
+    * on any engine or cluster.
+    */
+  def mixtureBalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val tot = byLang.agg(
+      sum(col("n_l")).cast(LongType).as("n"), count(lit(1)).cast(LongType).as("k"))
+    val rate = least(lit(1.0),
+      (col("n").cast(DoubleType) / col("k").cast(DoubleType)) / col("n_l").cast(DoubleType))
+    val rates = byLang.crossJoin(broadcast(tot)).select(col("lang"), rate.as("rate"))
+    val frac = conv(substring(md5(concat_ws("#", lit("mix"), col("lang"), col("doc_id"))),
+      1, 8), 16, 10).cast(LongType).cast(DoubleType) / lit(4294967296.0)
+    docs.join(broadcast(rates), "lang")
+      .withColumn("keep_frac", frac)
+      .filter(col("keep_frac") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mixtureBalanceSql: String =
+    """WITH d AS (SELECT doc_id, lang FROM documents),
+      |bl AS (SELECT lang, COUNT(*) AS n_l FROM d GROUP BY lang),
+      |t AS (SELECT CAST(SUM(n_l) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM bl),
+      |r AS (SELECT lang,
+      |        least(1.0, (CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) / CAST(n_l AS DOUBLE))
+      |          AS rate
+      |      FROM bl CROSS JOIN t),
+      |f AS (SELECT doc_id, d.lang, rate,
+      |        CAST(('0x' || substring(md5(concat_ws('#', 'mix', d.lang,
+      |          CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT AS DOUBLE)
+      |          / 4294967296.0 AS keep_frac
+      |      FROM d JOIN r ON d.lang = r.lang)
+      |SELECT doc_id, lang, rate FROM f WHERE keep_frac < rate
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rep1_corpus_report" -> corpusReport _,
+    "smp3_mixture_balance" -> mixtureBalance _,
     "tok1_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "lm1_bigram_topk" -> ((s: SparkSession, d: String) => bigramLm(s, d)),
     "sel1_dsir_weights" -> dsirWeights _,
@@ -919,6 +997,8 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "rep1_corpus_report" -> corpusReportSql,
+    "smp3_mixture_balance" -> mixtureBalanceSql,
     "tok1_vocab_coverage" -> vocabCoverageSql(),
     "lm1_bigram_topk" -> bigramLmSql(),
     "sel1_dsir_weights" -> dsirWeightsSql,
