@@ -200,7 +200,10 @@ object Advanced {
       .filter(col("supp_revenue") > col("threshold"))
       .join(su, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("supp_revenue"))
-      .orderBy(col("supp_revenue").desc, col("s_suppkey"))
+      // domain-bounded result: suppliers each above 2% of TOTAL revenue
+      // can number at most 49 at ANY scale factor, so the single-task
+      // sort replaces a rangepartitioning stage legitimately
+      .orderedSmall(col("supp_revenue").desc, col("s_suppkey"))
   }
 
   val q11Sql: String =
