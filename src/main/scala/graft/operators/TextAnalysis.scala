@@ -895,6 +895,41 @@ object TextAnalysis {
        |  ${Exact.sqlDsum("lr")} / CAST(COUNT(*) AS DOUBLE) AS dsir_mean
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // === document chunking ===================================================
+  /** chunk1: fixed-token-budget chunk spans with overlap — the
+    * retrieval/embedding prep pass that turns each document into
+    * (chunk_idx, start_tok, n_tokens) windows (budget 32, overlap 8
+    * here; trailing chunks may be short). Pure in-row sequence explode:
+    * map-only, no shuffle at any scale — the chunk table is the input
+    * to an embedding pass, so keeping it span-typed (offsets, not
+    * copied text) is what makes the 100 TB version affordable.
+    */
+  def docChunks(s: SparkSession, dir: String, budget: Int = 32, overlap: Int = 8): DataFrame = {
+    val step = budget - overlap
+    dFan(s, dir).select(col("doc_id"), size(tokens(col("text"))).as("n"))
+      .select(col("doc_id"), col("n"),
+        posexplode(sequence(lit(1), col("n"), lit(step))))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast(LongType).as("chunk_idx"),
+        col("col").cast(LongType).as("start_tok"),
+        least(lit(budget), col("n") - col("col") + 1).cast(LongType).as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def docChunksSql(budget: Int = 32, overlap: Int = 8): String =
+    s"""WITH n AS (
+       |  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+       |  FROM documents),
+       |c AS (SELECT doc_id, n, UNNEST(generate_series(1, n, ${budget - overlap}))
+       |        AS start_tok
+       |      FROM n)
+       |SELECT doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_tok) AS BIGINT)
+       |    AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(LEAST($budget, n - start_tok + 1) AS BIGINT) AS n_chunk_tokens
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // === corpus composition report ===========================================
   /** rep1: the per-(source, language) corpus report card — document and
     * token counts plus the quality-kept fraction, the first table a
@@ -972,6 +1007,7 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk1_doc_spans" -> ((s: SparkSession, d: String) => docChunks(s, d)),
     "rep1_corpus_report" -> corpusReport _,
     "smp3_mixture_balance" -> mixtureBalance _,
     "tok1_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
@@ -997,6 +1033,7 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "chunk1_doc_spans" -> docChunksSql(),
     "rep1_corpus_report" -> corpusReportSql,
     "smp3_mixture_balance" -> mixtureBalanceSql,
     "tok1_vocab_coverage" -> vocabCoverageSql(),
