@@ -455,6 +455,44 @@ object Relational {
       |SELECT event_type, hour_us, cnt, z FROM z WHERE abs(z) > 2.5
       |ORDER BY event_type, hour_us""".stripMargin
 
+  // === table profiling =====================================================
+  /** prof1: per-column profile of a table — row count, null count and
+    * exact distinct count per column, the ANALYZE/SUMMARIZE surface the
+    * reference inherits from its embedded engine. One pass: Spark plans
+    * the multi-column countDistinct battery as a single EXPAND
+    * aggregate (rows × columns intermediate, map-side combined), then
+    * the one-row result unpivots via stack(). At 100 TB the exact
+    * distinct count is the honest version of this operator; a
+    * deployment that can tolerate error swaps in approx_count_distinct
+    * (the HLL tier SketchSpec covers) without changing shape.
+    */
+  def tableProfile(s: SparkSession, dir: String, table: String = "orders"): DataFrame = {
+    val df = t(s, dir, table)
+    val names = df.schema.fieldNames.toSeq
+    val aggCols = names.flatMap(n => Seq(
+      sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}__nn"),
+      countDistinct(col(n)).as(s"${n}__nd")))
+    val stackArgs = names.map(n => s"'$n', ${n}__nn, ${n}__nd").mkString(", ")
+    df.agg(count(lit(1)).as("n_rows"), aggCols: _*)
+      .select(col("n_rows"),
+        expr(s"stack(${names.length}, $stackArgs) AS (column_name, n_null, n_distinct)"))
+      .select(col("column_name"), col("n_rows").cast(LongType),
+        col("n_null").cast(LongType).as("n_null"),
+        col("n_distinct").cast(LongType).as("n_distinct"))
+      .orderBy(col("column_name"))
+  }
+
+  val tableProfileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   // === events: JSON property extraction ====================================
   def eventsJson(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").filter(col("event_id") < 1000)
@@ -605,6 +643,7 @@ object Relational {
     "ev9_trailing_spend" -> trailingSpend _,
     "ev10_event_transitions" -> eventTransitions _,
     "ev11_hourly_anomalies" -> eventAnomalies _,
+    "prof1_table_profile" -> ((s: SparkSession, d: String) => tableProfile(s, d)),
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
@@ -623,6 +662,7 @@ object Relational {
     "ev8_cohort_retention" -> cohortRetentionSql,
     "ev10_event_transitions" -> eventTransitionsSql,
     "ev11_hourly_anomalies" -> eventAnomaliesSql,
+    "prof1_table_profile" -> tableProfileSql,
     "ev9_trailing_spend" -> trailingSpendSql,
     "ev3_json_extract" -> eventsJsonSql)
 }
