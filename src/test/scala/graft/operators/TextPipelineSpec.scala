@@ -87,4 +87,71 @@ class TextPipelineSpec extends SparkTestBase {
       "exactly the docs sharing a shingle with the benchmark (excluding self) are contaminated")
     c.unpersist()
   }
+
+  test("chunk1: spans tile each document — full coverage, correct overlap, budget cap") {
+    val budget = 32; val overlap = 8; val step = budget - overlap
+    val chunks = TextAnalysis.docChunks(spark, sfDir, budget, overlap).cache()
+    val docs = graft.Engine.table(spark, sfDir, "documents")
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n"))
+    // every chunk starts on the stepped grid and respects the budget
+    assert(chunks.filter((col("start_tok") - 1) % step =!= 0).isEmpty)
+    assert(chunks.filter(col("n_chunk_tokens") > budget || col("n_chunk_tokens") < 1).isEmpty)
+    // last chunk of each doc reaches exactly the document's end
+    val last = chunks.groupBy(col("doc_id"))
+      .agg(max(col("start_tok") + col("n_chunk_tokens") - 1).as("covered"))
+      .join(docs, "doc_id")
+    assert(last.filter(col("covered") =!= col("n")).isEmpty,
+      "chunk spans must cover every token exactly to the end")
+    chunks.unpersist()
+  }
+
+  test("lm1 / ev10: conditional probability mass per context is ~1e6 before top-k") {
+    // rebuild the un-truncated pair counts the operators aggregate from
+    val pairs = TextAnalysis.bigramLm(spark, sfDir, k = Int.MaxValue)
+      .groupBy(col("w1")).agg(sum(col("p_micro")).as("mass"))
+    // per-pair half-up rounding drifts the total by at most #successors/2
+    val off = pairs.filter(abs(col("mass") - 1000000L) > 50L)
+    assert(off.isEmpty, off.collect().mkString(","))
+    val trans = Relational.eventTransitions(spark, sfDir)
+      .groupBy(col("prev_type")).agg(sum(col("p_micro")).as("mass"))
+      .filter(abs(col("mass") - 1000000L) > 50L)
+    assert(trans.isEmpty)
+  }
+
+  test("sel1: English documents score higher under the English-target model") {
+    val w = TextAnalysis.dsirWeights(spark, sfDir)
+      .join(graft.Engine.table(spark, sfDir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+    val means = w.groupBy(col("lang") === "en").agg(avg(col("dsir_mean")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} must exceed non-en ${means(false)}")
+  }
+
+  test("smp3: rates are capped at 1 and kept counts move shares toward uniform") {
+    val kept = TextAnalysis.mixtureBalance(spark, sfDir).cache()
+    assert(kept.filter(col("rate") > 1.0 || col("rate") <= 0.0).isEmpty)
+    val docs = graft.Engine.table(spark, sfDir, "documents")
+    val before = docs.groupBy(col("lang")).count().collect().map(_.getLong(1))
+    val after = kept.groupBy(col("lang")).count().collect().map(_.getLong(1))
+    def spread(xs: Array[Long]) = xs.max.toDouble / math.max(1L, xs.min)
+    assert(spread(after) < spread(before),
+      s"balancing must narrow the language spread: ${spread(before)} -> ${spread(after)}")
+    kept.unpersist()
+  }
+
+  test("rep1: per-(source,lang) totals reconcile with the corpus") {
+    val rep = TextAnalysis.corpusReport(spark, sfDir)
+    val total = rep.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    val docs = graft.Engine.table(spark, sfDir, "documents").count()
+    assert(total == docs, s"report covers $total of $docs docs")
+    assert(rep.filter(col("n_kept") > col("n_docs")).isEmpty)
+  }
+
+  test("prof1: key column distincts equal the row count, no nulls in testdata") {
+    val prof = Relational.tableProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (n, nulls, distinct) = prof("o_orderkey")
+    assert(distinct == n && nulls == 0L, s"o_orderkey: $prof")
+    assert(prof("o_orderstatus")._3 < n, "low-cardinality column stays low")
+  }
 }
