@@ -415,8 +415,7 @@ object Relational {
   def eventAnomalies(s: SparkSession, dir: String): DataFrame = {
     val hours = t(s, dir, "events")
       .select(col("event_type"),
-        (floor(unix_micros(col("ts")) / lit(3600000000L)).cast(LongType)
-          * 3600000000L).as("hour_us"))
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
       .groupBy(col("event_type"), col("hour_us")).agg(count(lit(1)).as("cnt"))
     val stats = hours.groupBy(col("event_type")).agg(
       count(lit(1)).cast(LongType).as("n_hours"),
@@ -435,8 +434,7 @@ object Relational {
   val eventAnomaliesSql: String =
     """WITH h AS (
       |  SELECT event_type,
-      |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
-      |      * 3600000000 AS hour_us,
+      |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
       |    COUNT(*) AS cnt
       |  FROM events GROUP BY 1, 2),
       |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
@@ -466,9 +464,14 @@ object Relational {
     * deployment that can tolerate error swaps in approx_count_distinct
     * (the HLL tier SketchSpec covers) without changing shape.
     */
-  def tableProfile(s: SparkSession, dir: String, table: String = "orders"): DataFrame = {
-    val df = t(s, dir, table)
-    val names = df.schema.fieldNames.toSeq
+  // ONE column list drives both engines' profile: the Spark side and
+  // the oracle desync silently if either derives its own set
+  private val profileColumns = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "orders").select(profileColumns.map(col): _*)
+    val names = profileColumns
     val aggCols = names.flatMap(n => Seq(
       sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}__nn"),
       countDistinct(col(n)).as(s"${n}__nd")))
@@ -483,9 +486,7 @@ object Relational {
   }
 
   val tableProfileSql: String = {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_totalprice", "o_orderdate", "o_orderpriority")
-    cols.map { c =>
+    profileColumns.map { c =>
       s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
@@ -643,7 +644,7 @@ object Relational {
     "ev9_trailing_spend" -> trailingSpend _,
     "ev10_event_transitions" -> eventTransitions _,
     "ev11_hourly_anomalies" -> eventAnomalies _,
-    "prof1_table_profile" -> ((s: SparkSession, d: String) => tableProfile(s, d)),
+    "prof1_table_profile" -> tableProfile _,
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(

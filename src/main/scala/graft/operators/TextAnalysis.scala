@@ -30,6 +30,19 @@ object TextAnalysis {
   /** Token count (whitespace tokenizer). */
   def tokenCount(c: Column): Column = size(tokens(c)).cast(IntegerType)
 
+  /** Deterministic uniform-[0,1) coin: the first 8 md5 hex digits of the
+    * '#'-joined parts as a 32-bit fraction — identical bits on any
+    * engine or cluster. `sqlMd5Frac` is the DuckDB twin; every sampling
+    * operator must flip THIS coin (a divergent copy breaks the oracle's
+    * hash parity).
+    */
+  def md5Frac(parts: Column*): Column =
+    conv(substring(md5(concat_ws("#", parts: _*)), 1, 8), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(4294967296.0)
+
+  def sqlMd5Frac(parts: String*): String =
+    s"CAST(('0x' || substring(md5(concat_ws('#', ${parts.mkString(", ")})), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0"
+
   /** Quality signals: token count, mean token length, stopword ratio,
     * non-alpha character ratio. Mirrors the length/punct/stopword-ratio
     * heuristics used by public corpus-cleaning pipelines.
@@ -487,8 +500,7 @@ object TextAnalysis {
     * IDENTICAL keep set.
     */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val frac = (conv(substring(md5(concat_ws("#", col("lang"), col("doc_id"))), 1, 8), 16, 10)
-      .cast(LongType).cast(DoubleType) / lit(4294967296.0)).as("keep_frac")
+    val frac = md5Frac(col("lang"), col("doc_id")).as("keep_frac")
     val rate = coalesce(
       element_at(
         map(sampleRates.flatMap { case (l, r) => Seq(lit(l), lit(r)) }: _*),
@@ -505,8 +517,7 @@ object TextAnalysis {
     val cases = sampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
     s"""WITH f AS (
        |  SELECT doc_id, lang,
-       |    CAST(('0x' || substring(md5(concat_ws('#', lang, CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT AS DOUBLE)
-       |      / 4294967296.0 AS keep_frac
+       |    ${sqlMd5Frac("lang", "CAST(doc_id AS VARCHAR)")} AS keep_frac
        |  FROM documents)
        |SELECT doc_id, lang, keep_frac FROM f
        |WHERE keep_frac < CASE lang $cases ELSE 1.0 END
@@ -907,8 +918,11 @@ object TextAnalysis {
   def docChunks(s: SparkSession, dir: String, budget: Int = 32, overlap: Int = 8): DataFrame = {
     val step = budget - overlap
     dFan(s, dir).select(col("doc_id"), size(tokens(col("text"))).as("n"))
+      // the start grid stops at n - overlap: a later start's span would
+      // lie entirely inside the previous chunk (the <= overlap-token
+      // tail is already covered), so it would duplicate content
       .select(col("doc_id"), col("n"),
-        posexplode(sequence(lit(1), col("n"), lit(step))))
+        posexplode(sequence(lit(1), greatest(lit(1), col("n") - overlap), lit(step))))
       .select(col("doc_id"),
         (col("pos") + 1).cast(LongType).as("chunk_idx"),
         col("col").cast(LongType).as("start_tok"),
@@ -920,8 +934,9 @@ object TextAnalysis {
     s"""WITH n AS (
        |  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n
        |  FROM documents),
-       |c AS (SELECT doc_id, n, UNNEST(generate_series(1, n, ${budget - overlap}))
-       |        AS start_tok
+       |c AS (SELECT doc_id, n,
+       |        UNNEST(generate_series(1, greatest(1, n - $overlap), ${budget - overlap}))
+       |          AS start_tok
        |      FROM n)
        |SELECT doc_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_tok) AS BIGINT)
@@ -981,8 +996,7 @@ object TextAnalysis {
     val rate = least(lit(1.0),
       (col("n").cast(DoubleType) / col("k").cast(DoubleType)) / col("n_l").cast(DoubleType))
     val rates = byLang.crossJoin(broadcast(tot)).select(col("lang"), rate.as("rate"))
-    val frac = conv(substring(md5(concat_ws("#", lit("mix"), col("lang"), col("doc_id"))),
-      1, 8), 16, 10).cast(LongType).cast(DoubleType) / lit(4294967296.0)
+    val frac = md5Frac(lit("mix"), col("lang"), col("doc_id"))
     docs.join(broadcast(rates), "lang")
       .withColumn("keep_frac", frac)
       .filter(col("keep_frac") < col("rate"))
@@ -991,7 +1005,7 @@ object TextAnalysis {
   }
 
   val mixtureBalanceSql: String =
-    """WITH d AS (SELECT doc_id, lang FROM documents),
+    s"""WITH d AS (SELECT doc_id, lang FROM documents),
       |bl AS (SELECT lang, COUNT(*) AS n_l FROM d GROUP BY lang),
       |t AS (SELECT CAST(SUM(n_l) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM bl),
       |r AS (SELECT lang,
@@ -999,9 +1013,7 @@ object TextAnalysis {
       |          AS rate
       |      FROM bl CROSS JOIN t),
       |f AS (SELECT doc_id, d.lang, rate,
-      |        CAST(('0x' || substring(md5(concat_ws('#', 'mix', d.lang,
-      |          CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT AS DOUBLE)
-      |          / 4294967296.0 AS keep_frac
+      |        ${sqlMd5Frac("'mix'", "d.lang", "CAST(doc_id AS VARCHAR)")} AS keep_frac
       |      FROM d JOIN r ON d.lang = r.lang)
       |SELECT doc_id, lang, rate FROM f WHERE keep_frac < rate
       |ORDER BY doc_id""".stripMargin

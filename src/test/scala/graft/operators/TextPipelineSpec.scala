@@ -102,6 +102,11 @@ class TextPipelineSpec extends SparkTestBase {
       .join(docs, "doc_id")
     assert(last.filter(col("covered") =!= col("n")).isEmpty,
       "chunk spans must cover every token exactly to the end")
+    // no redundant spans: a chunk starting past n - overlap would lie
+    // entirely inside its predecessor
+    assert(chunks.join(docs, "doc_id")
+      .filter(col("start_tok") > 1 && col("start_tok") > col("n") - overlap).isEmpty,
+      "no chunk may be fully contained in the previous one")
     chunks.unpersist()
   }
 
