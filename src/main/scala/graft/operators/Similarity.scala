@@ -414,6 +414,58 @@ object Similarity {
           "i -> abs(v[i] - (vmin + q[i] * rng / 255.0)))) / len(v)", 6)} AS mean_abs_err
        |FROM c ORDER BY vec_id""".stripMargin
 
+  // === per-label outliers (curation sweep) =================================
+  /** out1: the k vectors least similar to their own label's centroid —
+    * the mislabel/outlier sweep a curation pass runs before training on
+    * labeled embeddings. Centroids are the sim2 distributed vector
+    * aggregate re-assembled into arrays (label-bounded, broadcast
+    * back); similarity is the codegen'd dot product. Ranking uses the
+    * 4-decimal-rounded cosine: centroid components are means of
+    * doubles, so their last ulp is summation-order-dependent across
+    * engines — the rounding absorbs it (the sim2 argument), and vec_id
+    * breaks ties totally. Shape at 100 TB: one (label, pos) shuffle for
+    * the centroids, a broadcast join back, and a top-k window over
+    * (label, cos) pairs — vectors never shuffle.
+    */
+  def embeddingOutliers(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Par.fanOut(t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), vecD("embedding").as("v")))
+    val dims = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+    val cents = dims.groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), expr("transform(pc, p -> p.c)").as("cv"))
+    val w = Window.partitionBy(col("label")).orderBy(col("cos_r"), col("vec_id"))
+    e.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"),
+        Exact.dround(dot(col("v"), col("cv"))
+          / sqrt(dot(col("v"), col("v")) * dot(col("cv"), col("cv"))), 4).as("cos_r"))
+      .withColumn("outlier_rank", row_number().over(w).cast(LongType))
+      .filter(col("outlier_rank") <= k)
+      .select(col("label"), col("outlier_rank"), col("vec_id"), col("cos_r"))
+      .orderBy(col("label"), col("outlier_rank"))
+  }
+
+  def embeddingOutliersSql(k: Int = 5): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (
+       |  SELECT label, i AS pos, AVG(v[i]) AS c
+       |  FROM e, (SELECT UNNEST(generate_series(1, $maxDim)) AS i) idx
+       |  GROUP BY label, i),
+       |cents AS (SELECT label, list(c ORDER BY pos) AS cv FROM dims GROUP BY label),
+       |sc AS (
+       |  SELECT e.label, vec_id,
+       |    ${Exact.sqlDround(
+        "list_dot_product(v, cv) / sqrt(list_dot_product(v, v) * list_dot_product(cv, cv))",
+        4)} AS cos_r
+       |  FROM e JOIN cents ON e.label = cents.label),
+       |r AS (SELECT label, vec_id, cos_r,
+       |        ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_r, vec_id)
+       |          AS outlier_rank
+       |      FROM sc)
+       |SELECT label, CAST(outlier_rank AS BIGINT) AS outlier_rank, vec_id, cos_r
+       |FROM r WHERE outlier_rank <= $k ORDER BY label, outlier_rank""".stripMargin
+
   // === covariance / second-moment matrix (PCA prep) ========================
   /** cov1: the embedding corpus's exact moment matrix — for every
     * dimension pair i <= j, the count and the exact sums of x_i, x_j
@@ -469,6 +521,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cov1_embedding_covariance" -> embeddingCovariance _,
+    "out1_label_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
     "sim5_int8_quantization" -> embeddingQuantization _,
     "sim1_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "sim2_label_centroids" -> labelCentroids _,
@@ -477,6 +530,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "cov1_embedding_covariance" -> embeddingCovarianceSql,
+    "out1_label_outliers" -> embeddingOutliersSql(),
     "sim5_int8_quantization" -> embeddingQuantizationSql,
     "sim1_cosine_topk" -> cosineTopKSql(),
     "sim2_label_centroids" -> labelCentroidsSql,
