@@ -945,6 +945,40 @@ object TextAnalysis {
        |  CAST(LEAST($budget, n - start_tok + 1) AS BIGINT) AS n_chunk_tokens
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // === repeated-span inventory =============================================
+  /** span1: the most widely repeated 5-gram spans across distinct
+    * documents — the boilerplate inventory a substring-level dedup or
+    * template-strip pass starts from (doc-level Jaccard like dd2 finds
+    * near-duplicate DOCUMENTS; this finds the repeated SPANS
+    * themselves). Reuses the dd2 shingle extraction (in-row n-gram
+    * transform, per-doc distinct), one map-side-combinable count
+    * keyed on the span, and a top-k that compiles to
+    * TakeOrderedAndProject — span strings only ever shuffle as
+    * (span, partial count) pairs.
+    */
+  def repeatedSpans(s: SparkSession, dir: String, n: Int = 5, minDocs: Int = 3,
+      k: Int = 25): DataFrame = {
+    Dedup.shingles(s, dir, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("shingle")).limit(k)
+  }
+
+  def repeatedSpansSql(n: Int = 5, minDocs: Int = 3, k: Int = 25): String = {
+    val terms = (0 until n).map(j => s"t[i+$j]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - ${n - 1}),
+       |           i -> concat_ws(' ', $terms))) AS shingle
+       |    FROM toks WHERE len(t) >= $n))
+       |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM sh GROUP BY shingle HAVING COUNT(*) >= $minDocs
+       |ORDER BY n_docs DESC, shingle LIMIT $k""".stripMargin
+  }
+
   // === corpus composition report ===========================================
   /** rep1: the per-(source, language) corpus report card — document and
     * token counts plus the quality-kept fraction, the first table a
@@ -1020,6 +1054,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk1_doc_spans" -> ((s: SparkSession, d: String) => docChunks(s, d)),
+    "span1_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedSpans(s, d)),
     "rep1_corpus_report" -> corpusReport _,
     "smp3_mixture_balance" -> mixtureBalance _,
     "tok1_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
@@ -1046,6 +1081,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "chunk1_doc_spans" -> docChunksSql(),
+    "span1_repeated_ngrams" -> repeatedSpansSql(),
     "rep1_corpus_report" -> corpusReportSql,
     "smp3_mixture_balance" -> mixtureBalanceSql,
     "tok1_vocab_coverage" -> vocabCoverageSql(),
