@@ -414,6 +414,53 @@ object Similarity {
           "i -> abs(v[i] - (vmin + q[i] * rng / 255.0)))) / len(v)", 6)} AS mean_abs_err
        |FROM c ORDER BY vec_id""".stripMargin
 
+  // === mutual-kNN graph ====================================================
+  /** sim6: the mutual k-nearest-neighbor graph over a vector subset —
+    * edges (a, b) where each is in the other's exact top-k by cosine,
+    * the symmetric graph density-based clustering and dedup-cluster
+    * seeding start from. Exact all-pairs is the correctness tier and is
+    * bounded here to the first 200 vectors (40k pairs); the 100 TB path
+    * swaps the candidate generator for sim3's LSH buckets and keeps the
+    * same rank + mutual-intersection tail. Edges are emitted once with
+    * a < b; ranking uses raw cosines (vectors come bit-identical off
+    * parquet on both engines — the sim1 argument) with n_id tiebreak.
+    */
+  def mutualKnn(s: SparkSession, dir: String, k: Int = 5, subset: Int = 200): DataFrame = {
+    val e = Par.fanOut(t(s, dir, "embeddings")
+      .filter(col("vec_id") < subset)
+      .select(col("vec_id"), vecD("embedding").as("v")))
+    val pairs = e.select(col("vec_id").as("a"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    val topk = pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("a"), col("b"), col("cos"))
+    val mutual = topk.as("x")
+      .join(topk.select(col("a").as("b2"), col("b").as("a2")).as("y"),
+        col("a") === col("a2") && col("b") === col("b2"))
+      .filter(col("a") < col("b"))
+    mutual.select(col("a"), col("b"), Exact.dround(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  def mutualKnnSql(k: Int = 5, subset: Int = 200): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id < $subset),
+       |p AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    list_dot_product(a.v, b.v)
+       |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+       |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |tk AS (SELECT a, b, cos FROM (
+       |         SELECT a, b, cos,
+       |           ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rnk
+       |         FROM p) WHERE rnk <= $k)
+       |SELECT x.a, x.b, ${Exact.sqlDround("x.cos", 6)} AS cos_sim
+       |FROM tk x JOIN tk y ON x.a = y.b AND x.b = y.a
+       |WHERE x.a < x.b ORDER BY x.a, x.b""".stripMargin
+
   // === per-label outliers (curation sweep) =================================
   /** out1: the k vectors least similar to their own label's centroid —
     * the mislabel/outlier sweep a curation pass runs before training on
@@ -522,6 +569,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cov1_embedding_covariance" -> embeddingCovariance _,
     "out1_label_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
+    "sim6_mutual_knn" -> ((s: SparkSession, d: String) => mutualKnn(s, d)),
     "sim5_int8_quantization" -> embeddingQuantization _,
     "sim1_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "sim2_label_centroids" -> labelCentroids _,
@@ -531,6 +579,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "cov1_embedding_covariance" -> embeddingCovarianceSql,
     "out1_label_outliers" -> embeddingOutliersSql(),
+    "sim6_mutual_knn" -> mutualKnnSql(),
     "sim5_int8_quantization" -> embeddingQuantizationSql,
     "sim1_cosine_topk" -> cosineTopKSql(),
     "sim2_label_centroids" -> labelCentroidsSql,
