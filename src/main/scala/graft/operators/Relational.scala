@@ -494,6 +494,168 @@ object Relational {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // === events: inter-arrival gaps ==========================================
+  /** ev12: per-event-type inter-arrival statistics — the gap between a
+    * user's consecutive events of one type, aggregated per type. The
+    * sequence window partitions by (user_id, event_type) — one shuffle,
+    * per-user state bounded — and the final aggregate is map-side
+    * combinable integer moments; the avg is one IEEE division over
+    * exact integer operands (bit-identical on both engines).
+    */
+  def interArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        (sum(col("gap_us")).cast(DoubleType) / count(lit(1))).as("avg_gap_us"))
+      .select(col("event_type"), col("n_gaps").cast(LongType),
+        col("min_gap_us").cast(LongType).as("min_gap_us"),
+        col("max_gap_us").cast(LongType).as("max_gap_us"), col("avg_gap_us"))
+      .orderedSmall(col("event_type"))
+  }
+
+  val interArrivalSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+      |          OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+      |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+      |  CAST(CAST(SUM(gap_us) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // === events: RFM user segmentation =======================================
+  /** ev13: recency/frequency/monetary segmentation per user with FIXED
+    * threshold buckets (no global ranking — an ntile over all users
+    * would need a full sort of the user set; thresholds keep the whole
+    * operator one map-combinable groupBy plus a broadcast one-row "now"
+    * scalar, so it scales to any user cardinality). Monetary compares
+    * in exact micros; the reported value is the Exact-scheme double.
+    */
+  def userRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val now = ev.agg(max(unix_micros(col("ts"))).as("now_us"))
+    val dayUs = 86400000000L
+    ev.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"),
+        Exact.msum(col("value")).as("mv"))
+      .crossJoin(broadcast(now))
+      // integer-micros difference / double day length: one IEEE division
+      .withColumn("recency_days",
+        floor((col("now_us") - col("last_us")) / lit(dayUs.toDouble)).cast(LongType))
+      .withColumn("r_score",
+        when(col("recency_days") <= 7, 4).when(col("recency_days") <= 30, 3)
+          .when(col("recency_days") <= 90, 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("n_events") >= 20, 4).when(col("n_events") >= 10, 3)
+          .when(col("n_events") >= 5, 2).otherwise(1))
+      .withColumn("m_score",
+        when(col("mv") >= 5000L * 1000000L, 4).when(col("mv") >= 1000L * 1000000L, 3)
+          .when(col("mv") >= 100L * 1000000L, 2).otherwise(1))
+      .select(col("user_id"), col("recency_days"),
+        col("n_events").cast(LongType).as("n_events"),
+        Exact.toUnits(col("mv")).as("monetary"),
+        col("r_score").cast(IntegerType).as("r_score"),
+        col("f_score").cast(IntegerType).as("f_score"),
+        col("m_score").cast(IntegerType).as("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .cast(IntegerType).as("rfm_code"))
+      .orderBy(col("user_id"))
+  }
+
+  val userRfmSql: String = {
+    val mv = Exact.sqlMsum("value")
+    s"""WITH now_t AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS now_us FROM events),
+       |u AS (SELECT user_id, MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+       |        COUNT(*) AS n_events, $mv AS mv
+       |      FROM events GROUP BY user_id),
+       |b AS (SELECT user_id, n_events, mv,
+       |        CAST(FLOOR((now_us - last_us) / 86400000000.0) AS BIGINT) AS recency_days
+       |      FROM u CROSS JOIN now_t),
+       |sc AS (SELECT user_id, recency_days, n_events, mv,
+       |        CASE WHEN recency_days <= 7 THEN 4 WHEN recency_days <= 30 THEN 3
+       |             WHEN recency_days <= 90 THEN 2 ELSE 1 END AS r_score,
+       |        CASE WHEN n_events >= 20 THEN 4 WHEN n_events >= 10 THEN 3
+       |             WHEN n_events >= 5 THEN 2 ELSE 1 END AS f_score,
+       |        CASE WHEN mv >= 5000000000 THEN 4 WHEN mv >= 1000000000 THEN 3
+       |             WHEN mv >= 100000000 THEN 2 ELSE 1 END AS m_score
+       |      FROM b)
+       |SELECT user_id, recency_days, CAST(n_events AS BIGINT) AS n_events,
+       |  ${Exact.sqlToUnits("mv")} AS monetary,
+       |  CAST(r_score AS INTEGER) AS r_score, CAST(f_score AS INTEGER) AS f_score,
+       |  CAST(m_score AS INTEGER) AS m_score,
+       |  CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_code
+       |FROM sc ORDER BY user_id""".stripMargin
+  }
+
+  // === table profiling: correlation matrix =================================
+  /** prof2: pairwise Pearson correlation of the lineitem numeric
+    * columns from ONE aggregate pass — the second half of the ANALYZE
+    * surface next to prof1. All C(4,2)+4 moment sums accumulate in a
+    * single map-side-combinable aggregate (stat2's exact-micros
+    * scheme), so the table is scanned once at any scale; the 6-row
+    * matrix unpivots from the one-row result via stack().
+    */
+  private val corrColumns = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = for {
+      i <- corrColumns.indices; j <- corrColumns.indices if i <= j
+    } yield (corrColumns(i), corrColumns(j))
+    val aggCols = corrColumns.map(c => Exact.msum(col(c)).as(s"s_$c")) ++
+      pairs.map { case (a, b) => Exact.msum(col(a) * col(b)).as(s"p_${a}_$b") }
+    val cross = pairs.filter { case (a, b) => a != b }
+    val corrCols = cross.map { case (a, b) =>
+      val nd = col("n").cast(DoubleType)
+      val sa = Exact.toUnits(col(s"s_$a")); val sb = Exact.toUnits(col(s"s_$b"))
+      val saa = Exact.toUnits(col(s"p_${a}_$a")); val sbb = Exact.toUnits(col(s"p_${b}_$b"))
+      val sab = Exact.toUnits(col(s"p_${a}_$b"))
+      Exact.dround((nd * sab - sa * sb) /
+        sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb)), 6).as(s"c_${a}_$b")
+    }
+    val stackArgs = cross.map { case (a, b) => s"'$a', '$b', c_${a}_$b" }.mkString(", ")
+    t(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .select(col("n") +: corrCols: _*)
+      .select(col("n").cast(LongType),
+        expr(s"stack(${cross.length}, $stackArgs) AS (column_x, column_y, corr)"))
+      .select(col("column_x"), col("column_y"), col("n"), col("corr"))
+      .orderedSmall(col("column_x"), col("column_y"))
+  }
+
+  val corrMatrixSql: String = {
+    val pairs = for {
+      i <- corrColumns.indices; j <- corrColumns.indices if i <= j
+    } yield (corrColumns(i), corrColumns(j))
+    val aggFrags = corrColumns.map(c => s"${Exact.sqlMsum(c)} AS s_$c") ++
+      pairs.map { case (a, b) => s"${Exact.sqlMsum(s"$a * $b")} AS p_${a}_$b" }
+    val cross = pairs.filter { case (a, b) => a != b }
+    def u(m: String) = Exact.sqlToUnits(m)
+    val rows = cross.map { case (a, b) =>
+      val corr = Exact.sqlDround(
+        s"""(CAST(n AS DOUBLE) * ${u(s"p_${a}_$b")} - ${u(s"s_$a")} * ${u(s"s_$b")})
+           |      / sqrt((CAST(n AS DOUBLE) * ${u(s"p_${a}_$a")} - ${u(s"s_$a")} * ${u(s"s_$a")})
+           |             * (CAST(n AS DOUBLE) * ${u(s"p_${b}_$b")} - ${u(s"s_$b")} * ${u(s"s_$b")}))""".stripMargin, 6)
+      s"""SELECT '$a' AS column_x, '$b' AS column_y, CAST(n AS BIGINT) AS n,
+         |  $corr AS corr FROM a""".stripMargin
+    }
+    s"""WITH a AS (SELECT COUNT(*) AS n, ${aggFrags.mkString(",\n  ")} FROM lineitem)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY column_x, column_y""".stripMargin
+  }
+
   // === events: JSON property extraction ====================================
   def eventsJson(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").filter(col("event_id") < 1000)
@@ -645,6 +807,9 @@ object Relational {
     "ev10_event_transitions" -> eventTransitions _,
     "ev11_hourly_anomalies" -> eventAnomalies _,
     "prof1_table_profile" -> tableProfile _,
+    "prof2_corr_matrix" -> corrMatrix _,
+    "ev12_interarrival" -> interArrival _,
+    "ev13_user_rfm" -> userRfm _,
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
@@ -664,6 +829,9 @@ object Relational {
     "ev10_event_transitions" -> eventTransitionsSql,
     "ev11_hourly_anomalies" -> eventAnomaliesSql,
     "prof1_table_profile" -> tableProfileSql,
+    "prof2_corr_matrix" -> corrMatrixSql,
+    "ev12_interarrival" -> interArrivalSql,
+    "ev13_user_rfm" -> userRfmSql,
     "ev9_trailing_spend" -> trailingSpendSql,
     "ev3_json_extract" -> eventsJsonSql)
 }
