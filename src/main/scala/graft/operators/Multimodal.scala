@@ -148,9 +148,41 @@ object Multimodal {
       | CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** mm5: exact payload dedup map — every group of byte-identical media
+    * payloads keyed by md5 digest, with its copy count and the lowest
+    * doc_id as group representative (the media twin of dd1: the first
+    * dedup pass any multimodal corpus runs, since byte-identical assets
+    * are the dominant duplicate class in web crawls; a keep-list is a
+    * semi join of this map back to the corpus). The digest is computed
+    * AT THE SCAN (map-only); only the 32-hex digest and two longs
+    * shuffle — payload bytes never cross the wire, the same
+    * no-payload-shuffle invariant mm4 pins. The oracle hashes the text
+    * form directly (DuckDB's md5 is VARCHAR-only) — identical UTF-8
+    * bytes, identical digest.
+    */
+  def payloadDedup(s: SparkSession, dir: String): DataFrame =
+    payloads(s, dir)
+      .select(col("doc_id"), md5(col("payload")).as("payload_md5"),
+        col("meta.n_bytes").as("n_bytes"))
+      .groupBy(col("payload_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"),
+        max(col("n_bytes")).cast(LongType).as("n_bytes"))
+      .select(col("payload_md5"), col("n_copies").cast(LongType).as("n_copies"),
+        col("keep_doc_id"), col("n_bytes"))
+      .orderBy(col("payload_md5"))
+
+  val payloadDedupSql: String =
+    """SELECT md5(text) AS payload_md5,
+      | CAST(COUNT(*) AS BIGINT) AS n_copies,
+      | MIN(doc_id) AS keep_doc_id,
+      | CAST(MAX(octet_length(encode(text))) AS BIGINT) AS n_bytes
+      |FROM documents GROUP BY 1
+      |ORDER BY payload_md5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm2_decode_features" -> decodeFeatures _,
     "mm3_frame_sample" -> ((s: SparkSession, d: String) => sampleFrames(s, d)),
+    "mm5_payload_dedup" -> payloadDedup _,
     "mm4_meta_stats" -> metaStats _)
 
   /** mm3 oracle: the frame-sampling slice plumbing is pure byte
@@ -212,5 +244,6 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm2_decode_features" -> decodeFeaturesSql,
     "mm3_frame_sample" -> sampleFramesSql,
+    "mm5_payload_dedup" -> payloadDedupSql,
     "mm4_meta_stats" -> metaStatsSql)
 }

@@ -566,7 +566,60 @@ object Similarity {
        |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
 
+  // === k-means: one Lloyd assignment step ==================================
+  /** km1: the assignment step of Lloyd's k-means over the embedding
+    * corpus — every vector assigned to its nearest of k deterministic
+    * seed centroids (the k lowest vec_ids; cosine metric), reported as
+    * per-cluster membership counts with mean and minimum assignment
+    * similarity. This is the building block of distributed k-means
+    * (iterating = re-running with updated centroids, the sim4/IVF
+    * training loop) and of cluster-balanced corpus sampling. Engine
+    * parity: each cosine is rounded once to 6 decimals (absorbing
+    * summation-order ulp), ties break toward the lower seed id, and
+    * the per-cluster mean divides an exact micros sum by the count in
+    * one IEEE division. Shape at 100 TB: k seed vectors broadcast; the
+    * assignment argmin is a row_number window over k rows per vec_id
+    * (one shuffle of (vec_id, cluster, cos) triples — vectors
+    * themselves never shuffle); the final aggregate's key space is k.
+    */
+  def kmeansAssign(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = Par.fanOut(t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v")))
+    val seeds = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_r").desc, col("cluster"))
+    e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cluster"),
+        Exact.dround(cosine(col("v"), col("cv")), 6).as("cos_r"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        Exact.msum(col("cos_r")).as("sc"),
+        min(col("cos_r")).as("min_cos"))
+      .select(col("cluster"), col("n_members").cast(LongType).as("n_members"),
+        (Exact.toUnits(col("sc")) / col("n_members").cast(DoubleType)).as("avg_cos"),
+        col("min_cos"))
+      .orderBy(col("cluster"))
+  }
+
+  def kmeansAssignSql(k: Int = 8): String = {
+    val cos = "list_dot_product(v, cv) / sqrt(list_dot_product(v, v) * list_dot_product(cv, cv))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $k),
+       |p AS (
+       |  SELECT e.vec_id, cluster, ${Exact.sqlDround(cos, 6)} AS cos_r
+       |  FROM e CROSS JOIN s),
+       |r AS (SELECT vec_id, cluster, cos_r,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cluster) AS rnk
+       |      FROM p)
+       |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  ${Exact.sqlToUnits(Exact.sqlMsum("cos_r"))} / CAST(COUNT(*) AS DOUBLE) AS avg_cos,
+       |  MIN(cos_r) AS min_cos
+       |FROM r WHERE rnk = 1 GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "km1_kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
     "cov1_embedding_covariance" -> embeddingCovariance _,
     "out1_label_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
     "sim6_mutual_knn" -> ((s: SparkSession, d: String) => mutualKnn(s, d)),
@@ -577,6 +630,7 @@ object Similarity {
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "km1_kmeans_assign" -> kmeansAssignSql(),
     "cov1_embedding_covariance" -> embeddingCovarianceSql,
     "out1_label_outliers" -> embeddingOutliersSql(),
     "sim6_mutual_knn" -> mutualKnnSql(),

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import Par.BoundedOrder
+
 /** Text-analysis operators for a large-scale training-data pipeline
   * (beyond-reference additions, SURVEY §7.5): token counting, quality
   * scoring, n-gram-heuristic language ID, and document fingerprinting.
@@ -1052,7 +1054,209 @@ object TextAnalysis {
       |SELECT doc_id, lang, rate FROM f WHERE keep_frac < rate
       |ORDER BY doc_id""".stripMargin
 
+  // === character-class profile =============================================
+  /** txt13: per-document character-class fractions (digits, uppercase,
+    * whitespace, punctuation) — the casing/symbol-noise quality signals
+    * next to txt1's token stats. Counts are length deltas after
+    * stripping each class (one regex pass per class, map-only); each
+    * fraction is a single IEEE division over identical integer operands
+    * on both engines.
+    */
+  def docCharClasses(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text"))
+    def cnt(pat: String) = n - length(regexp_replace(col("text"), pat, ""))
+    def frac(c: Column) =
+      when(col("n_chars") > 0, c.cast(DoubleType) / col("n_chars")).otherwise(lit(null))
+    dFan(s, dir)
+      .select(col("doc_id"),
+        n.cast(IntegerType).as("n_chars"),
+        cnt("[0-9]").cast(IntegerType).as("n_digits"),
+        cnt("[A-Z]").cast(IntegerType).as("n_upper"),
+        cnt("\\s").cast(IntegerType).as("n_space"),
+        cnt("[^a-zA-Z0-9\\s]").cast(IntegerType).as("n_punct"))
+      .withColumn("digit_frac", frac(col("n_digits")))
+      .withColumn("upper_frac", frac(col("n_upper")))
+      .withColumn("punct_frac", frac(col("n_punct")))
+      .orderBy(col("doc_id"))
+  }
+
+  val docCharClassesSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digits,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INTEGER) AS n_upper,
+      |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS INTEGER) AS n_space,
+      |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS INTEGER) AS n_punct
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_digits, n_upper, n_space, n_punct,
+      |  CASE WHEN n_chars > 0 THEN CAST(n_digits AS DOUBLE) / n_chars ELSE NULL END AS digit_frac,
+      |  CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE) / n_chars ELSE NULL END AS upper_frac,
+      |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE NULL END AS punct_frac
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // === token-count histogram ===============================================
+  /** hist1: per-source histogram of document token counts in fixed
+    * 16-token buckets with an overflow bucket — the length-distribution
+    * profile a curation pass reads before choosing packing budgets and
+    * length filters. Integer bucket arithmetic only; one map-side
+    * combinable groupBy whose key space is sources × 9 buckets.
+    */
+  def tokenHistogram(s: SparkSession, dir: String, width: Int = 16, maxBucket: Int = 8): DataFrame = {
+    val bucket = least(floor(tokenCount(col("text")) / lit(width.toDouble)).cast(IntegerType),
+      lit(maxBucket))
+    Par.fanOut(t(s, dir, "documents").select(col("source"), col("text")))
+      .select(col("source"), bucket.as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("bucket"), col("n_docs").cast(LongType).as("n_docs"),
+        (col("bucket") * width).as("lo_tokens"),
+        when(col("bucket") < maxBucket, (col("bucket") + 1) * width)
+          .otherwise(lit(null)).as("hi_tokens"))
+      .orderedSmall(col("source"), col("bucket"))
+  }
+
+  def tokenHistogramSql(width: Int = 16, maxBucket: Int = 8): String =
+    s"""WITH b AS (
+       |  SELECT source,
+       |    least(CAST(FLOOR(CAST(length(string_split_regex(lower(trim(text)), '\\s+'))
+       |                          AS INTEGER) / $width.0) AS INTEGER), $maxBucket) AS bucket
+       |  FROM documents)
+       |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  bucket * $width AS lo_tokens,
+       |  CASE WHEN bucket < $maxBucket THEN (bucket + 1) * $width ELSE NULL END AS hi_tokens
+       |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+
+  // === PII scan / redaction ================================================
+  /** red1: per-document PII detection counts (emails, dashed/dotted
+    * phone numbers, IPv4 addresses) plus the length of the text after
+    * redacting all three — the scrubbing stage every public-corpus
+    * pipeline runs before release. Patterns are written in the common
+    * subset of Java regex and RE2 (character classes, bounded repeats,
+    * word boundaries; no backreferences or lookaround), so both engines
+    * match identical spans. Map-only, one pass, text never shuffles.
+    */
+  val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def docPiiScan(s: SparkSession, dir: String): DataFrame = {
+    val lo = lower(col("text"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(lo, emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>"),
+      ipv4Pat, "<IP>")
+    dFan(s, dir)
+      .select(col("doc_id"),
+        regexp_count(lo, lit(emailPat)).cast(IntegerType).as("n_emails"),
+        regexp_count(lo, lit(phonePat)).cast(IntegerType).as("n_phones"),
+        regexp_count(lo, lit(ipv4Pat)).cast(IntegerType).as("n_ips"),
+        length(redacted).cast(IntegerType).as("redacted_len"))
+      .withColumn("has_pii", (col("n_emails") + col("n_phones") + col("n_ips")) > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val docPiiScanSql: String = {
+    // RE2 needs the same escapes; single-quoted SQL literals keep one backslash
+    val (e, p, i) = ("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+      "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+    s"""SELECT doc_id,
+       |  CAST(length(regexp_extract_all(lower(text), '$e')) AS INTEGER) AS n_emails,
+       |  CAST(length(regexp_extract_all(lower(text), '$p')) AS INTEGER) AS n_phones,
+       |  CAST(length(regexp_extract_all(lower(text), '$i')) AS INTEGER) AS n_ips,
+       |  CAST(length(regexp_replace(regexp_replace(regexp_replace(lower(text),
+       |    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$i', '<IP>', 'g'))
+       |    AS INTEGER) AS redacted_len,
+       |  (length(regexp_extract_all(lower(text), '$e'))
+       |   + length(regexp_extract_all(lower(text), '$p'))
+       |   + length(regexp_extract_all(lower(text), '$i'))) > 0 AS has_pii
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // === BM25 retrieval scoring ==============================================
+  /** srch1: BM25 document ranking for the corpus's own top non-stopword
+    * terms — the retrieval-scoring surface (quality-classifier features,
+    * seed-document search) on top of the txt12 tf/df machinery. The
+    * query is data-derived but deterministic: the nTerms most frequent
+    * non-stopword tokens (ties by token text). Per-(doc, term) BM25
+    * contributions are micros-rounded (one rounding absorbs libm ulp,
+    * the txt11/txt12 argument) and summed as integers, so the final
+    * ranking is engine-stable. Shape at 100 TB: tf/df are the txt12
+    * wordcount shuffles; the query-term and corpus-stats sides are
+    * broadcast scalars; the final top-k is TakeOrdered, never a global
+    * sort.
+    */
+  def bm25TopDocs(s: SparkSession, dir: String, k: Int = 50, nTerms: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ex = dFan(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+    // top-k over the vocabulary = TakeOrdered, never a global sort
+    val qterms = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(!col("tok").isInCollection(stopwords) && length(col("tok")) > 0)
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(nTerms)
+      .select(col("tok"))
+    // identical IEEE sequence on both engines: idf and the length-normalized
+    // saturation computed in doubles, ONE micros rounding per (doc, term)
+    val nd = col("n_docs").cast(DoubleType)
+    val dfd = col("df").cast(DoubleType)
+    val avgdl = col("total_toks").cast(DoubleType) / nd
+    val idf = log(lit(1.0) + (nd - dfd + lit(0.5)) / (dfd + lit(0.5)))
+    val tfd = col("tf").cast(DoubleType)
+    val sat = tfd * lit(k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    val scoreM = floor(idf * sat * 1000000L + 0.5).cast(LongType)
+    tf.join(qterms, "tok")
+      .join(df, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"), sum(scoreM).as("score_m"))
+      .select(col("doc_id"), col("n_terms_matched").cast(LongType).as("n_terms_matched"),
+        col("score_m").cast(LongType).as("score_m"))
+      .orderBy(col("score_m").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def bm25TopDocsSql(k: Int = 50, nTerms: Int = 5, k1: Double = 1.2, b: Double = 0.75): String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH ex AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY 1),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_toks FROM dl),
+       |q AS (SELECT tok FROM ex
+       |  WHERE tok NOT IN ($stopList) AND length(tok) > 0
+       |  GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT $nTerms),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(FLOOR(
+       |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |               / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * ${k1 + 1.0}
+       |         / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b
+       |              * (CAST(dl AS DOUBLE)
+       |                 / (CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |      * 1000000 + 0.5) AS BIGINT) AS score_m
+       |  FROM tf JOIN q USING (tok) JOIN df USING (tok)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       |  CAST(SUM(score_m) AS BIGINT) AS score_m
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score_m DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt13_char_classes" -> docCharClasses _,
+    "hist1_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
+    "red1_pii_scan" -> docPiiScan _,
+    "srch1_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopDocs(s, d)),
     "chunk1_doc_spans" -> ((s: SparkSession, d: String) => docChunks(s, d)),
     "span1_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedSpans(s, d)),
     "rep1_corpus_report" -> corpusReport _,
@@ -1080,6 +1284,10 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "txt13_char_classes" -> docCharClassesSql,
+    "hist1_token_histogram" -> tokenHistogramSql(),
+    "red1_pii_scan" -> docPiiScanSql,
+    "srch1_bm25_topk" -> bm25TopDocsSql(),
     "chunk1_doc_spans" -> docChunksSql(),
     "span1_repeated_ngrams" -> repeatedSpansSql(),
     "rep1_corpus_report" -> corpusReportSql,
