@@ -461,6 +461,95 @@ object Similarity {
        |FROM tk x JOIN tk y ON x.a = y.b AND x.b = y.a
        |WHERE x.a < x.b ORDER BY x.a, x.b""".stripMargin
 
+  // === PageRank over the kNN graph =========================================
+  /** pr1: two damped PageRank iterations over the directed exact-kNN
+    * graph of the sim6 vector subset — the centrality score a curation
+    * pass uses to pick representative documents per semantic
+    * neighborhood (and the seed ordering for dd7-style cluster
+    * canonicalization). Every node has exactly k out-edges by
+    * construction, so there is no dangling mass and out-degree is the
+    * constant k. Engine parity: ranks start uniform at 1/N; each
+    * iteration's incoming contributions are rounded once to integer
+    * NANOS and summed as integers (the msum argument at 1e9 precision —
+    * rank mass per node is < 1, so the sum stays far below 2^63), and
+    * the damping update is the identical IEEE sequence on both engines.
+    * Exact all-pairs kNN is the bounded correctness tier (sim6); the
+    * 100 TB path swaps in sim3's LSH candidates and keeps the
+    * iteration, which is the standard join + map-side-combinable
+    * aggregate per round over (src, dst) pairs — never the vectors.
+    */
+  def pageRank(s: SparkSession, dir: String, k: Int = 5, subset: Int = 200,
+      damping: Double = 0.85): DataFrame = {
+    val oneMinusD = 1.0 - damping
+    val e = Par.fanOut(t(s, dir, "embeddings")
+      .filter(col("vec_id") < subset)
+      .select(col("vec_id"), vecD("embedding").as("v")))
+    val pairs = e.select(col("vec_id").as("a"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    val edges = pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val nodes = e.select(col("vec_id"))
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    val nd = col("nn").cast(DoubleType)
+    def nanos(c: Column): Column = floor(c * 1000000000L + 0.5).cast(LongType)
+    def damp(sumNanos: Column): Column =
+      lit(oneMinusD) / nd + lit(damping) * (sumNanos.cast(DoubleType) / lit(1000000000.0))
+    // iteration 1: uniform start, every edge carries (1/N)/k
+    val r1 = edges.crossJoin(broadcast(nn))
+      .select(col("dst"), nanos((lit(1.0) / nd) / lit(k.toDouble)).as("t"))
+      .groupBy(col("dst")).agg(sum(col("t")).as("s1"))
+    val p1 = nodes.crossJoin(broadcast(nn))
+      .join(r1, col("vec_id") === col("dst"), "left")
+      .select(col("vec_id"), damp(coalesce(col("s1"), lit(0L))).as("pr1"))
+    // iteration 2: redistribute the iteration-1 ranks
+    val r2 = edges.join(p1, col("src") === p1("vec_id"))
+      .select(col("dst"), nanos(col("pr1") / lit(k.toDouble)).as("t"))
+      .groupBy(col("dst")).agg(sum(col("t")).as("s2"), count(lit(1)).as("n_in"))
+    nodes.crossJoin(broadcast(nn))
+      .join(r2, col("vec_id") === col("dst"), "left")
+      .select(col("vec_id"),
+        Exact.dround(damp(coalesce(col("s2"), lit(0L))), 9).as("pagerank"),
+        coalesce(col("n_in"), lit(0L)).cast(LongType).as("n_in"))
+      .orderBy(col("vec_id"))
+  }
+
+  def pageRankSql(k: Int = 5, subset: Int = 200, damping: Double = 0.85): String = {
+    val oneMinusD = 1.0 - damping
+    val kd = k.toDouble
+    def damp(s: String) =
+      s"$oneMinusD/CAST(nn AS DOUBLE) + $damping*(CAST($s AS DOUBLE)/1000000000.0)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id < $subset),
+       |n AS (SELECT COUNT(*) AS nn FROM e),
+       |p AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    list_dot_product(a.v, b.v)
+       |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+       |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |tk AS (SELECT a AS src, b AS dst FROM (
+       |         SELECT a, b,
+       |           ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rnk
+       |         FROM p) WHERE rnk <= $k),
+       |r1 AS (SELECT dst,
+       |         SUM(CAST(FLOOR(((1.0/CAST(nn AS DOUBLE))/$kd)*1000000000+0.5) AS BIGINT)) AS s1
+       |       FROM tk CROSS JOIN n GROUP BY dst),
+       |p1 AS (SELECT e.vec_id, ${damp("COALESCE(s1, 0)")} AS pr1
+       |       FROM e CROSS JOIN n LEFT JOIN r1 ON e.vec_id = r1.dst),
+       |r2 AS (SELECT dst,
+       |         SUM(CAST(FLOOR((pr1/$kd)*1000000000+0.5) AS BIGINT)) AS s2,
+       |         COUNT(*) AS n_in
+       |       FROM tk JOIN p1 ON tk.src = p1.vec_id GROUP BY dst)
+       |SELECT e.vec_id,
+       |  ${Exact.sqlDround(damp("COALESCE(s2, 0)"), 9)} AS pagerank,
+       |  CAST(COALESCE(n_in, 0) AS BIGINT) AS n_in
+       |FROM e CROSS JOIN n LEFT JOIN r2 ON e.vec_id = r2.dst
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // === per-label outliers (curation sweep) =================================
   /** out1: the k vectors least similar to their own label's centroid —
     * the mislabel/outlier sweep a curation pass runs before training on
@@ -620,6 +709,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "km1_kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
+    "pr1_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "cov1_embedding_covariance" -> embeddingCovariance _,
     "out1_label_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
     "sim6_mutual_knn" -> ((s: SparkSession, d: String) => mutualKnn(s, d)),
@@ -631,6 +721,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "km1_kmeans_assign" -> kmeansAssignSql(),
+    "pr1_pagerank" -> pageRankSql(),
     "cov1_embedding_covariance" -> embeddingCovarianceSql,
     "out1_label_outliers" -> embeddingOutliersSql(),
     "sim6_mutual_knn" -> mutualKnnSql(),

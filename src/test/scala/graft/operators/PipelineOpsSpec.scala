@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-10 operator additions (ev12 inter-arrival,
+  * ev13 RFM, prof2 correlation matrix, txt13 char classes, hist1 token
+  * histogram, red1 PII scan, srch1 BM25, mm5 payload dedup, km1 k-means
+  * assignment). Value-level correctness is hash-checked against the
+  * DuckDB oracle by the driver gate; these pin the structural properties
+  * the oracle compare can't express.
+  */
+class PipelineOpsSpec extends SparkTestBase {
+
+  test("ev12: gap counts reconcile; min <= avg <= max") {
+    val ia = Relational.interArrival(spark, sfDir).cache()
+    val ev = graft.Engine.table(spark, sfDir, "events")
+    // per type, #gaps = #events - #(user, type) sequences
+    val expected = ev.groupBy(col("event_type"))
+      .agg((count(lit(1)) - countDistinct(col("user_id"))).as("exp_gaps"))
+    val off = ia.join(expected, "event_type").filter(col("n_gaps") =!= col("exp_gaps"))
+    assert(off.isEmpty, off.collect().mkString(","))
+    assert(ia.filter(col("min_gap_us") > col("avg_gap_us") ||
+      col("avg_gap_us") > col("max_gap_us")).isEmpty)
+    assert(ia.filter(col("min_gap_us") < 0).isEmpty, "events are time-ordered per user")
+    ia.unpersist()
+  }
+
+  test("ev13: one row per user; scores in 1..4 and the code composes them") {
+    val rfm = Relational.userRfm(spark, sfDir).cache()
+    val users = graft.Engine.table(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rfm.count() == users)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      assert(rfm.filter(col(c) < 1 || col(c) > 4).isEmpty, c)
+    }
+    assert(rfm.filter(col("rfm_code") =!=
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))).isEmpty)
+    assert(rfm.filter(col("recency_days") < 0).isEmpty,
+      "recency is measured from the corpus max timestamp")
+    rfm.unpersist()
+  }
+
+  test("prof2: six upper-triangle pairs, corr in [-1,1], matches built-in corr") {
+    val m = Relational.corrMatrix(spark, sfDir).cache()
+    assert(m.count() == 6)
+    assert(m.filter(col("corr") < -1.0 || col("corr") > 1.0).isEmpty)
+    // cross-check one cell against Spark's own streaming corr (float
+    // merge order differs, hence tolerance, not equality)
+    val builtin = graft.Engine.table(spark, sfDir, "lineitem")
+      .agg(corr(col("l_quantity"), col("l_extendedprice"))).collect()(0).getDouble(0)
+    val exact = m.filter(col("column_x") === "l_quantity" &&
+      col("column_y") === "l_extendedprice").collect()(0).getAs[Double]("corr")
+    assert(math.abs(builtin - exact) < 1e-4, s"$builtin vs $exact")
+    m.unpersist()
+  }
+
+  test("txt13: class counts partition within the character budget") {
+    val cc = TextAnalysis.docCharClasses(spark, sfDir).cache()
+    // digits/upper/space/punct are disjoint classes: their sum never
+    // exceeds the length (lowercase letters are the remainder)
+    assert(cc.filter(col("n_digits") + col("n_upper") + col("n_space") + col("n_punct")
+      > col("n_chars")).isEmpty)
+    Seq("digit_frac", "upper_frac", "punct_frac").foreach { c =>
+      assert(cc.filter(col(c) < 0.0 || col(c) > 1.0).isEmpty, c)
+    }
+    cc.unpersist()
+  }
+
+  test("hist1: buckets cover the corpus exactly and edges are consistent") {
+    val hist = TextAnalysis.tokenHistogram(spark, sfDir).cache()
+    val total = hist.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(total == graft.Engine.table(spark, sfDir, "documents").count())
+    assert(hist.filter(col("bucket") < 0 || col("bucket") > 8).isEmpty)
+    assert(hist.filter(col("lo_tokens") =!= col("bucket") * 16).isEmpty)
+    assert(hist.filter(col("bucket") < 8 && col("hi_tokens") =!= (col("bucket") + 1) * 16).isEmpty)
+    hist.unpersist()
+  }
+
+  test("red1: has_pii mirrors the counts; clean docs keep their length") {
+    val pii = TextAnalysis.docPiiScan(spark, sfDir).cache()
+    assert(pii.filter(col("has_pii") =!=
+      ((col("n_emails") + col("n_phones") + col("n_ips")) > 0)).isEmpty)
+    val docs = graft.Engine.table(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).as("orig_len"))
+    // lower() preserves length, so an unredacted doc's length is unchanged
+    val clean = pii.filter(!col("has_pii")).join(docs, "doc_id")
+    assert(clean.filter(col("redacted_len") =!= col("orig_len")).isEmpty)
+    pii.unpersist()
+  }
+
+  test("srch1: scores positive and ranked, term matches within the query size") {
+    val top = TextAnalysis.bm25TopDocs(spark, sfDir).collect()
+    assert(top.nonEmpty && top.length <= 50)
+    assert(top.forall(r => r.getAs[Long]("score_m") > 0))
+    assert(top.forall { r =>
+      val m = r.getAs[Long]("n_terms_matched"); m >= 1 && m <= 5
+    })
+    // descending by score with doc_id tiebreak
+    val scores = top.map(r => (r.getAs[Long]("score_m"), r.getAs[Long]("doc_id")))
+    assert(scores.sliding(2).forall {
+      case Array((s1, d1), (s2, d2)) => s1 > s2 || (s1 == s2 && d1 < d2)
+      case _ => true
+    })
+  }
+
+  test("mm5: the dedup map covers every payload exactly once") {
+    val dedup = Multimodal.payloadDedup(spark, sfDir).cache()
+    val nDocs = graft.Engine.table(spark, sfDir, "documents").count()
+    assert(dedup.agg(sum(col("n_copies"))).collect()(0).getLong(0) == nDocs)
+    assert(dedup.filter(col("n_copies") < 1).isEmpty)
+    assert(dedup.select(col("payload_md5")).distinct().count() == dedup.count())
+    dedup.unpersist()
+  }
+
+  test("pr1: rank mass conserves and in-degrees total k per node") {
+    val k = 5
+    val pr = Similarity.pageRank(spark, sfDir, k).cache()
+    val nVecs = pr.count()
+    // no dangling nodes (every node emits exactly k edges), so total
+    // mass stays (1-d) + d = 1, up to the per-edge nanos rounding
+    val mass = pr.agg(sum(col("pagerank"))).collect()(0).getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-5, s"mass $mass")
+    val inSum = pr.agg(sum(col("n_in"))).collect()(0).getLong(0)
+    assert(inSum == k * nVecs, s"$inSum vs ${k * nVecs}")
+    assert(pr.filter(col("pagerank") <= 0.0).isEmpty)
+    pr.unpersist()
+  }
+
+  test("km1: memberships cover the corpus; every seed stays in its own cluster") {
+    val k = 8
+    val km = Similarity.kmeansAssign(spark, sfDir, k).cache()
+    val nVecs = graft.Engine.table(spark, sfDir, "embeddings").count()
+    assert(km.agg(sum(col("n_members"))).collect()(0).getLong(0) == nVecs)
+    assert(km.filter(col("cluster") < 0 || col("cluster") >= k).isEmpty)
+    // a seed's cosine with itself is 1.0 — the maximum — so every seed
+    // cluster is non-empty and its max similarity is 1 => avg <= 1
+    assert(km.count() == k, "all seed clusters non-empty")
+    assert(km.filter(col("min_cos") > col("avg_cos") || col("avg_cos") > 1.0).isEmpty)
+    km.unpersist()
+  }
+}
