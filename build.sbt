@@ -29,5 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ sys.env.get("SPARK_DRIVER_GC").map(g => s"-XX:+Use${g}GC").toSeq
+  // Parallel (throughput) GC beats the JDK-17 G1 default on the
+  // 4-terminal bench window: paired A/B runs read 6.37/7.66 vs
+  // 5.69/7.15 req/s (+9% mean). A 16g heap REGRESSES G1 (4.3/3.2) —
+  // keep 8g unless overridden.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_DRIVER_GC", "Parallel")}GC",
+)
 
