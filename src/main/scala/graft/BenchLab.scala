@@ -73,9 +73,12 @@ object BenchLab {
       if (flags("reopt")) org.apache.spark.sql.graft.PlanReuse.reoptimized(cs, df)
       else org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, df)
 
-    // warmup: one full mix pass per terminal, concurrently
+    // warmup: one full mix pass per terminal, concurrently (two with the
+    // warm2 flag — closer to BenchBase's 30 s warmup on a cold JVM)
+    val warmPasses = if (flags("warm2")) 2 else 1
     val warm = sessions.zip(preparedPer).map { case (cs, prepared) =>
-      val th = new Thread(() => mix.foreach(n => rerun(cs, prepared(n)).collect()))
+      val th = new Thread(() => (1 to warmPasses).foreach(_ =>
+        mix.foreach(n => rerun(cs, prepared(n)).collect())))
       th.start(); th
     }
     warm.foreach(_.join())

@@ -143,11 +143,65 @@ object AsOf {
       | AND p.ts BETWEEN v.ts - INTERVAL 1 HOUR AND v.ts
       |GROUP BY v.event_id ORDER BY v.event_id""".stripMargin
 
+  /** ev14: the FORWARD as-of join — each view paired with the user's
+    * next purchase at-or-after it, plus the wait in micros (the
+    * time-to-conversion lookup; ev4 is the backward direction). Same
+    * union-tag-window shape with the frame reversed: right rows sort
+    * after left rows at equal timestamps and `first(ignoreNulls)` scans
+    * the forward frame — still ONE shuffle on the key, no range cross
+    * product. DuckDB's ASOF JOIN natively supports the `<=` direction,
+    * so the oracle is exact.
+    */
+  def eventAsofNextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"))
+    val tagged = views.withColumn("__is_left", lit(1))
+      .withColumn("__r_value", lit(null).cast(DoubleType))
+      .withColumn("__r_ts", lit(null).cast(views.schema("ts").dataType))
+    val rightAligned = purchases
+      .select(lit(null).cast(LongType).as("event_id"), col("user_id"), col("ts"),
+        lit(0).as("__is_left"), col("value").as("__r_value"), col("ts").as("__r_ts"))
+    // left rows sort BEFORE right rows at the same timestamp, so a
+    // same-instant purchase is inside the forward frame: at-or-after
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("__is_left").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged.unionByName(rightAligned)
+      .withColumn("__next_value", first(col("__r_value"), ignoreNulls = true).over(w))
+      .withColumn("__next_ts", first(col("__r_ts"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        coalesce(col("__next_value"), lit(-1.0)).as("next_purchase_value"),
+        coalesce(unix_micros(col("__next_ts")) - unix_micros(col("ts")), lit(-1L))
+          .as("wait_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventAsofNextPurchaseSql: String =
+    """SELECT v.event_id, v.user_id,
+      | epoch_us(CAST(v.ts AS TIMESTAMP)) AS ts_us,
+      | COALESCE(p.value, -1.0) AS next_purchase_value,
+      | COALESCE(epoch_us(p.ts) - epoch_us(CAST(v.ts AS TIMESTAMP)), -1) AS wait_us
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'view') v
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+      |  ON v.user_id = p.user_id AND v.ts <= p.ts
+      |ORDER BY v.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev4_asof_purchase" -> eventAsofPurchase _,
+    "ev14_asof_next_purchase" -> eventAsofNextPurchase _,
     "ev5_range_hour" -> eventRangeHour _)
 
   val oracles: Map[String, String] = Map(
     "ev4_asof_purchase" -> eventAsofPurchaseSql,
+    "ev14_asof_next_purchase" -> eventAsofNextPurchaseSql,
     "ev5_range_hour" -> eventRangeHourSql)
 }

@@ -1252,7 +1252,99 @@ object TextAnalysis {
        |ORDER BY score_m DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  // === per-document boilerplate fraction ===================================
+  /** span2: the fraction of each document's distinct 5-gram spans that
+    * are corpus boilerplate (spans shared by >= minDocs documents) —
+    * span1 builds the boilerplate inventory, this is the per-document
+    * verdict a template-strip pass acts on. One inverted-index join on
+    * the span (the dd2 shape, never all-pairs) and a map-side
+    * combinable per-doc aggregate; the fraction is one IEEE division
+    * over identical integer operands. Documents shorter than n tokens
+    * have no spans and are absent, matching span1/cont1 semantics.
+    */
+  def boilerplateFraction(s: SparkSession, dir: String, n: Int = 5, minDocs: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(s, dir, n)
+    val counts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("ndocs"))
+    sh.join(counts, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_spans").cast(LongType).as("n_spans"),
+        col("n_boiler").cast(LongType).as("n_boiler"),
+        (col("n_boiler").cast(DoubleType) / col("n_spans")).as("boilerplate_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def boilerplateFractionSql(n: Int = 5, minDocs: Int = 3): String = {
+    val terms = (0 until n).map(j => s"t[i+$j]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - ${n - 1}),
+       |           i -> concat_ws(' ', $terms))) AS shingle
+       |    FROM toks WHERE len(t) >= $n)),
+       |c AS (SELECT shingle, COUNT(*) AS ndocs FROM sh GROUP BY shingle)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(CASE WHEN ndocs >= $minDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(SUM(CASE WHEN ndocs >= $minDocs THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+       |    AS boilerplate_frac
+       |FROM sh JOIN c USING (shingle)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // === Zipf rank-frequency slope ===========================================
+  /** zipf1: the log-log slope of the corpus's token rank-frequency
+    * curve over the top-N tokens — natural text tracks Zipf's law
+    * (slope near -1); a strongly deviating slope is a corpus-level
+    * quality/synthetic-text signal. The top-N ranking is TakeOrdered;
+    * the least-squares fit runs on ln values rounded once to 1e-4
+    * (absorbing libm ulp; the scale cancels out of the slope formula,
+    * and the bounded magnitudes keep every integer sum exactly
+    * representable), aggregated over the N-row bounded result.
+    */
+  def zipfSlope(s: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    val sc = 10000.0
+    val ranked = topTokens(s, dir, topN)
+      .withColumn("rank", row_number().over(w))
+    val xm = floor(log(col("rank").cast(DoubleType)) * sc + 0.5).cast(LongType)
+    val ym = floor(log(col("n").cast(DoubleType)) * sc + 0.5).cast(LongType)
+    def d(c: Column) = c.cast(DoubleType)
+    ranked.select(xm.as("x"), ym.as("y"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("m").cast(LongType).as("n_terms"),
+        Exact.dround((d(col("m")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("m")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))), 4).as("zipf_slope"))
+  }
+
+  def zipfSlopeSql(topN: Int = 100): String =
+    s"""WITH top AS (
+       |  SELECT token, COUNT(*) AS n
+       |  FROM (SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+       |        FROM documents)
+       |  WHERE length(token) > 0
+       |  GROUP BY token ORDER BY n DESC, token LIMIT $topN),
+       |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM top),
+       |pts AS (
+       |  SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS x,
+       |         CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS y
+       |  FROM r)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  ${Exact.sqlDround(
+      """(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*y) AS DOUBLE)
+       |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+       |   / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+       |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))""".stripMargin, 4)}
+       |  AS zipf_slope
+       |FROM pts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "span2_boilerplate_frac" -> ((s: SparkSession, d: String) => boilerplateFraction(s, d)),
+    "zipf1_rank_slope" -> ((s: SparkSession, d: String) => zipfSlope(s, d)),
     "txt13_char_classes" -> docCharClasses _,
     "hist1_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "red1_pii_scan" -> docPiiScan _,
@@ -1284,6 +1376,8 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "span2_boilerplate_frac" -> boilerplateFractionSql(),
+    "zipf1_rank_slope" -> zipfSlopeSql(),
     "txt13_char_classes" -> docCharClassesSql,
     "hist1_token_histogram" -> tokenHistogramSql(),
     "red1_pii_scan" -> docPiiScanSql,
