@@ -113,6 +113,36 @@ class PipelineOpsSpec extends SparkTestBase {
     dedup.unpersist()
   }
 
+  test("ev14: sentinels agree; waits are non-negative; forward of ev4") {
+    val nxt = AsOf.eventAsofNextPurchase(spark, sfDir).cache()
+    assert(nxt.filter((col("next_purchase_value") === -1.0) =!= (col("wait_us") === -1L)).isEmpty,
+      "value and wait sentinels must agree")
+    assert(nxt.filter(col("wait_us") < -1L).isEmpty)
+    // view count preserved (left join semantics)
+    val views = graft.Engine.table(spark, sfDir, "events")
+      .filter(col("event_type") === "view").count()
+    assert(nxt.count() == views)
+    nxt.unpersist()
+  }
+
+  test("span2: boiler counts bounded by span counts; covers exactly the shingled docs") {
+    val bf = TextAnalysis.boilerplateFraction(spark, sfDir).cache()
+    assert(bf.filter(col("n_boiler") > col("n_spans")).isEmpty)
+    assert(bf.filter(col("boilerplate_frac") < 0.0 || col("boilerplate_frac") > 1.0).isEmpty)
+    val shingled = graft.Engine.table(spark, sfDir, "documents")
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 5).count()
+    assert(bf.count() == shingled, "one row per document that has at least one 5-gram")
+    bf.unpersist()
+  }
+
+  test("zipf1: slope is negative and the fit covers the requested terms") {
+    val row = TextAnalysis.zipfSlope(spark, sfDir).collect()(0)
+    val slope = row.getAs[Double]("zipf_slope")
+    assert(slope < 0.0, s"rank-frequency slope must fall, got $slope")
+    val terms = row.getAs[Long]("n_terms")
+    assert(terms > 10 && terms <= 100)
+  }
+
   test("pr1: rank mass conserves and in-degrees total k per node") {
     val k = 5
     val pr = Similarity.pageRank(spark, sfDir, k).cache()
