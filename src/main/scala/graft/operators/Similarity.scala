@@ -707,8 +707,154 @@ object Similarity {
        |FROM r WHERE rnk = 1 GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  // === k-means: the centroid update step ==================================
+  /** The in-row argmax assignment shared by km2 and sd1: every vector
+    * tagged with its nearest of the k lowest-vec_id seed centroids
+    * (cosine, rounded to 6 decimals, ties toward the lower seed — the
+    * SAME decision rule as km1's window formulation, restated so the
+    * vector can travel WITH its verdict). The k seeds collapse to one
+    * collected row and broadcast; each vector scores all k inside one
+    * projection (array transform + array_sort over (−cos, cluster)
+    * structs) and keeps its argmax — map-only, no per-vector window
+    * shuffle, so downstream operators that need the vector values
+    * (centroid means, within-cluster joins) ship each vector exactly
+    * once, keyed however THEY need it.
+    */
+  private[operators] def assignedVectors(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = Par.fanOut(t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v")))
+    val seedRow = e.filter(col("vec_id") < k)
+      .agg(collect_list(struct(col("vec_id").cast(LongType).as("cluster"), col("v").as("cv"))).as("seeds"))
+    val scored = transform(col("seeds"), sd =>
+      struct((-Exact.dround(cosine(col("v"), sd.getField("cv")), 6)).as("neg_cos"),
+        sd.getField("cluster").as("cluster")))
+    e.crossJoin(broadcast(seedRow))
+      .withColumn("best", element_at(array_sort(scored), 1))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        (-col("best.neg_cos")).as("cos_r"), col("v"))
+  }
+
+  /** km2: the centroid UPDATE step of Lloyd's k-means — the other half
+    * of the iteration km1 starts. Every vector joins its assigned
+    * cluster (in-row argmax over the broadcast seeds — vectors never
+    * shuffle k-fold), the per-cluster per-dimension mean is the new
+    * centroid, and each coordinate reports its shift from the seed it
+    * replaces (the convergence signal a k-means driver loop watches).
+    * Engine parity: each mean is an exact units+micros sum divided by
+    * the member count in one IEEE division; the shift subtracts the
+    * exactly-representable seed coordinate and rounds once to 6
+    * decimals. Shape at 100 TB: the assignment is map-only; the only
+    * exchange is the (cluster, pos) aggregate, partially aggregated to
+    * at most k·d groups per partition (k=8, d=64 → 512 rows TOTAL at
+    * any scale factor); the seed-coordinate join broadcasts k·d rows.
+    */
+  def kmeansUpdate(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val assigned = assignedVectors(s, dir, k)
+    val dims = assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(count(lit(1)).cast(LongType).as("n_members"), Exact.davg(col("x")).as("centroid"))
+    val seedDims = t(s, dir, "embeddings").filter(col("vec_id") < k)
+      .select(col("vec_id").cast(LongType).as("cluster"),
+        posexplode(vecD("embedding")).as(Seq("pos", "sx")))
+    dims.join(broadcast(seedDims), Seq("cluster", "pos"))
+      .select(col("cluster"), col("pos"), col("n_members"), col("centroid"),
+        Exact.dround(col("centroid") - col("sx"), 6).as("shift"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+
+  def kmeansUpdateSql(k: Int = 8): String = {
+    val cos = "list_dot_product(v, cv) / sqrt(list_dot_product(v, v) * list_dot_product(cv, cv))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $k),
+       |p AS (
+       |  SELECT e.vec_id, cluster, ${Exact.sqlDround(cos, 6)} AS cos_r
+       |  FROM e CROSS JOIN s),
+       |r AS (SELECT vec_id, cluster, cos_r,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cluster) AS rnk
+       |      FROM p),
+       |a AS (SELECT vec_id, cluster FROM r WHERE rnk = 1),
+       |idx AS (SELECT UNNEST(generate_series(1, $maxDim)) AS i),
+       |ex AS (
+       |  SELECT a.cluster, i - 1 AS pos, e.v[i] AS x
+       |  FROM a JOIN e USING (vec_id) CROSS JOIN idx WHERE i <= len(e.v)),
+       |d AS (
+       |  SELECT cluster, pos, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |         ${Exact.sqlDavg("x")} AS centroid
+       |  FROM ex GROUP BY 1, 2),
+       |sd AS (
+       |  SELECT cluster, i - 1 AS pos, cv[i] AS sx
+       |  FROM s CROSS JOIN idx WHERE i <= len(cv))
+       |SELECT cluster, CAST(pos AS INTEGER) AS pos, n_members, centroid,
+       |       ${Exact.sqlDround("centroid - sx", 6)} AS shift
+       |FROM d JOIN sd USING (cluster, pos)
+       |ORDER BY cluster, pos""".stripMargin
+  }
+
+  // === SemDeDup: semantic dedup inside k-means clusters ===================
+  /** sd1: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication that only compares embeddings INSIDE a k-means
+    * cluster: cluster first, then within each cluster drop every
+    * vector that has a lower-id cluster-mate above the cosine
+    * threshold. The cluster step is what makes semantic dedup
+    * tractable at 100 TB — the quadratic term is bounded by the
+    * largest cluster, not the corpus, and clusters shrink as k grows.
+    * Every vector reports its verdict: its cluster, how many kept-side
+    * (lower-id) neighbors sat above the threshold, and whether it
+    * survives. Shape: the in-row argmax assignment is map-only; each
+    * vector then ships ONCE keyed by cluster into the pinned
+    * within-cluster join (the exchange AQE would otherwise collapse —
+    * the dd5 lesson), and the verdict join is a left join on vec_id.
+    */
+  def semDedup(s: SparkSession, dir: String, k: Int = 8, threshold: Double = 0.3): DataFrame = {
+    val np = Par.shuffleWidth(t(s, dir, "embeddings"))
+    val assigned = assignedVectors(s, dir, k)
+      .select(col("vec_id"), col("cluster"), col("v"),
+        dot(col("v"), col("v")).as("nrm"))
+      .repartition(np, col("cluster")) // pinned: within-cluster join fans out
+    val close = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("cluster"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(Exact.dround(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6) >= threshold)
+      .groupBy(col("id_a")).agg(count(lit(1)).cast(LongType).as("n_close"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(close.withColumnRenamed("id_a", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        (coalesce(col("n_close"), lit(0L)) === 0L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  def semDedupSql(k: Int = 8, threshold: Double = 0.3): String = {
+    val cos = "list_dot_product(v, cv) / sqrt(list_dot_product(v, v) * list_dot_product(cv, cv))"
+    val pcos = "list_dot_product(va, vb) / sqrt(list_dot_product(va, va) * list_dot_product(vb, vb))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $k),
+       |p AS (
+       |  SELECT e.vec_id, cluster, ${Exact.sqlDround(cos, 6)} AS cos_r
+       |  FROM e CROSS JOIN s),
+       |r AS (SELECT vec_id, cluster, cos_r,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cluster) AS rnk
+       |      FROM p),
+       |a AS (SELECT vec_id, cluster FROM r WHERE rnk = 1),
+       |av AS (SELECT a.vec_id, a.cluster, e.v FROM a JOIN e USING (vec_id)),
+       |cl AS (
+       |  SELECT x.vec_id AS id_a, CAST(COUNT(*) AS BIGINT) AS n_close
+       |  FROM (SELECT vec_id, cluster, v AS va FROM av) x
+       |  JOIN (SELECT vec_id, cluster, v AS vb FROM av) y
+       |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+       |  WHERE ${Exact.sqlDround(pcos, 6)} >= $threshold
+       |  GROUP BY 1)
+       |SELECT av.vec_id, cluster,
+       |       COALESCE(n_close, 0) AS n_close,
+       |       COALESCE(n_close, 0) = 0 AS keep
+       |FROM av LEFT JOIN cl ON av.vec_id = cl.id_a
+       |ORDER BY av.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "km1_kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
+    "km2_kmeans_update" -> ((s: SparkSession, d: String) => kmeansUpdate(s, d)),
+    "sd1_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d)),
     "pr1_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "cov1_embedding_covariance" -> embeddingCovariance _,
     "out1_label_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
@@ -721,6 +867,8 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "km1_kmeans_assign" -> kmeansAssignSql(),
+    "km2_kmeans_update" -> kmeansUpdateSql(),
+    "sd1_semdedup" -> semDedupSql(),
     "pr1_pagerank" -> pageRankSql(),
     "cov1_embedding_covariance" -> embeddingCovarianceSql,
     "out1_label_outliers" -> embeddingOutliersSql(),

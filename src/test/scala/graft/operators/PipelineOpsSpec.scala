@@ -169,4 +169,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(km.filter(col("min_cos") > col("avg_cos") || col("avg_cos") > 1.0).isEmpty)
     km.unpersist()
   }
+
+  test("km2: in-row argmax agrees with km1's window assignment; d rows per cluster") {
+    val k = 8
+    val up = Similarity.kmeansUpdate(spark, sfDir, k).cache()
+    assert(up.count() == k * 64L, "k clusters x 64 dims")
+    // the same cluster size repeats on every dimension row
+    assert(up.groupBy(col("cluster")).agg(countDistinct(col("n_members")).as("d"))
+      .filter(col("d") =!= 1).isEmpty)
+    // the two assignment formulations (window rnk=1 vs in-row argmax)
+    // must produce identical cluster sizes
+    val km1Sizes = Similarity.kmeansAssign(spark, sfDir, k)
+      .select(col("cluster"), col("n_members"))
+    val km2Sizes = up.filter(col("pos") === 0).select(col("cluster"), col("n_members"))
+    assert(km1Sizes.except(km2Sizes).isEmpty && km2Sizes.except(km1Sizes).isEmpty,
+      "km1 and km2 assignments diverge")
+    up.unpersist()
+  }
+
+  test("sd1: verdict covers the corpus; cluster minima always survive") {
+    val sd = Similarity.semDedup(spark, sfDir).cache()
+    val nVecs = graft.Engine.table(spark, sfDir, "embeddings").count()
+    assert(sd.count() == nVecs)
+    assert(sd.filter(col("keep") =!= (col("n_close") === 0L)).isEmpty)
+    // the lowest vec_id in a cluster has no lower-id mate to collide with
+    val minIds = sd.groupBy(col("cluster")).agg(min(col("vec_id")).as("vec_id"))
+    assert(sd.join(minIds, Seq("cluster", "vec_id")).filter(!col("keep")).isEmpty)
+    // something must actually drop at the configured threshold, or the
+    // operator is vacuous on this corpus
+    assert(sd.filter(!col("keep")).count() > 0)
+    sd.unpersist()
+  }
 }
