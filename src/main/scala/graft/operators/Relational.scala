@@ -789,7 +789,102 @@ object Relational {
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // === time-series resample: zero-filled hourly grid ======================
+  /** ts1: the resample/gap-fill pass — every (event_type, hour) cell of
+    * the corpus's full hourly grid, INCLUDING the silent hours, with
+    * event count and exact value sum (zero-filled). Downstream
+    * time-series models (anomaly scoring, forecasting, the ev11 z-pass)
+    * assume a dense regular grid; this operator is how the sparse event
+    * stream becomes one. Shape at 100 TB: the per-cell aggregate is
+    * map-side combined and its key space is the grid itself; the grid
+    * is (types × hours) — bounded by the value domain and the clock,
+    * not data volume — built from a broadcast one-row bounds aggregate
+    * and an in-row `sequence` explode, so the gap-fill join is a join
+    * of two domain-bounded sides and the dense result sorts in one
+    * task.
+    */
+  def hourlyGrid(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = t(s, dir, "events").select(col("event_type"),
+      unix_micros(date_trunc("hour", col("ts"))).as("hour_us"), col("value"))
+    val cells = ev.groupBy(col("event_type"), col("hour_us"))
+      .agg(count(lit(1)).cast(LongType).as("n"), dsum(col("value")).as("v"))
+    val bounds = ev.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hour_us"))
+    grid.join(cells, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("v"), lit(0.0)).as("value_sum"))
+      .orderedSmall(col("event_type"), col("hour_us"))
+  }
+
+  val hourlyGridSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, value
+       |  FROM events),
+       |cells AS (
+       |  SELECT event_type, hour_us, CAST(COUNT(*) AS BIGINT) AS n,
+       |         ${sqlDsum("value")} AS v
+       |  FROM ev GROUP BY 1, 2),
+       |b AS (SELECT MIN(hour_us) AS lo, MAX(hour_us) AS hi FROM ev),
+       |grid AS (
+       |  SELECT event_type, UNNEST(generate_series(lo, hi, 3600000000)) AS hour_us
+       |  FROM (SELECT DISTINCT event_type FROM ev) CROSS JOIN b)
+       |SELECT grid.event_type, grid.hour_us,
+       |       COALESCE(n, 0) AS n_events, COALESCE(v, 0.0) AS value_sum
+       |FROM grid LEFT JOIN cells
+       |  ON grid.event_type = cells.event_type AND grid.hour_us = cells.hour_us
+       |ORDER BY grid.event_type, grid.hour_us""".stripMargin
+
+  // === range-partition planner: exact split boundaries ====================
+  /** rng1: the range-partition planner — the exact split boundaries a
+    * distributed sort or a date-range-partitioned table layout needs.
+    * For B=16 target partitions over orders sorted by o_orderdate, emit
+    * each internal boundary: the first date whose cumulative row count
+    * reaches ceil(i·n/B), plus that cumulative count (the actual rows
+    * captured below the cut — the planner's skew diagnostic, since a
+    * heavy date makes buckets uneven). Spark itself SAMPLES for this
+    * (RangePartitioner); this is the exact tier a layout decision can
+    * afford on a bounded-domain sort key. Shape at 100 TB: per-date
+    * counts are map-side combined into a date-domain-bounded table
+    * (~2.4k rows at ANY scale factor); the running sum and the
+    * boundary argmin run over that bounded table (one task), and the
+    * quantile targets use pure integer arithmetic (i·n + B−1) div B —
+    * no float division, so both engines pick identical cuts.
+    */
+  def rangeBounds(s: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    val dc = t(s, dir, "orders").groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dc.coalesce(1).withColumn("cum", sum(col("c")).over(w))
+    val tot = dc.agg(sum(col("c")).cast(LongType).as("n"))
+    val is = tot.select(col("n"), explode(sequence(lit(1), lit(buckets - 1))).as("i"))
+    cum.crossJoin(broadcast(is))
+      .filter(col("cum") >= expr(s"(i * n + ${buckets - 1}) div $buckets"))
+      .groupBy(col("i").cast(IntegerType).as("bucket"))
+      .agg(min(col("d")).as("boundary_date"), min(col("cum")).cast(LongType).as("rows_below"))
+      .orderedSmall(col("bucket"))
+  }
+
+  def rangeBoundsSql(buckets: Int = 16): String =
+    s"""WITH dc AS (SELECT o_orderdate AS d, COUNT(*) AS c FROM orders GROUP BY 1),
+       |cum AS (SELECT d, SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+       |                               AND CURRENT ROW) AS cum FROM dc),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dc),
+       |i AS (SELECT n, UNNEST(generate_series(1, ${buckets - 1})) AS i FROM tot)
+       |SELECT CAST(i AS INTEGER) AS bucket, MIN(d) AS boundary_date,
+       |       CAST(MIN(cum) AS BIGINT) AS rows_below
+       |FROM cum CROSS JOIN i
+       |WHERE cum >= (i * n + ${buckets - 1}) // $buckets
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts1_hourly_grid" -> hourlyGrid _,
+    "rng1_range_bounds" -> ((s: SparkSession, d: String) => rangeBounds(s, d)),
     "ev6_json_struct" -> eventsJsonStruct _,
     "w3_ranking_battery" -> windowRanks _,
     "stat2_exact_correlation" -> exactCorrelation _,
@@ -813,6 +908,8 @@ object Relational {
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
+    "ts1_hourly_grid" -> hourlyGridSql,
+    "rng1_range_bounds" -> rangeBoundsSql(),
     "ev6_json_struct" -> eventsJsonStructSql,
     "w3_ranking_battery" -> windowRanksSql,
     "stat2_exact_correlation" -> exactCorrelationSql,

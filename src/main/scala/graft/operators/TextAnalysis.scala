@@ -1342,7 +1342,102 @@ object TextAnalysis {
        |  AS zipf_slope
        |FROM pts""".stripMargin
 
+  // === learned-style quality classifier (linear margin) ===================
+  /** qc1: a fasttext-style learned quality classifier applied at corpus
+    * scale — a fixed linear model over cheap per-document features
+    * (capped token count, stopword fraction, capped mean token length,
+    * digit fraction), emitting the decision margin and the keep
+    * verdict. The sigmoid is deliberately NOT applied: it is monotone,
+    * so thresholding the margin at 0 IS the classifier, and skipping it
+    * keeps the operator free of libm exp() — every arithmetic step is
+    * an IEEE op both engines execute in the same textual order, so the
+    * margin is bit-portable without absorbing transcendental ulp.
+    * Weights are representative constants (a deployment would paste its
+    * trained coefficients). Shape at 100 TB: map-only over the
+    * documents scan — no shuffle but the output sort.
+    */
+  def qualityMargin(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast(DoubleType)
+    val nNonSpace = length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType)
+    val nDigit = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))).cast(DoubleType)
+    val stop = size(filter(toks, x => x.isInCollection(stopwords))).cast(DoubleType)
+    val f1 = least(nTok / lit(256.0), lit(1.0))
+    val f2 = stop / nTok
+    val f3 = least(nNonSpace / nTok / lit(8.0), lit(1.0))
+    val f4 = nDigit / length(col("text")).cast(DoubleType)
+    val margin = lit(-1.2) + lit(2.0) * f1 + lit(1.5) * f2 + lit(0.8) * f3 - lit(3.0) * f4
+    dFan(s, dir)
+      .select(col("doc_id"), size(toks).cast(IntegerType).as("n_tokens"),
+        Exact.dround(margin, 6).as("quality_margin"))
+      .withColumn("quality_pass", col("quality_margin") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityMarginSql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    val nTok = s"CAST(length($toks) AS DOUBLE)"
+    val nNonSpace = "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)"
+    val nDigit = "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)"
+    val stop = s"CAST(length(list_filter($toks, x -> x IN ($stopList))) AS DOUBLE)"
+    val f1 = s"LEAST($nTok / 256.0, 1.0)"
+    val f2 = s"($stop / $nTok)"
+    val f3 = s"LEAST($nNonSpace / $nTok / 8.0, 1.0)"
+    val f4 = s"($nDigit / CAST(length(text) AS DOUBLE))"
+    val margin = s"-1.2 + 2.0 * $f1 + 1.5 * $f2 + 0.8 * $f3 - 3.0 * $f4"
+    s"""SELECT doc_id, CAST(length($toks) AS INTEGER) AS n_tokens,
+       |  ${Exact.sqlDround(margin, 6)} AS quality_margin,
+       |  ${Exact.sqlDround(margin, 6)} > 0.0 AS quality_pass
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // === BPE merge learning: the pair-count step ============================
+  /** bpe1: the inner counting step of BPE merge learning — the
+    * character-pair frequencies that decide the next merge rule. Word
+    * frequencies are counted once (the standard BPE preprocessing:
+    * identical words share one entry), then each distinct word
+    * contributes its adjacent character pairs weighted by its corpus
+    * count, and the top pairs surface. Iterating (apply the winning
+    * merge, recount) is the full tokenizer-training loop; each
+    * iteration is this operator re-run over the rewritten symbol
+    * sequences. Shape at 100 TB: the wordcount shuffle is map-side
+    * combined onto the token domain (vocabulary-bounded, not
+    * volume-bounded); pair generation runs over DISTINCT words — corpus
+    * volume only changes the counts, not the explode size — and the
+    * final aggregate's key space is the pair alphabet. Top-k via
+    * TakeOrdered, no global sort. Unicode-safe: substrings are
+    * character-based in both engines, so zh pairs count like latin.
+    */
+  def bpePairCounts(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val wc = dFan(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .filter(char_length(col("tok")) >= 2)
+    val pairs = transform(sequence(lit(1), char_length(col("tok")) - 1),
+      i => col("tok").substr(i, lit(2)))
+    wc.select(explode(pairs).as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).cast(LongType).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
+  def bpePairCountsSql(topK: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |wc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+       |       HAVING length(tok) >= 2),
+       |p AS (
+       |  SELECT substring(tok, UNNEST(generate_series(1, length(tok) - 1)), 2) AS pair, c
+       |  FROM wc)
+       |SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+       |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT $topK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc1_quality_classifier" -> qualityMargin _,
+    "bpe1_pair_counts" -> ((s: SparkSession, d: String) => bpePairCounts(s, d)),
     "span2_boilerplate_frac" -> ((s: SparkSession, d: String) => boilerplateFraction(s, d)),
     "zipf1_rank_slope" -> ((s: SparkSession, d: String) => zipfSlope(s, d)),
     "txt13_char_classes" -> docCharClasses _,
@@ -1376,6 +1471,8 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "qc1_quality_classifier" -> qualityMarginSql,
+    "bpe1_pair_counts" -> bpePairCountsSql(),
     "span2_boilerplate_frac" -> boilerplateFractionSql(),
     "zipf1_rank_slope" -> zipfSlopeSql(),
     "txt13_char_classes" -> docCharClassesSql,

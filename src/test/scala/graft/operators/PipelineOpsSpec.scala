@@ -200,4 +200,57 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(sd.filter(!col("keep")).count() > 0)
     sd.unpersist()
   }
+
+  test("ts1: dense rectangular grid; event mass conserves through the gap-fill") {
+    val g = Relational.hourlyGrid(spark, sfDir).cache()
+    val ev = graft.Engine.table(spark, sfDir, "events")
+    val nTypes = ev.select(col("event_type")).distinct().count()
+    assert(g.count() % nTypes == 0, "every type spans the same hour range")
+    assert(g.groupBy(col("event_type")).count()
+      .select(countDistinct(col("count"))).collect()(0).getLong(0) == 1)
+    assert(g.agg(sum(col("n_events"))).collect()(0).getLong(0) == ev.count(),
+      "zero-fill must not invent or lose events")
+    // consecutive grid rows are exactly one hour apart within a type
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour_us"))
+    assert(g.withColumn("gap", col("hour_us") - lag(col("hour_us"), 1).over(w))
+      .filter(col("gap").isNotNull && col("gap") =!= 3600000000L).isEmpty)
+    g.unpersist()
+  }
+
+  test("rng1: boundaries are minimal, ordered cuts that honour their quantile targets") {
+    val b = 16
+    val rb = Relational.rangeBounds(spark, sfDir, b).cache()
+    assert(rb.count() == b - 1)
+    val n = graft.Engine.table(spark, sfDir, "orders").count()
+    // each cut captures at least its target ceil(i*n/B)...
+    assert(rb.filter(col("rows_below") <
+      expr(s"(bucket * ${n}L + ${b - 1}) div $b")).isEmpty)
+    // ...and boundaries/cum counts are non-decreasing in bucket order
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    assert(rb.withColumn("pd", lag(col("boundary_date"), 1).over(w))
+      .filter(col("pd").isNotNull && col("boundary_date") < col("pd")).isEmpty)
+    rb.unpersist()
+  }
+
+  test("qc1: verdict mirrors the margin sign; margin stays inside the weight envelope") {
+    val qc = TextAnalysis.qualityMargin(spark, sfDir).cache()
+    assert(qc.filter(col("quality_pass") =!= (col("quality_margin") > 0.0)).isEmpty)
+    // features are capped to [0,1], so the margin is boxed by the weights
+    assert(qc.filter(col("quality_margin") > 3.1 || col("quality_margin") < -4.2).isEmpty)
+    // the classifier must split this corpus, not rubber-stamp it
+    val rates = qc.agg(avg(col("quality_pass").cast("double"))).collect()(0).getDouble(0)
+    assert(rates > 0.0 && rates < 1.0, s"degenerate pass rate $rates")
+    qc.unpersist()
+  }
+
+  test("bpe1: top pairs are 2-char, positive and rank-ordered") {
+    val bp = TextAnalysis.bpePairCounts(spark, sfDir).cache()
+    assert(bp.count() == 20)
+    assert(bp.filter(char_length(col("pair")) =!= 2).isEmpty)
+    val ns = bp.select(col("n")).collect().map(_.getLong(0))
+    assert(ns.sameElements(ns.sorted(Ordering[Long].reverse)), "counts must be non-increasing")
+    assert(ns.last > 0)
+    bp.unpersist()
+  }
 }
