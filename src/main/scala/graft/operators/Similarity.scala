@@ -6,6 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import Par.BoundedOrder
+
 /** Similarity search over the embedding column (SURVEY §7.5).
   *
   * - Brute-force cosine top-k: the correctness baseline. Query set x corpus
@@ -759,7 +761,7 @@ object Similarity {
     dims.join(broadcast(seedDims), Seq("cluster", "pos"))
       .select(col("cluster"), col("pos"), col("n_members"), col("centroid"),
         Exact.dround(col("centroid") - col("sx"), 6).as("shift"))
-      .orderBy(col("cluster"), col("pos"))
+      .orderedSmall(col("cluster"), col("pos")) // k·d rows at any scale
   }
 
   def kmeansUpdateSql(k: Int = 8): String = {
