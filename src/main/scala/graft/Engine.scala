@@ -45,6 +45,11 @@ object Engine {
       // demote a too-large build side regardless of this hint ceiling).
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      // the testdata's naive parquet timestamps are UTC instants (the
+      // DuckDB oracle reads them with epoch_us, which assumes UTC);
+      // reading them as TIMESTAMP_NTZ would break every unix_micros()
+      // call sited on events.ts
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // local test files are single small parquet files; the default
       // 128 MB split gives the whole scan to ONE task. 16 MB splits fan
