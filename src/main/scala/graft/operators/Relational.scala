@@ -882,7 +882,90 @@ object Relational {
        |WHERE cum >= (i * n + ${buckets - 1}) // $buckets
        |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // === behavioral paths: top 3-step event sequences ========================
+  /** seq1: the top-20 most frequent 3-step event-type paths across all
+    * user timelines — the sequential-pattern pass behind funnel
+    * discovery and next-event models (ev7 checks ONE ordered funnel;
+    * this ranks ALL observed length-3 paths). Each user's timeline is
+    * ordered by (ts, event_id) and every consecutive triple counts
+    * once. Shape at 100 TB: one user_id shuffle for the sequence
+    * window (per-user state bounded, timelines never collected), the
+    * path count is a map-side-combinable aggregate over a key space
+    * bounded by |event_type|^3, and the final top-k is TakeOrdered —
+    * never a global sort. Ties rank by path lexicographically, so both
+    * engines emit one deterministic list.
+    */
+  def eventPaths(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("step1"))
+      .withColumn("step2", lead(col("step1"), 1).over(w))
+      .withColumn("step3", lead(col("step1"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).cast(LongType).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
+  def eventPathsSql(k: Int = 20): String =
+    s"""WITH seq AS (
+       |  SELECT event_type AS step1,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+       |  FROM events)
+       |SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+       |FROM seq WHERE step3 IS NOT NULL
+       |GROUP BY 1, 2, 3
+       |ORDER BY n_paths DESC, step1, step2, step3 LIMIT $k""".stripMargin
+
+  // === engagement: daily + trailing-7-day active users =====================
+  /** ev15: the DAU/WAU engagement table — for every calendar day with
+    * events, the count of distinct users active that day and the count
+    * active in the trailing 7-day window ending that day, plus their
+    * ratio (the standard stickiness metric). COUNT(DISTINCT) over a
+    * sliding window isn't window-expressible in either engine, so the
+    * trailing set is built by contribution: each DISTINCT (user, day)
+    * pair is exploded to the 7 observation days it keeps the user
+    * active for, re-distinct-ed, and counted. Shape at 100 TB: the
+    * (user, day) distinct is one map-side-combinable shuffle whose key
+    * space is users × days (already far below raw event volume); the
+    * 7× explode multiplies that bounded set, not the event stream; and
+    * the final grid is day-domain-bounded, so it sorts in one task.
+    * The ratio divides two exact integers in one IEEE op.
+    */
+  def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val du = t(s, dir, "events")
+      .select((floor(unix_micros(col("ts")).cast(DoubleType) / dayUs)).cast(LongType).as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).cast(LongType).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).cast(LongType).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast(DoubleType) / col("wau").cast(DoubleType)).as("stickiness"))
+      .orderedSmall(col("day"))
+  }
+
+  val dauWauSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0)
+      |                       AS BIGINT) AS day, user_id
+      |  FROM events),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+      |spread AS (
+      |  SELECT DISTINCT UNNEST(generate_series(day, day + 6)) AS day, user_id FROM du),
+      |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM spread GROUP BY day)
+      |SELECT day, dau, wau, CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq1_event_paths" -> ((s: SparkSession, d: String) => eventPaths(s, d)),
+    "ev15_dau_wau" -> dauWau _,
     "ts1_hourly_grid" -> hourlyGrid _,
     "rng1_range_bounds" -> ((s: SparkSession, d: String) => rangeBounds(s, d)),
     "ev6_json_struct" -> eventsJsonStruct _,
@@ -908,6 +991,8 @@ object Relational {
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
+    "seq1_event_paths" -> eventPathsSql(),
+    "ev15_dau_wau" -> dauWauSql,
     "ts1_hourly_grid" -> hourlyGridSql,
     "rng1_range_bounds" -> rangeBoundsSql(),
     "ev6_json_struct" -> eventsJsonStructSql,

@@ -853,7 +853,67 @@ object Similarity {
        |ORDER BY av.vec_id""".stripMargin
   }
 
+  // === label propagation over the kNN graph ===============================
+  /** lp1: one label-propagation step over the directed exact-kNN graph
+    * of the sim6 vector subset — every vector re-labeled by the
+    * majority label among its k nearest neighbors (the semi-supervised
+    * label-cleaning / mislabel-detection pass; a vector whose
+    * propagated label disagrees with its stored one is a labeling-error
+    * candidate, the out1 sweep's graph-native sibling). Engine parity:
+    * votes are integer counts, vote ties break toward the smaller
+    * label id, and neighbor-rank ties toward the smaller vec_id — one
+    * deterministic relabeling on both engines. Exact all-pairs kNN is
+    * the bounded correctness tier (the sim6 argument); the 100 TB path
+    * swaps in sim3's LSH candidate edges and keeps the propagation,
+    * which is a (node, label) count aggregate + top-1 window over
+    * id/label pairs — the vectors themselves never iterate.
+    */
+  def labelPropagation(s: SparkSession, dir: String, k: Int = 5, subset: Int = 200): DataFrame = {
+    val e = Par.fanOut(t(s, dir, "embeddings")
+      .filter(col("vec_id") < subset)
+      .select(col("vec_id"), vecD("embedding").as("v"), col("label")))
+    val pairs = e.select(col("vec_id").as("a"), col("v").as("va"), col("label").as("la"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("label").as("lb")))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+    val wKnn = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    val knn = pairs.withColumn("rnk", row_number().over(wKnn))
+      .filter(col("rnk") <= k)
+      .select(col("a"), col("la"), col("lb"))
+    val votes = knn.groupBy(col("a"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wTop = Window.partitionBy(col("a")).orderBy(col("n_votes").desc, col("lb"))
+    votes.withColumn("r", row_number().over(wTop))
+      .filter(col("r") === 1)
+      .select(col("a").as("vec_id"),
+        col("la").cast(IntegerType).as("label"),
+        col("lb").cast(IntegerType).as("new_label"),
+        col("n_votes").cast(LongType).as("n_votes"))
+      .orderBy(col("vec_id"))
+  }
+
+  def labelPropagationSql(k: Int = 5, subset: Int = 200): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+       |           WHERE vec_id < $subset),
+       |p AS (
+       |  SELECT a.vec_id AS a, a.label AS la, b.vec_id AS b, b.label AS lb,
+       |    list_dot_product(a.v, b.v)
+       |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+       |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |tk AS (SELECT a, la, lb FROM (
+       |         SELECT a, la, lb,
+       |           ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rnk
+       |         FROM p) WHERE rnk <= $k),
+       |votes AS (SELECT a, la, lb, COUNT(*) AS n_votes FROM tk GROUP BY 1, 2, 3),
+       |r AS (SELECT a, la, lb, n_votes,
+       |        ROW_NUMBER() OVER (PARTITION BY a ORDER BY n_votes DESC, lb) AS r
+       |      FROM votes)
+       |SELECT a AS vec_id, CAST(la AS INTEGER) AS label,
+       |  CAST(lb AS INTEGER) AS new_label, CAST(n_votes AS BIGINT) AS n_votes
+       |FROM r WHERE r = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lp1_label_propagation" -> ((s: SparkSession, d: String) => labelPropagation(s, d)),
     "km1_kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
     "km2_kmeans_update" -> ((s: SparkSession, d: String) => kmeansUpdate(s, d)),
     "sd1_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d)),
@@ -868,6 +928,7 @@ object Similarity {
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "lp1_label_propagation" -> labelPropagationSql(),
     "km1_kmeans_assign" -> kmeansAssignSql(),
     "km2_kmeans_update" -> kmeansUpdateSql(),
     "sd1_semdedup" -> semDedupSql(),

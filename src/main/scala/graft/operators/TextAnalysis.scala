@@ -1435,7 +1435,172 @@ object TextAnalysis {
        |SELECT pair, CAST(SUM(c) AS BIGINT) AS n
        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT $topK""".stripMargin
 
+  // === cross-source vocabulary overlap ====================================
+  /** js1: pairwise Jaccard similarity between the sources' distinct
+    * token vocabularies — the corpus-composition diagnostic behind
+    * mixture design (two sources whose vocabularies barely overlap
+    * contribute complementary coverage; near-identical vocabularies
+    * flag redundant crawls). Shape at 100 TB: the (source, token)
+    * distinct is one map-side-combinable shuffle whose key space is
+    * sources × vocabulary (vocabulary grows sub-linearly with the
+    * corpus — the txt11 argument); the pair intersection is an
+    * inverted-index self-join on the token key, never a doc-level
+    * cross product; and the result is |sources|²-bounded, so it sorts
+    * in one task. The Jaccard divides two exact integers in one IEEE
+    * op.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val v = Par.fanOut(t(s, dir, "documents").select(col("source"), col("text")))
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = v.groupBy(col("source")).agg(count(lit(1)).cast(LongType).as("n_types"))
+    val inter = v.select(col("source").as("source_a"), col("tok"))
+      .join(v.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast(LongType).as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("n_types").as("n_types_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_types").as("n_types_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_types_a"), col("n_types_b"),
+        col("n_common"),
+        (col("n_common").cast(DoubleType)
+          / (col("n_types_a") + col("n_types_b") - col("n_common")).cast(DoubleType))
+          .as("jaccard"))
+      .orderedSmall(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH v AS (
+      |  SELECT DISTINCT source,
+      |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types FROM v GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b,
+      |  sa.n_types AS n_types_a, sb.n_types AS n_types_b, n_common,
+      |  CAST(n_common AS DOUBLE)
+      |    / CAST(sa.n_types + sb.n_types - n_common AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.source = source_a
+      |JOIN sz sb ON sb.source = source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // === sentence statistics =================================================
+  /** txt14: per-document sentence segmentation statistics — sentence
+    * count, total sentence characters, and mean sentence length (the
+    * readability/quality signal a heuristic filter thresholds on;
+    * degenerate single-sentence walls of text and fragment storms both
+    * sit in the tails). Sentences split on [.!?]+ runs; whitespace-only
+    * fragments don't count. Map-only over the text column — no
+    * shuffle at any scale. The mean divides two exact integers in one
+    * IEEE op; zero-sentence docs report 0.0 on both engines.
+    */
+  def sentenceStats(s: SparkSession, dir: String): DataFrame = {
+    val sents = filter(split(col("text"), "[.!?]+"), x => length(trim(x)) > 0)
+    dFan(s, dir)
+      .select(col("doc_id"), sents.as("sents"))
+      .select(col("doc_id"),
+        size(col("sents")).cast(LongType).as("n_sentences"),
+        aggregate(col("sents"), lit(0L), (acc, x) => acc + length(trim(x)))
+          .as("sent_chars"))
+      .select(col("doc_id"), col("n_sentences"), col("sent_chars"),
+        when(col("n_sentences") > 0,
+          col("sent_chars").cast(DoubleType) / col("n_sentences").cast(DoubleType))
+          .otherwise(lit(0.0)).as("avg_sent_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sentenceStatsSql: String =
+    """WITH sp AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[.!?]+'),
+      |                x -> length(trim(x)) > 0) AS sents
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+      |    CAST(COALESCE(list_sum(list_transform(sents, x -> length(trim(x)))), 0)
+      |         AS BIGINT) AS sent_chars
+      |  FROM sp)
+      |SELECT doc_id, n_sentences, sent_chars,
+      |  CASE WHEN n_sentences > 0
+      |       THEN CAST(sent_chars AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+      |       ELSE 0.0 END AS avg_sent_chars
+      |FROM st ORDER BY doc_id""".stripMargin
+
+  // === per-source distribution drift ======================================
+  /** drift1: per-source KL divergence from the corpus-wide unigram
+    * distribution over the global top-V vocabulary, add-one smoothed —
+    * the drift/contamination monitor run when a new crawl slice lands
+    * (a source whose token distribution diverges hard from the corpus
+    * is mis-scraped, mis-labeled, or genuinely novel; the smoothing
+    * keeps zero-count vocabulary terms finite). Shape at 100 TB: ONE
+    * wordcount shuffle on (source, token) feeds everything — the
+    * global counts reduce the already-aggregated pairs, the top-V cut
+    * is TakeOrdered over the vocabulary, and the KL sum runs over the
+    * |sources|×V grid (domain-bounded, sorts in one task). Engine
+    * parity: p and q are each one IEEE division of exact integers,
+    * every KL term is micros-rounded before the exact sum (absorbing
+    * last-ulp libm ln differences — the txt11 argument).
+    */
+  def sourceDrift(s: SparkSession, dir: String, vocabK: Int = 300): DataFrame = {
+    val wc = Par.fanOut(t(s, dir, "documents").select(col("source"), col("text")))
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val gl = wc.groupBy(col("tok")).agg(sum(col("c")).as("gc"))
+    val vocab = gl.orderBy(col("gc").desc, col("tok")).limit(vocabK)
+    // smooth by the REALIZED vocab size (the corpus can have fewer than
+    // vocabK types) — with a constant both distributions under-normalize
+    // and Gibbs' KL >= 0 no longer holds
+    val gTot = vocab.agg(sum(col("gc")).as("g_n"), count(lit(1)).as("vv"))
+    val srcVocab = wc.select(col("source")).distinct()
+      .crossJoin(broadcast(vocab))
+    val cnt = srcVocab.join(wc, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"), col("gc"), coalesce(col("c"), lit(0L)).as("c"))
+    val sTot = cnt.groupBy(col("source")).agg(sum(col("c")).as("s_n"))
+    val p = (col("c") + 1).cast(DoubleType) / (col("s_n") + col("vv")).cast(DoubleType)
+    val q = (col("gc") + 1).cast(DoubleType) / (col("g_n") + col("vv")).cast(DoubleType)
+    cnt.join(sTot, Seq("source")).crossJoin(broadcast(gTot))
+      .select(col("source"), col("s_n"), (p * log(p / q)).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("s_n")).cast(LongType).as("n_vocab_tokens"),
+        Exact.dsum(col("term")).as("kl_divergence"))
+      .orderedSmall(col("source"))
+  }
+
+  def sourceDriftSql(vocabK: Int = 300): String =
+    s"""WITH wc AS (
+       |  SELECT source, tok, COUNT(*) AS c FROM (
+       |    SELECT source,
+       |      UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) GROUP BY 1, 2),
+       |gl AS (SELECT tok, SUM(c) AS gc FROM wc GROUP BY tok),
+       |vocab AS (SELECT tok, gc FROM gl ORDER BY gc DESC, tok LIMIT $vocabK),
+       |gt AS (SELECT SUM(gc) AS g_n, COUNT(*) AS vv FROM vocab),
+       |sv AS (SELECT source, tok, gc
+       |       FROM (SELECT DISTINCT source FROM wc) CROSS JOIN vocab),
+       |cnt AS (
+       |  SELECT sv.source, sv.tok, sv.gc, COALESCE(wc.c, 0) AS c
+       |  FROM sv LEFT JOIN wc ON sv.source = wc.source AND sv.tok = wc.tok),
+       |st AS (SELECT source, SUM(c) AS s_n FROM cnt GROUP BY source),
+       |terms AS (
+       |  SELECT cnt.source, s_n,
+       |    (CAST(c + 1 AS DOUBLE) / CAST(s_n + vv AS DOUBLE))
+       |      * ln((CAST(c + 1 AS DOUBLE) / CAST(s_n + vv AS DOUBLE))
+       |            / (CAST(gc + 1 AS DOUBLE) / CAST(g_n + vv AS DOUBLE))) AS term
+       |  FROM cnt JOIN st USING (source) CROSS JOIN gt)
+       |SELECT source, CAST(MAX(s_n) AS BIGINT) AS n_vocab_tokens,
+       |  ${Exact.sqlDsum("term")} AS kl_divergence
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "js1_source_overlap" -> sourceOverlap _,
+    "txt14_sentence_stats" -> sentenceStats _,
+    "drift1_source_kl" -> ((s: SparkSession, d: String) => sourceDrift(s, d)),
     "qc1_quality_classifier" -> qualityMargin _,
     "bpe1_pair_counts" -> ((s: SparkSession, d: String) => bpePairCounts(s, d)),
     "span2_boilerplate_frac" -> ((s: SparkSession, d: String) => boilerplateFraction(s, d)),
@@ -1471,6 +1636,9 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "js1_source_overlap" -> sourceOverlapSql,
+    "txt14_sentence_stats" -> sentenceStatsSql,
+    "drift1_source_kl" -> sourceDriftSql(),
     "qc1_quality_classifier" -> qualityMarginSql,
     "bpe1_pair_counts" -> bpePairCountsSql(),
     "span2_boilerplate_frac" -> boilerplateFractionSql(),

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-11 operator additions (seq1 event paths,
+  * ev15 DAU/WAU, js1 source vocabulary overlap, txt14 sentence stats,
+  * drift1 source KL, lp1 label propagation). Value-level correctness is
+  * hash-checked against the DuckDB oracle by the driver gate; these pin
+  * the structural properties the oracle compare can't express.
+  */
+class Round11OpsSpec extends SparkTestBase {
+
+  test("seq1: path counts reconcile with the timeline triple count") {
+    val paths = Relational.eventPaths(spark, sfDir, k = 1000).cache()
+    val ev = graft.Engine.table(spark, sfDir, "events")
+    // every user with n >= 3 events contributes exactly n-2 triples
+    val expected = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+      .agg(sum(col("n") - 2)).collect()(0).getLong(0)
+    val total = paths.agg(sum(col("n_paths"))).collect()(0).getLong(0)
+    assert(total == expected, s"$total vs $expected")
+    assert(paths.filter(col("n_paths") <= 0).isEmpty)
+    paths.unpersist()
+  }
+
+  test("seq1: top-k is a prefix of the full ranking") {
+    val top5 = Relational.eventPaths(spark, sfDir, k = 5).collect()
+    val all = Relational.eventPaths(spark, sfDir, k = 1000).collect()
+    assert(top5.toSeq == all.take(5).toSeq)
+  }
+
+  test("ev15: WAU bounds DAU and stickiness lands in (0, 1]") {
+    val dw = Relational.dauWau(spark, sfDir).cache()
+    assert(dw.filter(col("wau") < col("dau")).isEmpty, "7-day set contains the 1-day set")
+    assert(dw.filter(col("stickiness") <= 0.0 || col("stickiness") > 1.0).isEmpty)
+    // every observed day appears: the grid matches the distinct day count
+    val days = graft.Engine.table(spark, sfDir, "events")
+      .select((floor(unix_micros(col("ts")).cast("double") / 86400000000L)).cast("long"))
+      .distinct().count()
+    assert(dw.count() == days)
+    dw.unpersist()
+  }
+
+  test("ev15: a day's WAU never exceeds the 7-day union of DAU sets") {
+    val dw = Relational.dauWau(spark, sfDir).cache()
+    // WAU(d) <= sum of DAU over the trailing window (union bound)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    val bound = dw.withColumn("dau_sum", sum(col("dau")).over(w))
+    assert(bound.filter(col("wau") > col("dau_sum")).isEmpty)
+    dw.unpersist()
+  }
+
+  test("js1: symmetric-pair inventory with intersection <= min vocab") {
+    val ov = TextAnalysis.sourceOverlap(spark, sfDir).cache()
+    val nSources = graft.Engine.table(spark, sfDir, "documents")
+      .select(col("source")).distinct().count()
+    assert(ov.count() == nSources * (nSources - 1) / 2)
+    assert(ov.filter(col("source_a") >= col("source_b")).isEmpty)
+    assert(ov.filter(col("n_common") > least(col("n_types_a"), col("n_types_b"))).isEmpty)
+    assert(ov.filter(col("jaccard") < 0.0 || col("jaccard") > 1.0).isEmpty)
+    ov.unpersist()
+  }
+
+  test("txt14: every document reports; zero-sentence docs report 0.0") {
+    val st = TextAnalysis.sentenceStats(spark, sfDir).cache()
+    assert(st.count() == graft.Engine.table(spark, sfDir, "documents").count())
+    assert(st.filter(col("n_sentences") < 0).isEmpty)
+    assert(st.filter(col("n_sentences") === 0 && col("avg_sent_chars") =!= 0.0).isEmpty)
+    // sentence characters can't exceed the raw character budget
+    val docs = graft.Engine.table(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    assert(st.join(docs, "doc_id").filter(col("sent_chars") > col("len")).isEmpty)
+    st.unpersist()
+  }
+
+  test("drift1: KL is non-negative and one row per source") {
+    val kl = TextAnalysis.sourceDrift(spark, sfDir).cache()
+    val nSources = graft.Engine.table(spark, sfDir, "documents")
+      .select(col("source")).distinct().count()
+    assert(kl.count() == nSources)
+    // Gibbs: KL(p||q) >= 0; micros rounding can only move a term 5e-7
+    assert(kl.filter(col("kl_divergence") < -1e-4).isEmpty)
+    assert(kl.filter(col("n_vocab_tokens") < 0).isEmpty)
+    kl.unpersist()
+  }
+
+  test("lp1: one verdict per subset vector, votes bounded by k") {
+    val lp = Similarity.labelPropagation(spark, sfDir, k = 5, subset = 100).cache()
+    assert(lp.count() == 100)
+    assert(lp.filter(col("n_votes") < 1 || col("n_votes") > 5).isEmpty)
+    // propagated labels come from the observed label domain
+    val labels = graft.Engine.table(spark, sfDir, "embeddings")
+      .select(col("label")).distinct().collect().map(_.getInt(0)).toSet
+    val out = lp.select(col("new_label")).distinct().collect().map(_.getInt(0)).toSet
+    assert(out.subsetOf(labels))
+    lp.unpersist()
+  }
+
+  test("lp1: unanimous neighborhoods keep their majority label stable") {
+    // a vector whose 5 votes are unanimous must adopt exactly that label
+    val lp = Similarity.labelPropagation(spark, sfDir, k = 5, subset = 100)
+    val unanimous = lp.filter(col("n_votes") === 5)
+    // (vacuously true if none are unanimous — the assertion is on shape)
+    assert(unanimous.filter(col("new_label").isNull).isEmpty)
+  }
+}
