@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -580,7 +581,95 @@ object Dedup {
        |LEFT JOIN clusters c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // === soft dedup: duplicate-count training weights ========================
+  /** dd9: soft deduplication — instead of DROPPING exact duplicates
+    * (dd1/dd8), every document keeps weight 1/n_copies of its content
+    * cluster, so a training loader samples duplicated content at the
+    * same effective rate as unique content (the downweighting
+    * alternative some pipelines prefer because it preserves corpus
+    * coverage). One window count over the dd1 content hash — a single
+    * map-side-combinable-equivalent shuffle on the hash key; payload
+    * text never travels, and the weight is one IEEE division of exact
+    * integers.
+    */
+  def dupWeights(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("content_hash"))
+      .withColumn("n_copies", count(lit(1)).over(w).cast(LongType))
+      .select(col("doc_id"), col("n_copies"),
+        (lit(1.0) / col("n_copies").cast(DoubleType)).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupWeightsSql: String =
+    """SELECT doc_id,
+      | CAST(COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |      AS BIGINT) AS n_copies,
+      | 1.0 / CAST(COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |      AS DOUBLE) AS weight
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // === asymmetric containment near-dup pairs ===============================
+  /** dd10: shingle containment pairs — the asymmetric cousin of dd2's
+    * Jaccard. Containment C(A→B) = |A∩B| / |A| catches the
+    * quote-inclusion / wrapper-page case Jaccard misses: a short doc
+    * fully embedded in a long one scores containment ~1.0 while the
+    * size mismatch keeps Jaccard low. Same inverted-index join as dd2
+    * (candidates share at least one shingle hash — never O(n²)), same
+    * pinned exchange width for the pair explosion; both directions are
+    * reported and the gate is on the larger one. Divisions are single
+    * IEEE ops over exact integers, so the filter and ordering agree on
+    * both engines.
+    */
+  def containmentPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .repartition(shuffleWidth(t(s, dir, "documents")), col("shingle"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("cont_a", col("n_common").cast(DoubleType) / col("n_a").cast(DoubleType))
+      .withColumn("cont_b", col("n_common").cast(DoubleType) / col("n_b").cast(DoubleType))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common").cast(LongType).as("n_common"),
+        col("cont_a"), col("cont_b"))
+      .orderBy(greatest(col("cont_a"), col("cont_b")).desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  def containmentPairsSql(threshold: Double = 0.5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+       |  FROM toks WHERE len(t) >= 3),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       |    CAST(n_common AS DOUBLE) / CAST(ca.n_sh AS DOUBLE) AS cont_a,
+       |    CAST(n_common AS DOUBLE) / CAST(cb.n_sh AS DOUBLE) AS cont_b
+       |  FROM common
+       |   JOIN counts ca ON ca.doc_id = doc_a
+       |   JOIN counts cb ON cb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_common, cont_a, cont_b
+       |FROM sc WHERE GREATEST(cont_a, cont_b) >= $threshold
+       |ORDER BY GREATEST(cont_a, cont_b) DESC, doc_a, doc_b LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd9_dup_weights" -> dupWeights _,
+    "dd10_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "dd1_exact_dedup" -> exactDedup _,
     "dd2_ngram_jaccard" -> ngramJaccard _,
     "dd3_minhash_lsh" -> minhashLsh _,
@@ -595,6 +684,8 @@ object Dedup {
     * DuckDB oracle regenerates identical signatures.
     */
   val oracles: Map[String, String] = Map(
+    "dd9_dup_weights" -> dupWeightsSql,
+    "dd10_containment_pairs" -> containmentPairsSql(),
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_ngram_jaccard" -> ngramJaccardSql,
     "dd3_minhash_lsh" -> minhashLshSql,

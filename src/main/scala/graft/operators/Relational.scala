@@ -963,7 +963,51 @@ object Relational {
       |SELECT day, dau, wau, CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
+  // === load profile: hour-of-day × day-of-week activity matrix ============
+  /** ev16: the weekly activity heat-map — event count, exact value sum
+    * and distinct actives for every (day-of-week, hour-of-day) cell.
+    * The capacity-planning / anomaly-baseline profile (ev11 scores
+    * against per-hour history; this is the seasonal template it
+    * normalizes by). Engine parity: both coordinates are PURE integer
+    * arithmetic on epoch micros — day-of-week via (epoch_day + 4) mod 7
+    * (1970-01-01 was a Thursday; 0 = Sunday) — because the engines'
+    * dayofweek() builtins disagree on numbering conventions. Shape at
+    * 100 TB: one map-side-combinable aggregate whose key space is the
+    * fixed 168-cell grid; distinct actives add one (cell, user)
+    * pre-aggregation shuffle; the result sorts in one task.
+    */
+  def activityProfile(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val dayUs = 86400000000L
+    val hourUs = 3600000000L
+    t(s, dir, "events")
+      .select(
+        ((floor(us.cast(DoubleType) / dayUs).cast(LongType) + 4) % 7).as("dow"),
+        (floor(us.cast(DoubleType) / hourUs).cast(LongType) % 24).as("hour"),
+        col("user_id"), col("value"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        countDistinct(col("user_id")).cast(LongType).as("n_users"),
+        dsum(col("value")).as("value_sum"))
+      .orderedSmall(col("dow"), col("hour"))
+  }
+
+  val activityProfileSql: String =
+    s"""WITH ev AS (
+       |  SELECT
+       |    (CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0) AS BIGINT) + 4) % 7
+       |      AS dow,
+       |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT) % 24
+       |      AS hour,
+       |    user_id, value
+       |  FROM events)
+       |SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  ${sqlDsum("value")} AS value_sum
+       |FROM ev GROUP BY dow, hour ORDER BY dow, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev16_activity_profile" -> activityProfile _,
     "seq1_event_paths" -> ((s: SparkSession, d: String) => eventPaths(s, d)),
     "ev15_dau_wau" -> dauWau _,
     "ts1_hourly_grid" -> hourlyGrid _,
@@ -991,6 +1035,7 @@ object Relational {
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
+    "ev16_activity_profile" -> activityProfileSql,
     "seq1_event_paths" -> eventPathsSql(),
     "ev15_dau_wau" -> dauWauSql,
     "ts1_hourly_grid" -> hourlyGridSql,

@@ -912,7 +912,41 @@ object Similarity {
        |  CAST(lb AS INTEGER) AS new_label, CAST(n_votes AS BIGINT) AS n_votes
        |FROM r WHERE r = 1 ORDER BY vec_id""".stripMargin
 
+  // === label balance: class shares and entropy contributions ==============
+  /** imb1: the label-balance card — per-class counts, shares and
+    * entropy contributions over the embedding corpus (the imbalance
+    * diagnostic a fine-tuning mix is checked against before training;
+    * the summed surprisal column IS the label entropy, and its ratio
+    * to ln(k) the balance score). Shape at 100 TB: one
+    * map-side-combinable count whose key space is the label domain;
+    * the result is domain-bounded and sorts in one task. Engine
+    * parity: shares are one IEEE division of exact integers; each
+    * surprisal is rounded once to 6 decimals (absorbing last-ulp libm
+    * ln differences — the txt11 argument).
+    */
+  def labelBalance(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("nt"))
+    val share = col("n").cast(DoubleType) / col("nt").cast(DoubleType)
+    counts.crossJoin(broadcast(total))
+      .select(col("label"), col("n").cast(LongType).as("n_vectors"),
+        share.as("share"),
+        Exact.dround(-share * log(share), 6).as("surprisal"))
+      .orderedSmall(col("label"))
+  }
+
+  val labelBalanceSql: String = {
+    val share = "CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)"
+    s"""WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+       |t AS (SELECT SUM(n) AS nt FROM c)
+       |SELECT label, CAST(n AS BIGINT) AS n_vectors, $share AS share,
+       |  ${Exact.sqlDround(s"-($share) * ln($share)", 6)} AS surprisal
+       |FROM c CROSS JOIN t ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "imb1_label_balance" -> labelBalance _,
     "lp1_label_propagation" -> ((s: SparkSession, d: String) => labelPropagation(s, d)),
     "km1_kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
     "km2_kmeans_update" -> ((s: SparkSession, d: String) => kmeansUpdate(s, d)),
@@ -928,6 +962,7 @@ object Similarity {
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "imb1_label_balance" -> labelBalanceSql,
     "lp1_label_propagation" -> labelPropagationSql(),
     "km1_kmeans_assign" -> kmeansAssignSql(),
     "km2_kmeans_update" -> kmeansUpdateSql(),

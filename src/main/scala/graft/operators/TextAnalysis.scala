@@ -1597,7 +1597,46 @@ object TextAnalysis {
        |  ${Exact.sqlDsum("term")} AS kl_divergence
        |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  // === tokenizer fertility =================================================
+  /** tok2: BPE fertility per document — regex-BPE pieces per whitespace
+    * word (the tokenizer-efficiency metric a vocabulary decision is
+    * judged by: high-fertility text burns context budget; per-language
+    * fertility gaps are the standard multilingual-tokenizer complaint).
+    * Composes the txt4 piece count with the txt1 word count in ONE
+    * map-only projection over the text — no shuffle at any scale. The
+    * fertility is one IEEE division of exact integers; wordless docs
+    * report 0.0 on both engines.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val pieces = expr(s"regexp_extract_all(text, '${bpePattern.replace("'", "\\'")}', 0)")
+    val words = tokens(col("text"))
+    dFan(s, dir)
+      .select(col("doc_id"),
+        size(pieces).cast(LongType).as("n_bpe_pieces"),
+        size(words).cast(LongType).as("n_words"))
+      .select(col("doc_id"), col("n_bpe_pieces"), col("n_words"),
+        when(col("n_words") > 0,
+          col("n_bpe_pieces").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .otherwise(lit(0.0)).as("fertility"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeFertilitySql: String = {
+    val pat = bpePattern.replace("'", "''")
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '$pat', 0)) AS BIGINT) AS n_bpe_pieces,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_words
+       |  FROM documents)
+       |SELECT doc_id, n_bpe_pieces, n_words,
+       |  CASE WHEN n_words > 0
+       |       THEN CAST(n_bpe_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |       ELSE 0.0 END AS fertility
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok2_fertility" -> bpeFertility _,
     "js1_source_overlap" -> sourceOverlap _,
     "txt14_sentence_stats" -> sentenceStats _,
     "drift1_source_kl" -> ((s: SparkSession, d: String) => sourceDrift(s, d)),
@@ -1636,6 +1675,7 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "tok2_fertility" -> bpeFertilitySql,
     "js1_source_overlap" -> sourceOverlapSql,
     "txt14_sentence_stats" -> sentenceStatsSql,
     "drift1_source_kl" -> sourceDriftSql(),

@@ -98,6 +98,58 @@ class Round11OpsSpec extends SparkTestBase {
     lp.unpersist()
   }
 
+  test("dd9: weights reconcile with dd1's cluster inventory") {
+    val wts = Dedup.dupWeights(spark, sfDir).cache()
+    assert(wts.count() == graft.Engine.table(spark, sfDir, "documents").count())
+    // sum of weights = number of distinct content clusters (each cluster
+    // contributes n * (1/n) = 1)
+    val wsum = wts.agg(sum(col("weight"))).collect()(0).getDouble(0)
+    val clusters = Dedup.exactDedup(spark, sfDir).count()
+    assert(math.abs(wsum - clusters) < 1e-6, s"$wsum vs $clusters")
+    assert(wts.filter(col("weight") <= 0.0 || col("weight") > 1.0).isEmpty)
+    wts.unpersist()
+  }
+
+  test("dd10: containment bounds and the quote-inclusion asymmetry") {
+    val cp = Dedup.containmentPairs(spark, sfDir, threshold = 0.1).cache()
+    assert(cp.filter(col("cont_a") < 0.0 || col("cont_a") > 1.0).isEmpty)
+    assert(cp.filter(col("cont_b") < 0.0 || col("cont_b") > 1.0).isEmpty)
+    assert(cp.filter(col("doc_a") >= col("doc_b")).isEmpty)
+    // containment >= Jaccard for the same pair (intersection over a
+    // smaller denominator)
+    assert(cp.filter(greatest(col("cont_a"), col("cont_b")) < lit(0.1)).isEmpty)
+    cp.unpersist()
+  }
+
+  test("ev16: the grid is dow 0..6 x hour 0..23 and counts reconcile") {
+    val ap = Relational.activityProfile(spark, sfDir).cache()
+    assert(ap.filter(col("dow") < 0 || col("dow") > 6).isEmpty)
+    assert(ap.filter(col("hour") < 0 || col("hour") > 23).isEmpty)
+    val total = ap.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total == graft.Engine.table(spark, sfDir, "events").count())
+    assert(ap.filter(col("n_users") > col("n_events")).isEmpty)
+    ap.unpersist()
+  }
+
+  test("imb1: shares sum to one and surprisal peaks at 1/e") {
+    val lb = Similarity.labelBalance(spark, sfDir).cache()
+    val ssum = lb.agg(sum(col("share"))).collect()(0).getDouble(0)
+    assert(math.abs(ssum - 1.0) < 1e-9)
+    // -p ln p <= 1/e for p in (0,1]
+    assert(lb.filter(col("surprisal") < 0.0 || col("surprisal") > 0.368).isEmpty)
+    lb.unpersist()
+  }
+
+  test("tok2: fertility >= 1 whenever both counts are positive") {
+    val f = TextAnalysis.bpeFertility(spark, sfDir).cache()
+    assert(f.count() == graft.Engine.table(spark, sfDir, "documents").count())
+    // the BPE pre-tokenizer splits within whitespace tokens, never
+    // across them: pieces >= words on any doc with words
+    assert(f.filter(col("n_words") > 0 && col("n_bpe_pieces") < col("n_words")).isEmpty)
+    assert(f.filter(col("n_words") > 0 && col("fertility") < 1.0).isEmpty)
+    f.unpersist()
+  }
+
   test("lp1: unanimous neighborhoods keep their majority label stable") {
     // a vector whose 5 votes are unanimous must adopt exactly that label
     val lp = Similarity.labelPropagation(spark, sfDir, k = 5, subset = 100)
