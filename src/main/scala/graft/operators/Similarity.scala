@@ -945,7 +945,169 @@ object Similarity {
        |FROM c CROSS JOIN t ORDER BY label""".stripMargin
   }
 
+  // === embedding drift between corpus halves ==============================
+  /** sim7: per-label centroid drift between the early and late halves
+    * of the embedding corpus (split at the median vec_id) — the
+    * checkpoint-to-checkpoint drift monitor an embedding pipeline runs
+    * when the encoder or the upstream corpus changes: a label whose
+    * two half-centroids diverge (cosine < ~0.99) moved in embedding
+    * space. Shape at 100 TB: per-(label, half, dim) means are one
+    * posexplode + map-side-combinable aggregate bounded by
+    * labels × 2 × d; the half boundary is a broadcast one-row median;
+    * the cosine runs over the joined (label, dim) pairs — domain-
+    * bounded, one task. Engine parity: means are exact-sum divisions,
+    * the dot/norm accumulations are micros-rounded exact sums, and the
+    * final cosine is rounded once to 6 decimals.
+    */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Par.fanOut(t(s, dir, "embeddings")
+      .select(col("vec_id"), vecD("embedding").as("v"), col("label")))
+    val mid = t(s, dir, "embeddings")
+      .agg(((min(col("vec_id")) + max(col("vec_id"))) / 2).cast(LongType).as("mid"))
+    val dims = e.crossJoin(broadcast(mid))
+      .select(col("label"), (col("vec_id") <= col("mid")).as("early"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("early"), col("pos"))
+      .agg(count(lit(1)).as("n"), Exact.davg(col("x")).as("c"))
+    val ea = dims.filter(col("early"))
+      .select(col("label"), col("pos"), col("n").as("n_early"), col("c").as("ca"))
+    val la = dims.filter(!col("early"))
+      .select(col("label"), col("pos"), col("n").as("n_late"), col("c").as("cb"))
+    ea.join(la, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(max(col("n_early")).cast(LongType).as("n_early"),
+        max(col("n_late")).cast(LongType).as("n_late"),
+        Exact.dsum(col("ca") * col("cb")).as("dot"),
+        Exact.dsum(col("ca") * col("ca")).as("na"),
+        Exact.dsum(col("cb") * col("cb")).as("nb"))
+      .select(col("label"), col("n_early"), col("n_late"),
+        Exact.dround(col("dot") / sqrt(col("na") * col("nb")), 6).as("cos_drift"))
+      .orderedSmall(col("label"))
+  }
+
+  val centroidDriftSql: String =
+    s"""WITH m AS (
+       |  SELECT CAST((MIN(vec_id) + MAX(vec_id)) // 2 AS BIGINT) AS mid FROM embeddings),
+       |ex AS (
+       |  SELECT label, vec_id <= mid AS early, i - 1 AS pos,
+       |         CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN m
+       |  CROSS JOIN (SELECT UNNEST(generate_series(1, $maxDim)) AS i)
+       |  WHERE i <= len(embedding)),
+       |d AS (
+       |  SELECT label, early, pos, COUNT(*) AS n, ${Exact.sqlDavg("x")} AS c
+       |  FROM ex GROUP BY 1, 2, 3),
+       |j AS (
+       |  SELECT a.label, a.pos, a.n AS n_early, b.n AS n_late,
+       |         a.c AS ca, b.c AS cb
+       |  FROM d a JOIN d b ON a.label = b.label AND a.pos = b.pos
+       |  WHERE a.early AND NOT b.early)
+       |SELECT label, CAST(MAX(n_early) AS BIGINT) AS n_early,
+       |  CAST(MAX(n_late) AS BIGINT) AS n_late,
+       |  ${Exact.sqlDround(
+      s"${Exact.sqlDsum("ca * cb")} / sqrt(${Exact.sqlDsum("ca * ca")} * ${Exact.sqlDsum("cb * cb")})", 6)}
+       |    AS cos_drift
+       |FROM j GROUP BY label ORDER BY label""".stripMargin
+
+  // === hubness: kNN in-degree ==============================================
+  /** hub1: the in-degree ranking of the directed exact-kNN graph over
+    * the sim6 subset — embedding-space hubness, the known pathology of
+    * high-dimensional ANN corpora (hub vectors appear in everyone's
+    * neighbor list, distorting retrieval and dedup; the fix is
+    * centering or QB-norm, and THIS table is how the problem is
+    * detected). Top-20 by in-degree, ties toward the smaller vec_id.
+    * Shape at 100 TB: the kNN edge list (LSH-bucketed on the scale
+    * path — the sim6 argument) shuffles (dst) ids only; the count is
+    * map-side combinable and the top-k is TakeOrdered.
+    */
+  def knnHubness(s: SparkSession, dir: String, k: Int = 5, subset: Int = 200,
+      topK: Int = 20): DataFrame = {
+    val e = Par.fanOut(t(s, dir, "embeddings")
+      .filter(col("vec_id") < subset)
+      .select(col("vec_id"), vecD("embedding").as("v")))
+    val pairs = e.select(col("vec_id").as("a"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy(col("b").as("vec_id"))
+      .agg(count(lit(1)).cast(LongType).as("in_degree"))
+      .orderBy(col("in_degree").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  def knnHubnessSql(k: Int = 5, subset: Int = 200, topK: Int = 20): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id < $subset),
+       |p AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    list_dot_product(a.v, b.v)
+       |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+       |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |tk AS (SELECT a, b FROM (
+       |         SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rnk
+       |         FROM p) WHERE rnk <= $k)
+       |SELECT b AS vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+       |FROM tk GROUP BY b ORDER BY in_degree DESC, vec_id LIMIT $topK""".stripMargin
+
+  // === cluster purity against the stored labels ===========================
+  /** cl1: k-means cluster purity — every vector assigned to its
+    * nearest seed centroid (the km1/km2 rule), each cluster graded by
+    * its majority STORED label: purity = majority count / cluster
+    * size. The unsupervised-vs-labels agreement scorecard (low purity
+    * = the embedding geometry disagrees with the taxonomy — a mislabel
+    * or encoder-quality signal; also the acceptance test for the sim4
+    * IVF partitioning). Shape at 100 TB: assignment is the km2 in-row
+    * argmax over broadcast seeds (map-only); the (cluster, label)
+    * count and the majority window run over a k × |labels| bounded
+    * table. Purity is one IEEE division of exact integers.
+    */
+  def clusterPurity(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val labels = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val cl = assignedVectors(s, dir, k).select(col("vec_id"), col("cluster"))
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy(col("cluster")).orderBy(col("n").desc, col("label"))
+    val sizes = cl.groupBy(col("cluster")).agg(sum(col("n")).as("n_members"))
+    cl.withColumn("r", row_number().over(wTop))
+      .filter(col("r") === 1)
+      .join(sizes, Seq("cluster"))
+      .select(col("cluster"), col("n_members").cast(LongType).as("n_members"),
+        col("label").cast(IntegerType).as("majority_label"),
+        col("n").cast(LongType).as("n_majority"),
+        (col("n").cast(DoubleType) / col("n_members").cast(DoubleType)).as("purity"))
+      .orderedSmall(col("cluster"))
+  }
+
+  def clusterPuritySql(k: Int = 8): String = {
+    val cos = "list_dot_product(v, cv) / sqrt(list_dot_product(v, v) * list_dot_product(cv, cv))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |s AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $k),
+       |p AS (
+       |  SELECT e.vec_id, e.label, cluster, ${Exact.sqlDround(cos, 6)} AS cos_r
+       |  FROM e CROSS JOIN s),
+       |r AS (SELECT vec_id, label, cluster,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cluster) AS rnk
+       |      FROM p),
+       |cl AS (SELECT cluster, label, COUNT(*) AS n FROM r WHERE rnk = 1 GROUP BY 1, 2),
+       |sz AS (SELECT cluster, SUM(n) AS n_members FROM cl GROUP BY cluster),
+       |top AS (SELECT cluster, label, n,
+       |          ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS r
+       |        FROM cl)
+       |SELECT top.cluster, CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(label AS INTEGER) AS majority_label, CAST(n AS BIGINT) AS n_majority,
+       |  CAST(n AS DOUBLE) / CAST(n_members AS DOUBLE) AS purity
+       |FROM top JOIN sz ON top.cluster = sz.cluster
+       |WHERE r = 1 ORDER BY top.cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim7_centroid_drift" -> centroidDrift _,
+    "hub1_knn_hubness" -> ((s: SparkSession, d: String) => knnHubness(s, d)),
+    "cl1_cluster_purity" -> ((s: SparkSession, d: String) => clusterPurity(s, d)),
     "imb1_label_balance" -> labelBalance _,
     "lp1_label_propagation" -> ((s: SparkSession, d: String) => labelPropagation(s, d)),
     "km1_kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
@@ -962,6 +1124,9 @@ object Similarity {
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "sim7_centroid_drift" -> centroidDriftSql,
+    "hub1_knn_hubness" -> knnHubnessSql(),
+    "cl1_cluster_purity" -> clusterPuritySql(),
     "imb1_label_balance" -> labelBalanceSql,
     "lp1_label_propagation" -> labelPropagationSql(),
     "km1_kmeans_assign" -> kmeansAssignSql(),

@@ -1635,7 +1635,53 @@ object TextAnalysis {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // === readability score ===================================================
+  /** txt15: Flesch-style reading-ease per document from three map-only
+    * counts — whitespace words, [.!?]+ sentences (the txt14 rule), and
+    * vowel-group syllables (runs of [aeiouy] in the lowered text; the
+    * standard cheap syllable proxy). The classic filter for
+    * age/complexity stratification of a training corpus. No shuffle at
+    * any scale. Engine parity: both ratios are IEEE divisions of exact
+    * integers, the score is the identical literal-constant arithmetic
+    * sequence on both engines, rounded once to 6 decimals; docs
+    * without words or sentences report 0.0.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val words = size(tokens(col("text"))).cast(LongType)
+    val sents = size(filter(split(col("text"), "[.!?]+"), x => length(trim(x)) > 0))
+      .cast(LongType)
+    val syls = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast(LongType)
+    val wps = col("n_words").cast(DoubleType) / col("n_sentences").cast(DoubleType)
+    val spw = col("n_syllables").cast(DoubleType) / col("n_words").cast(DoubleType)
+    dFan(s, dir)
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        syls.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          Exact.dround(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6))
+          .otherwise(lit(0.0)).as("flesch_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val readabilitySql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+       |                         x -> length(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)
+       |      AS n_syllables
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CASE WHEN n_words > 0 AND n_sentences > 0
+       |       THEN ${Exact.sqlDround(
+      "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) " +
+        "- 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))", 6)}
+       |       ELSE 0.0 END AS flesch_score
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt15_readability" -> readability _,
     "tok2_fertility" -> bpeFertility _,
     "js1_source_overlap" -> sourceOverlap _,
     "txt14_sentence_stats" -> sentenceStats _,
@@ -1675,6 +1721,7 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "txt15_readability" -> readabilitySql,
     "tok2_fertility" -> bpeFertilitySql,
     "js1_source_overlap" -> sourceOverlapSql,
     "txt14_sentence_stats" -> sentenceStatsSql,

@@ -150,6 +150,44 @@ class Round11OpsSpec extends SparkTestBase {
     f.unpersist()
   }
 
+  test("sim7: drift cosine is a valid cosine and halves partition the corpus") {
+    val cd = Similarity.centroidDrift(spark, sfDir).cache()
+    assert(cd.filter(col("cos_drift") < -1.0 || col("cos_drift") > 1.0).isEmpty)
+    val total = cd.agg(sum(col("n_early") + col("n_late"))).collect()(0).getLong(0)
+    assert(total == graft.Engine.table(spark, sfDir, "embeddings").count())
+    cd.unpersist()
+  }
+
+  test("hub1: in-degrees sum to at most subset*k and ranking is monotone") {
+    val h = Similarity.knnHubness(spark, sfDir, k = 5, subset = 100, topK = 1000).cache()
+    // every node emits exactly k out-edges; in-degrees across ALL nodes
+    // sum to subset*k (top-1000 over 100 nodes captures all of them)
+    val total = h.agg(sum(col("in_degree"))).collect()(0).getLong(0)
+    assert(total == 100L * 5)
+    assert(h.filter(col("in_degree") < 1).isEmpty)
+    h.unpersist()
+  }
+
+  test("cl1: purity in (0,1], majority bounded by cluster size, members reconcile") {
+    val cp = Similarity.clusterPurity(spark, sfDir).cache()
+    assert(cp.filter(col("purity") <= 0.0 || col("purity") > 1.0).isEmpty)
+    assert(cp.filter(col("n_majority") > col("n_members")).isEmpty)
+    val total = cp.agg(sum(col("n_members"))).collect()(0).getLong(0)
+    assert(total == graft.Engine.table(spark, sfDir, "embeddings").count())
+    cp.unpersist()
+  }
+
+  test("txt15: counts are consistent with txt14 and the score is bounded above") {
+    val r = TextAnalysis.readability(spark, sfDir).cache()
+    val st = TextAnalysis.sentenceStats(spark, sfDir)
+      .select(col("doc_id"), col("n_sentences").as("s14"))
+    assert(r.join(st, "doc_id").filter(col("n_sentences") =!= col("s14")).isEmpty)
+    // flesch <= 206.835 + a syllable-free allowance; scored docs only
+    assert(r.filter(col("n_words") > 0 && col("n_sentences") > 0 &&
+      col("flesch_score") > 206.835).isEmpty)
+    r.unpersist()
+  }
+
   test("lp1: unanimous neighborhoods keep their majority label stable") {
     // a vector whose 5 votes are unanimous must adopt exactly that label
     val lp = Similarity.labelPropagation(spark, sfDir, k = 5, subset = 100)
