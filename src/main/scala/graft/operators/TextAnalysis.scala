@@ -1680,7 +1680,47 @@ object TextAnalysis {
        |       ELSE 0.0 END AS flesch_score
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // === deterministic global shuffle into shards ===========================
+  /** shuf1: the training-data shuffle — every document assigned a
+    * pseudo-random shard and an in-shard position, deterministically
+    * (the md5 order of the smp1 hash family, salted "shuf" so this
+    * permutation is independent of every sampling coin). A training
+    * run reads shard files sequentially and sees the corpus in
+    * hash-random order; the assignment is identical on any engine,
+    * cluster size, or rerun — no materialized randomness. Shape at
+    * 100 TB: the shard key is map-only; the in-shard position is a
+    * row_number window partitioned BY SHARD — each shard sorts 1/N of
+    * the ids (ids only, never text), which IS the standard distributed
+    * shuffle-write; no global ordering bottleneck.
+    */
+  def globalShuffle(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val okey = conv(substring(md5(concat_ws("#", lit("shuf"), col("doc_id"))), 1, 15), 16, 10)
+      .cast(LongType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("okey"), col("doc_id"))
+    dFan(s, dir).select(col("doc_id"))
+      .withColumn("okey", okey)
+      .withColumn("shard", (col("okey") % nShards).cast(IntegerType))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  def globalShuffleSql(nShards: Int = 8): String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(concat_ws('#', 'shuf', doc_id)), 1, 15))::BIGINT
+       |         AS BIGINT) AS okey
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, okey, CAST(okey % $nShards AS INTEGER) AS shard FROM k)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS BIGINT)
+       |    AS pos
+       |FROM sh ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shuf1_global_shuffle" -> ((s: SparkSession, d: String) => globalShuffle(s, d)),
     "txt15_readability" -> readability _,
     "tok2_fertility" -> bpeFertility _,
     "js1_source_overlap" -> sourceOverlap _,
@@ -1721,6 +1761,7 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "shuf1_global_shuffle" -> globalShuffleSql(),
     "txt15_readability" -> readabilitySql,
     "tok2_fertility" -> bpeFertilitySql,
     "js1_source_overlap" -> sourceOverlapSql,

@@ -188,6 +188,23 @@ class Round11OpsSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("shuf1: a permutation — every doc once, positions dense per shard") {
+    val sh = TextAnalysis.globalShuffle(spark, sfDir, nShards = 4).cache()
+    val nDocs = graft.Engine.table(spark, sfDir, "documents").count()
+    assert(sh.count() == nDocs)
+    assert(sh.select(col("doc_id")).distinct().count() == nDocs)
+    assert(sh.filter(col("shard") < 0 || col("shard") > 3).isEmpty)
+    // positions are 1..n_shard with no gaps: max(pos) == count per shard
+    val off = sh.groupBy(col("shard"))
+      .agg(max(col("pos")).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(off.isEmpty)
+    // determinism: a second build yields the identical assignment
+    val again = TextAnalysis.globalShuffle(spark, sfDir, nShards = 4)
+    assert(sh.except(again).isEmpty && again.except(sh).isEmpty)
+    sh.unpersist()
+  }
+
   test("lp1: unanimous neighborhoods keep their majority label stable") {
     // a vector whose 5 votes are unanimous must adopt exactly that label
     val lp = Similarity.labelPropagation(spark, sfDir, k = 5, subset = 100)
