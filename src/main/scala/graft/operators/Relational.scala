@@ -936,16 +936,26 @@ object Relational {
     */
   def dauWau(s: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
+    // DAU and WAU from ONE scan: each distinct (user, day) pair spreads
+    // to its 7 observation days tagged with whether the observation IS
+    // the active day; per (obs day, user) the tag ORs together, and the
+    // day-level count/conditional-count read both metrics off the same
+    // rows (separate dau/wau aggregates over a shared `du` re-ran the
+    // events distinct per consumer — the round-11 plan-audit lesson).
+    // Days with activity only in their trailing window (wau>0, dau=0)
+    // are dropped to keep the grid = the observed-day domain.
     val du = t(s, dir, "events")
       .select((floor(unix_micros(col("ts")).cast(DoubleType) / dayUs)).cast(LongType).as("day"),
         col("user_id"))
       .distinct()
-    val dau = du.groupBy(col("day")).agg(count(lit(1)).cast(LongType).as("dau"))
-    val wau = du
-      .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("user_id"))
-      .distinct()
-      .groupBy(col("day")).agg(count(lit(1)).cast(LongType).as("wau"))
-    dau.join(wau, Seq("day"))
+    du.select(col("day").as("active_day"), col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(max(col("active_day") === col("day")).as("active_today"))
+      .groupBy(col("day"))
+      .agg(count(when(col("active_today"), 1)).cast(LongType).as("dau"),
+        count(lit(1)).cast(LongType).as("wau"))
+      .filter(col("dau") > 0)
       .select(col("day"), col("dau"), col("wau"),
         (col("dau").cast(DoubleType) / col("wau").cast(DoubleType)).as("stickiness"))
       .orderedSmall(col("day"))

@@ -964,16 +964,18 @@ object Similarity {
       .select(col("vec_id"), vecD("embedding").as("v"), col("label")))
     val mid = t(s, dir, "embeddings")
       .agg(((min(col("vec_id")) + max(col("vec_id"))) / 2).cast(LongType).as("mid"))
+    // both half-centroids from ONE conditional aggregation pass — an
+    // early/late self-join on a shared `dims` re-ran the posexplode
+    // aggregate per side (8 scans in the round-11 plan audit)
     val dims = e.crossJoin(broadcast(mid))
       .select(col("label"), (col("vec_id") <= col("mid")).as("early"),
         posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("early"), col("pos"))
-      .agg(count(lit(1)).as("n"), Exact.davg(col("x")).as("c"))
-    val ea = dims.filter(col("early"))
-      .select(col("label"), col("pos"), col("n").as("n_early"), col("c").as("ca"))
-    val la = dims.filter(!col("early"))
-      .select(col("label"), col("pos"), col("n").as("n_late"), col("c").as("cb"))
-    ea.join(la, Seq("label", "pos"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(when(col("early"), 1)).as("n_early"),
+        count(when(!col("early"), 1)).as("n_late"),
+        Exact.davg(when(col("early"), col("x"))).as("ca"),
+        Exact.davg(when(!col("early"), col("x"))).as("cb"))
+    dims
       .groupBy(col("label"))
       .agg(max(col("n_early")).cast(LongType).as("n_early"),
         max(col("n_late")).cast(LongType).as("n_late"),

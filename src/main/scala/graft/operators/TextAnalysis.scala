@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1450,18 +1451,23 @@ object TextAnalysis {
     * op.
     */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // vocab sizes ride ALONG the rows as a window count instead of a
+    // separate aggregate joined back: a star-shaped reuse of `v` would
+    // re-run the tokenize+distinct per consumer (Spark's per-branch
+    // column pruning defeats exchange reuse), re-reading the corpus
+    // 4x — measured in the round-11 plan audit
+    val wSz = Window.partitionBy(col("source"))
     val v = Par.fanOut(t(s, dir, "documents").select(col("source"), col("text")))
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .distinct()
-    val sizes = v.groupBy(col("source")).agg(count(lit(1)).cast(LongType).as("n_types"))
-    val inter = v.select(col("source").as("source_a"), col("tok"))
-      .join(v.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+      .withColumn("n_types", count(lit(1)).over(wSz).cast(LongType))
+    v.select(col("source").as("source_a"), col("tok"), col("n_types").as("n_types_a"))
+      .join(v.select(col("source").as("source_b"), col("tok"), col("n_types").as("n_types_b")),
+        Seq("tok"))
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).cast(LongType).as("n_common"))
-    inter
-      .join(sizes.select(col("source").as("source_a"), col("n_types").as("n_types_a")), Seq("source_a"))
-      .join(sizes.select(col("source").as("source_b"), col("n_types").as("n_types_b")), Seq("source_b"))
+      .agg(max(col("n_types_a")).as("n_types_a"), max(col("n_types_b")).as("n_types_b"),
+        count(lit(1)).cast(LongType).as("n_common"))
       .select(col("source_a"), col("source_b"), col("n_types_a"), col("n_types_b"),
         col("n_common"),
         (col("n_common").cast(DoubleType)
@@ -1548,23 +1554,38 @@ object TextAnalysis {
     * last-ulp libm ln differences — the txt11 argument).
     */
   def sourceDrift(s: SparkSession, dir: String, vocabK: Int = 300): DataFrame = {
+    // ONE wordcount pass feeds everything (the sel1 discipline): the
+    // corpus-scale shuffle happens once for the per-(source, token)
+    // counts, the global counts and the top-V membership ride along as
+    // windows over that bounded table, and the zero-fill grid joins a
+    // broadcast vocab whose per-corpus scalars (g_n, realized size vv —
+    // smoothing by the REALIZED size is what keeps both distributions
+    // normalized and Gibbs' KL >= 0) are empty-frame window constants
+    // instead of separate aggregate branches. A star-shaped reuse of
+    // the wordcount re-ran the tokenize+aggregate per consumer (6
+    // corpus scans in the round-11 plan audit — per-branch column
+    // pruning defeats exchange reuse).
+    val wTok = Window.partitionBy(col("tok"))
+    val wAll = Window.partitionBy()
+    val wSrc = Window.partitionBy(col("source"))
     val wc = Par.fanOut(t(s, dir, "documents").select(col("source"), col("text")))
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
-    val gl = wc.groupBy(col("tok")).agg(sum(col("c")).as("gc"))
-    val vocab = gl.orderBy(col("gc").desc, col("tok")).limit(vocabK)
-    // smooth by the REALIZED vocab size (the corpus can have fewer than
-    // vocabK types) — with a constant both distributions under-normalize
-    // and Gibbs' KL >= 0 no longer holds
-    val gTot = vocab.agg(sum(col("gc")).as("g_n"), count(lit(1)).as("vv"))
-    val srcVocab = wc.select(col("source")).distinct()
-      .crossJoin(broadcast(vocab))
-    val cnt = srcVocab.join(wc, Seq("source", "tok"), "left")
-      .select(col("source"), col("tok"), col("gc"), coalesce(col("c"), lit(0L)).as("c"))
-    val sTot = cnt.groupBy(col("source")).agg(sum(col("c")).as("s_n"))
+      .withColumn("gc", sum(col("c")).over(wTok))
+      .withColumn("vrank", dense_rank().over(Window.orderBy(col("gc").desc, col("tok"))))
+      .filter(col("vrank") <= vocabK)
+    val vocab = wc.select(col("tok"), col("gc")).distinct()
+      .withColumn("g_n", sum(col("gc")).over(wAll))
+      .withColumn("vv", count(lit(1)).over(wAll))
+    val sources = t(s, dir, "documents").select(col("source")).distinct()
+    val cnt = sources.crossJoin(broadcast(vocab))
+      .join(wc.select(col("source"), col("tok"), col("c")), Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"), col("gc"), col("g_n"), col("vv"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("s_n", sum(col("c")).over(wSrc))
     val p = (col("c") + 1).cast(DoubleType) / (col("s_n") + col("vv")).cast(DoubleType)
     val q = (col("gc") + 1).cast(DoubleType) / (col("g_n") + col("vv")).cast(DoubleType)
-    cnt.join(sTot, Seq("source")).crossJoin(broadcast(gTot))
+    cnt
       .select(col("source"), col("s_n"), (p * log(p / q)).as("term"))
       .groupBy(col("source"))
       .agg(max(col("s_n")).cast(LongType).as("n_vocab_tokens"),
