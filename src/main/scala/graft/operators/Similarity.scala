@@ -1068,15 +1068,17 @@ object Similarity {
     */
   def clusterPurity(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val labels = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    // cluster sizes ride along as a window sum — a separate sizes
+    // aggregate joined back re-ran the whole assignment pass (the
+    // round-11 plan-audit lesson)
     val cl = assignedVectors(s, dir, k).select(col("vec_id"), col("cluster"))
       .join(labels, Seq("vec_id"))
       .groupBy(col("cluster"), col("label"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("n_members", sum(col("n")).over(Window.partitionBy(col("cluster"))))
     val wTop = Window.partitionBy(col("cluster")).orderBy(col("n").desc, col("label"))
-    val sizes = cl.groupBy(col("cluster")).agg(sum(col("n")).as("n_members"))
     cl.withColumn("r", row_number().over(wTop))
       .filter(col("r") === 1)
-      .join(sizes, Seq("cluster"))
       .select(col("cluster"), col("n_members").cast(LongType).as("n_members"),
         col("label").cast(IntegerType).as("majority_label"),
         col("n").cast(LongType).as("n_majority"),

@@ -620,12 +620,18 @@ object TextAnalysis {
     * difference between the engines' log implementations.
     */
   def docUnigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    // the corpus frequency of each occurrence rides along as a window
+    // count over the SAME exploded rows (a tok-keyed aggregate joined
+    // back re-ran the tokenize+explode per consumer — the round-11
+    // plan-audit lesson); the corpus total comes from a scan that sums
+    // token counts WITHOUT exploding, so the explode happens once
     val ex = dFan(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val freqs = ex.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val total = freqs.agg(sum(col("tf")).as("nt"))
+      .withColumn("tf", count(lit(1)).over(Window.partitionBy(col("tok"))))
+    val total = t(s, dir, "documents")
+      .agg(sum(size(tokens(col("text"))).cast(LongType)).as("nt"))
     val nlp = -log(col("tf").cast(DoubleType) / col("nt").cast(DoubleType))
-    ex.join(freqs, "tok")
+    ex
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
@@ -666,13 +672,17 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score_m").desc, col("tok"))
     val ex = dFan(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // df rides along as a window count over the tf rows (one row per
+    // (doc, token), so counting them per token IS the document
+    // frequency) — a tok-keyed aggregate joined back re-ran the
+    // tokenize+tf shuffle per consumer (the round-11 plan-audit lesson)
     val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
     val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     // idf >= 0 (df <= n_docs), so half-away rounding is plain floor(x+0.5)
     val idfM = floor(log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType))
       * 1000000L + 0.5).cast(LongType)
-    tf.join(df, "tok").crossJoin(broadcast(nDocs))
+    tf.crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("tok"), (col("tf") * idfM).as("score_m"))
       .withColumn("term_rank", row_number().over(w).cast(LongType))
       .filter(col("term_rank") <= k)
