@@ -872,23 +872,27 @@ object TextAnalysis {
     * optimizer broadcasts while the vocab fits, one per-doc aggregate.
     */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val exL = Par.fanOut(t(s, dir, "documents")
+    // per-token model counts ride along the exploded rows as windows
+    // and the corpus scalars come from ONE aggregate over a second
+    // explode — the counts-joined-back star re-ran the wordcount per
+    // consumer (3 corpus explodes; the round-11 plan-audit lesson)
+    val wTok = Window.partitionBy(col("tok"))
+    val exL0 = Par.fanOut(t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-    val counts = exL.groupBy(col("tok")).agg(
-      count(lit(1)).as("cf"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tf_target"))
-    val totals = counts.agg(
-      sum(col("cf")).cast(LongType).as("nc"),
-      sum(col("tf_target")).cast(LongType).as("ntg"),
-      count(lit(1)).cast(LongType).as("v"))
+    val totals = exL0.agg(
+      count(lit(1)).cast(LongType).as("nc"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast(LongType).as("ntg"),
+      countDistinct(col("tok")).cast(LongType).as("v"))
+    val exL = exL0
+      .withColumn("cf", count(lit(1)).over(wTok))
+      .withColumn("tf_target", sum(when(col("lang") === "en", 1L).otherwise(0L)).over(wTok))
     val pT = (col("tf_target") + lit(1L)).cast(DoubleType) /
       (col("ntg") + col("v")).cast(DoubleType)
     val pC = (col("cf") + lit(1L)).cast(DoubleType) /
       (col("nc") + col("v")).cast(DoubleType)
-    val scored = counts.crossJoin(broadcast(totals))
-      .select(col("tok"), log(pT / pC).as("lr"))
-    exL.join(scored, "tok")
+    exL.crossJoin(broadcast(totals))
+      .select(col("doc_id"), log(pT / pC).as("lr"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(LongType).as("n_tokens"),
         Exact.dsum(col("lr")).as("dsir_sum"))
@@ -1200,15 +1204,25 @@ object TextAnalysis {
     */
   def bm25TopDocs(s: SparkSession, dir: String, k: Int = 50, nTerms: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // dl, df and the per-token corpus count all ride along the tf rows
+    // as windows (dl = per-doc sum of tf, df = per-token row count, the
+    // query ranking key = per-token sum of tf) — the separate
+    // dl/df/qterms aggregates joined back re-ran the tokenize+tf
+    // shuffle per consumer (5 corpus explodes; the round-11 plan-audit
+    // lesson). Corpus scalars come from a scan that never explodes.
     val ex = dFan(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dl = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .withColumn("ctf", sum(col("tf")).over(Window.partitionBy(col("tok"))))
+    val stats = t(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast(LongType)).as("total_toks"))
     // top-k over the vocabulary = TakeOrdered, never a global sort
-    val qterms = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val qterms = tf
       .filter(!col("tok").isInCollection(stopwords) && length(col("tok")) > 0)
-      .orderBy(col("cnt").desc, col("tok"))
+      .select(col("tok"), col("ctf")).distinct()
+      .orderBy(col("ctf").desc, col("tok"))
       .limit(nTerms)
       .select(col("tok"))
     // identical IEEE sequence on both engines: idf and the length-normalized
@@ -1221,9 +1235,7 @@ object TextAnalysis {
     val sat = tfd * lit(k1 + 1.0) /
       (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
     val scoreM = floor(idf * sat * 1000000L + 0.5).cast(LongType)
-    tf.join(qterms, "tok")
-      .join(df, "tok")
-      .join(dl, "doc_id")
+    tf.join(broadcast(qterms), "tok")
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_matched"), sum(scoreM).as("score_m"))
