@@ -620,42 +620,50 @@ object TextAnalysis {
     * difference between the engines' log implementations.
     */
   def docUnigramLogProb(s: SparkSession, dir: String): DataFrame = {
-    // the corpus frequency of each occurrence rides along as a window
-    // count over the SAME exploded rows (a tok-keyed aggregate joined
-    // back re-ran the tokenize+explode per consumer — the round-11
-    // plan-audit lesson); the corpus total comes from a scan that sums
-    // token counts WITHOUT exploding, so the explode happens once
-    val ex = dFan(s, dir)
+    // one explode, one map-side-combined tf aggregate; the corpus
+    // frequency rides along as a window sum over the AGGREGATED
+    // (doc, token) rows — windows over raw exploded instances lose the
+    // partial aggregation and shuffle every occurrence (measured +30%),
+    // while a tok-keyed aggregate joined back re-runs the explode per
+    // consumer (the round-11 plan-audit lesson). Each document's score
+    // sums tf-weighted per-TYPE terms, micros-rounded per (doc, token);
+    // the corpus total comes from a scan that never explodes.
+    val tf = dFan(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("tf", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tfd"))
+      .withColumn("ctf", sum(col("tfd")).over(Window.partitionBy(col("tok"))))
     val total = t(s, dir, "documents")
       .agg(sum(size(tokens(col("text"))).cast(LongType)).as("nt"))
-    val nlp = -log(col("tf").cast(DoubleType) / col("nt").cast(DoubleType))
-    ex
+    val nlp = -log(col("ctf").cast(DoubleType) / col("nt").cast(DoubleType))
+    tf
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).cast(LongType).as("n_tokens"),
-        Exact.dsum(nlp).as("neg_logp_sum"))
+        sum(col("tfd")).cast(LongType).as("n_tokens"),
+        Exact.dsum(col("tfd").cast(DoubleType) * nlp).as("neg_logp_sum"))
       .select(col("doc_id"), col("n_tokens"), col("neg_logp_sum"),
         // one IEEE division over bit-identical operands on both engines
         (col("neg_logp_sum") / col("n_tokens").cast(DoubleType)).as("mean_neg_logp"))
       .orderBy(col("doc_id"))
   }
 
-  val docUnigramLogProbSql: String =
+  val docUnigramLogProbSql: String = {
+    val nlp = "-ln(CAST(ctf AS DOUBLE) / CAST(nt AS DOUBLE))"
     s"""WITH ex AS (
        |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
        |  FROM documents),
-       |f AS (SELECT tok, COUNT(*) AS tf FROM ex GROUP BY tok),
-       |n AS (SELECT SUM(tf) AS nt FROM f),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tfd FROM ex GROUP BY 1, 2),
+       |tfc AS (SELECT doc_id, tfd, SUM(tfd) OVER (PARTITION BY tok) AS ctf FROM tf),
+       |n AS (SELECT CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+       |             AS BIGINT) AS nt FROM documents),
        |sc AS (
-       |  SELECT doc_id, -ln(CAST(tf AS DOUBLE) / CAST(nt AS DOUBLE)) AS nlp
-       |  FROM ex JOIN f USING (tok) CROSS JOIN n)
-       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |  ${Exact.sqlDsum("nlp")} AS neg_logp_sum,
-       |  ${Exact.sqlDsum("nlp")} / CAST(COUNT(*) AS DOUBLE) AS mean_neg_logp
+       |  SELECT doc_id, tfd, CAST(tfd AS DOUBLE) * ($nlp) AS term
+       |  FROM tfc CROSS JOIN n)
+       |SELECT doc_id, CAST(SUM(tfd) AS BIGINT) AS n_tokens,
+       |  ${Exact.sqlDsum("term")} AS neg_logp_sum,
+       |  ${Exact.sqlDsum("term")} / CAST(SUM(tfd) AS DOUBLE) AS mean_neg_logp
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   // === TF-IDF top terms ====================================================
   /** txt12: the k most characteristic terms of each document by
@@ -872,30 +880,36 @@ object TextAnalysis {
     * optimizer broadcasts while the vocab fits, one per-doc aggregate.
     */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    // per-token model counts ride along the exploded rows as windows
-    // and the corpus scalars come from ONE aggregate over a second
-    // explode — the counts-joined-back star re-ran the wordcount per
-    // consumer (3 corpus explodes; the round-11 plan-audit lesson)
+    // one explode, one map-side-combined (doc, token) aggregate; both
+    // model counts ride along as window sums over the AGGREGATED rows
+    // (windows over raw instances lose the partial aggregation —
+    // measured +75%; aggregates joined back re-run the explode per
+    // consumer — the round-11 plan-audit lesson). The corpus scalars
+    // are one aggregate over a second pass of the same tf chain; each
+    // document sums tf-weighted per-TYPE log-ratios, micros-rounded
+    // per (doc, token).
     val wTok = Window.partitionBy(col("tok"))
-    val exL0 = Par.fanOut(t(s, dir, "documents")
+    val tf = Par.fanOut(t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-    val totals = exL0.agg(
-      count(lit(1)).cast(LongType).as("nc"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast(LongType).as("ntg"),
+      .groupBy(col("doc_id"), col("lang"), col("tok")).agg(count(lit(1)).as("tfd"))
+      .withColumn("cf", sum(col("tfd")).over(wTok))
+      .withColumn("tf_target",
+        sum(when(col("lang") === "en", col("tfd")).otherwise(0L)).over(wTok))
+    val totals = tf.groupBy().agg(
+      sum(col("tfd")).cast(LongType).as("nc"),
+      sum(when(col("lang") === "en", col("tfd")).otherwise(0L)).cast(LongType).as("ntg"),
       countDistinct(col("tok")).cast(LongType).as("v"))
-    val exL = exL0
-      .withColumn("cf", count(lit(1)).over(wTok))
-      .withColumn("tf_target", sum(when(col("lang") === "en", 1L).otherwise(0L)).over(wTok))
     val pT = (col("tf_target") + lit(1L)).cast(DoubleType) /
       (col("ntg") + col("v")).cast(DoubleType)
     val pC = (col("cf") + lit(1L)).cast(DoubleType) /
       (col("nc") + col("v")).cast(DoubleType)
-    exL.crossJoin(broadcast(totals))
-      .select(col("doc_id"), log(pT / pC).as("lr"))
+    tf.crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tfd"),
+        (col("tfd").cast(DoubleType) * log(pT / pC)).as("term"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
-        Exact.dsum(col("lr")).as("dsir_sum"))
+      .agg(sum(col("tfd")).cast(LongType).as("n_tokens"),
+        Exact.dsum(col("term")).as("dsir_sum"))
       .select(col("doc_id"), col("n_tokens"), col("dsir_sum"),
         (col("dsir_sum") / col("n_tokens").cast(DoubleType)).as("dsir_mean"))
       .orderBy(col("doc_id"))
@@ -906,22 +920,25 @@ object TextAnalysis {
        |  SELECT doc_id, lang,
        |    UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
        |  FROM documents),
-       |c AS (SELECT tok, COUNT(*) AS cf,
-       |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tf_target
-       |      FROM ex GROUP BY tok),
-       |n AS (SELECT CAST(SUM(cf) AS BIGINT) AS nc,
-       |        CAST(SUM(tf_target) AS BIGINT) AS ntg,
-       |        CAST(COUNT(*) AS BIGINT) AS v FROM c),
+       |tf AS (SELECT doc_id, lang, tok, COUNT(*) AS tfd FROM ex GROUP BY 1, 2, 3),
+       |tfc AS (SELECT doc_id, tok, tfd,
+       |          SUM(tfd) OVER (PARTITION BY tok) AS cf,
+       |          SUM(CASE WHEN lang = 'en' THEN tfd ELSE 0 END)
+       |            OVER (PARTITION BY tok) AS tf_target
+       |        FROM tf),
+       |n AS (SELECT CAST(SUM(tfd) AS BIGINT) AS nc,
+       |        CAST(SUM(CASE WHEN lang = 'en' THEN tfd ELSE 0 END) AS BIGINT) AS ntg,
+       |        CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tf),
        |sc AS (
-       |  SELECT tok,
-       |    ln((CAST(tf_target + 1 AS DOUBLE) / CAST(ntg + v AS DOUBLE))
-       |     / (CAST(cf + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE))) AS lr
-       |  FROM c CROSS JOIN n),
-       |j AS (SELECT doc_id, lr FROM ex JOIN sc USING (tok))
-       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |  ${Exact.sqlDsum("lr")} AS dsir_sum,
-       |  ${Exact.sqlDsum("lr")} / CAST(COUNT(*) AS DOUBLE) AS dsir_mean
-       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  SELECT doc_id, tfd,
+       |    CAST(tfd AS DOUBLE)
+       |      * ln((CAST(tf_target + 1 AS DOUBLE) / CAST(ntg + v AS DOUBLE))
+       |          / (CAST(cf + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE))) AS term
+       |  FROM tfc CROSS JOIN n)
+       |SELECT doc_id, CAST(SUM(tfd) AS BIGINT) AS n_tokens,
+       |  ${Exact.sqlDsum("term")} AS dsir_sum,
+       |  ${Exact.sqlDsum("term")} / CAST(SUM(tfd) AS DOUBLE) AS dsir_mean
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // === document chunking ===================================================
   /** chunk1: fixed-token-budget chunk spans with overlap — the
