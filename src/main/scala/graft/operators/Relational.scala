@@ -1016,7 +1016,122 @@ object Relational {
        |  ${sqlDsum("value")} AS value_sum
        |FROM ev GROUP BY dow, hour ORDER BY dow, hour""".stripMargin
 
+  // === event-type affinity =================================================
+  /** ev18: pairwise event-type affinity — for every type pair, how many
+    * users perform both, with the Jaccard over user sets (the
+    * feature-cooccurrence table behind "users who X also Y" analyses
+    * and funnel hypothesis generation). Shape at 100 TB: the
+    * (user, type) distinct is one map-side-combinable shuffle bounded
+    * by users × |types|; per-type user counts ride along as a window
+    * over those rows (the round-11 single-pass discipline); the pair
+    * join is an inverted index on user_id — each user contributes
+    * |their types|² pairs, bounded by the type domain, never a corpus
+    * cross product; the result is |types|²-bounded and sorts in one
+    * task. The Jaccard is one IEEE division of exact integers.
+    */
+  def typeAffinity(s: SparkSession, dir: String): DataFrame = {
+    val du = t(s, dir, "events").select(col("user_id"), col("event_type")).distinct()
+      .withColumn("n_users",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    du.select(col("user_id"), col("event_type").as("type_a"), col("n_users").as("n_users_a"))
+      .join(du.select(col("user_id"), col("event_type").as("type_b"),
+        col("n_users").as("n_users_b")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(max(col("n_users_a")).cast(LongType).as("n_users_a"),
+        max(col("n_users_b")).cast(LongType).as("n_users_b"),
+        count(lit(1)).cast(LongType).as("n_both"))
+      .select(col("type_a"), col("type_b"), col("n_users_a"), col("n_users_b"),
+        col("n_both"),
+        (col("n_both").cast(DoubleType)
+          / (col("n_users_a") + col("n_users_b") - col("n_both")).cast(DoubleType))
+          .as("jaccard"))
+      .orderedSmall(col("type_a"), col("type_b"))
+  }
+
+  val typeAffinitySql: String =
+    """WITH du AS (
+      |  SELECT user_id, event_type,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n_users
+      |  FROM (SELECT DISTINCT user_id, event_type FROM events)),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(MAX(a.n_users) AS BIGINT) AS n_users_a,
+      |    CAST(MAX(b.n_users) AS BIGINT) AS n_users_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_users_a, n_users_b, n_both,
+      |  CAST(n_both AS DOUBLE) / CAST(n_users_a + n_users_b - n_both AS DOUBLE)
+      |    AS jaccard
+      |FROM p ORDER BY type_a, type_b""".stripMargin
+
+  // === referential-integrity audit ========================================
+  /** dq1: the data-quality audit a lakehouse runs before publishing a
+    * snapshot — violation counts for the key constraints the TPC-H
+    * schema implies: orphaned foreign keys (anti joins on the key),
+    * null keys, duplicate primary keys, and value-domain checks.
+    * Every check is one column-pruned pass over its table (the anti
+    * joins shuffle only key columns; the PK check is a map-side-
+    * combinable count-by-key); the result is check-domain-bounded.
+    * All-zero on the generated data BY CONSTRUCTION — the operator
+    * exists to detect when that stops being true.
+    */
+  def integrityAudit(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val customer = t(s, dir, "customer")
+    val part = t(s, dir, "part")
+    // ONE lazy plan: each check is a count aggregate branch and the
+    // union is check-domain-bounded — no driver-side execution at
+    // build time
+    def one(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast(LongType).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    val checks = Seq(
+      one("orders_orphan_customer",
+        orders.join(customer, orders("o_custkey") === customer("c_custkey"), "left_anti")),
+      one("lineitem_orphan_order",
+        lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")),
+      one("lineitem_orphan_part",
+        lineitem.join(part, lineitem("l_partkey") === part("p_partkey"), "left_anti")),
+      one("orders_null_key", orders.filter(col("o_orderkey").isNull)),
+      one("part_duplicate_pk",
+        part.groupBy(col("p_partkey")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)),
+      one("lineitem_negative_price", lineitem.filter(col("l_extendedprice") < 0)),
+      one("lineitem_qty_out_of_range",
+        lineitem.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
+    checks.reduce(_ unionAll _)
+      .select(col("check_name"), col("n_violations").cast(LongType))
+      .orderedSmall(col("check_name"))
+  }
+
+  val integrityAuditSql: String =
+    """SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations FROM (
+      |  SELECT 'orders_orphan_customer' AS check_name,
+      |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+      |  UNION ALL SELECT 'lineitem_orphan_order',
+      |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL SELECT 'lineitem_orphan_part',
+      |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |  UNION ALL SELECT 'orders_null_key',
+      |    (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+      |  UNION ALL SELECT 'part_duplicate_pk',
+      |    (SELECT COUNT(*) FROM (SELECT p_partkey FROM part GROUP BY p_partkey
+      |                           HAVING COUNT(*) > 1))
+      |  UNION ALL SELECT 'lineitem_negative_price',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0)
+      |  UNION ALL SELECT 'lineitem_qty_out_of_range',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50))
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev18_type_affinity" -> typeAffinity _,
+    "dq1_integrity_audit" -> integrityAudit _,
     "ev16_activity_profile" -> activityProfile _,
     "seq1_event_paths" -> ((s: SparkSession, d: String) => eventPaths(s, d)),
     "ev15_dau_wau" -> dauWau _,
@@ -1045,6 +1160,8 @@ object Relational {
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
+    "ev18_type_affinity" -> typeAffinitySql,
+    "dq1_integrity_audit" -> integrityAuditSql,
     "ev16_activity_profile" -> activityProfileSql,
     "seq1_event_paths" -> eventPathsSql(),
     "ev15_dau_wau" -> dauWauSql,

@@ -835,9 +835,12 @@ object TextAnalysis {
         i => struct(element_at(col("toks"), i).as("w1"),
           element_at(col("toks"), i + 1).as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // ctx_n rides along as a window sum over the vocabulary²-bounded
+    // pair counts (a w1-keyed aggregate joined back re-ran the pair
+    // extraction per consumer — the round-11 plan-audit lesson)
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("pair_n")).as("ctx_n"))
-    c2.join(c1, "w1")
+      .withColumn("ctx_n", sum(col("pair_n")).over(Window.partitionBy(col("w1"))))
+    c2
       .select(col("w1"), col("w2"), col("pair_n"),
         floor(col("pair_n").cast(DoubleType) / col("ctx_n").cast(DoubleType)
           * 1000000L + 0.5).cast(LongType).as("p_micro"))
@@ -1779,7 +1782,149 @@ object TextAnalysis {
        |    AS pos
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  // === interpolated trigram LM ============================================
+  /** lm2: trigram conditional probabilities with Jelinek-Mercer
+    * interpolation — for every observed (w1, w2) context its top-k
+    * successors by 0.6·P(w3|w1,w2) + 0.4·P(w3|w2), the backoff-smoothed
+    * table a stronger next-token scorer reads where lm1's raw bigrams
+    * saturate. Both component probabilities are integer micros (one
+    * rounding each over bit-identical divisions) and the mix is pure
+    * integer arithmetic, so ranking ties resolve identically on both
+    * engines. Shape at 100 TB: triple and pair extraction are map-only
+    * in-row zips; both count tables are map-side-combinable shuffles
+    * whose key spaces are vocabulary-bounded; context totals ride along
+    * as windows over those bounded tables (the round-11 single-pass
+    * discipline); the bigram side broadcasts while the vocabulary
+    * fits, and the top-k window shuffles counts, never text.
+    */
+  def trigramLm(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("w1"), col("w2"))
+      .orderBy(col("mix_micro").desc, col("w3"))
+    val triples = dFan(s, dir)
+      .select(tokens(col("text")).as("toks")).filter(size(col("toks")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2"),
+          element_at(col("toks"), i + 2).as("w3")))).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+    val pairs = dFan(s, dir)
+      .select(tokens(col("text")).as("toks")).filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w2"),
+          element_at(col("toks"), i + 1).as("w3")))).as("p"))
+      .select(col("p.w2").as("w2"), col("p.w3").as("w3"))
+    val c3 = triples.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tri_n"))
+      .withColumn("ctx3_n",
+        sum(col("tri_n")).over(Window.partitionBy(col("w1"), col("w2"))))
+    val c2 = pairs.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("pair_n"))
+      .withColumn("ctx2_n", sum(col("pair_n")).over(Window.partitionBy(col("w2"))))
+      .select(col("w2"), col("w3"),
+        floor(col("pair_n").cast(DoubleType) / col("ctx2_n").cast(DoubleType)
+          * 1000000L + 0.5).cast(LongType).as("p2_micro"))
+    c3
+      .select(col("w1"), col("w2"), col("w3"), col("tri_n"),
+        floor(col("tri_n").cast(DoubleType) / col("ctx3_n").cast(DoubleType)
+          * 1000000L + 0.5).cast(LongType).as("p3_micro"))
+      .join(broadcast(c2), Seq("w2", "w3"))
+      // integer mix (div, not /): micros stay exact far below 2^63 and
+      // both engines take the same integral floor
+      .withColumn("mix_micro",
+        expr("(p3_micro * 6 + p2_micro * 4) div 10").cast(LongType))
+      .withColumn("succ_rank", row_number().over(w).cast(LongType))
+      .filter(col("succ_rank") <= k)
+      .select(col("w1"), col("w2"), col("succ_rank"), col("w3"), col("tri_n"),
+        col("p3_micro"), col("mix_micro"))
+      .orderBy(col("w1"), col("w2"), col("succ_rank"))
+  }
+
+  def trigramLmSql(k: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |tri AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+       |  FROM toks CROSS JOIN UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+       |  WHERE len(t) >= 3),
+       |pr AS (
+       |  SELECT t[i] AS w2, t[i+1] AS w3
+       |  FROM toks CROSS JOIN UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 2),
+       |c3 AS (
+       |  SELECT w1, w2, w3, COUNT(*) AS tri_n,
+       |    SUM(COUNT(*)) OVER (PARTITION BY w1, w2) AS ctx3_n
+       |  FROM tri GROUP BY 1, 2, 3),
+       |c2 AS (
+       |  SELECT w2, w3,
+       |    CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+       |      / CAST(SUM(COUNT(*)) OVER (PARTITION BY w2) AS DOUBLE)
+       |      * 1000000 + 0.5) AS BIGINT) AS p2_micro
+       |  FROM pr GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT w1, c3.w2, c3.w3, tri_n,
+       |    CAST(FLOOR(CAST(tri_n AS DOUBLE) / CAST(ctx3_n AS DOUBLE)
+       |         * 1000000 + 0.5) AS BIGINT) AS p3_micro,
+       |    (CAST(FLOOR(CAST(tri_n AS DOUBLE) / CAST(ctx3_n AS DOUBLE)
+       |         * 1000000 + 0.5) AS BIGINT) * 6 + p2_micro * 4) // 10 AS mix_micro
+       |  FROM c3 JOIN c2 ON c3.w2 = c2.w2 AND c3.w3 = c2.w3),
+       |r AS (
+       |  SELECT w1, w2, w3, tri_n, p3_micro, CAST(mix_micro AS BIGINT) AS mix_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY w1, w2 ORDER BY mix_micro DESC, w3) AS succ_rank
+       |  FROM sc)
+       |SELECT w1, w2, CAST(succ_rank AS BIGINT) AS succ_rank, w3, tri_n,
+       |  p3_micro, mix_micro
+       |FROM r WHERE succ_rank <= $k ORDER BY w1, w2, succ_rank""".stripMargin
+
+  // === per-language character trigram table ================================
+  /** gram2: the per-language character-trigram frequency table — the
+    * model a data-driven language identifier is TRAINED from (txt2
+    * applies a fixed heuristic; this builds the table that replaces
+    * it). Top-k trigrams per language by count with share in micros.
+    * Shape at 100 TB: trigram extraction is a map-only in-row substring
+    * zip; the count is one map-side-combinable shuffle keyed on
+    * (lang, trigram) — bounded by |langs| × |charset|³, not corpus
+    * size; language totals ride along as windows over that bounded
+    * table; the top-k is a per-language window over counts.
+    */
+  def charTrigrams(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
+    Par.fanOut(t(s, dir, "documents").select(col("lang"), col("text")))
+      .select(col("lang"), lower(trim(col("text"))).as("txt"))
+      .filter(char_length(col("txt")) >= 3)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), char_length(col("txt")) - 2),
+        i => col("txt").substr(i, lit(3)))).as("trigram"))
+      .groupBy(col("lang"), col("trigram")).agg(count(lit(1)).as("n"))
+      .withColumn("lang_n", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk").cast(LongType).as("rnk"), col("trigram"),
+        col("n").cast(LongType).as("n"),
+        floor(col("n").cast(DoubleType) / col("lang_n").cast(DoubleType)
+          * 1000000L + 0.5).cast(LongType).as("share_micro"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  def charTrigramsSql(k: Int = 10): String =
+    s"""WITH d AS (SELECT lang, lower(trim(text)) AS txt FROM documents
+       |           WHERE length(lower(trim(text))) >= 3),
+       |g AS (
+       |  SELECT lang, substring(txt, i, 3) AS trigram
+       |  FROM d CROSS JOIN UNNEST(generate_series(1, length(txt) - 2)) AS u(i)),
+       |c AS (
+       |  SELECT lang, trigram, COUNT(*) AS n,
+       |    SUM(COUNT(*)) OVER (PARTITION BY lang) AS lang_n
+       |  FROM g GROUP BY 1, 2),
+       |r AS (
+       |  SELECT lang, trigram, n, lang_n,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, trigram) AS rnk
+       |  FROM c)
+       |SELECT lang, CAST(rnk AS BIGINT) AS rnk, trigram, CAST(n AS BIGINT) AS n,
+       |  CAST(FLOOR(CAST(n AS DOUBLE) / CAST(lang_n AS DOUBLE) * 1000000 + 0.5)
+       |       AS BIGINT) AS share_micro
+       |FROM r WHERE rnk <= $k ORDER BY lang, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm2_trigram_lm" -> ((s: SparkSession, d: String) => trigramLm(s, d)),
+    "gram2_char_trigrams" -> ((s: SparkSession, d: String) => charTrigrams(s, d)),
     "shuf1_global_shuffle" -> ((s: SparkSession, d: String) => globalShuffle(s, d)),
     "txt15_readability" -> readability _,
     "tok2_fertility" -> bpeFertility _,
@@ -1821,6 +1966,8 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "lm2_trigram_lm" -> trigramLmSql(),
+    "gram2_char_trigrams" -> charTrigramsSql(),
     "shuf1_global_shuffle" -> globalShuffleSql(),
     "txt15_readability" -> readabilitySql,
     "tok2_fertility" -> bpeFertilitySql,

@@ -205,6 +205,46 @@ class Round11OpsSpec extends SparkTestBase {
     sh.unpersist()
   }
 
+  test("lm2: probabilities are valid micros and the mix interpolates them") {
+    val lm = TextAnalysis.trigramLm(spark, sfDir).cache()
+    assert(lm.filter(col("p3_micro") < 0 || col("p3_micro") > 1000000L).isEmpty)
+    assert(lm.filter(col("mix_micro") < 0 || col("mix_micro") > 1000000L).isEmpty)
+    // mix = 0.6*p3 + 0.4*p2 with p2 in [0,1]: mix >= 0.6*p3 - 1 (int floor)
+    assert(lm.filter(col("mix_micro") * 10 < col("p3_micro") * 6 - 10).isEmpty)
+    assert(lm.filter(col("succ_rank") < 1 || col("succ_rank") > 3).isEmpty)
+    lm.unpersist()
+  }
+
+  test("gram2: shares are per-language fractions and ranks are dense") {
+    val g = TextAnalysis.charTrigrams(spark, sfDir).cache()
+    assert(g.filter(col("share_micro") <= 0 || col("share_micro") > 1000000L).isEmpty)
+    assert(g.filter(length(col("trigram")) =!= 3).isEmpty)
+    val ranks = g.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"))
+      .filter(col("n") =!= col("mx"))
+    assert(ranks.isEmpty, "rnk is 1..n per language with no gaps")
+    g.unpersist()
+  }
+
+  test("ev18: pair inventory bounds and intersection <= min user set") {
+    val af = Relational.typeAffinity(spark, sfDir).cache()
+    val nTypes = graft.Engine.table(spark, sfDir, "events")
+      .select(col("event_type")).distinct().count()
+    assert(af.count() == nTypes * (nTypes - 1) / 2)
+    assert(af.filter(col("n_both") > least(col("n_users_a"), col("n_users_b"))).isEmpty)
+    assert(af.filter(col("jaccard") < 0.0 || col("jaccard") > 1.0).isEmpty)
+    af.unpersist()
+  }
+
+  test("dq1: the generated data is clean and every check reports") {
+    val audit = Relational.integrityAudit(spark, sfDir).cache()
+    assert(audit.count() == 7)
+    // TPC-H-ish generated data satisfies its own constraints
+    assert(audit.filter(col("n_violations") =!= 0L).isEmpty,
+      audit.filter(col("n_violations") =!= 0L).collect().mkString(","))
+    audit.unpersist()
+  }
+
   test("lp1: unanimous neighborhoods keep their majority label stable") {
     // a vector whose 5 votes are unanimous must adopt exactly that label
     val lp = Similarity.labelPropagation(spark, sfDir, k = 5, subset = 100)
