@@ -273,23 +273,35 @@ object TextAnalysis {
   // word-count bounds, mean-word-length bounds, symbol ratio, stopword
   // presence. Emits keep/drop plus a reasons bitmask so downstream
   // pipelines can audit WHY a document fell out — single map-only pass.
-  def docQualityFilter(s: SparkSession, dir: String): DataFrame = {
+  /** The txt6 rule mask as a pure column expression over `text` —
+    * map-only, so the streaming quality router applies the IDENTICAL
+    * rules per micro-batch (streaming.Streams.qualityRoute).
+    */
+  def qualityMask: Column = {
     val toks = tokens(col("text"))
     val nTok = size(toks)
     val meanLen = length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType) / nTok
-    val symbolRatio =
-      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast(DoubleType) /
-        greatest(length(col("text")), lit(1))
     val stopHits = size(filter(toks, x => x.isInCollection(stopwords)))
     val rules = Seq(
       (nTok < 5) -> 1,            // too few words
       (nTok > 100000) -> 2,       // too many words
       (meanLen < 2.0) -> 4,       // mean word length too small
       (meanLen > 12.0) -> 8,      // mean word length too large
-      (symbolRatio > 0.3) -> 16,  // symbol-heavy
+      (qualitySymbolRatio > 0.3) -> 16, // symbol-heavy
       (stopHits === 0) -> 32)     // no stopwords at all
-    val mask = rules.map { case (cond, bit) => when(cond, bit).otherwise(0) }
-      .reduce(_ + _)
+    rules.map { case (cond, bit) => when(cond, bit).otherwise(0) }.reduce(_ + _)
+  }
+
+  /** Symbol-character fraction of `text` (shared by txt6 and the mask). */
+  def qualitySymbolRatio: Column =
+    length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast(DoubleType) /
+      greatest(length(col("text")), lit(1))
+
+  def docQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val symbolRatio = qualitySymbolRatio
+    val mask = qualityMask
     dFan(s, dir)
       .select(col("doc_id"),
         mask.cast(IntegerType).as("drop_reasons"),

@@ -139,4 +139,34 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** Streaming corpus-quality router — the §7.5 quality gate meeting the
+    * streaming layer: the EXACT txt6 rule mask (operators.TextAnalysis
+    * .qualityMask, a pure map-only column expression) applied to a
+    * document stream per micro-batch. Downstream a `foreachBatch` routes
+    * on `keep` to kept/quarantine sinks; because the expression is
+    * map-only, the streaming plan is the batch plan — no state, no
+    * shuffle, identical verdicts (pinned by StreamsSpec against the
+    * batch txt6 output).
+    */
+  def qualityRoute(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("drop_reasons",
+        graft.operators.TextAnalysis.qualityMask.cast(org.apache.spark.sql.types.IntegerType))
+      .withColumn("keep", col("drop_reasons") === 0)
+
+  /** Watermarked per-source quality rate over a document stream with an
+    * arrival timestamp: finalized 10-minute windows of (total, kept) per
+    * source — the live drift monitor a crawl pipeline watches (the
+    * streaming face of rep1/drift1). Append mode emits only windows the
+    * 5-minute watermark has closed.
+    */
+  def sourceQualityRates(docs: DataFrame): DataFrame =
+    qualityRoute(docs)
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("w.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_kept"))
 }

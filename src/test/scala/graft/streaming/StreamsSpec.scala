@@ -156,4 +156,56 @@ class StreamsSpec extends SparkTestBase {
         s.session_start == Timestamp.valueOf("2026-01-01 11:00:00")))
     } finally q.stop()
   }
+
+  case class Doc(doc_id: Long, ts: Timestamp, source: String, text: String)
+
+  test("qualityRoute verdicts match the batch txt6 mask (stream-batch parity)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val real = graft.Engine.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").limit(50).collect()
+      .map(r => Doc(r.getLong(0), ts(0), r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[Doc]
+    val q = Streams.qualityRoute(mem.toDF())
+      .writeStream.format("memory").queryName("route_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(real: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("route_out")
+        .select("doc_id", "drop_reasons").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = graft.operators.TextAnalysis.docQualityFilter(spark, sfDir)
+        .select("doc_id", "drop_reasons").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed.size == 50)
+      streamed.foreach { case (id, mask) => assert(batch(id) == mask, s"doc $id") }
+    } finally q.stop()
+  }
+
+  test("sourceQualityRates finalizes per-source windows after the watermark") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and that is all for now"
+    val mem = MemoryStream[Doc]
+    val q = Streams.sourceQualityRates(mem.toDF())
+      .writeStream.format("memory").queryName("rates_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Doc(1, ts(1), "srcA", good),
+        Doc(2, ts(2), "srcA", "x"), // too short + no stopwords -> dropped
+        Doc(3, ts(3), "srcB", good))
+      q.processAllAvailable()
+      assert(spark.table("rates_out").count() == 0) // window still open
+      mem.addData(Doc(4, tsAt(11, 0), "srcB", good)) // watermark passes 10:10
+      q.processAllAvailable()
+      val rows = spark.table("rates_out").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains(("srcA", 2L, 1L)), rows.toString)
+      assert(rows.contains(("srcB", 1L, 1L)))
+    } finally q.stop()
+  }
 }
