@@ -23,6 +23,7 @@ object Relational {
   // pandas compare.
   private def dsum(c: Column): Column = Exact.dsum(c)
   private def sqlDsum(e: String): String = Exact.sqlDsum(e)
+  private def micros(c: Column): Column = Exact.micros(c)
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
   // === window: rank + running total per customer ===========================
@@ -1129,7 +1130,84 @@ object Relational {
       |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50))
       |ORDER BY check_name""".stripMargin
 
+  // === per-type value trend (OLS over time) ===============================
+  /** reg1: ordinary-least-squares trend of `value` against time, per
+    * event type — slope (units/hour) and intercept from ONE
+    * map-side-combinable moment pass (n, Σx, Σy, Σxy, Σx²), the
+    * prof2/cov1 moment discipline applied to regression. x is integer
+    * hours since the corpus's first hour (a broadcast scalar; shifting
+    * keeps every product far inside 64 bits), y is integer value
+    * micros; the moments sum as DECIMAL(38,0) (overflow-safe at any
+    * scale), convert once to double (correctly rounded, both engines),
+    * and the closed form runs the identical IEEE sequence on both
+    * engines, rounded once to 6 decimals. Degenerate types (one
+    * distinct hour) report slope 0 with intercept = mean.
+    */
+  def valueTrend(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")).cast(DoubleType) / hourUs).cast(LongType).as("h"),
+        col("value"))
+    val h0 = ev.agg(min(col("h")).as("h0"))
+    val m = ev.crossJoin(broadcast(h0))
+      .select(col("event_type"), (col("h") - col("h0")).as("x"),
+        micros(col("value")).as("ym"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("x").cast(Exact.D380)).as("sx"),
+        sum(col("ym").cast(Exact.D380)).as("sy"),
+        sum((col("x") * col("ym")).cast(Exact.D380)).as("sxy"),
+        sum((col("x") * col("x")).cast(Exact.D380)).as("sxx"))
+    val nD = col("n").cast(DoubleType)
+    val sxD = col("sx").cast(DoubleType)
+    val syD = col("sy").cast(DoubleType)
+    val sxyD = col("sxy").cast(DoubleType)
+    val sxxD = col("sxx").cast(DoubleType)
+    val den = nD * sxxD - sxD * sxD
+    val slope = (nD * sxyD - sxD * syD) / den / lit(1000000.0)
+    val mean = syD / nD / lit(1000000.0)
+    m.select(col("event_type"), col("n"),
+        when(col("n") > 1 && den =!= 0.0, Exact.dround(slope, 6))
+          .otherwise(lit(0.0)).as("slope_per_hour"),
+        when(col("n") > 1 && den =!= 0.0,
+          Exact.dround(mean - slope * (sxD / nD), 6))
+          .otherwise(Exact.dround(mean, 6)).as("intercept"))
+      .orderedSmall(col("event_type"))
+  }
+
+  val valueTrendSql: String = {
+    def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    val sxD = d("sx"); val syD = d("sy"); val sxyD = d("sxy"); val sxxD = d("sxx")
+    val nD = "CAST(n AS DOUBLE)"
+    val den = s"($nD * $sxxD - $sxD * $sxD)"
+    val slope = s"(($nD * $sxyD - $sxD * $syD) / $den / 1000000.0)"
+    val mean = s"($syD / $nD / 1000000.0)"
+    s"""WITH h0 AS (
+       |  SELECT MIN(CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT))
+       |    AS h0 FROM events),
+       |ev AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT) - h0 AS x,
+       |    ${Exact.sqlMicros("value")} AS ym
+       |  FROM events CROSS JOIN h0),
+       |m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(ym AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * CAST(ym AS HUGEINT)) AS sxy,
+       |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+       |  FROM ev GROUP BY 1)
+       |SELECT event_type, n,
+       |  CASE WHEN n > 1 AND $den <> 0.0 THEN ${Exact.sqlDround(slope, 6)}
+       |       ELSE 0.0 END AS slope_per_hour,
+       |  CASE WHEN n > 1 AND $den <> 0.0
+       |       THEN ${Exact.sqlDround(s"($mean - $slope * ($sxD / $nD))", 6)}
+       |       ELSE ${Exact.sqlDround(mean, 6)} END AS intercept
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reg1_value_trend" -> valueTrend _,
     "ev18_type_affinity" -> typeAffinity _,
     "dq1_integrity_audit" -> integrityAudit _,
     "ev16_activity_profile" -> activityProfile _,
@@ -1160,6 +1238,7 @@ object Relational {
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
+    "reg1_value_trend" -> valueTrendSql,
     "ev18_type_affinity" -> typeAffinitySql,
     "dq1_integrity_audit" -> integrityAuditSql,
     "ev16_activity_profile" -> activityProfileSql,

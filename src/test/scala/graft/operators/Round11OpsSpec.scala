@@ -245,6 +245,25 @@ class Round11OpsSpec extends SparkTestBase {
     audit.unpersist()
   }
 
+  test("reg1: trend agrees with Spark's built-in least squares") {
+    val tr = Relational.valueTrend(spark, sfDir).cache()
+    assert(tr.filter(col("n") <= 0).isEmpty)
+    // cross-check one type against regr_slope (float merge order differs
+    // from the exact-moment form, hence tolerance, not equality)
+    val hourUs = 3600000000L
+    val ev = graft.Engine.table(spark, sfDir, "events")
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")).cast("double") / hourUs).cast("long")
+          .cast("double").as("x"),
+        col("value"))
+    val builtin = ev.filter(col("event_type") === "view")
+      .agg(expr("regr_slope(value, x)")).collect()(0).getDouble(0)
+    val exact = tr.filter(col("event_type") === "view")
+      .collect()(0).getAs[Double]("slope_per_hour")
+    assert(math.abs(builtin - exact) < 1e-4, s"$builtin vs $exact")
+    tr.unpersist()
+  }
+
   test("lp1: unanimous neighborhoods keep their majority label stable") {
     // a vector whose 5 votes are unanimous must adopt exactly that label
     val lp = Similarity.labelPropagation(spark, sfDir, k = 5, subset = 100)
