@@ -190,4 +190,43 @@ class PlanQualitySpec extends SparkTestBase {
     assert(n <= 2, s"cov1 must not shuffle per-vector pair rows (self-join regression), saw $n shuffles")
     assert(!planOf(df).contains("SortMergeJoin"), "cov1 has no join at all")
   }
+
+  // Round-11 single-pass discipline: star-shaped reuse of a shared
+  // DataFrame re-executes its entire upstream per consumer (per-branch
+  // column pruning defeats exchange reuse), so these operators carry
+  // shared counts along the rows as windows / conditional aggregates.
+  // The scan count in the FINAL plan is the regression tripwire.
+  private def countScans(df: DataFrame): Int = {
+    df.collect()
+    def walk(p: SparkPlan): Int = {
+      val self = if (p.nodeName.toLowerCase.contains("scan")) 1 else 0
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case other => other.children.map(walk).sum
+      }
+      self + kids
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("txt11/txt12: one corpus explode each (tf windows, no join-back star)") {
+    assert(countScans(operators.TextAnalysis.docUnigramLogProb(spark, sfDir)) <= 2)
+    assert(countScans(operators.TextAnalysis.docTfidf(spark, sfDir)) <= 2)
+  }
+
+  test("sim7: both half-centroids from one conditional-aggregation pass") {
+    assert(countScans(operators.Similarity.centroidDrift(spark, sfDir)) <= 2)
+  }
+
+  test("ev15: DAU and WAU from one events scan") {
+    assert(countScans(operators.Relational.dauWau(spark, sfDir)) <= 1)
+  }
+
+  test("js1: vocab sizes ride the inverted-index rows (two wordcounts max)") {
+    assert(countScans(operators.TextAnalysis.sourceOverlap(spark, sfDir)) <= 2)
+  }
+
+  test("drift1: one wordcount feeds model, vocab and grid (three scans max)") {
+    assert(countScans(operators.TextAnalysis.sourceDrift(spark, sfDir)) <= 3)
+  }
 }
