@@ -982,6 +982,10 @@ object Similarity {
         Exact.dsum(col("ca") * col("cb")).as("dot"),
         Exact.dsum(col("ca") * col("ca")).as("na"),
         Exact.dsum(col("cb") * col("cb")).as("nb"))
+      // a label with every vector in one half has no drift to measure —
+      // drop it, matching the oracle's early-JOIN-late semantics (null
+      // centroids would otherwise emit a null-cos row the oracle lacks)
+      .filter(col("n_early") > 0 && col("n_late") > 0)
       .select(col("label"), col("n_early"), col("n_late"),
         Exact.dround(col("dot") / sqrt(col("na") * col("nb")), 6).as("cos_drift"))
       .orderedSmall(col("label"))

@@ -1560,8 +1560,16 @@ object TextAnalysis {
     * shuffle at any scale. The mean divides two exact integers in one
     * IEEE op; zero-sentence docs report 0.0 on both engines.
     */
+  /** Sentence segments of `text`: [.!?]+ runs split, whitespace-only
+    * fragments dropped — the ONE segmentation rule txt14 and txt15
+    * share (a tweak here must move both, and Round11OpsSpec pins their
+    * agreement).
+    */
+  def sentences: Column =
+    filter(split(col("text"), "[.!?]+"), x => length(trim(x)) > 0)
+
   def sentenceStats(s: SparkSession, dir: String): DataFrame = {
-    val sents = filter(split(col("text"), "[.!?]+"), x => length(trim(x)) > 0)
+    val sents = sentences
     dFan(s, dir)
       .select(col("doc_id"), sents.as("sents"))
       .select(col("doc_id"),
@@ -1626,9 +1634,10 @@ object TextAnalysis {
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
       .withColumn("gc", sum(col("c")).over(wTok))
-      .withColumn("vrank", dense_rank().over(Window.orderBy(col("gc").desc, col("tok"))))
-      .filter(col("vrank") <= vocabK)
+    // top-V over the DISTINCT vocabulary = TakeOrdered (an unpartitioned
+    // rank window here would funnel the whole wordcount through one task)
     val vocab = wc.select(col("tok"), col("gc")).distinct()
+      .orderBy(col("gc").desc, col("tok")).limit(vocabK)
       .withColumn("g_n", sum(col("gc")).over(wAll))
       .withColumn("vv", count(lit(1)).over(wAll))
     val sources = t(s, dir, "documents").select(col("source")).distinct()
@@ -1723,8 +1732,7 @@ object TextAnalysis {
     */
   def readability(s: SparkSession, dir: String): DataFrame = {
     val words = size(tokens(col("text"))).cast(LongType)
-    val sents = size(filter(split(col("text"), "[.!?]+"), x => length(trim(x)) > 0))
-      .cast(LongType)
+    val sents = size(sentences).cast(LongType)
     val syls = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast(LongType)
     val wps = col("n_words").cast(DoubleType) / col("n_sentences").cast(DoubleType)
     val spw = col("n_syllables").cast(DoubleType) / col("n_words").cast(DoubleType)

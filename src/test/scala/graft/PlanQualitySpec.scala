@@ -196,17 +196,20 @@ class PlanQualitySpec extends SparkTestBase {
   // column pruning defeats exchange reuse), so these operators carry
   // shared counts along the rows as windows / conditional aggregates.
   // The scan count in the FINAL plan is the regression tripwire.
+  // counted on the settled plan STRING: materialized AQE query stages
+  // are leaf nodes (QueryStageExec.children is Nil), so a tree walk
+  // undercounts to zero — the string form renders the whole stage tree
   private def countScans(df: DataFrame): Int = {
-    df.collect()
-    def walk(p: SparkPlan): Int = {
-      val self = if (p.nodeName.toLowerCase.contains("scan")) 1 else 0
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case other => other.children.map(walk).sum
-      }
-      self + kids
+    // an adaptive plan's toString renders Final AND Initial plans —
+    // count only the executed (final) section
+    val s = planOf(df)
+    val finalSection = s.indexOf("== Initial Plan ==") match {
+      case -1 => s
+      case i  => s.substring(0, i)
     }
-    walk(df.queryExecution.executedPlan)
+    val n = finalSection.linesIterator.count(_.contains("Scan parquet"))
+    assert(n > 0, "scan counter must see at least the source scan")
+    n
   }
 
   test("txt11/txt12: one corpus explode each (tf windows, no join-back star)") {
