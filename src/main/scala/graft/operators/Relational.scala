@@ -1206,7 +1206,57 @@ object Relational {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  // === last-touch attribution =============================================
+  /** ev19: last-touch attribution — every purchase attributed to the
+    * user's most recent preceding `view` event (the marketing-analytics
+    * primitive behind conversion credit; ev4/ev14 are the cross-table
+    * as-of joins, this is the within-timeline variant). One user_id
+    * sequence window: a running last-non-null over view ids/timestamps
+    * attributes in a single pass — no self-join, no per-user event
+    * collection, skew-bounded per-user state. Unattributed purchases
+    * (no prior view) report a null source and -1 gap; the gap is exact
+    * integer micros.
+    */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("last_view_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_view_us",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("last_view_id").cast(LongType).as("attributed_view_id"),
+        coalesce(col("us") - col("last_view_us"), lit(-1L)).cast(LongType)
+          .as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val lastTouchAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, ts
+      |  FROM events),
+      |att AS (
+      |  SELECT event_id, user_id, event_type, us,
+      |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_id,
+      |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+      |  FROM ev)
+      |SELECT event_id AS purchase_id, user_id,
+      |  CAST(last_view_id AS BIGINT) AS attributed_view_id,
+      |  CAST(COALESCE(us - last_view_us, -1) AS BIGINT) AS gap_us
+      |FROM att WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev19_attribution" -> lastTouchAttribution _,
     "reg1_value_trend" -> valueTrend _,
     "ev18_type_affinity" -> typeAffinity _,
     "dq1_integrity_audit" -> integrityAudit _,
@@ -1238,6 +1288,7 @@ object Relational {
     "ev3_json_extract" -> eventsJson _)
 
   val oracles: Map[String, String] = Map(
+    "ev19_attribution" -> lastTouchAttributionSql,
     "reg1_value_trend" -> valueTrendSql,
     "ev18_type_affinity" -> typeAffinitySql,
     "dq1_integrity_audit" -> integrityAuditSql,

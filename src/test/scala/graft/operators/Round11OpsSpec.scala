@@ -264,6 +264,22 @@ class Round11OpsSpec extends SparkTestBase {
     tr.unpersist()
   }
 
+  test("ev19: every purchase reports once; attributed views precede it") {
+    val at = Relational.lastTouchAttribution(spark, sfDir).cache()
+    val ev = graft.Engine.table(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    assert(at.count() == purchases)
+    // attributed gaps are non-negative; unattributed report -1 with null id
+    assert(at.filter(col("attributed_view_id").isNotNull && col("gap_us") < 0).isEmpty)
+    assert(at.filter(col("attributed_view_id").isNull && col("gap_us") =!= -1L).isEmpty)
+    // the attributed event really is a view
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("attributed_view_id"))
+    assert(at.filter(col("attributed_view_id").isNotNull)
+      .join(views, Seq("attributed_view_id"), "left_anti").isEmpty)
+    at.unpersist()
+  }
+
   test("lp1: unanimous neighborhoods keep their majority label stable") {
     // a vector whose 5 votes are unanimous must adopt exactly that label
     val lp = Similarity.labelPropagation(spark, sfDir, k = 5, subset = 100)
