@@ -1942,7 +1942,85 @@ object TextAnalysis {
        |       AS BIGINT) AS share_micro
        |FROM r WHERE rnk <= $k ORDER BY lang, rnk""".stripMargin
 
+  // === token-budget allocation across languages ===========================
+  /** mix2: the mixture PLAN — a training token budget (half the corpus,
+    * data-derived so the operator is meaningful at any scale factor)
+    * allocated across languages: uniform target per language, capped by
+    * availability, with the shortfall redistributed once in proportion
+    * to remaining capacity (the closed-form, loop-free version of
+    * water-filling; smp3 samples to rates, THIS computes the rates'
+    * integer token grants). Pure integer arithmetic end to end —
+    * div/mod targets, remainder granted to the first languages in
+    * lexicographic order — so both engines emit one identical plan.
+    * Shape at 100 TB: one map-side-combinable token-count aggregate;
+    * every window runs over the |langs|-bounded result.
+    */
+  def tokenAllocation(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy(col("lang")) // |langs| rows — bounded
+    val base = Par.fanOut(t(s, dir, "documents").select(col("lang"), col("text")))
+      .groupBy(col("lang"))
+      .agg(sum(size(tokens(col("text"))).cast(LongType)).as("avail"))
+      .withColumn("total", sum(col("avail")).over(wAll))
+      .withColumn("n_langs", count(lit(1)).over(wAll))
+      .withColumn("budget", expr("total div 2"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("target",
+        expr("budget div n_langs") +
+          when(col("rn") <= expr("budget % n_langs"), 1L).otherwise(0L))
+      .withColumn("alloc1", least(col("avail"), col("target")))
+      .withColumn("leftover", col("budget") - sum(col("alloc1")).over(wAll))
+      .withColumn("capacity", col("avail") - col("alloc1"))
+      .withColumn("cap_total", sum(col("capacity")).over(wAll))
+      .withColumn("alloc2",
+        when(col("cap_total") > 0,
+          least(col("capacity"), expr("(leftover * capacity) div cap_total")))
+          .otherwise(0L))
+    base
+      .select(col("lang"), col("avail"), col("target"),
+        (col("alloc1") + col("alloc2")).cast(LongType).as("allocation"),
+        ((col("alloc1") + col("alloc2")).cast(DoubleType)
+          / col("avail").cast(DoubleType)).as("fill_rate"))
+      .orderedSmall(col("lang"))
+  }
+
+  val tokenAllocationSql: String =
+    """WITH base AS (
+      |  SELECT lang,
+      |    CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY lang),
+      |sc AS (
+      |  SELECT lang, avail,
+      |    SUM(avail) OVER () AS total, COUNT(*) OVER () AS n_langs,
+      |    SUM(avail) OVER () // 2 AS budget,
+      |    ROW_NUMBER() OVER (ORDER BY lang) AS rn
+      |  FROM base),
+      |t1 AS (
+      |  SELECT lang, avail, budget,
+      |    budget // n_langs
+      |      + CASE WHEN rn <= budget % n_langs THEN 1 ELSE 0 END AS target
+      |  FROM sc),
+      |t2 AS (
+      |  SELECT lang, avail, budget, target,
+      |    LEAST(avail, target) AS alloc1
+      |  FROM t1),
+      |t3 AS (
+      |  SELECT lang, avail, target, alloc1,
+      |    budget - SUM(alloc1) OVER () AS leftover,
+      |    avail - alloc1 AS capacity,
+      |    SUM(avail - alloc1) OVER () AS cap_total
+      |  FROM t2)
+      |SELECT lang, avail, CAST(target AS BIGINT) AS target,
+      |  CAST(alloc1 + CASE WHEN cap_total > 0
+      |       THEN LEAST(capacity, (leftover * capacity) // cap_total)
+      |       ELSE 0 END AS BIGINT) AS allocation,
+      |  CAST(alloc1 + CASE WHEN cap_total > 0
+      |       THEN LEAST(capacity, (leftover * capacity) // cap_total)
+      |       ELSE 0 END AS DOUBLE) / CAST(avail AS DOUBLE) AS fill_rate
+      |FROM t3 ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix2_token_allocation" -> tokenAllocation _,
     "lm2_trigram_lm" -> ((s: SparkSession, d: String) => trigramLm(s, d)),
     "gram2_char_trigrams" -> ((s: SparkSession, d: String) => charTrigrams(s, d)),
     "shuf1_global_shuffle" -> ((s: SparkSession, d: String) => globalShuffle(s, d)),
@@ -1986,6 +2064,7 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "mix2_token_allocation" -> tokenAllocationSql,
     "lm2_trigram_lm" -> trigramLmSql(),
     "gram2_char_trigrams" -> charTrigramsSql(),
     "shuf1_global_shuffle" -> globalShuffleSql(),

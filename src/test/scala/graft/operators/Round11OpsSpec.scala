@@ -280,6 +280,23 @@ class Round11OpsSpec extends SparkTestBase {
     at.unpersist()
   }
 
+  test("mix2: allocations never exceed availability or undershoot past the grant floor") {
+    val al = TextAnalysis.tokenAllocation(spark, sfDir).cache()
+    assert(al.filter(col("allocation") > col("avail")).isEmpty)
+    assert(al.filter(col("allocation") < 0).isEmpty)
+    assert(al.filter(col("fill_rate") < 0.0 || col("fill_rate") > 1.0).isEmpty)
+    // total allocation stays within the budget (total div 2)
+    val row = al.agg(sum(col("allocation")).as("a"), sum(col("avail")).as("t"))
+      .collect()(0)
+    assert(row.getLong(0) <= row.getLong(1) / 2)
+    // and redistribution leaves at most |langs| tokens unallocated when
+    // capacity remains (integer-floor slack only)
+    val capLeft = al.filter(col("allocation") < col("avail")).count()
+    if (capLeft > 0)
+      assert(row.getLong(1) / 2 - row.getLong(0) <= al.count(), "floor slack only")
+    al.unpersist()
+  }
+
   test("lp1: unanimous neighborhoods keep their majority label stable") {
     // a vector whose 5 votes are unanimous must adopt exactly that label
     val lp = Similarity.labelPropagation(spark, sfDir, k = 5, subset = 100)
