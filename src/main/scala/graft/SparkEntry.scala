@@ -19,7 +19,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.CorpusPipeline.queries ++
       operators.Skew.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.TextAnalysis.oracles ++
       operators.CorpusPipeline.oracles ++
       operators.Skew.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      operators.Analytics.oracles
 }

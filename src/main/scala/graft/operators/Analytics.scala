@@ -1,0 +1,375 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Par.BoundedOrder
+
+/** Business-analytics operators over the TPC-H-ish star schema and the
+  * events stream (beyond-reference additions, SURVEY §7.5): market-basket
+  * pair mining, deterministic A/B experiment readout, calendar
+  * seasonality, exact higher-moment statistics, session-funnel
+  * conversion, and a word-level corpus quality battery.
+  *
+  * Numeric discipline is the repo-wide Exact scheme: every fractional
+  * output is one fixed IEEE expression tree over exactly-representable
+  * integer aggregates, mirrored verbatim in the DuckDB oracle, so values
+  * are bit-identical across engines (see operators/Exact.scala).
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
+
+  // === bsk1: market-basket brand co-occurrence =============================
+  /** Top co-purchased brand pairs: for each order, the distinct set of
+    * part brands on its lines; count orders containing each unordered
+    * brand pair.
+    *
+    * Shape at 100 TB: ONE shuffle on l_orderkey with map-side partial
+    * `collect_set` merge (per-order line count is bounded by the schema,
+    * so sets stay tiny); the pair explosion is map-side off the grouped
+    * rows (≤ C(brands-per-order, 2) ≤ 78 pairs/order); the pair count
+    * aggregate has ≤ C(25,2) = 300 keys — map-side combine collapses it
+    * before the exchange. The part dim join auto-broadcasts under the
+    * 10 MB threshold and degrades to a shuffle join beyond it.
+    */
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val part = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val sets = li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("p_brand")).as("bs"))
+    sets
+      .select(explode(col("bs")).as("brand_a"), col("bs"))
+      .select(col("brand_a"), explode(col("bs")).as("brand_b"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  val copurchasePairsSql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey, p_brand
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey)
+      |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM ob a JOIN ob b
+      |  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, brand_a, brand_b LIMIT 20""".stripMargin
+
+  // === exp1: deterministic A/B experiment readout ==========================
+  /** Hash-split experiment readout: every user lands in arm A or B by the
+    * repo's deterministic md5 coin (salted 'exp1' so assignment is
+    * independent of every sampling operator); per arm — users, converters
+    * (first purchase within 24 h of the user's first event), conversion
+    * rate, purchase value per user.
+    *
+    * Shape at 100 TB: one combinable per-user aggregate (two MIN
+    * timestamps + a long micros partial), then a 2-key arm aggregate; the
+    * per-arm micros total widens to DECIMAL(38,0) only at the final
+    * combine, so per-user long partials never overflow and the wide type
+    * never touches the per-row path.
+    */
+  def abTestReadout(s: SparkSession, dir: String): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"), isPurchase.as("p"), col("value"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("us")).as("f_us"),
+        min(when(col("p"), col("us"))).as("fp_us"),
+        sum(when(col("p"), Exact.micros(col("value"))).otherwise(0L)).as("pv_m"))
+      .select(
+        col("user_id"), col("pv_m"),
+        when(col("fp_us").isNotNull && col("fp_us") - col("f_us") <= 86400000000L, 1L)
+          .otherwise(0L).as("conv"))
+    val arm = when(TextAnalysis.md5Frac(lit("exp1"), col("user_id")) < 0.5, "A").otherwise("B")
+    perUser
+      .groupBy(arm.as("arm"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("conv")).as("n_converted"),
+        (sum(col("conv")).cast(DoubleType) / count(lit(1))).as("conv_rate"),
+        (Exact.toUnits(sum(col("pv_m")).cast(Exact.D380)) / count(lit(1)))
+          .as("value_per_user"))
+      .orderedSmall(col("arm"))
+  }
+
+  val abTestReadoutSql: String = {
+    val coin = TextAnalysis.sqlMd5Frac("'exp1'", "CAST(user_id AS VARCHAR)")
+    val micros = Exact.sqlMicros("value")
+    s"""WITH agg AS (
+       |  SELECT user_id,
+       |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS f_us,
+       |    MIN(CASE WHEN event_type = 'purchase'
+       |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp_us,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN $micros ELSE 0 END) AS pv_m
+       |  FROM events GROUP BY user_id),
+       |pu AS (
+       |  SELECT user_id, pv_m,
+       |    CASE WHEN fp_us IS NOT NULL AND fp_us - f_us <= 86400000000
+       |         THEN 1 ELSE 0 END AS conv
+       |  FROM agg)
+       |SELECT CASE WHEN $coin < 0.5 THEN 'A' ELSE 'B' END AS arm,
+       |  CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+       |  CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS conv_rate,
+       |  ${Exact.sqlToUnits("SUM(pv_m)")} / COUNT(*) AS value_per_user
+       |FROM pu GROUP BY 1 ORDER BY arm""".stripMargin
+  }
+
+  // === ts2: daily revenue, trailing MA, day-of-week seasonality ============
+  /** Calendar analytics over orders: per day — order count, exact
+    * revenue, gap-correct trailing 7-day moving average (RANGE frame over
+    * the epoch-day integer), day-of-week index (epoch-day mod 7 — the
+    * engines' dayofweek() builtins disagree on numbering), and the
+    * day-of-week seasonal factor (that weekday's mean daily revenue over
+    * the whole-period mean).
+    *
+    * Shape at 100 TB: one map-side-combinable daily aggregate; every
+    * window then runs over the calendar-bounded daily grid (~2.4k rows at
+    * ANY scale factor), so the unpartitioned frames are a single tiny
+    * task by construction, never a data-volume bottleneck.
+    */
+  def dailySeasonality(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"), Exact.msum(col("o_totalprice")).as("rev_m"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")).cast(LongType))
+      .withColumn("dow_idx", (col("day_num") % 7).cast(IntegerType))
+    val w7 = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    val wDow = Window.partitionBy(col("dow_idx"))
+    val wAll = Window.partitionBy()
+    val dowAvg = Exact.toUnits(sum(col("rev_m")).over(wDow)) / count(lit(1)).over(wDow)
+    val allAvg = Exact.toUnits(sum(col("rev_m")).over(wAll)) / count(lit(1)).over(wAll)
+    daily
+      .select(
+        col("day"), col("n_orders"), col("dow_idx"),
+        Exact.toUnits(col("rev_m")).as("revenue"),
+        Exact.toUnits(sum(col("rev_m")).over(w7)).as("ma7"),
+        (dowAvg / allAvg).as("dow_factor"))
+      .orderBy(col("day"))
+  }
+
+  val dailySeasonalitySql: String = {
+    val msum = Exact.sqlMsum("o_totalprice")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |    $msum AS rev_m,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+       |  FROM orders GROUP BY 1, 4)
+       |SELECT day, n_orders,
+       |  CAST(day_num % 7 AS INTEGER) AS dow_idx,
+       |  ${Exact.sqlToUnits("rev_m")} AS revenue,
+       |  ${Exact.sqlToUnits("SUM(rev_m) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)")} AS ma7,
+       |  (${Exact.sqlToUnits("SUM(rev_m) OVER (PARTITION BY day_num % 7)")} / COUNT(*) OVER (PARTITION BY day_num % 7))
+       |    / (${Exact.sqlToUnits("SUM(rev_m) OVER ()")} / COUNT(*) OVER ()) AS dow_factor
+       |FROM daily ORDER BY day""".stripMargin
+  }
+
+  // === stat3: exact grouped higher moments =================================
+  /** Exact population skewness and excess kurtosis of l_quantity per
+    * return flag, from integer power sums: l_quantity is integral
+    * (domain 1..50), so Σq..Σq³ accumulate as native longs and Σq⁴
+    * (the one term that could pass 2^63 past ~10^12 rows/group) as
+    * DECIMAL(38,0). Every fractional output is then one fixed IEEE tree
+    * over those exact sums — written with full parentheses and mirrored
+    * character-for-character in the oracle, so both engines execute the
+    * identical operation sequence (sqrt is IEEE-correctly-rounded;
+    * library pow is not, hence sqrt(m2)*m2 for m2^1.5).
+    */
+  def groupedMoments(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast(LongType)
+    val agg = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), q.as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        sum(col("q") * col("q") * col("q")).as("s3"),
+        sum((col("q") * col("q") * col("q") * col("q")).cast(Exact.D380)).as("s4"))
+    val n = col("n").cast(DoubleType)
+    val mean = col("s1").cast(DoubleType) / n
+    val ex2 = col("s2").cast(DoubleType) / n
+    val ex3 = col("s3").cast(DoubleType) / n
+    val ex4 = col("s4").cast(DoubleType) / n
+    val m2 = ex2 - (mean * mean)
+    val m3 = (ex3 - ((lit(3.0) * mean) * ex2)) + (((lit(2.0) * mean) * mean) * mean)
+    val m4 = ((ex4 - ((lit(4.0) * mean) * ex3)) + ((((lit(6.0) * mean) * mean)) * ex2)) -
+      ((((lit(3.0) * mean) * mean) * mean) * mean)
+    agg
+      .select(
+        col("l_returnflag"), col("n"),
+        mean.as("mean"), m2.as("variance"),
+        (m3 / (sqrt(m2) * m2)).as("skewness"),
+        ((m4 / (m2 * m2)) - lit(3.0)).as("kurtosis"))
+      .orderedSmall(col("l_returnflag"))
+  }
+
+  val groupedMomentsSql: String = {
+    def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    val n = d("COUNT(*)")
+    val mean = s"(${d("SUM(q)")} / $n)"
+    val ex2 = s"(${d("SUM(q*q)")} / $n)"
+    val ex3 = s"(${d("SUM(q*q*q)")} / $n)"
+    val ex4 = s"(${d("SUM(q*q*q*q)")} / $n)"
+    val m2 = s"($ex2 - ($mean * $mean))"
+    val m3 = s"(($ex3 - ((3.0 * $mean) * $ex2)) + (((2.0 * $mean) * $mean) * $mean))"
+    val m4 = s"((($ex4 - ((4.0 * $mean) * $ex3)) + ((((6.0 * $mean) * $mean)) * $ex2)) - ((((3.0 * $mean) * $mean) * $mean) * $mean))"
+    s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       |  $mean AS mean,
+       |  $m2 AS variance,
+       |  ($m3 / (sqrt($m2) * $m2)) AS skewness,
+       |  (($m4 / ($m2 * $m2)) - 3.0) AS kurtosis
+       |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem) t
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  // === ev20: session-funnel conversion by session length ===================
+  /** Gap-sessionized conversion: sessions split at >30 min of user
+    * inactivity; each session converts if it contains a purchase;
+    * sessions aggregate into length buckets with their conversion rate.
+    *
+    * Shape at 100 TB: ONE shuffle on user_id feeds both windows (lag and
+    * the running boundary sum share the same partitioning/ordering), the
+    * per-session rollup combines map-side, and the bucket aggregate has 5
+    * keys. Nothing re-sorts and nothing is unpartitioned.
+    */
+  def sessionConversion(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sessions = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        (col("event_type") === "purchase").as("p"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), max(when(col("p"), 1L).otherwise(0L)).as("conv"))
+    val bucket = when(col("n_events") <= 1, "1")
+      .when(col("n_events") <= 2, "2")
+      .when(col("n_events") <= 5, "3-5")
+      .when(col("n_events") <= 10, "6-10")
+      .otherwise("11+")
+    sessions
+      .groupBy(bucket.as("session_len"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("conv")).as("n_converted"),
+        (sum(col("conv")).cast(DoubleType) / count(lit(1))).as("conv_rate"))
+      .orderedSmall(col("session_len"))
+  }
+
+  val sessionConversionSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    (event_type = 'purchase') AS p,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+      |      (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, p,
+      |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    MAX(CASE WHEN p THEN 1 ELSE 0 END) AS conv
+      |  FROM b GROUP BY user_id, sid)
+      |SELECT CASE WHEN n_events <= 1 THEN '1' WHEN n_events <= 2 THEN '2'
+      |            WHEN n_events <= 5 THEN '3-5' WHEN n_events <= 10 THEN '6-10'
+      |            ELSE '11+' END AS session_len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+      |  CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS conv_rate
+      |FROM sess GROUP BY 1 ORDER BY session_len""".stripMargin
+
+  // === qf2: word-level Gopher-style quality battery ========================
+  /** Per-document rule battery in the spirit of the public Gopher/Dolma
+    * corpus filters, adapted to word level (the synthetic corpus has no
+    * line structure): word-count bounds, mean-word-length bounds,
+    * distinct-word ratio, ≥2 distinct stopwords, max-word-length cap.
+    * Ratio rules compare as cross-multiplied INTEGERS (3n ≤ Σlen, not
+    * Σlen/n ≥ 3), so no float is ever formed — the battery is exact on
+    * any engine. Map-only, zero shuffle, scales linearly.
+    */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val base = Par.fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(
+        col("doc_id"),
+        size(toks).as("n_words"),
+        length(regexp_replace(col("text"), "\\s", "")).as("sum_len"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(array_intersect(toks, typedLit(TextAnalysis.stopwords))).as("n_stop"),
+        array_max(transform(toks, w => length(w))).as("max_len"))
+    base
+      .select(
+        col("doc_id"),
+        col("n_words").cast(IntegerType).as("n_words"),
+        (col("n_words") >= 30 && col("n_words") <= 100000).as("r_wordcount"),
+        (lit(3) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n_words")).as("r_mean_len"),
+        (lit(10) * col("n_distinct") >= lit(6) * col("n_words")).as("r_distinct"),
+        (col("n_stop") >= 2).as("r_stopwords"),
+        (col("max_len") <= 7).as("r_max_len"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_mean_len") && col("r_distinct") &&
+          col("r_stopwords") && col("r_max_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRulesSql: String = {
+    val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+       |    length(regexp_replace(text, '\\s', '', 'g')) AS sum_len,
+       |    len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS n_distinct,
+       |    len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+       |        [$stopList])) AS n_stop,
+       |    list_aggregate(list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+       |        w -> length(w)), 'max') AS max_len
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(n_words AS INTEGER) AS n_words,
+       |  (n_words >= 30 AND n_words <= 100000) AS r_wordcount,
+       |  (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS r_mean_len,
+       |  (10 * n_distinct >= 6 * n_words) AS r_distinct,
+       |  (n_stop >= 2) AS r_stopwords,
+       |  (max_len <= 7) AS r_max_len,
+       |  ((n_words >= 30 AND n_words <= 100000)
+       |    AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+       |    AND (10 * n_distinct >= 6 * n_words)
+       |    AND (n_stop >= 2) AND (max_len <= 7)) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bsk1_copurchase_pairs" -> copurchasePairs _,
+    "exp1_ab_test" -> abTestReadout _,
+    "ts2_daily_seasonality" -> dailySeasonality _,
+    "stat3_grouped_moments" -> groupedMoments _,
+    "ev20_session_conversion" -> sessionConversion _,
+    "qf2_gopher_rules" -> gopherRules _)
+
+  val oracles: Map[String, String] = Map(
+    "bsk1_copurchase_pairs" -> copurchasePairsSql,
+    "exp1_ab_test" -> abTestReadoutSql,
+    "ts2_daily_seasonality" -> dailySeasonalitySql,
+    "stat3_grouped_moments" -> groupedMomentsSql,
+    "ev20_session_conversion" -> sessionConversionSql,
+    "qf2_gopher_rules" -> gopherRulesSql)
+}

@@ -667,7 +667,41 @@ object Dedup {
        |FROM sc WHERE GREATEST(cont_a, cont_b) >= $threshold
        |ORDER BY GREATEST(cont_a, cont_b) DESC, doc_a, doc_b LIMIT 100""".stripMargin
 
+  // === dd11: normalized-prefix dedup =======================================
+  /** Prefix near-dup sweep: documents whose whitespace-collapsed,
+    * lower-cased first 80 characters collide are the "same doc, different
+    * tail" family exact dedup misses (truncated mirrors, appended
+    * boilerplate). One window over the prefix key — a single shuffle on
+    * md5-distributed prefixes, no self-join — emits every non-keeper with
+    * its group's keeper (min doc_id) and the group size.
+    */
+  def prefixDedup(s: SparkSession, dir: String): DataFrame = {
+    val pref = substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 80)
+    val w = Window.partitionBy(col("prefix"))
+    fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), pref.as("prefix"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id"), col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val prefixDedupSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    substring(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 80) AS prefix
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    MIN(doc_id) OVER (PARTITION BY prefix) AS keep_id,
+      |    CAST(COUNT(*) OVER (PARTITION BY prefix) AS BIGINT) AS group_size
+      |  FROM p)
+      |SELECT doc_id, keep_id, group_size FROM g
+      |WHERE doc_id <> keep_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd11_prefix_dedup" -> prefixDedup _,
     "dd9_dup_weights" -> dupWeights _,
     "dd10_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "dd1_exact_dedup" -> exactDedup _,
@@ -684,6 +718,7 @@ object Dedup {
     * DuckDB oracle regenerates identical signatures.
     */
   val oracles: Map[String, String] = Map(
+    "dd11_prefix_dedup" -> prefixDedupSql,
     "dd9_dup_weights" -> dupWeightsSql,
     "dd10_containment_pairs" -> containmentPairsSql(),
     "dd1_exact_dedup" -> exactDedupSql,
