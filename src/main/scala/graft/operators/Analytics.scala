@@ -357,7 +357,309 @@ object Analytics {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // === bsk2: association rules over brand pairs ============================
+  /** Brand association rules: for every co-purchased brand pair —
+    * support, both directed confidences, and lift. The pair/marginal
+    * counts reuse bsk1's one-shuffle collect_set shape; marginals are a
+    * brand-bounded aggregate that broadcast-joins back onto the ≤C(25,2)
+    * pair rows. Lift/confidence are fixed IEEE trees over exact integer
+    * counts.
+    */
+  def associationRules(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val part = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val sets = li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("p_brand")).as("bs"))
+    val nOrders = sets.select(count(lit(1)).as("n_orders"))
+    val marginals = sets.select(explode(col("bs")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("n_b"))
+    val pairs = sets
+      .select(explode(col("bs")).as("brand_a"), col("bs"))
+      .select(col("brand_a"), explode(col("bs")).as("brand_b"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val na = col("n_a").cast(DoubleType)
+    val nb = col("n_b").cast(DoubleType)
+    val nab = col("n_ab").cast(DoubleType)
+    val n = col("n_orders").cast(DoubleType)
+    pairs
+      .join(marginals.select(col("brand").as("brand_a"), col("n_b").as("n_a")), "brand_a")
+      .join(marginals.select(col("brand").as("brand_b"), col("n_b").as("n_b")), "brand_b")
+      .crossJoin(nOrders)
+      .select(
+        col("brand_a"), col("brand_b"), col("n_ab"),
+        (nab / na).as("conf_a_to_b"),
+        (nab / nb).as("conf_b_to_a"),
+        ((nab * n) / (na * nb)).as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  val associationRulesSql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey, p_brand
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+      |m AS (SELECT p_brand, COUNT(*) AS n_b FROM ob GROUP BY 1),
+      |pr AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+      |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+      |  (CAST(n_ab AS DOUBLE) / CAST(ma.n_b AS DOUBLE)) AS conf_a_to_b,
+      |  (CAST(n_ab AS DOUBLE) / CAST(mb.n_b AS DOUBLE)) AS conf_b_to_a,
+      |  ((CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))
+      |    / (CAST(ma.n_b AS DOUBLE) * CAST(mb.n_b AS DOUBLE))) AS lift
+      |FROM pr
+      | JOIN m ma ON ma.p_brand = brand_a
+      | JOIN m mb ON mb.p_brand = brand_b
+      | CROSS JOIN n
+      |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin
+
+  // === grow1: month-over-month revenue growth per nation ===================
+  /** Monthly revenue per customer nation with month-over-month growth.
+    * One shuffled aggregate (orders ⋈ customer ⋈ broadcast nation) down
+    * to the calendar×nation-bounded grid (~25 × 80 rows at ANY scale
+    * factor); the lag window runs per nation over that grid.
+    */
+  def momGrowth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .select(col("o_custkey"), trunc(col("o_orderdate"), "month").as("month"), col("o_totalprice"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("month"))
+      .agg(Exact.msum(col("o_totalprice")).as("rev_m"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+    val rev = Exact.toUnits(col("rev_m"))
+    val prev = Exact.toUnits(lag(col("rev_m"), 1).over(w))
+    monthly
+      .select(col("n_name"), col("month"), rev.as("revenue"),
+        ((rev - prev) / prev).as("mom_growth"))
+      .orderBy(col("n_name"), col("month"))
+  }
+
+  val momGrowthSql: String = {
+    val rev = Exact.sqlToUnits("rev_m")
+    val prev = Exact.sqlToUnits(
+      "LAG(rev_m, 1) OVER (PARTITION BY n_name ORDER BY month)")
+    s"""WITH monthly AS (
+       |  SELECT n_name, date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+       |    ${Exact.sqlMsum("o_totalprice")} AS rev_m
+       |  FROM orders
+       |   JOIN customer ON o_custkey = c_custkey
+       |   JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, CAST(month AS DATE) AS month, $rev AS revenue,
+       |  (($rev - $prev) / $prev) AS mom_growth
+       |FROM monthly ORDER BY n_name, month""".stripMargin
+  }
+
+  // === top2: top-3 revenue parts per supplier nation =======================
+  /** Per-nation part leaderboard: revenue per (supplier nation, part),
+    * ranked within nation, top 3 kept, part names joined LATE (onto 75
+    * rows, not 600k groups). The rank window is partitioned by nation —
+    * partition-parallel at any scale; the late dim join broadcasts.
+    */
+  def nationTopParts(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("px"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_partkey"))
+      .agg(Exact.msum(col("px")).as("rev_m"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("rev_m").desc, col("l_partkey"))
+    rev
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("n_name"), col("rank").cast(IntegerType).as("rank"),
+        col("l_partkey").as("p_partkey"), col("p_name"),
+        Exact.toUnits(col("rev_m")).as("revenue"))
+      .orderBy(col("n_name"), col("rank"))
+  }
+
+  def nationTopPartsSql(k: Int = 3): String =
+    s"""WITH rev AS (
+       |  SELECT n_name, l_partkey,
+       |    ${Exact.sqlMsum("l_extendedprice*(1-l_discount)")} AS rev_m
+       |  FROM lineitem
+       |   JOIN supplier ON l_suppkey = s_suppkey
+       |   JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT n_name, l_partkey, rev_m,
+       |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY rev_m DESC, l_partkey) AS rank
+       |  FROM rev)
+       |SELECT n_name, CAST(rank AS INTEGER) AS rank,
+       |  l_partkey AS p_partkey, p_name,
+       |  ${Exact.sqlToUnits("rev_m")} AS revenue
+       |FROM r JOIN part ON l_partkey = p_partkey
+       |WHERE rank <= $k ORDER BY n_name, rank""".stripMargin
+
+  // === clv1: customer lifetime-value deciles ===============================
+  /** Customer spend deciles WITHOUT a global single-task sort: spend is
+    * exact integer cents per customer; the global rank over
+    * (spend DESC, custkey) comes from a spend-bucket histogram — a
+    * domain-bounded aggregate (per-customer spend is bounded by the
+    * order-size schema, not data volume, so buckets are a fixed ~9k-row
+    * table at any SF) whose cumulative counts give each bucket its rank
+    * offset, plus a row_number window PARTITIONED BY BUCKET. Decile
+    * membership is then pure arithmetic on the rank, and the summary
+    * aggregate is 10 rows. The oracle computes the identical rank with
+    * one flat ROW_NUMBER.
+    */
+  def customerDeciles(s: SparkSession, dir: String): DataFrame = {
+    val W = 65536L
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+    val spend = t(s, dir, "orders")
+      .select(col("o_custkey"), cents.as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("c")).as("sp"))
+      .withColumn("b", expr(s"sp div $W"))
+    // bounded histogram: offsets of each bucket in the global DESC order
+    val wDesc = Window.orderBy(col("b").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val hist = spend.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wDesc), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("b").as("hb"), col("offset"), col("n"))
+    val wInB = Window.partitionBy(col("b")).orderBy(col("sp").desc, col("o_custkey"))
+    val ranked = spend
+      .join(hist, col("b") === col("hb"))
+      .withColumn("rank", col("offset") + row_number().over(wInB))
+      .withColumn("decile", expr("((rank - 1) * 10) div n").cast(IntegerType))
+    ranked
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("sp")).as("total_cents"),
+        ((sum(col("sp")).cast(DoubleType) / count(lit(1))) / lit(100.0)).as("avg_spend"),
+        min(col("sp")).as("min_cents"),
+        max(col("sp")).as("max_cents"))
+      .orderedSmall(col("decile"))
+  }
+
+  val customerDecilesSql: String =
+    """WITH sp AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sp
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT o_custkey, sp,
+      |    ROW_NUMBER() OVER (ORDER BY sp DESC, o_custkey) AS rank,
+      |    COUNT(*) OVER () AS n
+      |  FROM sp)
+      |SELECT CAST(((rank - 1) * 10) // n AS INTEGER) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(sp) AS BIGINT) AS total_cents,
+      |  ((CAST(CAST(SUM(sp) AS VARCHAR) AS DOUBLE) / COUNT(*)) / 100.0) AS avg_spend,
+      |  CAST(MIN(sp) AS BIGINT) AS min_cents,
+      |  CAST(MAX(sp) AS BIGINT) AS max_cents
+      |FROM r GROUP BY 1 ORDER BY decile""".stripMargin
+
+  // === src1: cross-source shingle containment ==============================
+  /** Source-level content-sharing matrix: how many distinct 5-gram
+    * shingles each SOURCE PAIR shares, with the pair Jaccard. The
+    * inverted-index self-join runs on 8-byte shingle hashes (same trick
+    * as dd2 — the oracle re-derives identical counts from the strings);
+    * candidates exist only where a shingle crosses sources, and the
+    * output is bounded by the source-pair count, not data volume.
+    */
+  def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    val toks = TextAnalysis.tokens(col("text"))
+    val ss = Par.fanOut(t(s, dir, "documents").select(col("source"), col("text")))
+      .select(col("source"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*))
+      ).as("shingle"))
+      .select(col("source"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+    val counts = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val a = ss.select(col("source").as("source_a"), col("sh"))
+    val b = ss.select(col("source").as("source_b"), col("sh"))
+    a.join(b, "sh")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("source").as("source_a"), col("n_sh").as("n_a")), "source_a")
+      .join(counts.select(col("source").as("source_b"), col("n_sh").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_shared")))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val crossSourceOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source, UNNEST(list_transform(generate_series(1, len(t) - 4),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS shingle
+      |  FROM toks WHERE len(t) >= 5),
+      |counts AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |  CAST(ca.n_sh AS BIGINT) AS n_a, CAST(cb.n_sh AS BIGINT) AS n_b,
+      |  CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) AS jaccard
+      |FROM shared
+      | JOIN counts ca ON ca.source = source_a
+      | JOIN counts cb ON cb.source = source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // === txt16: encoding / script QA =========================================
+  /** Per-document encoding health: printable-ASCII vs non-ASCII vs CJK
+    * character counts and ratios, plus a replacement-character flag (the
+    * mojibake tell). Pure per-row regex folds — map-only, zero shuffle.
+    * Both engines count BMP characters identically (Spark counts UTF-16
+    * units, DuckDB codepoints; the corpus contract is BMP-only, where
+    * they agree).
+    */
+  def encodingQa(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text"))
+    val nAscii = length(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+    val nCjk = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
+    Par.fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(
+        col("doc_id"),
+        nChars.cast(IntegerType).as("n_chars"),
+        nAscii.cast(IntegerType).as("n_ascii"),
+        nCjk.cast(IntegerType).as("n_cjk"),
+        ((nChars - nAscii).cast(DoubleType) / nChars).as("non_ascii_ratio"),
+        col("text").contains("�").as("has_replacement"))
+      .orderBy(col("doc_id"))
+  }
+
+  val encodingQaSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(length(regexp_replace(text, '[^\x20-\x7e]', '', 'g')) AS INTEGER) AS n_ascii,
+      |  CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS INTEGER) AS n_cjk,
+      |  (CAST(length(text) - length(regexp_replace(text, '[^\x20-\x7e]', '', 'g')) AS DOUBLE)
+      |    / length(text)) AS non_ascii_ratio,
+      |  (strpos(text, chr(65533)) > 0) AS has_replacement
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bsk2_association_rules" -> associationRules _,
+    "grow1_mom_growth" -> momGrowth _,
+    "top2_nation_top_parts" -> ((s: SparkSession, d: String) => nationTopParts(s, d)),
+    "clv1_customer_deciles" -> customerDeciles _,
+    "src1_cross_source_overlap" -> crossSourceOverlap _,
+    "txt16_encoding_qa" -> encodingQa _,
     "bsk1_copurchase_pairs" -> copurchasePairs _,
     "exp1_ab_test" -> abTestReadout _,
     "ts2_daily_seasonality" -> dailySeasonality _,
@@ -366,6 +668,12 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "bsk2_association_rules" -> associationRulesSql,
+    "grow1_mom_growth" -> momGrowthSql,
+    "top2_nation_top_parts" -> nationTopPartsSql(),
+    "clv1_customer_deciles" -> customerDecilesSql,
+    "src1_cross_source_overlap" -> crossSourceOverlapSql,
+    "txt16_encoding_qa" -> encodingQaSql,
     "bsk1_copurchase_pairs" -> copurchasePairsSql,
     "exp1_ab_test" -> abTestReadoutSql,
     "ts2_daily_seasonality" -> dailySeasonalitySql,

@@ -95,6 +95,92 @@ class AnalyticsSpec extends SparkTestBase {
     q.unpersist()
   }
 
+  test("bsk2: confidences in (0,1], lift consistent with the pair/marginal counts") {
+    val rules = Analytics.associationRules(spark, sfDir).cache()
+    assert(rules.filter(col("conf_a_to_b") <= 0.0 || col("conf_a_to_b") > 1.0).isEmpty)
+    assert(rules.filter(col("conf_b_to_a") <= 0.0 || col("conf_b_to_a") > 1.0).isEmpty)
+    assert(rules.filter(col("lift") <= 0.0).isEmpty)
+    assert(rules.filter(col("brand_a") >= col("brand_b")).isEmpty)
+    rules.unpersist()
+  }
+
+  test("grow1: growth reconstructs the revenue series within each nation") {
+    val g = Analytics.momGrowth(spark, sfDir).cache()
+    // rev_t == rev_{t-1} * (1 + growth_t) wherever growth is non-null
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name")).orderBy(col("month"))
+    val check = g.withColumn("prev", lag(col("revenue"), 1).over(w))
+      .filter(col("mom_growth").isNotNull)
+      .withColumn("recon", col("prev") * (lit(1.0) + col("mom_growth")))
+      .filter(abs(col("recon") - col("revenue")) > lit(1e-6) * abs(col("revenue")))
+    assert(check.isEmpty)
+    g.unpersist()
+  }
+
+  test("top2: exactly k rows per nation, ranked by descending revenue") {
+    val tp = Analytics.nationTopParts(spark, sfDir, k = 3).cache()
+    val perNation = tp.groupBy(col("n_name")).agg(count(lit(1)).as("c"),
+      max(col("rank")).as("mr"))
+    assert(perNation.filter(col("c") =!= 3 || col("mr") =!= 3).isEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name")).orderBy(col("rank"))
+    assert(tp.withColumn("prev_rev", lag(col("revenue"), 1).over(w))
+      .filter(col("prev_rev") < col("revenue")).isEmpty, "revenue non-increasing with rank")
+    tp.unpersist()
+  }
+
+  test("clv1: deciles partition all purchasing customers with ordered spend bands") {
+    val d = Analytics.customerDeciles(spark, sfDir).cache()
+    val customers = graft.Engine.table(spark, sfDir, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(d.agg(sum(col("n_customers"))).collect()(0).getLong(0) == customers)
+    assert(d.count() == 10)
+    // decile 0 is the top spenders: min_cents of decile k >= max_cents of decile k+1
+    val rows = d.orderBy(col("decile")).collect()
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getAs[Long]("min_cents") >= lo.getAs[Long]("max_cents"),
+        s"decile ${hi.getAs[Int]("decile")} overlaps ${lo.getAs[Int]("decile")}")
+    }
+    d.unpersist()
+  }
+
+  test("clv1: distributed bucket-offset rank equals the flat window rank") {
+    // reference: single-window ntile formula computed directly
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    val spend = graft.Engine.table(spark, sfDir, "orders")
+      .select(col("o_custkey"), cents.as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("sp"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("sp").desc, col("o_custkey"))
+    val n = spend.count()
+    val ref = spend.withColumn("rank", row_number().over(w))
+      .withColumn("decile", (((col("rank") - 1) * 10) / n).cast("int"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("decile")).collect().map(r => (r.getInt(0), r.getLong(1)))
+    val got = Analytics.customerDeciles(spark, sfDir)
+      .select(col("decile"), col("n_customers"))
+      .orderBy(col("decile")).collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == ref.toSeq)
+  }
+
+  test("src1: pair inventory is canonical and jaccard bounded by containment") {
+    val ov = Analytics.crossSourceOverlap(spark, sfDir).cache()
+    assert(ov.filter(col("source_a") >= col("source_b")).isEmpty)
+    assert(ov.filter(col("n_shared") > col("n_a") || col("n_shared") > col("n_b")).isEmpty)
+    assert(ov.filter(col("jaccard") < 0.0 || col("jaccard") > 1.0).isEmpty)
+    ov.unpersist()
+  }
+
+  test("txt16: character classes reconcile and ratios are exact") {
+    val e = Analytics.encodingQa(spark, sfDir).cache()
+    assert(e.filter(col("n_ascii") + col("n_cjk") > col("n_chars")).isEmpty,
+      "disjoint classes can't exceed the total")
+    assert(e.filter(col("non_ascii_ratio") < 0.0 || col("non_ascii_ratio") > 1.0).isEmpty)
+    assert(e.filter(col("has_replacement")).isEmpty, "synthetic corpus is clean")
+    // CJK characters are a subset of the non-ASCII count
+    assert(e.filter(col("n_cjk") > col("n_chars") - col("n_ascii")).isEmpty)
+    e.unpersist()
+  }
+
   test("dd11: keepers are real group minima and never listed as drops") {
     val d = Dedup.prefixDedup(spark, sfDir).cache()
     assert(d.filter(col("doc_id") <= col("keep_id")).isEmpty, "drop id > keeper id")
