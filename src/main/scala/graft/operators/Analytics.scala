@@ -653,7 +653,177 @@ object Analytics {
       |  (strpos(text, chr(65533)) > 0) AS has_replacement
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // === cooc1: skip-gram co-occurrence pairs ================================
+  /** Word2vec-style skip-gram inventory: canonical (min,max) token pairs
+    * within a ±2 window, top 30 by count. Pair extraction is a map-only
+    * in-row zip (two shifted transforms concatenated — no self-join);
+    * the count aggregate's key space is vocabulary-bounded, so map-side
+    * combine collapses it before the one exchange.
+    */
+  def skipgramPairs(s: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    def el(i: Column) = element_at(col("toks"), i)
+    def pairAt(d: Int) = transform(sequence(lit(1), size(col("toks")) - d), i =>
+      concat_ws("|", least(el(i), el(i + d)), greatest(el(i), el(i + d))))
+    Par.fanOut(t(s, dir, "documents").select(col("text")))
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(concat(pairAt(1), pairAt(2))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  def skipgramPairsSql(k: Int = 30): String =
+    s"""WITH toks AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |pr AS (
+       |  SELECT UNNEST(list_concat(
+       |    list_transform(generate_series(1, len(t) - 1),
+       |      i -> concat_ws('|', least(t[i], t[i+1]), greatest(t[i], t[i+1]))),
+       |    list_transform(generate_series(1, len(t) - 2),
+       |      i -> concat_ws('|', least(t[i], t[i+2]), greatest(t[i], t[i+2]))))) AS pair
+       |  FROM toks WHERE len(t) >= 3)
+       |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM pr GROUP BY pair ORDER BY n DESC, pair LIMIT $k""".stripMargin
+
+  // === neg1: deterministic negative sampling ===============================
+  /** Contrastive-training negatives: for every anchor vector, up to 3
+    * negatives drawn from 6 deterministic modular candidates
+    * ((vec_id + j·97) mod N), keeping those whose label differs. The
+    * candidate fan-out is map-side (6 rows per anchor), the label lookup
+    * is one shuffle join on cand id, and the per-anchor keep window
+    * orders 6 rows — no sampling state, no RNG, reproducible on any
+    * cluster.
+    */
+  def negativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val total = emb.agg(count(lit(1)).as("n"))
+    val cands = emb.crossJoin(total)
+      .select(col("vec_id"), col("label").as("a_label"),
+        explode(sequence(lit(1), lit(6))).as("j"), col("n"))
+      .withColumn("cand", (col("vec_id") + col("j") * 97) % col("n"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("j"))
+    cands
+      .join(emb.select(col("vec_id").as("neg_id"), col("label").as("neg_label")),
+        col("cand") === col("neg_id"))
+      .filter(col("neg_label") =!= col("a_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("rank").cast(IntegerType).as("rank"),
+        col("neg_id"), col("neg_label"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val negativeSamplingSql: String =
+    """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |cands AS (
+      |  SELECT vec_id, label AS a_label, j, (vec_id + j * 97) % n.n AS cand
+      |  FROM embeddings CROSS JOIN n
+      |  CROSS JOIN generate_series(1, 6) AS g(j)),
+      |kept AS (
+      |  SELECT c.vec_id, c.j, e.vec_id AS neg_id, e.label AS neg_label,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY c.j) AS rank
+      |  FROM cands c JOIN embeddings e ON c.cand = e.vec_id
+      |  WHERE e.label <> c.a_label)
+      |SELECT vec_id, CAST(rank AS INTEGER) AS rank, neg_id, neg_label
+      |FROM kept WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  // === fld1: stratified k-fold split =======================================
+  /** Cross-validation fold assignment: fold = ⌊5·coin⌋ from the
+    * deterministic md5 coin salted 'fld1' and keyed (lang, doc_id) — the
+    * same split on any engine, any cluster, any run, with folds
+    * approximately balanced within every language stratum. Map-only.
+    */
+  def kfoldSplit(s: SparkSession, dir: String): DataFrame = {
+    val fold = floor(TextAnalysis.md5Frac(lit("fld1"), col("lang"), col("doc_id")) * 5)
+      .cast(IntegerType)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), fold.as("fold"))
+      .orderBy(col("doc_id"))
+  }
+
+  val kfoldSplitSql: String = {
+    val coin = TextAnalysis.sqlMd5Frac("'fld1'", "lang", "CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, lang,
+       |  CAST(FLOOR($coin * 5) AS INTEGER) AS fold
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // === gini1: per-nation revenue concentration =============================
+  /** Exact Gini coefficient of customer spend within each nation —
+    * G = 2·Σ(rankᵢ·xᵢ) / (n·Σx) − (n+1)/n with ranks ascending by
+    * (spend, custkey). Like clv1, the global-within-nation rank comes
+    * from a (nation × spend-bucket) histogram — domain-bounded, so the
+    * offset windows run over a fixed-size table at any SF — plus
+    * per-bucket row_numbers; rank·x accumulates as DECIMAL(38,0) so the
+    * product never overflows. One fixed IEEE tree per nation at the end.
+    */
+  def revenueGini(s: SparkSession, dir: String): DataFrame = {
+    val W = 65536L
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+    val spend = t(s, dir, "orders")
+      .select(col("o_custkey"), cents.as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("sp"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey"), col("sp"))
+      .withColumn("b", expr(s"sp div $W"))
+    val wAsc = Window.partitionBy(col("n_name"))
+      .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val hist = spend.groupBy(col("n_name"), col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
+      .select(col("n_name").as("hn"), col("b").as("hb"), col("offset"))
+    val wInB = Window.partitionBy(col("n_name"), col("b"))
+      .orderBy(col("sp"), col("o_custkey"))
+    val ranked = spend
+      .join(hist, col("n_name") === col("hn") && col("b") === col("hb"))
+      .withColumn("rank", col("offset") + row_number().over(wInB))
+    val agg = ranked.groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("sp")).as("total_cents"),
+        sum(col("rank").cast(Exact.D380) * col("sp")).as("rx"))
+    val n = col("n_customers").cast(DoubleType)
+    val sTot = col("total_cents").cast(DoubleType)
+    val rx = col("rx").cast(DoubleType)
+    agg
+      .select(col("n_name"), col("n_customers"), col("total_cents"),
+        (((lit(2.0) * rx) / (n * sTot)) - ((n + lit(1.0)) / n)).as("gini"))
+      .orderedSmall(col("n_name"))
+  }
+
+  val revenueGiniSql: String = {
+    def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    val n = d("COUNT(*)")
+    val sTot = d("SUM(sp)")
+    val rx = d("SUM(CAST(rank AS HUGEINT) * sp)")
+    s"""WITH sp AS (
+       |  SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sp
+       |  FROM orders GROUP BY 1),
+       |nat AS (
+       |  SELECT n_name, o_custkey, sp
+       |  FROM sp
+       |   JOIN customer ON o_custkey = c_custkey
+       |   JOIN nation ON c_nationkey = n_nationkey),
+       |r AS (
+       |  SELECT n_name, sp,
+       |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY sp, o_custkey) AS rank
+       |  FROM nat)
+       |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |  CAST(SUM(sp) AS BIGINT) AS total_cents,
+       |  (((2.0 * $rx) / ($n * $sTot)) - (($n + 1.0) / $n)) AS gini
+       |FROM r GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cooc1_skipgram_pairs" -> ((s: SparkSession, d: String) => skipgramPairs(s, d)),
+    "neg1_negative_sampling" -> negativeSampling _,
+    "fld1_kfold_split" -> kfoldSplit _,
+    "gini1_revenue_concentration" -> revenueGini _,
     "bsk2_association_rules" -> associationRules _,
     "grow1_mom_growth" -> momGrowth _,
     "top2_nation_top_parts" -> ((s: SparkSession, d: String) => nationTopParts(s, d)),
@@ -668,6 +838,10 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "cooc1_skipgram_pairs" -> skipgramPairsSql(),
+    "neg1_negative_sampling" -> negativeSamplingSql,
+    "fld1_kfold_split" -> kfoldSplitSql,
+    "gini1_revenue_concentration" -> revenueGiniSql,
     "bsk2_association_rules" -> associationRulesSql,
     "grow1_mom_growth" -> momGrowthSql,
     "top2_nation_top_parts" -> nationTopPartsSql(),

@@ -169,4 +169,29 @@ object Streams {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
       .select(col("w.start").as("window_start"), col("source"),
         col("n_docs"), col("n_kept"))
+
+  /** Watermarked stream-stream interval join: each purchase attributed to
+    * the click by the same user that preceded it within 30 minutes — the
+    * streaming face of the batch ev19 attribution query. Both sides carry
+    * watermarks and the join predicate bounds the event-time range in
+    * BOTH directions, so Spark derives finite state-retention for each
+    * side (per the Structured Streaming stream-stream join contract) and
+    * evicts click state 30 minutes + watermark past its event time. The
+    * join is key-partitioned on user_id — partition-parallel at any rate.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .selectExpr("user_id AS c_user", "event_id AS click_id", "ts AS click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .selectExpr("user_id AS p_user", "event_id AS purchase_id", "ts AS purchase_ts",
+        "value AS purchase_value")
+      .withWatermark("purchase_ts", "10 minutes")
+    p.join(c,
+      expr("""p_user = c_user AND
+              click_ts <= purchase_ts AND
+              click_ts >= purchase_ts - INTERVAL 30 MINUTES"""))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+  }
 }

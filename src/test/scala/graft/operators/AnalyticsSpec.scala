@@ -181,6 +181,67 @@ class AnalyticsSpec extends SparkTestBase {
     e.unpersist()
   }
 
+  test("cooc1: pair counts reconcile with the corpus window-pair total") {
+    val pairs = Analytics.skipgramPairs(spark, sfDir, k = 1000000).cache()
+    // every doc with n >= 3 tokens contributes (n-1) + (n-2) pairs
+    val expected = graft.Engine.table(spark, sfDir, "documents")
+      .select(size(TextAnalysis.tokens(col("text"))).as("n"))
+      .filter(col("n") >= 3)
+      .agg(sum((col("n") - 1) + (col("n") - 2))).collect()(0).getLong(0)
+    assert(pairs.agg(sum(col("n"))).collect()(0).getLong(0) == expected)
+    // canonical order inside the pair key
+    assert(pairs.filter(split(col("pair"), "\\|")(0) > split(col("pair"), "\\|")(1)).isEmpty)
+    pairs.unpersist()
+  }
+
+  test("neg1: negatives differ in label from the anchor, at most 3 per anchor") {
+    val neg = Analytics.negativeSampling(spark, sfDir).cache()
+    val emb = graft.Engine.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val joined = neg.join(emb.withColumnRenamed("label", "a_label"), "vec_id")
+    assert(joined.filter(col("neg_label") === col("a_label")).isEmpty)
+    assert(neg.groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 3).isEmpty)
+    assert(neg.filter(col("rank") < 1 || col("rank") > 3).isEmpty)
+    neg.unpersist()
+  }
+
+  test("fld1: folds cover every document and are roughly balanced per language") {
+    val f = Analytics.kfoldSplit(spark, sfDir).cache()
+    val docs = graft.Engine.table(spark, sfDir, "documents").count()
+    assert(f.count() == docs)
+    assert(f.filter(col("fold") < 0 || col("fold") > 4).isEmpty)
+    // per-language: every stratum of reasonable size sees multiple folds
+    val spread = f.groupBy(col("lang")).agg(countDistinct(col("fold")).as("k"),
+      count(lit(1)).as("n"))
+    assert(spread.filter(col("n") >= 20 && col("k") < 3).isEmpty)
+    f.unpersist()
+  }
+
+  test("gini1: coefficients in [0,1) and equal-spend corpus gives ~0") {
+    val g = Analytics.revenueGini(spark, sfDir).cache()
+    assert(g.filter(col("gini") < 0.0 || col("gini") >= 1.0).isEmpty)
+    // hand-check one nation against the direct formula on collected data
+    val first = g.orderBy(col("n_name")).collect()(0)
+    val name = first.getAs[String]("n_name")
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    val spend = graft.Engine.table(spark, sfDir, "orders")
+      .select(col("o_custkey"), cents.as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("sp"))
+      .join(graft.Engine.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(graft.Engine.table(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name")), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === name)
+      .select(col("sp")).collect().map(_.getLong(0)).sorted
+    val n = spend.length.toDouble
+    val s = spend.map(BigInt(_)).sum.toDouble
+    val rx = spend.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x.toDouble }.sum
+    val expected = (2.0 * rx) / (n * s) - (n + 1.0) / n
+    assert(math.abs(first.getAs[Double]("gini") - expected) < 1e-9)
+    g.unpersist()
+  }
+
   test("dd11: keepers are real group minima and never listed as drops") {
     val d = Dedup.prefixDedup(spark, sfDir).cache()
     assert(d.filter(col("doc_id") <= col("keep_id")).isEmpty, "drop id > keeper id")

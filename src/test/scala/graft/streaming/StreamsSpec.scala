@@ -208,4 +208,32 @@ class StreamsSpec extends SparkTestBase {
       assert(rows.contains(("srcB", 1L, 1L)))
     } finally q.stop()
   }
+
+  test("clickAttribution joins purchases to in-window clicks and drops stale ones") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.clickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: clicks at 10:00 and 10:10; purchase at 10:15 -> both attribute.
+      // user 2: click at 10:00, purchase at 10:45 -> outside 30 min, no match.
+      // user 3: purchase with no click -> inner join drops it.
+      clicks.addData(
+        Event(101, tsAt(10, 0), 1, "click", 0.0),
+        Event(102, tsAt(10, 10), 1, "click", 0.0),
+        Event(103, tsAt(10, 0), 2, "click", 0.0))
+      purchases.addData(
+        Event(201, tsAt(10, 15), 1, "purchase", 9.0),
+        Event(202, tsAt(10, 45), 2, "purchase", 5.0),
+        Event(203, tsAt(10, 20), 3, "purchase", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      assert(rows == Set((1L, 201L, 101L), (1L, 201L, 102L)), rows.toString)
+    } finally q.stop()
+  }
 }
