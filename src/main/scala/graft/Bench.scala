@@ -31,7 +31,11 @@ object Bench {
     // the window ~35% (4.90 vs ~7.7 req/s isolated): it leaves heap and
     // codegen-cache state behind that a pre-window System.gc() does not
     // reclaim.
-    val mix = SparkEntry.queries.keys.filter(_.startsWith("q")).toArray.sorted
+    // TPC-H q1..q22 ONLY — the reference's equal-weight window mix
+    // (BENCHMARK.md:42). A bare startsWith("q") would sweep in later
+    // q-prefixed operators (qc1, qf2) and silently change the headline
+    // metric's denominator.
+    val mix = SparkEntry.queries.keys.filter(_.matches("q\\d+_.*")).toArray.sorted
     val terminals = 4
     val windowNanos = 30L * 1000 * 1000 * 1000
     val completed = new java.util.concurrent.atomic.AtomicLong()

@@ -33,7 +33,7 @@ object BenchLab {
       val cs = spark.newSession()
       if (flags("noAqe")) cs.conf.set("spark.sql.adaptive.enabled", "false")
       spWidth(flags).foreach(n => cs.conf.set("spark.sql.shuffle.partitions", n.toString))
-      val mixS = SparkEntry.queries.keys.filter(_.startsWith("q")).toSeq.sorted
+      val mixS = SparkEntry.queries.keys.filter(_.matches("q\\d+_.*")).toSeq.sorted
       val out = mixS.map { n =>
         val df = SparkEntry.queries(n)(cs, sfDir)
         org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, df).collect() // warm
@@ -56,7 +56,7 @@ object BenchLab {
       else Seq.empty
     toCache.foreach { n => Engine.table(spark, sfDir, n).cache().count() }
 
-    val mix = SparkEntry.queries.keys.filter(_.startsWith("q")).toArray.sorted
+    val mix = SparkEntry.queries.keys.filter(_.matches("q\\d+_.*")).toArray.sorted
     val terminals = 4
     val windowNanos = windowSec * 1000L * 1000 * 1000
     val completed = new java.util.concurrent.atomic.AtomicLong()

@@ -23,7 +23,7 @@ object Probe {
     println(f"PROBE warmup ${seqPass()}%.2f s")
     println(f"PROBE measured ${seqPass()}%.2f s")
 
-    val mix = names.filter(_.startsWith("q")).toArray
+    val mix = names.filter(_.matches("q\\d+_.*")).toArray
     def window(secs: Int): Double = {
       val windowNanos = secs.toLong * 1000 * 1000 * 1000
       val completed = new java.util.concurrent.atomic.AtomicLong()

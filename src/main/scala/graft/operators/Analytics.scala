@@ -359,42 +359,47 @@ object Analytics {
 
   // === bsk2: association rules over brand pairs ============================
   /** Brand association rules: for every co-purchased brand pair —
-    * support, both directed confidences, and lift. The pair/marginal
-    * counts reuse bsk1's one-shuffle collect_set shape; marginals are a
-    * brand-bounded aggregate that broadcast-joins back onto the ≤C(25,2)
-    * pair rows. Lift/confidence are fixed IEEE trees over exact integer
-    * counts.
+    * support, both directed confidences, and lift.
+    *
+    * Single-pass form: pair counts, brand marginals and the order total
+    * would be three consumers of the same grouped-set aggregate, and
+    * per-branch filter pushdown makes Spark re-execute the whole
+    * lineitem⋈part upstream for each (the round-11 star-reuse finding).
+    * Instead each order's set emits ALL its count tokens in ONE explode
+    * — 'a|b' per pair, 'a' per brand, '*' once — so one scan and one
+    * brand-domain-bounded aggregate produce every count; the rule tail
+    * then runs on the COLLECTED token table (≤ C(B,2)+B+1 rows for a
+    * B-brand catalog — the same domain-bounded-collect tier as pct1's
+    * sketch) with the identical IEEE trees the oracle computes in SQL.
     */
   def associationRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val part = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
     val sets = li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("p_brand")).as("bs"))
-    val nOrders = sets.select(count(lit(1)).as("n_orders"))
-    val marginals = sets.select(explode(col("bs")).as("brand"))
-      .groupBy(col("brand")).agg(count(lit(1)).as("n_b"))
-    val pairs = sets
-      .select(explode(col("bs")).as("brand_a"), col("bs"))
-      .select(col("brand_a"), explode(col("bs")).as("brand_b"))
-      .filter(col("brand_a") < col("brand_b"))
-      .groupBy(col("brand_a"), col("brand_b"))
-      .agg(count(lit(1)).as("n_ab"))
-    val na = col("n_a").cast(DoubleType)
-    val nb = col("n_b").cast(DoubleType)
-    val nab = col("n_ab").cast(DoubleType)
-    val n = col("n_orders").cast(DoubleType)
-    pairs
-      .join(marginals.select(col("brand").as("brand_a"), col("n_b").as("n_a")), "brand_a")
-      .join(marginals.select(col("brand").as("brand_b"), col("n_b").as("n_b")), "brand_b")
-      .crossJoin(nOrders)
-      .select(
-        col("brand_a"), col("brand_b"), col("n_ab"),
-        (nab / na).as("conf_a_to_b"),
-        (nab / nb).as("conf_b_to_a"),
-        ((nab * n) / (na * nb)).as("lift"))
-      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
-      .limit(20)
+    val pairTokens = flatten(transform(col("bs"), a =>
+      filter(transform(col("bs"), b => when(a < b, concat(a, lit("|"), b))),
+        x => x.isNotNull)))
+    val counts = sets
+      .select(explode(concat(pairTokens, col("bs"), array(lit("*")))).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts("*").toDouble
+    val rules = counts.iterator
+      .filter { case (k, _) => k.contains("|") }
+      .map { case (k, nAb) =>
+        val Array(a, b) = k.split("\\|", 2)
+        val na = counts(a).toDouble
+        val nb = counts(b).toDouble
+        val nab = nAb.toDouble
+        (a, b, nAb, nab / na, nab / nb, (nab * n) / (na * nb))
+      }
+      .toSeq
+      .sortBy { case (a, b, _, _, _, lift) => (-lift, a, b) }
+      .take(20)
+    rules.toDF("brand_a", "brand_b", "n_ab", "conf_a_to_b", "conf_b_to_a", "lift")
   }
 
   val associationRulesSql: String =
@@ -763,26 +768,26 @@ object Analytics {
   def revenueGini(s: SparkSession, dir: String): DataFrame = {
     val W = 65536L
     val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+    // heavy path keys on c_nationkey only — the nation NAME joins onto
+    // the 25-row aggregate at the end, not through both rank branches
     val spend = t(s, dir, "orders")
       .select(col("o_custkey"), cents.as("c"))
       .groupBy(col("o_custkey")).agg(sum(col("c")).as("sp"))
       .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
-      .join(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("o_custkey"), col("sp"))
+      .select(col("c_nationkey").as("nk"), col("o_custkey"), col("sp"))
       .withColumn("b", expr(s"sp div $W"))
-    val wAsc = Window.partitionBy(col("n_name"))
+    val wAsc = Window.partitionBy(col("nk"))
       .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
-    val hist = spend.groupBy(col("n_name"), col("b")).agg(count(lit(1)).as("cnt"))
+    val hist = spend.groupBy(col("nk"), col("b")).agg(count(lit(1)).as("cnt"))
       .withColumn("offset", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
-      .select(col("n_name").as("hn"), col("b").as("hb"), col("offset"))
-    val wInB = Window.partitionBy(col("n_name"), col("b"))
+      .select(col("nk").as("hn"), col("b").as("hb"), col("offset"))
+    val wInB = Window.partitionBy(col("nk"), col("b"))
       .orderBy(col("sp"), col("o_custkey"))
     val ranked = spend
-      .join(hist, col("n_name") === col("hn") && col("b") === col("hb"))
+      .join(hist, col("nk") === col("hn") && col("b") === col("hb"))
       .withColumn("rank", col("offset") + row_number().over(wInB))
-    val agg = ranked.groupBy(col("n_name"))
+    val agg = ranked.groupBy(col("nk"))
       .agg(
         count(lit(1)).as("n_customers"),
         sum(col("sp")).as("total_cents"),
@@ -791,6 +796,8 @@ object Analytics {
     val sTot = col("total_cents").cast(DoubleType)
     val rx = col("rx").cast(DoubleType)
     agg
+      .join(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        col("nk") === col("n_nationkey"))
       .select(col("n_name"), col("n_customers"), col("total_cents"),
         (((lit(2.0) * rx) / (n * sTot)) - ((n + lit(1.0)) / n)).as("gini"))
       .orderedSmall(col("n_name"))

@@ -232,4 +232,33 @@ class PlanQualitySpec extends SparkTestBase {
   test("drift1: one wordcount feeds model, vocab and grid (three scans max)") {
     assert(countScans(operators.TextAnalysis.sourceDrift(spark, sfDir)) <= 3)
   }
+
+  test("analytics family: map-only operators read their table exactly once") {
+    assert(countScans(operators.Analytics.gopherRules(spark, sfDir)) <= 1)
+    assert(countScans(operators.Analytics.encodingQa(spark, sfDir)) <= 1)
+    assert(countScans(operators.Analytics.kfoldSplit(spark, sfDir)) <= 1)
+    assert(countScans(operators.Analytics.skipgramPairs(spark, sfDir)) <= 1)
+    assert(countScans(operators.Analytics.groupedMoments(spark, sfDir)) <= 1)
+    assert(countScans(operators.Analytics.abTestReadout(spark, sfDir)) <= 1)
+    assert(countScans(operators.Analytics.sessionConversion(spark, sfDir)) <= 1)
+    assert(countScans(operators.Analytics.dailySeasonality(spark, sfDir)) <= 1)
+    assert(countScans(operators.Dedup.prefixDedup(spark, sfDir)) <= 1)
+  }
+
+  test("bsk1: one lineitem pass + the part dim (bsk2's token-union keeps the same two)") {
+    assert(countScans(operators.Analytics.copurchasePairs(spark, sfDir)) <= 2)
+  }
+
+  test("clv1/gini1: the histogram-rank construction pays exactly two passes") {
+    // two consumers of the spend aggregate (histogram + rank join), no more
+    assert(countScans(operators.Analytics.customerDeciles(spark, sfDir)) <= 2)
+    // gini keys the heavy path on c_nationkey: 2x (orders+customer) + one
+    // bounded nation join at the tail = 5 scans max
+    assert(countScans(operators.Analytics.revenueGini(spark, sfDir)) <= 5)
+  }
+
+  test("grow1/top2: dimension joins stay on the aggregate side") {
+    assert(countScans(operators.Analytics.momGrowth(spark, sfDir)) <= 3)
+    assert(countScans(operators.Analytics.nationTopParts(spark, sfDir)) <= 4)
+  }
 }
