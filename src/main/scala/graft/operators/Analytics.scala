@@ -826,7 +826,190 @@ object Analytics {
        |FROM r GROUP BY n_name ORDER BY n_name""".stripMargin
   }
 
+  // === cc1: connected components over the mutual-kNN graph ================
+  /** Semantic neighborhoods: connected components of the sim6 mutual
+    * k-nearest-neighbor graph — every vector labeled with the minimum
+    * vec_id of its component plus the component size. Reuses dd7's
+    * min-label-propagation/pointer-jumping engine (one shuffle per
+    * round, O(log diameter) rounds, driver union-find only under the
+    * bounded-edge gate); isolated vectors are their own component. The
+    * oracle recomputes the same fixpoint with a recursive reachability
+    * CTE — closed-form SQL for an iterative distributed algorithm.
+    */
+  def knnComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.mutualKnn(s, dir)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val comp = Dedup.connectedComponents(edges)
+      .select(col("doc_id").as("cid"), col("component"))
+    val nodes = t(s, dir, "embeddings").filter(col("vec_id") < 200).select(col("vec_id"))
+    val labeled = nodes
+      .join(comp, col("vec_id") === col("cid"), "left")
+      .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("component"))
+    val w = Window.partitionBy(col("component"))
+    labeled
+      .withColumn("comp_size", count(lit(1)).over(w))
+      .orderBy(col("vec_id"))
+  }
+
+  val knnComponentsSql: String = {
+    val knn = Similarity.mutualKnnSql()
+    s"""WITH knn AS ($knn),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM knn
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM knn),
+       |nodes AS (SELECT vec_id FROM embeddings WHERE vec_id < 200),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT vec_id, vec_id FROM nodes
+       |    UNION
+       |    SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b)
+       |  SELECT * FROM r),
+       |comp AS (SELECT a AS vec_id, MIN(b) AS component FROM reach GROUP BY a)
+       |SELECT vec_id, component,
+       |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size
+       |FROM comp ORDER BY vec_id""".stripMargin
+  }
+
+  // === kmv1: KMV distinct-count sketch vs exact ============================
+  /** K-minimum-values distinct sketch, the mergeable cardinality
+    * estimator — per source, the 64 smallest md5 fractions of its
+    * DISTINCT 3-gram shingles give the estimate (k−1)/h₍ₖ₎, reported
+    * next to the exact distinct count and the relative error. The md5
+    * coin makes the sketch deterministic on any engine, so the oracle
+    * regenerates identical sketch values — an approximation whose VALUE
+    * is exactly reproducible. Everything after the distinct aggregate
+    * rides two windows over the same source partitioning (one shuffle);
+    * at 100 TB the per-source k-smallest is the standard bounded-state
+    * sketch merge.
+    */
+  def kmvDistinct(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val n = 3
+    val toks = TextAnalysis.tokens(col("text"))
+    val sh = Par.fanOut(t(s, dir, "documents").select(col("source"), col("text")))
+      .select(col("source"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))
+      ).as("shingle"))
+      .distinct()
+      .withColumn("h", TextAnalysis.md5Frac(col("shingle")))
+    val wS = Window.partitionBy(col("source"))
+    val wOrd = wS.orderBy(col("h"), col("shingle"))
+    val est = when(col("n_exact") < k, col("n_exact").cast(DoubleType))
+      .otherwise(lit(k - 1).cast(DoubleType) / col("h"))
+    sh
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_exact", count(lit(1)).over(wS))
+      .filter(col("rn") === least(lit(k.toLong), col("n_exact")))
+      .select(col("source"), col("n_exact"), est.as("kmv_estimate"),
+        ((est - col("n_exact").cast(DoubleType)) / col("n_exact").cast(DoubleType))
+          .as("rel_error"))
+      .orderBy(col("source"))
+  }
+
+  def kmvDistinctSql(k: Int = 64): String =
+    s"""WITH toks AS (
+       |  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source, UNNEST(list_transform(generate_series(1, len(t) - 2),
+       |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+       |  FROM toks WHERE len(t) >= 3),
+       |h AS (
+       |  SELECT source, shingle,
+       |    ${TextAnalysis.sqlMd5Frac("shingle")} AS h
+       |  FROM sh),
+       |r AS (
+       |  SELECT source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, shingle) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_exact
+       |  FROM h)
+       |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CASE WHEN n_exact < $k THEN CAST(n_exact AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) / h END AS kmv_estimate,
+       |  ((CASE WHEN n_exact < $k THEN CAST(n_exact AS DOUBLE)
+       |         ELSE CAST(${k - 1} AS DOUBLE) / h END) - CAST(n_exact AS DOUBLE))
+       |    / CAST(n_exact AS DOUBLE) AS rel_error
+       |FROM r WHERE rn = LEAST($k, n_exact) ORDER BY source""".stripMargin
+
+  // === ts3: autocorrelation of daily revenue ===============================
+  /** Lag-1..14 autocorrelation of the daily revenue series — the
+    * periodicity detector behind ts2's fixed weekly factor. Deviation
+    * products round to integer micros and sum as DECIMAL(38,0), so the
+    * order-dependence of float summation never appears: both engines
+    * aggregate identical integers and divide once. All fourteen lags
+    * come from ONE window sort over the calendar-bounded daily grid.
+    * Deviation products are ~10¹² so they round to whole UNITS (micros
+    * would overflow the per-row long) — exactly representable doubles,
+    * identical on both engines, and far below ACF's meaningful digits.
+    */
+  def revenueAutocorr(s: SparkSession, dir: String, maxLag: Int = 14): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg(Exact.msum(col("o_totalprice")).as("rev_m"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")).cast(LongType))
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy(col("day_num"))
+    val r = Exact.toUnits(col("rev_m"))
+    val m = Exact.toUnits(sum(col("rev_m")).over(wAll)) / count(lit(1)).over(wAll)
+    val base = daily.select(col("day_num"), r.as("r"), m.as("m"))
+    val lagCols = (0 to maxLag).map(l => lag(col("r"), l).over(wOrd).as(s"r_$l"))
+    val withLags = base.select((col("r") +: col("m") +: lagCols): _*)
+    def unitRound(c: Column): Column =
+      when(c >= 0, floor(c + 0.5)).otherwise(ceil(c - 0.5)).cast(LongType)
+    val terms = (1 to maxLag).map { l =>
+      sum(when(col(s"r_$l").isNotNull,
+        unitRound((col("r") - col("m")) * (col(s"r_$l") - col("m"))))
+        .cast(Exact.D380)).as(s"t_$l")
+    }
+    val t0 = sum(unitRound((col("r") - col("m")) * (col("r") - col("m"))))
+      .cast(Exact.D380).as("t0")
+    val agg = withLags.agg(t0, terms: _*)
+    val acfs = (1 to maxLag).map { l =>
+      struct(lit(l).as("lag"),
+        (col(s"t_$l").cast(DoubleType) / col("t0").cast(DoubleType)).as("acf"))
+    }
+    agg
+      .select(explode(array(acfs: _*)).as("x"))
+      .select(col("x.lag").cast(IntegerType).as("lag"), col("x.acf").as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  def revenueAutocorrSql(maxLag: Int = 14): String = {
+    val r = Exact.sqlToUnits("rev_m")
+    val m = s"(${Exact.sqlToUnits("SUM(rev_m) OVER ()")} / COUNT(*) OVER ())"
+    def unitRound(e: String) =
+      s"CAST(CASE WHEN ($e) >= 0 THEN FLOOR(($e)+0.5) ELSE CEIL(($e)-0.5) END AS HUGEINT)"
+    val devProd = (l: Int) =>
+      s"CASE WHEN r_$l IS NOT NULL THEN ${unitRound(s"(r - m) * (r_$l - m)")} END"
+    val dev0 = unitRound("(r - m) * (r - m)")
+    val lagSelects = (1 to maxLag).map(l =>
+      s"LAG(r, $l) OVER (ORDER BY day_num) AS r_$l").mkString(", ")
+    val termSelects = (1 to maxLag).map(l =>
+      s"SUM(${devProd(l)}) AS t_$l").mkString(", ")
+    val unions = (1 to maxLag).map(l =>
+      s"SELECT $l AS lag, CAST(CAST(t_$l AS VARCHAR) AS DOUBLE) / CAST(CAST(t0 AS VARCHAR) AS DOUBLE) AS acf FROM a").mkString(" UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    ${Exact.sqlMsum("o_totalprice")} AS rev_m,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+       |  FROM orders GROUP BY 1, 3),
+       |base AS (
+       |  SELECT day_num, $r AS r, $m AS m FROM daily),
+       |lagged AS (
+       |  SELECT r, m, $lagSelects FROM base),
+       |a AS (
+       |  SELECT SUM($dev0) AS t0, $termSelects FROM lagged)
+       |SELECT CAST(lag AS INTEGER) AS lag, acf FROM ($unions) ORDER BY lag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cc1_knn_components" -> knnComponents _,
+    "kmv1_distinct_sketch" -> ((s: SparkSession, d: String) => kmvDistinct(s, d)),
+    "ts3_revenue_autocorr" -> ((s: SparkSession, d: String) => revenueAutocorr(s, d)),
     "cooc1_skipgram_pairs" -> ((s: SparkSession, d: String) => skipgramPairs(s, d)),
     "neg1_negative_sampling" -> negativeSampling _,
     "fld1_kfold_split" -> kfoldSplit _,
@@ -845,6 +1028,9 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "cc1_knn_components" -> knnComponentsSql,
+    "kmv1_distinct_sketch" -> kmvDistinctSql(),
+    "ts3_revenue_autocorr" -> revenueAutocorrSql(),
     "cooc1_skipgram_pairs" -> skipgramPairsSql(),
     "neg1_negative_sampling" -> negativeSamplingSql,
     "fld1_kfold_split" -> kfoldSplitSql,

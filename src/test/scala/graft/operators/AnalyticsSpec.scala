@@ -242,6 +242,41 @@ class AnalyticsSpec extends SparkTestBase {
     g.unpersist()
   }
 
+  test("cc1: components are closed under the edge set and canonically labeled") {
+    val comp = Analytics.knnComponents(spark, sfDir).cache()
+    // every edge joins two nodes of the same component
+    val edges = Similarity.mutualKnn(spark, sfDir)
+      .select(col("a"), col("b"))
+    val ca = comp.select(col("vec_id").as("a"), col("component").as("comp_a"))
+    val cb = comp.select(col("vec_id").as("b"), col("component").as("comp_b"))
+    assert(edges.join(ca, "a").join(cb, "b")
+      .filter(col("comp_a") =!= col("comp_b")).isEmpty)
+    // the label IS the minimum member id
+    val minMember = comp.groupBy(col("component")).agg(min(col("vec_id")).as("mn"))
+    assert(minMember.filter(col("component") =!= col("mn")).isEmpty)
+    // sizes agree with membership
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("c"))
+    assert(comp.join(sizes, "component").filter(col("comp_size") =!= col("c")).isEmpty)
+    comp.unpersist()
+  }
+
+  test("kmv1: sketch is exact below k and lands near the true count above it") {
+    val kmv = Analytics.kmvDistinct(spark, sfDir, k = 64).cache()
+    assert(kmv.filter(col("n_exact") < 64 && col("kmv_estimate") =!= col("n_exact")
+      .cast("double")).isEmpty, "below k the sketch degenerates to the exact count")
+    // KMV with k=64 has ~12.5% relative sd; 4 sigma is a safe invariant bound
+    assert(kmv.filter(abs(col("rel_error")) > 0.5).isEmpty)
+    kmv.unpersist()
+  }
+
+  test("ts3: fourteen lags, every coefficient in [-1, 1]") {
+    val acf = Analytics.revenueAutocorr(spark, sfDir).cache()
+    assert(acf.count() == 14)
+    assert(acf.filter(col("acf") < -1.0 || col("acf") > 1.0).isEmpty)
+    assert(acf.select(col("lag")).collect().map(_.getInt(0)).toSeq == (1 to 14))
+    acf.unpersist()
+  }
+
   test("dd11: keepers are real group minima and never listed as drops") {
     val d = Dedup.prefixDedup(spark, sfDir).cache()
     assert(d.filter(col("doc_id") <= col("keep_id")).isEmpty, "drop id > keeper id")
