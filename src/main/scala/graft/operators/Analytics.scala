@@ -1006,7 +1006,175 @@ object Analytics {
        |SELECT CAST(lag AS INTEGER) AS lag, acf FROM ($unions) ORDER BY lag""".stripMargin
   }
 
+  // === ev21: latest-event-per-key compaction ===============================
+  /** The upsert/compaction primitive: the LAST event per (user, day) by
+    * (ts, event_id) — one window over one shuffle on the compaction key.
+    * This is the batch face of the streaming dedup/upsert path: at
+    * 100 TB it is the standard log-compaction pass, partition-parallel
+    * on the key with no global ordering.
+    */
+  def latestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val day = to_date(col("ts")).as("day")
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .select(col("user_id"), day, col("event_id"), col("event_type"), col("value"),
+        col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val latestPerKeySql: String =
+    """WITH r AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, day, event_id, event_type, value
+      |FROM r WHERE rn = 1 ORDER BY user_id, day""".stripMargin
+
+  // === rec1: order/lineitem reconciliation =================================
+  /** Cross-table reconciliation through a FULL OUTER join: per-order
+    * lineitem totals against the order header, classified into
+    * both/order_only/lines_only with exact cent-diff statistics per
+    * class. The canonical data-quality sweep between a fact table and
+    * its rollup — one shuffled aggregate, one full-outer join on the
+    * key, three output rows.
+    */
+  def orderReconcile(s: SparkSession, dir: String): DataFrame = {
+    val oCents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+    val lCents = floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)
+    val liSum = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), lCents.as("lc"))
+      .groupBy(col("l_orderkey")).agg(sum(col("lc")).as("li_cents"))
+    val joined = t(s, dir, "orders")
+      .select(col("o_orderkey"), oCents.as("o_cents"))
+      .join(liSum, col("o_orderkey") === col("l_orderkey"), "full_outer")
+    val status = when(col("o_orderkey").isNull, "lines_only")
+      .when(col("l_orderkey").isNull, "order_only")
+      .otherwise("both")
+    val diff = col("o_cents") - col("li_cents")
+    joined
+      .select(status.as("status"), diff.as("diff"))
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("diff")).as("min_diff_cents"),
+        max(col("diff")).as("max_diff_cents"),
+        (sum(col("diff")).cast(DoubleType) / count(col("diff"))).as("avg_diff_cents"))
+      .orderedSmall(col("status"))
+  }
+
+  val orderReconcileSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS li_cents
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents,
+      |    l_orderkey, li_cents
+      |  FROM orders FULL OUTER JOIN li ON o_orderkey = l_orderkey)
+      |SELECT CASE WHEN o_orderkey IS NULL THEN 'lines_only'
+      |            WHEN l_orderkey IS NULL THEN 'order_only'
+      |            ELSE 'both' END AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(o_cents - li_cents) AS BIGINT) AS min_diff_cents,
+      |  CAST(MAX(o_cents - li_cents) AS BIGINT) AS max_diff_cents,
+      |  CAST(CAST(SUM(o_cents - li_cents) AS VARCHAR) AS DOUBLE)
+      |    / COUNT(o_cents - li_cents) AS avg_diff_cents
+      |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+
+  // === exp2: CUPED variance-reduced A/B readout ============================
+  /** CUPED on top of exp1: per-user pre-period purchase value (before
+    * the cutoff) is the covariate; θ = cov(pre, post)/var(pre) over all
+    * users, and each arm reports its raw and adjusted post-period mean
+    * (mean-level adjustment — CUPED is linear, so adjusting means equals
+    * the mean of adjusted users).
+    *
+    * Single-scan shape: ONE per-user aggregate (pre/post micros, their
+    * squares and cross-product as exact integers), ONE per-arm rollup,
+    * and θ's corpus-wide moments ride windows over the 2-ROW arm table —
+    * no second pass over events, no global per-user window.
+    */
+  def cupedReadout(s: SparkSession, dir: String, cutoff: String = "2024-01-16"): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    val pre = when(isPurchase && col("ts") < lit(cutoff).cast(TimestampType),
+      Exact.micros(col("value"))).otherwise(0L)
+    val post = when(isPurchase && col("ts") >= lit(cutoff).cast(TimestampType),
+      Exact.micros(col("value"))).otherwise(0L)
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"), pre.as("pre_m"), post.as("post_m"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pre_m")).as("p"), sum(col("post_m")).as("q"))
+    val arm = when(TextAnalysis.md5Frac(lit("exp1"), col("user_id")) < 0.5, "A").otherwise("B")
+    val armAgg = perUser
+      .groupBy(arm.as("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p")).cast(Exact.D380).as("sp"),
+        sum(col("q")).cast(Exact.D380).as("sq"),
+        sum((col("p").cast(Exact.D380)) * col("p")).as("spp"),
+        sum((col("p").cast(Exact.D380)) * col("q")).as("spq"))
+    val wAll = Window.partitionBy()
+    val gN = sum(col("n")).over(wAll).cast(DoubleType)
+    val gSp = Exact.toUnits(sum(col("sp")).over(wAll))
+    val gSq = Exact.toUnits(sum(col("sq")).over(wAll))
+    // second moments carry micros²: normalize by 1e12 through two
+    // VARCHAR-free unit conversions (decimal -> double is correctly
+    // rounded; the /1e6 pair is the identical op sequence both engines)
+    val gSpp = Exact.toUnits(sum(col("spp")).over(wAll)) / lit(1000000.0)
+    val gSpq = Exact.toUnits(sum(col("spq")).over(wAll)) / lit(1000000.0)
+    val muPre = gSp / gN
+    val theta = ((gSpq / gN) - (muPre * (gSq / gN))) /
+      ((gSpp / gN) - (muPre * muPre))
+    val meanPost = Exact.toUnits(col("sq")) / col("n")
+    val meanPre = Exact.toUnits(col("sp")) / col("n")
+    armAgg
+      .select(col("arm"), col("n").as("n_users"),
+        meanPost.as("mean_post"),
+        (meanPost - (theta * (meanPre - muPre))).as("mean_adjusted"),
+        theta.as("theta"))
+      .orderedSmall(col("arm"))
+  }
+
+  def cupedReadoutSql(cutoff: String = "2024-01-16"): String = {
+    val coin = TextAnalysis.sqlMd5Frac("'exp1'", "CAST(user_id AS VARCHAR)")
+    val micros = Exact.sqlMicros("value")
+    def u(e: String) = Exact.sqlToUnits(e)
+    val gN = "CAST(CAST(SUM(n) OVER () AS VARCHAR) AS DOUBLE)"
+    val gSp = u("SUM(sp) OVER ()")
+    val gSq = u("SUM(sq) OVER ()")
+    val gSpp = s"(${u("SUM(spp) OVER ()")} / 1000000.0)"
+    val gSpq = s"(${u("SUM(spq) OVER ()")} / 1000000.0)"
+    val muPre = s"($gSp / $gN)"
+    val theta = s"((($gSpq / $gN) - ($muPre * ($gSq / $gN))) / (($gSpp / $gN) - ($muPre * $muPre)))"
+    val meanPost = s"(${u("sq")} / n)"
+    val meanPre = s"(${u("sp")} / n)"
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$cutoff'
+       |        THEN $micros ELSE 0 END) AS p,
+       |    SUM(CASE WHEN event_type = 'purchase' AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '$cutoff'
+       |        THEN $micros ELSE 0 END) AS q
+       |  FROM events GROUP BY user_id),
+       |arms AS (
+       |  SELECT CASE WHEN $coin < 0.5 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(p) AS sp, SUM(q) AS sq,
+       |    SUM(p * p) AS spp, SUM(p * q) AS spq
+       |  FROM pu GROUP BY 1)
+       |SELECT arm, n AS n_users,
+       |  $meanPost AS mean_post,
+       |  ($meanPost - ($theta * ($meanPre - $muPre))) AS mean_adjusted,
+       |  $theta AS theta
+       |FROM arms ORDER BY arm""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev21_latest_per_key" -> latestPerKey _,
+    "rec1_order_reconcile" -> orderReconcile _,
+    "exp2_cuped" -> ((s: SparkSession, d: String) => cupedReadout(s, d)),
     "cc1_knn_components" -> knnComponents _,
     "kmv1_distinct_sketch" -> ((s: SparkSession, d: String) => kmvDistinct(s, d)),
     "ts3_revenue_autocorr" -> ((s: SparkSession, d: String) => revenueAutocorr(s, d)),
@@ -1028,6 +1196,9 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "ev21_latest_per_key" -> latestPerKeySql,
+    "rec1_order_reconcile" -> orderReconcileSql,
+    "exp2_cuped" -> cupedReadoutSql(),
     "cc1_knn_components" -> knnComponentsSql,
     "kmv1_distinct_sketch" -> kmvDistinctSql(),
     "ts3_revenue_autocorr" -> revenueAutocorrSql(),

@@ -277,6 +277,45 @@ class AnalyticsSpec extends SparkTestBase {
     acf.unpersist()
   }
 
+  test("ev21: exactly one survivor per observed (user, day), and it is the last") {
+    val latest = Analytics.latestPerKey(spark, sfDir).cache()
+    val ev = graft.Engine.table(spark, sfDir, "events")
+    val keys = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct().count()
+    assert(latest.count() == keys)
+    assert(latest.groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).isEmpty)
+    // the survivor's ts is the group max
+    val maxTs = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(col("ts")).as("mx"))
+    val joined = latest.join(ev.select(col("event_id"), col("ts")), "event_id")
+      .join(maxTs, Seq("user_id", "day"))
+    assert(joined.filter(col("ts") =!= col("mx")).isEmpty)
+    latest.unpersist()
+  }
+
+  test("rec1: classes partition the full-outer key space") {
+    val rec = Analytics.orderReconcile(spark, sfDir).cache()
+    val orders = graft.Engine.table(spark, sfDir, "orders").count()
+    val lineOrders = graft.Engine.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    val byStatus = rec.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val both = byStatus.getOrElse("both", 0L)
+    assert(both + byStatus.getOrElse("order_only", 0L) == orders)
+    assert(both + byStatus.getOrElse("lines_only", 0L) == lineOrders)
+    rec.unpersist()
+  }
+
+  test("exp2: theta is arm-independent and adjustment preserves the weighted mean") {
+    val rows = Analytics.cupedReadout(spark, sfDir).collect()
+    assert(rows.length == 2)
+    val thetas = rows.map(_.getAs[Double]("theta")).distinct
+    assert(thetas.length == 1, "theta is a corpus constant")
+    val wRaw = rows.map(r => r.getAs[Long]("n_users") * r.getAs[Double]("mean_post")).sum
+    val wAdj = rows.map(r => r.getAs[Long]("n_users") * r.getAs[Double]("mean_adjusted")).sum
+    assert(math.abs(wRaw - wAdj) < 1e-6 * math.abs(wRaw),
+      "CUPED re-centers around the global pre mean, so the weighted post mean is invariant")
+  }
+
   test("dd11: keepers are real group minima and never listed as drops") {
     val d = Dedup.prefixDedup(spark, sfDir).cache()
     assert(d.filter(col("doc_id") <= col("keep_id")).isEmpty, "drop id > keeper id")
