@@ -1171,7 +1171,151 @@ object Analytics {
        |FROM arms ORDER BY arm""".stripMargin
   }
 
+  // === auc1: exact ROC-AUC of the quality classifier =======================
+  /** Tie-corrected ROC-AUC of qc1's margin against txt6's rule verdict,
+    * computed EXACTLY in integers: scores collapse to per-score groups
+    * (nPos, nNeg), the below-group negative count comes from the
+    * clv1-style bucket histogram (score micros are DOMAIN-bounded — the
+    * margin's range is fixed by the model's coefficients, so buckets are
+    * a ~100-row table at any SF), and
+    * 2·AUC·P·N = Σ nPosₛ·(2·negBelowₛ + nNegₛ) sums as DECIMAL(38,0).
+    * One division at the end. No global single-task sort, no float
+    * accumulation.
+    */
+  def classifierAuc(s: SparkSession, dir: String): DataFrame = {
+    val W = 65536L
+    val score = Exact.micros(col("quality_margin")) // round6 margin -> exact integer
+    val scored = TextAnalysis.qualityMargin(s, dir)
+      .select(col("doc_id"), score.as("sc"))
+      .join(TextAnalysis.docQualityFilter(s, dir).select(col("doc_id"), col("keep")), "doc_id")
+    val groups = scored
+      .groupBy(col("sc"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("nn"))
+      .withColumn("b", expr(s"sc div $W"))
+    val wBucketsBelow = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val bucketNeg = groups.groupBy(col("b")).agg(sum(col("nn")).as("bn"))
+      .withColumn("negOff", coalesce(sum(col("bn")).over(wBucketsBelow), lit(0L)))
+      .select(col("b").as("hb"), col("negOff"))
+    val wInB = Window.partitionBy(col("b")).orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = groups
+      .join(bucketNeg, col("b") === col("hb"))
+      .withColumn("negBelow", col("negOff") + coalesce(sum(col("nn")).over(wInB), lit(0L)))
+    val agg = terms.agg(
+      sum(col("np")).as("n_pos"),
+      sum(col("nn")).as("n_neg"),
+      sum((col("np").cast(Exact.D380)) * (lit(2L) * col("negBelow") + col("nn"))).as("auc2"))
+    agg.select(
+      col("n_pos"), col("n_neg"),
+      (col("auc2").cast(DoubleType) /
+        (lit(2.0) * (col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType))))
+        .as("auc"))
+  }
+
+  val classifierAucSql: String = {
+    val margin = "(SELECT doc_id, quality_margin FROM (" + TextAnalysis.qualityMarginSql + ") qm)"
+    val label = "(SELECT doc_id, keep FROM (" + TextAnalysis.docQualityFilterSql + ") qf)"
+    val sc = Exact.sqlMicros("quality_margin")
+    s"""WITH scored AS (
+       |  SELECT m.doc_id, $sc AS sc, l.keep
+       |  FROM $margin m JOIN $label l ON m.doc_id = l.doc_id),
+       |groups AS (
+       |  SELECT sc,
+       |    SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS np,
+       |    SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS nn
+       |  FROM scored GROUP BY sc),
+       |cum AS (
+       |  SELECT np, nn,
+       |    COALESCE(SUM(nn) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negBelow
+       |  FROM groups)
+       |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+       |  (CAST(CAST(SUM(np * (2 * negBelow + nn)) AS VARCHAR) AS DOUBLE)
+       |    / (2.0 * (CAST(CAST(SUM(np) AS VARCHAR) AS DOUBLE)
+       |              * CAST(CAST(SUM(nn) AS VARCHAR) AS DOUBLE)))) AS auc
+       |FROM cum""".stripMargin
+  }
+
+  // === map1: average precision of label retrieval ==========================
+  /** Retrieval quality of the embedding space: for each query vector,
+    * AP@20 of same-label neighbors under exact cosine ranking. Precision
+    * sums are EXACT integers — Σ cumRelᵢ·(L/i) with L = lcm(1..20) —
+    * so no float ever accumulates; AP is one division. The query side
+    * broadcasts (50 vectors); relevant-total counts come from the
+    * 10-row label table.
+    */
+  def labelRetrievalAp(s: SparkSession, dir: String, k: Int = 20, nQueries: Int = 50): DataFrame = {
+    val L = 232792560L // lcm(1..20)
+    val e = Par.fanOut(t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), transform(col("embedding"), x => x.cast(DoubleType)).as("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    val labelTotals = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val pairs = broadcast(q)
+      .join(e.select(col("vec_id").as("n_id"), col("label").as("n_label"), col("v").as("nv")))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .withColumn("rel", when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+      .withColumn("cumRel", sum(col("rel")).over(wCum))
+    val perQuery = ranked
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(
+        sum(col("rel")).as("rel_at_k"),
+        sum(when(col("rel") === 1L, col("cumRel") * expr(s"$L div rnk")).otherwise(0L))
+          .as("ap_num"))
+    perQuery
+      .join(labelTotals.select(col("label").as("q_label"), col("n_label")), "q_label")
+      .select(col("q_id"), col("q_label"), col("rel_at_k"),
+        (col("ap_num").cast(DoubleType) /
+          (lit(L.toDouble) * least(col("n_label") - 1, lit(k.toLong)).cast(DoubleType)))
+          .as("ap"))
+      .orderBy(col("q_id"))
+  }
+
+  def labelRetrievalApSql(k: Int = 20, nQueries: Int = 50): String = {
+    val L = 232792560L
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
+       |      WHERE vec_id < $nQueries),
+       |lt AS (SELECT label, COUNT(*) AS n_label FROM e GROUP BY 1),
+       |p AS (
+       |  SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
+       |    list_dot_product(qv, v)
+       |      / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) AS cos
+       |  FROM q, e WHERE e.vec_id <> q_id),
+       |r AS (
+       |  SELECT q_id, q_label, n_label, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM p),
+       |topk AS (
+       |  SELECT q_id, q_label,
+       |    CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel, rnk,
+       |    SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY q_id ORDER BY rnk
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumRel
+       |  FROM r WHERE rnk <= $k),
+       |pq AS (
+       |  SELECT q_id, q_label,
+       |    CAST(SUM(rel) AS BIGINT) AS rel_at_k,
+       |    SUM(CASE WHEN rel = 1 THEN cumRel * ($L // rnk) ELSE 0 END) AS ap_num
+       |  FROM topk GROUP BY 1, 2)
+       |SELECT q_id, q_label, rel_at_k,
+       |  (CAST(CAST(ap_num AS VARCHAR) AS DOUBLE)
+       |    / ($L.0 * CAST(LEAST(n_label - 1, $k) AS DOUBLE))) AS ap
+       |FROM pq JOIN lt ON lt.label = pq.q_label
+       |ORDER BY q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "auc1_classifier_auc" -> classifierAuc _,
+    "map1_retrieval_ap" -> ((s: SparkSession, d: String) => labelRetrievalAp(s, d)),
     "ev21_latest_per_key" -> latestPerKey _,
     "rec1_order_reconcile" -> orderReconcile _,
     "exp2_cuped" -> ((s: SparkSession, d: String) => cupedReadout(s, d)),
@@ -1196,6 +1340,8 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "auc1_classifier_auc" -> classifierAucSql,
+    "map1_retrieval_ap" -> labelRetrievalApSql(),
     "ev21_latest_per_key" -> latestPerKeySql,
     "rec1_order_reconcile" -> orderReconcileSql,
     "exp2_cuped" -> cupedReadoutSql(),

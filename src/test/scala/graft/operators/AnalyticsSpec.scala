@@ -316,6 +316,41 @@ class AnalyticsSpec extends SparkTestBase {
       "CUPED re-centers around the global pre mean, so the weighted post mean is invariant")
   }
 
+  test("auc1: matches a direct driver-side tie-corrected computation") {
+    val row = Analytics.classifierAuc(spark, sfDir).collect()(0)
+    val docs = graft.Engine.table(spark, sfDir, "documents").count()
+    assert(row.getAs[Long]("n_pos") + row.getAs[Long]("n_neg") == docs)
+    // recompute exactly from collected (score, label) pairs
+    val scored = TextAnalysis.qualityMargin(spark, sfDir)
+      .select(col("doc_id"), col("quality_margin"))
+      .join(TextAnalysis.docQualityFilter(spark, sfDir).select(col("doc_id"), col("keep")),
+        "doc_id")
+      .collect().map(r => (r.getAs[Double]("quality_margin"), r.getAs[Boolean]("keep")))
+    val byScore = scored.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, g) => (g.count(_._2).toLong, g.count(!_._2).toLong) }
+    var negBelow = 0L; var auc2 = BigInt(0)
+    byScore.foreach { case (np, nn) =>
+      auc2 += BigInt(np) * (2 * negBelow + nn); negBelow += nn
+    }
+    val p = row.getAs[Long]("n_pos").toDouble
+    val n = row.getAs[Long]("n_neg").toDouble
+    val expected = auc2.toDouble / (2.0 * (p * n))
+    assert(math.abs(row.getAs[Double]("auc") - expected) < 1e-12)
+    assert(row.getAs[Double]("auc") > 0.5, "the margin must beat a coin flip on its own rule labels")
+  }
+
+  test("map1: AP bounded, one row per query, deterministic") {
+    val ap = Analytics.labelRetrievalAp(spark, sfDir).cache()
+    val nQ = graft.Engine.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 50).count()
+    assert(ap.count() == nQ)
+    assert(ap.filter(col("ap") < 0.0 || col("ap") > 1.0).isEmpty)
+    assert(ap.filter(col("rel_at_k") > 20).isEmpty)
+    val again = Analytics.labelRetrievalAp(spark, sfDir).collect().toSeq
+    assert(ap.collect().toSeq == again)
+    ap.unpersist()
+  }
+
   test("dd11: keepers are real group minima and never listed as drops") {
     val d = Dedup.prefixDedup(spark, sfDir).cache()
     assert(d.filter(col("doc_id") <= col("keep_id")).isEmpty, "drop id > keeper id")
