@@ -1313,7 +1313,149 @@ object Analytics {
        |ORDER BY q_id""".stripMargin
   }
 
+  // === imp1: Horvitz-Thompson estimate off the smp1 sample =================
+  /** Sampling calibration: the inverse-probability-weighted token total
+    * estimated FROM smp1's kept slice, against the true total — the
+    * check that a weighted training mix preserves corpus statistics.
+    * Weights are rationals (1/0.5, 1/0.9) scaled by 9 to integers, so
+    * the estimator accumulates exactly; ONE conditional-aggregation scan
+    * produces both the estimate and the truth (no second pass, no join).
+    */
+  def htEstimate(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextAnalysis.tokens(col("text"))).cast(LongType)
+    val frac = TextAnalysis.md5Frac(col("lang"), col("doc_id"))
+    val rate = coalesce(
+      element_at(
+        map(TextAnalysis.sampleRates.flatMap { case (l, r) => Seq(lit(l), lit(r)) }: _*),
+        col("lang")),
+      lit(1.0))
+    // 9/rate is integral for every configured rate (18 for 0.5, 10 for 0.9)
+    val w9 = (lit(9.0) / rate).cast(LongType)
+    val kept = frac < rate
+    Par.fanOut(t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
+      .select(col("lang"), nTok.as("nt"), kept.as("kept"), w9.as("w9"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("nt")).as("true_tokens"),
+        sum(when(col("kept"), col("nt") * col("w9")).otherwise(0L)).as("est9"))
+      .select(col("lang"), col("n_docs"), col("n_kept"), col("true_tokens"),
+        (col("est9").cast(DoubleType) / lit(9.0)).as("ht_estimate"),
+        (((col("est9").cast(DoubleType) / lit(9.0)) - col("true_tokens").cast(DoubleType))
+          / col("true_tokens").cast(DoubleType)).as("rel_error"))
+      .orderedSmall(col("lang"))
+  }
+
+  val htEstimateSql: String = {
+    val cases = TextAnalysis.sampleRates
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    val coin = TextAnalysis.sqlMd5Frac("lang", "CAST(doc_id AS VARCHAR)")
+    val nTok = raw"CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)"
+    s"""WITH f AS (
+       |  SELECT lang, $nTok AS nt,
+       |    ($coin < (CASE lang $cases ELSE 1.0 END)) AS kept,
+       |    CAST(9.0 / (CASE lang $cases ELSE 1.0 END) AS BIGINT) AS w9
+       |  FROM documents)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(nt) AS BIGINT) AS true_tokens,
+       |  (CAST(CAST(SUM(CASE WHEN kept THEN nt * w9 ELSE 0 END) AS VARCHAR) AS DOUBLE)
+       |    / 9.0) AS ht_estimate,
+       |  (((CAST(CAST(SUM(CASE WHEN kept THEN nt * w9 ELSE 0 END) AS VARCHAR) AS DOUBLE)
+       |    / 9.0) - CAST(CAST(SUM(nt) AS VARCHAR) AS DOUBLE))
+       |    / CAST(CAST(SUM(nt) AS VARCHAR) AS DOUBLE)) AS rel_error
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // === conf1: language-ID confusion matrix =================================
+  /** txt2's predictions against the lang metadata label — the confusion
+    * matrix plus per-true-class recall riding a window over the
+    * class-bounded cell table. One scan (the langId plan), one bounded
+    * aggregate.
+    */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextAnalysis.docLangId(s, dir).select(col("doc_id"), col("pred_lang"))
+    val truth = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val wTrue = Window.partitionBy(col("lang"))
+    pred.join(truth, "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("class_total", sum(col("n")).over(wTrue))
+      .withColumn("recall_share",
+        col("n").cast(DoubleType) / col("class_total").cast(DoubleType))
+      .orderedSmall(col("lang"), col("pred_lang"))
+  }
+
+  val langIdConfusionSql: String = {
+    val inner = TextAnalysis.docLangIdSql
+    s"""WITH pred AS (SELECT doc_id, pred_lang FROM ($inner) p),
+       |cells AS (
+       |  SELECT d.lang, pred.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pred JOIN documents d USING (doc_id)
+       |  GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n,
+       |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS class_total,
+       |  (CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE))
+       |    AS recall_share
+       |FROM cells ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // === ts4: CUSUM changepoint over daily revenue ===========================
+  /** The mean-shift detector: the day with the maximum |CUSUM| of daily
+    * revenue. The statistic is kept exact by scaling: n·S_t = n·cum_t −
+    * t·total is pure integer arithmetic in DECIMAL(38,0) micros, so the
+    * argmax is unambiguous on any engine; the reported magnitude divides
+    * back once at the end. All windows run over the calendar-bounded
+    * daily grid.
+    */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg(Exact.msum(col("o_totalprice")).as("rev_m"))
+    val wOrd = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val scored = daily
+      .withColumn("t", count(lit(1)).over(wOrd))
+      .withColumn("cum", sum(col("rev_m")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("rev_m")).over(wAll))
+      .withColumn("sn", col("n") * col("cum") - col("t") * col("total"))
+      .withColumn("abs_sn", abs(col("sn")))
+    scored
+      .orderBy(col("abs_sn").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("changepoint_day"),
+        ((col("sn").cast(DoubleType) / col("n").cast(DoubleType)) / lit(1000000.0))
+          .as("cusum"),
+        col("n").as("n_days"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(CASE WHEN (o_totalprice) >= 0 THEN FLOOR((o_totalprice)*1000000+0.5)
+      |             ELSE CEIL((o_totalprice)*1000000-0.5) END AS HUGEINT)) AS rev_m
+      |  FROM orders GROUP BY 1),
+      |sc AS (
+      |  SELECT day,
+      |    COUNT(*) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+      |    SUM(rev_m) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    COUNT(*) OVER () AS n,
+      |    SUM(rev_m) OVER () AS total
+      |  FROM daily),
+      |s2 AS (SELECT day, n, (n * cum - t * total) AS sn FROM sc)
+      |SELECT day AS changepoint_day,
+      |  ((CAST(CAST(sn AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0) AS cusum,
+      |  CAST(n AS BIGINT) AS n_days
+      |FROM s2 ORDER BY abs(sn) DESC, day LIMIT 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "imp1_ht_estimate" -> htEstimate _,
+    "conf1_langid_confusion" -> langIdConfusion _,
+    "ts4_cusum_changepoint" -> cusumChangepoint _,
     "auc1_classifier_auc" -> classifierAuc _,
     "map1_retrieval_ap" -> ((s: SparkSession, d: String) => labelRetrievalAp(s, d)),
     "ev21_latest_per_key" -> latestPerKey _,
@@ -1340,6 +1482,9 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "imp1_ht_estimate" -> htEstimateSql,
+    "conf1_langid_confusion" -> langIdConfusionSql,
+    "ts4_cusum_changepoint" -> cusumChangepointSql,
     "auc1_classifier_auc" -> classifierAucSql,
     "map1_retrieval_ap" -> labelRetrievalApSql(),
     "ev21_latest_per_key" -> latestPerKeySql,

@@ -351,6 +351,47 @@ class AnalyticsSpec extends SparkTestBase {
     ap.unpersist()
   }
 
+  test("imp1: HT estimate reconciles with a direct weighted recomputation") {
+    val ht = Analytics.htEstimate(spark, sfDir).cache()
+    // unweighted truth reconciles with txt1-style token totals
+    val truth = graft.Engine.table(spark, sfDir, "documents")
+      .select(col("lang"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("tt"))
+    assert(ht.join(truth, "lang").filter(col("true_tokens") =!= col("tt")).isEmpty)
+    assert(ht.filter(col("n_kept") > col("n_docs")).isEmpty)
+    // the HT estimator is unbiased; on this corpus it should land within 50%
+    assert(ht.filter(abs(col("rel_error")) > 0.5).isEmpty)
+    ht.unpersist()
+  }
+
+  test("conf1: cells partition the corpus and recall shares sum to one per class") {
+    val cm = Analytics.langIdConfusion(spark, sfDir).cache()
+    val docs = graft.Engine.table(spark, sfDir, "documents").count()
+    assert(cm.agg(sum(col("n"))).collect()(0).getLong(0) == docs)
+    val shares = cm.groupBy(col("lang")).agg(sum(col("recall_share")).as("s"))
+    assert(shares.filter(abs(col("s") - 1.0) > 1e-9).isEmpty)
+    cm.unpersist()
+  }
+
+  test("ts4: the changepoint maximizes |CUSUM| among all prefix days") {
+    val cp = Analytics.cusumChangepoint(spark, sfDir).collect()(0)
+    val daily = graft.Engine.table(spark, sfDir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        Exact.micros(col("o_totalprice")).as("m"))
+      .groupBy(col("day")).agg(sum(col("m")).as("rev_m"))
+      .orderBy(col("day")).collect().map(r => (r.getDate(0), BigInt(r.getLong(1))))
+    val n = daily.length
+    val total = daily.map(_._2).sum
+    var cum = BigInt(0); var best = BigInt(-1); var bestDay: java.sql.Date = null
+    daily.zipWithIndex.foreach { case ((d, m), i) =>
+      cum += m
+      val sn = (BigInt(n) * cum - BigInt(i + 1) * total).abs
+      if (sn > best) { best = sn; bestDay = d }
+    }
+    assert(cp.getAs[java.sql.Date]("changepoint_day") == bestDay)
+    assert(cp.getAs[Long]("n_days") == n)
+  }
+
   test("dd11: keepers are real group minima and never listed as drops") {
     val d = Dedup.prefixDedup(spark, sfDir).cache()
     assert(d.filter(col("doc_id") <= col("keep_id")).isEmpty, "drop id > keeper id")
