@@ -20,7 +20,9 @@ object SparkEntry {
       operators.CorpusPipeline.queries ++
       operators.Skew.queries ++
       operators.Multimodal.queries ++
-      operators.Analytics.queries
+      operators.Analytics.queries ++
+      operators.Sketches.queries ++
+      operators.Warehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +37,7 @@ object SparkEntry {
       operators.CorpusPipeline.oracles ++
       operators.Skew.oracles ++
       operators.Multimodal.oracles ++
-      operators.Analytics.oracles
+      operators.Analytics.oracles ++
+      operators.Sketches.oracles ++
+      operators.Warehouse.oracles
 }

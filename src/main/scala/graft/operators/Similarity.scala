@@ -1112,7 +1112,72 @@ object Similarity {
        |WHERE r = 1 ORDER BY top.cluster""".stripMargin
   }
 
+  // === rp1: signed random projection (Johnson–Lindenstrauss) ==============
+  val rpDims = 8
+  val rpInDims = 64
+
+  /** The ±1 projection matrix entry for (output dim j, input dim i) —
+    * derived from md5("rp#j#i") exactly as `TextAnalysis.md5Frac` /
+    * `sqlMd5Frac` derive their uniforms, so the DuckDB oracle recomputes
+    * the IDENTICAL matrix from SQL md5 and the two engines agree bit
+    * for bit. Computed at plan-build time (it is a constant), not per
+    * row.
+    */
+  private[operators] def rpSign(j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp#$j#$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 8), 16) < 2147483648L) 1 else -1
+  }
+
+  /** Signed random projection 64 -> 8 dims (the JL / sparse-projection
+    * dimensionality reducer that preps embeddings for cheap ANN
+    * prefiltering): p_j = sum_i s_ji * v_i with s in {-1, +1}.
+    *
+    * Exactness: components round to integer micros once, each output
+    * coordinate is a 64-term LONG sum (order-independent by algebra,
+    * no IEEE anywhere), and converts to double with ONE division — the
+    * Exact.msum discipline applied to vector arithmetic.
+    *
+    * Shape at 100 TB: map-only — no shuffle, no explode, no state; the
+    * micros array projects once per row and the 8 coordinates are
+    * codegen'd long chains over it. Distance ratios survive with
+    * distortion ~1/sqrt(8); SimilaritySpec pins the ratio envelope.
+    */
+  def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .filter(size(col("embedding")) === rpInDims)
+      .select(col("vec_id"), vecD("embedding").as("v"))
+      .withColumn("mv", transform(col("v"), x => Exact.micros(x)))
+    val projCols = (0 until rpDims).map { j =>
+      val terms = (0 until rpInDims).map { i =>
+        val e = element_at(col("mv"), i + 1)
+        if (rpSign(j, i) > 0) e else -e
+      }
+      Exact.toUnits(terms.reduce(_ + _)).as(s"p$j")
+    }
+    base.select((col("vec_id") +: projCols): _*).orderBy(col("vec_id"))
+  }
+
+  def randomProjectionSql: String = {
+    val micros = "CAST(CASE WHEN CAST(x AS DOUBLE) >= 0 THEN FLOOR(CAST(x AS DOUBLE)*1000000+0.5) " +
+      "ELSE CEIL(CAST(x AS DOUBLE)*1000000-0.5) END AS BIGINT)"
+    val projs = (0 until rpDims).map { j =>
+      val sum = (0 until rpInDims).map { i =>
+        val sgn = if (rpSign(j, i) > 0) "+" else "-"
+        s"$sgn mv[${i + 1}]"
+      }.mkString(" ")
+      s"CAST(($sum) AS DOUBLE)/1000000.0 AS p$j"
+    }.mkString(",\n  ")
+    s"""WITH m AS (
+       |  SELECT vec_id, list_transform(embedding, x -> $micros) AS mv
+       |  FROM embeddings WHERE len(embedding) = $rpInDims)
+       |SELECT vec_id,
+       |  $projs
+       |FROM m ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rp1_random_projection" -> randomProjection _,
     "sim7_centroid_drift" -> centroidDrift _,
     "hub1_knn_hubness" -> ((s: SparkSession, d: String) => knnHubness(s, d)),
     "cl1_cluster_purity" -> ((s: SparkSession, d: String) => clusterPurity(s, d)),
@@ -1132,6 +1197,7 @@ object Similarity {
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "rp1_random_projection" -> randomProjectionSql,
     "sim7_centroid_drift" -> centroidDriftSql,
     "hub1_knn_hubness" -> knnHubnessSql(),
     "cl1_cluster_purity" -> clusterPuritySql(),

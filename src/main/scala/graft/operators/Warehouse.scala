@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Par.BoundedOrder
+
+/** Warehouse-maintenance operators: slowly-changing-dimension history,
+  * multi-dimensional layout keys, deterministic weighted sampling and
+  * robust (median/MAD) statistics — the batch-ETL surface a lakehouse
+  * deployment of the reference's table layer (CREATE/INSERT/UPDATE,
+  * swanlake-core/src/engine/mod.rs DML path) runs on top of its tables.
+  */
+object Warehouse {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
+
+  // === scd1: type-2 slowly-changing-dimension history ======================
+  /** SCD type-2 interval build from the event log: per user, collapse
+    * consecutive same-type events into validity runs
+    * [valid_from, valid_to) with valid_to = the next run's start and
+    * NULL marking the current run — the gaps-and-islands construction
+    * every dimension-history ETL uses.
+    *
+    * Shape at 100 TB: ONE exchange on user_id serves the whole plan —
+    * the change-flag window, the (user_id, run_id) aggregate (hash
+    * clustering on user_id satisfies the grouping), and the valid_to
+    * lead window all reuse it. Run ordering is (ts, event_id), a total
+    * order, so the islands are deterministic under any parallelism.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRuns = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    val chg = when(lag(col("event_type"), 1).over(w).isNull ||
+      lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("run_id", sum(chg).over(w))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRuns))
+      .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"),
+        col("n_events"),
+        col("valid_to").isNull.cast(IntegerType).as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  def scd2HistorySql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN LAG(event_type) OVER w IS NULL
+      |         OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+      |  FROM flagged),
+      |islands AS (
+      |  SELECT user_id, run_id, MIN(event_type) AS event_type,
+      |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+      |  FROM runs GROUP BY user_id, run_id)
+      |SELECT user_id, event_type, valid_from,
+      |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+      |  n_events,
+      |  CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+      |    IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+      |FROM islands ORDER BY user_id, valid_from""".stripMargin
+
+  // === zord1: Z-order (Morton) layout statistics ===========================
+  val zDimBits = 8 // 8 bits per dimension -> 16-bit Morton key
+  val zBlockShift = 6 // blocks of 64 consecutive z-values
+
+  private def morton(x: Column, y: Column): Column =
+    (0 until zDimBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Z-order (Morton-interleaved) clustering key over orders'
+    * (custkey, orderdate) plus the per-block locality ledger that
+    * justifies it: for each block of 64 consecutive z-values, the
+    * bounding box over both dimensions. Sorting files by zkey makes
+    * range predicates on EITHER dimension prune to O(sqrt) of the
+    * blocks — the min/max spans in this output are exactly the
+    * per-file column statistics a parquet writer would record after
+    * `df.sort("zkey")`.
+    *
+    * Shape at 100 TB: the key is pure bit arithmetic (map-only,
+    * codegen'd); the ledger is one combinable aggregate over a
+    * 1024-value key domain. The actual re-layout write would be
+    * `repartitionByRange(col("zkey")).sortWithinPartitions("zkey")` —
+    * a single range exchange.
+    */
+  def zorderStats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_custkey").bitwiseAND(255L)
+    val y = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+      .cast(LongType).bitwiseAND(255L)
+    t(s, dir, "orders")
+      .select(x.as("x"), y.as("y"))
+      .withColumn("zkey", morton(col("x"), col("y")))
+      .groupBy(shiftright(col("zkey"), zBlockShift).as("z_block"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .withColumn("bbox_area",
+        (col("max_x") - col("min_x") + 1L) * (col("max_y") - col("min_y") + 1L))
+      .orderedSmall(col("z_block")) // domain-bounded: <= 1024 blocks at any SF
+  }
+
+  def zorderStatsSql: String = {
+    val zExpr = (0 until zDimBits).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH dims AS (
+       |  SELECT o_custkey & 255 AS x,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 255 AS y
+       |  FROM orders),
+       |keyed AS (SELECT x, y, ($zExpr) AS zkey FROM dims)
+       |SELECT zkey >> $zBlockShift AS z_block, COUNT(*) AS n_rows,
+       |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
+       |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS bbox_area
+       |FROM keyed GROUP BY z_block ORDER BY z_block""".stripMargin
+  }
+
+  // === ws1: deterministic weighted sample ==================================
+  val wsTopN = 100
+  private val wsScale = 1000000000000L // 1e12
+
+  /** Deterministic weighted sampling without replacement: each document
+    * draws priority n_chars * 1e12 DIV (md5-hash + 1) — the integer
+    * Efraimidis–Spirakis shape (priority monotone in weight/u) with the
+    * float exponentiation replaced by exact integer division, so both
+    * engines order identically with no IEEE concerns — and the top 100
+    * priorities are the sample. Longer documents are proportionally
+    * likelier to win; re-running is reproducible (the hash is the
+    * randomness).
+    *
+    * Shape at 100 TB: map-only priority + TakeOrderedAndProject —
+    * per-partition top-100 heaps merged on the driver; no global sort,
+    * no shuffle of the data itself.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat_ws("#", lit("ws"), col("doc_id"))), 1, 8), 16, 10)
+      .cast(LongType) + 1L
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("h", h)
+      .withColumn("priority", expr(s"(n_chars * $wsScale) DIV h"))
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(wsTopN)
+  }
+
+  def weightedSampleSql: String =
+    s"""WITH pri AS (
+       |  SELECT doc_id, n_chars,
+       |    (n_chars * $wsScale) //
+       |      ((('0x' || substring(md5(concat_ws('#', 'ws', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT) + 1)
+       |      AS priority
+       |  FROM documents)
+       |SELECT doc_id, n_chars, priority FROM pri
+       |ORDER BY priority DESC, doc_id LIMIT $wsTopN""".stripMargin
+
+  // === mad1: robust median/MAD outlier ledger ==============================
+  /** Per-event-type robust center and spread: exact median, median
+    * absolute deviation, and the count of 3-MAD outliers — the
+    * heavy-tail-safe alternative to ev11's z-scores.
+    *
+    * Determinism: values round to integer micros first; medians compute
+    * over DOUBLED integers (2x, so the even-count midpoint (a+b)/2 is
+    * itself an integer — no interpolation bits in play beyond an exact
+    * half, identical under Spark's percentile() and DuckDB's median());
+    * the outlier comparison |2x - med2| * 2 > 3 * (2*mad2) stays in
+    * exactly-representable doubles.
+    *
+    * Shape at 100 TB: exact percentile shuffles each group's value
+    * multiset — the documented correctness tier. The scale path is
+    * approx_percentile (KLL-style mergeable sketch, map-side
+    * combinable) with identical downstream arithmetic; SketchSpec pins
+    * the approx/exact bracket.
+    */
+  def robustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val m2 = Exact.micros(col("value")) * 2L
+    val base = t(s, dir, "events").select(col("event_type"), m2.as("m2"))
+    val med = base.groupBy(col("event_type"))
+      .agg(percentile(col("m2"), lit(0.5)).as("med2"), count(lit(1)).as("n"))
+    val joined = base.join(med, "event_type")
+      .withColumn("dev2", abs(col("m2").cast(DoubleType) - col("med2")))
+    val mad = joined.groupBy(col("event_type"))
+      .agg(percentile(col("dev2"), lit(0.5)).as("mad2"))
+    joined.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("med2")).as("med2"), max(col("mad2")).as("mad2"),
+        sum(when(col("dev2") > lit(3.0) * col("mad2"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        (col("med2") / 2000000.0).as("median_value"),
+        (col("mad2") / 2000000.0).as("mad_value"),
+        col("n_outliers"))
+      .orderedSmall(col("event_type")) // domain-bounded: one row per event type
+  }
+
+  def robustOutliersSql: String = {
+    val m2 = s"(${Exact.sqlMicros("value")} * 2)"
+    s"""WITH base AS (
+       |  SELECT event_type, CAST($m2 AS BIGINT) AS m2 FROM events),
+       |med AS (
+       |  SELECT event_type, median(m2) AS med2, COUNT(*) AS n
+       |  FROM base GROUP BY event_type),
+       |dev AS (
+       |  SELECT base.event_type, ABS(CAST(m2 AS DOUBLE) - med2) AS dev2, med2, n
+       |  FROM base JOIN med ON base.event_type = med.event_type),
+       |mad AS (
+       |  SELECT event_type, median(dev2) AS mad2 FROM dev GROUP BY event_type)
+       |SELECT dev.event_type, MAX(n) AS n,
+       |  MAX(med2) / 2000000.0 AS median_value,
+       |  MAX(mad.mad2) / 2000000.0 AS mad_value,
+       |  CAST(SUM(CASE WHEN dev2 > 3.0 * mad.mad2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM dev JOIN mad ON dev.event_type = mad.event_type
+       |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd1_type2_history" -> scd2History _,
+    "zord1_zorder_stats" -> zorderStats _,
+    "ws1_weighted_sample" -> weightedSample _,
+    "mad1_robust_outliers" -> robustOutliers _)
+
+  val oracles: Map[String, String] = Map(
+    "scd1_type2_history" -> scd2HistorySql,
+    "zord1_zorder_stats" -> zorderStatsSql,
+    "ws1_weighted_sample" -> weightedSampleSql,
+    "mad1_robust_outliers" -> robustOutliersSql)
+}

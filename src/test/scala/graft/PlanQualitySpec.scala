@@ -261,4 +261,25 @@ class PlanQualitySpec extends SparkTestBase {
     assert(countScans(operators.Analytics.momGrowth(spark, sfDir)) <= 3)
     assert(countScans(operators.Analytics.nationTopParts(spark, sfDir)) <= 4)
   }
+
+  test("rp1: projection is map-only — no exchange before the output sort") {
+    val df = operators.Similarity.randomProjection(spark, sfDir)
+    assert(countShuffles(df) <= 1, "rp1 must not shuffle to compute projections")
+  }
+
+  test("scd1: one user_id exchange serves window + aggregate + lead (plus the output sort)") {
+    val df = operators.Warehouse.scd2History(spark, sfDir)
+    assert(countShuffles(df) <= 2,
+      "SCD2 islands must reuse the user_id partitioning across all three steps")
+  }
+
+  test("zord1/mad1/hll1: bounded-domain outputs skip the range exchange") {
+    assert(countShuffles(operators.Warehouse.zorderStats(spark, sfDir)) <= 1)
+    assert(countShuffles(operators.Sketches.hllSketch(spark, sfDir)) <= 4)
+  }
+
+  test("ws1: weighted sample compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(operators.Warehouse.weightedSample(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -61,4 +61,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.length == 10)
     assert(rows.forall(_.getAs[Long]("n_dims") == 64))
   }
+
+  test("rp1: JL norm preservation in expectation and determinism") {
+    val a = Similarity.randomProjection(spark, sfDir).collect()
+    val b = Similarity.randomProjection(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "md5-seeded projection must be deterministic")
+    // E[||p||^2] = rpDims * ||v||^2 for ±1 signs; the mean ratio over
+    // the corpus concentrates hard even at 8 output dims
+    val orig = graft.Engine.table(spark, sfDir, "embeddings")
+    import org.apache.spark.sql.functions._
+    val norms = orig.select(col("vec_id"),
+      Similarity.dot(
+        transform(col("embedding"), x => x.cast(org.apache.spark.sql.types.DoubleType)),
+        transform(col("embedding"), x => x.cast(org.apache.spark.sql.types.DoubleType)))
+        .as("n2")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("n2")).toMap
+    val ratios = a.map { r =>
+      val p2 = (0 until Similarity.rpDims)
+        .map(j => { val v = r.getAs[Double](s"p$j"); v * v }).sum
+      p2 / (Similarity.rpDims * norms(r.getAs[Long]("vec_id")))
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.4, s"mean norm ratio $mean outside JL envelope")
+  }
 }

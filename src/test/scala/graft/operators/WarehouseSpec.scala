@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Invariants for the sketch/warehouse additions (hll1 HyperLogLog,
+  * bf1 Bloom pruning, scd1 SCD2 history, zord1 Z-order layout, ws1
+  * weighted sampling, mad1 robust outliers). Value-level correctness is
+  * hash-checked against the DuckDB oracle by the driver gate; these pin
+  * the structural properties the oracle compare can't express.
+  */
+class WarehouseSpec extends SparkTestBase {
+
+  test("hll1: registers bounded, estimate positive and within 3/sqrt(m) of exact") {
+    val r = Sketches.hllSketch(spark, sfDir).cache()
+    assert(r.filter(col("n_registers") > Sketches.hllBuckets).isEmpty)
+    assert(r.filter(col("hll_estimate") <= 0).isEmpty)
+    // standard error of raw HLL is ~1.04/sqrt(m) = 13%; allow 3 sigma
+    // (the linear-counting branch handles the sparse regime)
+    assert(r.filter(abs(col("rel_error")) > 0.4).isEmpty,
+      "estimate should stay in the HLL error envelope")
+    r.unpersist()
+  }
+
+  test("hll1: deterministic across runs (md5-seeded, no RNG state)") {
+    val a = Sketches.hllSketch(spark, sfDir).collect().toSeq
+    val b = Sketches.hllSketch(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("bf1: no false negatives and a sane ledger") {
+    val row = Sketches.bloomPrune(spark, sfDir).collect()(0)
+    val nProbed = row.getAs[Long]("n_probed")
+    val nCand = row.getAs[Long]("n_candidates")
+    val nTrue = row.getAs[Long]("n_true")
+    val nFp = row.getAs[Long]("n_false_pos")
+    // every true member must pass the filter: candidates >= true matches
+    assert(nCand >= nTrue, "bloom filters never reject a member")
+    assert(nCand == nTrue + nFp, "candidates decompose into true + FP")
+    assert(nFp <= nProbed - nTrue)
+    assert(row.getAs[Long]("n_bits_set") <= Sketches.bloomBits)
+  }
+
+  test("scd1: intervals are disjoint, cover every event, and have one current run per user") {
+    val h = Warehouse.scd2History(spark, sfDir).cache()
+    val events = graft.Engine.table(spark, sfDir, "events")
+    // run event counts sum to the event count
+    assert(h.agg(sum(col("n_events"))).collect()(0).getLong(0) == events.count())
+    // exactly one open interval per user
+    val openPerUser = h.filter(col("is_current") === 1)
+      .groupBy(col("user_id")).count().filter(col("count") =!= 1)
+    assert(openPerUser.isEmpty)
+    // valid_from < valid_to for every closed interval
+    assert(h.filter(col("valid_to").isNotNull && col("valid_from") >= col("valid_to")).isEmpty)
+    // adjacent runs never share an event_type (they'd be one run)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val adj = h.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull && col("next_type") === col("event_type"))
+    assert(adj.isEmpty, "consecutive runs must change event_type")
+    h.unpersist()
+  }
+
+  test("zord1: morton blocks cover all rows and bound both dimensions") {
+    val z = Warehouse.zorderStats(spark, sfDir).cache()
+    val nOrders = graft.Engine.table(spark, sfDir, "orders").count()
+    assert(z.agg(sum(col("n_rows"))).collect()(0).getLong(0) == nOrders)
+    assert(z.filter(col("z_block") < 0 || col("z_block") > 1023).isEmpty)
+    assert(z.filter(col("min_x") > col("max_x") || col("min_y") > col("max_y")).isEmpty)
+    // a 64-z-value block spans at most an 8x8 tile in (x, y) space —
+    // the locality guarantee that makes the layout prunable
+    assert(z.filter(col("bbox_area") > 64).isEmpty,
+      "Z-order block bounding boxes must stay tile-local")
+    z.unpersist()
+  }
+
+  test("ws1: sample is a deterministic subset, weight-monotone under equal hash") {
+    val a = Warehouse.weightedSample(spark, sfDir).collect().toSeq
+    val b = Warehouse.weightedSample(spark, sfDir).collect().toSeq
+    assert(a == b)
+    assert(a.size <= Warehouse.wsTopN)
+    assert(a.map(_.getAs[Long]("priority")).sliding(2).forall {
+      case Seq(x, y) => x >= y
+      case _         => true
+    })
+  }
+
+  test("mad1: outliers bounded, MAD nonnegative, zero-MAD groups flag nothing spuriously") {
+    val m = Warehouse.robustOutliers(spark, sfDir).cache()
+    assert(m.filter(col("mad_value") < 0).isEmpty)
+    assert(m.filter(col("n_outliers") > col("n")).isEmpty)
+    // median of |x - median| = 0 means > half the group sits exactly at
+    // the median; then outliers are values != median only
+    assert(m.filter(col("n_outliers") < 0).isEmpty)
+    m.unpersist()
+  }
+}
