@@ -1452,7 +1452,66 @@ object Analytics {
       |  CAST(n AS BIGINT) AS n_days
       |FROM s2 ORDER BY abs(sn) DESC, day LIMIT 1""".stripMargin
 
+  // === ts5: exact truncated EWMA ===========================================
+  val ewmaLags = 15 // 16 observations, weights 2^-0 .. 2^-15
+
+  /** Exponentially weighted moving average of daily revenue with the
+    * float recurrence replaced by exact integer arithmetic: alpha = 1/2
+    * makes every weight a power of two, so the 16-observation truncated
+    * EWMA numerator sum_(j=0..15) rev[t-j] * 2^(15-j) is an exact
+    * DECIMAL(38,0) over integer micros (truncation error <= 2^-16 of
+    * the oldest term — below double resolution of the result), the
+    * boundary-normalizing denominator is an exact integer, and the
+    * division happens ONCE in IEEE — both engines follow the identical
+    * sequence. The standard smoother, made hash-checkable.
+    *
+    * Shape at 100 TB: one map-side-combinable day aggregate, one
+    * window sort over the calendar-bounded daily series (a few
+    * thousand rows at ANY data volume), map-only weighting.
+    */
+  def revenueEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg(Exact.msum(col("o_totalprice")).as("rev_m"))
+    val wOrd = Window.orderBy(col("day"))
+    val lagCols = (0 to ewmaLags).map(j => lag(col("rev_m"), j).over(wOrd).as(s"r_$j"))
+    val withLags = daily.select((col("day") +: col("rev_m") +: lagCols): _*)
+    val num = (0 to ewmaLags).map { j =>
+      when(col(s"r_$j").isNotNull, col(s"r_$j") * lit(1L << (ewmaLags - j))).otherwise(lit(0L).cast(Exact.D380))
+    }.reduce(_ + _)
+    val den = (0 to ewmaLags).map { j =>
+      when(col(s"r_$j").isNotNull, lit(1L << (ewmaLags - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withLags
+      .select(col("day"), Exact.toUnits(col("rev_m")).as("revenue"),
+        (num.cast(DoubleType) / den.cast(DoubleType) / lit(1000000.0)).as("ewma"))
+      .orderedSmall(col("day")) // calendar-bounded series
+  }
+
+  def revenueEwmaSql: String = {
+    val lagSelects = (0 to ewmaLags).map(j =>
+      s"LAG(rev_m, $j) OVER (ORDER BY day) AS r_$j").mkString(", ")
+    val num = (0 to ewmaLags).map(j =>
+      s"CASE WHEN r_$j IS NOT NULL THEN CAST(r_$j AS HUGEINT) * ${1L << (ewmaLags - j)} ELSE 0 END")
+      .mkString(" + ")
+    val den = (0 to ewmaLags).map(j =>
+      s"CASE WHEN r_$j IS NOT NULL THEN ${1L << (ewmaLags - j)} ELSE 0 END").mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    ${Exact.sqlMsum("o_totalprice")} AS rev_m
+       |  FROM orders GROUP BY 1),
+       |lagged AS (
+       |  SELECT day, rev_m, $lagSelects FROM daily)
+       |SELECT day, ${Exact.sqlToUnits("rev_m")} AS revenue,
+       |  CAST(CAST(($num) AS VARCHAR) AS DOUBLE)
+       |    / CAST(($den) AS DOUBLE) / 1000000.0 AS ewma
+       |FROM lagged ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts5_revenue_ewma" -> revenueEwma _,
     "imp1_ht_estimate" -> htEstimate _,
     "conf1_langid_confusion" -> langIdConfusion _,
     "ts4_cusum_changepoint" -> cusumChangepoint _,
@@ -1482,6 +1541,7 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "ts5_revenue_ewma" -> revenueEwmaSql,
     "imp1_ht_estimate" -> htEstimateSql,
     "conf1_langid_confusion" -> langIdConfusionSql,
     "ts4_cusum_changepoint" -> cusumChangepointSql,

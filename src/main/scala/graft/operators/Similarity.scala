@@ -1176,7 +1176,85 @@ object Similarity {
        |FROM m ORDER BY vec_id""".stripMargin
   }
 
+  // === tri1: triangle counting on the mutual-kNN graph =====================
+  /** Per-node triangle counts over the sim6 mutual-kNN edge set — the
+    * local-clustering signal that separates dense semantic communities
+    * from hub-and-spoke noise (the standard companion to hub1's
+    * in-degree hubness).
+    *
+    * The count uses the canonical a<b<c edge-join: wedges from
+    * (a,b)x(b,c), closed by an (a,c) edge probe. Mutual-kNN degree is
+    * bounded by k, so the wedge fan-out per edge is <= k — at 100 TB
+    * the join is edge-partitioned with bounded per-key work, never the
+    * quadratic neighborhood product.
+    */
+  def knnTriangles(s: SparkSession, dir: String, k: Int = 5, subset: Int = 200): DataFrame = {
+    val edges = mutualKnn(s, dir, k, subset).select(col("a"), col("b"))
+    val wedges = edges.select(col("a"), col("b").as("m"))
+      .join(edges.select(col("a").as("m"), col("b").as("c")), "m")
+    val tris = wedges.join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("m").as("b"), col("c"))
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderedSmall(col("vec_id")) // bounded by the sim6 subset
+  }
+
+  def knnTrianglesSql(k: Int = 5, subset: Int = 200): String =
+    s"""WITH edges AS (
+       |  SELECT a, b FROM (${mutualKnnSql(k, subset)})),
+       |tris AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.a = e1.b
+       |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |nodes AS (
+       |  SELECT UNNEST([a, b, c]) AS vec_id FROM tris)
+       |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |FROM nodes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // === sim9: ANN recall audit ==============================================
+  /** Recall@k of the LSH ANN index (sim3) against the exact top-k
+    * (sim1), per query — the accuracy dial every ANN deployment reads
+    * before trading recall for index cost. One FULL OUTER join of the
+    * two result sets feeds one aggregate, so each sub-pipeline executes
+    * exactly once (no star-shaped reuse).
+    */
+  def annRecall(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val ex = cosineTopK(s, dir, k, nQueries)
+      .select(col("q_id"), col("n_id")).withColumn("in_ex", lit(1))
+    val an = annTopK(s, dir, k, nQueries)
+      .select(col("q_id"), col("n_id")).withColumn("in_ann", lit(1))
+    ex.join(an, Seq("q_id", "n_id"), "full_outer")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("in_ex"), lit(0))).as("n_exact"),
+        sum(coalesce(col("in_ann"), lit(0))).as("n_ann"),
+        sum(when(col("in_ex").isNotNull && col("in_ann").isNotNull, 1L).otherwise(0L))
+          .as("n_hit"))
+      .withColumn("recall", col("n_hit").cast(DoubleType) / lit(k.toDouble))
+      .orderedSmall(col("q_id"))
+  }
+
+  def annRecallSql(k: Int = 5, nQueries: Int = 10): String =
+    s"""WITH ex AS (
+       |  SELECT q_id, n_id, 1 AS in_ex FROM (${cosineTopKSql(k, nQueries)})),
+       |an AS (
+       |  SELECT q_id, n_id, 1 AS in_ann FROM (${annTopKSql(k, nQueries)})),
+       |j AS (
+       |  SELECT COALESCE(ex.q_id, an.q_id) AS q_id,
+       |    ex.in_ex AS in_ex, an.in_ann AS in_ann
+       |  FROM ex FULL OUTER JOIN an ON ex.q_id = an.q_id AND ex.n_id = an.n_id)
+       |SELECT q_id,
+       |  CAST(SUM(COALESCE(in_ex, 0)) AS BIGINT) AS n_exact,
+       |  CAST(SUM(COALESCE(in_ann, 0)) AS BIGINT) AS n_ann,
+       |  CAST(SUM(CASE WHEN in_ex IS NOT NULL AND in_ann IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN in_ex IS NOT NULL AND in_ann IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $k.0 AS recall
+       |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tri1_knn_triangles" -> ((s: SparkSession, d: String) => knnTriangles(s, d)),
+    "sim9_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "rp1_random_projection" -> randomProjection _,
     "sim7_centroid_drift" -> centroidDrift _,
     "hub1_knn_hubness" -> ((s: SparkSession, d: String) => knnHubness(s, d)),
@@ -1197,6 +1275,8 @@ object Similarity {
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "tri1_knn_triangles" -> knnTrianglesSql(),
+    "sim9_ann_recall" -> annRecallSql(),
     "rp1_random_projection" -> randomProjectionSql,
     "sim7_centroid_drift" -> centroidDriftSql,
     "hub1_knn_hubness" -> knnHubnessSql(),

@@ -240,11 +240,86 @@ object Sketches {
        |FROM ledger""".stripMargin
   }
 
+  // === cms1: Count-Min heavy hitters =======================================
+  val cmsRows = 4 // d
+  val cmsWidth = 256 // w
+  val cmsTopN = 20
+
+  /** Count-Min frequency sketch, audited on the heavy hitters: build
+    * the d x w register table over token occurrences, read back the
+    * top-20 exact tokens through the sketch (estimate = min over the d
+    * registers), and report the guaranteed-nonnegative overcount. With
+    * kmv1 (distinct), hll1 (distinct registers) and bf1 (membership)
+    * this completes the classical sketch quartet, every one of them
+    * hash-checked end-to-end because the hash family is md5.
+    *
+    * All arithmetic is integer counts — nothing to round, no IEEE
+    * anywhere but the final (exact) ratio-free columns.
+    *
+    * Shape at 100 TB: the register build is a vocabulary-bounded
+    * aggregate (token counts first — map-side combinable — then d
+    * positions per DISTINCT token, never per occurrence); the register
+    * table is d*w = 1024 rows (broadcast); the heavy-hitter readback
+    * is TakeOrdered + a broadcast join. Two passes over the count
+    * table, zero passes over raw text beyond the first tokenize.
+    */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    def pos(i: Int, tok: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws("#", lit("cms"), lit(i), tok)), 1, 8), 16, 10)
+        .cast(LongType) % cmsWidth
+    val counts = Par.fanOut(t(s, dir, "documents").select(col("text")))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val regs = counts
+      .select(col("n_exact"), posexplode(
+        array((0 until cmsRows).map(i => pos(i, col("tok"))): _*)).as(Seq("i", "pos")))
+      .groupBy(col("i"), col("pos"))
+      .agg(sum(col("n_exact")).as("reg"))
+    val top = counts.orderBy(col("n_exact").desc, col("tok")).limit(cmsTopN)
+    top
+      .select(col("tok"), col("n_exact"), posexplode(
+        array((0 until cmsRows).map(i => pos(i, col("tok"))): _*)).as(Seq("i", "pos")))
+      .join(broadcast(regs), Seq("i", "pos"))
+      .groupBy(col("tok"))
+      .agg(max(col("n_exact")).as("n_exact"), min(col("reg")).as("cms_estimate"))
+      .select(col("tok"), col("n_exact"), col("cms_estimate"),
+        (col("cms_estimate") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
+  def cmsHeavyHittersSql: String = {
+    def pos(i: Int, tok: String) =
+      s"(('0x' || substring(md5(concat_ws('#', 'cms', '$i', $tok)), 1, 8))::BIGINT % $cmsWidth)"
+    val keyPos = (0 until cmsRows)
+      .map(i => s"{'i': $i, 'pos': ${pos(i, "tok")}}").mkString(", ")
+    s"""WITH counts AS (
+       |  SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |exact AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM counts GROUP BY tok),
+       |keyed AS (
+       |  SELECT tok, n_exact, UNNEST([$keyPos]) AS ip FROM exact),
+       |regs AS (
+       |  SELECT ip.i AS i, ip.pos AS pos, CAST(SUM(n_exact) AS BIGINT) AS reg
+       |  FROM keyed GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok, n_exact FROM exact ORDER BY n_exact DESC, tok LIMIT $cmsTopN),
+       |est AS (
+       |  SELECT k.tok, MAX(k.n_exact) AS n_exact, MIN(r.reg) AS cms_estimate
+       |  FROM (SELECT tok, n_exact, UNNEST([$keyPos]) AS ip FROM top) k
+       |  JOIN regs r ON r.i = k.ip.i AND r.pos = k.ip.pos
+       |  GROUP BY k.tok)
+       |SELECT tok, n_exact, cms_estimate, cms_estimate - n_exact AS overcount
+       |FROM est ORDER BY n_exact DESC, tok""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll1_hll_sketch" -> hllSketch _,
-    "bf1_bloom_prune" -> bloomPrune _)
+    "bf1_bloom_prune" -> bloomPrune _,
+    "cms1_heavy_hitters" -> cmsHeavyHitters _)
 
   val oracles: Map[String, String] = Map(
     "hll1_hll_sketch" -> hllSketchSql,
-    "bf1_bloom_prune" -> bloomPruneSql)
+    "bf1_bloom_prune" -> bloomPruneSql,
+    "cms1_heavy_hitters" -> cmsHeavyHittersSql)
 }

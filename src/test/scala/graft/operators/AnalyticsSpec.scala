@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   */
 class AnalyticsSpec extends SparkTestBase {
 
+  test("ts5: EWMA starts at the series, stays inside the window envelope, deterministic") {
+    val r = Analytics.revenueEwma(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    // first observation: ewma == revenue (only one weight present)
+    val first = r.head
+    assert(math.abs(first.getAs[Double]("ewma") - first.getAs[Double]("revenue")) < 1e-9)
+    // ewma is a convex combination of the trailing window
+    val revs = r.map(_.getAs[Double]("revenue"))
+    r.zipWithIndex.foreach { case (row, idx) =>
+      val w = revs.slice(math.max(0, idx - Analytics.ewmaLags), idx + 1)
+      val e = row.getAs[Double]("ewma")
+      assert(e >= w.min - 1e-6 && e <= w.max + 1e-6,
+        s"ewma $e escapes its window [${w.min}, ${w.max}] at $idx")
+    }
+    assert(r.toSeq == Analytics.revenueEwma(spark, sfDir).collect().toSeq)
+  }
+
   test("bsk1: pairs are canonically ordered and bounded by the pair-support union bound") {
     val pairs = Analytics.copurchasePairs(spark, sfDir).cache()
     assert(pairs.filter(col("brand_a") >= col("brand_b")).isEmpty, "a < b canonical order")

@@ -62,6 +62,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("n_dims") == 64))
   }
 
+  test("tri1: per-node counts sum to a multiple of 3 and nodes come from the subset") {
+    val r = Similarity.knnTriangles(spark, sfDir).collect()
+    val total = r.map(_.getAs[Long]("n_triangles")).sum
+    assert(total % 3 == 0, "each triangle contributes to exactly three nodes")
+    assert(r.forall(_.getAs[Long]("n_triangles") >= 1))
+    assert(r.forall(_.getAs[Long]("vec_id") < 200))
+  }
+
+  test("sim9: recall ledger is internally consistent") {
+    val r = Similarity.annRecall(spark, sfDir).collect()
+    assert(r.length == 10)
+    r.foreach { row =>
+      val hit = row.getAs[Long]("n_hit")
+      assert(row.getAs[Long]("n_exact") == 5)
+      assert(hit <= math.min(row.getAs[Long]("n_exact"), row.getAs[Long]("n_ann")))
+      val recall = row.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0 && recall == hit / 5.0)
+    }
+  }
+
   test("rp1: JL norm preservation in expectation and determinism") {
     val a = Similarity.randomProjection(spark, sfDir).collect()
     val b = Similarity.randomProjection(spark, sfDir).collect()

@@ -85,6 +85,16 @@ class WarehouseSpec extends SparkTestBase {
     })
   }
 
+  test("cms1: Count-Min never undercounts and reports the top-N exactly") {
+    val r = Sketches.cmsHeavyHitters(spark, sfDir).collect()
+    assert(r.length <= Sketches.cmsTopN)
+    assert(r.forall(row => row.getAs[Long]("cms_estimate") >= row.getAs[Long]("n_exact")),
+      "CMS estimates are one-sided: estimate >= true count always")
+    assert(r.forall(_.getAs[Long]("overcount") >= 0))
+    val again = Sketches.cmsHeavyHitters(spark, sfDir).collect()
+    assert(r.toSeq == again.toSeq)
+  }
+
   test("mad1: outliers bounded, MAD nonnegative, zero-MAD groups flag nothing spuriously") {
     val m = Warehouse.robustOutliers(spark, sfDir).cache()
     assert(m.filter(col("mad_value") < 0).isEmpty)
