@@ -42,6 +42,33 @@ object Sketches {
   private val lcTable: IndexedSeq[(Int, Double)] =
     (1 to hllBuckets).map(v => v -> hllBuckets * math.log(hllBuckets.toDouble / v))
 
+  /** The full estimator (raw harmonic-register form + linear-counting
+    * branch) over exact integer inputs: s_present = sum of 2^(27-M_j)
+    * over PRESENT registers, n_reg = the present-register count.
+    */
+  private def hllEstimate(sPresent: org.apache.spark.sql.Column,
+      nReg: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sTotal = sPresent + (lit(hllBuckets.toLong) - nReg) * lit(1L << hllValueBits)
+    val raw = expr(hllNumerator) / sTotal.cast(DoubleType)
+    val vZero = lit(hllBuckets.toLong) - nReg
+    val lc = lcTable.foldLeft(lit(Double.NaN)) { case (acc, (v, d)) =>
+      when(vZero === v.toLong, lit(d)).otherwise(acc)
+    }
+    when(vZero > 0 && raw <= lit(2.5 * hllBuckets), lc).otherwise(raw)
+  }
+
+  /** DuckDB twin of `hllEstimate` as a SQL fragment over the given
+    * expressions — the identical operation sequence, so the doubles
+    * match bit-for-bit.
+    */
+  private def hllEstimateSql(sPresent: String, nReg: String): String = {
+    val lcCase = lcTable.map { case (v, d) => s"WHEN ${hllBuckets - v} THEN $d" }.mkString(" ")
+    val raw = s"($hllNumerator) / CAST(($sPresent) + (${hllBuckets} - ($nReg)) * ${1L << hllValueBits} AS DOUBLE)"
+    s"""CASE WHEN ($hllBuckets - ($nReg)) > 0 AND $raw <= ${2.5 * hllBuckets}
+       |    THEN CASE ($nReg) $lcCase ELSE CAST('nan' AS DOUBLE) END
+       |    ELSE $raw END""".stripMargin
+  }
+
   /** HLL distinct-shingle estimate per source, next to the exact count —
     * the same 3-gram shingle domain as kmv1, so the two sketch families
     * are directly comparable on accuracy per byte of state.
@@ -88,14 +115,7 @@ object Sketches {
       sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - m)")).as("s_present"),
       count(lit(1)).as("n_registers"),
       sum(col("n_toks")).as("n_exact"))
-    val sTotal = col("s_present") +
-      (lit(hllBuckets.toLong) - col("n_registers")) * lit(1L << hllValueBits)
-    val raw = expr(hllNumerator) / sTotal.cast(DoubleType)
-    val vZero = lit(hllBuckets.toLong) - col("n_registers")
-    val lc = lcTable.foldLeft(lit(Double.NaN)) { case (acc, (v, d)) =>
-      when(vZero === v.toLong, lit(d)).otherwise(acc)
-    }
-    val est = when(vZero > 0 && raw <= lit(2.5 * hllBuckets), lc).otherwise(raw)
+    val est = hllEstimate(col("s_present"), col("n_registers"))
     perSource
       .select(col("source"), col("n_exact"),
         col("n_registers"),
@@ -105,8 +125,7 @@ object Sketches {
       .orderedSmall(col("source"))
   }
 
-  def hllSketchSql: String = {
-    val lcCase = lcTable.map { case (v, d) => s"WHEN ${64 - v} THEN $d" }.mkString(" ")
+  def hllSketchSql: String =
     s"""WITH raw_toks AS (
        |  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t
        |  FROM documents),
@@ -131,17 +150,11 @@ object Sketches {
        |  FROM regs GROUP BY source),
        |est AS (
        |  SELECT source, n_exact, n_registers,
-       |    CASE WHEN (64 - n_registers) > 0
-       |          AND ($hllNumerator) / CAST(s_present + (64 - n_registers) * 134217728 AS DOUBLE)
-       |              <= ${2.5 * hllBuckets}
-       |      THEN CASE n_registers $lcCase ELSE CAST('nan' AS DOUBLE) END
-       |      ELSE ($hllNumerator) / CAST(s_present + (64 - n_registers) * 134217728 AS DOUBLE)
-       |    END AS hll_estimate
+       |    ${hllEstimateSql("s_present", "n_registers")} AS hll_estimate
        |  FROM per_source)
        |SELECT source, n_exact, n_registers, hll_estimate,
        |  (hll_estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
        |FROM est ORDER BY source""".stripMargin
-  }
 
   // === bf1: Bloom-filter join pruning ======================================
   val bloomBits = 16384 // m
@@ -240,6 +253,141 @@ object Sketches {
        |FROM ledger""".stripMargin
   }
 
+  // === hll2: sketch union / intersection (mergeability) ====================
+  val hllUnionSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** The property that makes HLL the distributed-systems sketch: two
+    * register tables MERGE by per-bucket max, and the merged table IS
+    * the sketch of the union — no rescan. For each source pair this
+    * emits the union estimate from merged registers and the
+    * inclusion-exclusion intersection estimate next to their exact
+    * counterparts, over the same shingle domain as hll1/kmv1.
+    *
+    * Shape at 100 TB: this is how per-partition / per-day / per-shard
+    * sketches roll up to global cardinalities — register tables are
+    * 64 longs each, the merge is a max-aggregate over them, and the
+    * exact branch (quadratic in sources, a full shingle self-join)
+    * exists here only as the verification baseline.
+    */
+  def hllUnion(s: SparkSession, dir: String): DataFrame = {
+    val n = 3
+    val toksCol = TextAnalysis.tokens(col("text"))
+    val sh = Par.fanOut(t(s, dir, "documents")
+      .filter(col("source").isin(hllUnionSources: _*))
+      .select(col("source"), col("text")))
+      .select(col("source"), toksCol.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))
+      ).as("tok"))
+      .distinct()
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
+    val bucket = col("h").bitwiseAND(lit((hllBuckets - 1).toLong))
+    val v = shiftright(col("h"), 6)
+    val rho = when(v > 0, lit(hllValueBits) - length(bin(v))).otherwise(lit(hllValueBits))
+    val keyed = sh.select(col("source"), col("tok"), bucket.as("bucket"), rho.as("rho"))
+    val regs = keyed.groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("m"), count(lit(1)).as("n_toks"))
+    val singles = regs.groupBy(col("source")).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - m)")).as("sp"),
+      count(lit(1)).as("nr"),
+      sum(col("n_toks")).as("n_exact"))
+      .withColumn("est", hllEstimate(col("sp"), col("nr")))
+    val srcs = singles.select(col("source"))
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    // merged registers per pair: max(M_j) over the two sources' buckets
+    val merged = pairs
+      .join(regs, col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("bucket"))
+      .agg(max(col("m")).as("m"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - m)")).as("sp_u"),
+        count(lit(1)).as("nr_u"))
+      .withColumn("est_union", hllEstimate(col("sp_u"), col("nr_u")))
+    // exact intersection: the distinct shingle self-join (baseline only)
+    val inter = keyed.select(col("source").as("src_a"), col("tok"))
+      .join(keyed.select(col("source").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_exact_intersect"))
+    val estA = singles.select(col("source").as("src_a"),
+      col("n_exact").as("n_exact_a"), col("est").as("est_a"))
+    val estB = singles.select(col("source").as("src_b"),
+      col("n_exact").as("n_exact_b"), col("est").as("est_b"))
+    merged
+      .join(estA, "src_a").join(estB, "src_b")
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        (col("n_exact_a") + col("n_exact_b") - coalesce(col("n_exact_intersect"), lit(0L)))
+          .as("n_exact_union"),
+        col("est_union").as("hll_union_estimate"),
+        coalesce(col("n_exact_intersect"), lit(0L)).as("n_exact_intersect"),
+        (col("est_a") + col("est_b") - col("est_union")).as("hll_intersect_estimate"))
+      .orderedSmall(col("src_a"), col("src_b"))
+  }
+
+  def hllUnionSql: String = {
+    val srcList = hllUnionSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH raw_toks AS (
+       |  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents WHERE source IN ($srcList)),
+       |toks AS (
+       |  SELECT DISTINCT source, UNNEST(list_transform(generate_series(1, len(t) - 2),
+       |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS tok
+       |  FROM raw_toks WHERE len(t) >= 3),
+       |keyed AS (
+       |  SELECT source, tok,
+       |    ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+       |    CASE WHEN ((('0x' || substring(md5(tok), 1, 8))::BIGINT) >> 6) > 0
+       |      THEN 27 - length(bin((('0x' || substring(md5(tok), 1, 8))::BIGINT) >> 6))
+       |      ELSE 27 END AS rho
+       |  FROM toks),
+       |regs AS (
+       |  SELECT source, bucket, MAX(rho) AS m, COUNT(*) AS n_toks
+       |  FROM keyed GROUP BY source, bucket),
+       |singles AS (
+       |  SELECT source,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (27 - m)) AS BIGINT) AS sp,
+       |    COUNT(*) AS nr,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_exact
+       |  FROM regs GROUP BY source),
+       |est_singles AS (
+       |  SELECT source, n_exact, ${hllEstimateSql("sp", "nr")} AS est FROM singles),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM singles a, singles b WHERE a.source < b.source),
+       |merged AS (
+       |  SELECT p.src_a, p.src_b, r.bucket, MAX(r.m) AS m
+       |  FROM pairs p JOIN regs r ON r.source = p.src_a OR r.source = p.src_b
+       |  GROUP BY p.src_a, p.src_b, r.bucket),
+       |merged_agg AS (
+       |  SELECT src_a, src_b,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (27 - m)) AS BIGINT) AS sp_u,
+       |    COUNT(*) AS nr_u
+       |  FROM merged GROUP BY src_a, src_b),
+       |est_union AS (
+       |  SELECT src_a, src_b, ${hllEstimateSql("sp_u", "nr_u")} AS est_union
+       |  FROM merged_agg),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_int
+       |  FROM keyed a JOIN keyed b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT p.src_a, p.src_b,
+       |  ea.n_exact + eb.n_exact - COALESCE(i.n_int, 0) AS n_exact_union,
+       |  u.est_union AS hll_union_estimate,
+       |  COALESCE(i.n_int, 0) AS n_exact_intersect,
+       |  ea.est + eb.est - u.est_union AS hll_intersect_estimate
+       |FROM pairs p
+       |JOIN est_union u ON u.src_a = p.src_a AND u.src_b = p.src_b
+       |JOIN est_singles ea ON ea.source = p.src_a
+       |JOIN est_singles eb ON eb.source = p.src_b
+       |LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+  }
+
   // === cms1: Count-Min heavy hitters =======================================
   val cmsRows = 4 // d
   val cmsWidth = 256 // w
@@ -315,11 +463,13 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll1_hll_sketch" -> hllSketch _,
+    "hll2_sketch_union" -> hllUnion _,
     "bf1_bloom_prune" -> bloomPrune _,
     "cms1_heavy_hitters" -> cmsHeavyHitters _)
 
   val oracles: Map[String, String] = Map(
     "hll1_hll_sketch" -> hllSketchSql,
+    "hll2_sketch_union" -> hllUnionSql,
     "bf1_bloom_prune" -> bloomPruneSql,
     "cms1_heavy_hitters" -> cmsHeavyHittersSql)
 }

@@ -31,12 +31,15 @@ object Warehouse {
     * lead window all reuse it. Run ordering is (ts, event_id), a total
     * order, so the islands are deterministic under any parallelism.
     */
-  def scd2History(s: SparkSession, dir: String): DataFrame = {
+  /** The gaps-and-islands core shared by scd1 (full history) and pit1
+    * (state intervals for the point-in-time join).
+    */
+  private def islands(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wRuns = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
     val chg = when(lag(col("event_type"), 1).over(w).isNull ||
       lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L)
-    t(s, dir, "events")
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("run_id", sum(chg).over(w))
       .groupBy(col("user_id"), col("run_id"))
@@ -47,8 +50,11 @@ object Warehouse {
       .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"),
         col("n_events"),
         col("valid_to").isNull.cast(IntegerType).as("is_current"))
-      .orderBy(col("user_id"), col("valid_from"))
   }
+
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    islands(t(s, dir, "events"))
+      .orderBy(col("user_id"), col("valid_from"))
 
   def scd2HistorySql: String =
     """WITH flagged AS (
@@ -71,6 +77,74 @@ object Warehouse {
       |  CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
       |    IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
       |FROM islands ORDER BY user_id, valid_from""".stripMargin
+
+  // === pit1: point-in-time join against the SCD2 intervals =================
+  /** The feature-store lookup: every purchase joins the state interval
+    * that was ACTIVE at purchase time — here, the user's last
+    * non-purchase activity run — and the ledger aggregates purchases by
+    * that state. Same attribution question as ev19's last-touch window,
+    * answered through the interval-join machinery a feature store uses
+    * when the dimension and the facts live in different tables (where
+    * the window trick is unavailable).
+    *
+    * Purchases that precede any non-purchase activity attribute to
+    * 'none' via the left join.
+    *
+    * Shape at 100 TB: both sides shuffle once on user_id; each probe
+    * scans only its user's interval list (bounded by that user's run
+    * count), never a global range structure. A deployment adds a
+    * coarse time-bucket to the join key when single users span
+    * machines.
+    */
+  def pointInTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val intervals = islands(ev.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("i_user"), col("event_type").as("state"),
+        col("valid_from"), col("valid_to"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    purchases
+      .join(intervals,
+        col("user_id") === col("i_user") && col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left")
+      .select(coalesce(col("state"), lit("none")).as("state"), col("user_id"), col("value"))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.dsum(col("value")).as("total_value"))
+      .orderedSmall(col("state")) // domain-bounded: one row per event type
+  }
+
+  def pointInTimeSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN LAG(event_type) OVER w IS NULL
+       |         OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+       |  FROM events WHERE event_type <> 'purchase'
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |runs AS (
+       |  SELECT user_id, ts, event_type,
+       |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+       |  FROM flagged),
+       |islands AS (
+       |  SELECT user_id, run_id, MIN(event_type) AS state, MIN(ts) AS valid_from
+       |  FROM runs GROUP BY user_id, run_id),
+       |intervals AS (
+       |  SELECT user_id, state, valid_from,
+       |    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
+       |  FROM islands),
+       |purchases AS (
+       |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+       |attributed AS (
+       |  SELECT COALESCE(i.state, 'none') AS state, p.user_id, p.value
+       |  FROM purchases p LEFT JOIN intervals i
+       |    ON i.user_id = p.user_id AND i.valid_from <= p.ts
+       |    AND (i.valid_to IS NULL OR p.ts < i.valid_to))
+       |SELECT state, COUNT(*) AS n_purchases,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  ${Exact.sqlDsum("value")} AS total_value
+       |FROM attributed GROUP BY state ORDER BY state""".stripMargin
 
   // === zord1: Z-order (Morton) layout statistics ===========================
   val zDimBits = 8 // 8 bits per dimension -> 16-bit Morton key
@@ -228,12 +302,14 @@ object Warehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd1_type2_history" -> scd2History _,
+    "pit1_point_in_time" -> pointInTime _,
     "zord1_zorder_stats" -> zorderStats _,
     "ws1_weighted_sample" -> weightedSample _,
     "mad1_robust_outliers" -> robustOutliers _)
 
   val oracles: Map[String, String] = Map(
     "scd1_type2_history" -> scd2HistorySql,
+    "pit1_point_in_time" -> pointInTimeSql,
     "zord1_zorder_stats" -> zorderStatsSql,
     "ws1_weighted_sample" -> weightedSampleSql,
     "mad1_robust_outliers" -> robustOutliersSql)

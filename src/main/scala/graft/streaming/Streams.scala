@@ -170,6 +170,20 @@ object Streams {
       .select(col("w.start").as("window_start"), col("source"),
         col("n_docs"), col("n_kept"))
 
+  /** Stream-static enrichment: the event stream joined against a static
+    * (or slowly refreshing) dimension — the standard lookup-join every
+    * streaming feature pipeline starts with. The static side is
+    * re-resolved every micro-batch, so a dimension refreshed in place
+    * is picked up without restarting the query; wrapping it in
+    * broadcast() keeps the stream side shuffle-free (the dimension
+    * ships to the executors, the unbounded side never moves). Rows with
+    * no dimension match survive with a sentinel — an enrichment join
+    * must never drop facts.
+    */
+  def enrichEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .na.fill("unknown", Seq("segment"))
+
   /** Watermarked stream-stream interval join: each purchase attributed to
     * the click by the same user that preceded it within 30 minutes — the
     * streaming face of the batch ev19 attribution query. Both sides carry

@@ -28,6 +28,35 @@ class WarehouseSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("hll2: union estimate dominates singles and set identities hold exactly") {
+    val r = Sketches.hllUnion(spark, sfDir).collect()
+    assert(r.length == 10, "C(5,2) source pairs")
+    r.foreach { row =>
+      // exact identities
+      val u = row.getAs[Long]("n_exact_union")
+      val i = row.getAs[Long]("n_exact_intersect")
+      assert(u >= 0 && i >= 0 && i <= u)
+      // merged-register union can never estimate below either single's
+      // register state would allow; sanity: union est within the HLL
+      // envelope of the exact union
+      val eu = row.getAs[Double]("hll_union_estimate")
+      assert(eu > 0)
+      assert(math.abs(eu - u) / math.max(u, 1L) < 0.4,
+        s"union estimate $eu vs exact $u out of envelope")
+    }
+  }
+
+  test("pit1: every purchase is attributed exactly once") {
+    val r = Warehouse.pointInTime(spark, sfDir).collect()
+    val events = graft.Engine.table(spark, sfDir, "events")
+    val nPurch = events.filter(col("event_type") === "purchase").count()
+    assert(r.map(_.getAs[Long]("n_purchases")).sum == nPurch,
+      "interval attribution must partition the purchase set")
+    assert(r.forall(row => row.getAs[Long]("n_users") <= row.getAs[Long]("n_purchases")))
+    assert(!r.map(_.getAs[String]("state")).contains("purchase"),
+      "states come from the non-purchase islands")
+  }
+
   test("bf1: no false negatives and a sane ledger") {
     val row = Sketches.bloomPrune(spark, sfDir).collect()(0)
     val nProbed = row.getAs[Long]("n_probed")

@@ -236,4 +236,26 @@ class StreamsSpec extends SparkTestBase {
       assert(rows == Set((1L, 201L, 101L), (1L, 201L, 102L)), rows.toString)
     } finally q.stop()
   }
+
+  test("enrichEvents: stream-static lookup join keeps all facts and broadcasts the dim") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val mem = MemoryStream[Event]
+    val q = Streams.enrichEvents(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, ts(1), 1, "view", 1.0),
+        Event(2, ts(2), 2, "click", 2.0),
+        Event(3, ts(3), 99, "view", 3.0)) // no dim row -> sentinel
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("segment"))).toMap
+      assert(rows == Map(1L -> "gold", 2L -> "silver", 3L -> "unknown"),
+        "left enrichment must keep unmatched facts with the sentinel")
+    } finally q.stop()
+  }
 }
