@@ -1510,7 +1510,104 @@ object Analytics {
        |FROM lagged ORDER BY day""".stripMargin
   }
 
+  // === ts6: STL-style decomposition + residual outliers ====================
+  /** Trend + seasonal + residual decomposition of daily revenue with a
+    * 3-sigma residual outlier flag — the anomaly detector ev11 runs
+    * hourly, upgraded with a gap-correct centered trend and a
+    * day-of-week seasonal component.
+    *
+    * Determinism: the trend is an exact-integer RANGE-frame mean (one
+    * double division); detrended values round back to integer micros
+    * before the seasonal mean (so the per-dow aggregation is
+    * order-independent); residual variance sums unit-rounded squares
+    * as DECIMAL(38,0) (the ts3 pattern — exact at 100 TB magnitudes);
+    * day-of-week is pure epoch arithmetic ((day_num + 4) % 7), never
+    * the engines' disagreeing dayofweek() builtins.
+    *
+    * Shape at 100 TB: ONE orders scan into the day aggregate; every
+    * subsequent step (trend window, dow seasonal window, global sigma
+    * window) runs over the calendar-bounded daily series — a few
+    * thousand rows at ANY data volume, so the unpartitioned windows
+    * are bounded work, not a scale risk.
+    */
+  def stlResiduals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg(Exact.msum(col("o_totalprice")).as("rev_m"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")).cast(LongType))
+      .withColumn("dow", (col("day_num") + 4) % 7)
+    val wTrend = Window.orderBy(col("day_num")).rangeBetween(-3, 3)
+    val wDow = Window.partitionBy(col("dow"))
+    val wAll = Window.partitionBy()
+    def unitRound(c: org.apache.spark.sql.Column) =
+      when(c >= 0, floor(c + 0.5)).otherwise(ceil(c - 0.5)).cast(LongType)
+    val trend = Exact.toUnits(sum(col("rev_m")).over(wTrend)) / count(lit(1)).over(wTrend)
+    val detr = Exact.toUnits(col("rev_m")) - col("trend")
+    val seasonal = Exact.toUnits(sum(col("d_m").cast(Exact.D380)).over(wDow)) /
+      count(lit(1)).over(wDow)
+    val resid = col("detr") - col("seasonal")
+    val sigma = sqrt(
+      sum(unitRound(col("resid") * col("resid")).cast(Exact.D380)).over(wAll)
+        .cast(DoubleType) / count(lit(1)).over(wAll))
+    daily
+      .withColumn("trend", trend)
+      .withColumn("detr", detr)
+      .withColumn("d_m", Exact.micros(col("detr")))
+      .withColumn("seasonal", seasonal)
+      .withColumn("resid", resid)
+      .withColumn("sigma", sigma)
+      .select(col("day"), Exact.toUnits(col("rev_m")).as("revenue"),
+        col("trend"), col("seasonal"), col("resid").as("residual"),
+        (abs(col("resid")) > lit(3.0) * col("sigma")).cast(IntegerType).as("is_outlier"))
+      .orderedSmall(col("day")) // calendar-bounded series
+  }
+
+  def stlResidualsSql: String = {
+    def unitRound(e: String) =
+      s"CAST(CASE WHEN ($e) >= 0 THEN FLOOR(($e)+0.5) ELSE CEIL(($e)-0.5) END AS BIGINT)"
+    val micros = (e: String) =>
+      s"CAST(CASE WHEN ($e) >= 0 THEN FLOOR(($e)*1000000+0.5) ELSE CEIL(($e)*1000000-0.5) END AS BIGINT)"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    ${Exact.sqlMsum("o_totalprice")} AS rev_m,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+       |    (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 4) % 7 AS dow
+       |  FROM orders GROUP BY 1, 3, 4),
+       |trended AS (
+       |  SELECT day, dow, rev_m,
+       |    ${Exact.sqlToUnits("SUM(rev_m) OVER wt")}
+       |      / COUNT(*) OVER wt AS trend
+       |  FROM daily
+       |  WINDOW wt AS (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |detrended AS (
+       |  SELECT day, dow, rev_m, trend,
+       |    ${Exact.sqlToUnits("rev_m")} - trend AS detr
+       |  FROM trended),
+       |dm AS (
+       |  SELECT *, ${micros("detr")} AS d_m FROM detrended),
+       |seasoned AS (
+       |  SELECT day, rev_m, trend, detr,
+       |    ${Exact.sqlToUnits("SUM(CAST(d_m AS HUGEINT)) OVER wd")}
+       |      / COUNT(*) OVER wd AS seasonal
+       |  FROM dm
+       |  WINDOW wd AS (PARTITION BY dow)),
+       |resided AS (
+       |  SELECT *, detr - seasonal AS resid FROM seasoned),
+       |sig AS (
+       |  SELECT *,
+       |    sqrt(CAST(CAST(SUM(CAST(${unitRound("resid * resid")} AS HUGEINT)) OVER () AS VARCHAR) AS DOUBLE)
+       |      / COUNT(*) OVER ()) AS sigma
+       |  FROM resided)
+       |SELECT day, ${Exact.sqlToUnits("rev_m")} AS revenue, trend, seasonal,
+       |  resid AS residual,
+       |  CAST(CASE WHEN ABS(resid) > 3.0 * sigma THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+       |FROM sig ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts6_stl_residuals" -> stlResiduals _,
     "ts5_revenue_ewma" -> revenueEwma _,
     "imp1_ht_estimate" -> htEstimate _,
     "conf1_langid_confusion" -> langIdConfusion _,
@@ -1541,6 +1638,7 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "ts6_stl_residuals" -> stlResidualsSql,
     "ts5_revenue_ewma" -> revenueEwmaSql,
     "imp1_ht_estimate" -> htEstimateSql,
     "conf1_langid_confusion" -> langIdConfusionSql,

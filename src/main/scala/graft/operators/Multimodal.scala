@@ -179,10 +179,66 @@ object Multimodal {
       |FROM documents GROUP BY 1
       |ORDER BY payload_md5""".stripMargin
 
+  // === mm6: aligned-block near-dup (CDC-lite) ==============================
+  /** Near-duplicate payload pairs by shared aligned 64-byte block
+    * digests — the content-defined-chunking dedup a media lake runs,
+    * simplified to fixed alignment (a real CDC swaps the splitter, the
+    * join is identical). Candidates come from an inverted-index join
+    * on block digests (the dd2 shape applied to binary): only
+    * (digest, doc_id, n_blocks) ever shuffles — payload bytes stay at
+    * the scan, the invariant mm4/mm5 pin. Containment = shared blocks
+    * over the smaller payload's block count, the asymmetric score that
+    * catches embedded copies.
+    */
+  def blockNearDup(s: SparkSession, dir: String, blockSize: Int = 64): DataFrame = {
+    val base = payloads(s, dir).filter(col("meta.n_bytes") > 0)
+      .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("nb"))
+    val blocks = graft.operators.Par.fanOut(base)
+      .withColumn("b", explode(sequence(lit(0), ((col("nb") - 1) / blockSize).cast(IntegerType))))
+      .select(col("doc_id"),
+        ((col("nb") + (blockSize - 1)) / blockSize).cast(LongType).as("n_blocks"),
+        // hex is byte-aligned: hex(substring(bytes)) == substring(hex(bytes)),
+        // so the DuckDB oracle mirrors the digest without BLOB substring
+        md5(hex(substring(col("payload"), col("b") * blockSize + 1, lit(blockSize))))
+          .as("digest"))
+      .distinct()
+    val pinned = blocks // pinned exchange: the digest join fans out
+      .repartition(graft.operators.Par.shuffleWidth(base), col("digest"))
+    val aSide = pinned.select(col("doc_id").as("doc_a"), col("n_blocks").as("nb_a"), col("digest"))
+    val bSide = pinned.select(col("doc_id").as("doc_b"), col("n_blocks").as("nb_b"), col("digest"))
+    aSide.join(bSide, "digest")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("nb_a")).as("nb_a"), max(col("nb_b")).as("nb_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) /
+          least(col("nb_a"), col("nb_b")).cast(DoubleType)).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val blockNearDupSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hp, octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |blocks AS (
+      |  SELECT DISTINCT doc_id, CAST((nb + 63) // 64 AS BIGINT) AS n_blocks,
+      |    md5(substring(hp, CAST(bi * 128 + 1 AS INTEGER), 128)) AS digest
+      |  FROM (SELECT doc_id, hp, nb, UNNEST(generate_series(0, (nb - 1) // 64)) AS bi
+      |        FROM b)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+      |    a.n_blocks AS nb_a, bb.n_blocks AS nb_b
+      |  FROM blocks a JOIN blocks bb ON a.digest = bb.digest AND a.doc_id < bb.doc_id)
+      |SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(LEAST(MAX(nb_a), MAX(nb_b)) AS DOUBLE) AS containment
+      |FROM pairs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm2_decode_features" -> decodeFeatures _,
     "mm3_frame_sample" -> ((s: SparkSession, d: String) => sampleFrames(s, d)),
     "mm5_payload_dedup" -> payloadDedup _,
+    "mm6_block_neardup" -> ((s: SparkSession, d: String) => blockNearDup(s, d)),
     "mm4_meta_stats" -> metaStats _)
 
   /** mm3 oracle: the frame-sampling slice plumbing is pure byte
@@ -245,5 +301,6 @@ object Multimodal {
     "mm2_decode_features" -> decodeFeaturesSql,
     "mm3_frame_sample" -> sampleFramesSql,
     "mm5_payload_dedup" -> payloadDedupSql,
+    "mm6_block_neardup" -> blockNearDupSql,
     "mm4_meta_stats" -> metaStatsSql)
 }

@@ -461,14 +461,92 @@ object Sketches {
        |FROM est ORDER BY n_exact DESC, tok""".stripMargin
   }
 
+  // === cms2: join-cardinality estimation via CMS inner product =============
+  /** Planner-grade join-size estimation: |A JOIN B on key| = sum_k
+    * f_A(k) * f_B(k), estimated as the minimum over the d rows of the
+    * CMS register inner product — the classical AMS/CMS inner-product
+    * bound (always an overestimate), next to the exact product-sum.
+    * Here A = click events, B = purchase events, keyed by user — the
+    * fan-out join a planner must size before choosing a strategy.
+    *
+    * Everything is integer arithmetic; the register tables are d*w
+    * longs per side regardless of data volume, built with one
+    * map-side-combinable aggregate each — THE statistic a 100 TB
+    * optimizer collects per column without a second scan.
+    */
+  def cmsJoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    def pos(i: Int, key: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws("#", lit("cms"), lit(i), key)), 1, 8), 16, 10)
+        .cast(LongType) % cmsWidth
+    def counts(typ: String) = t(s, dir, "events")
+      .filter(col("event_type") === typ)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    def regs(c: DataFrame) = c
+      .select(col("cnt"), posexplode(
+        array((0 until cmsRows).map(i => pos(i, col("user_id"))): _*)).as(Seq("i", "pos")))
+      .groupBy(col("i"), col("pos")).agg(sum(col("cnt")).as("reg"))
+    val a = counts("click")
+    val b = counts("purchase")
+    val inner = regs(a).withColumnRenamed("reg", "reg_a")
+      .join(regs(b).withColumnRenamed("reg", "reg_b"), Seq("i", "pos"))
+      .groupBy(col("i"))
+      .agg(sum(col("reg_a").cast(Exact.D380) * col("reg_b")).as("ip")) // overflow-safe at 100 TB
+      .agg(min(col("ip")).cast(LongType).as("cms_estimate"))
+    val exact = a.join(b.withColumnRenamed("cnt", "cnt_b"), "user_id")
+      .agg(sum(col("cnt").cast(Exact.D380) * col("cnt_b")).cast(LongType).as("exact_join_size"))
+    val sizes = a.agg(count(lit(1)).as("n_keys_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_keys_b")))
+    sizes.crossJoin(exact).crossJoin(inner)
+      .select(col("n_keys_a"), col("n_keys_b"), col("exact_join_size"),
+        col("cms_estimate"),
+        (col("cms_estimate") - col("exact_join_size")).as("overcount"))
+  }
+
+  def cmsJoinCardinalitySql: String = {
+    def pos(i: Int, key: String) =
+      s"(('0x' || substring(md5(concat_ws('#', 'cms', '$i', CAST($key AS VARCHAR))), 1, 8))::BIGINT % $cmsWidth)"
+    def keyPos(key: String) = (0 until cmsRows)
+      .map(i => s"{'i': $i, 'pos': ${pos(i, key)}}").mkString(", ")
+    s"""WITH a AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+       |  WHERE event_type = 'click' GROUP BY user_id),
+       |b AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+       |  WHERE event_type = 'purchase' GROUP BY user_id),
+       |ra AS (
+       |  SELECT ip.i AS i, ip.pos AS pos, CAST(SUM(cnt) AS BIGINT) AS reg
+       |  FROM (SELECT cnt, UNNEST([${keyPos("user_id")}]) AS ip FROM a)
+       |  GROUP BY 1, 2),
+       |rb AS (
+       |  SELECT ip.i AS i, ip.pos AS pos, CAST(SUM(cnt) AS BIGINT) AS reg
+       |  FROM (SELECT cnt, UNNEST([${keyPos("user_id")}]) AS ip FROM b)
+       |  GROUP BY 1, 2),
+       |inner_p AS (
+       |  SELECT ra.i, SUM(CAST(ra.reg AS HUGEINT) * rb.reg) AS ip
+       |  FROM ra JOIN rb ON ra.i = rb.i AND ra.pos = rb.pos
+       |  GROUP BY ra.i),
+       |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_estimate FROM inner_p),
+       |exact AS (
+       |  SELECT CAST(SUM(CAST(a.cnt AS HUGEINT) * b.cnt) AS BIGINT) AS exact_join_size
+       |  FROM a JOIN b ON a.user_id = b.user_id)
+       |SELECT
+       |  (SELECT COUNT(*) FROM a) AS n_keys_a,
+       |  (SELECT COUNT(*) FROM b) AS n_keys_b,
+       |  exact_join_size, cms_estimate,
+       |  cms_estimate - exact_join_size AS overcount
+       |FROM exact, est""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll1_hll_sketch" -> hllSketch _,
+    "cms2_join_cardinality" -> cmsJoinCardinality _,
     "hll2_sketch_union" -> hllUnion _,
     "bf1_bloom_prune" -> bloomPrune _,
     "cms1_heavy_hitters" -> cmsHeavyHitters _)
 
   val oracles: Map[String, String] = Map(
     "hll1_hll_sketch" -> hllSketchSql,
+    "cms2_join_cardinality" -> cmsJoinCardinalitySql,
     "hll2_sketch_union" -> hllUnionSql,
     "bf1_bloom_prune" -> bloomPruneSql,
     "cms1_heavy_hitters" -> cmsHeavyHittersSql)

@@ -202,6 +202,43 @@ object Warehouse {
        |FROM keyed GROUP BY z_block ORDER BY z_block""".stripMargin
   }
 
+  // === ivm1: incremental view maintenance by partial-aggregate merge =======
+  val ivmSplit = "1997-01-01"
+
+  /** The incremental-pipeline identity: an algebraic aggregate view
+    * maintained as mergeable partials — the pre-split base partial plus
+    * the delta partial combine by summing, WITHOUT rescanning base
+    * history — equals the view recomputed from scratch (which is
+    * exactly what the oracle computes). count/sum (and by extension
+    * avg, moments, every Exact.msum aggregate here) are commutative
+    * monoids, so the merge is another groupBy-sum over partial rows.
+    *
+    * Shape at 100 TB: this IS the daily-ingest pattern — the base
+    * partial is a few rows per group read from yesterday's
+    * materialization, the delta scan touches only new partitions, and
+    * the merge shuffles group-cardinality rows, not data.
+    */
+  def partialMerge(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def partial(df: DataFrame) = df
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Exact.msum(col("o_totalprice")).as("rev_m"))
+    val base = partial(orders.filter(col("o_orderdate") < lit(ivmSplit)))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit(ivmSplit)))
+    base.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).cast(LongType).as("n_orders"),
+        sum(col("rev_m")).as("m"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        Exact.toUnits(col("m")).as("revenue"))
+      .orderedSmall(col("o_orderpriority"))
+  }
+
+  def partialMergeSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${Exact.sqlToUnits(Exact.sqlMsum("o_totalprice"))} AS revenue
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // === ws1: deterministic weighted sample ==================================
   val wsTopN = 100
   private val wsScale = 1000000000000L // 1e12
@@ -303,6 +340,7 @@ object Warehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd1_type2_history" -> scd2History _,
     "pit1_point_in_time" -> pointInTime _,
+    "ivm1_partial_merge" -> partialMerge _,
     "zord1_zorder_stats" -> zorderStats _,
     "ws1_weighted_sample" -> weightedSample _,
     "mad1_robust_outliers" -> robustOutliers _)
@@ -310,6 +348,7 @@ object Warehouse {
   val oracles: Map[String, String] = Map(
     "scd1_type2_history" -> scd2HistorySql,
     "pit1_point_in_time" -> pointInTimeSql,
+    "ivm1_partial_merge" -> partialMergeSql,
     "zord1_zorder_stats" -> zorderStatsSql,
     "ws1_weighted_sample" -> weightedSampleSql,
     "mad1_robust_outliers" -> robustOutliersSql)

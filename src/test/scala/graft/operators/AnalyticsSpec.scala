@@ -29,6 +29,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.toSeq == Analytics.revenueEwma(spark, sfDir).collect().toSeq)
   }
 
+  test("ts6: decomposition reassembles and outliers respect the 3-sigma gate") {
+    val r = Analytics.stlResiduals(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val recon = row.getAs[Double]("trend") + row.getAs[Double]("seasonal") +
+        row.getAs[Double]("residual")
+      // decomposition identity: revenue = trend + seasonal + residual
+      // (up to the micros rounding of the detrended intermediate)
+      assert(math.abs(recon - row.getAs[Double]("revenue")) < 1e-5,
+        s"decomposition must reassemble at ${row.getAs[java.sql.Date]("day")}")
+    }
+    val n = r.length
+    val nOut = r.count(_.getAs[Int]("is_outlier") == 1)
+    assert(nOut < n / 10, "3-sigma flags must be rare")
+  }
+
   test("bsk1: pairs are canonically ordered and bounded by the pair-support union bound") {
     val pairs = Analytics.copurchasePairs(spark, sfDir).cache()
     assert(pairs.filter(col("brand_a") >= col("brand_b")).isEmpty, "a < b canonical order")

@@ -60,4 +60,21 @@ class MultimodalSpec extends SparkTestBase {
     val rows = Multimodal.metaStats(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n")).sum == 500)
   }
+
+  test("mm6: block near-dup pairs are canonical with containment in (0, 1]") {
+    val r = Multimodal.blockNearDup(spark, sfDir).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("doc_a") < row.getAs[Long]("doc_b"))
+      assert(row.getAs[Long]("n_shared") >= 1)
+      val c = row.getAs[Double]("containment")
+      assert(c > 0.0 && c <= 1.0, s"containment $c out of range")
+    }
+    // exact duplicates (mm5's class) must surface here with containment 1
+    val exactDups = Multimodal.payloadDedup(spark, sfDir)
+      .filter(col("n_copies") > 1).count()
+    if (exactDups > 0) {
+      assert(r.exists(_.getAs[Double]("containment") == 1.0),
+        "exact payload copies must appear as full-containment pairs")
+    }
+  }
 }

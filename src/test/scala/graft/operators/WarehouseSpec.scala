@@ -124,6 +124,31 @@ class WarehouseSpec extends SparkTestBase {
     assert(r.toSeq == again.toSeq)
   }
 
+  test("cms2: inner-product estimate never undercounts the true join size") {
+    val row = Sketches.cmsJoinCardinality(spark, sfDir).collect()(0)
+    val exact = row.getAs[Long]("exact_join_size")
+    val est = row.getAs[Long]("cms_estimate")
+    assert(est >= exact, "CMS inner product is a one-sided overestimate")
+    assert(row.getAs[Long]("overcount") == est - exact)
+    assert(row.getAs[Long]("n_keys_a") > 0 && row.getAs[Long]("n_keys_b") > 0)
+  }
+
+  test("ivm1: merged partials equal the direct aggregate (the IVM identity)") {
+    val merged = Warehouse.partialMerge(spark, sfDir).collect()
+    val direct = graft.Engine.table(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.toUnits(Exact.msum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(merged.length == direct.length)
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m.getAs[String]("o_orderpriority") == d.getAs[String]("o_orderpriority"))
+      assert(m.getAs[Long]("n_orders") == d.getAs[Long]("n_orders"))
+      assert(m.getAs[Double]("revenue") == d.getAs[Double]("revenue"),
+        "partial merge must be bit-identical to the direct aggregate")
+    }
+  }
+
   test("mad1: outliers bounded, MAD nonnegative, zero-MAD groups flag nothing spuriously") {
     val m = Warehouse.robustOutliers(spark, sfDir).cache()
     assert(m.filter(col("mad_value") < 0).isEmpty)
