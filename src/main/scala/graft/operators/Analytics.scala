@@ -1606,7 +1606,75 @@ object Analytics {
        |FROM sig ORDER BY day""".stripMargin
   }
 
+  // === exp3: difference-in-differences =====================================
+  val didSplit = "2024-01-16 00:00:00"
+
+  /** DiD readout completing the experimentation family (exp1 readout,
+    * exp2 CUPED): the md5-coin arm crossed with a pre/post period
+    * split, per-user purchase-value means in each of the four cells
+    * from ONE conditional-aggregation scan, and the
+    * difference-in-differences estimate as a single deterministic IEEE
+    * chain over the four exact-integer-derived means.
+    *
+    * Shape at 100 TB: one events scan into one row — every cell metric
+    * is a conditional aggregate (the distinct-user counts shuffle on
+    * user_id once via Spark's count-distinct expansion); no joins, no
+    * second pass.
+    */
+  def diffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val treat = TextAnalysis.md5Frac(lit("did"), col("user_id")) < 0.5
+    val post = col("ts") >= lit(didSplit).cast(TimestampType)
+    val p = col("event_type") === "purchase"
+    val base = t(s, dir, "events")
+      .select(col("user_id"), treat.as("treat"), post.as("post"),
+        when(p, Exact.micros(col("value"))).otherwise(0L).as("pv_m"))
+    def users(c: org.apache.spark.sql.Column) = countDistinct(when(c, col("user_id")))
+    def valSum(c: org.apache.spark.sql.Column) =
+      sum(when(c, col("pv_m")).otherwise(0L)).cast(Exact.D380)
+    val cells = Seq(
+      ("t_pre", col("treat") && !col("post")), ("t_post", col("treat") && col("post")),
+      ("c_pre", !col("treat") && !col("post")), ("c_post", !col("treat") && col("post")))
+    val aggs = cells.flatMap { case (n, c) =>
+      Seq(users(c).as(s"n_$n"), valSum(c).as(s"m_$n"))
+    }
+    val agg = base.agg(aggs.head, aggs.tail: _*)
+    def mean(n: String) = (Exact.toUnits(col(s"m_$n")) / col(s"n_$n")).as(s"v_$n")
+    agg.select(
+      (col("n_t_pre") +: cells.tail.map(c => col(s"n_${c._1}"))) ++
+        cells.map(c => mean(c._1)): _*)
+      .withColumn("did",
+        (col("v_t_post") - col("v_t_pre")) - (col("v_c_post") - col("v_c_pre")))
+  }
+
+  val diffInDiffSql: String = {
+    val coin = TextAnalysis.sqlMd5Frac("'did'", "CAST(user_id AS VARCHAR)")
+    val cells = Seq(
+      ("t_pre", "treat AND NOT post"), ("t_post", "treat AND post"),
+      ("c_pre", "NOT treat AND NOT post"), ("c_post", "NOT treat AND post"))
+    val nCols = cells.map { case (n, c) =>
+      s"CAST(COUNT(DISTINCT CASE WHEN $c THEN user_id END) AS BIGINT) AS n_$n"
+    }.mkString(",\n  ")
+    val vCols = cells.map { case (n, c) =>
+      s"${Exact.sqlToUnits(s"SUM(CASE WHEN $c THEN pv_m ELSE 0 END)")} / COUNT(DISTINCT CASE WHEN $c THEN user_id END) AS v_$n"
+    }.mkString(",\n  ")
+    s"""WITH base AS (
+       |  SELECT user_id,
+       |    $coin < 0.5 AS treat,
+       |    CAST(ts AS TIMESTAMP) >= TIMESTAMP '$didSplit' AS post,
+       |    CASE WHEN event_type = 'purchase' THEN ${Exact.sqlMicros("value")} ELSE 0 END AS pv_m
+       |  FROM events),
+       |agg AS (
+       |  SELECT
+       |  $nCols,
+       |  $vCols
+       |  FROM base)
+       |SELECT *,
+       |  (v_t_post - v_t_pre) - (v_c_post - v_c_pre) AS did
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exp3_diff_in_diff" -> diffInDiff _,
     "ts6_stl_residuals" -> stlResiduals _,
     "ts5_revenue_ewma" -> revenueEwma _,
     "imp1_ht_estimate" -> htEstimate _,
@@ -1638,6 +1706,7 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "exp3_diff_in_diff" -> diffInDiffSql,
     "ts6_stl_residuals" -> stlResidualsSql,
     "ts5_revenue_ewma" -> revenueEwmaSql,
     "imp1_ht_estimate" -> htEstimateSql,

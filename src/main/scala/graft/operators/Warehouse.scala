@@ -278,6 +278,100 @@ object Warehouse {
        |SELECT doc_id, n_chars, priority FROM pri
        |ORDER BY priority DESC, doc_id LIMIT $wsTopN""".stripMargin
 
+  // === prof3: equi-width histogram profile + quantile estimates ============
+  val histBuckets = 64
+  val histHi = 600000.0 // o_totalprice domain bound (fixed, scale-free)
+
+  /** The CBO statistics pass: a fixed-bound equi-width value histogram
+    * per group with interpolated quantile estimates read off it, next
+    * to the exact percentiles — the accuracy audit for
+    * histogram-backed optimizer stats (prof1's profile, extended to
+    * distribution shape).
+    *
+    * The histogram is the MERGEABLE quantile structure: fixed buckets
+    * sum across partitions/days/shards, unlike the exact percentile
+    * whose multiset can't merge — that is the 100 TB path, and the
+    * exact columns exist as its verification baseline (one extra scan,
+    * dropped in deployment).
+    *
+    * Estimates interpolate within the covering bucket:
+    * est = lo + (p*n - cum_before) / cnt * width, every term derived
+    * from exact integers or shared literals — deterministic IEEE both
+    * sides.
+    */
+  def histogramProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = histHi / histBuckets
+    val base = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"),
+        Exact.micros(col("o_totalprice")).as("m"))
+    val hist = base
+      .groupBy(col("grp"),
+        least(floor(col("x") / width), lit(histBuckets - 1.0)).cast(IntegerType).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+    val wGrp = Window.partitionBy(col("grp"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wGrp))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    def estFor(p: Double) = {
+      val target = lit(p) * col("n").cast(DoubleType)
+      val covers = col("cum_before").cast(DoubleType) < target &&
+        col("cum").cast(DoubleType) >= target
+      max(when(covers,
+        col("bucket").cast(DoubleType) * width +
+          (target - col("cum_before").cast(DoubleType)) / col("cnt").cast(DoubleType) * width))
+    }
+    val ests = cum.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), estFor(0.5).as("est_p50"), estFor(0.95).as("est_p95"))
+    val exact = base.groupBy(col("grp"))
+      .agg((percentile(col("m"), lit(0.5)) / 1000000.0).as("exact_p50"),
+        (percentile(col("m"), lit(0.95)) / 1000000.0).as("exact_p95"))
+    ests.join(exact, "grp")
+      .select(col("grp"), col("n"), col("est_p50"), col("exact_p50"),
+        col("est_p95"), col("exact_p95"))
+      .orderedSmall(col("grp"))
+  }
+
+  def histogramProfileSql: String = {
+    val width = histHi / histBuckets
+    def est(p: Double) =
+      s"""MAX(CASE WHEN CAST(cum_before AS DOUBLE) < $p * CAST(n AS DOUBLE)
+         |          AND CAST(cum AS DOUBLE) >= $p * CAST(n AS DOUBLE)
+         |     THEN CAST(bucket AS DOUBLE) * $width
+         |          + ($p * CAST(n AS DOUBLE) - CAST(cum_before AS DOUBLE))
+         |            / CAST(cnt AS DOUBLE) * $width END)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT o_orderpriority AS grp, o_totalprice AS x,
+       |    ${Exact.sqlMicros("o_totalprice")} AS m
+       |  FROM orders),
+       |hist AS (
+       |  SELECT grp,
+       |    CAST(LEAST(FLOOR(x / $width), ${histBuckets - 1}.0) AS INTEGER) AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM base GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT grp, bucket, cnt,
+       |    SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY grp) AS n,
+       |    SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) - cnt AS cum_before
+       |  FROM hist),
+       |ests AS (
+       |  SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+       |    ${est(0.5)} AS est_p50,
+       |    ${est(0.95)} AS est_p95
+       |  FROM cum GROUP BY grp),
+       |exact AS (
+       |  SELECT grp,
+       |    quantile_cont(m, 0.5) / 1000000.0 AS exact_p50,
+       |    quantile_cont(m, 0.95) / 1000000.0 AS exact_p95
+       |  FROM base GROUP BY grp)
+       |SELECT e.grp, n, est_p50, exact_p50, est_p95, exact_p95
+       |FROM ests e JOIN exact ON e.grp = exact.grp
+       |ORDER BY e.grp""".stripMargin
+  }
+
   // === mad1: robust median/MAD outlier ledger ==============================
   /** Per-event-type robust center and spread: exact median, median
     * absolute deviation, and the count of 3-MAD outliers — the
@@ -341,6 +435,7 @@ object Warehouse {
     "scd1_type2_history" -> scd2History _,
     "pit1_point_in_time" -> pointInTime _,
     "ivm1_partial_merge" -> partialMerge _,
+    "prof3_value_histogram" -> histogramProfile _,
     "zord1_zorder_stats" -> zorderStats _,
     "ws1_weighted_sample" -> weightedSample _,
     "mad1_robust_outliers" -> robustOutliers _)
@@ -349,6 +444,7 @@ object Warehouse {
     "scd1_type2_history" -> scd2HistorySql,
     "pit1_point_in_time" -> pointInTimeSql,
     "ivm1_partial_merge" -> partialMergeSql,
+    "prof3_value_histogram" -> histogramProfileSql,
     "zord1_zorder_stats" -> zorderStatsSql,
     "ws1_weighted_sample" -> weightedSampleSql,
     "mad1_robust_outliers" -> robustOutliersSql)

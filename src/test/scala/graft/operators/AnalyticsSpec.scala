@@ -45,6 +45,16 @@ class AnalyticsSpec extends SparkTestBase {
     assert(nOut < n / 10, "3-sigma flags must be rare")
   }
 
+  test("exp3: four cells, positive populations, DiD identity holds") {
+    val row = Analytics.diffInDiff(spark, sfDir).collect()(0)
+    Seq("t_pre", "t_post", "c_pre", "c_post").foreach { c =>
+      assert(row.getAs[Long](s"n_$c") > 0, s"cell $c must be populated")
+    }
+    val did = (row.getAs[Double]("v_t_post") - row.getAs[Double]("v_t_pre")) -
+      (row.getAs[Double]("v_c_post") - row.getAs[Double]("v_c_pre"))
+    assert(row.getAs[Double]("did") == did, "did column must equal the cell identity")
+  }
+
   test("bsk1: pairs are canonically ordered and bounded by the pair-support union bound") {
     val pairs = Analytics.copurchasePairs(spark, sfDir).cache()
     assert(pairs.filter(col("brand_a") >= col("brand_b")).isEmpty, "a < b canonical order")

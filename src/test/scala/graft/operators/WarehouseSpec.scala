@@ -149,6 +149,18 @@ class WarehouseSpec extends SparkTestBase {
     }
   }
 
+  test("prof3: histogram quantile estimates bracket the exact values within a bucket width") {
+    val width = Warehouse.histHi / Warehouse.histBuckets
+    val r = Warehouse.histogramProfile(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Double]("est_p50") - row.getAs[Double]("exact_p50")) <= width,
+        "p50 estimate must land within one bucket of the exact percentile")
+      assert(math.abs(row.getAs[Double]("est_p95") - row.getAs[Double]("exact_p95")) <= width)
+      assert(row.getAs[Double]("est_p95") >= row.getAs[Double]("est_p50"))
+    }
+  }
+
   test("mad1: outliers bounded, MAD nonnegative, zero-MAD groups flag nothing spuriously") {
     val m = Warehouse.robustOutliers(spark, sfDir).cache()
     assert(m.filter(col("mad_value") < 0).isEmpty)
