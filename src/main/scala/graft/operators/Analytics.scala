@@ -1673,7 +1673,109 @@ object Analytics {
        |FROM agg""".stripMargin
   }
 
+  // === bs1: Poisson bootstrap ==============================================
+  val bootReplicas = 32
+
+  /** Cumulative Poisson(1) thresholds P(X <= k), k = 0..6 — precomputed
+    * once and emitted as shortest-repr literals into BOTH engines (the
+    * hll1 lcTable trick), so the replica weights derived from the md5
+    * uniform are bit-identical everywhere. P(X <= 6) leaves ~8e-5 mass
+    * at weight 7 — the standard truncation.
+    */
+  private val poisCdf: IndexedSeq[Double] = {
+    val pmf = (0 to 6).scanLeft(math.exp(-1.0)) { case (p, k) => p / (k + 1) }.take(7)
+    pmf.toIndexedSeq.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Poisson bootstrap of mean order value: the resampling method that
+    * actually works on distributed data — instead of drawing n rows
+    * with replacement (which needs global coordination), every row
+    * draws an independent Poisson(1) weight per replica, and all B=32
+    * replicas accumulate in ONE scan as 2B map-side-combinable
+    * aggregate columns (no row explosion). Replica means round to
+    * integer micros before the across-replica moment pass, so the
+    * bootstrap SE is exact-integer-derived and engine-identical.
+    *
+    * Output: point mean, bootstrap SE, and the 2.5/97.5 percentile
+    * band of the replica means.
+    */
+  def poissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), Exact.micros(col("o_totalprice")).as("m"))
+    def weight(b: Int): org.apache.spark.sql.Column = {
+      val u = TextAnalysis.md5Frac(lit("bs"), lit(b), col("o_orderkey"))
+      poisCdf.zipWithIndex.reverse.foldLeft(lit(7L)) { case (acc, (thr, k)) =>
+        when(u < thr, k.toLong).otherwise(acc)
+      }
+    }
+    val aggs = (0 until bootReplicas).flatMap { b =>
+      Seq(sum((weight(b) * col("m")).cast(Exact.D380)).as(s"wm_$b"), // pre-sum cast: overflow-safe
+        sum(weight(b)).as(s"w_$b"))
+    } ++ Seq(count(lit(1)).as("n"), sum(col("m").cast(Exact.D380)).as("tm"))
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    // replica means as integer micros (exact across-replica moments)
+    val meanCols = (0 until bootReplicas).map { b =>
+      Exact.micros(Exact.toUnits(col(s"wm_$b")) / col(s"w_$b")).as(s"bm_$b")
+    }
+    val means = wide.select((col("n") +: col("tm") +: meanCols): _*)
+    val stacked = means.select(col("n"), col("tm"), explode(
+      array((0 until bootReplicas).map(b => col(s"bm_$b")): _*)).as("bm"))
+    val bD = lit(bootReplicas.toLong)
+    val mean2 = sum(col("bm").cast(Exact.D380) * col("bm")).cast(DoubleType)
+    val mean1 = sum(col("bm").cast(Exact.D380)).cast(DoubleType)
+    stacked.groupBy(col("n"), col("tm"))
+      .agg(
+        sqrt((mean2 / bD - (mean1 / bD) * (mean1 / bD)) *
+          (bD / (bD - 1L))).as("se_micros"),
+        percentile(col("bm"), lit(0.025)).as("lo_m"),
+        percentile(col("bm"), lit(0.975)).as("hi_m"))
+      .select(col("n"),
+        (Exact.toUnits(col("tm")) / col("n")).as("point_mean"),
+        (col("se_micros") / 1000000.0).as("boot_se"),
+        (col("lo_m") / 1000000.0).as("ci_lo"),
+        (col("hi_m") / 1000000.0).as("ci_hi"))
+  }
+
+  val poissonBootstrapSql: String = {
+    val weight = (b: Int) => {
+      val u = TextAnalysis.sqlMd5Frac("'bs'", s"'$b'", "CAST(o_orderkey AS VARCHAR)")
+      val cases = poisCdf.zipWithIndex
+        .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }.mkString(" ")
+      s"(CASE $cases ELSE 7 END)"
+    }
+    val aggs = (0 until bootReplicas).map { b =>
+      s"SUM(CAST(${weight(b)} * m AS HUGEINT)) AS wm_$b, SUM(${weight(b)}) AS w_$b"
+    }.mkString(",\n  ")
+    val micros = (e: String) =>
+      s"CAST(CASE WHEN ($e) >= 0 THEN FLOOR(($e)*1000000+0.5) ELSE CEIL(($e)*1000000-0.5) END AS BIGINT)"
+    val bms = (0 until bootReplicas).map { b =>
+      micros(s"${Exact.sqlToUnits(s"wm_$b")} / w_$b")
+    }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT o_orderkey, ${Exact.sqlMicros("o_totalprice")} AS m FROM orders),
+       |wide AS (
+       |  SELECT COUNT(*) AS n, SUM(CAST(m AS HUGEINT)) AS tm,
+       |  $aggs
+       |  FROM base),
+       |stacked AS (
+       |  SELECT n, tm, UNNEST([$bms]) AS bm FROM wide),
+       |agg AS (
+       |  SELECT n, tm,
+       |    sqrt((CAST(CAST(SUM(CAST(bm AS HUGEINT) * bm) AS VARCHAR) AS DOUBLE) / $bootReplicas
+       |          - (CAST(SUM(CAST(bm AS HUGEINT)) AS DOUBLE) / $bootReplicas)
+       |            * (CAST(SUM(CAST(bm AS HUGEINT)) AS DOUBLE) / $bootReplicas))
+       |         * (CAST($bootReplicas AS DOUBLE) / ${bootReplicas - 1})) AS se_micros,
+       |    quantile_cont(bm, 0.025) AS lo_m,
+       |    quantile_cont(bm, 0.975) AS hi_m
+       |  FROM stacked GROUP BY n, tm)
+       |SELECT n, ${Exact.sqlToUnits("tm")} / n AS point_mean,
+       |  se_micros / 1000000.0 AS boot_se,
+       |  lo_m / 1000000.0 AS ci_lo, hi_m / 1000000.0 AS ci_hi
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bs1_poisson_bootstrap" -> poissonBootstrap _,
     "exp3_diff_in_diff" -> diffInDiff _,
     "ts6_stl_residuals" -> stlResiduals _,
     "ts5_revenue_ewma" -> revenueEwma _,
@@ -1706,6 +1808,7 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "bs1_poisson_bootstrap" -> poissonBootstrapSql,
     "exp3_diff_in_diff" -> diffInDiffSql,
     "ts6_stl_residuals" -> stlResidualsSql,
     "ts5_revenue_ewma" -> revenueEwmaSql,

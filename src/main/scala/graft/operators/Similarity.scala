@@ -1214,6 +1214,52 @@ object Similarity {
        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
        |FROM nodes GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // === sp1: bounded BFS hop distances ======================================
+  val bfsMaxHops = 3
+  val bfsSeeds = 5
+
+  /** Hop distances from a seed set over the mutual-kNN graph, bounded
+    * at 3 hops — the semantic-neighborhood expansion a curation pass
+    * runs from a trusted seed corpus ("everything within k hops of the
+    * gold set"). The iterative shape is the distributed BFS frontier:
+    * each round is one join + one min-aggregate, both keyed on the
+    * node — the standard O(hops) shuffle sequence (cc1's pointer
+    * jumping is the O(log n) variant when hops are unbounded). The
+    * oracle recomputes the same fixpoint with a depth-bounded
+    * recursive CTE.
+    */
+  def knnHops(s: SparkSession, dir: String, k: Int = 5, subset: Int = 200): DataFrame = {
+    val und = mutualKnn(s, dir, k, subset).select(col("a"), col("b"))
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    var dist = t(s, dir, "embeddings")
+      .filter(col("vec_id") < bfsSeeds)
+      .select(col("vec_id"), lit(0L).as("hop"))
+    for (_ <- 1 to bfsMaxHops) {
+      val nxt = dist.join(edges, dist("vec_id") === edges("src"))
+        .select(col("dst").as("vec_id"), (col("hop") + 1L).as("hop"))
+      dist = dist.unionByName(nxt)
+        .groupBy(col("vec_id")).agg(min(col("hop")).as("hop"))
+    }
+    dist.orderedSmall(col("vec_id")) // bounded by the sim6 subset
+  }
+
+  def knnHopsSql(k: Int = 5, subset: Int = 200): String =
+    s"""WITH knn AS (${mutualKnnSql(k, subset)}),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM knn
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM knn),
+       |bfs AS (
+       |  WITH RECURSIVE r(v, d) AS (
+       |    SELECT vec_id, 0 FROM embeddings WHERE vec_id < $bfsSeeds
+       |    UNION ALL
+       |    SELECT e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.v
+       |    WHERE r.d < $bfsMaxHops)
+       |  SELECT * FROM r)
+       |SELECT v AS vec_id, CAST(MIN(d) AS BIGINT) AS hop
+       |FROM bfs GROUP BY v ORDER BY vec_id""".stripMargin
+
   // === sim9: ANN recall audit ==============================================
   /** Recall@k of the LSH ANN index (sim3) against the exact top-k
     * (sim1), per query — the accuracy dial every ANN deployment reads
@@ -1254,6 +1300,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tri1_knn_triangles" -> ((s: SparkSession, d: String) => knnTriangles(s, d)),
+    "sp1_knn_hops" -> ((s: SparkSession, d: String) => knnHops(s, d)),
     "sim9_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "rp1_random_projection" -> randomProjection _,
     "sim7_centroid_drift" -> centroidDrift _,
@@ -1276,6 +1323,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "tri1_knn_triangles" -> knnTrianglesSql(),
+    "sp1_knn_hops" -> knnHopsSql(),
     "sim9_ann_recall" -> annRecallSql(),
     "rp1_random_projection" -> randomProjectionSql,
     "sim7_centroid_drift" -> centroidDriftSql,

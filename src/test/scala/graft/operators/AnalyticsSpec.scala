@@ -45,6 +45,18 @@ class AnalyticsSpec extends SparkTestBase {
     assert(nOut < n / 10, "3-sigma flags must be rare")
   }
 
+  test("bs1: bootstrap band contains the point mean and SE is positive") {
+    val row = Analytics.poissonBootstrap(spark, sfDir).collect()(0)
+    val mean = row.getAs[Double]("point_mean")
+    assert(row.getAs[Long]("n") ==
+      graft.Engine.table(spark, sfDir, "orders").count())
+    assert(row.getAs[Double]("boot_se") > 0)
+    assert(row.getAs[Double]("ci_lo") <= mean && mean <= row.getAs[Double]("ci_hi"),
+      "the 95% bootstrap band should cover the point estimate")
+    // resampling noise scales like sigma/sqrt(n): SE must be far below the mean
+    assert(row.getAs[Double]("boot_se") < mean / 10)
+  }
+
   test("exp3: four cells, positive populations, DiD identity holds") {
     val row = Analytics.diffInDiff(spark, sfDir).collect()(0)
     Seq("t_pre", "t_post", "c_pre", "c_post").foreach { c =>

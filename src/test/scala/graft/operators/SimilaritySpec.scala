@@ -70,6 +70,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(r.forall(_.getAs[Long]("vec_id") < 200))
   }
 
+  test("sp1: seeds at hop 0, frontier property holds for every reached node") {
+    val r = Similarity.knnHops(spark, sfDir).collect()
+      .map(row => row.getAs[Long]("vec_id") -> row.getAs[Long]("hop")).toMap
+    (0L until Similarity.bfsSeeds).foreach(sid =>
+      assert(r.get(sid).contains(0L), s"seed $sid must be at hop 0"))
+    assert(r.values.forall(h => h >= 0 && h <= Similarity.bfsMaxHops))
+    // frontier property: a node at hop h >= 1 has a neighbor at h - 1
+    val edges = Similarity.mutualKnn(spark, sfDir).collect()
+      .flatMap(row => {
+        val a = row.getAs[Long]("a"); val b = row.getAs[Long]("b")
+        Seq(a -> b, b -> a)
+      }).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    r.filter(_._2 >= 1).foreach { case (v, h) =>
+      assert(edges.getOrElse(v, Set.empty).exists(n => r.get(n).contains(h - 1)),
+        s"node $v at hop $h lacks a hop-${h - 1} neighbor")
+    }
+  }
+
   test("sim9: recall ledger is internally consistent") {
     val r = Similarity.annRecall(spark, sfDir).collect()
     assert(r.length == 10)
