@@ -1774,7 +1774,116 @@ object Analytics {
        |FROM agg""".stripMargin
   }
 
+  // === cal1: classifier calibration (reliability diagram) ==================
+  val calBinWidth = 0.25
+  val calBinLo = -1.0
+  val calBins = 16
+
+  /** The reliability diagram for qc1's margin against txt6's verdict —
+    * completing the eval family (auc1 ranking, map1 retrieval, cal1
+    * calibration): fixed margin bins, observed positive rate and exact
+    * mean margin per bin. A calibrated classifier's positive rate
+    * rises monotonically with the margin; the bins are fixed-bound so
+    * they merge across shards (the prof3 histogram argument).
+    * Everything is integer counts + micros sums until one final
+    * division per column.
+    */
+  def marginCalibration(s: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.qualityMargin(s, dir)
+      .select(col("doc_id"), col("quality_margin"))
+    val l = TextAnalysis.docQualityFilter(s, dir).select(col("doc_id"), col("keep"))
+    m.join(l, "doc_id")
+      .withColumn("bin",
+        least(greatest(floor((col("quality_margin") - calBinLo) / calBinWidth), lit(0.0)),
+          lit(calBins - 1.0)).cast(IntegerType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Exact.micros(col("quality_margin")).cast(Exact.D380)).as("mm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"),
+        (lit(calBinLo) + col("bin").cast(DoubleType) * calBinWidth).as("bin_lo"),
+        col("n_docs"),
+        (Exact.toUnits(col("mm")) / col("n_docs")).as("mean_margin"),
+        col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("pos_rate"))
+      .orderedSmall(col("bin"))
+  }
+
+  val marginCalibrationSql: String = {
+    val micros = Exact.sqlMicros("quality_margin")
+    s"""WITH m AS (${TextAnalysis.qualityMarginSql}),
+       |l AS (SELECT doc_id, keep FROM (${TextAnalysis.docQualityFilterSql}) q),
+       |j AS (
+       |  SELECT m.doc_id, quality_margin, keep,
+       |    CAST(LEAST(GREATEST(FLOOR((quality_margin - $calBinLo) / $calBinWidth), 0.0),
+       |      ${calBins - 1}.0) AS INTEGER) AS bin
+       |  FROM m JOIN l ON m.doc_id = l.doc_id)
+       |SELECT bin, $calBinLo + CAST(bin AS DOUBLE) * $calBinWidth AS bin_lo,
+       |  COUNT(*) AS n_docs,
+       |  ${Exact.sqlToUnits(s"SUM(CAST($micros AS HUGEINT))")} / COUNT(*) AS mean_margin,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS pos_rate
+       |FROM j GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
+  // === fair1: per-group metric parity audit ================================
+  /** The bias audit every production classifier ships with: per
+    * language, the qc1-vs-txt6 agreement rate, both positive rates,
+    * and each group's gap from the corpus-wide classifier rate. The
+    * per-group aggregate is one scan; the corpus-wide reference rides
+    * a window over the group table (integer sums, one division) — no
+    * second pass, no driver collect.
+    */
+  def groupParity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = TextAnalysis.qualityMargin(s, dir)
+      .select(col("doc_id"), col("quality_pass"))
+    val l = TextAnalysis.docQualityFilter(s, dir).select(col("doc_id"), col("keep"))
+    val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val grouped = m.join(l, "doc_id").join(langs, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("quality_pass") === col("keep"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("quality_pass"), 1L).otherwise(0L)).as("n_clf_pos"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_label_pos"))
+    val wAll = Window.partitionBy()
+    val overall = sum(col("n_clf_pos")).over(wAll).cast(DoubleType) /
+      sum(col("n")).over(wAll).cast(DoubleType)
+    grouped
+      .withColumn("clf_rate", col("n_clf_pos").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("parity_gap", col("clf_rate") - overall)
+      .select(col("lang"), col("n"),
+        (col("n_agree").cast(DoubleType) / col("n").cast(DoubleType)).as("agreement"),
+        col("clf_rate"),
+        (col("n_label_pos").cast(DoubleType) / col("n").cast(DoubleType)).as("label_rate"),
+        col("parity_gap"))
+      .orderedSmall(col("lang"))
+  }
+
+  val groupParitySql: String =
+    s"""WITH m AS (${TextAnalysis.qualityMarginSql}),
+       |l AS (SELECT doc_id, keep FROM (${TextAnalysis.docQualityFilterSql}) q),
+       |grouped AS (
+       |  SELECT d.lang, COUNT(*) AS n,
+       |    SUM(CASE WHEN quality_pass = keep THEN 1 ELSE 0 END) AS n_agree,
+       |    SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS n_clf_pos,
+       |    SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_label_pos
+       |  FROM m JOIN l ON m.doc_id = l.doc_id
+       |  JOIN documents d ON d.doc_id = m.doc_id
+       |  GROUP BY d.lang)
+       |SELECT lang, n,
+       |  CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS agreement,
+       |  CAST(n_clf_pos AS DOUBLE) / CAST(n AS DOUBLE) AS clf_rate,
+       |  CAST(n_label_pos AS DOUBLE) / CAST(n AS DOUBLE) AS label_rate,
+       |  CAST(n_clf_pos AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - CAST(SUM(n_clf_pos) OVER () AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+       |    AS parity_gap
+       |FROM grouped ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cal1_margin_calibration" -> marginCalibration _,
+    "fair1_group_parity" -> groupParity _,
     "bs1_poisson_bootstrap" -> poissonBootstrap _,
     "exp3_diff_in_diff" -> diffInDiff _,
     "ts6_stl_residuals" -> stlResiduals _,
@@ -1808,6 +1917,8 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "cal1_margin_calibration" -> marginCalibrationSql,
+    "fair1_group_parity" -> groupParitySql,
     "bs1_poisson_bootstrap" -> poissonBootstrapSql,
     "exp3_diff_in_diff" -> diffInDiffSql,
     "ts6_stl_residuals" -> stlResidualsSql,

@@ -45,6 +45,37 @@ class AnalyticsSpec extends SparkTestBase {
     assert(nOut < n / 10, "3-sigma flags must be rare")
   }
 
+  test("cal1: bins partition the corpus and rates stay in [0,1]") {
+    val r = Analytics.marginCalibration(spark, sfDir).collect()
+    val nDocs = graft.Engine.table(spark, sfDir, "documents").count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    r.foreach { row =>
+      val rate = row.getAs[Double]("pos_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(row.getAs[Long]("n_pos") <= row.getAs[Long]("n_docs"))
+      // the bin's mean margin must sit at or above its lower bound
+      // (upper bound only holds for non-clamped bins)
+      val lo = row.getAs[Double]("bin_lo")
+      val bin = row.getAs[Int]("bin")
+      if (bin > 0) assert(row.getAs[Double]("mean_margin") >= lo - 1e-6)
+    }
+  }
+
+  test("fair1: groups partition the corpus and parity gaps sum to ~zero weighted") {
+    val r = Analytics.groupParity(spark, sfDir).collect()
+    val nDocs = graft.Engine.table(spark, sfDir, "documents").count()
+    assert(r.map(_.getAs[Long]("n")).sum == nDocs)
+    r.foreach { row =>
+      Seq("agreement", "clf_rate", "label_rate").foreach { c =>
+        val v = row.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range")
+      }
+    }
+    // weighted parity gaps cancel by construction
+    val weighted = r.map(row => row.getAs[Double]("parity_gap") * row.getAs[Long]("n")).sum
+    assert(math.abs(weighted) < 1e-6)
+  }
+
   test("bs1: bootstrap band contains the point mean and SE is positive") {
     val row = Analytics.poissonBootstrap(spark, sfDir).collect()(0)
     val mean = row.getAs[Double]("point_mean")
