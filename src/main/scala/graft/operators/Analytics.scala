@@ -1881,7 +1881,58 @@ object Analytics {
        |    AS parity_gap
        |FROM grouped ORDER BY lang""".stripMargin
 
+  // === fh1: feature hashing (the hash trick) ===============================
+  val fhDims = 64
+
+  /** The hash-trick featurizer: each event contributes categorical
+    * features ("et:<type>", "dow:<d>", "hr:<bucket>") whose md5 index
+    * mod 64 lands them in a fixed-width sparse vector per user, hash
+    * collisions summing — exactly how large-scale linear models and
+    * GBDT pipelines featurize unbounded categorical vocabularies
+    * without a dictionary (no global vocab build, no second pass, no
+    * driver state). Time features use pure integer epoch arithmetic
+    * (the ev16 rule). Output is the sparse COO form (user, idx, value);
+    * one map-side-combinable shuffle on (user, idx).
+    */
+  def featureHashing(s: SparkSession, dir: String): DataFrame = {
+    // DIV, not `/`: Column `/` on longs is a DOUBLE division whose floor
+    // can flip at exact bucket boundaries — integral division matches
+    // DuckDB's `//` exactly
+    val dow = expr("(unix_micros(ts) DIV 86400000000 + 4) % 7")
+    val hourBucket = expr("(unix_micros(ts) DIV 3600000000) % 24 DIV 6") // 4 six-hour buckets
+    val feats = array(
+      concat(lit("et:"), col("event_type")),
+      concat(lit("dow:"), dow.cast(StringType)),
+      concat(lit("hr:"), hourBucket.cast(StringType)))
+    val idx = conv(substring(md5(concat_ws("#", lit("fh"), col("f"))), 1, 8), 16, 10)
+      .cast(LongType) % fhDims
+    t(s, dir, "events")
+      .select(col("user_id"), explode(feats).as("f"))
+      .select(col("user_id"), idx.as("feature_idx"))
+      .groupBy(col("user_id"), col("feature_idx"))
+      .agg(count(lit(1)).as("value"))
+      .orderBy(col("user_id"), col("feature_idx"))
+  }
+
+  val featureHashingSql: String =
+    s"""WITH feats AS (
+       |  SELECT user_id, UNNEST([
+       |    'et:' || event_type,
+       |    'dow:' || CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS VARCHAR),
+       |    'hr:' || CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 // 6 AS VARCHAR)
+       |  ]) AS f
+       |  FROM events),
+       |keyed AS (
+       |  SELECT user_id,
+       |    ('0x' || substring(md5(concat_ws('#', 'fh', f)), 1, 8))::BIGINT % $fhDims
+       |      AS feature_idx
+       |  FROM feats)
+       |SELECT user_id, feature_idx, COUNT(*) AS value
+       |FROM keyed GROUP BY user_id, feature_idx
+       |ORDER BY user_id, feature_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fh1_feature_hashing" -> featureHashing _,
     "cal1_margin_calibration" -> marginCalibration _,
     "fair1_group_parity" -> groupParity _,
     "bs1_poisson_bootstrap" -> poissonBootstrap _,
@@ -1917,6 +1968,7 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "fh1_feature_hashing" -> featureHashingSql,
     "cal1_margin_calibration" -> marginCalibrationSql,
     "fair1_group_parity" -> groupParitySql,
     "bs1_poisson_bootstrap" -> poissonBootstrapSql,

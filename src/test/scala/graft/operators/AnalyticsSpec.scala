@@ -45,6 +45,15 @@ class AnalyticsSpec extends SparkTestBase {
     assert(nOut < n / 10, "3-sigma flags must be rare")
   }
 
+  test("fh1: hashed features conserve event mass (3 features per event)") {
+    val r = Analytics.featureHashing(spark, sfDir).cache()
+    val nEvents = graft.Engine.table(spark, sfDir, "events").count()
+    assert(r.agg(sum(col("value"))).collect()(0).getLong(0) == 3 * nEvents,
+      "every event contributes exactly three features, collisions included")
+    assert(r.filter(col("feature_idx") < 0 || col("feature_idx") >= Analytics.fhDims).isEmpty)
+    r.unpersist()
+  }
+
   test("cal1: bins partition the corpus and rates stay in [0,1]") {
     val r = Analytics.marginCalibration(spark, sfDir).collect()
     val nDocs = graft.Engine.table(spark, sfDir, "documents").count()
