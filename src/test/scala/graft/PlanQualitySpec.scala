@@ -282,4 +282,22 @@ class PlanQualitySpec extends SparkTestBase {
     val plan = planOf(operators.Warehouse.weightedSample(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("bs1/fh1/exp3: single-scan aggregation shapes") {
+    // all 32 bootstrap replicas accumulate in ONE orders pass
+    assert(countScans(operators.Analytics.poissonBootstrap(spark, sfDir)) <= 1)
+    // the hash trick needs no vocabulary pass
+    assert(countScans(operators.Analytics.featureHashing(spark, sfDir)) <= 1)
+    // four DiD cells from one conditional-aggregation scan
+    assert(countScans(operators.Analytics.diffInDiff(spark, sfDir)) <= 1)
+  }
+
+  test("ts5/ts6: one orders scan feeds the calendar-bounded window chain") {
+    assert(countScans(operators.Analytics.revenueEwma(spark, sfDir)) <= 1)
+    assert(countScans(operators.Analytics.stlResiduals(spark, sfDir)) <= 1)
+  }
+
+  test("cms1: registers and heavy hitters from the count table, not re-tokenized text") {
+    assert(countScans(operators.Sketches.cmsHeavyHitters(spark, sfDir)) <= 2)
+  }
 }
