@@ -884,16 +884,7 @@ object Analytics {
     * sketch merge.
     */
   def kmvDistinct(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
-    val n = 3
-    val toks = TextAnalysis.tokens(col("text"))
-    val sh = Par.fanOut(t(s, dir, "documents").select(col("source"), col("text")))
-      .select(col("source"), toks.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("source"), explode(
-        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))
-      ).as("shingle"))
-      .distinct()
+    val sh = TextAnalysis.sourceShingles(s, dir)
       .withColumn("h", TextAnalysis.md5Frac(col("shingle")))
     val wS = Window.partitionBy(col("source"))
     val wOrd = wS.orderBy(col("h"), col("shingle"))
@@ -1452,6 +1443,22 @@ object Analytics {
       |  CAST(n AS BIGINT) AS n_days
       |FROM s2 ORDER BY abs(sn) DESC, day LIMIT 1""".stripMargin
 
+  // === shared daily-revenue frame (ts5/ts6) ================================
+  /** The exact-micros daily revenue series — ONE definition for the
+    * smoother/decomposition family so the aggregation (and its SQL
+    * twin) can never drift between them.
+    */
+  private def dailyRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg(Exact.msum(col("o_totalprice")).as("rev_m"))
+
+  private def dailyRevenueSql: String =
+    s"""SELECT CAST(o_orderdate AS DATE) AS day,
+       |    ${Exact.sqlMsum("o_totalprice")} AS rev_m
+       |  FROM orders GROUP BY 1""".stripMargin
+
   // === ts5: exact truncated EWMA ===========================================
   val ewmaLags = 15 // 16 observations, weights 2^-0 .. 2^-15
 
@@ -1471,10 +1478,7 @@ object Analytics {
     */
   def revenueEwma(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = t(s, dir, "orders")
-      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
-      .groupBy(col("day"))
-      .agg(Exact.msum(col("o_totalprice")).as("rev_m"))
+    val daily = dailyRevenue(s, dir)
     val wOrd = Window.orderBy(col("day"))
     val lagCols = (0 to ewmaLags).map(j => lag(col("rev_m"), j).over(wOrd).as(s"r_$j"))
     val withLags = daily.select((col("day") +: col("rev_m") +: lagCols): _*)
@@ -1499,9 +1503,7 @@ object Analytics {
     val den = (0 to ewmaLags).map(j =>
       s"CASE WHEN r_$j IS NOT NULL THEN ${1L << (ewmaLags - j)} ELSE 0 END").mkString(" + ")
     s"""WITH daily AS (
-       |  SELECT CAST(o_orderdate AS DATE) AS day,
-       |    ${Exact.sqlMsum("o_totalprice")} AS rev_m
-       |  FROM orders GROUP BY 1),
+       |  $dailyRevenueSql),
        |lagged AS (
        |  SELECT day, rev_m, $lagSelects FROM daily)
        |SELECT day, ${Exact.sqlToUnits("rev_m")} AS revenue,
@@ -1532,10 +1534,7 @@ object Analytics {
     */
   def stlResiduals(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = t(s, dir, "orders")
-      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
-      .groupBy(col("day"))
-      .agg(Exact.msum(col("o_totalprice")).as("rev_m"))
+    val daily = dailyRevenue(s, dir)
       .withColumn("day_num", datediff(col("day"), lit("1970-01-01")).cast(LongType))
       .withColumn("dow", (col("day_num") + 4) % 7)
     val wTrend = Window.orderBy(col("day_num")).rangeBetween(-3, 3)
@@ -1567,14 +1566,13 @@ object Analytics {
   def stlResidualsSql: String = {
     def unitRound(e: String) =
       s"CAST(CASE WHEN ($e) >= 0 THEN FLOOR(($e)+0.5) ELSE CEIL(($e)-0.5) END AS BIGINT)"
-    val micros = (e: String) =>
-      s"CAST(CASE WHEN ($e) >= 0 THEN FLOOR(($e)*1000000+0.5) ELSE CEIL(($e)*1000000-0.5) END AS BIGINT)"
-    s"""WITH daily AS (
-       |  SELECT CAST(o_orderdate AS DATE) AS day,
-       |    ${Exact.sqlMsum("o_totalprice")} AS rev_m,
-       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
-       |    (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 4) % 7 AS dow
-       |  FROM orders GROUP BY 1, 3, 4),
+    s"""WITH daily_rev AS (
+       |  $dailyRevenueSql),
+       |daily AS (
+       |  SELECT day, rev_m,
+       |    date_diff('day', DATE '1970-01-01', day) AS day_num,
+       |    (date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS dow
+       |  FROM daily_rev),
        |trended AS (
        |  SELECT day, dow, rev_m,
        |    ${Exact.sqlToUnits("SUM(rev_m) OVER wt")}
@@ -1586,7 +1584,7 @@ object Analytics {
        |    ${Exact.sqlToUnits("rev_m")} - trend AS detr
        |  FROM trended),
        |dm AS (
-       |  SELECT *, ${micros("detr")} AS d_m FROM detrended),
+       |  SELECT *, ${Exact.sqlMicros("detr")} AS d_m FROM detrended),
        |seasoned AS (
        |  SELECT day, rev_m, trend, detr,
        |    ${Exact.sqlToUnits("SUM(CAST(d_m AS HUGEINT)) OVER wd")}
@@ -1746,10 +1744,8 @@ object Analytics {
     val aggs = (0 until bootReplicas).map { b =>
       s"SUM(CAST(${weight(b)} * m AS HUGEINT)) AS wm_$b, SUM(${weight(b)}) AS w_$b"
     }.mkString(",\n  ")
-    val micros = (e: String) =>
-      s"CAST(CASE WHEN ($e) >= 0 THEN FLOOR(($e)*1000000+0.5) ELSE CEIL(($e)*1000000-0.5) END AS BIGINT)"
     val bms = (0 until bootReplicas).map { b =>
-      micros(s"${Exact.sqlToUnits(s"wm_$b")} / w_$b")
+      Exact.sqlMicros(s"${Exact.sqlToUnits(s"wm_$b")} / w_$b")
     }.mkString(", ")
     s"""WITH base AS (
        |  SELECT o_orderkey, ${Exact.sqlMicros("o_totalprice")} AS m FROM orders),

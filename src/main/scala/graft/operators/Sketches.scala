@@ -23,6 +23,19 @@ object Sketches {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
+  /** The one md5 slot-position family behind bf1/cms1/cms2:
+    * md5("prefix#i#key") first 8 hex chars mod width. `sqlMdPos` is the
+    * oracle twin — callers pass the key pre-cast to VARCHAR where the
+    * Spark side relies on concat_ws's implicit cast.
+    */
+  private def mdPos(prefix: String, i: Int, key: org.apache.spark.sql.Column,
+      width: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws("#", lit(prefix), lit(i), key)), 1, 8), 16, 10)
+      .cast(LongType) % width
+
+  private def sqlMdPos(prefix: String, i: Int, key: String, width: Int): String =
+    s"(('0x' || substring(md5(concat_ws('#', '$prefix', '$i', $key)), 1, 8))::BIGINT % $width)"
+
   // === hll1: HyperLogLog register sketch ===================================
   val hllBuckets = 64 // m; 6 bits of the 32-bit md5-prefix hash
   val hllValueBits = 27 // 26-bit remainder => rho in [1, 27]
@@ -93,22 +106,13 @@ object Sketches {
     * sketch.
     */
   def hllSketch(s: SparkSession, dir: String): DataFrame = {
-    val n = 3
-    val toksCol = TextAnalysis.tokens(col("text"))
-    val toks = Par.fanOut(t(s, dir, "documents").select(col("source"), col("text")))
-      .select(col("source"), toksCol.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("source"), explode(
-        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))
-      ).as("tok"))
-      .distinct()
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
+    val toks = TextAnalysis.sourceShingles(s, dir)
+      .withColumn("h", conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast(LongType))
     val bucket = col("h").bitwiseAND(lit((hllBuckets - 1).toLong))
     val v = shiftright(col("h"), 6) // 26-bit remainder
     val rho = when(v > 0, lit(hllValueBits) - length(bin(v))).otherwise(lit(hllValueBits))
     val regs = toks
-      .select(col("source"), col("tok"), bucket.as("bucket"), rho.as("rho"))
+      .select(col("source"), bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("source"), col("bucket"))
       .agg(max(col("rho")).as("m"), count(lit(1)).as("n_toks"))
     val perSource = regs.groupBy(col("source")).agg(
@@ -186,10 +190,7 @@ object Sketches {
     */
   def bloomPrune(s: SparkSession, dir: String): DataFrame = {
     def positions(key: org.apache.spark.sql.Column) =
-      (0 until bloomHashes).map { i =>
-        conv(substring(md5(concat_ws("#", lit("bf"), lit(i), key)), 1, 8), 16, 10)
-          .cast(LongType) % bloomBits
-      }
+      (0 until bloomHashes).map(i => mdPos("bf", i, key, bloomBits))
     val keys = t(s, dir, "customer")
       .filter(col("c_acctbal") > 9000)
       .select(col("c_custkey"))
@@ -222,8 +223,7 @@ object Sketches {
   }
 
   def bloomPruneSql: String = {
-    def pos(i: Int, key: String) =
-      s"('0x' || substring(md5(concat_ws('#', 'bf', '$i', CAST($key AS VARCHAR))), 1, 8))::BIGINT % $bloomBits"
+    def pos(i: Int, key: String) = sqlMdPos("bf", i, s"CAST($key AS VARCHAR)", bloomBits)
     val keyPos = (0 until bloomHashes).map(i => pos(i, "c_custkey")).mkString(", ")
     val probePos = (0 until bloomHashes).map(i => pos(i, "o_custkey")).mkString(", ")
     s"""WITH keys AS (
@@ -270,55 +270,52 @@ object Sketches {
     * exists here only as the verification baseline.
     */
   def hllUnion(s: SparkSession, dir: String): DataFrame = {
-    val n = 3
-    val toksCol = TextAnalysis.tokens(col("text"))
-    val sh = Par.fanOut(t(s, dir, "documents")
+    val sh = TextAnalysis.sourceShingles(s, dir)
       .filter(col("source").isin(hllUnionSources: _*))
-      .select(col("source"), col("text")))
-      .select(col("source"), toksCol.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("source"), explode(
-        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))
-      ).as("tok"))
-      .distinct()
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
+      .withColumn("h", conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast(LongType))
     val bucket = col("h").bitwiseAND(lit((hllBuckets - 1).toLong))
     val v = shiftright(col("h"), 6)
     val rho = when(v > 0, lit(hllValueBits) - length(bin(v))).otherwise(lit(hllValueBits))
-    val keyed = sh.select(col("source"), col("tok"), bucket.as("bucket"), rho.as("rho"))
+    val keyed = sh.select(col("source"), col("shingle"), bucket.as("bucket"), rho.as("rho"))
     val regs = keyed.groupBy(col("source"), col("bucket"))
       .agg(max(col("rho")).as("m"), count(lit(1)).as("n_toks"))
-    val singles = regs.groupBy(col("source")).agg(
-      sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - m)")).as("sp"),
-      count(lit(1)).as("nr"),
-      sum(col("n_toks")).as("n_exact"))
-      .withColumn("est", hllEstimate(col("sp"), col("nr")))
-    val srcs = singles.select(col("source"))
+    val srcs = regs.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("src_a"))
       .crossJoin(srcs.select(col("source").as("src_b")))
       .filter(col("src_a") < col("src_b"))
-    // merged registers per pair: max(M_j) over the two sources' buckets
-    val merged = pairs
+    // ONE pairs x regs pass carries the union-merged AND the two
+    // side-specific register states (a 7-scan star shape otherwise: the
+    // full shingle pipeline re-executes per consumer — the round-11
+    // lesson applied to sketches). The register table is sources x 64
+    // rows, so the per-pair explode is trivially small.
+    val pairBuckets = pairs
       .join(regs, col("source") === col("src_a") || col("source") === col("src_b"))
       .groupBy(col("src_a"), col("src_b"), col("bucket"))
-      .agg(max(col("m")).as("m"))
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - m)")).as("sp_u"),
-        count(lit(1)).as("nr_u"))
+      .agg(max(col("m")).as("m_u"),
+        max(when(col("source") === col("src_a"), col("m"))).as("m_a"),
+        max(when(col("source") === col("src_b"), col("m"))).as("m_b"),
+        sum(when(col("source") === col("src_a"), col("n_toks"))).as("nt_a"),
+        sum(when(col("source") === col("src_b"), col("n_toks"))).as("nt_b"))
+    val perPair = pairBuckets.groupBy(col("src_a"), col("src_b"))
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - m_u)")).as("sp_u"),
+        count(lit(1)).as("nr_u"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - m_a)")).as("sp_a"),
+        count(col("m_a")).as("nr_a"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - m_b)")).as("sp_b"),
+        count(col("m_b")).as("nr_b"),
+        sum(coalesce(col("nt_a"), lit(0L))).as("n_exact_a"),
+        sum(coalesce(col("nt_b"), lit(0L))).as("n_exact_b"))
       .withColumn("est_union", hllEstimate(col("sp_u"), col("nr_u")))
+      .withColumn("est_a", hllEstimate(col("sp_a"), col("nr_a")))
+      .withColumn("est_b", hllEstimate(col("sp_b"), col("nr_b")))
     // exact intersection: the distinct shingle self-join (baseline only)
-    val inter = keyed.select(col("source").as("src_a"), col("tok"))
-      .join(keyed.select(col("source").as("src_b"), col("tok")), "tok")
+    val inter = keyed.select(col("source").as("src_a"), col("shingle"))
+      .join(keyed.select(col("source").as("src_b"), col("shingle")), "shingle")
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_exact_intersect"))
-    val estA = singles.select(col("source").as("src_a"),
-      col("n_exact").as("n_exact_a"), col("est").as("est_a"))
-    val estB = singles.select(col("source").as("src_b"),
-      col("n_exact").as("n_exact_b"), col("est").as("est_b"))
-    merged
-      .join(estA, "src_a").join(estB, "src_b")
+    perPair
       .join(inter, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),
         (col("n_exact_a") + col("n_exact_b") - coalesce(col("n_exact_intersect"), lit(0L)))
@@ -412,9 +409,7 @@ object Sketches {
     * table, zero passes over raw text beyond the first tokenize.
     */
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    def pos(i: Int, tok: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat_ws("#", lit("cms"), lit(i), tok)), 1, 8), 16, 10)
-        .cast(LongType) % cmsWidth
+    def pos(i: Int, tok: org.apache.spark.sql.Column) = mdPos("cms", i, tok, cmsWidth)
     val counts = Par.fanOut(t(s, dir, "documents").select(col("text")))
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
@@ -436,8 +431,7 @@ object Sketches {
   }
 
   def cmsHeavyHittersSql: String = {
-    def pos(i: Int, tok: String) =
-      s"(('0x' || substring(md5(concat_ws('#', 'cms', '$i', $tok)), 1, 8))::BIGINT % $cmsWidth)"
+    def pos(i: Int, tok: String) = sqlMdPos("cms", i, tok, cmsWidth)
     val keyPos = (0 until cmsRows)
       .map(i => s"{'i': $i, 'pos': ${pos(i, "tok")}}").mkString(", ")
     s"""WITH counts AS (
@@ -475,9 +469,7 @@ object Sketches {
     * optimizer collects per column without a second scan.
     */
   def cmsJoinCardinality(s: SparkSession, dir: String): DataFrame = {
-    def pos(i: Int, key: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat_ws("#", lit("cms"), lit(i), key)), 1, 8), 16, 10)
-        .cast(LongType) % cmsWidth
+    def pos(i: Int, key: org.apache.spark.sql.Column) = mdPos("cms", i, key, cmsWidth)
     def counts(typ: String) = t(s, dir, "events")
       .filter(col("event_type") === typ)
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
@@ -503,8 +495,7 @@ object Sketches {
   }
 
   def cmsJoinCardinalitySql: String = {
-    def pos(i: Int, key: String) =
-      s"(('0x' || substring(md5(concat_ws('#', 'cms', '$i', CAST($key AS VARCHAR))), 1, 8))::BIGINT % $cmsWidth)"
+    def pos(i: Int, key: String) = sqlMdPos("cms", i, s"CAST($key AS VARCHAR)", cmsWidth)
     def keyPos(key: String) = (0 until cmsRows)
       .map(i => s"{'i': $i, 'pos': ${pos(i, key)}}").mkString(", ")
     s"""WITH a AS (

@@ -30,6 +30,24 @@ object TextAnalysis {
   /** Whitespace tokens of the lower-cased text. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** The DISTINCT per-source word n-gram shingle stream — the shared
+    * domain of the cardinality sketches (kmv1, hll1, hll2). ONE
+    * definition on purpose: every consumer's DuckDB oracle recomputes
+    * these exact strings, so a divergent copy breaks hash parity for
+    * all of them at once.
+    */
+  def sourceShingles(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    Par.fanOut(graft.Engine.table(s, dir, "documents").select(col("source"), col("text")))
+      .select(col("source"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))
+      ).as("shingle"))
+      .distinct()
+  }
+
   /** Token count (whitespace tokenizer). */
   def tokenCount(c: Column): Column = size(tokens(c)).cast(IntegerType)
 

@@ -54,7 +54,10 @@ object Warehouse {
 
   def scd2History(s: SparkSession, dir: String): DataFrame =
     islands(t(s, dir, "events"))
-      .orderBy(col("user_id"), col("valid_from"))
+      // event_type tiebreak: two same-ts events of different types give two
+      // runs the same valid_from, and adjacent runs always differ in type,
+      // so (user, from, type) is a total order — (user, from) alone is not
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
 
   def scd2HistorySql: String =
     """WITH flagged AS (
@@ -76,7 +79,7 @@ object Warehouse {
       |  n_events,
       |  CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
       |    IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
-      |FROM islands ORDER BY user_id, valid_from""".stripMargin
+      |FROM islands ORDER BY user_id, valid_from, event_type""".stripMargin
 
   // === pit1: point-in-time join against the SCD2 intervals =================
   /** The feature-store lookup: every purchase joins the state interval
@@ -262,7 +265,11 @@ object Warehouse {
     t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
       .withColumn("h", h)
-      .withColumn("priority", expr(s"(n_chars * $wsScale) DIV h"))
+      // weight clamped at 9e6 chars (9 MB of text): an unclamped long
+      // product overflows BIGINT (ANSI error on Spark 4, error on DuckDB)
+      // past ~9.2 MB documents; beyond the clamp every document shares the
+      // max weight, and the arithmetic stays pure-integer on both engines
+      .withColumn("priority", expr(s"(LEAST(n_chars, 9000000) * $wsScale) DIV h"))
       .select(col("doc_id"), col("n_chars"), col("priority"))
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(wsTopN)
@@ -271,7 +278,7 @@ object Warehouse {
   def weightedSampleSql: String =
     s"""WITH pri AS (
        |  SELECT doc_id, n_chars,
-       |    (n_chars * $wsScale) //
+       |    (LEAST(n_chars, 9000000) * $wsScale) //
        |      ((('0x' || substring(md5(concat_ws('#', 'ws', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT) + 1)
        |      AS priority
        |  FROM documents)

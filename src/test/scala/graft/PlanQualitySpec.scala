@@ -276,6 +276,9 @@ class PlanQualitySpec extends SparkTestBase {
   test("zord1/mad1/hll1: bounded-domain outputs skip the range exchange") {
     assert(countShuffles(operators.Warehouse.zorderStats(spark, sfDir)) <= 1)
     assert(countShuffles(operators.Sketches.hllSketch(spark, sfDir)) <= 4)
+    // mad1: the two percentile passes + the outlier ledger, all keyed on
+    // event_type; no range exchange on the 5-row output
+    assert(countShuffles(operators.Warehouse.robustOutliers(spark, sfDir)) <= 5)
   }
 
   test("ws1: weighted sample compiles to TakeOrderedAndProject, not a global sort") {
@@ -299,5 +302,9 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("cms1: registers and heavy hitters from the count table, not re-tokenized text") {
     assert(countScans(operators.Sketches.cmsHeavyHitters(spark, sfDir)) <= 2)
+  }
+
+  test("hll2: one register pass + the two-sided exact-intersect join, never the 7-scan star") {
+    assert(countScans(operators.Sketches.hllUnion(spark, sfDir)) <= 3)
   }
 }
