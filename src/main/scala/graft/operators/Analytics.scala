@@ -1927,7 +1927,70 @@ object Analytics {
        |FROM keyed GROUP BY user_id, feature_idx
        |ORDER BY user_id, feature_idx""".stripMargin
 
+  // === dp1: differentially-private counts (geometric mechanism) ============
+  val dpMaxNoise = 10
+
+  /** Two-sided-geometric CDF thresholds for alpha = 1/2 (the discrete
+    * Laplace / geometric mechanism at epsilon = ln 2):
+    * P(K = k) = (1/3) * (1/2)^(|k|) for k != 0, P(0) = 1/3; truncated
+    * at |k| <= 10 (residual mass ~6.5e-4 folded into the extremes).
+    * Like hll1's lcTable and bs1's Poisson thresholds, the CDF is
+    * precomputed and emitted as shortest-repr literals so both engines
+    * draw identical noise from the md5 uniform.
+    */
+  private val dpCdf: IndexedSeq[(Int, Double)] = {
+    val ks = (-dpMaxNoise to dpMaxNoise)
+    val mass = ks.map(k => if (k == 0) 1.0 / 3.0 else (1.0 / 3.0) * math.pow(0.5, math.abs(k)))
+    val total = mass.sum
+    val cum = mass.map(_ / total).scanLeft(0.0)(_ + _).tail
+    ks.zip(cum).toIndexedSeq
+  }
+
+  /** Differentially-private per-nation customer counts: the geometric
+    * mechanism (epsilon = ln 2 discrete Laplace) over exact counts, the
+    * noise drawn deterministically from an md5 uniform per group so the
+    * release is reproducible AND oracle-checkable. True counts ride
+    * along as the utility baseline (a production release drops them
+    * and salts the hash with a secret seed — determinism here is the
+    * test-harness contract, exactly as for smp1's sampling coin).
+    * Shape at 100 TB: one map-side-combinable count aggregate; the
+    * noise is a per-GROUP literal-table lookup — privacy releases cost
+    * one scan.
+    */
+  def dpCounts(s: SparkSession, dir: String): DataFrame = {
+    val u = TextAnalysis.md5Frac(lit("dp1"), col("n_name"))
+    val noise = dpCdf.reverse.foldLeft(lit(dpMaxNoise)) { case (acc, (k, thr)) =>
+      when(u < thr, k).otherwise(acc)
+    }
+    t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("noise", noise.cast(LongType))
+      .select(col("n_name"), col("true_count"),
+        greatest(col("true_count") + col("noise"), lit(0L)).as("dp_count"),
+        col("noise"))
+      .orderedSmall(col("n_name"))
+  }
+
+  val dpCountsSql: String = {
+    val u = TextAnalysis.sqlMd5Frac("'dp1'", "n_name")
+    val cases = dpCdf.map { case (k, thr) => s"WHEN $u < $thr THEN $k" }.mkString(" ")
+    s"""WITH counts AS (
+       |  SELECT n_name, COUNT(*) AS true_count
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY n_name),
+       |noisy AS (
+       |  SELECT n_name, true_count,
+       |    CAST((CASE $cases ELSE $dpMaxNoise END) AS BIGINT) AS noise
+       |  FROM counts)
+       |SELECT n_name, true_count,
+       |  GREATEST(true_count + noise, 0) AS dp_count, noise
+       |FROM noisy ORDER BY n_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dp1_dp_counts" -> dpCounts _,
     "fh1_feature_hashing" -> featureHashing _,
     "cal1_margin_calibration" -> marginCalibration _,
     "fair1_group_parity" -> groupParity _,
@@ -1964,6 +2027,7 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "dp1_dp_counts" -> dpCountsSql,
     "fh1_feature_hashing" -> featureHashingSql,
     "cal1_margin_calibration" -> marginCalibrationSql,
     "fair1_group_parity" -> groupParitySql,

@@ -45,6 +45,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(nOut < n / 10, "3-sigma flags must be rare")
   }
 
+  test("dp1: noise is bounded, deterministic, and dp_count never goes negative") {
+    val a = Analytics.dpCounts(spark, sfDir).collect()
+    val b = Analytics.dpCounts(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "md5-seeded noise must be reproducible")
+    a.foreach { row =>
+      val noise = row.getAs[Long]("noise")
+      assert(math.abs(noise) <= Analytics.dpMaxNoise)
+      assert(row.getAs[Long]("dp_count") >= 0)
+      assert(row.getAs[Long]("dp_count") ==
+        math.max(row.getAs[Long]("true_count") + noise, 0L))
+    }
+    // the mechanism must actually perturb something on a 25-group release
+    assert(a.exists(_.getAs[Long]("noise") != 0L))
+  }
+
   test("fh1: hashed features conserve event mass (3 features per event)") {
     val r = Analytics.featureHashing(spark, sfDir).cache()
     val nEvents = graft.Engine.table(spark, sfDir, "events").count()
