@@ -1698,19 +1698,34 @@ object Analytics {
     * band of the replica means.
     */
   def poissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    // one md5 yields FOUR 32-bit uniforms (8 hex chars each) — 8 hashes
+    // per row serve all 32 replicas; the weighted sums run as NATIVE
+    // LONG aggregates over the value's units/micros split (the
+    // Exact.dsum argument: per-partition long partials stay far below
+    // 2^63 at any scale) and combine into DECIMAL(38,0) once per group
+    val hexCols = (0 until bootReplicas / 4).map(g =>
+      md5(concat_ws("#", lit("bs"), lit(g), col("o_orderkey"))).as(s"hx_$g"))
     val base = t(s, dir, "orders")
-      .select(col("o_orderkey"), Exact.micros(col("o_totalprice")).as("m"))
+      .select(Seq(col("o_orderkey"), Exact.micros(col("o_totalprice")).as("m")) ++ hexCols: _*)
+      .withColumn("mu", expr("m DIV 1000000"))
+      .withColumn("mf", expr("m % 1000000"))
     def weight(b: Int): org.apache.spark.sql.Column = {
-      val u = TextAnalysis.md5Frac(lit("bs"), lit(b), col("o_orderkey"))
+      val u = conv(substring(col(s"hx_${b / 4}"), 1 + 8 * (b % 4), 8), 16, 10)
+        .cast(LongType).cast(DoubleType) / lit(4294967296.0)
       poisCdf.zipWithIndex.reverse.foldLeft(lit(7L)) { case (acc, (thr, k)) =>
         when(u < thr, k.toLong).otherwise(acc)
       }
     }
     val aggs = (0 until bootReplicas).flatMap { b =>
-      Seq(sum((weight(b) * col("m")).cast(Exact.D380)).as(s"wm_$b"), // pre-sum cast: overflow-safe
+      Seq(sum(weight(b) * col("mu")).as(s"wu_$b"),
+        sum(weight(b) * col("mf")).as(s"wf_$b"),
         sum(weight(b)).as(s"w_$b"))
     } ++ Seq(count(lit(1)).as("n"), sum(col("m").cast(Exact.D380)).as("tm"))
     val wide = base.agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("n"), col("tm")) ++
+        (0 until bootReplicas).flatMap(b => Seq(
+          (col(s"wu_$b").cast(Exact.D380) * lit(1000000L) + col(s"wf_$b")).as(s"wm_$b"),
+          col(s"w_$b"))): _*)
     // replica means as integer micros (exact across-replica moments)
     val meanCols = (0 until bootReplicas).map { b =>
       Exact.micros(Exact.toUnits(col(s"wm_$b")) / col(s"w_$b")).as(s"bm_$b")
@@ -1735,24 +1750,39 @@ object Analytics {
   }
 
   val poissonBootstrapSql: String = {
+    val hexCols = (0 until bootReplicas / 4).map(g =>
+      s"md5(concat_ws('#', 'bs', '$g', CAST(o_orderkey AS VARCHAR))) AS hx_$g")
+      .mkString(",\n    ")
     val weight = (b: Int) => {
-      val u = TextAnalysis.sqlMd5Frac("'bs'", s"'$b'", "CAST(o_orderkey AS VARCHAR)")
+      val u = s"(CAST(('0x' || substring(hx_${b / 4}, ${1 + 8 * (b % 4)}, 8))::BIGINT AS DOUBLE) / 4294967296.0)"
       val cases = poisCdf.zipWithIndex
         .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }.mkString(" ")
       s"(CASE $cases ELSE 7 END)"
     }
     val aggs = (0 until bootReplicas).map { b =>
-      s"SUM(CAST(${weight(b)} * m AS HUGEINT)) AS wm_$b, SUM(${weight(b)}) AS w_$b"
+      s"SUM(CAST(${weight(b)} * mu AS HUGEINT)) AS wu_$b, " +
+        s"SUM(CAST(${weight(b)} * mf AS HUGEINT)) AS wf_$b, SUM(${weight(b)}) AS w_$b"
+    }.mkString(",\n  ")
+    val wms = (0 until bootReplicas).map { b =>
+      s"wu_$b * 1000000 + wf_$b AS wm_$b, w_$b"
     }.mkString(",\n  ")
     val bms = (0 until bootReplicas).map { b =>
       Exact.sqlMicros(s"${Exact.sqlToUnits(s"wm_$b")} / w_$b")
     }.mkString(", ")
     s"""WITH base AS (
-       |  SELECT o_orderkey, ${Exact.sqlMicros("o_totalprice")} AS m FROM orders),
-       |wide AS (
+       |  SELECT o_orderkey, ${Exact.sqlMicros("o_totalprice")} AS m,
+       |    ${Exact.sqlMicros("o_totalprice")} // 1000000 AS mu,
+       |    ${Exact.sqlMicros("o_totalprice")} % 1000000 AS mf,
+       |    $hexCols
+       |  FROM orders),
+       |sums AS (
        |  SELECT COUNT(*) AS n, SUM(CAST(m AS HUGEINT)) AS tm,
        |  $aggs
        |  FROM base),
+       |wide AS (
+       |  SELECT n, tm,
+       |  $wms
+       |  FROM sums),
        |stacked AS (
        |  SELECT n, tm, UNNEST([$bms]) AS bm FROM wide),
        |agg AS (

@@ -242,6 +242,80 @@ object Warehouse {
        |  ${Exact.sqlToUnits(Exact.sqlMsum("o_totalprice"))} AS revenue
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // === zord2: Z-order pruning audit ========================================
+  // the audited 2-D range predicate, in the 8-bit bucketed space
+  val zPredX: (Int, Int) = (64, 127)
+  val zPredY: (Int, Int) = (32, 95)
+
+  /** The payoff measurement for zord1's layout: against the per-block
+    * min/max ledger (exactly the parquet file statistics a z-sorted
+    * write produces), a 2-D range predicate keeps only blocks whose
+    * bounding box intersects it. The audit reports blocks and rows
+    * scanned vs the true matching rows — the data-skipping ratio a
+    * lakehouse buys by clustering. Min/max pruning is SOUND (every
+    * matching row lives in a kept block), so rows_scanned bounds
+    * rows_matching from above; the spec pins both soundness and that
+    * the Z-layout actually prunes (>50% of blocks skipped for a
+    * quarter-space predicate).
+    *
+    * Shape: one conditional-aggregation pass over the 1024-row ledger
+    * + one truth scan (the verification baseline a deployment drops).
+    */
+  def zorderPruneAudit(s: SparkSession, dir: String): DataFrame = {
+    val keep = col("max_x") >= zPredX._1 && col("min_x") <= zPredX._2 &&
+      col("max_y") >= zPredY._1 && col("min_y") <= zPredY._2
+    val ledger = zorderStats(s, dir)
+      .agg(count(lit(1)).as("n_blocks_total"),
+        sum(col("n_rows")).cast(LongType).as("rows_total"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_blocks_kept"),
+        sum(when(keep, col("n_rows")).otherwise(0L)).cast(LongType).as("rows_scanned"))
+    val x = col("o_custkey").bitwiseAND(255L)
+    val y = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+      .cast(LongType).bitwiseAND(255L)
+    val truth = t(s, dir, "orders")
+      .select(x.as("x"), y.as("y"))
+      .filter(col("x").between(zPredX._1, zPredX._2) &&
+        col("y").between(zPredY._1, zPredY._2))
+      .agg(count(lit(1)).as("rows_matching"))
+    ledger.crossJoin(truth)
+      .select(col("n_blocks_total"), col("n_blocks_kept"),
+        col("rows_total"), col("rows_scanned"), col("rows_matching"),
+        (lit(1.0) - col("rows_scanned").cast(DoubleType) /
+          col("rows_total").cast(DoubleType)).as("prune_ratio"))
+  }
+
+  def zorderPruneAuditSql: String = {
+    val zExpr = (0 until zDimBits).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH dims AS (
+       |  SELECT o_custkey & 255 AS x,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 255 AS y
+       |  FROM orders),
+       |keyed AS (SELECT x, y, ($zExpr) AS zkey FROM dims),
+       |blocks AS (
+       |  SELECT zkey >> $zBlockShift AS z_block, COUNT(*) AS n_rows,
+       |    MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+       |  FROM keyed GROUP BY z_block),
+       |ledger AS (
+       |  SELECT COUNT(*) AS n_blocks_total,
+       |    CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       |    CAST(SUM(CASE WHEN max_x >= ${zPredX._1} AND min_x <= ${zPredX._2}
+       |          AND max_y >= ${zPredY._1} AND min_y <= ${zPredY._2}
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks_kept,
+       |    CAST(SUM(CASE WHEN max_x >= ${zPredX._1} AND min_x <= ${zPredX._2}
+       |          AND max_y >= ${zPredY._1} AND min_y <= ${zPredY._2}
+       |      THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+       |  FROM blocks),
+       |truth AS (
+       |  SELECT COUNT(*) AS rows_matching FROM dims
+       |  WHERE x BETWEEN ${zPredX._1} AND ${zPredX._2}
+       |    AND y BETWEEN ${zPredY._1} AND ${zPredY._2})
+       |SELECT n_blocks_total, n_blocks_kept, rows_total, rows_scanned, rows_matching,
+       |  1.0 - CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE) AS prune_ratio
+       |FROM ledger, truth""".stripMargin
+  }
+
   // === ws1: deterministic weighted sample ==================================
   val wsTopN = 100
   private val wsScale = 1000000000000L // 1e12
@@ -443,6 +517,7 @@ object Warehouse {
     "pit1_point_in_time" -> pointInTime _,
     "ivm1_partial_merge" -> partialMerge _,
     "prof3_value_histogram" -> histogramProfile _,
+    "zord2_prune_audit" -> zorderPruneAudit _,
     "zord1_zorder_stats" -> zorderStats _,
     "ws1_weighted_sample" -> weightedSample _,
     "mad1_robust_outliers" -> robustOutliers _)
@@ -452,6 +527,7 @@ object Warehouse {
     "pit1_point_in_time" -> pointInTimeSql,
     "ivm1_partial_merge" -> partialMergeSql,
     "prof3_value_histogram" -> histogramProfileSql,
+    "zord2_prune_audit" -> zorderPruneAuditSql,
     "zord1_zorder_stats" -> zorderStatsSql,
     "ws1_weighted_sample" -> weightedSampleSql,
     "mad1_robust_outliers" -> robustOutliersSql)

@@ -103,6 +103,17 @@ class WarehouseSpec extends SparkTestBase {
     z.unpersist()
   }
 
+  test("zord2: min/max pruning is sound and the Z-layout actually skips blocks") {
+    val row = Warehouse.zorderPruneAudit(spark, sfDir).collect()(0)
+    assert(row.getAs[Long]("rows_scanned") >= row.getAs[Long]("rows_matching"),
+      "pruning must never skip a block containing a matching row")
+    assert(row.getAs[Long]("n_blocks_kept") <= row.getAs[Long]("n_blocks_total"))
+    // a tile-aligned quarter-space predicate keeps ~1/16 of the blocks;
+    // anything under half proves the layout clusters both dimensions
+    assert(row.getAs[Double]("prune_ratio") > 0.5,
+      s"Z-order should prune most rows, got ${row.getAs[Double]("prune_ratio")}")
+  }
+
   test("ws1: sample is a deterministic subset, weight-monotone under equal hash") {
     val a = Warehouse.weightedSample(spark, sfDir).collect().toSeq
     val b = Warehouse.weightedSample(spark, sfDir).collect().toSeq
