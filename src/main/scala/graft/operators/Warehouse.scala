@@ -453,6 +453,111 @@ object Warehouse {
        |ORDER BY e.grp""".stripMargin
   }
 
+  // === cmp1: encoding advisor ==============================================
+  val cmpColumns: Seq[(String, String)] = Seq(
+    "orders" -> "o_orderstatus", "orders" -> "o_orderpriority",
+    "lineitem" -> "l_returnflag", "lineitem" -> "l_linestatus")
+
+  /** The storage advisor a lakehouse writer consults: per low-cardinality
+    * string column, exact plain-vs-dictionary encoding size estimates —
+    * plain = total value bytes; dict = the dictionary's bytes plus
+    * n * ceil(log2(d)) index bits. ceil(log2) comes from bin()-length
+    * integer arithmetic (the hll1 rho trick), so the whole ledger is
+    * exact integers and one final ratio division. Each column costs one
+    * scan collapsed to a value-domain aggregate (map-side combinable);
+    * the advisor output is a handful of rows.
+    */
+  def encodingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val perCol = cmpColumns.map { case (tbl, c) =>
+      val vals = t(s, dir, tbl)
+        .groupBy(col(c).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      vals.agg(
+        sum(col("cnt")).cast(LongType).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * octet_length(col("v"))).cast(LongType).as("plain_bytes"),
+        sum(octet_length(col("v"))).cast(LongType).as("dict_value_bytes"))
+        .select(lit(tbl).as("table_name"), lit(c).as("column_name"),
+          col("n"), col("n_distinct"), col("plain_bytes"), col("dict_value_bytes"))
+    }
+    val bits = when(col("n_distinct") <= 1, 0L)
+      .otherwise(length(bin(col("n_distinct") - 1)).cast(LongType))
+    perCol.reduce(_ unionByName _)
+      .withColumn("index_bits_per_row", bits)
+      .withColumn("dict_bytes", // DIV: integral division, mirroring DuckDB's //
+        expr("dict_value_bytes + (n * index_bits_per_row + 7) DIV 8"))
+      .select(col("table_name"), col("column_name"), col("n"), col("n_distinct"),
+        col("plain_bytes"), col("dict_bytes"),
+        (col("plain_bytes").cast(DoubleType) / col("dict_bytes").cast(DoubleType))
+          .as("compression_ratio"))
+      .orderedSmall(col("table_name"), col("column_name"))
+  }
+
+  def encodingAdvisorSql: String = {
+    val branches = cmpColumns.map { case (tbl, c) =>
+      s"""SELECT '$tbl' AS table_name, '$c' AS column_name,
+         |  CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS n_distinct,
+         |  CAST(SUM(cnt * strlen(v)) AS BIGINT) AS plain_bytes,
+         |  CAST(SUM(strlen(v)) AS BIGINT) AS dict_value_bytes
+         |FROM (SELECT $c AS v, COUNT(*) AS cnt FROM $tbl GROUP BY $c)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH per_col AS (
+       |$branches),
+       |sized AS (
+       |  SELECT *,
+       |    CASE WHEN n_distinct <= 1 THEN 0
+       |         ELSE CAST(length(bin(n_distinct - 1)) AS BIGINT) END AS index_bits_per_row
+       |  FROM per_col)
+       |SELECT table_name, column_name, n, n_distinct, plain_bytes,
+       |  dict_value_bytes + (n * index_bits_per_row + 7) // 8 AS dict_bytes,
+       |  CAST(plain_bytes AS DOUBLE)
+       |    / CAST(dict_value_bytes + (n * index_bits_per_row + 7) // 8 AS DOUBLE)
+       |    AS compression_ratio
+       |FROM sized ORDER BY table_name, column_name""".stripMargin
+  }
+
+  // === fd1: functional-dependency audit ====================================
+  val fdCandidates: Seq[(String, String, String)] = Seq(
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"))
+
+  /** Functional-dependency audit: det -> dep holds iff the determinant's
+    * distinct count equals the (det, dep) pair distinct count — the
+    * schema-discovery probe behind normalization advice, join-key
+    * validation and dq1-style constraint mining. Each candidate is one
+    * combinable distinct aggregate over its table; the verdicts are a
+    * candidate-bounded handful of rows.
+    */
+  def functionalDeps(s: SparkSession, dir: String): DataFrame = {
+    val rows = fdCandidates.map { case (tbl, det, dep) =>
+      t(s, dir, tbl).agg(
+        countDistinct(col(det)).as("n_det"),
+        countDistinct(col(det), col(dep)).as("n_det_dep"))
+        .select(lit(tbl).as("table_name"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("n_det"), col("n_det_dep"),
+          (col("n_det") === col("n_det_dep")).cast(IntegerType).as("holds"))
+    }
+    rows.reduce(_ unionByName _)
+      .orderedSmall(col("table_name"), col("determinant"), col("dependent"))
+  }
+
+  def functionalDepsSql: String = {
+    val branches = fdCandidates.map { case (tbl, det, dep) =>
+      s"""SELECT '$tbl' AS table_name, '$det' AS determinant, '$dep' AS dependent,
+         |  CAST(COUNT(DISTINCT $det) AS BIGINT) AS n_det,
+         |  CAST(COUNT(DISTINCT ($det, $dep)) AS BIGINT) AS n_det_dep,
+         |  CAST(CASE WHEN COUNT(DISTINCT $det) = COUNT(DISTINCT ($det, $dep))
+         |    THEN 1 ELSE 0 END AS INTEGER) AS holds
+         |FROM $tbl""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$branches)
+       |ORDER BY table_name, determinant, dependent""".stripMargin
+  }
+
   // === mad1: robust median/MAD outlier ledger ==============================
   /** Per-event-type robust center and spread: exact median, median
     * absolute deviation, and the count of 3-MAD outliers — the
@@ -518,6 +623,8 @@ object Warehouse {
     "ivm1_partial_merge" -> partialMerge _,
     "prof3_value_histogram" -> histogramProfile _,
     "zord2_prune_audit" -> zorderPruneAudit _,
+    "cmp1_encoding_advisor" -> encodingAdvisor _,
+    "fd1_functional_deps" -> functionalDeps _,
     "zord1_zorder_stats" -> zorderStats _,
     "ws1_weighted_sample" -> weightedSample _,
     "mad1_robust_outliers" -> robustOutliers _)
@@ -528,6 +635,8 @@ object Warehouse {
     "ivm1_partial_merge" -> partialMergeSql,
     "prof3_value_histogram" -> histogramProfileSql,
     "zord2_prune_audit" -> zorderPruneAuditSql,
+    "cmp1_encoding_advisor" -> encodingAdvisorSql,
+    "fd1_functional_deps" -> functionalDepsSql,
     "zord1_zorder_stats" -> zorderStatsSql,
     "ws1_weighted_sample" -> weightedSampleSql,
     "mad1_robust_outliers" -> robustOutliersSql)

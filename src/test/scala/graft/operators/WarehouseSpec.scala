@@ -114,6 +114,27 @@ class WarehouseSpec extends SparkTestBase {
       s"Z-order should prune most rows, got ${row.getAs[Double]("prune_ratio")}")
   }
 
+  test("cmp1: dictionary estimates beat plain encoding for low-cardinality columns") {
+    val r = Warehouse.encodingAdvisor(spark, sfDir).collect()
+    assert(r.length == Warehouse.cmpColumns.length)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_distinct") <= row.getAs[Long]("n"))
+      assert(row.getAs[Long]("dict_bytes") > 0 && row.getAs[Long]("plain_bytes") > 0)
+      // these are all handful-of-values columns: dictionary must win
+      assert(row.getAs[Double]("compression_ratio") > 1.0,
+        s"${row.getAs[String]("column_name")} should dictionary-compress")
+    }
+  }
+
+  test("fd1: key columns determine, non-keys do not") {
+    val r = Warehouse.functionalDeps(spark, sfDir).collect()
+      .map(row => (row.getAs[String]("determinant"), row.getAs[Int]("holds"))).toMap
+    assert(r("o_orderkey") == 1, "primary key determines every column")
+    assert(r("c_custkey") == 1)
+    assert(r("n_nationkey") == 1)
+    assert(r("c_nationkey") == 0, "25 nations cannot determine 5 segments x 25")
+  }
+
   test("ws1: sample is a deterministic subset, weight-monotone under equal hash") {
     val a = Warehouse.weightedSample(spark, sfDir).collect().toSeq
     val b = Warehouse.weightedSample(spark, sfDir).collect().toSeq
