@@ -1716,12 +1716,17 @@ object Analytics {
         when(u < thr, k.toLong).otherwise(acc)
       }
     }
+    // weights PROJECT once per row — referenced three times each inside
+    // the aggregate, the CASE chain would otherwise evaluate 96x/row
+    val weighted = base.select(
+      Seq(col("m"), col("mu"), col("mf")) ++
+        (0 until bootReplicas).map(b => weight(b).as(s"wt_$b")): _*)
     val aggs = (0 until bootReplicas).flatMap { b =>
-      Seq(sum(weight(b) * col("mu")).as(s"wu_$b"),
-        sum(weight(b) * col("mf")).as(s"wf_$b"),
-        sum(weight(b)).as(s"w_$b"))
+      Seq(sum(col(s"wt_$b") * col("mu")).as(s"wu_$b"),
+        sum(col(s"wt_$b") * col("mf")).as(s"wf_$b"),
+        sum(col(s"wt_$b")).as(s"w_$b"))
     } ++ Seq(count(lit(1)).as("n"), sum(col("m").cast(Exact.D380)).as("tm"))
-    val wide = base.agg(aggs.head, aggs.tail: _*)
+    val wide = weighted.agg(aggs.head, aggs.tail: _*)
       .select(Seq(col("n"), col("tm")) ++
         (0 until bootReplicas).flatMap(b => Seq(
           (col(s"wu_$b").cast(Exact.D380) * lit(1000000L) + col(s"wf_$b")).as(s"wm_$b"),
