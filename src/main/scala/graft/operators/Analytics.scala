@@ -1237,24 +1237,35 @@ object Analytics {
     * broadcasts (50 vectors); relevant-total counts come from the
     * 10-row label table.
     */
-  def labelRetrievalAp(s: SparkSession, dir: String, k: Int = 20, nQueries: Int = 50): DataFrame = {
-    val L = 232792560L // lcm(1..20)
+  /** The ranked label-retrieval frame shared by map1 (AP) and mrr1
+    * (MRR): per query, the top-k neighbors by exact cosine with
+    * relevance = label match and the cumulative relevant count.
+    */
+  private def rankedRetrieval(s: SparkSession, dir: String, k: Int,
+      nQueries: Int): DataFrame = {
     val e = Par.fanOut(t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), transform(col("embedding"), x => x.cast(DoubleType)).as("v")))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
-    val labelTotals = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
     val pairs = broadcast(q)
       .join(e.select(col("vec_id").as("n_id"), col("label").as("n_label"), col("v").as("nv")))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
-    val ranked = pairs
+    pairs
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .withColumn("rel", when(col("n_label") === col("q_label"), 1L).otherwise(0L))
       .withColumn("cumRel", sum(col("rel")).over(wCum))
+  }
+
+  def labelRetrievalAp(s: SparkSession, dir: String, k: Int = 20, nQueries: Int = 50): DataFrame = {
+    val L = 232792560L // lcm(1..20)
+    val e = Par.fanOut(t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), transform(col("embedding"), x => x.cast(DoubleType)).as("v")))
+    val labelTotals = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val ranked = rankedRetrieval(s, dir, k, nQueries)
     val perQuery = ranked
       .groupBy(col("q_id"), col("q_label"))
       .agg(
@@ -1270,12 +1281,13 @@ object Analytics {
       .orderBy(col("q_id"))
   }
 
-  def labelRetrievalApSql(k: Int = 20, nQueries: Int = 50): String = {
-    val L = 232792560L
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The e/q/p/r/topk CTE chain shared by the map1 and mrr1 oracles —
+    * one definition, mirroring `rankedRetrieval`.
+    */
+  private def sqlRankedRetrieval(k: Int, nQueries: Int): String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
        |      WHERE vec_id < $nQueries),
-       |lt AS (SELECT label, COUNT(*) AS n_label FROM e GROUP BY 1),
        |p AS (
        |  SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
        |    list_dot_product(qv, v)
@@ -1291,7 +1303,12 @@ object Analytics {
        |    SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY q_id ORDER BY rnk
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumRel
-       |  FROM r WHERE rnk <= $k),
+       |  FROM r WHERE rnk <= $k)""".stripMargin
+
+  def labelRetrievalApSql(k: Int = 20, nQueries: Int = 50): String = {
+    val L = 232792560L
+    s"""WITH ${sqlRankedRetrieval(k, nQueries)},
+       |lt AS (SELECT label, COUNT(*) AS n_label FROM e GROUP BY 1),
        |pq AS (
        |  SELECT q_id, q_label,
        |    CAST(SUM(rel) AS BIGINT) AS rel_at_k,
@@ -1303,6 +1320,153 @@ object Analytics {
        |FROM pq JOIN lt ON lt.label = pq.q_label
        |ORDER BY q_id""".stripMargin
   }
+
+  // === mrr1: exact mean-reciprocal-rank ====================================
+  /** MRR for the label-retrieval task, per query: the reciprocal rank
+    * of the FIRST relevant neighbor in the exact top-20 — the eval
+    * every retrieval/RAG stack reports beside map1's AP. 1/rank is the
+    * exact rational (lcm DIV rank) / lcm: one correctly-rounded
+    * division per query, no float accumulation. Queries with no
+    * relevant neighbor in the window score 0 (the standard convention).
+    * Shares `rankedRetrieval` (and its SQL CTE chain) with map1.
+    */
+  def labelRetrievalMrr(s: SparkSession, dir: String, k: Int = 20, nQueries: Int = 50): DataFrame = {
+    val L = 232792560L // lcm(1..20)
+    rankedRetrieval(s, dir, k, nQueries)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(min(when(col("rel") === 1L, col("rnk"))).as("frr"))
+      .select(col("q_id"), col("q_label"),
+        coalesce(col("frr"), lit(0)).cast(IntegerType).as("first_rel_rank"),
+        when(col("frr").isNotNull,
+          expr(s"CAST($L DIV frr AS DOUBLE)") / lit(L.toDouble)).otherwise(lit(0.0))
+          .as("rr"))
+      .orderedSmall(col("q_id")) // nQueries-bounded
+  }
+
+  def labelRetrievalMrrSql(k: Int = 20, nQueries: Int = 50): String = {
+    val L = 232792560L
+    s"""WITH ${sqlRankedRetrieval(k, nQueries)},
+       |fr AS (
+       |  SELECT q_id, q_label, MIN(CASE WHEN rel = 1 THEN rnk END) AS frr
+       |  FROM topk GROUP BY 1, 2)
+       |SELECT q_id, q_label,
+       |  CAST(COALESCE(frr, 0) AS INTEGER) AS first_rel_rank,
+       |  CASE WHEN frr IS NOT NULL
+       |    THEN CAST($L // frr AS DOUBLE) / $L.0 ELSE 0.0 END AS rr
+       |FROM fr ORDER BY q_id""".stripMargin
+  }
+
+  // === exp4: Wilcoxon rank-sum (Mann-Whitney U) ============================
+  /** The nonparametric A/B readout completing the experimentation
+    * family: users rank by total purchase value (exact micros), arms
+    * come from the md5 coin, and the tie-corrected rank-sum statistic
+    * stays in exact integers by the doubling trick — the average rank
+    * of a tie group, 2*avg = 2*min_rank + ties - 1, is always a whole
+    * number. U2 = 2*U and the no-tie normal approximation's z are
+    * derived in one deterministic IEEE chain (the tie-corrected
+    * variance term is omitted and documented — ties here are rare
+    * micro-valued collisions).
+    *
+    * Shape at 100 TB: the per-user aggregate is the only data-sized
+    * shuffle; the global rank window is the clv1 trade-off — swap in
+    * the bucket-histogram rank construction when the user dimension
+    * outgrows a task.
+    */
+  def rankSumTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(Exact.micros(col("value"))).as("metric"))
+      .withColumn("treat",
+        TextAnalysis.md5Frac(lit("exp4"), col("user_id")) < 0.5)
+    val wOrd = Window.orderBy(col("metric"))
+    val wTie = Window.partitionBy(col("metric"))
+    val ranked = perUser
+      .withColumn("r_min", rank().over(wOrd))
+      .withColumn("ties", count(lit(1)).over(wTie))
+      .withColumn("rank2", lit(2L) * col("r_min") + col("ties") - 1L)
+    val agg = ranked.agg(
+      sum(when(col("treat"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(!col("treat"), 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("treat"), col("rank2")).otherwise(0L)).as("rank_sum2_t"))
+    val u2 = col("rank_sum2_t") - col("n_t") * (col("n_t") + 1L)
+    val nT = col("n_t").cast(DoubleType)
+    val nC = col("n_c").cast(DoubleType)
+    agg.select(col("n_t"), col("n_c"), col("rank_sum2_t"),
+      u2.as("u2_stat"),
+      ((u2.cast(DoubleType) - nT * nC) /
+        sqrt(nT * nC * (nT + nC + 1.0) / 3.0) / 2.0).as("z_approx"))
+  }
+
+  val rankSumTestSql: String = {
+    val coin = TextAnalysis.sqlMd5Frac("'exp4'", "CAST(user_id AS VARCHAR)")
+    s"""WITH per_user AS (
+       |  SELECT user_id, CAST(SUM(${Exact.sqlMicros("value")}) AS BIGINT) AS metric
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |armed AS (
+       |  SELECT metric, $coin < 0.5 AS treat FROM per_user),
+       |ranked AS (
+       |  SELECT treat,
+       |    2 * RANK() OVER (ORDER BY metric)
+       |      + COUNT(*) OVER (PARTITION BY metric) - 1 AS rank2
+       |  FROM armed),
+       |agg AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(SUM(CASE WHEN treat THEN rank2 ELSE 0 END) AS BIGINT) AS rank_sum2_t
+       |  FROM ranked)
+       |SELECT n_t, n_c, rank_sum2_t,
+       |  rank_sum2_t - n_t * (n_t + 1) AS u2_stat,
+       |  (CAST(rank_sum2_t - n_t * (n_t + 1) AS DOUBLE)
+       |    - CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE))
+       |    / sqrt(CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE)
+       |           * (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE) + 1.0) / 3.0) / 2.0
+       |    AS z_approx
+       |FROM agg""".stripMargin
+  }
+
+  // === skw2: key-skew profiler =============================================
+  /** The skew diagnostic that decides whether skw1's salting is worth
+    * its overhead: the distribution of per-key group sizes for a join
+    * key — exact p50/p99 (the mad1 doubled-integer percentile
+    * discipline is unnecessary here: sizes are integers and both
+    * engines interpolate identically), the heaviest key, and the
+    * max/avg skew ratio. One combinable count aggregate; the profile
+    * itself is a single row.
+    */
+  def keySkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val sizes = t(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("sz"))
+    sizes.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("sz")).cast(LongType).as("n_rows"),
+      percentile(col("sz"), lit(0.5)).as("p50_size"),
+      percentile(col("sz"), lit(0.99)).as("p99_size"),
+      max(col("sz")).as("max_size"),
+      max(struct(col("sz"), (-col("user_id")).as("nk"))).as("mx"))
+      .select(col("n_keys"), col("n_rows"), col("p50_size"), col("p99_size"),
+        col("max_size"),
+        (-col("mx.nk")).as("max_key"),
+        (col("max_size").cast(DoubleType) * col("n_keys").cast(DoubleType) /
+          col("n_rows").cast(DoubleType)).as("skew_ratio"))
+  }
+
+  val keySkewProfileSql: String =
+    """WITH sizes AS (
+      |  SELECT user_id, COUNT(*) AS sz FROM events GROUP BY user_id),
+      |prof AS (
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(sz) AS BIGINT) AS n_rows,
+      |    quantile_cont(sz, 0.5) AS p50_size,
+      |    quantile_cont(sz, 0.99) AS p99_size,
+      |    MAX(sz) AS max_size,
+      |    MIN(user_id) FILTER (WHERE sz = (SELECT MAX(sz) FROM sizes)) AS max_key
+      |  FROM sizes)
+      |SELECT n_keys, n_rows, p50_size, p99_size, max_size, max_key,
+      |  CAST(max_size AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+      |    AS skew_ratio
+      |FROM prof""".stripMargin
 
   // === imp1: Horvitz-Thompson estimate off the smp1 sample =================
   /** Sampling calibration: the inverse-probability-weighted token total
@@ -2026,6 +2190,9 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dp1_dp_counts" -> dpCounts _,
+    "mrr1_retrieval_mrr" -> ((s: SparkSession, d: String) => labelRetrievalMrr(s, d)),
+    "exp4_rank_sum" -> rankSumTest _,
+    "skw2_key_skew" -> keySkewProfile _,
     "fh1_feature_hashing" -> featureHashing _,
     "cal1_margin_calibration" -> marginCalibration _,
     "fair1_group_parity" -> groupParity _,
@@ -2063,6 +2230,9 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "dp1_dp_counts" -> dpCountsSql,
+    "mrr1_retrieval_mrr" -> labelRetrievalMrrSql(),
+    "exp4_rank_sum" -> rankSumTestSql,
+    "skw2_key_skew" -> keySkewProfileSql,
     "fh1_feature_hashing" -> featureHashingSql,
     "cal1_margin_calibration" -> marginCalibrationSql,
     "fair1_group_parity" -> groupParitySql,

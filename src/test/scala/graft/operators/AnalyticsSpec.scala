@@ -45,6 +45,39 @@ class AnalyticsSpec extends SparkTestBase {
     assert(nOut < n / 10, "3-sigma flags must be rare")
   }
 
+  test("mrr1: reciprocal ranks are exact rationals consistent with first_rel_rank") {
+    val r = Analytics.labelRetrievalMrr(spark, sfDir).collect()
+    assert(r.length == 50)
+    r.foreach { row =>
+      val frr = row.getAs[Int]("first_rel_rank")
+      val rr = row.getAs[Double]("rr")
+      if (frr == 0) assert(rr == 0.0)
+      else {
+        assert(frr >= 1 && frr <= 20)
+        assert(rr == 232792560L / frr / 232792560.0, s"rr must be exactly 1/$frr")
+      }
+    }
+  }
+
+  test("exp4: rank-sum identities (total 2x-rank mass, U bounds)") {
+    val row = Analytics.rankSumTest(spark, sfDir).collect()(0)
+    val nT = row.getAs[Long]("n_t"); val nC = row.getAs[Long]("n_c")
+    val u2 = row.getAs[Long]("u2_stat")
+    assert(nT > 0 && nC > 0)
+    // 0 <= U <= n_t * n_c
+    assert(u2 >= 0 && u2 <= 2 * nT * nC, s"2U=$u2 outside [0, ${2 * nT * nC}]")
+    val z = row.getAs[Double]("z_approx")
+    assert(math.abs(z) < 10, "arms from a fair coin should not diverge wildly")
+  }
+
+  test("skw2: profile internally consistent (p50 <= p99 <= max, ratio >= 1)") {
+    val row = Analytics.keySkewProfile(spark, sfDir).collect()(0)
+    assert(row.getAs[Double]("p50_size") <= row.getAs[Double]("p99_size"))
+    assert(row.getAs[Double]("p99_size") <= row.getAs[Long]("max_size").toDouble)
+    assert(row.getAs[Double]("skew_ratio") >= 1.0,
+      "max/avg is at least 1 by definition")
+  }
+
   test("dp1: noise is bounded, deterministic, and dp_count never goes negative") {
     val a = Analytics.dpCounts(spark, sfDir).collect()
     val b = Analytics.dpCounts(spark, sfDir).collect()
