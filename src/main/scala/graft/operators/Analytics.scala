@@ -1880,37 +1880,34 @@ object Analytics {
         when(u < thr, k.toLong).otherwise(acc)
       }
     }
-    // weights PROJECT once per row — referenced three times each inside
-    // the aggregate, the CASE chain would otherwise evaluate 96x/row
-    val weighted = base.select(
-      Seq(col("m"), col("mu"), col("mf")) ++
-        (0 until bootReplicas).map(b => weight(b).as(s"wt_$b")): _*)
-    val aggs = (0 until bootReplicas).flatMap { b =>
-      Seq(sum(col(s"wt_$b") * col("mu")).as(s"wu_$b"),
-        sum(col(s"wt_$b") * col("mf")).as(s"wf_$b"),
-        sum(col(s"wt_$b")).as(s"w_$b"))
-    } ++ Seq(count(lit(1)).as("n"), sum(col("m").cast(Exact.D380)).as("tm"))
-    val wide = weighted.agg(aggs.head, aggs.tail: _*)
-      .select(Seq(col("n"), col("tm")) ++
-        (0 until bootReplicas).flatMap(b => Seq(
-          (col(s"wu_$b").cast(Exact.D380) * lit(1000000L) + col(s"wf_$b")).as(s"wm_$b"),
-          col(s"w_$b"))): _*)
-    // replica means as integer micros (exact across-replica moments)
-    val meanCols = (0 until bootReplicas).map { b =>
-      Exact.micros(Exact.toUnits(col(s"wm_$b")) / col(s"w_$b")).as(s"bm_$b")
-    }
-    val means = wide.select((col("n") +: col("tm") +: meanCols): _*)
-    val stacked = means.select(col("n"), col("tm"), explode(
-      array((0 until bootReplicas).map(b => col(s"bm_$b")): _*)).as("bm"))
+    // EXPLODE the 33 weights (index 0 = the identity replica carrying
+    // the unweighted totals) instead of 98 wide aggregate columns: a
+    // 98-buffer aggregate exceeds Spark's codegen field limit and
+    // falls back to interpreted evaluation — measured several times
+    // slower than the 3-aggregate groupBy(replica) below, which stays
+    // fully codegen'd and map-side combinable (33 output rows).
+    val weighted = base.select(col("mu"), col("mf"),
+      posexplode(array((lit(1L) +: (0 until bootReplicas).map(weight)): _*))
+        .as(Seq("b", "wt")))
+    val sums = weighted.groupBy(col("b"))
+      .agg(sum(col("wt") * col("mu")).as("wu"),
+        sum(col("wt") * col("mf")).as("wf"),
+        sum(col("wt")).as("w"))
+      .withColumn("wm", col("wu").cast(Exact.D380) * lit(1000000L) + col("wf"))
+      .withColumn("bm", Exact.micros(Exact.toUnits(col("wm")) / col("w")))
+    // one conditional pass over the 33 rows: identity -> n/tm, replicas
+    // -> exact integer moments + percentile band of the bm means
+    val rep = col("b") > 0
     val bD = lit(bootReplicas.toLong)
-    val mean2 = sum(col("bm").cast(Exact.D380) * col("bm")).cast(DoubleType)
-    val mean1 = sum(col("bm").cast(Exact.D380)).cast(DoubleType)
-    stacked.groupBy(col("n"), col("tm"))
-      .agg(
-        sqrt((mean2 / bD - (mean1 / bD) * (mean1 / bD)) *
-          (bD / (bD - 1L))).as("se_micros"),
-        percentile(col("bm"), lit(0.025)).as("lo_m"),
-        percentile(col("bm"), lit(0.975)).as("hi_m"))
+    val mean2 = sum(when(rep, col("bm").cast(Exact.D380) * col("bm"))).cast(DoubleType)
+    val mean1 = sum(when(rep, col("bm").cast(Exact.D380))).cast(DoubleType)
+    sums.agg(
+      max(when(!rep, col("w"))).as("n"),
+      max(when(!rep, col("wm"))).as("tm"),
+      sqrt((mean2 / bD - (mean1 / bD) * (mean1 / bD)) *
+        (bD / (bD - 1L))).as("se_micros"),
+      percentile(when(rep, col("bm")), lit(0.025)).as("lo_m"),
+      percentile(when(rep, col("bm")), lit(0.975)).as("hi_m"))
       .select(col("n"),
         (Exact.toUnits(col("tm")) / col("n")).as("point_mean"),
         (col("se_micros") / 1000000.0).as("boot_se"),
