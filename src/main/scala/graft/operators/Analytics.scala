@@ -1873,20 +1873,27 @@ object Analytics {
       .select(Seq(col("o_orderkey"), Exact.micros(col("o_totalprice")).as("m")) ++ hexCols: _*)
       .withColumn("mu", expr("m DIV 1000000"))
       .withColumn("mf", expr("m % 1000000"))
-    def weight(b: Int): org.apache.spark.sql.Column = {
-      val u = conv(substring(col(s"hx_${b / 4}"), 1 + 8 * (b % 4), 8), 16, 10)
-        .cast(LongType).cast(DoubleType) / lit(4294967296.0)
+    // the uniforms PROJECT once per row: inside the Poisson CASE chain
+    // a raw hash expression would re-run conv(substring(..)) in every
+    // one of the 21 branches (common-subexpression elimination does not
+    // reach across when() branches) — ~670 hex parses per row instead
+    // of 32
+    val withU = base.select(Seq(col("mu"), col("mf")) ++
+      (0 until bootReplicas).map { b =>
+        (conv(substring(col(s"hx_${b / 4}"), 1 + 8 * (b % 4), 8), 16, 10)
+          .cast(LongType).cast(DoubleType) / lit(4294967296.0)).as(s"u_$b")
+      }: _*)
+    def weight(b: Int): org.apache.spark.sql.Column =
       poisCdf.zipWithIndex.reverse.foldLeft(lit(7L)) { case (acc, (thr, k)) =>
-        when(u < thr, k.toLong).otherwise(acc)
+        when(col(s"u_$b") < thr, k.toLong).otherwise(acc)
       }
-    }
     // EXPLODE the 33 weights (index 0 = the identity replica carrying
     // the unweighted totals) instead of 98 wide aggregate columns: a
     // 98-buffer aggregate exceeds Spark's codegen field limit and
-    // falls back to interpreted evaluation — measured several times
-    // slower than the 3-aggregate groupBy(replica) below, which stays
-    // fully codegen'd and map-side combinable (33 output rows).
-    val weighted = base.select(col("mu"), col("mf"),
+    // falls back to interpreted evaluation; the 3-aggregate
+    // groupBy(replica) below stays fully codegen'd and map-side
+    // combinable (33 output rows).
+    val weighted = withU.select(col("mu"), col("mf"),
       posexplode(array((lit(1L) +: (0 until bootReplicas).map(weight)): _*))
         .as(Seq("b", "wt")))
     val sums = weighted.groupBy(col("b"))
