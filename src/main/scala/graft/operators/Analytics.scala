@@ -1321,6 +1321,94 @@ object Analytics {
        |ORDER BY q_id""".stripMargin
   }
 
+  // === ev22: discrete conversion-hazard table ==============================
+  val hazardWindowDays = 30
+
+  /** Time-to-convert survival analysis, exact: per signup cohort day t,
+    * the number of users still at risk (signed up, not yet converted,
+    * still under observation) and the number converting exactly at day
+    * t — the discrete hazard d_t / n_t whose running complement-product
+    * is the Kaplan-Meier curve. The table IS the estimator's sufficient
+    * statistics and stays in exact integers + one division per row (the
+    * KM product itself is left to the consumer — a float product's
+    * value would depend on evaluation order).
+    *
+    * Censoring: observation ends at the corpus's last event; users
+    * whose first at-or-after-signup purchase never arrives are censored
+    * at their observation end. Day arithmetic is integral epoch DIV
+    * (the fh1/ev16 rule).
+    *
+    * Shape at 100 TB: one events scan (user-windowed signup min +
+    * conditional aggregate), one scalar corpus-end aggregate (a 1-row
+    * broadcast — never a global window over raw rows), and a
+    * 30-row-grid cross join against the per-user frame: the grid
+    * explode is bounded by the window constant, the final aggregate is
+    * map-side combinable on t.
+    */
+  def conversionHazard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), us.as("us"))
+      .withColumn("s_us", min(when(col("event_type") === "signup", col("us"))).over(w))
+      .filter(col("s_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("s_us")).as("s_us"),
+        min(when(col("event_type") === "purchase" && col("us") >= col("s_us"), col("us")))
+          .as("p_us"))
+      .select(col("user_id"),
+        expr("s_us DIV 86400000000").as("s_day"),
+        expr("p_us DIV 86400000000").as("p_day"))
+    val endDay = t(s, dir, "events")
+      .agg(expr("MAX(unix_micros(ts)) DIV 86400000000").as("end_day"))
+    val framed = perUser.crossJoin(broadcast(endDay))
+      .select(col("user_id"),
+        (col("p_day") - col("s_day")).as("d"),
+        (col("end_day") - col("s_day")).as("obs_days"))
+    val grid = s.range(hazardWindowDays).toDF("t")
+    framed.crossJoin(broadcast(grid))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("obs_days") >= col("t") &&
+          (col("d").isNull || col("d") >= col("t")), 1L).otherwise(0L)).as("n_at_risk"),
+        sum(when(col("d") === col("t"), 1L).otherwise(0L)).as("n_converted"))
+      .filter(col("n_at_risk") > 0)
+      .select(col("t"), col("n_at_risk"), col("n_converted"),
+        (col("n_converted").cast(DoubleType) / col("n_at_risk").cast(DoubleType))
+          .as("hazard"))
+      .orderedSmall(col("t")) // window-constant-bounded rows
+  }
+
+  val conversionHazardSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+       |      OVER (PARTITION BY user_id) AS s_us
+       |  FROM events),
+       |per_user AS (
+       |  SELECT user_id,
+       |    MIN(s_us) // 86400000000 AS s_day,
+       |    MIN(CASE WHEN event_type = 'purchase' AND us >= s_us THEN us END)
+       |      // 86400000000 AS p_day
+       |  FROM marked WHERE s_us IS NOT NULL GROUP BY user_id),
+       |end_day AS (
+       |  SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000 AS end_day
+       |  FROM events),
+       |framed AS (
+       |  SELECT user_id, p_day - s_day AS d, end_day - s_day AS obs_days
+       |  FROM per_user, end_day),
+       |grid AS (SELECT UNNEST(generate_series(0, ${hazardWindowDays - 1})) AS t),
+       |haz AS (
+       |  SELECT t,
+       |    CAST(SUM(CASE WHEN obs_days >= t AND (d IS NULL OR d >= t)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+       |    CAST(SUM(CASE WHEN d = t THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+       |  FROM framed, grid GROUP BY t)
+       |SELECT t, n_at_risk, n_converted,
+       |  CAST(n_converted AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
+       |FROM haz WHERE n_at_risk > 0 ORDER BY t""".stripMargin
+
   // === mrr1: exact mean-reciprocal-rank ====================================
   /** MRR for the label-retrieval task, per query: the reciprocal rank
     * of the FIRST relevant neighbor in the exact top-20 — the eval
@@ -2195,6 +2283,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dp1_dp_counts" -> dpCounts _,
     "mrr1_retrieval_mrr" -> ((s: SparkSession, d: String) => labelRetrievalMrr(s, d)),
+    "ev22_conversion_hazard" -> conversionHazard _,
     "exp4_rank_sum" -> rankSumTest _,
     "skw2_key_skew" -> keySkewProfile _,
     "fh1_feature_hashing" -> featureHashing _,
@@ -2235,6 +2324,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "dp1_dp_counts" -> dpCountsSql,
     "mrr1_retrieval_mrr" -> labelRetrievalMrrSql(),
+    "ev22_conversion_hazard" -> conversionHazardSql,
     "exp4_rank_sum" -> rankSumTestSql,
     "skw2_key_skew" -> keySkewProfileSql,
     "fh1_feature_hashing" -> featureHashingSql,

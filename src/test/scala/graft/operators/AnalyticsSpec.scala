@@ -45,6 +45,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert(nOut < n / 10, "3-sigma flags must be rare")
   }
 
+  test("ev22: risk set is monotone non-increasing and conversions never exceed it") {
+    val r = Analytics.conversionHazard(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_converted") <= row.getAs[Long]("n_at_risk"))
+      val h = row.getAs[Double]("hazard")
+      assert(h >= 0.0 && h <= 1.0)
+    }
+    val risks = r.map(_.getAs[Long]("n_at_risk")).toSeq
+    assert(risks.zip(risks.tail).forall { case (a, b) => b <= a },
+      "users leave the risk set by converting or censoring, never re-enter")
+  }
+
   test("mrr1: reciprocal ranks are exact rationals consistent with first_rel_rank") {
     val r = Analytics.labelRetrievalMrr(spark, sfDir).collect()
     assert(r.length == 50)
