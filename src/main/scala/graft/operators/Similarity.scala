@@ -1230,8 +1230,14 @@ object Similarity {
     */
   def knnHops(s: SparkSession, dir: String, k: Int = 5, subset: Int = 200): DataFrame = {
     val und = mutualKnn(s, dir, k, subset).select(col("a"), col("b"))
+    // cache the edge list (mirrors Dedup.connectedComponents): each BFS
+    // round references it, and each round's frontier references the
+    // previous round TWICE (union + join) — without the cache the
+    // similarity-join subplan re-executes O(2^hops) times inside one
+    // physical plan. Both tables are bounded by the sim6 subset.
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
     var dist = t(s, dir, "embeddings")
       .filter(col("vec_id") < bfsSeeds)
       .select(col("vec_id"), lit(0L).as("hop"))

@@ -218,8 +218,11 @@ object Sketches {
     ledger.crossJoin(nKeys).crossJoin(nBits)
       .select(col("n_keys"), col("n_bits_set"), col("n_probed"), col("n_candidates"),
         col("n_true"), col("n_false_pos"),
-        (col("n_false_pos").cast(DoubleType) /
-          (col("n_probed") - col("n_true")).cast(DoubleType)).as("fp_rate"))
+        // NULL (not NaN/inf) when every probe is a true member — the
+        // denominator is the non-member count; NULLIF twin in the oracle
+        when(col("n_probed") > col("n_true"),
+          col("n_false_pos").cast(DoubleType) /
+            (col("n_probed") - col("n_true")).cast(DoubleType)).as("fp_rate"))
   }
 
   def bloomPruneSql: String = {
@@ -249,7 +252,7 @@ object Sketches {
        |  (SELECT COUNT(*) FROM keys) AS n_keys,
        |  (SELECT COUNT(*) FROM bits) AS n_bits_set,
        |  n_probed, n_candidates, n_true, n_false_pos,
-       |  CAST(n_false_pos AS DOUBLE) / CAST(n_probed - n_true AS DOUBLE) AS fp_rate
+       |  CAST(n_false_pos AS DOUBLE) / CAST(NULLIF(n_probed - n_true, 0) AS DOUBLE) AS fp_rate
        |FROM ledger""".stripMargin
   }
 

@@ -60,8 +60,10 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("no operator degenerates to a cartesian product") {
-    val exempt = Set("dd5_embedding_neardup") // exact all-pairs by design (oracle baseline)
-    for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
+    // no exemptions: dd5 registers the LSH-bucketed form since round 10,
+    // so the whole registry must pass (the exact all-pairs baseline lives
+    // only in DedupSpec as a spec-side reference, never registered)
+    for ((name, fn) <- SparkEntry.queries) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name degenerated to a cartesian product")
@@ -255,6 +257,32 @@ class PlanQualitySpec extends SparkTestBase {
     // gini keys the heavy path on c_nationkey: 2x (orders+customer) + one
     // bounded nation join at the tail = 5 scans max
     assert(countScans(operators.Analytics.revenueGini(spark, sfDir)) <= 5)
+  }
+
+  test("exp4: one events scan; rank windows never run unpartitioned over row-level input") {
+    val df = operators.Analytics.rankSumTest(spark, sfDir)
+    assert(countScans(df) <= 1, "exp4 reads events exactly once")
+    // the per-row global rank window is gone: any unpartitioned WindowExec
+    // must sit above a grouping aggregate (the domain-bounded bucket
+    // histogram), never directly over the row-level table
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case other => other.children.flatMap(windows)
+      }
+      (p match { case w: WindowExec => Seq(w); case _ => Seq.empty }) ++ kids
+    }
+    val plan = { df.collect(); df.queryExecution.executedPlan }
+    val offenders = windows(plan).filter { w =>
+      w.partitionSpec.isEmpty && !w.child.exists {
+        case a: BaseAggregateExec => a.groupingExpressions.nonEmpty
+        case _ => false
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over ungrouped input:\n${offenders.mkString("\n")}")
   }
 
   test("grow1/top2: dimension joins stay on the aggregate side") {

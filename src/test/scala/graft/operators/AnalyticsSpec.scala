@@ -83,6 +83,36 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(z) < 10, "arms from a fair coin should not diverge wildly")
   }
 
+  test("exp4: z pinned on a hand-computed sample (treat {2,3} vs control {1})") {
+    // Mann-Whitney by hand: ranks 1,2,3; treatment holds {2,3} so
+    // R_t = 5, rank2 mass = 10, u2 = 10 - nT(nT+1) = 4 (U = 2),
+    // E[u2] = nT*nC = 2, sd(u2) = sqrt(nT*nC*(N+1)/3) = sqrt(8/3),
+    // z = 2 / sqrt(8/3) = 1.2247... — this pins the scaling a /2
+    // regression (which the mirrored oracle could not catch) halves.
+    def coin(uid: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"exp4#$uid".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0
+    }
+    val treatIds = (1L to 200L).filter(coin(_) < 0.5).take(2)
+    val controlId = (1L to 200L).find(coin(_) >= 0.5).get
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (1L, ts0, treatIds(0), "purchase", 2.0, "{}"),
+      (2L, ts0, treatIds(1), "purchase", 3.0, "{}"),
+      (3L, ts0, controlId, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("exp4fix").toFile.getPath
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = Analytics.rankSumTest(spark, dir).collect()(0)
+    assert(row.getAs[Long]("n_t") == 2L && row.getAs[Long]("n_c") == 1L)
+    assert(row.getAs[Long]("u2_stat") == 4L)
+    val zExpected = 2.0 / math.sqrt(8.0 / 3.0)
+    assert(math.abs(row.getAs[Double]("z_approx") - zExpected) < 1e-12,
+      s"z must be $zExpected (not its half)")
+  }
+
   test("skw2: profile internally consistent (p50 <= p99 <= max, ratio >= 1)") {
     val row = Analytics.keySkewProfile(spark, sfDir).collect()(0)
     assert(row.getAs[Double]("p50_size") <= row.getAs[Double]("p99_size"))
@@ -104,6 +134,11 @@ class AnalyticsSpec extends SparkTestBase {
     }
     // the mechanism must actually perturb something on a 25-group release
     assert(a.exists(_.getAs[Long]("noise") != 0L))
+    // a secret salt changes the draw — the deterministic default is
+    // visibly the test-only mode, not the release path
+    val salted = Analytics.dpCounts(spark, sfDir, Some("s3cret")).collect()
+    assert(salted.map(_.getAs[Long]("noise")).toSeq !=
+      a.map(_.getAs[Long]("noise")).toSeq)
   }
 
   test("fh1: hashed features conserve event mass (3 features per event)") {
