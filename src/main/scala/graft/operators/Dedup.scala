@@ -700,7 +700,116 @@ object Dedup {
       |SELECT doc_id, keep_id, group_size FROM g
       |WHERE doc_id <> keep_id ORDER BY doc_id""".stripMargin
 
+  // === dd12: incremental batch admission ==================================
+  /** The production ingest shape none of dd1–dd11 model directly: a NEW
+    * batch (one source, here the newest crawl `src19`) arrives against
+    * an EXISTING corpus, and each batch document is admitted only if it
+    * is neither an exact duplicate (normalized-text md5, the dd1 key)
+    * nor a near-duplicate candidate (dd3's MinHash-LSH pairs at the dd8
+    * edge threshold of >= 2 band hits) of (a) any corpus document or
+    * (b) any EARLIER batch document (lower doc_id — the deterministic
+    * set-based tiebreak dd8 uses, not a sequential admit chain). The
+    * verdict carries all four flags plus the first failing reason in
+    * severity order, so an ingest job can report WHY each document was
+    * rejected.
+    *
+    * Shape at 100 TB: reuses the dd3 band pipeline verbatim (bucketed
+    * candidate join, pinned exchange widths); the exact tier is two
+    * hash-keyed joins; source classification joins ride the bounded
+    * pair output. Nothing is rebuilt per batch beyond the batch's own
+    * signatures — the corpus side is the artifact an incremental
+    * pipeline keeps materialized between ingests.
+    */
+  def incrementalDedup(s: SparkSession, dir: String,
+      batchSource: String = "src19"): DataFrame = {
+    val hx = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"))
+    val batch = hx.filter(col("source") === batchSource).select(col("doc_id"), col("h"))
+    val corpusH = hx.filter(col("source") =!= batchSource)
+      .select(col("h")).distinct().withColumn("ic", lit(true))
+    val firstInBatch = batch.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    val srcOf = hx.select(col("doc_id"), col("source"))
+    val cand = minhashLsh(s, dir).filter(col("n_band_hits") >= 2)
+      .join(srcOf.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(srcOf.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+    val nearCorpus = cand
+      .filter(col("src_a") === batchSource && col("src_b") =!= batchSource)
+      .select(col("doc_a").as("doc_id"))
+      .union(cand.filter(col("src_b") === batchSource && col("src_a") =!= batchSource)
+        .select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("nc", lit(true))
+    val nearBatch = cand
+      .filter(col("src_a") === batchSource && col("src_b") === batchSource)
+      .select(col("doc_b").as("doc_id")) // doc_a < doc_b: the later one drops
+      .distinct().withColumn("nb", lit(true))
+    batch
+      .join(corpusH, Seq("h"), "left")
+      .join(firstInBatch, "h")
+      .join(nearCorpus, Seq("doc_id"), "left")
+      .join(nearBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ic"), lit(false)).as("exact_dup_corpus"),
+        (col("doc_id") > col("first_id")).as("exact_dup_batch"),
+        coalesce(col("nc"), lit(false)).as("near_cand_corpus"),
+        coalesce(col("nb"), lit(false)).as("near_cand_batch"))
+      .withColumn("admit",
+        !col("exact_dup_corpus") && !col("exact_dup_batch") &&
+          !col("near_cand_corpus") && !col("near_cand_batch"))
+      .withColumn("drop_reason",
+        when(col("exact_dup_corpus"), "exact_vs_corpus")
+          .when(col("exact_dup_batch"), "exact_in_batch")
+          .when(col("near_cand_corpus"), "near_vs_corpus")
+          .when(col("near_cand_batch"), "near_in_batch")
+          .otherwise(lit(null)))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalDedupSql(batchSource: String = "src19"): String =
+    s"""WITH $minhashLshSqlCtes,
+       |hx AS (
+       |  SELECT doc_id, source,
+       |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+       |  FROM documents),
+       |batch AS (SELECT doc_id, h FROM hx WHERE source = '$batchSource'),
+       |corpus_h AS (SELECT DISTINCT h FROM hx WHERE source <> '$batchSource'),
+       |firstb AS (SELECT h, MIN(doc_id) AS first_id FROM batch GROUP BY 1),
+       |cand AS (
+       |  SELECT p.doc_a, p.doc_b, sa.source AS src_a, sb.source AS src_b
+       |  FROM lsh_pairs p
+       |  JOIN hx sa ON p.doc_a = sa.doc_id
+       |  JOIN hx sb ON p.doc_b = sb.doc_id
+       |  WHERE p.n_band_hits >= 2),
+       |near_c AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM cand
+       |    WHERE src_a = '$batchSource' AND src_b <> '$batchSource'
+       |    UNION ALL
+       |    SELECT doc_b FROM cand
+       |    WHERE src_b = '$batchSource' AND src_a <> '$batchSource') t),
+       |near_b AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM cand
+       |  WHERE src_a = '$batchSource' AND src_b = '$batchSource')
+       |SELECT b.doc_id,
+       |  (ch.h IS NOT NULL) AS exact_dup_corpus,
+       |  (b.doc_id > f.first_id) AS exact_dup_batch,
+       |  (nc.doc_id IS NOT NULL) AS near_cand_corpus,
+       |  (nb.doc_id IS NOT NULL) AS near_cand_batch,
+       |  (ch.h IS NULL AND b.doc_id = f.first_id
+       |   AND nc.doc_id IS NULL AND nb.doc_id IS NULL) AS admit,
+       |  CASE WHEN ch.h IS NOT NULL THEN 'exact_vs_corpus'
+       |       WHEN b.doc_id > f.first_id THEN 'exact_in_batch'
+       |       WHEN nc.doc_id IS NOT NULL THEN 'near_vs_corpus'
+       |       WHEN nb.doc_id IS NOT NULL THEN 'near_in_batch'
+       |       ELSE NULL END AS drop_reason
+       |FROM batch b
+       |LEFT JOIN corpus_h ch USING (h)
+       |JOIN firstb f USING (h)
+       |LEFT JOIN near_c nc USING (doc_id)
+       |LEFT JOIN near_b nb USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd12_incremental_admit" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "dd11_prefix_dedup" -> prefixDedup _,
     "dd9_dup_weights" -> dupWeights _,
     "dd10_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
@@ -718,6 +827,7 @@ object Dedup {
     * DuckDB oracle regenerates identical signatures.
     */
   val oracles: Map[String, String] = Map(
+    "dd12_incremental_admit" -> incrementalDedupSql(),
     "dd11_prefix_dedup" -> prefixDedupSql,
     "dd9_dup_weights" -> dupWeightsSql,
     "dd10_containment_pairs" -> containmentPairsSql(),

@@ -326,10 +326,15 @@ object Similarity {
     * bit-identical doubles on both engines (LCG-free: the only inputs
     * are the vectors themselves and exact integer sums).
     */
-  def ivfTopKSql(k: Int = 5, nQueries: Int = 10): String = {
+  /** The CTE chain deriving the one-Lloyd-iteration IVF assignment
+    * (`a2`, rn=1 = each vector's cell) — shared verbatim by the sim4
+    * and ivf2 oracles so the index the two operators describe can never
+    * drift apart.
+    */
+  private def ivfAssignSqlCtes: String = {
     val cos = (a: String, b: String) =>
       s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |seeds AS (SELECT vec_id AS s_id, v AS sv FROM e WHERE vec_id < $ivfCells),
        |idx AS (SELECT UNNEST(generate_series(1, $maxDim)) AS i),
        |a1 AS (
@@ -351,7 +356,13 @@ object Similarity {
        |  SELECT e.vec_id, c.cell, e.v,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cell DESC) AS rn
-       |  FROM e, cents c),
+       |  FROM e, cents c)""".stripMargin
+  }
+
+  def ivfTopKSql(k: Int = 5, nQueries: Int = 10): String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+    s"""WITH $ivfAssignSqlCtes,
        |corpus AS (SELECT vec_id AS n_id, cell, v AS nv FROM a2 WHERE rn = 1),
        |probes AS (
        |  SELECT q.vec_id AS q_id, c.cell, q.v AS qv,
@@ -368,6 +379,145 @@ object Similarity {
        |SELECT q_id, n_id, ${Exact.sqlDround("cos", 6)} AS cos_sim,
        |       CAST(rnk AS INTEGER) AS rnk
        |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  // === ivf2: IVF posting-list balance audit ================================
+  /** Posting-list balance of the sim4 IVF index: vectors per cell after
+    * the one-Lloyd-iteration assignment, each cell's corpus share, and
+    * the max/avg imbalance ratio — the quantity that decides whether
+    * nprobe can stay small (balanced lists) or the index needs
+    * re-seeding (one hot cell absorbs the corpus and probe latency
+    * degenerates toward brute force). Empty cells are emitted too: an
+    * empty posting list is itself a signal (dead centroid).
+    *
+    * Shape at 100 TB: the assignment is sim4's map-only centroid argmax
+    * (centroids are the driver-bounded k x d literal tier); the audit
+    * is one combinable count aggregate, and the share/imbalance windows
+    * run over the <= ivfCells-row cell table.
+    */
+  def ivfPostingBalance(s: SparkSession, dir: String): DataFrame = {
+    val cents = centroids(s, dir)
+    val counts = t(s, dir, "embeddings")
+      .select(vecD("embedding").as("v"))
+      .withColumn("cell", cellOf(col("v"), cents))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val allCells = s.range(0, ivfCells).select(col("id").cast(IntegerType).as("cell"))
+    val wAll = Window.partitionBy()
+    allCells.join(counts, Seq("cell"), "left")
+      .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
+      .withColumn("total", sum(col("n_vectors")).over(wAll))
+      .withColumn("mx", max(col("n_vectors")).over(wAll))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors").cast(DoubleType) / col("total").cast(DoubleType)).as("share"),
+        ((col("mx") * ivfCells).cast(DoubleType) / col("total").cast(DoubleType))
+          .as("imbalance"))
+      .orderedSmall(col("cell"))
+  }
+
+  def ivfPostingBalanceSql: String =
+    s"""WITH $ivfAssignSqlCtes,
+       |corpus AS (SELECT vec_id, cell FROM a2 WHERE rn = 1),
+       |counts AS (SELECT cell, COUNT(*) AS n_vectors FROM corpus GROUP BY 1),
+       |cells AS (SELECT UNNEST(generate_series(0, ${ivfCells - 1})) AS cell),
+       |j AS (
+       |  SELECT c.cell, COALESCE(n.n_vectors, 0) AS n_vectors
+       |  FROM cells c LEFT JOIN counts n USING (cell)),
+       |w AS (
+       |  SELECT cell, n_vectors,
+       |    SUM(n_vectors) OVER () AS total, MAX(n_vectors) OVER () AS mx
+       |  FROM j)
+       |SELECT CAST(cell AS INTEGER) AS cell, CAST(n_vectors AS BIGINT) AS n_vectors,
+       |  CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       |  CAST(mx * $ivfCells AS DOUBLE) / CAST(total AS DOUBLE) AS imbalance
+       |FROM w ORDER BY cell""".stripMargin
+
+  // === pq1: product quantization ===========================================
+  val pqSubspaces = 8
+  val pqSubDim: Int = maxDim / pqSubspaces // 8 dims per subspace
+  val pqCodes = 16 // 4-bit codes; 8 subspaces pack into a 32-bit word
+
+  @volatile private var pqCodebookCache: Map[String, Array[Array[Long]]] = Map.empty
+
+  /** The PQ codebook: the first `pqCodes` corpus vectors, element-wise
+    * in exact integer micros — the deterministic seed-codebook tier
+    * (the k-means refinement that production PQ trainers add is sim4's
+    * Lloyd machinery; the codebook CONTRACT — argmin sub-distance per
+    * subspace, integer distance arithmetic — is identical either way).
+    * Bounded driver state: pqCodes x maxDim longs.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): Array[Array[Long]] =
+    pqCodebookCache.get(dir) match {
+      case Some(cb) => cb
+      case None =>
+        def toMicros(x: Double): Long =
+          (if (x >= 0) math.floor(x * 1000000L + 0.5) else math.ceil(x * 1000000L - 0.5)).toLong
+        val cb = t(s, dir, "embeddings")
+          .filter(col("vec_id") < pqCodes)
+          .orderBy(col("vec_id"))
+          .select(vecD("embedding").as("v"))
+          .collect().map(_.getSeq[Double](0).toArray.map(toMicros))
+        synchronized { pqCodebookCache += dir -> cb }
+        cb
+    }
+
+  /** pq1: product-quantization encoding + reconstruction-error audit.
+    * Each 64-dim vector splits into 8 subspaces of 8 dims; per subspace
+    * the code is the argmin squared-L2 codebook entry, computed in
+    * EXACT integer micros (diff <= 2e6 per element, squared 4e12,
+    * summed over 8 dims 3.2e13 — long-safe), so code assignment is
+    * bit-identical on any engine. Output: the packed 32-bit code word
+    * (4 bits per subspace) and the total squared reconstruction error —
+    * the quantity a pipeline gates on before shipping the compressed
+    * index. Map-only over the corpus: fuses into the scan at any scale;
+    * the codebook is a broadcast-literal like sim4's centroids.
+    */
+  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(s, dir)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(vecD("embedding"), x => Exact.micros(x)).as("vm"))
+    // per subspace: array_min over (dist, k) structs -> (min dist, min k on ties)
+    val subs = (0 until pqSubspaces).map { sIdx =>
+      val best = array_min(array((0 until pqCodes).map { k =>
+        val d = (0 until pqSubDim).map { j =>
+          val diff = element_at(col("vm"), sIdx * pqSubDim + j + 1) - cb(k)(sIdx * pqSubDim + j)
+          diff * diff
+        }.reduce(_ + _)
+        struct(d.as("d"), lit(k.toLong).as("k"))
+      }: _*))
+      (best.getField("k"), best.getField("d"))
+    }
+    val packed = subs.zipWithIndex.map { case ((k, _), sIdx) => k * (1L << (4 * sIdx)) }
+      .reduce(_ + _)
+    val err = subs.map(_._2).reduce(_ + _)
+    e.select(col("vec_id"), packed.as("pq_code"), err.as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  def pqEncodeSql: String = {
+    val weights = (0 until pqSubspaces).map(sIdx => 1L << (4 * sIdx))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> ${Exact.sqlMicros("x")}) AS vm
+       |  FROM e),
+       |cb AS (SELECT vec_id AS k, vm AS cvm FROM m WHERE vec_id < $pqCodes),
+       |sub AS (SELECT UNNEST(generate_series(0, ${pqSubspaces - 1})) AS s),
+       |dist AS (
+       |  SELECT m.vec_id, sub.s, cb.k,
+       |    list_sum(list_transform(generate_series(1, $pqSubDim),
+       |      j -> (m.vm[sub.s*$pqSubDim+j] - cb.cvm[sub.s*$pqSubDim+j])
+       |         * (m.vm[sub.s*$pqSubDim+j] - cb.cvm[sub.s*$pqSubDim+j]))) AS d
+       |  FROM m, sub, cb),
+       |best AS (
+       |  SELECT vec_id, s, k, d,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) AS rn
+       |  FROM dist),
+       |enc AS (SELECT vec_id, s, k, d FROM best WHERE rn = 1)
+       |SELECT vec_id,
+       |  CAST(SUM(k * ($weights)[s+1]) AS BIGINT) AS pq_code,
+       |  CAST(SUM(d) AS BIGINT) AS recon_err
+       |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
   // === int8 scalar quantization ===========================================
@@ -1325,7 +1475,9 @@ object Similarity {
     "sim1_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "sim2_label_centroids" -> labelCentroids _,
     "sim3_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
-    "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
+    "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "ivf2_posting_balance" -> ivfPostingBalance _,
+    "pq1_product_quantization" -> pqEncode _)
 
   val oracles: Map[String, String] = Map(
     "tri1_knn_triangles" -> knnTrianglesSql(),
@@ -1348,5 +1500,7 @@ object Similarity {
     "sim1_cosine_topk" -> cosineTopKSql(),
     "sim2_label_centroids" -> labelCentroidsSql,
     "sim3_ann_lsh_topk" -> annTopKSql(),
-    "sim4_ann_ivf_topk" -> ivfTopKSql())
+    "sim4_ann_ivf_topk" -> ivfTopKSql(),
+    "ivf2_posting_balance" -> ivfPostingBalanceSql,
+    "pq1_product_quantization" -> pqEncodeSql)
 }

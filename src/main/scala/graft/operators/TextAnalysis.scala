@@ -1325,6 +1325,101 @@ object TextAnalysis {
        |ORDER BY score_m DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  // === srch2: hybrid retrieval (reciprocal-rank fusion) ====================
+  /** Lexical + dense hybrid retrieval, fused with RRF — the standard
+    * production shape for combining a term index with an embedding
+    * index (score = sum over systems of 1/(K + rank), K = 60). Queries
+    * are the first `nQueries` documents (vec_id == doc_id in this
+    * corpus): the lexical ranking is distinct-token Jaccard through an
+    * inverted-index join (the dd2 shape — candidates only where a token
+    * is shared, never all-pairs), the dense ranking is sim1's exact
+    * cosine top-k, and the fusion is one full-outer join per (query,
+    * doc) candidate. Each RRF term is a single IEEE division and a doc
+    * contributes at most two terms, so the score is order-independent
+    * and bit-identical on both engines.
+    *
+    * Shape at 100 TB: the query side of both rankings is broadcast; the
+    * corpus sides are the verified srch1/sim1 scale paths; the fusion
+    * join touches only the 2*k*nQueries ranked candidates.
+    */
+  def hybridRetrieval(s: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 10, rrfK: Int = 60): DataFrame = {
+    val toks = Par.fanOut(graft.Engine.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val nTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val shared = toks.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("tok"))
+      .join(toks.select(col("doc_id").as("n_id"), col("tok")), "tok")
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id")).agg(count(lit(1)).as("shared"))
+    val wLex = Window.partitionBy(col("q_id")).orderBy(col("jacc").desc, col("n_id"))
+    val lex = shared
+      .join(nTok.select(col("doc_id").as("q_id"), col("n_tok").as("nq")), "q_id")
+      .join(nTok.select(col("doc_id").as("n_id"), col("n_tok").as("nd")), "n_id")
+      .withColumn("jacc", col("shared").cast(DoubleType) /
+        (col("nq") + col("nd") - col("shared")).cast(DoubleType))
+      .withColumn("lex_rnk", row_number().over(wLex))
+      .filter(col("lex_rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("lex_rnk"))
+    val dense = Similarity.cosineTopK(s, dir, k, nQueries)
+      .select(col("q_id"), col("n_id"), col("rnk").as("dense_rnk"))
+    val wRrf = Window.partitionBy(col("q_id")).orderBy(col("rrf_score").desc, col("n_id"))
+    lex.join(dense, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (col("lex_rnk") + rrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("dense_rnk") + rrfK), lit(0.0)))
+      .withColumn("rrf_rank", row_number().over(wRrf))
+      .filter(col("rrf_rank") <= k)
+      .select(col("q_id"), col("n_id"),
+        col("lex_rnk").cast(IntegerType).as("lex_rnk"),
+        col("dense_rnk").cast(IntegerType).as("dense_rnk"),
+        col("rrf_score"), col("rrf_rank").cast(IntegerType).as("rrf_rank"))
+      .orderBy(col("q_id"), col("rrf_rank"))
+  }
+
+  def hybridRetrievalSql(k: Int = 10, nQueries: Int = 10, rrfK: Int = 60): String =
+    s"""WITH dtoks AS (
+       |  SELECT doc_id, UNNEST(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+       |  FROM documents),
+       |ntok AS (SELECT doc_id, COUNT(*) AS n_tok FROM dtoks GROUP BY 1),
+       |shared AS (
+       |  SELECT q.doc_id AS q_id, d.doc_id AS n_id, COUNT(*) AS shared
+       |  FROM dtoks q JOIN dtoks d ON q.tok = d.tok
+       |  WHERE q.doc_id < $nQueries AND q.doc_id <> d.doc_id
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY CAST(shared AS DOUBLE)
+       |               / CAST(nq.n_tok + nd.n_tok - shared AS DOUBLE) DESC, n_id)
+       |      AS lex_rnk
+       |  FROM shared
+       |  JOIN ntok nq ON nq.doc_id = shared.q_id
+       |  JOIN ntok nd ON nd.doc_id = shared.n_id),
+       |lexk AS (SELECT q_id, n_id, lex_rnk FROM lex WHERE lex_rnk <= $k),
+       |dense AS (
+       |  SELECT q_id, n_id, rnk AS dense_rnk
+       |  FROM (${Similarity.cosineTopKSql(k, nQueries)}) d0),
+       |f AS (
+       |  SELECT COALESCE(l.q_id, d.q_id) AS q_id, COALESCE(l.n_id, d.n_id) AS n_id,
+       |    l.lex_rnk, d.dense_rnk
+       |  FROM lexk l FULL OUTER JOIN dense d ON l.q_id = d.q_id AND l.n_id = d.n_id),
+       |sc AS (
+       |  SELECT q_id, n_id, lex_rnk, dense_rnk,
+       |    COALESCE(CAST(1 AS DOUBLE) / CAST(lex_rnk + $rrfK AS DOUBLE), CAST(0 AS DOUBLE))
+       |    + COALESCE(CAST(1 AS DOUBLE) / CAST(dense_rnk + $rrfK AS DOUBLE), CAST(0 AS DOUBLE))
+       |      AS rrf_score
+       |  FROM f),
+       |r AS (
+       |  SELECT q_id, n_id, lex_rnk, dense_rnk, rrf_score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, n_id) AS rrf_rank
+       |  FROM sc)
+       |SELECT q_id, n_id, CAST(lex_rnk AS INTEGER) AS lex_rnk,
+       |  CAST(dense_rnk AS INTEGER) AS dense_rnk, rrf_score,
+       |  CAST(rrf_rank AS INTEGER) AS rrf_rank
+       |FROM r WHERE rrf_rank <= $k ORDER BY q_id, rrf_rank""".stripMargin
+
   // === per-document boilerplate fraction ===================================
   /** span2: the fraction of each document's distinct 5-gram spans that
     * are corpus boilerplate (spans shared by >= minDocs documents) —
@@ -2055,6 +2150,7 @@ object TextAnalysis {
     "hist1_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "red1_pii_scan" -> docPiiScan _,
     "srch1_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopDocs(s, d)),
+    "srch2_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRetrieval(s, d)),
     "chunk1_doc_spans" -> ((s: SparkSession, d: String) => docChunks(s, d)),
     "span1_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedSpans(s, d)),
     "rep1_corpus_report" -> corpusReport _,
@@ -2099,6 +2195,7 @@ object TextAnalysis {
     "hist1_token_histogram" -> tokenHistogramSql(),
     "red1_pii_scan" -> docPiiScanSql,
     "srch1_bm25_topk" -> bm25TopDocsSql(),
+    "srch2_hybrid_rrf" -> hybridRetrievalSql(),
     "chunk1_doc_spans" -> docChunksSql(),
     "span1_repeated_ngrams" -> repeatedSpansSql(),
     "rep1_corpus_report" -> corpusReportSql,

@@ -122,4 +122,31 @@ class DedupSpec extends SparkTestBase {
     val recall = got.size.toDouble / math.max(truth.size, 1)
     assert(recall >= 0.95, s"recall $recall (${got.size}/${truth.size})")
   }
+
+  test("dd12: verdicts cover the batch, flags and drop_reason are consistent") {
+    val rows = Dedup.incrementalDedup(spark, sfDir).collect()
+    val batchSize = graft.Engine.table(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("source") === "src19").count()
+    assert(rows.length == batchSize, "one verdict per batch document")
+    rows.foreach { r =>
+      val flags = Seq("exact_dup_corpus", "exact_dup_batch",
+        "near_cand_corpus", "near_cand_batch").map(r.getAs[Boolean])
+      val admit = r.getAs[Boolean]("admit")
+      assert(admit == !flags.exists(identity),
+        "admit must be the conjunction of the negated flags")
+      val reason = Option(r.getAs[String]("drop_reason"))
+      assert(reason.isEmpty == admit, "drop_reason iff not admitted")
+      // severity order: the reason is the FIRST raised flag
+      reason.foreach { rs =>
+        val order = Seq("exact_vs_corpus", "exact_in_batch",
+          "near_vs_corpus", "near_in_batch")
+        assert(flags(order.indexOf(rs)), s"reason $rs without its flag")
+        assert(!flags.take(order.indexOf(rs)).exists(identity),
+          s"reason $rs but a more severe flag is raised")
+      }
+    }
+    // set semantics: at least one batch doc must be admitted (the corpus
+    // generator never emits a fully-duplicated source)
+    assert(rows.exists(_.getAs[Boolean]("admit")))
+  }
 }

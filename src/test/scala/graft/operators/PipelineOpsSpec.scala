@@ -104,6 +104,31 @@ class PipelineOpsSpec extends SparkTestBase {
     })
   }
 
+  test("srch2: RRF scores decompose into their rank terms; fused list is ranked") {
+    val rows = TextAnalysis.hybridRetrieval(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length == 10, "top-10 fused list per query")
+      rs.foreach { r =>
+        val lex = Option(r.getAs[Integer]("lex_rnk")).map(_.toInt)
+        val den = Option(r.getAs[Integer]("dense_rnk")).map(_.toInt)
+        assert(lex.isDefined || den.isDefined,
+          "a fused row must come from at least one ranking")
+        val expected = lex.map(x => 1.0 / (x + 60)).getOrElse(0.0) +
+          den.map(x => 1.0 / (x + 60)).getOrElse(0.0)
+        assert(r.getAs[Double]("rrf_score") == expected,
+          "score must be exactly the sum of its reciprocal-rank terms")
+      }
+      val ordered = rs.sortBy(_.getAs[Int]("rrf_rank"))
+      val scores = ordered.map(_.getAs[Double]("rrf_score"))
+      assert(scores.sameElements(scores.sorted.reverse),
+        "rrf_rank must be non-increasing in score")
+      // a doc present in BOTH rankings outranks the same positions alone
+      assert(scores.head >= 1.0 / 61, "rank-1 doc scores at least a single top term")
+    }
+  }
+
   test("mm5: the dedup map covers every payload exactly once") {
     val dedup = Multimodal.payloadDedup(spark, sfDir).cache()
     val nDocs = graft.Engine.table(spark, sfDir, "documents").count()

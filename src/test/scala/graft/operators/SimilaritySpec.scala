@@ -122,4 +122,42 @@ class SimilaritySpec extends SparkTestBase {
     val mean = ratios.sum / ratios.length
     assert(mean > 0.7 && mean < 1.4, s"mean norm ratio $mean outside JL envelope")
   }
+
+  test("ivf2: posting ledger covers the corpus, shares sum to 1, imbalance >= 1") {
+    val rows = Similarity.ivfPostingBalance(spark, sfDir).collect()
+    assert(rows.length == Similarity.ivfCells, "one row per cell, empty cells included")
+    val total = rows.map(_.getAs[Long]("n_vectors")).sum
+    val corpus = graft.Engine.table(spark, sfDir, "embeddings").count()
+    assert(total == corpus, "every vector lands in exactly one posting list")
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    val imb = rows.map(_.getAs[Double]("imbalance")).distinct
+    assert(imb.length == 1, "imbalance is a corpus-level constant on every row")
+    assert(imb.head >= 1.0, "max/avg is at least 1 by definition")
+    val mx = rows.map(_.getAs[Long]("n_vectors")).max
+    assert(math.abs(imb.head - mx.toDouble * Similarity.ivfCells / total) < 1e-9)
+  }
+
+  test("pq1: codebook vectors encode to themselves with zero error; codes pack to 32 bits") {
+    val rows = Similarity.pqEncode(spark, sfDir).collect()
+    val corpus = graft.Engine.table(spark, sfDir, "embeddings").count()
+    assert(rows.length == corpus)
+    rows.foreach { r =>
+      val code = r.getAs[Long]("pq_code")
+      assert(code >= 0L && code < (1L << 32), s"packed code $code escapes 32 bits")
+      assert(r.getAs[Long]("recon_err") >= 0L)
+    }
+    // vectors 0..15 ARE the codebook: each subspace finds itself at distance 0
+    rows.filter(_.getAs[Long]("vec_id") < Similarity.pqCodes).foreach { r =>
+      assert(r.getAs[Long]("recon_err") == 0L,
+        s"codebook vector ${r.getAs[Long]("vec_id")} must reconstruct exactly")
+      val vid = r.getAs[Long]("vec_id")
+      val expected = (0 until Similarity.pqSubspaces)
+        .map(sIdx => vid * (1L << (4 * sIdx))).sum
+      assert(r.getAs[Long]("pq_code") == expected,
+        "codebook vector must encode to its own index in every subspace")
+    }
+    // a non-codebook corpus must not quantize losslessly everywhere
+    assert(rows.exists(_.getAs[Long]("recon_err") > 0L))
+  }
 }
