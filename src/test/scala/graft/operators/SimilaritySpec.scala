@@ -123,6 +123,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean > 0.7 && mean < 1.4, s"mean norm ratio $mean outside JL envelope")
   }
 
+  test("sim10: truncation audit bounded; truncating to the full width is lossless") {
+    val rows = Similarity.truncationAudit(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_common")
+      assert(n >= 0L && n <= 10L)
+      assert(r.getAs[Double]("recall_at_k") == n.toDouble / 10)
+      assert(r.getAs[Long]("rank_displacement") >= 0L)
+    }
+    // identity check: a "truncation" to all 64 dims must reproduce the
+    // full ranking exactly — recall 1, zero displacement
+    val id = Similarity.truncationAudit(spark, sfDir, dims = Similarity.maxDim).collect()
+    id.foreach { r =>
+      assert(r.getAs[Long]("n_common") == 10L && r.getAs[Long]("rank_displacement") == 0L,
+        "full-width truncation must be the identity")
+    }
+  }
+
   test("ivf2: posting ledger covers the corpus, shares sum to 1, imbalance >= 1") {
     val rows = Similarity.ivfPostingBalance(spark, sfDir).collect()
     assert(rows.length == Similarity.ivfCells, "one row per cell, empty cells included")
