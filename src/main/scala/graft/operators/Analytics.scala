@@ -1321,6 +1321,64 @@ object Analytics {
        |ORDER BY q_id""".stripMargin
   }
 
+  // === ndcg1: NDCG of label retrieval ======================================
+  /** NDCG@20 for the same ranked label-retrieval frame as map1/mrr1 —
+    * the third standard retrieval metric. The transcendental discount
+    * 1/log2(i+1) follows the house literal-table rule (hll1's ln, bs1's
+    * Poisson, dp1's geometric CDF): each weight is precomputed once as
+    * round(1e15 / log2(i+1)) and emitted as the SAME integer literal in
+    * both engines, so DCG accumulates as an exact BIGINT (max ~2e16,
+    * long-safe) and order of summation cannot matter. The ideal DCG is
+    * a literal prefix-sum lookup at min(n_label-1, k), and NDCG is one
+    * IEEE division.
+    */
+  def labelRetrievalNdcg(s: SparkSession, dir: String, k: Int = 20,
+      nQueries: Int = 50): DataFrame = {
+    val C: IndexedSeq[Long] =
+      (1 to k).map(i => math.round(1e15 / (math.log(i + 1.0) / math.log(2.0))))
+    val prefix: IndexedSeq[Long] = C.scanLeft(0L)(_ + _).tail
+    val e = Par.fanOut(t(s, dir, "embeddings").select(col("vec_id"), col("label")))
+    val labelTotals = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val perQuery = rankedRetrieval(s, dir, k, nQueries)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(
+        sum(col("rel")).as("rel_at_k"),
+        sum(col("rel") * element_at(array(C.map(lit(_)): _*), col("rnk")))
+          .as("dcg_scaled"))
+    perQuery
+      .join(labelTotals.select(col("label").as("q_label"), col("n_label")), "q_label")
+      .withColumn("n_ideal", least(col("n_label") - 1L, lit(k.toLong)))
+      .select(col("q_id"), col("q_label"), col("rel_at_k"),
+        when(col("n_ideal") > 0,
+          col("dcg_scaled").cast(DoubleType) /
+            element_at(array(prefix.map(lit(_)): _*), col("n_ideal").cast(IntegerType))
+              .cast(DoubleType))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
+  def labelRetrievalNdcgSql(k: Int = 20, nQueries: Int = 50): String = {
+    val C: IndexedSeq[Long] =
+      (1 to k).map(i => math.round(1e15 / (math.log(i + 1.0) / math.log(2.0))))
+    val prefix: IndexedSeq[Long] = C.scanLeft(0L)(_ + _).tail
+    val cArr = C.mkString("[", ", ", "]")
+    val pArr = prefix.mkString("[", ", ", "]")
+    s"""WITH ${sqlRankedRetrieval(k, nQueries)},
+       |lt AS (SELECT label, COUNT(*) AS n_label FROM e GROUP BY 1),
+       |pq AS (
+       |  SELECT q_id, q_label,
+       |    CAST(SUM(rel) AS BIGINT) AS rel_at_k,
+       |    SUM(rel * ($cArr)[rnk]) AS dcg_scaled
+       |  FROM topk GROUP BY 1, 2)
+       |SELECT q_id, q_label, rel_at_k,
+       |  CASE WHEN LEAST(n_label - 1, $k) > 0
+       |       THEN CAST(CAST(dcg_scaled AS VARCHAR) AS DOUBLE)
+       |            / CAST(($pArr)[CAST(LEAST(n_label - 1, $k) AS INTEGER)] AS DOUBLE)
+       |       ELSE 0.0 END AS ndcg
+       |FROM pq JOIN lt ON lt.label = pq.q_label
+       |ORDER BY q_id""".stripMargin
+  }
+
   // === ev22: discrete conversion-hazard table ==============================
   val hazardWindowDays = 30
 
@@ -1408,6 +1466,72 @@ object Analytics {
        |SELECT t, n_at_risk, n_converted,
        |  CAST(n_converted AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
        |FROM haz WHERE n_at_risk > 0 ORDER BY t""".stripMargin
+
+  // === ev23: weekly retention cohort matrix ================================
+  /** The classic cohort-retention triangle: users grouped by the epoch
+    * week of their first signup event, activity = ANY event in a later
+    * week, and the matrix reports per (cohort, week offset) the active
+    * count and the retention fraction of the cohort's size. Offset 0 is
+    * the cohort itself (signup week is active by construction), bounded
+    * at 8 weeks — the dashboard every growth team reads, and the
+    * engagement complement of ev22's conversion hazard (activity decay
+    * rather than first-conversion timing).
+    *
+    * Shape at 100 TB: one events scan feeds both the cohort min and the
+    * distinct (user, week) activity set (user_id-keyed shuffles); the
+    * matrix is weeks x 9 rows, so the cohort-size window is
+    * domain-bounded. Epoch-week = epoch_micros div (7 days of micros) —
+    * pure integer division, identical on both engines (the ev16 rule:
+    * never an engine's calendar builtin).
+    */
+  def retentionCohorts(s: SparkSession, dir: String, maxOffset: Int = 8): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val active = ev.select(col("user_id"), col("wk")).distinct()
+    val wC = Window.partitionBy(col("cohort_wk"))
+    active.join(cohort, "user_id")
+      .withColumn("week_offset", (col("wk") - col("cohort_wk")).cast(IntegerType))
+      .filter(col("week_offset") >= 0 && col("week_offset") <= maxOffset)
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(wC))
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast(DoubleType) / col("cohort_size").cast(DoubleType))
+          .as("retention"))
+      .orderedSmall(col("cohort_wk"), col("week_offset"))
+  }
+
+  def retentionCohortsSql(maxOffset: Int = 8): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+       |  FROM events),
+       |cohort AS (
+       |  SELECT user_id, MIN(wk) AS cohort_wk FROM ev
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |active AS (SELECT DISTINCT user_id, wk FROM ev),
+       |j AS (
+       |  SELECT a.user_id, c.cohort_wk,
+       |    CAST(a.wk - c.cohort_wk AS INTEGER) AS week_offset
+       |  FROM active a JOIN cohort c USING (user_id)
+       |  WHERE a.wk - c.cohort_wk BETWEEN 0 AND $maxOffset),
+       |mat AS (
+       |  SELECT cohort_wk, week_offset, COUNT(DISTINCT user_id) AS n_active
+       |  FROM j GROUP BY 1, 2),
+       |w AS (
+       |  SELECT cohort_wk, week_offset, n_active,
+       |    MAX(CASE WHEN week_offset = 0 THEN n_active END)
+       |      OVER (PARTITION BY cohort_wk) AS cohort_size
+       |  FROM mat)
+       |SELECT cohort_wk, week_offset,
+       |  CAST(n_active AS BIGINT) AS n_active,
+       |  CAST(cohort_size AS BIGINT) AS cohort_size,
+       |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+       |FROM w ORDER BY cohort_wk, week_offset""".stripMargin
 
   // === mrr1: exact mean-reciprocal-rank ====================================
   /** MRR for the label-retrieval task, per query: the reciprocal rank
@@ -2318,6 +2442,8 @@ object Analytics {
     "dp1_dp_counts" -> ((s: SparkSession, d: String) => dpCounts(s, d)),
     "mrr1_retrieval_mrr" -> ((s: SparkSession, d: String) => labelRetrievalMrr(s, d)),
     "ev22_conversion_hazard" -> conversionHazard _,
+    "ev23_retention_cohorts" -> ((s: SparkSession, d: String) => retentionCohorts(s, d)),
+    "ndcg1_retrieval_ndcg" -> ((s: SparkSession, d: String) => labelRetrievalNdcg(s, d)),
     "exp4_rank_sum" -> rankSumTest _,
     "skw2_key_skew" -> keySkewProfile _,
     "fh1_feature_hashing" -> featureHashing _,
@@ -2359,6 +2485,8 @@ object Analytics {
     "dp1_dp_counts" -> dpCountsSql,
     "mrr1_retrieval_mrr" -> labelRetrievalMrrSql(),
     "ev22_conversion_hazard" -> conversionHazardSql,
+    "ev23_retention_cohorts" -> retentionCohortsSql(),
+    "ndcg1_retrieval_ndcg" -> labelRetrievalNdcgSql(),
     "exp4_rank_sum" -> rankSumTestSql,
     "skw2_key_skew" -> keySkewProfileSql,
     "fh1_feature_hashing" -> featureHashingSql,

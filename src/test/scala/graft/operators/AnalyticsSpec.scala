@@ -58,6 +58,38 @@ class AnalyticsSpec extends SparkTestBase {
       "users leave the risk set by converting or censoring, never re-enter")
   }
 
+  test("ev23: cohort sizes anchor offset 0, retention in (0,1], monotone risk-free") {
+    val rows = Analytics.retentionCohorts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_wk"))
+    byCohort.foreach { case (_, rs) =>
+      val r0 = rs.find(_.getAs[Int]("week_offset") == 0)
+      assert(r0.isDefined, "every cohort is active in its signup week")
+      val size = r0.get.getAs[Long]("cohort_size")
+      assert(r0.get.getAs[Long]("n_active") == size,
+        "offset 0 defines the cohort size")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("cohort_size") == size, "size constant within cohort")
+        val n = r.getAs[Long]("n_active")
+        assert(n >= 1 && n <= size, "active never exceeds the cohort")
+        assert(r.getAs[Double]("retention") == n.toDouble / size)
+      }
+    }
+  }
+
+  test("ndcg1: scores in [0,1], perfect-prefix queries hit exactly 1") {
+    val rows = Analytics.labelRetrievalNdcg(spark, sfDir).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-12, s"ndcg $ndcg out of range")
+      val rel = r.getAs[Long]("rel_at_k")
+      if (rel == 0) assert(ndcg == 0.0)
+      // all 20 slots relevant -> DCG equals the full ideal prefix -> exactly 1
+      if (rel == 20) assert(ndcg == 1.0, "a fully-relevant page must score exactly 1")
+    }
+  }
+
   test("mrr1: reciprocal ranks are exact rationals consistent with first_rel_rank") {
     val r = Analytics.labelRetrievalMrr(spark, sfDir).collect()
     assert(r.length == 50)
