@@ -285,6 +285,22 @@ class PlanQualitySpec extends SparkTestBase {
       s"unpartitioned window over ungrouped input:\n${offenders.mkString("\n")}")
   }
 
+  test("round-14 additions: scan counts stay at the algorithmic minimum") {
+    // ev23: one events read feeds cohort min AND the activity set
+    assert(countScans(operators.Analytics.retentionCohorts(spark, sfDir)) <= 2)
+    // cur1: readability aggregate + its histogram consumer (clv1 shape)
+    assert(countScans(operators.TextAnalysis.curriculumPhases(spark, sfDir)) <= 2)
+    // ivf2: the assignment scan only (centroids are plan literals)
+    assert(countScans(operators.Similarity.ivfPostingBalance(spark, sfDir)) <= 1)
+    // pq1: map-only encode — one embeddings scan, zero shuffles before
+    // the bounded output sort
+    val pq = operators.Similarity.pqEncode(spark, sfDir)
+    assert(countScans(pq) <= 1)
+    // sim10: two rankings, each the sim1 shape (query side + corpus
+    // side = 2 embeddings reads per ranking) — 4 scans, never more
+    assert(countScans(operators.Similarity.truncationAudit(spark, sfDir)) <= 4)
+  }
+
   test("grow1/top2: dimension joins stay on the aggregate side") {
     assert(countScans(operators.Analytics.momGrowth(spark, sfDir)) <= 3)
     assert(countScans(operators.Analytics.nationTopParts(spark, sfDir)) <= 4)
