@@ -1321,6 +1321,99 @@ object Analytics {
        |ORDER BY q_id""".stripMargin
   }
 
+  // === smp4: Neyman allocation for stratified sampling =====================
+  val neymanBudget = 1000L
+
+  /** Survey-sampling design: allocate a fixed sample budget across
+    * strata (nations) proportionally to N_h * sigma_h — Neyman's
+    * variance-optimal allocation over customer account balance. The
+    * float hazard is fenced the house way: with the stratum variance
+    * over its own population, N_h * sigma_h == sqrt(N_h*S2_h - S1_h^2)
+    * where S1/S2 are exact integer micros power sums — so every weight
+    * is ONE correctly-rounded sqrt of an exact integer, the weight
+    * total is a SEQUENTIAL cumulative sum over the 25-row stratum table
+    * (deterministic order => deterministic float sum on both engines),
+    * and the integer allocation is floor + largest-remainder, which
+    * hits the budget exactly. One customer scan; everything after the
+    * per-stratum aggregate is 25 rows.
+    */
+  def neymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val b = neymanBudget
+    val x = Exact.micros(col("c_acctbal"))
+    val strata = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(x.cast(Exact.D380)).as("s1"),
+        // widen BEFORE squaring: acctbal micros ~1e10, squared 1e20
+        // overflows BIGINT; DECIMAL(38,0)^2 stays exact
+        sum(x.cast(Exact.D380) * x.cast(Exact.D380)).as("s2"))
+      // d = N*S2 - S1^2 = N^2 * variance (exact integer, >= 0)
+      .withColumn("d", col("n_h") * col("s2") - col("s1") * col("s1"))
+      .withColumn("w", sqrt(col("d").cast(DoubleType)))
+    val wOrd = Window.orderBy(col("n_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val alloc = strata
+      // sequential cumulative sum -> the LAST row's value is the total;
+      // max over the full window broadcasts it (25-row table)
+      .withColumn("cum_w", sum(col("w")).over(wOrd))
+      .withColumn("total_w", max(col("cum_w")).over(wAll))
+      .withColumn("alloc_real", lit(b.toDouble) * col("w") / col("total_w"))
+      .withColumn("base", floor(col("alloc_real")).cast(LongType))
+      .withColumn("rem", col("alloc_real") - col("base").cast(DoubleType))
+      .withColumn("spare", lit(b) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("n_name"))))
+    alloc.select(col("n_name"), col("n_h"),
+      Exact.dround(sqrt(col("d").cast(DoubleType)) / col("n_h").cast(DoubleType) / 1000000.0, 6)
+        .as("sigma"),
+      (col("base") + when(col("rk") <= col("spare"), 1L).otherwise(0L)).as("n_alloc"))
+      .orderedSmall(col("n_name"))
+  }
+
+  val neymanAllocationSql: String = {
+    val b = neymanBudget
+    val x = Exact.sqlMicros("c_acctbal")
+    s"""WITH strata AS (
+       |  SELECT n_name, COUNT(*) AS n_h,
+       |    SUM($x) AS s1,
+       |    SUM(($x) * ($x)) AS s2
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1),
+       |dw AS (
+       |  SELECT n_name, n_h, (n_h * s2 - s1 * s1) AS d,
+       |    sqrt(CAST(CAST(n_h * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)) AS w
+       |  FROM strata),
+       |cum AS (
+       |  SELECT n_name, n_h, d, w,
+       |    SUM(w) OVER (ORDER BY n_name
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+       |  FROM dw),
+       |tot AS (
+       |  SELECT n_name, n_h, d, w, MAX(cum_w) OVER () AS total_w FROM cum),
+       |a AS (
+       |  SELECT n_name, n_h, d, w,
+       |    CAST($b AS DOUBLE) * w / total_w AS alloc_real
+       |  FROM tot),
+       |fl AS (
+       |  SELECT n_name, n_h, d,
+       |    CAST(FLOOR(alloc_real) AS BIGINT) AS base,
+       |    alloc_real - CAST(CAST(FLOOR(alloc_real) AS BIGINT) AS DOUBLE) AS rem
+       |  FROM a),
+       |sp AS (
+       |  SELECT n_name, n_h, d, base, rem,
+       |    $b - SUM(base) OVER () AS spare,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rk
+       |  FROM fl)
+       |SELECT n_name, CAST(n_h AS BIGINT) AS n_h,
+       |  ${Exact.sqlDround(
+        "sqrt(CAST(CAST(d AS VARCHAR) AS DOUBLE)) / CAST(n_h AS DOUBLE) / 1000000.0", 6)}
+       |    AS sigma,
+       |  CAST(base + CASE WHEN rk <= spare THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+       |FROM sp ORDER BY n_name""".stripMargin
+  }
+
   // === ndcg1: NDCG of label retrieval ======================================
   /** NDCG@20 for the same ranked label-retrieval frame as map1/mrr1 —
     * the third standard retrieval metric. The transcendental discount
@@ -2444,6 +2537,7 @@ object Analytics {
     "ev22_conversion_hazard" -> conversionHazard _,
     "ev23_retention_cohorts" -> ((s: SparkSession, d: String) => retentionCohorts(s, d)),
     "ndcg1_retrieval_ndcg" -> ((s: SparkSession, d: String) => labelRetrievalNdcg(s, d)),
+    "smp4_neyman_allocation" -> neymanAllocation _,
     "exp4_rank_sum" -> rankSumTest _,
     "skw2_key_skew" -> keySkewProfile _,
     "fh1_feature_hashing" -> featureHashing _,
@@ -2487,6 +2581,7 @@ object Analytics {
     "ev22_conversion_hazard" -> conversionHazardSql,
     "ev23_retention_cohorts" -> retentionCohortsSql(),
     "ndcg1_retrieval_ndcg" -> labelRetrievalNdcgSql(),
+    "smp4_neyman_allocation" -> neymanAllocationSql,
     "exp4_rank_sum" -> rankSumTestSql,
     "skw2_key_skew" -> keySkewProfileSql,
     "fh1_feature_hashing" -> featureHashingSql,

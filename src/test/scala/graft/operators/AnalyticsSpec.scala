@@ -77,6 +77,25 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("smp4: allocation hits the budget exactly and follows N*sigma ordering") {
+    val rows = Analytics.neymanAllocation(spark, sfDir).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getAs[Long]("n_alloc")).sum == Analytics.neymanBudget,
+      "largest-remainder must land exactly on the budget")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_alloc") >= 0L)
+      assert(r.getAs[Double]("sigma") >= 0.0)
+    }
+    // monotone in the weight N_h * sigma_h up to the +/-1 rounding step
+    val w = rows.map(r => (r.getAs[Long]("n_h") * r.getAs[Double]("sigma"),
+      r.getAs[Long]("n_alloc")))
+    w.sortBy(_._1).sliding(2).foreach {
+      case Array((w1, a1), (w2, a2)) if w2 > w1 * 1.001 =>
+        assert(a2 >= a1 - 1, "a clearly heavier stratum cannot get fewer samples")
+      case _ =>
+    }
+  }
+
   test("ndcg1: scores in [0,1], perfect-prefix queries hit exactly 1") {
     val rows = Analytics.labelRetrievalNdcg(spark, sfDir).collect()
     assert(rows.length == 50)
