@@ -148,7 +148,9 @@ object Bench {
     // prepare loop would run their driver stages once for nothing).
     val driverStepped = Set("dd7_duplicate_clusters", "dd8_dedup_keep_list",
       "sim4_ann_ivf_topk", "pct1_price_percentiles",
-      "pipe1_corpus_manifest", "pipe2_training_mix") // compose dd8's union-find stage
+      "pipe1_corpus_manifest", "pipe2_training_mix", // compose dd8's union-find stage
+      "ivf2_posting_balance", // sim4's centroid tier at construction
+      "pq1_product_quantization") // codebook collect at construction
 
     val prepared = names.filterNot(driverStepped).flatMap { n =>
       try Some(n -> SparkEntry.queries(n)(spark, sfDir))

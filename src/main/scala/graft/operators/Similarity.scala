@@ -538,23 +538,44 @@ object Similarity {
     */
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
     val cb = pqCodebook(s, dir)
+    // The codebook as a 16-row BROADCAST table rather than a
+    // 16-codes x 8-subspaces literal mega-expression: the first form
+    // generated ~1024 struct constructions per row, blowing past the
+    // codegen method limit into interpreted evaluation (~4 s serial);
+    // this shape keeps every expression small (64 diff-squares per
+    // corpus x code pair) and fully codegen'd, and the per-subspace
+    // argmin becomes 8 min(struct(d, k)) aggregates over the
+    // 16x-fan-out — the identical (min d, then min k) order, so the
+    // output and oracle are untouched.
+    import scala.jdk.CollectionConverters._
+    val cbDf = s.createDataFrame(
+      cb.zipWithIndex.map { case (vm, k) =>
+        org.apache.spark.sql.Row(k.toLong, vm.toSeq)
+      }.toSeq.asJava,
+      StructType(Seq(
+        StructField("k", LongType),
+        StructField("cvm", ArrayType(LongType))))
+    )
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(vecD("embedding"), x => Exact.micros(x)).as("vm"))
-    // per subspace: array_min over (dist, k) structs -> (min dist, min k on ties)
-    val subs = (0 until pqSubspaces).map { sIdx =>
-      val best = array_min(array((0 until pqCodes).map { k =>
-        val d = (0 until pqSubDim).map { j =>
-          val diff = element_at(col("vm"), sIdx * pqSubDim + j + 1) - cb(k)(sIdx * pqSubDim + j)
-          diff * diff
-        }.reduce(_ + _)
-        struct(d.as("d"), lit(k.toLong).as("k"))
-      }: _*))
-      (best.getField("k"), best.getField("d"))
+    val dists = (0 until pqSubspaces).map { sIdx =>
+      (0 until pqSubDim).map { j =>
+        val i = sIdx * pqSubDim + j + 1
+        val diff = element_at(col("vm"), i) - element_at(col("cvm"), i)
+        diff * diff
+      }.reduce(_ + _).as(s"d$sIdx")
     }
-    val packed = subs.zipWithIndex.map { case ((k, _), sIdx) => k * (1L << (4 * sIdx)) }
-      .reduce(_ + _)
-    val err = subs.map(_._2).reduce(_ + _)
-    e.select(col("vec_id"), packed.as("pq_code"), err.as("recon_err"))
+    val pairs = e.crossJoin(broadcast(cbDf))
+      .select(col("vec_id") +: col("k") +: dists: _*)
+    val best = pairs.groupBy(col("vec_id"))
+      .agg(
+        min(struct(col("d0"), col("k"))).as("b0"),
+        (1 until pqSubspaces).map(sIdx =>
+          min(struct(col(s"d$sIdx"), col("k"))).as(s"b$sIdx")): _*)
+    val packed = (0 until pqSubspaces)
+      .map(sIdx => col(s"b$sIdx.k") * (1L << (4 * sIdx))).reduce(_ + _)
+    val err = (0 until pqSubspaces).map(sIdx => col(s"b$sIdx.d$sIdx")).reduce(_ + _)
+    best.select(col("vec_id"), packed.as("pq_code"), err.as("recon_err"))
       .orderBy(col("vec_id"))
   }
 
