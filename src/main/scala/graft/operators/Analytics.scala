@@ -1578,9 +1578,14 @@ object Analytics {
     * never an engine's calendar builtin).
     */
   def retentionCohorts(s: SparkSession, dir: String, maxOffset: Int = 8): DataFrame = {
+    // FLOOR division, not `div`: Spark's div truncates toward zero while
+    // the oracle's // floors, and the two diverge on pre-1970 micros (a
+    // corrupt or placeholder timestamp would silently split cohorts).
+    // pmod is non-negative, so subtracting it lands on the floor multiple.
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("event_type"),
-        expr("unix_micros(ts) div 604800000000").as("wk"))
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 604800000000)) div 604800000000")
+          .as("wk"))
     val cohort = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
     val active = ev.select(col("user_id"), col("wk")).distinct()

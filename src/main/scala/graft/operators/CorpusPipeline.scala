@@ -23,9 +23,24 @@ object CorpusPipeline {
     * per-document booleans + a token count — kilobytes at bench scale,
     * and at 100 TB exactly the materialized manifest a real pipeline
     * writes between stages instead of recomputing.
+    *
+    * Scope & bounds: the memo assumes the parquet under `dir` is
+    * immutable for the process lifetime (the same contract as
+    * Engine.table's schema cache — re-ingesting under the same path
+    * requires a new process or an explicit unpersist). Entries are
+    * LRU-capped at 8: the evicted DataFrame is unpersisted, so stopped
+    * or rotated sessions cannot pin cached blocks indefinitely.
     */
+  private val manifestMemoMax = 8
   private val manifestMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String, Double), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Double), DataFrame]): Boolean = {
+        val evict = size() > manifestMemoMax
+        if (evict) try e.getValue.unpersist() catch { case _: Throwable => }
+        evict
+      }
+    }
 
   /** pipe1: one row per document — per-stage keep verdicts, the final
     * keep decision, and the first failing stage.
@@ -41,9 +56,14 @@ object CorpusPipeline {
     manifestUnordered(s, dir, contamMax).orderBy(col("doc_id"))
 
   private def manifestUnordered(s: SparkSession, dir: String,
-      contamMax: Double = 0.7): DataFrame =
-    manifestMemo.computeIfAbsent((s, dir, contamMax),
-      _ => buildManifest(s, dir, contamMax).cache())
+      contamMax: Double = 0.7): DataFrame = manifestMemo.synchronized {
+    val key = (s, dir, contamMax)
+    Option(manifestMemo.get(key)).getOrElse {
+      val m = buildManifest(s, dir, contamMax).cache()
+      manifestMemo.put(key, m)
+      m
+    }
+  }
 
   private def buildManifest(s: SparkSession, dir: String, contamMax: Double): DataFrame = {
     // the quality stage is map-only with exactly one row per document,

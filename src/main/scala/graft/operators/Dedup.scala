@@ -141,14 +141,23 @@ object Dedup {
     * is a hash of `lshRows` consecutive signature values; the explode is a
     * constant factor of `lshBands` rows per document.
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, band, band_key) bucket stream for every document —
+    * ONE definition shared by dd3's all-pairs join and dd12's
+    * batch-restricted probe (a divergent copy would silently change
+    * both candidate sets).
+    */
+  def bandedKeys(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(shingles(s, dir, dedup = false))
-    val banded = sig.select(col("doc_id"), posexplode(
+    sig.select(col("doc_id"), posexplode(
       array((0 until lshBands).map { b =>
         md5(concat_ws("|", (b * lshRows until (b + 1) * lshRows)
           .map(i => element_at(col("sig"), i + 1)): _*))
       }: _*)).as(Seq("band", "band_key")))
       .repartition(shuffleWidth(sig), col("band"), col("band_key")) // pinned: band join fans out
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val banded = bandedKeys(s, dir)
     val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
@@ -713,12 +722,15 @@ object Dedup {
     * severity order, so an ingest job can report WHY each document was
     * rejected.
     *
-    * Shape at 100 TB: reuses the dd3 band pipeline verbatim (bucketed
-    * candidate join, pinned exchange widths); the exact tier is two
-    * hash-keyed joins; source classification joins ride the bounded
-    * pair output. Nothing is rebuilt per batch beyond the batch's own
-    * signatures — the corpus side is the artifact an incremental
-    * pipeline keeps materialized between ingests.
+    * Shape at 100 TB: the band probe is BATCH-restricted — one side of
+    * the bucket join is only the batch's (doc, band, key) rows, so the
+    * dominant corpus x corpus candidate mass is never generated (the
+    * first draft filtered the full dd3 self-join after the fact, paying
+    * a whole-corpus dedup per ingest). Batch-batch pairs surface twice
+    * through the asymmetric join, so hits count DISTINCT bands — which
+    * equals dd3's per-pair row count, since a document holds exactly
+    * one key per band. The exact tier is two hash-keyed joins; source
+    * classification rides the bounded pair output.
     */
   def incrementalDedup(s: SparkSession, dir: String,
       batchSource: String = "src19"): DataFrame = {
@@ -729,7 +741,17 @@ object Dedup {
       .select(col("h")).distinct().withColumn("ic", lit(true))
     val firstInBatch = batch.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
     val srcOf = hx.select(col("doc_id"), col("source"))
-    val cand = minhashLsh(s, dir).filter(col("n_band_hits") >= 2)
+    val bands = bandedKeys(s, dir)
+    val batchBands = bands.join(batch.select(col("doc_id")), "doc_id")
+    val cand = batchBands.select(col("doc_id").as("p"), col("band"), col("band_key"))
+      .join(bands.select(col("doc_id").as("q"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("p") =!= col("q"))
+      .select(least(col("p"), col("q")).as("doc_a"),
+        greatest(col("p"), col("q")).as("doc_b"), col("band"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("band")).as("n_band_hits"))
+      .filter(col("n_band_hits") >= 2)
       .join(srcOf.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
       .join(srcOf.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
     val nearCorpus = cand

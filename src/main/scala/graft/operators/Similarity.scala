@@ -405,7 +405,12 @@ object Similarity {
       pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
         .select(col("q_id"), col("n_id"), col("rnk"))
     }
-    val full = topk(identity)
+    // the full-width side IS sim1 — one definition, so the ranking the
+    // audit compares against can never drift from cosineTopK (whose SQL
+    // twin this operator's oracle embeds); only the truncated ranking
+    // is bespoke
+    val full = cosineTopK(s, dir, k, nQueries)
+      .select(col("q_id"), col("n_id"), col("rnk"))
     val trunc = topk(v => slice(v, 1, dims))
       .select(col("q_id"), col("n_id"), col("rnk").as("rnk_t"))
     val inter = full.join(trunc, Seq("q_id", "n_id"))
@@ -1470,7 +1475,11 @@ object Similarity {
     // round references it, and each round's frontier references the
     // previous round TWICE (union + join) — without the cache the
     // similarity-join subplan re-executes O(2^hops) times inside one
-    // physical plan. Both tables are bounded by the sim6 subset.
+    // physical plan. Residency bound (this is lazy, so no unpersist
+    // hook exists like the eager Dedup mirror has): the edge list is
+    // <= k * subset rows of two longs — kilobytes — and CacheManager
+    // dedups identical plans, so a session holds at most ONE entry per
+    // (dir, k, subset), released at session stop.
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       .cache()

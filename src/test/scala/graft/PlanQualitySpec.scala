@@ -274,8 +274,15 @@ class PlanQualitySpec extends SparkTestBase {
       }
       (p match { case w: WindowExec => Seq(w); case _ => Seq.empty }) ++ kids
     }
-    val plan = { df.collect(); df.queryExecution.executedPlan }
-    val offenders = windows(plan).filter { w =>
+    // walk a PRE-execution adaptive plan: after a collect(), materialized
+    // query stages become leaves (children = Nil) and every WindowExec
+    // below the last shuffle would be invisible — the gate would pass
+    // vacuously (the countScans comment documents the same pitfall).
+    // countScans above already collected `df`, so build a FRESH plan.
+    val plan = operators.Analytics.rankSumTest(spark, sfDir).queryExecution.executedPlan
+    val seen = windows(plan)
+    assert(seen.nonEmpty, "walker must see exp4's rank windows (else the gate is vacuous)")
+    val offenders = seen.filter { w =>
       w.partitionSpec.isEmpty && !w.child.exists {
         case a: BaseAggregateExec => a.groupingExpressions.nonEmpty
         case _ => false
