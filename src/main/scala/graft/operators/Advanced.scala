@@ -194,16 +194,31 @@ object Advanced {
     val l = t(s, dir, "lineitem")
     val perSupp = l.groupBy(col("l_suppkey"))
       .agg(dsum(rev).as("supp_revenue"))
-    val total = perSupp.agg((sum(col("supp_revenue")) * lit(0.02)).as("threshold"))
+    // Threshold = 1.05x the MEAN supplier revenue (the "at least 5%
+    // above average" tail) — scale-free. Two fixes
+    // over the first draft's "2% of total" (which, like real TPC-H Q11,
+    // needs an SF-scaled fraction; unscaled it returned ZERO rows at
+    // every SF because no supplier holds 2% of a uniform corpus):
+    //  * the global revenue needs no suppkey exchange — sum of
+    //    per-supplier dsums == the ungrouped dsum exactly (integer
+    //    micros are associative), so the second lineitem pass is
+    //    map-side partials -> one row (ReuseExchange measurably does
+    //    NOT fire across the agg-over-agg asymmetry, so the old shape
+    //    paid the suppkey shuffle twice);
+    //  * the supplier count comes from the dimension table, one
+    //    broadcast-scan.
     val su = t(s, dir, "supplier")
+    val total = l.agg(dsum(rev).as("total_rev"))
+      .crossJoin(su.agg(count(lit(1)).as("n_supp")))
+      .select((col("total_rev") * lit(1.05) / col("n_supp").cast(DoubleType))
+        .as("threshold"))
     perSupp.join(broadcast(total))
       .filter(col("supp_revenue") > col("threshold"))
       .join(su, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("supp_revenue"))
-      // domain-bounded result: suppliers each above 2% of TOTAL revenue
-      // can number at most 49 at ANY scale factor, so the single-task
-      // sort replaces a rangepartitioning stage legitimately
-      .orderedSmall(col("supp_revenue").desc, col("s_suppkey"))
+      // the above-mean tail is supplier-bounded but not constant-bounded,
+      // so the output sort keeps its range exchange (no coalesce(1))
+      .orderBy(col("supp_revenue").desc, col("s_suppkey"))
   }
 
   val q11Sql: String =
@@ -213,7 +228,9 @@ object Advanced {
        |SELECT s_suppkey, s_name, supp_revenue
        |FROM per_supp, supplier
        |WHERE l_suppkey = s_suppkey
-       | AND supp_revenue > (SELECT SUM(supp_revenue) * 0.02 FROM per_supp)
+       | AND supp_revenue >
+       |   (SELECT ${sqlDsum("l_extendedprice*(1-l_discount)")} FROM lineitem)
+       |     * 1.05 / CAST((SELECT COUNT(*) FROM supplier) AS DOUBLE)
        |ORDER BY supp_revenue DESC, s_suppkey""".stripMargin
 
   // === CUBE ================================================================
