@@ -695,6 +695,63 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // === qf3: perplexity-band corpus filter ==================================
+  /** The CCNet-style MODEL-BASED quality gate completing the filter
+    * family (txt6 is rule-based, qc1 is classifier-based): documents
+    * bucket into perplexity deciles under the corpus unigram LM
+    * (txt11's mean negative log-prob), and the training cut keeps the
+    * MIDDLE band — the head deciles are boilerplate the model finds too
+    * predictable, the tail deciles are noise it finds too surprising.
+    * The decile rank runs on the exact MICROS of the score (bit-
+    * identical doubles on both engines, so identical integers) through
+    * the clv1 bucket-histogram construction — no data-sized global
+    * sort; the oracle computes the same rank with one flat ROW_NUMBER.
+    */
+  def perplexityFilter(s: SparkSession, dir: String,
+      headDeciles: Int = 2, tailDeciles: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 1L << 16
+    val scored = docUnigramLogProb(s, dir)
+      .select(col("doc_id"), col("mean_neg_logp"),
+        Exact.micros(col("mean_neg_logp")).as("m"))
+      .withColumn("b", expr(s"m div $W"))
+    val wB = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val hist = scored.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wB), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("b").as("hb"), col("offset"), col("n"))
+    val wInB = Window.partitionBy(col("b")).orderBy(col("m"), col("doc_id"))
+    scored.join(hist, col("b") === col("hb"))
+      .withColumn("rank", col("offset") + row_number().over(wInB))
+      .withColumn("decile", expr("((rank - 1) * 10) div n").cast(IntegerType))
+      .withColumn("band",
+        when(col("decile") < headDeciles, "head")
+          .when(col("decile") >= 10 - tailDeciles, "tail")
+          .otherwise("middle"))
+      .select(col("doc_id"), col("mean_neg_logp"), col("decile"), col("band"),
+        (col("band") === "middle").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def perplexityFilterSql(headDeciles: Int = 2, tailDeciles: Int = 2): String =
+    s"""WITH lp AS (${docUnigramLogProbSql}),
+       |rk AS (
+       |  SELECT doc_id, mean_neg_logp,
+       |    ROW_NUMBER() OVER (
+       |      ORDER BY ${Exact.sqlMicros("mean_neg_logp")}, doc_id) AS rank,
+       |    COUNT(*) OVER () AS n
+       |  FROM lp),
+       |d AS (
+       |  SELECT doc_id, mean_neg_logp,
+       |    CAST(((rank - 1) * 10) // n AS INTEGER) AS decile
+       |  FROM rk)
+       |SELECT doc_id, mean_neg_logp, decile,
+       |  CASE WHEN decile < $headDeciles THEN 'head'
+       |       WHEN decile >= ${10 - tailDeciles} THEN 'tail'
+       |       ELSE 'middle' END AS band,
+       |  (decile >= $headDeciles AND decile < ${10 - tailDeciles}) AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+
   // === TF-IDF top terms ====================================================
   /** txt12: the k most characteristic terms of each document by
     * tf·idf. The score is kept INTEGER end to end — tf (a count) times
@@ -2198,6 +2255,7 @@ object TextAnalysis {
     "srch1_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopDocs(s, d)),
     "srch2_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRetrieval(s, d)),
     "cur1_curriculum_phases" -> curriculumPhases _,
+    "qf3_perplexity_filter" -> ((s: SparkSession, d: String) => perplexityFilter(s, d)),
     "chunk1_doc_spans" -> ((s: SparkSession, d: String) => docChunks(s, d)),
     "span1_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedSpans(s, d)),
     "rep1_corpus_report" -> corpusReport _,
@@ -2244,6 +2302,7 @@ object TextAnalysis {
     "srch1_bm25_topk" -> bm25TopDocsSql(),
     "srch2_hybrid_rrf" -> hybridRetrievalSql(),
     "cur1_curriculum_phases" -> curriculumPhasesSql,
+    "qf3_perplexity_filter" -> perplexityFilterSql(),
     "chunk1_doc_spans" -> docChunksSql(),
     "span1_repeated_ngrams" -> repeatedSpansSql(),
     "rep1_corpus_report" -> corpusReportSql,

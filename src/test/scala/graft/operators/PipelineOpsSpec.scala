@@ -129,6 +129,26 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("qf3: decile bands partition the corpus, keep == middle band") {
+    val rows = TextAnalysis.perplexityFilter(spark, sfDir).collect()
+    val total = graft.Engine.table(spark, sfDir, "documents").count()
+    assert(rows.length == total, "one verdict per document")
+    rows.foreach { r =>
+      val d = r.getAs[Int]("decile")
+      assert(d >= 0 && d <= 9)
+      val band = r.getAs[String]("band")
+      val expected = if (d < 2) "head" else if (d >= 8) "tail" else "middle"
+      assert(band == expected)
+      assert(r.getAs[Boolean]("keep") == (band == "middle"))
+    }
+    // deciles are balanced within one doc
+    val sizes = rows.groupBy(_.getAs[Int]("decile")).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, "histogram rank must produce exact deciles")
+    // the middle band keeps 60% of the corpus
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(math.abs(kept - total * 6 / 10) <= 10)
+  }
+
   test("cur1: three balanced phases cover the corpus, easy to hard") {
     val rows = TextAnalysis.curriculumPhases(spark, sfDir).collect()
       .sortBy(_.getAs[Int]("phase"))
