@@ -901,6 +901,62 @@ object TextAnalysis {
        |  CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_ratio
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // === tok4: vocabulary coverage curve =====================================
+  /** The curve a tokenizer designer reads before fixing a vocab size:
+    * for each candidate size V, the fraction of corpus TOKEN MASS the
+    * top-V tokens cover (tok1 reports per-document OOV at ONE size;
+    * this is the corpus-level sweep). One wordcount shuffle; the rank
+    * and cumulative-mass windows run over the vocabulary-bounded count
+    * table (the lm1 scale argument — vocabulary grows sub-linearly; an
+    * open-vocab corpus swaps in the clv1 histogram rank on tf buckets).
+    * Sizes beyond the actual vocabulary clamp to full coverage.
+    */
+  def coverageCurve(s: SparkSession, dir: String,
+      sizes: Seq[Int] = Seq(16, 32, 64, 128, 256)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = dFan(s, dir).select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val wR = Window.orderBy(col("tf").desc, col("tok"))
+    val wAll = Window.partitionBy()
+    val ranked = wc
+      .withColumn("rank", row_number().over(wR).cast(LongType))
+      .withColumn("cum", sum(col("tf")).over(
+        wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("tf")).over(wAll))
+      .withColumn("nv", count(lit(1)).over(wAll))
+    val sizesDf = s.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        sizes.map(v => org.apache.spark.sql.Row(v.toLong))).asJava,
+      StructType(Seq(StructField("vocab_size", LongType))))
+    sizesDf.join(ranked, col("rank") === least(col("vocab_size"), col("nv")))
+      .select(col("vocab_size"), col("nv").as("n_vocab_total"),
+        col("cum").as("covered_tf"), col("total").as("total_tf"),
+        (col("cum").cast(DoubleType) / col("total").cast(DoubleType)).as("coverage"))
+      .orderedSmall(col("vocab_size"))
+  }
+
+  def coverageCurveSql(sizes: Seq[Int] = Seq(16, 32, 64, 128, 256)): String =
+    s"""WITH ex AS (
+       |  SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |wc AS (SELECT tok, COUNT(*) AS tf FROM ex GROUP BY 1),
+       |rk AS (
+       |  SELECT tok, tf,
+       |    ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS rank,
+       |    SUM(tf) OVER (ORDER BY tf DESC, tok
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(tf) OVER () AS total,
+       |    COUNT(*) OVER () AS nv
+       |  FROM wc),
+       |sz AS (SELECT UNNEST([${sizes.mkString(", ")}]) AS vocab_size)
+       |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       |  CAST(nv AS BIGINT) AS n_vocab_total,
+       |  CAST(cum AS BIGINT) AS covered_tf,
+       |  CAST(total AS BIGINT) AS total_tf,
+       |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+       |FROM sz JOIN rk ON rk.rank = LEAST(sz.vocab_size, rk.nv)
+       |ORDER BY vocab_size""".stripMargin
+
   // === bigram language model ===============================================
   /** lm1: corpus bigram conditional probabilities — for every context
     * token, its top-k successors by P(w2|w1) = c(w1,w2)/c(w1,·), the
@@ -2256,6 +2312,7 @@ object TextAnalysis {
     "srch2_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRetrieval(s, d)),
     "cur1_curriculum_phases" -> curriculumPhases _,
     "qf3_perplexity_filter" -> ((s: SparkSession, d: String) => perplexityFilter(s, d)),
+    "tok4_coverage_curve" -> ((s: SparkSession, d: String) => coverageCurve(s, d)),
     "chunk1_doc_spans" -> ((s: SparkSession, d: String) => docChunks(s, d)),
     "span1_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedSpans(s, d)),
     "rep1_corpus_report" -> corpusReport _,
@@ -2303,6 +2360,7 @@ object TextAnalysis {
     "srch2_hybrid_rrf" -> hybridRetrievalSql(),
     "cur1_curriculum_phases" -> curriculumPhasesSql,
     "qf3_perplexity_filter" -> perplexityFilterSql(),
+    "tok4_coverage_curve" -> coverageCurveSql(),
     "chunk1_doc_spans" -> docChunksSql(),
     "span1_repeated_ngrams" -> repeatedSpansSql(),
     "rep1_corpus_report" -> corpusReportSql,

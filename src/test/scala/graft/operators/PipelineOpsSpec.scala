@@ -129,6 +129,21 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("tok4: coverage is monotone in vocab size and clamps to 1 at full vocabulary") {
+    val rows = TextAnalysis.coverageCurve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("vocab_size"))
+    assert(rows.length == 5)
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+    assert(cov.zip(cov.tail).forall { case (a, b) => b >= a },
+      "a larger vocabulary cannot cover less mass")
+    val nv = rows.head.getAs[Long]("n_vocab_total")
+    rows.filter(_.getAs[Long]("vocab_size") >= nv).foreach { r =>
+      assert(r.getAs[Double]("coverage") == 1.0,
+        "sizes beyond the actual vocabulary must clamp to full coverage")
+    }
+  }
+
   test("qf3: decile bands partition the corpus, keep == middle band") {
     val rows = TextAnalysis.perplexityFilter(spark, sfDir).collect()
     val total = graft.Engine.table(spark, sfDir, "documents").count()
