@@ -170,6 +170,28 @@ object Streams {
       .select(col("w.start").as("window_start"), col("source"),
         col("n_docs"), col("n_kept"))
 
+  /** Sliding-window trending tokens — the live "what is the crawl
+    * suddenly full of" monitor. 10-minute windows SLIDING every 5 (the
+    * one window shape the other scenarios don't exercise: every token
+    * lands in exactly two overlapping windows), 5-minute watermark,
+    * stopwords dropped map-side before the count shuffle. Append mode
+    * emits only finalized (window, token) counts, so a consumer ranks a
+    * window's tokens the moment it closes — the rank itself stays
+    * downstream because a per-window top-k inside the stream would need
+    * the window to close anyway. Shape at any rate: explode + filter
+    * are map-only; the count is one map-side-combinable shuffle keyed
+    * on (window, token).
+    */
+  def trendingTokens(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "5 minutes")
+      .select(col("ts"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(!col("tok").isInCollection(graft.operators.TextAnalysis.stopwords))
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("tok"), col("n"))
+
   /** Stream-static enrichment: the event stream joined against a static
     * (or slowly refreshing) dimension — the standard lookup-join every
     * streaming feature pipeline starts with. The static side is

@@ -209,6 +209,42 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("trendingTokens: sliding windows double-count each token, stopwords dropped, late data ignored") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = Streams.trendingTokens(mem.toDF())
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 10:07 -> windows [10:00,10:10) and [10:05,10:15)
+      mem.addData(Doc(1, ts(7), "srcA", "spark spark rocks the house"))
+      q.processAllAvailable()
+      assert(spark.table("trend_out").count() == 0, "windows still open")
+      // jump the watermark far ahead: both windows finalize
+      mem.addData(Doc(2, tsAt(11, 0), "srcA", "later noise"))
+      q.processAllAvailable()
+      val rows = spark.table("trend_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      val sparkRows = rows.filter(_._2 == "spark")
+      // SLIDING: the same token mass lands in exactly two windows
+      assert(sparkRows.length == 2, sparkRows.toString)
+      assert(sparkRows.forall(_._3 == 2L), "both windows count spark twice")
+      assert(sparkRows.map(_._1).toSet == Set(
+        Timestamp.valueOf("2026-01-01 10:00:00"),
+        Timestamp.valueOf("2026-01-01 10:05:00")))
+      // stopwords ('the') never reach the count
+      assert(!rows.exists(_._2 == "the"))
+      // a straggler behind the watermark is dropped, not re-opened
+      mem.addData(Doc(3, ts(8), "srcA", "spark straggler"))
+      q.processAllAvailable()
+      val after = spark.table("trend_out").collect()
+        .filter(r => r.getString(1) == "spark").map(_.getLong(2)).toSeq
+      assert(after.sorted == Seq(2L, 2L), "late token must not change closed windows")
+    } finally q.stop()
+  }
+
   test("clickAttribution joins purchases to in-window clicks and drops stale ones") {
     val sparkS = spark
     import sparkS.implicits._
