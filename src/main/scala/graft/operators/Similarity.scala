@@ -883,7 +883,11 @@ object Similarity {
         Exact.dsum(col("x") * col("y")).as("sum_xy"),
         Exact.dsum(col("x")).as("sum_x"),
         Exact.dsum(col("y")).as("sum_y"))
-      .orderBy(col("i"), col("j"))
+      // d*(d+1)/2 rows — dimension-bounded, so the output sort skips the
+      // range exchange (the pin's "fan-out + aggregate" two-shuffle shape
+      // was silently three until countShuffles learned to see inside AQE
+      // query stages: this orderBy was a rangepartitioning stage)
+      .orderedSmall(col("i"), col("j"))
   }
 
   val embeddingCovarianceSql: String =

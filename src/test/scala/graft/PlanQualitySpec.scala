@@ -22,6 +22,12 @@ class PlanQualitySpec extends SparkTestBase {
 
   private def countShuffles(df: DataFrame): Int = {
     df.collect()
+    // MUST descend into materialized QueryStageExec wrappers: they are
+    // leaves (children = Nil) in the post-collect adaptive plan, so a
+    // plain-children walk counts ZERO shuffles on any shuffling query
+    // and every assertion built on it passes vacuously (probed: q1 read
+    // 0 under the old walk, 1 under this one). ReusedExchange stays
+    // uncounted — it references work already counted once.
     def walk(p: SparkPlan): Int = {
       val self = p match {
         case _: ShuffleExchangeExec => 1
@@ -29,6 +35,7 @@ class PlanQualitySpec extends SparkTestBase {
       }
       val kids = p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
         case other => other.children.map(walk).sum
       }
       self + kids
