@@ -43,8 +43,13 @@ class StorageLayoutSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         joined.collect()
+        // descends into materialized QueryStageExec wrappers — they are
+        // leaves post-collect, so a plain-children walk reads ZERO
+        // shuffles and this assertion would pass vacuously (the
+        // countShuffles lesson from PlanQualitySpec)
         def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
           case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => shuffles(q.plan)
           case s: ShuffleExchangeExec => 1 + s.children.map(shuffles).sum
           case other => other.children.map(shuffles).sum
         }
