@@ -59,19 +59,44 @@ object Bench {
     val preparedPer = sessions.map { cs =>
       mix.map(n => n -> SparkEntry.queries(n)(cs, sfDir)).toMap
     }
-    // per-terminal warmup BEFORE the clock starts — the reference
-    // measures after a 30 s BenchBase warmup against the long-lived
-    // server (BENCHMARK.md:29-36); without this, 4 terminals × 22
-    // first-executions of fresh plans (analysis + codegen compilation)
-    // land inside the measured window and halve the reported rate
+    // per-terminal warmup BEFORE the clock starts: a fixed 30 s
+    // WALL-CLOCK throughput run of the same 4-terminal mix — the
+    // reference's exact BenchBase shape (BENCHMARK.md:29-36 measures
+    // after a 30 s warmup against the long-lived server). The previous
+    // warmup was one pass of the mix per terminal, which on a cold
+    // contended worker completes in far less than 30 s of useful warm
+    // state and left window 1 absorbing codegen/JIT ramp (BENCH_r11's
+    // windows climbed 1.21 → 2.94 → 5.14 — a warmup-shaped signature).
+    val warmupNanos = 30L * 1000 * 1000 * 1000
+    val warmT0 = System.nanoTime()
     val warm = sessions.zip(preparedPer).map { case (cs, prepared) =>
-      val th = new Thread(() => mix.foreach { n =>
-        try org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, prepared(n)).collect()
-        catch { case _: Throwable => }
+      val th = new Thread(() => {
+        var i = 0
+        // at least one full pass of the mix per terminal, then keep
+        // hammering until the 30 s wall clock expires
+        while (i < mix.length || System.nanoTime() - warmT0 < warmupNanos) {
+          try org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, prepared(mix(i % mix.length))).collect()
+          catch { case _: Throwable => }
+          i += 1
+        }
       })
       th.start(); th
     }
     warm.foreach(_.join())
+
+    // Contention telemetry: 1-minute loadavg (whole worker, including
+    // neighbors outside this JVM) and this process's cumulative CPU
+    // seconds, sampled before each window — so a depressed window is
+    // attributable in the artifact itself (driver windows have twice
+    // read ~3× below every controlled re-run of the same binary).
+    def loadAvg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def procCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
 
     // One measured window: 4 terminals hammer the prepared mix until the
     // clock expires; returns (rps, requests, elapsedSec, sorted latencies ms).
@@ -106,11 +131,15 @@ object Bench {
       (completed.get() / elapsed, completed.get(), elapsed, latMs)
     }
 
+    val loadBefore = new scala.collection.mutable.ArrayBuffer[Double]()
+    val cpuBefore = new scala.collection.mutable.ArrayBuffer[Double]()
     val windows = (1 to windowCount).map { w =>
+      loadBefore += loadAvg1m(); cpuBefore += procCpuSec()
       val r = runWindow()
-      System.err.println(f"[bench] window $w/$windowCount: ${r._1}%.2f req/s (${r._2} requests in ${r._3}%.1f s)")
+      System.err.println(f"[bench] window $w/$windowCount: ${r._1}%.2f req/s (${r._2} requests in ${r._3}%.1f s; loadavg ${loadBefore.last}%.2f)")
       r
     }
+    loadBefore += loadAvg1m(); cpuBefore += procCpuSec() // post-final-window sample
     // median window by rps = the number of record (odd windowCount)
     val byRps = windows.sortBy(_._1)
     val (rps, reqs, elapsed, latMs) = byRps(windowCount / 2)
@@ -192,6 +221,16 @@ object Bench {
       s""""throughput_rps":$rps,"throughput_terminals":$terminals,""" +
       s""""throughput_requests":$reqs,"throughput_window_sec":$elapsed,""" +
       s""""throughput_windows_rps":$windowsRpsJson,"throughput_window_count":$windowCount,""" +
+      // headline definition: MEDIAN of the three 40 s windows (the
+      // reference's BENCHMARK.md number is ONE 180 s window — when
+      // comparing, read the per-window array, not just the median)
+      s""""throughput_methodology":"median_of_${windowCount}x40s_windows_after_30s_warmup",""" +
+      // samples are taken before window 1..N plus one after the last
+      // window; loadavg is the whole worker (neighbors included),
+      // proc_cpu_sec is this JVM's cumulative CPU time
+      s""""loadavg_1m":${loadBefore.mkString("[", ",", "]")},""" +
+      s""""proc_cpu_sec":${cpuBefore.mkString("[", ",", "]")},""" +
+      s""""host_cpus":${Runtime.getRuntime.availableProcessors()},""" +
       // raw Double.toString, not %f: the f-interpolator is locale-
       // sensitive and a comma decimal separator would corrupt the JSON
       s""""latency_avg_ms":$avgMs,"latency_p50_ms":${pct(0.50)},""" +

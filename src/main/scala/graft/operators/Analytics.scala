@@ -1359,7 +1359,14 @@ object Analytics {
       // max over the full window broadcasts it (25-row table)
       .withColumn("cum_w", sum(col("w")).over(wOrd))
       .withColumn("total_w", max(col("cum_w")).over(wAll))
-      .withColumn("alloc_real", lit(b.toDouble) * col("w") / col("total_w"))
+      // total_w == 0 (every stratum zero-variance) would make alloc_real
+      // NaN and the floor/cast silently degrade to 0 allocations — fail
+      // loudly instead; the budget-exact invariant is meaningless on a
+      // degenerate corpus
+      .withColumn("alloc_real",
+        when(col("total_w") > 0.0, lit(b.toDouble) * col("w") / col("total_w"))
+          .otherwise(raise_error(lit(
+            "neymanAllocation: total stratum weight is zero (all strata have zero variance)"))))
       .withColumn("base", floor(col("alloc_real")).cast(LongType))
       .withColumn("rem", col("alloc_real") - col("base").cast(DoubleType))
       .withColumn("spare", lit(b) - sum(col("base")).over(wAll))

@@ -57,6 +57,11 @@ object CorpusPipeline {
 
   private def manifestUnordered(s: SparkSession, dir: String,
       contamMax: Double = 0.7): DataFrame = manifestMemo.synchronized {
+    // drop entries whose session has been stopped: they can never be
+    // served again, their unpersist would throw (and be swallowed) at
+    // LRU-eviction time, and a dead session + its cached DataFrames
+    // should not stay strongly referenced occupying cap slots
+    manifestMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     val key = (s, dir, contamMax)
     Option(manifestMemo.get(key)).getOrElse {
       val m = buildManifest(s, dir, contamMax).cache()

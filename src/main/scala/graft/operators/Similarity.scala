@@ -506,16 +506,25 @@ object Similarity {
   val pqSubDim: Int = maxDim / pqSubspaces // 8 dims per subspace
   val pqCodes = 16 // 4-bit codes; 8 subspaces pack into a 32-bit word
 
-  @volatile private var pqCodebookCache: Map[String, Array[Array[Long]]] = Map.empty
+  @volatile private var pqCodebookCache: Map[String, Array[(Long, Array[Long])]] = Map.empty
 
-  /** The PQ codebook: the first `pqCodes` corpus vectors, element-wise
-    * in exact integer micros — the deterministic seed-codebook tier
-    * (the k-means refinement that production PQ trainers add is sim4's
-    * Lloyd machinery; the codebook CONTRACT — argmin sub-distance per
-    * subspace, integer distance arithmetic — is identical either way).
-    * Bounded driver state: pqCodes x maxDim longs.
+  /** The PQ codebook: the corpus vectors with vec_id < `pqCodes`,
+    * element-wise in exact integer micros — the deterministic
+    * seed-codebook tier (the k-means refinement that production PQ
+    * trainers add is sim4's Lloyd machinery; the codebook CONTRACT —
+    * argmin sub-distance per subspace, integer distance arithmetic —
+    * is identical either way). Each entry carries its vec_id, which IS
+    * the code k — matching the oracle's `vec_id AS k` exactly even if
+    * ids 0..15 are not contiguous (a positional index would silently
+    * diverge on a gapped or <16-vector corpus). Bounded driver state:
+    * <= pqCodes x maxDim longs.
+    *
+    * Cache contract: keyed by dir and never invalidated — the same
+    * path-immutability assumption as `manifestMemo` and the Engine
+    * table-schema cache (testdata dirs are write-once; a re-ingested
+    * path must use a fresh path or a fresh JVM).
     */
-  private def pqCodebook(s: SparkSession, dir: String): Array[Array[Long]] =
+  private def pqCodebook(s: SparkSession, dir: String): Array[(Long, Array[Long])] =
     pqCodebookCache.get(dir) match {
       case Some(cb) => cb
       case None =>
@@ -523,9 +532,9 @@ object Similarity {
           (if (x >= 0) math.floor(x * 1000000L + 0.5) else math.ceil(x * 1000000L - 0.5)).toLong
         val cb = t(s, dir, "embeddings")
           .filter(col("vec_id") < pqCodes)
-          .orderBy(col("vec_id"))
-          .select(vecD("embedding").as("v"))
-          .collect().map(_.getSeq[Double](0).toArray.map(toMicros))
+          .select(col("vec_id"), vecD("embedding").as("v"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray.map(toMicros)))
         synchronized { pqCodebookCache += dir -> cb }
         cb
     }
@@ -554,8 +563,8 @@ object Similarity {
     // output and oracle are untouched.
     import scala.jdk.CollectionConverters._
     val cbDf = s.createDataFrame(
-      cb.zipWithIndex.map { case (vm, k) =>
-        org.apache.spark.sql.Row(k.toLong, vm.toSeq)
+      cb.map { case (k, vm) =>
+        org.apache.spark.sql.Row(k, vm.toSeq)
       }.toSeq.asJava,
       StructType(Seq(
         StructField("k", LongType),
