@@ -17,11 +17,12 @@ import org.apache.spark.sql.types.StructType
   *    params, ephemeral flag), with close/take and the empty-handle →
   *    last-created fallback (session/mod.rs:465-609,
   *    service/handlers/prepared.rs:38-68);
-  *  - lenient transaction state (session/mod.rs:613-686): BEGIN/COMMIT/
-  *    ROLLBACK tracked per session; commit/rollback without an active
-  *    transaction is a tolerated no-op (transaction.rs:68-93). Spark has
-  *    no multi-statement atomicity — semantics here are the reference's
-  *    *tolerance* contract, not serializable isolation (SURVEY §7.4).
+  *  - transaction state (session/mod.rs:613-686): BEGIN/COMMIT/ROLLBACK
+  *    tracked per session; commit/rollback without an active transaction
+  *    is a tolerated no-op (transaction.rs:68-93). Catalog-backed
+  *    sessions get CROSS-STATEMENT ATOMICITY over managed tables via
+  *    per-session staged versions (SURVEY §7.4 — see the transactions
+  *    section below); plain Spark writes remain non-transactional.
   *
   * `newSession()` gives temp-view + SQL-conf isolation over the shared
   * SparkContext — the same isolation shape as the reference's per-session
@@ -47,7 +48,7 @@ final class Session(val id: String, val spark: SparkSession,
     * namespace before planning against Spark SQL (newSession isolates
     * temp views; the catalog's views live on the root session).
     */
-  private[graft] def ensureCatalogViews(): Unit = catalog.foreach(_.syncViews(spark))
+  private[graft] def ensureCatalogViews(): Unit = catalog.foreach(_.syncViews(spark, txn))
 
   def schemaForQuery(sql: String): StructType = {
     val key = sql.trim
@@ -93,19 +94,26 @@ final class Session(val id: String, val spark: SparkSession,
     */
   def sql(sqlText: String): DataFrame = {
     touch()
+    // aborted-transaction auto-recovery (transaction_recovery.rs:37-77):
+    // a statement that errored inside an open transaction marks it
+    // aborted; the NEXT statement detects that, rolls the transaction
+    // back (discarding its staged writes) and runs in autocommit mode
+    recoverIfAborted()
     val statements = SqlShim.splitStatements(sqlText)
     require(statements.nonEmpty, "empty SQL script")
     if (statements.exists(invalidatesSchemas))
       schemaCache.synchronized(schemaCache.clear())
     statements.map { s =>
       val clean = SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))
-      catalog.flatMap(_.route(clean)) match {
-        case Some(n) => affectedDf(n)
-        case None =>
-          // metadata views recompute per query (metadata.rs:26-34)
-          if (InfoSchema.referencesInfoSchema(s)) InfoSchema.register(spark)
-          ensureCatalogViews()
-          spark.sql(InfoSchema.rewriteInfoSchema(clean))
+      abortTxnOnError {
+        catalog.flatMap(_.route(clean, txn)) match {
+          case Some(n) => affectedDf(n)
+          case None =>
+            // metadata views recompute per query (metadata.rs:26-34)
+            if (InfoSchema.referencesInfoSchema(s)) InfoSchema.register(spark)
+            ensureCatalogViews()
+            spark.sql(InfoSchema.rewriteInfoSchema(clean))
+        }
       }
     }.last
   }
@@ -164,6 +172,7 @@ final class Session(val id: String, val spark: SparkSession,
     */
   def executePrepared(handle: String): DataFrame = {
     touch()
+    recoverIfAborted()
     val p = getPrepared(handle).getOrElse(
       throw new NoSuchElementException(s"unknown prepared statement handle: $handle"))
     val params = prepared.synchronized { val ps = p.pendingParams; p.pendingParams = None; ps }
@@ -171,11 +180,11 @@ final class Session(val id: String, val spark: SparkSession,
     val n = ParamInference.countPlaceholders(p.sql)
     val padded = params.padTo(n, null)
     val out =
-      if (n > 0 && SqlShim.statementCount(p.sql) == 1) {
+      if (n > 0 && SqlShim.statementCount(p.sql) == 1) abortTxnOnError {
         // catalog-managed DML binds literals engine-side and routes
         // (connection.rs:279-295 Value binding); everything else uses
         // Spark's native parameterized-SQL path
-        catalog.flatMap(_.route(SqlParams.bind(p.sql, padded))) match {
+        catalog.flatMap(_.route(SqlParams.bind(p.sql, padded), txn)) match {
           case Some(count) => affectedDf(count)
           case None =>
             ensureCatalogViews()
@@ -195,19 +204,54 @@ final class Session(val id: String, val spark: SparkSession,
   private[graft] def preparedCount: Int = prepared.synchronized(prepared.size)
 
   // === transactions (A22) ==================================================
-  // Lenient contract (transaction.rs:68-93): COMMIT/ROLLBACK without an
-  // active transaction are tolerated no-ops. When the session is backed
-  // by a MutableCatalog, BEGIN snapshots table versions and ROLLBACK
-  // restores them (the §7.4 pointer-swap commit points); without one,
-  // only the flag is tracked — plain Spark writes are not transactional.
+  // Cross-statement atomicity over the micro-lake (SURVEY §7.4,
+  // session/mod.rs:613-686): BEGIN opens a per-session CatalogTxn; every
+  // routed DML inside it stages unpublished table versions (invisible to
+  // other sessions, read-your-writes in this one via the view override in
+  // syncViews); COMMIT publishes each staged table with one atomic
+  // pointer swap; ROLLBACK discards the staged state entirely. The
+  // lenient tolerances stand (transaction.rs:68-93): COMMIT/ROLLBACK
+  // without an active transaction are no-ops, BEGIN inside a transaction
+  // keeps the open one. Without a catalog, only the flag is tracked —
+  // plain Spark writes are not transactional.
   @volatile private var txnActive: Boolean = false
+  @volatile private var txnAborted: Boolean = false
+  @volatile private[graft] var txn: Option[graft.sources.CatalogTxn] = None
   def inTransaction: Boolean = txnActive
 
-  def begin(): Unit = { touch(); txnActive = true; catalog.foreach(_.begin()) }
+  /** An error inside an open transaction poisons it (DuckDB's aborted
+    * state, which the reference surfaces and then auto-recovers from —
+    * transaction_recovery.rs): the failed statement's staged writes are
+    * unusable, so the next statement rolls everything back and proceeds
+    * in autocommit mode.
+    */
+  private def abortTxnOnError[T](f: => T): T =
+    try f
+    catch { case e: Throwable => if (txnActive) txnAborted = true; throw e }
 
-  def commit(): Unit = { touch(); txnActive = false; catalog.foreach(_.commit()) }
+  private def recoverIfAborted(): Unit =
+    if (txnActive && txnAborted) rollback()
 
-  def rollback(): Unit = { touch(); txnActive = false; catalog.foreach(_.rollback()) }
+  def begin(): Unit = {
+    touch()
+    if (!txnActive) { txnActive = true; txnAborted = false; txn = catalog.map(_.beginTxn()) }
+  }
+
+  def commit(): Unit = {
+    touch()
+    // committing an ABORTED transaction discards it instead (the staged
+    // chain includes no failed statement, but the reference's contract
+    // is that an aborted txn cannot commit)
+    if (txnAborted) { rollback(); return }
+    txn.foreach(x => catalog.foreach(_.commitTxn(x)))
+    txn = None; txnActive = false
+  }
+
+  def rollback(): Unit = {
+    touch()
+    txn.foreach(x => catalog.foreach(_.rollbackTxn(x)))
+    txn = None; txnActive = false; txnAborted = false
+  }
 }
 
 /** Positional-parameter literal binding: replace each top-level `?` with

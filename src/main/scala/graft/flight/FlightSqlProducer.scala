@@ -236,7 +236,7 @@ final class FlightSqlProducer(
         // routing it by its last part would append the batch to an
         // unrelated managed table that happens to be named `t`.
         val viaCatalog =
-          if (parts.size == 1) s.catalog.flatMap(_.insertBatch(parts.last, batch, cols))
+          if (parts.size == 1) s.catalog.flatMap(_.insertBatch(parts.last, batch, cols, s.txn))
           else None
         val n = viaCatalog.getOrElse(
           graft.sources.BatchAlign.appendParamBatch(s.spark, qualified, batch, cols))

@@ -28,10 +28,15 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   // serialized inside MutableTable
   private val tables = scala.collection.concurrent.TrieMap.empty[String, MutableTable]
 
-  def create(name: String, schema: StructType, primaryKey: Option[String] = None): MutableTable = {
+  def create(name: String, schema: StructType, primaryKey: Option[String] = None,
+      txn: Option[CatalogTxn] = None): MutableTable = {
     val t = MutableTable.create(spark, root.resolve(name).toString, schema, primaryKey)
     tables(name.toLowerCase) = t
     refresh(name)
+    // DDL is immediately visible (the reference's DuckDB behaves the same
+    // for cross-connection catalog changes); the txn records the creation
+    // so ROLLBACK can drop it
+    txn.foreach(_.created += name)
     t
   }
 
@@ -46,40 +51,38 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   }
 
   // === transactions (SURVEY §7.4 session-buffered commit points) ===========
-  // BEGIN snapshots every managed table's version; ROLLBACK restores each
-  // mutated table to its snapshot (roll-forward commit) and drops tables
-  // created inside the transaction. The semantics are the reference's
-  // LENIENT contract (session/mod.rs:613-686): single-writer rollback
-  // capability, not cross-session serializable isolation — a concurrent
-  // writer's commits inside the window are rolled back with ours, exactly
-  // the caveat the survey accepts.
-  private var txnSnapshot: Option[Map[String, Long]] = None
+  // A transaction is a PER-SESSION staging area (A22, the reference's
+  // BEGIN…COMMIT atomicity via DuckDB, session/mod.rs:613-686): each DML
+  // inside the txn builds a new STAGED manifest on top of the session's
+  // previous staged version (read-your-writes within the session) while
+  // the table's published `_version` pointer — what every other session's
+  // views resolve — never moves. COMMIT publishes each staged table with
+  // one atomic pointer swap per table under the catalog lock; ROLLBACK
+  // discards the staged map (the staged manifests linger unreferenced,
+  // same as restore()'s rolled-back interval) and drops tables created
+  // inside the txn. Remaining leniency, documented: concurrent writers
+  // to the SAME table race last-pointer-swap-wins (the reference's
+  // single-writer assumption), and a multi-table commit is atomic per
+  // table, not across tables.
+  def beginTxn(): CatalogTxn = new CatalogTxn
 
-  def inTransaction: Boolean = synchronized(txnSnapshot.isDefined)
-
-  def begin(): Unit = synchronized {
-    txnSnapshot = Some(tables.map { case (n, t) => n -> t.currentVersion }.toMap)
+  /** Publish every staged table version — one pointer swap per table —
+    * then retire the txn. Committing an empty or already-closed txn is
+    * the tolerated no-op (transaction.rs:68-93).
+    */
+  def commitTxn(txn: CatalogTxn): Unit = synchronized {
+    txn.staged.foreach { case (n, v) =>
+      tables.get(n).foreach { t => t.publish(v); refresh(n) }
+    }
+    txn.staged.clear(); txn.created.clear()
   }
 
-  /** Per-statement writes are already durable (pointer swaps); COMMIT
-    * just discards the rollback point (transaction.rs:68-93 tolerance:
-    * commit without BEGIN is a no-op).
+  /** Discard all staged writes and drop tables created inside the txn;
+    * without any staged state this is the tolerated no-op.
     */
-  def commit(): Unit = synchronized { txnSnapshot = None }
-
-  /** Restore every table to its BEGIN version; without an active
-    * transaction this is the tolerated no-op.
-    */
-  def rollback(): Unit = synchronized {
-    txnSnapshot.foreach { snap =>
-      tables.keys.toSeq.filterNot(snap.contains).foreach(drop)
-      snap.foreach { case (n, v) =>
-        tables.get(n).foreach { t =>
-          if (t.currentVersion != v) { t.restore(v); refresh(n) }
-        }
-      }
-    }
-    txnSnapshot = None
+  def rollbackTxn(txn: CatalogTxn): Unit = synchronized {
+    txn.created.foreach(drop)
+    txn.staged.clear(); txn.created.clear()
   }
 
   // Per-table view versions, bumped on every snapshot refresh, plus a
@@ -109,7 +112,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     * already registered are skipped, so the steady-state call is a
     * version compare per table.
     */
-  def syncViews(target: SparkSession): Unit = {
+  def syncViews(target: SparkSession, txn: Option[CatalogTxn] = None): Unit = {
     if (tables.isEmpty) return
     // lookup-or-insert under ONE lock on the map: a racing get-then-put
     // would let two threads install distinct 'seen' maps for the same
@@ -123,11 +126,20 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
       m
     }
     tables.foreach { case (name, t) =>
-      val v = viewVersions.getOrElse(name, 0L)
-      if (!seen.synchronized(seen.get(name).contains(v))) {
-        org.apache.spark.sql.graft.PlanReuse.reanalyzed(target, t.df)
+      // a table this txn has staged resolves to ITS OWN staged snapshot
+      // (read-your-writes); everyone else sees the published snapshot.
+      // The seen-marker spaces must not collide: published registrations
+      // record the positive viewVersions clock tick, staged ones the
+      // NEGATIVE staged version — so leaving/entering/advancing a txn
+      // always re-registers, and after commit the bumped clock replaces
+      // the staged marker.
+      val stagedV = txn.flatMap(_.staged.get(name))
+      val marker = stagedV.map(v => -(v + 1)).getOrElse(viewVersions.getOrElse(name, 0L))
+      if (!seen.synchronized(seen.get(name).contains(marker))) {
+        val snapshot = stagedV.map(t.asOf).getOrElse(t.df)
+        org.apache.spark.sql.graft.PlanReuse.reanalyzed(target, snapshot)
           .createOrReplaceTempView(name)
-        seen.synchronized(seen(name) = v)
+        seen.synchronized(seen(name) = marker)
       }
     }
   }
@@ -139,11 +151,21 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     * (caller falls through to the saved-table appender).
     */
   def insertBatch(name: String, batch: DataFrame,
-      explicitCols: Option[Seq[String]] = None): Option[Long] =
+      explicitCols: Option[Seq[String]] = None,
+      txn: Option[CatalogTxn] = None): Option[Long] =
     get(name).map { t =>
-      val n = t.insert(BatchAlign.shapeParamBatch(spark, batch, t.schema, explicitCols))
-      refresh(name)
-      n
+      val shaped = BatchAlign.shapeParamBatch(spark, batch, t.schema, explicitCols)
+      txn match {
+        case Some(x) =>
+          val bv = x.staged.getOrElse(name.toLowerCase, t.currentVersion)
+          val (v, n) = t.stageInsert(bv, shaped)
+          x.staged(name.toLowerCase) = v
+          n
+        case None =>
+          val n = t.insert(shaped)
+          refresh(name)
+          n
+      }
     }
 
   private val insertRe =
@@ -155,40 +177,59 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
 
   /** Route a DML statement against a managed table. Returns the affected
     * row count, or None when the statement doesn't target a managed
-    * table (caller falls through to plain `spark.sql`).
+    * table (caller falls through to plain `spark.sql`). With an active
+    * `txn`, the mutation is STAGED: it builds on the txn's previous
+    * staged version of the table (or the published version on first
+    * touch) and records the new staged version in the txn instead of
+    * publishing — invisible to every other session until `commitTxn`.
     */
-  def route(sql: String): Option[Long] = sql match {
-    case insertRe(table, colsOpt, values) =>
-      get(table).map { t =>
-        val batch = spark.sql(s"SELECT * FROM (VALUES $values)")
-        val explicit = Option(colsOpt).map(_.stripPrefix("(").stripSuffix(")")
-          .split(",").map(_.trim).toSeq)
-        // name the incoming columns after the target list (or table
-        // prefix) so alignment matches the appender path (A8)
-        val named = explicit match {
-          case Some(cols) => batch.toDF(cols: _*)
-          case None => batch.toDF(t.schema.fieldNames.take(batch.schema.length).toIndexedSeq: _*)
+  def route(sql: String, txn: Option[CatalogTxn] = None): Option[Long] = {
+    // Within-txn mutations chain off the session's own staged version
+    // (snapshot taken on first touch). NON-txn mutations go through the
+    // table's atomic mutators — read-stage-publish under ONE writeLock
+    // hold, so concurrent autocommit writers never lose an update.
+    def base(name: String, t: MutableTable): Long =
+      txn.flatMap(_.staged.get(name.toLowerCase)).getOrElse(t.currentVersion)
+    def record(name: String, x: CatalogTxn, staged: (Long, Long)): Long = {
+      x.staged(name.toLowerCase) = staged._1; staged._2
+    }
+    sql match {
+      case insertRe(table, colsOpt, values) =>
+        get(table).map { t =>
+          val batch = spark.sql(s"SELECT * FROM (VALUES $values)")
+          val explicit = Option(colsOpt).map(_.stripPrefix("(").stripSuffix(")")
+            .split(",").map(_.trim).toSeq)
+          // name the incoming columns after the target list (or table
+          // prefix) so alignment matches the appender path (A8)
+          val named = explicit match {
+            case Some(cols) => batch.toDF(cols: _*)
+            case None => batch.toDF(t.schema.fieldNames.take(batch.schema.length).toIndexedSeq: _*)
+          }
+          val aligned = BatchAlign.alignToSchema(named, t.schema, explicit)
+          txn match {
+            case Some(x) => record(table, x, t.stageInsert(base(table, t), aligned))
+            case None    => val n = t.insert(aligned); refresh(table); n
+          }
         }
-        val n = t.insert(BatchAlign.alignToSchema(named, t.schema, explicit))
-        refresh(table)
-        n
-      }
-    case updateRe(table, setClause, whereOpt) =>
-      get(table).map { t =>
-        val assignments = splitAssignments(setClause).map { case (k, v) => k -> expr(v) }.toMap
-        val cond = Option(whereOpt).map(expr).getOrElse(lit(true))
-        val n = t.update(cond, assignments)
-        refresh(table)
-        n
-      }
-    case deleteRe(table, whereOpt) =>
-      get(table).map { t =>
-        val cond = Option(whereOpt).map(expr).getOrElse(lit(true))
-        val n = t.delete(cond)
-        refresh(table)
-        n
-      }
-    case _ => None
+      case updateRe(table, setClause, whereOpt) =>
+        get(table).map { t =>
+          val assignments = splitAssignments(setClause).map { case (k, v) => k -> expr(v) }.toMap
+          val cond = Option(whereOpt).map(expr).getOrElse(lit(true))
+          txn match {
+            case Some(x) => record(table, x, t.stageUpdate(base(table, t), cond, assignments))
+            case None    => val n = t.update(cond, assignments); refresh(table); n
+          }
+        }
+      case deleteRe(table, whereOpt) =>
+        get(table).map { t =>
+          val cond = Option(whereOpt).map(expr).getOrElse(lit(true))
+          txn match {
+            case Some(x) => record(table, x, t.stageDelete(base(table, t), cond))
+            case None    => val n = t.delete(cond); refresh(table); n
+          }
+        }
+      case _ => None
+    }
   }
 
   /** Split `a = 1, b = 'x,y'` on top-level commas (quote-aware). */
@@ -218,4 +259,17 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
 object MutableCatalog {
   def apply(spark: SparkSession): MutableCatalog =
     new MutableCatalog(spark, Files.createTempDirectory("graft_mcat"))
+}
+
+/** One session's open transaction: the staged (unpublished) version of
+  * each table it has mutated, lowercase-keyed like the catalog registry,
+  * plus the tables it created (dropped again on rollback). Owned by
+  * exactly one [[graft.Session]] at a time — per-session, not
+  * catalog-global, so concurrent sessions' transactions never collide.
+  */
+final class CatalogTxn private[sources] {
+  private[sources] val staged = scala.collection.mutable.Map.empty[String, Long]
+  private[sources] val created = scala.collection.mutable.Set.empty[String]
+  /** Tables this txn has staged writes for (visible for specs/diagnostics). */
+  def stagedTables: Set[String] = staged.keySet.toSet
 }

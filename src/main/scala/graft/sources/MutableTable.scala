@@ -78,9 +78,38 @@ final class MutableTable private (
 
   private def commit(newVersion: Long, files: Seq[String]): Unit = {
     writeManifest(newVersion, files)
+    publish(newVersion)
+  }
+
+  /** Atomically swing the version pointer to an already-written manifest
+    * — the §7.4 commit point. Used directly by the catalog's transaction
+    * commit: every staged manifest becomes visible with ONE pointer swap
+    * per table.
+    */
+  def publish(version: Long): Unit = writeLock.synchronized {
+    require(Files.exists(manifestPath(version)), s"unknown version $version")
     val tmp = root.resolve(s"_version.tmp.${UUID.randomUUID()}")
-    Files.write(tmp, newVersion.toString.getBytes)
+    Files.write(tmp, version.toString.getBytes)
     Files.move(tmp, versionFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // Version allocator: staged (transactional) manifests are written
+  // WITHOUT moving the pointer, so `currentVersion + 1` can collide with
+  // a staged number — allocation tracks the max manifest ever written
+  // instead (lazily initialized from disk so load() of an existing table
+  // works). Callers hold writeLock.
+  private var maxVersionCache: Long = -1L
+  private def allocVersion(): Long = {
+    if (maxVersionCache < 0) {
+      val onDisk = Files.list(root).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
+        .map(_.stripPrefix("manifest-").stripSuffix(".json").toLong)
+        .foldLeft(-1L)(math.max)
+      maxVersionCache = math.max(onDisk, scala.util.Try(currentVersion).getOrElse(-1L))
+    }
+    maxVersionCache += 1
+    maxVersionCache
   }
 
   /** Roll the table forward to a NEW version whose contents are those of
@@ -96,7 +125,7 @@ final class MutableTable private (
     val v = currentVersion
     if (version == v) v
     else {
-      val nv = v + 1
+      val nv = allocVersion()
       commit(nv, readManifest(version))
       nv
     }
@@ -138,25 +167,41 @@ final class MutableTable private (
     * the batch or against existing rows error, nothing is committed.
     */
   def insert(data: DataFrame): Long = writeLock.synchronized {
+    val (v, n) = insertCore(currentVersion, data, publishNow = true)
+    n
+  }
+
+  /** Transactional variant: append on top of `base` into a new STAGED
+    * manifest — written to disk but not published, so no other reader
+    * sees it until [[publish]]. Returns (stagedVersion, rowCount).
+    */
+  def stageInsert(base: Long, data: DataFrame): (Long, Long) = writeLock.synchronized {
+    insertCore(base, data, publishNow = false)
+  }
+
+  private def insertCore(base: Long, data: DataFrame, publishNow: Boolean): (Long, Long) = {
     primaryKey.foreach { pk =>
       val incoming = data.select(col(pk))
       val dupIn = incoming.groupBy(col(pk)).count().filter(col("count") > 1).limit(1).collect()
       if (dupIn.nonEmpty)
         throw new DuplicateKeyException(s"duplicate key in batch: $pk=${dupIn.head.get(0)}")
-      val clash = incoming.join(df.select(col(pk)), Seq(pk), "left_semi").limit(1).collect()
+      val clash = incoming.join(asOf(base).select(col(pk)), Seq(pk), "left_semi").limit(1).collect()
       if (clash.nonEmpty)
         throw new DuplicateKeyException(s"duplicate key violates primary key: $pk=${clash.head.get(0)}")
     }
     val n = data.count()
     val newFiles = stageWrite(data)
-    commit(currentVersion + 1, readManifest(currentVersion) ++ newFiles)
-    n
+    val nv = allocVersion()
+    if (publishNow) commit(nv, readManifest(base) ++ newFiles)
+    else writeManifest(nv, readManifest(base) ++ newFiles)
+    (nv, n)
   }
 
-  /** Files (by name) containing at least one row matching `cond`. */
-  private def affectedFiles(cond: Column): Seq[String] = {
-    val v = currentVersion
-    val files = readManifest(v)
+  /** Files (by name) containing at least one row matching `cond` in
+    * version `base`.
+    */
+  private def affectedFiles(base: Long, cond: Column): Seq[String] = {
+    val files = readManifest(base)
     if (files.isEmpty) return Seq.empty
     val hit = spark.read.schema(schema).parquet(files.map(f => dataDir.resolve(f).toString): _*)
       .filter(cond)
@@ -169,10 +214,18 @@ final class MutableTable private (
     * the number of rows deleted.
     */
   def delete(cond: Column): Long = writeLock.synchronized {
-    val v = currentVersion
-    val all = readManifest(v)
-    val affected = affectedFiles(cond)
-    if (affected.isEmpty) return 0L
+    deleteCore(currentVersion, cond, publishNow = true)._2
+  }
+
+  /** Transactional variant of [[delete]]: staged, unpublished. */
+  def stageDelete(base: Long, cond: Column): (Long, Long) = writeLock.synchronized {
+    deleteCore(base, cond, publishNow = false)
+  }
+
+  private def deleteCore(base: Long, cond: Column, publishNow: Boolean): (Long, Long) = {
+    val all = readManifest(base)
+    val affected = affectedFiles(base, cond)
+    if (affected.isEmpty) return (base, 0L)
     val affectedDf = spark.read.schema(schema)
       .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
     val deleted = affectedDf.filter(cond).count()
@@ -181,8 +234,10 @@ final class MutableTable private (
     // SQL three-valued logic: DELETE removes only WHERE-true rows)
     val survivors = affectedDf.filter(!coalesce(cond, lit(false)))
     val replacement = if (survivors.isEmpty) Seq.empty else stageWrite(survivors)
-    commit(v + 1, all.filterNot(affected.contains) ++ replacement)
-    deleted
+    val nv = allocVersion()
+    val files = all.filterNot(affected.contains) ++ replacement
+    if (publishNow) commit(nv, files) else writeManifest(nv, files)
+    (nv, deleted)
   }
 
   /** Copy-on-write DELETE by key set: rows whose `keyCol` appears in
@@ -214,7 +269,7 @@ final class MutableTable private (
     val survivors = affectedDf.join(keySet, Seq(keyCol), "left_anti")
       .select(schema.fieldNames.toSeq.map(col): _*)
     val replacement = if (survivors.isEmpty) Seq.empty else stageWrite(survivors)
-    commit(v + 1, all.filterNot(affected.contains) ++ replacement)
+    commit(allocVersion(), all.filterNot(affected.contains) ++ replacement)
     deleted
   }
 
@@ -222,12 +277,20 @@ final class MutableTable private (
     * returns the number of rows updated.
     */
   def update(cond: Column, set: Map[String, Column]): Long = writeLock.synchronized {
+    updateCore(currentVersion, cond, set, publishNow = true)._2
+  }
+
+  /** Transactional variant of [[update]]: staged, unpublished. */
+  def stageUpdate(base: Long, cond: Column, set: Map[String, Column]): (Long, Long) =
+    writeLock.synchronized { updateCore(base, cond, set, publishNow = false) }
+
+  private def updateCore(base: Long, cond: Column, set: Map[String, Column],
+      publishNow: Boolean): (Long, Long) = {
     require(set.nonEmpty, "UPDATE requires at least one assignment")
     set.keys.foreach(k => require(schema.fieldNames.contains(k), s"unknown column: $k"))
-    val v = currentVersion
-    val all = readManifest(v)
-    val affected = affectedFiles(cond)
-    if (affected.isEmpty) return 0L
+    val all = readManifest(base)
+    val affected = affectedFiles(base, cond)
+    if (affected.isEmpty) return (base, 0L)
     val affectedDf = spark.read.schema(schema)
       .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
     val updated = affectedDf.filter(cond).count()
@@ -238,8 +301,10 @@ final class MutableTable private (
       }
     }: _*)
     val replacement = stageWrite(rewritten)
-    commit(v + 1, all.filterNot(affected.contains) ++ replacement)
-    updated
+    val nv = allocVersion()
+    val files = all.filterNot(affected.contains) ++ replacement
+    if (publishNow) commit(nv, files) else writeManifest(nv, files)
+    (nv, updated)
   }
 
   /** CHECKPOINT ≈ compaction (A26): coalesce the live file set into
@@ -250,7 +315,7 @@ final class MutableTable private (
     val files = readManifest(v)
     if (files.size <= targetFiles) return v
     val compacted = stageWrite(df.repartition(targetFiles))
-    commit(v + 1, compacted)
+    commit(allocVersion(), compacted)
     currentVersion
   }
 

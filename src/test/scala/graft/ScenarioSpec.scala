@@ -94,6 +94,70 @@ class ScenarioSpec extends SparkTestBase {
     assert(spark.sql("SELECT name FROM txn_t").head.getString(0) == "committed")
   }
 
+  // === transaction_recovery.rs + VERDICT r11 #2: cross-statement ==========
+  // atomicity with cross-session isolation over the micro-lake
+  test("multi-statement txn: invisible to a second session until COMMIT, absent after ROLLBACK (A22)") {
+    val cat = MutableCatalog(spark)
+    cat.create("txn_iso_t", usersSchema, primaryKey = Some("id"))
+    val writer = new Session("txn-w", spark.newSession(), Some(cat))
+    val reader = new Session("txn-r", spark.newSession(), Some(cat))
+    writer.sql("INSERT INTO txn_iso_t VALUES (1, 'base', 1.0)")
+
+    // --- rollback leg: two staged statements, then ROLLBACK
+    writer.begin()
+    writer.sql("INSERT INTO txn_iso_t VALUES (2, 'staged', 2.0)")
+    writer.sql("UPDATE txn_iso_t SET balance = 100.0 WHERE id = 1")
+    assert(reader.sql("SELECT COUNT(*) FROM txn_iso_t").head.getLong(0) == 1L,
+      "second session must not see the staged INSERT")
+    assert(reader.sql("SELECT balance FROM txn_iso_t WHERE id = 1").head.getDouble(0) == 1.0,
+      "second session must not see the staged UPDATE")
+    assert(writer.sql("SELECT COUNT(*) FROM txn_iso_t").head.getLong(0) == 2L,
+      "writer reads its own staged state")
+    writer.rollback()
+    assert(reader.sql("SELECT COUNT(*) FROM txn_iso_t").head.getLong(0) == 1L)
+    assert(writer.sql("SELECT balance FROM txn_iso_t WHERE id = 1").head.getDouble(0) == 1.0,
+      "after rollback the writer's own reads revert to the published state")
+
+    // --- commit leg: both statements land atomically at COMMIT
+    writer.begin()
+    writer.sql("INSERT INTO txn_iso_t VALUES (3, 'c', 3.0)")
+    writer.sql("DELETE FROM txn_iso_t WHERE id = 1")
+    assert(reader.sql("SELECT COUNT(*) FROM txn_iso_t").head.getLong(0) == 1L)
+    writer.commit()
+    assert(reader.sql("SELECT id FROM txn_iso_t").head.getLong(0) == 3L,
+      "after COMMIT the second session sees the full transaction")
+    cat.drop("txn_iso_t")
+  }
+
+  // === transaction_recovery.rs:37-77: aborted-txn auto-rollback + retry ===
+  test("error inside a txn aborts it: next statement auto-rolls-back and runs autocommit") {
+    val cat = MutableCatalog(spark)
+    cat.create("txn_rec_t", usersSchema, primaryKey = Some("id"))
+    val s = new Session("txn-rec", spark.newSession(), Some(cat))
+    s.begin()
+    s.sql("INSERT INTO txn_rec_t VALUES (1, 'one', 1.0)")
+    // poison the transaction (the reference uses a type error; any failed
+    // statement marks the txn aborted — here a PK violation against the
+    // txn's own staged write)
+    intercept[Exception](s.sql("INSERT INTO txn_rec_t VALUES (1, 'dup', 9.9)"))
+    // next statements detect the abort, roll back (discarding INSERT(1)),
+    // and run in autocommit mode
+    s.sql("INSERT INTO txn_rec_t VALUES (2, 'two', 2.0)")
+    s.sql("INSERT INTO txn_rec_t VALUES (3, 'three', 3.0)")
+    assert(!s.inTransaction, "auto-recovery left autocommit mode active")
+    val ids = s.sql("SELECT id FROM txn_rec_t ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(2L, 3L),
+      s"rolled-back txn must drop INSERT(1), keeping the auto-retried 2 and 3; got $ids")
+    // COMMIT on an aborted transaction discards instead of publishing
+    s.begin()
+    s.sql("INSERT INTO txn_rec_t VALUES (4, 'four', 4.0)")
+    intercept[Exception](s.sql("SELECT * FROM missing_table_xyz"))
+    s.commit()
+    assert(s.sql("SELECT COUNT(*) FROM txn_rec_t").head.getLong(0) == 2L,
+      "COMMIT of an aborted txn must not publish its staged writes")
+    cat.drop("txn_rec_t")
+  }
+
   // === error paths: unknown handle, unroutable DML ========================
   test("unknown prepared handles error; non-managed DML falls through (service/mod.rs:153-325)") {
     val s = new Session("err", spark)

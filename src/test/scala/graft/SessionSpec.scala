@@ -102,7 +102,7 @@ class SessionSpec extends SparkTestBase {
     assert(SqlParams.bind("SELECT 'a\\'? not me', ?", Seq(7)) == "SELECT 'a\\'? not me', 7")
   }
 
-  test("catalog-backed session: ROLLBACK reverts mutable-table writes (A22, SURVEY 7.4)") {
+  test("catalog-backed session: ROLLBACK discards staged writes, COMMIT publishes (A22, SURVEY 7.4)") {
     import org.apache.spark.sql.types._
     val cat = graft.sources.MutableCatalog(spark)
     val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
@@ -110,15 +110,20 @@ class SessionSpec extends SparkTestBase {
     cat.route("INSERT INTO sess_txn_t VALUES (1, 'a')")
     val s = new Session("txn-sess", spark.newSession(), Some(cat))
     s.begin()
-    assert(s.inTransaction && cat.inTransaction)
-    cat.route("INSERT INTO sess_txn_t VALUES (2, 'b')")
+    assert(s.inTransaction)
+    s.sql("INSERT INTO sess_txn_t VALUES (2, 'b')")
+    assert(t.df.count() == 1, "staged write invisible outside the txn")
+    assert(s.sql("SELECT COUNT(*) FROM sess_txn_t").head.getLong(0) == 2L,
+      "the txn session reads its own staged write")
     s.rollback()
-    assert(!s.inTransaction && !cat.inTransaction)
-    assert(t.df.count() == 1, "session rollback restored the table")
+    assert(!s.inTransaction)
+    assert(t.df.count() == 1, "session rollback discarded the staged write")
+    assert(s.sql("SELECT COUNT(*) FROM sess_txn_t").head.getLong(0) == 1L,
+      "after rollback the session reads the published snapshot again")
     s.begin()
-    cat.route("INSERT INTO sess_txn_t VALUES (3, 'c')")
+    s.sql("INSERT INTO sess_txn_t VALUES (3, 'c')")
     s.commit()
-    assert(t.df.count() == 2, "session commit kept the write")
+    assert(t.df.count() == 2, "session commit published the write")
     cat.drop("sess_txn_t")
   }
 }

@@ -163,34 +163,38 @@ class MutableTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.restore(99))
   }
 
-  test("catalog transaction: rollback restores every table, drops created ones (SURVEY 7.4)") {
+  test("catalog transaction: staged writes are invisible until commit, gone after rollback (SURVEY 7.4)") {
     val cat = MutableCatalog(spark)
     val a = cat.create("txn_a", schema, Some("id"))
-    a.insert(rows((1L, "a", 1.0)))
-    cat.begin()
-    assert(cat.inTransaction)
-    assert(cat.route("INSERT INTO txn_a VALUES (2, 'b', 2.0)").contains(1L))
-    assert(cat.route("DELETE FROM txn_a WHERE id = 1").contains(1L))
-    cat.create("txn_new", schema).insert(rows((9L, "z", 9.0)))
-    cat.rollback()
-    assert(!cat.inTransaction)
+    // seed through the catalog so the root-session view tracks it
+    cat.route("INSERT INTO txn_a VALUES (1, 'a', 1.0)")
+    val txn = cat.beginTxn()
+    assert(cat.route("INSERT INTO txn_a VALUES (2, 'b', 2.0)", Some(txn)).contains(1L))
+    assert(cat.route("DELETE FROM txn_a WHERE id = 1", Some(txn)).contains(1L),
+      "within-txn DML sees the txn's own earlier staged writes")
+    cat.create("txn_new", schema, None, Some(txn)).insert(rows((9L, "z", 9.0)))
+    // ISOLATION: the published table is untouched while the txn is open
     assert(a.df.collect().map(_.getLong(0)).toSet == Set(1L),
-      "rollback restores pre-transaction contents")
+      "staged writes are invisible to published readers before commit")
+    cat.rollbackTxn(txn)
+    assert(a.df.collect().map(_.getLong(0)).toSet == Set(1L),
+      "rollback leaves the published contents untouched")
     assert(cat.get("txn_new").isEmpty, "tables created inside the txn are dropped")
-    // the view tracks the restored snapshot
+    // the view still serves the published snapshot
     assert(spark.sql("SELECT COUNT(*) FROM txn_a").head.getLong(0) == 1L)
     cat.drop("txn_a")
   }
 
-  test("catalog transaction: commit keeps writes; commit/rollback without BEGIN are no-ops") {
+  test("catalog transaction: commit publishes atomically; stray commit/rollback are no-ops") {
     val cat = MutableCatalog(spark)
     val t = cat.create("txn_c", schema, Some("id"))
-    cat.commit(); cat.rollback() // tolerated no-ops (transaction.rs:68-93)
-    cat.begin()
-    cat.route("INSERT INTO txn_c VALUES (1, 'a', 1.0)")
-    cat.commit()
-    assert(t.df.count() == 1, "commit keeps transactional writes")
-    cat.rollback()
+    cat.commitTxn(cat.beginTxn()); cat.rollbackTxn(cat.beginTxn()) // empty: tolerated no-ops
+    val txn = cat.beginTxn()
+    cat.route("INSERT INTO txn_c VALUES (1, 'a', 1.0)", Some(txn))
+    assert(t.df.count() == 0, "uncommitted write invisible")
+    cat.commitTxn(txn)
+    assert(t.df.count() == 1, "commit publishes transactional writes")
+    cat.rollbackTxn(txn)
     assert(t.df.count() == 1, "rollback after commit is a no-op")
     cat.drop("txn_c")
   }
