@@ -71,6 +71,37 @@ class FlightScenarioSpec extends SparkTestBase {
     }
   }
 
+  test("interval parameters round-trip the prepared wire path (parameter_types.rs:172-229)") {
+    val p = newProducer()
+    // echo columns exercise the interval WIRE round-trip in both
+    // directions (param batch in, result stream out); the arithmetic
+    // columns pin the binding SEMANTICS engine-side
+    val prep = p.createPreparedStatement("peer-iv",
+      "SELECT CAST(TIMESTAMP'2024-01-01 00:00:00' + ? AS STRING) AS plus_dt, " +
+        "CAST(DATE'2024-03-31' + ? AS STRING) AS plus_ym, ? AS echo_dt, ? AS echo_ym")
+    val paramsDf = spark.sql(
+      "SELECT INTERVAL '1 02:03:04' DAY TO SECOND AS p1, INTERVAL '1-2' YEAR TO MONTH AS p2, " +
+        "INTERVAL '0 00:00:05' DAY TO SECOND AS p3, INTERVAL '0-7' YEAR TO MONTH AS p4")
+    // the param batch itself carries Arrow Duration + IntervalYear vectors
+    // (TypeBridge.scala:60,89-90 mappings)
+    p.doPutPreparedStatementQuery("peer-iv", prep.handle, ArrowWire.toIpcStream(paramsDf))
+    val info = p.getFlightInfoPreparedStatement("peer-iv", prep.handle)
+    val rows = rowsOf(p.doGet("peer-iv", info.ticket))
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "2024-01-02 02:03:04", "day-time interval bound into timestamp math")
+    assert(r.getString(1) == "2025-05-31", "year-month interval bound into date math")
+    assert(r.getAs[java.time.Duration]("echo_dt") == java.time.Duration.ofSeconds(5),
+      "day-time interval survives param-batch ingest and result-stream encode")
+    assert(r.getAs[java.time.Period]("echo_ym") == java.time.Period.ofMonths(7),
+      "year-month interval survives param-batch ingest and result-stream encode")
+    // metadata direction: both interval kinds report the reference's type name
+    import org.apache.spark.sql.types.{DayTimeIntervalType, YearMonthIntervalType}
+    assert(TypeBridge.toDuckName(DayTimeIntervalType()) == "INTERVAL")
+    assert(TypeBridge.toDuckName(YearMonthIntervalType()) == "INTERVAL")
+    assert(TypeBridge.toSpark("INTERVAL") == DayTimeIntervalType())
+  }
+
   test("prepared update via DoPut answers affected rows (prepared.rs update path)") {
     val p = newProducer()
     val s = p.registry.getOrCreate("peer-u")
