@@ -830,7 +830,128 @@ object Dedup {
        |LEFT JOIN near_b nb USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // === dd13: canonical-URL dedup ===========================================
+  /** URL canonicalization + keying — the pre-dedup stage every crawl
+    * pipeline runs BEFORE content dedup (the same page is fetched under
+    * scheme/www/port/utm/fragment/trailing-slash variants; CommonCrawl
+    * dedups by canonical URL first). The corpus carries no URL column, so
+    * each document derives a deterministic RAW url from (source, doc_id)
+    * that exercises every variant class — both engines build the
+    * identical string, so the canonicalizer itself is what's verified.
+    *
+    * Canonical steps (each one regexp_replace, the standard chain):
+    * lowercase; strip scheme; strip leading www.; strip fragment; strip
+    * default ports :80/:443; strip utm_* params (other params survive);
+    * collapse the dangling '?'/'&' separators; strip the trailing slash.
+    *
+    * Scale shape: the canonicalization is MAP-ONLY codegen'd string work
+    * fused into the scan; the keep verdict is one exchange on the
+    * canonical key (window-carried group count + min — no join back).
+    */
+  def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val raw = concat(
+      when(id % 2 === 0, lit("https://")).otherwise(lit("http://")),
+      when(id % 3 === 0, lit("www.")).otherwise(lit("")),
+      when(id % 5 === 0, lit("Docs.Example.COM")).otherwise(lit("docs.example.com")),
+      when(id % 7 === 0, when(id % 2 === 0, lit(":443")).otherwise(lit(":80"))).otherwise(lit("")),
+      lit("/"), col("source"), lit("/"), (id % 100).cast(StringType),
+      when(id % 4 === 0, lit("/")).otherwise(lit("")),
+      when(id % 6 === 0, lit("?utm_source=feed&utm_campaign=mix&ref=rss"))
+        .when(id % 6 === 1, lit("?ref=rss")).otherwise(lit("")),
+      when(id % 11 === 0, lit("#fragment")).otherwise(lit("")))
+    val canon = {
+      val c0 = lower(raw)
+      val c1 = regexp_replace(c0, "^https?://", "")
+      val c2 = regexp_replace(c1, "^www\\.", "")
+      val c3 = regexp_replace(c2, "#.*$", "")
+      val c4 = regexp_replace(c3, "^([^/:?]+):(?:80|443)", "$1")
+      val c5 = regexp_replace(c4, "utm_[a-z]+=[^&#]*&?", "")
+      val c6 = regexp_replace(c5, "[?&]$", "")
+      val c7 = regexp_replace(c6, "\\?&", "?")
+      val c8 = regexp_replace(c7, "/\\?", "?")
+      regexp_replace(c8, "/$", "")
+    }
+    val w = Window.partitionBy(col("canon_url"))
+    t(s, dir, "documents").select(id, canon.as("canon_url"))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("keep", id === min(id).over(w))
+      .orderBy(id)
+  }
+
+  val urlCanonicalDedupSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN 'Docs.Example.COM' ELSE 'docs.example.com' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END)
+      |    || '/' || source || '/' || CAST(doc_id % 100 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&utm_campaign=mix&ref=rss'
+      |             WHEN doc_id % 6 = 1 THEN '?ref=rss' ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN '#fragment' ELSE '' END) AS u
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  regexp_replace(
+      |                    regexp_replace(lower(u), '^https?://', ''),
+      |                    '^www\.', ''),
+      |                  '#.*$', ''),
+      |                '^([^/:?]+):(?:80|443)', '\1'),
+      |              'utm_[a-z]+=[^&#]*&?', '', 'g'),
+      |            '[?&]$', ''),
+      |          '\?&', '?'),
+      |        '/\?', '?'),
+      |      '/$', '') AS canon_url
+      |  FROM raw)
+      |SELECT doc_id, canon_url,
+      |  COUNT(*) OVER (PARTITION BY canon_url) AS n_dups,
+      |  (doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)) AS keep
+      |FROM canon ORDER BY doc_id""".stripMargin
+
+  // === dd14: canonicalized-text exact tier =================================
+  /** Aggressive text canonicalization before exact hashing — the tier
+    * between dd1 (whitespace-normalized exact) and the near-dup families:
+    * lowercase, strip everything but [a-z0-9 ] (punctuation/casing
+    * variants of the same content collapse), collapse runs of spaces,
+    * trim, md5. Output feeds the same keep-list shape as dd8/dd12 — one
+    * row per document with its canonical content key and verdict.
+    * Map-only canonicalization fused into the scan + one exchange on the
+    * canonical hash.
+    */
+  def canonicalTextDedup(s: SparkSession, dir: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val w = Window.partitionBy(col("canon_hash"))
+    t(s, dir, "documents").select(col("doc_id"), md5(canon).as("canon_hash"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  val canonicalTextDedupSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(
+      |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |      ' +', ' ', 'g'))) AS canon_hash
+      |  FROM documents)
+      |SELECT doc_id, canon_hash,
+      |  COUNT(*) OVER (PARTITION BY canon_hash) AS n_copies,
+      |  (doc_id = MIN(doc_id) OVER (PARTITION BY canon_hash)) AS keep
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd13_url_canonical" -> urlCanonicalDedup _,
+    "dd14_canonical_text" -> canonicalTextDedup _,
     "dd12_incremental_admit" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "dd11_prefix_dedup" -> prefixDedup _,
     "dd9_dup_weights" -> dupWeights _,
@@ -849,6 +970,8 @@ object Dedup {
     * DuckDB oracle regenerates identical signatures.
     */
   val oracles: Map[String, String] = Map(
+    "dd13_url_canonical" -> urlCanonicalDedupSql,
+    "dd14_canonical_text" -> canonicalTextDedupSql,
     "dd12_incremental_admit" -> incrementalDedupSql(),
     "dd11_prefix_dedup" -> prefixDedupSql,
     "dd9_dup_weights" -> dupWeightsSql,

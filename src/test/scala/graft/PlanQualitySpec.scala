@@ -99,6 +99,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(n <= 2, s"exact dedup must be a single shuffle + result sort, saw $n")
   }
 
+  test("dd13/dd14 canonical tiers: map-only canonicalization, one scan, one data exchange") {
+    Seq(operators.Dedup.urlCanonicalDedup(spark, sfDir),
+        operators.Dedup.canonicalTextDedup(spark, sfDir)).foreach { df =>
+      assert(countScans(df) == 1, "canonicalization must fuse into ONE documents scan")
+      val n = countShuffles(df)
+      // one hash exchange on the canonical key for the window; the
+      // per-doc output sort may add a range exchange
+      assert(n <= 2, s"canonical dedup must shuffle once on the canonical key (+sort), saw $n")
+    }
+  }
+
   test("whole-stage codegen spans cover the hot paths (starred operators)") {
     Seq(
       operators.Tpch.q1(spark, sfDir),

@@ -123,6 +123,56 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.95, s"recall $recall (${got.size}/${truth.size})")
   }
 
+  test("dd13: canonical URLs match hand-computed fixtures; verdicts are group minima") {
+    val rows = Dedup.urlCanonicalDedup(spark, sfDir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // HAND-COMPUTED canonical forms (independent value anchor, not the
+    // mirrored oracle). doc 0 hits EVERY variant class: https + www. +
+    // mixed-case host + :443 + trailing slash + utm params + fragment —
+    // canonicalization strips all of them, keeping only the ref param.
+    assert(byId(0L).getString(1) == "docs.example.com/src0/0?ref=rss")
+    // doc 1: http, plain host, no port/slash/fragment; ?ref=rss SURVIVES
+    // (only utm_* params are stripped)
+    assert(byId(1L).getString(1).endsWith("/1?ref=rss") &&
+      byId(1L).getString(1).startsWith("docs.example.com/src"))
+    // doc 2: bare variant — scheme stripped, nothing else to normalize
+    assert(byId(2L).getString(1).matches("docs\\.example\\.com/src[0-9]+/2"))
+    // no canonical form retains any artifact the chain should remove
+    rows.foreach { r =>
+      val u = r.getString(1)
+      assert(!u.contains("://") && !u.startsWith("www.") && !u.contains("utm_") &&
+        !u.contains("#") && !u.contains(":80") && !u.contains(":443") &&
+        !u.endsWith("/") && !u.endsWith("?") && u == u.toLowerCase,
+        s"doc ${r.getLong(0)}: residual artifact in $u")
+    }
+    // dedup semantics: keep iff minimal doc_id of the canonical group
+    val groups = rows.groupBy(_.getString(1))
+    assert(groups.values.exists(_.length > 1), "corpus must produce canonical collisions")
+    groups.values.foreach { g =>
+      val minId = g.map(_.getLong(0)).min
+      g.foreach { r =>
+        assert(r.getBoolean(3) == (r.getLong(0) == minId))
+        assert(r.getLong(2) == g.length)
+      }
+    }
+  }
+
+  test("dd14: canonical-text tier collapses punctuation/case variants dd1 keeps apart") {
+    val rows = Dedup.canonicalTextDedup(spark, sfDir).collect()
+    assert(rows.length == 500)
+    val groups = rows.groupBy(_.getString(1))
+    groups.values.foreach { g =>
+      val minId = g.map(_.getLong(0)).min
+      g.foreach(r => assert(r.getBoolean(3) == (r.getLong(0) == minId) &&
+        r.getLong(2) == g.length))
+    }
+    // the canonical tier can only MERGE dd1's whitespace-normalized
+    // groups, never split them: distinct canonical hashes <= distinct
+    // dd1 content hashes
+    val dd1Groups = Dedup.exactDedup(spark, sfDir).count()
+    assert(groups.size <= dd1Groups)
+  }
+
   test("dd12: verdicts cover the batch, flags and drop_reason are consistent") {
     val rows = Dedup.incrementalDedup(spark, sfDir).collect()
     val batchSize = graft.Engine.table(spark, sfDir, "documents")
