@@ -54,9 +54,16 @@ object Dedup {
     * aggregate is duplicate-insensitive (MinHash's `min` — one less
     * full-data shuffle on the 100 TB path).
     */
-  def shingles(s: SparkSession, dir: String, n: Int = 3, dedup: Boolean = true): DataFrame = {
+  def shingles(s: SparkSession, dir: String, n: Int = 3, dedup: Boolean = true): DataFrame =
+    shinglesOf(t(s, dir, "documents"), n, dedup)
+
+  /** DataFrame-based shingling — same definition, usable on a streaming
+    * micro-batch (the incremental-admission ingest) as well as the
+    * corpus table.
+    */
+  def shinglesOf(docs: DataFrame, n: Int = 3, dedup: Boolean = true): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val exploded = fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+    val exploded = fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(
@@ -146,8 +153,15 @@ object Dedup {
     * batch-restricted probe (a divergent copy would silently change
     * both candidate sets).
     */
-  def bandedKeys(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(shingles(s, dir, dedup = false))
+  def bandedKeys(s: SparkSession, dir: String): DataFrame =
+    bandedKeysOf(t(s, dir, "documents"))
+
+  /** DataFrame-based banding — shared with the streaming admission path
+    * (Streams.incrementalAdmission probes a micro-batch's bands against
+    * the persisted corpus band state).
+    */
+  def bandedKeysOf(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(shinglesOf(docs, dedup = false))
     sig.select(col("doc_id"), posexplode(
       array((0 until lshBands).map { b =>
         md5(concat_ws("|", (b * lshRows until (b + 1) * lshRows)

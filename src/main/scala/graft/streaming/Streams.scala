@@ -206,6 +206,138 @@ object Streams {
     events.join(broadcast(dim), Seq("user_id"), "left")
       .na.fill("unknown", Seq("segment"))
 
+  /** Persistent dedup state for [[incrementalAdmission]] — dd12's
+    * batch-vs-corpus probe lifted to a continuous ingest. Three
+    * MutableTables under one root:
+    *  - `corpus`: the admitted documents (the ingest sink itself);
+    *  - `hashes`: one dd1 content hash per admitted document — the
+    *    exact-dup probe state (32 hex chars/doc, never the text);
+    *  - `bands`: the admitted documents' (doc_id, band, band_key) LSH
+    *    bucket rows — the near-dup probe state (lshBands rows/doc).
+    * State is bounded by ADMITTED documents only (rejected ones add
+    * nothing), and each probe is batch-restricted: the micro-batch's
+    * hashes/bands join the state on their keys — corpus x corpus
+    * candidate mass is never generated, the same property dd12 pins.
+    */
+  final case class AdmissionState(
+      corpus: graft.sources.MutableTable,
+      hashes: graft.sources.MutableTable,
+      bands: graft.sources.MutableTable,
+      verdicts: graft.sources.MutableTable)
+
+  object AdmissionState {
+    import org.apache.spark.sql.types._
+    def create(spark: SparkSession, root: java.nio.file.Path): AdmissionState = {
+      def mk(name: String, schema: StructType) =
+        graft.sources.MutableTable.create(spark, root.resolve(name).toString, schema)
+      AdmissionState(
+        corpus = mk("corpus", StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType)))),
+        hashes = mk("hashes", StructType(Seq(StructField("h", StringType)))),
+        bands = mk("bands", StructType(Seq(
+          StructField("doc_id", LongType), StructField("band", IntegerType),
+          StructField("band_key", StringType)))),
+        verdicts = mk("verdicts", StructType(Seq(
+          StructField("batch_id", LongType), StructField("doc_id", LongType),
+          StructField("admit", BooleanType), StructField("drop_reason", StringType)))))
+    }
+  }
+
+  /** Streaming incremental admission: dd12's exact + MinHash-LSH
+    * admission gate run per micro-batch against the PERSISTED corpus
+    * state — the continuous form of the daily-ingest shape. Per batch:
+    *  1. exact tier — reject docs whose dd1 content hash is already in
+    *     the state, or duplicates a lower-doc_id batch sibling;
+    *  2. near tier — reject docs sharing >= 2 LSH band buckets (dd8's
+    *     edge threshold) with any admitted corpus doc or any lower-
+    *     doc_id batch sibling;
+    *  3. admit the survivors: their rows land in `corpus`, their hash
+    *     and band keys extend the probe state, and every batch doc gets
+    *     a verdict row with its first failing reason.
+    * Replay safety: the checkpointed batch id plus a guard on already-
+    * verdicted batch ids makes a fully-processed batch's replay a no-op
+    * (verdicts are written LAST). A crash BETWEEN the state-table writes
+    * can replay a partially-applied batch — the same single-writer
+    * leniency the micro-lake documents; a deployment needing crash
+    * atomicity stages the four inserts in one CatalogTxn.
+    */
+  def incrementalAdmission(docs: DataFrame, state: AdmissionState,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, batchId, state)
+        ()
+      }
+      .start()
+
+  /** One admission round — factored out of the stream for direct reuse
+    * by a scheduled batch ingest (the dd12 deployment shape).
+    */
+  def admitBatch(batch: DataFrame, batchId: Long, state: AdmissionState): Unit = {
+    import graft.operators.Dedup
+    // idempotence: a restarted query can replay the last batch id
+    if (!state.verdicts.df.filter(col("batch_id") === batchId).isEmpty) return
+    val b = batch.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .withColumn("h", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .cache()
+    try {
+      val firstInBatch = b.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+      val corpusH = state.hashes.df.distinct().withColumn("in_corpus", lit(true))
+      val bandsB = Dedup.bandedKeysOf(b).cache()
+      try {
+        // near tier vs corpus: batch bands probe the state bands — the
+        // join is keyed on (band, band_key), bucket-local at any scale
+        val nearCorpus = bandsB
+          .join(state.bands.df.select(col("band"), col("band_key")).distinct(),
+            Seq("band", "band_key"))
+          .groupBy(col("doc_id")).agg(countDistinct(col("band")).as("nb"))
+          .filter(col("nb") >= 2)
+          .select(col("doc_id")).withColumn("near_corpus", lit(true))
+        // near tier within the batch: later doc rejected against earlier
+        val nearBatch = bandsB.select(col("doc_id").as("p"), col("band"), col("band_key"))
+          .join(bandsB.select(col("doc_id").as("q"), col("band"), col("band_key")),
+            Seq("band", "band_key"))
+          .filter(col("p") > col("q"))
+          .groupBy(col("p"), col("q")).agg(countDistinct(col("band")).as("nb"))
+          .filter(col("nb") >= 2)
+          .select(col("p").as("doc_id")).distinct().withColumn("near_batch", lit(true))
+        val verdicts = b
+          .join(corpusH, Seq("h"), "left")
+          .join(firstInBatch, Seq("h"))
+          .join(nearCorpus, Seq("doc_id"), "left")
+          .join(nearBatch, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("h"),
+            coalesce(col("in_corpus"), lit(false)).as("exact_corpus"),
+            (col("doc_id") > col("first_id")).as("exact_batch"),
+            coalesce(col("near_corpus"), lit(false)).as("near_corpus"),
+            coalesce(col("near_batch"), lit(false)).as("near_batch"))
+          .withColumn("admit", !col("exact_corpus") && !col("exact_batch") &&
+            !col("near_corpus") && !col("near_batch"))
+          .withColumn("drop_reason",
+            when(col("exact_corpus"), "exact_vs_corpus")
+              .when(col("exact_batch"), "exact_in_batch")
+              .when(col("near_corpus"), "near_vs_corpus")
+              .when(col("near_batch"), "near_in_batch")
+              .otherwise(lit(null)))
+          .cache()
+        try {
+          val admitted = verdicts.filter(col("admit"))
+          if (!admitted.isEmpty) {
+            state.corpus.insert(admitted.select(col("doc_id"), col("text"),
+              col("lang"), col("source")))
+            state.hashes.insert(admitted.select(col("h")).distinct())
+            state.bands.insert(bandsB.join(
+              admitted.select(col("doc_id")), "doc_id"))
+          }
+          state.verdicts.insert(verdicts.select(lit(batchId).as("batch_id"),
+            col("doc_id"), col("admit"), col("drop_reason")))
+        } finally verdicts.unpersist()
+      } finally bandsB.unpersist()
+    } finally b.unpersist()
+  }
+
   /** Watermarked stream-stream interval join: each purchase attributed to
     * the click by the same user that preceded it within 30 minutes — the
     * streaming face of the batch ev19 attribution query. Both sides carry

@@ -6,9 +6,75 @@ import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
+case class AdmitDoc(doc_id: Long, text: String, lang: String, source: String)
+
 class StreamingDedupSpec extends SparkTestBase {
 
   import Streams._
+  private type Doc = AdmitDoc
+  private def Doc(id: Long, text: String, lang: String, source: String) =
+    AdmitDoc(id, text, lang, source)
+
+  test("incrementalAdmission: cross-batch exact+near rejection with bounded probe state") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_admit")
+    val state = AdmissionState.create(spark, root)
+    val mem = MemoryStream[Doc]
+    // 40-token base text; the near-dup variant changes only the last
+    // token, sharing 35/38 shingles -> most of the 8 LSH bands collide
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearOfBase = (1 to 39).map(i => s"tok$i").mkString(" ") + " other"
+    val fresh2 = (100 to 140).map(i => s"word$i").mkString(" ")
+
+    // batch 1: A admits; B is A verbatim (exact_in_batch); C admits;
+    // D is a near-dup of... C? D shares C's shingles
+    mem.addData(
+      Doc(1, base, "en", "crawl1"),
+      Doc(2, base.replace(" ", "  "), "en", "crawl1"), // whitespace-run variant == dd1 exact dup of 1
+      Doc(3, fresh2, "en", "crawl1"),
+      Doc(4, nearOfBase, "en", "crawl1")) // near-dup of 1 within the batch
+    val q = Streams.incrementalAdmission(mem.toDF(), state, root.resolve("ckpt").toString)
+    try {
+      q.processAllAvailable()
+      val v1 = state.verdicts.df.collect().map(r =>
+        r.getLong(1) -> (r.getBoolean(2), Option(r.getString(3)).getOrElse(""))).toMap
+      assert(v1(1L) == (true, ""))
+      assert(v1(2L) == (false, "exact_in_batch"), s"got ${v1(2L)}")
+      assert(v1(3L) == (true, ""))
+      assert(v1(4L) == (false, "near_in_batch"), s"got ${v1(4L)}")
+
+      // batch 2: E is batch-1 A verbatim (exact_vs_corpus), F is a
+      // near-dup of admitted A (near_vs_corpus), G is fresh (admit)
+      mem.addData(
+        Doc(5, base, "en", "crawl2"),
+        Doc(6, nearOfBase, "en", "crawl2"),
+        Doc(7, (200 to 240).map(i => s"new$i").mkString(" "), "en", "crawl2"))
+      q.processAllAvailable()
+      val v2 = state.verdicts.df.filter("batch_id = 1").collect().map(r =>
+        r.getLong(1) -> (r.getBoolean(2), Option(r.getString(3)).getOrElse(""))).toMap
+      assert(v2(5L) == (false, "exact_vs_corpus"), s"got ${v2(5L)}")
+      assert(v2(6L) == (false, "near_vs_corpus"), s"got ${v2(6L)}")
+      assert(v2(7L) == (true, ""))
+
+      // the corpus holds exactly the admitted documents
+      val corpusIds = state.corpus.df.collect().map(_.getLong(0)).sorted.toSeq
+      assert(corpusIds == Seq(1L, 3L, 7L))
+      // BOUNDED state: probe tables carry keys only, proportional to the
+      // admitted corpus — one hash and lshBands band rows per admitted
+      // doc, and nothing for any rejected doc
+      assert(state.hashes.df.count() == 3)
+      assert(state.bands.df.count() == 3L * graft.operators.Dedup.lshBands)
+      assert(!state.bands.schema.fieldNames.contains("text"),
+        "band state must never carry document text")
+
+      // a replayed (already-verdicted) batch is a no-op
+      Streams.admitBatch(
+        Seq(Doc(1, base, "en", "crawl1")).toDF(), 0L, state)
+      assert(state.corpus.df.count() == 3 && state.verdicts.df.count() == 7)
+    } finally q.stop()
+  }
 
   test("streamingDedup drops duplicate keys within the watermark horizon") {
     val sparkS = spark
