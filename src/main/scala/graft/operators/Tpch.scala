@@ -140,10 +140,16 @@ object Tpch {
     // at bench scale, AQE decides on a cluster) up front cuts the rows
     // shuffled on orderkey by ~80% — Catalyst has no stats to reorder
     // this itself. A/B at sf0.1: 0.56 -> 0.48 s warm min, same rows.
-    val suAsia = t(s, dir, "supplier")
+    // broadcast the REDUCED supplier dim explicitly: size estimation
+    // through the nation/region join chain inflates past the auto
+    // threshold and Catalyst instead broadcast LINEITEM as the build
+    // side (observed r12: BroadcastExchange over the whole fact table —
+    // fine at 60 MB bench scale, fatal at 100 TB, and ~100 ms of
+    // per-execution driver hash-relation build here)
+    val suAsia = broadcast(t(s, dir, "supplier")
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
-      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
     t(s, dir, "lineitem").join(suAsia, col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"),
