@@ -1,0 +1,243 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Value anchors for the operators the r12 oracle-independence audit
+  * found to be HASH-PARITY ONLY (no spec touched their builder): each
+  * test pins either a hand-computed fixture value or an independent
+  * recomputation, so a construction error shared with the mirrored
+  * DuckDB oracle can no longer pass silently. Companion to
+  * StatFixtureSpec (the statistical readouts).
+  */
+class ValuePinSpec extends SparkTestBase {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("pinfix").toFile.getPath
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String, String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("ev11: z of a planted anomaly is exactly sqrt(7) (counts 1x7 + 9)") {
+    // One event type over 8 hours with counts (1,1,1,1,1,1,1,9):
+    // mean = 2, population var = (7*1 + 81)/8 - 4 = 7, sd = sqrt(7),
+    // z(9) = (9-2)/sqrt(7) = sqrt(7) = 2.6457513... > 2.5 -> emitted;
+    // z(1) = -1/sqrt(7) = -0.378 -> filtered. Exactly ONE row.
+    import spark.implicits._
+    val dir = freshDir()
+    val events = (0 until 7).map { h =>
+      (h.toLong, Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"), 1L, "click", 0.0, "{}")
+    } ++ (0 until 9).map { i =>
+      (100L + i, Timestamp.valueOf(s"2024-01-01 07:${10 + i}:00"), 1L, "click", 0.0, "{}")
+    }
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Relational.eventAnomalies(spark, dir).collect()
+    assert(rows.length == 1, s"only the planted hour may flag, got ${rows.length}")
+    assert(rows(0).getAs[Long]("cnt") == 9L)
+    assert(math.abs(rows(0).getAs[Double]("z") - math.sqrt(7.0)) < 1e-12,
+      s"z must be sqrt(7), got ${rows(0).getAs[Double]("z")}")
+  }
+
+  test("ev8: week-0 anchors the cohort size; offsets count the right actives") {
+    // u1 events in week W and W+1; u2 in week W only ->
+    // (W, 0): 2 active users, 3 events; (W, 1): 1 active, 1 event.
+    import spark.implicits._
+    val dir = freshDir()
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-04 10:00:00"), 10L, "view", 0.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-04 11:00:00"), 20L, "view", 0.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-05 10:00:00"), 10L, "view", 0.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-11 10:00:00"), 10L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Relational.cohortRetention(spark, dir).collect()
+    assert(rows.length == 2)
+    val byOff = rows.map(r => r.getAs[Long]("week_offset") -> r).toMap
+    assert(byOff(0L).getAs[Long]("active_users") == 2L && byOff(0L).getAs[Long]("n_events") == 3L)
+    assert(byOff(1L).getAs[Long]("active_users") == 1L && byOff(1L).getAs[Long]("n_events") == 1L)
+    assert(rows.map(_.getAs[Long]("cohort_week")).distinct.length == 1)
+  }
+
+  test("out1: a planted orthogonal vector is the top outlier with cos_r 0.3162") {
+    // Label 1: three [1,0] and one [0,1]. Centroid = [0.75, 0.25],
+    // |c| = sqrt(0.625) = 0.7905694. cos([0,1], c) = 0.25/0.7905694 =
+    // 0.3162278 -> round4 = 0.3162; the [1,0] vectors score
+    // 0.75/0.7905694 = 0.9487. The planted vector must rank 1.
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((0L, Seq(1.0, 0.0), 1), (1L, Seq(1.0, 0.0), 1),
+      (2L, Seq(1.0, 0.0), 1), (3L, Seq(0.0, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.embeddingOutliers(spark, dir).collect()
+    val top = rows.find(_.getAs[Long]("outlier_rank") == 1L).get
+    assert(top.getAs[Long]("vec_id") == 3L, "the orthogonal vector must rank first")
+    assert(top.getAs[Double]("cos_r") == 0.3162)
+  }
+
+  test("sim5: endpoint and constant vectors quantize with zero error") {
+    // [2,2,2]: rng = 0 -> all codes 0, mean_abs_err 0.
+    // [0,1]: codes (0, 255) reconstruct the endpoints exactly ->
+    // code_sum 255, mean_abs_err 0.
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((0L, Seq(2.0, 2.0, 2.0), 1), (1L, Seq(0.0, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.embeddingQuantization(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[Long]("code_sum") == 0L)
+    assert(rows(0L).getAs[Double]("mean_abs_err") == 0.0)
+    assert(rows(1L).getAs[Long]("code_sum") == 255L)
+    assert(rows(1L).getAs[Double]("mean_abs_err") == 0.0)
+  }
+
+  test("sim5: mean reconstruction error is bounded by one quantization step (real corpus)") {
+    Similarity.embeddingQuantization(spark, sfDir).collect().foreach { r =>
+      val step = (r.getAs[Double]("vmax") - r.getAs[Double]("vmin")) / 255.0
+      assert(r.getAs[Double]("mean_abs_err") <= step + 1e-9,
+        s"vec ${r.getLong(0)}: err ${r.getAs[Double]("mean_abs_err")} > step $step")
+    }
+  }
+
+  test("smp2: per-language sample counts are exactly min(cap, language size)") {
+    val cap = 100
+    val langTotals = graft.Engine.table(spark, sfDir, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = TextAnalysis.languageCap(spark, sfDir, cap).collect()
+    val byLang = sampled.groupBy(_.getString(1))
+    assert(byLang.keySet == langTotals.keySet)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(cap.toLong, langTotals(lang)),
+        s"$lang: ${rows.length} != min($cap, ${langTotals(lang)})")
+      assert(rows.map(_.getAs[Long]("sample_rank")).sorted.toSeq ==
+        (1L to rows.length.toLong), s"$lang ranks must be dense from 1")
+    }
+  }
+
+  test("span1: spans are 5-gram shingles repeated in at least minDocs documents") {
+    val rows = TextAnalysis.repeatedSpans(spark, sfDir).collect()
+    assert(rows.length <= 25)
+    assert(rows.nonEmpty, "the corpus repeats boilerplate 5-grams")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 3L)
+      assert(r.getString(0).split(" ").length == 5, s"'${r.getString(0)}' is not a 5-gram")
+    }
+  }
+
+  test("tok1: OOV ratio is exactly 6/30 when 6 of 30 singleton tokens fall past the cut") {
+    // One doc of 30 distinct tokens t01..t30, all tf = 1: the top-24
+    // vocabulary keeps t01..t24 (tf ties break token-ascending), so
+    // n_oov = 6 and oov_ratio = 0.2 exactly.
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, (1 to 30).map(i => f"t$i%02d").mkString(" "), "en", "s1")))
+    val r = TextAnalysis.vocabCoverage(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 30L)
+    assert(r.getAs[Long]("n_oov") == 6L)
+    assert(r.getAs[Double]("oov_ratio") == 0.2)
+  }
+
+  test("txt3: fingerprint equals an independently computed md5 prefix") {
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, "Hello  World", "en", "s1")))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest("hello world".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 16)
+    val r = TextAnalysis.docFingerprint(spark, dir).collect()(0)
+    assert(r.getString(1) == expected,
+      s"fingerprint ${r.getString(1)} != MessageDigest-derived $expected")
+    assert(r.getAs[Int]("n_chars_actual") == 12)
+  }
+
+  test("txt4: GPT-2-style segmentation of 'a bb 12 !' is 4 pieces (2 words, 1 digit run)") {
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, "a bb 12 !", "en", "s1")))
+    val r = TextAnalysis.docBpeTokens(spark, dir).collect()(0)
+    assert(r.getAs[Int]("n_bpe_pieces") == 4, s"got ${r.getAs[Int]("n_bpe_pieces")}")
+    assert(r.getAs[Int]("n_word_pieces") == 2)
+    assert(r.getAs[Int]("n_digit_pieces") == 1)
+  }
+
+  test("txt5: rolling hash matches an independent Horner loop over the documented formula") {
+    // h = fold(codepoints of whitespace-normalized lowercase text):
+    // h' = (h*131 + cp) mod 1e9+7 — recomputed here with a plain Scala
+    // loop, independent of both engines' array-fold expressions.
+    val dir = freshDir()
+    val text = "Ab  cD e"
+    writeDocs(dir, Seq((1L, text, "en", "s1")))
+    val normalized = text.toLowerCase.replaceAll("\\s+", " ")
+    val expected = normalized.foldLeft(0L)((h, ch) => (h * 131 + ch.toInt) % 1000000007L)
+    val r = TextAnalysis.docRollingHash(spark, dir).collect()(0)
+    assert(r.getAs[Long]("rolling_hash") == expected,
+      s"hash ${r.getAs[Long]("rolling_hash")} != Horner-loop $expected")
+  }
+
+  test("txt7: corpus token counts on a hand corpus are exact") {
+    // docs "a a b" + "b c" -> a:2, b:2, c:1, ranked (count desc, token asc)
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, "a a b", "en", "s1"), (2L, "b c", "en", "s2")))
+    val rows = TextAnalysis.topTokens(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n")))
+    assert(rows.toSeq == Seq(("a", 2L), ("b", 2L), ("c", 1L)), rows.mkString(","))
+  }
+
+  test("txt9: repetition fractions of 'a a b' are (1/3 dup tokens, 0 dup bigrams)") {
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, "a a b", "en", "s1"), (2L, "x x x x", "en", "s1")))
+    val rows = TextAnalysis.docRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(rows(1L).getAs[Double]("dup_token_frac") - 1.0 / 3) < 1e-12)
+    assert(rows(1L).getAs[Double]("dup_bigram_frac") == 0.0)
+    // "x x x x": 1 distinct of 4 -> 0.75; bigrams all "x x" -> 1 of 3 -> 2/3
+    assert(rows(2L).getAs[Double]("dup_token_frac") == 0.75)
+    assert(math.abs(rows(2L).getAs[Double]("dup_bigram_frac") - 2.0 / 3) < 1e-12)
+  }
+
+  test("txt10: richness of 'a a b' is (ttr 2/3, hapax ratio 1/2)") {
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, "a a b", "en", "s1")))
+    val r = TextAnalysis.docVocabRichness(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 3L && r.getAs[Long]("n_types") == 2L)
+    assert(r.getAs[Long]("n_hapax") == 1L)
+    assert(math.abs(r.getAs[Double]("type_token_ratio") - 2.0 / 3) < 1e-12)
+    assert(r.getAs[Double]("hapax_ratio") == 0.5)
+  }
+
+  test("pipe1: composite verdicts are exactly the conjunction of their anchored stages") {
+    val manifest = CorpusPipeline.corpusManifest(spark, sfDir).collect()
+    assert(manifest.length == 500)
+    manifest.foreach { r =>
+      val q = r.getAs[Boolean]("keep_quality"); val c = r.getAs[Boolean]("keep_decontam")
+      val d = r.getAs[Boolean]("keep_dedup"); val sm = r.getAs[Boolean]("keep_sample")
+      assert(r.getAs[Boolean]("final_keep") == (q && c && d && sm))
+      val expectedStage =
+        if (!q) "quality" else if (!c) "decontamination"
+        else if (!d) "dedup" else if (!sm) "sampling" else null
+      assert(Option(r.getAs[String]("drop_stage")).orNull == expectedStage)
+    }
+    // cross-anchor: the dedup column IS dd8's (itself spec-verified)
+    val dd8 = Dedup.dedupKeepList(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    manifest.foreach(r =>
+      assert(r.getAs[Boolean]("keep_dedup") == dd8(r.getLong(0))))
+  }
+
+  test("pipe2: the training mix packs exactly pipe1's survivors within budget") {
+    val manifest = CorpusPipeline.corpusManifest(spark, sfDir).collect()
+    val survivors = manifest.filter(_.getAs[Boolean]("final_keep")).map(_.getLong(0)).toSet
+    val mix = CorpusPipeline.trainingMix(spark, sfDir).collect()
+    assert(mix.map(_.getLong(0)).toSet == survivors,
+      "the mix must contain exactly the manifest's survivors")
+    mix.foreach { r =>
+      assert(r.getAs[Long]("seq_offset") >= 0 &&
+        r.getAs[Long]("seq_offset") < 512, "offsets stay inside the token budget")
+    }
+  }
+}
