@@ -210,6 +210,71 @@ class ValuePinSpec extends SparkTestBase {
     assert(r.getAs[Double]("hapax_ratio") == 0.5)
   }
 
+  test("txt1: token stats of 'The cat sat' by hand") {
+    // tokens [the, cat, sat]: n 3, chars 11, nonspace 9,
+    // avg_token_len 3.0, one stopword ('the') -> ratio 1/3
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, "The cat sat", "en", "s1")))
+    val r = TextAnalysis.docTokenStats(spark, dir).collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 3 && r.getAs[Int]("n_chars_actual") == 11)
+    assert(r.getAs[Int]("n_nonspace") == 9)
+    assert(r.getAs[Double]("avg_token_len") == 3.0)
+    assert(r.getAs[Int]("n_stopwords") == 1)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 1.0 / 3) < 1e-12)
+  }
+
+  test("txt2: marker-stuffed documents classify to their language; no markers -> unknown") {
+    val dir = freshDir()
+    writeDocs(dir, Seq(
+      (1L, "the and of to is", "en", "s1"),
+      (2L, "der die das und ist", "de", "s1"),
+      (3L, "zzz qqq www", "en", "s1")))
+    val rows = TextAnalysis.docLangId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
+    assert(rows(1L) == "en" && rows(2L) == "de" && rows(3L) == "unknown")
+  }
+
+  test("txt6: hand-crafted documents trip exactly the expected rule bits") {
+    val dir = freshDir()
+    writeDocs(dir, Seq(
+      // 10 tokens, mean len 31/10 = 3.1, no symbols, has stopwords -> keep
+      (1L, "the cat sat on a mat with some fine words", "en", "s1"),
+      // 2 tokens (bit 1) and zero stopwords (bit 32) -> mask 33
+      (2L, "hi there", "en", "s1"),
+      // 5 tokens, mean len 3, symbol ratio 15/19 > 0.3 (bit 16), no
+      // stopwords (bit 32) -> mask 48
+      (3L, "$$$ %%% ^^^ &&& ***", "en", "s1")))
+    val rows = TextAnalysis.docQualityFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep") && rows(1L).getAs[Int]("drop_reasons") == 0)
+    assert(rows(2L).getAs[Int]("drop_reasons") == 33, s"got ${rows(2L).getAs[Int]("drop_reasons")}")
+    assert(rows(3L).getAs[Int]("drop_reasons") == 48, s"got ${rows(3L).getAs[Int]("drop_reasons")}")
+  }
+
+  test("txt11: mean -log p of 'a a b' equals (2 ln(3/2) + ln 3)/3") {
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, "a a b", "en", "s1")))
+    val r = TextAnalysis.docUnigramLogProb(spark, dir).collect()(0)
+    val expected = (2 * math.log(1.5) + math.log(3.0)) / 3
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(math.abs(r.getAs[Double]("mean_neg_logp") - expected) < 5e-6,
+      s"${r.getAs[Double]("mean_neg_logp")} != $expected")
+  }
+
+  test("txt12: tf-idf micros scores on a two-document hand corpus") {
+    // d1 'apple apple banana', d2 'banana cherry'. N = 2; df apple 1,
+    // banana 2, cherry 1; idf micros: ln2 -> 693147, ln1 -> 0.
+    // d1 top term: apple, score 2*693147 = 1386294; d2: cherry 693147.
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, "apple apple banana", "en", "s1"),
+      (2L, "banana cherry", "en", "s2")))
+    val rows = TextAnalysis.docTfidf(spark, dir).collect()
+    val d1r1 = rows.find(r => r.getLong(0) == 1L && r.getAs[Long]("term_rank") == 1L).get
+    assert(d1r1.getAs[String]("tok") == "apple" && d1r1.getAs[Long]("score_m") == 1386294L)
+    val d2r1 = rows.find(r => r.getLong(0) == 2L && r.getAs[Long]("term_rank") == 1L).get
+    assert(d2r1.getAs[String]("tok") == "cherry" && d2r1.getAs[Long]("score_m") == 693147L)
+  }
+
   test("pipe1: composite verdicts are exactly the conjunction of their anchored stages") {
     val manifest = CorpusPipeline.corpusManifest(spark, sfDir).collect()
     assert(manifest.length == 500)
