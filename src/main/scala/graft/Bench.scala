@@ -179,7 +179,8 @@ object Bench {
       "sim4_ann_ivf_topk", "pct1_price_percentiles",
       "pipe1_corpus_manifest", "pipe2_training_mix", // compose dd8's union-find stage
       "ivf2_posting_balance", // sim4's centroid tier at construction
-      "pq1_product_quantization") // codebook collect at construction
+      "pq1_product_quantization", // codebook collect at construction
+      "bpe2_merge_training") // per-iteration top-pair collect at construction
 
     val prepared = names.filterNot(driverStepped).flatMap { n =>
       try Some(n -> SparkEntry.queries(n)(spark, sfDir))

@@ -1716,6 +1716,114 @@ object TextAnalysis {
        |SELECT pair, CAST(SUM(c) AS BIGINT) AS n
        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT $topK""".stripMargin
 
+  // === bpe2: iterative BPE merge training ==================================
+  val bpeMergeIters = 6
+
+  /** bpe2: the full BPE tokenizer-training loop bpe1 is one step of —
+    * learn the first `iters` merge rules over the corpus vocabulary.
+    * Standard trainer shape (Sennrich et al., 2016): word frequencies
+    * are counted ONCE (the corpus-scale shuffle — vocabulary-bounded
+    * key space), then every iteration counts adjacent symbol pairs over
+    * the DISTINCT words weighted by their counts, takes the most
+    * frequent pair (ties: count desc, then left/right symbol ascending
+    * — deterministic on both engines), and rewrites every word's symbol
+    * sequence with the merge applied greedily left-to-right.
+    *
+    * Representation trick shared with the oracle: a word's symbol
+    * sequence is the string `|s1||s2|...|sn|` (each symbol wrapped in
+    * sentinels; words are restricted to [a-z0-9]+ so '|' never occurs
+    * in a symbol). Applying merge (a,b) is then one non-overlapping
+    * left-to-right `replace(r, '|a||b|', '|ab|')` — exactly greedy BPE,
+    * because each symbol carries its OWN sentinels so consecutive
+    * matches stay intact ([a,b,a,b] -> [ab,ab]; [a,a,a] -> [aa,a]).
+    *
+    * Scale: every iteration's aggregate runs over the vocabulary, not
+    * the corpus (identical words share one entry — corpus volume only
+    * changes the counts); the winning pair is ONE collected row per
+    * iteration (the bounded driver tier, like sim4's centroids). The
+    * DuckDB oracle computes the same loop as `iters` chained CTE levels
+    * entirely in SQL — no mirrored driver logic.
+    */
+  def bpeMergeTraining(s: SparkSession, dir: String, iters: Int = bpeMergeIters): DataFrame = {
+    val wc = dFan(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").rlike("^[a-z0-9]+$") && char_length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    var repr = wc.select(
+      concat_ws("", transform(split(col("tok"), ""),
+        ch => concat(lit("|"), ch, lit("|")))).as("r"),
+      col("c")).cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    val pieces = expr("regexp_extract_all(r, '\\\\|([^|]+)\\\\|', 1)")
+    for (i <- 1 to iters) {
+      val top = repr.select(col("c"), pieces.as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .select(col("c"), explode(zip_with(
+          slice(col("ps"), lit(1), size(col("ps")) - 1),
+          slice(col("ps"), lit(2), size(col("ps")) - 1),
+          (a, b) => struct(a.as("p1"), b.as("p2")))).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(sum(col("c")).cast(LongType).as("n"))
+        .orderBy(col("n").desc, col("p1"), col("p2"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"bpe2: vocabulary exhausted after ${i - 1} merges (iters=$iters)")
+      val (p1, p2, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((i, p1, p2, p1 + p2, n))
+      val next = repr.select(
+        expr(s"replace(r, '|$p1||$p2|', '|$p1$p2|')").as("r"), col("c")).cache()
+      next.count() // materialize before dropping the parent
+      repr.unpersist()
+      repr = next
+    }
+    repr.unpersist()
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      merges.map { case (i, l, r, m, n) => org.apache.spark.sql.Row(i, l, r, m, n) }.asJava,
+      StructType(Seq(
+        StructField("merge_rank", IntegerType), StructField("lhs", StringType),
+        StructField("rhs", StringType), StructField("merged", StringType),
+        StructField("pair_count", LongType))))
+      .orderBy(col("merge_rank"))
+  }
+
+  def bpeMergeTrainingSql(iters: Int = bpeMergeIters): String = {
+    val levels = (1 to iters).map { j =>
+      val prev = s"r${j - 1}"
+      // every CTE a later level references more than once is MATERIALIZED:
+      // inlining would re-evaluate the whole prefix chain per reference
+      // (3 scalar subqueries per level -> 3^iters blowup)
+      s"""ex$j AS (
+         |  SELECT c, ps, UNNEST(generate_series(1, len(ps) - 1)) AS i
+         |  FROM (SELECT c, regexp_extract_all(r, '\\|([^|]+)\\|', 1) AS ps FROM $prev)
+         |  WHERE len(ps) >= 2),
+         |cnt$j AS (
+         |  SELECT ps[i] AS p1, ps[i+1] AS p2, CAST(SUM(c) AS BIGINT) AS n
+         |  FROM ex$j GROUP BY 1, 2),
+         |top$j AS MATERIALIZED (SELECT p1, p2, n FROM cnt$j ORDER BY n DESC, p1, p2 LIMIT 1),
+         |r$j AS MATERIALIZED (
+         |  SELECT replace(r,
+         |      '|' || (SELECT p1 FROM top$j) || '||' || (SELECT p2 FROM top$j) || '|',
+         |      '|' || (SELECT p1 FROM top$j) || (SELECT p2 FROM top$j) || '|') AS r, c
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to iters).map(j =>
+      s"SELECT $j AS merge_rank, p1 AS lhs, p2 AS rhs, p1 || p2 AS merged, n AS pair_count FROM top$j")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |wc AS (SELECT tok, COUNT(*) AS c FROM toks
+       |       WHERE regexp_matches(tok, '^[a-z0-9]+$$') AND length(tok) >= 2
+       |       GROUP BY 1),
+       |r0 AS (
+       |  SELECT array_to_string(list_transform(string_split(tok, ''),
+       |           ch -> '|' || ch || '|'), '') AS r, c
+       |  FROM wc),
+       |$levels
+       |SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs, merged, pair_count
+       |FROM ($out) ORDER BY merge_rank""".stripMargin
+  }
+
   // === cross-source vocabulary overlap ====================================
   /** js1: pairwise Jaccard similarity between the sources' distinct
     * token vocabularies — the corpus-composition diagnostic behind
@@ -2303,6 +2411,7 @@ object TextAnalysis {
     "drift1_source_kl" -> ((s: SparkSession, d: String) => sourceDrift(s, d)),
     "qc1_quality_classifier" -> qualityMargin _,
     "bpe1_pair_counts" -> ((s: SparkSession, d: String) => bpePairCounts(s, d)),
+    "bpe2_merge_training" -> ((s: SparkSession, d: String) => bpeMergeTraining(s, d)),
     "span2_boilerplate_frac" -> ((s: SparkSession, d: String) => boilerplateFraction(s, d)),
     "zipf1_rank_slope" -> ((s: SparkSession, d: String) => zipfSlope(s, d)),
     "txt13_char_classes" -> docCharClasses _,
@@ -2351,6 +2460,7 @@ object TextAnalysis {
     "drift1_source_kl" -> sourceDriftSql(),
     "qc1_quality_classifier" -> qualityMarginSql,
     "bpe1_pair_counts" -> bpePairCountsSql(),
+    "bpe2_merge_training" -> bpeMergeTrainingSql(),
     "span2_boilerplate_frac" -> boilerplateFractionSql(),
     "zipf1_rank_slope" -> zipfSlopeSql(),
     "txt13_char_classes" -> docCharClassesSql,

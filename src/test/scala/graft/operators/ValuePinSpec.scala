@@ -275,6 +275,25 @@ class ValuePinSpec extends SparkTestBase {
     assert(d2r1.getAs[String]("tok") == "cherry" && d2r1.getAs[Long]("score_m") == 693147L)
   }
 
+  test("bpe2: hand-traced merge sequence on the corpus {aaab, aab}") {
+    // Vocab: aaab (1), aab (1).
+    // iter 1: pairs (a,a) x3 [(a,a),(a,a) in aaab + (a,a) in aab],
+    //         (a,b) x2 -> merge (a,a) -> 'aa', count 3.
+    //         Greedy rewrite: aaab -> [aa,a,b], aab -> [aa,b].
+    // iter 2: (aa,a) 1, (a,b) 1, (aa,b) 1 -> tie on count, 'a' < 'aa'
+    //         -> merge (a,b) -> 'ab', count 1. aaab -> [aa,ab].
+    // iter 3: (aa,ab) 1, (aa,b) 1 -> tie, 'ab' < 'b'
+    //         -> merge (aa,ab) -> 'aaab', count 1.
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, "aaab aab", "en", "s1")))
+    val rows = TextAnalysis.bpeMergeTraining(spark, dir, iters = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1, "a", "a", "aa", 3L),
+      (2, "a", "b", "ab", 1L),
+      (3, "aa", "ab", "aaab", 1L)), rows.mkString(", "))
+  }
+
   test("pipe1: composite verdicts are exactly the conjunction of their anchored stages") {
     val manifest = CorpusPipeline.corpusManifest(spark, sfDir).collect()
     assert(manifest.length == 500)
