@@ -1786,12 +1786,17 @@ object TextAnalysis {
       .orderBy(col("merge_rank"))
   }
 
-  def bpeMergeTrainingSql(iters: Int = bpeMergeIters): String = {
+  /** The shared merge-learning CTE chain (CTEs `toks wc r0` + per-level
+    * `ex/cnt/top/r` up to `iters`) — ONE definition consumed by the
+    * bpe2 AND tok5 oracles, so the learned merges cannot drift between
+    * them. Every CTE a later level references more than once is
+    * MATERIALIZED: inlining would re-evaluate the whole prefix chain
+    * per reference (3 scalar subqueries per level -> 3^iters blowup,
+    * measured >10 min at sf0.1 vs 1 s materialized).
+    */
+  private def bpeMergeSqlCtes(iters: Int): String = {
     val levels = (1 to iters).map { j =>
       val prev = s"r${j - 1}"
-      // every CTE a later level references more than once is MATERIALIZED:
-      // inlining would re-evaluate the whole prefix chain per reference
-      // (3 scalar subqueries per level -> 3^iters blowup)
       s"""ex$j AS (
          |  SELECT c, ps, UNNEST(generate_series(1, len(ps) - 1)) AS i
          |  FROM (SELECT c, regexp_extract_all(r, '\\|([^|]+)\\|', 1) AS ps FROM $prev)
@@ -1806,10 +1811,7 @@ object TextAnalysis {
          |      '|' || (SELECT p1 FROM top$j) || (SELECT p2 FROM top$j) || '|') AS r, c
          |  FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to iters).map(j =>
-      s"SELECT $j AS merge_rank, p1 AS lhs, p2 AS rhs, p1 || p2 AS merged, n AS pair_count FROM top$j")
-      .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
        |  FROM documents),
        |wc AS (SELECT tok, COUNT(*) AS c FROM toks
@@ -1819,9 +1821,78 @@ object TextAnalysis {
        |  SELECT array_to_string(list_transform(string_split(tok, ''),
        |           ch -> '|' || ch || '|'), '') AS r, c
        |  FROM wc),
-       |$levels
+       |$levels""".stripMargin
+  }
+
+  def bpeMergeTrainingSql(iters: Int = bpeMergeIters): String = {
+    val out = (1 to iters).map(j =>
+      s"SELECT $j AS merge_rank, p1 AS lhs, p2 AS rhs, p1 || p2 AS merged, n AS pair_count FROM top$j")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeMergeSqlCtes(iters)}
        |SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs, merged, pair_count
        |FROM ($out) ORDER BY merge_rank""".stripMargin
+  }
+
+  // === tok5: encode the corpus with the learned merges =====================
+  /** tok5: the consumer side of bpe2 — tokenize every document with the
+    * learned merge table and report the per-document piece statistics a
+    * token-budget planner needs (pieces per word = the fertility of the
+    * TRAINED tokenizer, vs tok2's fixed-regex proxy). The merge rules
+    * arrive as literals (bpe2's bounded driver tier); encoding is then
+    * a FIXED chain of `iters` sentinel replaces — pure map-side string
+    * work fused into the scan, one map-side-combinable doc aggregate.
+    * The oracle re-learns the merges in SQL via the shared CTE chain
+    * and applies the same replaces, so the two engines' merge tables
+    * are independently derived.
+    */
+  def bpeEncode(s: SparkSession, dir: String, iters: Int = bpeMergeIters): DataFrame = {
+    val merges = bpeMergeTraining(s, dir, iters).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val wrapped = concat_ws("", transform(split(col("tok"), ""),
+      ch => concat(lit("|"), ch, lit("|"))))
+    val encoded = merges.foldLeft(wrapped) { case (r, (p1, p2)) =>
+      call_function("replace", r, lit(s"|$p1||$p2|"), lit(s"|$p1$p2|"))
+    }
+    val nPieces = size(regexp_extract_all(encoded, lit("\\|([^|]+)\\|"), lit(1)))
+    dFan(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").rlike("^[a-z0-9]+$"))
+      .select(col("doc_id"), char_length(col("tok")).as("n_ch"), nPieces.as("np"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(col("n_ch")).cast(LongType).as("n_chars"),
+        sum(col("np")).cast(LongType).as("n_pieces"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("n_pieces"),
+        (col("n_pieces").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("pieces_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bpeEncodeSql(iters: Int = bpeMergeIters): String = {
+    val encChain = (1 to iters).foldLeft("r") { (acc, j) =>
+      s"""replace($acc,
+         |      '|' || (SELECT p1 FROM top$j) || '||' || (SELECT p2 FROM top$j) || '|',
+         |      '|' || (SELECT p1 FROM top$j) || (SELECT p2 FROM top$j) || '|')""".stripMargin
+    }
+    s"""WITH ${bpeMergeSqlCtes(iters)},
+       |dtok AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |q AS (SELECT doc_id, tok FROM dtok WHERE regexp_matches(tok, '^[a-z0-9]+$$')),
+       |e0 AS (
+       |  SELECT doc_id, length(tok) AS n_ch,
+       |    array_to_string(list_transform(string_split(tok, ''),
+       |      ch -> '|' || ch || '|'), '') AS r
+       |  FROM q),
+       |pc AS (
+       |  SELECT doc_id, n_ch,
+       |    len(regexp_extract_all($encChain, '\\|([^|]+)\\|', 1)) AS np
+       |  FROM e0)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(np) AS DOUBLE) / COUNT(*) AS pieces_per_token
+       |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // === cross-source vocabulary overlap ====================================
@@ -2412,6 +2483,7 @@ object TextAnalysis {
     "qc1_quality_classifier" -> qualityMargin _,
     "bpe1_pair_counts" -> ((s: SparkSession, d: String) => bpePairCounts(s, d)),
     "bpe2_merge_training" -> ((s: SparkSession, d: String) => bpeMergeTraining(s, d)),
+    "tok5_bpe_encode" -> ((s: SparkSession, d: String) => bpeEncode(s, d)),
     "span2_boilerplate_frac" -> ((s: SparkSession, d: String) => boilerplateFraction(s, d)),
     "zipf1_rank_slope" -> ((s: SparkSession, d: String) => zipfSlope(s, d)),
     "txt13_char_classes" -> docCharClasses _,
@@ -2461,6 +2533,7 @@ object TextAnalysis {
     "qc1_quality_classifier" -> qualityMarginSql,
     "bpe1_pair_counts" -> bpePairCountsSql(),
     "bpe2_merge_training" -> bpeMergeTrainingSql(),
+    "tok5_bpe_encode" -> bpeEncodeSql(),
     "span2_boilerplate_frac" -> boilerplateFractionSql(),
     "zipf1_rank_slope" -> zipfSlopeSql(),
     "txt13_char_classes" -> docCharClassesSql,

@@ -294,6 +294,18 @@ class ValuePinSpec extends SparkTestBase {
       (3, "aa", "ab", "aaab", 1L)), rows.mkString(", "))
   }
 
+  test("tok5: encoding {aaab aab} with 2 learned merges gives 4 pieces over 7 chars") {
+    // merges after 2 iterations (see the bpe2 trace): (a,a)->aa, (a,b)->ab.
+    // aaab -> [aa, ab] (2 pieces), aab -> [aa, b] (2 pieces).
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, "aaab aab", "en", "s1")))
+    val r = TextAnalysis.bpeEncode(spark, dir, iters = 2).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 2L)
+    assert(r.getAs[Long]("n_chars") == 7L)
+    assert(r.getAs[Long]("n_pieces") == 4L, s"got ${r.getAs[Long]("n_pieces")}")
+    assert(r.getAs[Double]("pieces_per_token") == 2.0)
+  }
+
   test("pipe1: composite verdicts are exactly the conjunction of their anchored stages") {
     val manifest = CorpusPipeline.corpusManifest(spark, sfDir).collect()
     assert(manifest.length == 500)
