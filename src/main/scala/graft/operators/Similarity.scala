@@ -1524,6 +1524,95 @@ object Similarity {
        |SELECT v AS vec_id, CAST(MIN(d) AS BIGINT) AS hop
        |FROM bfs GROUP BY v ORDER BY vec_id""".stripMargin
 
+  // === kcore1: k-core decomposition over the mutual-kNN graph ==============
+  val kcoreK = 3
+  val kcoreRounds = 8
+
+  /** Peel an undirected edge list (columns `a` < `b`) down to its
+    * k-core: repeatedly drop nodes whose degree among the survivors is
+    * below `k`. Peeling is monotone, so running a FIXED number of
+    * rounds is safe (extra rounds are no-ops once converged) and keeps
+    * both engines on the identical computation; the spec pins
+    * convergence by checking rounds and rounds+1 agree. Output: every
+    * node of the input graph with its core membership and its degree
+    * inside the final core.
+    */
+  def kcoreOf(edges: DataFrame, k: Int = kcoreK, rounds: Int = kcoreRounds): DataFrame = {
+    val und = edges.select(col("a").as("vec_id"), col("b").as("o"))
+      .unionByName(edges.select(col("b").as("vec_id"), col("a").as("o")))
+      .cache() // each peel round references it (the sp1 residency argument)
+    val all = und.select(col("vec_id")).distinct()
+    var nodes = all.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      nodes = und
+        .join(nodes, "vec_id")
+        .join(nodes.select(col("vec_id").as("o")), "o")
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("vec_id"))
+        // each round references the previous round TWICE (both
+        // endpoints), so without lineage TRUNCATION the logical plan
+        // doubles per round — 2^rounds copies of the upstream kNN
+        // subplan blew the driver heap during ANALYSIS (a cache only
+        // dedups execution). localCheckpoint is the standard iterative
+        // -algorithm break: the round's (tiny, node-bounded) result is
+        // materialized and the next round plans against it alone.
+        .localCheckpoint()
+    }
+    val coreDeg = und
+      .join(nodes, "vec_id")
+      .join(nodes.select(col("vec_id").as("o")), "o")
+      .groupBy(col("vec_id")).agg(count(lit(1)).cast(LongType).as("core_degree"))
+    all.join(coreDeg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("core_degree").isNotNull.as("in_core"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"))
+      .orderedSmall(col("vec_id")) // bounded by the sim6 subset
+  }
+
+  /** kcore1: the 3-core of the sim6 mutual-kNN graph — the
+    * dense-neighborhood skeleton a curation pass samples from (nodes
+    * outside the core are semantic stragglers; the core is where
+    * near-duplicate clusters and topic hubs live). Scale path: the
+    * exact mutual-kNN tier is subset-bounded like sim6/tri1/sp1; at
+    * 100 TB the edge list comes from the LSH candidate graph and each
+    * peel round is one degree aggregate + semi-join, key-partitioned
+    * on the node id.
+    */
+  def knnKcore(s: SparkSession, dir: String, k: Int = 5, subset: Int = 200): DataFrame =
+    kcoreOf(mutualKnn(s, dir, k, subset).select(col("a"), col("b")))
+
+  def knnKcoreSql(k: Int = 5, subset: Int = 200): String = {
+    val levels = (1 to kcoreRounds).map { j =>
+      val prev = s"n${j - 1}"
+      s"""n$j AS MATERIALIZED (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, COUNT(*) AS deg
+         |    FROM und e
+         |    JOIN $prev x ON e.vec_id = x.vec_id
+         |    JOIN $prev y ON e.o = y.vec_id
+         |    GROUP BY e.vec_id)
+         |  WHERE deg >= $kcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH knn AS MATERIALIZED (SELECT a, b FROM (${mutualKnnSql(k, subset)})),
+       |und AS MATERIALIZED (
+       |  SELECT a AS vec_id, b AS o FROM knn
+       |  UNION ALL
+       |  SELECT b AS vec_id, a AS o FROM knn),
+       |n0 AS (SELECT DISTINCT vec_id FROM und),
+       |$levels,
+       |cd AS (
+       |  SELECT e.vec_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+       |  FROM und e
+       |  JOIN n$kcoreRounds x ON e.vec_id = x.vec_id
+       |  JOIN n$kcoreRounds y ON e.o = y.vec_id
+       |  GROUP BY e.vec_id)
+       |SELECT n0.vec_id, (cd.vec_id IS NOT NULL) AS in_core,
+       |  COALESCE(cd.core_degree, 0) AS core_degree
+       |FROM n0 LEFT JOIN cd ON n0.vec_id = cd.vec_id
+       |ORDER BY n0.vec_id""".stripMargin
+  }
+
   // === sim9: ANN recall audit ==============================================
   /** Recall@k of the LSH ANN index (sim3) against the exact top-k
     * (sim1), per query — the accuracy dial every ANN deployment reads
@@ -1565,6 +1654,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tri1_knn_triangles" -> ((s: SparkSession, d: String) => knnTriangles(s, d)),
     "sp1_knn_hops" -> ((s: SparkSession, d: String) => knnHops(s, d)),
+    "kcore1_knn_core" -> ((s: SparkSession, d: String) => knnKcore(s, d)),
     "sim9_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "rp1_random_projection" -> randomProjection _,
     "sim7_centroid_drift" -> centroidDrift _,
@@ -1591,6 +1681,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "tri1_knn_triangles" -> knnTrianglesSql(),
     "sp1_knn_hops" -> knnHopsSql(),
+    "kcore1_knn_core" -> knnKcoreSql(),
     "sim9_ann_recall" -> annRecallSql(),
     "rp1_random_projection" -> randomProjectionSql,
     "sim7_centroid_drift" -> centroidDriftSql,

@@ -178,4 +178,27 @@ class SimilaritySpec extends SparkTestBase {
     // a non-codebook corpus must not quantize losslessly everywhere
     assert(rows.exists(_.getAs[Long]("recon_err") > 0L))
   }
+
+  test("kcore1: a hand 4-clique with a pendant chain peels to exactly the clique") {
+    import spark.implicits._
+    // clique {1,2,3,4} (degree 3 each) + pendant chain 4-5-6: peeling
+    // at k=3 drops 6 (deg 1), then 5 (deg 1), and the clique survives
+    // with core degree 3 per node.
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L),(5L,6L))
+      .toDF("a", "b")
+    val rows = Similarity.kcoreOf(edges).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(1L,2L,3L,4L,5L,6L))
+    Seq(1L,2L,3L,4L).foreach(v => assert(rows(v) == (true, 3L), s"node $v: ${rows(v)}"))
+    Seq(5L,6L).foreach(v => assert(rows(v) == (false, 0L), s"node $v: ${rows(v)}"))
+  }
+
+  test("kcore1: the fixed peel-round count has converged (rounds and rounds+1 agree)") {
+    val e = Similarity.mutualKnn(spark, sfDir).select(col("a"), col("b"))
+    val at = Similarity.kcoreOf(e).collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val beyond = Similarity.kcoreOf(e, rounds = Similarity.kcoreRounds + 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(at.toSeq == beyond.toSeq,
+      "an extra peel round must change nothing - the fixed bound is past the fixpoint")
+  }
 }
