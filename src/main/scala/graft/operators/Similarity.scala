@@ -1613,6 +1613,85 @@ object Similarity {
        |ORDER BY n0.vec_id""".stripMargin
   }
 
+  // === sim11: greedy max-min diversity selection ===========================
+  val diversityK = 8
+
+  /** sim11: k-center greedy selection over the embedding subset — the
+    * diverse-subset curation pass (pick the next vector farthest, in
+    * cosine distance, from everything already selected). The classic
+    * 2-approximation to the k-center objective, and the standard
+    * "coverage seeds" selector for dedup canonical picks and eval-set
+    * sampling. The seed is the smallest vec_id; each round's pick
+    * maximizes the ROUNDED (6 dp — the house ulp-absorber) minimum
+    * distance to the selected set, ties to the smallest vec_id, so the
+    * whole cascade is deterministic on any engine.
+    *
+    * Shape: one scan per round over the subset tier; the selected set
+    * is k vectors of driver state (the pq1 codebook bound). At 100 TB
+    * the same loop runs over IVF/LSH-bucketed candidates with the
+    * selected set broadcast — each round stays one aggregate.
+    */
+  def diverseSelect(s: SparkSession, dir: String, k: Int = diversityK,
+      subset: Int = 200): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = t(s, dir, "embeddings").filter(col("vec_id") < subset)
+      .select(col("vec_id"), vecD("embedding").as("v"))
+    val seedRow = base.orderBy(col("vec_id")).limit(1).collect()(0)
+    var selected = Vector((seedRow.getLong(0), seedRow.getSeq[Double](1)))
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (0, seedRow.getLong(0), None))
+    for (i <- 1 until k) {
+      val selDf = s.createDataFrame(
+        selected.map { case (id, v) => org.apache.spark.sql.Row(id, v) }.asJava,
+        StructType(Seq(StructField("sid", LongType),
+          StructField("sv", ArrayType(DoubleType)))))
+      val top = base
+        .filter(!col("vec_id").isInCollection(selected.map(_._1)))
+        .crossJoin(broadcast(selDf))
+        .select(col("vec_id"), col("v"),
+          Exact.dround(lit(1.0) - cosine(col("v"), col("sv")), 6).as("d"))
+        .groupBy(col("vec_id")).agg(min(col("d")).as("md"), first(col("v")).as("v"))
+        .orderBy(col("md").desc, col("vec_id"))
+        .limit(1).collect()(0)
+      selected :+= ((top.getLong(0), top.getSeq[Double](2)))
+      picks += ((i, top.getLong(0), Some(top.getDouble(1))))
+    }
+    s.createDataFrame(
+      picks.map { case (r, id, d) =>
+        org.apache.spark.sql.Row(r, id, d.map(java.lang.Double.valueOf).orNull)
+      }.asJava,
+      StructType(Seq(StructField("sel_rank", IntegerType),
+        StructField("vec_id", LongType), StructField("min_dist", DoubleType))))
+      .orderBy(col("sel_rank"))
+  }
+
+  def diverseSelectSql(k: Int = diversityK, subset: Int = 200): String = {
+    val dist = (a: String, b: String) =>
+      s"1 - list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+    val levels = (1 until k).map { j =>
+      val prev = s"s${j - 1}"
+      s"""c$j AS (
+         |  SELECT e.vec_id, MIN(${Exact.sqlDround(dist("e.v", "s.v"), 6)}) AS md
+         |  FROM e, $prev s
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  GROUP BY e.vec_id),
+         |t$j AS MATERIALIZED (SELECT vec_id, md FROM c$j ORDER BY md DESC, vec_id LIMIT 1),
+         |s$j AS MATERIALIZED (
+         |  SELECT vec_id, v FROM $prev
+         |  UNION ALL
+         |  SELECT e.vec_id, e.v FROM e JOIN t$j USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val out = (s"SELECT 0 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS min_dist FROM s0" +:
+      (1 until k).map(j => s"SELECT $j AS sel_rank, vec_id, md AS min_dist FROM t$j"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < $subset),
+       |s0 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |$levels
+       |SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id, min_dist
+       |FROM ($out) ORDER BY sel_rank""".stripMargin
+  }
+
   // === sim9: ANN recall audit ==============================================
   /** Recall@k of the LSH ANN index (sim3) against the exact top-k
     * (sim1), per query — the accuracy dial every ANN deployment reads
@@ -1655,6 +1734,7 @@ object Similarity {
     "tri1_knn_triangles" -> ((s: SparkSession, d: String) => knnTriangles(s, d)),
     "sp1_knn_hops" -> ((s: SparkSession, d: String) => knnHops(s, d)),
     "kcore1_knn_core" -> ((s: SparkSession, d: String) => knnKcore(s, d)),
+    "sim11_diverse_select" -> ((s: SparkSession, d: String) => diverseSelect(s, d)),
     "sim9_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "rp1_random_projection" -> randomProjection _,
     "sim7_centroid_drift" -> centroidDrift _,
@@ -1682,6 +1762,7 @@ object Similarity {
     "tri1_knn_triangles" -> knnTrianglesSql(),
     "sp1_knn_hops" -> knnHopsSql(),
     "kcore1_knn_core" -> knnKcoreSql(),
+    "sim11_diverse_select" -> diverseSelectSql(),
     "sim9_ann_recall" -> annRecallSql(),
     "rp1_random_projection" -> randomProjectionSql,
     "sim7_centroid_drift" -> centroidDriftSql,

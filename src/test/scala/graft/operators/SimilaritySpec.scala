@@ -201,4 +201,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(at.toSeq == beyond.toSeq,
       "an extra peel round must change nothing - the fixed bound is past the fixpoint")
   }
+
+  test("sim11: hand square of vectors selects opposite, then orthogonal, then the near-dup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sim11fix").toFile.getPath
+    Seq(
+      (0L, Seq(1.0, 0.0), 1),   // seed (smallest vec_id)
+      (1L, Seq(1.0, 0.05), 1),  // near-duplicate of the seed
+      (2L, Seq(0.0, 1.0), 1),   // orthogonal: cosine distance 1
+      (3L, Seq(-1.0, 0.0), 1))  // opposite: cosine distance 2
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.diverseSelect(spark, dir, k = 4).collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 3L, 2L, 1L),
+      s"greedy order must be seed, opposite, orthogonal, near-dup: ${rows.map(_.getLong(1)).toSeq}")
+    assert(rows(0).isNullAt(2))
+    assert(rows(1).getDouble(2) == 2.0, "opposite vector sits at cosine distance exactly 2")
+    assert(rows(2).getDouble(2) == 1.0, "orthogonal vector at distance exactly 1")
+    assert(rows(3).getDouble(2) > 0.0 && rows(3).getDouble(2) < 0.01,
+      "the near-duplicate is picked last with a tiny margin")
+  }
+
+  test("sim11: the max-min margin sequence is non-increasing (real corpus)") {
+    val ds = Similarity.diverseSelect(spark, sfDir).collect()
+    assert(ds.length == Similarity.diversityK)
+    assert(ds.map(_.getLong(1)).distinct.length == ds.length, "no vector selected twice")
+    val margins = ds.drop(1).map(_.getDouble(2))
+    margins.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-12, s"max-min margins must not increase: $a -> $b")
+    }
+  }
 }
