@@ -208,12 +208,18 @@ object Advanced {
     //  * the supplier count comes from the dimension table, one
     //    broadcast-scan.
     val su = t(s, dir, "supplier")
-    val total = l.agg(dsum(rev).as("total_rev"))
-      .crossJoin(su.agg(count(lit(1)).as("n_supp")))
-      .select((col("total_rev") * lit(1.05) / col("n_supp").cast(DoubleType))
-        .as("threshold"))
-    perSupp.join(broadcast(total))
-      .filter(col("supp_revenue") > col("threshold"))
+    // ONE lineitem scan (r12): the global revenue is the window sum of
+    // the per-supplier dsums (exactly equal to the ungrouped dsum —
+    // integer micros are associative), carried by an unpartitioned
+    // window over the SUPPLIER-BOUNDED aggregate, so the second
+    // lineitem pass the agg-over-agg shape paid is gone entirely.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val nSupp = su.agg(count(lit(1)).as("n_supp"))
+    perSupp
+      .withColumn("total_rev", sum(col("supp_revenue")).over(wAll))
+      .crossJoin(broadcast(nSupp))
+      .filter(col("supp_revenue") >
+        col("total_rev") * lit(1.05) / col("n_supp").cast(DoubleType))
       .join(su, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("supp_revenue"))
       // the above-mean tail is supplier-bounded but not constant-bounded,

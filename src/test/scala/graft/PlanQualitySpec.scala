@@ -110,6 +110,12 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q11: one lineitem scan — the global total rides the supplier-bounded window") {
+    val n = countScans(operators.Advanced.q11(spark, sfDir))
+    // lineitem once + supplier twice (count scalar + name join)
+    assert(n <= 3, s"q11 must not re-scan lineitem for the global total, saw $n scans")
+  }
+
   test("whole-stage codegen spans cover the hot paths (starred operators)") {
     Seq(
       operators.Tpch.q1(spark, sfDir),
