@@ -514,6 +514,58 @@ object TextAnalysis {
        |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
        |ORDER BY tot.doc_id""".stripMargin
 
+  // === cont3: exact long-n-gram decontamination ============================
+  val decontamN = 13
+
+  /** cont3: the published exact-collision decontamination rule — drop
+    * any training document sharing at least one 13-gram with the
+    * held-out benchmark slice (GPT-3's appendix-C methodology; cont1's
+    * 3-gram OVERLAP FRACTION grades near-duplication, this is the
+    * binary verbatim-leakage gate run alongside it). Inverted-index
+    * shape: distinct 13-grams join on their 64-bit hash against the
+    * bench slice's (deduplicated) gram set — candidate pairs exist only
+    * where a gram is shared, never a doc-level cross join, and only
+    * (doc, hash) pairs shuffle. Documents shorter than 13 tokens carry
+    * no 13-gram and are absent by construction (nothing to leak).
+    */
+  def exactNgramDecontam(s: SparkSession, dir: String, n: Int = decontamN): DataFrame = {
+    val sh = Dedup.shingles(s, dir, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val bench = t(s, dir, "documents").filter(col("source") === "src0")
+      .select(col("doc_id").as("bench_id"))
+    val benchH = sh.join(bench, col("doc_id") === col("bench_id"))
+      .select(col("h")).distinct().withColumn("hit", lit(true))
+    sh.join(bench, sh("doc_id") === bench("bench_id"), "left_anti")
+      .join(benchH, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_ngrams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).cast(LongType).as("n_hit"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+        (col("n_hit") > 0L).as("drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  def exactNgramDecontamSql(n: Int = decontamN): String = {
+    val gram = (1 to n).map(j => s"t[i+${j - 1}]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - ${n - 1}),
+       |           i -> concat_ws(' ', $gram))) AS shingle
+       |    FROM toks WHERE len(t) >= $n)),
+       |bench AS (SELECT doc_id AS bench_id FROM documents WHERE source = 'src0'),
+       |bh AS (SELECT DISTINCT shingle FROM sh JOIN bench ON sh.doc_id = bench_id),
+       |corp AS (SELECT doc_id, shingle FROM sh
+       |         WHERE doc_id NOT IN (SELECT bench_id FROM bench))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       |  CAST(SUM(CASE WHEN bh.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  SUM(CASE WHEN bh.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0 AS drop
+       |FROM corp LEFT JOIN bh ON corp.shingle = bh.shingle
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // === stratified (temperature) sampling ===================================
   /** Per-language keep rates for the sampling mix — the shape of a
     * temperature-resampled training mixture (downweight the dominant
@@ -2484,6 +2536,7 @@ object TextAnalysis {
     "bpe1_pair_counts" -> ((s: SparkSession, d: String) => bpePairCounts(s, d)),
     "bpe2_merge_training" -> ((s: SparkSession, d: String) => bpeMergeTraining(s, d)),
     "tok5_bpe_encode" -> ((s: SparkSession, d: String) => bpeEncode(s, d)),
+    "cont3_exact_ngram" -> ((s: SparkSession, d: String) => exactNgramDecontam(s, d)),
     "span2_boilerplate_frac" -> ((s: SparkSession, d: String) => boilerplateFraction(s, d)),
     "zipf1_rank_slope" -> ((s: SparkSession, d: String) => zipfSlope(s, d)),
     "txt13_char_classes" -> docCharClasses _,
@@ -2534,6 +2587,7 @@ object TextAnalysis {
     "bpe1_pair_counts" -> bpePairCountsSql(),
     "bpe2_merge_training" -> bpeMergeTrainingSql(),
     "tok5_bpe_encode" -> bpeEncodeSql(),
+    "cont3_exact_ngram" -> exactNgramDecontamSql(),
     "span2_boilerplate_frac" -> boilerplateFractionSql(),
     "zipf1_rank_slope" -> zipfSlopeSql(),
     "txt13_char_classes" -> docCharClassesSql,

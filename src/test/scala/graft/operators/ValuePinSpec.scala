@@ -306,6 +306,25 @@ class ValuePinSpec extends SparkTestBase {
     assert(r.getAs[Double]("pieces_per_token") == 2.0)
   }
 
+  test("cont3: a 13-token verbatim span drops the doc; 12 shared tokens do not") {
+    // bench doc (src0) holds span w1..w13. Doc 2 embeds the full span
+    // verbatim -> exactly one 13-gram collision -> drop. Doc 3 shares
+    // only w1..w12 -> no 13-gram can match -> keep.
+    val span = (1 to 13).map(i => s"w$i").mkString(" ")
+    val dir = freshDir()
+    writeDocs(dir, Seq(
+      (1L, span + " tailb1 tailb2", "en", "src0"),
+      (2L, "lead2 " + span + " tail2", "en", "src1"),
+      (3L, "lead3 " + (1 to 12).map(i => s"w$i").mkString(" ") + " other tail3", "en", "src1")))
+    val rows = TextAnalysis.exactNgramDecontam(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(1L), "bench docs are not audited against themselves")
+    assert(rows(2L).getAs[Boolean]("drop"), "verbatim 13-gram leak must drop")
+    assert(rows(2L).getAs[Long]("n_hit") >= 1L)
+    assert(!rows(3L).getAs[Boolean]("drop"), "a 12-token share is below the gate")
+    assert(rows(3L).getAs[Long]("n_hit") == 0L)
+  }
+
   test("pipe1: composite verdicts are exactly the conjunction of their anchored stages") {
     val manifest = CorpusPipeline.corpusManifest(spark, sfDir).collect()
     assert(manifest.length == 500)
