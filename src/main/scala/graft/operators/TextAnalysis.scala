@@ -529,17 +529,25 @@ object TextAnalysis {
     * no 13-gram and are absent by construction (nothing to leak).
     */
   def exactNgramDecontam(s: SparkSession, dir: String, n: Int = decontamN): DataFrame = {
+    // ONE shingle pass (the single-pass discipline): grams are tagged
+    // bench/corpus via a broadcast of the bench doc ids (the eval slice
+    // is tiny by definition in a real decontamination run), and bench
+    // presence rides a window over the gram hash — the same key the
+    // two-branch join form would shuffle on, without re-running the
+    // tokenize+explode chain per branch (the first draft read documents
+    // four times).
+    val bench = t(s, dir, "documents").filter(col("source") === "src0")
+      .select(col("doc_id"), lit(true).as("is_bench"))
     val sh = Dedup.shingles(s, dir, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val bench = t(s, dir, "documents").filter(col("source") === "src0")
-      .select(col("doc_id").as("bench_id"))
-    val benchH = sh.join(bench, col("doc_id") === col("bench_id"))
-      .select(col("h")).distinct().withColumn("hit", lit(true))
-    sh.join(bench, sh("doc_id") === bench("bench_id"), "left_anti")
-      .join(benchH, Seq("h"), "left")
+      .join(broadcast(bench), Seq("doc_id"), "left")
+      .withColumn("is_bench", coalesce(col("is_bench"), lit(false)))
+    val w = Window.partitionBy(col("h"))
+    sh.withColumn("hit", max(when(col("is_bench"), 1L).otherwise(0L)).over(w))
+      .filter(!col("is_bench"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(LongType).as("n_ngrams"),
-        sum(when(col("hit"), 1L).otherwise(0L)).cast(LongType).as("n_hit"))
+        sum(col("hit")).cast(LongType).as("n_hit"))
       .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
         (col("n_hit") > 0L).as("drop"))
       .orderBy(col("doc_id"))
