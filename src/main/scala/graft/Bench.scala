@@ -182,7 +182,8 @@ object Bench {
       "pq1_product_quantization", // codebook collect at construction
       "bpe2_merge_training", // per-iteration top-pair collect at construction
       "tok5_bpe_encode", // consumes bpe2's merge table at construction
-      "sim11_diverse_select") // per-round argmax collect at construction
+      "sim11_diverse_select", // per-round argmax collect at construction
+      "kcore1_knn_core") // 9 eager localCheckpoint peels at construction
 
     val prepared = names.filterNot(driverStepped).flatMap { n =>
       try Some(n -> SparkEntry.queries(n)(spark, sfDir))

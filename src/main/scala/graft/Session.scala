@@ -234,6 +234,11 @@ final class Session(val id: String, val spark: SparkSession,
 
   def begin(): Unit = {
     touch()
+    // a BEGIN against an aborted transaction first discards it, so the
+    // client's new transaction actually opens (without this, the second
+    // BEGIN was swallowed and its writes ran autocommit — surviving the
+    // client's closing ROLLBACK)
+    recoverIfAborted()
     if (!txnActive) { txnActive = true; txnAborted = false; txn = catalog.map(_.beginTxn()) }
   }
 
@@ -243,8 +248,12 @@ final class Session(val id: String, val spark: SparkSession,
     // chain includes no failed statement, but the reference's contract
     // is that an aborted txn cannot commit)
     if (txnAborted) { rollback(); return }
-    txn.foreach(x => catalog.foreach(_.commitTxn(x)))
-    txn = None; txnActive = false
+    // leave the transaction even if a publish throws mid-commit: the
+    // session must not be stuck txnActive forever retrying a partial
+    // publish (the per-table-atomicity caveat already documents that a
+    // mid-commit failure can leave some tables published)
+    try txn.foreach(x => catalog.foreach(_.commitTxn(x)))
+    finally { txn = None; txnActive = false }
   }
 
   def rollback(): Unit = {

@@ -192,8 +192,17 @@ object Advanced {
   // (> fraction of a global scalar) pattern; the scalar side is a broadcast.
   def q11(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
+    // keep the EXACT integer-micros decimal per supplier (dsum's
+    // internals, pre-division): the global total below must be a
+    // decimal window sum — a double window-sum of the per-supplier
+    // dsum outputs would accumulate in shuffle order and differ from
+    // the oracle's scalar by ulps run-to-run
+    val u = when(rev >= 0, floor(rev)).otherwise(ceil(rev)).cast(LongType)
+    val f = Exact.micros(rev - u.cast(DoubleType))
     val perSupp = l.groupBy(col("l_suppkey"))
-      .agg(dsum(rev).as("supp_revenue"))
+      .agg((sum(u).cast(Exact.D380) * lit(1000000L) + sum(f).cast(Exact.D380)).as("rev_m"))
+      .select(col("l_suppkey"), col("rev_m"),
+        Exact.toUnits(col("rev_m")).as("supp_revenue"))
     // Threshold = 1.05x the MEAN supplier revenue (the "at least 5%
     // above average" tail) — scale-free. Two fixes
     // over the first draft's "2% of total" (which, like real TPC-H Q11,
@@ -216,7 +225,10 @@ object Advanced {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val nSupp = su.agg(count(lit(1)).as("n_supp"))
     perSupp
-      .withColumn("total_rev", sum(col("supp_revenue")).over(wAll))
+      // DECIMAL(38,0) micros sum: exact and order-independent, equal to
+      // the oracle's ungrouped dsum by associativity; ONE toUnits
+      // conversion afterwards mirrors the oracle's scalar exactly
+      .withColumn("total_rev", Exact.toUnits(sum(col("rev_m")).over(wAll)))
       .crossJoin(broadcast(nSupp))
       .filter(col("supp_revenue") >
         col("total_rev") * lit(1.05) / col("n_supp").cast(DoubleType))

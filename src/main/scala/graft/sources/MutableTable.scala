@@ -63,6 +63,15 @@ final class MutableTable private (
 
   private def manifestPath(v: Long): Path = root.resolve(s"manifest-$v.json")
 
+  /** Files.list with the stream CLOSED: the returned java Stream holds an
+    * open DirectoryStream until close(), so iterating it bare leaks one
+    * fd per call until finalization.
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
   private def readManifest(v: Long): Seq[String] = {
     val txt = new String(Files.readAllBytes(manifestPath(v)))
     // minimal JSON: {"files": ["a.parquet", ...]}
@@ -101,7 +110,7 @@ final class MutableTable private (
   private var maxVersionCache: Long = -1L
   private def allocVersion(): Long = {
     if (maxVersionCache < 0) {
-      val onDisk = Files.list(root).iterator().asScala
+      val onDisk = listDir(root).iterator
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
         .map(_.stripPrefix("manifest-").stripSuffix(".json").toLong)
@@ -145,9 +154,8 @@ final class MutableTable private (
     * their new (unique) names.
     */
   private def adoptStaged(staged: Path): Seq[String] = {
-    val parts = Files.list(staged).iterator().asScala
+    val parts = listDir(staged)
       .filter(p => p.getFileName.toString.startsWith("part-") && p.toString.endsWith(".parquet"))
-      .toSeq
     parts.map { p =>
       val name = s"part-${UUID.randomUUID()}.parquet"
       Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
@@ -159,7 +167,9 @@ final class MutableTable private (
     val staged = root.resolve(s"stage-${UUID.randomUUID()}")
     BatchAlign.alignToSchema(data, schema).write.parquet(staged.toString)
     val names = adoptStaged(staged)
-    Files.walk(staged).sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.deleteIfExists(p))
+    val walk = Files.walk(staged)
+    try walk.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
     names
   }
 
@@ -326,14 +336,14 @@ final class MutableTable private (
     */
   def vacuum(): Int = writeLock.synchronized {
     val live = mutable.Set.empty[String]
-    Files.list(root).iterator().asScala
+    listDir(root)
       .filter(_.getFileName.toString.startsWith("manifest-"))
       .foreach { m =>
         val v = m.getFileName.toString.stripPrefix("manifest-").stripSuffix(".json").toLong
         live ++= readManifest(v)
       }
     var removed = 0
-    Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
+    listDir(dataDir).foreach { p =>
       if (!live.contains(p.getFileName.toString)) { Files.delete(p); removed += 1 }
     }
     removed

@@ -288,13 +288,19 @@ object Streams {
       val bandsB = Dedup.bandedKeysOf(b).cache()
       try {
         // near tier vs corpus: batch bands probe the state bands — the
-        // join is keyed on (band, band_key), bucket-local at any scale
+        // join is keyed on (band, band_key), bucket-local at any scale.
+        // The >=2-band threshold is PER CORPUS DOCUMENT (dd12's pair
+        // semantics): the corpus doc_id must survive into the count, or
+        // one shared band with doc X plus one with doc Y would reject a
+        // document the batch gate admits.
         val nearCorpus = bandsB
-          .join(state.bands.df.select(col("band"), col("band_key")).distinct(),
+          .join(state.bands.df
+            .select(col("doc_id").as("corpus_id"), col("band"), col("band_key")),
             Seq("band", "band_key"))
-          .groupBy(col("doc_id")).agg(countDistinct(col("band")).as("nb"))
+          .groupBy(col("doc_id"), col("corpus_id"))
+          .agg(countDistinct(col("band")).as("nb"))
           .filter(col("nb") >= 2)
-          .select(col("doc_id")).withColumn("near_corpus", lit(true))
+          .select(col("doc_id")).distinct().withColumn("near_corpus", lit(true))
         // near tier within the batch: later doc rejected against earlier
         val nearBatch = bandsB.select(col("doc_id").as("p"), col("band"), col("band_key"))
           .join(bandsB.select(col("doc_id").as("q"), col("band"), col("band_key")),

@@ -76,6 +76,29 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("admitBatch: near-corpus threshold is per corpus document, not across them") {
+    // dd12's pair semantics: rejection needs >= 2 shared bands with ONE
+    // corpus document. A batch doc sharing one band with corpus doc 900
+    // and another band with corpus doc 901 must be ADMITTED (the first
+    // draft aggregated bands across all corpus docs and rejected it).
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_pc")
+    val state = AdmissionState.create(spark, root)
+    val text = (1 to 40).map(i => s"pcd$i").mkString(" ")
+    val doc = Seq(AdmitDoc(50L, text, "en", "c")).toDF()
+    val keys = graft.operators.Dedup.bandedKeysOf(doc).collect()
+      .map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(keys.length >= 2)
+    state.bands.insert(Seq(
+      (900L, keys(0)._1, keys(0)._2),
+      (901L, keys(1)._1, keys(1)._2)).toDF("doc_id", "band", "band_key"))
+    Streams.admitBatch(doc, 7L, state)
+    val v = state.verdicts.df.collect()
+    assert(v.length == 1 && v(0).getBoolean(2),
+      s"one shared band each with two different corpus docs must admit: ${v.mkString}")
+  }
+
   test("streamingDedup drops duplicate keys within the watermark horizon") {
     val sparkS = spark
     import sparkS.implicits._
