@@ -105,14 +105,25 @@ final class Session(val id: String, val spark: SparkSession,
       schemaCache.synchronized(schemaCache.clear())
     statements.map { s =>
       val clean = SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))
-      abortTxnOnError {
-        catalog.flatMap(_.route(clean, txn)) match {
-          case Some(n) => affectedDf(n)
-          case None =>
-            // metadata views recompute per query (metadata.rs:26-34)
-            if (InfoSchema.referencesInfoSchema(s)) InfoSchema.register(spark)
-            ensureCatalogViews()
-            spark.sql(InfoSchema.rewriteInfoSchema(clean))
+      // transaction-control statements route to the session's txn state
+      // (the reference accepts them as plain SQL — transaction_recovery.rs
+      // drives `client.update("BEGIN")`); Spark's parser would reject them
+      clean.trim.stripSuffix(";").trim.toUpperCase match {
+        case "BEGIN" | "BEGIN TRANSACTION" | "START TRANSACTION" =>
+          begin(); affectedDf(0)
+        case "COMMIT" | "END" | "COMMIT TRANSACTION" =>
+          commit(); affectedDf(0)
+        case "ROLLBACK" | "ABORT" | "ROLLBACK TRANSACTION" =>
+          rollback(); affectedDf(0)
+        case _ => abortTxnOnError {
+          catalog.flatMap(_.route(clean, txn)) match {
+            case Some(n) => affectedDf(n)
+            case None =>
+              // metadata views recompute per query (metadata.rs:26-34)
+              if (InfoSchema.referencesInfoSchema(s)) InfoSchema.register(spark)
+              ensureCatalogViews()
+              spark.sql(InfoSchema.rewriteInfoSchema(clean))
+          }
         }
       }
     }.last

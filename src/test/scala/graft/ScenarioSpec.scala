@@ -158,6 +158,25 @@ class ScenarioSpec extends SparkTestBase {
     cat.drop("txn_rec_t")
   }
 
+  // === transaction control as plain SQL (transaction_recovery.rs drives
+  // client.update("BEGIN") — the statements must route, not parse-error)
+  test("BEGIN/COMMIT/ROLLBACK route as SQL statements through Session.sql") {
+    val cat = MutableCatalog(spark)
+    cat.create("txn_sql_t", usersSchema, primaryKey = Some("id"))
+    val s = new Session("txn-sql", spark.newSession(), Some(cat))
+    s.sql("BEGIN")
+    assert(s.inTransaction)
+    s.sql("INSERT INTO txn_sql_t VALUES (1, 'a', 1.0)")
+    s.sql("ROLLBACK;")
+    assert(!s.inTransaction)
+    assert(s.sql("SELECT COUNT(*) FROM txn_sql_t").head.getLong(0) == 0L)
+    s.sql("START TRANSACTION")
+    s.sql("INSERT INTO txn_sql_t VALUES (2, 'b', 2.0)")
+    s.sql("COMMIT")
+    assert(s.sql("SELECT COUNT(*) FROM txn_sql_t").head.getLong(0) == 1L)
+    cat.drop("txn_sql_t")
+  }
+
   // === error paths: unknown handle, unroutable DML ========================
   test("unknown prepared handles error; non-managed DML falls through (service/mod.rs:153-325)") {
     val s = new Session("err", spark)
