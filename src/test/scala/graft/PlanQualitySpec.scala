@@ -116,6 +116,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(n <= 3, s"q11 must not re-scan lineitem for the global total, saw $n scans")
   }
 
+  test("cont3: one shingle pass + the pruned bench-id projection (two scans)") {
+    val n = countScans(operators.TextAnalysis.exactNgramDecontam(spark, sfDir))
+    assert(n <= 2, s"cont3 must not re-run the tokenize+explode chain per branch, saw $n scans")
+  }
+
+  test("tok5: encoding is one documents scan (the merge table is literal)") {
+    val n = countScans(operators.TextAnalysis.bpeEncode(spark, sfDir))
+    assert(n <= 1, s"tok5's encode plan must fuse into one scan, saw $n")
+  }
+
   test("whole-stage codegen spans cover the hot paths (starred operators)") {
     Seq(
       operators.Tpch.q1(spark, sfDir),
