@@ -353,7 +353,23 @@ object Streams {
     * evicts click state 30 minutes + watermark past its event time. The
     * join is key-partitioned on user_id — partition-parallel at any rate.
     */
-  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    attributionJoin(clicks, purchases, "inner")
+
+  /** The outer face of [[clickAttribution]]: purchases with NO click in
+    * their 30-minute lookback still emit — with null click columns —
+    * once the click-side watermark passes their window (the organic /
+    * direct-traffic share every attribution report needs). Same state
+    * bounds as the inner join; the null rows surface only when the
+    * engine can PROVE no matching click can still arrive, which is the
+    * Structured Streaming outer-join contract this operator exists to
+    * exercise.
+    */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    attributionJoin(clicks, purchases, "left_outer")
+
+  private def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String): DataFrame = {
     val c = clicks
       .selectExpr("user_id AS c_user", "event_id AS click_id", "ts AS click_ts")
       .withWatermark("click_ts", "10 minutes")
@@ -364,7 +380,8 @@ object Streams {
     p.join(c,
       expr("""p_user = c_user AND
               click_ts <= purchase_ts AND
-              click_ts >= purchase_ts - INTERVAL 30 MINUTES"""))
+              click_ts >= purchase_ts - INTERVAL 30 MINUTES"""),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("purchase_ts"),
         col("purchase_value"), col("click_id"), col("click_ts"))
   }

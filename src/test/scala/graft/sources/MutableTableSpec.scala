@@ -199,6 +199,29 @@ class MutableTableSpec extends SparkTestBase {
     cat.drop("txn_c")
   }
 
+  test("concurrent transactions: isolated while open; commits are last-pointer-swap-wins") {
+    // The DOCUMENTED leniency contract (single-writer assumption): two
+    // open txns stage divergent chains invisibly to each other; the
+    // second commit's pointer swap wins and the first txn's write is
+    // lost. This spec LOCKS that contract — if real cross-txn merge
+    // semantics ever land, this is the test to flip.
+    val cat = MutableCatalog(spark)
+    val t = cat.create("txn_cc", schema, Some("id"))
+    cat.route("INSERT INTO txn_cc VALUES (1, 'base', 1.0)")
+    val t1 = cat.beginTxn(); val t2 = cat.beginTxn()
+    cat.route("INSERT INTO txn_cc VALUES (2, 'from_t1', 2.0)", Some(t1))
+    cat.route("INSERT INTO txn_cc VALUES (3, 'from_t2', 3.0)", Some(t2))
+    assert(t.df.count() == 1, "both staged chains invisible while open")
+    cat.commitTxn(t1)
+    assert(t.df.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    cat.commitTxn(t2)
+    // t2's chain was staged off the pre-t1 base: its swap wins, t1's
+    // row is gone — the documented lost-update caveat
+    assert(t.df.collect().map(_.getLong(0)).toSet == Set(1L, 3L),
+      "last pointer swap wins (single-writer leniency, documented)")
+    cat.drop("txn_cc")
+  }
+
   test("syncViews re-registers a session's view only when the table version changed") {
     val cat = MutableCatalog(spark)
     val t = cat.create("sv_t", schema, Some("id"))

@@ -273,6 +273,37 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("clickAttributionOuter: organic purchases emit with null clicks once provably unmatched") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.clickAttributionOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 attributes; user 3's purchase has NO click — the outer
+      // join must emit it with null click columns, but only after the
+      // click watermark passes its lookback window
+      clicks.addData(Event(101, tsAt(10, 0), 1, "click", 0.0))
+      purchases.addData(
+        Event(201, tsAt(10, 15), 1, "purchase", 9.0),
+        Event(203, tsAt(10, 20), 3, "purchase", 7.0))
+      q.processAllAvailable()
+      // advance both watermarks far past the windows so the unmatched
+      // purchase becomes provably final
+      clicks.addData(Event(199, tsAt(12, 0), 9, "click", 0.0))
+      purchases.addData(Event(299, tsAt(12, 0), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_out").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+      assert(rows(201L) == 101L, "in-window click attributes")
+      assert(rows.contains(203L) && rows(203L) == -1L,
+        s"the organic purchase must emit with a null click: $rows")
+    } finally q.stop()
+  }
+
   test("enrichEvents: stream-static lookup join keeps all facts and broadcasts the dim") {
     val sparkS = spark
     import sparkS.implicits._
