@@ -221,7 +221,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""throughput_rps":$rps,"throughput_terminals":$terminals,""" +
       s""""throughput_requests":$reqs,"throughput_window_sec":$elapsed,""" +
       s""""throughput_windows_rps":$windowsRpsJson,"throughput_window_count":$windowCount,""" +
@@ -239,7 +239,15 @@ object Bench {
       // sensitive and a comma decimal separator would corrupt the JSON
       s""""latency_avg_ms":$avgMs,"latency_p50_ms":${pct(0.50)},""" +
       s""""latency_p95_ms":${pct(0.95)},"latency_p99_ms":${pct(0.99)},""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(jsonLine)
+    // ALSO persist the full line: the driver's artifact keeps only a
+    // 2000-char stdout tail, which truncates the per-query map once the
+    // registry grew past ~60 queries (BENCH_r10/r11 lost ~150 timings
+    // and their 'parsed' field — r11 judge finding). BENCH_LAST.json in
+    // the working directory survives complete and machine-readable.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), jsonLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
     spark.stop()
   }
 }
