@@ -844,6 +844,67 @@ object Dedup {
        |LEFT JOIN near_b nb USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // === fld2: leakage-safe cluster-aware fold split =========================
+  val clusterFolds = 5
+
+  /** fld2: the train/eval split that cannot leak near-duplicates across
+    * folds — the mistake fld1's plain per-document split makes by
+    * construction (a document and its near-copy land in different folds
+    * and the eval fold scores memorization). The fold key is the
+    * document's DEDUP CLUSTER: connected components over the union of
+    * dd3's >= 2-band near-dup edges (dd8's threshold) and the exact
+    * content-hash groups, so any two documents dd8 would call the same
+    * content share one deterministic md5-coin fold. Isolated documents
+    * are their own cluster. Scale shape: the edge set is LSH-pruned
+    * (never all-pairs), components run through dd7's engine
+    * (driver-stepped below 1 M edges, distributed above), and the fold
+    * coin is the cluster-invariant md5 fraction.
+    */
+  def clusterSplit(s: SparkSession, dir: String, k: Int = clusterFolds): DataFrame = {
+    val near = minhashLsh(s, dir).filter(col("n_band_hits") >= 2)
+      .select(col("doc_a"), col("doc_b"))
+    val hx = t(s, dir, "documents").select(col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"))
+    val exactEdges = hx
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("doc_a"), col("keep_id").as("doc_b"))
+    val comp = connectedComponents(near.unionByName(exactEdges))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("fold",
+        floor(TextAnalysis.md5Frac(lit("fld2"), col("cluster_id")) * k).cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  def clusterSplitSql(k: Int = clusterFolds): String = {
+    val coin = TextAnalysis.sqlMd5Frac("'fld2'", "CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)")
+    s"""WITH RECURSIVE $minhashLshSqlCtes,
+       |nedges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs WHERE n_band_hits >= 2
+       |  UNION
+       |  SELECT doc_b, doc_a FROM lsh_pairs WHERE n_band_hits >= 2),
+       |hx AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+       |       FROM documents),
+       |ek AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keep_id FROM hx),
+       |eedges AS (
+       |  SELECT doc_id AS s, keep_id AS d FROM ek WHERE doc_id <> keep_id
+       |  UNION
+       |  SELECT keep_id, doc_id FROM ek WHERE doc_id <> keep_id),
+       |edges AS (SELECT s, d FROM nedges UNION SELECT s, d FROM eedges),
+       |reach(n, l) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n),
+       |clusters AS (SELECT n AS doc_id, MIN(l) AS comp FROM reach GROUP BY n)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
+       |  CAST(FLOOR($coin * $k) AS INTEGER) AS fold
+       |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // === dd13: canonical-URL dedup ===========================================
   /** URL canonicalization + keying — the pre-dedup stage every crawl
     * pipeline runs BEFORE content dedup (the same page is fetched under
@@ -965,6 +1026,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd13_url_canonical" -> urlCanonicalDedup _,
+    "fld2_cluster_split" -> ((s: SparkSession, d: String) => clusterSplit(s, d)),
     "dd14_canonical_text" -> canonicalTextDedup _,
     "dd12_incremental_admit" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "dd11_prefix_dedup" -> prefixDedup _,
@@ -985,6 +1047,7 @@ object Dedup {
     */
   val oracles: Map[String, String] = Map(
     "dd13_url_canonical" -> urlCanonicalDedupSql,
+    "fld2_cluster_split" -> clusterSplitSql(),
     "dd14_canonical_text" -> canonicalTextDedupSql,
     "dd12_incremental_admit" -> incrementalDedupSql(),
     "dd11_prefix_dedup" -> prefixDedupSql,

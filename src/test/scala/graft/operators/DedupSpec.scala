@@ -199,4 +199,30 @@ class DedupSpec extends SparkTestBase {
     // generator never emits a fully-duplicated source)
     assert(rows.exists(_.getAs[Boolean]("admit")))
   }
+
+  test("fld2: no dedup cluster straddles folds (the leakage-safety invariant)") {
+    val rows = Dedup.clusterSplit(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) < Dedup.clusterFolds))
+    // every cluster maps to exactly one fold
+    rows.groupBy(_.getLong(1)).values.foreach { g =>
+      assert(g.map(_.getInt(2)).distinct.length == 1,
+        s"cluster ${g.head.getLong(1)} straddles folds")
+    }
+    val fold = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // exact duplicates can never split across folds
+    Dedup.exactDedup(spark, sfDir).collect().filter(_.getLong(2) > 1).foreach { _ => }
+    val byHash = graft.Engine.table(spark, sfDir, "documents")
+      .selectExpr("doc_id", "md5(regexp_replace(lower(text), '\\s+', ' ')) AS h")
+      .collect().groupBy(_.getString(1))
+    byHash.values.filter(_.length > 1).foreach { g =>
+      assert(g.map(r => fold(r.getLong(0))).distinct.length == 1,
+        "exact duplicates must share a fold")
+    }
+    // near-dup candidate pairs (dd8's edge threshold) share folds too
+    Dedup.minhashLsh(spark, sfDir).filter(col("n_band_hits") >= 2).collect().foreach { r =>
+      assert(fold(r.getLong(0)) == fold(r.getLong(1)),
+        s"near-dup pair (${r.getLong(0)}, ${r.getLong(1)}) straddles folds")
+    }
+  }
 }
