@@ -247,8 +247,11 @@ object Bench {
     // registry grew past ~60 queries (BENCH_r10/r11 lost ~150 timings
     // and their 'parsed' field — r11 judge finding). BENCH_LAST.json in
     // the working directory survives complete and machine-readable.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), jsonLine + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
+    // path override for launchers whose cwd is not the repo root (sbt
+    // runs always have cwd = repo, the environment this targets)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), jsonLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

@@ -107,13 +107,17 @@ final class Session(val id: String, val spark: SparkSession,
       val clean = SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))
       // transaction-control statements route to the session's txn state
       // (the reference accepts them as plain SQL — transaction_recovery.rs
-      // drives `client.update("BEGIN")`); Spark's parser would reject them
-      clean.trim.stripSuffix(";").trim.toUpperCase match {
-        case "BEGIN" | "BEGIN TRANSACTION" | "START TRANSACTION" =>
+      // drives `client.update("BEGIN")`); Spark's parser would reject
+      // them, and an unrouted variant parse-erroring INSIDE a txn would
+      // poison it and silently roll back staged writes — so routing is
+      // by the comment-aware LEADING KEYWORD, catching the WORK /
+      // TRANSACTION / commented forms too
+      SqlShim.leadingKeyword(clean) match {
+        case "BEGIN" | "START" =>
           begin(); affectedDf(0)
-        case "COMMIT" | "END" | "COMMIT TRANSACTION" =>
+        case "COMMIT" | "END" =>
           commit(); affectedDf(0)
-        case "ROLLBACK" | "ABORT" | "ROLLBACK TRANSACTION" =>
+        case "ROLLBACK" | "ABORT" =>
           rollback(); affectedDf(0)
         case _ => abortTxnOnError {
           catalog.flatMap(_.route(clean, txn)) match {

@@ -172,7 +172,7 @@ class ScenarioSpec extends SparkTestBase {
     assert(s.sql("SELECT COUNT(*) FROM txn_sql_t").head.getLong(0) == 0L)
     s.sql("START TRANSACTION")
     s.sql("INSERT INTO txn_sql_t VALUES (2, 'b', 2.0)")
-    s.sql("COMMIT")
+    s.sql("/* finalize */ COMMIT WORK") // commented + WORK variant must route too
     assert(s.sql("SELECT COUNT(*) FROM txn_sql_t").head.getLong(0) == 1L)
     cat.drop("txn_sql_t")
   }

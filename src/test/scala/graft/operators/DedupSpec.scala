@@ -211,7 +211,6 @@ class DedupSpec extends SparkTestBase {
     }
     val fold = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap
     // exact duplicates can never split across folds
-    Dedup.exactDedup(spark, sfDir).collect().filter(_.getLong(2) > 1).foreach { _ => }
     val byHash = graft.Engine.table(spark, sfDir, "documents")
       .selectExpr("doc_id", "md5(regexp_replace(lower(text), '\\s+', ' ')) AS h")
       .collect().groupBy(_.getString(1))
