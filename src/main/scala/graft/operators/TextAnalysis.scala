@@ -1955,6 +1955,49 @@ object TextAnalysis {
        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // === tok6: Heaps'-law vocabulary growth curve ============================
+  /** tok6: cumulative vocabulary size against cumulative token mass in
+    * doc_id order — the empirical Heaps'-law curve (V ~ k*N^beta) that
+    * predicts how much NEW vocabulary further crawling buys, the
+    * capacity-planning input for vocabulary builds (tok1) and
+    * tokenizer training (bpe2). Exact and order-deterministic: a
+    * token's first occurrence is MIN(doc_id) over the wordcount (one
+    * corpus shuffle, vocabulary-bounded), so the curve is two running
+    * sums over the doc-bounded table — no sampling, no global sort of
+    * raw tokens. Output: one row per document with the corpus token
+    * and vocabulary totals after it.
+    */
+  def heapsCurve(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ex = dFan(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val perDoc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    // per (token): first doc; then per doc: how many tokens debut there
+    val debuts = ex.groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    perDoc.join(debuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_tokens", sum(col("n_toks")).over(wOrd).cast(LongType))
+      .withColumn("cum_vocab", sum(col("n_new")).over(wOrd).cast(LongType))
+      .select(col("doc_id"), col("cum_tokens"), col("cum_vocab"))
+      .orderBy(col("doc_id"))
+  }
+
+  val heapsCurveSql: String =
+    """WITH ex AS (
+      |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |pd AS (SELECT doc_id, COUNT(*) AS n_toks FROM ex GROUP BY 1),
+      |db AS (SELECT MIN(doc_id) AS doc_id FROM ex GROUP BY tok),
+      |dn AS (SELECT doc_id, COUNT(*) AS n_new FROM db GROUP BY 1)
+      |SELECT pd.doc_id,
+      |  CAST(SUM(pd.n_toks) OVER (ORDER BY pd.doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(COALESCE(dn.n_new, 0)) OVER (ORDER BY pd.doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+      |FROM pd LEFT JOIN dn ON pd.doc_id = dn.doc_id
+      |ORDER BY pd.doc_id""".stripMargin
+
   // === cross-source vocabulary overlap ====================================
   /** js1: pairwise Jaccard similarity between the sources' distinct
     * token vocabularies — the corpus-composition diagnostic behind
@@ -2545,6 +2588,7 @@ object TextAnalysis {
     "bpe2_merge_training" -> ((s: SparkSession, d: String) => bpeMergeTraining(s, d)),
     "tok5_bpe_encode" -> ((s: SparkSession, d: String) => bpeEncode(s, d)),
     "cont3_exact_ngram" -> ((s: SparkSession, d: String) => exactNgramDecontam(s, d)),
+    "tok6_heaps_curve" -> heapsCurve _,
     "span2_boilerplate_frac" -> ((s: SparkSession, d: String) => boilerplateFraction(s, d)),
     "zipf1_rank_slope" -> ((s: SparkSession, d: String) => zipfSlope(s, d)),
     "txt13_char_classes" -> docCharClasses _,
@@ -2596,6 +2640,7 @@ object TextAnalysis {
     "bpe2_merge_training" -> bpeMergeTrainingSql(),
     "tok5_bpe_encode" -> bpeEncodeSql(),
     "cont3_exact_ngram" -> exactNgramDecontamSql(),
+    "tok6_heaps_curve" -> heapsCurveSql,
     "span2_boilerplate_frac" -> boilerplateFractionSql(),
     "zipf1_rank_slope" -> zipfSlopeSql(),
     "txt13_char_classes" -> docCharClassesSql,

@@ -325,6 +325,25 @@ class ValuePinSpec extends SparkTestBase {
     assert(rows(3L).getAs[Long]("n_hit") == 0L)
   }
 
+  test("tok6: Heaps curve by hand ('a b' then 'a c' -> (2,2) then (4,3)) and monotone on corpus") {
+    val dir = freshDir()
+    writeDocs(dir, Seq((1L, "a b", "en", "s1"), (2L, "a c", "en", "s1")))
+    val fix = TextAnalysis.heapsCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fix.toSeq == Seq((1L, 2L, 2L), (2L, 4L, 3L)), fix.mkString(","))
+    // corpus invariants: both sums strictly/weakly monotone, vocab <= tokens,
+    // final vocab == the corpus's distinct token count
+    val rows = TextAnalysis.heapsCurve(spark, sfDir).collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) > a.getLong(1) && b.getLong(2) >= a.getLong(2))
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val distinct = graft.Engine.table(spark, sfDir, "documents")
+      .selectExpr("explode(split(lower(trim(text)), '\\\\s+')) AS t")
+      .distinct().count()
+    assert(rows.last.getLong(2) == distinct)
+  }
+
   test("pipe1: composite verdicts are exactly the conjunction of their anchored stages") {
     val manifest = CorpusPipeline.corpusManifest(spark, sfDir).collect()
     assert(manifest.length == 500)
