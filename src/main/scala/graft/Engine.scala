@@ -29,6 +29,14 @@ object Engine {
       // SURVEY §4.2 prescribes 4-16 at this scale. A cluster deployment
       // overrides via spark-submit conf.
       .config("spark.sql.shuffle.partitions", math.max(8, cores / 4).toString)
+      // JVM-global whole-stage-codegen class cache (static conf, default
+      // 100 entries). The registry is 217 queries x ~8 generated classes
+      // each — at the default size the cache thrashes and every measured
+      // bench run re-pays Janino compilation (~50-500 ms per class),
+      // which inflated q2 from 0.55 s warm to 2.33 s in-bench and fed
+      // the p99 tail. 4096 covers the whole registry's working set;
+      // entries are bytecode + source text, well under the 8g heap.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // coalesce post-shuffle partitions to the advisory SIZE instead of

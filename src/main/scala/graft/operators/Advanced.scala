@@ -113,35 +113,42 @@ object Advanced {
   // subquery expressed as a self-aggregation join, the decorrelation
   // Catalyst would produce for the SQL form.
   def q2(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "part").filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
-    // prune lineitem to qualifying parts BEFORE aggregating: the per-part
-    // min is computed per partkey, so restricting to surviving parts is
-    // semantically identical and cuts the aggregate's input by ~40x (the
-    // broadcast semi-join reaches the scan as a runtime filter)
+    // ONE broadcast of the filtered part set: the inner join both prunes
+    // lineitem (~40x, the hash reaches the scan as a runtime filter) AND
+    // carries p_name through, so the old shape's second part join — a
+    // second broadcast build per execution — disappears. partkey is
+    // unique in part, so the 1:N join duplicates nothing.
+    val p = t(s, dir, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_name"))
     val l = t(s, dir, "lineitem")
-      .join(broadcast(p.select(col("p_partkey").as("pk"))), col("l_partkey") === col("pk"), "left_semi")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
     // ONE shuffle for the whole min-per-part computation: partition the
-    // pruned lineitem by l_partkey once; hash-partitioning on a prefix of
-    // the grouping keys satisfies the aggregate's ClusteredDistribution,
-    // and the min-over-partkey window reuses the same partitioning. The
+    // pruned lineitem by p_partkey once; hash-partitioning on a subset of
+    // the grouping keys satisfies the aggregate's ClusteredDistribution
+    // (p_name is functionally dependent on p_partkey), and the
+    // min-over-partkey window reuses the same partitioning. The
     // previous shape (groupBy + min-per-part self-join) paid 4 exchanges
     // — two aggregates plus both sides of the (partkey, price) join.
-    val unit = l.repartition(col("l_partkey"))
-      .groupBy(col("l_partkey"), col("l_suppkey"))
+    val unit = l.repartition(col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
-    val minW = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val minW = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
     val best = unit.withColumn("min_price", min(col("unit_price")).over(minW))
       .filter(col("unit_price") === col("min_price"))
     val su = t(s, dir, "supplier")
     val n = broadcast(t(s, dir, "nation"))
     best
-      .join(p, col("l_partkey") === col("p_partkey"))
       .join(su, col("l_suppkey") === col("s_suppkey"))
       .join(n, col("s_nationkey") === col("n_nationkey"))
       // raw IEEE double out: both engines compute the identical division,
       // while round-to-4 can straddle a half-way boundary differently
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"), col("unit_price"))
-      .orderBy(col("p_partkey"), col("s_name"))
+      // the surviving part set is filter-bounded (a few hundred rows at
+      // bench SF, and filter-proportional at any SF): a one-task sort
+      // skips the range-exchange SAMPLING JOB an orderBy pays per
+      // execution — measurable fixed overhead on a sub-second query
+      .orderedSmall(col("p_partkey"), col("s_name"))
   }
 
   val q2Sql: String =
