@@ -179,6 +179,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("recon_err") > 0L))
   }
 
+  test("pq1: codes key on vec_id, not collect position, when ids 0..15 are gapped") {
+    import spark.implicits._
+    // corpus whose sub-16 ids are {0,1,2,3,5,7,11,13} — a positional
+    // codebook index would assign vector 5 the code 4 (its array slot)
+    // and silently diverge from the oracle's `vec_id AS k`
+    val ids = Seq(0L, 1L, 2L, 3L, 5L, 7L, 11L, 13L, 20L, 21L, 40L)
+    val dim = Similarity.pqSubspaces * Similarity.pqSubDim
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(dim)(j => (id * dim + j).toFloat / 10f - 3f)
+    val dir = java.nio.file.Files.createTempDirectory("pq-gap").toString
+    ids.map(id => (id, vec(id), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.pqEncode(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("pq_code"), r.getAs[Long]("recon_err"))).toMap
+    assert(rows.size == ids.length)
+    // every present sub-16 vector IS a codebook entry: exact self-
+    // reconstruction with its own vec_id as the code in all 8 subspaces
+    val selfCode = (0 until Similarity.pqSubspaces).map(s => 1L << (4 * s)).sum
+    for (id <- ids if id < Similarity.pqCodes) {
+      val (code, err) = rows(id)
+      assert(err == 0L, s"codebook vector $id must reconstruct exactly")
+      assert(code == id * selfCode,
+        s"vector $id must encode as vec_id $id per subspace, got $code " +
+          "(positional indexing would shift codes past the gaps)")
+    }
+    // non-codebook vectors still get valid packed codes drawn from the
+    // PRESENT id set (never a gap id like 4 or 6)
+    val present = ids.filter(_ < Similarity.pqCodes).toSet
+    for (id <- ids if id >= Similarity.pqCodes) {
+      val (code, _) = rows(id)
+      val subCodes = (0 until Similarity.pqSubspaces).map(s => (code >> (4 * s)) & 0xF)
+      subCodes.foreach(k => assert(present.contains(k),
+        s"vector $id subspace code $k is not a present codebook id"))
+    }
+  }
+
   test("kcore1: a hand 4-clique with a pendant chain peels to exactly the clique") {
     import spark.implicits._
     // clique {1,2,3,4} (degree 3 each) + pendant chain 4-5-6: peeling

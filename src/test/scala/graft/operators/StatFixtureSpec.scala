@@ -146,6 +146,26 @@ class StatFixtureSpec extends SparkTestBase {
     assert(rows("BBB").getAs[Long]("n_alloc") == 120L)
   }
 
+  test("smp4: zero-variance corpus fails loudly instead of NaN-degrading to 0 allocations") {
+    // every stratum is a constant balance -> N*S2 - S1^2 = 0 in all
+    // strata -> total_w = 0; the old code divided through and the NaN
+    // floor/cast silently produced 0 allocations that missed the budget
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, 1, 5.0), (2L, 1, 5.0), (3L, 2, 7.0), (4L, 2, 7.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1, "AAA"), (2, "BBB")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val e = intercept[Exception] {
+      Analytics.neymanAllocation(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("total stratum weight is zero")),
+      s"expected the loud zero-variance error, got: ${e.getMessage}")
+  }
+
   test("bs1: bootstrap of a constant corpus is exactly degenerate (SE 0, band = mean)") {
     // 20 orders all 5.0: every replica's weighted mean is exactly 5.0
     // whatever its Poisson weights (weighted mean of a constant), so

@@ -210,6 +210,41 @@ class ValuePinSpec extends SparkTestBase {
     assert(r.getAs[Double]("hapax_ratio") == 0.5)
   }
 
+  test("txt8: deflate byte counts pin to zlib level-6 reference values") {
+    // txt8 has NO DuckDB oracle (DuckDB ships no deflate), so these
+    // constants anchor the VALUES, not just the shape. They were
+    // computed with an INDEPENDENT deflate implementation — CPython's
+    // zlib.compress(data, 6) — whose output length java.util.zip's
+    // Deflater(6) must reproduce exactly (both are madler-zlib at the
+    // same level/strategy, verified byte-identical out of band):
+    //   "a"*1000                      1000 -> 17
+    //   "The quick brown fox ..."*4    180 -> 55
+    //   "x"                              1 ->  9
+    //   "9f8e7d6c5b4a3210"*8           128 -> 27
+    //   "to be or not to be ..."*25   1000 -> 53
+    val dir = freshDir()
+    writeDocs(dir, Seq(
+      (1L, "a" * 1000, "en", "s1"),
+      (2L, "The quick brown fox jumps over the lazy dog. " * 4, "en", "s1"),
+      (3L, "x", "en", "s1"),
+      (4L, "9f8e7d6c5b4a3210" * 8, "en", "s1"),
+      (5L, "to be or not to be that is the question " * 25, "en", "s1")))
+    val rows = TextAnalysis.compressionRatio(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_bytes"), r.getAs[Int]("n_compressed"), r.getAs[Double]("ratio"))).toMap
+    val expected = Map(
+      1L -> (1000, 17), 2L -> (180, 55), 3L -> (1, 9), 4L -> (128, 27), 5L -> (1000, 53))
+    for ((id, (nb, nc)) <- expected) {
+      val (gotB, gotC, gotR) = rows(id)
+      assert(gotB == nb, s"doc $id n_bytes: got $gotB want $nb")
+      assert(gotC == nc, s"doc $id n_compressed: got $gotC want $nc (zlib-6 reference)")
+      assert(math.abs(gotR - nc.toDouble / nb) < 1e-15)
+    }
+    // ordering sanity of the quality signal itself: repetitive text
+    // compresses far below natural text, which compresses below hex noise
+    assert(rows(1L)._3 < rows(5L)._3 && rows(5L)._3 < rows(2L)._3 && rows(2L)._3 < rows(4L)._3 * 2)
+  }
+
   test("txt1: token stats of 'The cat sat' by hand") {
     // tokens [the, cat, sat]: n 3, chars 11, nonspace 9,
     // avg_token_len 3.0, one stopword ('the') -> ratio 1/3
