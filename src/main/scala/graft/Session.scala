@@ -263,10 +263,10 @@ final class Session(val id: String, val spark: SparkSession,
     // chain includes no failed statement, but the reference's contract
     // is that an aborted txn cannot commit)
     if (txnAborted) { rollback(); return }
-    // leave the transaction even if a publish throws mid-commit: the
-    // session must not be stuck txnActive forever retrying a partial
-    // publish (the per-table-atomicity caveat already documents that a
-    // mid-commit failure can leave some tables published)
+    // leave the transaction even if commitTxn throws: a CONFLICT has
+    // already discarded the staged chain, and a crash after the commit
+    // record became durable rolls FORWARD via recoverPendingCommits —
+    // either way the session must not be stuck txnActive retrying
     try txn.foreach(x => catalog.foreach(_.commitTxn(x)))
     finally { txn = None; txnActive = false }
   }

@@ -45,7 +45,17 @@ final class SessionRegistry(
 
   def get(peerId: String): Option[Session] = Option(sessions.get(peerId))
 
-  def remove(peerId: String): Unit = sessions.remove(peerId)
+  /** Remove the peer's session, first rolling back any open transaction:
+    * without this, tables created inside an uncommitted txn stay
+    * registered in the shared catalog forever and staged manifests leak
+    * (only an explicit ROLLBACK would have dropped them).
+    */
+  def remove(peerId: String): Unit =
+    Option(sessions.remove(peerId)).foreach(discard)
+
+  private def discard(s: Session): Unit =
+    try { if (s.inTransaction) s.rollback() }
+    catch { case _: Throwable => () } // eviction must never fail
 
   def size: Int = sessions.size()
 
@@ -80,7 +90,7 @@ final class SessionRegistry(
     var removed = 0
     sessions.forEach { (id, s) =>
       if (nowMillis - s.lastAccessMillis > idleTimeoutMillis)
-        if (sessions.remove(id, s)) removed += 1
+        if (sessions.remove(id, s)) { discard(s); removed += 1 }
     }
     removed
   }

@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Path}
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, lit}
@@ -27,6 +28,10 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   // a lock-free concurrent map — per-table mutation ordering is already
   // serialized inside MutableTable
   private val tables = scala.collection.concurrent.TrieMap.empty[String, MutableTable]
+
+  // complete any multi-table commit a previous process died inside of
+  // (no-op on the usual fresh temp root)
+  recoverPendingCommits()
 
   def create(name: String, schema: StructType, primaryKey: Option[String] = None,
       txn: Option[CatalogTxn] = None): MutableTable = {
@@ -56,33 +61,135 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   // inside the txn builds a new STAGED manifest on top of the session's
   // previous staged version (read-your-writes within the session) while
   // the table's published `_version` pointer — what every other session's
-  // views resolve — never moves. COMMIT publishes each staged table with
-  // one atomic pointer swap per table under the catalog lock; ROLLBACK
-  // discards the staged map (the staged manifests linger unreferenced,
-  // same as restore()'s rolled-back interval) and drops tables created
-  // inside the txn. Remaining leniency, documented: concurrent writers
-  // to the SAME table race last-pointer-swap-wins (the reference's
-  // single-writer assumption), and a multi-table commit is atomic per
-  // table, not across tables.
+  // views resolve — never moves. COMMIT is all-or-nothing ACROSS tables:
+  // it first validates that no staged table's published version drifted
+  // past the version the txn first staged from (write-write conflict →
+  // the whole txn aborts, the reference's DuckDB conflict behavior), then
+  // makes the multi-table commit DURABLE as one atomically-moved commit
+  // record before any pointer swaps — a crash between swaps rolls
+  // FORWARD from the record (recoverPendingCommits), never publishing
+  // one table of two. ROLLBACK deletes every staged manifest (so vacuum
+  // can reclaim their data files) and drops tables created inside the
+  // txn.
   def beginTxn(): CatalogTxn = new CatalogTxn
 
-  /** Publish every staged table version — one pointer swap per table —
-    * then retire the txn. Committing an empty or already-closed txn is
-    * the tolerated no-op (transaction.rs:68-93).
+  final class TransactionConflictException(msg: String)
+    extends IllegalStateException(msg)
+
+  // test-only crash injection for the commit protocol (ScenarioSpec):
+  // fired before the commit record becomes durable / before each
+  // table's pointer swap
+  private[graft] var failBeforeCommitRecord: () => Unit = () => ()
+  private[graft] var failBeforePublish: String => Unit = _ => ()
+
+  /** Commit the txn: conflict-check, write ONE durable commit record
+    * covering every staged table, then swap each pointer. Committing an
+    * empty or already-closed txn is the tolerated no-op
+    * (transaction.rs:68-93). Throws [[TransactionConflictException]] —
+    * after discarding the staged chain — if any staged table was
+    * published past the txn's base version since first touch (blind
+    * publish would silently erase that committed write).
     */
-  def commitTxn(txn: CatalogTxn): Unit = synchronized {
-    txn.staged.foreach { case (n, v) =>
-      tables.get(n).foreach { t => t.publish(v); refresh(n) }
+  def commitTxn(txn: CatalogTxn): Unit = txn.synchronized { synchronized {
+    if (txn.staged.isEmpty) { txn.clearAll(); return }
+    val conflicts = txn.staged.keys.toSeq.sorted.filter { n =>
+      tables.get(n).exists(t =>
+        txn.baseVersions.get(n).exists(_ != t.currentVersion))
     }
-    txn.staged.clear(); txn.created.clear()
+    if (conflicts.nonEmpty) {
+      rollbackStaged(txn)
+      throw new TransactionConflictException(
+        s"transaction conflict: table(s) ${conflicts.mkString(", ")} " +
+          "were modified by another writer since this transaction began")
+    }
+    // crash window A: nothing durable yet — an abort here publishes
+    // NOTHING (the spec's neither-table-advances leg)
+    failBeforeCommitRecord()
+    val entries = txn.staged.toSeq.sortBy(_._1)
+    val recordId = java.util.UUID.randomUUID().toString
+    val record = root.resolve(s"commit-$recordId.json")
+    val body = entries.map { case (n, v) => s""""$n": $v""" }
+      .mkString(s"""{"txn": "$recordId", "tables": {""", ", ", "}}")
+    val tmp = root.resolve(s"commit-$recordId.json.tmp")
+    Files.write(tmp, body.getBytes)
+    Files.move(tmp, record,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // crash window B: the record is durable — recovery completes the
+    // remaining swaps, so a mid-loop abort still commits ALL tables
+    try {
+      entries.foreach { case (n, v) =>
+        failBeforePublish(n)
+        tables.get(n).foreach { t => t.publish(v); refresh(n) }
+      }
+    } catch {
+      case e: Throwable =>
+        // leave the record in place: recoverPendingCommits rolls forward
+        txn.clearAll()
+        throw e
+    }
+    // retire intermediate staged manifests (every staged version that is
+    // not the published final one) and the commit record
+    val finals = txn.staged.toMap
+    txn.allStaged.foreach { case (n, v) =>
+      if (!finals.get(n).contains(v))
+        tables.get(n).foreach(_.discardStaged(v))
+    }
+    Files.deleteIfExists(record)
+    txn.clearAll()
+  }}
+
+  /** Discard all staged writes — deleting their manifests so the data
+    * files they reference become vacuum-reclaimable — and drop tables
+    * created inside the txn; without any staged state this is the
+    * tolerated no-op.
+    */
+  def rollbackTxn(txn: CatalogTxn): Unit = txn.synchronized { synchronized {
+    rollbackStaged(txn)
+  }}
+
+  // callers hold both locks
+  private def rollbackStaged(txn: CatalogTxn): Unit = {
+    txn.allStaged.foreach { case (n, v) =>
+      tables.get(n).foreach(_.discardStaged(v))
+    }
+    txn.created.foreach(drop)
+    txn.clearAll()
   }
 
-  /** Discard all staged writes and drop tables created inside the txn;
-    * without any staged state this is the tolerated no-op.
+  /** Roll forward any commit record whose pointer swaps did not all
+    * land (process died inside commitTxn's crash window B). Idempotent;
+    * returns the number of records completed. Run on catalog
+    * construction and callable from maintenance.
     */
-  def rollbackTxn(txn: CatalogTxn): Unit = synchronized {
-    txn.created.foreach(drop)
-    txn.staged.clear(); txn.created.clear()
+  def recoverPendingCommits(): Int = synchronized {
+    if (!Files.isDirectory(root)) return 0
+    val records = {
+      val st = Files.list(root)
+      try st.iterator().asScala.toSeq.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("commit-") && n.endsWith(".json")
+      } finally st.close()
+    }
+    records.foreach { rec =>
+      val txt = new String(Files.readAllBytes(rec))
+      // minimal parse of {"txn": "...", "tables": {"n": v, ...}}
+      val tablesBody = txt.substring(txt.indexOf("{", txt.indexOf("\"tables\"")) + 1,
+        txt.lastIndexOf("}"))
+      tablesBody.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split(":").map(_.trim)
+        val name = k.stripPrefix("\"").stripSuffix("\"")
+        val version = v.stripSuffix("}").trim.toLong
+        tables.get(name).foreach { t =>
+          // roll FORWARD only: never regress a pointer a later commit
+          // already advanced past the crashed one
+          if (t.currentVersion < version && t.hasManifest(version)) {
+            t.publish(version); refresh(name)
+          }
+        }
+      }
+      Files.deleteIfExists(rec)
+    }
+    records.size
   }
 
   // Per-table view versions, bumped on every snapshot refresh, plus a
@@ -133,7 +240,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
       // NEGATIVE staged version — so leaving/entering/advancing a txn
       // always re-registers, and after commit the bumped clock replaces
       // the staged marker.
-      val stagedV = txn.flatMap(_.staged.get(name))
+      val stagedV = txn.flatMap(x => x.synchronized(x.staged.get(name)))
       val marker = stagedV.map(v => -(v + 1)).getOrElse(viewVersions.getOrElse(name, 0L))
       if (!seen.synchronized(seen.get(name).contains(marker))) {
         val snapshot = stagedV.map(t.asOf).getOrElse(t.df)
@@ -156,17 +263,35 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     get(name).map { t =>
       val shaped = BatchAlign.shapeParamBatch(spark, batch, t.schema, explicitCols)
       txn match {
-        case Some(x) =>
-          val bv = x.staged.getOrElse(name.toLowerCase, t.currentVersion)
-          val (v, n) = t.stageInsert(bv, shaped)
-          x.staged(name.toLowerCase) = v
-          n
+        case Some(x) => stageInTxn(name, t, x)(bv => t.stageInsert(bv, shaped))
         case None =>
           val n = t.insert(shaped)
           refresh(name)
           n
       }
     }
+
+  /** The whole read-base → stage → record sequence under the txn's own
+    * lock (see [[CatalogTxn]]): the base is the txn's staged chain head
+    * for the table, or the published version on first touch — which is
+    * also recorded as the conflict-check anchor.
+    */
+  private def stageInTxn(name: String, t: MutableTable, x: CatalogTxn)(
+      stage: Long => (Long, Long)): Long = x.synchronized {
+    val lc = name.toLowerCase
+    val bv = x.staged.getOrElse(lc, {
+      val b = t.currentVersion
+      x.baseVersions.getOrElseUpdate(lc, b)
+      b
+    })
+    val (v, n) = stage(bv)
+    // a no-op mutation (0 affected files) returns the base itself as the
+    // "new" version — record it in the chain but never as a manifest to
+    // retire (it is the published manifest, or a prior staged one)
+    x.staged(lc) = v
+    if (v != bv) x.allStaged += ((lc, v))
+    n
+  }
 
   private val insertRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+([A-Za-z_][\\w]*)\\s*(\\([^)]*\\))?\\s*VALUES\\s*(.+?);?\\s*$".r
@@ -185,14 +310,11 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     */
   def route(sql: String, txn: Option[CatalogTxn] = None): Option[Long] = {
     // Within-txn mutations chain off the session's own staged version
-    // (snapshot taken on first touch). NON-txn mutations go through the
-    // table's atomic mutators — read-stage-publish under ONE writeLock
-    // hold, so concurrent autocommit writers never lose an update.
-    def base(name: String, t: MutableTable): Long =
-      txn.flatMap(_.staged.get(name.toLowerCase)).getOrElse(t.currentVersion)
-    def record(name: String, x: CatalogTxn, staged: (Long, Long)): Long = {
-      x.staged(name.toLowerCase) = staged._1; staged._2
-    }
+    // (snapshot taken on first touch) — the whole base-read/stage/record
+    // sequence runs under the txn lock (stageInTxn). NON-txn mutations
+    // go through the table's atomic mutators — read-stage-publish under
+    // ONE writeLock hold, so concurrent autocommit writers never lose an
+    // update.
     sql match {
       case insertRe(table, colsOpt, values) =>
         get(table).map { t =>
@@ -207,7 +329,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
           }
           val aligned = BatchAlign.alignToSchema(named, t.schema, explicit)
           txn match {
-            case Some(x) => record(table, x, t.stageInsert(base(table, t), aligned))
+            case Some(x) => stageInTxn(table, t, x)(bv => t.stageInsert(bv, aligned))
             case None    => val n = t.insert(aligned); refresh(table); n
           }
         }
@@ -216,7 +338,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
           val assignments = splitAssignments(setClause).map { case (k, v) => k -> expr(v) }.toMap
           val cond = Option(whereOpt).map(expr).getOrElse(lit(true))
           txn match {
-            case Some(x) => record(table, x, t.stageUpdate(base(table, t), cond, assignments))
+            case Some(x) => stageInTxn(table, t, x)(bv => t.stageUpdate(bv, cond, assignments))
             case None    => val n = t.update(cond, assignments); refresh(table); n
           }
         }
@@ -224,7 +346,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
         get(table).map { t =>
           val cond = Option(whereOpt).map(expr).getOrElse(lit(true))
           txn match {
-            case Some(x) => record(table, x, t.stageDelete(base(table, t), cond))
+            case Some(x) => stageInTxn(table, t, x)(bv => t.stageDelete(bv, cond))
             case None    => val n = t.delete(cond); refresh(table); n
           }
         }
@@ -266,10 +388,31 @@ object MutableCatalog {
   * plus the tables it created (dropped again on rollback). Owned by
   * exactly one [[graft.Session]] at a time — per-session, not
   * catalog-global, so concurrent sessions' transactions never collide.
+  *
+  * All mutable state is guarded by the txn instance's own monitor: the
+  * Flight producer does not serialize statements per session, so two
+  * concurrent DMLs in the SAME open transaction would otherwise both
+  * read the same base version and silently lose one staged write at
+  * COMMIT. Staging paths hold the lock across the whole
+  * read-base → stage → record sequence.
   */
 final class CatalogTxn private[sources] {
   private[sources] val staged = scala.collection.mutable.Map.empty[String, Long]
+  /** Published version at FIRST touch per table — the conflict-check
+    * anchor: commit aborts if the published pointer drifted past this.
+    */
+  private[sources] val baseVersions = scala.collection.mutable.Map.empty[String, Long]
+  /** EVERY staged manifest this txn wrote (not just the final chain
+    * head per table) — rollback/commit retire them so their data files
+    * become vacuum-reclaimable instead of leaking forever.
+    */
+  private[sources] val allStaged = scala.collection.mutable.Buffer.empty[(String, Long)]
   private[sources] val created = scala.collection.mutable.Set.empty[String]
+
+  private[sources] def clearAll(): Unit = {
+    staged.clear(); baseVersions.clear(); allStaged.clear(); created.clear()
+  }
+
   /** Tables this txn has staged writes for (visible for specs/diagnostics). */
-  def stagedTables: Set[String] = staged.keySet.toSet
+  def stagedTables: Set[String] = synchronized(staged.keySet.toSet)
 }

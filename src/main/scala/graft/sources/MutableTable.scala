@@ -331,6 +331,20 @@ final class MutableTable private (
 
   def fileCount: Int = readManifest(currentVersion).size
 
+  private[sources] def hasManifest(v: Long): Boolean = Files.exists(manifestPath(v))
+
+  /** Delete a STAGED (never-published) manifest so the data files it
+    * references stop counting as live for [[vacuum]] — the rollback
+    * cleanup path. Refuses to touch the published version; deleting an
+    * already-absent manifest is the tolerated no-op (commit retires
+    * intermediates that rollback may also see).
+    */
+  private[sources] def discardStaged(v: Long): Unit = writeLock.synchronized {
+    // silently skip the published version: cleanup must never throw
+    // (e.g. a drop+recreate raced the rollback into a version collision)
+    if (v != currentVersion) Files.deleteIfExists(manifestPath(v))
+  }
+
   /** Drop data files no longer referenced by ANY retained manifest
     * (vacuum; the reference's checkpoint cleanup).
     */

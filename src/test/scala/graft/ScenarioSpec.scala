@@ -185,4 +185,106 @@ class ScenarioSpec extends SparkTestBase {
     assert(cat.route("UPDATE not_managed SET x = 1").isEmpty)
     assert(cat.route("SELECT 1").isEmpty)
   }
+
+  // === cross-TABLE commit atomicity (session/mod.rs:613-686: DuckLake ====
+  // commits span tables; r12 verdict gap #3). Crash window A: nothing
+  // durable yet -> neither table advances. Crash window B: the commit
+  // record is durable -> recovery rolls FORWARD, both tables advance.
+  test("two-table txn aborted mid-commit before the record: NEITHER table advances") {
+    val cat = MutableCatalog(spark)
+    cat.create("atomic_a", usersSchema)
+    cat.create("atomic_b", usersSchema)
+    val s = new Session("atomic-1", spark.newSession(), Some(cat))
+    s.begin()
+    s.sql("INSERT INTO atomic_a VALUES (1, 'a', 1.0)")
+    s.sql("INSERT INTO atomic_b VALUES (1, 'b', 1.0)")
+    cat.failBeforeCommitRecord = () => throw new RuntimeException("injected crash A")
+    try intercept[RuntimeException](s.commit())
+    finally cat.failBeforeCommitRecord = () => ()
+    assert(cat.get("atomic_a").get.df.count() == 0L, "table a must not advance")
+    assert(cat.get("atomic_b").get.df.count() == 0L, "table b must not advance")
+    assert(cat.recoverPendingCommits() == 0, "no record was durable, nothing to roll forward")
+    assert(cat.get("atomic_a").get.df.count() == 0L && cat.get("atomic_b").get.df.count() == 0L,
+      "recovery must not invent a commit that never became durable")
+    cat.drop("atomic_a"); cat.drop("atomic_b")
+  }
+
+  test("two-table txn crashed between pointer swaps: recovery commits BOTH tables") {
+    val cat = MutableCatalog(spark)
+    cat.create("atomic_c", usersSchema)
+    cat.create("atomic_d", usersSchema)
+    val s = new Session("atomic-2", spark.newSession(), Some(cat))
+    s.begin()
+    s.sql("INSERT INTO atomic_c VALUES (1, 'c', 1.0)")
+    s.sql("INSERT INTO atomic_d VALUES (1, 'd', 1.0)")
+    // entries publish in sorted order: crash before the SECOND swap
+    cat.failBeforePublish = n => if (n == "atomic_d") throw new RuntimeException("injected crash B")
+    try intercept[RuntimeException](s.commit())
+    finally cat.failBeforePublish = _ => ()
+    assert(cat.get("atomic_c").get.df.count() == 1L, "first swap landed before the crash")
+    assert(cat.get("atomic_d").get.df.count() == 0L, "second swap did not land yet")
+    assert(cat.recoverPendingCommits() == 1, "one durable record to roll forward")
+    assert(cat.get("atomic_d").get.df.count() == 1L,
+      "recovery must complete the crashed multi-table commit")
+    assert(cat.recoverPendingCommits() == 0, "recovery is idempotent")
+    cat.drop("atomic_c"); cat.drop("atomic_d")
+  }
+
+  // === write-write conflict detection (r12 ADVICE: blind publish would ===
+  // silently erase a committed autocommit write)
+  test("COMMIT aborts with a conflict when another writer published after first touch") {
+    val cat = MutableCatalog(spark)
+    cat.create("confl_t", usersSchema)
+    val a = new Session("confl-a", spark.newSession(), Some(cat))
+    val b = new Session("confl-b", spark.newSession(), Some(cat))
+    a.begin()
+    a.sql("INSERT INTO confl_t VALUES (1, 'staged', 1.0)") // first touch: base = v0
+    b.sql("INSERT INTO confl_t VALUES (2, 'autocommit', 2.0)") // publishes past a's base
+    val e = intercept[Exception](a.commit())
+    assert(e.getMessage.contains("conflict"), s"expected a conflict error, got: ${e.getMessage}")
+    val names = spark.sql("SELECT name FROM confl_t").collect().map(_.getString(0)).toSeq
+    assert(names == Seq("autocommit"),
+      s"the committed autocommit write must survive, the conflicted txn must not; got $names")
+    assert(!a.inTransaction, "the conflicted session leaves the transaction")
+    cat.drop("confl_t")
+  }
+
+  // === rollback reclaims staged storage (r12 ADVICE: rolled-back =========
+  // manifests pinned their data files against vacuum forever)
+  test("ROLLBACK deletes staged manifests so vacuum reclaims their data files") {
+    val cat = MutableCatalog(spark)
+    cat.create("vac_t", usersSchema)
+    cat.route("INSERT INTO vac_t VALUES (1, 'keep', 1.0)")
+    val txn = cat.beginTxn()
+    cat.route("INSERT INTO vac_t VALUES (2, 'tmp1', 2.0)", Some(txn))
+    cat.route("INSERT INTO vac_t VALUES (3, 'tmp2', 3.0)", Some(txn))
+    cat.rollbackTxn(txn)
+    val removed = cat.get("vac_t").get.vacuum()
+    assert(removed >= 2,
+      s"vacuum must reclaim the two rolled-back staged files, removed $removed")
+    assert(cat.get("vac_t").get.df.collect().map(_.getString(1)).toSeq == Seq("keep"),
+      "the published row is untouched")
+    cat.drop("vac_t")
+  }
+
+  // === registry eviction rolls back open transactions (r12 ADVICE: =======
+  // tables created inside an uncommitted txn leaked into the shared
+  // catalog forever)
+  test("session removal and idle cleanup roll back the session's open transaction") {
+    val cat = MutableCatalog(spark)
+    val reg = new SessionRegistry(spark, catalog = Some(cat))
+    val s1 = reg.getOrCreate("evict-1")
+    s1.begin()
+    cat.create("evict_t1", usersSchema, txn = s1.txn)
+    reg.remove("evict-1")
+    assert(cat.get("evict_t1").isEmpty,
+      "explicit removal must roll back the open txn and drop its created table")
+    val s2 = reg.getOrCreate("evict-2")
+    s2.begin()
+    cat.create("evict_t2", usersSchema, txn = s2.txn)
+    s2.lastAccessMillis = System.currentTimeMillis() - reg.idleTimeoutMillis - 1000
+    assert(reg.cleanupIdle() == 1)
+    assert(cat.get("evict_t2").isEmpty,
+      "idle cleanup must roll back the open txn and drop its created table")
+  }
 }

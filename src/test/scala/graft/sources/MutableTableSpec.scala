@@ -199,12 +199,12 @@ class MutableTableSpec extends SparkTestBase {
     cat.drop("txn_c")
   }
 
-  test("concurrent transactions: isolated while open; commits are last-pointer-swap-wins") {
-    // The DOCUMENTED leniency contract (single-writer assumption): two
-    // open txns stage divergent chains invisibly to each other; the
-    // second commit's pointer swap wins and the first txn's write is
-    // lost. This spec LOCKS that contract — if real cross-txn merge
-    // semantics ever land, this is the test to flip.
+  test("concurrent transactions: isolated while open; the second commit conflicts") {
+    // Flipped from the pre-r13 last-pointer-swap-wins leniency: two open
+    // txns stage divergent chains off the same base invisibly to each
+    // other; the FIRST commit wins and the second ABORTS with a conflict
+    // instead of silently erasing the committed row — the reference's
+    // DuckDB-backed transactions raise the same way.
     val cat = MutableCatalog(spark)
     val t = cat.create("txn_cc", schema, Some("id"))
     cat.route("INSERT INTO txn_cc VALUES (1, 'base', 1.0)")
@@ -214,11 +214,10 @@ class MutableTableSpec extends SparkTestBase {
     assert(t.df.count() == 1, "both staged chains invisible while open")
     cat.commitTxn(t1)
     assert(t.df.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
-    cat.commitTxn(t2)
-    // t2's chain was staged off the pre-t1 base: its swap wins, t1's
-    // row is gone — the documented lost-update caveat
-    assert(t.df.collect().map(_.getLong(0)).toSet == Set(1L, 3L),
-      "last pointer swap wins (single-writer leniency, documented)")
+    val e = intercept[Exception](cat.commitTxn(t2))
+    assert(e.getMessage.contains("conflict"))
+    assert(t.df.collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "the first committed write survives; the conflicted chain is discarded")
     cat.drop("txn_cc")
   }
 
