@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   * payloads with a typed metadata struct, processed by batch-shaped
   * `mapPartitions` stages.
   *
-  * The decode kernels are DETERMINISTIC STUBS — this container has no
-  * image/audio codecs, so `decodePayload` fakes a decode from the payload
-  * bytes (byte-histogram "features", hash-derived "dimensions"). Swap the
-  * stub body for JNI/FFmpeg/libvips calls and nothing else changes: the
-  * schema contract, per-partition batching, and partitioning strategy are
-  * the real, tested plumbing.
+  * Container HEADERS are parsed for real (pure JVM: PNG IHDR, RIFF/WAVE
+  * fmt — see `sniffHeader`), so recognized payloads carry true
+  * width/height (image) or sample-rate/channels (audio). The PIXEL/SAMPLE
+  * decode kernel remains a DETERMINISTIC STUB — this sandbox has no
+  * image/audio codecs, so `decodeBytes` fakes the content decode from the
+  * payload bytes (byte-histogram "features"). Swap the stub body for
+  * JNI/FFmpeg/libvips calls and nothing else changes: the schema
+  * contract, per-partition batching, and partitioning strategy are the
+  * real, tested plumbing.
   *
   * Scale notes (100 TB of media):
   *  - payloads never pass through a shuffle: every stage is map-only over
@@ -55,19 +58,89 @@ object Multimodal {
         octet_length(payload).as("n_bytes")).as("meta"))
   }
 
-  /** STUB decode kernel: a real implementation calls the codec here.
-    * Deterministic fake: "dimensions" from payload length, features =
-    * 16-bin byte histogram (bin = high nibble) normalized to [0,1].
-    * Returns the raw integer counts too — the digest is computed over
-    * them so the DuckDB oracle can reproduce it without float-bit
-    * introspection.
+  // === container header parsing (pure JVM, header-only) ====================
+  // The decode stub graduated one notch (r12 verdict #8): payloads whose
+  // bytes ARE a real container get their dimensions from a real header
+  // parse — PNG IHDR (big-endian, spec §11.2.2) and RIFF/WAVE fmt chunk
+  // (little-endian) — no external codecs involved, and header-only so the
+  // kernel never materializes pixels/samples (the 100 TB-safe probe
+  // shape: O(1) bytes inspected per payload). PIXEL/SAMPLE decode remains
+  // the deterministic stub below.
+
+  /** Parsed container header. Dimension semantics are per-container:
+    * image → (width px, height px); audio → (sample_rate Hz, channels).
+    */
+  private[operators] final case class MediaHeader(
+      container: String, dimA: Int, dimB: Int, bitDepth: Int)
+
+  private def beInt(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xFF) << 24) | ((p(i + 1) & 0xFF) << 16) | ((p(i + 2) & 0xFF) << 8) | (p(i + 3) & 0xFF)
+  private def leInt(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8) | ((p(i + 2) & 0xFF) << 16) | ((p(i + 3) & 0xFF) << 24)
+  private def leShort(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+  private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
+    p.length >= i + s.length && s.indices.forall(j => (p(i + j) & 0xFF) == s.charAt(j))
+
+  /** PNG: 8-byte signature, then the IHDR chunk (must be first): length,
+    * "IHDR", width(4 BE), height(4 BE), bit depth, color type.
+    */
+  private[operators] def parsePngHeader(p: Array[Byte]): Option[MediaHeader] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (p.length < 29 || !sig.indices.forall(i => (p(i) & 0xFF) == sig(i))) return None
+    if (!ascii(p, 12, "IHDR")) return None
+    val w = beInt(p, 16); val h = beInt(p, 20)
+    if (w <= 0 || h <= 0) None
+    else Some(MediaHeader("png", w, h, p(24) & 0xFF))
+  }
+
+  /** WAV: "RIFF" + size + "WAVE", then a chunk scan for "fmt " —
+    * audio format, channels(2 LE), sample rate(4 LE), …, bits/sample.
+    * Strict sanity bounds keep text bytes from ever sniffing as audio.
+    */
+  private[operators] def parseWavHeader(p: Array[Byte]): Option[MediaHeader] = {
+    if (p.length < 44 || !ascii(p, 0, "RIFF") || !ascii(p, 8, "WAVE")) return None
+    var i = 12
+    while (i + 8 <= p.length) {
+      val size = leInt(p, i + 4)
+      if (ascii(p, i, "fmt ") && size >= 16 && i + 8 + 16 <= p.length) {
+        val fmt = leShort(p, i + 8)
+        val channels = leShort(p, i + 10)
+        val rate = leInt(p, i + 12)
+        val bits = leShort(p, i + 22)
+        return if ((fmt == 1 || fmt == 3) && channels >= 1 && channels <= 64 &&
+          rate >= 8000 && rate <= 384000 && Set(8, 16, 24, 32, 64)(bits))
+          Some(MediaHeader("wav", rate, channels, bits))
+        else None
+      }
+      if (size < 0) return None
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  private[operators] def sniffHeader(p: Array[Byte]): Option[MediaHeader] =
+    parsePngHeader(p).orElse(parseWavHeader(p))
+
+  /** Decode kernel: container dimensions from a REAL header parse when
+    * the payload is a recognized container (see [[sniffHeader]]);
+    * deterministic fallback dims for raw payloads (the testdata corpus,
+    * whose text stand-ins are never valid containers — so the mm2
+    * oracle's nb%1920 arithmetic holds there). Features = 16-bin byte
+    * histogram (bin = high nibble) normalized to [0,1]; a real PIXEL
+    * decode would replace the histogram loop only. Returns the raw
+    * integer counts too — the digest is computed over them so the
+    * DuckDB oracle can reproduce it without float-bit introspection.
     */
   private def decodeBytes(payload: Array[Byte]): (Int, Int, Array[Int], Array[Float]) = {
-    // ??? <- real codec goes here (libvips/FFmpeg); deterministic fake below
     val counts = new Array[Int](featureDim)
     payload.foreach(b => counts((b & 0xFF) / featureDim) += 1)
     val n = math.max(payload.length, 1).toFloat
-    (payload.length % 1920, payload.length % 1080, counts, counts.map(_ / n))
+    val (w, h) = sniffHeader(payload) match {
+      case Some(mh) => (mh.dimA, mh.dimB)
+      case None     => (payload.length % 1920, payload.length % 1080)
+    }
+    (w, h, counts, counts.map(_ / n))
   }
 
   private val decodedSchema: StructType = StructType(Seq(
@@ -89,8 +162,15 @@ object Multimodal {
     * plus scalar stats — downstream-comparable columns instead of a raw
     * array<float> (which the driver's pandas compare cannot sort on).
     */
-  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
-    val in = payloads(s, dir)
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame =
+    decodeFeaturesOf(payloads(s, dir))
+
+  /** The decode stage over ANY payload frame with (doc_id, payload,
+    * meta) columns — the spec entry for synthetic REAL container
+    * payloads (the documents-table text stand-ins can't round-trip
+    * binary through a string column).
+    */
+  def decodeFeaturesOf(in: DataFrame): DataFrame = {
     val out = in.select(col("doc_id"), col("payload"), col("meta.modality"), col("meta.n_bytes"))
       .mapPartitions { rows =>
         // decoder init happens HERE, once per partition (stub: nothing)

@@ -77,4 +77,70 @@ class MultimodalSpec extends SparkTestBase {
         "exact payload copies must appear as full-containment pairs")
     }
   }
+
+  // === real container headers (r12 verdict #8): payloads written by ======
+  // INDEPENDENT JVM encoders (ImageIO PNG, javax.sound WAV) must yield
+  // their true header fields through the decode stage
+  private def realPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => img.setRGB(x, 0, x * 31))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def realWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    pcm.indices.foreach(i => pcm(i) = (i * 7 % 251).toByte)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("parsePngHeader reads true IHDR dimensions from an ImageIO-encoded PNG") {
+    val mh = Multimodal.parsePngHeader(realPng(640, 360))
+    assert(mh.contains(Multimodal.MediaHeader("png", 640, 360, 8)),
+      s"expected 640x360 8-bit, got $mh")
+    assert(Multimodal.parsePngHeader("just some text bytes".getBytes("UTF-8")).isEmpty)
+    // truncated signature must not parse
+    assert(Multimodal.parsePngHeader(realPng(4, 4).take(20)).isEmpty)
+  }
+
+  test("parseWavHeader reads true fmt-chunk fields from a javax.sound WAV") {
+    val mh = Multimodal.parseWavHeader(realWav(44100, 2, 256))
+    assert(mh.contains(Multimodal.MediaHeader("wav", 44100, 2, 16)),
+      s"expected 44100 Hz stereo 16-bit, got $mh")
+    val mono = Multimodal.parseWavHeader(realWav(16000, 1, 64))
+    assert(mono.contains(Multimodal.MediaHeader("wav", 16000, 1, 16)))
+    // "RIFF"-prefixed text without a valid fmt chunk must not sniff as audio
+    assert(Multimodal.parseWavHeader("RIFFxxxxWAVEnot a chunk stream at all".getBytes).isEmpty)
+  }
+
+  test("decodeFeatures surfaces real header dims for container payloads (Spark path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val png = realPng(320, 200)
+    val wav = realWav(22050, 1, 128)
+    val raw = "plain raw bytes, no container".getBytes("UTF-8")
+    val in = Seq((1L, png, "image"), (2L, wav, "audio"), (3L, raw, "image"))
+      .toDF("doc_id", "payload", "modality")
+      .select(col("doc_id"), col("payload"),
+        struct(col("modality"),
+          lit("application/octet-stream").as("mime"),
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          octet_length(col("payload")).as("n_bytes")).as("meta"))
+    val rows = Multimodal.decodeFeaturesOf(in).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("width") == 320 && rows(1L).getAs[Int]("height") == 200,
+      "PNG payload must carry its true pixel dimensions")
+    assert(rows(2L).getAs[Int]("width") == 22050 && rows(2L).getAs[Int]("height") == 1,
+      "WAV payload must carry (sample_rate, channels)")
+    assert(rows(3L).getAs[Int]("width") == raw.length % 1920 &&
+      rows(3L).getAs[Int]("height") == raw.length % 1080,
+      "raw payloads keep the deterministic fallback dims the mm2 oracle mirrors")
+  }
 }
