@@ -143,6 +143,14 @@ object Bench {
     // median window by rps = the number of record (odd windowCount)
     val byRps = windows.sortBy(_._1)
     val (rps, reqs, elapsed, latMs) = byRps(windowCount / 2)
+    // LIKE-FOR-LIKE figure (r12 verdict #6): the reference's BENCHMARK.md
+    // number is ONE continuous 180 s window; the windows here run
+    // back-to-back, so total requests over total measured time IS the
+    // single-continuous-window rate (no median robustness applied) —
+    // emitted alongside so the baseline comparison is honest
+    val contReqs = windows.map(_._2).sum
+    val contElapsed = windows.map(_._3).sum
+    val contRps = if (contElapsed > 0) contReqs / contElapsed else -1.0
     // nearest-rank percentile, uniformly ceil(p*n)-1 (clamped)
     def pct(p: Double): Double =
       if (latMs.isEmpty) -1.0
@@ -226,6 +234,10 @@ object Bench {
       s""""throughput_rps":$rps,"throughput_terminals":$terminals,""" +
       s""""throughput_requests":$reqs,"throughput_window_sec":$elapsed,""" +
       s""""throughput_windows_rps":$windowsRpsJson,"throughput_window_count":$windowCount,""" +
+      // the single-continuous-window rate over the full measured span —
+      // the BASELINE.md-comparable number (one uninterrupted window)
+      s""""throughput_rps_continuous":$contRps,"throughput_continuous_sec":$contElapsed,""" +
+      s""""throughput_continuous_requests":$contReqs,""" +
       // headline definition: MEDIAN of the three 40 s windows (the
       // reference's BENCHMARK.md number is ONE 180 s window — when
       // comparing, read the per-window array, not just the median)

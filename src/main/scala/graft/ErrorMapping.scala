@@ -35,6 +35,9 @@ object ErrorMapping {
     case _: org.apache.spark.sql.catalyst.parser.ParseException => InvalidArgument
     case e: IllegalArgumentException if msg(e).contains("parameter") => InvalidArgument
     case e if msg(e).contains("transaction is aborted") => FailedPrecondition
+    // write-write conflict at COMMIT (MutableCatalog.TransactionConflictException):
+    // the reference surfaces DuckDB's transaction conflict the same way
+    case e if msg(e).contains("transaction conflict") => FailedPrecondition
     case _ => Internal
   }
 

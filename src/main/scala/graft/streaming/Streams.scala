@@ -220,6 +220,7 @@ object Streams {
     * candidate mass is never generated, the same property dd12 pins.
     */
   final case class AdmissionState(
+      catalog: graft.sources.MutableCatalog,
       corpus: graft.sources.MutableTable,
       hashes: graft.sources.MutableTable,
       bands: graft.sources.MutableTable,
@@ -227,18 +228,31 @@ object Streams {
 
   object AdmissionState {
     import org.apache.spark.sql.types._
+    // catalog-registered table names (prefixed: the catalog registers a
+    // temp view per table, and bare "corpus"/"hashes" would squat on
+    // generic view names in the shared session)
+    private[streaming] val N = Map(
+      "corpus" -> "adm_corpus", "hashes" -> "adm_hashes",
+      "bands" -> "adm_bands", "verdicts" -> "adm_verdicts")
+
+    /** The four state tables live in ONE MutableCatalog so admitBatch
+      * can stage its inserts in a single transaction — the multi-table
+      * atomic commit (durable commit record + roll-forward recovery)
+      * makes a crashed batch all-or-nothing instead of replaying wrong
+      * exact_vs_corpus verdicts against its own half-applied state.
+      */
     def create(spark: SparkSession, root: java.nio.file.Path): AdmissionState = {
-      def mk(name: String, schema: StructType) =
-        graft.sources.MutableTable.create(spark, root.resolve(name).toString, schema)
+      val cat = new graft.sources.MutableCatalog(spark, root)
       AdmissionState(
-        corpus = mk("corpus", StructType(Seq(
+        catalog = cat,
+        corpus = cat.create(N("corpus"), StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType),
           StructField("lang", StringType), StructField("source", StringType)))),
-        hashes = mk("hashes", StructType(Seq(StructField("h", StringType)))),
-        bands = mk("bands", StructType(Seq(
+        hashes = cat.create(N("hashes"), StructType(Seq(StructField("h", StringType)))),
+        bands = cat.create(N("bands"), StructType(Seq(
           StructField("doc_id", LongType), StructField("band", IntegerType),
           StructField("band_key", StringType)))),
-        verdicts = mk("verdicts", StructType(Seq(
+        verdicts = cat.create(N("verdicts"), StructType(Seq(
           StructField("batch_id", LongType), StructField("doc_id", LongType),
           StructField("admit", BooleanType), StructField("drop_reason", StringType)))))
     }
@@ -256,11 +270,13 @@ object Streams {
     *     and band keys extend the probe state, and every batch doc gets
     *     a verdict row with its first failing reason.
     * Replay safety: the checkpointed batch id plus a guard on already-
-    * verdicted batch ids makes a fully-processed batch's replay a no-op
-    * (verdicts are written LAST). A crash BETWEEN the state-table writes
-    * can replay a partially-applied batch — the same single-writer
-    * leniency the micro-lake documents; a deployment needing crash
-    * atomicity stages the four inserts in one CatalogTxn.
+    * verdicted batch ids makes a fully-processed batch's replay a no-op,
+    * and the four state inserts are staged in ONE CatalogTxn whose
+    * multi-table commit is all-or-nothing (durable commit record;
+    * recoverPendingCommits rolls a mid-commit crash forward) — a crash
+    * anywhere in the batch either applies the whole admission round or
+    * none of it, so replay never re-evaluates a batch against its own
+    * half-applied documents.
     */
   def incrementalAdmission(docs: DataFrame, state: AdmissionState,
       checkpointDir: String): StreamingQuery =
@@ -329,16 +345,27 @@ object Streams {
               .otherwise(lit(null)))
           .cache()
         try {
-          val admitted = verdicts.filter(col("admit"))
-          if (!admitted.isEmpty) {
-            state.corpus.insert(admitted.select(col("doc_id"), col("text"),
-              col("lang"), col("source")))
-            state.hashes.insert(admitted.select(col("h")).distinct())
-            state.bands.insert(bandsB.join(
-              admitted.select(col("doc_id")), "doc_id"))
+          // all four state writes in ONE transaction: the multi-table
+          // commit record makes the batch all-or-nothing under crashes
+          val N = AdmissionState.N
+          val txn = state.catalog.beginTxn()
+          try {
+            val admitted = verdicts.filter(col("admit"))
+            if (!admitted.isEmpty) {
+              state.catalog.insertBatch(N("corpus"), admitted.select(col("doc_id"),
+                col("text"), col("lang"), col("source")), txn = Some(txn))
+              state.catalog.insertBatch(N("hashes"),
+                admitted.select(col("h")).distinct(), txn = Some(txn))
+              state.catalog.insertBatch(N("bands"), bandsB.join(
+                admitted.select(col("doc_id")), "doc_id"), txn = Some(txn))
+            }
+            state.catalog.insertBatch(N("verdicts"),
+              verdicts.select(lit(batchId).as("batch_id"),
+                col("doc_id"), col("admit"), col("drop_reason")), txn = Some(txn))
+            state.catalog.commitTxn(txn)
+          } catch {
+            case e: Throwable => state.catalog.rollbackTxn(txn); throw e
           }
-          state.verdicts.insert(verdicts.select(lit(batchId).as("batch_id"),
-            col("doc_id"), col("admit"), col("drop_reason")))
         } finally verdicts.unpersist()
       } finally bandsB.unpersist()
     } finally b.unpersist()

@@ -41,6 +41,18 @@ class ErrorMappingSpec extends SparkTestBase {
     assert(classify(new RuntimeException("boom")) == Internal)
   }
 
+  test("commit-time write-write conflict maps to FailedPrecondition") {
+    val cat = sources.MutableCatalog(spark)
+    import org.apache.spark.sql.types._
+    cat.create("em_confl", StructType(Seq(StructField("id", LongType))))
+    val txn = cat.beginTxn()
+    cat.route("INSERT INTO em_confl VALUES (1)", Some(txn))
+    cat.route("INSERT INTO em_confl VALUES (2)") // autocommit write drifts the base
+    val t = failureOf(cat.commitTxn(txn))
+    assert(classify(t) == FailedPrecondition, s"got ${classify(t)} for $t")
+    cat.drop("em_confl")
+  }
+
   test("interval parameters bind as interval literals (parameter_types.rs:172-229)") {
     assert(SqlParams.literal(java.time.Duration.ofMinutes(90)) == "INTERVAL '5400' SECOND")
     assert(SqlParams.literal(java.time.Period.ofYears(2)) == "INTERVAL '24' MONTH")

@@ -99,6 +99,35 @@ class StreamingDedupSpec extends SparkTestBase {
       s"one shared band each with two different corpus docs must admit: ${v.mkString}")
   }
 
+  test("admitBatch: a crash inside the state writes applies NOTHING; replay is clean") {
+    // r12 ADVICE: the old insert sequence could crash after corpus/
+    // hashes/bands landed but before verdicts, so the replay re-judged
+    // the batch against its own documents and recorded wrong
+    // exact_vs_corpus rejections. The four inserts now ride one
+    // CatalogTxn: abort the commit before it becomes durable and the
+    // whole round vanishes.
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_crash")
+    val state = AdmissionState.create(spark, root)
+    val text = (1 to 40).map(i => s"cra$i").mkString(" ")
+    val batch = Seq(
+      AdmitDoc(10L, text, "en", "c"),
+      AdmitDoc(11L, (50 to 90).map(i => s"oth$i").mkString(" "), "en", "c")).toDF()
+    state.catalog.failBeforeCommitRecord = () => throw new RuntimeException("injected")
+    try intercept[RuntimeException](Streams.admitBatch(batch, 3L, state))
+    finally state.catalog.failBeforeCommitRecord = () => ()
+    assert(state.corpus.df.count() == 0 && state.hashes.df.count() == 0 &&
+      state.bands.df.count() == 0 && state.verdicts.df.count() == 0,
+      "a crashed batch must leave NO partial state")
+    // the replay (same batch id) runs as if for the first time: both
+    // docs admit — no phantom exact_vs_corpus self-rejections
+    Streams.admitBatch(batch, 3L, state)
+    val v = state.verdicts.df.collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(v == Map(10L -> true, 11L -> true), s"replay must admit both, got $v")
+    assert(state.corpus.df.count() == 2)
+  }
+
   test("streamingDedup drops duplicate keys within the watermark horizon") {
     val sparkS = spark
     import sparkS.implicits._
