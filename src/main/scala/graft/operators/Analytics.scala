@@ -1896,6 +1896,77 @@ object Analytics {
        |FROM cells ORDER BY lang, pred_lang""".stripMargin
   }
 
+  // === iaa1: inter-annotator agreement (Cohen's kappa) =====================
+  /** Cohen's kappa between the stored `lang` label (annotator A) and
+    * txt2's n-gram prediction (annotator B) — the annotation-QA readout
+    * every labeling pipeline runs before trusting a label column.
+    * Exactness: kappa = (n·agree − Σ_k nA_k·nB_k) / (n² − Σ_k nA_k·nB_k)
+    * is a ratio of two EXACT integers (marginal products in
+    * DECIMAL(38,0) — n² at 100 TB overflows BIGINT), so both engines
+    * divide the same two numbers once. Shape: one corpus scan (the
+    * langId plan) into a class-bounded cell table; marginals and the
+    * chance term are label-cardinality-sized aggregates.
+    */
+  def labelAgreement(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextAnalysis.docLangId(s, dir).select(col("doc_id"), col("pred_lang"))
+    val truth = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val cells = pred.join(truth, "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    // chance agreement: Σ over LABELS of (truth marginal × prediction
+    // marginal); the inner join drops labels missing from either side,
+    // whose product term is 0 anyway
+    val mA = cells.groupBy(col("lang").as("label")).agg(sum(col("n")).as("na"))
+    val mB = cells.groupBy(col("pred_lang").as("label")).agg(sum(col("n")).as("nb"))
+    val chance = mA.join(mB, "label")
+      .agg(coalesce(sum(col("na").cast(Exact.D380) * col("nb").cast(Exact.D380)),
+        lit(0L).cast(Exact.D380)).as("pe_num"))
+    val agree = cells.agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L)).as("n_agree"))
+    agree.crossJoin(chance)
+      .select(
+        col("n_docs").cast(LongType).as("n_docs"),
+        col("n_agree").cast(LongType).as("n_agree"),
+        (col("n_agree").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("po"),
+        (col("pe_num").cast(DoubleType) /
+          (col("n_docs").cast(Exact.D380) * col("n_docs").cast(Exact.D380))
+            .cast(DoubleType)).as("pe"),
+        ((col("n_docs").cast(Exact.D380) * col("n_agree").cast(Exact.D380) - col("pe_num"))
+          .cast(DoubleType) /
+          (col("n_docs").cast(Exact.D380) * col("n_docs").cast(Exact.D380) - col("pe_num"))
+            .cast(DoubleType)).as("kappa"))
+  }
+
+  val labelAgreementSql: String = {
+    val inner = TextAnalysis.docLangIdSql
+    s"""WITH pred AS (SELECT doc_id, pred_lang FROM ($inner) p),
+       |cells AS (
+       |  SELECT d.lang, pred.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pred JOIN documents d USING (doc_id)
+       |  GROUP BY 1, 2),
+       |ma AS (SELECT lang AS label, SUM(n) AS na FROM cells GROUP BY 1),
+       |mb AS (SELECT pred_lang AS label, SUM(n) AS nb FROM cells GROUP BY 1),
+       |chance AS (
+       |  SELECT COALESCE(SUM(CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))),
+       |                  CAST(0 AS DECIMAL(38,0))) AS pe_num
+       |  FROM ma JOIN mb USING (label)),
+       |agree AS (
+       |  SELECT SUM(n) AS n_docs,
+       |    SUM(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS n_agree
+       |  FROM cells)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_agree AS BIGINT) AS n_agree,
+       |  CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+       |  CAST(CAST(pe_num AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(CAST(n_docs AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0))
+       |        AS VARCHAR) AS DOUBLE) AS pe,
+       |  CAST(CAST(CAST(n_docs AS DECIMAL(38,0)) * CAST(n_agree AS DECIMAL(38,0)) - pe_num
+       |      AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(CAST(n_docs AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0)) - pe_num
+       |        AS VARCHAR) AS DOUBLE) AS kappa
+       |FROM agree, chance""".stripMargin
+  }
+
   // === ts4: CUSUM changepoint over daily revenue ===========================
   /** The mean-shift detector: the day with the maximum |CUSUM| of daily
     * revenue. The statistic is kept exact by scaling: n·S_t = n·cum_t −
@@ -2561,6 +2632,7 @@ object Analytics {
     "ts5_revenue_ewma" -> revenueEwma _,
     "imp1_ht_estimate" -> htEstimate _,
     "conf1_langid_confusion" -> langIdConfusion _,
+    "iaa1_label_agreement" -> labelAgreement _,
     "ts4_cusum_changepoint" -> cusumChangepoint _,
     "auc1_classifier_auc" -> classifierAuc _,
     "map1_retrieval_ap" -> ((s: SparkSession, d: String) => labelRetrievalAp(s, d)),
@@ -2605,6 +2677,7 @@ object Analytics {
     "ts5_revenue_ewma" -> revenueEwmaSql,
     "imp1_ht_estimate" -> htEstimateSql,
     "conf1_langid_confusion" -> langIdConfusionSql,
+    "iaa1_label_agreement" -> labelAgreementSql,
     "ts4_cusum_changepoint" -> cusumChangepointSql,
     "auc1_classifier_auc" -> classifierAucSql,
     "map1_retrieval_ap" -> labelRetrievalApSql(),

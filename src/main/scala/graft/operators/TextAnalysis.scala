@@ -440,6 +440,46 @@ object TextAnalysis {
         |  FROM documents""".stripMargin,
       budget)
 
+  // === pack2: packing-waste audit ==========================================
+  /** The fill/waste readout over pack1's assignment — what a pipeline
+    * monitors before paying for a training run: per language shard, how
+    * many sequences the packing produced, how full they are, and how
+    * many tokens overflow past the budget (the start-offset rule lets a
+    * long document spill its bin) or remain as padding. Rides pack1's
+    * one-window pass; everything after is bin-cardinality-sized.
+    * fill_rate divides two exact integers once, so it is bit-identical
+    * on both engines (and may exceed 1 where overflow dominates — an
+    * audit number, not a probability).
+    */
+  def packingWaste(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val b = budget.toLong
+    val bins = sequencePacking(s, dir, budget)
+      .groupBy(col("lang"), col("seq_bin"))
+      .agg(sum(col("n_tokens")).cast(LongType).as("bin_tokens"))
+    bins.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("bin_tokens")).cast(LongType).as("total_tokens"),
+        sum(greatest(lit(0L), col("bin_tokens") - b)).cast(LongType).as("overflow_tokens"),
+        sum(greatest(lit(0L), lit(b) - col("bin_tokens"))).cast(LongType).as("pad_tokens"))
+      .select(col("lang"), col("n_bins"), col("total_tokens"),
+        col("overflow_tokens"), col("pad_tokens"),
+        (col("total_tokens").cast(DoubleType) /
+          (col("n_bins") * b).cast(DoubleType)).as("fill_rate"))
+      .orderedSmall(col("lang"))
+  }
+
+  def packingWasteSql(budget: Int = 512): String =
+    s"""WITH p AS (SELECT * FROM (${sequencePackingSql(budget)}) q),
+       |bins AS (
+       |  SELECT lang, seq_bin, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+       |  FROM p GROUP BY 1, 2)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       |  CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(GREATEST(0, bin_tokens - $budget)) AS BIGINT) AS overflow_tokens,
+       |  CAST(SUM(GREATEST(0, $budget - bin_tokens)) AS BIGINT) AS pad_tokens,
+       |  CAST(SUM(bin_tokens) AS DOUBLE) / CAST(COUNT(*) * $budget AS DOUBLE) AS fill_rate
+       |FROM bins GROUP BY lang ORDER BY lang""".stripMargin
+
   // === benchmark contamination =============================================
   /** cont1: eval-set decontamination sweep — for every document, the
     * fraction of its distinct 3-gram shingles that also appear in the
@@ -2356,6 +2396,62 @@ object TextAnalysis {
        |    AS pos
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  // === shuf2: shuffle-interleave quality audit =============================
+  /** How well shuf1's deterministic global shuffle interleaves sources:
+    * per shard, the rate of ADJACENT positions drawn from the same
+    * source, against the expected same-source collision rate of a
+    * uniform random order (Σ share_s² over the global source mix). A
+    * ratio near 1 is what a training run wants; >> 1 means source runs
+    * survived the shuffle and gradient batches are correlated. One lag
+    * window per shard over ids only (text never moves); the source mix
+    * is a broadcast one-row aggregate.
+    */
+  def interleaveAudit(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val sh = globalShuffle(s, dir, nShards)
+    val src = Engine.table(s, dir, "documents").select(col("doc_id"), col("source"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("pos"))
+    val adj = sh.join(src, "doc_id")
+      .withColumn("prev_source", lag(col("source"), 1).over(w))
+    val per = adj.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("prev_source") === col("source"), 1L).otherwise(0L)).as("n_same_adj"))
+    val mix = src.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("sum_c2"), sum(col("c")).as("n_total"))
+    per.crossJoin(broadcast(mix))
+      .select(col("shard"), col("n_docs"), col("n_same_adj"),
+        when(col("n_docs") > 1L,
+          col("n_same_adj").cast(DoubleType) / (col("n_docs") - 1L).cast(DoubleType))
+          .as("same_rate"),
+        (col("sum_c2").cast(DoubleType) /
+          (col("n_total") * col("n_total")).cast(DoubleType)).as("expected_rate"))
+      .withColumn("ratio", col("same_rate") / col("expected_rate"))
+      .orderedSmall(col("shard"))
+  }
+
+  def interleaveAuditSql(nShards: Int = 8): String =
+    s"""WITH sh AS (SELECT * FROM (${globalShuffleSql(nShards)}) q),
+       |adj AS (
+       |  SELECT sh.shard, d.source,
+       |    LAG(d.source) OVER (PARTITION BY sh.shard ORDER BY sh.pos) AS prev_source
+       |  FROM sh JOIN documents d USING (doc_id)),
+       |per AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN prev_source = source THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_same_adj
+       |  FROM adj GROUP BY 1),
+       |mix AS (
+       |  SELECT SUM(c * c) AS sum_c2, SUM(c) AS n_total
+       |  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY source) m)
+       |SELECT shard, n_docs, n_same_adj,
+       |  CASE WHEN n_docs > 1
+       |    THEN CAST(n_same_adj AS DOUBLE) / CAST(n_docs - 1 AS DOUBLE) END AS same_rate,
+       |  CAST(sum_c2 AS DOUBLE) / CAST(n_total * n_total AS DOUBLE) AS expected_rate,
+       |  (CASE WHEN n_docs > 1
+       |    THEN CAST(n_same_adj AS DOUBLE) / CAST(n_docs - 1 AS DOUBLE) END)
+       |   / (CAST(sum_c2 AS DOUBLE) / CAST(n_total * n_total AS DOUBLE)) AS ratio
+       |FROM per, mix ORDER BY shard""".stripMargin
+
   // === interpolated trigram LM ============================================
   /** lm2: trigram conditional probabilities with Jelinek-Mercer
     * interpolation — for every observed (w1, w2) context its top-k
@@ -2578,6 +2674,7 @@ object TextAnalysis {
     "lm2_trigram_lm" -> ((s: SparkSession, d: String) => trigramLm(s, d)),
     "gram2_char_trigrams" -> ((s: SparkSession, d: String) => charTrigrams(s, d)),
     "shuf1_global_shuffle" -> ((s: SparkSession, d: String) => globalShuffle(s, d)),
+    "shuf2_interleave_audit" -> ((s: SparkSession, d: String) => interleaveAudit(s, d)),
     "txt15_readability" -> readability _,
     "tok2_fertility" -> bpeFertility _,
     "js1_source_overlap" -> sourceOverlap _,
@@ -2612,6 +2709,7 @@ object TextAnalysis {
     "txt10_vocab_richness" -> docVocabRichness _,
     "smp2_language_cap" -> ((s: SparkSession, d: String) => languageCap(s, d)),
     "pack1_sequence_packing" -> ((s: SparkSession, d: String) => sequencePacking(s, d)),
+    "pack2_packing_waste" -> ((s: SparkSession, d: String) => packingWaste(s, d)),
     "cont1_benchmark_overlap" -> benchmarkContamination _,
     "cont2_benchmark_leakage" -> benchmarkLeakage _,
     "smp1_stratified_sample" -> stratifiedSample _,
@@ -2630,6 +2728,7 @@ object TextAnalysis {
     "lm2_trigram_lm" -> trigramLmSql(),
     "gram2_char_trigrams" -> charTrigramsSql(),
     "shuf1_global_shuffle" -> globalShuffleSql(),
+    "shuf2_interleave_audit" -> interleaveAuditSql(),
     "txt15_readability" -> readabilitySql,
     "tok2_fertility" -> bpeFertilitySql,
     "js1_source_overlap" -> sourceOverlapSql,
@@ -2664,6 +2763,7 @@ object TextAnalysis {
     "txt10_vocab_richness" -> docVocabRichnessSql,
     "smp2_language_cap" -> languageCapSql(),
     "pack1_sequence_packing" -> sequencePackingSql(),
+    "pack2_packing_waste" -> packingWasteSql(),
     "cont1_benchmark_overlap" -> benchmarkContaminationSql,
     "cont2_benchmark_leakage" -> benchmarkLeakageSql,
     "smp1_stratified_sample" -> stratifiedSampleSql,

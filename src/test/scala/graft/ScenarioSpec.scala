@@ -267,6 +267,31 @@ class ScenarioSpec extends SparkTestBase {
     cat.drop("vac_t")
   }
 
+  // === concurrent statements in ONE open txn (r12 ADVICE: the Flight =====
+  // producer does not serialize per-session requests; the read-base/
+  // stage/record sequence must hold the txn lock or one staged write is
+  // silently overwritten at COMMIT)
+  test("concurrent DML in one open transaction loses no staged write") {
+    val cat = MutableCatalog(spark)
+    cat.create("conc_t", usersSchema, primaryKey = Some("id"))
+    val txn = cat.beginTxn()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            cat.route(s"INSERT INTO conc_t VALUES ($i, 'w$i', $i.0)", Some(txn)).get
+        })
+      }
+      futures.foreach(f => assert(f.get(120, java.util.concurrent.TimeUnit.SECONDS) == 1L))
+    } finally pool.shutdown()
+    cat.commitTxn(txn)
+    val ids = cat.get("conc_t").get.df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 8L),
+      s"all 8 concurrently staged inserts must survive the commit, got $ids")
+    cat.drop("conc_t")
+  }
+
   // === registry eviction rolls back open transactions (r12 ADVICE: =======
   // tables created inside an uncommitted txn leaked into the shared
   // catalog forever)

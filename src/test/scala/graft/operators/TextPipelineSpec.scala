@@ -30,6 +30,78 @@ class TextPipelineSpec extends SparkTestBase {
     packed.unpersist()
   }
 
+  test("pack2: waste audit of a hand-packed shard (600+500 tokens into 512-budget bins)") {
+    // One lang 'xx', token counts 300, 300, 500 in doc_id order:
+    // cum starts 0/300/600 -> bins 0/0/1. bin0 holds 600 tokens
+    // (overflow 88), bin1 holds 500 (pad 12). n_bins 2, total 1100,
+    // fill_rate 1100/1024.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pack2fix").toString
+    def textOf(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    Seq((1L, textOf(300), "xx", "s1"), (2L, textOf(300), "xx", "s1"),
+      (3L, textOf(500), "xx", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.packingWaste(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_bins") == 2L)
+    assert(row.getAs[Long]("total_tokens") == 1100L)
+    assert(row.getAs[Long]("overflow_tokens") == 88L,
+      s"bin0 carries 600 of 512 -> 88 overflow, got ${row.getAs[Long]("overflow_tokens")}")
+    assert(row.getAs[Long]("pad_tokens") == 12L,
+      s"bin1 carries 500 of 512 -> 12 pad, got ${row.getAs[Long]("pad_tokens")}")
+    assert(row.getAs[Double]("fill_rate") == 1100.0 / 1024.0)
+  }
+
+  test("shuf2: interleave audit rates are exact on a two-source corpus") {
+    // The audit's arithmetic is pinned against a BRUTE-FORCE recompute
+    // of the same shuffle order (shuf1 is already spec'd as a
+    // permutation): per shard, count adjacent same-source pairs by
+    // walking the positions in order.
+    val audit = TextAnalysis.interleaveAudit(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("shard") -> r).toMap
+    val order = TextAnalysis.globalShuffle(spark, sfDir)
+      .join(graft.Engine.table(spark, sfDir, "documents").select(col("doc_id"), col("source")), "doc_id")
+      .select(col("shard"), col("pos"), col("source")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    val bySh = order.groupBy(_._1)
+    assert(audit.keySet == bySh.keySet)
+    val total = order.length
+    val sumC2 = order.groupBy(_._3).values.map(g => g.size.toLong * g.size).sum
+    for ((sh, rows) <- bySh) {
+      val seq = rows.sortBy(_._2).map(_._3)
+      val same = seq.zip(seq.tail).count { case (a, b) => a == b }
+      val r = audit(sh)
+      assert(r.getAs[Long]("n_docs") == seq.length.toLong)
+      assert(r.getAs[Long]("n_same_adj") == same.toLong,
+        s"shard $sh: audit says ${r.getAs[Long]("n_same_adj")}, brute force $same")
+      assert(r.getAs[Double]("same_rate") == same.toDouble / (seq.length - 1))
+      assert(r.getAs[Double]("expected_rate") == sumC2.toDouble / (total.toLong * total))
+    }
+  }
+
+  test("iaa1: Cohen's kappa of a hand-labeled 4-doc corpus is exactly 0.2") {
+    // truth en/en/de/de; predictions en/unknown/de/en ->
+    // po = 2/4; marginals A: en 2, de 2; B: en 2, de 1, unknown 1;
+    // pe_num = 2*2 + 2*1 = 6; kappa = (4*2-6)/(16-6) = 0.2.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("iaa1fix").toString
+    Seq(
+      (1L, "the and of", "en", "s1"),
+      (2L, "zzz qqq www", "en", "s1"),
+      (3L, "der und ist", "de", "s1"),
+      (4L, "the to is", "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Analytics.labelAgreement(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4L && r.getAs[Long]("n_agree") == 2L)
+    assert(r.getAs[Double]("po") == 0.5)
+    assert(r.getAs[Double]("pe") == 0.375)
+    assert(r.getAs[Double]("kappa") == 0.2,
+      s"kappa must be exactly (8-6)/(16-6) = 0.2, got ${r.getAs[Double]("kappa")}")
+  }
+
   test("smp1: per-language keep rates land near their targets and the keep set is stable") {
     val docs = graft.Engine.table(spark, sfDir, "documents")
     val kept = TextAnalysis.stratifiedSample(spark, sfDir).cache()
