@@ -1896,6 +1896,56 @@ object Analytics {
        |FROM cells ORDER BY lang, pred_lang""".stripMargin
   }
 
+  // === priv1: k-anonymity audit ============================================
+  val kAnonThreshold = 5L
+
+  /** Data-governance readout before a dataset release: group the
+    * customer table by its quasi-identifier tuple (nation, market
+    * segment, account-balance thousand-bucket — the attributes a
+    * linkage attack joins on) and report the dataset's k-anonymity
+    * (the smallest group) plus how many groups/rows fall below k=5 and
+    * would need suppression or coarsening. Complements red1's direct-
+    * identifier PII scan. One group-by over exact integers; the share
+    * is a single division. The QI group count is attribute-domain-
+    * bounded, so the aggregate output is small at any corpus scale.
+    */
+  def kAnonymityAudit(s: SparkSession, dir: String): DataFrame = {
+    val k = kAnonThreshold
+    val groups = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast(LongType).as("bal_k"))
+      .agg(count(lit(1)).as("g"))
+    groups.agg(
+      sum(col("g")).cast(LongType).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("g")).cast(LongType).as("k_anonymity"),
+      sum(when(col("g") < k, 1L).otherwise(0L)).as("groups_below_k"),
+      sum(when(col("g") < k, col("g")).otherwise(0L)).cast(LongType).as("rows_below_k"))
+      .select(col("n_rows"), col("n_groups"), col("k_anonymity"),
+        col("groups_below_k"), col("rows_below_k"),
+        (col("rows_below_k").cast(DoubleType) / col("n_rows").cast(DoubleType))
+          .as("reident_risk_share"))
+  }
+
+  val kAnonymityAuditSql: String = {
+    val k = kAnonThreshold
+    s"""WITH g AS (
+       |  SELECT n_name, c_mktsegment,
+       |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+       |    COUNT(*) AS g
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(SUM(g) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(MIN(g) AS BIGINT) AS k_anonymity,
+       |  CAST(SUM(CASE WHEN g < $k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+       |  CAST(SUM(CASE WHEN g < $k THEN g ELSE 0 END) AS BIGINT) AS rows_below_k,
+       |  CAST(SUM(CASE WHEN g < $k THEN g ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(g) AS DOUBLE) AS reident_risk_share
+       |FROM g""".stripMargin
+  }
+
   // === iaa1: inter-annotator agreement (Cohen's kappa) =====================
   /** Cohen's kappa between the stored `lang` label (annotator A) and
     * txt2's n-gram prediction (annotator B) — the annotation-QA readout
@@ -2633,6 +2683,7 @@ object Analytics {
     "imp1_ht_estimate" -> htEstimate _,
     "conf1_langid_confusion" -> langIdConfusion _,
     "iaa1_label_agreement" -> labelAgreement _,
+    "priv1_k_anonymity" -> kAnonymityAudit _,
     "ts4_cusum_changepoint" -> cusumChangepoint _,
     "auc1_classifier_auc" -> classifierAuc _,
     "map1_retrieval_ap" -> ((s: SparkSession, d: String) => labelRetrievalAp(s, d)),
@@ -2678,6 +2729,7 @@ object Analytics {
     "imp1_ht_estimate" -> htEstimateSql,
     "conf1_langid_confusion" -> langIdConfusionSql,
     "iaa1_label_agreement" -> labelAgreementSql,
+    "priv1_k_anonymity" -> kAnonymityAuditSql,
     "ts4_cusum_changepoint" -> cusumChangepointSql,
     "auc1_classifier_auc" -> classifierAucSql,
     "map1_retrieval_ap" -> labelRetrievalApSql(),

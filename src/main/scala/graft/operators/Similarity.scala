@@ -620,6 +620,67 @@ object Similarity {
        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  // === emb2: embedding isotropy audit ======================================
+  /** Representation-collapse check over the embedding column: the ratio
+    * of the mean vector's squared norm to the mean squared vector norm
+    * (≈0 for an isotropic cloud, →1 when embeddings collapse toward a
+    * shared direction — the anisotropy audit run before trusting cosine
+    * retrieval). ONE exploded scan: per-dimension exact micros sums S_d
+    * and Σ v² accumulate as map-combinable aggregates into a
+    * 64-row table; every emitted double is a single division of exact
+    * 128-bit integers, so both engines round identically. At 100 TB
+    * the shuffle carries 64 rows of partial sums per partition —
+    * nothing else moves.
+    */
+  def isotropyAudit(s: SparkSession, dir: String): DataFrame = {
+    val exploded = t(s, dir, "embeddings")
+      .select(posexplode(transform(vecD("embedding"), x => Exact.micros(x))).as(Seq("d", "m")))
+    val perDim = exploded.groupBy(col("d"))
+      .agg(sum(col("m").cast(Exact.D380)).as("sd"),
+        sum(col("m").cast(Exact.D380) * col("m").cast(Exact.D380)).as("sq"),
+        count(lit(1)).as("n"))
+    perDim.agg(
+      max(col("n")).as("n_vectors"),
+      count(lit(1)).as("dim"),
+      sum(col("sd") * col("sd")).as("sum_sd2"),
+      sum(col("sq")).as("total_sq"))
+      .select(
+        col("n_vectors"), col("dim").cast(IntegerType).as("dim"),
+        (col("total_sq").cast(DoubleType) / col("n_vectors").cast(DoubleType) / 1.0e12)
+          .as("mean_norm2"),
+        (col("sum_sd2").cast(DoubleType) /
+          (col("n_vectors").cast(DoubleType) * col("n_vectors").cast(DoubleType)) / 1.0e12)
+          .as("center_norm2"),
+        (col("sum_sd2").cast(DoubleType) /
+          (col("n_vectors").cast(DoubleType) * col("total_sq").cast(DoubleType)))
+          .as("isotropy"))
+  }
+
+  val isotropyAuditSql: String =
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding::DOUBLE[], x -> ${Exact.sqlMicros("x")}) AS vm
+       |  FROM embeddings),
+       |byd AS (
+       |  SELECT g.d, e.vm[g.d] AS m
+       |  FROM e, (SELECT UNNEST(generate_series(1, $maxDim)) AS d) g),
+       |per AS (
+       |  SELECT d, SUM(m) AS sd, SUM(m * m) AS sq, COUNT(*) AS n
+       |  FROM byd GROUP BY 1),
+       |tot AS (
+       |  SELECT MAX(n) AS n_vectors, COUNT(*) AS dim,
+       |    SUM(sd * sd) AS sum_sd2, SUM(sq) AS total_sq
+       |  FROM per)
+       |SELECT CAST(n_vectors AS BIGINT) AS n_vectors, CAST(dim AS INTEGER) AS dim,
+       |  CAST(CAST(total_sq AS VARCHAR) AS DOUBLE) / CAST(n_vectors AS DOUBLE) / 1.0e12
+       |    AS mean_norm2,
+       |  CAST(CAST(sum_sd2 AS VARCHAR) AS DOUBLE)
+       |    / (CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE)) / 1.0e12
+       |    AS center_norm2,
+       |  CAST(CAST(sum_sd2 AS VARCHAR) AS DOUBLE)
+       |    / (CAST(n_vectors AS DOUBLE) * CAST(CAST(total_sq AS VARCHAR) AS DOUBLE))
+       |    AS isotropy
+       |FROM tot""".stripMargin
+
   // === int8 scalar quantization ===========================================
   /** sim5: per-vector min/max int8 quantization — the standard vector
     * compression step before an ANN index ships to serving (4x smaller
@@ -1756,7 +1817,8 @@ object Similarity {
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "ivf2_posting_balance" -> ivfPostingBalance _,
     "pq1_product_quantization" -> pqEncode _,
-    "sim10_truncation_audit" -> ((s: SparkSession, d: String) => truncationAudit(s, d)))
+    "sim10_truncation_audit" -> ((s: SparkSession, d: String) => truncationAudit(s, d)),
+    "emb2_isotropy_audit" -> isotropyAudit _)
 
   val oracles: Map[String, String] = Map(
     "tri1_knn_triangles" -> knnTrianglesSql(),
@@ -1784,5 +1846,6 @@ object Similarity {
     "sim4_ann_ivf_topk" -> ivfTopKSql(),
     "ivf2_posting_balance" -> ivfPostingBalanceSql,
     "pq1_product_quantization" -> pqEncodeSql,
-    "sim10_truncation_audit" -> truncationAuditSql())
+    "sim10_truncation_audit" -> truncationAuditSql(),
+    "emb2_isotropy_audit" -> isotropyAuditSql)
 }

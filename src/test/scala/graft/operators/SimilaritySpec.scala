@@ -217,6 +217,31 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("emb2: isotropy is exactly 0 for an antipodal pair and exactly 1 for a collapsed pair") {
+    import spark.implicits._
+    val dim = Similarity.maxDim
+    def write(dir: String, vs: Seq[Array[Float]]): Unit =
+      vs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    // antipodal: +1^64 and -1^64 -> mean vector 0 -> center_norm2 0,
+    // isotropy 0; mean_norm2 = 64 exactly
+    val d1 = java.nio.file.Files.createTempDirectory("emb2a").toString
+    write(d1, Seq(Array.fill(dim)(1f), Array.fill(dim)(-1f)))
+    val a = Similarity.isotropyAudit(spark, d1).collect()(0)
+    assert(a.getAs[Long]("n_vectors") == 2L && a.getAs[Int]("dim") == dim)
+    assert(a.getAs[Double]("mean_norm2") == dim.toDouble)
+    assert(a.getAs[Double]("center_norm2") == 0.0)
+    assert(a.getAs[Double]("isotropy") == 0.0)
+    // collapsed: two identical vectors -> mean IS the vector -> isotropy 1
+    val d2 = java.nio.file.Files.createTempDirectory("emb2b").toString
+    write(d2, Seq(Array.fill(dim)(1f), Array.fill(dim)(1f)))
+    val b = Similarity.isotropyAudit(spark, d2).collect()(0)
+    assert(b.getAs[Double]("isotropy") == 1.0,
+      s"identical vectors must read isotropy 1, got ${b.getAs[Double]("isotropy")}")
+    assert(b.getAs[Double]("center_norm2") == dim.toDouble)
+  }
+
   test("kcore1: a hand 4-clique with a pendant chain peels to exactly the clique") {
     import spark.implicits._
     // clique {1,2,3,4} (degree 3 each) + pendant chain 4-5-6: peeling

@@ -146,6 +146,25 @@ class StatFixtureSpec extends SparkTestBase {
     assert(rows("BBB").getAs[Long]("n_alloc") == 120L)
   }
 
+  test("priv1: k-anonymity of a hand-built table is 2 with one violating group") {
+    // QI = (nation, segment, balance-thousand-bucket): 6 customers in
+    // (AAA, S1, bucket 0) and 2 in (AAA, S2, bucket 0) -> k = 2, one
+    // group below 5 carrying 2 of 8 rows
+    import spark.implicits._
+    val dir = freshDir()
+    val rows = (1L to 6L).map(i => (i, 1, 100.0 * i, "S1")) ++
+      Seq((7L, 1, 10.0, "S2"), (8L, 1, 20.0, "S2"))
+    rows.toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1, "AAA")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val r = Analytics.kAnonymityAudit(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 8L && r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("k_anonymity") == 2L)
+    assert(r.getAs[Long]("groups_below_k") == 1L && r.getAs[Long]("rows_below_k") == 2L)
+    assert(r.getAs[Double]("reident_risk_share") == 0.25)
+  }
+
   test("smp4: zero-variance corpus fails loudly instead of NaN-degrading to 0 allocations") {
     // every stratum is a constant balance -> N*S2 - S1^2 = 0 in all
     // strata -> total_w = 0; the old code divided through and the NaN
