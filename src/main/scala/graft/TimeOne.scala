@@ -13,6 +13,8 @@ object TimeOne {
     val name = args(0)
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(4)
     val mode = args.drop(2).headOption.getOrElse("rebuild")
+    require(Set("rebuild", "reanalyzed", "reoptimized")(mode),
+      s"unknown mode '$mode' (rebuild | reanalyzed | reoptimized)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.newSession("graft-timeone", Engine.defaultCores)
     spark.sparkContext.setLogLevel("ERROR")

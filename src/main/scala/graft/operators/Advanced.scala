@@ -138,17 +138,27 @@ object Advanced {
       .filter(col("unit_price") === col("min_price"))
     val su = t(s, dir, "supplier")
     val n = broadcast(t(s, dir, "nation"))
-    best
+    q2Sorted(s, dir, best
       .join(su, col("l_suppkey") === col("s_suppkey"))
       .join(n, col("s_nationkey") === col("n_nationkey"))
       // raw IEEE double out: both engines compute the identical division,
       // while round-to-4 can straddle a half-way boundary differently
-      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"), col("unit_price"))
-      // the surviving part set is filter-bounded (a few hundred rows at
-      // bench SF, and filter-proportional at any SF): a one-task sort
-      // skips the range-exchange SAMPLING JOB an orderBy pays per
-      // execution — measurable fixed overhead on a sub-second query
-      .orderedSmall(col("p_partkey"), col("s_name"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"), col("unit_price")))
+  }
+
+  /** q2 result sort, scale-switched like q16's supplier plan: the
+    * surviving part set is filter-PROPORTIONAL (a fixed fraction of
+    * part), so a one-task sort is only safe while the part table is
+    * broadcast-small — there it skips the range exchange's per-execution
+    * SAMPLING JOB (bench 0.19 vs ~0.57 s warm with the range sort). At
+    * cluster scale the same stats check routes to a distributed range
+    * sort, honoring BoundedOrder's value-domain-bounded contract.
+    */
+  private def q2Sorted(s: SparkSession, dir: String, result: DataFrame): DataFrame = {
+    val smallPart = t(s, dir, "part")
+      .queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20)
+    if (smallPart) result.orderedSmall(col("p_partkey"), col("s_name"))
+    else result.orderBy(col("p_partkey"), col("s_name"))
   }
 
   val q2Sql: String =

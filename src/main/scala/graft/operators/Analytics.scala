@@ -1982,10 +1982,15 @@ object Analytics {
         (col("pe_num").cast(DoubleType) /
           (col("n_docs").cast(Exact.D380) * col("n_docs").cast(Exact.D380))
             .cast(DoubleType)).as("pe"),
-        ((col("n_docs").cast(Exact.D380) * col("n_agree").cast(Exact.D380) - col("pe_num"))
-          .cast(DoubleType) /
-          (col("n_docs").cast(Exact.D380) * col("n_docs").cast(Exact.D380) - col("pe_num"))
-            .cast(DoubleType)).as("kappa"))
+        {
+          val num = (col("n_docs").cast(Exact.D380) * col("n_agree").cast(Exact.D380)
+            - col("pe_num")).cast(DoubleType)
+          val den = (col("n_docs").cast(Exact.D380) * col("n_docs").cast(Exact.D380)
+            - col("pe_num")).cast(DoubleType)
+          // degenerate single-label corpus with a constant predictor:
+          // pe == 1 makes kappa 0/0 — NULL on both engines, not NaN
+          when(den =!= 0.0, num / den).otherwise(lit(null).cast(DoubleType)).as("kappa")
+        })
   }
 
   val labelAgreementSql: String = {
@@ -2010,10 +2015,13 @@ object Analytics {
        |  CAST(CAST(pe_num AS VARCHAR) AS DOUBLE)
        |    / CAST(CAST(CAST(n_docs AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0))
        |        AS VARCHAR) AS DOUBLE) AS pe,
-       |  CAST(CAST(CAST(n_docs AS DECIMAL(38,0)) * CAST(n_agree AS DECIMAL(38,0)) - pe_num
-       |      AS VARCHAR) AS DOUBLE)
-       |    / CAST(CAST(CAST(n_docs AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0)) - pe_num
-       |        AS VARCHAR) AS DOUBLE) AS kappa
+       |  CASE WHEN CAST(CAST(CAST(n_docs AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0))
+       |         - pe_num AS VARCHAR) AS DOUBLE) <> 0 THEN
+       |    CAST(CAST(CAST(n_docs AS DECIMAL(38,0)) * CAST(n_agree AS DECIMAL(38,0)) - pe_num
+       |        AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(CAST(n_docs AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0)) - pe_num
+       |          AS VARCHAR) AS DOUBLE)
+       |  END AS kappa
        |FROM agree, chance""".stripMargin
   }
 

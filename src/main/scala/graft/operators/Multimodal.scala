@@ -100,21 +100,25 @@ object Multimodal {
     */
   private[operators] def parseWavHeader(p: Array[Byte]): Option[MediaHeader] = {
     if (p.length < 44 || !ascii(p, 0, "RIFF") || !ascii(p, 8, "WAVE")) return None
-    var i = 12
+    // LONG cursor: a malformed chunk size near Int.MaxValue would wrap
+    // an Int cursor negative and index out of bounds instead of falling
+    // off the end — this parser must safely sniff arbitrary bytes
+    var i = 12L
     while (i + 8 <= p.length) {
-      val size = leInt(p, i + 4)
-      if (ascii(p, i, "fmt ") && size >= 16 && i + 8 + 16 <= p.length) {
-        val fmt = leShort(p, i + 8)
-        val channels = leShort(p, i + 10)
-        val rate = leInt(p, i + 12)
-        val bits = leShort(p, i + 22)
+      val at = i.toInt // safe: i < p.length <= Int.MaxValue here
+      val size = leInt(p, at + 4)
+      if (ascii(p, at, "fmt ") && size >= 16 && i + 8 + 16 <= p.length) {
+        val fmt = leShort(p, at + 8)
+        val channels = leShort(p, at + 10)
+        val rate = leInt(p, at + 12)
+        val bits = leShort(p, at + 22)
         return if ((fmt == 1 || fmt == 3) && channels >= 1 && channels <= 64 &&
           rate >= 8000 && rate <= 384000 && Set(8, 16, 24, 32, 64)(bits))
           Some(MediaHeader("wav", rate, channels, bits))
         else None
       }
       if (size < 0) return None
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1) // chunks are word-aligned
     }
     None
   }

@@ -2416,15 +2416,20 @@ object TextAnalysis {
     val per = adj.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("prev_source") === col("source"), 1L).otherwise(0L)).as("n_same_adj"))
+    // DECIMAL(38,0) for the squared terms: c² and n_total² overflow
+    // BIGINT past ~3e9 documents (Spark would wrap silently while the
+    // oracle errors — the iaa1 widening argument)
     val mix = src.groupBy(col("source")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * col("c")).as("sum_c2"), sum(col("c")).as("n_total"))
+      .agg(sum(col("c").cast(Exact.D380) * col("c").cast(Exact.D380)).as("sum_c2"),
+        sum(col("c")).as("n_total"))
     per.crossJoin(broadcast(mix))
       .select(col("shard"), col("n_docs"), col("n_same_adj"),
         when(col("n_docs") > 1L,
           col("n_same_adj").cast(DoubleType) / (col("n_docs") - 1L).cast(DoubleType))
           .as("same_rate"),
         (col("sum_c2").cast(DoubleType) /
-          (col("n_total") * col("n_total")).cast(DoubleType)).as("expected_rate"))
+          (col("n_total").cast(Exact.D380) * col("n_total").cast(Exact.D380))
+            .cast(DoubleType)).as("expected_rate"))
       .withColumn("ratio", col("same_rate") / col("expected_rate"))
       .orderedSmall(col("shard"))
   }
@@ -2441,15 +2446,20 @@ object TextAnalysis {
        |      AS n_same_adj
        |  FROM adj GROUP BY 1),
        |mix AS (
-       |  SELECT SUM(c * c) AS sum_c2, SUM(c) AS n_total
+       |  SELECT SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS sum_c2,
+       |    SUM(c) AS n_total
        |  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY source) m)
        |SELECT shard, n_docs, n_same_adj,
        |  CASE WHEN n_docs > 1
        |    THEN CAST(n_same_adj AS DOUBLE) / CAST(n_docs - 1 AS DOUBLE) END AS same_rate,
-       |  CAST(sum_c2 AS DOUBLE) / CAST(n_total * n_total AS DOUBLE) AS expected_rate,
+       |  CAST(CAST(sum_c2 AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(CAST(n_total AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))
+       |        AS VARCHAR) AS DOUBLE) AS expected_rate,
        |  (CASE WHEN n_docs > 1
        |    THEN CAST(n_same_adj AS DOUBLE) / CAST(n_docs - 1 AS DOUBLE) END)
-       |   / (CAST(sum_c2 AS DOUBLE) / CAST(n_total * n_total AS DOUBLE)) AS ratio
+       |   / (CAST(CAST(sum_c2 AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(CAST(n_total AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))
+       |          AS VARCHAR) AS DOUBLE)) AS ratio
        |FROM per, mix ORDER BY shard""".stripMargin
 
   // === interpolated trigram LM ============================================

@@ -29,10 +29,6 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   // serialized inside MutableTable
   private val tables = scala.collection.concurrent.TrieMap.empty[String, MutableTable]
 
-  // complete any multi-table commit a previous process died inside of
-  // (no-op on the usual fresh temp root)
-  recoverPendingCommits()
-
   def create(name: String, schema: StructType, primaryKey: Option[String] = None,
       txn: Option[CatalogTxn] = None): MutableTable = {
     val t = MutableTable.create(spark, root.resolve(name).toString, schema, primaryKey)
@@ -92,40 +88,65 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     */
   def commitTxn(txn: CatalogTxn): Unit = txn.synchronized { synchronized {
     if (txn.staged.isEmpty) { txn.clearAll(); return }
-    val conflicts = txn.staged.keys.toSeq.sorted.filter { n =>
-      tables.get(n).exists(t =>
-        txn.baseVersions.get(n).exists(_ != t.currentVersion))
+    val entries = txn.staged.toSeq.sortBy(_._1)
+    val locked = entries.flatMap { case (n, v) => tables.get(n).map(t => (n, t, v)) }
+    // Hold EVERY staged table's writer monitor (sorted order — autocommit
+    // writers take a single monitor, so no acquisition cycle exists)
+    // across validate + record + swap: without this, an autocommit
+    // publish landing between the conflict check and the pointer swap is
+    // silently erased — the check-then-act race the conflict detection
+    // exists to close. All work under the locks is file metadata
+    // (staged manifests were written by the statements themselves).
+    def withAll[T](ts: List[(String, MutableTable, Long)])(body: => T): T = ts match {
+      case Nil => body
+      case (_, t, _) :: rest => t.withWriteLock(withAll(rest)(body))
     }
+    var recordWritten: Option[Path] = None
+    val conflicts: Seq[String] =
+      try withAll(locked.toList) {
+        val bad = locked.collect {
+          case (n, t, _) if txn.baseVersions.get(n).exists(_ != t.currentVersion) => n
+        }
+        if (bad.isEmpty) {
+          // crash window A: nothing durable yet — an abort here
+          // publishes NOTHING (the spec's neither-table-advances leg)
+          failBeforeCommitRecord()
+          val recordId = java.util.UUID.randomUUID().toString
+          val record = root.resolve(s"commit-$recordId.json")
+          val body = entries.map { case (n, v) => s""""$n": $v""" }
+            .mkString(s"""{"txn": "$recordId", "tables": {""", ", ", "}}")
+          val tmp = root.resolve(s"commit-$recordId.json.tmp")
+          Files.write(tmp, body.getBytes)
+          Files.move(tmp, record, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          recordWritten = Some(record)
+          // crash window B: the record is durable — recovery completes
+          // the remaining swaps, so a mid-loop abort still commits ALL
+          // tables (the monitors release as the exception unwinds)
+          locked.foreach { case (n, t, v) =>
+            failBeforePublish(n)
+            t.publish(v); refresh(n)
+          }
+        }
+        bad
+      } catch {
+        case e: Throwable =>
+          if (recordWritten.isEmpty) {
+            // nothing durable: discard the staged chain so its manifests
+            // don't pin data files against vacuum forever (the Session
+            // SQL path drops the txn without calling rollbackTxn)
+            rollbackStaged(txn)
+          } else {
+            // record durable: leave it — recoverPendingCommits rolls
+            // forward; only the txn's in-memory state retires
+            txn.clearAll()
+          }
+          throw e
+      }
     if (conflicts.nonEmpty) {
       rollbackStaged(txn)
       throw new TransactionConflictException(
         s"transaction conflict: table(s) ${conflicts.mkString(", ")} " +
           "were modified by another writer since this transaction began")
-    }
-    // crash window A: nothing durable yet — an abort here publishes
-    // NOTHING (the spec's neither-table-advances leg)
-    failBeforeCommitRecord()
-    val entries = txn.staged.toSeq.sortBy(_._1)
-    val recordId = java.util.UUID.randomUUID().toString
-    val record = root.resolve(s"commit-$recordId.json")
-    val body = entries.map { case (n, v) => s""""$n": $v""" }
-      .mkString(s"""{"txn": "$recordId", "tables": {""", ", ", "}}")
-    val tmp = root.resolve(s"commit-$recordId.json.tmp")
-    Files.write(tmp, body.getBytes)
-    Files.move(tmp, record,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // crash window B: the record is durable — recovery completes the
-    // remaining swaps, so a mid-loop abort still commits ALL tables
-    try {
-      entries.foreach { case (n, v) =>
-        failBeforePublish(n)
-        tables.get(n).foreach { t => t.publish(v); refresh(n) }
-      }
-    } catch {
-      case e: Throwable =>
-        // leave the record in place: recoverPendingCommits rolls forward
-        txn.clearAll()
-        throw e
     }
     // retire intermediate staged manifests (every staged version that is
     // not the published final one) and the commit record
@@ -134,7 +155,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
       if (!finals.get(n).contains(v))
         tables.get(n).foreach(_.discardStaged(v))
     }
-    Files.deleteIfExists(record)
+    recordWritten.foreach(Files.deleteIfExists(_))
     txn.clearAll()
   }}
 
@@ -158,8 +179,17 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
 
   /** Roll forward any commit record whose pointer swaps did not all
     * land (process died inside commitTxn's crash window B). Idempotent;
-    * returns the number of records completed. Run on catalog
+    * returns the number of records fully completed. Run on catalog
     * construction and callable from maintenance.
+    *
+    * Tables named in a record but not yet in the in-memory registry are
+    * loaded from the catalog root (a restarted process constructs the
+    * catalog over a pre-existing root BEFORE re-registering tables) —
+    * without this, constructor-time recovery ran against an empty
+    * registry, applied nothing, and destroyed the record it was
+    * supposed to roll forward. A record whose table cannot be found on
+    * disk either is LEFT IN PLACE for a later recovery rather than
+    * deleted.
     */
   def recoverPendingCommits(): Int = synchronized {
     if (!Files.isDirectory(root)) return 0
@@ -170,26 +200,40 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
         n.startsWith("commit-") && n.endsWith(".json")
       } finally st.close()
     }
+    var completed = 0
     records.foreach { rec =>
       val txt = new String(Files.readAllBytes(rec))
       // minimal parse of {"txn": "...", "tables": {"n": v, ...}}
       val tablesBody = txt.substring(txt.indexOf("{", txt.indexOf("\"tables\"")) + 1,
         txt.lastIndexOf("}"))
+      var allApplied = true
       tablesBody.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
         val Array(k, v) = kv.split(":").map(_.trim)
         val name = k.stripPrefix("\"").stripSuffix("\"")
         val version = v.stripSuffix("}").trim.toLong
-        tables.get(name).foreach { t =>
-          // roll FORWARD only: never regress a pointer a later commit
-          // already advanced past the crashed one
-          if (t.currentVersion < version && t.hasManifest(version)) {
-            t.publish(version); refresh(name)
-          }
+        val table = tables.get(name).orElse {
+          // registry empty after restart: load the table from the root
+          val dir = root.resolve(name)
+          if (Files.exists(dir.resolve("_version"))) {
+            val t = MutableTable.load(spark, dir.toString)
+            tables(name.toLowerCase) = t
+            refresh(name)
+            Some(t)
+          } else None
+        }
+        table match {
+          case Some(t) =>
+            // roll FORWARD only: never regress a pointer a later commit
+            // already advanced past the crashed one
+            if (t.currentVersion < version && t.hasManifest(version)) {
+              t.publish(version); refresh(name)
+            }
+          case None => allApplied = false
         }
       }
-      Files.deleteIfExists(rec)
+      if (allApplied) { Files.deleteIfExists(rec); completed += 1 }
     }
-    records.size
+    completed
   }
 
   // Per-table view versions, bumped on every snapshot refresh, plus a
@@ -376,6 +420,12 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
       (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"), a.substring(eq + 1).trim)
     }
   }
+
+  // Complete any multi-table commit a previous process died inside of
+  // (no-op on the usual fresh temp root). LAST in the class body:
+  // recovery touches refresh()'s view-version fields, which a
+  // constructor-time call earlier in the body would see uninitialized.
+  recoverPendingCommits()
 }
 
 object MutableCatalog {

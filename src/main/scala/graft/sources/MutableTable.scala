@@ -333,6 +333,14 @@ final class MutableTable private (
 
   private[sources] def hasManifest(v: Long): Boolean = Files.exists(manifestPath(v))
 
+  /** Run `f` holding this table's writer monitor — the catalog's
+    * multi-table commit acquires every staged table's lock (in sorted
+    * name order) so its validate-then-swap cannot race an autocommit
+    * writer, whose own read-stage-publish holds the same monitor.
+    * Reentrant: publish() inside f re-enters fine.
+    */
+  private[sources] def withWriteLock[T](f: => T): T = writeLock.synchronized(f)
+
   /** Delete a STAGED (never-published) manifest so the data files it
     * references stop counting as live for [[vacuum]] — the rollback
     * cleanup path. Refuses to touch the published version; deleting an

@@ -230,6 +230,33 @@ class ScenarioSpec extends SparkTestBase {
     cat.drop("atomic_c"); cat.drop("atomic_d")
   }
 
+  // === cross-RESTART recovery: a fresh catalog instance over the same ====
+  // root must load the record's tables from disk and complete the
+  // commit (the constructor-time recovery previously ran against an
+  // empty registry and destroyed the record without applying anything)
+  test("a NEW catalog over the same root rolls a crashed two-table commit forward") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restart")
+    val cat1 = new MutableCatalog(spark, root)
+    cat1.create("rst_a", usersSchema)
+    cat1.create("rst_b", usersSchema)
+    val s = new Session("rst", spark.newSession(), Some(cat1))
+    s.begin()
+    s.sql("INSERT INTO rst_a VALUES (1, 'a', 1.0)")
+    s.sql("INSERT INTO rst_b VALUES (1, 'b', 1.0)")
+    cat1.failBeforePublish = n => if (n == "rst_b") throw new RuntimeException("injected crash")
+    try intercept[RuntimeException](s.commit())
+    finally cat1.failBeforePublish = _ => ()
+    // "restart": construct a fresh catalog over the same root — its
+    // constructor recovery must load both tables and finish the swap
+    val cat2 = new MutableCatalog(spark, root)
+    assert(cat2.get("rst_a").isDefined && cat2.get("rst_b").isDefined,
+      "restart recovery must register the record's tables from disk")
+    assert(cat2.get("rst_a").get.df.count() == 1L)
+    assert(cat2.get("rst_b").get.df.count() == 1L,
+      "restart recovery must complete the crashed multi-table commit")
+    assert(cat2.recoverPendingCommits() == 0, "the completed record is retired")
+  }
+
   // === write-write conflict detection (r12 ADVICE: blind publish would ===
   // silently erase a committed autocommit write)
   test("COMMIT aborts with a conflict when another writer published after first touch") {
