@@ -27,6 +27,7 @@ object Server {
       producer: FlightSqlProducer,
       maint: graft.maintenance.Maintenance,
       status: Option[StatusServer],
+      gateway: Option[SqlGateway],
       ownsSpark: Boolean,
       catalog: Option[sources.MutableCatalog]) {
 
@@ -75,6 +76,7 @@ object Server {
       */
     def shutdown(): Unit = {
       scheduler.shutdownNow()
+      gateway.foreach(_.stop())
       status.foreach(_.stop())
       if (ownsSpark) spark.stop()
     }
@@ -104,6 +106,7 @@ object Server {
       System.err.println(s"[graft-server] SWANLAKE_CHECKPOINT_DATABASES: no table '$n' yet")
     val spark = sharedSpark.getOrElse(config.newRootSession("graft-server"))
     var status: Option[StatusServer] = None
+    var gateway: Option[SqlGateway] = None
     var running: Option[Running] = None
     try {
       val maint = config.newMaintenance()
@@ -111,8 +114,13 @@ object Server {
       val metrics = config.newMetrics()
       val producer = new FlightSqlProducer(registry, Some(metrics), config.sessionKey)
       status = config.startStatus(metrics, registry)
+      // the query transport: SQL-over-HTTP on the reference's data port
+      // (host/port config), standing where the jar-blocked gRPC bind
+      // would listen — see SqlGateway
+      gateway = Some(SqlGateway.start(registry, metrics, config.sessionKey,
+        config.host, config.port))
       val r = Running(config, spark, registry, metrics, producer, maint, status,
-        sharedSpark.isEmpty, catalog)
+        gateway, sharedSpark.isEmpty, catalog)
       running = Some(r)
       r.syncCheckpointRegistrations()
       r.startTimers()
@@ -123,6 +131,7 @@ object Server {
         running match {
           case Some(r) => r.shutdown()
           case None =>
+            gateway.foreach(_.stop())
             status.foreach(_.stop())
             if (sharedSpark.isEmpty) spark.stop()
         }
@@ -134,8 +143,9 @@ object Server {
     val running = boot()
     val port = running.status.map(_.boundPort)
     println(s"graft server up: sessions<=${running.config.maxSessions}, " +
+      s"sql=${running.config.host}:${running.gateway.map(_.boundPort).getOrElse(-1)} " +
       s"status=${port.map(p => s"${running.config.statusHost}:$p").getOrElse("disabled")} " +
-      "(Flight SQL service is in-process; gRPC framing requires arrow-flight jars)")
+      "(POST /sql; Flight SQL service is in-process — gRPC framing requires arrow-flight jars)")
     // block until SIGINT/SIGTERM — the reference's tokio::select! wait
     val done = new CountDownLatch(1)
     sys.addShutdownHook {

@@ -13,9 +13,9 @@ package graft
   * reference's deserializer likewise rejects malformed values rather
   * than silently falling back (config.rs:85-88).
   *
-  * Unwired-in-sandbox options, accepted and validated for config
-  * parity but documented as cosmetic here: `host`/`port` (the gRPC
-  * bind address — jar-blocked transport) and `logFormat` (the
+  * `host`/`port` bind the SQL-over-HTTP query gateway ([[SqlGateway]]
+  * — standing where the reference's jar-blocked gRPC transport would
+  * listen). The one cosmetic-in-sandbox option is `logFormat` (the
   * reference configures its tracing subscriber; Spark owns log4j in
   * this JVM). `checkpointDatabases` scopes Server.boot's checkpoint
   * sweep; everything else lands in a live component.

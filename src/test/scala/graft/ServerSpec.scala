@@ -16,6 +16,7 @@ class ServerSpec extends SparkTestBase {
       "SWANLAKE_MAX_SESSIONS" -> "5",
       "SWANLAKE_SESSION_TIMEOUT_SECONDS" -> "1",
       "SWANLAKE_STATUS_HOST" -> "127.0.0.1",
+      "SWANLAKE_PORT" -> "0", // ephemeral SQL gateway bind
       "SWANLAKE_STATUS_PORT" -> "0", // ephemeral
       "SWANLAKE_STATUS_PATH_PREFIX" -> "/admin",
       "SWANLAKE_DUCKDB_THREADS" -> "4"))
@@ -64,6 +65,7 @@ class ServerSpec extends SparkTestBase {
           org.apache.spark.sql.types.LongType))))
     val cfg = ServerConfig.load(Map(
       "SWANLAKE_SESSION_ID_MODE" -> "peer_ip",
+      "SWANLAKE_PORT" -> "0", // ephemeral SQL gateway bind
       "SWANLAKE_STATUS_ENABLED" -> "false",
       "SWANLAKE_CHECKPOINT_DATABASES" -> "srv_t, later"))
     val running = Server.boot(cfg, sharedSpark = Some(spark), catalog = Some(catalog))

@@ -1,0 +1,106 @@
+package graft
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The SQL-over-HTTP query transport: a real socket a client connects
+  * to (the in-sandbox stand-in for the jar-blocked Flight gRPC bind).
+  * Pins JSON and Arrow response shapes, per-session transaction
+  * affinity across requests, and the ErrorMapping→HTTP status table.
+  */
+class SqlGatewaySpec extends SparkTestBase {
+
+  private def post(port: Int, sql: String,
+      session: Option[String] = None,
+      accept: Option[String] = None): (Int, Array[Byte], String) = {
+    val conn = new URL(s"http://127.0.0.1:$port/sql")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    session.foreach(conn.setRequestProperty("X-Graft-Session", _))
+    accept.foreach(conn.setRequestProperty("Accept", _))
+    conn.getOutputStream.write(sql.getBytes(StandardCharsets.UTF_8))
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = is.readAllBytes()
+    val ctype = Option(conn.getHeaderField("Content-Type")).getOrElse("")
+    conn.disconnect()
+    (code, body, ctype)
+  }
+
+  private def withGateway(f: (Int, sources.MutableCatalog) => Unit): Unit = {
+    val catalog = sources.MutableCatalog(spark)
+    val registry = new SessionRegistry(spark, catalog = Some(catalog))
+    val metrics = new Metrics()
+    val gw = SqlGateway.start(registry, metrics, identity)
+    try f(gw.boundPort, catalog) finally gw.stop()
+  }
+
+  test("POST /sql answers JSON rows with columns and row_count") {
+    withGateway { (port, _) =>
+      val (code, body, ctype) = post(port, "SELECT 1 AS one, 'x' AS s")
+      assert(code == 200 && ctype.startsWith("application/json"))
+      val text = new String(body, StandardCharsets.UTF_8)
+      assert(text == """{"columns":["one","s"],"rows":[[1,"x"]],"row_count":1}""",
+        s"unexpected payload: $text")
+    }
+  }
+
+  test("Accept: arrow stream returns IPC bytes that round-trip through ArrowWire") {
+    withGateway { (port, _) =>
+      val (code, body, ctype) =
+        post(port, "SELECT 7 AS n", accept = Some(SqlGateway.arrowContentType))
+      assert(code == 200 && ctype.startsWith(SqlGateway.arrowContentType))
+      val back = org.apache.spark.sql.graft.ArrowWire.fromIpcStream(spark, body).collect()
+      assert(back.length == 1 && back(0).getInt(0) == 7,
+        "the gateway's Arrow payload must decode to the query result")
+    }
+  }
+
+  test("X-Graft-Session pins a session: a transaction spans requests") {
+    withGateway { (port, catalog) =>
+      catalog.create("gw_t", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      assert(post(port, "BEGIN", session = Some("client-a"))._1 == 200)
+      assert(post(port, "INSERT INTO gw_t VALUES (1, 'staged')", session = Some("client-a"))._1 == 200)
+      // another session must NOT see the staged write
+      val (c1, b1, _) = post(port, "SELECT COUNT(*) AS n FROM gw_t", session = Some("client-b"))
+      assert(c1 == 200 && new String(b1).contains("\"rows\":[[0]]"),
+        s"staged write leaked across sessions: ${new String(b1)}")
+      assert(post(port, "COMMIT", session = Some("client-a"))._1 == 200)
+      val (c2, b2, _) = post(port, "SELECT COUNT(*) AS n FROM gw_t", session = Some("client-b"))
+      assert(c2 == 200 && new String(b2).contains("\"rows\":[[1]]"),
+        s"committed write must be visible: ${new String(b2)}")
+    }
+  }
+
+  test("errors map to HTTP statuses: parse 400, missing table 404, GET 405") {
+    withGateway { (port, _) =>
+      val (c1, b1, _) = post(port, "SELEKT 1")
+      assert(c1 == 400 && new String(b1).contains("INVALID_ARGUMENT"))
+      val (c2, b2, _) = post(port, "SELECT * FROM missing_gateway_table")
+      assert(c2 == 404, s"missing table must be 404, got $c2: ${new String(b2)}")
+      val conn = new URL(s"http://127.0.0.1:$port/sql")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("GET")
+      assert(conn.getResponseCode == 405)
+      conn.disconnect()
+    }
+  }
+
+  test("the boot assembly exposes the gateway on the configured data port") {
+    val cfg = ServerConfig.load(Map(
+      "SWANLAKE_HOST" -> "127.0.0.1",
+      "SWANLAKE_PORT" -> "0",
+      "SWANLAKE_STATUS_ENABLED" -> "false"))
+    val running = Server.boot(cfg, sharedSpark = Some(spark))
+    try {
+      val port = running.gateway.get.boundPort
+      val (code, body, _) = post(port, "SELECT 42 AS answer")
+      assert(code == 200 && new String(body).contains("\"rows\":[[42]]"))
+      assert(running.metrics.queries >= 1L, "gateway requests must hit the metrics")
+    } finally running.shutdown()
+  }
+}
