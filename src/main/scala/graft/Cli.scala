@@ -29,16 +29,47 @@ object Cli {
   def main(args: Array[String]): Unit = {
     var dataDir: Option[String] = None
     var oneShot: Option[String] = None
+    var url: Option[String] = None
     var debug = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "-d" | "--data" if i + 1 < args.length  => dataDir = Some(args(i + 1)); i += 2
         case "-q" | "--query" if i + 1 < args.length => oneShot = Some(args(i + 1)); i += 2
+        case "-u" | "--url" if i + 1 < args.length   => url = Some(args(i + 1)); i += 2
         case "--debug" => debug = true; i += 1
         case other =>
           System.err.println(s"unknown argument: $other"); sys.exit(2)
       }
+    }
+    // REMOTE mode (--url http://host:port): the shell drives a running
+    // server's SQL gateway over the network — no SparkSession in this
+    // JVM at all (Arrow results decode session-free), the reference's
+    // actual client/server split
+    url match {
+      case Some(u) =>
+        val out = new PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out),
+          true, "UTF-8")
+        val errOut = new PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.err),
+          true, "UTF-8")
+        if (dataDir.isDefined)
+          errOut.println("--data is ignored with --url (the server owns its lake)")
+        out.println(s"Connecting to $u ...")
+        val client = new HttpSqlClient(u)
+        val shell = new Shell(client, out, errOut, debug)
+        var failed = false
+        oneShot match {
+          case Some(sql) =>
+            try shell.executeAndDisplay(sql)
+            catch { case t: Throwable => shell.displayError(t); failed = true }
+          case None =>
+            out.println("Connected successfully!\n")
+            val hist = Paths.get(sys.props.getOrElse("user.home", "."), ".graft_history")
+            shell.runInteractive(new BufferedReader(new InputStreamReader(System.in)), Some(hist))
+        }
+        if (failed) sys.exit(1)
+        return
+      case None => ()
     }
     val spark = Engine.newSession("graft-cli", Engine.defaultCores)
     val producer = new FlightSqlProducer(new SessionRegistry(spark))
@@ -84,7 +115,7 @@ object Cli {
   * results as a box table, and never lets one bad statement kill the
   * loop (cli.rs:113-118).
   */
-final class Shell(client: FlightSqlClient, out: PrintStream, err: PrintStream,
+final class Shell(client: graft.flight.SqlConnection, out: PrintStream, err: PrintStream,
     debug: Boolean = false) {
 
   def runInteractive(in: BufferedReader, historyFile: Option[Path] = None): Unit = {

@@ -1,0 +1,68 @@
+package graft
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+
+import graft.flight.ClientPool.{QueryResult, UpdateResult}
+import graft.flight.SqlConnection
+
+/** Remote SQL connection over the HTTP gateway ([[SqlGateway]]) — the
+  * network counterpart of the in-proc [[graft.flight.FlightSqlClient]]:
+  * results ride as the SAME Arrow IPC stream bytes and decode
+  * session-free (`ArrowWire.readIpc`), so a client JVM needs no
+  * SparkSession. One client = one server session, pinned by a
+  * generated `X-Graft-Session` key — transactions span requests, like
+  * one reference client holding one gRPC connection.
+  */
+final class HttpSqlClient(baseUrl: String,
+    val sessionKey: String = s"http-client-${java.util.UUID.randomUUID()}")
+    extends SqlConnection {
+
+  private val endpoint = baseUrl.stripSuffix("/") + "/sql"
+
+  private def post(sql: String): Array[Byte] = {
+    val conn = new URL(endpoint).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Accept", SqlGateway.arrowContentType)
+    conn.setRequestProperty("X-Graft-Session", sessionKey)
+    conn.getOutputStream.write(sql.getBytes(StandardCharsets.UTF_8))
+    val code = conn.getResponseCode
+    if (code >= 400) {
+      val err = new String(
+        Option(conn.getErrorStream).map(_.readAllBytes()).getOrElse(Array.empty[Byte]),
+        StandardCharsets.UTF_8)
+      conn.disconnect()
+      // surface the server's message, not the raw JSON envelope
+      val msg = """"error":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(err)
+        .map(m => m.group(1).replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse(err)
+      throw new RuntimeException(s"server error (HTTP $code): $msg")
+    }
+    val body = conn.getInputStream.readAllBytes()
+    conn.disconnect()
+    body
+  }
+
+  def query(sql: String): QueryResult = {
+    val (schema, rows) = org.apache.spark.sql.graft.ArrowWire.readIpc(post(sql))
+    QueryResult(schema, rows)
+  }
+
+  def update(sql: String): UpdateResult = {
+    val (schema, rows) = org.apache.spark.sql.graft.ArrowWire.readIpc(post(sql))
+    // routed DML answers one num_affected_rows row; DDL/txn control
+    // answer a count of 0 — the same surface the facade's update gives
+    val n = schema.fieldNames.indexOf("num_affected_rows") match {
+      case -1 => 0L
+      case i if rows.nonEmpty => rows(0).getLong(i)
+      case _ => 0L
+    }
+    UpdateResult(n)
+  }
+
+  /** The server reaps the session by idle timeout; nothing to tear
+    * down client-side (HTTP is connectionless here).
+    */
+  def disconnect(): Unit = ()
+}

