@@ -119,6 +119,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parseWavHeader("RIFFxxxxWAVEnot a chunk stream at all".getBytes).isEmpty)
   }
 
+  test("sniffHeader never throws: adversarial chunk sizes and seeded byte fuzz") {
+    // the review-caught crash: a RIFF/WAVE payload whose first chunk
+    // size is near Int.MaxValue wrapped an Int cursor negative -> AIOOBE
+    val adversarial = {
+      val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(56); b.put("WAVE".getBytes)
+      b.put("junk".getBytes); b.putInt(0x7FFFFF00) // not-fmt chunk, huge size
+      b.put(new Array[Byte](40))
+      b.array()
+    }
+    assert(Multimodal.parseWavHeader(adversarial).isEmpty,
+      "a huge chunk size must fall off the end, not crash")
+    // seeded fuzz: arbitrary bytes (with RIFF/WAVE and PNG-signature
+    // prefixes planted to exercise the deep parse paths) must always
+    // return cleanly
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 300).foreach { i =>
+      val len = rnd.nextInt(200)
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      if (i % 3 == 0 && len >= 12) {
+        "RIFF".getBytes.copyToArray(bytes, 0)
+        "WAVE".getBytes.copyToArray(bytes, 8)
+      }
+      if (i % 5 == 0 && len >= 8)
+        Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+          .map(_.toByte).copyToArray(bytes, 0)
+      Multimodal.sniffHeader(bytes) // must not throw
+    }
+  }
+
   test("decodeFeatures surfaces real header dims for container payloads (Spark path)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
