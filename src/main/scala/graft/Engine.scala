@@ -30,13 +30,15 @@ object Engine {
       // overrides via spark-submit conf.
       .config("spark.sql.shuffle.partitions", math.max(8, cores / 4).toString)
       // JVM-global whole-stage-codegen class cache (static conf, default
-      // 100 entries). The registry is 217 queries x ~8 generated classes
-      // each — at the default size the cache thrashes and every measured
-      // bench run re-pays Janino compilation (~50-500 ms per class),
-      // which inflated q2 from 0.55 s warm to 2.33 s in-bench and fed
-      // the p99 tail. 4096 covers the whole registry's working set;
-      // entries are bytecode + source text, well under the 8g heap.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // 100 entries). The registry generates ~8 classes per query — at
+      // the default size the cache thrashes and every measured bench run
+      // re-pays Janino compilation (~50-500 ms per class), which
+      // inflated q2 from 0.55 s warm to 2.33 s in-bench and fed the p99
+      // tail. Sized from the live registry (x10 classes/query headroom,
+      // floor 4096) so registry growth can never silently reintroduce
+      // the thrash; entries are bytecode + source text, well under the
+      // 8g heap even at 10k entries.
+      .config("spark.sql.codegen.cache.maxEntries", codegenCacheEntries.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // coalesce post-shuffle partitions to the advisory SIZE instead of
@@ -77,6 +79,14 @@ object Engine {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Whole-stage-codegen class-cache size derived from the registry:
+    * max(4096, queries x 10). A static conf — it binds when the FIRST
+    * session of the JVM is created, so it must be computed here, not
+    * tuned after the fact. (~222 queries x ~8 generated classes each
+    * measured in round 13; x10 leaves headroom for plan variants.)
+    */
+  def codegenCacheEntries: Int = math.max(4096, SparkEntry.queries.size * 10)
 
   def defaultCores: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)

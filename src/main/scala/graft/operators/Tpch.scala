@@ -377,9 +377,19 @@ object Tpch {
     // suppliers collected to a pushed NOT-IN lineitem scan filter:
     // 0.58 s — the driver collect pays a job per build and the InSet
     // probe buys no row-group pruning over what the broadcast anti
-    // hash probe already costs. Both recorded and reverted; the
-    // residual vs the reference's 133 ms is Spark's per-query floor
-    // (stage scheduling + codegen dispatch) on a sub-200 ms query.
+    // hash probe already costs. (c) lineitem pre-aggregated to distinct
+    // (l_partkey, l_suppkey) pairs BEFORE the part join (the shape
+    // DuckDB effectively runs — but DuckDB runs it against PARTSUPP,
+    // 80k rows, which this schema lacks): A/B'd round 14, med 0.845 s
+    // vs 0.308 current — materializing partsupp from 600k lineitem rows
+    // costs a full-table distinct exchange per execution, 2.7x worse.
+    // (d) dedup on (brand,type,size,suppkey) AFTER the part join, then
+    // plain count: 0.413 vs 0.308 — a second exchange replaces the
+    // single ObjectHashAggregate, strictly worse. All recorded and
+    // reverted; the residual vs the reference's 133 ms is Spark's
+    // per-query floor (stage scheduling + codegen dispatch) on a
+    // sub-200 ms query whose oracle-schema input is 7.5x the rowcount
+    // DuckDB's partsupp-based plan reads.
     if (smallSupplier)
       joined.groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(size(collect_set(col("l_suppkey"))).cast("long").as("supplier_cnt"))

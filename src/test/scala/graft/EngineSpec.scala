@@ -59,4 +59,16 @@ class EngineSpec extends SparkTestBase {
     val desc = Engine.sql(spark, "DESCRIBE QUERY SELECT 1 AS one, 'x' AS s").collect()
     assert(desc.map(_.getString(0)).toSeq == Seq("one", "s"))
   }
+
+  test("codegen class cache scales with the registry (r12 thrash cannot return)") {
+    // the derived size must track registry growth with headroom: each
+    // query generates ~8 whole-stage-codegen classes (measured round
+    // 13), so x10 keeps the bench working set resident
+    assert(Engine.codegenCacheEntries >= 4096)
+    assert(Engine.codegenCacheEntries >= SparkEntry.queries.size * 10)
+    // and the STATIC conf actually bound at first-session creation —
+    // spark.conf reports the effective value for the shared test session
+    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries").toInt ==
+      Engine.codegenCacheEntries)
+  }
 }
