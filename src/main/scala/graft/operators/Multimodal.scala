@@ -10,8 +10,8 @@ import org.apache.spark.sql.types._
   * payloads with a typed metadata struct, processed by batch-shaped
   * `mapPartitions` stages.
   *
-  * Container HEADERS are parsed for real (pure JVM: PNG IHDR, RIFF/WAVE
-  * fmt — see `sniffHeader`), so recognized payloads carry true
+  * Container HEADERS are parsed for real (pure JVM: PNG IHDR, JPEG
+  * SOF0/SOF2, RIFF/WAVE fmt — see `sniffHeader`), so recognized payloads carry true
   * width/height (image) or sample-rate/channels (audio). The PIXEL/SAMPLE
   * decode kernel remains a DETERMINISTIC STUB — this sandbox has no
   * image/audio codecs, so `decodeBytes` fakes the content decode from the
@@ -61,8 +61,9 @@ object Multimodal {
   // === container header parsing (pure JVM, header-only) ====================
   // The decode stub graduated one notch (r12 verdict #8): payloads whose
   // bytes ARE a real container get their dimensions from a real header
-  // parse — PNG IHDR (big-endian, spec §11.2.2) and RIFF/WAVE fmt chunk
-  // (little-endian) — no external codecs involved, and header-only so the
+  // parse — PNG IHDR (big-endian, spec §11.2.2), JPEG SOF0/SOF2 marker
+  // scan (ITU T.81 §B.2.2), and RIFF/WAVE fmt chunk (little-endian) —
+  // no external codecs involved, and header-only so the
   // kernel never materializes pixels/samples (the 100 TB-safe probe
   // shape: O(1) bytes inspected per payload). PIXEL/SAMPLE decode remains
   // the deterministic stub below.
@@ -123,8 +124,48 @@ object Multimodal {
     None
   }
 
+  /** JPEG: SOI, then a marker-segment scan for SOF0/SOF2 (baseline /
+    * progressive frame headers, ITU T.81 §B.2.2): precision(1),
+    * height(2 BE), width(2 BE). Standalone markers (TEM, RSTn, SOI)
+    * carry no length; fill 0xFF bytes may pad any marker; the scan
+    * stops at SOS/EOI — a frame header always precedes entropy data.
+    * Long cursor for the same reason as the WAV scanner: a crafted
+    * segment length must fall off the end, never wrap an Int index.
+    */
+  private[operators] def parseJpegHeader(p: Array[Byte]): Option[MediaHeader] = {
+    if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return None
+    var i = 2L
+    while (i + 2 <= p.length) {
+      if ((p(i.toInt) & 0xFF) != 0xFF) return None // desynced: not at a marker
+      var m = i.toInt + 1
+      while (m < p.length && (p(m) & 0xFF) == 0xFF) m += 1 // fill bytes
+      if (m >= p.length) return None
+      val marker = p(m) & 0xFF
+      if (marker == 0xD8 || marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        i = m + 1L // standalone marker, no segment body
+      } else if (marker == 0xD9 || marker == 0xDA) {
+        return None // EOI / start-of-scan without a SOF0/SOF2 frame header
+      } else {
+        if (m + 3 > p.length) return None
+        val len = ((p(m + 1) & 0xFF) << 8) | (p(m + 2) & 0xFF)
+        if (len < 2) return None
+        if (marker == 0xC0 || marker == 0xC2) {
+          if (len < 8 || m + 8 > p.length) return None
+          val precision = p(m + 3) & 0xFF
+          val h = ((p(m + 4) & 0xFF) << 8) | (p(m + 5) & 0xFF)
+          val w = ((p(m + 6) & 0xFF) << 8) | (p(m + 7) & 0xFF)
+          return if (w >= 1 && h >= 1 && Set(8, 12, 16)(precision))
+            Some(MediaHeader("jpeg", w, h, precision))
+          else None
+        }
+        i = m + 1L + len
+      }
+    }
+    None
+  }
+
   private[operators] def sniffHeader(p: Array[Byte]): Option[MediaHeader] =
-    parsePngHeader(p).orElse(parseWavHeader(p))
+    parsePngHeader(p).orElse(parseJpegHeader(p)).orElse(parseWavHeader(p))
 
   /** Decode kernel: container dimensions from a REAL header parse when
     * the payload is a recognized container (see [[sniffHeader]]);

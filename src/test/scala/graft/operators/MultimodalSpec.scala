@@ -109,6 +109,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parsePngHeader(realPng(4, 4).take(20)).isEmpty)
   }
 
+  private def realJpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => img.setRGB(x, 0, x * 31))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("parseJpegHeader reads true SOF0 dimensions from an ImageIO-encoded JPEG") {
+    val mh = Multimodal.parseJpegHeader(realJpeg(512, 288))
+    assert(mh.contains(Multimodal.MediaHeader("jpeg", 512, 288, 8)),
+      s"expected 512x288 8-bit baseline, got $mh")
+    assert(Multimodal.parseJpegHeader("just some text bytes".getBytes("UTF-8")).isEmpty)
+    // truncation mid-marker-stream must not parse (and not throw)
+    assert(Multimodal.parseJpegHeader(realJpeg(4, 4).take(6)).isEmpty)
+  }
+
+  test("parseJpegHeader reads a progressive SOF2 frame header") {
+    // hand-built marker stream: SOI, APP0 (fill-byte padded), SOF2
+    // (progressive) with precision 8, height 600, width 800, 3 components
+    val out = new java.io.ByteArrayOutputStream()
+    def put(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xFF))
+    put(0xFF, 0xD8)                    // SOI
+    put(0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46) // APP0, len 4, 2 payload bytes
+    put(0xFF, 0xFF, 0xC2)              // fill byte, then SOF2
+    put(0x00, 0x11)                    // len 17 = 2 + 6 + 3*3
+    put(0x08)                          // precision
+    put(0x02, 0x58)                    // height 600
+    put(0x03, 0x20)                    // width 800
+    put(0x03)                          // 3 components
+    put(0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    val mh = Multimodal.parseJpegHeader(out.toByteArray)
+    assert(mh.contains(Multimodal.MediaHeader("jpeg", 800, 600, 8)),
+      s"expected 800x600 progressive, got $mh")
+    // SOS before any SOF must yield None, not a scan into entropy data
+    val noSof = new java.io.ByteArrayOutputStream()
+    def put2(xs: Int*): Unit = xs.foreach(x => noSof.write(x & 0xFF))
+    put2(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x02, 0x00, 0x00)
+    assert(Multimodal.parseJpegHeader(noSof.toByteArray).isEmpty)
+  }
+
   test("parseWavHeader reads true fmt-chunk fields from a javax.sound WAV") {
     val mh = Multimodal.parseWavHeader(realWav(44100, 2, 256))
     assert(mh.contains(Multimodal.MediaHeader("wav", 44100, 2, 16)),
@@ -146,6 +187,8 @@ class MultimodalSpec extends SparkTestBase {
       if (i % 5 == 0 && len >= 8)
         Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
           .map(_.toByte).copyToArray(bytes, 0)
+      if (i % 7 == 0 && len >= 4) // JPEG SOI planted: random marker stream
+        Array(0xFF, 0xD8).map(_.toByte).copyToArray(bytes, 0)
       Multimodal.sniffHeader(bytes) // must not throw
     }
   }
@@ -156,7 +199,8 @@ class MultimodalSpec extends SparkTestBase {
     val png = realPng(320, 200)
     val wav = realWav(22050, 1, 128)
     val raw = "plain raw bytes, no container".getBytes("UTF-8")
-    val in = Seq((1L, png, "image"), (2L, wav, "audio"), (3L, raw, "image"))
+    val jpg = realJpeg(512, 288)
+    val in = Seq((1L, png, "image"), (2L, wav, "audio"), (3L, raw, "image"), (4L, jpg, "image"))
       .toDF("doc_id", "payload", "modality")
       .select(col("doc_id"), col("payload"),
         struct(col("modality"),
@@ -173,5 +217,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows(3L).getAs[Int]("width") == raw.length % 1920 &&
       rows(3L).getAs[Int]("height") == raw.length % 1080,
       "raw payloads keep the deterministic fallback dims the mm2 oracle mirrors")
+    assert(rows(4L).getAs[Int]("width") == 512 && rows(4L).getAs[Int]("height") == 288,
+      "JPEG payload must carry its true SOF0 pixel dimensions")
   }
 }
