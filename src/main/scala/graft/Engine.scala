@@ -146,7 +146,11 @@ object Engine {
       // recompute-per-query semantics for the metadata views
       // (metadata.rs:26-34): DDL between statements must be visible
       if (InfoSchema.referencesInfoSchema(s)) InfoSchema.register(spark)
-      spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))))
+      SqlShim.parseCatalogCmd(s) match {
+        case Some(cmd) => SqlShim.execCatalogCmd(spark, cmd); spark.emptyDataFrame
+        case None =>
+          spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))))
+      }
     }.last
   }
 }

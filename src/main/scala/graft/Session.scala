@@ -119,6 +119,17 @@ final class Session(val id: String, val spark: SparkSession,
           commit(); affectedDf(0)
         case "ROLLBACK" | "ABORT" =>
           rollback(); affectedDf(0)
+        // ATTACH/DETACH are engine surface (session/mod.rs:448-463,
+        // ducklake_basic.test) — Spark's parser would reject them, and a
+        // gateway/CLI client must get catalog registration, not a parse
+        // error. USE passes through: Spark's USE IS the current-catalog
+        // switch. Unparseable ATTACH text falls to Spark for its error.
+        case "ATTACH" | "DETACH" => abortTxnOnError {
+          SqlShim.parseCatalogCmd(clean) match {
+            case Some(cmd) => SqlShim.execCatalogCmd(spark, cmd); affectedDf(0)
+            case None      => spark.sql(clean)
+          }
+        }
         case _ => abortTxnOnError {
           catalog.flatMap(_.route(clean, txn)) match {
             case Some(n) => affectedDf(n)

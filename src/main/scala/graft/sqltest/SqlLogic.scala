@@ -117,18 +117,17 @@ final class SqlLogicExec(spark: SparkSession, testDir: Path) {
 
   // === statement execution with dialect mapping ============================
 
-  private val attachRe =
-    "(?is)^\\s*ATTACH\\s+'[^']*'\\s+AS\\s+([A-Za-z_][\\w]*)\\s*(\\(.*\\))?\\s*;?\\s*$".r
-  private val detachRe = "(?is)^\\s*DETACH\\s+([A-Za-z_][\\w]*)\\s*;?\\s*$".r
   private val createTableRe = "(?is)^\\s*(CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?)(.+?)\\s*\\((.*)\\)\\s*;?\\s*$".r
   private val insertValuesRe = "(?is)^\\s*INSERT\\s+INTO\\s+([^(\\s]+)\\s+VALUES\\s*(.+?);?\\s*$".r
 
   def execStatement(raw: String): Unit = {
     val sql = quoteIdents(raw.trim)
     sql match {
-      case attachRe(name, _) =>
-        spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
-      case detachRe(_) => // catalog stays registered; data survives re-attach
+      // ATTACH/DETACH ride the ENGINE's translation (graft.SqlShim —
+      // the same path a live gateway/CLI client exercises), not a
+      // runner-private rewrite
+      case _ if SqlShim.parseCatalogCmd(sql).isDefined =>
+        SqlShim.execCatalogCmd(spark, SqlShim.parseCatalogCmd(sql).get)
       case _ if sql.toUpperCase.startsWith("SHOW ALL TABLES") =>
         spark.sql("SHOW TABLES").collect()
       case createTableRe(prefix, name, cols) if !cols.toUpperCase.startsWith("SELECT") =>

@@ -76,6 +76,30 @@ class SqlGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("ATTACH → DDL/DML → DETACH → re-ATTACH durability over the socket (r13 #2)") {
+    withGateway { (port, _) =>
+      // the ducklake_basic.test lifecycle, driven by a live HTTP client
+      // through Session.sql (NOT the test runner's private rewrite)
+      assert(post(port, "ATTACH 'ducklake:/tmp/gw_lake.db' AS gw_lake (DATA_PATH '/tmp/gw_lake_files')",
+        session = Some("attacher"))._1 == 200)
+      assert(post(port, "DROP TABLE IF EXISTS gw_lake.t", session = Some("attacher"))._1 == 200)
+      assert(post(port, "CREATE TABLE gw_lake.t(i INT, j INT)",
+        session = Some("attacher"))._1 == 200)
+      assert(post(port, "INSERT INTO gw_lake.t VALUES (1, 2), (3, 4)",
+        session = Some("attacher"))._1 == 200)
+      assert(post(port, "DETACH gw_lake", session = Some("attacher"))._1 == 200)
+      // re-attach FROM A DIFFERENT SESSION: the lake is durable, the
+      // tables and rows must all survive
+      assert(post(port, "ATTACH 'ducklake:/tmp/gw_lake.db' AS gw_lake",
+        session = Some("reattacher"))._1 == 200)
+      val (c, b, _) = post(port,
+        "SELECT COUNT(*) AS n, SUM(i + j) AS s FROM gw_lake.t", session = Some("reattacher"))
+      assert(c == 200 && new String(b).contains("\"rows\":[[2,10]]"),
+        s"durable re-attach must see the inserted rows: ${new String(b)}")
+      post(port, "DROP TABLE gw_lake.t", session = Some("reattacher"))
+    }
+  }
+
   test("errors map to HTTP statuses: parse 400, missing table 404, GET 405") {
     withGateway { (port, _) =>
       val (c1, b1, _) = post(port, "SELEKT 1")

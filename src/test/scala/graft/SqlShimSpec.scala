@@ -43,6 +43,21 @@ class SqlShimSpec extends AnyFunSuite {
     assert(!SqlShim.containsQuery("CREATE TABLE t (a INT); INSERT INTO t VALUES (1)"))
   }
 
+  test("parseCatalogCmd recognizes ATTACH/DETACH and nothing else") {
+    assert(SqlShim.parseCatalogCmd(
+      "ATTACH 'ducklake:/tmp/l.db' AS lake (DATA_PATH '/tmp/files')")
+      .contains(SqlShim.Attach("lake", "ducklake:/tmp/l.db")))
+    assert(SqlShim.parseCatalogCmd("ATTACH DATABASE 'x.db' AS `my lake`;")
+      .contains(SqlShim.Attach("my lake", "x.db")))
+    assert(SqlShim.parseCatalogCmd("DETACH lake").contains(SqlShim.Detach("lake")))
+    assert(SqlShim.parseCatalogCmd("DETACH DATABASE \"Lake2\";")
+      .contains(SqlShim.Detach("Lake2")))
+    // leading comments are stripped like every other shim classification
+    assert(SqlShim.parseCatalogCmd("-- note\nDETACH lake").contains(SqlShim.Detach("lake")))
+    assert(SqlShim.parseCatalogCmd("SELECT 'ATTACH' AS s").isEmpty)
+    assert(SqlShim.parseCatalogCmd("ATTACH importance TO report").isEmpty)
+  }
+
   test("stripSelectLocks removes FOR UPDATE / FOR SHARE variants") {
     assert(SqlShim.stripSelectLocks("SELECT * FROM t FOR UPDATE") == "SELECT * FROM t")
     assert(SqlShim.stripSelectLocks("SELECT * FROM t FOR SHARE") == "SELECT * FROM t")
