@@ -76,15 +76,30 @@ object SqlGateway {
     val wantArrow = Option(ex.getRequestHeaders.getFirst("Accept"))
       .exists(_.contains(arrowContentType))
     val t0 = System.nanoTime()
+    // once the chunked 200 status line is on the wire, an error can no
+    // longer change the HTTP status — it surfaces as a truncated IPC
+    // stream (exactly what a Flight client sees when a DoGet stream
+    // dies mid-flight); the catch below must not try to re-respond
+    var headersSent = false
     try {
       val df = registry.getOrCreate(peer).sql(sql)
       if (wantArrow) {
-        val bytes = org.apache.spark.sql.graft.ArrowWire.toIpcStream(df)
+        // STREAMED wire (SURVEY §6, VERDICT r13 #3): Arrow IPC frames go
+        // out with chunked transfer as writeIpcStream pulls result
+        // partitions — server memory is bounded by one partition + one
+        // batch, never the whole result. Planning is forced FIRST so
+        // analysis/optimizer errors still map to HTTP statuses.
+        df.queryExecution.executedPlan
+        ex.getResponseHeaders.set("Content-Type", arrowContentType)
+        ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+        headersSent = true
+        val os = ex.getResponseBody
+        try org.apache.spark.sql.graft.ArrowWire.writeIpcStream(df, os)
+        finally os.close()
         // IPC stream length is not a row count; record rows from the
         // collected frame only on the JSON path — Arrow clients read
         // the count from the stream itself
         metrics.record(sql, (System.nanoTime() - t0) / 1000000)
-        respond(ex, 200, arrowContentType, bytes)
       } else {
         val rows = df.collect()
         metrics.record(sql, (System.nanoTime() - t0) / 1000000, rows.length.toLong)
@@ -92,6 +107,11 @@ object SqlGateway {
           jsonResult(df.schema.fieldNames, rows).getBytes(StandardCharsets.UTF_8))
       }
     } catch {
+      case t: Throwable if headersSent =>
+        // mid-stream failure after the 200 went out: the aborted chunked
+        // body IS the error signal (truncated IPC stream); just record
+        metrics.recordError(sql, Option(t.getMessage).getOrElse(t.getClass.getName))
+        ex.close()
       case t: Throwable =>
         metrics.recordError(sql, Option(t.getMessage).getOrElse(t.getClass.getName))
         val status = ErrorMapping.classify(t)

@@ -21,9 +21,11 @@ import org.apache.spark.sql.graft.ArrowWire
   * The adapter translates ticket payloads at the framing boundary.
   *
   * Scale note: `doGet` returns one materialized IPC byte array because
-  * the in-proc consumer is the test harness; the underlying
-  * `ArrowWire.toIpcStream` iterates executeCollect batches, so a
-  * streaming transport can emit the same frames incrementally.
+  * the in-proc consumer is the test harness; the underlying writer
+  * (`ArrowWire.writeIpcStream`) is incremental — the SQL gateway wires
+  * the SAME frames to chunked HTTP transfer, bounding server memory by
+  * one partition + one batch, and a gRPC adapter would emit them as
+  * individual FlightData messages the same way.
   */
 final class FlightSqlProducer(
     val registry: SessionRegistry,

@@ -76,6 +76,37 @@ class SqlGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("arrow responses stream chunked: multi-batch result, no Content-Length (r13 #3)") {
+    withGateway { (port, _) =>
+      val conn = new URL(s"http://127.0.0.1:$port/sql")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Accept", SqlGateway.arrowContentType)
+      conn.getOutputStream.write(
+        "SELECT id AS v FROM range(0, 6000)".getBytes(StandardCharsets.UTF_8))
+      assert(conn.getResponseCode == 200)
+      // chunked transfer = streamed body; a buffered response would have
+      // carried Content-Length instead
+      assert(Option(conn.getHeaderField("Transfer-encoding")).exists(_.equalsIgnoreCase("chunked")),
+        s"expected chunked transfer, headers: ${conn.getHeaderFields}")
+      assert(conn.getHeaderField("Content-Length") == null)
+      val body = conn.getInputStream.readAllBytes()
+      conn.disconnect()
+      // the stream must carry MULTIPLE record-batch messages (6000 rows
+      // at the 2048-row wire batch size) and decode to the full result
+      val allocator = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(body), allocator)
+      var batches = 0; var rows = 0L
+      try while (reader.loadNextBatch()) {
+        batches += 1; rows += reader.getVectorSchemaRoot.getRowCount
+      } finally { reader.close(); allocator.close() }
+      assert(batches >= 3 && rows == 6000,
+        s"expected >=3 batches / 6000 rows on the wire, got $batches / $rows")
+    }
+  }
+
   test("ATTACH → DDL/DML → DETACH → re-ATTACH durability over the socket (r13 #2)") {
     withGateway { (port, _) =>
       // the ducklake_basic.test lifecycle, driven by a live HTTP client

@@ -66,6 +66,15 @@ class TicketCodecSpec extends AnyFunSuite {
   }
 }
 
+/** Cross-thread probe for the streaming-wire spec: tasks bump
+  * `partitionsDone` (local mode — same JVM), the recording sink logs the
+  * count seen at each wire write.
+  */
+object ArrowStreamProbe {
+  val partitionsDone = new java.util.concurrent.atomic.AtomicInteger()
+  val writeEvents = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+}
+
 class ArrowWireSpec extends SparkTestBase {
 
   test("toIpcStream/fromIpcStream round-trips a query result (execute.rs wire path)") {
@@ -84,6 +93,34 @@ class ArrowWireSpec extends SparkTestBase {
     val bytes = ArrowWire.toIpcStream(df)
     val back = ArrowWire.fromIpcStream(spark, bytes)
     assert(back.count() == 5000)
+  }
+
+  test("writeIpcStream is incremental: wire bytes go out before the last partition computes (r13 #3)") {
+    import spark.implicits._
+    ArrowStreamProbe.partitionsDone.set(0)
+    ArrowStreamProbe.writeEvents.clear()
+    val nParts = 8
+    val df = spark.range(0, 20000, 1, nParts).mapPartitions { it =>
+      val rows = it.toArray // partition fully computed HERE, in the task
+      ArrowStreamProbe.partitionsDone.incrementAndGet()
+      rows.iterator
+    }.toDF("v")
+    val sink = new java.io.OutputStream {
+      private def mark(): Unit = ArrowStreamProbe.writeEvents.add(ArrowStreamProbe.partitionsDone.get())
+      override def write(b: Int): Unit = mark()
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = mark()
+    }
+    val batches = ArrowWire.writeIpcStream(df, sink)
+    assert(batches >= 9, s"20000 rows at 2048/batch must frame >=9 batches, got $batches")
+    val events = {
+      import scala.jdk.CollectionConverters._
+      ArrowStreamProbe.writeEvents.asScala.toVector
+    }
+    assert(events.head == 0,
+      "the schema message must hit the wire before ANY result partition is computed")
+    assert(events.exists(v => v > 0 && v < nParts),
+      "record batches must stream out WHILE partitions are still being computed " +
+        s"(saw write events at partition counts ${events.distinct})")
   }
 
   test("ingest direction feeds BatchAlign (A7/A10 DoPut path)") {
