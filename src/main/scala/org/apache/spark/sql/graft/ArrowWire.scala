@@ -39,25 +39,39 @@ object ArrowWire {
 
   val defaultBatchRows = 2048
 
+  /** Result partitions fetched per driver round-trip on the wire path.
+    * The tradeoff: `toLocalIterator`-style one-at-a-time fetching is
+    * maximally memory-safe but runs partitions SEQUENTIALLY, one job
+    * each — an 80-partition table turned a point read into 80 serial
+    * jobs (~1.3 s measured, round-14 YCSB diagnosis). One wave = one
+    * job over `wavePartitions` partitions computed in PARALLEL, so any
+    * result at or under the wave size costs exactly one collect-shaped
+    * job, while bigger results stay bounded at wave-size partitions of
+    * driver memory (at cluster file sizing, 16 x ~128 MB ≈ 2 GB —
+    * a driver-sized buffer, not a result-sized one).
+    */
+  val defaultWavePartitions = 16
+
   /** Write a DataFrame's result to `out` as an Arrow IPC stream,
-    * INCREMENTALLY: rows come off `executeToIterator()` (one partition
-    * resident at a time — RDD.toLocalIterator job-per-partition
-    * semantics), are framed into ≤`maxRecordsPerBatch`-row record-batch
-    * messages, and each message is written as soon as it is full. Server
-    * memory on the wire path is bounded by one partition + one batch —
-    * a 100 TB-scale DoGet never buffers the whole result on the driver
-    * (SURVEY §6 streamed-results requirement; VERDICT r13 #3). The
-    * schema message goes out before ANY result partition is computed,
-    * so the first wire byte precedes the last batch by construction.
-    * Returns the number of record-batch messages written.
+    * INCREMENTALLY: rows are fetched a WAVE of partitions at a time
+    * (see [[defaultWavePartitions]]), framed into
+    * ≤`maxRecordsPerBatch`-row record-batch messages, and each message
+    * is written as soon as it is full. Server memory on the wire path
+    * is bounded by one wave + one batch — a 100 TB-scale DoGet never
+    * buffers the whole result on the driver (SURVEY §6 streamed-results
+    * requirement; VERDICT r13 #3). The schema message goes out before
+    * ANY result partition is computed, so the first wire byte precedes
+    * the last batch by construction. Returns the number of record-batch
+    * messages written.
     */
   def writeIpcStream(df: DataFrame, out: java.io.OutputStream,
-      maxRecordsPerBatch: Int = defaultBatchRows): Long = {
+      maxRecordsPerBatch: Int = defaultBatchRows,
+      wavePartitions: Int = defaultWavePartitions): Long = {
     val spark = df.sparkSession
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val schema = df.schema
     val batches = ArrowConverters.toBatchIterator(
-      df.queryExecution.executedPlan.executeToIterator(),
+      wavedRowIterator(df, wavePartitions),
       schema, maxRecordsPerBatch.toLong, tz, true, false, TaskContext.get())
     val ch = new WriteChannel(Channels.newChannel(out))
     MessageSerializer.serialize(ch, ArrowUtils.toArrowSchema(schema, tz, true, false))
@@ -67,6 +81,24 @@ object ArrowWire {
     ch.writeIntLittleEndian(MessageSerializer.IPC_CONTINUATION_TOKEN)
     ch.writeIntLittleEndian(0)
     n
+  }
+
+  /** Lazily iterate a plan's result rows, one wave of partitions per
+    * job (each wave's partitions compute in parallel; rows are copied
+    * off the unsafe buffers before crossing jobs).
+    */
+  private def wavedRowIterator(df: DataFrame,
+      wavePartitions: Int): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val rdd = df.queryExecution.executedPlan.execute().map(_.copy())
+    val n = rdd.getNumPartitions
+    if (n == 0) Iterator.empty
+    else {
+      val sc = df.sparkSession.sparkContext
+      (0 until n).grouped(math.max(1, wavePartitions)).iterator.flatMap { ps =>
+        sc.runJob(rdd, (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => it.toArray, ps)
+          .iterator.flatten
+      }
+    }
   }
 
   /** Encode a DataFrame's result as a complete Arrow IPC stream (the

@@ -110,7 +110,9 @@ class ArrowWireSpec extends SparkTestBase {
       override def write(b: Int): Unit = mark()
       override def write(b: Array[Byte], off: Int, len: Int): Unit = mark()
     }
-    val batches = ArrowWire.writeIpcStream(df, sink)
+    // wave of 2 over 8 partitions: batches must hit the wire between
+    // waves, while later partitions are still uncomputed
+    val batches = ArrowWire.writeIpcStream(df, sink, wavePartitions = 2)
     assert(batches >= 9, s"20000 rows at 2048/batch must frame >=9 batches, got $batches")
     val events = {
       import scala.jdk.CollectionConverters._
