@@ -127,6 +127,13 @@ class SqlGatewaySpec extends SparkTestBase {
         "SELECT COUNT(*) AS n, SUM(i + j) AS s FROM gw_lake.t", session = Some("reattacher"))
       assert(c == 200 && new String(b).contains("\"rows\":[[2,10]]"),
         s"durable re-attach must see the inserted rows: ${new String(b)}")
+      // USE switches the session's current database (session/mod.rs's
+      // current-catalog semantics ride Spark's own USE) — bare names
+      // then resolve inside the attached lake
+      assert(post(port, "USE gw_lake", session = Some("reattacher"))._1 == 200)
+      val (cu, bu, _) = post(port, "SELECT COUNT(*) AS n FROM t", session = Some("reattacher"))
+      assert(cu == 200 && new String(bu).contains("\"rows\":[[2]]"),
+        s"bare name must resolve in the USEd database: ${new String(bu)}")
       post(port, "DROP TABLE gw_lake.t", session = Some("reattacher"))
     }
   }
