@@ -371,11 +371,26 @@ object Bench {
     }
 
     names.foreach(execute) // warmup pass (not reported)
-    // mean of 3 — the reference reports weighted averages over a window
+    // phase-wide contamination telemetry, same meters as the windows:
+    // the per-query numbers are graded against BASELINE.md's per-query
+    // table, so they need the same self-defense (r13's driver run
+    // inflated trivial queries 7-12x under host load)
+    val serialCpu0 = HostLoad.sample(); val serialIo0 = HostLoad.ioSample()
+    val serialT0 = System.nanoTime()
+    // MEDIAN of 3 per query: one contended GC/IO burst shifts a mean by
+    // its full cost but leaves the median untouched; the reference's
+    // per-query numbers are themselves window averages over many
+    // executions, which a robust single-number estimator matches better
+    // than a 3-sample mean
     val results = names.map { n =>
       val runs = (1 to 3).map(_ => execute(n))
-      n -> (if (runs.exists(_ < 0)) -1.0 else runs.sum / runs.size)
+      n -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
     }
+    val serialElapsed = (System.nanoTime() - serialT0) / 1e9
+    val serialExt = HostLoad.externalCores(serialCpu0, HostLoad.sample(), serialElapsed)
+    val serialIo1 = HostLoad.ioSample()
+    val serialIow = HostLoad.ioWaitCores(serialIo0, serialIo1, serialElapsed)
+    val serialDisk = HostLoad.diskBusyFrac(serialIo0, serialIo1, serialElapsed)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -405,6 +420,11 @@ object Bench {
       // headline had to fall back to contaminated windows
       s""""windows_external_cpu_cores":$windowsExtJson,""" +
       s""""windows_iowait_cores":$windowsIowJson,""" +
+      s""""serial_external_cpu_cores":$serialExt,""" +
+      s""""serial_iowait_cores":$serialIow,""" +
+      s""""serial_disk_busy_frac":$serialDisk,""" +
+      s""""serial_elapsed_sec":$serialElapsed,""" +
+      s""""serial_methodology":"median_of_3_prepared_reexecutions_after_warmup_pass",""" +
       s""""windows_disk_busy_frac":$windowsDiskJson,""" +
       s""""iowait_threshold_cores":$ioWaitThresholdCores,""" +
       s""""disk_busy_threshold_frac":$diskBusyThresholdFrac,""" +
