@@ -1259,6 +1259,76 @@ object TextAnalysis {
        |ORDER BY n_docs DESC, shingle LIMIT $k""".stripMargin
   }
 
+  // === memorization-risk audit =============================================
+  /** mem1: per-source exposure to cross-document repeated 5-gram spans —
+    * the memorization-risk report an LLM-data owner reads next to dd2's
+    * near-dup pairs (span1 inventories the repeated SPANS; this scores
+    * the DOCUMENTS carrying them, rolled up per source). A doc's risky
+    * grams are its distinct 5-grams appearing in >= `minDocs` distinct
+    * documents; sources are scored by how many docs carry any, and what
+    * fraction of their gram mass is repeated (Lee et al. 2022 showed
+    * exactly these spans are what models memorize and regurgitate).
+    *
+    * Scale shape: shingling is map-only (reuses [[Dedup.shingles]], the
+    * dd2/span1 stream); gram doc-counts are one map-combinable shuffle
+    * on the gram; the count join re-shuffles on the same gram key (no
+    * broadcast — the gram side grows with the corpus); per-doc and
+    * per-source rollups are map-combinable with bounded key spaces.
+    * All counters are exact BIGINTs; the one DOUBLE is a final guarded
+    * division.
+    */
+  def memorizationRisk(s: SparkSession, dir: String, n: Int = 5,
+      minDocs: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(s, dir, n)
+    val gramDocs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gram_docs"))
+    val perDoc = sh.join(gramDocs, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_grams"),
+        sum(when(col("gram_docs") >= minDocs, 1L).otherwise(0L)).as("n_risky"))
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum(when(col("n_risky") > 0, 1L).otherwise(0L)).as("n_risky_docs"),
+        coalesce(sum(col("n_grams")), lit(0L)).as("total_grams"),
+        coalesce(sum(col("n_risky")), lit(0L)).as("risky_grams"))
+      .select(col("source"), col("n_docs"), col("n_risky_docs"),
+        col("total_grams"), col("risky_grams"),
+        when(col("total_grams") > 0,
+          col("risky_grams").cast(DoubleType) / col("total_grams").cast(DoubleType))
+          .as("risky_frac"))
+      .orderBy(col("source"))
+  }
+
+  def memorizationRiskSql(n: Int = 5, minDocs: Int = 3): String = {
+    val terms = (0 until n).map(j => s"t[i+$j]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - ${n - 1}),
+       |           i -> concat_ws(' ', $terms))) AS shingle
+       |    FROM toks WHERE len(t) >= $n)),
+       |gd AS (SELECT shingle, COUNT(*) AS gram_docs FROM sh GROUP BY shingle),
+       |pd AS (SELECT doc_id, COUNT(*) AS n_grams,
+       |         SUM(CASE WHEN gram_docs >= $minDocs THEN 1 ELSE 0 END) AS n_risky
+       |       FROM sh JOIN gd USING (shingle) GROUP BY doc_id)
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_risky > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_docs,
+       |  CAST(COALESCE(SUM(n_grams), 0) AS BIGINT) AS total_grams,
+       |  CAST(COALESCE(SUM(n_risky), 0) AS BIGINT) AS risky_grams,
+       |  CASE WHEN COALESCE(SUM(n_grams), 0) > 0
+       |       THEN CAST(COALESCE(SUM(n_risky), 0) AS DOUBLE)
+       |            / CAST(COALESCE(SUM(n_grams), 0) AS DOUBLE) END AS risky_frac
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+  }
+
   // === corpus composition report ===========================================
   /** rep1: the per-(source, language) corpus report card — document and
     * token counts plus the quality-kept fraction, the first table a
@@ -2708,6 +2778,7 @@ object TextAnalysis {
     "tok4_coverage_curve" -> ((s: SparkSession, d: String) => coverageCurve(s, d)),
     "chunk1_doc_spans" -> ((s: SparkSession, d: String) => docChunks(s, d)),
     "span1_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedSpans(s, d)),
+    "mem1_memorization_risk" -> ((s: SparkSession, d: String) => memorizationRisk(s, d)),
     "rep1_corpus_report" -> corpusReport _,
     "smp3_mixture_balance" -> mixtureBalance _,
     "tok1_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
@@ -2762,6 +2833,7 @@ object TextAnalysis {
     "tok4_coverage_curve" -> coverageCurveSql(),
     "chunk1_doc_spans" -> docChunksSql(),
     "span1_repeated_ngrams" -> repeatedSpansSql(),
+    "mem1_memorization_risk" -> memorizationRiskSql(),
     "rep1_corpus_report" -> corpusReportSql,
     "smp3_mixture_balance" -> mixtureBalanceSql,
     "tok1_vocab_coverage" -> vocabCoverageSql(),

@@ -132,6 +132,43 @@ class ValuePinSpec extends SparkTestBase {
     }
   }
 
+  test("mem1: risky grams, risky docs, and fractions on a hand-built 5-doc corpus") {
+    // 5-grams: d1 {"a b c d e","b c d e f"}, d2 {"a b c d e"},
+    // d3 {"a b c d e","b c d e x"}, d4 {"z y x w v"}, d5 none (<5 toks).
+    // Only "a b c d e" reaches minDocs=3 (d1,d2,d3).
+    // s1 = {d1,d2}: total 3 grams, 2 risky, both docs risky -> frac 2/3.
+    // s2 = {d3,d4,d5}: total 3 grams, 1 risky, 1 risky doc -> frac 1/3.
+    val dir = freshDir()
+    writeDocs(dir, Seq(
+      (1L, "a b c d e f", "en", "s1"),
+      (2L, "a b c d e", "en", "s1"),
+      (3L, "a b c d e x", "en", "s2"),
+      (4L, "z y x w v", "en", "s2"),
+      (5L, "short one", "en", "s2")))
+    val rows = TextAnalysis.memorizationRisk(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("s1", "s2"))
+    val s1 = rows(0); val s2 = rows(1)
+    assert(s1.getAs[Long]("n_docs") == 2L && s1.getAs[Long]("n_risky_docs") == 2L)
+    assert(s1.getAs[Long]("total_grams") == 3L && s1.getAs[Long]("risky_grams") == 2L)
+    assert(s1.getAs[Double]("risky_frac") == 2.0 / 3.0)
+    assert(s2.getAs[Long]("n_docs") == 3L && s2.getAs[Long]("n_risky_docs") == 1L)
+    assert(s2.getAs[Long]("total_grams") == 3L && s2.getAs[Long]("risky_grams") == 1L)
+    assert(s2.getAs[Double]("risky_frac") == 1.0 / 3.0)
+  }
+
+  test("mem1: real-corpus invariants — risky subsets bounded, fraction in [0,1]") {
+    val rows = TextAnalysis.memorizationRisk(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_risky_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("risky_grams") <= r.getAs[Long]("total_grams"))
+      if (!r.isNullAt(r.fieldIndex("risky_frac"))) {
+        val f = r.getAs[Double]("risky_frac")
+        assert(f >= 0.0 && f <= 1.0)
+      }
+    }
+  }
+
   test("tok1: OOV ratio is exactly 6/30 when 6 of 30 singleton tokens fall past the cut") {
     // One doc of 30 distinct tokens t01..t30, all tf = 1: the top-24
     // vocabulary keeps t01..t24 (tf ties break token-ascending), so
