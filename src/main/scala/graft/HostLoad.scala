@@ -91,9 +91,14 @@ object HostLoad {
       if (f.length > 5) f(5).toLongOption else None
     }.getOrElse(0L)
 
-  /** Summed io_ticks (ms in flight) of whole physical devices — vd/sd/
-    * nvme/xvd names without a partition digit suffix, so partitions are
-    * not double-counted against their parent device.
+  /** Summed io_ticks (ms in flight) of whole block devices, partitions
+    * excluded so they are not double-counted against their parent.
+    * Covers the plain-disk families (vd/sd/xvd: whole iff no trailing
+    * digit) and the digit-suffixed families (nvme/mmcblk/rbd/md/dm-:
+    * whole iff no 'p' partition infix — none of those prefixes contains
+    * a 'p' of its own). Stacked devices (dm- over sd) CAN both tick for
+    * one IO; that over-counts busy time, which biases toward flagging a
+    * window suspect — the safe direction for a grading defense.
     */
   private[graft] def parseDiskstatsIoTicks(diskstats: String): Long =
     diskstats.linesIterator.flatMap { line =>
@@ -101,9 +106,12 @@ object HostLoad {
       if (f.length < 13) None
       else {
         val name = f(2)
-        val whole = (name.startsWith("vd") || name.startsWith("sd") ||
-          name.startsWith("nvme") || name.startsWith("xvd")) &&
-          (!name.last.isDigit || name.startsWith("nvme") && !name.contains("p"))
+        val whole =
+          if (name.startsWith("nvme") || name.startsWith("mmcblk") ||
+            name.startsWith("rbd") || name.startsWith("md") || name.startsWith("dm-"))
+            !name.contains('p')
+          else (name.startsWith("vd") || name.startsWith("sd") ||
+            name.startsWith("xvd")) && !name.last.isDigit
         if (whole) f(12).toLongOption else None
       }
     }.sum

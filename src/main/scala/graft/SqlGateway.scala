@@ -85,16 +85,18 @@ object SqlGateway {
       val df = registry.getOrCreate(peer).sql(sql)
       if (wantArrow) {
         // STREAMED wire (SURVEY §6, VERDICT r13 #3): Arrow IPC frames go
-        // out with chunked transfer as writeIpcStream pulls result
-        // partitions — server memory is bounded by one partition + one
-        // batch, never the whole result. Planning is forced FIRST so
-        // analysis/optimizer errors still map to HTTP statuses.
-        df.queryExecution.executedPlan
+        // out with chunked transfer as the prepared stream pulls result
+        // partitions — server memory is bounded by one wave + one batch,
+        // never the whole result. prepareIpcStream forces planning AND
+        // the first wave BEFORE the status line, so analysis errors and
+        // most runtime failures (missing file, ANSI cast, div-by-zero)
+        // still map to HTTP statuses instead of a broken 200 body.
+        val write = org.apache.spark.sql.graft.ArrowWire.prepareIpcStream(df)
         ex.getResponseHeaders.set("Content-Type", arrowContentType)
         ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
         headersSent = true
         val os = ex.getResponseBody
-        try org.apache.spark.sql.graft.ArrowWire.writeIpcStream(df, os)
+        try write(os)
         finally os.close()
         // IPC stream length is not a row count; record rows from the
         // collected frame only on the JSON path — Arrow clients read
@@ -108,8 +110,10 @@ object SqlGateway {
       }
     } catch {
       case t: Throwable if headersSent =>
-        // mid-stream failure after the 200 went out: the aborted chunked
-        // body IS the error signal (truncated IPC stream); just record
+        // mid-stream failure after the 200 went out: the body ends
+        // WITHOUT the Arrow end-of-stream marker (the writer seals only
+        // complete streams), which ArrowWire.readIpc rejects — the
+        // missing seal IS the error signal; just record and close
         metrics.recordError(sql, Option(t.getMessage).getOrElse(t.getClass.getName))
         ex.close()
       case t: Throwable =>
@@ -190,7 +194,7 @@ object SqlGateway {
     case other => jstr(other.toString) // dates, timestamps, strings, intervals
   }
 
-  private def jstr(s: String): String = {
+  private[graft] def jstr(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '"' => sb.append("\\\"")

@@ -180,7 +180,12 @@ final class MutableTable private (
       case None =>
         val bytes = aligned.queryExecution.optimizedPlan.stats.sizeInBytes
         val target = ((bytes / (32L << 20)) + 1).min(BigInt(10000)).max(BigInt(1)).toInt
-        if (aligned.rdd.getNumPartitions > target) aligned.coalesce(target) else aligned
+        // coalesce never RAISES the partition count, so no probe needed
+        // — touching `aligned.rdd` here would finalize the adaptive plan
+        // and execute every shuffle stage once, doubling shuffle-bearing
+        // DML (the write below re-executes; no exchange reuse across
+        // executions)
+        aligned.coalesce(target)
     }
     out.write.parquet(staged.toString)
     val names = adoptStaged(staged)

@@ -122,12 +122,17 @@ final class SqlLogicExec(spark: SparkSession, testDir: Path) {
 
   def execStatement(raw: String): Unit = {
     val sql = quoteIdents(raw.trim)
+    // ATTACH/DETACH ride the ENGINE's translation (graft.SqlShim — the
+    // same path a live gateway/CLI client exercises), not a
+    // runner-private rewrite; parsed once
+    SqlShim.parseCatalogCmd(sql) match {
+      case Some(cmd) => SqlShim.execCatalogCmd(spark, cmd)
+      case None => execPlain(sql)
+    }
+  }
+
+  private def execPlain(sql: String): Unit = {
     sql match {
-      // ATTACH/DETACH ride the ENGINE's translation (graft.SqlShim —
-      // the same path a live gateway/CLI client exercises), not a
-      // runner-private rewrite
-      case _ if SqlShim.parseCatalogCmd(sql).isDefined =>
-        SqlShim.execCatalogCmd(spark, SqlShim.parseCatalogCmd(sql).get)
       case _ if sql.toUpperCase.startsWith("SHOW ALL TABLES") =>
         spark.sql("SHOW TABLES").collect()
       case createTableRe(prefix, name, cols) if !cols.toUpperCase.startsWith("SELECT") =>

@@ -59,36 +59,65 @@ object ArrowWire {
     * is written as soon as it is full. Server memory on the wire path
     * is bounded by one wave + one batch — a 100 TB-scale DoGet never
     * buffers the whole result on the driver (SURVEY §6 streamed-results
-    * requirement; VERDICT r13 #3). The schema message goes out before
-    * ANY result partition is computed, so the first wire byte precedes
-    * the last batch by construction. Returns the number of record-batch
-    * messages written.
+    * requirement; VERDICT r13 #3). The schema message goes out after at
+    * most the first wave (see [[prepareIpcStream]] priming), so the
+    * first wire byte still precedes the last batch by construction.
+    * Returns the number of record-batch messages written.
     */
   def writeIpcStream(df: DataFrame, out: java.io.OutputStream,
       maxRecordsPerBatch: Int = defaultBatchRows,
-      wavePartitions: Int = defaultWavePartitions): Long = {
+      wavePartitions: Int = defaultWavePartitions): Long =
+    prepareIpcStream(df, maxRecordsPerBatch, wavePartitions)(out)
+
+  /** Two-phase form of [[writeIpcStream]] for wire servers: the CALL
+    * forces physical planning AND computes the first wave, so the
+    * runtime failures a query usually has (missing file, ANSI cast,
+    * division by zero) surface while the HTTP status line can still say
+    * 4xx/5xx; the returned closure streams schema + batches + the
+    * END-OF-STREAM marker to an OutputStream. The EOS marker is written
+    * only when every batch went out — a mid-stream failure leaves the
+    * stream without it, which [[readIpc]] rejects, so a partial result
+    * can never be mistaken for a complete one.
+    */
+  def prepareIpcStream(df: DataFrame,
+      maxRecordsPerBatch: Int = defaultBatchRows,
+      wavePartitions: Int = defaultWavePartitions): java.io.OutputStream => Long = {
     val spark = df.sparkSession
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val schema = df.schema
-    val batches = ArrowConverters.toBatchIterator(
-      wavedRowIterator(df, wavePartitions),
-      schema, maxRecordsPerBatch.toLong, tz, true, false, TaskContext.get())
-    val ch = new WriteChannel(Channels.newChannel(out))
-    MessageSerializer.serialize(ch, ArrowUtils.toArrowSchema(schema, tz, true, false))
-    var n = 0L
-    batches.foreach { b => ch.write(b); n += 1 }
-    // end-of-stream: continuation token + zero length
-    ch.writeIntLittleEndian(MessageSerializer.IPC_CONTINUATION_TOKEN)
-    ch.writeIntLittleEndian(0)
-    n
+    val rows = wavedRowIterator(df, wavePartitions)
+    rows.hasNext // prime: runs the first wave (and AQE stage materialization) NOW
+    out => {
+      val batches = ArrowConverters.toBatchIterator(
+        rows, schema, maxRecordsPerBatch.toLong, tz, true, false, TaskContext.get())
+      val ch = new WriteChannel(Channels.newChannel(out))
+      MessageSerializer.serialize(ch, ArrowUtils.toArrowSchema(schema, tz, true, false))
+      var n = 0L
+      batches.foreach { b => ch.write(b); n += 1 }
+      // end-of-stream: continuation token + zero length — the
+      // completeness seal (only reached when every batch is out)
+      ch.writeIntLittleEndian(MessageSerializer.IPC_CONTINUATION_TOKEN)
+      ch.writeIntLittleEndian(0)
+      n
+    }
   }
 
   /** Lazily iterate a plan's result rows, one wave of partitions per
     * job (each wave's partitions compute in parallel; rows are copied
-    * off the unsafe buffers before crossing jobs).
+    * off the unsafe buffers before crossing jobs). A top-level LIMIT
+    * plan instead rides `executeCollect` — Spark's executeTake path
+    * stops after enough partitions, where `doExecute` on a collect-limit
+    * plan would locally limit EVERY partition and add a one-partition
+    * shuffle (a full scan per point LIMIT query).
     */
   private def wavedRowIterator(df: DataFrame,
       wavePartitions: Int): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val topLimited = df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
+      case _ => false
+    }
+    if (topLimited) return df.queryExecution.executedPlan.executeCollect().iterator
     val rdd = df.queryExecution.executedPlan.execute().map(_.copy())
     val n = rdd.getNumPartitions
     if (n == 0) Iterator.empty
@@ -124,6 +153,20 @@ object ArrowWire {
     * where no SparkSession exists on the client side.
     */
   def readIpc(bytes: Array[Byte]): (org.apache.spark.sql.types.StructType, Array[Row]) = {
+    // completeness check FIRST: our writer always seals a finished
+    // stream with the 8-byte EOS marker (continuation token + zero
+    // length). ArrowStreamReader accepts bare EOF at a message boundary
+    // as end-of-stream, which would silently pass off a server-side
+    // mid-stream failure (the chunked HTTP body terminates cleanly) as
+    // a complete, shorter result.
+    val n = bytes.length
+    val hasEos = n >= 8 &&
+      bytes(n - 8) == -1 && bytes(n - 7) == -1 && bytes(n - 6) == -1 && bytes(n - 5) == -1 &&
+      bytes(n - 4) == 0 && bytes(n - 3) == 0 && bytes(n - 2) == 0 && bytes(n - 1) == 0
+    if (!hasEos)
+      throw new java.io.IOException(
+        s"truncated Arrow IPC stream ($n bytes, no end-of-stream marker): " +
+          "the server failed mid-stream; treat the result as an error, not data")
     val allocator = new RootAllocator(Long.MaxValue)
     val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
     try {

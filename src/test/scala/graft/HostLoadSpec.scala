@@ -46,9 +46,14 @@ class HostLoadSpec extends AnyFunSuite {
       "   7 0 loop0 5 0 40 1 0 0 0 0 0 99 1", // loop: skip
       " 259 0 nvme0n1 10 0 80 2 5 0 40 1 0 456 3", // whole nvme: count
       " 259 1 nvme0n1p1 9 0 70 2 4 0 30 1 0 400 3", // nvme partition: skip
-      "   8 0 sdb 1 0 8 0 0 0 0 0 0 10 0" // whole sd: count
+      "   8 0 sdb 1 0 8 0 0 0 0 0 0 10 0", // whole sd: count
+      " 253 0 dm-0 3 0 24 1 2 0 16 1 0 77 2", // device-mapper: count
+      "   9 0 md0 2 0 16 0 1 0 8 0 0 33 1", // mdraid: count
+      "   9 1 md0p1 1 0 8 0 0 0 0 0 0 20 0", // md partition: skip
+      " 179 0 mmcblk0 4 0 32 1 1 0 8 0 0 11 1", // mmc whole: count
+      " 179 1 mmcblk0p1 3 0 24 1 0 0 0 0 0 9 0" // mmc partition: skip
     ).mkString("\n")
-    assert(HostLoad.parseDiskstatsIoTicks(ds) == 1234L + 456L + 10L)
+    assert(HostLoad.parseDiskstatsIoTicks(ds) == 1234L + 456L + 10L + 77L + 33L + 11L)
   }
 
   test("ioWaitCores and diskBusyFrac window deltas") {

@@ -48,6 +48,18 @@ class SqlGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("a runtime failure on the Arrow path maps to an HTTP error, not a broken 200 body") {
+    withGateway { (port, _) =>
+      // ANSI division by zero at EXECUTION time (column-dependent, so
+      // not constant-folded): prepareIpcStream's first-wave priming must
+      // surface it before the 200 status line goes out
+      val (code, body, _) = post(port, "SELECT 10 / (id - 5) AS v FROM range(10)",
+        accept = Some(SqlGateway.arrowContentType))
+      assert(code >= 400, s"runtime failure must not stream a 200: got $code")
+      assert(new String(body, StandardCharsets.UTF_8).contains("error"))
+    }
+  }
+
   test("Accept: arrow stream returns IPC bytes that round-trip through ArrowWire") {
     withGateway { (port, _) =>
       val (code, body, ctype) =

@@ -118,11 +118,48 @@ class ArrowWireSpec extends SparkTestBase {
       import scala.jdk.CollectionConverters._
       ArrowStreamProbe.writeEvents.asScala.toVector
     }
-    assert(events.head == 0,
-      "the schema message must hit the wire before ANY result partition is computed")
+    assert(events.head <= 2,
+      "the schema message must hit the wire after at most the FIRST wave " +
+        s"(priming) is computed; saw ${events.head} partitions done")
     assert(events.exists(v => v > 0 && v < nParts),
       "record batches must stream out WHILE partitions are still being computed " +
         s"(saw write events at partition counts ${events.distinct})")
+  }
+
+  test("readIpc rejects a stream missing its end-of-stream seal (mid-stream server failure)") {
+    val df = spark.sql("SELECT id AS v FROM range(5000)")
+    val bytes = ArrowWire.toIpcStream(df)
+    // sanity: the complete stream decodes
+    assert(ArrowWire.readIpc(bytes)._2.length == 5000)
+    // strip the 8-byte EOS marker: exactly what a gateway mid-stream
+    // failure leaves behind (chunked body terminates cleanly, no seal)
+    val truncated = bytes.dropRight(8)
+    val e = intercept[java.io.IOException](ArrowWire.readIpc(truncated))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+    // a harder cut (mid-batch) must also be rejected
+    intercept[java.io.IOException](ArrowWire.readIpc(bytes.take(bytes.length / 2)))
+  }
+
+  test("a top-level LIMIT rides executeTake on the wire, not a full waved scan") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = spark.sql("SELECT id FROM range(0, 1000000, 1, 16) LIMIT 10")
+      val out = new java.io.ByteArrayOutputStream()
+      val batches = ArrowWire.writeIpcStream(df, out, wavePartitions = 2)
+      // listener events are async; give the bus a beat to drain
+      Thread.sleep(500)
+      assert(batches == 1L)
+      assert(ArrowWire.readIpc(out.toByteArray)._2.length == 10)
+      // the waved path over 16 partitions at wave 2 would launch 8 jobs;
+      // executeTake stops after enough partitions (a couple of jobs max)
+      assert(counter.get() <= 3,
+        s"LIMIT 10 over 16 partitions launched ${counter.get()} jobs - waved full scan?")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("ingest direction feeds BatchAlign (A7/A10 DoPut path)") {
