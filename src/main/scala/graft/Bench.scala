@@ -20,11 +20,13 @@ object Bench {
   /** YCSB phase: the reference's OLTP mix (ycsb-flight-sql.xml:16-24 —
     * read/scan/insert/update/delete/RMW = 50/5/15/10/10/10, 1 terminal)
     * against a 1000-row `usertable` (ycsb-ddl-ducklake.sql shape: LONG
-    * PK + 10 string fields), driven over the LIVE gateway socket so every
-    * op pays HTTP + session dispatch + the micro-lake's copy-on-write
-    * DML — the latency path a real client sees. 5 s warmup, 20 s
-    * measured. RMW counts as ONE op (read + dependent update). Returns
-    * a JSON object string for the bench line's "ycsb" field.
+    * PK + 10 string fields), driven over the LIVE gateway socket with
+    * PREPARED statements (/prepare + /exec — the BenchBase/JDBC shape)
+    * so every op pays HTTP + session dispatch + the micro-lake's
+    * copy-on-write DML — the latency path a real client sees. 5 s
+    * warmup, 20 s measured. RMW counts as ONE op (read + dependent
+    * update). Returns a JSON object string for the bench line's "ycsb"
+    * field.
     */
   private def runYcsb(spark: SparkSession): String = {
     import org.apache.spark.sql.types._
@@ -51,31 +53,41 @@ object Bench {
       val rnd = new scala.util.Random(20260815L)
       def randomLive(): Long = live(rnd.nextInt(live.size))
       var opSeq = 0L
+      // PREPARED statements, the BenchBase/JDBC shape the reference's
+      // YCSB actually drives (prepare once, execute many with positional
+      // params) — over the gateway's /prepare + /exec lifecycle
+      val readH = client.prepare("SELECT * FROM usertable WHERE ycsb_key = ?")
+      val scanH = client.prepare("SELECT ycsb_key, field1 FROM usertable " +
+        "WHERE ycsb_key BETWEEN ? AND ? ORDER BY ycsb_key")
+      val insertH = client.prepare(
+        s"INSERT INTO usertable VALUES (${Seq.fill(11)("?").mkString(", ")})")
+      val updateH = client.prepare("UPDATE usertable SET field1 = ? WHERE ycsb_key = ?")
+      val deleteH = client.prepare("DELETE FROM usertable WHERE ycsb_key = ?")
+      val rmwReadH = client.prepare("SELECT field2 FROM usertable WHERE ycsb_key = ?")
+      val rmwUpdH = client.prepare("UPDATE usertable SET field2 = ? WHERE ycsb_key = ?")
       def oneOp(): String = {
         opSeq += 1
         val r = rnd.nextInt(100)
         if (r < 50) { // read
-          client.query(s"SELECT * FROM usertable WHERE ycsb_key = ${randomLive()}"); "read"
+          client.executeQuery(readH, Seq(randomLive())); "read"
         } else if (r < 55) { // scan
           val k = randomLive()
-          client.query("SELECT ycsb_key, field1 FROM usertable " +
-            s"WHERE ycsb_key BETWEEN $k AND ${k + 99} ORDER BY ycsb_key"); "scan"
+          client.executeQuery(scanH, Seq(k, k + 99)); "scan"
         } else if (r < 70) { // insert
           val k = nextKey; nextKey += 1
-          client.update(s"INSERT INTO usertable VALUES ${rowLit(k)}")
+          client.executeUpdate(insertH, k +: (1 to 10).map(f => s"v${k}_$f"))
           live += k; "insert"
         } else if (r < 80) { // update
-          client.update(s"UPDATE usertable SET field1 = 'u$opSeq' " +
-            s"WHERE ycsb_key = ${randomLive()}"); "update"
+          client.executeUpdate(updateH, Seq(s"u$opSeq", randomLive())); "update"
         } else if (r < 90) { // delete
           val i = rnd.nextInt(live.size)
           val k = live(i); live(i) = live.last; live.remove(live.size - 1)
-          client.update(s"DELETE FROM usertable WHERE ycsb_key = $k"); "delete"
+          client.executeUpdate(deleteH, Seq(k)); "delete"
         } else { // read-modify-write
           val k = randomLive()
-          val cur = client.query(s"SELECT field2 FROM usertable WHERE ycsb_key = $k")
+          val cur = client.executeQuery(rmwReadH, Seq(k))
           val v = if (cur.rows.nonEmpty) cur.rows(0).getString(0) else ""
-          client.update(s"UPDATE usertable SET field2 = '${v.take(8)}m' WHERE ycsb_key = $k")
+          client.executeUpdate(rmwUpdH, Seq(s"${v.take(8)}m", k))
           "rmw"
         }
       }
@@ -101,7 +113,7 @@ object Bench {
       s"""{"throughput_rps":${lats.size / elapsed},"requests":${lats.size},""" +
         s""""window_sec":$elapsed,"terminals":1,"table_rows":$tableRows,""" +
         s""""mix":"read/scan/insert/update/delete/rmw=50/5/15/10/10/10",""" +
-        s""""transport":"http_gateway_arrow","warmup_sec":5,""" +
+        s""""transport":"http_gateway_arrow_prepared","warmup_sec":5,""" +
         s""""latency_avg_ms":${if (sorted.isEmpty) -1.0 else sorted.sum / sorted.length},""" +
         s""""latency_p50_ms":${pct(0.50)},"latency_p95_ms":${pct(0.95)},""" +
         s""""latency_p99_ms":${pct(0.99)},"ops":$perOp}"""

@@ -20,13 +20,15 @@ final class HttpSqlClient(baseUrl: String,
 
   private val endpoint = baseUrl.stripSuffix("/") + "/sql"
 
-  private def post(sql: String): Array[Byte] = {
-    val conn = new URL(endpoint).openConnection().asInstanceOf[HttpURLConnection]
+  private def post(sql: String): Array[Byte] = postTo(endpoint, sql)
+
+  private def postTo(url: String, body: String): Array[Byte] = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     conn.setRequestProperty("Accept", SqlGateway.arrowContentType)
     conn.setRequestProperty("X-Graft-Session", sessionKey)
-    conn.getOutputStream.write(sql.getBytes(StandardCharsets.UTF_8))
+    conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
     val code = conn.getResponseCode
     if (code >= 400) {
       val err = new String(
@@ -39,9 +41,9 @@ final class HttpSqlClient(baseUrl: String,
         .getOrElse(err)
       throw new RuntimeException(s"server error (HTTP $code): $msg")
     }
-    val body = conn.getInputStream.readAllBytes()
+    val response = conn.getInputStream.readAllBytes()
     conn.disconnect()
-    body
+    response
   }
 
   def query(sql: String): QueryResult = {
@@ -60,6 +62,54 @@ final class HttpSqlClient(baseUrl: String,
     }
     UpdateResult(n)
   }
+
+  // === prepared statements over the socket (A21 remotely) ===============
+  // The BenchBase/JDBC shape: prepare once, execute many with positional
+  // params — the gateway binds and runs through the SAME Session
+  // lifecycle the Flight facade uses.
+
+  /** PREPARE: returns the server-side handle. */
+  def prepare(sql: String): String = {
+    val body = new String(postTo(baseUrl.stripSuffix("/") + "/prepare", sql),
+      StandardCharsets.UTF_8)
+    """"handle"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
+      .map(_.group(1))
+      .getOrElse(throw new RuntimeException(s"malformed prepare response: $body"))
+  }
+
+  private def execBody(handle: String, params: Seq[Any]): String = {
+    val ps = params.map {
+      case null => "null"
+      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+      case b: Boolean => b.toString
+      case n => n.toString
+    }.mkString("[", ",", "]")
+    s"""{"handle":"$handle","params":$ps}"""
+  }
+
+  /** EXECUTE a prepared query with positional params. */
+  def executeQuery(handle: String, params: Seq[Any]): QueryResult = {
+    val (schema, rows) = org.apache.spark.sql.graft.ArrowWire.readIpc(
+      postTo(baseUrl.stripSuffix("/") + "/exec", execBody(handle, params)))
+    QueryResult(schema, rows)
+  }
+
+  /** EXECUTE a prepared DML/DDL with positional params. */
+  def executeUpdate(handle: String, params: Seq[Any]): UpdateResult = {
+    val (schema, rows) = org.apache.spark.sql.graft.ArrowWire.readIpc(
+      postTo(baseUrl.stripSuffix("/") + "/exec", execBody(handle, params)))
+    val n = schema.fieldNames.indexOf("num_affected_rows") match {
+      case -1 => 0L
+      case i if rows.nonEmpty => rows(0).getLong(i)
+      case _ => 0L
+    }
+    UpdateResult(n)
+  }
+
+  /** CLOSE a prepared handle (unknown handles are a tolerated no-op). */
+  def closePrepared(handle: String): Unit =
+    postTo(baseUrl.stripSuffix("/") + "/close", handle)
 
   /** The server reaps the session by idle timeout; nothing to tear
     * down client-side (HTTP is connectionless here).

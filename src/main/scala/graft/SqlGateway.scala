@@ -53,6 +53,16 @@ object SqlGateway {
     val prefix = StatusServer.normalizePrefix(pathPrefix)
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext(s"$prefix/sql", (ex: HttpExchange) => handle(ex, registry, metrics, sessionKey))
+    // prepared-statement lifecycle over the socket (A21's surface for a
+    // REMOTE client — BenchBase/JDBC drive exactly this shape): /prepare
+    // returns a handle, /exec binds positional params + executes (same
+    // Arrow/JSON negotiation as /sql), /close frees the handle
+    server.createContext(s"$prefix/prepare",
+      (ex: HttpExchange) => handlePrepare(ex, registry, metrics, sessionKey))
+    server.createContext(s"$prefix/exec",
+      (ex: HttpExchange) => handleExec(ex, registry, metrics, sessionKey))
+    server.createContext(s"$prefix/close",
+      (ex: HttpExchange) => handleClose(ex, registry, metrics, sessionKey))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
       val t = new Thread(r, "graft-sql-gateway"); t.setDaemon(true); t
     })
@@ -61,80 +71,201 @@ object SqlGateway {
     new SqlGateway(server, pool)
   }
 
-  private def handle(ex: HttpExchange, registry: SessionRegistry,
-      metrics: Metrics, sessionKey: String => String): Unit = {
-    if (ex.getRequestMethod != "POST") {
-      respond(ex, 405, "application/json",
-        """{"error":"POST a SQL string to this endpoint","status":"INVALID_ARGUMENT"}"""
-          .getBytes(StandardCharsets.UTF_8))
-      return
-    }
-    val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
-    val peer = Option(ex.getRequestHeaders.getFirst("X-Graft-Session"))
+  private def peerKey(ex: HttpExchange, sessionKey: String => String): String =
+    Option(ex.getRequestHeaders.getFirst("X-Graft-Session"))
       .filter(_.nonEmpty)
       .getOrElse(sessionKey(ex.getRemoteAddress.toString.stripPrefix("/")))
+
+  private def requirePost(ex: HttpExchange): Boolean = {
+    if (ex.getRequestMethod != "POST") {
+      respond(ex, 405, "application/json",
+        """{"error":"POST to this endpoint","status":"INVALID_ARGUMENT"}"""
+          .getBytes(StandardCharsets.UTF_8))
+      false
+    } else true
+  }
+
+  /** PREPARE: body is the parameterized SQL ('?' placeholders); answers
+    * the handle plus the inferred parameter count (prepared.rs:25-43's
+    * create surface over HTTP).
+    */
+  private def handlePrepare(ex: HttpExchange, registry: SessionRegistry,
+      metrics: Metrics, sessionKey: String => String): Unit = {
+    if (!requirePost(ex)) return
+    val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
+    try {
+      val p = registry.getOrCreate(peerKey(ex, sessionKey)).createPrepared(sql)
+      respond(ex, 200, "application/json",
+        s"""{"handle":${jstr(p.handle)},"param_count":${ParamInference.countPlaceholders(p.sql)}}"""
+          .getBytes(StandardCharsets.UTF_8))
+    } catch { case t: Throwable => respondError(ex, metrics, sql, t) }
+  }
+
+  /** CLOSE: body is the handle; freeing an unknown handle is the
+    * tolerated no-op (prepared.rs close semantics).
+    */
+  private def handleClose(ex: HttpExchange, registry: SessionRegistry,
+      metrics: Metrics, sessionKey: String => String): Unit = {
+    if (!requirePost(ex)) return
+    val handle = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
+    try {
+      registry.getOrCreate(peerKey(ex, sessionKey)).closePrepared(handle)
+      respond(ex, 200, "application/json",
+        """{"closed":true}""".getBytes(StandardCharsets.UTF_8))
+    } catch { case t: Throwable => respondError(ex, metrics, handle, t) }
+  }
+
+  /** EXEC: body is `{"handle":"...","params":[...]}` (params optional);
+    * binds positionally and executes — the response contract (Arrow
+    * stream vs JSON rows, streaming, error mapping) is exactly /sql's.
+    */
+  private def handleExec(ex: HttpExchange, registry: SessionRegistry,
+      metrics: Metrics, sessionKey: String => String): Unit = {
+    if (!requirePost(ex)) return
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
+    val peer = peerKey(ex, sessionKey)
+    serveResult(ex, metrics, body) { () =>
+      val (handle, params) = parseExecBody(body)
+      val session = registry.getOrCreate(peer)
+      val p = session.getPrepared(handle).getOrElse(
+        throw new NoSuchElementException(s"unknown prepared statement handle: $handle"))
+      if (params.nonEmpty) session.bindParams(p.handle, params)
+      (p.sql, session.executePrepared(p.handle))
+    }
+  }
+
+  /** Minimal JSON body parse for /exec — hand-rolled like the writers
+    * (no web framework), tolerant of whitespace; params support the
+    * JSON scalar types (string with escapes, integer, double, boolean,
+    * null).
+    */
+  private[graft] def parseExecBody(body: String): (String, Seq[Any]) = {
+    val handleRe = """"handle"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val handle = handleRe.findFirstMatchIn(body)
+      .map(m => unescape(m.group(1)))
+      .getOrElse(throw new IllegalArgumentException(
+        """exec body must be {"handle":"...","params":[...]}"""))
+    val paramsIdx = body.indexOf("\"params\"")
+    val params =
+      if (paramsIdx < 0) Seq.empty[Any]
+      else {
+        val open = body.indexOf('[', paramsIdx)
+        if (open < 0) Seq.empty[Any]
+        else parseJsonArray(body, open)
+      }
+    (handle, params)
+  }
+
+  /** Parse a flat JSON scalar array starting at `open` ('['). */
+  private def parseJsonArray(s: String, open: Int): Seq[Any] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = open + 1
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    skipWs()
+    if (i < s.length && s(i) == ']') return out.toSeq
+    while (i < s.length) {
+      skipWs()
+      s(i) match {
+        case '"' =>
+          val sb = new StringBuilder
+          i += 1
+          while (i < s.length && s(i) != '"') {
+            if (s(i) == '\\' && i + 1 < s.length) { sb.append(s(i)).append(s(i + 1)); i += 2 }
+            else { sb.append(s(i)); i += 1 }
+          }
+          i += 1 // closing quote
+          out += unescape(sb.toString)
+        case 't' => out += true; i += 4
+        case 'f' => out += false; i += 5
+        case 'n' => out += null; i += 4
+        case _ =>
+          val start = i
+          while (i < s.length && "+-.eE0123456789".indexOf(s(i)) >= 0) i += 1
+          val tok = s.substring(start, i)
+          out += (if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) tok.toDouble
+                  else tok.toLong)
+      }
+      skipWs()
+      if (i >= s.length || s(i) == ']') return out.toSeq
+      if (s(i) == ',') i += 1
+    }
+    out.toSeq
+  }
+
+  private def unescape(s: String): String = s
+    .replace("\\\"", "\"").replace("\\n", "\n").replace("\\r", "\r")
+    .replace("\\t", "\t").replace("\\\\", "\\")
+
+  /** Shared result path for /sql-shaped responses: negotiates Arrow vs
+    * JSON, streams with first-wave priming, maps errors — `mk` returns
+    * (metricLabel, DataFrame).
+    */
+  private def serveResult(ex: HttpExchange, metrics: Metrics,
+      fallbackLabel: String)(mk: () => (String, org.apache.spark.sql.DataFrame)): Unit = {
     val wantArrow = Option(ex.getRequestHeaders.getFirst("Accept"))
       .exists(_.contains(arrowContentType))
     val t0 = System.nanoTime()
-    // once the chunked 200 status line is on the wire, an error can no
-    // longer change the HTTP status — it surfaces as a truncated IPC
-    // stream (exactly what a Flight client sees when a DoGet stream
-    // dies mid-flight); the catch below must not try to re-respond
+    var label = fallbackLabel
     var headersSent = false
     try {
-      val df = registry.getOrCreate(peer).sql(sql)
+      val (l, df) = mk()
+      label = l
       if (wantArrow) {
-        // STREAMED wire (SURVEY §6, VERDICT r13 #3): Arrow IPC frames go
-        // out with chunked transfer as the prepared stream pulls result
-        // partitions — server memory is bounded by one wave + one batch,
-        // never the whole result. prepareIpcStream forces planning AND
-        // the first wave BEFORE the status line, so analysis errors and
-        // most runtime failures (missing file, ANSI cast, div-by-zero)
-        // still map to HTTP statuses instead of a broken 200 body.
         val write = org.apache.spark.sql.graft.ArrowWire.prepareIpcStream(df)
         ex.getResponseHeaders.set("Content-Type", arrowContentType)
-        ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+        ex.sendResponseHeaders(200, 0)
         headersSent = true
         val os = ex.getResponseBody
-        try write(os)
-        finally os.close()
-        // IPC stream length is not a row count; record rows from the
-        // collected frame only on the JSON path — Arrow clients read
-        // the count from the stream itself
-        metrics.record(sql, (System.nanoTime() - t0) / 1000000)
+        try write(os) finally os.close()
+        metrics.record(label, (System.nanoTime() - t0) / 1000000)
       } else {
         val rows = df.collect()
-        metrics.record(sql, (System.nanoTime() - t0) / 1000000, rows.length.toLong)
+        metrics.record(label, (System.nanoTime() - t0) / 1000000, rows.length.toLong)
         respond(ex, 200, "application/json",
           jsonResult(df.schema.fieldNames, rows).getBytes(StandardCharsets.UTF_8))
       }
     } catch {
       case t: Throwable if headersSent =>
-        // mid-stream failure after the 200 went out: the body ends
-        // WITHOUT the Arrow end-of-stream marker (the writer seals only
-        // complete streams), which ArrowWire.readIpc rejects — the
-        // missing seal IS the error signal; just record and close
-        metrics.recordError(sql, Option(t.getMessage).getOrElse(t.getClass.getName))
+        metrics.recordError(label, Option(t.getMessage).getOrElse(t.getClass.getName))
         ex.close()
-      case t: Throwable =>
-        metrics.recordError(sql, Option(t.getMessage).getOrElse(t.getClass.getName))
-        val status = ErrorMapping.classify(t)
-        val http = status match {
-          case ErrorMapping.InvalidArgument    => 400
-          case ErrorMapping.NotFound           => 404
-          case ErrorMapping.AlreadyExists      => 409
-          case ErrorMapping.FailedPrecondition => 409
-          case ErrorMapping.ResourceExhausted  => 429
-          case _                               => 500
-        }
-        // gRPC-style status names (INVALID_ARGUMENT …): what a Flight
-        // client would see for the same ErrorMapping classification
-        val name = status.getClass.getSimpleName.stripSuffix("$")
-          .replaceAll("([a-z])([A-Z])", "$1_$2").toUpperCase
-        respond(ex, http, "application/json",
-          s"""{"error":${jstr(Option(t.getMessage).getOrElse(t.toString))},"status":${jstr(name)}}"""
-            .getBytes(StandardCharsets.UTF_8))
+      case t: Throwable => respondError(ex, metrics, label, t)
     }
+  }
+
+  private def respondError(ex: HttpExchange, metrics: Metrics,
+      label: String, t: Throwable): Unit = {
+    metrics.recordError(label, Option(t.getMessage).getOrElse(t.getClass.getName))
+    val status = ErrorMapping.classify(t)
+    val http = status match {
+      case ErrorMapping.InvalidArgument    => 400
+      case ErrorMapping.NotFound           => 404
+      case ErrorMapping.AlreadyExists      => 409
+      case ErrorMapping.FailedPrecondition => 409
+      case ErrorMapping.ResourceExhausted  => 429
+      case _                               => 500
+    }
+    val name = status.getClass.getSimpleName.stripSuffix("$")
+      .replaceAll("([a-z])([A-Z])", "$1_$2").toUpperCase
+    respond(ex, http, "application/json",
+      s"""{"error":${jstr(Option(t.getMessage).getOrElse(t.toString))},"status":${jstr(name)}}"""
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The /sql endpoint: body is the SQL text. STREAMED wire on the
+    * Arrow path (SURVEY §6, VERDICT r13 #3): IPC frames go out with
+    * chunked transfer as the prepared stream pulls result partitions —
+    * server memory is bounded by one wave + one batch, never the whole
+    * result. prepareIpcStream forces planning AND the first wave BEFORE
+    * the status line, so analysis errors and most runtime failures still
+    * map to HTTP statuses; a later mid-stream failure leaves the body
+    * WITHOUT the Arrow end-of-stream seal, which readIpc rejects.
+    */
+  private def handle(ex: HttpExchange, registry: SessionRegistry,
+      metrics: Metrics, sessionKey: String => String): Unit = {
+    if (!requirePost(ex)) return
+    val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
+    val peer = peerKey(ex, sessionKey)
+    serveResult(ex, metrics, sql)(() => (sql, registry.getOrCreate(peer).sql(sql)))
   }
 
   private def respond(ex: HttpExchange, code: Int, ctype: String, body: Array[Byte]): Unit = {

@@ -1946,6 +1946,63 @@ object Analytics {
        |FROM g""".stripMargin
   }
 
+  // === priv2: l-diversity audit ============================================
+  val lDiversityThreshold = 3L
+
+  /** The second leg of the release-governance pair: k-anonymity (priv1)
+    * bounds group SIZE, l-diversity bounds what a group REVEALS — a
+    * well-populated QI group whose members all share one sensitive value
+    * still discloses that value to a linkage attacker. QI tuple =
+    * (customer nation, market segment, order year) over the released
+    * orders table; sensitive attribute = o_orderpriority. Reports the
+    * dataset's l (smallest per-group distinct-sensitive count), the
+    * groups/rows below l=3, and the disclosure-risk row share.
+    * Shape: orders→customer is the one real shuffle (key-partitioned at
+    * any scale), nation broadcasts, the QI rollup is map-combinable and
+    * attribute-domain-bounded; counters exact BIGINTs, one division.
+    */
+  def lDiversityAudit(s: SparkSession, dir: String): DataFrame = {
+    val l = lDiversityThreshold
+    val groups = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"),
+        year(col("o_orderdate")).cast(LongType).as("order_year"))
+      .agg(count(lit(1)).as("g"),
+        countDistinct(col("o_orderpriority")).as("l_div"))
+    groups.agg(
+      sum(col("g")).cast(LongType).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("l_div")).cast(LongType).as("l_diversity"),
+      sum(when(col("l_div") < l, 1L).otherwise(0L)).as("groups_below_l"),
+      sum(when(col("l_div") < l, col("g")).otherwise(0L)).cast(LongType).as("rows_below_l"))
+      .select(col("n_rows"), col("n_groups"), col("l_diversity"),
+        col("groups_below_l"), col("rows_below_l"),
+        (col("rows_below_l").cast(DoubleType) / col("n_rows").cast(DoubleType))
+          .as("disclosure_risk_share"))
+  }
+
+  val lDiversityAuditSql: String = {
+    val l = lDiversityThreshold
+    s"""WITH g AS (
+       |  SELECT n_name, c_mktsegment,
+       |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+       |    COUNT(*) AS g,
+       |    COUNT(DISTINCT o_orderpriority) AS l_div
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(SUM(g) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+       |  CAST(SUM(CASE WHEN l_div < $l THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_l,
+       |  CAST(SUM(CASE WHEN l_div < $l THEN g ELSE 0 END) AS BIGINT) AS rows_below_l,
+       |  CAST(SUM(CASE WHEN l_div < $l THEN g ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(g) AS DOUBLE) AS disclosure_risk_share
+       |FROM g""".stripMargin
+  }
+
   // === iaa1: inter-annotator agreement (Cohen's kappa) =====================
   /** Cohen's kappa between the stored `lang` label (annotator A) and
     * txt2's n-gram prediction (annotator B) — the annotation-QA readout
@@ -2692,6 +2749,7 @@ object Analytics {
     "conf1_langid_confusion" -> langIdConfusion _,
     "iaa1_label_agreement" -> labelAgreement _,
     "priv1_k_anonymity" -> kAnonymityAudit _,
+    "priv2_l_diversity" -> lDiversityAudit _,
     "ts4_cusum_changepoint" -> cusumChangepoint _,
     "auc1_classifier_auc" -> classifierAuc _,
     "map1_retrieval_ap" -> ((s: SparkSession, d: String) => labelRetrievalAp(s, d)),
@@ -2738,6 +2796,7 @@ object Analytics {
     "conf1_langid_confusion" -> langIdConfusionSql,
     "iaa1_label_agreement" -> labelAgreementSql,
     "priv1_k_anonymity" -> kAnonymityAuditSql,
+    "priv2_l_diversity" -> lDiversityAuditSql,
     "ts4_cusum_changepoint" -> cusumChangepointSql,
     "auc1_classifier_auc" -> classifierAucSql,
     "map1_retrieval_ap" -> labelRetrievalApSql(),

@@ -77,6 +77,30 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("priv2: dimension joins broadcast; the QI rollup is the only real aggregation tree") {
+    val df = operators.Analytics.lDiversityAudit(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // nation (25 rows) and customer (bench-SF dim) must ride broadcast
+    // joins — a shuffled join against orders here would be the classic
+    // at-scale mistake for a dim join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("mem1: the gram-count join carries no broadcast HINT (stats pick the strategy)") {
+    val df = operators.TextAnalysis.memorizationRisk(spark, sfDir)
+    // the gram-side aggregate grows with the corpus, so the join must
+    // not be FORCED to broadcast: at test SF the planner's stats
+    // legitimately choose a broadcast (the aggregate is tiny), but the
+    // same stats at 100 TB exceed the threshold and flip it to a
+    // key-partitioned join. What we pin is that the choice stays with
+    // the stats — no hint anywhere in the optimized plan.
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("strategy=broadcast"),
+      s"mem1 must not force a broadcast:\n$optimized")
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("q2: min-per-part via window reuses one partkey shuffle (no self-join exchanges)") {
     val df = operators.Advanced.q2(spark, sfDir)
     val n = countShuffles(df)

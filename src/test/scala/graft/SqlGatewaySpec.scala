@@ -48,6 +48,31 @@ class SqlGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("prepared lifecycle over the socket: prepare, exec with params, DML routing, close") {
+    withGateway { (port, catalog) =>
+      import org.apache.spark.sql.types._
+      catalog.create("gw_prep", StructType(Seq(
+        StructField("k", LongType), StructField("s", StringType))), primaryKey = Some("k"))
+      val client = new HttpSqlClient(s"http://127.0.0.1:$port")
+      val ins = client.prepare("INSERT INTO gw_prep VALUES (?, ?)")
+      assert(client.executeUpdate(ins, Seq(1L, "one")).rowsAffected == 1L)
+      assert(client.executeUpdate(ins, Seq(2L, "two")).rowsAffected == 1L)
+      // duplicate PK through the prepared path maps to an HTTP error
+      val dup = intercept[RuntimeException](client.executeUpdate(ins, Seq(1L, "again")))
+      assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+      val sel = client.prepare("SELECT s FROM gw_prep WHERE k = ?")
+      assert(client.executeQuery(sel, Seq(2L)).rows.map(_.getString(0)).toSeq == Seq("two"))
+      // string param with escapes survives the JSON round-trip
+      val upd = client.prepare("UPDATE gw_prep SET s = ? WHERE k = ?")
+      assert(client.executeUpdate(upd, Seq("a\"b\\c\nd", 1L)).rowsAffected == 1L)
+      assert(client.executeQuery(sel, Seq(1L)).rows(0).getString(0) == "a\"b\\c\nd")
+      client.closePrepared(sel)
+      val gone = intercept[RuntimeException](client.executeQuery(sel, Seq(1L)))
+      assert(gone.getMessage.contains("unknown prepared statement"), gone.getMessage)
+      post(port, "DROP TABLE gw_prep")
+    }
+  }
+
   test("a runtime failure on the Arrow path maps to an HTTP error, not a broken 200 body") {
     withGateway { (port, _) =>
       // ANSI division by zero at EXECUTION time (column-dependent, so

@@ -165,6 +165,31 @@ class StatFixtureSpec extends SparkTestBase {
     assert(r.getAs[Double]("reident_risk_share") == 0.25)
   }
 
+  test("priv2: l-diversity of a hand-built release is 1 with one disclosing group") {
+    // QI = (nation, segment, order year): (AAA,S1,2024) has 3 orders
+    // with 3 distinct priorities -> l_div 3; (AAA,S2,2024) has 2 orders
+    // both 1-URGENT -> l_div 1 (full disclosure). Dataset l = 1, one
+    // group below l=3 carrying 2 of 5 rows -> risk share 0.4.
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, 1, "S1"), (2L, 1, "S2"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1, "AAA")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val d = java.sql.Date.valueOf("2024-03-01")
+    Seq(
+      (10L, 1L, d, "1-URGENT"), (11L, 1L, d, "2-HIGH"), (12L, 1L, d, "3-MEDIUM"),
+      (13L, 2L, d, "1-URGENT"), (14L, 2L, d, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Analytics.lDiversityAudit(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 5L && r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("l_diversity") == 1L)
+    assert(r.getAs[Long]("groups_below_l") == 1L && r.getAs[Long]("rows_below_l") == 2L)
+    assert(r.getAs[Double]("disclosure_risk_share") == 0.4)
+  }
+
   test("smp4: zero-variance corpus fails loudly instead of NaN-degrading to 0 allocations") {
     // every stratum is a constant balance -> N*S2 - S1^2 = 0 in all
     // strata -> total_w = 0; the old code divided through and the NaN
