@@ -141,6 +141,32 @@ class MutableTableSpec extends SparkTestBase {
     intercept[RuntimeException](re.insert(rows((1L, "dup", 0.0))))
   }
 
+  test("DML job accounting: a point UPDATE stays within its fused job budget") {
+    // the round-14 YCSB latency work fused affected-file discovery with
+    // the match count into ONE per-file aggregate scan, leaving
+    // discovery(+count) + write per UPDATE/DELETE; under AQE the
+    // discovery aggregate's shuffle stage materializes as its own job,
+    // so the ceiling is 3 — the pre-fusion path (separate find-files
+    // collect, then a recount) cost one more aggregate action. INSERT's
+    // tagged-union pre-check is pinned by behavior specs instead: its
+    // AQE stage-job count varies with exchange reuse across runs.
+    val t = mkTable()
+    t.insert(rows((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      counter.set(0)
+      assert(t.update(col("id") === 2L, Map("name" -> lit("B"))) == 1L)
+      Thread.sleep(300) // listener bus is async
+      val updateJobs = counter.get()
+      assert(updateJobs <= 3, s"point UPDATE must run <=3 jobs (discovery+count, write), ran $updateJobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("vacuum removes files unreferenced by any manifest") {
     val t = mkTable()
     t.insert(rows((1L, "a", 1.0)))
