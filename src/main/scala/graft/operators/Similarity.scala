@@ -72,6 +72,49 @@ object Similarity {
        |       CAST(rnk AS INTEGER) AS rnk
        |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
+  // === hard-negative mining (contrastive-training pairs) ===================
+  /** neg2: per-anchor HARD negatives — the most-similar vectors carrying
+    * a DIFFERENT label (neg1 samples negatives deterministically at
+    * random; contrastive training wants the ones the model is most
+    * likely to confuse, Robinson et al. 2021). Exact oracle tier, same
+    * contract as sim1: anchors are the subset-bounded broadcast side, so
+    * the join is one map-side pass over the corpus; the at-scale path is
+    * the sim3 LSH buckets with this label filter applied inside each
+    * bucket. Ties break on n_id for cross-engine determinism; cosine
+    * rounded through the shared Exact.dround discipline.
+    */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 3, nAnchors: Int = 10): DataFrame = {
+    val e = Par.fanOut(t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), vecD("embedding").as("v")))
+    val q = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"), col("v").as("av"))
+    val pairs = broadcast(q)
+      .join(e.select(col("vec_id").as("n_id"), col("label").as("n_label"), col("v").as("nv")))
+      .filter(col("n_label") =!= col("a_label"))
+      .withColumn("cos", cosine(col("av"), col("nv")))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("a_id"), col("a_label"), col("n_id"), col("n_label"),
+        graft.operators.Exact.dround(col("cos"), 6).as("cos_sim"),
+        col("rnk").cast(IntegerType).as("rnk"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
+  def hardNegativesSql(k: Int = 3, nAnchors: Int = 10): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS a_id, label AS a_label, v AS av FROM e WHERE vec_id < $nAnchors),
+       |p AS (
+       |  SELECT a_id, a_label, e.vec_id AS n_id, e.label AS n_label,
+       |    list_dot_product(av, v) / sqrt(list_dot_product(av, av) * list_dot_product(v, v)) AS cos
+       |  FROM q, e WHERE e.label <> a_label),
+       |r AS (SELECT a_id, a_label, n_id, n_label, cos,
+       |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, n_id) AS rnk
+       |      FROM p)
+       |SELECT a_id, a_label, n_id, n_label, ${Exact.sqlDround("cos", 6)} AS cos_sim,
+       |       CAST(rnk AS INTEGER) AS rnk
+       |FROM r WHERE rnk <= $k ORDER BY a_id, rnk""".stripMargin
+
   // === per-label centroids (distributed vector aggregate) ==================
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
     val exploded = Par.fanOut(t(s, dir, "embeddings").select(col("label"), col("embedding")))
@@ -1812,6 +1855,7 @@ object Similarity {
     "sim6_mutual_knn" -> ((s: SparkSession, d: String) => mutualKnn(s, d)),
     "sim5_int8_quantization" -> embeddingQuantization _,
     "sim1_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
+    "neg2_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "sim2_label_centroids" -> labelCentroids _,
     "sim3_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
@@ -1841,6 +1885,7 @@ object Similarity {
     "sim6_mutual_knn" -> mutualKnnSql(),
     "sim5_int8_quantization" -> embeddingQuantizationSql,
     "sim1_cosine_topk" -> cosineTopKSql(),
+    "neg2_hard_negatives" -> hardNegativesSql(),
     "sim2_label_centroids" -> labelCentroidsSql,
     "sim3_ann_lsh_topk" -> annTopKSql(),
     "sim4_ann_ivf_topk" -> ivfTopKSql(),

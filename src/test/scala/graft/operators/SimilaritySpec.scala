@@ -179,6 +179,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("recon_err") > 0L))
   }
 
+  test("neg2: hard negatives are the most-similar OTHER-label vectors, same-label excluded") {
+    import spark.implicits._
+    // anchor 0 (label 0) = (1,0). Other-label candidates: 10=(1,0) cos 1,
+    // 11=(1,1) cos 1/sqrt(2), 13=(0,1) cos 0, 14=(-1,0) cos -1 (cut at
+    // k=3). 12 shares label 0 at cos 1 — a naive top-k would rank it
+    // first; hard-negative mining must exclude it.
+    val dir = java.nio.file.Files.createTempDirectory("neg2").toString
+    Seq(
+      (0L, Array(1f, 0f), 0),
+      (10L, Array(1f, 0f), 1), (11L, Array(1f, 1f), 1),
+      (12L, Array(1f, 0f), 0), (13L, Array(0f, 1f), 1), (14L, Array(-1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.hardNegatives(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("a_id")).toSet == Set(0L))
+    val byRank = rows.map(r => r.getAs[Int]("rnk") ->
+      (r.getAs[Long]("n_id"), r.getAs[Double]("cos_sim"))).toMap
+    assert(byRank(1) == (10L, 1.0))
+    assert(byRank(2) == (11L, 0.707107), s"expected 1/sqrt(2) to 6dp, got ${byRank(2)}")
+    assert(byRank(3) == (13L, 0.0))
+    assert(rows.length == 3, "k=3 and the same-label twin must be excluded")
+  }
+
   test("pq1: codes key on vec_id, not collect position, when ids 0..15 are gapped") {
     import spark.implicits._
     // corpus whose sub-16 ids are {0,1,2,3,5,7,11,13} — a positional
