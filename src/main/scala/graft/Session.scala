@@ -189,6 +189,21 @@ final class Session(val id: String, val spark: SparkSession,
     getPrepared(handle).foreach(_.pendingParams = Some(params))
   }
 
+  /** Bind + execute as ONE step — for callers whose protocol carries the
+    * params in the execute request itself (the HTTP gateway's /exec).
+    * The two-step bind-then-execute surface matches Flight SQL's RPC
+    * sequence, but two threads sharing a handle could cross their binds
+    * between the calls; this overload closes that window by handing the
+    * params straight to the execution, never through pendingParams.
+    */
+  def executePrepared(handle: String, params: Seq[Any]): DataFrame = {
+    touch()
+    recoverIfAborted()
+    val p = getPrepared(handle).getOrElse(
+      throw new NoSuchElementException(s"unknown prepared statement handle: $handle"))
+    runPrepared(p, params)
+  }
+
   /** Execute a prepared statement with its pending positional params (A2
     * — the reference binds Values into the engine, connection.rs:279-295;
     * missing params bind NULL :286-292) and eagerly close ephemerals
@@ -203,6 +218,10 @@ final class Session(val id: String, val spark: SparkSession,
       throw new NoSuchElementException(s"unknown prepared statement handle: $handle"))
     val params = prepared.synchronized { val ps = p.pendingParams; p.pendingParams = None; ps }
       .getOrElse(Seq.empty)
+    runPrepared(p, params)
+  }
+
+  private def runPrepared(p: Prepared, params: Seq[Any]): DataFrame = {
     val n = ParamInference.countPlaceholders(p.sql)
     val padded = params.padTo(n, null)
     val out =

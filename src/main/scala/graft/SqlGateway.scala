@@ -129,8 +129,9 @@ object SqlGateway {
       val session = registry.getOrCreate(peer)
       val p = session.getPrepared(handle).getOrElse(
         throw new NoSuchElementException(s"unknown prepared statement handle: $handle"))
-      if (params.nonEmpty) session.bindParams(p.handle, params)
-      (p.sql, session.executePrepared(p.handle))
+      // atomic bind+execute: two threads sharing a handle must not cross
+      // their params between a separate bind call and the execution
+      (p.sql, session.executePrepared(p.handle, params))
     }
   }
 
