@@ -73,6 +73,32 @@ class SqlGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("concurrent /exec on one shared handle never crosses params (atomic bind+execute)") {
+    withGateway { (port, _) =>
+      // one session, one prepared echo statement, 4 threads x 25 execs:
+      // every response must echo exactly the params THAT request sent —
+      // a pendingParams race would hand one thread another's binding
+      val client = new HttpSqlClient(s"http://127.0.0.1:$port")
+      val h = client.prepare("SELECT ? AS a, ? AS b")
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (0 until 4).map { t =>
+        val th = new Thread(() => {
+          for (i <- 0 until 25) {
+            val a = t * 1000L + i; val b = s"t$t-$i"
+            try {
+              val r = client.executeQuery(h, Seq(a, b)).rows(0)
+              if (r.getLong(0) != a || r.getString(1) != b)
+                errors.add(s"sent ($a,$b) got (${r.getLong(0)},${r.getString(1)})")
+            } catch { case e: Throwable => errors.add(e.getMessage) }
+          }
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      assert(errors.isEmpty, s"crossed params under concurrency: ${errors.peek()}")
+    }
+  }
+
   test("a runtime failure on the Arrow path maps to an HTTP error, not a broken 200 body") {
     withGateway { (port, _) =>
       // ANSI division by zero at EXECUTION time (column-dependent, so
