@@ -35,9 +35,11 @@ final class HttpSqlClient(baseUrl: String,
         Option(conn.getErrorStream).map(_.readAllBytes()).getOrElse(Array.empty[Byte]),
         StandardCharsets.UTF_8)
       conn.disconnect()
-      // surface the server's message, not the raw JSON envelope
+      // surface the server's message, not the raw JSON envelope; decode
+      // with the gateway's single-pass unescaper (the ordered-replace
+      // chain corrupted backslash-then-n sequences — ADVICE r14)
       val msg = """"error":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(err)
-        .map(m => m.group(1).replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
+        .map(m => SqlGateway.unescape(m.group(1)))
         .getOrElse(err)
       throw new RuntimeException(s"server error (HTTP $code): $msg")
     }
@@ -68,24 +70,28 @@ final class HttpSqlClient(baseUrl: String,
   // params — the gateway binds and runs through the SAME Session
   // lifecycle the Flight facade uses.
 
-  /** PREPARE: returns the server-side handle. */
+  /** PREPARE: returns the server-side handle. The captured group is
+    * UNESCAPED with the server's own decoder (the server emits handles
+    * via jstr, and handles embed the session key — a key containing '"'
+    * or '\' would otherwise yield a client-held handle that never
+    * matches server-side; ADVICE r14).
+    */
   def prepare(sql: String): String = {
     val body = new String(postTo(baseUrl.stripSuffix("/") + "/prepare", sql),
       StandardCharsets.UTF_8)
     """"handle"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
-      .map(_.group(1))
+      .map(m => SqlGateway.unescape(m.group(1)))
       .getOrElse(throw new RuntimeException(s"malformed prepare response: $body"))
   }
 
   private def execBody(handle: String, params: Seq[Any]): String = {
     val ps = params.map {
       case null => "null"
-      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+      case s: String => SqlGateway.jstr(s) // full escaper, control chars included
       case b: Boolean => b.toString
       case n => n.toString
     }.mkString("[", ",", "]")
-    s"""{"handle":"$handle","params":$ps}"""
+    s"""{"handle":${SqlGateway.jstr(handle)},"params":$ps}"""
   }
 
   /** EXECUTE a prepared query with positional params. */

@@ -193,9 +193,41 @@ object SqlGateway {
     out.toSeq
   }
 
-  private def unescape(s: String): String = s
-    .replace("\\\"", "\"").replace("\\n", "\n").replace("\\r", "\r")
-    .replace("\\t", "\t").replace("\\\\", "\\")
+  /** Single left-to-right pass consuming each `\x` escape pair exactly
+    * once (ADVICE r14, high: the previous ORDERED String.replace chain
+    * re-scanned its own output, so 'C:\\new' decoded '\\' to '\' and
+    * then corrupted the fresh '\'+'n' into a newline — silent data
+    * corruption of any param whose literal backslash precedes n/r/t).
+    * Covers the full JSON escape set including \uXXXX (a conforming
+    * third-party client sends non-ASCII that way); a malformed escape
+    * passes through verbatim rather than throwing — parameter text is
+    * data, not protocol.
+    */
+  private[graft] def unescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/'  => sb.append('/'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'b'  => sb.append('\b'); i += 2
+          case 'f'  => sb.append('\f'); i += 2
+          case 'u' if i + 5 < s.length &&
+              s.substring(i + 2, i + 6).forall(h => Character.digit(h, 16) >= 0) =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case _ => sb.append(c); i += 1 // malformed escape: keep verbatim
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Shared result path for /sql-shaped responses: negotiates Arrow vs
     * JSON, streams with first-wave priming, maps errors — `mk` returns
@@ -220,10 +252,33 @@ object SqlGateway {
         try write(os) finally os.close()
         metrics.record(label, (System.nanoTime() - t0) / 1000000)
       } else {
-        val rows = df.collect()
-        metrics.record(label, (System.nanoTime() - t0) / 1000000, rows.length.toLong)
-        respond(ex, 200, "application/json",
-          jsonResult(df.schema.fieldNames, rows).getBytes(StandardCharsets.UTF_8))
+        // STREAMED like the Arrow path (VERDICT r14 #3: df.collect()
+        // here buffered the whole result — the JSON convenience path
+        // would OOM the server on a big result at 100× scale): rows go
+        // out batch-wise into the chunked response, memory bounded by
+        // one partition wave. Same first-wave priming, so errors still
+        // map to HTTP statuses; a mid-stream failure truncates the body
+        // before the closing `"row_count"` key, which any JSON parser
+        // rejects — the JSON analogue of the Arrow EOS seal.
+        val (schema, rows) = org.apache.spark.sql.graft.ArrowWire.prepareRowStream(df)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, 0)
+        headersSent = true
+        val os = ex.getResponseBody
+        var count = 0L
+        try {
+          val w = new java.io.BufferedOutputStream(os, 64 << 10)
+          def emit(s: String): Unit = w.write(s.getBytes(StandardCharsets.UTF_8))
+          emit("{\"columns\":[" + schema.fieldNames.map(jstr).mkString(",") + "],\"rows\":[")
+          rows.foreach { r =>
+            if (count > 0) emit(",")
+            emit(rowJson(r))
+            count += 1
+          }
+          emit("],\"row_count\":" + count + "}")
+          w.flush()
+        } finally os.close()
+        metrics.record(label, (System.nanoTime() - t0) / 1000000, count)
       }
     } catch {
       case t: Throwable if headersSent =>
@@ -279,24 +334,16 @@ object SqlGateway {
   // --- hand-rolled JSON result writer (the StatusServer house style:
   // no web framework on the executor classpath) ---
 
-  private def jsonResult(columns: Array[String], rows: Array[Row]): String = {
-    val sb = new StringBuilder(256)
-    sb.append("{\"columns\":[")
-    sb.append(columns.map(jstr).mkString(","))
-    sb.append("],\"rows\":[")
-    var first = true
-    rows.foreach { r =>
-      if (!first) sb.append(','); first = false
-      sb.append('[')
-      var i = 0
-      while (i < r.length) {
-        if (i > 0) sb.append(',')
-        sb.append(jval(r.get(i)))
-        i += 1
-      }
-      sb.append(']')
+  private def rowJson(r: Row): String = {
+    val sb = new StringBuilder(32)
+    sb.append('[')
+    var i = 0
+    while (i < r.length) {
+      if (i > 0) sb.append(',')
+      sb.append(jval(r.get(i)))
+      i += 1
     }
-    sb.append("],\"row_count\":").append(rows.length).append('}')
+    sb.append(']')
     sb.toString
   }
 

@@ -130,6 +130,25 @@ object ArrowWire {
     }
   }
 
+  /** Prepared EXTERNAL-ROW stream for non-Arrow wire paths (the
+    * gateway's JSON body, VERDICT r14 #3: its df.collect() buffered the
+    * whole result — an OOM at 100× scale): same contract as
+    * [[prepareIpcStream]] — the CALL forces planning and the first wave
+    * so errors surface while the status line can still say 4xx/5xx; the
+    * returned iterator then pulls one wave of partitions at a time, so
+    * caller memory is bounded by a wave, never the result.
+    */
+  def prepareRowStream(df: DataFrame,
+      wavePartitions: Int = defaultWavePartitions)
+      : (org.apache.spark.sql.types.StructType, Iterator[Row]) = {
+    val schema = df.schema
+    val internal = wavedRowIterator(df, wavePartitions)
+    internal.hasNext // prime: first wave + AQE stage materialization NOW
+    val deserializer = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema)
+      .resolveAndBind().createDeserializer()
+    (schema, internal.map(deserializer(_)))
+  }
+
   /** Encode a DataFrame's result as a complete Arrow IPC stream (the
     * buffered form — in-proc consumers and tests; the gateway streams
     * via [[writeIpcStream]] instead).

@@ -73,6 +73,46 @@ class SqlGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("backslash-then-letter params survive the wire verbatim (single-pass unescape)") {
+    withGateway { (port, catalog) =>
+      import org.apache.spark.sql.types._
+      catalog.create("gw_esc", StructType(Seq(
+        StructField("k", LongType), StructField("s", StringType))), primaryKey = Some("k"))
+      val client = new HttpSqlClient(s"http://127.0.0.1:$port")
+      val ins = client.prepare("INSERT INTO gw_esc VALUES (?, ?)")
+      val sel = client.prepare("SELECT s FROM gw_esc WHERE k = ?")
+      // ADVICE r14 (high): the ordered-replace decoder turned 'C:\new'
+      // into 'C:' + newline + 'ew' — literal backslash followed by
+      // n/r/t is exactly the pattern the old chain corrupted
+      val payloads = Seq(
+        1L -> "C:\\new",           // \ then n
+        2L -> "a\\tb",             // \ then t
+        3L -> "r:\\rows\\n",       // \ then r, trailing \ then n
+        4L -> "end\\",             // trailing lone backslash
+        5L -> "mix\t\\t\n\\n\"q\"") // real control chars NEXT TO escaped pairs
+      payloads.foreach { case (k, v) =>
+        assert(client.executeUpdate(ins, Seq(k, v)).rowsAffected == 1L)
+      }
+      payloads.foreach { case (k, v) =>
+        val got = client.executeQuery(sel, Seq(k)).rows(0).getString(0)
+        assert(got == v, s"k=$k: sent ${v.map(_.toInt)} got ${got.map(_.toInt)}")
+      }
+      post(port, "DROP TABLE gw_esc")
+    }
+  }
+
+  test("parseExecBody decodes standard JSON \\uXXXX escapes") {
+    // a conforming third-party client (the endpoint mimics the JDBC/
+    // BenchBase shape) sends non-ASCII as \uXXXX
+    // built by concatenation: Scala's own scanner decodes \u escapes
+    // inside source literals, triple-quoted included
+    val U = "\\u"
+    val (h, ps) = SqlGateway.parseExecBody(
+      s"""{"handle":"s${U}002d1","params":["caf${U}00e9", "${U}0041\\\\u", 3]}""")
+    assert(h == "s-1")
+    assert(ps == Seq("caf\u00e9", "A\\u", 3L), ps.toString)
+  }
+
   test("concurrent /exec on one shared handle never crosses params (atomic bind+execute)") {
     withGateway { (port, _) =>
       // one session, one prepared echo statement, 4 threads x 25 execs:
@@ -96,6 +136,40 @@ class SqlGatewaySpec extends SparkTestBase {
       }
       threads.foreach(_.join())
       assert(errors.isEmpty, s"crossed params under concurrency: ${errors.peek()}")
+    }
+  }
+
+  test("JSON path streams a multi-wave result (no whole-result buffering)") {
+    withGateway { (port, _) =>
+      // 64 result partitions = 4 waves of 16: the old collect() path
+      // buffered everything; the streamed path emits rows wave by wave
+      // into the chunked response. Pin the complete envelope + count.
+      val (code, body, ctype) =
+        post(port, "SELECT id FROM range(0, 100000, 1, 64) ORDER BY id")
+      assert(code == 200 && ctype.startsWith("application/json"))
+      val text = new String(body, StandardCharsets.UTF_8)
+      assert(text.startsWith("""{"columns":["id"],"rows":[[0],[1],"""), text.take(60))
+      assert(text.endsWith(""","row_count":100000}"""), text.takeRight(40))
+    }
+  }
+
+  test("a mid-stream JSON failure truncates the body before the row_count seal") {
+    withGateway { (port, _) =>
+      // the failing row sits in partition 32 (wave 3): the first wave
+      // primes clean, the 200 goes out, then the stream dies — the body
+      // must be unparseable (missing the closing row_count key), never
+      // mistakable for a complete shorter result
+      val got =
+        try {
+          val (code, body, _) =
+            post(port, "SELECT 10 / (id - 50000) AS v FROM range(0, 100000, 1, 64)")
+          Some((code, new String(body, StandardCharsets.UTF_8)))
+        } catch { case _: java.io.IOException => None } // chunked stream cut: also fine
+      got.foreach { case (code, text) =>
+        assert(code == 200, s"first wave is clean, status must be 200: $code")
+        assert(!text.contains("row_count"),
+          s"truncated body must not carry the completeness seal: ${text.takeRight(60)}")
+      }
     }
   }
 
