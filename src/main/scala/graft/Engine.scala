@@ -39,6 +39,10 @@ object Engine {
       // the thrash; entries are bytecode + source text, well under the
       // 8g heap even at 10k entries.
       .config("spark.sql.codegen.cache.maxEntries", codegenCacheEntries.toString)
+      // manifest-stats file pruning for micro-lake reads (graft.plans
+      // .StatsPruneRule): conf-based so every newSession() clone — the
+      // per-client gateway sessions — carries the rule
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // coalesce post-shuffle partitions to the advisory SIZE instead of

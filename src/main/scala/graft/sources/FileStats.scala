@@ -1,0 +1,302 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Path
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manifest-level per-file column statistics for the micro-lake — the
+  * Spark re-expression of what DuckLake's catalog gives the reference:
+  * its CHECKPOINT/maintenance path (maintenance/mod.rs) works against a
+  * catalog that knows each data file's column bounds, so a point
+  * UPDATE/DELETE/read touches only candidate files instead of paying a
+  * footer-and-scan pass over every live file (VERDICT r14 #4: at 100 TB
+  * the discovery scan is the DML bottleneck; YCSB measured the symptom
+  * as delete 341 ms vs read 77 ms).
+  *
+  * Stats are read from the parquet FOOTER of each file right after the
+  * lake writer stages it — no extra Spark job; the writer task already
+  * computed them — and persisted inside the manifest, so a restarted
+  * process prunes without re-reading footers.
+  *
+  * [[ColStats]] carries min/max in a canonical string form tagged by a
+  * comparison kind; [[FileStats.mayMatch]] is the conservative
+  * file-may-contain-a-match evaluator over a predicate expression tree
+  * (resolved or unresolved): it only ever returns `false` when the
+  * bounds PROVE no row can match, so pruning can never change results.
+  */
+/** Process-global data-dir → table lookup for the optimizer's
+  * scan-prune rule ([[graft.plans.StatsPruneRule]]): a read plan's file
+  * paths resolve to the owning [[MutableTable]], whose manifest stats
+  * prune the scan. Keys are normalized absolute paths; entries are tiny
+  * (one per managed table) and a dropped table's stale entry is
+  * harmless — stats are per immutable data file.
+  */
+object StatsRegistry {
+  private val byDataDir = scala.collection.concurrent.TrieMap.empty[String, MutableTable]
+  private[sources] def register(t: MutableTable): Unit = byDataDir(t.dataDirKey) = t
+  def lookup(dataDir: String): Option[MutableTable] = byDataDir.get(dataDir)
+  def isEmpty: Boolean = byDataDir.isEmpty
+}
+
+final case class ColStats(
+    kind: Char, // 'L' integer-comparable (int/long/date/ts) | 'D' double | 'S' utf8 | 'B' boolean
+    rows: Long, // row count of the file (-1 unknown)
+    nulls: Long, // null count for this column (-1 unknown)
+    min: Option[String], // canonical string form; absent when the footer had no bound
+    max: Option[String])
+
+object FileStats {
+
+  // === footer reading ========================================================
+
+  /** Merged per-column stats for one parquet file, straight off its
+    * footer (driver-local metadata read, no job). Columns whose physical
+    * type has no total order we trust (INT96, fixed decimals, nested)
+    * are omitted — absent stats mean "never prune", the safe default.
+    */
+  def fromFooter(file: Path): Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), new org.apache.hadoop.conf.Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val perCol = scala.collection.mutable.Map.empty[String, ColStats]
+      blocks.flatMap(_.getColumns.asScala).foreach { chunk =>
+        val pathParts = chunk.getPath.toArray
+        if (pathParts.length == 1) {
+          val name = pathParts(0)
+          val pt = chunk.getPrimitiveType
+          val kind: Option[Char] = pt.getPrimitiveTypeName match {
+            case INT32 | INT64
+                if !pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] => Some('L')
+            case FLOAT | DOUBLE => Some('D')
+            case BOOLEAN => Some('B')
+            case BINARY
+                if pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] => Some('S')
+            case _ => None
+          }
+          kind.foreach { k =>
+            val st = chunk.getStatistics
+            val nulls = if (st != null && st.isNumNullsSet) st.getNumNulls else -1L
+            val (mn, mx) =
+              if (st != null && st.hasNonNullValue)
+                (canonical(k, st.genericGetMin), canonical(k, st.genericGetMax))
+              else (None, None)
+            val blockStats = ColStats(k, rows, nulls, mn, mx)
+            perCol(name) = perCol.get(name) match {
+              case None => blockStats
+              case Some(prev) => merge(prev, blockStats)
+            }
+          }
+        }
+      }
+      perCol.toMap
+    } finally reader.close()
+  }
+
+  /** Canonical string form of a footer min/max value; None for values
+    * we must not order on (NaN/Inf doubles — parquet writers' stats are
+    * unreliable in NaN presence, the same caveat Spark's own parquet
+    * filter pushdown carries).
+    */
+  private def canonical(kind: Char, v: Any): Option[String] = (kind, v) match {
+    case (_, null) => None
+    case ('L', n: Number) => Some(n.longValue.toString)
+    case ('D', n: Number) =>
+      val d = n.doubleValue
+      if (d.isNaN || d.isInfinite) None else Some(d.toString)
+    case ('B', b: java.lang.Boolean) => Some(b.toString)
+    case ('S', b: org.apache.parquet.io.api.Binary) => Some(b.toStringUsingUTF8)
+    case _ => None
+  }
+
+  private def merge(a: ColStats, b: ColStats): ColStats = {
+    def pick(x: Option[String], y: Option[String], lower: Boolean): Option[String] =
+      (x, y) match {
+        case (Some(p), Some(q)) =>
+          val c = compare(a.kind, p, q)
+          Some(if ((c <= 0) == lower) p else q)
+        case _ => None // one block unbounded -> the file is unbounded
+      }
+    ColStats(a.kind, a.rows,
+      if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls,
+      pick(a.min, b.min, lower = true),
+      pick(a.max, b.max, lower = false))
+  }
+
+  /** Total order on canonical forms per kind. 'S' compares UTF-8 bytes
+    * unsigned (UTF8String's order — identical to parquet's unsigned
+    * binary stats order, and NOT java.lang.String's UTF-16 order).
+    */
+  private[sources] def compare(kind: Char, a: String, b: String): Int = kind match {
+    case 'L' => java.lang.Long.compare(a.toLong, b.toLong)
+    case 'D' => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case 'B' => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    case _   => UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+  }
+
+  // === manifest encoding =====================================================
+  // One flat row per (file, column): `file|colB64|kind|rows|nulls|minB64|maxB64`
+  // — base64 keeps arbitrary column names and string bounds JSON-safe
+  // without a nested-JSON parser on the commit path; '|' never occurs in
+  // base64 or the uuid file names. Empty b64 field = bound absent.
+
+  def encodeEntries(stats: Map[String, Map[String, ColStats]]): Seq[String] =
+    stats.toSeq.sortBy(_._1).flatMap { case (file, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (col, s) =>
+        val b64 = (v: String) => Base64.getEncoder.encodeToString(v.getBytes(StandardCharsets.UTF_8))
+        s"$file|${b64(col)}|${s.kind}|${s.rows}|${s.nulls}|${s.min.map(b64).getOrElse("")}|${s.max.map(b64).getOrElse("")}"
+      }
+    }
+
+  def decodeEntry(entry: String): Option[(String, String, ColStats)] = {
+    val f = entry.split("\\|", -1)
+    if (f.length != 7 || f(2).length != 1) return None
+    val un = (v: String) =>
+      if (v.isEmpty) None
+      else Some(new String(Base64.getDecoder.decode(v), StandardCharsets.UTF_8))
+    try Some((f(0), un(f(1)).getOrElse(return None),
+      ColStats(f(2).charAt(0), f(3).toLong, f(4).toLong, un(f(5)), un(f(6)))))
+    catch { case _: Exception => None } // unknown format: no stats, never prune
+  }
+
+  // === pruning evaluator =====================================================
+
+  /** Conservative "may this file contain a matching row" over a
+    * predicate tree. `stats` is the file's per-column map
+    * (case-insensitive names); anything the evaluator does not
+    * understand — casts over attributes, UDFs, unknown operators,
+    * columns without stats — answers true. Sound for both resolved
+    * plans (AttributeReference) and the DML router's unresolved
+    * `expr(...)` trees (UnresolvedAttribute).
+    */
+  def mayMatch(stats: Map[String, ColStats], e: Expression): Boolean = {
+    if (stats.isEmpty) return true
+    val byName = stats.map { case (k, v) => k.toLowerCase -> v }
+
+    def col(x: Expression): Option[ColStats] = x match {
+      case a: AttributeReference => byName.get(a.name.toLowerCase)
+      case u: UnresolvedAttribute => byName.get(u.nameParts.last.toLowerCase)
+      case _ => None
+    }
+
+    // constant side of a comparison: a plain Literal, or any resolved
+    // foldable deterministic expression (the analyzer wraps literals in
+    // Cast for type promotion — `k = 42` against a bigint column is
+    // EqualTo(k, cast(42 as bigint)) until ConstantFolding runs)
+    def litOf(x: Expression): Option[Any] = x match {
+      case Literal(v, _) => Some(v)
+      case _ =>
+        try {
+          if (x.resolved && x.foldable && x.deterministic) Some(x.eval(null)) else None
+        } catch { case _: Exception => None }
+    }
+
+    // literal -> canonical comparand for the column's kind; None when
+    // the types don't line up (then we cannot prune)
+    def comparand(s: ColStats, v: Any): Option[String] = (s.kind, v) match {
+      case (_, null) => None
+      case ('L', n: Byte) => Some(n.toLong.toString)
+      case ('L', n: Short) => Some(n.toLong.toString)
+      case ('L', n: Int) => Some(n.toLong.toString)
+      case ('L', n: Long) => Some(n.toString)
+      case ('D', n: Number) => Some(n.doubleValue.toString)
+      case ('S', u: UTF8String) => Some(u.toString)
+      case ('S', str: String) => Some(str)
+      case ('B', b: Boolean) => Some(b.toString)
+      case _ => None
+    }
+
+    // a comparison on an ALL-NULL column matches nothing
+    def allNull(s: ColStats): Boolean = s.rows >= 0 && s.nulls == s.rows
+
+    // may the file contain a row with `op(compare(min, v), compare(max, v))`?
+    def interval(s: ColStats, v: Any, op: (Int, Int) => Boolean): Boolean = {
+      if (v == null) return false // `col <op> NULL` is never TRUE
+      if (allNull(s)) return false
+      comparand(s, v) match {
+        case Some(c) =>
+          (s.min, s.max) match {
+            case (Some(mn), Some(mx)) => op(compare(s.kind, mn, c), compare(s.kind, mx, c))
+            case _ => true // unbounded: cannot prune
+          }
+        case None => true
+      }
+    }
+
+    def point(s: ColStats, v: Any): Boolean =
+      interval(s, v, (mn, mx) => mn <= 0 && mx >= 0)
+
+    // binary comparison with the attribute on EITHER side: `opL` when
+    // the attribute is left of the operator, `opR` when it is right
+    def cmp2(a: Expression, b: Expression,
+        opL: (Int, Int) => Boolean, opR: (Int, Int) => Boolean): Boolean =
+      (col(a), litOf(b)) match {
+        case (Some(s), Some(v)) => interval(s, v, opL)
+        case _ => (col(b), litOf(a)) match {
+          case (Some(s), Some(v)) => interval(s, v, opR)
+          case _ => true
+        }
+      }
+
+    val eqOp = (mn: Int, mx: Int) => mn <= 0 && mx >= 0
+
+    def may(x: Expression): Boolean = x match {
+      case And(l, r) => may(l) && may(r)
+      case Or(l, r) => may(l) || may(r)
+      // op args are compare(bound, literal) signs
+      case EqualTo(a, b) => cmp2(a, b, eqOp, eqOp)
+      case GreaterThan(a, b) => cmp2(a, b, (_, mx) => mx > 0, (mn, _) => mn < 0)
+      case GreaterThanOrEqual(a, b) => cmp2(a, b, (_, mx) => mx >= 0, (mn, _) => mn <= 0)
+      case LessThan(a, b) => cmp2(a, b, (mn, _) => mn < 0, (_, mx) => mx > 0)
+      case LessThanOrEqual(a, b) => cmp2(a, b, (mn, _) => mn <= 0, (_, mx) => mx >= 0)
+      case In(a, vs) => col(a) match {
+        case Some(s) if vs.nonEmpty && vs.forall(v => litOf(v).isDefined) =>
+          vs.exists(v => point(s, litOf(v).get))
+        case _ => true
+      }
+      case IsNull(a) => col(a) match {
+        case Some(s) => s.nulls != 0 // -1 unknown keeps the file
+        case None => true
+      }
+      case IsNotNull(a) => col(a) match {
+        case Some(s) => s.rows < 0 || s.nulls < 0 || s.nulls < s.rows
+        case None => true
+      }
+      case EqualNullSafe(a, b) =>
+        (col(a), litOf(b)) match {
+          case (Some(s), Some(v)) => if (v == null) s.nulls != 0 else point(s, v)
+          case _ => (col(b), litOf(a)) match {
+            case (Some(s), Some(v)) => if (v == null) s.nulls != 0 else point(s, v)
+            case _ => true
+          }
+        }
+      // BETWEEN and friends analyze to RuntimeReplaceable nodes whose
+      // desugared form only appears after the optimizer's
+      // ReplaceExpressions — evaluate the replacement directly
+      case r: RuntimeReplaceable => may(r.replacement)
+      // ... and the replacement may bind its input through a
+      // common-subexpression `With` (Between does, to evaluate the
+      // input once): inline the defs so refs become the attribute again
+      case w: With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        may(w.child.transform {
+          case ref: CommonExpressionRef if defs.contains(ref.id) => defs(ref.id)
+        })
+      case _ => true // unknown shape: never prune on it
+    }
+
+    may(e)
+  }
+}

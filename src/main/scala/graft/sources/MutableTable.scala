@@ -51,6 +51,13 @@ final class MutableTable private (
   private def dataDir: Path = root.resolve("data")
   private def versionFile: Path = root.resolve("_version")
 
+  /** Normalized absolute data-dir path — the [[StatsRegistry]] key the
+    * optimizer's scan-prune rule resolves a relation's files against.
+    */
+  def dataDirKey: String = dataDir.toAbsolutePath.normalize.toString
+
+  StatsRegistry.register(this)
+
   def currentVersion: Long = new String(Files.readAllBytes(versionFile)).trim.toLong
 
   // In-process writer serialization: concurrent server sessions share
@@ -74,15 +81,66 @@ final class MutableTable private (
 
   private def readManifest(v: Long): Seq[String] = {
     val txt = new String(Files.readAllBytes(manifestPath(v)))
-    // minimal JSON: {"files": ["a.parquet", ...]}
-    val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']')).trim
+    // minimal JSON: {"files": ["a.parquet", ...], "stats": [...]} — the
+    // files array is the FIRST bracket pair (names contain no brackets)
+    val open = txt.indexOf('[')
+    val body = txt.substring(open + 1, txt.indexOf(']', open)).trim
     if (body.isEmpty) Seq.empty
     else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
   }
 
+  // Per-file column stats, keyed by data-file name. A data file is
+  // immutable once adopted, so its stats are too: entries accumulate
+  // from footers read at stage time and from manifests read back after
+  // a restart — any manifest mentioning a file carries the same stats.
+  private val fileStats =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, ColStats]]
+
+  /** Stats for one live data file (empty when unknown — e.g. a manifest
+    * written before stats existed). Used by the catalog-style pruning
+    * here and by the optimizer's scan-prune rule via [[StatsRegistry]].
+    */
+  def statsFor(fileName: String): Map[String, ColStats] =
+    fileStats.getOrElse(fileName, Map.empty)
+
+  /** Load the published snapshot's persisted stats (idempotent; the
+    * optimizer's scan-prune rule calls this before consulting
+    * [[statsFor]] — a table `load()`ed after a restart has stats only
+    * on disk until someone reads them).
+    */
+  def ensureStatsLoaded(): Unit = loadStats(currentVersion)
+
+  private val statsLoadedVersions =
+    scala.collection.concurrent.TrieMap.empty[Long, Unit]
+
+  /** Merge manifest `v`'s persisted stats into the in-memory map (cheap
+    * and once per version; called by readers about to prune against v).
+    */
+  private def loadStats(v: Long): Unit = {
+    if (statsLoadedVersions.putIfAbsent(v, ()).isDefined) return
+    val txt = new String(Files.readAllBytes(manifestPath(v)))
+    val idx = txt.indexOf("\"stats\"")
+    if (idx < 0) return
+    val open = txt.indexOf('[', idx)
+    if (open < 0) return
+    val body = txt.substring(open + 1, txt.indexOf(']', open)).trim
+    if (body.isEmpty) return
+    body.split(",").toSeq
+      .flatMap(raw => FileStats.decodeEntry(raw.trim.stripPrefix("\"").stripSuffix("\"")))
+      .groupBy(_._1)
+      .foreach { case (file, entries) =>
+        // a manifest always carries a file's complete column set, and a
+        // file's stats never change — first writer wins is exact
+        fileStats.putIfAbsent(file, entries.map(e => e._2 -> e._3).toMap)
+      }
+  }
+
   private def writeManifest(v: Long, files: Seq[String]): Unit = {
-    val json = files.map(f => "\"" + f + "\"").mkString("{\"files\": [", ", ", "]}")
-    Files.write(manifestPath(v), json.getBytes)
+    val fs = files.map(f => "\"" + f + "\"").mkString("[", ", ", "]")
+    val statEntries = FileStats.encodeEntries(
+      files.iterator.flatMap(f => fileStats.get(f).map(f -> _)).toMap)
+    val st = statEntries.map(e => "\"" + e + "\"").mkString("[", ", ", "]")
+    Files.write(manifestPath(v), s"""{"files": $fs, "stats": $st}""".getBytes)
   }
 
   private def commit(newVersion: Long, files: Seq[String]): Unit = {
@@ -158,7 +216,13 @@ final class MutableTable private (
       .filter(p => p.getFileName.toString.startsWith("part-") && p.toString.endsWith(".parquet"))
     parts.map { p =>
       val name = s"part-${UUID.randomUUID()}.parquet"
-      Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      val dest = dataDir.resolve(name)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      // column bounds off the footer the writer just produced — pure
+      // metadata read, no job; persisted with the next manifest so a
+      // restarted process prunes without re-reading footers
+      try fileStats(name) = FileStats.fromFooter(dest)
+      catch { case _: Exception => () } // statless file: never pruned, still correct
       name
     }
   }
@@ -244,23 +308,48 @@ final class MutableTable private (
     (nv, n)
   }
 
+  /** Manifest-stats candidate pruning: the files of version `base` whose
+    * column bounds ADMIT a row matching `cond` (VERDICT r14 #4 — the
+    * DuckLake-catalog behavior: a point predicate at 100 TB must not pay
+    * a footer-and-scan pass over every live file). Conservative by
+    * construction: a file is dropped only when its bounds PROVE no match.
+    */
+  private[sources] def candidateFiles(base: Long, cond: Column): Seq[String] = {
+    val files = readManifest(base)
+    if (files.isEmpty) return files
+    loadStats(base)
+    // Resolve the Column to a catalyst tree by ANALYZING a filter over
+    // the snapshot (no job — plan-only): Spark 4 columns are lazy
+    // ColumnNode wrappers until analysis, and resolution also validates
+    // the predicate against the real schema. mayMatch folds the casts
+    // the analyzer inserts for literal type promotion.
+    val condExpr = asOf(base).filter(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    condExpr match {
+      case Some(c) => files.filter(f => FileStats.mayMatch(statsFor(f), c))
+      case None => files
+    }
+  }
+
   /** Files (by name) containing at least one row matching `cond` in
     * version `base`, PLUS the total match count — one scan answers both
     * (the match count rides the same per-file aggregate), so a DML
     * statement pays a single discovery job instead of a
-    * find-files-then-recount pair. At scale this is one pass over the
-    * predicate-pruned file set rather than two.
+    * find-files-then-recount pair. The scan covers only the
+    * stats-pruned CANDIDATE set, so at scale a point DML reads the
+    * candidate files once rather than every live file twice.
     */
   private def affectedStats(base: Long, cond: Column): (Seq[String], Long) = {
-    val files = readManifest(base)
-    if (files.isEmpty) return (Seq.empty, 0L)
-    val perFile = spark.read.schema(schema).parquet(files.map(f => dataDir.resolve(f).toString): _*)
+    val candidates = candidateFiles(base, cond)
+    if (candidates.isEmpty) return (Seq.empty, 0L)
+    val perFile = spark.read.schema(schema).parquet(candidates.map(f => dataDir.resolve(f).toString): _*)
       .filter(cond)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect()
     val hit = perFile.map(_.getString(0)).toSet
     val matches = perFile.map(_.getLong(1)).sum
-    (files.filter(f => hit.exists(h => h.endsWith("/" + f) || h.endsWith(f))), matches)
+    (candidates.filter(f => hit.exists(h => h.endsWith("/" + f) || h.endsWith(f))), matches)
   }
 
   /** Copy-on-write DELETE: rewrite only files containing matches; returns

@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** Manifest-level column stats (VERDICT r14 #3/#5): per-file min/max
+  * recorded at stage time prune BOTH the DML discovery scan and — via
+  * the optimizer's [[graft.plans.StatsPruneRule]] — filtered reads, so
+  * a point predicate on a multi-file table plans over candidate files
+  * only. Pins: candidate sets, the planned scan's file list, manifest
+  * round-trip after a fresh load(), and that pruning never changes
+  * results.
+  */
+class FileStatsSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("s", StringType)))
+
+  /** A table with 10 one-file batches of 100 rows each, k ranges
+    * disjoint per file: file i covers k in [i*100, i*100+99].
+    */
+  private def mkTable(name: String): MutableTable = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_fstats_$name")
+    val t = MutableTable.create(spark, dir.resolve(name).toString, schema, primaryKey = Some("k"))
+    (0 until 10).foreach { i =>
+      val batch = spark.range(i * 100L, i * 100L + 100)
+        .select(col("id").as("k"), concat(lit(s"f${i}_"), col("id")).as("s"))
+      t.insert(batch)
+    }
+    assert(t.fileCount == 10, s"expected one file per insert batch, got ${t.fileCount}")
+    t
+  }
+
+  private def scanFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation =>
+        r.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.toSeq
+    }.flatten
+
+  test("point DELETE/UPDATE discovery prunes to the single candidate file") {
+    val t = mkTable("dml")
+    // discovery-level pin: the stats admit exactly one file for k=250
+    assert(t.candidateFiles(t.currentVersion, col("k") === 250L).size == 1)
+    assert(t.candidateFiles(t.currentVersion, expr("k = 250")).size == 1,
+      "the DML router's unresolved expr(...) tree must prune too")
+    assert(t.candidateFiles(t.currentVersion, expr("k BETWEEN 195 AND 310")).size == 3)
+    assert(t.candidateFiles(t.currentVersion, expr("k = -5")).isEmpty)
+
+    // behavior pin: a point DELETE rewrites exactly one file — nine of
+    // the ten carry over by reference
+    val filesBefore = currentFiles(t)
+    assert(t.delete(expr("k = 250")) == 1L)
+    val filesAfter = currentFiles(t)
+    assert(filesBefore.intersect(filesAfter).size == 9,
+      s"nine files must carry over untouched: ${filesBefore.size} -> ${filesAfter.size}")
+    assert((filesAfter -- filesBefore).size == 1)
+    assert(t.df.count() == 999)
+
+    // same for UPDATE; the rewritten file gets FRESH stats (bounds must
+    // keep pruning correctly after the rewrite)
+    val v0 = t.currentVersion
+    assert(t.update(expr("k = 777"), Map("s" -> lit("updated"))) == 1L)
+    assert(currentFiles(t).intersect(filesAfter).size == 9)
+    assert(t.df.filter(col("k") === 777).select("s").head().getString(0) == "updated")
+    assert(t.candidateFiles(t.currentVersion, expr("k = 777")).size == 1)
+
+    // a DELETE matching nothing is decided WITHOUT any scan job and
+    // commits nothing
+    assert(t.delete(expr("k = 100000")) == 0L)
+    assert(t.currentVersion == v0 + 1) // only the update advanced it
+  }
+
+  test("optimizer rule prunes filtered SELECTs over the registered view") {
+    val catalog = MutableCatalog(spark)
+    val t = catalog.create("fs_sel", schema, primaryKey = Some("k"))
+    (0 until 10).foreach { i =>
+      val batch = spark.range(i * 100L, i * 100L + 100)
+        .select(col("id").as("k"), concat(lit(s"f${i}_"), col("id")).as("s"))
+      t.insert(batch)
+    }
+    catalog.syncViews(spark)
+    try {
+      val point = spark.sql("SELECT s FROM fs_sel WHERE k = 250")
+      assert(scanFiles(point).size == 1,
+        s"point read must plan over ONE candidate file: ${scanFiles(point).size}")
+      assert(point.collect().map(_.getString(0)).toSeq == Seq("f2_250"))
+
+      // 150..449 overlaps files 1,2,3,4 (ranges [100,199]..[400,499])
+      val range = spark.sql("SELECT count(*) AS n FROM fs_sel WHERE k BETWEEN 150 AND 449")
+      assert(scanFiles(range).size == 4, s"got ${scanFiles(range).size}")
+      assert(range.head().getLong(0) == 300L)
+
+      // string bounds prune too (UTF-8 byte order)
+      val str = spark.sql("SELECT k FROM fs_sel WHERE s = 'f7_701'")
+      assert(scanFiles(str).size == 1)
+      assert(str.head().getLong(0) == 701L)
+
+      // a predicate the stats cannot decide keeps every file — and an
+      // unfiltered scan is untouched by the rule
+      assert(scanFiles(spark.sql("SELECT * FROM fs_sel WHERE s LIKE '%_42'")).size == 10)
+      assert(scanFiles(spark.table("fs_sel")).size == 10)
+
+      // impossible predicate: zero files, zero rows, no error
+      val none = spark.sql("SELECT * FROM fs_sel WHERE k = 99999")
+      assert(scanFiles(none).isEmpty)
+      assert(none.count() == 0)
+    } finally catalog.drop("fs_sel")
+  }
+
+  test("stats persist in the manifest: a fresh load() prunes without re-reading footers") {
+    val t = mkTable("persist")
+    val reloaded = MutableTable.load(spark, t.root.toString)
+    assert(reloaded.candidateFiles(reloaded.currentVersion, expr("k = 42")).size == 1)
+    assert(reloaded.candidateFiles(reloaded.currentVersion, expr("k < 0")).isEmpty)
+  }
+
+  test("null-aware pruning: IS NULL skips all-non-null files, comparisons skip all-null files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats_nulls")
+    val t = MutableTable.create(spark, dir.resolve("nulls").toString, schema)
+    import scala.jdk.CollectionConverters._
+    t.insert(spark.createDataFrame(
+      Seq(Row(1L, "a"), Row(2L, "b")).asJava, schema)) // no nulls in s
+    t.insert(spark.createDataFrame(
+      Seq(Row(10L, null), Row(11L, null)).asJava, schema)) // all-null s
+    assert(t.candidateFiles(t.currentVersion, expr("s IS NULL")).size == 1)
+    assert(t.candidateFiles(t.currentVersion, expr("s = 'a'")).size == 1,
+      "an all-null file can never satisfy a comparison")
+    assert(t.delete(expr("s IS NULL")) == 2L)
+    assert(t.df.count() == 2)
+  }
+
+  test("footer stats decode and manifest entries round-trip") {
+    val t = mkTable("codec")
+    val name = currentFiles(t).head
+    val st = t.statsFor(name)
+    assert(st.contains("k") && st.contains("s"))
+    assert(st("k").kind == 'L' && st("s").kind == 'S')
+    assert(st("k").rows == 100 && st("k").nulls == 0)
+    val lo = st("k").min.get.toLong; val hi = st("k").max.get.toLong
+    assert(hi - lo == 99 && lo % 100 == 0, s"bounds $lo..$hi")
+    // encode -> decode identity, including a string needing base64 care
+    val tricky = ColStats('S', 5, 1, Some("a|b,\"c\"\n"), Some("z"))
+    val enc = FileStats.encodeEntries(Map("f.parquet" -> Map("weird|col" -> tricky)))
+    assert(enc.size == 1)
+    val (f, c, s) = FileStats.decodeEntry(enc.head).get
+    assert(f == "f.parquet" && c == "weird|col" && s == tricky)
+  }
+
+  private def currentFiles(t: MutableTable): Set[String] =
+    t.candidateFiles(t.currentVersion, lit(true)).toSet
+}
