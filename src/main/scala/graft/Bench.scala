@@ -28,7 +28,7 @@ object Bench {
     * update). Returns a JSON object string for the bench line's "ycsb"
     * field.
     */
-  private def runYcsb(spark: SparkSession): String = {
+  private[graft] def runYcsb(spark: SparkSession): String = {
     import org.apache.spark.sql.types._
     val catalog = graft.sources.MutableCatalog(spark)
     val registry = new SessionRegistry(spark, catalog = Some(catalog))

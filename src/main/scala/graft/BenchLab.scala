@@ -29,6 +29,157 @@ object BenchLab {
     val windowSec = sys.env.getOrElse("LAB_WINDOW", "20").toInt
     val spark = Engine.newSession("graft-lab", Engine.defaultCores)
 
+    if (flags("ycsb")) {
+      // the Bench YCSB phase alone — for iterating on the DML/point-read
+      // latency path without paying the 4-terminal + serial phases
+      println("[lab-ycsb] " + Bench.runYcsb(spark))
+      spark.stop()
+      return
+    }
+
+    if (flags("pointread")) {
+      // anatomy of the YCSB point read: engine-side prepared execution
+      // vs the full HTTP+Arrow path, with per-rep Spark job counts —
+      // the lab for VERDICT r15's read-latency target
+      import org.apache.spark.sql.types._
+      val catalog = graft.sources.MutableCatalog(spark)
+      val registry = new SessionRegistry(spark, catalog = Some(catalog))
+      val gw = SqlGateway.start(registry, new Metrics(), identity)
+      val schema = StructType(
+        StructField("ycsb_key", LongType) +:
+          (1 to 10).map(i => StructField(s"field$i", StringType)))
+      val t = catalog.create("usertable", schema, primaryKey = Some("ycsb_key"))
+      (0 until 20).foreach { i =>
+        val b = spark.range(i * 50L, i * 50L + 50).selectExpr(
+          ("id AS ycsb_key" +: (1 to 10).map(f => s"concat('v', id, '_', $f) AS field$f")): _*)
+        t.insert(b)
+      }
+      println(s"[lab-pointread] files=${t.fileCount}")
+      val jobs = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+      val sess = registry.getOrCreate("probe")
+      val p = sess.createPrepared("SELECT * FROM usertable WHERE ycsb_key = ?")
+      (1 to 10).foreach(i => sess.executePrepared(p.handle, Seq(i.toLong)).collect())
+      val j0 = jobs.get()
+      var analyzeMs = 0.0; var collectMs = 0.0
+      val engineTimes = (1 to 20).map { i =>
+        val t0 = System.nanoTime()
+        val df = sess.executePrepared(p.handle, Seq((i * 37 % 1000).toLong))
+        val t1 = System.nanoTime()
+        df.collect()
+        val t2 = System.nanoTime()
+        analyzeMs += (t1 - t0) / 1e6; collectMs += (t2 - t1) / 1e6
+        (t2 - t0) / 1e6
+      }
+      Thread.sleep(300)
+      val engineJobs = (jobs.get() - j0) / 20.0
+      println(f"[lab-pointread] engine split: analyze=${analyzeMs / 20}%.1f collect=${collectMs / 20}%.1f ms")
+      // codegen-cache sensitivity: a FIXED key re-executes identical
+      // generated source (Janino cache hit); random keys regenerate if
+      // literals are inlined into the source
+      val fixedKey = (1 to 20).map { _ =>
+        val t0 = System.nanoTime()
+        sess.executePrepared(p.handle, Seq(123L)).collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"[lab-pointread] engine FIXED key avg=${fixedKey.sum / 20}%.1f ms")
+      // floor: a bare 1-file scan+filter+collect on a fresh plan
+      val one = t.df.inputFiles.head
+      val floorTimes = (1 to 10).map { i =>
+        val t0 = System.nanoTime()
+        spark.read.schema(schema).parquet(one)
+          .filter(org.apache.spark.sql.functions.col("ycsb_key") === (i * 7 % 50).toLong).collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"[lab-pointread] raw 1-file scan floor avg=${floorTimes.sum / 10}%.1f ms")
+      // decompose the floor: bare job launch, reused-plan collect, fresh-plan collect
+      val bare = (1 to 10).map { _ =>
+        val t0 = System.nanoTime(); spark.range(1).collect(); (System.nanoTime() - t0) / 1e6
+      }
+      println(f"[lab-pointread] range(1).collect avg=${bare.sum / 10}%.1f ms")
+      val fixedDf = spark.read.schema(schema).parquet(one)
+        .filter(org.apache.spark.sql.functions.col("ycsb_key") === 7L)
+      fixedDf.collect()
+      val reuse = (1 to 10).map { _ =>
+        val t0 = System.nanoTime(); fixedDf.collect(); (System.nanoTime() - t0) / 1e6
+      }
+      println(f"[lab-pointread] same-plan re-collect avg=${reuse.sum / 10}%.1f ms")
+      val noFilter = (1 to 10).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.schema(schema).parquet(one).collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"[lab-pointread] fresh no-filter scan avg=${noFilter.sum / 10}%.1f ms")
+      val client = new HttpSqlClient(s"http://127.0.0.1:${gw.boundPort}")
+      val h = client.prepare("SELECT * FROM usertable WHERE ycsb_key = ?")
+      (1 to 10).foreach(i => client.executeQuery(h, Seq(i.toLong)))
+      val httpTimes = (1 to 20).map { i =>
+        val t0 = System.nanoTime()
+        client.executeQuery(h, Seq((i * 41 % 1000).toLong))
+        (System.nanoTime() - t0) / 1e6
+      }
+      def stats(xs: Seq[Double]) = f"avg=${xs.sum / xs.size}%.1f min=${xs.min}%.1f max=${xs.max}%.1f"
+      println(f"[lab-pointread] engine ${stats(engineTimes)} jobs/exec=$engineJobs%.1f")
+      println(s"[lab-pointread] http   ${stats(httpTimes)}")
+      gw.stop(); spark.stop()
+      return
+    }
+
+    if (flags("dml")) {
+      // DML latency anatomy without HTTP: route() straight into the
+      // micro-lake, plus the footer-stats read cost in isolation
+      import org.apache.spark.sql.types._
+      val catalog = graft.sources.MutableCatalog(spark)
+      val schema = StructType(
+        StructField("ycsb_key", LongType) +:
+          (1 to 10).map(i => StructField(s"field$i", StringType)))
+      val t = catalog.create("usertable", schema, primaryKey = Some("ycsb_key"))
+      (0 until 10).foreach { i =>
+        val b = spark.range(i * 100L, i * 100L + 100).selectExpr(
+          ("id AS ycsb_key" +: (1 to 10).map(f => s"concat('v', id, '_', $f) AS field$f")): _*)
+        t.insert(b)
+      }
+      val one = t.dataFilePath(t.candidateFilesFor(
+        t.currentVersion, "ycsb_key",
+        org.apache.spark.sql.catalyst.expressions.Literal(5L)).head)
+      val footer = (1 to 20).map { _ =>
+        val t0 = System.nanoTime()
+        graft.sources.FileStats.fromFooter(java.nio.file.Paths.get(one))
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"[lab-dml] fromFooter avg=${footer.sum / 20}%.2f ms")
+      val jobs = new java.util.concurrent.atomic.AtomicLong()
+      val stages = new java.util.concurrent.atomic.AtomicLong()
+      val tasks = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(e.stageInfos.size)
+          tasks.addAndGet(e.stageInfos.map(_.numTasks).sum)
+        }
+      })
+      def timeOp(label: String, sqls: Int => String, reps: Int = 12): Unit = {
+        val (j0, s0, k0) = (jobs.get(), stages.get(), tasks.get())
+        val ts = (1 to reps).map { i =>
+          val t0 = System.nanoTime()
+          catalog.route(sqls(i))
+          (System.nanoTime() - t0) / 1e6
+        }
+        Thread.sleep(200)
+        println(f"[lab-dml] $label avg=${ts.sum / reps}%.1f min=${ts.min}%.1f max=${ts.max}%.1f " +
+          f"jobs/op=${(jobs.get() - j0).toDouble / reps}%.1f stages/op=${(stages.get() - s0).toDouble / reps}%.1f " +
+          f"tasks/op=${(tasks.get() - k0).toDouble / reps}%.1f")
+      }
+      timeOp("update", i => s"UPDATE usertable SET field1 = 'u$i' WHERE ycsb_key = ${i * 31 % 1000}")
+      timeOp("delete", i => s"DELETE FROM usertable WHERE ycsb_key = ${900 + i}")
+      timeOp("insert", i => s"INSERT INTO usertable VALUES (${2000 + i}, ${(1 to 10).map(f => s"'x${i}_$f'").mkString(",")})")
+      spark.stop()
+      return
+    }
+
     if (flags("serial")) {
       val cs = spark.newSession()
       if (flags("noAqe")) cs.conf.set("spark.sql.adaptive.enabled", "false")

@@ -60,13 +60,18 @@ object FileStats {
     * type has no total order we trust (INT96, fixed decimals, nested)
     * are omitted — absent stats mean "never prune", the safe default.
     */
+  // one shared Configuration: constructing one per footer read costs
+  // more than the read itself (XML resource scan), and reads off a
+  // built Configuration are thread-safe
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
   def fromFooter(file: Path): Map[String, ColStats] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toUri), new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.fs.Path(file.toUri), hadoopConf)
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq

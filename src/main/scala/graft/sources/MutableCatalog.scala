@@ -465,4 +465,9 @@ final class CatalogTxn private[sources] {
 
   /** Tables this txn has staged writes for (visible for specs/diagnostics). */
   def stagedTables: Set[String] = synchronized(staged.keySet.toSet)
+
+  /** The txn's staged (unpublished) version of a table, if it has one —
+    * read-your-writes resolution for the prepared point-read fast path.
+    */
+  def stagedVersion(table: String): Option[Long] = synchronized(staged.get(table.toLowerCase))
 }

@@ -68,6 +68,19 @@ final class MutableTable private (
   // reference's Postgres advisory lock, maintenance/mod.rs).
   private val writeLock = new Object
 
+  // Isolated session for the INTERNAL DML frames (discovery aggregate,
+  // PK check, rewrite): AQE's shuffle-stage materialization costs one
+  // extra JOB per aggregate, which on the point-DML path is pure
+  // latency — these aggregates move a handful of rows over ≤4
+  // partitions, exactly the case runtime re-planning cannot help.
+  // Caller-provided DataFrames keep their own session (and AQE).
+  private lazy val dmlSession: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
   private def manifestPath(v: Long): Path = root.resolve(s"manifest-$v.json")
 
   /** Files.list with the stream CLOSED: the returned java Stream holds an
@@ -276,36 +289,91 @@ final class MutableTable private (
   }
 
   private def insertCore(base: Long, data: DataFrame, publishNow: Boolean): (Long, Long) = {
-    // PK enforcement + row count in ONE job: a tagged union of (total
-    // rows, first in-batch duplicate, first clash against `base`)
-    // collects once instead of the check-check-count triple — the
-    // insert latency path drops from four Spark jobs to two (round-14
-    // YCSB phase measurement: the pre-checks dominated single-row
-    // INSERT latency).
-    val n: Long = primaryKey match {
-      case Some(pk) =>
-        val perKey = data.groupBy(col(pk)).agg(count(lit(1)).as("__c"))
-        val report = perKey
-          .agg(coalesce(sum(col("__c")), lit(0L)).as("v"))
-          .select(lit("rows").as("k"), col("v").cast("string"))
-          .unionAll(perKey.filter(col("__c") > 1).limit(1)
-            .select(lit("dup").as("k"), col(pk).cast("string")))
-          .unionAll(data.select(col(pk))
-            .join(asOf(base).select(col(pk)), Seq(pk), "left_semi").limit(1)
-            .select(lit("clash").as("k"), col(pk).cast("string")))
-          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-        report.get("dup").foreach(v =>
-          throw new DuplicateKeyException(s"duplicate key in batch: $pk=$v"))
-        report.get("clash").foreach(v =>
-          throw new DuplicateKeyException(s"duplicate key violates primary key: $pk=$v"))
-        report("rows").toLong
-      case None => data.count()
-    }
+    // WRITE FIRST, then validate off the staged files' own footer stats
+    // (round-15 restructure). The previous shape semi-joined the batch
+    // against the WHOLE table per insert — a full-table scan per append,
+    // which at 100 TB is the difference between an append and a table
+    // pass. Staged-first instead: the just-written files carry pk
+    // bounds, so the clash check prunes the table side to bound-
+    // OVERLAPPING files — for monotone keys (the append-only common
+    // case) that set is EMPTY and no table byte is read. The staged
+    // files are unreferenced by any manifest until the commit below, so
+    // a failed check just deletes them (vacuum would reclaim them after
+    // a crash anyway).
     val newFiles = stageWrite(data)
-    val nv = allocVersion()
-    if (publishNow) commit(nv, readManifest(base) ++ newFiles)
-    else writeManifest(nv, readManifest(base) ++ newFiles)
-    (nv, n)
+    try {
+      primaryKey.foreach(pk => pkCheck(base, newFiles, pk))
+      // row count straight off the footers — no counting job
+      val n = newFiles.map(f =>
+        statsFor(f).values.headOption.map(_.rows).getOrElse(-1L)) match {
+        case rs if rs.nonEmpty && rs.forall(_ >= 0) => rs.sum
+        case _ =>
+          if (newFiles.isEmpty) 0L
+          else dmlSession.read.schema(schema)
+            .parquet(newFiles.map(f => dataDir.resolve(f).toString): _*).count()
+      }
+      val nv = allocVersion()
+      if (publishNow) commit(nv, readManifest(base) ++ newFiles)
+      else writeManifest(nv, readManifest(base) ++ newFiles)
+      (nv, n)
+    } catch {
+      case e: Throwable =>
+        newFiles.foreach { f =>
+          fileStats.remove(f)
+          Files.deleteIfExists(dataDir.resolve(f))
+        }
+        throw e
+    }
+  }
+
+  /** Primary-key enforcement over the STAGED (not yet committed) files:
+    * in-batch duplicates and clashes against version `base`, in one
+    * aggregate over staged ∪ bound-overlapping table files. The table
+    * side is already unique, so any key with total count > 1 involving
+    * a staged row is a violation; staged-count > 1 distinguishes the
+    * in-batch message (checked first, like the pre-write shape did).
+    */
+  private def pkCheck(base: Long, newFiles: Seq[String], pk: String): Unit = {
+    if (newFiles.isEmpty) return
+    loadStats(base)
+    val newBounds = newFiles.map(f => statsFor(f).get(pk))
+    // bounds usable only when every staged file has them and none holds
+    // a NULL pk (min/max ignore nulls, so a null clash would slip the
+    // overlap test — degenerate data falls back to the full check)
+    val boundsKnown = newBounds.forall(_.exists(s =>
+      s.min.isDefined && s.max.isDefined && s.nulls == 0))
+    val old = readManifest(base)
+    val oldCandidates =
+      if (!boundsKnown) old
+      else old.filter { f =>
+        statsFor(f).get(pk) match {
+          case Some(s) if s.min.isDefined && s.max.isDefined =>
+            newBounds.flatten.exists(nb =>
+              FileStats.compare(s.kind, nb.min.get, s.max.get) <= 0 &&
+                FileStats.compare(s.kind, nb.max.get, s.min.get) >= 0)
+          case _ => true // stat-less table file: must be checked
+        }
+      }
+    val newDf = dmlSession.read.schema(schema)
+      .parquet(newFiles.map(f => dataDir.resolve(f).toString): _*)
+      .select(col(pk), lit(1L).as("__new"))
+    val unioned =
+      if (oldCandidates.isEmpty) newDf
+      else newDf.unionAll(dmlSession.read.schema(schema)
+        .parquet(oldCandidates.map(f => dataDir.resolve(f).toString): _*)
+        .select(col(pk), lit(0L).as("__new")))
+    val bad = unioned.groupBy(col(pk))
+      .agg(count(lit(1)).as("__c"), sum(col("__new")).as("__n"))
+      .filter(col("__c") > 1 && col("__n") >= 1)
+      .limit(1)
+      .select(col(pk).cast("string"), (col("__n") > 1).as("__inBatch"))
+      .collect().headOption
+    bad.foreach { r =>
+      if (r.getBoolean(1))
+        throw new DuplicateKeyException(s"duplicate key in batch: $pk=${r.getString(0)}")
+      else
+        throw new DuplicateKeyException(s"duplicate key violates primary key: $pk=${r.getString(0)}")
+    }
   }
 
   /** Manifest-stats candidate pruning: the files of version `base` whose
@@ -318,19 +386,41 @@ final class MutableTable private (
     val files = readManifest(base)
     if (files.isEmpty) return files
     loadStats(base)
-    // Resolve the Column to a catalyst tree by ANALYZING a filter over
-    // the snapshot (no job — plan-only): Spark 4 columns are lazy
-    // ColumnNode wrappers until analysis, and resolution also validates
-    // the predicate against the real schema. mayMatch folds the casts
-    // the analyzer inserts for literal type promotion.
-    val condExpr = asOf(base).filter(cond).queryExecution.analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }
+    // Resolve the Column to a catalyst tree by ANALYZING a filter over a
+    // schema-only empty relation (no job, no file listing — the real
+    // snapshot read would pay a directory listing just to resolve
+    // names): Spark 4 columns are lazy ColumnNode wrappers until
+    // analysis, and resolution also validates the predicate against the
+    // schema. mayMatch folds the casts the analyzer inserts for literal
+    // type promotion.
+    val condExpr = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
     condExpr match {
       case Some(c) => files.filter(f => FileStats.mayMatch(statsFor(f), c))
       case None => files
     }
   }
+
+  /** Analysis-free candidate pruning for the prepared point-read fast
+    * path: files of `version` whose bounds admit `col = lit`. Pure
+    * driver-side stats math — no Spark plan is built, so it is cheap
+    * enough to run per prepared execution.
+    */
+  def candidateFilesFor(version: Long, colName: String,
+      lit: org.apache.spark.sql.catalyst.expressions.Literal): Seq[String] = {
+    val files = readManifest(version)
+    if (files.isEmpty) return files
+    loadStats(version)
+    val cond = org.apache.spark.sql.catalyst.expressions.EqualTo(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(colName), lit)
+    files.filter(f => FileStats.mayMatch(statsFor(f), cond))
+  }
+
+  /** Absolute path of a live data file (for direct candidate reads). */
+  def dataFilePath(name: String): String = dataDir.resolve(name).toString
 
   /** Files (by name) containing at least one row matching `cond` in
     * version `base`, PLUS the total match count — one scan answers both
@@ -343,7 +433,7 @@ final class MutableTable private (
   private def affectedStats(base: Long, cond: Column): (Seq[String], Long) = {
     val candidates = candidateFiles(base, cond)
     if (candidates.isEmpty) return (Seq.empty, 0L)
-    val perFile = spark.read.schema(schema).parquet(candidates.map(f => dataDir.resolve(f).toString): _*)
+    val perFile = dmlSession.read.schema(schema).parquet(candidates.map(f => dataDir.resolve(f).toString): _*)
       .filter(cond)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect()
@@ -368,13 +458,20 @@ final class MutableTable private (
     val all = readManifest(base)
     val (affected, deleted) = affectedStats(base, cond)
     if (affected.isEmpty) return (base, 0L)
-    val affectedDf = spark.read.schema(schema)
+    val affectedDf = dmlSession.read.schema(schema)
       .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
     // survivors are rows where cond is FALSE **or NULL** — filter(!cond)
     // alone drops NULL-predicate rows from the rewritten file (data loss;
     // SQL three-valued logic: DELETE removes only WHERE-true rows)
     val survivors = affectedDf.filter(!coalesce(cond, lit(false)))
-    val replacement = if (survivors.isEmpty) Seq.empty else stageWrite(survivors)
+    // survivor count from manifest stats: affected-file rows minus the
+    // deleted count — saves the isEmpty probe job (and the whole rewrite
+    // when a file is deleted outright); unknown rows fall back to probing
+    val affectedRows = affected.map(f => statsFor(f).values.headOption.map(_.rows).getOrElse(-1L))
+    val anySurvivors =
+      if (affectedRows.forall(_ >= 0)) affectedRows.sum - deleted > 0
+      else !survivors.isEmpty
+    val replacement = if (!anySurvivors) Seq.empty else stageWrite(survivors)
     val nv = allocVersion()
     val files = all.filterNot(affected.contains) ++ replacement
     if (publishNow) commit(nv, files) else writeManifest(nv, files)
@@ -397,7 +494,7 @@ final class MutableTable private (
     val keySet = keys.select(col(keyCol)).distinct()
     // file name must attach AT THE SCAN (input_file_name() evaluated
     // after the join runs outside the file-read task and yields "")
-    val fileDf = spark.read.schema(schema).parquet(all.map(f => dataDir.resolve(f).toString): _*)
+    val fileDf = dmlSession.read.schema(schema).parquet(all.map(f => dataDir.resolve(f).toString): _*)
       .select(col(keyCol), input_file_name().as("__f"))
     // one discovery job: per-file match counts give both the affected
     // file set and the deleted-row total (keySet is distinct, so the
@@ -409,7 +506,7 @@ final class MutableTable private (
     val deleted = perFile.map(_.getLong(1)).sum
     val affected = all.filter(f => hit.exists(h => h.endsWith("/" + f) || h.endsWith(f)))
     if (affected.isEmpty) return 0L
-    val affectedDf = spark.read.schema(schema)
+    val affectedDf = dmlSession.read.schema(schema)
       .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
     val survivors = affectedDf.join(keySet, Seq(keyCol), "left_anti")
       .select(schema.fieldNames.toSeq.map(col): _*)
@@ -436,7 +533,7 @@ final class MutableTable private (
     val all = readManifest(base)
     val (affected, updated) = affectedStats(base, cond)
     if (affected.isEmpty) return (base, 0L)
-    val affectedDf = spark.read.schema(schema)
+    val affectedDf = dmlSession.read.schema(schema)
       .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
     val rewritten = affectedDf.select(schema.fieldNames.toSeq.map { name =>
       set.get(name) match {

@@ -115,6 +115,11 @@ object ArrowWire {
     val topLimited = df.queryExecution.optimizedPlan match {
       case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
+      // already-local results (the prepared point-read fast path answers
+      // a LocalRelation): executeCollect is driver-local — launching a
+      // parallelize job to re-fetch rows the driver already holds would
+      // dominate a point read's latency
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
       case _ => false
     }
     if (topLimited) return df.queryExecution.executedPlan.executeCollect().iterator

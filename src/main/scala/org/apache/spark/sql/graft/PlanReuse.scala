@@ -37,4 +37,16 @@ object PlanReuse {
     val cs = spark.asInstanceOf[ClassicSparkSession]
     Dataset.ofRows(cs, df.asInstanceOf[ClassicDataFrame].queryExecution.optimizedPlan)
   }
+
+  /** Optimized logical plan of a DataFrame (forces optimization NOW). */
+  def optimizedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[ClassicDataFrame].queryExecution.optimizedPlan
+
+  /** Executable DataFrame over an already-optimized logical plan — the
+    * prepared point-read path re-executes a cached plan with a re-bound
+    * literal, skipping parse/analysis/optimization entirely.
+    */
+  def execute(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
 }
