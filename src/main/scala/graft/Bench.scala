@@ -258,40 +258,74 @@ object Bench {
     val extLoadThresholdCores = 2.0
     val ioWaitThresholdCores = 2.0
     val diskBusyThresholdFrac = 0.5
+    // Round-15 additions (VERDICT r14 #1: a 3.34 req/s window passed all
+    // three meters above — the contamination was invisible inside the
+    // pid namespace). Two in-namespace meters close the blind spot:
+    //  - achieved cores: this JVM's own CPU delta / elapsed. The
+    //    terminals are a saturated closed loop, so a window whose
+    //    achieved cores drop ≥35% below the round's best was starved by
+    //    SOMETHING (neighbor VM, hypervisor steal, cgroup throttle) —
+    //    SUSPECT regardless of what the neighbor meters saw.
+    //  - run-delay cores: /proc/self/task/*/schedstat runnable-but-not-
+    //    running time — the steal/throttle signature; absolute-
+    //    thresholded high enough (8 cores) that healthy windows
+    //    (measured ~0-2) never trip it.
+    val achievedDropFrac = 0.35
+    val runDelayThresholdCores = 8.0
     val maxExtraWindows = 3
 
     final case class Win(rps: Double, reqs: Long, elapsed: Double,
         latMs: Array[Double], externalCores: Double, ioWaitCores: Double,
-        diskBusy: Double) {
-      def clean: Boolean = externalCores <= extLoadThresholdCores &&
-        ioWaitCores <= ioWaitThresholdCores && diskBusy <= diskBusyThresholdFrac
+        diskBusy: Double, achievedCores: Double, runDelayCores: Double) {
+      // absolute meters (disk-busy -1 = meter unavailable on this host's
+      // device naming: iowait still covers IO, so it must not auto-flag)
+      def metersClean: Boolean = externalCores <= extLoadThresholdCores &&
+        ioWaitCores <= ioWaitThresholdCores &&
+        (diskBusy < 0 || diskBusy <= diskBusyThresholdFrac) &&
+        (runDelayCores < 0 || runDelayCores <= runDelayThresholdCores)
+      // full verdict needs the ROUND's best achieved-cores figure, so it
+      // is relative and re-evaluated as windows accumulate
+      def clean(maxAchieved: Double): Boolean = metersClean &&
+        (achievedCores < 0 || maxAchieved <= 0 ||
+          achievedCores >= (1.0 - achievedDropFrac) * maxAchieved)
     }
 
     val loadBefore = new scala.collection.mutable.ArrayBuffer[Double]()
     val cpuBefore = new scala.collection.mutable.ArrayBuffer[Double]()
     val windows = new scala.collection.mutable.ArrayBuffer[Win]()
+    def maxAchieved: Double =
+      if (windows.isEmpty) -1.0 else windows.map(_.achievedCores).max
+    def cleanWindows: Seq[Win] = { val mx = maxAchieved; windows.filter(_.clean(mx)).toSeq }
     def measureWindow(): Unit = {
       loadBefore += loadAvg1m(); cpuBefore += procCpuSec()
       val j0 = HostLoad.sample(); val io0 = HostLoad.ioSample()
+      val s0 = HostLoad.selfSample()
       val (rps, reqs, elapsed, latMs) = runWindow()
       val ext = HostLoad.externalCores(j0, HostLoad.sample(), elapsed)
-      val io1 = HostLoad.ioSample()
+      val io1 = HostLoad.ioSample(); val s1 = HostLoad.selfSample()
       val iow = HostLoad.ioWaitCores(io0, io1, elapsed)
       val busy = HostLoad.diskBusyFrac(io0, io1, elapsed)
-      val w = Win(rps, reqs, elapsed, latMs, ext, iow, busy)
+      val ach = HostLoad.achievedCores(s0, s1, elapsed)
+      val rdl = HostLoad.runDelayCores(s0, s1, elapsed)
+      val w = Win(rps, reqs, elapsed, latMs, ext, iow, busy, ach, rdl)
       windows += w
       System.err.println(f"[bench] window ${windows.size}: $rps%.2f req/s " +
         f"($reqs requests in $elapsed%.1f s; loadavg ${loadBefore.last}%.2f; " +
-        f"external $ext%.2f cores; iowait $iow%.2f cores; disk ${busy * 100}%.0f%%" +
-        f"${if (!w.clean) " SUSPECT" else ""})")
+        f"external $ext%.2f cores; iowait $iow%.2f cores; disk ${busy * 100}%.0f%%; " +
+        f"achieved $ach%.1f cores; run-delay $rdl%.2f cores" +
+        f"${if (!w.metersClean) " SUSPECT" else ""})")
     }
     (1 to windowCount).foreach(_ => measureWindow())
-    while (windows.count(_.clean) < windowCount &&
+    while (cleanWindows.size < windowCount &&
         windows.size < windowCount + maxExtraWindows)
       measureWindow()
     loadBefore += loadAvg1m(); cpuBefore += procCpuSec() // post-final-window sample
 
-    val clean = windows.filter(_.clean)
+    val clean = cleanWindows
+    windows.zipWithIndex.filterNot(wi => clean.contains(wi._1)).foreach { case (w, i) =>
+      System.err.println(f"[bench] window ${i + 1} FLAGGED SUSPECT " +
+        f"(achieved ${w.achievedCores}%.1f of round best $maxAchieved%.1f cores)")
+    }
     val externalLoadSuspect = clean.isEmpty
     // median CLEAN window by rps = the number of record; all-window
     // median only as the flagged fallback. LOWER middle on even counts
@@ -320,6 +354,8 @@ object Bench {
     val windowsExtJson = windows.map(_.externalCores).mkString("[", ",", "]")
     val windowsIowJson = windows.map(_.ioWaitCores).mkString("[", ",", "]")
     val windowsDiskJson = windows.map(_.diskBusy).mkString("[", ",", "]")
+    val windowsAchievedJson = windows.map(_.achievedCores).mkString("[", ",", "]")
+    val windowsRunDelayJson = windows.map(_.runDelayCores).mkString("[", ",", "]")
 
     // settle between phases: the window leaves 4 terminals' worth of
     // dropped plan/result state whose collection otherwise lands inside
@@ -390,6 +426,7 @@ object Bench {
     // table, so they need the same self-defense (r13's driver run
     // inflated trivial queries 7-12x under host load)
     val serialCpu0 = HostLoad.sample(); val serialIo0 = HostLoad.ioSample()
+    val serialSelf0 = HostLoad.selfSample()
     val serialT0 = System.nanoTime()
     // MEDIAN of 3 per query: one contended GC/IO burst shifts a mean by
     // its full cost but leaves the median untouched; the reference's
@@ -402,9 +439,11 @@ object Bench {
     }
     val serialElapsed = (System.nanoTime() - serialT0) / 1e9
     val serialExt = HostLoad.externalCores(serialCpu0, HostLoad.sample(), serialElapsed)
-    val serialIo1 = HostLoad.ioSample()
+    val serialIo1 = HostLoad.ioSample(); val serialSelf1 = HostLoad.selfSample()
     val serialIow = HostLoad.ioWaitCores(serialIo0, serialIo1, serialElapsed)
     val serialDisk = HostLoad.diskBusyFrac(serialIo0, serialIo1, serialElapsed)
+    val serialAchieved = HostLoad.achievedCores(serialSelf0, serialSelf1, serialElapsed)
+    val serialRunDelay = HostLoad.runDelayCores(serialSelf0, serialSelf1, serialElapsed)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -436,9 +475,19 @@ object Bench {
       // headline had to fall back to contaminated windows
       s""""windows_external_cpu_cores":$windowsExtJson,""" +
       s""""windows_iowait_cores":$windowsIowJson,""" +
+      // in-namespace self meters (r14 #1): this JVM's achieved cores and
+      // runnable-but-not-running cores per window — a window whose
+      // achieved cores drop >=achieved_drop_frac below the round's best
+      // is SUSPECT even when every neighbor meter reads clean
+      s""""windows_achieved_cores":$windowsAchievedJson,""" +
+      s""""windows_run_delay_cores":$windowsRunDelayJson,""" +
+      s""""achieved_drop_frac":$achievedDropFrac,""" +
+      s""""run_delay_threshold_cores":$runDelayThresholdCores,""" +
       s""""serial_external_cpu_cores":$serialExt,""" +
       s""""serial_iowait_cores":$serialIow,""" +
       s""""serial_disk_busy_frac":$serialDisk,""" +
+      s""""serial_achieved_cores":$serialAchieved,""" +
+      s""""serial_run_delay_cores":$serialRunDelay,""" +
       s""""serial_elapsed_sec":$serialElapsed,""" +
       s""""serial_methodology":"median_of_3_prepared_reexecutions_after_warmup_pass",""" +
       s""""windows_disk_busy_frac":$windowsDiskJson,""" +

@@ -82,7 +82,7 @@ object HostLoad {
       catch { case _: Throwable => 0L },
     ioTicksMs =
       try parseDiskstatsIoTicks(java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/diskstats")))
-      catch { case _: Throwable => 0L })
+      catch { case _: Throwable => -1L }) // unreadable = unavailable, not "0% busy"
 
   /** Aggregate iowait jiffies (5th value on the summary `cpu` line). */
   private[graft] def parseStatIowait(stat: String): Long =
@@ -91,30 +91,35 @@ object HostLoad {
       if (f.length > 5) f(5).toLongOption else None
     }.getOrElse(0L)
 
-  /** Summed io_ticks (ms in flight) of whole block devices, partitions
-    * excluded so they are not double-counted against their parent.
-    * Covers the plain-disk families (vd/sd/xvd: whole iff no trailing
-    * digit) and the digit-suffixed families (nvme/mmcblk/rbd/md/dm-:
-    * whole iff no 'p' partition infix — none of those prefixes contains
-    * a 'p' of its own). Stacked devices (dm- over sd) CAN both tick for
-    * one IO; that over-counts busy time, which biases toward flagging a
-    * window suspect — the safe direction for a grading defense.
+  /** Whole-device name shapes, partitions excluded so they are not
+    * double-counted against their parent: plain disks (vda/sdb/xvdc),
+    * digit-suffixed families (nvme0n1, mmcblk0, rbd0, md0, dm-0), and
+    * the container-host families loop/zram (ADVICE r14: the previous
+    * 'contains p' partition test could never match loop — the prefix
+    * itself contains a p — so loop-backed hosts read disk-busy 0 and IO
+    * contamination passed as clean).
     */
-  private[graft] def parseDiskstatsIoTicks(diskstats: String): Long =
-    diskstats.linesIterator.flatMap { line =>
+  private val wholeDeviceRe =
+    "^(?:(?:vd|sd|xvd)[a-z]+|nvme\\d+n\\d+|mmcblk\\d+|rbd\\d+|md\\d+|dm-\\d+|loop\\d+|zram\\d+)$".r
+
+  /** Summed io_ticks (ms in flight) of whole block devices, or -1 when
+    * NO whole device matched (unknown device naming: the meter is
+    * UNAVAILABLE and must not read as "0% busy = clean" — the caller
+    * falls back to iowait-only IO flagging). Stacked devices (dm- over
+    * sd) CAN both tick for one IO; that over-counts busy time, which
+    * biases toward flagging a window suspect — the safe direction for a
+    * grading defense.
+    */
+  private[graft] def parseDiskstatsIoTicks(diskstats: String): Long = {
+    var matched = false
+    var sum = 0L
+    diskstats.linesIterator.foreach { line =>
       val f = line.trim.split("\\s+")
-      if (f.length < 13) None
-      else {
-        val name = f(2)
-        val whole =
-          if (name.startsWith("nvme") || name.startsWith("mmcblk") ||
-            name.startsWith("rbd") || name.startsWith("md") || name.startsWith("dm-"))
-            !name.contains('p')
-          else (name.startsWith("vd") || name.startsWith("sd") ||
-            name.startsWith("xvd")) && !name.last.isDigit
-        if (whole) f(12).toLongOption else None
-      }
-    }.sum
+      if (f.length >= 13 && wholeDeviceRe.matches(f(2)))
+        f(12).toLongOption.foreach { v => matched = true; sum += v }
+    }
+    if (matched) sum else -1L
+  }
 
   /** Average cores' worth of threads parked in IO wait over the window. */
   def ioWaitCores(before: IoSample, after: IoSample, elapsedSec: Double): Double =
@@ -122,9 +127,61 @@ object HostLoad {
     else math.max(0L, after.iowaitJiffies - before.iowaitJiffies) / (elapsedSec * UserHz)
 
   /** Fraction of the window the block devices were busy (can exceed 1.0
-    * with multiple devices).
+    * with multiple devices); -1 when the device meter is unavailable
+    * (no recognizable whole device — callers fall back to iowait-only).
     */
   def diskBusyFrac(before: IoSample, after: IoSample, elapsedSec: Double): Double =
-    if (elapsedSec <= 0) 0.0
+    if (before.ioTicksMs < 0 || after.ioTicksMs < 0) -1.0
+    else if (elapsedSec <= 0) 0.0
     else math.max(0L, after.ioTicksMs - before.ioTicksMs) / (elapsedSec * 1000.0)
+
+  /** Own-JVM self metering — the THIRD contamination mode (VERDICT r14
+    * #1: a window collapsed to 3.34 req/s while neighbor CPU, iowait,
+    * and disk busy all read clean — whatever starved the JVM lived
+    * outside the pid namespace: neighbor VMs, hypervisor steal, cgroup
+    * throttling). Two in-namespace meters that see it regardless of the
+    * cause:
+    *  - achieved cores: this process's utime+stime delta / elapsed — a
+    *    saturated closed-loop bench whose achieved cores collapse below
+    *    the round's best was starved, full stop;
+    *  - run delay: /proc/self/task/<tid>/schedstat field 2, time spent
+    *    runnable-but-NOT-running, summed over live threads — the
+    *    steal/throttle signature (the thread wanted the CPU and the
+    *    host gave it to someone else).
+    */
+  final case class SelfSample(cpuSec: Double, runDelayNs: Long)
+
+  def selfSample(): SelfSample = {
+    val cpu =
+      try parseStatJiffies(java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat")))
+        .map(_ / UserHz).getOrElse(-1.0)
+      catch { case _: Throwable => -1.0 }
+    val rd =
+      try {
+        Option(new java.io.File("/proc/self/task").listFiles()).getOrElse(Array.empty)
+          .map { t =>
+            try {
+              val f = java.nio.file.Files.readString(t.toPath.resolve("schedstat")).trim.split("\\s+")
+              if (f.length >= 2) f(1).toLong else 0L
+            } catch { case _: Throwable => 0L } // thread exited mid-scan
+          }.sum
+      } catch { case _: Throwable => -1L }
+    SelfSample(cpu, rd)
+  }
+
+  /** Average cores this JVM actually burned over the window (-1 when
+    * the meter is unavailable).
+    */
+  def achievedCores(before: SelfSample, after: SelfSample, elapsedSec: Double): Double =
+    if (before.cpuSec < 0 || after.cpuSec < 0 || elapsedSec <= 0) -1.0
+    else math.max(0.0, after.cpuSec - before.cpuSec) / elapsedSec
+
+  /** Average cores' worth of this JVM's threads held runnable-but-not-
+    * running over the window (-1 when unavailable). Threads that exit
+    * mid-window take their accumulated delay with them, so the delta is
+    * clamped at zero — an undercount, which only ever UNDER-flags.
+    */
+  def runDelayCores(before: SelfSample, after: SelfSample, elapsedSec: Double): Double =
+    if (before.runDelayNs < 0 || after.runDelayNs < 0 || elapsedSec <= 0) -1.0
+    else math.max(0L, after.runDelayNs - before.runDelayNs) / (elapsedSec * 1e9)
 }

@@ -39,21 +39,35 @@ class HostLoadSpec extends AnyFunSuite {
     assert(HostLoad.parseStatIowait("cpu 1 2") == 0L, "truncated line -> 0")
   }
 
-  test("parseDiskstatsIoTicks sums whole physical devices, not partitions or loops") {
+  test("parseDiskstatsIoTicks sums whole devices (loop/zram included), not partitions") {
     val ds = Seq(
       " 254 0 vda 100 0 800 50 200 0 1600 90 0 1234 140",
       " 254 1 vda1 90 0 700 45 190 0 1500 85 0 1111 130", // partition: skip
-      "   7 0 loop0 5 0 40 1 0 0 0 0 0 99 1", // loop: skip
+      // ADVICE r14: loop/zram ARE whole devices on container hosts —
+      // the old 'contains p' partition test could never match loop
+      "   7 0 loop0 5 0 40 1 0 0 0 0 0 99 1", // loop: count
+      "   7 1 loop0p1 4 0 30 1 0 0 0 0 0 88 1", // loop partition: skip
+      " 252 0 zram0 6 0 48 1 0 0 0 0 0 44 1", // zram: count
       " 259 0 nvme0n1 10 0 80 2 5 0 40 1 0 456 3", // whole nvme: count
       " 259 1 nvme0n1p1 9 0 70 2 4 0 30 1 0 400 3", // nvme partition: skip
       "   8 0 sdb 1 0 8 0 0 0 0 0 0 10 0", // whole sd: count
+      "   8 1 sdb1 1 0 8 0 0 0 0 0 0 9 0", // sd partition: skip
       " 253 0 dm-0 3 0 24 1 2 0 16 1 0 77 2", // device-mapper: count
       "   9 0 md0 2 0 16 0 1 0 8 0 0 33 1", // mdraid: count
       "   9 1 md0p1 1 0 8 0 0 0 0 0 0 20 0", // md partition: skip
       " 179 0 mmcblk0 4 0 32 1 1 0 8 0 0 11 1", // mmc whole: count
       " 179 1 mmcblk0p1 3 0 24 1 0 0 0 0 0 9 0" // mmc partition: skip
     ).mkString("\n")
-    assert(HostLoad.parseDiskstatsIoTicks(ds) == 1234L + 456L + 10L + 77L + 33L + 11L)
+    assert(HostLoad.parseDiskstatsIoTicks(ds) ==
+      1234L + 99L + 44L + 456L + 10L + 77L + 33L + 11L)
+  }
+
+  test("no recognizable whole device -> -1 (meter unavailable, never 'clean by zero')") {
+    val ds = " 200 0 weirddev0 1 0 8 0 0 0 0 0 0 500 0"
+    assert(HostLoad.parseDiskstatsIoTicks(ds) == -1L)
+    val b = HostLoad.IoSample(iowaitJiffies = 0, ioTicksMs = -1L)
+    val a = HostLoad.IoSample(iowaitJiffies = 100, ioTicksMs = -1L)
+    assert(HostLoad.diskBusyFrac(b, a, 4.0) == -1.0, "unavailable propagates, not 0%")
   }
 
   test("ioWaitCores and diskBusyFrac window deltas") {
@@ -65,6 +79,31 @@ class HostLoadSpec extends AnyFunSuite {
     assert(HostLoad.diskBusyFrac(b, a, 4.0) == 0.5)
     assert(HostLoad.ioWaitCores(a, b, 4.0) == 0.0, "counter regression clamps")
     assert(HostLoad.diskBusyFrac(b, a, 0.0) == 0.0, "degenerate window guards")
+  }
+
+  test("self metering: achieved cores and run delay off live /proc/self") {
+    val s0 = HostLoad.selfSample()
+    assert(s0.cpuSec > 0, "this JVM has burned CPU")
+    assert(s0.runDelayNs >= 0, "schedstat readable")
+    // burn ~0.2 s of CPU on a few threads, then re-sample
+    val t0 = System.nanoTime()
+    val threads = (1 to 4).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (System.nanoTime() - t0 < 200000000L) x += 1
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val s1 = HostLoad.selfSample()
+    val ach = HostLoad.achievedCores(s0, s1, elapsed)
+    assert(ach > 0.5, s"4 spinning threads must achieve >0.5 cores, got $ach")
+    assert(HostLoad.runDelayCores(s0, s1, elapsed) >= 0.0)
+    // unavailable meters answer -1, degenerate windows guard
+    assert(HostLoad.achievedCores(HostLoad.SelfSample(-1, 0), s1, 1.0) == -1.0)
+    assert(HostLoad.runDelayCores(HostLoad.SelfSample(0, -1), s1, 1.0) == -1.0)
+    assert(HostLoad.achievedCores(s0, s1, 0.0) == -1.0)
   }
 
   test("live io sampling parses this host's real /proc files") {
