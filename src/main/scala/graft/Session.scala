@@ -145,11 +145,15 @@ final class Session(val id: String, val spark: SparkSession,
   }
 
   // === prepared statements (A12/A21) =======================================
-  /** Canonical point-read shape `SELECT <cols|*> FROM t WHERE k = ?` —
-    * detected once at prepare time so each execution can take the
-    * plan-cached fast path ([[pointReadFast]]).
+  /** Canonical key-read shapes, detected once at prepare time so each
+    * execution can take the plan-cached fast path ([[pointReadFast]]):
+    * `SELECT <cols|*> FROM t WHERE k = ?` (range = false) and
+    * `SELECT <cols|*> FROM t WHERE k BETWEEN ? AND ? [ORDER BY k [ASC|DESC]]`
+    * (range = true; `sortDesc` records the ORDER BY direction).
     */
-  final case class PointRead(table: String, keyCol: String, projection: Option[Seq[String]])
+  final case class PointRead(table: String, keyCol: String,
+      projection: Option[Seq[String]], range: Boolean = false,
+      sortDesc: Option[Boolean] = None)
 
   final case class Prepared(
       handle: String,
@@ -246,14 +250,26 @@ final class Session(val id: String, val spark: SparkSession,
   private val pointReadRe =
     ("(?is)^\\s*SELECT\\s+(\\*|[A-Za-z_][\\w]*(?:\\s*,\\s*[A-Za-z_][\\w]*)*)\\s+" +
       "FROM\\s+([A-Za-z_][\\w]*)\\s+WHERE\\s+([A-Za-z_][\\w]*)\\s*=\\s*\\?\\s*;?\\s*$").r
+  private val rangeReadRe =
+    ("(?is)^\\s*SELECT\\s+(\\*|[A-Za-z_][\\w]*(?:\\s*,\\s*[A-Za-z_][\\w]*)*)\\s+" +
+      "FROM\\s+([A-Za-z_][\\w]*)\\s+WHERE\\s+([A-Za-z_][\\w]*)\\s+BETWEEN\\s+\\?\\s+AND\\s+\\?" +
+      "(?:\\s+ORDER\\s+BY\\s+([A-Za-z_][\\w]*)(\\s+ASC|\\s+DESC)?)?\\s*;?\\s*$").r
 
-  private def detectPointRead(sql: String): Option[PointRead] = sql match {
-    case pointReadRe(cols, table, key) =>
-      val projection =
-        if (cols.trim == "*") None
-        else Some(cols.split(",").map(_.trim).toSeq)
-      Some(PointRead(table, key, projection))
-    case _ => None
+  private def detectPointRead(sql: String): Option[PointRead] = {
+    def proj(cols: String) =
+      if (cols.trim == "*") None else Some(cols.split(",").map(_.trim).toSeq)
+    sql match {
+      case pointReadRe(cols, table, key) => Some(PointRead(table, key, proj(cols)))
+      case rangeReadRe(cols, table, key, orderCol, dir) =>
+        val sortDesc = Option(orderCol) match {
+          case None => Some(None) // no ORDER BY: unsorted
+          case Some(oc) if oc.equalsIgnoreCase(key) =>
+            Some(Some(Option(dir).exists(_.trim.equalsIgnoreCase("DESC"))))
+          case _ => None // ORDER BY a different column: native path
+        }
+        sortDesc.map(sd => PointRead(table, key, proj(cols), range = true, sortDesc = sd))
+      case _ => None
+    }
   }
 
   // Per-session LRU of physically-planned candidate scans, keyed by the
@@ -283,16 +299,17 @@ final class Session(val id: String, val spark: SparkSession,
   private val pointReadMaxRows = 500000L
   private val pointReadMaxFiles = 8
 
-  private def pointReadFast(p: Prepared, value: Any): Option[DataFrame] = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
+  private def pointReadFast(p: Prepared, values: Seq[Any]): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThanOrEqual, LessThanOrEqual, Literal}
     val pr = p.pointRead.getOrElse(return None)
-    if (value == null) return None // native NULL-comparison semantics, rare
+    if (values.exists(_ == null)) return None // native NULL-comparison semantics, rare
     val cat = catalog.getOrElse(return None)
     val t = cat.get(pr.table).getOrElse(return None) // not managed -> native path
     val keyField = t.schema.fields
       .find(_.name.equalsIgnoreCase(pr.keyCol)).getOrElse(return None)
-    val lit =
-      try Literal.create(value, keyField.dataType)
+    val lits =
+      try values.map(v => Literal.create(v, keyField.dataType))
       catch { case _: Exception => return None } // unconvertible param: native path errors properly
     // projection must resolve to distinct table columns, else the native
     // path raises the proper analysis error
@@ -302,7 +319,11 @@ final class Session(val id: String, val spark: SparkSession,
     // read-your-writes inside a transaction: resolve the session's
     // staged snapshot of the table, like syncViews does
     val version = txn.flatMap(_.stagedVersion(pr.table)).getOrElse(t.currentVersion)
-    val candidates = t.candidateFilesFor(version, keyField.name, lit)
+    val attr = UnresolvedAttribute(keyField.name)
+    val cond =
+      if (pr.range) And(GreaterThanOrEqual(attr, lits(0)), LessThanOrEqual(attr, lits(1)))
+      else EqualTo(attr, lits.head)
+    val candidates = t.candidateFilesExpr(version, cond)
     if (candidates.size > pointReadMaxFiles) return None
     val candidateRows = candidates.map(f =>
       t.statsFor(f).values.headOption.map(_.rows).getOrElse(return None))
@@ -327,14 +348,18 @@ final class Session(val id: String, val spark: SparkSession,
       s
     }
     Some(org.apache.spark.sql.graft.PointReadExec.execute(
-      spark, scan, keyField.name, lit,
-      if (outCols.size == scan.output.size) None else Some(outCols)))
+      spark, scan, keyField.name, lits,
+      if (outCols.size == scan.output.size) None else Some(outCols),
+      sortDesc = pr.sortDesc))
   }
 
   private def runPrepared(p: Prepared, params: Seq[Any]): DataFrame = {
     val n = ParamInference.countPlaceholders(p.sql)
     val padded = params.padTo(n, null)
-    val fast = if (n == 1 && p.pointRead.isDefined) pointReadFast(p, padded.head) else None
+    val expectedParams = if (p.pointRead.exists(_.range)) 2 else 1
+    val fast =
+      if (n == expectedParams && p.pointRead.isDefined) pointReadFast(p, padded)
+      else None
     fast.foreach { df => if (p.ephemeral) closePrepared(p.handle); return df }
     val out =
       if (n > 0 && SqlShim.statementCount(p.sql) == 1) abortTxnOnError {

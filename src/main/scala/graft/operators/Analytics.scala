@@ -2729,7 +2729,73 @@ object Analytics {
        |FROM noisy ORDER BY n_name""".stripMargin
   }
 
+  // === ks1: Kolmogorov–Smirnov source drift =================================
+  /** Two-sample KS distance over document length (`n_chars`) for every
+    * source pair — the rank-based drift test that complements drift1's
+    * KL over token distributions (KS needs no smoothing or vocabulary
+    * cut and sees distribution-SHAPE drift that token KL misses; a new
+    * crawl slice whose length distribution jumps is truncated,
+    * boilerplate-heavy, or mis-extracted).
+    *
+    * D = max over the value grid of |CDF_a − CDF_b|. Shape at 100 TB:
+    * the heavy pass is ONE (source, value) count aggregate; everything
+    * after runs on the domain-bounded grid (distinct lengths ×
+    * |sources|) — the per-source CDF is a window over that grid and the
+    * pair comparison joins grid-sized tables on the value key. Engine
+    * parity: each CDF point is one IEEE division of exact integers and
+    * D is a max (order-independent, no summation), so the doubles match
+    * bit-for-bit with no rounding step.
+    */
+  def sourceKs(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("source"), col("n_chars").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val grid = counts.select(col("v")).distinct()
+      .crossJoin(counts.select(col("source")).distinct())
+    val wCdf = Window.partitionBy(col("source")).orderBy(col("v"))
+    val wSrc = Window.partitionBy(col("source"))
+    val cdf = grid.join(counts, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCdf))
+      .withColumn("n", sum(col("c")).over(wSrc))
+    val a = cdf.select(col("source").as("source_a"), col("v"),
+      col("cum").as("ca"), col("n").as("na"))
+    val b = cdf.select(col("source").as("source_b"), col("v"),
+      col("cum").as("cb"), col("n").as("nb"))
+    a.join(b, Seq("v"))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        abs(col("ca").cast(DoubleType) / col("na").cast(DoubleType)
+          - col("cb").cast(DoubleType) / col("nb").cast(DoubleType)).as("d"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"), max(col("d")).as("ks_d"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceKsSql: String =
+    """WITH d AS (SELECT source, n_chars AS v FROM documents),
+      |counts AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, vv.v
+      |  FROM (SELECT DISTINCT source FROM d) s
+      |  CROSS JOIN (SELECT DISTINCT v FROM d) vv),
+      |cdf AS (
+      |  SELECT g.source, g.v,
+      |    SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v) AS cum,
+      |    SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source) AS n
+      |  FROM grid g LEFT JOIN counts c ON c.source = g.source AND c.v = g.v),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb,
+      |    ABS(CAST(a.cum AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |      - CAST(b.cum AS DOUBLE) / CAST(b.n AS DOUBLE)) AS dd
+      |  FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source)
+      |SELECT source_a, source_b,
+      |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  MAX(dd) AS ks_d
+      |FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ks1_source_ks" -> sourceKs _,
     "dp1_dp_counts" -> ((s: SparkSession, d: String) => dpCounts(s, d)),
     "mrr1_retrieval_mrr" -> ((s: SparkSession, d: String) => labelRetrievalMrr(s, d)),
     "ev22_conversion_hazard" -> conversionHazard _,
@@ -2777,6 +2843,7 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "ks1_source_ks" -> sourceKsSql,
     "dp1_dp_counts" -> dpCountsSql,
     "mrr1_retrieval_mrr" -> labelRetrievalMrrSql(),
     "ev22_conversion_hazard" -> conversionHazardSql,

@@ -1024,7 +1024,57 @@ object Dedup {
       |  (doc_id = MIN(doc_id) OVER (PARTITION BY canon_hash)) AS keep
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // === leak1: cross-split near-dup leakage ==================================
+  /** Train/validation leakage through NEAR-duplicates: dd3's LSH
+    * candidate pairs joined to fld1's deterministic k-fold assignment —
+    * every pair whose two docs land in different folds leaks shared
+    * content across the split (the contamination cont1-3 cannot see,
+    * because it is not benchmark text — it is the corpus duplicating
+    * itself across its own splits; the standard fix is fld2's
+    * cluster-aware split, and this operator is the AUDIT that says
+    * whether you need it).
+    *
+    * Output: candidate-pair counts per unordered fold pair plus each
+    * cell's share — off-diagonal mass IS the leakage. Shape at 100 TB:
+    * the heavy stages are dd3's banded LSH join (never all-pairs) and
+    * two doc-keyed joins onto the map-only fold assignment; the fold
+    * matrix is ≤ C(folds+1, 2) rows, so the share window is driver-tiny.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val folds = Analytics.kfoldSplit(s, dir).select(col("doc_id"), col("fold"))
+    val wAll = Window.partitionBy()
+    pairs
+      .join(folds.select(col("doc_id").as("doc_a"), col("fold").as("fold_a")), "doc_a")
+      .join(folds.select(col("doc_id").as("doc_b"), col("fold").as("fold_b")), "doc_b")
+      .select(least(col("fold_a"), col("fold_b")).as("fold_lo"),
+        greatest(col("fold_a"), col("fold_b")).as("fold_hi"))
+      .groupBy(col("fold_lo"), col("fold_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pair_share",
+        col("n_pairs").cast(DoubleType) / sum(col("n_pairs")).over(wAll).cast(DoubleType))
+      .orderBy(col("fold_lo"), col("fold_hi"))
+  }
+
+  def splitLeakageSql: String = {
+    val coin = TextAnalysis.sqlMd5Frac("'fld1'", "lang", "CAST(doc_id AS VARCHAR)")
+    s"""WITH $minhashLshSqlCtes,
+       |folds AS (
+       |  SELECT doc_id, CAST(FLOOR($coin * 5) AS INTEGER) AS fold FROM documents),
+       |fp AS (
+       |  SELECT LEAST(fa.fold, fb.fold) AS fold_lo,
+       |         GREATEST(fa.fold, fb.fold) AS fold_hi
+       |  FROM lsh_pairs p
+       |  JOIN folds fa ON fa.doc_id = p.doc_a
+       |  JOIN folds fb ON fb.doc_id = p.doc_b),
+       |agg AS (SELECT fold_lo, fold_hi, COUNT(*) AS n FROM fp GROUP BY 1, 2)
+       |SELECT fold_lo, fold_hi, CAST(n AS BIGINT) AS n_pairs,
+       |  CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM agg) AS DOUBLE) AS pair_share
+       |FROM agg ORDER BY fold_lo, fold_hi""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "leak1_split_leakage" -> splitLeakage _,
     "dd13_url_canonical" -> urlCanonicalDedup _,
     "fld2_cluster_split" -> ((s: SparkSession, d: String) => clusterSplit(s, d)),
     "dd14_canonical_text" -> canonicalTextDedup _,
@@ -1046,6 +1096,7 @@ object Dedup {
     * DuckDB oracle regenerates identical signatures.
     */
   val oracles: Map[String, String] = Map(
+    "leak1_split_leakage" -> splitLeakageSql,
     "dd13_url_canonical" -> urlCanonicalDedupSql,
     "fld2_cluster_split" -> clusterSplitSql(),
     "dd14_canonical_text" -> canonicalTextDedupSql,

@@ -2749,7 +2749,90 @@ object TextAnalysis {
       |       ELSE 0 END AS DOUBLE) / CAST(avail AS DOUBLE) AS fill_rate
       |FROM t3 ORDER BY lang""".stripMargin
 
+  // === pmi1: PMI collocations ==============================================
+  /** Top adjacent-bigram collocations by pointwise mutual information —
+    * the phrase-mining pass a tokenizer-training or stopword-curation
+    * pipeline runs over a corpus: PMI(w1,w2) = ln((c12/Nb) /
+    * ((c1/Nt)·(c2/Nt))) over exact counts, with a min-count floor so
+    * rare-pair noise (PMI's classic failure mode) never ranks.
+    *
+    * Shape at 100 TB: unigram and bigram events ride ONE exploded pass
+    * and ONE shuffle keyed (kind, w1, w2); both consumers filter ABOVE
+    * the same aggregate, so the exchange is built once and reused. The
+    * corpus totals reduce the aggregated table (grouping by kind only —
+    * 2 keys, map-side combined). The unigram joins hit vocabulary-sized
+    * tables keyed by word. Engine parity: PMI is one IEEE tree over
+    * exact BIGINT counts, micros-rounded (dround 6) to absorb last-ulp
+    * libm ln differences before it becomes the sort key (the drift1 /
+    * txt11 argument) — with bit-identical keys the ORDER BY agrees.
+    */
+  def pmiCollocations(s: SparkSession, dir: String, minCount: Int = 5,
+      k: Int = 25): DataFrame = {
+    val toks = Par.fanOut(t(s, dir, "documents").select(col("text")))
+      .select(tokens(col("text")).as("t"))
+    val uniEvents = transform(col("t"), w =>
+      struct(lit("u").as("kind"), w.as("w1"), lit("").as("w2")))
+    // bigrams as zip(t[1..n-1], t[2..n]) — slice lengths clamp to 0, so
+    // a one-token doc yields an empty pair list with no type gymnastics
+    // (sequence(1, size-1) would step DOWN through [1,0] on short docs)
+    val biLen = greatest(size(col("t")) - 1, lit(0))
+    val biEvents = zip_with(
+      slice(col("t"), lit(1), biLen), slice(col("t"), lit(2), biLen),
+      (a, b) => struct(lit("b").as("kind"), a.as("w1"), b.as("w2")))
+    val counts = toks
+      .select(explode(concat(uniEvents, biEvents)).as("e"))
+      .select(col("e.kind").as("kind"), col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .groupBy(col("kind"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("kind")).agg(sum(col("c")).as("n"))
+    val nt = totals.filter(col("kind") === "u").select(col("n").as("nt"))
+    val nb = totals.filter(col("kind") === "b").select(col("n").as("nb"))
+    val uni = counts.filter(col("kind") === "u").select(col("w1").as("w"), col("c").as("cw"))
+    val bi = counts.filter(col("kind") === "b")
+      .select(col("w1"), col("w2"), col("c").as("c12"))
+      .filter(col("c12") >= minCount)
+    val p12 = col("c12").cast(DoubleType) / col("nb").cast(DoubleType)
+    val p1 = col("cw1").cast(DoubleType) / col("nt").cast(DoubleType)
+    val p2 = col("cw2").cast(DoubleType) / col("nt").cast(DoubleType)
+    bi.join(uni.select(col("w").as("w1"), col("cw").as("cw1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), "w2")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"),
+        Exact.dround(log(p12 / (p1 * p2)), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def pmiCollocationsSql(minCount: Int = 5, k: Int = 25): String =
+    s"""WITH toks AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |ucnt AS (
+       |  SELECT w, COUNT(*) AS cw
+       |  FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w),
+       |pos AS (
+       |  SELECT t, UNNEST(generate_series(1, len(t) - 1)) AS i
+       |  FROM toks WHERE len(t) >= 2),
+       |bcnt AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c12
+       |  FROM pos GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT (SELECT SUM(cw) FROM ucnt) AS nt,
+       |         (SELECT SUM(c12) FROM bcnt) AS nb),
+       |scored AS (
+       |  SELECT w1, w2, c12,
+       |    ${Exact.sqlDround(
+             "ln((CAST(c12 AS DOUBLE) / CAST(nb AS DOUBLE)) / " +
+             "((CAST(ca.cw AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+             "(CAST(cb.cw AS DOUBLE) / CAST(nt AS DOUBLE))))", 6)} AS pmi
+       |  FROM bcnt JOIN ucnt ca ON ca.w = bcnt.w1
+       |            JOIN ucnt cb ON cb.w = bcnt.w2
+       |            CROSS JOIN tot
+       |  WHERE c12 >= $minCount)
+       |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, pmi
+       |FROM scored ORDER BY pmi DESC, w1, w2 LIMIT $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pmi1_collocations" -> ((s: SparkSession, d: String) => pmiCollocations(s, d)),
     "mix2_token_allocation" -> tokenAllocation _,
     "lm2_trigram_lm" -> ((s: SparkSession, d: String) => trigramLm(s, d)),
     "gram2_char_trigrams" -> ((s: SparkSession, d: String) => charTrigrams(s, d)),
@@ -2805,6 +2888,7 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "pmi1_collocations" -> pmiCollocationsSql(),
     "mix2_token_allocation" -> tokenAllocationSql,
     "lm2_trigram_lm" -> trigramLmSql(),
     "gram2_char_trigrams" -> charTrigramsSql(),

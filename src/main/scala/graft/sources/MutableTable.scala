@@ -410,12 +410,18 @@ final class MutableTable private (
     * enough to run per prepared execution.
     */
   def candidateFilesFor(version: Long, colName: String,
-      lit: org.apache.spark.sql.catalyst.expressions.Literal): Seq[String] = {
+      lit: org.apache.spark.sql.catalyst.expressions.Literal): Seq[String] =
+    candidateFilesExpr(version, org.apache.spark.sql.catalyst.expressions.EqualTo(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(colName), lit))
+
+  /** Analysis-free pruning against an already-built catalyst tree (the
+    * prepared fast paths construct Eq/range predicates directly).
+    */
+  def candidateFilesExpr(version: Long,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
     val files = readManifest(version)
     if (files.isEmpty) return files
     loadStats(version)
-    val cond = org.apache.spark.sql.catalyst.expressions.EqualTo(
-      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(colName), lit)
     files.filter(f => FileStats.mayMatch(statsFor(f), cond))
   }
 

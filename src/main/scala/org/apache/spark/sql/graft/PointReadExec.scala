@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, EqualTo, Literal, Predicate, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BoundReference, EqualTo, GreaterThanOrEqual, LessThanOrEqual, Literal, Predicate, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.classic.{DataFrame => ClassicDataFrame, Dataset, SparkSession => ClassicSparkSession}
 
@@ -46,17 +46,26 @@ object PointReadExec {
     CachedScan(qe.executedPlan.execute(), qe.executedPlan.output)
   }
 
-  /** One filtered job over the cached scan: `keyCol = lit`, projected to
-    * `projection` (None = the scan's own output), returned as a local
-    * DataFrame. Matches are copied off the scan's reused row buffers
-    * before crossing the job boundary.
+  /** One filtered job over the cached scan: `keyCol = lit` (one literal)
+    * or `keyCol BETWEEN lo AND hi` (two), optionally sorted by the key
+    * (`sortDesc`: None = unsorted, Some(false/true) = ASC/DESC with
+    * Spark's default null placement), projected to `projection` (None =
+    * the scan's own output), returned as a local DataFrame. Matches are
+    * copied off the scan's reused row buffers before crossing the job
+    * boundary.
     */
   def execute(spark: SparkSession, scan: CachedScan, keyCol: String,
-      lit: Literal, projection: Option[Seq[String]]): DataFrame = {
+      lits: Seq[Literal], projection: Option[Seq[String]],
+      sortDesc: Option[Boolean] = None): DataFrame = {
     val keyOrd = scan.output.indexWhere(_.name.equalsIgnoreCase(keyCol))
     require(keyOrd >= 0, s"key column $keyCol not in scan output")
     val keyAttr = scan.output(keyOrd)
-    val pred = EqualTo(BoundReference(keyOrd, keyAttr.dataType, keyAttr.nullable), lit)
+    val ref = BoundReference(keyOrd, keyAttr.dataType, keyAttr.nullable)
+    val pred = lits match {
+      case Seq(one) => EqualTo(ref, one)
+      case Seq(lo, hi) => And(GreaterThanOrEqual(ref, lo), LessThanOrEqual(ref, hi))
+      case other => throw new IllegalArgumentException(s"1 or 2 literals, got ${other.size}")
+    }
     val sc = spark.sparkContext
     val n = scan.rdd.getNumPartitions
     val matches: Array[InternalRow] =
@@ -66,15 +75,29 @@ object PointReadExec {
         p.initialize(org.apache.spark.TaskContext.getPartitionId())
         it.filter(p.eval).map(_.copy()).toArray
       }).flatten
+    val sorted: Array[InternalRow] = sortDesc match {
+      case None => matches
+      case Some(desc) =>
+        val dt = keyAttr.dataType
+        val valueOrd = org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+        // ASC NULLS FIRST is Spark's default; reversing flips both the
+        // direction and the null end, which is exactly DESC NULLS LAST
+        val asc: Ordering[InternalRow] = (x: InternalRow, y: InternalRow) => {
+          val xn = x.isNullAt(keyOrd); val yn = y.isNullAt(keyOrd)
+          if (xn && yn) 0 else if (xn) -1 else if (yn) 1
+          else valueOrd.compare(x.get(keyOrd, dt), y.get(keyOrd, dt))
+        }
+        matches.sorted(if (desc) asc.reverse else asc)
+    }
     val outAttrs: Seq[Attribute] = projection match {
       case None => scan.output
       case Some(cols) => cols.map(c => scan.output.find(_.name.equalsIgnoreCase(c)).get)
     }
     val rows: Seq[InternalRow] =
-      if (outAttrs == scan.output) matches.toSeq
+      if (outAttrs == scan.output) sorted.toSeq
       else {
         val proj = UnsafeProjection.create(outAttrs, scan.output)
-        matches.map(r => proj(r).copy(): InternalRow).toSeq
+        sorted.map(r => proj(r).copy(): InternalRow).toSeq
       }
     Dataset.ofRows(spark.asInstanceOf[ClassicSparkSession],
       LocalRelation(outAttrs.map(_.newInstance()), rows, isStreaming = false, stream = None))

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The prepared key-read fast path (Session.pointReadFast): PK-equality
+  * and BETWEEN range shapes execute from a cached physical scan with a
+  * re-bound literal — these legs pin that its answers are IDENTICAL to
+  * the native SQL path across values, DML churn, projections, ORDER BY
+  * directions, and transactions (read-your-writes), and that unusual
+  * shapes fall back rather than change semantics.
+  */
+class FastReadSpec extends SparkTestBase {
+
+  private def freshSession(): (Session, sources.MutableCatalog) = {
+    val catalog = sources.MutableCatalog(spark)
+    (new Session("fastread", spark.newSession(), Some(catalog)), catalog)
+  }
+
+  private def load(catalog: sources.MutableCatalog, name: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val t = catalog.create(name, StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("v", LongType))), primaryKey = Some("k"))
+    (0 until 5).foreach { i =>
+      t.insert(spark.range(i * 100L, i * 100L + 100)
+        .select(col("id").as("k"), concat(lit("s"), col("id")).as("s"), (col("id") * 7).as("v")))
+    }
+  }
+
+  test("point read: fast path answers match the native path across values and DML") {
+    val (sess, catalog) = freshSession()
+    load(catalog, "fr_pt")
+    val p = sess.createPrepared("SELECT * FROM fr_pt WHERE k = ?")
+    def read(k: Long) = sess.executePrepared(p.handle, Seq(k)).collect()
+    val r = read(250L)
+    assert(r.length == 1 && r(0).getString(1) == "s250" && r(0).getLong(2) == 1750L)
+    // different value through the SAME handle (re-bound literal, cached scan)
+    assert(read(42L)(0).getString(1) == "s42")
+    assert(read(9999L).isEmpty, "missing key answers zero rows")
+    // DML invalidates by candidate-set change, not staleness
+    sess.sql("UPDATE fr_pt SET s = 'changed' WHERE k = 250")
+    assert(read(250L)(0).getString(1) == "changed")
+    sess.sql("DELETE FROM fr_pt WHERE k = 42")
+    assert(read(42L).isEmpty, "deleted key must disappear from the fast path")
+    // projection subset (key not selected) keeps the declared columns
+    val p2 = sess.createPrepared("SELECT s FROM fr_pt WHERE k = ?")
+    val r2 = sess.executePrepared(p2.handle, Seq(300L)).collect()
+    assert(r2(0).length == 1 && r2(0).getString(0) == "s300")
+    catalog.drop("fr_pt")
+  }
+
+  test("range read: BETWEEN with ORDER BY matches the native path, both directions") {
+    val (sess, catalog) = freshSession()
+    load(catalog, "fr_rng")
+    val asc = sess.createPrepared("SELECT k, s FROM fr_rng WHERE k BETWEEN ? AND ? ORDER BY k")
+    val got = sess.executePrepared(asc.handle, Seq(95L, 205L)).collect()
+    assert(got.map(_.getLong(0)).toSeq == (95L to 205L), s"got ${got.length} rows")
+    assert(got.head.getString(1) == "s95" && got.last.getString(1) == "s205")
+    val desc = sess.createPrepared(
+      "SELECT k FROM fr_rng WHERE k BETWEEN ? AND ? ORDER BY k DESC")
+    val gotDesc = sess.executePrepared(desc.handle, Seq(480L, 520L)).collect()
+    assert(gotDesc.map(_.getLong(0)).toSeq == (499L to 480L by -1),
+      "the table tops out at 499; DESC order must hold")
+    // empty range and inverted bounds answer zero rows (native semantics)
+    assert(sess.executePrepared(asc.handle, Seq(1000L, 2000L)).collect().isEmpty)
+    assert(sess.executePrepared(asc.handle, Seq(10L, 5L)).collect().isEmpty)
+    catalog.drop("fr_rng")
+  }
+
+  test("ORDER BY a non-key column falls back to the native path (same results)") {
+    val (sess, catalog) = freshSession()
+    load(catalog, "fr_fb")
+    val p = sess.createPrepared("SELECT k, v FROM fr_fb WHERE k BETWEEN ? AND ? ORDER BY v DESC")
+    assert(p.pointRead.isEmpty, "non-key ORDER BY must not be detected as a fast shape")
+    val got = sess.executePrepared(p.handle, Seq(10L, 13L)).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(13L, 12L, 11L, 10L)) // v = 7k is monotone
+    catalog.drop("fr_fb")
+  }
+
+  test("read-your-writes: a transaction's staged rows are visible to the fast path") {
+    val (sess, catalog) = freshSession()
+    load(catalog, "fr_txn")
+    val p = sess.createPrepared("SELECT s FROM fr_txn WHERE k = ?")
+    sess.sql("BEGIN")
+    sess.sql("UPDATE fr_txn SET s = 'staged' WHERE k = 7")
+    assert(sess.executePrepared(p.handle, Seq(7L)).collect()(0).getString(0) == "staged",
+      "inside the txn the staged snapshot must win")
+    sess.sql("ROLLBACK")
+    assert(sess.executePrepared(p.handle, Seq(7L)).collect()(0).getString(0) == "s7",
+      "after rollback the published snapshot is back")
+    catalog.drop("fr_txn")
+  }
+}
