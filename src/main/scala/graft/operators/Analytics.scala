@@ -2737,36 +2737,46 @@ object Analytics {
     * crawl slice whose length distribution jumps is truncated,
     * boilerplate-heavy, or mis-extracted).
     *
-    * D = max over the value grid of |CDF_a − CDF_b|. Shape at 100 TB:
-    * the heavy pass is ONE (source, value) count aggregate; everything
-    * after runs on the domain-bounded grid (distinct lengths ×
-    * |sources|) — the per-source CDF is a window over that grid and the
-    * pair comparison joins grid-sized tables on the value key. Engine
-    * parity: each CDF point is one IEEE division of exact integers and
-    * D is a max (order-independent, no summation), so the doubles match
-    * bit-for-bit with no rounding step.
+    * D = max over observed values of |CDF_a − CDF_b| (evaluating at the
+    * pair's own jump points; points outside the union add no new
+    * difference, so this equals the full-grid definition). Shape at
+    * 100 TB: the heavy pass is ONE (source, value) count aggregate
+    * referenced ONCE — each aggregated row fans out map-side to the
+    * (≤ sources−1) pairs it participates in, per-pair CDFs are one
+    * cumulative window over value, and D reduces the pair-keyed stream.
+    * (A first cut materialized a per-source CDF grid and self-joined it;
+    * the grid's three references re-scanned the corpus nine times —
+    * plan-pinned now.) Engine parity: each CDF point is one IEEE
+    * division of exact integers and D is a max (order-independent, no
+    * summation), so the doubles match bit-for-bit with no rounding step.
     */
   def sourceKs(s: SparkSession, dir: String): DataFrame = {
     val counts = t(s, dir, "documents")
       .select(col("source"), col("n_chars").as("v"))
       .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
-    val grid = counts.select(col("v")).distinct()
-      .crossJoin(counts.select(col("source")).distinct())
-    val wCdf = Window.partitionBy(col("source")).orderBy(col("v"))
-    val wSrc = Window.partitionBy(col("source"))
-    val cdf = grid.join(counts, Seq("source", "v"), "left")
-      .select(col("source"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
-      .withColumn("cum", sum(col("c")).over(wCdf))
-      .withColumn("n", sum(col("c")).over(wSrc))
-    val a = cdf.select(col("source").as("source_a"), col("v"),
-      col("cum").as("ca"), col("n").as("na"))
-    val b = cdf.select(col("source").as("source_b"), col("v"),
-      col("cum").as("cb"), col("n").as("nb"))
-    a.join(b, Seq("v"))
-      .filter(col("source_a") < col("source_b"))
+    // the source list rides the aggregate as a broadcast scalar — the
+    // one extra reference reuses the counts exchange (identical subtree)
+    val sourceSet = counts.agg(collect_set(col("source")).as("ss"))
+    val lo = least(col("source"), col("other"))
+    val hi = greatest(col("source"), col("other"))
+    val perPair = counts.crossJoin(broadcast(sourceSet))
+      .select(col("source"), col("v"), col("c"), explode(col("ss")).as("other"))
+      .filter(col("other") =!= col("source"))
+      .select(lo.as("source_a"), hi.as("source_b"), col("v"),
+        when(col("source") < col("other"), col("c")).otherwise(lit(0L)).as("ca"),
+        when(col("source") > col("other"), col("c")).otherwise(lit(0L)).as("cb"))
+      .groupBy(col("source_a"), col("source_b"), col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val wCdf = Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("v"))
+    val wPair = Window.partitionBy(col("source_a"), col("source_b"))
+    perPair
+      .withColumn("cuma", sum(col("ca")).over(wCdf))
+      .withColumn("cumb", sum(col("cb")).over(wCdf))
+      .withColumn("na", sum(col("ca")).over(wPair))
+      .withColumn("nb", sum(col("cb")).over(wPair))
       .select(col("source_a"), col("source_b"), col("na"), col("nb"),
-        abs(col("ca").cast(DoubleType) / col("na").cast(DoubleType)
-          - col("cb").cast(DoubleType) / col("nb").cast(DoubleType)).as("d"))
+        abs(col("cuma").cast(DoubleType) / col("na").cast(DoubleType)
+          - col("cumb").cast(DoubleType) / col("nb").cast(DoubleType)).as("d"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"), max(col("d")).as("ks_d"))
       .orderBy(col("source_a"), col("source_b"))

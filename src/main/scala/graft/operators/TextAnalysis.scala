@@ -2756,45 +2756,49 @@ object TextAnalysis {
     * ((c1/Nt)·(c2/Nt))) over exact counts, with a min-count floor so
     * rare-pair noise (PMI's classic failure mode) never ranks.
     *
-    * Shape at 100 TB: unigram and bigram events ride ONE exploded pass
-    * and ONE shuffle keyed (kind, w1, w2); both consumers filter ABOVE
-    * the same aggregate, so the exchange is built once and reused. The
-    * corpus totals reduce the aggregated table (grouping by kind only —
-    * 2 keys, map-side combined). The unigram joins hit vocabulary-sized
-    * tables keyed by word. Engine parity: PMI is one IEEE tree over
-    * exact BIGINT counts, micros-rounded (dround 6) to absorb last-ulp
-    * libm ln differences before it becomes the sort key (the drift1 /
-    * txt11 argument) — with bit-identical keys the ORDER BY agrees.
+    * Shape at 100 TB: TWO corpus passes — one unigram wordcount, one
+    * bigram count — and nothing more: every further reference (the two
+    * word-keyed joins, the corpus totals) sits ABOVE one of those two
+    * aggregates with an identical subtree, so the exchanges are built
+    * once and REUSED. (A first cut tagged unigram/bigram events into
+    * one aggregate and filtered per consumer — but filters on group
+    * keys push BELOW the aggregate, splitting the subtrees, and the
+    * plan re-scanned the corpus six times; plan-pinned now.) Engine
+    * parity: PMI is one IEEE tree over exact BIGINT counts,
+    * micros-rounded (dround 6) to absorb last-ulp libm ln differences
+    * before it becomes the sort key (the drift1 / txt11 argument) —
+    * with bit-identical keys the ORDER BY agrees.
     */
   def pmiCollocations(s: SparkSession, dir: String, minCount: Int = 5,
       k: Int = 25): DataFrame = {
     val toks = Par.fanOut(t(s, dir, "documents").select(col("text")))
       .select(tokens(col("text")).as("t"))
-    val uniEvents = transform(col("t"), w =>
-      struct(lit("u").as("kind"), w.as("w1"), lit("").as("w2")))
+    // the explicit isnotnull filters are semantic no-ops (split never
+    // yields null elements) that keep every REFERENCE's subtree
+    // identical: the w1/w2 joins below infer isnotnull and push it
+    // under the aggregate on their branches only, which would split the
+    // canonical subtrees and defeat the exchange reuse this plan counts
+    // on (plan-pinned)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     // bigrams as zip(t[1..n-1], t[2..n]) — slice lengths clamp to 0, so
     // a one-token doc yields an empty pair list with no type gymnastics
     // (sequence(1, size-1) would step DOWN through [1,0] on short docs)
     val biLen = greatest(size(col("t")) - 1, lit(0))
-    val biEvents = zip_with(
-      slice(col("t"), lit(1), biLen), slice(col("t"), lit(2), biLen),
-      (a, b) => struct(lit("b").as("kind"), a.as("w1"), b.as("w2")))
-    val counts = toks
-      .select(explode(concat(uniEvents, biEvents)).as("e"))
-      .select(col("e.kind").as("kind"), col("e.w1").as("w1"), col("e.w2").as("w2"))
-      .groupBy(col("kind"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy(col("kind")).agg(sum(col("c")).as("n"))
-    val nt = totals.filter(col("kind") === "u").select(col("n").as("nt"))
-    val nb = totals.filter(col("kind") === "b").select(col("n").as("nb"))
-    val uni = counts.filter(col("kind") === "u").select(col("w1").as("w"), col("c").as("cw"))
-    val bi = counts.filter(col("kind") === "b")
-      .select(col("w1"), col("w2"), col("c").as("c12"))
-      .filter(col("c12") >= minCount)
+    val bi = toks.select(explode(zip_with(
+        slice(col("t"), lit(1), biLen), slice(col("t"), lit(2), biLen),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("e"))
+      .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val nt = uni.agg(sum(col("cw")).as("nt"))
+    val nb = bi.agg(sum(col("c12")).as("nb"))
     val p12 = col("c12").cast(DoubleType) / col("nb").cast(DoubleType)
     val p1 = col("cw1").cast(DoubleType) / col("nt").cast(DoubleType)
     val p2 = col("cw2").cast(DoubleType) / col("nt").cast(DoubleType)
-    bi.join(uni.select(col("w").as("w1"), col("cw").as("cw1")), "w1")
+    bi.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cw").as("cw1")), "w1")
       .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), "w2")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
       .select(col("w1"), col("w2"), col("c12"),

@@ -350,6 +350,29 @@ class PlanQualitySpec extends SparkTestBase {
       s"unpartitioned window over ungrouped input:\n${offenders.mkString("\n")}")
   }
 
+  test("round-15 additions: two corpus scans each, exchanges reused, no cartesians") {
+    // pmi1: ONE unigram + ONE bigram pass; the w1/w2 joins and both
+    // totals REUSE those aggregates' exchanges (the first cut's
+    // filter-on-group-key form split the subtrees and re-scanned the
+    // corpus six times)
+    val pmi = operators.TextAnalysis.pmiCollocations(spark, sfDir)
+    assert(countScans(pmi) <= 2, s"pmi1 must not re-scan per consumer: ${countScans(pmi)}")
+    assert(planOf(pmi).contains("ReusedExchange"),
+      "the totals/join branches must ride reused exchanges, not fresh scans")
+    // ks1: one (source, value) count aggregate referenced once (the
+    // source list rides a reused exchange); everything after is the
+    // domain-bounded pair stream
+    val ks = operators.Analytics.sourceKs(spark, sfDir)
+    assert(countScans(ks) <= 2, s"ks1 re-scans the corpus: ${countScans(ks)}")
+    // leak1: dd3's banded LSH candidates + the map-only fold join —
+    // never an all-pairs product
+    val lk = operators.Dedup.splitLeakage(spark, sfDir)
+    assert(countScans(lk) <= 3, s"leak1 scans: ${countScans(lk)}")
+    Seq("pmi1" -> planOf(pmi), "ks1" -> planOf(ks), "leak1" -> planOf(lk)).foreach {
+      case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
+    }
+  }
+
   test("round-14 additions: scan counts stay at the algorithmic minimum") {
     // ev23: one events read feeds cohort min AND the activity set
     assert(countScans(operators.Analytics.retentionCohorts(spark, sfDir)) <= 2)
