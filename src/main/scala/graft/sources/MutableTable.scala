@@ -386,23 +386,83 @@ final class MutableTable private (
     val files = readManifest(base)
     if (files.isEmpty) return files
     loadStats(base)
-    // Resolve the Column to a catalyst tree by ANALYZING a filter over a
-    // schema-only empty relation (no job, no file listing — the real
-    // snapshot read would pay a directory listing just to resolve
-    // names): Spark 4 columns are lazy ColumnNode wrappers until
-    // analysis, and resolution also validates the predicate against the
-    // schema. mayMatch folds the casts the analyzer inserts for literal
-    // type promotion.
-    val condExpr = spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      .filter(cond).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }
-    condExpr match {
+    resolveCondFast(cond) match {
       case Some(c) => files.filter(f => FileStats.mayMatch(statsFor(f), c))
       case None => files
     }
   }
+
+  /** MICRO-RESOLVER for the common DML predicate shapes (conjunctions /
+    * disjunctions of comparisons between a column and a literal, null
+    * tests): binds attributes straight off the table schema and applies
+    * the one coercion the analyzer would (up-cast the LITERAL to the
+    * column type), in microseconds instead of the analyzer's ~20-30 ms —
+    * which a prepared DML workload pays per execution because the router
+    * re-parses the WHERE text each time. Anything else answers None and
+    * takes the full empty-frame analysis; the output is checked
+    * `.resolved`, so a shape this resolver mishandles falls back rather
+    * than mis-evaluates.
+    */
+  private def quickResolve(
+      raw: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def attr(n: String): Option[AttributeReference] =
+      schema.fields.find(_.name.equalsIgnoreCase(n))
+        .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    def coerce(l: Expression, r: Expression): Option[(Expression, Expression)] =
+      if (l.dataType == r.dataType) Some((l, r))
+      else (l, r) match {
+        case (a: AttributeReference, lit: Literal) if Cast.canUpCast(lit.dataType, a.dataType) =>
+          Some((a, Literal(Cast(lit, a.dataType).eval(null), a.dataType)))
+        case (lit: Literal, a: AttributeReference) if Cast.canUpCast(lit.dataType, a.dataType) =>
+          Some((Literal(Cast(lit, a.dataType).eval(null), a.dataType), a))
+        case _ => None
+      }
+    def lift(x: Expression): Option[Expression] = x match {
+      case u: UnresolvedAttribute if u.nameParts.size == 1 => attr(u.nameParts.head)
+      case l: Literal => Some(l)
+      case And(a, b) => for { p <- lift(a); q <- lift(b) } yield And(p, q)
+      case Or(a, b) => for { p <- lift(a); q <- lift(b) } yield Or(p, q)
+      case Not(c) => lift(c).map(Not(_))
+      case IsNull(c) => lift(c).map(IsNull(_))
+      case IsNotNull(c) => lift(c).map(IsNotNull(_))
+      case b: BinaryComparison =>
+        for {
+          p <- lift(b.left); q <- lift(b.right)
+          pq <- coerce(p, q)
+        } yield b.withNewChildren(Seq(pq._1, pq._2))
+      case _ => None
+    }
+    lift(raw).filter(_.resolved)
+  }
+
+  private def resolveCondFast(cond: Column):
+      Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    (try quickResolve(org.apache.spark.sql.graft.bridge.unresolvedExpression(cond))
+     catch { case _: Exception => None })
+      .orElse(resolveCond(cond))
+
+  /** Resolve a predicate Column to a catalyst tree by ANALYZING a
+    * filter over a schema-only empty relation (no job, no file listing
+    * — the real snapshot read would pay a directory listing just to
+    * resolve names): Spark 4 columns are lazy ColumnNode wrappers until
+    * analysis, and resolution also validates the predicate against the
+    * schema. None when analysis fails (exotic predicates — subqueries
+    * over session-private views, etc): pruning and the discovery fast
+    * path are OPTIMIZATIONS, so failure here must fall back to the
+    * planned path, never fail the statement early.
+    */
+  private def resolveCond(cond: Column):
+      Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    try {
+      spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        .filter(cond).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+    } catch { case _: Exception => None }
 
   /** Analysis-free candidate pruning for the prepared point-read fast
     * path: files of `version` whose bounds admit `col = lit`. Pure
@@ -433,19 +493,101 @@ final class MutableTable private (
     * (the match count rides the same per-file aggregate), so a DML
     * statement pays a single discovery job instead of a
     * find-files-then-recount pair. The scan covers only the
-    * stats-pruned CANDIDATE set, so at scale a point DML reads the
-    * candidate files once rather than every live file twice.
+    * stats-pruned CANDIDATE set, and for resolvable predicates it runs
+    * PLAN-FREE over a cached candidate scan ([[fastAffected]]) — the
+    * per-statement analyzer/optimizer/codegen pipeline was most of a
+    * point DML's discovery latency. The fully-planned aggregate remains
+    * the fallback for anything unusual.
     */
   private def affectedStats(base: Long, cond: Column): (Seq[String], Long) = {
-    val candidates = candidateFiles(base, cond)
+    val files = readManifest(base)
+    if (files.isEmpty) return (Seq.empty, 0L)
+    loadStats(base)
+    // resolve ONCE; pruning and the plan-free discovery share the tree
+    val resolved = resolveCondFast(cond)
+    val candidates = resolved match {
+      case Some(c) => files.filter(f => FileStats.mayMatch(statsFor(f), c))
+      case None => files
+    }
     if (candidates.isEmpty) return (Seq.empty, 0L)
-    val perFile = dmlSession.read.schema(schema).parquet(candidates.map(f => dataDir.resolve(f).toString): _*)
-      .filter(cond)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect()
-    val hit = perFile.map(_.getString(0)).toSet
-    val matches = perFile.map(_.getLong(1)).sum
-    (candidates.filter(f => hit.exists(h => h.endsWith("/" + f) || h.endsWith(f))), matches)
+    resolved.flatMap(c => fastAffected(candidates, c)).getOrElse {
+      val perFile = dmlSession.read.schema(schema).parquet(candidates.map(f => dataDir.resolve(f).toString): _*)
+        .filter(cond)
+        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+        .collect()
+      val hit = perFile.map(_.getString(0)).toSet
+      val matches = perFile.map(_.getLong(1)).sum
+      (candidates.filter(f => hit.exists(h => h.endsWith("/" + f) || h.endsWith(f))), matches)
+    }
+  }
+
+  // Discovery scans cached PER (file, referenced columns) — the finest
+  // valid granularity: files are immutable, so a per-file scan stays
+  // valid forever, and a DML that rewrote ONE file only forces planning
+  // for that file's replacement — every other candidate in every later
+  // statement is already compiled (a candidate-SET key missed whenever
+  // the set changed, even when the targeted file had not). Entries are
+  // plans, not data.
+  private val discoveryScanMax = 64
+  private val discoveryScans = new java.util.LinkedHashMap[
+      (String, Seq[String]), org.apache.spark.sql.graft.PointReadExec.CachedScan](
+      discoveryScanMax + 8, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Seq[String]),
+          org.apache.spark.sql.graft.PointReadExec.CachedScan]): Boolean =
+      size() > discoveryScanMax
+  }
+
+  /** Plan-free DML discovery: bind the resolved predicate to the UNION
+    * of the candidates' cached per-file scans and run ONE per-file
+    * counting job — no analyzer, no optimizer, no codegen per statement
+    * once a file's scan is compiled. None for predicates the fast path
+    * must not touch (unresolvable, non-deterministic, subqueries),
+    * which keep the fully-planned fallback.
+    */
+  private def fastAffected(candidates: Seq[String],
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression): Option[(Seq[String], Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, PlanExpression}
+    if (!resolved.deterministic) return None
+    if (resolved.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    // attributes are Unevaluable until bound below — exclude only OTHER
+    // unevaluable nodes (window specs, unresolved leftovers)
+    if (resolved.exists(e =>
+        e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Unevaluable] &&
+        !e.isInstanceOf[AttributeReference]))
+      return None
+    val refNames = resolved.collect { case a: AttributeReference => a.name }.distinct.sorted
+    val tScan0 = System.nanoTime()
+    var misses = 0
+    val scans = candidates.map { f =>
+      val key = (f, refNames)
+      discoveryScans.synchronized(Option(discoveryScans.get(key))).getOrElse {
+        misses += 1
+        val df = dmlSession.read.schema(schema).parquet(dataDir.resolve(f).toString)
+          .select(refNames.map(col) :+ input_file_name().as("__file"): _*)
+        val s = org.apache.spark.sql.graft.PointReadExec.prepareScan(df)
+        discoveryScans.synchronized(discoveryScans.put(key, s))
+        s
+      }
+    }
+    if (sys.env.contains("GRAFT_DML_TRACE"))
+      System.err.println(f"[dml-trace] fastAffected scans=${candidates.size} misses=$misses build=${(System.nanoTime() - tScan0) / 1e6}%.0f ms")
+    // per-file scans of one schema share the output SHAPE (names, types,
+    // ordinals); binding is ordinal-based, so the union is sound
+    val output = scans.head.output
+    val bound = resolved.transform {
+      case a: AttributeReference =>
+        val i = output.indexWhere(_.name.equalsIgnoreCase(a.name))
+        if (i < 0) return None // scan shape drifted: fall back
+        BoundReference(i, a.dataType, a.nullable)
+    }
+    val unioned = org.apache.spark.sql.graft.PointReadExec.CachedScan(
+      spark.sparkContext.union(scans.map(_.rdd)), output)
+    val counts = org.apache.spark.sql.graft.PointReadExec.matchCountsByFile(
+      spark, unioned, bound, output.length - 1)
+    val affected = candidates.filter(f =>
+      counts.keysIterator.exists(h => h.endsWith("/" + f) || h.endsWith(f)))
+    Some((affected, counts.valuesIterator.sum))
   }
 
   /** Copy-on-write DELETE: rewrite only files containing matches; returns
@@ -536,8 +678,10 @@ final class MutableTable private (
       publishNow: Boolean): (Long, Long) = {
     require(set.nonEmpty, "UPDATE requires at least one assignment")
     set.keys.foreach(k => require(schema.fieldNames.contains(k), s"unknown column: $k"))
+    val t0 = System.nanoTime()
     val all = readManifest(base)
     val (affected, updated) = affectedStats(base, cond)
+    val t1 = System.nanoTime()
     if (affected.isEmpty) return (base, 0L)
     val affectedDf = dmlSession.read.schema(schema)
       .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
@@ -548,9 +692,12 @@ final class MutableTable private (
       }
     }: _*)
     val replacement = stageWrite(rewritten)
+    val t2 = System.nanoTime()
     val nv = allocVersion()
     val files = all.filterNot(affected.contains) ++ replacement
     if (publishNow) commit(nv, files) else writeManifest(nv, files)
+    if (sys.env.contains("GRAFT_DML_TRACE"))
+      System.err.println(f"[dml-trace] update discovery=${(t1 - t0) / 1e6}%.0f rewrite=${(t2 - t1) / 1e6}%.0f commit=${(System.nanoTime() - t2) / 1e6}%.0f ms")
     (nv, updated)
   }
 

@@ -46,6 +46,39 @@ object PointReadExec {
     CachedScan(qe.executedPlan.execute(), qe.executedPlan.output)
   }
 
+  /** One job over the cached scan answering PER-FILE match counts for a
+    * bound predicate — the copy-on-write DML discovery shape (the file
+    * name rides the scan as the `fileOrd` column). Only the counts map
+    * crosses the job boundary, never rows, so any candidate volume is
+    * driver-safe.
+    */
+  def matchCountsByFile(spark: SparkSession, scan: CachedScan,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      fileOrd: Int): Map[String, Long] = {
+    val sc = spark.sparkContext
+    if (scan.rdd.getNumPartitions == 0) return Map.empty
+    sc.runJob(scan.rdd, (it: Iterator[InternalRow]) => {
+      val p = Predicate.create(pred)
+      p.initialize(org.apache.spark.TaskContext.getPartitionId())
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      // rows within a split share one file: cache the last decoded name
+      var lastRaw: org.apache.spark.unsafe.types.UTF8String = null
+      var lastName: String = null
+      it.foreach { r =>
+        if (p.eval(r)) {
+          val raw = r.getUTF8String(fileOrd)
+          if (lastRaw == null || !raw.equals(lastRaw)) {
+            lastRaw = raw.clone(); lastName = raw.toString
+          }
+          m(lastName) = m.getOrElse(lastName, 0L) + 1
+        }
+      }
+      m.toMap
+    }).foldLeft(Map.empty[String, Long]) { (acc, part) =>
+      part.foldLeft(acc) { case (a, (f, n)) => a + (f -> (a.getOrElse(f, 0L) + n)) }
+    }
+  }
+
   /** One filtered job over the cached scan: `keyCol = lit` (one literal)
     * or `keyCol BETWEEN lo AND hi` (two), optionally sorted by the key
     * (`sortDesc`: None = unsorted, Some(false/true) = ASC/DESC with

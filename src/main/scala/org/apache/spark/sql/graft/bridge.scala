@@ -15,4 +15,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column → catalyst conversion (attrs stay unresolved), using
+    * the same ColumnNode converter the analyzer itself runs — without
+    * building or analyzing a plan. `expression` above returns a LAZY
+    * ColumnNodeExpression wrapper, which pattern-matching callers (stats
+    * pruning, the DML micro-resolver) cannot see through.
+    */
+  def unresolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
