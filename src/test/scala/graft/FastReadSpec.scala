@@ -77,6 +77,48 @@ class FastReadSpec extends SparkTestBase {
     catalog.drop("fr_fb")
   }
 
+  test("concurrent fast-path reads racing autocommit DML always see a consistent snapshot") {
+    val (readerSess, catalog) = freshSession()
+    val writerSess = new Session("fastread-writer", spark.newSession(), Some(catalog))
+    load(catalog, "fr_race")
+    val p = readerSess.createPrepared("SELECT s FROM fr_race WHERE k = ?")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      try (1 to 25).foreach { i =>
+        writerSess.sql(s"UPDATE fr_race SET s = 'v$i' WHERE k = 250")
+      } catch { case e: Throwable => errors.add(s"writer: ${e.getMessage}") }
+      finally stop.set(true)
+    })
+    val readers = (0 until 3).map { t =>
+      new Thread(() => {
+        var i = 0
+        try while (!stop.get() || i == 0) {
+          // the contended key: exactly one row, value from the update
+          // lineage — never missing, duplicated, or torn
+          val hot = readerSess.executePrepared(p.handle, Seq(250L)).collect()
+          if (hot.length != 1) errors.add(s"t$t: got ${hot.length} rows for the hot key")
+          else {
+            val v = hot(0).getString(0)
+            if (v != "s250" && !v.matches("v\\d+")) errors.add(s"t$t: torn value '$v'")
+          }
+          // an uncontended key in the SAME table (whose file the writer
+          // keeps replacing around it) must stay byte-identical
+          val cold = readerSess.executePrepared(p.handle, Seq((200L + t * 7))).collect()
+          if (cold.length != 1 || cold(0).getString(0) != s"s${200 + t * 7}")
+            errors.add(s"t$t: cold key corrupted: ${cold.mkString(",")}")
+          i += 1
+        } catch { case e: Throwable => errors.add(s"t$t: ${e.getMessage}") }
+      })
+    }
+    (readers :+ writer).foreach(_.start())
+    (readers :+ writer).foreach(_.join())
+    assert(errors.isEmpty, s"fast path raced DML into: ${errors.peek()}")
+    // after the dust settles the final value is the last update
+    assert(readerSess.executePrepared(p.handle, Seq(250L)).collect()(0).getString(0) == "v25")
+    catalog.drop("fr_race")
+  }
+
   test("read-your-writes: a transaction's staged rows are visible to the fast path") {
     val (sess, catalog) = freshSession()
     load(catalog, "fr_txn")
