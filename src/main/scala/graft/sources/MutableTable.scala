@@ -78,6 +78,12 @@ final class MutableTable private (
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // committer algorithm v2 skips the final output-directory rename
+    // pass: its non-atomicity caveat does not apply here because a
+    // staged write's VISIBILITY is governed by the manifest pointer
+    // swap, never by the output directory — adoption moves the part
+    // files out regardless
+    s.conf.set("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     s
   }
 
@@ -249,13 +255,18 @@ final class MutableTable private (
     * tasks (round-14 YCSB latency diagnosis). `exactFiles` (checkpoint/
     * compaction) bypasses the estimate.
     */
-  private def stageWrite(data: DataFrame, exactFiles: Option[Int] = None): Seq[String] = {
+  private def stageWrite(data: DataFrame, exactFiles: Option[Int] = None,
+      knownBytes: Option[Long] = None): Seq[String] = {
     val staged = root.resolve(s"stage-${UUID.randomUUID()}")
     val aligned = BatchAlign.alignToSchema(data, schema)
     val out = exactFiles match {
       case Some(n) => aligned.repartition(n)
       case None =>
-        val bytes = aligned.queryExecution.optimizedPlan.stats.sizeInBytes
+        // callers that rewrite EXISTING files pass their summed on-disk
+        // size (an fstat per file) — plan-estimated stats would run a
+        // whole optimizer pass just to size the output
+        val bytes = knownBytes.map(BigInt(_))
+          .getOrElse(aligned.queryExecution.optimizedPlan.stats.sizeInBytes)
         val target = ((bytes / (32L << 20)) + 1).min(BigInt(10000)).max(BigInt(1)).toInt
         // coalesce never RAISES the partition count, so no probe needed
         // — touching `aligned.rdd` here would finalize the adaptive plan
@@ -590,6 +601,14 @@ final class MutableTable private (
     Some((affected, counts.valuesIterator.sum))
   }
 
+  /** Summed on-disk bytes of live data files (one fstat each) — the
+    * rewrite paths' file-sizing input.
+    */
+  private def bytesOf(files: Seq[String]): Long =
+    files.map { f =>
+      try java.nio.file.Files.size(dataDir.resolve(f)) catch { case _: Exception => 0L }
+    }.sum
+
   /** Copy-on-write DELETE: rewrite only files containing matches; returns
     * the number of rows deleted.
     */
@@ -619,7 +638,9 @@ final class MutableTable private (
     val anySurvivors =
       if (affectedRows.forall(_ >= 0)) affectedRows.sum - deleted > 0
       else !survivors.isEmpty
-    val replacement = if (!anySurvivors) Seq.empty else stageWrite(survivors)
+    val replacement =
+      if (!anySurvivors) Seq.empty
+      else stageWrite(survivors, knownBytes = Some(bytesOf(affected)))
     val nv = allocVersion()
     val files = all.filterNot(affected.contains) ++ replacement
     if (publishNow) commit(nv, files) else writeManifest(nv, files)
@@ -691,7 +712,7 @@ final class MutableTable private (
         case None    => col(name)
       }
     }: _*)
-    val replacement = stageWrite(rewritten)
+    val replacement = stageWrite(rewritten, knownBytes = Some(bytesOf(affected)))
     val t2 = System.nanoTime()
     val nv = allocVersion()
     val files = all.filterNot(affected.contains) ++ replacement
