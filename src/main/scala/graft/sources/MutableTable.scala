@@ -311,9 +311,13 @@ final class MutableTable private (
     // files are unreferenced by any manifest until the commit below, so
     // a failed check just deletes them (vacuum would reclaim them after
     // a crash anyway).
+    val ti0 = System.nanoTime()
     val newFiles = stageWrite(data)
+    val ti1 = System.nanoTime()
     try {
       primaryKey.foreach(pk => pkCheck(base, newFiles, pk))
+      if (sys.env.contains("GRAFT_DML_TRACE"))
+        System.err.println(f"[dml-trace] insert write=${(ti1 - ti0) / 1e6}%.0f pkcheck=${(System.nanoTime() - ti1) / 1e6}%.0f ms")
       // row count straight off the footers — no counting job
       val n = newFiles.map(f =>
         statsFor(f).values.headOption.map(_.rows).getOrElse(-1L)) match {
@@ -365,6 +369,16 @@ final class MutableTable private (
           case _ => true // stat-less table file: must be checked
         }
       }
+    // append-only common case (no bound overlap): only in-batch dups are
+    // possible, and a SMALL staged batch checks driver-side off the
+    // files just written — one bounded column read instead of a planned
+    // Spark job (~130 ms of a ~280 ms insert measured). Bigger batches
+    // and overlap cases take the distributed aggregate below.
+    if (oldCandidates.isEmpty && boundsKnown) {
+      val stagedRows = newFiles.map(f =>
+        statsFor(f).values.headOption.map(_.rows).getOrElse(Long.MaxValue)).sum
+      if (stagedRows <= 100000 && pkCheckDriverSide(newFiles, pk)) return
+    }
     val newDf = dmlSession.read.schema(schema)
       .parquet(newFiles.map(f => dataDir.resolve(f).toString): _*)
       .select(col(pk), lit(1L).as("__new"))
@@ -608,6 +622,55 @@ final class MutableTable private (
     files.map { f =>
       try java.nio.file.Files.size(dataDir.resolve(f)) catch { case _: Exception => 0L }
     }.sum
+
+  /** Driver-side in-batch duplicate check over SMALL staged files
+    * (bounded by the caller; the distributed aggregate remains the path
+    * beyond the bound or when table overlap exists): reads only the pk
+    * column via parquet-mr and errors on the first repeat — the same
+    * verdict the Spark aggregate produces, one in-process read instead
+    * of a planned job. Returns false when the file cannot be read this
+    * way (the caller falls back; never weakens the check).
+    */
+  private def pkCheckDriverSide(newFiles: Seq[String], pk: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val seen = new java.util.HashSet[Any]()
+    var nullSeen = false
+    try {
+      newFiles.foreach { f =>
+        val reader = ParquetReader
+          .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(dataDir.resolve(f).toUri))
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            val idx = g.getType.getFieldIndex(pk)
+            val v: Any =
+              if (g.getFieldRepetitionCount(idx) == 0) null
+              else g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 => g.getLong(idx, 0)
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 => g.getInteger(idx, 0)
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY => g.getBinary(idx, 0).toStringUsingUTF8
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE => g.getDouble(idx, 0)
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT => g.getFloat(idx, 0)
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BOOLEAN => g.getBoolean(idx, 0)
+                case _ => return false // unsupported pk physical type: planned path
+              }
+            if (v == null) {
+              if (nullSeen) throw new DuplicateKeyException(s"duplicate key in batch: $pk=null")
+              nullSeen = true
+            } else if (!seen.add(v))
+              throw new DuplicateKeyException(s"duplicate key in batch: $pk=$v")
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      true
+    } catch {
+      case e: DuplicateKeyException => throw e
+      case _: Exception => false // unreadable via the example API: planned path decides
+    }
+  }
 
   /** Copy-on-write DELETE: rewrite only files containing matches; returns
     * the number of rows deleted.
