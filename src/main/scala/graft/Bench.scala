@@ -323,8 +323,19 @@ object Bench {
 
     val clean = cleanWindows
     windows.zipWithIndex.filterNot(wi => clean.contains(wi._1)).foreach { case (w, i) =>
-      System.err.println(f"[bench] window ${i + 1} FLAGGED SUSPECT " +
-        f"(achieved ${w.achievedCores}%.1f of round best $maxAchieved%.1f cores)")
+      // name the meter(s) that actually tripped — debugging a
+      // contaminated run must not chase the wrong signal
+      val why = Seq(
+        (w.externalCores > extLoadThresholdCores, f"external ${w.externalCores}%.2f cores"),
+        (w.ioWaitCores > ioWaitThresholdCores, f"iowait ${w.ioWaitCores}%.2f cores"),
+        (w.diskBusy >= 0 && w.diskBusy > diskBusyThresholdFrac, f"disk ${w.diskBusy * 100}%.0f%%"),
+        (w.runDelayCores >= 0 && w.runDelayCores > runDelayThresholdCores,
+          f"run-delay ${w.runDelayCores}%.2f cores"),
+        (w.achievedCores >= 0 && maxAchieved > 0 &&
+          w.achievedCores < (1.0 - achievedDropFrac) * maxAchieved,
+          f"achieved ${w.achievedCores}%.1f of round best $maxAchieved%.1f cores")
+      ).collect { case (true, msg) => msg }
+      System.err.println(s"[bench] window ${i + 1} FLAGGED SUSPECT (${why.mkString("; ")})")
     }
     val externalLoadSuspect = clean.isEmpty
     // median CLEAN window by rps = the number of record; all-window

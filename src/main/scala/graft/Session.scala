@@ -280,15 +280,8 @@ final class Session(val id: String, val spark: SparkSession,
   // near-zero hit rate under the YCSB mix, whose 45% DML share bumps the
   // version every couple of ops). Entries are plans (an RDD lineage +
   // attributes), not data.
-  private val pointScanCacheMax = 64
-  private val pointScans = new java.util.LinkedHashMap[
-      (String, Seq[String]), org.apache.spark.sql.graft.PointReadExec.CachedScan](
-      pointScanCacheMax + 8, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(String, Seq[String]),
-          org.apache.spark.sql.graft.PointReadExec.CachedScan]): Boolean =
-      size() > pointScanCacheMax
-  }
+  private val pointScans =
+    new LruCache[(String, Seq[String]), org.apache.spark.sql.graft.PointReadExec.CachedScan](64)
 
   // Above this many candidate rows the fast path declines and the
   // fully-planned path runs instead — IT keeps parquet row-group
@@ -339,13 +332,11 @@ final class Session(val id: String, val spark: SparkSession,
     // plan); the per-execution projection drops the key again when the
     // SELECT list did not ask for it
     val key = (p.handle, candidates)
-    val scan = pointScans.synchronized(Option(pointScans.get(key))).getOrElse {
+    val scan = pointScans.getOrElseUpdate(key) {
       val scanCols = (outCols :+ keyField.name).distinct
       val df = spark.read.schema(t.schema).parquet(candidates.map(t.dataFilePath): _*)
         .select(scanCols.map(org.apache.spark.sql.functions.col): _*)
-      val s = org.apache.spark.sql.graft.PointReadExec.prepareScan(df)
-      pointScans.synchronized(pointScans.put(key, s))
-      s
+      org.apache.spark.sql.graft.PointReadExec.prepareScan(df)
     }
     Some(org.apache.spark.sql.graft.PointReadExec.execute(
       spark, scan, keyField.name, lits,

@@ -36,15 +36,21 @@ case class StatsPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if (files.isEmpty) f
             else StatsRegistry.lookup(parentDir(files(0))) match {
               case Some(t) if files.forall(p => parentDir(p) == t.dataDirKey) =>
-                t.ensureStatsLoaded()
-                val keep = files.filter(p => FileStats.mayMatch(t.statsFor(baseName(p)), cond))
-                if (keep.length == files.length) f
-                else {
-                  val session = hfs.sparkSession
-                  val pruned = new InMemoryFileIndex(
-                    session, keep.toSeq.map(new Path(_)), Map.empty, Some(hfs.dataSchema))
-                  Filter(cond, rel.copy(relation = hfs.copy(location = pruned)(session)))
-                }
+                // pruning is an optimization — a table caught mid-create
+                // (registered before `_version` lands) or any other
+                // hiccup must leave the plan untouched, never fail the
+                // query from inside the optimizer
+                try {
+                  t.ensureStatsLoaded()
+                  val keep = files.filter(p => FileStats.mayMatch(t.statsFor(baseName(p)), cond))
+                  if (keep.length == files.length) f
+                  else {
+                    val session = hfs.sparkSession
+                    val pruned = new InMemoryFileIndex(
+                      session, keep.toSeq.map(new Path(_)), Map.empty, Some(hfs.dataSchema))
+                    Filter(cond, rel.copy(relation = hfs.copy(location = pruned)(session)))
+                  }
+                } catch { case _: Exception => f }
               case _ => f
             }
           case _ => f

@@ -209,14 +209,20 @@ object FileStats {
     }
 
     // literal -> canonical comparand for the column's kind; None when
-    // the types don't line up (then we cannot prune)
+    // the types don't line up (then we cannot prune). NaN/Inf comparands
+    // never prune: parquet writers are allowed to OMIT NaN from
+    // float/double min/max (Spark's own ParquetFilters refuses NaN
+    // pushdown for the same reason), so bounds cannot prove a NaN row
+    // absent.
     def comparand(s: ColStats, v: Any): Option[String] = (s.kind, v) match {
       case (_, null) => None
       case ('L', n: Byte) => Some(n.toLong.toString)
       case ('L', n: Short) => Some(n.toLong.toString)
       case ('L', n: Int) => Some(n.toLong.toString)
       case ('L', n: Long) => Some(n.toString)
-      case ('D', n: Number) => Some(n.doubleValue.toString)
+      case ('D', n: Number) =>
+        val d = n.doubleValue
+        if (d.isNaN || d.isInfinite) None else Some(d.toString)
       case ('S', u: UTF8String) => Some(u.toString)
       case ('S', str: String) => Some(str)
       case ('B', b: Boolean) => Some(b.toString)

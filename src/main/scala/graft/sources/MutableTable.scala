@@ -56,8 +56,6 @@ final class MutableTable private (
     */
   def dataDirKey: String = dataDir.toAbsolutePath.normalize.toString
 
-  StatsRegistry.register(this)
-
   def currentVersion: Long = new String(Files.readAllBytes(versionFile)).trim.toLong
 
   // In-process writer serialization: concurrent server sessions share
@@ -83,7 +81,12 @@ final class MutableTable private (
     // staged write's VISIBILITY is governed by the manifest pointer
     // swap, never by the output directory — adoption moves the part
     // files out regardless
-    s.conf.set("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    // UNPREFIXED key: SessionState.newHadoopConf copies session-conf
+    // entries into the per-query Hadoop conf verbatim (no spark.hadoop.
+    // prefix stripping at the session layer — review-verified against
+    // the 4.1.2 bytecode), so the prefixed spelling never reaches
+    // FileOutputCommitter
+    s.conf.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
     s
   }
 
@@ -211,6 +214,7 @@ final class MutableTable private (
     val v = currentVersion
     if (version == v) v
     else {
+      loadStats(version) // restored files keep their persisted stats
       val nv = allocVersion()
       commit(nv, readManifest(version))
       nv
@@ -311,6 +315,10 @@ final class MutableTable private (
     // files are unreferenced by any manifest until the commit below, so
     // a failed check just deletes them (vacuum would reclaim them after
     // a crash anyway).
+    // carried-over files' persisted stats must survive into the new
+    // manifest even right after a restart (writeManifest persists only
+    // what the in-memory map holds — review finding, round 15)
+    loadStats(base)
     val ti0 = System.nanoTime()
     val newFiles = stageWrite(data)
     val ti1 = System.nanoTime()
@@ -387,9 +395,13 @@ final class MutableTable private (
       else newDf.unionAll(dmlSession.read.schema(schema)
         .parquet(oldCandidates.map(f => dataDir.resolve(f).toString): _*)
         .select(col(pk), lit(0L).as("__new")))
+    // NULL keys: SQL joins never match NULLs, and the pre-aggregate
+    // clash check (left_semi) inherited that — a staged NULL pk beside
+    // an existing NULL row is NOT a clash; only two STAGED nulls are an
+    // in-batch duplicate (groupBy groups nulls, so filter explicitly)
     val bad = unioned.groupBy(col(pk))
       .agg(count(lit(1)).as("__c"), sum(col("__new")).as("__n"))
-      .filter(col("__c") > 1 && col("__n") >= 1)
+      .filter(col("__c") > 1 && col("__n") >= 1 && (col(pk).isNotNull || col("__n") > 1))
       .limit(1)
       .select(col(pk).cast("string"), (col("__n") > 1).as("__inBatch"))
       .collect().headOption
@@ -436,12 +448,22 @@ final class MutableTable private (
     def attr(n: String): Option[AttributeReference] =
       schema.fields.find(_.name.equalsIgnoreCase(n))
         .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    // literal up-cast ONLY between numeric types: canUpCast alone also
+    // admits AtomicType -> String, which would turn `stringCol = 42`
+    // into STRING equality while Spark's analyzer coerces it to a
+    // numeric comparison — silent wrong answers. Anything non-numeric
+    // or narrowing falls back to the real analyzer.
+    def upcastable(from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Boolean =
+      from.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        to.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        Cast.canUpCast(from, to)
     def coerce(l: Expression, r: Expression): Option[(Expression, Expression)] =
       if (l.dataType == r.dataType) Some((l, r))
       else (l, r) match {
-        case (a: AttributeReference, lit: Literal) if Cast.canUpCast(lit.dataType, a.dataType) =>
+        case (a: AttributeReference, lit: Literal) if upcastable(lit.dataType, a.dataType) =>
           Some((a, Literal(Cast(lit, a.dataType).eval(null), a.dataType)))
-        case (lit: Literal, a: AttributeReference) if Cast.canUpCast(lit.dataType, a.dataType) =>
+        case (lit: Literal, a: AttributeReference) if upcastable(lit.dataType, a.dataType) =>
           Some((Literal(Cast(lit, a.dataType).eval(null), a.dataType), a))
         case _ => None
       }
@@ -553,15 +575,8 @@ final class MutableTable private (
   // statement is already compiled (a candidate-SET key missed whenever
   // the set changed, even when the targeted file had not). Entries are
   // plans, not data.
-  private val discoveryScanMax = 64
-  private val discoveryScans = new java.util.LinkedHashMap[
-      (String, Seq[String]), org.apache.spark.sql.graft.PointReadExec.CachedScan](
-      discoveryScanMax + 8, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(String, Seq[String]),
-          org.apache.spark.sql.graft.PointReadExec.CachedScan]): Boolean =
-      size() > discoveryScanMax
-  }
+  private val discoveryScans =
+    new graft.LruCache[(String, Seq[String]), org.apache.spark.sql.graft.PointReadExec.CachedScan](64)
 
   /** Plan-free DML discovery: bind the resolved predicate to the UNION
     * of the candidates' cached per-file scans and run ONE per-file
@@ -585,14 +600,11 @@ final class MutableTable private (
     val tScan0 = System.nanoTime()
     var misses = 0
     val scans = candidates.map { f =>
-      val key = (f, refNames)
-      discoveryScans.synchronized(Option(discoveryScans.get(key))).getOrElse {
+      discoveryScans.getOrElseUpdate((f, refNames)) {
         misses += 1
         val df = dmlSession.read.schema(schema).parquet(dataDir.resolve(f).toString)
           .select(refNames.map(col) :+ input_file_name().as("__file"): _*)
-        val s = org.apache.spark.sql.graft.PointReadExec.prepareScan(df)
-        discoveryScans.synchronized(discoveryScans.put(key, s))
-        s
+        org.apache.spark.sql.graft.PointReadExec.prepareScan(df)
       }
     }
     if (sys.env.contains("GRAFT_DML_TRACE"))
@@ -632,14 +644,29 @@ final class MutableTable private (
     * way (the caller falls back; never weakens the check).
     */
   private def pkCheckDriverSide(newFiles: Seq[String], pk: String): Boolean = {
-    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
     import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.hadoop.util.HadoopInputFile
     val seen = new java.util.HashSet[Any]()
     var nullSeen = false
     try {
+      // project the read to the pk column (taken off the first file's
+      // own footer schema, so physical types match exactly): without
+      // the requested-schema conf the example reader decodes EVERY
+      // column of the staged rows
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val firstPath = new org.apache.hadoop.fs.Path(dataDir.resolve(newFiles.head).toUri)
+      val fileSchema = {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(firstPath, conf))
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
+      }
+      val projection = new org.apache.parquet.schema.MessageType(
+        fileSchema.getName, fileSchema.getType(fileSchema.getFieldIndex(pk)))
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
       newFiles.foreach { f =>
         val reader = ParquetReader
           .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(dataDir.resolve(f).toUri))
+          .withConf(conf)
           .build()
         try {
           var g = reader.read()
@@ -721,6 +748,7 @@ final class MutableTable private (
   def deleteKeys(keys: DataFrame, keyCol: String): Long = writeLock.synchronized {
     require(schema.fieldNames.contains(keyCol), s"unknown column: $keyCol")
     val v = currentVersion
+    loadStats(v) // keep carried-over stats in the manifest we are about to write
     val all = readManifest(v)
     if (all.isEmpty) return 0L
     val keySet = keys.select(col(keyCol)).distinct()
@@ -838,6 +866,14 @@ final class MutableTable private (
     }
     removed
   }
+
+  // LAST in the class body: registering earlier would publish a
+  // partially-constructed instance to the process-global registry — a
+  // concurrent optimizer pass could then touch not-yet-initialized
+  // fields (review finding, round 15). NOTE create() registers before
+  // `_version` exists on disk; StatsPruneRule guards with a catch-all
+  // for exactly that window.
+  StatsRegistry.register(this)
 }
 
 object MutableTable {

@@ -133,6 +133,55 @@ class FileStatsSpec extends SparkTestBase {
     assert(t.df.count() == 2)
   }
 
+  test("mixed-type predicates keep Spark's coercion semantics (review r15: no string upcast)") {
+    import scala.jdk.CollectionConverters._
+    // `s = 42` against a STRING column: Spark coerces NUMERICALLY (the
+    // row '042' matches); a micro-resolver that up-cast the literal to
+    // string would compare text and miss it — the fast paths must
+    // produce exactly what a plain Spark filter produces
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats_coerce")
+    val t = MutableTable.create(spark, dir.resolve("coerce").toString, schema)
+    t.insert(spark.createDataFrame(
+      Seq(Row(1L, "042"), Row(2L, "42"), Row(3L, "7")).asJava, schema))
+    val sparkSemantics = t.df.filter(expr("s = 42")).count()
+    assert(sparkSemantics == 2L, "Spark casts the strings numerically: '042' matches")
+    assert(t.delete(expr("s = 42")) == sparkSemantics,
+      "DML must delete exactly the rows a Spark filter matches")
+    assert(t.df.count() == 3 - sparkSemantics)
+  }
+
+  test("cross-batch NULL pks do not clash (pre-r15 semantics preserved)") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats_nullpk")
+    val t = MutableTable.create(spark, dir.resolve("nullpk").toString,
+      schema, primaryKey = Some("k"))
+    t.insert(spark.createDataFrame(Seq(Row(null, "a")).asJava, schema))
+    // a second batch with its own single NULL pk was accepted before the
+    // write-first restructure (left_semi joins never match NULLs) and
+    // must still be
+    t.insert(spark.createDataFrame(Seq(Row(null, "b")).asJava, schema))
+    assert(t.df.count() == 2)
+    // but TWO nulls in ONE batch remain an in-batch duplicate
+    val dup = intercept[Exception](t.insert(spark.createDataFrame(
+      Seq(Row(null, "c"), Row(null, "d")).asJava, schema)))
+    assert(dup.getMessage.contains("duplicate key in batch"), dup.getMessage)
+  }
+
+  test("a post-restart write keeps carried-over files' persisted stats (review r15)") {
+    val t = mkTable("restartstats")
+    // fresh instance = restart: in-memory stats start empty
+    val reloaded = MutableTable.load(spark, t.root.toString)
+    import org.apache.spark.sql.functions._
+    reloaded.insert(spark.range(5000L, 5100L)
+      .select(col("id").as("k"), concat(lit("n"), col("id")).as("s")))
+    // a SECOND fresh instance reads only the CURRENT manifest — the old
+    // files' bounds must still be there, or pruning silently dies after
+    // one write
+    val again = MutableTable.load(spark, t.root.toString)
+    assert(again.candidateFiles(again.currentVersion, expr("k = 250")).size == 1,
+      "old files' stats must survive a post-restart insert's manifest")
+  }
+
   test("footer stats decode and manifest entries round-trip") {
     val t = mkTable("codec")
     val name = currentFiles(t).head

@@ -108,7 +108,10 @@ class HostLoadSpec extends AnyFunSuite {
 
   test("live io sampling parses this host's real /proc files") {
     val s = HostLoad.ioSample()
-    assert(s.iowaitJiffies >= 0L && s.ioTicksMs >= 0L)
+    assert(s.iowaitJiffies >= 0L)
+    // -1 is the valid "no recognizable whole device" sentinel — exactly
+    // the hosts it exists for must not fail this suite
+    assert(s.ioTicksMs >= -1L)
   }
 
   test("live sampling: excludes self, deltas are non-negative and sane") {
