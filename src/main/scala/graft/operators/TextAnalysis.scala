@@ -2835,7 +2835,74 @@ object TextAnalysis {
        |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, pmi
        |FROM scored ORDER BY pmi DESC, w1, w2 LIMIT $k""".stripMargin
 
+  // === gram3: n-gram novelty curve ==========================================
+  /** Corpus freshness over ingest order: documents bucket by doc_id into
+    * ten equal-width slices (the crawl-time proxy this synthetic corpus
+    * has), and each bucket reports how many distinct word trigrams
+    * DEBUT there — a new slice whose novelty rate collapses is
+    * re-crawling what the corpus already holds (the acquisition-side
+    * twin of dd*'s dedup: it tells you whether there is anything left
+    * to dedup against). Shingles are dd2/dd3's exact 3-gram stream, so
+    * the numbers line up with the dedup family's.
+    *
+    * Shape at 100 TB: ONE shingle pass into a (bucket, shingle)
+    * distinct — the corpus-scale shuffle — and both consumers (first-
+    * bucket-per-shingle, distinct-per-bucket) aggregate ABOVE that same
+    * exchange, so it is built once and reused (the pmi1 lesson); the
+    * doc/max scalars ride one cheap projection scan. Output is ten
+    * rows; novelty_rate is one exact-integer IEEE division.
+    */
+  def ngramNovelty(s: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scalars = docs.agg(max(col("doc_id")).as("max_id"))
+    val toks = Par.fanOut(docs.select(col("doc_id"), col("text")))
+      .crossJoin(broadcast(scalars))
+      .select(least(floor(col("doc_id") * buckets / (col("max_id") + 1)), lit(buckets - 1))
+        .cast(IntegerType).as("bucket"),
+        col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    val pairs = toks
+      .select(col("bucket"), explode(transform(sequence(lit(1), size(col("t")) - 2), i =>
+        concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2)))).as("shingle"))
+      .distinct()
+    val perBucket = pairs.groupBy(col("bucket")).agg(count(lit(1)).as("distinct_grams"))
+    val debuts = pairs.groupBy(col("shingle")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_grams"))
+    perBucket.join(debuts, Seq("bucket"), "left")
+      .select(col("bucket"), col("distinct_grams"),
+        coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+      .withColumn("novelty_rate",
+        col("new_grams").cast(DoubleType) / col("distinct_grams").cast(DoubleType))
+      .orderBy(col("bucket"))
+  }
+
+  def ngramNoveltySql(buckets: Int = 10): String =
+    s"""WITH sc AS (SELECT MAX(doc_id) AS max_id FROM documents),
+       |toks AS (
+       |  SELECT LEAST((doc_id * $buckets) // (max_id + 1), ${buckets - 1}) AS bucket,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents CROSS JOIN sc),
+       |pairs AS (
+       |  SELECT DISTINCT bucket,
+       |    UNNEST(list_transform(generate_series(1, len(t) - 2),
+       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+       |  FROM toks WHERE len(t) >= 3),
+       |per_bucket AS (
+       |  SELECT bucket, COUNT(*) AS distinct_grams FROM pairs GROUP BY bucket),
+       |debuts AS (
+       |  SELECT bucket, COUNT(*) AS new_grams FROM (
+       |    SELECT shingle, MIN(bucket) AS bucket FROM pairs GROUP BY shingle)
+       |  GROUP BY bucket)
+       |SELECT CAST(pb.bucket AS INTEGER) AS bucket,
+       |  CAST(distinct_grams AS BIGINT) AS distinct_grams,
+       |  CAST(COALESCE(new_grams, 0) AS BIGINT) AS new_grams,
+       |  CAST(COALESCE(new_grams, 0) AS DOUBLE) / CAST(distinct_grams AS DOUBLE) AS novelty_rate
+       |FROM per_bucket pb LEFT JOIN debuts d ON pb.bucket = d.bucket
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gram3_ngram_novelty" -> ((s: SparkSession, d: String) => ngramNovelty(s, d)),
     "pmi1_collocations" -> ((s: SparkSession, d: String) => pmiCollocations(s, d)),
     "mix2_token_allocation" -> tokenAllocation _,
     "lm2_trigram_lm" -> ((s: SparkSession, d: String) => trigramLm(s, d)),
@@ -2892,6 +2959,7 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "gram3_ngram_novelty" -> ngramNoveltySql(),
     "pmi1_collocations" -> pmiCollocationsSql(),
     "mix2_token_allocation" -> tokenAllocationSql,
     "lm2_trigram_lm" -> trigramLmSql(),

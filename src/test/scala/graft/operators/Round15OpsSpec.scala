@@ -56,6 +56,25 @@ class Round15OpsSpec extends SparkTestBase {
     assert(rows.length == 1 && rows.head.getDouble(4) == 0.0)
   }
 
+  test("gram3: debut buckets and novelty rates by hand") {
+    import spark.implicits._
+    // max_id = 19 -> bucket = doc_id*10/20: docs 0,1 -> bucket 0;
+    // docs 18,19 -> bucket 9. Shingles: doc 0 and doc 18 share
+    // 'a b c'; doc 1 brings 'x y z'; doc 19 brings 'p q r'.
+    val dir = java.nio.file.Files.createTempDirectory("gram3").toString
+    Seq(
+      (0L, "a b c"), (1L, "x y z"),
+      (18L, "a b c"), (19L, "p q r"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.ngramNovelty(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set(0, 9))
+    assert(rows(0) == ((2L, 2L, 1.0)), s"bucket 0 debuts both grams: ${rows(0)}")
+    // bucket 9 sees 2 distinct grams but only 'p q r' is new -> 0.5
+    assert(rows(9) == ((2L, 1L, 0.5)), s"bucket 9: ${rows(9)}")
+  }
+
   test("leak1: fold-pair tallies match an independent recomputation of dd3 x fld1") {
     import spark.implicits._
     // 4 identical docs -> all 8 LSH bands agree pairwise -> C(4,2) = 6
