@@ -167,6 +167,27 @@ class FileStatsSpec extends SparkTestBase {
     assert(dup.getMessage.contains("duplicate key in batch"), dup.getMessage)
   }
 
+  test("string primary keys: driver-side in-batch check and planned clash check") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats_strpk")
+    val strSchema = StructType(Seq(
+      StructField("s", StringType), StructField("k", LongType)))
+    val t = MutableTable.create(spark, dir.resolve("strpk").toString,
+      strSchema, primaryKey = Some("s"))
+    t.insert(spark.createDataFrame(Seq(Row("alpha", 1L), Row("beta", 2L)).asJava, strSchema))
+    // in-batch dup on a BINARY(UTF8) key: the driver-side parquet read
+    // path must catch it (disjoint bounds from the live file -> no
+    // overlap -> driver check)
+    val dup = intercept[Exception](t.insert(spark.createDataFrame(
+      Seq(Row("zeta", 3L), Row("zeta", 4L)).asJava, strSchema)))
+    assert(dup.getMessage.contains("duplicate key in batch: s=zeta"), dup.getMessage)
+    // clash against the table (overlapping bounds -> planned path)
+    val clash = intercept[Exception](t.insert(spark.createDataFrame(
+      Seq(Row("beta", 9L)).asJava, strSchema)))
+    assert(clash.getMessage.contains("violates primary key: s=beta"), clash.getMessage)
+    assert(t.df.count() == 2, "failed inserts must leave nothing behind")
+  }
+
   test("a post-restart write keeps carried-over files' persisted stats (review r15)") {
     val t = mkTable("restartstats")
     // fresh instance = restart: in-memory stats start empty
