@@ -140,6 +140,24 @@ object FileStats {
       pick(a.max, b.max, lower = false))
   }
 
+  /** Smallest byte string greater than EVERY string with prefix `p`
+    * (the exclusive upper bound of the prefix range) under unsigned
+    * byte order: increment the last non-0xFF byte and truncate after
+    * it; None when p is all-0xFF (no finite bound exists).
+    */
+  private[sources] def prefixUpperBound(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0) {
+      if ((p(i) & 0xFF) != 0xFF) {
+        val b = java.util.Arrays.copyOf(p, i + 1)
+        b(i) = (b(i) + 1).toByte
+        return Some(b)
+      }
+      i -= 1
+    }
+    None
+  }
+
   /** Total order on canonical forms per kind. 'S' compares UTF-8 bytes
     * unsigned (UTF8String's order — identical to parquet's unsigned
     * binary stats order, and NOT java.lang.String's UTF-16 order).
@@ -249,6 +267,30 @@ object FileStats {
     def point(s: ColStats, v: Any): Boolean =
       interval(s, v, (mn, mx) => mn <= 0 && mx >= 0)
 
+    // may the file hold a string with the given prefix? [p, upper(p))
+    // against the UTF-8 byte-ordered bounds
+    def prefixMay(cs: Option[ColStats], v: Option[Any]): Boolean = (cs, v) match {
+      case (Some(s), Some(p)) if s.kind == 'S' && p != null =>
+        if (allNull(s)) return false
+        val prefix = p match {
+          case u: UTF8String => u.toString
+          case str: String => str
+          case _ => return true
+        }
+        (s.min, s.max) match {
+          case (Some(mn), Some(mx)) =>
+            val pb = UTF8String.fromString(prefix)
+            if (UTF8String.fromString(mx).compareTo(pb) < 0) false
+            else prefixUpperBound(prefix.getBytes(StandardCharsets.UTF_8)) match {
+              case Some(ub) =>
+                UTF8String.fromString(mn).compareTo(UTF8String.fromBytes(ub)) < 0
+              case None => true // all-0xFF prefix: no finite upper bound
+            }
+          case _ => true
+        }
+      case _ => true
+    }
+
     // binary comparison with the attribute on EITHER side: `opL` when
     // the attribute is left of the operator, `opR` when it is right
     def cmp2(a: Expression, b: Expression,
@@ -292,6 +334,23 @@ object FileStats {
             case (Some(s), Some(v)) => if (v == null) s.nulls != 0 else point(s, v)
             case _ => true
           }
+        }
+      // prefix predicates (the URL-keyed lake pattern): strings with
+      // prefix p lie in [p, nextAfterPrefix(p)) under UTF-8 byte order —
+      // the file may overlap iff max >= p and min < that upper bound.
+      // The optimizer rewrites LIKE 'p%' to StartsWith mid-batch, so the
+      // resolved form appears here; the DML path sees the raw Like.
+      case StartsWith(a, b) => prefixMay(col(a), litOf(b))
+      case l: Like if l.escapeChar == '\\' =>
+        litOf(l.right) match {
+          case Some(u: UTF8String) =>
+            // any LIKE match must BEGIN with the pattern's literal run
+            // before the first wildcard (%, _) or escape — prune on that
+            // prefix; an empty run (leading wildcard) prunes nothing
+            val lit = u.toString.takeWhile(c => c != '%' && c != '_' && c != '\\')
+            if (lit.nonEmpty) prefixMay(col(l.left), Some(UTF8String.fromString(lit)))
+            else true
+          case _ => true
         }
       // BETWEEN and friends analyze to RuntimeReplaceable nodes whose
       // desugared form only appears after the optimizer's

@@ -99,6 +99,12 @@ class FileStatsSpec extends SparkTestBase {
       assert(scanFiles(str).size == 1)
       assert(str.head().getLong(0) == 701L)
 
+      // PREFIX predicates prune on [p, upperBound(p)) byte bounds: file 7
+      // holds exactly the strings 'f7_700'..'f7_799'
+      val pre = spark.sql("SELECT count(*) AS n FROM fs_sel WHERE s LIKE 'f7_%'")
+      assert(scanFiles(pre).size == 1, s"prefix scan got ${scanFiles(pre).size} files")
+      assert(pre.head().getLong(0) == 100L)
+
       // a predicate the stats cannot decide keeps every file — and an
       // unfiltered scan is untouched by the rule
       assert(scanFiles(spark.sql("SELECT * FROM fs_sel WHERE s LIKE '%_42'")).size == 10)
@@ -201,6 +207,26 @@ class FileStatsSpec extends SparkTestBase {
     val again = MutableTable.load(spark, t.root.toString)
     assert(again.candidateFiles(again.currentVersion, expr("k = 250")).size == 1,
       "old files' stats must survive a post-restart insert's manifest")
+  }
+
+  test("prefix pruning: DML LIKE path, upper-bound byte math, and the edges") {
+    val t = mkTable("prefix")
+    // the DML path sees the raw Like (the optimizer's StartsWith rewrite
+    // happens later): candidates for a prefix delete prune to one file
+    assert(t.candidateFiles(t.currentVersion, expr("s LIKE 'f3_%'")).size == 1)
+    assert(t.candidateFiles(t.currentVersion, expr("s LIKE 'zzz%'")).isEmpty)
+    // leading/inner wildcards never prune
+    assert(t.candidateFiles(t.currentVersion, expr("s LIKE '%_42'")).size == 10)
+    assert(t.candidateFiles(t.currentVersion, expr("s LIKE 'f_3%'")).size == 10)
+    assert(t.delete(expr("s LIKE 'f3_%'")) == 100L)
+    assert(t.df.count() == 900)
+    // byte-level upper bound: plain increment, 0xFF rollover, all-0xFF
+    def ub(bytes: Int*): Option[Seq[Int]] =
+      FileStats.prefixUpperBound(bytes.map(_.toByte).toArray).map(_.map(_ & 0xFF).toSeq)
+    assert(ub('a', 'b') == Some(Seq('a'.toInt, 'c'.toInt)))
+    assert(ub('a', 0xFF) == Some(Seq('b'.toInt)), "0xFF tail rolls into the previous byte")
+    assert(ub(0xFF, 0xFF) == None, "all-0xFF has no finite bound")
+    assert(ub() == None, "empty prefix matches everything")
   }
 
   test("footer stats decode and manifest entries round-trip") {
