@@ -752,9 +752,32 @@ final class MutableTable private (
     val all = readManifest(v)
     if (all.isEmpty) return 0L
     val keySet = keys.select(col(keyCol)).distinct()
+    // STATS PRUNING on the key batch's own bounds (the insert clash
+    // check's trick, upsert-side): one tiny min/max job over the key
+    // frame turns "scan every live file per batch" into "scan the
+    // bound-overlapping files" — at 100 TB an upsert touches its key
+    // range, not the table. NULL keys never join, so bounds ignoring
+    // them is exact; an unbounded batch (all-null or empty bounds)
+    // keeps every file.
+    val kb = keySet.agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi")).head()
+    val candidates =
+      if (kb.isNullAt(0) || kb.isNullAt(1)) all
+      else {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, LessThanOrEqual, Literal}
+        val dt = schema(schema.fieldIndex(keyCol)).dataType
+        try {
+          val attr = UnresolvedAttribute(keyCol)
+          val overlap = And(
+            GreaterThanOrEqual(attr, Literal.create(kb.get(0), dt)),
+            LessThanOrEqual(attr, Literal.create(kb.get(1), dt)))
+          all.filter(f => FileStats.mayMatch(statsFor(f), overlap))
+        } catch { case _: Exception => all } // pruning never fails the statement
+      }
+    if (candidates.isEmpty) return 0L
     // file name must attach AT THE SCAN (input_file_name() evaluated
     // after the join runs outside the file-read task and yields "")
-    val fileDf = dmlSession.read.schema(schema).parquet(all.map(f => dataDir.resolve(f).toString): _*)
+    val fileDf = dmlSession.read.schema(schema).parquet(candidates.map(f => dataDir.resolve(f).toString): _*)
       .select(col(keyCol), input_file_name().as("__f"))
     // one discovery job: per-file match counts give both the affected
     // file set and the deleted-row total (keySet is distinct, so the
