@@ -348,8 +348,10 @@ final class Session(val id: String, val spark: SparkSession,
     val n = ParamInference.countPlaceholders(p.sql)
     val padded = params.padTo(n, null)
     val expectedParams = if (p.pointRead.exists(_.range)) 2 else 1
+    // abortTxnOnError: a fast-path failure (e.g. file vanished under a
+    // vacuum race) must poison an open txn exactly like the planned path
     val fast =
-      if (n == expectedParams && p.pointRead.isDefined) pointReadFast(p, padded)
+      if (n == expectedParams && p.pointRead.isDefined) abortTxnOnError(pointReadFast(p, padded))
       else None
     fast.foreach { df => if (p.ephemeral) closePrepared(p.handle); return df }
     val out =

@@ -220,7 +220,10 @@ object SqlGateway {
           case 'b'  => sb.append('\b'); i += 2
           case 'f'  => sb.append('\f'); i += 2
           case 'u' if i + 5 < s.length &&
-              s.substring(i + 2, i + 6).forall(h => Character.digit(h, 16) >= 0) =>
+              // ASCII hex only: JSON forbids non-ASCII digits (e.g. Arabic-Indic)
+              // in escapes, which Character.digit would otherwise accept
+              s.substring(i + 2, i + 6).forall(h =>
+                (h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') || (h >= 'A' && h <= 'F')) =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
           case _ => sb.append(c); i += 1 // malformed escape: keep verbatim
         }

@@ -84,7 +84,12 @@ object FileStats {
           val pt = chunk.getPrimitiveType
           val kind: Option[Char] = pt.getPrimitiveTypeName match {
             case INT32 | INT64
-                if !pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] => Some('L')
+                if !pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] &&
+                  // UINT32/UINT64 footers carry raw signed bits; signed compare would mis-prune
+                  (pt.getLogicalTypeAnnotation match {
+                    case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+                    case _ => true
+                  }) => Some('L')
             case FLOAT | DOUBLE => Some('D')
             case BOOLEAN => Some('B')
             case BINARY

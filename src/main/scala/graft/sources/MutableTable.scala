@@ -678,8 +678,10 @@ final class MutableTable private (
                 case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 => g.getLong(idx, 0)
                 case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 => g.getInteger(idx, 0)
                 case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY => g.getBinary(idx, 0).toStringUsingUTF8
-                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE => g.getDouble(idx, 0)
-                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT => g.getFloat(idx, 0)
+                // +0.0 collapses -0.0 so boxed-HashSet equality matches Spark's
+                // grouping-key semantics (NormalizeFloatingNumbers) on the planned path
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE => g.getDouble(idx, 0) + 0.0d
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT => g.getFloat(idx, 0) + 0.0f
                 case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BOOLEAN => g.getBoolean(idx, 0)
                 case _ => return false // unsupported pk physical type: planned path
               }

@@ -194,6 +194,22 @@ class FileStatsSpec extends SparkTestBase {
     assert(t.df.count() == 2, "failed inserts must leave nothing behind")
   }
 
+  test("double primary keys: 0.0 and -0.0 clash in-batch on the driver-side path (ADVICE r15)") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats_dblpk")
+    val dblSchema = StructType(Seq(
+      StructField("d", DoubleType), StructField("k", LongType)))
+    val t = MutableTable.create(spark, dir.resolve("dblpk").toString,
+      dblSchema, primaryKey = Some("d"))
+    // empty table -> no bound overlap -> the driver-side in-batch check
+    // runs; Spark's grouping semantics (NormalizeFloatingNumbers) treat
+    // 0.0 and -0.0 as the same key, so the fast path must too
+    val dup = intercept[Exception](t.insert(spark.createDataFrame(
+      Seq(Row(0.0d, 1L), Row(-0.0d, 2L)).asJava, dblSchema)))
+    assert(dup.getMessage.contains("duplicate key in batch"), dup.getMessage)
+    assert(t.df.count() == 0, "failed insert must leave nothing behind")
+  }
+
   test("a post-restart write keeps carried-over files' persisted stats (review r15)") {
     val t = mkTable("restartstats")
     // fresh instance = restart: in-memory stats start empty

@@ -73,6 +73,21 @@ class SqlGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("unicode escapes require ASCII hex digits (ADVICE r15)") {
+    // JSON forbids non-ASCII digits in \uXXXX escapes; Character.digit
+    // accepts them (e.g. Arabic-Indic '\u0661'), so a malformed escape
+    // like \u followed by Arabic-Indic digits must pass through
+    // verbatim, not decode
+    val arabicIndic = "\\u\u0661\u0662\u0663\u0664"
+    assert(SqlGateway.unescape(arabicIndic) == arabicIndic)
+    // fullwidth hex letters are also non-ASCII: verbatim
+    val fullwidth = "\\u\uFF21\uFF22\uFF23\uFF24"
+    assert(SqlGateway.unescape(fullwidth) == fullwidth)
+    // real ASCII hex still decodes
+    assert(SqlGateway.unescape("\\u0041") == "A")
+    assert(SqlGateway.unescape("\\u00e9") == "\u00e9")
+  }
+
   test("backslash-then-letter params survive the wire verbatim (single-pass unescape)") {
     withGateway { (port, catalog) =>
       import org.apache.spark.sql.types._
