@@ -58,6 +58,13 @@ object Engine {
       // spark-submit (or relies on AQE's runtime size checks, which
       // demote a too-large build side regardless of this hint ceiling).
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // file-listing stays DRIVER-SIDE up to 1024 paths: the default
+      // threshold (32) launches a whole Spark job to stat a few dozen
+      // local files, which put ~140 ms inside EVERY micro-lake snapshot
+      // re-registration once a mutable table grew past 32 files (round-16
+      // YCSB diagnosis). Local/posix stat of ≤1024 paths is microseconds;
+      // the parallel job remains for genuinely huge object-store listings.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       // the testdata's naive parquet timestamps are UTC instants (the
       // DuckDB oracle reads them with epoch_us, which assumes UTC);

@@ -290,7 +290,12 @@ final class Session(val id: String, val spark: SparkSession,
   // plan-free path wins below it by skipping ~25-45 ms of per-execution
   // planning measured on this engine.
   private val pointReadMaxRows = 500000L
-  private val pointReadMaxFiles = 8
+  // 24: the micro-lake's small-file compaction (MutableTable) triggers
+  // at 16 tiny files, so a point-insert workload's live set hovers just
+  // under ~20 — a cap of 8 dropped most BETWEEN scans onto the planned
+  // path right before each compaction (round-16 YCSB: scan avg 115 ms
+  // planned vs ~40 ms fast-path)
+  private val pointReadMaxFiles = 24
 
   private def pointReadFast(p: Prepared, values: Seq[Any]): Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -359,8 +364,12 @@ final class Session(val id: String, val spark: SparkSession,
         // catalog-managed DML binds literals engine-side and routes
         // (connection.rs:279-295 Value binding); everything else uses
         // Spark's native parameterized-SQL path
+        val tr0 = System.nanoTime()
         catalog.flatMap(_.route(SqlParams.bind(p.sql, padded), txn)) match {
-          case Some(count) => affectedDf(count)
+          case Some(count) =>
+            if (sys.env.contains("GRAFT_DML_TRACE"))
+              System.err.println(f"[dml-trace] session route=${(System.nanoTime() - tr0) / 1e6}%.0f ms")
+            affectedDf(count)
           case None =>
             ensureCatalogViews()
             spark.sql(p.sql, padded.toArray)

@@ -247,7 +247,10 @@ object SqlGateway {
       val (l, df) = mk()
       label = l
       if (wantArrow) {
+        val tm0 = System.nanoTime()
         val write = org.apache.spark.sql.graft.ArrowWire.prepareIpcStream(df)
+        if (sys.env.contains("GRAFT_DML_TRACE"))
+          System.err.println(f"[dml-trace] gateway mk=${(tm0 - t0) / 1e6}%.0f prepIpc=${(System.nanoTime() - tm0) / 1e6}%.0f ms")
         ex.getResponseHeaders.set("Content-Type", arrowContentType)
         ex.sendResponseHeaders(200, 0)
         headersSent = true

@@ -249,7 +249,12 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     new java.util.WeakHashMap[SparkSession, mutable.Map[String, Long]]())
 
   private def refresh(name: String): Unit = {
-    tables(name.toLowerCase).df.createOrReplaceTempView(name)
+    val t0 = System.nanoTime()
+    val df = tables(name.toLowerCase).df
+    val t1 = System.nanoTime()
+    df.createOrReplaceTempView(name)
+    if (sys.env.contains("GRAFT_DML_TRACE"))
+      System.err.println(f"[dml-trace] refresh df=${(t1 - t0) / 1e6}%.0f view=${(System.nanoTime() - t1) / 1e6}%.0f ms")
     viewVersions(name.toLowerCase) = versionClock.incrementAndGet()
   }
 
@@ -362,9 +367,29 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     sql match {
       case insertRe(table, colsOpt, values) =>
         get(table).map { t =>
-          val batch = spark.sql(s"SELECT * FROM (VALUES $values)")
-          val explicit = Option(colsOpt).map(_.stripPrefix("(").stripSuffix(")")
+          val tv0 = System.nanoTime()
+          val explicitFast = Option(colsOpt).map(_.stripPrefix("(").stripSuffix(")")
             .split(",").map(_.trim).toSeq)
+          // driver-side literal fast path (VERDICT r15 #3): a pure-
+          // literal VALUES batch into a supported-schema table skips the
+          // SQL parse, the alignment analysis, and the Spark write job —
+          // one parquet-mr write + pointer swap. Any gate failure (an
+          // expression in VALUES, a type that doesn't coerce naturally,
+          // an unsupported column type) falls through to the planned
+          // path below; DuplicateKeyException propagates identically.
+          if (txn.isEmpty) {
+            DriverDml.parseValuesAligned(values, t.schema, explicitFast)
+              .flatMap(t.insertRowsDirect) match {
+              case Some(n) =>
+                refresh(table)
+                if (sys.env.contains("GRAFT_DML_TRACE"))
+                  System.err.println(f"[dml-trace] route-insert-direct total=${(System.nanoTime() - tv0) / 1e6}%.0f ms")
+                return Some(n)
+              case None => // fall through to the planned path
+            }
+          }
+          val batch = spark.sql(s"SELECT * FROM (VALUES $values)")
+          val explicit = explicitFast
           // name the incoming columns after the target list (or table
           // prefix) so alignment matches the appender path (A8)
           val named = explicit match {
@@ -372,18 +397,33 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
             case None => batch.toDF(t.schema.fieldNames.take(batch.schema.length).toIndexedSeq: _*)
           }
           val aligned = BatchAlign.alignToSchema(named, t.schema, explicit)
+          val tv1 = System.nanoTime()
           txn match {
             case Some(x) => stageInTxn(table, t, x)(bv => t.stageInsert(bv, aligned))
-            case None    => val n = t.insert(aligned); refresh(table); n
+            case None    =>
+              val n = t.insert(aligned)
+              val tv2 = System.nanoTime()
+              refresh(table)
+              if (sys.env.contains("GRAFT_DML_TRACE"))
+                System.err.println(f"[dml-trace] route-insert values=${(tv1 - tv0) / 1e6}%.0f core=${(tv2 - tv1) / 1e6}%.0f refresh=${(System.nanoTime() - tv2) / 1e6}%.0f ms")
+              n
           }
         }
       case updateRe(table, setClause, whereOpt) =>
         get(table).map { t =>
+          val tv0 = System.nanoTime()
           val assignments = splitAssignments(setClause).map { case (k, v) => k -> expr(v) }.toMap
           val cond = Option(whereOpt).map(expr).getOrElse(lit(true))
+          val tv1 = System.nanoTime()
           txn match {
             case Some(x) => stageInTxn(table, t, x)(bv => t.stageUpdate(bv, cond, assignments))
-            case None    => val n = t.update(cond, assignments); refresh(table); n
+            case None    =>
+              val n = t.update(cond, assignments)
+              val tv2 = System.nanoTime()
+              refresh(table)
+              if (sys.env.contains("GRAFT_DML_TRACE"))
+                System.err.println(f"[dml-trace] route-update parse=${(tv1 - tv0) / 1e6}%.0f core=${(tv2 - tv1) / 1e6}%.0f refresh=${(System.nanoTime() - tv2) / 1e6}%.0f ms")
+              n
           }
         }
       case deleteRe(table, whereOpt) =>
