@@ -213,7 +213,39 @@ object FileStats {
     if (stats.isEmpty) return true
     val byName = stats.map { case (k, v) => k.toLowerCase -> v }
 
-    def col(x: Expression): Option[ColStats] = x match {
+    // The analyzer's IN type-coercion wraps EVERY child in a cast, even
+    // a no-op one (`k IN (5)` on a bigint k analyzes to
+    // `cast(k as bigint) IN (cast(5 as bigint))`). Identity casts and
+    // WIDENING numeric casts are order- and value-preserving over the
+    // stats kinds ('L' canonicalizes all integrals to long, 'D' all
+    // floats to double), so seeing through them is sound; anything
+    // narrowing/truncating (double->bigint changes membership) stays
+    // opaque. comparand()'s type gate keeps cross-kind literals from
+    // ever pruning.
+    def intRank(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case org.apache.spark.sql.types.ByteType => 1
+      case org.apache.spark.sql.types.ShortType => 2
+      case org.apache.spark.sql.types.IntegerType => 3
+      case org.apache.spark.sql.types.LongType => 4
+      case _ => -1
+    }
+    def floatRank(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case org.apache.spark.sql.types.FloatType => 1
+      case org.apache.spark.sql.types.DoubleType => 2
+      case _ => -1
+    }
+    def stripCast(x: Expression): Expression = x match {
+      case c: Cast if c.child.dataType == c.dataType => stripCast(c.child)
+      case c: Cast
+          if intRank(c.child.dataType) > 0 &&
+            intRank(c.child.dataType) <= intRank(c.dataType) => stripCast(c.child)
+      case c: Cast
+          if floatRank(c.child.dataType) > 0 &&
+            floatRank(c.child.dataType) <= floatRank(c.dataType) => stripCast(c.child)
+      case other => other
+    }
+
+    def col(x: Expression): Option[ColStats] = stripCast(x) match {
       case a: AttributeReference => byName.get(a.name.toLowerCase)
       case u: UnresolvedAttribute => byName.get(u.nameParts.last.toLowerCase)
       case _ => None
@@ -272,6 +304,49 @@ object FileStats {
     def point(s: ColStats, v: Any): Boolean =
       interval(s, v, (mn, mx) => mn <= 0 && mx >= 0)
 
+    // the file's single value when min == max (point file — the shape a
+    // negated predicate can actually prune on)
+    def singlePoint(s: ColStats): Option[String] = (s.min, s.max) match {
+      case (Some(mn), Some(mx)) if compare(s.kind, mn, mx) == 0 => Some(mn)
+      case _ => None
+    }
+
+    // may the file hold a NON-NULL value != v? (NULL rows evaluate
+    // `NOT (col = v)` to NULL, never TRUE, so they cannot save a file)
+    def notPoint(s: ColStats, v: Any): Boolean = {
+      if (v == null) return false // NOT(col = NULL) is never TRUE
+      if (allNull(s)) return false
+      comparand(s, v) match {
+        case Some(c) => !singlePoint(s).exists(p => compare(s.kind, p, c) == 0)
+        case None => true
+      }
+    }
+
+    // may the file hold a NON-NULL string NOT starting with `prefix`?
+    // False only when bounds PROVE every value lies in [p, upper(p)) —
+    // which under bytewise order is exactly "starts with p".
+    def notPrefixMay(cs: Option[ColStats], v: Option[Any]): Boolean = (cs, v) match {
+      case (Some(s), Some(p)) if s.kind == 'S' && p != null =>
+        if (allNull(s)) return false
+        val prefix = p match {
+          case u: UTF8String => u.toString
+          case str: String => str
+          case _ => return true
+        }
+        (s.min, s.max) match {
+          case (Some(mn), Some(mx)) =>
+            val pb = UTF8String.fromString(prefix)
+            val minIn = UTF8String.fromString(mn).compareTo(pb) >= 0
+            val maxIn = prefixUpperBound(prefix.getBytes(StandardCharsets.UTF_8)) match {
+              case Some(ub) => UTF8String.fromString(mx).compareTo(UTF8String.fromBytes(ub)) < 0
+              case None => false // all-0xFF prefix: containment unprovable
+            }
+            !(minIn && maxIn)
+          case _ => true
+        }
+      case _ => true
+    }
+
     // may the file hold a string with the given prefix? [p, upper(p))
     // against the UTF-8 byte-ordered bounds
     def prefixMay(cs: Option[ColStats], v: Option[Any]): Boolean = (cs, v) match {
@@ -324,6 +399,14 @@ object FileStats {
           vs.exists(v => point(s, litOf(v).get))
         case _ => true
       }
+      // the optimizer rewrites IN-lists above inSetConversionThreshold
+      // (default 10) to InSet with an internal-value hash set — the
+      // SELECT-path form of a batch key lookup (VERDICT r15 #6); same
+      // point-set interval math
+      case is: InSet => col(is.child) match {
+        case Some(s) if is.hset.nonEmpty => is.hset.exists(v => point(s, v))
+        case _ => true
+      }
       case IsNull(a) => col(a) match {
         case Some(s) => s.nulls != 0 // -1 unknown keeps the file
         case None => true
@@ -369,7 +452,59 @@ object FileStats {
         may(w.child.transform {
           case ref: CommonExpressionRef if defs.contains(ref.id) => defs(ref.id)
         })
+      // negated predicate shapes (VERDICT r15 #6): `col != v` survives
+      // the optimizer as Not(EqualTo) and NOT IN as Not(In)/Not(InSet);
+      // NULL rows never satisfy a NOT (three-valued logic), so a file
+      // prunes when its non-null bounds prove every value matches the
+      // inner predicate
+      case Not(inner) => mayNot(inner)
       case _ => true // unknown shape: never prune on it
+    }
+
+    // may the file contain a row where NOT(x) is TRUE? Conservative:
+    // anything unhandled answers true.
+    def mayNot(x: Expression): Boolean = x match {
+      case EqualTo(a, b) =>
+        (col(a), litOf(b)) match {
+          case (Some(s), Some(v)) => notPoint(s, v)
+          case _ => (col(b), litOf(a)) match {
+            case (Some(s), Some(v)) => notPoint(s, v)
+            case _ => true
+          }
+        }
+      case In(a, vs) => col(a) match {
+        case Some(s) if vs.nonEmpty && vs.forall(v => litOf(v).isDefined) =>
+          val lits = vs.map(v => litOf(v).get)
+          if (lits.contains(null)) false // NOT IN with a NULL is never TRUE
+          else if (allNull(s)) false
+          else if (singlePoint(s).isDefined) !lits.exists(v => point(s, v))
+          else true
+        case _ => true
+      }
+      case is: InSet => col(is.child) match {
+        case Some(s) if is.hset.nonEmpty =>
+          if (is.hset.exists(_ == null)) false
+          else if (allNull(s)) false
+          else if (singlePoint(s).isDefined) !is.hset.exists(v => point(s, v))
+          else true
+        case _ => true
+      }
+      case StartsWith(a, b) => notPrefixMay(col(a), litOf(b))
+      case l: Like if l.escapeChar == '\\' =>
+        litOf(l.right) match {
+          // only a PURE prefix pattern ('lit%') is equivalent to
+          // StartsWith; any other wildcard mix can reject a
+          // prefix-matching value, so its negation may still hold
+          case Some(u: UTF8String) =>
+            val pat = u.toString
+            val lit = pat.takeWhile(c => c != '%' && c != '_' && c != '\\')
+            if (lit.nonEmpty && pat == lit + "%")
+              notPrefixMay(col(l.left), Some(UTF8String.fromString(lit)))
+            else true
+          case _ => true
+        }
+      case Not(y) => may(y)
+      case _ => true
     }
 
     may(e)

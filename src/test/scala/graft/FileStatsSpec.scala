@@ -117,6 +117,72 @@ class FileStatsSpec extends SparkTestBase {
     } finally catalog.drop("fs_sel")
   }
 
+  test("IN-lists and NOT-shapes prune on manifest stats (VERDICT r15 #6)") {
+    val catalog = MutableCatalog(spark)
+    val t = catalog.create("fs_inlist", schema, primaryKey = Some("k"))
+    (0 until 10).foreach { i =>
+      val batch = spark.range(i * 100L, i * 100L + 100)
+        .select(col("id").as("k"), concat(lit(s"f${i}_"), col("id")).as("s"))
+      t.insert(batch)
+    }
+    catalog.syncViews(spark)
+    try {
+      // small IN-list survives as In(lits): 3 keys in 2 distinct files
+      val small = spark.sql("SELECT k FROM fs_inlist WHERE k IN (5, 50, 350)")
+      assert(scanFiles(small).size == 2, s"got ${scanFiles(small).size}")
+      assert(small.count() == 3)
+      // 15 values: the optimizer converts to InSet (threshold 10) — the
+      // batch-lookup shape; all 15 keys live in files 0 and 9
+      val keys = ((0 until 10) ++ Seq(900, 910, 920, 930, 940)).mkString(", ")
+      val big = spark.sql(s"SELECT k FROM fs_inlist WHERE k IN ($keys)")
+      assert(scanFiles(big).size == 2, s"InSet scan got ${scanFiles(big).size} files")
+      assert(big.count() == 15)
+      // an IN-list matching nothing plans over zero files
+      assert(scanFiles(spark.sql(
+        "SELECT * FROM fs_inlist WHERE k IN (5000, 6000)")).isEmpty)
+
+      // DML router path (raw In over candidateFiles)
+      assert(t.candidateFiles(t.currentVersion, expr("k IN (5, 350)")).size == 2)
+      assert(t.candidateFiles(t.currentVersion, expr("k IN (5000)")).isEmpty)
+
+      // NOT-shapes: each file's s-prefix is distinct, so NOT LIKE 'f3%'
+      // proves file 3 all-matching and prunes it — 9 of 10 remain.
+      // (A '_' in the pattern is a single-char WILDCARD: not a pure
+      // prefix, so 'f3_%' must conservatively keep all files.)
+      val notLike = spark.sql("SELECT count(*) AS n FROM fs_inlist WHERE s NOT LIKE 'f3%'")
+      assert(scanFiles(notLike).size == 9, s"got ${scanFiles(notLike).size}")
+      assert(notLike.head().getLong(0) == 900L)
+      assert(scanFiles(spark.sql(
+        "SELECT * FROM fs_inlist WHERE s NOT LIKE 'f3_%'")).size == 10,
+        "a wildcard-bearing pattern is not a pure prefix: no pruning")
+      // k != v prunes nothing here (no single-point file) but stays correct
+      val ne = spark.sql("SELECT count(*) AS n FROM fs_inlist WHERE k != 250")
+      assert(ne.head().getLong(0) == 999L)
+    } finally catalog.drop("fs_inlist")
+  }
+
+  test("NOT-shape pruning on single-point and all-null files") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats_not")
+    val t = MutableTable.create(spark, dir.resolve("not").toString, schema)
+    t.insert(spark.createDataFrame(
+      Seq(Row(7L, "only"), Row(7L, "only")).asJava, schema)) // single-point file (k=7, s='only')
+    t.insert(spark.createDataFrame(
+      Seq(Row(1L, "alpha"), Row(2L, "beta")).asJava, schema))
+    t.insert(spark.createDataFrame(
+      Seq(Row(9L, null), Row(10L, null)).asJava, schema)) // all-null s
+    // NOT(col = v): the single-point file k=7 proves all rows match k=7
+    assert(t.candidateFiles(t.currentVersion, expr("k != 7")).size == 2)
+    // NOT IN: single-point s='only' file pruned; all-null s file pruned
+    // (NULL NOT IN ... is never TRUE)
+    assert(t.candidateFiles(t.currentVersion, expr("s NOT IN ('only', 'zzz')")).size == 1)
+    // NOT IN with a NULL literal is never TRUE anywhere
+    assert(t.candidateFiles(t.currentVersion, expr("s NOT IN ('x', NULL)")).isEmpty)
+    // semantics stay Spark's: the DML result equals a Spark filter
+    assert(t.delete(expr("s NOT IN ('only', 'zzz')")) == 2L)
+    assert(t.df.count() == 4)
+  }
+
   test("stats persist in the manifest: a fresh load() prunes without re-reading footers") {
     val t = mkTable("persist")
     val reloaded = MutableTable.load(spark, t.root.toString)
