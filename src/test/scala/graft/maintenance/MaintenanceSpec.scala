@@ -57,4 +57,60 @@ class MaintenanceSpec extends SparkTestBase {
     m.tick(nowMillis = 42)
     assert(m.lastCheckpointAt("reg").contains(42L))
   }
+
+  test("compaction races a 4-writer DML storm: zero lost updates, stats survive restart (VERDICT r15 #5)") {
+    import org.apache.spark.sql.functions._
+    val wschema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val dir = Files.createTempDirectory("graft_maint_race").resolve("storm").toString
+    val t = MutableTable.create(spark, dir, wschema, primaryKey = Some("id"))
+    // seed rows the deleter/updater can target
+    (0 until 40).foreach(i => t.insertRowsDirect(Seq(Array[Any](i.toLong, s"seed$i"))))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(body: => Unit): Thread = {
+      val th = new Thread(() => try body catch { case e: Throwable => errors.add(e) })
+      th.start(); th
+    }
+    val perWriter = 25
+    // the reference's checkpoint loop runs while sessions write
+    // (maintenance/mod.rs under the advisory lock); here the compactor
+    // hammers continuously against 4 concurrent writers
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactor = writer { while (!stop.get()) { t.checkpoint(targetFiles = 2); Thread.sleep(5) } }
+    val threads = Seq(
+      writer((0 until perWriter).foreach(i =>  // inserter A: ids 1000+
+        t.insertRowsDirect(Seq(Array[Any]((1000 + i).toLong, s"a$i"))))),
+      writer((0 until perWriter).foreach(i =>  // inserter B: ids 2000+
+        t.insertRowsDirect(Seq(Array[Any]((2000 + i).toLong, s"b$i"))))),
+      writer((0 until perWriter).foreach(i =>  // updater: seeds 0..24
+        assert(t.update(expr(s"id = $i"), Map("v" -> expr(s"'u$i'"))) == 1L,
+          s"update of seed $i lost"))),
+      writer((0 until perWriter).foreach(i =>  // deleter: seeds 25..39 then misses
+        t.delete(expr(s"id = ${25 + i}")))))
+    threads.foreach(_.join())
+    stop.set(true); compactor.join()
+    assert(errors.isEmpty, s"writer errors: ${errors.peek()}")
+    // zero lost updates: every surviving row accounted for
+    assert(t.df.count() == 40 - 15 + 2 * perWriter)
+    assert(t.df.filter("id < 25").count() == 25)
+    (0 until 25).foreach { i =>
+      assert(t.df.filter(s"id = $i").head().getString(1) == s"u$i", s"seed $i update lost")
+    }
+    assert(t.df.filter("id >= 1000 AND id < 2000").count() == perWriter)
+    // pk uniqueness survived the interleaving
+    assert(t.df.groupBy("id").count().filter("count > 1").count() == 0)
+    // stats survive a restart intact: a fresh load() prunes every live
+    // file off the PERSISTED manifest stats (the r15 durability fix under
+    // concurrency — a compaction that dropped carried-over stats would
+    // leave candidateFiles unable to prune)
+    val reloaded = MutableTable.load(spark, t.root.toString)
+    // a key outside every live bound prunes to ZERO files — which can
+    // only happen if EVERY live file (compacted and carried-over alike)
+    // has persisted stats; one stats-less file would always be kept
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(reloaded.candidateFilesFor(reloaded.currentVersion, "id", Literal(99999L)).isEmpty,
+      "some live file lost its persisted stats across the storm")
+    assert(reloaded.candidateFilesFor(reloaded.currentVersion, "id", Literal(1005L)).nonEmpty)
+    assert(reloaded.df.count() == t.df.count())
+  }
 }
