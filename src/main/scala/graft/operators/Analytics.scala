@@ -2804,7 +2804,39 @@ object Analytics {
       |  MAX(dd) AS ks_d
       |FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  /** ev24: longest consecutive-day activity streak per user, reported
+    * as a distribution (streak length -> user count) — the classic
+    * gaps-and-islands shape: within a user, day minus its row_number is
+    * constant across a consecutive run. Day bucketing floors like the
+    * other event ops (pmod subtraction = the oracle's // floor).
+    */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val day = expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+    val days = t(s, dir, "events").select(col("user_id"), day.as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
+      .groupBy(col("max_streak")).agg(count(lit(1)).as("n_users"))
+      .orderedSmall(col("max_streak"))
+  }
+
+  def activityStreaksSql(): String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT user_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+       |  FROM events),
+       |g AS (SELECT user_id, day,
+       |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d),
+       |l AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len FROM g GROUP BY user_id, grp),
+       |m AS (SELECT user_id, MAX(len) AS max_streak FROM l GROUP BY user_id)
+       |SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_users
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev24_activity_streaks" -> activityStreaks _,
     "ks1_source_ks" -> sourceKs _,
     "dp1_dp_counts" -> ((s: SparkSession, d: String) => dpCounts(s, d)),
     "mrr1_retrieval_mrr" -> ((s: SparkSession, d: String) => labelRetrievalMrr(s, d)),
@@ -2858,6 +2890,7 @@ object Analytics {
     "mrr1_retrieval_mrr" -> labelRetrievalMrrSql(),
     "ev22_conversion_hazard" -> conversionHazardSql,
     "ev23_retention_cohorts" -> retentionCohortsSql(),
+    "ev24_activity_streaks" -> activityStreaksSql(),
     "ndcg1_retrieval_ndcg" -> labelRetrievalNdcgSql(),
     "smp4_neyman_allocation" -> neymanAllocationSql,
     "exp4_rank_sum" -> rankSumTestSql,

@@ -2901,7 +2901,74 @@ object TextAnalysis {
        |FROM per_bucket pb LEFT JOIN debuts d ON pb.bucket = d.bucket
        |ORDER BY bucket""".stripMargin
 
+  /** tok8: context-length truncation loss — for each candidate training
+    * sequence length, the fraction of documents that would truncate and
+    * the fraction of corpus tokens lost past the cut. The audit behind
+    * choosing a context/packing length; one docstats scan feeds all four
+    * aggregate rows (broadcast the 4-row length frame, never the corpus).
+    */
+  def truncationLoss(s: SparkSession, dir: String,
+      lens: Seq[Int] = Seq(64, 128, 256, 512)): DataFrame = {
+    import s.implicits._
+    val docs = dFan(s, dir).select(size(tokens(col("text"))).cast(LongType).as("n_tok"))
+    docs.crossJoin(broadcast(lens.toDF("ctx_len")))
+      .groupBy(col("ctx_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") > col("ctx_len"), 1L).otherwise(0L)).as("docs_truncated"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(greatest(col("n_tok") - col("ctx_len"), lit(0L))).as("tokens_lost"))
+      .select(col("ctx_len"), col("n_docs"), col("docs_truncated"),
+        (col("docs_truncated").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("frac_docs_truncated"),
+        col("total_tokens"), col("tokens_lost"),
+        (col("tokens_lost").cast(DoubleType) / col("total_tokens").cast(DoubleType))
+          .as("frac_tokens_lost"))
+      .orderedSmall(col("ctx_len"))
+  }
+
+  def truncationLossSql(lens: Seq[Int] = Seq(64, 128, 256, 512)): String =
+    s"""WITH d AS (
+       |  SELECT CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |ctx AS (SELECT * FROM (VALUES ${lens.map(l => s"($l)").mkString(", ")}) AS v(ctx_len))
+       |SELECT ctx_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_tok > ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+       |  CAST(SUM(CASE WHEN n_tok > ctx_len THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS frac_docs_truncated,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(GREATEST(n_tok - ctx_len, 0)) AS BIGINT) AS tokens_lost,
+       |  CAST(SUM(GREATEST(n_tok - ctx_len, 0)) AS DOUBLE)
+       |    / CAST(SUM(n_tok) AS DOUBLE) AS frac_tokens_lost
+       |FROM d CROSS JOIN ctx GROUP BY ctx_len ORDER BY ctx_len""".stripMargin
+
+  /** smp5: deterministic per-source reservoir — the k smallest md5
+    * fractions per stratum ARE a uniform k-sample of it, reproducible
+    * across runs and engines (the md5-coin discipline every sampler in
+    * this repo rides). Map-side: one shuffle on source for the window.
+    */
+  def reservoirSample(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val coin = md5Frac(lit("smp5"), col("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(coin.asc, col("doc_id").asc)
+    Par.fanOut(t(s, dir, "documents").select(col("source"), col("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderedSmall(col("source"), col("rk"))
+  }
+
+  def reservoirSampleSql(k: Int = 5): String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${sqlMd5Frac("'smp5'", "doc_id")} ASC, doc_id ASC) AS rk
+       |  FROM documents)
+       |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
+       |FROM r WHERE rk <= $k ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok8_truncation_loss" -> ((s: SparkSession, d: String) => truncationLoss(s, d)),
+    "smp5_reservoir_sample" -> ((s: SparkSession, d: String) => reservoirSample(s, d)),
     "gram3_ngram_novelty" -> ((s: SparkSession, d: String) => ngramNovelty(s, d)),
     "pmi1_collocations" -> ((s: SparkSession, d: String) => pmiCollocations(s, d)),
     "mix2_token_allocation" -> tokenAllocation _,
@@ -2992,6 +3059,8 @@ object TextAnalysis {
     "mem1_memorization_risk" -> memorizationRiskSql(),
     "rep1_corpus_report" -> corpusReportSql,
     "smp3_mixture_balance" -> mixtureBalanceSql,
+    "tok8_truncation_loss" -> truncationLossSql(),
+    "smp5_reservoir_sample" -> reservoirSampleSql(),
     "tok1_vocab_coverage" -> vocabCoverageSql(),
     "lm1_bigram_topk" -> bigramLmSql(),
     "sel1_dsir_weights" -> dsirWeightsSql,

@@ -617,7 +617,44 @@ object Warehouse {
        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin
   }
 
+  /** fd2: candidate-key discovery over `orders` — per column, its
+    * distinct count against the row count and the uniqueness ratio (the
+    * catalog-profiling twin of fd1's functional dependencies). One
+    * aggregate job (count + one distinct-count per column), stacked to
+    * a row per column driver-free.
+    */
+  private val fd2Cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def candidateKeys(s: SparkSession, dir: String): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      fd2Cols.map(c => countDistinct(col(c)).as(s"d_$c"))
+    val one = t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+    one.select(
+        expr(s"stack(${fd2Cols.size}, " +
+          fd2Cols.map(c => s"'$c', `d_$c`").mkString(", ") +
+          ") AS (column_name, n_distinct)"),
+        col("n_rows"))
+      .select(col("column_name"), col("n_distinct"), col("n_rows"),
+        (col("n_distinct") === col("n_rows")).as("is_candidate_key"),
+        (col("n_distinct").cast(DoubleType) / col("n_rows").cast(DoubleType))
+          .as("uniqueness"))
+      .orderedSmall(col("column_name"))
+  }
+
+  def candidateKeysSql: String = {
+    val branches = fd2Cols.map(c =>
+      s"SELECT '$c' AS column_name, CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+        s"CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders").mkString("\nUNION ALL ")
+    s"""WITH per_col AS ($branches)
+       |SELECT column_name, n_distinct, n_rows,
+       |  n_distinct = n_rows AS is_candidate_key,
+       |  CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE) AS uniqueness
+       |FROM per_col ORDER BY column_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fd2_candidate_keys" -> candidateKeys _,
     "scd1_type2_history" -> scd2History _,
     "pit1_point_in_time" -> pointInTime _,
     "ivm1_partial_merge" -> partialMerge _,
@@ -630,6 +667,7 @@ object Warehouse {
     "mad1_robust_outliers" -> robustOutliers _)
 
   val oracles: Map[String, String] = Map(
+    "fd2_candidate_keys" -> candidateKeysSql,
     "scd1_type2_history" -> scd2HistorySql,
     "pit1_point_in_time" -> pointInTimeSql,
     "ivm1_partial_merge" -> partialMergeSql,
