@@ -350,6 +350,27 @@ class PlanQualitySpec extends SparkTestBase {
       s"unpartitioned window over ungrouped input:\n${offenders.mkString("\n")}")
   }
 
+  test("round-16 additions: scan counts at the algorithmic minimum, no cartesians") {
+    // tok8: ONE corpus scan; the 4-row length frame joins broadcast
+    val tk = operators.TextAnalysis.truncationLoss(spark, sfDir)
+    assert(countScans(tk) <= 1, s"tok8 must scan documents once: ${countScans(tk)}")
+    assert(planOf(tk).contains("BroadcastNestedLoopJoin") || planOf(tk).contains("BroadcastExchange"),
+      "the length frame must broadcast, never shuffle the corpus")
+    // smp5: one scan + the per-source window (one shuffle on source)
+    val sm = operators.TextAnalysis.reservoirSample(spark, sfDir)
+    assert(countScans(sm) <= 1, s"smp5 scans: ${countScans(sm)}")
+    // ev24: one events scan through distinct -> window -> two aggs
+    val ev = operators.Analytics.activityStreaks(spark, sfDir)
+    assert(countScans(ev) <= 1, s"ev24 scans: ${countScans(ev)}")
+    // fd2: ONE aggregate pass computes every distinct count (expand),
+    // the stack runs on its 1-row output
+    val fd = operators.Warehouse.candidateKeys(spark, sfDir)
+    assert(countScans(fd) <= 1, s"fd2 scans: ${countScans(fd)}")
+    Seq("tok8" -> planOf(tk), "smp5" -> planOf(sm), "ev24" -> planOf(ev)).foreach {
+      case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
+    }
+  }
+
   test("round-15 additions: two corpus scans each, exchanges reused, no cartesians") {
     // pmi1: ONE unigram + ONE bigram pass; the w1/w2 joins and both
     // totals REUSE those aggregates' exchanges (the first cut's
