@@ -161,6 +161,46 @@ class FileStatsSpec extends SparkTestBase {
     } finally catalog.drop("fs_inlist")
   }
 
+  test("pruning soundness property: candidates cover every matching row's file, for randomized predicates") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats_prop")
+    val t = MutableTable.create(spark, dir.resolve("prop").toString, schema)
+    val rnd = new scala.util.Random(20260815L)
+    // 6 files with overlapping random ranges, some single-point, one with nulls
+    (0 until 6).foreach { b =>
+      val rows = (0 until 5).map { _ =>
+        val k: java.lang.Long = if (b == 5 && rnd.nextBoolean()) null else Long.box(rnd.nextInt(40).toLong)
+        val s = if (b == 4) "pin" else "s" + rnd.nextInt(8)
+        Row(k, s)
+      }
+      t.insert(spark.createDataFrame(rows.asJava, schema))
+    }
+    val v = t.currentVersion
+    val full = t.df.withColumn("__f", input_file_name())
+    def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val preds: Seq[String] = {
+      val ops = Seq("=", "!=", "<", "<=", ">", ">=")
+      val simple = (0 until 12).map(_ => s"k ${ops(rnd.nextInt(ops.size))} ${rnd.nextInt(45)}")
+      val strs = (0 until 6).map(_ => s"s ${ops(rnd.nextInt(2))} 's${rnd.nextInt(8)}'")
+      val ins = (0 until 4).map(_ => s"k IN (${Seq.fill(3)(rnd.nextInt(45)).mkString(", ")})")
+      val notins = (0 until 4).map(_ => s"s NOT IN ('s${rnd.nextInt(8)}', 'pin')")
+      val likes = Seq("s LIKE 's%'", "s NOT LIKE 'pin%'", "s LIKE 'p%'", "s NOT LIKE 's%'")
+      val nulls = Seq("k IS NULL", "k IS NOT NULL")
+      val combos = (0 until 6).map { _ =>
+        val a = simple(rnd.nextInt(simple.size)); val b = strs(rnd.nextInt(strs.size))
+        if (rnd.nextBoolean()) s"($a) AND ($b)" else s"($a) OR ($b)"
+      }
+      simple ++ strs ++ ins ++ notins ++ likes ++ nulls ++ combos
+    }
+    preds.foreach { p =>
+      val needed = full.filter(expr(p)).select(col("__f")).distinct()
+        .collect().map(r => basename(r.getString(0))).toSet
+      val cands = t.candidateFiles(v, expr(p)).toSet
+      assert(needed.subsetOf(cands),
+        s"UNSOUND prune for [$p]: needed ${needed.size} files, candidates miss ${(needed -- cands).mkString(",")}")
+    }
+  }
+
   test("NOT-shape pruning on single-point and all-null files") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("graft_fstats_not")

@@ -55,6 +55,38 @@ class DriverDmlSpec extends SparkTestBase {
     assert(DriverDml.parseValues("(1), ").isEmpty) // trailing comma
   }
 
+  test("parseValues inverts SqlParams.literal for arbitrary rows (the exact wire path)") {
+    import org.scalacheck.Gen
+    // the driver-side insert fast path consumes EXACTLY the text
+    // SqlParams.bind produces for prepared params — the parser must be
+    // the literal() escaper's inverse for every representable value.
+    // Strings are biased toward backslash/quote clusters (the historical
+    // corruption shapes) plus non-ASCII.
+    val str: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.asciiPrintableChar,
+      2 -> Gen.oneOf('\\', '\'', '"'),
+      1 -> Gen.oneOf('\n', '\r', '\t', '\b'),
+      1 -> Gen.oneOf('é', '中', 'ß'))).map(_.mkString)
+    val finiteDouble = Gen.chooseNum(-1e12, 1e12).suchThat(d => !d.isNaN && !d.isInfinite)
+    val value: Gen[Any] = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(l => l: Any),
+      finiteDouble.map(d => d: Any),
+      str.map(s => s: Any),
+      Gen.oneOf(true, false).map(b => b: Any),
+      Gen.const(null: Any))
+    val rows = Gen.nonEmptyListOf(Gen.nonEmptyListOf(value).map(_.take(6))).map(_.take(4))
+    (0 until 300).foreach { _ =>
+      rows.sample.foreach { rs =>
+        val text = rs.map(r => r.map(graft.SqlParams.literal).mkString("(", ", ", ")"))
+          .mkString(", ")
+        val parsed = DriverDml.parseValues(text)
+        assert(parsed.isDefined, s"parser rejected literal() output: $text")
+        assert(parsed.get.map(_.toList) == rs.map(_.toList),
+          s"round-trip diverged for $text")
+      }
+    }
+  }
+
   test("coerce: natural representations only; lossy shapes decline") {
     assert(DriverDml.coerce(5L, LongType) == Some(5L))
     assert(DriverDml.coerce(5L, IntegerType) == Some(5))
