@@ -156,6 +156,22 @@ class DriverDmlSpec extends SparkTestBase {
     assert(tt.df.count() == 0)
   }
 
+  test("parseValuesAligned: explicit column lists NULL-fill like BatchAlign; mismatches decline") {
+    val s = schema // (id LONG, name STRING, score DOUBLE)
+    // full-width, schema order
+    val full = DriverDml.parseValuesAligned("(1, 'a', 2.5)", s, None).get
+    assert(full.head.toSeq == Seq(1L, "a", 2.5))
+    // explicit subset, reordered + case-insensitive: unfed column nulls
+    val sub = DriverDml.parseValuesAligned("('x', 7)", s, Some(Seq("NAME", "id"))).get
+    assert(sub.head.toSeq == Seq(7L, "x", null))
+    // width mismatch, unknown column, duplicate column: decline
+    assert(DriverDml.parseValuesAligned("(1)", s, None).isEmpty)
+    assert(DriverDml.parseValuesAligned("(1)", s, Some(Seq("nope"))).isEmpty)
+    assert(DriverDml.parseValuesAligned("(1, 2)", s, Some(Seq("id", "id"))).isEmpty)
+    // unrepresentable literal for the column type: decline (planned cast)
+    assert(DriverDml.parseValuesAligned("('5', 'a', 1.0)", s, None).isEmpty)
+  }
+
   // === update/delete fast path parity =======================================
 
   test("driver rewrite parity: UPDATE/DELETE match Spark filter semantics") {
