@@ -433,7 +433,18 @@ final class MutableTable private (
     * of job/planning overhead for the same handful of rows. None = any
     * gate failed; the caller runs the planned path.
     */
+  // fast-path hit counter (observability for specs and probes: proves a
+  // statement actually took the in-process rewrite, not the planned path)
+  private[sources] val driverRewriteHits = new java.util.concurrent.atomic.AtomicLong()
+
   private def driverRewrite(base: Long, cond: Column,
+      set: Option[Map[String, Column]], publishNow: Boolean): Option[(Long, Long)] = {
+    val r = driverRewriteImpl(base, cond, set, publishNow)
+    if (r.isDefined) driverRewriteHits.incrementAndGet()
+    r
+  }
+
+  private def driverRewriteImpl(base: Long, cond: Column,
       set: Option[Map[String, Column]], publishNow: Boolean): Option[(Long, Long)] = {
     if (!DriverDml.supported(schema)) return None
     val all = readManifest(base)
@@ -680,6 +691,21 @@ final class MutableTable private (
           p <- lift(b.left); q <- lift(b.right)
           pq <- coerce(p, q)
         } yield b.withNewChildren(Seq(pq._1, pq._2))
+      // IN-lists of literals against one column — the batch point-delete
+      // shape: each element coerces to the column type exactly like a
+      // binary comparison's literal side
+      case In(v, list) =>
+        lift(v) match {
+          case Some(a: AttributeReference) =>
+            val lits = list.map { e =>
+              lift(e) match {
+                case Some(l: Literal) => coerce(a, l).map(_._2)
+                case _ => None
+              }
+            }
+            if (lits.exists(_.isEmpty)) None else Some(In(a, lits.map(_.get)))
+          case _ => None
+        }
       case _ => None
     }
     lift(raw).filter(_.resolved)

@@ -196,6 +196,20 @@ class DriverDmlSpec extends SparkTestBase {
     assert(t.update(expr("id = 1000"), Map("name" -> expr("'x'"))) == 0L)
   }
 
+  test("IN-list point deletes ride the driver rewrite (batch-delete shape)") {
+    val t = mk()
+    t.insert(rowsDf((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    val before = t.driverRewriteHits.get()
+    assert(t.delete(expr("id IN (2, 4, 99)")) == 2L)
+    assert(t.driverRewriteHits.get() == before + 1,
+      "the IN-list delete must take the in-process rewrite, not the planned path")
+    assert(t.df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // NOT IN keeps three-valued semantics through the same path
+    t.insert(rowsDf((5L, null, 5.0)))
+    assert(t.delete(expr("name NOT IN ('a')")) == 1L) // only 'c'; NULL name survives
+    assert(t.df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+  }
+
   test("driver rewrite gates: non-foldable SET and coercing predicates fall back, same results") {
     val t = mk()
     t.insert(rowsDf((1L, "a", 1.0), (2L, "b", 2.0)))
