@@ -367,7 +367,7 @@ final class Session(val id: String, val spark: SparkSession,
         val tr0 = System.nanoTime()
         catalog.flatMap(_.route(SqlParams.bind(p.sql, padded), txn)) match {
           case Some(count) =>
-            if (sys.env.contains("GRAFT_DML_TRACE"))
+            if (graft.Engine.dmlTrace)
               System.err.println(f"[dml-trace] session route=${(System.nanoTime() - tr0) / 1e6}%.0f ms")
             affectedDf(count)
           case None =>

@@ -249,7 +249,7 @@ object SqlGateway {
       if (wantArrow) {
         val tm0 = System.nanoTime()
         val write = org.apache.spark.sql.graft.ArrowWire.prepareIpcStream(df)
-        if (sys.env.contains("GRAFT_DML_TRACE"))
+        if (graft.Engine.dmlTrace)
           System.err.println(f"[dml-trace] gateway mk=${(tm0 - t0) / 1e6}%.0f prepIpc=${(System.nanoTime() - tm0) / 1e6}%.0f ms")
         ex.getResponseHeaders.set("Content-Type", arrowContentType)
         ex.sendResponseHeaders(200, 0)

@@ -34,7 +34,7 @@ private[sources] object DriverDml {
 
   // === parquet-mr codec ======================================================
 
-  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+  private def hadoopConf = FileStats.hadoopConf
 
   private def messageType(schema: StructType): org.apache.parquet.schema.MessageType = {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
@@ -94,6 +94,12 @@ private[sources] object DriverDml {
 
   /** Read every row of `file` as external values in `schema` order.
     * None when the file cannot be read this way (caller falls back).
+    *
+    * NOTE: [[MutableTable.pkCheckDriverSide]] carries a projected twin
+    * of this decode loop (pk column only, plus the signed-zero
+    * normalization the COMPARISON semantics there need — values decoded
+    * HERE are written back verbatim and must NOT be normalized). A
+    * semantic fix to either loop must be weighed against the other.
     */
   def readRows(file: Path, schema: StructType): Option[Seq[Array[Any]]] = {
     import org.apache.parquet.hadoop.ParquetReader

@@ -62,8 +62,9 @@ object FileStats {
     */
   // one shared Configuration: constructing one per footer read costs
   // more than the read itself (XML resource scan), and reads off a
-  // built Configuration are thread-safe
-  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+  // built Configuration are thread-safe. Shared with DriverDml's codec
+  // for the same reason.
+  private[sources] lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
   def fromFooter(file: Path): Map[String, ColStats] = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -311,6 +312,17 @@ object FileStats {
       case _ => None
     }
 
+    // PROOF of membership: the file is single-point AND some literal's
+    // comparand is defined and equal to it. Distinct from point(), whose
+    // conservative arm answers TRUE ("cannot prune") on an unavailable
+    // comparand — inverting THAT under a NOT would turn "don't know"
+    // into "proven member" and prune a file that must stay (review
+    // finding, round 16: `score NOT IN (5.0, 'inf')` pruned a
+    // single-point 7.0 file because Infinity's comparand is None).
+    def provenMember(s: ColStats, v: Any): Boolean =
+      v != null && singlePoint(s).exists(p =>
+        comparand(s, v).exists(c => compare(s.kind, p, c) == 0))
+
     // may the file hold a NON-NULL value != v? (NULL rows evaluate
     // `NOT (col = v)` to NULL, never TRUE, so they cannot save a file)
     def notPoint(s: ColStats, v: Any): Boolean = {
@@ -477,7 +489,7 @@ object FileStats {
           val lits = vs.map(v => litOf(v).get)
           if (lits.contains(null)) false // NOT IN with a NULL is never TRUE
           else if (allNull(s)) false
-          else if (singlePoint(s).isDefined) !lits.exists(v => point(s, v))
+          else if (singlePoint(s).isDefined) !lits.exists(v => provenMember(s, v))
           else true
         case _ => true
       }
@@ -485,7 +497,7 @@ object FileStats {
         case Some(s) if is.hset.nonEmpty =>
           if (is.hset.exists(_ == null)) false
           else if (allNull(s)) false
-          else if (singlePoint(s).isDefined) !is.hset.exists(v => point(s, v))
+          else if (singlePoint(s).isDefined) !is.hset.exists(v => provenMember(s, v))
           else true
         case _ => true
       }

@@ -253,7 +253,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     val df = tables(name.toLowerCase).df
     val t1 = System.nanoTime()
     df.createOrReplaceTempView(name)
-    if (sys.env.contains("GRAFT_DML_TRACE"))
+    if (graft.Engine.dmlTrace)
       System.err.println(f"[dml-trace] refresh df=${(t1 - t0) / 1e6}%.0f view=${(System.nanoTime() - t1) / 1e6}%.0f ms")
     viewVersions(name.toLowerCase) = versionClock.incrementAndGet()
   }
@@ -382,7 +382,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
               .flatMap(t.insertRowsDirect) match {
               case Some(n) =>
                 refresh(table)
-                if (sys.env.contains("GRAFT_DML_TRACE"))
+                if (graft.Engine.dmlTrace)
                   System.err.println(f"[dml-trace] route-insert-direct total=${(System.nanoTime() - tv0) / 1e6}%.0f ms")
                 return Some(n)
               case None => // fall through to the planned path
@@ -404,7 +404,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
               val n = t.insert(aligned)
               val tv2 = System.nanoTime()
               refresh(table)
-              if (sys.env.contains("GRAFT_DML_TRACE"))
+              if (graft.Engine.dmlTrace)
                 System.err.println(f"[dml-trace] route-insert values=${(tv1 - tv0) / 1e6}%.0f core=${(tv2 - tv1) / 1e6}%.0f refresh=${(System.nanoTime() - tv2) / 1e6}%.0f ms")
               n
           }
@@ -421,7 +421,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
               val n = t.update(cond, assignments)
               val tv2 = System.nanoTime()
               refresh(table)
-              if (sys.env.contains("GRAFT_DML_TRACE"))
+              if (graft.Engine.dmlTrace)
                 System.err.println(f"[dml-trace] route-update parse=${(tv1 - tv0) / 1e6}%.0f core=${(tv2 - tv1) / 1e6}%.0f refresh=${(System.nanoTime() - tv2) / 1e6}%.0f ms")
               n
           }

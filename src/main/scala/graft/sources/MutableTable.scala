@@ -324,7 +324,7 @@ final class MutableTable private (
     val ti1 = System.nanoTime()
     try {
       primaryKey.foreach(pk => pkCheck(base, newFiles, pk))
-      if (sys.env.contains("GRAFT_DML_TRACE"))
+      if (graft.Engine.dmlTrace)
         System.err.println(f"[dml-trace] insert write=${(ti1 - ti0) / 1e6}%.0f pkcheck=${(System.nanoTime() - ti1) / 1e6}%.0f ms")
       // row count straight off the footers — no counting job
       val n = newFiles.map(f =>
@@ -359,7 +359,11 @@ final class MutableTable private (
     * propagates like the planned path's.
     */
   def insertRowsDirect(rows: Seq[Array[Any]]): Option[Long] = writeLock.synchronized {
-    if (!DriverDml.supported(schema) || rows.isEmpty) return None
+    // row cap (review finding, round 16): a bulk literal batch past the
+    // driver bound belongs to the planned path — parallel write, 32 MB
+    // file sizing — not a single-threaded one-file parquet-mr write
+    if (!DriverDml.supported(schema) || rows.isEmpty ||
+      rows.size > driverRewriteMaxRows) return None
     val base = currentVersion
     loadStats(base)
     // in-batch duplicate check, in memory — canonicalize signed zeros
@@ -505,7 +509,7 @@ final class MutableTable private (
     val nv = allocVersion()
     val files = all.filterNot(affected.contains) ++ replacement
     if (publishNow) commit(nv, files) else writeManifest(nv, files)
-    if (sys.env.contains("GRAFT_DML_TRACE"))
+    if (graft.Engine.dmlTrace)
       System.err.println(f"[dml-trace] driver-rewrite files=${affected.size} rows=${outRows.size} ${(System.nanoTime() - t0) / 1e6}%.0f ms")
     Some((nv, matched))
   }
@@ -554,7 +558,7 @@ final class MutableTable private (
         fileStats.remove(name); Files.deleteIfExists(dest)
         return files
     }
-    if (sys.env.contains("GRAFT_DML_TRACE"))
+    if (graft.Engine.dmlTrace)
       System.err.println(f"[dml-trace] micro-compact ${small.size} files, ${rows.size} rows, ${(System.nanoTime() - t0) / 1e6}%.0f ms")
     val smallSet = small.map(_._1).toSet
     files.filterNot(smallSet) :+ name
@@ -833,7 +837,7 @@ final class MutableTable private (
         org.apache.spark.sql.graft.PointReadExec.prepareScan(df)
       }
     }
-    if (sys.env.contains("GRAFT_DML_TRACE"))
+    if (graft.Engine.dmlTrace)
       System.err.println(f"[dml-trace] fastAffected scans=${candidates.size} misses=$misses build=${(System.nanoTime() - tScan0) / 1e6}%.0f ms")
     // per-file scans of one schema share the output SHAPE (names, types,
     // ordinals); binding is ordinal-based, so the union is sound
@@ -1061,7 +1065,7 @@ final class MutableTable private (
     val nv = allocVersion()
     val files = all.filterNot(affected.contains) ++ replacement
     if (publishNow) commit(nv, files) else writeManifest(nv, files)
-    if (sys.env.contains("GRAFT_DML_TRACE"))
+    if (graft.Engine.dmlTrace)
       System.err.println(f"[dml-trace] update discovery=${(t1 - t0) / 1e6}%.0f rewrite=${(t2 - t1) / 1e6}%.0f commit=${(System.nanoTime() - t2) / 1e6}%.0f ms")
     (nv, updated)
   }

@@ -161,6 +161,25 @@ class FileStatsSpec extends SparkTestBase {
     } finally catalog.drop("fs_inlist")
   }
 
+  test("NOT IN with an uncomparable literal never prunes a single-point file (review r16)") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats_notin_inf")
+    val dblSchema = StructType(Seq(
+      StructField("k", LongType), StructField("score", DoubleType)))
+    val t = MutableTable.create(spark, dir.resolve("inf").toString, dblSchema)
+    t.insert(spark.createDataFrame(Seq(Row(1L, 7.0)).asJava, dblSchema)) // single-point score file
+    // Infinity's comparand is None (NaN/Inf bounds are untrustworthy):
+    // point()'s conservative TRUE must not be read as proof of
+    // membership — 7.0 NOT IN (5.0, inf) is TRUE, the file must stay
+    val cond = expr("score NOT IN (5.0, double('Infinity'))")
+    assert(t.candidateFiles(t.currentVersion, cond).size == 1,
+      "conservative arm inverted into an unsound prune")
+    assert(t.delete(cond) == 1L, "the row matches and must delete")
+    // proven membership still prunes: a single-point 5.0 file vs NOT IN (5.0)
+    t.insert(spark.createDataFrame(Seq(Row(2L, 5.0)).asJava, dblSchema))
+    assert(t.candidateFiles(t.currentVersion, expr("score NOT IN (5.0)")).isEmpty)
+  }
+
   test("pruning soundness property: candidates cover every matching row's file, for randomized predicates") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("graft_fstats_prop")
