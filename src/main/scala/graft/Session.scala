@@ -153,7 +153,10 @@ final class Session(val id: String, val spark: SparkSession,
     */
   final case class PointRead(table: String, keyCol: String,
       projection: Option[Seq[String]], range: Boolean = false,
-      sortDesc: Option[Boolean] = None)
+      sortDesc: Option[Boolean] = None, inList: Int = 0) {
+    /** Placeholders the shape binds per execution. */
+    def paramCount: Int = if (range) 2 else if (inList > 0) inList else 1
+  }
 
   final case class Prepared(
       handle: String,
@@ -254,12 +257,19 @@ final class Session(val id: String, val spark: SparkSession,
     ("(?is)^\\s*SELECT\\s+(\\*|[A-Za-z_][\\w]*(?:\\s*,\\s*[A-Za-z_][\\w]*)*)\\s+" +
       "FROM\\s+([A-Za-z_][\\w]*)\\s+WHERE\\s+([A-Za-z_][\\w]*)\\s+BETWEEN\\s+\\?\\s+AND\\s+\\?" +
       "(?:\\s+ORDER\\s+BY\\s+([A-Za-z_][\\w]*)(\\s+ASC|\\s+DESC)?)?\\s*;?\\s*$").r
+  // batch key lookup: `WHERE k IN (?, ?, ..., ?)` — all placeholders
+  private val inReadRe =
+    ("(?is)^\\s*SELECT\\s+(\\*|[A-Za-z_][\\w]*(?:\\s*,\\s*[A-Za-z_][\\w]*)*)\\s+" +
+      "FROM\\s+([A-Za-z_][\\w]*)\\s+WHERE\\s+([A-Za-z_][\\w]*)\\s+IN\\s*" +
+      "\\(\\s*\\?(?:\\s*,\\s*\\?)*\\s*\\)\\s*;?\\s*$").r
 
   private def detectPointRead(sql: String): Option[PointRead] = {
     def proj(cols: String) =
       if (cols.trim == "*") None else Some(cols.split(",").map(_.trim).toSeq)
     sql match {
       case pointReadRe(cols, table, key) => Some(PointRead(table, key, proj(cols)))
+      case inReadRe(cols, table, key) =>
+        Some(PointRead(table, key, proj(cols), inList = sql.count(_ == '?')))
       case rangeReadRe(cols, table, key, orderCol, dir) =>
         val sortDesc = Option(orderCol) match {
           case None => Some(None) // no ORDER BY: unsorted
@@ -299,7 +309,7 @@ final class Session(val id: String, val spark: SparkSession,
 
   private def pointReadFast(p: Prepared, values: Seq[Any]): Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThanOrEqual, In, LessThanOrEqual, Literal}
     val pr = p.pointRead.getOrElse(return None)
     if (values.exists(_ == null)) return None // native NULL-comparison semantics, rare
     val cat = catalog.getOrElse(return None)
@@ -320,6 +330,7 @@ final class Session(val id: String, val spark: SparkSession,
     val attr = UnresolvedAttribute(keyField.name)
     val cond =
       if (pr.range) And(GreaterThanOrEqual(attr, lits(0)), LessThanOrEqual(attr, lits(1)))
+      else if (pr.inList > 0) In(attr, lits)
       else EqualTo(attr, lits.head)
     val candidates = t.candidateFilesExpr(version, cond)
     if (candidates.size > pointReadMaxFiles) return None
@@ -346,13 +357,13 @@ final class Session(val id: String, val spark: SparkSession,
     Some(org.apache.spark.sql.graft.PointReadExec.execute(
       spark, scan, keyField.name, lits,
       if (outCols.size == scan.output.size) None else Some(outCols),
-      sortDesc = pr.sortDesc))
+      sortDesc = pr.sortDesc, inList = pr.inList > 0))
   }
 
   private def runPrepared(p: Prepared, params: Seq[Any]): DataFrame = {
     val n = ParamInference.countPlaceholders(p.sql)
     val padded = params.padTo(n, null)
-    val expectedParams = if (p.pointRead.exists(_.range)) 2 else 1
+    val expectedParams = p.pointRead.map(_.paramCount).getOrElse(1)
     // abortTxnOnError: a fast-path failure (e.g. file vanished under a
     // vacuum race) must poison an open txn exactly like the planned path
     val fast =

@@ -89,16 +89,20 @@ object PointReadExec {
     */
   def execute(spark: SparkSession, scan: CachedScan, keyCol: String,
       lits: Seq[Literal], projection: Option[Seq[String]],
-      sortDesc: Option[Boolean] = None): DataFrame = {
+      sortDesc: Option[Boolean] = None, inList: Boolean = false): DataFrame = {
     val keyOrd = scan.output.indexWhere(_.name.equalsIgnoreCase(keyCol))
     require(keyOrd >= 0, s"key column $keyCol not in scan output")
     val keyAttr = scan.output(keyOrd)
     val ref = BoundReference(keyOrd, keyAttr.dataType, keyAttr.nullable)
-    val pred = lits match {
-      case Seq(one) => EqualTo(ref, one)
-      case Seq(lo, hi) => And(GreaterThanOrEqual(ref, lo), LessThanOrEqual(ref, hi))
-      case other => throw new IllegalArgumentException(s"1 or 2 literals, got ${other.size}")
-    }
+    // `inList` is explicit — a 2-literal IN would otherwise be
+    // indistinguishable from BETWEEN's (lo, hi) pair
+    val pred =
+      if (inList) org.apache.spark.sql.catalyst.expressions.In(ref, lits)
+      else lits match {
+        case Seq(one) => EqualTo(ref, one)
+        case Seq(lo, hi) => And(GreaterThanOrEqual(ref, lo), LessThanOrEqual(ref, hi))
+        case other => throw new IllegalArgumentException(s"1 or 2 literals, got ${other.size}")
+      }
     val sc = spark.sparkContext
     val n = scan.rdd.getNumPartitions
     val matches: Array[InternalRow] =

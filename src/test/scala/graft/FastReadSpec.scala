@@ -67,6 +67,24 @@ class FastReadSpec extends SparkTestBase {
     catalog.drop("fr_rng")
   }
 
+  test("IN-list read: batch key lookup matches the native path, missing keys skipped") {
+    val (sess, catalog) = freshSession()
+    load(catalog, "fr_in")
+    val p = sess.createPrepared("SELECT k, s FROM fr_in WHERE k IN (?, ?, ?)")
+    def read(ks: Seq[Any]) = sess.executePrepared(p.handle, ks).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(read(Seq(5L, 250L, 499L)).toSeq ==
+      Seq((5L, "s5"), (250L, "s250"), (499L, "s499")))
+    // missing + duplicate keys: each matching ROW answers once
+    assert(read(Seq(42L, 42L, 9999L)).toSeq == Seq((42L, "s42")))
+    // DML visibility through the same handle
+    sess.sql("DELETE FROM fr_in WHERE k = 250")
+    assert(read(Seq(5L, 250L, 499L)).toSeq == Seq((5L, "s5"), (499L, "s499")))
+    // a NULL param falls back to the native path (same empty-match answer)
+    assert(read(Seq(5L, null, 9999L)).toSeq == Seq((5L, "s5")))
+    catalog.drop("fr_in")
+  }
+
   test("ORDER BY a non-key column falls back to the native path (same results)") {
     val (sess, catalog) = freshSession()
     load(catalog, "fr_fb")
