@@ -2804,6 +2804,118 @@ object Analytics {
       |  MAX(dd) AS ks_d
       |FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  /** cal2: Brier-score calibration decomposition of the quality
+    * classifier, per reliability bin (Murphy 1973): the forecast
+    * probability is the PIECEWISE-LINEAR map of qc1's margin onto [0,1]
+    * (pure arithmetic — a logistic map would drag libm exp() ulp
+    * differences across engines), the outcome is txt6's rule verdict.
+    * Per bin: exact-micros mean forecast, observed rate, the bin's own
+    * mean Brier score, and its reliability term (mean_p - pos_rate)² —
+    * the calibration audit the bin-level sums of which give Murphy's
+    * reliability/resolution split. Same bin grid as cal1.
+    */
+  def brierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val span = calBins * calBinWidth
+    val m = TextAnalysis.qualityMargin(s, dir)
+      .select(col("doc_id"), col("quality_margin"))
+    val l = TextAnalysis.docQualityFilter(s, dir).select(col("doc_id"), col("keep"))
+    val p = least(greatest((col("quality_margin") - calBinLo) / span, lit(0.0)), lit(1.0))
+    val perBin = m.join(l, "doc_id")
+      .withColumn("p", p)
+      .withColumn("y", when(col("keep"), 1.0).otherwise(0.0))
+      .withColumn("bin",
+        least(greatest(floor((col("quality_margin") - calBinLo) / calBinWidth), lit(0.0)),
+          lit(calBins - 1.0)).cast(IntegerType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Exact.micros(col("p")).cast(Exact.D380)).as("pm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"),
+        sum(Exact.micros((col("p") - col("y")) * (col("p") - col("y")))
+          .cast(Exact.D380)).as("bm"))
+    val meanP = Exact.toUnits(col("pm")) / col("n_docs")
+    val posRate = col("n_pos").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    perBin.select(col("bin"), col("n_docs"),
+        meanP.as("mean_p"), posRate.as("pos_rate"),
+        (Exact.toUnits(col("bm")) / col("n_docs")).as("brier"),
+        Exact.dround((meanP - posRate) * (meanP - posRate), 9).as("reliability"))
+      .orderedSmall(col("bin"))
+  }
+
+  val brierDecompositionSql: String = {
+    val span = calBins * calBinWidth
+    val pExpr = s"LEAST(GREATEST((quality_margin - $calBinLo) / $span, 0.0), 1.0)"
+    val meanP = s"(${Exact.sqlToUnits("pm")} / CAST(n_docs AS DOUBLE))"
+    val posRate = "(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    s"""WITH m AS (${TextAnalysis.qualityMarginSql}),
+       |l AS (SELECT doc_id, keep FROM (${TextAnalysis.docQualityFilterSql}) q),
+       |j AS (
+       |  SELECT m.doc_id, keep, $pExpr AS p,
+       |    CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(LEAST(GREATEST(FLOOR((quality_margin - $calBinLo) / $calBinWidth), 0.0),
+       |      ${calBins - 1}.0) AS INTEGER) AS bin
+       |  FROM m JOIN l ON m.doc_id = l.doc_id),
+       |b AS (
+       |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    SUM(CAST(${Exact.sqlMicros("p")} AS HUGEINT)) AS pm,
+       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    SUM(CAST(${Exact.sqlMicros("(p - y) * (p - y)")} AS HUGEINT)) AS bm
+       |  FROM j GROUP BY bin)
+       |SELECT bin, n_docs, $meanP AS mean_p, $posRate AS pos_rate,
+       |  (${Exact.sqlToUnits("bm")} / CAST(n_docs AS DOUBLE)) AS brier,
+       |  ${Exact.sqlDround(s"(($meanP - $posRate) * ($meanP - $posRate))", 9)} AS reliability
+       |FROM b ORDER BY bin""".stripMargin
+  }
+
+  /** ts8: Theil–Sen robust trend of daily total event value — the
+    * median of all pairwise slopes over the per-day exact-micros sums
+    * (reg1's OLS twin that one outlier day cannot move). The pair set is
+    * C(days, 2) over an ALREADY-AGGREGATED ~hundreds-row frame, never
+    * the raw events. "Median" is the LOWER-MIDDLE element of the
+    * totally-ordered slope list ((m+1)/2 by (slope, x1, x2)) — exact and
+    * engine-portable where interpolated quantiles are not.
+    */
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = t(s, dir, "events")
+      .select(expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $dayUs)) div $dayUs").as("day"),
+        Exact.micros(col("value")).as("ym"))
+      .groupBy(col("day")).agg(sum(col("ym").cast(Exact.D380)).as("sym"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val base = daily.crossJoin(broadcast(d0))
+      .select((col("day") - col("d0")).as("x"), col("sym"))
+    val pairs = base.as("a").join(base.as("b"), col("a.x") < col("b.x"))
+      .select(col("a.x").as("x1"), col("b.x").as("x2"),
+        ((col("b.sym") - col("a.sym")).cast(DoubleType)
+          / (col("b.x") - col("a.x")).cast(DoubleType) / lit(1000000.0)).as("slope"))
+    val w = Window.orderBy(col("slope"), col("x1"), col("x2"))
+    val counts = pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(base.agg(count(lit(1)).as("n_days")))
+    pairs.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(counts))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_days"), col("n_pairs"),
+        Exact.dround(col("slope"), 6).as("ts_slope_per_day"))
+  }
+
+  val theilSenTrendSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) AS sym
+       |  FROM events GROUP BY 1),
+       |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+       |base AS (SELECT day - d0 AS x, sym FROM daily CROSS JOIN d0),
+       |pairs AS (
+       |  SELECT a.x AS x1, b.x AS x2,
+       |    CAST(CAST(b.sym - a.sym AS VARCHAR) AS DOUBLE)
+       |      / CAST(b.x - a.x AS DOUBLE) / 1000000.0 AS slope
+       |  FROM base a JOIN base b ON a.x < b.x),
+       |ranked AS (
+       |  SELECT slope, row_number() OVER (ORDER BY slope, x1, x2) AS rn FROM pairs),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM base)
+       |SELECT n_days, n_pairs, ${Exact.sqlDround("slope", 6)} AS ts_slope_per_day
+       |FROM ranked, m, nd WHERE rn = (n_pairs + 1) // 2""".stripMargin
+
   /** ev24: longest consecutive-day activity streak per user, reported
     * as a distribution (streak length -> user count) — the classic
     * gaps-and-islands shape: within a user, day minus its row_number is
@@ -2837,6 +2949,8 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev24_activity_streaks" -> activityStreaks _,
+    "cal2_brier_decomposition" -> brierDecomposition _,
+    "ts8_theil_sen_trend" -> theilSenTrend _,
     "ks1_source_ks" -> sourceKs _,
     "dp1_dp_counts" -> ((s: SparkSession, d: String) => dpCounts(s, d)),
     "mrr1_retrieval_mrr" -> ((s: SparkSession, d: String) => labelRetrievalMrr(s, d)),
@@ -2891,6 +3005,8 @@ object Analytics {
     "ev22_conversion_hazard" -> conversionHazardSql,
     "ev23_retention_cohorts" -> retentionCohortsSql(),
     "ev24_activity_streaks" -> activityStreaksSql(),
+    "cal2_brier_decomposition" -> brierDecompositionSql,
+    "ts8_theil_sen_trend" -> theilSenTrendSql,
     "ndcg1_retrieval_ndcg" -> labelRetrievalNdcgSql(),
     "smp4_neyman_allocation" -> neymanAllocationSql,
     "exp4_rank_sum" -> rankSumTestSql,

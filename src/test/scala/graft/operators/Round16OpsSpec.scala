@@ -90,6 +90,58 @@ class Round16OpsSpec extends SparkTestBase {
       s"streak distribution: got $rows") // 1 day: u2,u4; 2 days: u3; 3 days: u1
   }
 
+  test("ts8: hand-computed Theil-Sen slope (median of pairwise slopes)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ts8").toString
+    def ts(day: Int): Timestamp = new Timestamp((day.toLong * 86400 + 3600) * 1000)
+    // daily totals 1.0 / 3.0 / 4.0 -> slopes (0,1)=2.0, (0,2)=1.5,
+    // (1,2)=1.0 -> sorted [1.0, 1.5, 2.0], median (rn=2) = 1.5
+    Seq(
+      (1L, ts(0), 1L, "click", 1.0, "{}"),
+      (2L, ts(1), 1L, "click", 2.0, "{}"), (3L, ts(1), 2L, "click", 1.0, "{}"),
+      (4L, ts(2), 1L, "click", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val r = Analytics.theilSenTrend(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 3L && r.head.getLong(1) == 3L)
+    assert(r.head.getDouble(2) == 1.5, s"got ${r.head.getDouble(2)}")
+  }
+
+  test("ts8: an outlier day cannot move the slope (robustness property)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ts8r").toString
+    def ts(day: Int): Timestamp = new Timestamp((day.toLong * 86400 + 3600) * 1000)
+    // days 0..6 perfectly linear (value = day + 1) except day 3 spikes to
+    // 1000: most pairwise slopes stay 1.0, so the median does too
+    val ev = (0 until 7).map { d =>
+      val v = if (d == 3) 1000.0 else d + 1.0
+      ((d + 1).toLong, ts(d), 1L, "click", v, "{}")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val r = Analytics.theilSenTrend(spark, dir).collect().head
+    assert(r.getLong(1) == 21L) // C(7,2)
+    assert(r.getDouble(2) == 1.0, s"outlier moved the Theil-Sen slope: ${r.getDouble(2)}")
+  }
+
+  test("cal2: bins agree with cal1; per-bin Brier dominates its reliability term (Jensen)") {
+    val dir = "/root/testdata/sf0.001"
+    val cal2 = Analytics.brierDecomposition(spark, dir).collect()
+    assert(cal2.nonEmpty)
+    val cal1 = Analytics.marginCalibration(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    cal2.foreach { r =>
+      val (bin, n, meanP, posRate, brier, rel) =
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // same bin grid, same population, same labels as cal1
+      assert(cal1(bin) == ((n, (posRate * n).round)), s"bin $bin diverged from cal1")
+      assert(meanP >= 0.0 && meanP <= 1.0 && brier >= 0.0 && brier <= 1.0)
+      // E[(p-y)^2] >= (E[p-y])^2 — micros rounding bounds the slack
+      assert(brier + 1e-6 >= rel, s"bin $bin: brier $brier < reliability $rel")
+    }
+  }
+
   test("fd2: candidate keys and uniqueness ratios by hand") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fd2").toString
