@@ -2875,14 +2875,29 @@ object Analytics {
     * engine-portable where interpolated quantiles are not.
     */
   def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val dayUs = 86400000000L
+    // ONE events scan; the per-day frame is BOUNDED driver state (one
+    // row per day in the data — the centroids/BPE-merges discipline), so
+    // the four plan subtrees that would each re-scan events at 100 TB
+    // (d0, both self-join sides, the count) instead read a LocalRelation
+    // (plan-pinned: PlanQualitySpec caught the 4-scan first cut)
     val daily = t(s, dir, "events")
       .select(expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $dayUs)) div $dayUs").as("day"),
         Exact.micros(col("value")).as("ym"))
       .groupBy(col("day")).agg(sum(col("ym").cast(Exact.D380)).as("sym"))
-    val d0 = daily.agg(min(col("day")).as("d0"))
-    val base = daily.crossJoin(broadcast(d0))
-      .select((col("day") - col("d0")).as("x"), col("sym"))
+      .collect()
+    val outSchema = StructType(Seq(
+      StructField("n_days", LongType), StructField("n_pairs", LongType),
+      StructField("ts_slope_per_day", DoubleType)))
+    if (daily.length < 2)
+      return s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    val minDay = daily.map(_.getLong(0)).min
+    val baseSchema = StructType(Seq(
+      StructField("x", LongType), StructField("sym", Exact.D380)))
+    val base = s.createDataFrame(
+      daily.map(r => org.apache.spark.sql.Row(r.getLong(0) - minDay, r.getDecimal(1)))
+        .toSeq.asJava, baseSchema)
     val pairs = base.as("a").join(base.as("b"), col("a.x") < col("b.x"))
       .select(col("a.x").as("x1"), col("b.x").as("x2"),
         ((col("b.sym") - col("a.sym")).cast(DoubleType)

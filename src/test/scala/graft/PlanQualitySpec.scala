@@ -366,7 +366,18 @@ class PlanQualitySpec extends SparkTestBase {
     // the stack runs on its 1-row output
     val fd = operators.Warehouse.candidateKeys(spark, sfDir)
     assert(countScans(fd) <= 1, s"fd2 scans: ${countScans(fd)}")
-    Seq("tok8" -> planOf(tk), "smp5" -> planOf(sm), "ev24" -> planOf(ev)).foreach {
+    // ts8: the daily aggregate is bounded driver state collected at
+    // construction (the first cut left FOUR events scans in the plan —
+    // d0, both self-join sides, the count); the pair join reads only the
+    // LocalRelation
+    val ts = operators.Analytics.theilSenTrend(spark, sfDir)
+    assert(!planOf(ts).contains("Scan parquet"),
+      "ts8 must not re-scan events: the pair join reads only the LocalRelation")
+    // cal2: margin + label passes, like cal1
+    val cb = operators.Analytics.brierDecomposition(spark, sfDir)
+    assert(countScans(cb) <= 2, s"cal2 scans: ${countScans(cb)}")
+    Seq("tok8" -> planOf(tk), "smp5" -> planOf(sm), "ev24" -> planOf(ev),
+        "ts8" -> planOf(ts), "cal2" -> planOf(cb)).foreach {
       case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
     }
   }
