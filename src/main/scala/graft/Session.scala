@@ -365,9 +365,15 @@ final class Session(val id: String, val spark: SparkSession,
     val padded = params.padTo(n, null)
     val expectedParams = p.pointRead.map(_.paramCount).getOrElse(1)
     // abortTxnOnError: a fast-path failure (e.g. file vanished under a
-    // vacuum race) must poison an open txn exactly like the planned path
+    // vacuum race) must poison an open txn exactly like the planned path.
+    // take(n): the native binder consumes exactly the placeholder count
+    // and IGNORES extra params — handing a longer list to the fast path
+    // instead changed semantics (review r16: 'k = ?' with two params hit
+    // PointReadExec's two-literal BETWEEN branch; equality silently
+    // became a range read)
     val fast =
-      if (n == expectedParams && p.pointRead.isDefined) abortTxnOnError(pointReadFast(p, padded))
+      if (n == expectedParams && p.pointRead.isDefined)
+        abortTxnOnError(pointReadFast(p, padded.take(n)))
       else None
     fast.foreach { df => if (p.ephemeral) closePrepared(p.handle); return df }
     val out =

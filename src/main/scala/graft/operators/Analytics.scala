@@ -2882,10 +2882,14 @@ object Analytics {
     // the four plan subtrees that would each re-scan events at 100 TB
     // (d0, both self-join sides, the count) instead read a LocalRelation
     // (plan-pinned: PlanQualitySpec caught the 4-scan first cut)
+    // a day whose every value is NULL sums to a NULL total — dropped on
+    // BOTH sides (review r16: NULL slopes rank NULLS FIRST in Spark but
+    // NULLS LAST in DuckDB, shifting the rank-selected median)
     val daily = t(s, dir, "events")
       .select(expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $dayUs)) div $dayUs").as("day"),
         Exact.micros(col("value")).as("ym"))
       .groupBy(col("day")).agg(sum(col("ym").cast(Exact.D380)).as("sym"))
+      .filter(col("sym").isNotNull)
       .collect()
     val outSchema = StructType(Seq(
       StructField("n_days", LongType), StructField("n_pairs", LongType),
@@ -2916,7 +2920,8 @@ object Analytics {
     s"""WITH daily AS (
        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
        |    SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) AS sym
-       |  FROM events GROUP BY 1),
+       |  FROM events GROUP BY 1
+       |  HAVING SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) IS NOT NULL),
        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
        |base AS (SELECT day - d0 AS x, sym FROM daily CROSS JOIN d0),
        |pairs AS (

@@ -85,6 +85,22 @@ class FastReadSpec extends SparkTestBase {
     catalog.drop("fr_in")
   }
 
+  test("excess positional params are ignored like the native binder (review r16)") {
+    val (sess, catalog) = freshSession()
+    load(catalog, "fr_xs")
+    // the native binder consumes exactly the placeholder count and
+    // ignores extras; the fast path once handed the WHOLE param list to
+    // the executor — equality with two params hit the two-literal
+    // BETWEEN branch and silently became a range read
+    val pEq = sess.createPrepared("SELECT k, s FROM fr_xs WHERE k = ?")
+    val r = sess.executePrepared(pEq.handle, Seq(5L, 250L)).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 5L,
+      s"equality with an extra param must stay an equality: got ${r.length} rows")
+    val pRng = sess.createPrepared("SELECT k FROM fr_xs WHERE k BETWEEN ? AND ?")
+    assert(sess.executePrepared(pRng.handle, Seq(10L, 12L, 99L)).collect().length == 3)
+    catalog.drop("fr_xs")
+  }
+
   test("ORDER BY a non-key column falls back to the native path (same results)") {
     val (sess, catalog) = freshSession()
     load(catalog, "fr_fb")

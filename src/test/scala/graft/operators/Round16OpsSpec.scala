@@ -126,7 +126,7 @@ class Round16OpsSpec extends SparkTestBase {
   }
 
   test("cal2: bins agree with cal1; per-bin Brier dominates its reliability term (Jensen)") {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sfDir
     val cal2 = Analytics.brierDecomposition(spark, dir).collect()
     assert(cal2.nonEmpty)
     val cal1 = Analytics.marginCalibration(spark, dir).collect()
