@@ -2884,10 +2884,13 @@ object Analytics {
     // (plan-pinned: PlanQualitySpec caught the 4-scan first cut)
     // a day whose every value is NULL sums to a NULL total — dropped on
     // BOTH sides (review r16: NULL slopes rank NULLS FIRST in Spark but
-    // NULLS LAST in DuckDB, shifting the rank-selected median)
+    // NULLS LAST in DuckDB, shifting the rank-selected median); a NULL
+    // ts yields a NULL day group — dropped on BOTH sides too (ADVICE
+    // r16: getLong on a NULL day would silently unbox to epoch day 0)
     val daily = t(s, dir, "events")
       .select(expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $dayUs)) div $dayUs").as("day"),
         Exact.micros(col("value")).as("ym"))
+      .filter(col("day").isNotNull)
       .groupBy(col("day")).agg(sum(col("ym").cast(Exact.D380)).as("sym"))
       .filter(col("sym").isNotNull)
       .collect()
@@ -2920,7 +2923,7 @@ object Analytics {
     s"""WITH daily AS (
        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
        |    SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) AS sym
-       |  FROM events GROUP BY 1
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
        |  HAVING SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) IS NOT NULL),
        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
        |base AS (SELECT day - d0 AS x, sym FROM daily CROSS JOIN d0),

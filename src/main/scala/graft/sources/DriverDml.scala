@@ -184,7 +184,7 @@ private[sources] object DriverDml {
                   case 'r'  => sb.append('\r')
                   case 't'  => sb.append('\t')
                   case 'b'  => sb.append('\b')
-                                    case _ => return None
+                  case _    => return None
                 }
                 i += 2
               } else if (c == '\'') {

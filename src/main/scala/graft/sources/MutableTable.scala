@@ -416,7 +416,15 @@ final class MutableTable private (
           }
         if (overlap) pkCheck(base, Seq(name), pk)
       }
-      commit(allocVersion(), compactSmallDriverSide(readManifest(base) :+ name))
+      val (manifest, compactFile) = compactSmallDriverSide(readManifest(base) :+ name)
+      try commit(allocVersion(), manifest)
+      catch {
+        case e: Throwable => // failed commit never referenced the merge
+          compactFile.foreach { cf =>
+            fileStats.remove(cf); Files.deleteIfExists(dataDir.resolve(cf))
+          }
+          throw e
+      }
       Some(rows.size.toLong)
     } catch {
       case e: Throwable =>
@@ -534,18 +542,22 @@ final class MutableTable private (
   private val compactTriggerFiles = 16
   private val compactSmallRows = 5000L
 
-  private def compactSmallDriverSide(files: Seq[String]): Seq[String] = {
-    if (!DriverDml.supported(schema)) return files
+  // Returns the (possibly compacted) manifest plus the name of the
+  // freshly written merge file, if any — the caller owns its cleanup
+  // when the commit that would have referenced it fails (ADVICE r16:
+  // the insert catch otherwise leaked the file + its fileStats entry).
+  private def compactSmallDriverSide(files: Seq[String]): (Seq[String], Option[String]) = {
+    if (!DriverDml.supported(schema)) return (files, None)
     val withRows = files.map(f => f -> statsFor(f).values.headOption.map(_.rows).getOrElse(-1L))
     val small = withRows.filter { case (_, r) => r >= 0 && r <= compactSmallRows }
-    if (small.size < compactTriggerFiles) return files
-    if (small.map(_._2).sum > driverRewriteMaxRows) return files
+    if (small.size < compactTriggerFiles) return (files, None)
+    if (small.map(_._2).sum > driverRewriteMaxRows) return (files, None)
     val t0 = System.nanoTime()
     val rows = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
     small.foreach { case (f, _) =>
       DriverDml.readRows(dataDir.resolve(f), schema) match {
         case Some(rs) => rows ++= rs
-        case None => return files // unreadable driver-side: keep as-is
+        case None => return (files, None) // unreadable driver-side: keep as-is
       }
     }
     val name = s"part-${UUID.randomUUID()}.parquet"
@@ -556,12 +568,12 @@ final class MutableTable private (
     } catch {
       case _: Exception =>
         fileStats.remove(name); Files.deleteIfExists(dest)
-        return files
+        return (files, None)
     }
     if (graft.Engine.dmlTrace)
       System.err.println(f"[dml-trace] micro-compact ${small.size} files, ${rows.size} rows, ${(System.nanoTime() - t0) / 1e6}%.0f ms")
     val smallSet = small.map(_._1).toSet
-    files.filterNot(smallSet) :+ name
+    (files.filterNot(smallSet) :+ name, Some(name))
   }
 
   /** Primary-key enforcement over the STAGED (not yet committed) files:

@@ -108,6 +108,27 @@ class Round16OpsSpec extends SparkTestBase {
     assert(r.head.getDouble(2) == 1.5, s"got ${r.head.getDouble(2)}")
   }
 
+  test("ts8: a NULL-ts event drops out instead of minting epoch day 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ts8n").toString
+    def ts(day: Int): Timestamp = new Timestamp((day.toLong * 86400 + 3600) * 1000)
+    // same fixture as the hand-computed case, at days 10..12 (so a
+    // phantom epoch-day-0 group would CHANGE every slope), plus one
+    // NULL-ts event — the oracle's NULL day never satisfies a.x < b.x,
+    // so both engines must keep n_days=3 and slope=1.5
+    Seq(
+      (1L, ts(10), 1L, "click", 1.0, "{}"),
+      (2L, ts(11), 1L, "click", 2.0, "{}"), (3L, ts(11), 2L, "click", 1.0, "{}"),
+      (4L, ts(12), 1L, "click", 4.0, "{}"),
+      (5L, null.asInstanceOf[Timestamp], 1L, "click", 99.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val r = Analytics.theilSenTrend(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 3L && r.head.getLong(1) == 3L)
+    assert(r.head.getDouble(2) == 1.5, s"got ${r.head.getDouble(2)}")
+  }
+
   test("ts8: an outlier day cannot move the slope (robustness property)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ts8r").toString
