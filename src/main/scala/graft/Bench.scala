@@ -73,6 +73,52 @@ object Bench {
     if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else -1L
   }
 
+  /** Cumulative GC collection count across all collectors. */
+  private def gcCount(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionCount)).sum
+  }
+
+  /** Live heap bytes right now (allocated garbage included). */
+  private def heapUsedBytes(): Long =
+    java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed
+
+  /** (committed, max) heap bytes. */
+  private def heapCommittedMax(): (Long, Long) = {
+    val u = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    (u.getCommitted, u.getMax)
+  }
+
+  /** Live set as of the LAST completed GC: the sum of heap pools'
+    * collection usage — the occupancy meter VERDICT r16 #1a asked for.
+    * Distinguishes heap-thrash (post-GC used pinned near max → the JVM
+    * genuinely retains too much for its heap) from environmentally-
+    * lengthened pauses (post-GC used low yet pauses huge → the HOST is
+    * slow, see the PSI meters). -1 when no pool reports it.
+    */
+  private def postGcUsedBytes(): Long = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.HEAP &&
+        p.getCollectionUsage != null)
+    if (pools.isEmpty) -1L else pools.map(_.getCollectionUsage.getUsed).sum
+  }
+
+  /** (used, max) bytes across the CodeHeap pools — a full code cache
+    * forces continuous deopt/recompile churn whose artifact signature
+    * (heavy sustained JIT) is otherwise indistinguishable from a cold
+    * start.
+    */
+  private def codeCacheUsedMax(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.NON_HEAP &&
+        (p.getName.startsWith("CodeHeap") || p.getName == "Code Cache"))
+    if (pools.isEmpty) (-1L, -1L)
+    else (pools.map(_.getUsage.getUsed).sum, pools.map(p => math.max(0L, p.getUsage.getMax)).sum)
+  }
+
   /** YCSB phase: the reference's OLTP mix (ycsb-flight-sql.xml:16-24 —
     * read/scan/insert/update/delete/RMW = 50/5/15/10/10/10, 1 terminal)
     * against a 1000-row `usertable` (ycsb-ddl-ducklake.sql shape: LONG
@@ -253,6 +299,43 @@ object Bench {
     }
     warm.foreach(_.join())
 
+    // Adaptive JIT drain (VERDICT r16 #3: BENCH_r16 window 1 absorbed
+    // 117 s of compile-thread CPU and its 9.5–11.5 s slow requests were
+    // all first-flight C2 ramp): the fixed 30 s warmup is enough wall
+    // clock on a fast host but not necessarily enough EXECUTIONS on a
+    // slow or contended one. Keep running full mix passes until one
+    // pass adds < `jitSettledMs` of compile-thread time (the compile
+    // queue has drained — window 1 starts codegen-hot), capped at 60 s
+    // so a pathological host cannot eat the measured phase.
+    val jitDrainCapNanos = 60L * 1000 * 1000 * 1000
+    val jitSettledMs = 3000L
+    val drain0 = System.nanoTime()
+    var drainPasses = 0
+    var drainLastDelta = -1L
+    var drained = jitMs() < 0 // meter unavailable: skip, fixed warmup stands
+    while (!drained && System.nanoTime() - drain0 < jitDrainCapNanos) {
+      val j0 = jitMs()
+      val ths = sessions.zip(preparedPer).map { case (cs, prepared) =>
+        val th = new Thread(() => mix.foreach { n =>
+          try org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, prepared(n)).collect()
+          catch { case _: Throwable => }
+        })
+        th.start(); th
+      }
+      ths.foreach(_.join())
+      drainPasses += 1
+      drainLastDelta = jitMs() - j0
+      drained = drainLastDelta < jitSettledMs
+    }
+    System.err.println(s"[bench] jit drain: $drainPasses extra passes, " +
+      s"last delta $drainLastDelta ms, settled=$drained")
+    // shed warmup residue before the measured windows (VERDICT r16 #1b):
+    // the warmup leaves 4 terminals' worth of dropped plan/result state;
+    // collecting it INSIDE window 1 bills its pause to the measurement
+    Thread.sleep(1000) // let background compile/cleaner threads finish
+    System.gc()
+    Thread.sleep(500)
+
     // host-speed canary #1 (VERDICT r15 #2): ops/s of the fixed kernel,
     // sampled before each phase — makes artifacts from different hosts
     // comparable by arithmetic
@@ -335,125 +418,91 @@ object Bench {
     // was contaminated does the artifact fall back to the all-window
     // median — flagged `external_load_suspect` so the number is never
     // mistaken for a clean measurement.
-    val extLoadThresholdCores = 2.0
-    val ioWaitThresholdCores = 2.0
-    val diskBusyThresholdFrac = 0.5
-    // Round-15 additions (VERDICT r14 #1: a 3.34 req/s window passed all
-    // three meters above — the contamination was invisible inside the
-    // pid namespace). Two in-namespace meters close the blind spot:
-    //  - achieved cores: this JVM's own CPU delta / elapsed. The
-    //    terminals are a saturated closed loop, so a window whose
-    //    achieved cores drop ≥35% below the round's best was starved by
-    //    SOMETHING (neighbor VM, hypervisor steal, cgroup throttle) —
-    //    SUSPECT regardless of what the neighbor meters saw.
-    //  - run-delay cores: /proc/self/task/*/schedstat runnable-but-not-
-    //    running time — the steal/throttle signature; absolute-
-    //    thresholded high enough (8 cores) that healthy windows
-    //    (measured ~0-2) never trip it.
-    val achievedDropFrac = 0.35
-    val runDelayThresholdCores = 8.0
+    // The per-window verdict logic lives in WindowVerdict (extracted
+    // r17 so specs replay recorded meters — VERDICT r16 #2: the
+    // uniform-contamination blind spot shipped untested). Thresholds
+    // are its constants; aliases keep the JSON emission below readable.
+    val extLoadThresholdCores = WindowVerdict.extLoadThresholdCores
+    val ioWaitThresholdCores = WindowVerdict.ioWaitThresholdCores
+    val diskBusyThresholdFrac = WindowVerdict.diskBusyThresholdFrac
+    val achievedDropFrac = WindowVerdict.achievedDropFrac
+    val runDelayThresholdCores = WindowVerdict.runDelayThresholdCores
+    val internalDropFrac = WindowVerdict.internalDropFrac
+    val gcStallFracMin = WindowVerdict.gcStallFracMin
+    val jitStallCoresMin = WindowVerdict.jitStallCoresMin
     val maxExtraWindows = 3
-    // Round-16 additions (VERDICT r15 #1/#3: BENCH_r15 passed windows of
-    // 10.0 and 4.5 req/s as equally "clean" — the slow one ran at
-    // near-max achieved cores, i.e. the JVM was busy yet slow: an
-    // INTERNAL stall (GC, JIT/codegen recompile, one pathological
-    // request), which the external meters cannot see by construction).
-    // A window is INTERNALLY suspect when its throughput drops
-    // >= internalDropFrac below the best externally-clean window AND the
-    // artifact can name the cause: a GC-pause share >= gcStallFracMin of
-    // the wall clock, >= jitStallCoresMin cores of JIT compile, or a
-    // single request >= slow-threshold (named, with its latency). An
-    // unexplained slow window is NOT discarded — evidence or it counts.
-    val internalDropFrac = 0.35
-    val gcStallFracMin = 0.15
-    val jitStallCoresMin = 2.0
-    val slowReqThresholdMs = 5000.0
 
-    final case class Win(rps: Double, reqs: Long, elapsed: Double,
-        latMs: Array[Double], externalCores: Double, ioWaitCores: Double,
-        diskBusy: Double, achievedCores: Double, runDelayCores: Double,
-        gcMs: Long, jitCompileMs: Long, slow: Seq[SlowReq]) {
-      // absolute meters (disk-busy -1 = meter unavailable on this host's
-      // device naming: iowait still covers IO, so it must not auto-flag)
-      def metersClean: Boolean = externalCores <= extLoadThresholdCores &&
-        ioWaitCores <= ioWaitThresholdCores &&
-        (diskBusy < 0 || diskBusy <= diskBusyThresholdFrac) &&
-        (runDelayCores < 0 || runDelayCores <= runDelayThresholdCores)
-      // full verdict needs the ROUND's best achieved-cores figure, so it
-      // is relative and re-evaluated as windows accumulate
-      def clean(maxAchieved: Double): Boolean = metersClean &&
-        (achievedCores < 0 || maxAchieved <= 0 ||
-          achievedCores >= (1.0 - achievedDropFrac) * maxAchieved)
-      // the named internal-stall verdict: Some(cause) when this window's
-      // throughput drop vs the best externally-clean window is explained
-      // by in-JVM evidence; None otherwise (clean OR unexplained)
-      def internalCause(bestCleanRps: Double, maxAchieved: Double): Option[String] = {
-        if (bestCleanRps <= 0 || rps >= (1.0 - internalDropFrac) * bestCleanRps) return None
-        if (!clean(maxAchieved)) return None // already externally suspect
-        val gcFrac = gcMs / math.max(1.0, elapsed * 1000.0)
-        val jitCores = if (jitCompileMs < 0) 0.0 else jitCompileMs / math.max(1.0, elapsed * 1000.0)
-        if (gcFrac >= gcStallFracMin) Some(f"gc_pause_${gcFrac * 100}%.0f_pct")
-        else if (jitCores >= jitStallCoresMin) Some(f"jit_compile_${jitCores}%.1f_cores")
-        else slow.headOption.filter(_.ms >= slowReqThresholdMs)
-          .map(s => f"slow_query_${s.name}_${s.ms}%.0f_ms")
-      }
-    }
+    // A window's verdict meters (WindowVerdict.Meters) plus the bench's
+    // own payloads and the r17 occupancy/pressure telemetry: heap used
+    // after the window, post-GC live set, GC count, PSI memory/io/cpu
+    // stall deltas (kernel-attested host pressure), cgroup CPU-throttle
+    // delta and memory usage — everything VERDICT r16 #1a asked for so
+    // a GC-crushed run is attributable to heap-thrash vs host pressure
+    // from the artifact alone.
+    final case class Win(m: WindowVerdict.Meters, reqs: Long,
+        latMs: Array[Double], slow: Seq[SlowReq],
+        heapUsedMb: Long, heapPostGcMb: Long, gcCountD: Long,
+        psiMemSomeMs: Long, psiMemFullMs: Long, psiIoSomeMs: Long,
+        psiCpuSomeMs: Long, cgThrottledMs: Long, cgMemUsageMb: Long)
 
     val loadBefore = new scala.collection.mutable.ArrayBuffer[Double]()
     val cpuBefore = new scala.collection.mutable.ArrayBuffer[Double]()
     val windows = new scala.collection.mutable.ArrayBuffer[Win]()
-    def maxAchieved: Double =
-      if (windows.isEmpty) -1.0 else windows.map(_.achievedCores).max
-    // best externally-clean throughput — the reference point for the
-    // internal-stall drop test (a window cannot make ITSELF the
-    // reference: the max is trivially never >=35% below itself)
-    def bestCleanRps: Double = {
-      val mx = maxAchieved
-      val ext = windows.filter(_.clean(mx))
-      if (ext.isEmpty) -1.0 else ext.map(_.rps).max
-    }
-    // fully clean = externally clean AND no named internal stall
-    def cleanWindows: Seq[Win] = {
-      val mx = maxAchieved; val best = bestCleanRps
-      windows.filter(w => w.clean(mx) && w.internalCause(best, mx).isEmpty).toSeq
-    }
+    def verdict: WindowVerdict.RunVerdict =
+      WindowVerdict.judge(windows.map(_.m).toSeq, windowCount)
     def measureWindow(): Unit = {
       loadBefore += loadAvg1m(); cpuBefore += procCpuSec()
       val j0 = HostLoad.sample(); val io0 = HostLoad.ioSample()
       val s0 = HostLoad.selfSample()
-      val gc0 = gcPauseMs(); val jit0 = jitMs()
+      val psi0 = HostLoad.psiSample(); val cg0 = HostLoad.cgroupSample()
+      val gc0 = gcPauseMs(); val jit0 = jitMs(); val gcn0 = gcCount()
       val (rps, reqs, elapsed, latMs, slow) = runWindow()
       val ext = HostLoad.externalCores(j0, HostLoad.sample(), elapsed)
       val io1 = HostLoad.ioSample(); val s1 = HostLoad.selfSample()
+      val psi1 = HostLoad.psiSample(); val cg1 = HostLoad.cgroupSample()
       val iow = HostLoad.ioWaitCores(io0, io1, elapsed)
       val busy = HostLoad.diskBusyFrac(io0, io1, elapsed)
       val ach = HostLoad.achievedCores(s0, s1, elapsed)
       val rdl = HostLoad.runDelayCores(s0, s1, elapsed)
       val gcD = gcPauseMs() - gc0
       val jitD = if (jit0 < 0) -1L else jitMs() - jit0
-      val w = Win(rps, reqs, elapsed, latMs, ext, iow, busy, ach, rdl, gcD, jitD, slow)
+      val m = WindowVerdict.Meters(rps, elapsed, ext, iow, busy, ach, rdl,
+        gcD, jitD, slow.headOption.map(s => (s.name, s.ms)))
+      val postGc = postGcUsedBytes()
+      val w = Win(m, reqs, latMs, slow,
+        heapUsedMb = heapUsedBytes() >> 20,
+        heapPostGcMb = if (postGc < 0) -1L else postGc >> 20,
+        gcCountD = gcCount() - gcn0,
+        psiMemSomeMs = HostLoad.psiStallMs(psi0.memSomeUs, psi1.memSomeUs),
+        psiMemFullMs = HostLoad.psiStallMs(psi0.memFullUs, psi1.memFullUs),
+        psiIoSomeMs = HostLoad.psiStallMs(psi0.ioSomeUs, psi1.ioSomeUs),
+        psiCpuSomeMs = HostLoad.psiStallMs(psi0.cpuSomeUs, psi1.cpuSomeUs),
+        cgThrottledMs = HostLoad.cgroupThrottledMs(cg0, cg1),
+        cgMemUsageMb = if (cg1.memUsageBytes < 0) -1L else cg1.memUsageBytes >> 20)
       windows += w
       System.err.println(f"[bench] window ${windows.size}: $rps%.2f req/s " +
         f"($reqs requests in $elapsed%.1f s; loadavg ${loadBefore.last}%.2f; " +
         f"external $ext%.2f cores; iowait $iow%.2f cores; disk ${busy * 100}%.0f%%; " +
-        f"achieved $ach%.1f cores; run-delay $rdl%.2f cores; gc $gcD ms; jit $jitD ms; " +
+        f"achieved $ach%.1f cores; run-delay $rdl%.2f cores; gc $gcD ms ($gcn0+${w.gcCountD}); " +
+        f"jit $jitD ms; heap ${w.heapUsedMb} MB / post-gc ${w.heapPostGcMb} MB; " +
+        f"psi mem ${w.psiMemSomeMs}/${w.psiMemFullMs} ms; " +
         f"slowest ${slow.headOption.map(s => f"${s.name} ${s.ms}%.0f ms").getOrElse("-")}" +
-        f"${if (!w.metersClean) " SUSPECT" else ""})")
+        f"${if (!WindowVerdict.metersClean(m)) " SUSPECT" else ""})")
     }
     (1 to windowCount).foreach(_ => measureWindow())
-    while (cleanWindows.size < windowCount &&
+    while (verdict.cleanIdx.size < windowCount &&
         windows.size < windowCount + maxExtraWindows)
       measureWindow()
     loadBefore += loadAvg1m(); cpuBefore += procCpuSec() // post-final-window sample
 
-    val clean = cleanWindows
-    val internalCauses = { // per-window named internal-stall verdicts (null = none)
-      val mx = maxAchieved; val best = bestCleanRps
-      windows.map(_.internalCause(best, mx)).toSeq
-    }
-    windows.zipWithIndex.filterNot(wi => clean.contains(wi._1)).foreach { case (w, i) =>
+    val runVerdict = verdict
+    val clean = runVerdict.cleanIdx.map(windows(_))
+    val internalCauses = runVerdict.internalCauses
+    windows.zipWithIndex.filterNot(wi => runVerdict.cleanIdx.contains(wi._2)).foreach { case (win, i) =>
       // name the meter(s) that actually tripped — debugging a
       // contaminated run must not chase the wrong signal
+      val w = win.m
+      val maxAchieved = windows.map(_.m.achievedCores).max
       val why = Seq(
         (w.externalCores > extLoadThresholdCores, f"external ${w.externalCores}%.2f cores"),
         (w.ioWaitCores > ioWaitThresholdCores, f"iowait ${w.ioWaitCores}%.2f cores"),
@@ -467,14 +516,15 @@ object Bench {
       ).collect { case (true, msg) => msg }
       System.err.println(s"[bench] window ${i + 1} FLAGGED SUSPECT (${why.mkString("; ")})")
     }
-    val externalLoadSuspect = clean.isEmpty
+    val externalLoadSuspect = runVerdict.externalLoadSuspect
+    val internalSuspect = runVerdict.internalSuspect
     // median CLEAN window by rps = the number of record; all-window
     // median only as the flagged fallback. LOWER middle on even counts
     // (reachable when the extra-window cap is hit): the upper middle
     // would bias the graded headline toward the faster window.
-    val scored = (if (clean.nonEmpty) clean else windows).sortBy(_.rps)
+    val scored = (if (clean.nonEmpty) clean else windows.toSeq).sortBy(_.m.rps)
     val headline = scored((scored.size - 1) / 2)
-    val (rps, reqs, elapsed, latMs) = (headline.rps, headline.reqs, headline.elapsed, headline.latMs)
+    val (rps, reqs, elapsed, latMs) = (headline.m.rps, headline.reqs, headline.m.elapsedSec, headline.latMs)
     // LIKE-FOR-LIKE figure (r12 verdict #6): the reference's BENCHMARK.md
     // number is ONE continuous 180 s window; the windows here run
     // back-to-back, so total requests over total measured time IS the
@@ -482,23 +532,39 @@ object Bench {
     // emitted alongside so the baseline comparison is honest. The
     // `_clean` variant spans only the uncontaminated windows.
     val contReqs = windows.map(_.reqs).sum
-    val contElapsed = windows.map(_.elapsed).sum
+    val contElapsed = windows.map(_.m.elapsedSec).sum
     val contRps = if (contElapsed > 0) contReqs / contElapsed else -1.0
-    val contCleanElapsed = clean.map(_.elapsed).sum
+    val contCleanElapsed = clean.map(_.m.elapsedSec).sum
     val contCleanRps = if (contCleanElapsed > 0) clean.map(_.reqs).sum / contCleanElapsed else -1.0
     // nearest-rank percentile, uniformly ceil(p*n)-1 (clamped)
     def pct(p: Double): Double =
       if (latMs.isEmpty) -1.0
       else latMs(math.min(latMs.length - 1, math.max(0, math.ceil(p * latMs.length).toInt - 1)))
     val avgMs = if (latMs.isEmpty) -1.0 else latMs.sum / latMs.length
-    val windowsRpsJson = windows.map(_.rps).mkString("[", ",", "]")
-    val windowsExtJson = windows.map(_.externalCores).mkString("[", ",", "]")
-    val windowsIowJson = windows.map(_.ioWaitCores).mkString("[", ",", "]")
-    val windowsDiskJson = windows.map(_.diskBusy).mkString("[", ",", "]")
-    val windowsAchievedJson = windows.map(_.achievedCores).mkString("[", ",", "]")
-    val windowsRunDelayJson = windows.map(_.runDelayCores).mkString("[", ",", "]")
-    val windowsGcJson = windows.map(_.gcMs).mkString("[", ",", "]")
-    val windowsJitJson = windows.map(_.jitCompileMs).mkString("[", ",", "]")
+    val windowsRpsJson = windows.map(_.m.rps).mkString("[", ",", "]")
+    val windowsExtJson = windows.map(_.m.externalCores).mkString("[", ",", "]")
+    val windowsIowJson = windows.map(_.m.ioWaitCores).mkString("[", ",", "]")
+    val windowsDiskJson = windows.map(_.m.diskBusy).mkString("[", ",", "]")
+    val windowsAchievedJson = windows.map(_.m.achievedCores).mkString("[", ",", "]")
+    val windowsRunDelayJson = windows.map(_.m.runDelayCores).mkString("[", ",", "]")
+    val windowsGcJson = windows.map(_.m.gcPauseMs).mkString("[", ",", "]")
+    val windowsJitJson = windows.map(_.m.jitCompileMs).mkString("[", ",", "]")
+    // r17 occupancy/pressure telemetry (VERDICT r16 #1a): heap used at
+    // window end, post-GC live set, GC count, kernel PSI stall deltas,
+    // cgroup throttle/usage — heap-thrash reads as post-gc pinned near
+    // heap_max; host memory pressure reads as psi_mem_full > 0 with a
+    // low post-gc live set
+    val windowsHeapUsedJson = windows.map(_.heapUsedMb).mkString("[", ",", "]")
+    val windowsHeapPostGcJson = windows.map(_.heapPostGcMb).mkString("[", ",", "]")
+    val windowsGcCountJson = windows.map(_.gcCountD).mkString("[", ",", "]")
+    val windowsPsiMemSomeJson = windows.map(_.psiMemSomeMs).mkString("[", ",", "]")
+    val windowsPsiMemFullJson = windows.map(_.psiMemFullMs).mkString("[", ",", "]")
+    val windowsPsiIoSomeJson = windows.map(_.psiIoSomeMs).mkString("[", ",", "]")
+    val windowsPsiCpuSomeJson = windows.map(_.psiCpuSomeMs).mkString("[", ",", "]")
+    val windowsCgThrottledJson = windows.map(_.cgThrottledMs).mkString("[", ",", "]")
+    val windowsCgMemUsageJson = windows.map(_.cgMemUsageMb).mkString("[", ",", "]")
+    val (heapCommitted, heapMax) = heapCommittedMax()
+    val (ccUsed, ccMax) = codeCacheUsedMax()
     val windowsInternalJson = internalCauses
       .map(c => c.map(SqlGateway.jstr).getOrElse("null")).mkString("[", ",", "]")
     // the 10 slowest named requests across ALL windows: query, latency,
@@ -584,6 +650,7 @@ object Bench {
     // inflated trivial queries 7-12x under host load)
     val serialCpu0 = HostLoad.sample(); val serialIo0 = HostLoad.ioSample()
     val serialSelf0 = HostLoad.selfSample()
+    val serialPsi0 = HostLoad.psiSample(); val serialCg0 = HostLoad.cgroupSample()
     val serialGc0 = gcPauseMs(); val serialJit0 = jitMs()
     val serialT0 = System.nanoTime()
     // MEDIAN of 3 per query: one contended GC/IO burst shifts a mean by
@@ -604,6 +671,11 @@ object Bench {
     val serialRunDelay = HostLoad.runDelayCores(serialSelf0, serialSelf1, serialElapsed)
     val serialGcMs = gcPauseMs() - serialGc0
     val serialJitMs = if (serialJit0 < 0) -1L else jitMs() - serialJit0
+    val serialPsi1 = HostLoad.psiSample(); val serialCg1 = HostLoad.cgroupSample()
+    val serialPsiMemSome = HostLoad.psiStallMs(serialPsi0.memSomeUs, serialPsi1.memSomeUs)
+    val serialPsiMemFull = HostLoad.psiStallMs(serialPsi0.memFullUs, serialPsi1.memFullUs)
+    val serialCgThrottled = HostLoad.cgroupThrottledMs(serialCg0, serialCg1)
+    val serialPostGc = postGcUsedBytes()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -655,7 +727,32 @@ object Bench {
       s""""internal_drop_frac":$internalDropFrac,""" +
       s""""gc_stall_frac_min":$gcStallFracMin,""" +
       s""""jit_stall_cores_min":$jitStallCoresMin,""" +
+      // run-level internal verdict (r16 #2): true when fewer than the
+      // target number of windows were ABSOLUTELY clean — a uniformly
+      // GC-crushed run can no longer brand itself clean_window_count=3
+      s""""internal_suspect":$internalSuspect,""" +
       s""""slow_requests":$slowReqsJson,""" +
+      // occupancy + pressure telemetry (r16 #1a): per-window heap used /
+      // post-GC live set / GC count, kernel PSI stall deltas (memory
+      // some+full, io some, cpu some; -1 = PSI unavailable), cgroup CPU
+      // throttle + memory usage, heap geometry, code cache. Heap-thrash
+      // = post_gc pinned near heap_max_mb; host memory starvation =
+      // psi_mem_full_ms > 0 with post_gc well under heap_max_mb.
+      s""""windows_heap_used_mb":$windowsHeapUsedJson,""" +
+      s""""windows_heap_post_gc_mb":$windowsHeapPostGcJson,""" +
+      s""""windows_gc_count":$windowsGcCountJson,""" +
+      s""""windows_psi_mem_some_ms":$windowsPsiMemSomeJson,""" +
+      s""""windows_psi_mem_full_ms":$windowsPsiMemFullJson,""" +
+      s""""windows_psi_io_some_ms":$windowsPsiIoSomeJson,""" +
+      s""""windows_psi_cpu_some_ms":$windowsPsiCpuSomeJson,""" +
+      s""""windows_cgroup_throttled_ms":$windowsCgThrottledJson,""" +
+      s""""windows_cgroup_mem_usage_mb":$windowsCgMemUsageJson,""" +
+      s""""heap_committed_mb":${heapCommitted >> 20},"heap_max_mb":${heapMax >> 20},""" +
+      s""""cgroup_mem_limit_mb":${val l = HostLoad.cgroupMemLimitBytes(); if (l < 0) -1L else l >> 20},""" +
+      s""""code_cache_used_mb":${if (ccUsed < 0) -1L else ccUsed >> 20},""" +
+      s""""code_cache_max_mb":${if (ccMax < 0) -1L else ccMax >> 20},""" +
+      s""""warmup_jit_drain_passes":$drainPasses,""" +
+      s""""warmup_jit_drain_settled":$drained,""" +
       // host-speed canary (r15 #2): fixed splitmix64 kernel, 8 threads x
       // ~2 s, ops/s sampled before windows / serial / ycsb phases
       s""""canary_ops_s":${canaries.mkString("[", ",", "]")},""" +
@@ -667,6 +764,10 @@ object Bench {
       s""""serial_run_delay_cores":$serialRunDelay,""" +
       s""""serial_gc_pause_ms":$serialGcMs,""" +
       s""""serial_jit_compile_ms":$serialJitMs,""" +
+      s""""serial_psi_mem_some_ms":$serialPsiMemSome,""" +
+      s""""serial_psi_mem_full_ms":$serialPsiMemFull,""" +
+      s""""serial_cgroup_throttled_ms":$serialCgThrottled,""" +
+      s""""serial_heap_post_gc_mb":${if (serialPostGc < 0) -1L else serialPostGc >> 20},""" +
       s""""serial_elapsed_sec":$serialElapsed,""" +
       s""""serial_methodology":"median_of_3_prepared_reexecutions_after_warmup_pass",""" +
       s""""windows_disk_busy_frac":$windowsDiskJson,""" +
