@@ -78,6 +78,11 @@ object Engine {
       // reading them as TIMESTAMP_NTZ would break every unix_micros()
       // call sited on events.ts
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // INT64 micros, not INT96: INT96 footers carry no usable min/max
+      // (FileStats skips them — no pruning on timestamp columns) and
+      // the DriverDml point-DML codec cannot read them; micros is the
+      // parquet-standard layout the rest of the lake already assumes
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       // local test files are single small parquet files; the default
       // 128 MB split gives the whole scan to ONE task. 16 MB splits fan

@@ -24,11 +24,23 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object DriverDml {
 
   /** The fast path handles exactly these leaf types; anything else
-    * (decimal, timestamp, nested, binary) falls back to the planned path.
+    * (wide decimals, nested, binary) falls back to the planned path.
+    * Widened r17 (VERDICT r16 #5): date (INT32 days), timestamp (INT64
+    * micros), and decimal up to precision 18 (INT32/INT64 unscaled,
+    * Spark's own non-legacy parquet layout) — a real point-DML table
+    * with a timestamp column otherwise silently lost the ~60 ms floor
+    * and paid the ~250 ms planned path.
+    *
+    * External value convention for the new types = Catalyst's internal
+    * one (Integer days / Long micros / o.a.s.sql.types.Decimal), so
+    * predicate eval via [[toInternal]] and [[foldAssignment]] outputs
+    * compose without conversion.
     */
   def supported(schema: StructType): Boolean =
     schema.fields.nonEmpty && schema.fields.forall(f => f.dataType match {
       case LongType | IntegerType | DoubleType | FloatType | BooleanType | StringType => true
+      case DateType | TimestampType => true
+      case d: DecimalType => d.precision <= 18
       case _ => false
     })
 
@@ -49,6 +61,17 @@ private[sources] object DriverDml {
         case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
         case StringType => b.addField(
           Types.optional(BINARY).as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case DateType => b.addField(
+          Types.optional(INT32).as(LogicalTypeAnnotation.dateType()).named(f.name))
+        case TimestampType => b.addField( // Spark's TIMESTAMP_MICROS layout
+          Types.optional(INT64).as(LogicalTypeAnnotation.timestampType(
+            true, LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        case d: DecimalType if d.precision <= 9 => b.addField(
+          Types.optional(INT32).as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name))
+        case d: DecimalType if d.precision <= 18 => b.addField(
+          Types.optional(INT64).as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name))
         case other => throw new IllegalArgumentException(s"unsupported: $other")
       }
     }
@@ -84,6 +107,12 @@ private[sources] object DriverDml {
           case BooleanType => g.add(i, v.asInstanceOf[Boolean])
           case StringType => g.add(i,
             org.apache.parquet.io.api.Binary.fromString(v.asInstanceOf[String]))
+          case DateType => g.add(i, v.asInstanceOf[Int])
+          case TimestampType => g.add(i, v.asInstanceOf[Long])
+          case d: DecimalType if d.precision <= 9 =>
+            g.add(i, v.asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong.toInt)
+          case d: DecimalType if d.precision <= 18 =>
+            g.add(i, v.asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong)
           case other => throw new IllegalArgumentException(s"unsupported: $other")
         }
         i += 1
@@ -121,14 +150,41 @@ private[sources] object DriverDml {
             val idx = g.getType.getFieldIndex(name)
             row(i) =
               if (g.getFieldRepetitionCount(idx) == 0) null
-              else g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
-                case INT64 => g.getLong(idx, 0)
-                case INT32 => g.getInteger(idx, 0)
-                case DOUBLE => g.getDouble(idx, 0)
-                case FLOAT => g.getFloat(idx, 0)
-                case BOOLEAN => g.getBoolean(idx, 0)
-                case BINARY => g.getBinary(idx, 0).toStringUsingUTF8
-                case _ => return None
+              else {
+                // dispatch on the TABLE type, verifying the physical
+                // layout carries it (a Spark INT96 timestamp or a
+                // millis one is NOT micros — decline, planned path):
+                // the schema is the authority on what the value MEANS,
+                // the footer on how it is stored
+                import org.apache.parquet.schema.LogicalTypeAnnotation
+                val pt = g.getType.getType(idx).asPrimitiveType()
+                val phys = pt.getPrimitiveTypeName
+                val ann = pt.getLogicalTypeAnnotation
+                (schema.fields(i).dataType, phys) match {
+                  case (LongType, INT64) => g.getLong(idx, 0)
+                  case (IntegerType, INT32) => g.getInteger(idx, 0)
+                  case (DoubleType, DOUBLE) => g.getDouble(idx, 0)
+                  case (FloatType, FLOAT) => g.getFloat(idx, 0)
+                  case (BooleanType, BOOLEAN) => g.getBoolean(idx, 0)
+                  case (StringType, BINARY) => g.getBinary(idx, 0).toStringUsingUTF8
+                  case (DateType, INT32) => g.getInteger(idx, 0)
+                  case (TimestampType, INT64) => ann match {
+                    case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                        if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                      g.getLong(idx, 0)
+                    case _ => return None
+                  }
+                  case (d: DecimalType, INT32 | INT64) => ann match {
+                    case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+                        if a.getScale == d.scale =>
+                      val unscaled =
+                        if (phys == INT32) g.getInteger(idx, 0).toLong else g.getLong(idx, 0)
+                      org.apache.spark.sql.types.Decimal(
+                        java.math.BigDecimal.valueOf(unscaled, d.scale), d.precision, d.scale)
+                    case _ => return None
+                  }
+                  case _ => return None
+                }
               }
             i += 1
           }
@@ -142,16 +198,58 @@ private[sources] object DriverDml {
 
   // === VALUES literal parsing ================================================
 
+  /** A `DATE '...'` / `TIMESTAMP '...'` literal as parsed text — typed
+    * by [[coerce]] against the target column (r17: the planned parser
+    * produces these for point-DML on date/timestamp tables).
+    */
+  final case class TypedLit(keyword: String, value: String)
+
   /** Parse the body of `INSERT ... VALUES <s>` when it is PURE literals
-    * — numbers, '...'-quoted strings ('' escape), NULL/TRUE/FALSE.
-    * Anything else (expressions, functions, casts) answers None and the
-    * statement takes the planned path. Returns raw rows (Long/Double/
-    * String/Boolean/null).
+    * — numbers, '...'-quoted strings ('' escape), NULL/TRUE/FALSE,
+    * DATE/TIMESTAMP '...'. Anything else (expressions, functions,
+    * casts) answers None and the statement takes the planned path.
+    * Returns raw rows: Long for integral tokens, java.math.BigDecimal
+    * for fractional/exponent tokens (EXACT — a Double intermediate
+    * would corrupt decimal-column inserts: 1.23 as a double is
+    * 1.2299999…, as the SQL literal it is exactly 1.23), String,
+    * Boolean, TypedLit, null.
     */
   def parseValues(s: String): Option[Seq[Seq[Any]]] = {
     val rows = scala.collection.mutable.Buffer.empty[Seq[Any]]
     var i = 0
     def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    // one '...'-quoted string with Spark's backslash escape semantics
+    // (SqlParams.literal doubles every backslash for exactly that
+    // reason) — decode the common escapes identically; any exotic one
+    // (\u, octal, \Z, \%) bails to the planned parser rather than risk
+    // divergence. None = malformed/exotic (caller returns None overall).
+    def quotedString(): Option[String] = {
+      i += 1 // opening quote
+      val sb = new StringBuilder
+      var closed = false
+      while (!closed) {
+        if (i >= s.length) return None
+        val c = s.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= s.length) return None
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\')
+            case '\'' => sb.append('\'')
+            case '"'  => sb.append('"')
+            case 'n'  => sb.append('\n')
+            case 'r'  => sb.append('\r')
+            case 't'  => sb.append('\t')
+            case 'b'  => sb.append('\b')
+            case _    => return None
+          }
+          i += 2
+        } else if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+          else { closed = true; i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      Some(sb.toString)
+    }
     skipWs()
     while (i < s.length) {
       if (s.charAt(i) != '(') return None
@@ -163,36 +261,7 @@ private[sources] object DriverDml {
         if (i >= s.length) return None
         s.charAt(i) match {
           case '\'' =>
-            // Spark's default parser gives BACKSLASH escape semantics
-            // inside string literals (SqlParams.literal doubles every
-            // backslash for exactly that reason) — decode the common
-            // escapes identically; any exotic one (\u, octal, \Z, \%)
-            // bails to the planned parser rather than risk divergence
-            i += 1
-            val sb = new StringBuilder
-            var closed = false
-            while (!closed) {
-              if (i >= s.length) return None
-              val c = s.charAt(i)
-              if (c == '\\') {
-                if (i + 1 >= s.length) return None
-                s.charAt(i + 1) match {
-                  case '\\' => sb.append('\\')
-                  case '\'' => sb.append('\'')
-                  case '"'  => sb.append('"')
-                  case 'n'  => sb.append('\n')
-                  case 'r'  => sb.append('\r')
-                  case 't'  => sb.append('\t')
-                  case 'b'  => sb.append('\b')
-                  case _    => return None
-                }
-                i += 2
-              } else if (c == '\'') {
-                if (i + 1 < s.length && s.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
-                else { closed = true; i += 1 }
-              } else { sb.append(c); i += 1 }
-            }
-            vals += sb.toString
+            vals += quotedString().getOrElse(return None)
           case c if c == '-' || c == '+' || c.isDigit || c == '.' =>
             val start = i
             if (c == '-' || c == '+') i += 1
@@ -208,7 +277,9 @@ private[sources] object DriverDml {
               } else run = false
             }
             val tok = s.substring(start, i)
-            if (isFloat) vals += tok.toDoubleOption.getOrElse(return None)
+            if (isFloat)
+              vals += (try new java.math.BigDecimal(tok)
+              catch { case _: NumberFormatException => return None })
             else vals += tok.toLongOption.getOrElse(return None)
           case _ =>
             val start = i
@@ -217,6 +288,10 @@ private[sources] object DriverDml {
               case "NULL" => vals += null
               case "TRUE" => vals += true
               case "FALSE" => vals += false
+              case kw @ ("DATE" | "TIMESTAMP") =>
+                skipWs()
+                if (i >= s.length || s.charAt(i) != '\'') return None
+                vals += TypedLit(kw, quotedString().getOrElse(return None))
               case _ => return None
             }
         }
@@ -240,22 +315,85 @@ private[sources] object DriverDml {
     if (rows.isEmpty) None else Some(rows.toSeq)
   }
 
+  /** Strict `yyyy-[m]m-[d]d` — the unambiguous subset of Spark's
+    * string→date cast. Everything else (trailing time, spaces, junk)
+    * answers None: the planned cast owns the lenient shapes.
+    */
+  private val dateRe = "^(\\d{4,7})-(\\d{1,2})-(\\d{1,2})$".r
+
+  private[sources] def parseDateDays(s: String): Option[Int] = s match {
+    case dateRe(y, m, d) =>
+      try {
+        val ld = java.time.LocalDate.of(y.toInt, m.toInt, d.toInt)
+        val days = ld.toEpochDay
+        if (days >= Int.MinValue && days <= Int.MaxValue) Some(days.toInt) else None
+      } catch { case _: Exception => None }
+    case _ => None
+  }
+
+  /** Strict `yyyy-[m]m-[d]d[( |T)[h]h:[m]m[:[s]s[.f{1,6}]]]`, resolved
+    * in UTC — the fast path only engages when the session timezone IS
+    * UTC (the [[coerce]] gate), so zone-rule divergence from Spark's
+    * own string→timestamp cast is impossible by construction. Returns
+    * epoch micros.
+    */
+  private val tsRe =
+    ("^(\\d{4,7})-(\\d{1,2})-(\\d{1,2})" +
+      "(?:[ T](\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:\\.(\\d{1,6}))?)?)?$").r
+
+  private[sources] def parseTsMicrosUtc(s: String): Option[Long] = s match {
+    case tsRe(y, mo, d, h, mi, sec, frac) =>
+      try {
+        val micros = Option(frac).map(f => (f + "0" * (6 - f.length)).toLong).getOrElse(0L)
+        val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
+          Option(h).map(_.toInt).getOrElse(0), Option(mi).map(_.toInt).getOrElse(0),
+          Option(sec).map(_.toInt).getOrElse(0), (micros * 1000L).toInt)
+        val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+        Some(math.addExact(math.multiplyExact(inst.getEpochSecond, 1000000L),
+          inst.getNano / 1000L))
+      } catch { case _: Exception => None }
+    case _ => None
+  }
+
   /** Coerce a parsed literal to a column type; None = cannot represent
     * naturally (the planned path's cast semantics then apply instead).
+    * `utcSession` gates the timestamp arms: string/TypedLit timestamps
+    * are session-timezone-relative, and only the UTC rules are
+    * replicated here — any other session zone falls back.
     */
-  def coerce(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+  def coerce(v: Any, dt: DataType, utcSession: Boolean = true): Option[Any] = (v, dt) match {
     case (null, _) => Some(null)
     case (l: Long, LongType) => Some(l)
     case (l: Long, IntegerType) =>
       if (l >= Int.MinValue && l <= Int.MaxValue) Some(l.toInt) else None
     case (l: Long, DoubleType) => Some(l.toDouble)
     case (l: Long, FloatType) => Some(l.toFloat)
+    case (l: Long, d: DecimalType) => coerceDecimal(java.math.BigDecimal.valueOf(l), d)
     case (d: Double, DoubleType) => Some(d)
     case (d: Double, FloatType) => Some(d.toFloat)
+    case (bd: java.math.BigDecimal, DoubleType) => Some(bd.doubleValue)
+    case (bd: java.math.BigDecimal, FloatType) => Some(bd.floatValue)
+    case (bd: java.math.BigDecimal, d: DecimalType) => coerceDecimal(bd, d)
     case (s: String, StringType) => Some(s)
+    case (s: String, DateType) => parseDateDays(s)
+    case (s: String, TimestampType) if utcSession => parseTsMicrosUtc(s)
+    case (TypedLit("DATE", s), DateType) => parseDateDays(s)
+    case (TypedLit("TIMESTAMP", s), TimestampType) if utcSession => parseTsMicrosUtc(s)
     case (b: Boolean, BooleanType) => Some(b)
     case _ => None
   }
+
+  /** EXACT fit only: rescaling that needs rounding or precision past
+    * the column's falls back — ANSI vs legacy rounding/overflow
+    * semantics then stay the planned path's problem, never a silent
+    * divergence here.
+    */
+  private def coerceDecimal(bd: java.math.BigDecimal, d: DecimalType): Option[Any] =
+    try {
+      val scaled = bd.setScale(d.scale) // throws if rounding would be needed
+      if (scaled.precision > d.precision) None
+      else Some(org.apache.spark.sql.types.Decimal(scaled, d.precision, d.scale))
+    } catch { case _: ArithmeticException => None }
 
   /** Parse + align + coerce a VALUES body against the table schema: the
     * driver-side equivalent of `spark.sql(VALUES)` + BatchAlign (NULL-
@@ -263,7 +401,7 @@ private[sources] object DriverDml {
     * None on any literal, width, or type mismatch — fall back.
     */
   def parseValuesAligned(values: String, schema: StructType,
-      explicitCols: Option[Seq[String]]): Option[Seq[Array[Any]]] = {
+      explicitCols: Option[Seq[String]], utcSession: Boolean = true): Option[Seq[Array[Any]]] = {
     if (!supported(schema)) return None
     val raw = parseValues(values).getOrElse(return None)
     // positions of the fed columns within the target schema
@@ -279,7 +417,7 @@ private[sources] object DriverDml {
       if (r.size != feedIdx.size) return None
       val row = new Array[Any](schema.length) // nulls for unfed columns
       feedIdx.zip(r).foreach { case (ti, v) =>
-        row(ti) = coerce(v, schema.fields(ti).dataType).getOrElse(return None)
+        row(ti) = coerce(v, schema.fields(ti).dataType, utcSession).getOrElse(return None)
       }
       row
     }
@@ -330,11 +468,18 @@ private[sources] object DriverDml {
     * path's `e.cast(dt)`); None = not foldable / cast failed — fall back.
     */
   def foldAssignment(e: org.apache.spark.sql.catalyst.expressions.Expression,
-      dt: DataType): Option[Any] = {
+      dt: DataType, utcSession: Boolean = true): Option[Any] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     try {
       if (!e.resolved || !e.foldable || !e.deterministic) return None
-      val casted = if (e.dataType == dt) e else Cast(e, dt)
+      val casted = (if (e.dataType == dt) e else Cast(e, dt)) match {
+        // a zone-dependent cast (string/date → timestamp) resolves only
+        // with an explicit zone — pin UTC when the session IS UTC, else
+        // stay unresolved and fall back (the planned path owns other
+        // zones' rules)
+        case c: Cast if c.needsTimeZone && utcSession => c.withTimeZone("UTC")
+        case other => other
+      }
       if (!casted.resolved) return None
       Some(casted.eval(null) match {
         case u: UTF8String => u.toString

@@ -378,7 +378,9 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
           // an unsupported column type) falls through to the planned
           // path below; DuplicateKeyException propagates identically.
           if (txn.isEmpty) {
-            DriverDml.parseValuesAligned(values, t.schema, explicitFast)
+            val utc = spark.conf.get("spark.sql.session.timeZone",
+              java.util.TimeZone.getDefault.getID) == "UTC"
+            DriverDml.parseValuesAligned(values, t.schema, explicitFast, utc)
               .flatMap(t.insertRowsDirect) match {
               case Some(n) =>
                 refresh(table)

@@ -471,7 +471,9 @@ final class MutableTable private (
         val i = schema.fieldIndex(k)
         val e = try org.apache.spark.sql.graft.bridge.unresolvedExpression(c)
           catch { case _: Exception => return None }
-        i -> DriverDml.foldAssignment(e, schema.fields(i).dataType).getOrElse(return None)
+        val utc = spark.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID) == "UTC"
+        i -> DriverDml.foldAssignment(e, schema.fields(i).dataType, utc).getOrElse(return None)
       }
     }
     val candidates = all.filter(f => FileStats.mayMatch(statsFor(f), resolved))
