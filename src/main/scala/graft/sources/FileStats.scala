@@ -202,17 +202,65 @@ object FileStats {
 
   // === pruning evaluator =====================================================
 
-  /** Conservative "may this file contain a matching row" over a
-    * predicate tree. `stats` is the file's per-column map
-    * (case-insensitive names); anything the evaluator does not
-    * understand — casts over attributes, UDFs, unknown operators,
-    * columns without stats — answers true. Sound for both resolved
-    * plans (AttributeReference) and the DML router's unresolved
-    * `expr(...)` trees (UnresolvedAttribute).
+  /** Three-valued pruning verdict (VERDICT r16 #6): the r16 unsound
+    * negated-IN prune lived in the gap between a conservative boolean
+    * helper ("true = cannot prune OR don't know") and a negating caller
+    * that read the same true as "proven member". The verdict type makes
+    * the proof obligation explicit at every return site:
+    *  - `May`     — the evaluator REASONED about the bounds and they do
+    *                not exclude a qualifying row (keep the file);
+    *  - `Prune`   — the bounds PROVE no row qualifies (drop the file);
+    *  - `Unknown` — the evaluator could not reason (no stats for the
+    *                column, a cross-kind literal, an unhandled shape) —
+    *                keep the file, and a negation of Unknown stays
+    *                Unknown, never a proof.
     */
-  def mayMatch(stats: Map[String, ColStats], e: Expression): Boolean = {
-    if (stats.isEmpty) return true
+  sealed trait Admit
+  object Admit {
+    case object May extends Admit
+    case object Prune extends Admit
+    case object Unknown extends Admit
+  }
+
+  /** Boolean face of [[admits]] — every consumer (candidateFiles, the
+    * driver rewrite, StatsPruneRule) keeps a file unless the bounds
+    * PROVE it empty for the predicate.
+    */
+  def mayMatch(stats: Map[String, ColStats], e: Expression): Boolean =
+    admits(stats, e) != Admit.Prune
+
+  /** The single audited pruning evaluator: may this file contain a row
+    * satisfying `e`? `stats` is the file's per-column map
+    * (case-insensitive names). Internally two mutually recursive
+    * verdicts — `mayTrue(x)` (can a row evaluate x to TRUE) and
+    * `mayFalse(x)` (can a row evaluate x to FALSE) — carry negation
+    * soundly through any nesting: NOT flips between them instead of
+    * re-interpreting a conservative boolean. Three-valued SQL logic is
+    * baked into the leaves (a NULL operand row makes a comparison NULL,
+    * which is neither TRUE nor FALSE). Sound for both resolved plans
+    * (AttributeReference) and the DML router's unresolved `expr(...)`
+    * trees (UnresolvedAttribute).
+    */
+  def admits(stats: Map[String, ColStats], e: Expression): Admit = {
+    import Admit._
+    if (stats.isEmpty) return Unknown
     val byName = stats.map { case (k, v) => k.toLowerCase -> v }
+
+    // verdict lattice: disjunction of "a qualifying row may exist"
+    // claims (used where ANY branch supplying a row keeps the file)
+    def orA(a: Admit, b: Admit): Admit = (a, b) match {
+      case (May, _) | (_, May) => May
+      case (Unknown, _) | (_, Unknown) => Unknown
+      case _ => Prune
+    }
+    // conjunction: every conjunct must admit a row (over-approximation
+    // of same-row satisfaction — sound, a file is dropped only when
+    // some conjunct alone proves emptiness)
+    def andA(a: Admit, b: Admit): Admit = (a, b) match {
+      case (Prune, _) | (_, Prune) => Prune
+      case (Unknown, _) | (_, Unknown) => Unknown
+      case _ => May
+    }
 
     // The analyzer's IN type-coercion wraps EVERY child in a cast, even
     // a no-op one (`k IN (5)` on a bigint k analyzes to
@@ -289,21 +337,30 @@ object FileStats {
     def allNull(s: ColStats): Boolean = s.rows >= 0 && s.nulls == s.rows
 
     // may the file contain a row with `op(compare(min, v), compare(max, v))`?
-    def interval(s: ColStats, v: Any, op: (Int, Int) => Boolean): Boolean = {
-      if (v == null) return false // `col <op> NULL` is never TRUE
-      if (allNull(s)) return false
+    def interval(s: ColStats, v: Any, op: (Int, Int) => Boolean): Admit = {
+      if (v == null) return Prune // `col <op> NULL` is never TRUE
+      if (allNull(s)) return Prune
       comparand(s, v) match {
         case Some(c) =>
           (s.min, s.max) match {
-            case (Some(mn), Some(mx)) => op(compare(s.kind, mn, c), compare(s.kind, mx, c))
-            case _ => true // unbounded: cannot prune
+            case (Some(mn), Some(mx)) =>
+              if (op(compare(s.kind, mn, c), compare(s.kind, mx, c))) May else Prune
+            case _ => Unknown // unbounded: cannot reason
           }
-        case None => true
+        case None => Unknown
       }
     }
 
-    def point(s: ColStats, v: Any): Boolean =
+    def point(s: ColStats, v: Any): Admit =
       interval(s, v, (mn, mx) => mn <= 0 && mx >= 0)
+
+    // null-row / non-null-row existence, off the footer null counts
+    // (-1 = writer did not record them)
+    def mayNullRow(s: ColStats): Admit =
+      if (s.nulls > 0) May else if (s.nulls == 0) Prune else Unknown
+    def mayNonNullRow(s: ColStats): Admit =
+      if (s.rows < 0 || s.nulls < 0) Unknown
+      else if (s.nulls < s.rows) May else Prune
 
     // the file's single value when min == max (point file — the shape a
     // negated predicate can actually prune on)
@@ -314,36 +371,41 @@ object FileStats {
 
     // PROOF of membership: the file is single-point AND some literal's
     // comparand is defined and equal to it. Distinct from point(), whose
-    // conservative arm answers TRUE ("cannot prune") on an unavailable
-    // comparand — inverting THAT under a NOT would turn "don't know"
-    // into "proven member" and prune a file that must stay (review
-    // finding, round 16: `score NOT IN (5.0, 'inf')` pruned a
-    // single-point 7.0 file because Infinity's comparand is None).
+    // Unknown arm answers "cannot reason" on an unavailable comparand —
+    // a NOT must never read that as "proven member" (review finding,
+    // round 16: `score NOT IN (5.0, 'inf')` pruned a single-point 7.0
+    // file because Infinity's comparand is None).
     def provenMember(s: ColStats, v: Any): Boolean =
       v != null && singlePoint(s).exists(p =>
         comparand(s, v).exists(c => compare(s.kind, p, c) == 0))
 
     // may the file hold a NON-NULL value != v? (NULL rows evaluate
     // `NOT (col = v)` to NULL, never TRUE, so they cannot save a file)
-    def notPoint(s: ColStats, v: Any): Boolean = {
-      if (v == null) return false // NOT(col = NULL) is never TRUE
-      if (allNull(s)) return false
+    def notPoint(s: ColStats, v: Any): Admit = {
+      if (v == null) return Prune // NOT(col = NULL) is never TRUE
+      if (allNull(s)) return Prune
       comparand(s, v) match {
-        case Some(c) => !singlePoint(s).exists(p => compare(s.kind, p, c) == 0)
-        case None => true
+        case Some(c) => (s.min, s.max) match {
+          // min < max proves two distinct non-null values, at most one
+          // equals v; a single point prunes only when it IS v
+          case (Some(mn), Some(mx)) =>
+            if (compare(s.kind, mn, mx) == 0 && compare(s.kind, mn, c) == 0) Prune else May
+          case _ => Unknown
+        }
+        case None => Unknown
       }
     }
 
     // may the file hold a NON-NULL string NOT starting with `prefix`?
-    // False only when bounds PROVE every value lies in [p, upper(p)) —
+    // Prune only when bounds PROVE every value lies in [p, upper(p)) —
     // which under bytewise order is exactly "starts with p".
-    def notPrefixMay(cs: Option[ColStats], v: Option[Any]): Boolean = (cs, v) match {
+    def notPrefixMay(cs: Option[ColStats], v: Option[Any]): Admit = (cs, v) match {
       case (Some(s), Some(p)) if s.kind == 'S' && p != null =>
-        if (allNull(s)) return false
+        if (allNull(s)) return Prune
         val prefix = p match {
           case u: UTF8String => u.toString
           case str: String => str
-          case _ => return true
+          case _ => return Unknown
         }
         (s.min, s.max) match {
           case (Some(mn), Some(mx)) =>
@@ -353,53 +415,60 @@ object FileStats {
               case Some(ub) => UTF8String.fromString(mx).compareTo(UTF8String.fromBytes(ub)) < 0
               case None => false // all-0xFF prefix: containment unprovable
             }
-            !(minIn && maxIn)
-          case _ => true
+            if (minIn && maxIn) Prune else May
+          case _ => Unknown
         }
-      case _ => true
+      case _ => Unknown
     }
 
     // may the file hold a string with the given prefix? [p, upper(p))
     // against the UTF-8 byte-ordered bounds
-    def prefixMay(cs: Option[ColStats], v: Option[Any]): Boolean = (cs, v) match {
+    def prefixMay(cs: Option[ColStats], v: Option[Any]): Admit = (cs, v) match {
       case (Some(s), Some(p)) if s.kind == 'S' && p != null =>
-        if (allNull(s)) return false
+        if (allNull(s)) return Prune
         val prefix = p match {
           case u: UTF8String => u.toString
           case str: String => str
-          case _ => return true
+          case _ => return Unknown
         }
         (s.min, s.max) match {
           case (Some(mn), Some(mx)) =>
             val pb = UTF8String.fromString(prefix)
-            if (UTF8String.fromString(mx).compareTo(pb) < 0) false
+            if (UTF8String.fromString(mx).compareTo(pb) < 0) Prune
             else prefixUpperBound(prefix.getBytes(StandardCharsets.UTF_8)) match {
               case Some(ub) =>
-                UTF8String.fromString(mn).compareTo(UTF8String.fromBytes(ub)) < 0
-              case None => true // all-0xFF prefix: no finite upper bound
+                if (UTF8String.fromString(mn).compareTo(UTF8String.fromBytes(ub)) < 0) May
+                else Prune
+              case None => May // all-0xFF prefix: no finite upper bound
             }
-          case _ => true
+          case _ => Unknown
         }
-      case _ => true
+      case _ => Unknown
     }
 
     // binary comparison with the attribute on EITHER side: `opL` when
     // the attribute is left of the operator, `opR` when it is right
     def cmp2(a: Expression, b: Expression,
-        opL: (Int, Int) => Boolean, opR: (Int, Int) => Boolean): Boolean =
+        opL: (Int, Int) => Boolean, opR: (Int, Int) => Boolean): Admit =
       (col(a), litOf(b)) match {
         case (Some(s), Some(v)) => interval(s, v, opL)
         case _ => (col(b), litOf(a)) match {
           case (Some(s), Some(v)) => interval(s, v, opR)
-          case _ => true
+          case _ => Unknown
         }
       }
 
     val eqOp = (mn: Int, mx: Int) => mn <= 0 && mx >= 0
 
-    def may(x: Expression): Boolean = x match {
-      case And(l, r) => may(l) && may(r)
-      case Or(l, r) => may(l) || may(r)
+    // verdict over a literal set: May if any member may be present,
+    // Prune only when EVERY member is proven absent
+    def anyPoint(s: ColStats, vs: Iterable[Any]): Admit =
+      vs.foldLeft(Prune: Admit)((acc, v) => orA(acc, point(s, v)))
+
+    // can a row evaluate x to TRUE?
+    def mayTrue(x: Expression): Admit = x match {
+      case And(l, r) => andA(mayTrue(l), mayTrue(r))
+      case Or(l, r) => orA(mayTrue(l), mayTrue(r))
       // op args are compare(bound, literal) signs
       case EqualTo(a, b) => cmp2(a, b, eqOp, eqOp)
       case GreaterThan(a, b) => cmp2(a, b, (_, mx) => mx > 0, (mn, _) => mn < 0)
@@ -408,31 +477,27 @@ object FileStats {
       case LessThanOrEqual(a, b) => cmp2(a, b, (mn, _) => mn <= 0, (_, mx) => mx >= 0)
       case In(a, vs) => col(a) match {
         case Some(s) if vs.nonEmpty && vs.forall(v => litOf(v).isDefined) =>
-          vs.exists(v => point(s, litOf(v).get))
-        case _ => true
+          anyPoint(s, vs.map(v => litOf(v).get))
+        case _ => Unknown
       }
       // the optimizer rewrites IN-lists above inSetConversionThreshold
       // (default 10) to InSet with an internal-value hash set — the
       // SELECT-path form of a batch key lookup (VERDICT r15 #6); same
       // point-set interval math
       case is: InSet => col(is.child) match {
-        case Some(s) if is.hset.nonEmpty => is.hset.exists(v => point(s, v))
-        case _ => true
+        case Some(s) if is.hset.nonEmpty => anyPoint(s, is.hset)
+        case _ => Unknown
       }
-      case IsNull(a) => col(a) match {
-        case Some(s) => s.nulls != 0 // -1 unknown keeps the file
-        case None => true
-      }
-      case IsNotNull(a) => col(a) match {
-        case Some(s) => s.rows < 0 || s.nulls < 0 || s.nulls < s.rows
-        case None => true
-      }
+      case IsNull(a) => col(a).map(mayNullRow).getOrElse(Unknown)
+      case IsNotNull(a) => col(a).map(mayNonNullRow).getOrElse(Unknown)
       case EqualNullSafe(a, b) =>
+        def side(s: ColStats, v: Any): Admit =
+          if (v == null) mayNullRow(s) else point(s, v)
         (col(a), litOf(b)) match {
-          case (Some(s), Some(v)) => if (v == null) s.nulls != 0 else point(s, v)
+          case (Some(s), Some(v)) => side(s, v)
           case _ => (col(b), litOf(a)) match {
-            case (Some(s), Some(v)) => if (v == null) s.nulls != 0 else point(s, v)
-            case _ => true
+            case (Some(s), Some(v)) => side(s, v)
+            case _ => Unknown
           }
         }
       // prefix predicates (the URL-keyed lake pattern): strings with
@@ -449,58 +514,69 @@ object FileStats {
             // prefix; an empty run (leading wildcard) prunes nothing
             val lit = u.toString.takeWhile(c => c != '%' && c != '_' && c != '\\')
             if (lit.nonEmpty) prefixMay(col(l.left), Some(UTF8String.fromString(lit)))
-            else true
-          case _ => true
+            else Unknown
+          case _ => Unknown
         }
       // BETWEEN and friends analyze to RuntimeReplaceable nodes whose
       // desugared form only appears after the optimizer's
       // ReplaceExpressions — evaluate the replacement directly
-      case r: RuntimeReplaceable => may(r.replacement)
+      case r: RuntimeReplaceable => mayTrue(r.replacement)
       // ... and the replacement may bind its input through a
       // common-subexpression `With` (Between does, to evaluate the
       // input once): inline the defs so refs become the attribute again
-      case w: With =>
-        val defs = w.defs.map(d => d.id -> d.child).toMap
-        may(w.child.transform {
-          case ref: CommonExpressionRef if defs.contains(ref.id) => defs(ref.id)
-        })
+      case w: With => mayTrue(inlineWith(w))
       // negated predicate shapes (VERDICT r15 #6): `col != v` survives
       // the optimizer as Not(EqualTo) and NOT IN as Not(In)/Not(InSet);
-      // NULL rows never satisfy a NOT (three-valued logic), so a file
-      // prunes when its non-null bounds prove every value matches the
-      // inner predicate
-      case Not(inner) => mayNot(inner)
-      case _ => true // unknown shape: never prune on it
+      // a row makes NOT(x) TRUE exactly when it makes x FALSE — never
+      // when x is NULL (three-valued logic)
+      case Not(inner) => mayFalse(inner)
+      case _ => Unknown // unknown shape: never prune on it
     }
 
-    // may the file contain a row where NOT(x) is TRUE? Conservative:
-    // anything unhandled answers true.
-    def mayNot(x: Expression): Boolean = x match {
+    // can a row evaluate x to FALSE? The dual verdict: NULL operand
+    // rows make comparisons NULL (not FALSE), so they never supply the
+    // row; for the range operators ¬(a op b) on non-null operands IS
+    // the complementary comparison, evaluated by direct recursion so
+    // both verdicts share one set of leaf proofs.
+    def mayFalse(x: Expression): Admit = x match {
+      case And(l, r) => orA(mayFalse(l), mayFalse(r)) // false when either is
+      case Or(l, r) => andA(mayFalse(l), mayFalse(r)) // false only when both
       case EqualTo(a, b) =>
         (col(a), litOf(b)) match {
           case (Some(s), Some(v)) => notPoint(s, v)
           case _ => (col(b), litOf(a)) match {
             case (Some(s), Some(v)) => notPoint(s, v)
-            case _ => true
+            case _ => Unknown
           }
         }
+      case GreaterThan(a, b) => mayTrue(LessThanOrEqual(a, b))
+      case GreaterThanOrEqual(a, b) => mayTrue(LessThan(a, b))
+      case LessThan(a, b) => mayTrue(GreaterThanOrEqual(a, b))
+      case LessThanOrEqual(a, b) => mayTrue(GreaterThan(a, b))
       case In(a, vs) => col(a) match {
         case Some(s) if vs.nonEmpty && vs.forall(v => litOf(v).isDefined) =>
           val lits = vs.map(v => litOf(v).get)
-          if (lits.contains(null)) false // NOT IN with a NULL is never TRUE
-          else if (allNull(s)) false
-          else if (singlePoint(s).isDefined) !lits.exists(v => provenMember(s, v))
-          else true
-        case _ => true
+          notInVerdict(s, lits)
+        case _ => Unknown
       }
       case is: InSet => col(is.child) match {
-        case Some(s) if is.hset.nonEmpty =>
-          if (is.hset.exists(_ == null)) false
-          else if (allNull(s)) false
-          else if (singlePoint(s).isDefined) !is.hset.exists(v => provenMember(s, v))
-          else true
-        case _ => true
+        case Some(s) if is.hset.nonEmpty => notInVerdict(s, is.hset.toSeq)
+        case _ => Unknown
       }
+      case IsNull(a) => col(a).map(mayNonNullRow).getOrElse(Unknown)
+      case IsNotNull(a) => col(a).map(mayNullRow).getOrElse(Unknown)
+      case EqualNullSafe(a, b) =>
+        // <=> never evaluates to NULL: with v null a non-null row makes
+        // it FALSE; with v non-null a null row OR a differing value does
+        def side(s: ColStats, v: Any): Admit =
+          if (v == null) mayNonNullRow(s) else orA(mayNullRow(s), notPoint(s, v))
+        (col(a), litOf(b)) match {
+          case (Some(s), Some(v)) => side(s, v)
+          case _ => (col(b), litOf(a)) match {
+            case (Some(s), Some(v)) => side(s, v)
+            case _ => Unknown
+          }
+        }
       case StartsWith(a, b) => notPrefixMay(col(a), litOf(b))
       case l: Like if l.escapeChar == '\\' =>
         litOf(l.right) match {
@@ -512,13 +588,43 @@ object FileStats {
             val lit = pat.takeWhile(c => c != '%' && c != '_' && c != '\\')
             if (lit.nonEmpty && pat == lit + "%")
               notPrefixMay(col(l.left), Some(UTF8String.fromString(lit)))
-            else true
-          case _ => true
+            else Unknown
+          case _ => Unknown
         }
-      case Not(y) => may(y)
-      case _ => true
+      case r: RuntimeReplaceable => mayFalse(r.replacement)
+      case w: With => mayFalse(inlineWith(w))
+      case Not(y) => mayTrue(y)
+      case _ => Unknown
     }
 
-    may(e)
+    // NOT IN: a list containing NULL makes IN evaluate to TRUE or NULL
+    // (never FALSE); otherwise a single-point file prunes exactly when
+    // its one value is PROVEN a member, and an unreasonable comparand
+    // in the list stays Unknown — never a proof of non-membership
+    def notInVerdict(s: ColStats, lits: Seq[Any]): Admit = {
+      if (lits.contains(null)) return Prune
+      if (allNull(s)) return Prune
+      singlePoint(s) match {
+        case Some(_) =>
+          if (lits.exists(v => provenMember(s, v))) Prune
+          else if (lits.forall(v => comparand(s, v).isDefined)) May
+          else Unknown
+        case None => (s.min, s.max) match {
+          // min < max: bounds cannot prove every value a list member
+          // (they COULD all be — keep is the only sound verdict)
+          case (Some(_), Some(_)) => May
+          case _ => Unknown
+        }
+      }
+    }
+
+    def inlineWith(w: With): Expression = {
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transform {
+        case ref: CommonExpressionRef if defs.contains(ref.id) => defs(ref.id)
+      }
+    }
+
+    mayTrue(e)
   }
 }

@@ -209,14 +209,34 @@ class FileStatsSpec extends SparkTestBase {
         val a = simple(rnd.nextInt(simple.size)); val b = strs(rnd.nextInt(strs.size))
         if (rnd.nextBoolean()) s"($a) AND ($b)" else s"($a) OR ($b)"
       }
-      simple ++ strs ++ ins ++ notins ++ likes ++ nulls ++ combos
+      // r17 mayFalse arms: negation pushed over conjunctions,
+      // disjunctions, ranges, BETWEEN, null tests, and <=>
+      val negCombos = (0 until 8).map { _ =>
+        val a = simple(rnd.nextInt(simple.size)); val b = simple(rnd.nextInt(simple.size))
+        if (rnd.nextBoolean()) s"NOT (($a) AND ($b))" else s"NOT (($a) OR ($b))"
+      }
+      val negRanges = (0 until 6).map(_ =>
+        s"NOT (k ${Seq("<", "<=", ">", ">=")(rnd.nextInt(4))} ${rnd.nextInt(45)})")
+      val betweens = Seq(
+        s"k BETWEEN ${rnd.nextInt(20)} AND ${20 + rnd.nextInt(25)}",
+        s"k NOT BETWEEN ${rnd.nextInt(20)} AND ${20 + rnd.nextInt(25)}")
+      val nullSafe = Seq("k <=> 7", "NOT (k <=> 7)", "k <=> NULL", "NOT (k <=> NULL)",
+        "NOT (k IS NULL)", "NOT (k IS NOT NULL)", "NOT (NOT (k = 7))")
+      simple ++ strs ++ ins ++ notins ++ likes ++ nulls ++ combos ++
+        negCombos ++ negRanges ++ betweens ++ nullSafe
     }
     preds.foreach { p =>
       val needed = full.filter(expr(p)).select(col("__f")).distinct()
         .collect().map(r => basename(r.getString(0))).toSet
+      // consumer path 1: DML discovery (candidateFiles -> mayMatch)
       val cands = t.candidateFiles(v, expr(p)).toSet
       assert(needed.subsetOf(cands),
         s"UNSOUND prune for [$p]: needed ${needed.size} files, candidates miss ${(needed -- cands).mkString(",")}")
+      // consumer path 2: the optimizer rule (StatsPruneRule over the
+      // registered scan) — the pruned plan must return the same rows
+      val viaRule = t.df.filter(expr(p)).count()
+      val unpruned = full.filter(expr(p)).count()
+      assert(viaRule == unpruned, s"StatsPruneRule changed results for [$p]: $viaRule vs $unpruned")
     }
   }
 
