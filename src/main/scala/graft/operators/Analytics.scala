@@ -2970,7 +2970,134 @@ object Analytics {
        |SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_users
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** cal3: expected / maximum calibration error of the quality
+    * classifier — the single-number summary the cal1 reliability
+    * diagram and cal2's Brier split feed (Naeini et al. 2015): ECE =
+    * Σ_b (n_b/N)·|acc_b − conf_b|, MCE = max_b |acc_b − conf_b|, over
+    * the same fixed bin grid and piecewise-linear forecast map as cal2.
+    * The per-bin gap |n_pos·1e6 − Σp_micros| is an exact integer, so
+    * ECE is ONE double division at the very end (Σ|gap| / (N·1e6)) —
+    * no cross-engine drift to round away; MCE divides each bin's exact
+    * gap once. Shape at 100 TB: one margin scan, one 16-bin aggregate,
+    * one 16-row reduce.
+    */
+  def calibrationError(s: SparkSession, dir: String): DataFrame = {
+    val span = calBins * calBinWidth
+    val m = TextAnalysis.qualityMargin(s, dir)
+      .select(col("doc_id"), col("quality_margin"))
+    val l = TextAnalysis.docQualityFilter(s, dir).select(col("doc_id"), col("keep"))
+    val p = least(greatest((col("quality_margin") - calBinLo) / span, lit(0.0)), lit(1.0))
+    val perBin = m.join(l, "doc_id")
+      .withColumn("p", p)
+      .withColumn("bin",
+        least(greatest(floor((col("quality_margin") - calBinLo) / calBinWidth), lit(0.0)),
+          lit(calBins - 1.0)).cast(IntegerType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(Exact.micros(col("p")).cast(Exact.D380)).as("pm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"))
+    // exact per-bin gap in micros: |n_pos * 1e6 - Σ p_micros|
+    val gap = abs(col("n_pos").cast(Exact.D380) * lit(1000000L) - col("pm"))
+    perBin
+      .select(col("n"), gap.as("gap"),
+        (Exact.toUnits(gap) / col("n").cast(DoubleType)).as("bin_gap"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n")).as("n_docs"),
+        sum(col("gap")).as("gap_sum"), max(col("bin_gap")).as("mce_raw"))
+      .select(col("n_bins"), col("n_docs").cast(LongType).as("n_docs"),
+        Exact.dround(Exact.toUnits(col("gap_sum")) / col("n_docs").cast(DoubleType), 9).as("ece"),
+        Exact.dround(col("mce_raw"), 9).as("mce"))
+  }
+
+  val calibrationErrorSql: String = {
+    val span = calBins * calBinWidth
+    val pExpr = s"LEAST(GREATEST((quality_margin - $calBinLo) / $span, 0.0), 1.0)"
+    s"""WITH m AS (${TextAnalysis.qualityMarginSql}),
+       |l AS (SELECT doc_id, keep FROM (${TextAnalysis.docQualityFilterSql}) q),
+       |j AS (
+       |  SELECT m.doc_id, keep, $pExpr AS p,
+       |    CAST(LEAST(GREATEST(FLOOR((quality_margin - $calBinLo) / $calBinWidth), 0.0),
+       |      ${calBins - 1}.0) AS INTEGER) AS bin
+       |  FROM m JOIN l ON m.doc_id = l.doc_id),
+       |b AS (
+       |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(${Exact.sqlMicros("p")} AS HUGEINT)) AS pm,
+       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |  FROM j GROUP BY bin),
+       |g AS (
+       |  SELECT n, ABS(CAST(n_pos AS HUGEINT) * 1000000 - pm) AS gap,
+       |    (${Exact.sqlToUnits("ABS(CAST(n_pos AS HUGEINT) * 1000000 - pm)")}
+       |      / CAST(n AS DOUBLE)) AS bin_gap
+       |  FROM b)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins, CAST(SUM(n) AS BIGINT) AS n_docs,
+       |  ${Exact.sqlDround(s"(${Exact.sqlToUnits("SUM(gap)")} / CAST(SUM(n) AS DOUBLE))", 9)} AS ece,
+       |  ${Exact.sqlDround("MAX(bin_gap)", 9)} AS mce
+       |FROM g""".stripMargin
+  }
+
+  /** fd3: inclusion-dependency profiling across the warehouse's FK
+    * graph — the data-profiling twin of fd2's candidate keys (Metanome-
+    * style IND discovery, restricted to the declared candidate edges):
+    * per (child column → parent column) pair, non-null child rows,
+    * distinct child values, distinct ORPHAN values (absent from the
+    * parent), and the containment ratio. events.user_id → customer is
+    * deliberately in the list as the violation-shaped candidate.
+    * Shape at 100 TB: each pair is a column-pruned scan + a distinct
+    * shuffle + a LEFT ANTI join on the value (broadcast when the parent
+    * key side is small, SMJ otherwise) — never a row-level join of the
+    * fact tables.
+    */
+  private val inclusionPairs = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"))
+
+  def inclusionDeps(s: SparkSession, dir: String): DataFrame = {
+    val perPair = inclusionPairs.map { case (ct, cc, pt, pc) =>
+      val counts = t(s, dir, ct)
+        .agg(count(col(cc)).as("child_rows"), countDistinct(col(cc)).as("child_types"))
+      val orphans = t(s, dir, ct).select(col(cc).as("v")).filter(col("v").isNotNull).distinct()
+        .join(t(s, dir, pt).select(col(pc).as("pv")).distinct(),
+          col("v") === col("pv"), "left_anti")
+        .agg(count(lit(1)).as("orphan_types"))
+      counts.crossJoin(orphans).select(lit(s"$ct.$cc -> $pt.$pc").as("dep"),
+        col("child_rows").cast(LongType).as("child_rows"),
+        col("child_types").cast(LongType).as("child_types"),
+        col("orphan_types").cast(LongType).as("orphan_types"))
+    }
+    perPair.reduce(_.union(_))
+      .select(col("dep"), col("child_rows"), col("child_types"), col("orphan_types"),
+        (col("orphan_types") === 0L).as("contained"),
+        Exact.dround(lit(1.0) - col("orphan_types").cast(DoubleType)
+          / col("child_types").cast(DoubleType), 9).as("containment_ratio"))
+      .orderedSmall(col("dep"))
+  }
+
+  val inclusionDepsSql: String = {
+    val pairSelects = inclusionPairs.map { case (ct, cc, pt, pc) =>
+      s"""  SELECT '$ct.$cc -> $pt.$pc' AS dep,
+         |    (SELECT CAST(COUNT($cc) AS BIGINT) FROM $ct) AS child_rows,
+         |    (SELECT CAST(COUNT(DISTINCT $cc) AS BIGINT) FROM $ct) AS child_types,
+         |    (SELECT CAST(COUNT(*) AS BIGINT)
+         |     FROM (SELECT DISTINCT $cc AS v FROM $ct WHERE $cc IS NOT NULL) d
+         |     WHERE NOT EXISTS (SELECT 1 FROM $pt WHERE $pc = d.v)) AS orphan_types""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH pairs AS (
+       |$pairSelects)
+       |SELECT dep, child_rows, child_types, orphan_types,
+       |  orphan_types = 0 AS contained,
+       |  ${Exact.sqlDround("(1.0 - CAST(orphan_types AS DOUBLE) / CAST(child_types AS DOUBLE))", 9)}
+       |    AS containment_ratio
+       |FROM pairs ORDER BY dep""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cal3_calibration_error" -> calibrationError _,
+    "fd3_inclusion_deps" -> inclusionDeps _,
     "ev24_activity_streaks" -> activityStreaks _,
     "cal2_brier_decomposition" -> brierDecomposition _,
     "ts8_theil_sen_trend" -> theilSenTrend _,
@@ -3022,6 +3149,8 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "cal3_calibration_error" -> calibrationErrorSql,
+    "fd3_inclusion_deps" -> inclusionDepsSql,
     "ks1_source_ks" -> sourceKsSql,
     "dp1_dp_counts" -> dpCountsSql,
     "mrr1_retrieval_mrr" -> labelRetrievalMrrSql(),

@@ -1112,6 +1112,72 @@ object TextAnalysis {
        |  CAST(pair_n AS BIGINT) AS pair_n, p_micro
        |FROM r WHERE succ_rank <= $k ORDER BY w1, succ_rank""".stripMargin
 
+  // === lm3: interpolated Kneser-Ney bigram probabilities ===================
+  /** lm3: Kneser-Ney smoothed bigram probabilities for the corpus's
+    * top bigrams — the smoothing that actually ships in n-gram LMs
+    * (Kneser & Ney 1995, Chen & Goodman 1999), next to lm1's raw MLE:
+    * P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *             + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··),  D = 0.75.
+    * The continuation counts N1+(w1·) / N1+(·w2) are window counts
+    * over the aggregated bigram table; N1+(··) (total distinct bigram
+    * types) is ONE bounded scalar counted off an eagerly checkpointed
+    * copy of that table (one materialization feeds both the scalar and
+    * the top-k — re-deriving would re-run the corpus explode, the
+    * round-11 lesson; the kcore1 localCheckpoint precedent). All
+    * inputs to the probability are exact integers; the formula is one
+    * fixed IEEE sequence, rounded to 9 places.
+    * Shape at 100 TB: pair extraction is map-only; everything after is
+    * keyed on the vocabulary²-bounded bigram table, never the corpus.
+    */
+  def knBigramLm(s: SparkSession, dir: String, kTop: Int = 30,
+      discount: Double = 0.75): DataFrame = {
+    val pairs = dFan(s, dir)
+      .select(tokens(col("text")).as("toks")).filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
+      .withColumn("ctx_n", sum(col("pair_n")).over(Window.partitionBy(col("w1"))))
+      .withColumn("cont_after", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .withColumn("pred_types", count(lit(1)).over(Window.partitionBy(col("w2"))))
+      .localCheckpoint() // vocabulary²-bounded; counted AND ranked below
+    val totalTypes = c2.count() // N1+(··): one scalar of driver state
+    val pKn =
+      (greatest(col("pair_n").cast(DoubleType) - lit(discount), lit(0.0)) /
+        col("ctx_n").cast(DoubleType)) +
+        (lit(discount) * col("cont_after").cast(DoubleType) / col("ctx_n").cast(DoubleType) *
+          (col("pred_types").cast(DoubleType) / lit(totalTypes.toDouble)))
+    c2.orderBy(col("pair_n").desc, col("w1"), col("w2")).limit(kTop)
+      .select(col("w1"), col("w2"), col("pair_n").cast(LongType).as("pair_n"),
+        col("ctx_n").cast(LongType).as("ctx_n"),
+        col("cont_after").cast(LongType).as("cont_after"),
+        col("pred_types").cast(LongType).as("pred_types"),
+        lit(totalTypes).as("total_types"),
+        Exact.dround(pKn, 9).as("p_kn"))
+      .orderBy(col("pair_n").desc, col("w1"), col("w2"))
+  }
+
+  def knBigramLmSql(kTop: Int = 30, discount: Double = 0.75): String =
+    s"""WITH toks AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |pr AS (SELECT UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
+       |       FROM toks WHERE len(t) >= 2),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS pair_n FROM pr GROUP BY 1, 2),
+       |cx AS (SELECT w1, SUM(pair_n) AS ctx_n, COUNT(*) AS cont_after FROM c2 GROUP BY 1),
+       |pd AS (SELECT w2, COUNT(*) AS pred_types FROM c2 GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_types FROM c2)
+       |SELECT c2.w1, c2.w2, CAST(pair_n AS BIGINT) AS pair_n,
+       |  CAST(ctx_n AS BIGINT) AS ctx_n, CAST(cont_after AS BIGINT) AS cont_after,
+       |  CAST(pred_types AS BIGINT) AS pred_types, total_types,
+       |  ${Exact.sqlDround(
+             s"""(GREATEST(CAST(pair_n AS DOUBLE) - $discount, 0.0) / CAST(ctx_n AS DOUBLE)
+       |   + $discount * CAST(cont_after AS DOUBLE) / CAST(ctx_n AS DOUBLE)
+       |     * (CAST(pred_types AS DOUBLE) / CAST(total_types AS DOUBLE)))""".stripMargin, 9)}
+       |    AS p_kn
+       |FROM c2 JOIN cx ON c2.w1 = cx.w1 JOIN pd ON c2.w2 = pd.w2 CROSS JOIN tot
+       |ORDER BY pair_n DESC, c2.w1, c2.w2 LIMIT $kTop""".stripMargin
+
   // === DSIR-style importance weights =======================================
   /** sel1: data-selection importance weights — per-document sum of
     * ln(p_target(tok)/p_corpus(tok)) under add-one-smoothed unigram
@@ -1604,6 +1670,82 @@ object TextAnalysis {
        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
        |  CAST(SUM(score_m) AS BIGINT) AS score_m
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score_m DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  // === srch3: Dirichlet query-likelihood retrieval =========================
+  /** srch3: query-likelihood ranking with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the language-model scoring function next to
+    * srch1's BM25: score(Q,D) = Σ_t log((tf(t,D) + μ·P(t|C)) / (dl(D)
+    * + μ)), μ = 2000, over the SAME deterministic query (the nTerms
+    * most frequent non-stopword tokens, ties by text). Unlike BM25,
+    * every document scores against every query term (the smoothed
+    * zero-tf contribution is what makes the model proper), so the
+    * scoring frame is n_docs × nTerms — linear, never quadratic. Each
+    * term's log is micros-rounded once (the srch1/txt11 argument) and
+    * summed as integers; final top-k is TakeOrdered.
+    * Shape at 100 TB: tf/ctf ride the one tokenize shuffle with
+    * windows (round-11 lesson); query terms and corpus scalars are
+    * broadcast; the per-doc dl comes from a scan that never explodes.
+    */
+  def qlmTopDocs(s: SparkSession, dir: String, k: Int = 50, nTerms: Int = 5,
+      mu: Double = 2000.0): DataFrame = {
+    val ex = dFan(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("ctf", sum(col("tf")).over(Window.partitionBy(col("tok"))))
+    val qterms = tf
+      .filter(!col("tok").isInCollection(stopwords) && length(col("tok")) > 0)
+      .select(col("tok"), col("ctf")).distinct()
+      .orderBy(col("ctf").desc, col("tok"))
+      .limit(nTerms)
+    // NULL-text docs produce no explode rows, so the oracle's dl CTE
+    // never sees them — filter symmetrically (size(null array) is -1)
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("dl"))
+    val stats = docs.agg(sum(col("dl")).as("total_toks"))
+    val tfq = tf.join(broadcast(qterms.select(col("tok"))), "tok")
+      .select(col("doc_id"), col("tok"), col("tf"))
+    val tf0 = coalesce(col("tf"), lit(0L)).cast(DoubleType)
+    val pC = col("ctf").cast(DoubleType) / col("total_toks").cast(DoubleType)
+    val termM = floor(log((tf0 + lit(mu) * pC) / (col("dl").cast(DoubleType) + lit(mu)))
+      * 1000000L + 0.5).cast(LongType)
+    docs.crossJoin(broadcast(qterms))
+      .crossJoin(broadcast(stats))
+      .join(tfq, Seq("doc_id", "tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("tf").isNotNull, 1L).otherwise(0L)).as("n_terms_matched"),
+        sum(termM).as("score_m"))
+      .select(col("doc_id"), col("n_terms_matched").cast(LongType).as("n_terms_matched"),
+        col("score_m").cast(LongType).as("score_m"))
+      .orderBy(col("score_m").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def qlmTopDocsSql(k: Int = 50, nTerms: Int = 5, mu: Double = 2000.0): String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH ex AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+       |ctf AS (SELECT tok, SUM(tf) AS ctf FROM tf GROUP BY 1),
+       |q AS (SELECT tok, ctf FROM ctf
+       |  WHERE tok NOT IN ($stopList) AND length(tok) > 0
+       |  ORDER BY ctf DESC, tok LIMIT $nTerms),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM ex GROUP BY 1),
+       |st AS (SELECT SUM(dl) AS total_toks FROM dl),
+       |sc AS (
+       |  SELECT dl.doc_id, q.tok, tf.tf,
+       |    CAST(FLOOR(
+       |      ln((CAST(COALESCE(tf.tf, 0) AS DOUBLE)
+       |          + $mu * (CAST(q.ctf AS DOUBLE) / CAST(total_toks AS DOUBLE)))
+       |         / (CAST(dl AS DOUBLE) + $mu))
+       |      * 1000000 + 0.5) AS BIGINT) AS term_m
+       |  FROM dl CROSS JOIN q CROSS JOIN st
+       |       LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.tok = q.tok)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_matched,
+       |  CAST(SUM(term_m) AS BIGINT) AS score_m
        |FROM sc GROUP BY doc_id
        |ORDER BY score_m DESC, doc_id LIMIT $k""".stripMargin
   }
@@ -2993,6 +3135,8 @@ object TextAnalysis {
     "hist1_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "red1_pii_scan" -> docPiiScan _,
     "srch1_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopDocs(s, d)),
+    "srch3_qlm_topk" -> ((s: SparkSession, d: String) => qlmTopDocs(s, d)),
+    "lm3_kneser_ney" -> ((s: SparkSession, d: String) => knBigramLm(s, d)),
     "srch2_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRetrieval(s, d)),
     "cur1_curriculum_phases" -> curriculumPhases _,
     "qf3_perplexity_filter" -> ((s: SparkSession, d: String) => perplexityFilter(s, d)),
@@ -3050,6 +3194,8 @@ object TextAnalysis {
     "hist1_token_histogram" -> tokenHistogramSql(),
     "red1_pii_scan" -> docPiiScanSql,
     "srch1_bm25_topk" -> bm25TopDocsSql(),
+    "srch3_qlm_topk" -> qlmTopDocsSql(),
+    "lm3_kneser_ney" -> knBigramLmSql(),
     "srch2_hybrid_rrf" -> hybridRetrievalSql(),
     "cur1_curriculum_phases" -> curriculumPhasesSql,
     "qf3_perplexity_filter" -> perplexityFilterSql(),

@@ -382,6 +382,31 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("round-17 additions: scan counts bounded, broadcasts where due, no cartesians") {
+    // cal3: margin + label passes like cal2, then a 16-row reduce
+    val ce = operators.Analytics.calibrationError(spark, sfDir)
+    assert(countScans(ce) <= 2, s"cal3 scans: ${countScans(ce)}")
+    // srch3: the tokenize explode is ONE chain; the docs/dl side scans
+    // documents without exploding; query terms + corpus scalar broadcast
+    val ql = operators.TextAnalysis.qlmTopDocs(spark, sfDir)
+    assert(countScans(ql) <= 4, s"srch3 scans: ${countScans(ql)}")
+    assert(planOf(ql).contains("BroadcastExchange"),
+      "srch3's query-term frame must broadcast, never shuffle the doc frame")
+    assert(planOf(ql).contains("TakeOrdered"), "srch3 top-k must be TakeOrdered, not a global sort")
+    // lm3: the ranked output reads the checkpointed bigram table, never
+    // re-scans the corpus
+    val kn = operators.TextAnalysis.knBigramLm(spark, sfDir)
+    assert(!planOf(kn).contains("Scan parquet"),
+      "lm3 must rank off the checkpointed bigram table, not re-scan documents")
+    // fd3: 8 bounded pairs; every join is distinct-keyed or a 1-row
+    // cross of scalar aggregates — a row-level cartesian is a bug
+    val fd = operators.Analytics.inclusionDeps(spark, sfDir)
+    Seq("cal3" -> planOf(ce), "srch3" -> planOf(ql), "lm3" -> planOf(kn),
+        "fd3" -> planOf(fd)).foreach {
+      case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
+    }
+  }
+
   test("round-15 additions: two corpus scans each, exchanges reused, no cartesians") {
     // pmi1: ONE unigram + ONE bigram pass; the w1/w2 joins and both
     // totals REUSE those aggregates' exchanges (the first cut's

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand fixtures for the round-17 operators: cal3 (expected/maximum
+  * calibration error), fd3 (inclusion-dependency profiling), srch3
+  * (Dirichlet query-likelihood retrieval), lm3 (Kneser-Ney bigram
+  * probabilities). Each pins exact values computed by hand or against
+  * an independently-computed formula — the DuckDB oracle is the third
+  * anchor, checked by the driver gate.
+  */
+class Round17OpsSpec extends SparkTestBase {
+
+  test("cal3: ECE is the n-weighted mean and MCE the max of cal2's per-bin gaps") {
+    val cal2 = Analytics.brierDecomposition(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))) // n_docs, mean_p, pos_rate
+    val n = cal2.map(_._1).sum
+    val eceRef = cal2.map { case (nb, mp, pr) => nb * math.abs(pr - mp) }.sum / n
+    val mceRef = cal2.map { case (_, mp, pr) => math.abs(pr - mp) }.max
+    val r = Analytics.calibrationError(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == n)
+    assert(math.abs(row.getDouble(2) - eceRef) < 2e-6,
+      s"ece ${row.getDouble(2)} vs cal2-derived $eceRef") // cal2 columns are 9-dp rounded
+    assert(math.abs(row.getDouble(3) - mceRef) < 2e-6)
+    assert(row.getDouble(3) >= row.getDouble(2), "MCE (max) must dominate ECE (weighted mean)")
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(3) <= 1.0)
+  }
+
+  test("fd3: hand-built warehouse with one violated and one satisfied dependency") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fd3").toString
+    def save(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.parquet(s"$dir/$name.parquet")
+    save("region", Seq((0L, "r0"), (1L, "r1")).toDF("r_regionkey", "r_name"))
+    save("nation", Seq((0L, 0L), (1L, 0L), (2L, 1L)).toDF("n_nationkey", "n_regionkey"))
+    save("customer", Seq((10L, 0L), (11L, 2L)).toDF("c_custkey", "c_nationkey"))
+    save("supplier", Seq((20L, 1L), (21L, 9L)).toDF("s_suppkey", "s_nationkey")) // 9 orphan
+    save("part", Seq((30L, "p")).toDF("p_partkey", "p_name"))
+    save("orders", Seq((40L, 10L), (41L, 10L), (42L, 99L)).toDF("o_orderkey", "o_custkey")) // 99 orphan
+    save("lineitem", Seq((40L, 30L, 20L), (41L, 30L, 20L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey"))
+    save("events", Seq((1L, 10L, 1000000000L), (2L, 11L, 2000000000L), (3L, 77L, 3000000000L))
+      .toDF("event_id", "user_id", "ts")) // 77 orphan vs customer
+    val rows = Analytics.inclusionDeps(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5))).toMap
+    assert(rows.size == 8)
+    // fully contained FK edge
+    assert(rows("lineitem.l_orderkey -> orders.o_orderkey") == ((2L, 2L, 0L, true, 1.0)))
+    assert(rows("nation.n_regionkey -> region.r_regionkey") == ((3L, 2L, 0L, true, 1.0)))
+    // violated candidates with hand-computed ratios
+    assert(rows("orders.o_custkey -> customer.c_custkey") ==
+      ((3L, 2L, 1L, false, 0.5)), rows("orders.o_custkey -> customer.c_custkey").toString)
+    assert(rows("events.user_id -> customer.c_custkey")._3 == 1L) // 77
+    assert(rows("supplier.s_nationkey -> nation.n_nationkey") == ((2L, 2L, 1L, false, 0.5)))
+  }
+
+  test("fd3: the TPC-H FK edges are contained on the generated data") {
+    val rows = Analytics.inclusionDeps(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    Seq("lineitem.l_orderkey -> orders.o_orderkey",
+      "lineitem.l_partkey -> part.p_partkey",
+      "lineitem.l_suppkey -> supplier.s_suppkey",
+      "orders.o_custkey -> customer.c_custkey",
+      "customer.c_nationkey -> nation.n_nationkey",
+      "supplier.s_nationkey -> nation.n_nationkey",
+      "nation.n_regionkey -> region.r_regionkey").foreach { dep =>
+      assert(rows(dep), s"TPC-H guarantees containment for $dep")
+    }
+  }
+
+  test("srch3: hand-computed Dirichlet query-likelihood scores") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srch3").toString
+    // vocab: apple (ctf 3), banana (ctf 2), cherry (ctf 1); total 6 toks
+    Seq((1L, "apple banana apple"), (2L, "banana cherry"), (3L, "apple"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val mu = 2000.0
+    def term(tf: Long, ctf: Long, dl: Long): Long = {
+      val p = ctf.toDouble / 6.0
+      math.floor(math.log((tf.toDouble + mu * p) / (dl.toDouble + mu)) * 1000000L + 0.5).toLong
+    }
+    // query = all 3 terms (nTerms default 5 > vocab); every doc scores all 3
+    val expected = Map(
+      1L -> (term(2, 3, 3) + term(1, 2, 3) + term(0, 1, 3)),
+      2L -> (term(0, 3, 2) + term(1, 2, 2) + term(1, 1, 2)),
+      3L -> (term(1, 3, 1) + term(0, 2, 1) + term(0, 1, 1)))
+    val rows = TextAnalysis.qlmTopDocs(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(2) == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}: got ${r.getLong(2)}, want ${expected(r.getLong(0))}")
+    }
+    // matched-term counts: doc1 has apple+banana, doc2 banana+cherry, doc3 apple
+    val matched = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(matched == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+    // ranking is total-ordered by (score desc, doc_id)
+    val scores = rows.map(r => (r.getLong(2), r.getLong(0)))
+    assert(scores.sortBy { case (s, d) => (-s, d) }.toSeq == scores.toSeq)
+  }
+
+  test("lm3: hand-computed Kneser-Ney probabilities on a 3-bigram corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lm3").toString
+    // one doc "x y x y z": bigrams (x,y)x2, (y,x)x1, (y,z)x1
+    Seq((1L, "x y x y z")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.knBigramLm(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+      .toMap
+    assert(rows.size == 3)
+    // P(y|x) = (2-.75)/2 + .75*(1/2)*(1/3) = 0.625 + 0.125 = 0.75
+    assert(rows(("x", "y")) == ((2L, 2L, 1L, 1L, 3L, 0.75)))
+    // P(x|y) = (1-.75)/2 + .75*(2/2)*(1/3) = 0.125 + 0.25 = 0.375
+    assert(rows(("y", "x")) == ((1L, 2L, 2L, 1L, 3L, 0.375)))
+    assert(rows(("y", "z")) == ((1L, 2L, 2L, 1L, 3L, 0.375)))
+    // per-context observed mass never exceeds 1 (the discount makes
+    // room for unseen continuations)
+    Seq("x", "y").foreach { w1 =>
+      val mass = rows.collect { case ((a, _), v) if a == w1 => v._6 }.sum
+      assert(mass <= 1.0 + 1e-9, s"context $w1 mass $mass")
+    }
+  }
+
+  test("lm3: discounted mass property on the real corpus slice") {
+    val rows = TextAnalysis.knBigramLm(spark, sfDir, kTop = 30).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val pKn = r.getDouble(7)
+      assert(pKn > 0.0 && pKn <= 1.0, s"p_kn out of range: $pKn")
+      // the discounted MLE term alone is a lower bound
+      val lower = math.max(r.getLong(2) - 0.75, 0.0) / r.getLong(3)
+      assert(pKn >= lower - 1e-9)
+    }
+    // output is total-ordered by (pair_n desc, w1, w2)
+    val keys = rows.map(r => (-r.getLong(2), r.getString(0), r.getString(1)))
+    assert(keys.sorted.toSeq == keys.toSeq)
+  }
+}
