@@ -32,7 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Parallel (throughput) GC beats the JDK-17 G1 default on the
   // 4-terminal bench window: paired A/B runs read 6.37/7.66 vs
   // 5.69/7.15 req/s (+9% mean). A 16g heap REGRESSES G1 (4.3/3.2) —
-  // keep 8g unless overridden.
+  // keep 8g unless overridden. Re-run r17 under the 235-query registry
+  // + status-store retention caps: Parallel/8g 17.4, G1/8g 15.2,
+  // Parallel/16g 16.1, G1/16g 13.6 req/s — the choice stands.
   s"-XX:+Use${sys.env.getOrElse("SPARK_DRIVER_GC", "Parallel")}GC",
 )
 

@@ -83,6 +83,18 @@ object Engine {
       // the DriverDml point-DML codec cannot read them; micros is the
       // parquet-standard layout the rest of the lake already assumes
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Status-store retention (r17): with the UI off these stores only
+      // feed the status APIs, yet at their defaults they retain 1000
+      // SQL executions (full plan graphs + per-node metric maps) and
+      // 1000 jobs/stages — on a long-lived server running thousands of
+      // sub-second queries that is hundreds of MB of dead driver heap
+      // and a steadily climbing post-GC live set (metered r17: +400 MB
+      // per 40 s bench window before this). Keep enough for debugging,
+      // not enough to matter to the collector.
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
       .config("spark.ui.enabled", "false")
       // local test files are single small parquet files; the default
       // 128 MB split gives the whole scan to ONE task. 16 MB splits fan
