@@ -1078,6 +1078,64 @@ object Relational {
     * All-zero on the generated data BY CONSTRUCTION — the operator
     * exists to detect when that stops being true.
     */
+  /** dq3: Benford first-digit audit of o_totalprice — the fraud/data-
+    * quality screen for naturally-occurring amounts (Benford 1938,
+    * Nigrini's audit practice): observed leading-digit frequencies vs
+    * log10(1 + 1/d), with each digit's squared standardized deviation
+    * (the chi-square contribution). The leading digit is taken from
+    * the EXACT micros integer's decimal string — a log10()/pow() digit
+    * extraction would hand the verdict to libm, and double→VARCHAR
+    * formatting differs across engines; an integer's string does not.
+    * Expected frequencies are Scala-computed constants inlined
+    * literally into both plans. Shape at 100 TB: one map-side-combined
+    * 9-group aggregate over a column-pruned scan.
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val expCol = (1 to 9).foldLeft(lit(0.0)) { case (acc, d) =>
+      when(col("digit") === d, lit(expected(d))).otherwise(acc)
+    }
+    val wAll = Window.partitionBy()
+    val base = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(substring(Exact.micros(col("o_totalprice")).cast(StringType), 1, 1)
+        .cast(IntegerType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(wAll))
+    val obs = col("n").cast(DoubleType) / col("total").cast(DoubleType)
+    base
+      .withColumn("expected_frac", expCol)
+      .select(col("digit"), col("n").cast(LongType).as("n"),
+        Exact.dround(obs, 9).as("observed_frac"),
+        Exact.dround(col("expected_frac"), 9).as("expected_frac"),
+        Exact.dround((obs - col("expected_frac")) * (obs - col("expected_frac"))
+          / col("expected_frac") * col("total").cast(DoubleType), 6).as("chi2_term"))
+      .orderedSmall(col("digit"))
+  }
+
+  val benfordAuditSql: String = {
+    // string->double (fast_float) is DuckDB's one correctly-rounded
+    // route to the exact JVM double (the sqlToUnits argument); a bare
+    // decimal literal would land as DECIMAL and convert unpredictably
+    val expCase = (1 to 9).map(d =>
+      s"WHEN $d THEN CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE)").mkString(" ")
+    s"""WITH b AS (
+       |  SELECT CAST(substring(CAST(${Exact.sqlMicros("o_totalprice")} AS VARCHAR), 1, 1)
+       |    AS INTEGER) AS digit
+       |  FROM orders WHERE o_totalprice > 0),
+       |c AS (SELECT digit, COUNT(*) AS n FROM b GROUP BY digit),
+       |tt AS (SELECT digit, n, SUM(n) OVER () AS total FROM c),
+       |e AS (SELECT digit, n, total,
+       |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS obs,
+       |  CASE digit $expCase END AS exp_frac FROM tt)
+       |SELECT digit, CAST(n AS BIGINT) AS n,
+       |  ${Exact.sqlDround("obs", 9)} AS observed_frac,
+       |  ${Exact.sqlDround("exp_frac", 9)} AS expected_frac,
+       |  ${Exact.sqlDround("((obs - exp_frac) * (obs - exp_frac) / exp_frac * CAST(total AS DOUBLE))", 6)}
+       |    AS chi2_term
+       |FROM e ORDER BY digit""".stripMargin
+  }
+
   def integrityAudit(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val lineitem = t(s, dir, "lineitem")
@@ -1260,6 +1318,7 @@ object Relational {
     "reg1_value_trend" -> valueTrend _,
     "ev18_type_affinity" -> typeAffinity _,
     "dq1_integrity_audit" -> integrityAudit _,
+    "dq3_benford_audit" -> benfordAudit _,
     "ev16_activity_profile" -> activityProfile _,
     "seq1_event_paths" -> ((s: SparkSession, d: String) => eventPaths(s, d)),
     "ev15_dau_wau" -> dauWau _,
@@ -1292,6 +1351,7 @@ object Relational {
     "reg1_value_trend" -> valueTrendSql,
     "ev18_type_affinity" -> typeAffinitySql,
     "dq1_integrity_audit" -> integrityAuditSql,
+    "dq3_benford_audit" -> benfordAuditSql,
     "ev16_activity_profile" -> activityProfileSql,
     "seq1_event_paths" -> eventPathsSql(),
     "ev15_dau_wau" -> dauWauSql,

@@ -1303,6 +1303,68 @@ object Similarity {
        |FROM c CROSS JOIN t ORDER BY label""".stripMargin
   }
 
+  // === imb2: effective-number class weights ================================
+  /** imb2: class-balanced loss weights from the effective number of
+    * samples (Cui et al. 2019) — the imbalance correction that
+    * replaced naive inverse-frequency in production classifiers:
+    * E_i = (1 − β^{n_i})/(1 − β) with β = 0.999, w_i ∝ 1/E_i
+    * normalized so the weights sum to the class count. The one libm
+    * pow() per class is micros-rounded immediately (the txt11/mix3
+    * argument), so the inverse/normalize chain runs over identical
+    * operands on both engines. Shape at 100 TB: one label-keyed count
+    * aggregate; everything after is windows over |labels| rows.
+    */
+  def effectiveNumberWeights(s: SparkSession, dir: String,
+      beta: Double = 0.999): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val counts = t(s, dir, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      // β^n in micros: exact integer from one rounded pow
+      .withColumn("beta_n_micro",
+        floor(pow(lit(beta), col("n").cast(DoubleType)) * 1000000L + 0.5).cast(LongType))
+    val eff = (lit(1000000L) - col("beta_n_micro")).cast(DoubleType) /
+      lit((1.0 - beta) * 1000000.0)
+    // 1/E_i in exact NANOS so the normalizing sum is an integer sum —
+    // an unordered double sum would be addition-order-dependent across
+    // engines (E_i spans [1, 1000], so nanos keep ≥6 significant digits)
+    val scored = counts
+      .withColumn("eff_n", eff)
+      .withColumn("inv_nano", floor(lit(1.0e9) / col("eff_n") + 0.5).cast(LongType))
+      .withColumn("inv_sum", sum(col("inv_nano")).over(wAll))
+      .withColumn("n_classes", count(lit(1)).over(wAll))
+    scored.select(col("label"), col("n").cast(LongType).as("n_vectors"),
+        Exact.dround(col("eff_n"), 6).as("effective_n"),
+        Exact.dround(col("inv_nano").cast(DoubleType) / col("inv_sum").cast(DoubleType)
+          * col("n_classes").cast(DoubleType), 9).as("weight"))
+      .orderedSmall(col("label"))
+  }
+
+  def effectiveNumberWeightsSql(beta: Double = 0.999): String = {
+    val denom = (1.0 - beta) * 1000000.0
+    s"""WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+       |b AS (
+       |  SELECT label, n,
+       |    CAST(FLOOR(POWER($beta, CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+       |      AS beta_n_micro
+       |  FROM c),
+       |e AS (
+       |  SELECT label, n,
+       |    CAST(1000000 - beta_n_micro AS DOUBLE) / $denom AS eff_n
+       |  FROM b),
+       |s AS (
+       |  SELECT label, n, eff_n,
+       |    CAST(FLOOR(1.0e9 / eff_n + 0.5) AS BIGINT) AS inv_nano,
+       |    SUM(CAST(FLOOR(1.0e9 / eff_n + 0.5) AS BIGINT)) OVER () AS inv_sum,
+       |    COUNT(*) OVER () AS n_classes
+       |  FROM e)
+       |SELECT label, CAST(n AS BIGINT) AS n_vectors,
+       |  ${Exact.sqlDround("eff_n", 6)} AS effective_n,
+       |  ${Exact.sqlDround(
+            "(CAST(inv_nano AS DOUBLE) / CAST(inv_sum AS DOUBLE) * CAST(n_classes AS DOUBLE))", 9)}
+       |    AS weight
+       |FROM s ORDER BY label""".stripMargin
+  }
+
   // === embedding drift between corpus halves ==============================
   /** sim7: per-label centroid drift between the early and late halves
     * of the embedding corpus (split at the median vec_id) — the
@@ -1845,6 +1907,7 @@ object Similarity {
     "hub1_knn_hubness" -> ((s: SparkSession, d: String) => knnHubness(s, d)),
     "cl1_cluster_purity" -> ((s: SparkSession, d: String) => clusterPurity(s, d)),
     "imb1_label_balance" -> labelBalance _,
+    "imb2_effective_weights" -> ((s: SparkSession, d: String) => effectiveNumberWeights(s, d)),
     "lp1_label_propagation" -> ((s: SparkSession, d: String) => labelPropagation(s, d)),
     "km1_kmeans_assign" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
     "km2_kmeans_update" -> ((s: SparkSession, d: String) => kmeansUpdate(s, d)),
@@ -1875,6 +1938,7 @@ object Similarity {
     "hub1_knn_hubness" -> knnHubnessSql(),
     "cl1_cluster_purity" -> clusterPuritySql(),
     "imb1_label_balance" -> labelBalanceSql,
+    "imb2_effective_weights" -> effectiveNumberWeightsSql(),
     "lp1_label_propagation" -> labelPropagationSql(),
     "km1_kmeans_assign" -> kmeansAssignSql(),
     "km2_kmeans_update" -> kmeansUpdateSql(),

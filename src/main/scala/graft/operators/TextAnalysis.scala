@@ -1178,6 +1178,61 @@ object TextAnalysis {
        |FROM c2 JOIN cx ON c2.w1 = cx.w1 JOIN pd ON c2.w2 = pd.w2 CROSS JOIN tot
        |ORDER BY pair_n DESC, c2.w1, c2.w2 LIMIT $kTop""".stripMargin
 
+  // === mix3: temperature-scaled source sampling =============================
+  /** mix3: temperature-scaled multinomial sampling weights per source —
+    * the multilingual/multi-source rebalancing recipe (XLM-R, mT5):
+    * q_i(α) = p_i^α / Σ_j p_j^α with p_i the source's token share and
+    * α = 0.7, plus the effective epoch count q_i·N/n_i a one-corpus-
+    * sized budget implies (low-resource sources read > 1 = upsampled).
+    * The single libm pow() per source is micros-rounded immediately
+    * (the txt11 argument — one rounding absorbs the last-ulp
+    * difference between the JVM's and the oracle's pow), so the
+    * normalization runs over exact integers. Shape at 100 TB: one
+    * token-count aggregate keyed on the bounded source set; everything
+    * after is windows over |sources| rows.
+    */
+  def temperatureMix(s: SparkSession, dir: String, alpha: Double = 0.7): DataFrame = {
+    val wAll = Window.partitionBy()
+    val base = Par.fanOut(t(s, dir, "documents").select(col("source"), col("text")))
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast(LongType)).as("toks"))
+      .withColumn("total", sum(col("toks")).over(wAll))
+    val p = col("toks").cast(DoubleType) / col("total").cast(DoubleType)
+    val scaled = base
+      .withColumn("w_micro",
+        floor(pow(p, lit(alpha)) * 1000000L + 0.5).cast(LongType))
+      .withColumn("w_total", sum(col("w_micro")).over(wAll))
+    val q = col("w_micro").cast(DoubleType) / col("w_total").cast(DoubleType)
+    scaled.select(col("source"), col("toks"),
+        Exact.dround(p, 9).as("p"),
+        col("w_micro"),
+        Exact.dround(q, 9).as("q"),
+        Exact.dround(q * col("total").cast(DoubleType) / col("toks").cast(DoubleType), 9)
+          .as("epochs"))
+      .orderedSmall(col("source"))
+  }
+
+  def temperatureMixSql(alpha: Double = 0.7): String =
+    s"""WITH base AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS toks
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT source, toks, SUM(toks) OVER () AS total FROM base),
+       |sc AS (
+       |  SELECT source, toks, total,
+       |    CAST(FLOOR(POWER(CAST(toks AS DOUBLE) / CAST(total AS DOUBLE), $alpha)
+       |      * 1000000 + 0.5) AS BIGINT) AS w_micro
+       |  FROM tot),
+       |nm AS (SELECT *, SUM(w_micro) OVER () AS w_total FROM sc)
+       |SELECT source, toks,
+       |  ${Exact.sqlDround("(CAST(toks AS DOUBLE) / CAST(total AS DOUBLE))", 9)} AS p,
+       |  w_micro,
+       |  ${Exact.sqlDround("(CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE))", 9)} AS q,
+       |  ${Exact.sqlDround(
+            "(CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE) * CAST(total AS DOUBLE) / CAST(toks AS DOUBLE))", 9)}
+       |    AS epochs
+       |FROM nm ORDER BY source""".stripMargin
+
   // === DSIR-style importance weights =======================================
   /** sel1: data-selection importance weights — per-document sum of
     * ln(p_target(tok)/p_corpus(tok)) under add-one-smoothed unigram
@@ -3114,6 +3169,7 @@ object TextAnalysis {
     "gram3_ngram_novelty" -> ((s: SparkSession, d: String) => ngramNovelty(s, d)),
     "pmi1_collocations" -> ((s: SparkSession, d: String) => pmiCollocations(s, d)),
     "mix2_token_allocation" -> tokenAllocation _,
+    "mix3_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "lm2_trigram_lm" -> ((s: SparkSession, d: String) => trigramLm(s, d)),
     "gram2_char_trigrams" -> ((s: SparkSession, d: String) => charTrigrams(s, d)),
     "shuf1_global_shuffle" -> ((s: SparkSession, d: String) => globalShuffle(s, d)),
@@ -3173,6 +3229,7 @@ object TextAnalysis {
     "gram3_ngram_novelty" -> ngramNoveltySql(),
     "pmi1_collocations" -> pmiCollocationsSql(),
     "mix2_token_allocation" -> tokenAllocationSql,
+    "mix3_temperature_mix" -> temperatureMixSql(),
     "lm2_trigram_lm" -> trigramLmSql(),
     "gram2_char_trigrams" -> charTrigramsSql(),
     "shuf1_global_shuffle" -> globalShuffleSql(),

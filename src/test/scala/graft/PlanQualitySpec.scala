@@ -401,8 +401,17 @@ class PlanQualitySpec extends SparkTestBase {
     // fd3: 8 bounded pairs; every join is distinct-keyed or a 1-row
     // cross of scalar aggregates — a row-level cartesian is a bug
     val fd = operators.Analytics.inclusionDeps(spark, sfDir)
+    // mix3 / imb2 / dq3: one scan into a bounded group-by, windows over
+    // |sources| / |labels| / 9 rows
+    val mx = operators.TextAnalysis.temperatureMix(spark, sfDir)
+    assert(countScans(mx) <= 1, s"mix3 scans: ${countScans(mx)}")
+    val iw = operators.Similarity.effectiveNumberWeights(spark, sfDir)
+    assert(countScans(iw) <= 1, s"imb2 scans: ${countScans(iw)}")
+    val bf = operators.Relational.benfordAudit(spark, sfDir)
+    assert(countScans(bf) <= 1, s"dq3 scans: ${countScans(bf)}")
     Seq("cal3" -> planOf(ce), "srch3" -> planOf(ql), "lm3" -> planOf(kn),
-        "fd3" -> planOf(fd)).foreach {
+        "fd3" -> planOf(fd), "mix3" -> planOf(mx), "imb2" -> planOf(iw),
+        "dq3" -> planOf(bf)).foreach {
       case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
     }
   }

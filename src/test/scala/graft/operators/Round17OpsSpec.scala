@@ -127,6 +127,77 @@ class Round17OpsSpec extends SparkTestBase {
     }
   }
 
+  test("mix3: temperature flattens the source distribution; alpha=1 is the identity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mix3").toString
+    // source A: 8 tokens, source B: 2 tokens -> p = 0.8 / 0.2
+    Seq((1L, "t t t t t", "A"), (2L, "t t t", "A"), (3L, "t t", "B"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def wMicro(p: Double, a: Double): Long = math.floor(math.pow(p, a) * 1e6 + 0.5).toLong
+    val r = TextAnalysis.temperatureMix(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5))).toMap
+    assert(r("A")._1 == 8L && r("B")._1 == 2L)
+    assert(r("A")._2 == 0.8 && r("B")._2 == 0.2)
+    assert(r("A")._3 == wMicro(0.8, 0.7) && r("B")._3 == wMicro(0.2, 0.7))
+    val (wa, wb) = (wMicro(0.8, 0.7).toDouble, wMicro(0.2, 0.7).toDouble)
+    assert(math.abs(r("A")._4 - wa / (wa + wb)) < 1e-9)
+    // the whole point of temperature: minority upsampled, majority down
+    assert(r("B")._4 > 0.2 && r("A")._4 < 0.8)
+    assert(r("B")._5 > 1.0 && r("A")._5 < 1.0, "B must read >1 effective epochs")
+    assert(math.abs(r("A")._4 + r("B")._4 - 1.0) < 1e-5)
+    // alpha = 1 reduces to the raw distribution
+    val id = TextAnalysis.temperatureMix(spark, dir, alpha = 1.0).collect()
+      .map(x => x.getString(0) -> (x.getDouble(4), x.getDouble(5))).toMap
+    assert(math.abs(id("A")._1 - 0.8) < 1e-5 && math.abs(id("B")._1 - 0.2) < 1e-5)
+    assert(math.abs(id("A")._2 - 1.0) < 1e-4 && math.abs(id("B")._2 - 1.0) < 1e-4)
+  }
+
+  test("imb2: hand-computed effective numbers; weights sum to the class count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("imb2").toString
+    Seq((1L, Array(0.1f), 0), (2L, Array(0.2f), 0), (3L, Array(0.3f), 0),
+      (4L, Array(0.4f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.effectiveNumberWeights(spark, dir).collect()
+      .map(x => x.getInt(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    // E_0 = (1 - 0.999^3)/0.001 via the micros route: beta^3 = 0.997002999
+    // -> 997003 micros -> (1000000 - 997003)/1000 = 2.997
+    assert(r(0)._1 == 3L && r(0)._2 == 2.997)
+    assert(r(1)._1 == 1L && r(1)._2 == 1.0)
+    // weights: inv_nano 333667000 / 1000000000, normalized x2 classes
+    val (i0, i1) = (333667000.0, 1.0e9)
+    assert(math.abs(r(0)._3 - i0 / (i0 + i1) * 2) < 1e-9, s"got ${r(0)._3}")
+    assert(math.abs(r(1)._3 - i1 / (i0 + i1) * 2) < 1e-9)
+    assert(r(1)._3 > r(0)._3, "the minority class must weigh more")
+    assert(math.abs(r(0)._3 + r(1)._3 - 2.0) < 1e-6, "weights sum to n_classes")
+  }
+
+  test("dq3: hand-computed Benford digits off the exact micros string") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq3").toString
+    // digits: 1.5 -> 1, 19.99 -> 1, 150.0 -> 1, 2.5 -> 2, 999.0 -> 9;
+    // 0 and negatives are out of Benford's domain and must be excluded
+    Seq((1L, 1.5), (2L, 19.99), (3L, 150.0), (4L, 2.5), (5L, 999.0),
+      (6L, 0.0), (7L, -5.0))
+      .toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val rows = Relational.benfordAudit(spark, dir)
+    val r = rows.collect().map(x => x.getInt(0) ->
+      (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r.keySet == Set(1, 2, 9))
+    assert(r(1)._1 == 3L && r(2)._1 == 1L && r(9)._1 == 1L)
+    assert(r(1)._2 == 0.6 && r(2)._2 == 0.2 && r(9)._2 == 0.2)
+    def exp(d: Int) = math.log10(1.0 + 1.0 / d)
+    def rnd(x: Double, s: Int) = math.floor(x * math.pow(10, s) + 0.5) / math.pow(10, s)
+    assert(r(1)._3 == rnd(exp(1), 9))
+    assert(r(9)._3 == rnd(exp(9), 9))
+    val chi1 = (0.6 - exp(1)) * (0.6 - exp(1)) / exp(1) * 5
+    assert(math.abs(r(1)._4 - chi1) < 1e-6, s"chi2 ${r(1)._4} vs $chi1")
+  }
+
   test("lm3: discounted mass property on the real corpus slice") {
     val rows = TextAnalysis.knBigramLm(spark, sfDir, kTop = 30).collect()
     assert(rows.length == 30)
