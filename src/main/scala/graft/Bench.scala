@@ -615,7 +615,8 @@ object Bench {
       "kcore1_knn_core", // 9 eager localCheckpoint peels at construction
       "fld2_cluster_split", // dd7's eager union-find engine at construction
       "ts8_theil_sen_trend", // bounded per-day aggregate collected at construction
-      "lm3_kneser_ney") // eager localCheckpoint + one-scalar count at construction
+      "lm3_kneser_ney", // eager localCheckpoint + one-scalar count at construction
+      "ev25_markov_stationary") // k×k transition matrix collected at construction
 
     val prepared = names.filterNot(driverStepped).flatMap { n =>
       try Some(n -> SparkEntry.queries(n)(spark, sfDir))

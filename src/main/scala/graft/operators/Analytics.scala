@@ -3095,7 +3095,91 @@ object Analytics {
        |FROM pairs ORDER BY dep""".stripMargin
   }
 
+  /** ev25: stationary distribution of the event-type Markov chain —
+    * where user behavior settles long-run (the steady-state companion
+    * of ev10's one-step transition matrix). Power iteration, made
+    * engine-exact: transition probabilities are integer micros via
+    * integer rounding ((n·1e6 + tot/2) div tot), the state vector stays
+    * integer micros, and each of the 12 fixed iterations is
+    * v'(t) = (Σ_f v(f)·p(f,t) + 5e5) div 1e6 — INTEGER arithmetic end
+    * to end, so Spark and the oracle agree bit-for-bit with no libm and
+    * no FP addition-order anywhere. States are the event types with
+    * outgoing transitions; the reported distribution is the final
+    * vector normalized once (one double division, 9-dp rounded).
+    * Shape at 100 TB: ONE events scan into a (user-partitioned lead +
+    * k²-bounded pair aggregate); the k×k matrix is bounded driver
+    * state (the ts8/BPE discipline) and the iteration is k²·12 driver
+    * multiplies.
+    */
+  def markovStationary(s: SparkSession, dir: String, iters: Int = 12): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val c2 = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // k² rows, k = |event types| — bounded driver state
+    val counts = c2.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tot = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val states = tot.keys.toSeq.sorted
+    val outSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("n_out", LongType),
+      StructField("stationary_micro", LongType), StructField("stationary", DoubleType)))
+    if (states.isEmpty)
+      return s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    val pMicro = counts.map { case ((f, tto), n) =>
+      (f, tto) -> ((BigInt(n) * 1000000 + tot(f) / 2) / tot(f)).toLong
+    }
+    var v = states.map(_ => 1000000L / states.size)
+    (1 to iters).foreach { _ =>
+      val cur = states.zip(v).toMap
+      v = states.map { tt =>
+        val sum = states.map(f => cur(f) * pMicro.getOrElse((f, tt), 0L)).sum
+        (sum + 500000L) / 1000000L
+      }
+    }
+    val mass = v.sum.toDouble
+    def rnd9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    val rows = states.zip(v).map { case (st, m) =>
+      org.apache.spark.sql.Row(st, tot(st), m, rnd9(m / mass))
+    }
+    s.createDataFrame(rows.asJava, outSchema)
+  }
+
+  def markovStationarySql(iters: Int = 12): String = {
+    val chain = (1 to iters).map { i =>
+      s"""v$i AS (
+         |  SELECT p.to_type AS t, (SUM(v${i - 1}.m * p.p_micro) + 500000) // 1000000 AS m
+         |  FROM v${i - 1} JOIN p ON v${i - 1}.t = p.from_type
+         |  WHERE p.to_type IN (SELECT from_type FROM tt)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |c2 AS (SELECT from_type, to_type, COUNT(*) AS n FROM pr
+       |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |tt AS (SELECT from_type, SUM(n) AS tot FROM c2 GROUP BY 1),
+       |p AS (SELECT c2.from_type, c2.to_type,
+       |        (CAST(n AS HUGEINT) * 1000000 + tot // 2) // tot AS p_micro
+       |      FROM c2 JOIN tt ON c2.from_type = tt.from_type),
+       |v0 AS (SELECT from_type AS t,
+       |         1000000 // (SELECT COUNT(*) FROM tt) AS m FROM tt),
+       |$chain
+       |SELECT tt.from_type AS event_type, CAST(tot AS BIGINT) AS n_out,
+       |  CAST(COALESCE(v$iters.m, 0) AS BIGINT) AS stationary_micro,
+       |  ${Exact.sqlDround(
+            s"(CAST(COALESCE(v$iters.m, 0) AS DOUBLE) / (SELECT CAST(SUM(m) AS DOUBLE) FROM v$iters))", 9)}
+       |    AS stationary
+       |FROM tt LEFT JOIN v$iters ON tt.from_type = v$iters.t
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev25_markov_stationary" -> ((s: SparkSession, d: String) => markovStationary(s, d)),
     "cal3_calibration_error" -> calibrationError _,
     "fd3_inclusion_deps" -> inclusionDeps _,
     "ev24_activity_streaks" -> activityStreaks _,
@@ -3149,6 +3233,7 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "ev25_markov_stationary" -> markovStationarySql(),
     "cal3_calibration_error" -> calibrationErrorSql,
     "fd3_inclusion_deps" -> inclusionDepsSql,
     "ks1_source_ks" -> sourceKsSql,

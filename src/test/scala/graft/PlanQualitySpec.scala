@@ -409,6 +409,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(countScans(iw) <= 1, s"imb2 scans: ${countScans(iw)}")
     val bf = operators.Relational.benfordAudit(spark, sfDir)
     assert(countScans(bf) <= 1, s"dq3 scans: ${countScans(bf)}")
+    // ev25: the k×k matrix is bounded driver state; the emitted frame
+    // is a LocalRelation — a parquet scan here means the events chain
+    // leaked into the output plan
+    val mk = operators.Analytics.markovStationary(spark, sfDir)
+    assert(!planOf(mk).contains("Scan parquet"),
+      "ev25 must emit a LocalRelation, not re-scan events")
     Seq("cal3" -> planOf(ce), "srch3" -> planOf(ql), "lm3" -> planOf(kn),
         "fd3" -> planOf(fd), "mix3" -> planOf(mx), "imb2" -> planOf(iw),
         "dq3" -> planOf(bf)).foreach {

@@ -198,6 +198,56 @@ class Round17OpsSpec extends SparkTestBase {
     assert(math.abs(r(1)._4 - chi1) < 1e-6, s"chi2 ${r(1)._4} vs $chi1")
   }
 
+  test("ev25: hand-built two-state chain converges to the known stationary distribution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ev25").toString
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: A B B B B  -> A->B, B->B x3 ; user 2: B A -> B->A
+    // P(A->B)=1.0, P(B->B)=0.75, P(B->A)=0.25 ; stationary = (0.2, 0.8)
+    val ev = Seq(
+      (1L, ts(1), 1L, "A", 1.0, "{}"), (2L, ts(2), 1L, "B", 1.0, "{}"),
+      (3L, ts(3), 1L, "B", 1.0, "{}"), (4L, ts(4), 1L, "B", 1.0, "{}"),
+      (5L, ts(5), 1L, "B", 1.0, "{}"),
+      (6L, ts(1), 2L, "B", 1.0, "{}"), (7L, ts(2), 2L, "A", 1.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val r = Analytics.markovStationary(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r.keySet == Set("A", "B"))
+    assert(r("A")._1 == 1L && r("B")._1 == 4L) // outgoing transition counts
+    // independent replay of the exact integer recurrence
+    var (va, vb) = (500000L, 500000L)
+    (1 to 12).foreach { _ =>
+      val na = (vb * 250000L + 500000L) / 1000000L
+      val nb = (va * 1000000L + vb * 750000L + 500000L) / 1000000L
+      va = na; vb = nb
+    }
+    assert(r("A")._2 == va && r("B")._2 == vb,
+      s"integer recurrence diverged: got ${r("A")._2}/${r("B")._2}, want $va/$vb")
+    assert(math.abs(r("A")._3 - 0.2) < 1e-3 && math.abs(r("B")._3 - 0.8) < 1e-3,
+      s"stationary ${r("A")._3}/${r("B")._3} should approach (0.2, 0.8)")
+    assert(math.abs(r("A")._3 + r("B")._3 - 1.0) < 1e-9, "normalized exactly once")
+  }
+
+  test("ev25: uniform chain stays uniform; distribution sums to 1 on real events") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ev25u").toString
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // A->A, A->B, B->A, B->B each once: doubly-stochastic -> uniform fixed point
+    val ev = Seq(
+      (1L, ts(1), 1L, "A", 1.0, "{}"), (2L, ts(2), 1L, "A", 1.0, "{}"),
+      (3L, ts(3), 1L, "B", 1.0, "{}"), (4L, ts(4), 1L, "B", 1.0, "{}"),
+      (5L, ts(5), 1L, "A", 1.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val r = Analytics.markovStationary(spark, dir).collect()
+    assert(r.map(_.getDouble(3)).forall(x => math.abs(x - 0.5) < 1e-5), r.mkString(","))
+    val real = Analytics.markovStationary(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    assert(math.abs(real.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+    assert(real.forall(_.getDouble(3) >= 0.0))
+  }
+
   test("lm3: discounted mass property on the real corpus slice") {
     val rows = TextAnalysis.knBigramLm(spark, sfDir, kTop = 30).collect()
     assert(rows.length == 30)
