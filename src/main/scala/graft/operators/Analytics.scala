@@ -3117,7 +3117,9 @@ object Analytics {
     val c2 = t(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
+      // a NULL event_type would NPE the driver's sorted state list (and
+      // is no Markov state anyway) — dropped identically on both sides
+      .filter(col("event_type").isNotNull && col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
       .collect() // k² rows, k = |event types| — bounded driver state
@@ -3142,8 +3144,12 @@ object Analytics {
     }
     val mass = v.sum.toDouble
     def rnd9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    // zero mass (every state's inflow rounded away — a chain whose
+    // successors all leave the state space) normalizes to NULL, not
+    // NaN, matching the oracle's CASE guard
     val rows = states.zip(v).map { case (st, m) =>
-      org.apache.spark.sql.Row(st, tot(st), m, rnd9(m / mass))
+      org.apache.spark.sql.Row(st, tot(st), m,
+        if (mass > 0) rnd9(m / mass) else null)
     }
     s.createDataFrame(rows.asJava, outSchema)
   }
@@ -3161,20 +3167,21 @@ object Analytics {
        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
        |  FROM events),
        |c2 AS (SELECT from_type, to_type, COUNT(*) AS n FROM pr
-       |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |       WHERE from_type IS NOT NULL AND to_type IS NOT NULL GROUP BY 1, 2),
        |tt AS (SELECT from_type, SUM(n) AS tot FROM c2 GROUP BY 1),
        |p AS (SELECT c2.from_type, c2.to_type,
        |        (CAST(n AS HUGEINT) * 1000000 + tot // 2) // tot AS p_micro
        |      FROM c2 JOIN tt ON c2.from_type = tt.from_type),
        |v0 AS (SELECT from_type AS t,
        |         1000000 // (SELECT COUNT(*) FROM tt) AS m FROM tt),
-       |$chain
+       |$chain,
+       |ms AS (SELECT SUM(m) AS mass FROM v$iters)
        |SELECT tt.from_type AS event_type, CAST(tot AS BIGINT) AS n_out,
        |  CAST(COALESCE(v$iters.m, 0) AS BIGINT) AS stationary_micro,
-       |  ${Exact.sqlDround(
-            s"(CAST(COALESCE(v$iters.m, 0) AS DOUBLE) / (SELECT CAST(SUM(m) AS DOUBLE) FROM v$iters))", 9)}
-       |    AS stationary
-       |FROM tt LEFT JOIN v$iters ON tt.from_type = v$iters.t
+       |  CASE WHEN mass > 0 THEN ${Exact.sqlDround(
+            s"(CAST(COALESCE(v$iters.m, 0) AS DOUBLE) / CAST(mass AS DOUBLE))", 9)}
+       |    ELSE NULL END AS stationary
+       |FROM tt LEFT JOIN v$iters ON tt.from_type = v$iters.t CROSS JOIN ms
        |ORDER BY event_type""".stripMargin
   }
 

@@ -1340,7 +1340,11 @@ object Similarity {
   }
 
   def effectiveNumberWeightsSql(beta: Double = 0.999): String = {
-    val denom = (1.0 - beta) * 1000000.0
+    // (1-0.999)*1e6 prints 17 significant digits; as a bare literal
+    // DuckDB types it DECIMAL(17,13) and converts 1 ulp off the JVM
+    // double — string->double is its one correctly-rounded route (the
+    // dq3/sqlToUnits argument; review r17 caught the bare form)
+    val denom = s"CAST('${(1.0 - beta) * 1000000.0}' AS DOUBLE)"
     s"""WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
        |b AS (
        |  SELECT label, n,

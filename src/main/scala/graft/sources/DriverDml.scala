@@ -23,6 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object DriverDml {
 
+  /** Is the session's effective timezone UTC? Gates every string→
+    * date/timestamp coercion on the fast path (only UTC's rules are
+    * replicated driver-side) — one shared definition so a future
+    * alias fix ("Etc/UTC", "GMT") lands in one place.
+    */
+  def utcSession(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID) == "UTC"
+
   /** The fast path handles exactly these leaf types; anything else
     * (wide decimals, nested, binary) falls back to the planned path.
     * Widened r17 (VERDICT r16 #5): date (INT32 days), timestamp (INT64

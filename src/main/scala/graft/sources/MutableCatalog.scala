@@ -378,9 +378,8 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
           // an unsupported column type) falls through to the planned
           // path below; DuplicateKeyException propagates identically.
           if (txn.isEmpty) {
-            val utc = spark.conf.get("spark.sql.session.timeZone",
-              java.util.TimeZone.getDefault.getID) == "UTC"
-            DriverDml.parseValuesAligned(values, t.schema, explicitFast, utc)
+            DriverDml.parseValuesAligned(values, t.schema, explicitFast,
+              DriverDml.utcSession(spark))
               .flatMap(t.insertRowsDirect) match {
               case Some(n) =>
                 refresh(table)

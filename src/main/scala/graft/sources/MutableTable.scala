@@ -466,13 +466,12 @@ final class MutableTable private (
       catch { case _: Exception => None }).getOrElse(return None)
     val bound = DriverDml.bind(resolved, schema).getOrElse(return None)
     // fold SET assignments before any IO (UPDATE only)
+    val utc = DriverDml.utcSession(spark) // once per statement, not per SET column
     val assignments: Option[Seq[(Int, Any)]] = set.map { m =>
       m.toSeq.map { case (k, c) =>
         val i = schema.fieldIndex(k)
         val e = try org.apache.spark.sql.graft.bridge.unresolvedExpression(c)
           catch { case _: Exception => return None }
-        val utc = spark.conf.get("spark.sql.session.timeZone",
-          java.util.TimeZone.getDefault.getID) == "UTC"
         i -> DriverDml.foldAssignment(e, schema.fields(i).dataType, utc).getOrElse(return None)
       }
     }
