@@ -489,10 +489,22 @@ object Bench {
         f"slowest ${slow.headOption.map(s => f"${s.name} ${s.ms}%.0f ms").getOrElse("-")}" +
         f"${if (!WindowVerdict.metersClean(m)) " SUSPECT" else ""})")
     }
-    (1 to windowCount).foreach(_ => measureWindow())
+    // a GC-flagged window leaves the heap it choked on — shed before
+    // the next attempt so the chase loop can actually find clean
+    // windows when the cause is accumulation rather than environment
+    // (an environmental cause re-flags and the PSI/heap meters name it)
+    def shedIfGcSuspect(): Unit =
+      if (windows.lastOption.map(_.m).flatMap(WindowVerdict.absoluteInternalCause)
+          .exists(_.startsWith("gc_pause"))) {
+        System.err.println("[bench] GC-suspect window: shedding heap before the next")
+        System.gc(); Thread.sleep(1000)
+      }
+    measureWindow()
+    (2 to windowCount).foreach { _ => shedIfGcSuspect(); measureWindow() }
     while (verdict.cleanIdx.size < windowCount &&
-        windows.size < windowCount + maxExtraWindows)
-      measureWindow()
+        windows.size < windowCount + maxExtraWindows) {
+      shedIfGcSuspect(); measureWindow()
+    }
     loadBefore += loadAvg1m(); cpuBefore += procCpuSec() // post-final-window sample
 
     val runVerdict = verdict
