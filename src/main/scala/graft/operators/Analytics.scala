@@ -2970,6 +2970,174 @@ object Analytics {
        |SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_users
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ts9: Mann–Kendall monotonic-trend test over ts8's daily frame —
+    * the nonparametric significance companion to the Theil–Sen slope
+    * (Mann 1945, Kendall 1975): S = Σ_{i<j} sign(y_j − y_i) over the
+    * day-ordered per-day exact-micros sums, with the tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 and the
+    * continuity-corrected z = (S ∓ 1)/√Var(S). S, n and the variance
+    * NUMERATOR (var_s_x18 = 18·Var(S)) are pure integers — bit-equal
+    * across engines by construction; z is a fixed IEEE sequence
+    * (exact-int→double, /18.0, sqrt, one division), 9-dp rounded.
+    * All-tied series (Var = 0) report NULL z.
+    * Shape at 100 TB: ONE events scan into the bounded per-day
+    * aggregate (one row per calendar day — the ts8/BPE driver-state
+    * discipline); the C(days,2) sign pairs and the tie groups run over
+    * a LocalRelation, never the raw events.
+    */
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dayUs = 86400000000L
+    val daily = t(s, dir, "events")
+      .select(expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $dayUs)) div $dayUs").as("day"),
+        Exact.micros(col("value")).as("ym"))
+      .filter(col("day").isNotNull) // NULL ts ⇒ NULL day: no calendar day (ts8 parity)
+      .groupBy(col("day")).agg(sum(col("ym").cast(Exact.D380)).as("sym"))
+      .filter(col("sym").isNotNull) // all-NULL day sums drop on both engines
+      .collect()
+    val outSchema = StructType(Seq(
+      StructField("n_days", LongType), StructField("s_stat", LongType),
+      StructField("var_s_x18", LongType), StructField("mk_z", DoubleType)))
+    if (daily.length < 2)
+      return s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    val baseSchema = StructType(Seq(
+      StructField("x", LongType), StructField("sym", Exact.D380)))
+    val base = s.createDataFrame(
+      daily.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getDecimal(1))).toSeq.asJava,
+      baseSchema)
+    val sgn = when(col("b.sym") > col("a.sym"), lit(1L))
+      .when(col("b.sym") < col("a.sym"), lit(-1L)).otherwise(lit(0L))
+    val sRow = base.as("a").join(base.as("b"), col("a.x") < col("b.x"))
+      .agg(coalesce(sum(sgn), lit(0L)).as("s_stat"))
+    val tieRow = base.groupBy(col("sym")).agg(count(lit(1)).as("tt"))
+      .agg(coalesce(sum(col("tt") * (col("tt") - 1) * (col("tt") * 2 + 5)), lit(0L))
+        .as("tie_x18"))
+    val nRow = base.agg(count(lit(1)).as("n_days"))
+    val n = col("n_days")
+    val zRaw = (when(col("s_stat") > 0, col("s_stat") - 1)
+      .when(col("s_stat") < 0, col("s_stat") + 1).otherwise(lit(0L))).cast(DoubleType) /
+      sqrt(col("var_s_x18").cast(DoubleType) / lit(18.0))
+    nRow.crossJoin(sRow).crossJoin(tieRow)
+      .withColumn("var_s_x18", n * (n - 1) * (n * 2 + 5) - col("tie_x18"))
+      .select(col("n_days"), col("s_stat"), col("var_s_x18"),
+        when(col("var_s_x18") === 0, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(zRaw, 9)).as("mk_z"))
+  }
+
+  val mannKendallSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) AS sym
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |  HAVING SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) IS NOT NULL),
+       |sp AS (
+       |  SELECT COALESCE(SUM(CASE WHEN b.sym > a.sym THEN 1
+       |                           WHEN b.sym < a.sym THEN -1 ELSE 0 END), 0) AS s_stat
+       |  FROM daily a JOIN daily b ON a.day < b.day),
+       |tg AS (SELECT sym, COUNT(*) AS tt FROM daily GROUP BY 1),
+       |tie AS (SELECT COALESCE(SUM(tt*(tt-1)*(2*tt+5)), 0) AS tie_x18 FROM tg),
+       |nn AS (SELECT COUNT(*) AS n FROM daily),
+       |v AS (SELECT n, s_stat, n*(n-1)*(2*n+5) - tie_x18 AS var_x18
+       |      FROM nn CROSS JOIN sp CROSS JOIN tie)
+       |SELECT CAST(n AS BIGINT) AS n_days, CAST(s_stat AS BIGINT) AS s_stat,
+       |  CAST(var_x18 AS BIGINT) AS var_s_x18,
+       |  CASE WHEN var_x18 = 0 THEN NULL ELSE ${Exact.sqlDround(
+           "(CASE WHEN s_stat > 0 THEN s_stat - 1 WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END)" +
+             " / sqrt(CAST(var_x18 AS DOUBLE) / 18.0)", 9)} END AS mk_z
+       |FROM v WHERE n >= 2""".stripMargin
+
+  /** corr3: Spearman rank correlation between the two daily business
+    * series — per-day event value total vs per-day order revenue
+    * (inner-joined on calendar day). Ties use standard AVERAGE ranks,
+    * kept exact by the doubling trick (exp4's): 2·avgrank over a tie
+    * group spanning ranks [lo, lo+t−1] is lo + (lo+t−1) = 2·rank() +
+    * count(*)−1 — an INTEGER. Spearman = Pearson over the doubled ranks
+    * (rank correlation is affine-invariant), from exact integer power
+    * sums with stat2's fixed IEEE tail (convert, multiply, sqrt,
+    * divide — bit-identical across engines). Degenerate series (either
+    * variable constant) report NULL.
+    * Shape at 100 TB: two independent one-scan per-day aggregates
+    * (events, orders), joined on the calendar-bounded day key; the rank
+    * windows order the ≤days-row joined frame (the ts8 discipline —
+    * bounded by calendar days, not corpus bytes).
+    */
+  def spearmanDaily(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    def day(c: Column) = expr(s"(unix_micros(${c.toString}) - pmod(unix_micros(${c.toString}), $dayUs)) div $dayUs")
+    val ev = t(s, dir, "events")
+      .select(day(col("ts")).as("day"), Exact.micros(col("value")).as("vm"))
+      .filter(col("day").isNotNull)
+      .groupBy(col("day")).agg(sum(col("vm").cast(Exact.D380)).as("xv"))
+      .filter(col("xv").isNotNull)
+    val or = t(s, dir, "orders")
+      .select(day(col("o_orderdate")).as("day"), Exact.micros(col("o_totalprice")).as("pm"))
+      .filter(col("day").isNotNull)
+      .groupBy(col("day")).agg(sum(col("pm").cast(Exact.D380)).as("yv"))
+      .filter(col("yv").isNotNull)
+    val joined = ev.join(or, "day")
+    def r2(v: String) = // doubled average rank: 2*rank + (tiecount - 1)
+      rank().over(Window.orderBy(col(v))) * 2 +
+        count(lit(1)).over(Window.partitionBy(col(v))) - 1
+    val ranked = joined
+      .select(col("day"), r2("xv").cast(LongType).as("rx"), r2("yv").cast(LongType).as("ry"))
+    ranked.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("ry")).as("sxy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"))
+      .select(col("n_days"), {
+        val nd = col("n_days").cast(DoubleType)
+        def d(c: String) = col(c).cast(DoubleType)
+        val d1 = nd * d("sxx") - d("sx") * d("sx")
+        val d2 = nd * d("syy") - d("sy") * d("sy")
+        when(col("n_days") < 2 || d1 === 0.0 || d2 === 0.0, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(
+            (nd * d("sxy") - d("sx") * d("sy")) / (sqrt(d1) * sqrt(d2)), 9))
+          .as("spearman_rho")
+      })
+  }
+
+  val spearmanDailySql: String =
+    s"""WITH ev AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) AS xv
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |  HAVING SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) IS NOT NULL),
+       |orr AS (
+       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+       |    SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) AS yv
+       |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+       |  HAVING SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) IS NOT NULL),
+       |j AS (SELECT ev.day, xv, yv FROM ev JOIN orr ON ev.day = orr.day),
+       |ranked AS (
+       |  SELECT day,
+       |    CAST(2 * rank() OVER (ORDER BY xv) + COUNT(*) OVER (PARTITION BY xv) - 1 AS BIGINT) AS rx,
+       |    CAST(2 * rank() OVER (ORDER BY yv) + COUNT(*) OVER (PARTITION BY yv) - 1 AS BIGINT) AS ry
+       |  FROM j),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+       |    CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+       |    CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+       |    CAST(SUM(ry * ry) AS BIGINT) AS syy
+       |  FROM ranked)
+       |SELECT n_days,
+       |  CASE WHEN n_days < 2
+       |         OR CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+       |         OR CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
+       |    THEN NULL ELSE ${Exact.sqlDround(
+           """(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |       / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |          * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin, 9)}
+       |  END AS spearman_rho
+       |FROM agg""".stripMargin
+
   /** cal3: expected / maximum calibration error of the quality
     * classifier — the single-number summary the cal1 reliability
     * diagram and cal2's Brier split feed (Naeini et al. 2015): ECE =
@@ -3186,6 +3354,8 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts9_mann_kendall" -> mannKendall _,
+    "corr3_spearman_daily" -> spearmanDaily _,
     "ev25_markov_stationary" -> ((s: SparkSession, d: String) => markovStationary(s, d)),
     "cal3_calibration_error" -> calibrationError _,
     "fd3_inclusion_deps" -> inclusionDeps _,
@@ -3240,6 +3410,8 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "ts9_mann_kendall" -> mannKendallSql,
+    "corr3_spearman_daily" -> spearmanDailySql,
     "ev25_markov_stationary" -> markovStationarySql(),
     "cal3_calibration_error" -> calibrationErrorSql,
     "fd3_inclusion_deps" -> inclusionDepsSql,

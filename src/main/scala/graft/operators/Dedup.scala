@@ -1073,7 +1073,89 @@ object Dedup {
        |FROM agg ORDER BY fold_lo, fold_hi""".stripMargin
   }
 
+  // === dd16: winnowing fingerprint pairs ===================================
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD
+    * 2003 — the MOSS local-fingerprinting algorithm): hash every
+    * positioned 3-token shingle (md5 — the engine-portable family dd3
+    * uses) and select the MINIMUM hash of each window of w=4 consecutive
+    * positions; the distinct selected hashes are the document's
+    * fingerprint set. The guarantee local sampling (span1) lacks: any
+    * shared token run of length w+k−1 = 6 is CAUGHT by at least one
+    * shared fingerprint, while only ~2/(w+1) of all hashes are kept.
+    * Output: pairs sharing ≥ 2 fingerprints, scored by
+    * shared / min(|fp_a|, |fp_b|) (containment over the winnowed sets).
+    *
+    * Shape at 100 TB: one corpus scan → map-only positioned hashing →
+    * per-doc forward-frame window (partition-parallel by doc) →
+    * distinct → inverted-index self-join on the fingerprint (the dd2
+    * shape; exchange width pinned — AQE sizes by input bytes and this
+    * join's OUTPUT explodes) → bounded pair aggregate.
+    */
+  def winnowPairs(s: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    def el(i: Column) = element_at(col("toks"), i)
+    val hp = fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => md5(concat_ws(" ", el(i), el(i + 1), el(i + 2))))).as(Seq("pos", "h")))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val frame = perDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
+    val fp = hp
+      .withColumn("cnt", count(lit(1)).over(perDoc))
+      .withColumn("fp", min(col("h")).over(frame))
+      .filter(col("pos") <= col("cnt") - w) // full windows only (pos is 0-based)
+      .select(col("doc_id"), col("fp")).distinct()
+      .repartition(shuffleWidth(hp), col("fp"))
+    val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    fp.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(nfp.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")), "doc_a")
+      .join(nfp.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")), "doc_b")
+      .withColumn("overlap",
+        col("n_shared").cast(DoubleType) / least(col("n_fp_a"), col("n_fp_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"), col("overlap"))
+      .orderBy(col("overlap").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  def winnowPairsSql(w: Int = 4): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |hp AS (
+       |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+       |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+       |      i -> {'pos': i, 'h': md5(concat_ws(' ', t[i], t[i+1], t[i+2]))})) AS u
+       |    FROM toks WHERE len(t) >= 3) s),
+       |wm AS (
+       |  SELECT doc_id, pos,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+       |  FROM hp),
+       |fp AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= cnt - $w + 1),
+       |nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       |  CAST(na.n_fp AS BIGINT) AS n_fp_a, CAST(nb.n_fp AS BIGINT) AS n_fp_b,
+       |  CAST(n_shared AS DOUBLE) / LEAST(na.n_fp, nb.n_fp) AS overlap
+       |FROM pairs
+       | JOIN nfp na ON na.doc_id = doc_a
+       | JOIN nfp nb ON nb.doc_id = doc_b
+       |WHERE n_shared >= 2
+       |ORDER BY overlap DESC, doc_a, doc_b LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd16_winnow_pairs" -> ((s: SparkSession, d: String) => winnowPairs(s, d)),
     "leak1_split_leakage" -> splitLeakage _,
     "dd13_url_canonical" -> urlCanonicalDedup _,
     "fld2_cluster_split" -> ((s: SparkSession, d: String) => clusterSplit(s, d)),
@@ -1096,6 +1178,7 @@ object Dedup {
     * DuckDB oracle regenerates identical signatures.
     */
   val oracles: Map[String, String] = Map(
+    "dd16_winnow_pairs" -> winnowPairsSql(),
     "leak1_split_leakage" -> splitLeakageSql,
     "dd13_url_canonical" -> urlCanonicalDedupSql,
     "fld2_cluster_split" -> clusterSplitSql(),

@@ -3163,7 +3163,96 @@ object TextAnalysis {
        |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
        |FROM r WHERE rk <= $k ORDER BY source, rk""".stripMargin
 
+  /** fs1: χ² token–source association — the classic feature-selection
+    * statistic (Manning–Schütze §5.3.3): for each high-frequency token,
+    * does its occurrence distribution across sources diverge from the
+    * corpus-wide source shares? Computed EXACTLY via the contingency-row
+    * identity χ²_t = N·Σ_s O_ts²/(N_t·N_s) − N_t (absent sources
+    * contribute only through the −N_t term, so zero cells never need
+    * generating): each cell's term is the integer pico-quotient
+    * (O²·10¹²) div (N_t·N_s) in DECIMAL(38,0)/HUGEINT — identical floor
+    * division on both engines — and χ²·10⁶ = (N·Σpico − N_t·10¹²)
+    * div 10⁶, clamped at 0 against floor underflow. Deterministic to
+    * the bit; absolute error < N·|sources|/10¹² (≪ 1e-3 at any SF the
+    * gate runs).
+    * Shape at 100 TB: ONE corpus scan → map-side-combinable
+    * (token, source) count; everything after runs on vocabulary-bounded
+    * tables (the tok4 discipline — the top-K rank window orders token
+    * TOTALS, never occurrences; the clv1 bucket-histogram rank swaps in
+    * if the vocabulary outgrows a task). Exact-integer bound: N·N_t
+    * must fit DECIMAL(38,0) — beyond ~10¹⁹ token-occurrences the audit
+    * runs per shard.
+    */
+  def chi2Tokens(s: SparkSession, dir: String, topK: Int = 40): DataFrame = {
+    import Par.BoundedOrder
+    // ONE corpus scan; every derived total rides a window over the
+    // vocabulary-bounded (token, source) count table in the SAME chain —
+    // separate groupBys re-scan the corpus per consumer (the round-11
+    // star-shape lesson: per-branch pruning defeats exchange reuse)
+    val tokSrc = Par.fanOut(t(s, dir, "documents").select(col("source"), col("text")))
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"), col("source")).agg(count(lit(1)).as("o"))
+    val base = tokSrc
+      .withColumn("nr", sum(col("o")).over(Window.partitionBy(col("token"))))
+      .withColumn("nc", sum(col("o")).over(Window.partitionBy(col("source"))))
+      .withColumn("nn", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("srk", dense_rank().over(Window.orderBy(col("source"))))
+      .withColumn("n_sources", max(col("srk")).over(Window.partitionBy()))
+      // dense_rank over (nr desc, token) on (token, source) rows IS the
+      // token's rank among distinct tokens — tie rows share the key
+      .withColumn("trk", dense_rank().over(Window.orderBy(col("nr").desc, col("token"))))
+      .filter(col("trk") <= topK)
+    val pico = expr(
+      "(CAST(o AS DECIMAL(38,0)) * o * 1000000000000) div (CAST(nr AS DECIMAL(38,0)) * nc)")
+    base
+      .groupBy(col("token"))
+      .agg(max(col("nr")).as("n_token"), max(col("nn")).as("nn"),
+        max(col("n_sources")).as("n_sources"), sum(pico).as("tpico"))
+      .select(col("token"), col("n_token"),
+        (col("n_sources") - 1).cast(LongType).as("df"),
+        greatest(lit(0L), expr(
+          "(CAST(nn AS DECIMAL(38,0)) * tpico - CAST(n_token AS DECIMAL(38,0)) * 1000000000000) div 1000000"))
+          .as("chi2_micros"))
+      .withColumn("chi2", col("chi2_micros").cast(DoubleType) / lit(1000000.0))
+      .orderedSmall(col("chi2_micros").desc, col("token"))
+  }
+
+  def chi2TokensSql(topK: Int = 40): String =
+    s"""WITH ts AS (
+       |  SELECT source, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+       |  FROM documents),
+       |toksrc AS (
+       |  SELECT token, source, COUNT(*) AS o FROM ts WHERE len(token) > 0 GROUP BY 1, 2),
+       |tok_tot AS (SELECT token, SUM(o) AS nr FROM toksrc GROUP BY 1),
+       |src_tot AS (SELECT source, SUM(o) AS nc FROM toksrc GROUP BY 1),
+       |ntot AS (SELECT SUM(nc) AS nn, COUNT(*) AS n_sources FROM src_tot),
+       |top AS (
+       |  SELECT token, nr FROM (
+       |    SELECT token, nr, row_number() OVER (ORDER BY nr DESC, token) AS rk FROM tok_tot)
+       |  WHERE rk <= $topK),
+       |agg AS (
+       |  SELECT c.token, MAX(top.nr) AS n_token, MAX(nn) AS nn,
+       |    MAX(n_sources) AS n_sources,
+       |    SUM((CAST(o AS HUGEINT) * o * 1000000000000) // (CAST(top.nr AS HUGEINT) * st.nc))
+       |      AS tpico
+       |  FROM toksrc c
+       |   JOIN top ON top.token = c.token
+       |   JOIN src_tot st ON st.source = c.source
+       |   CROSS JOIN ntot
+       |  GROUP BY 1),
+       |fin AS (
+       |  SELECT token, CAST(n_token AS BIGINT) AS n_token,
+       |    CAST(n_sources - 1 AS BIGINT) AS df,
+       |    CAST(GREATEST(0, (CAST(nn AS HUGEINT) * tpico
+       |      - CAST(n_token AS HUGEINT) * 1000000000000) // 1000000) AS BIGINT) AS chi2_micros
+       |  FROM agg)
+       |SELECT token, n_token, df, chi2_micros,
+       |  CAST(chi2_micros AS DOUBLE) / 1000000.0 AS chi2
+       |FROM fin ORDER BY chi2_micros DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs1_chi2_tokens" -> ((s: SparkSession, d: String) => chi2Tokens(s, d)),
     "tok8_truncation_loss" -> ((s: SparkSession, d: String) => truncationLoss(s, d)),
     "smp5_reservoir_sample" -> ((s: SparkSession, d: String) => reservoirSample(s, d)),
     "gram3_ngram_novelty" -> ((s: SparkSession, d: String) => ngramNovelty(s, d)),
@@ -3226,6 +3315,7 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "fs1_chi2_tokens" -> chi2TokensSql(),
     "gram3_ngram_novelty" -> ngramNoveltySql(),
     "pmi1_collocations" -> pmiCollocationsSql(),
     "mix2_token_allocation" -> tokenAllocationSql,

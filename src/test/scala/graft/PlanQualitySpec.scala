@@ -422,6 +422,32 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("round-18 additions: scan counts bounded, LocalRelation emissions, no cartesians") {
+    // ts9: like ts8, the daily aggregate is bounded driver state — the
+    // sign-pair join and tie groups read only the LocalRelation
+    val mk = operators.Analytics.mannKendall(spark, sfDir)
+    assert(!planOf(mk).contains("Scan parquet"),
+      "ts9 must not re-scan events: pairs and ties read the LocalRelation")
+    // corr3: ONE events scan + ONE orders scan into per-day aggregates;
+    // ranks and moments ride the day-bounded joined frame
+    val sp = operators.Analytics.spearmanDaily(spark, sfDir)
+    assert(countScans(sp) <= 2, s"corr3 scans: ${countScans(sp)}")
+    // fs1: ONE corpus scan; every total is a window over the SAME
+    // vocabulary-bounded (token, source) chain (separate groupBys would
+    // re-scan the corpus per consumer — the round-11 star-shape lesson)
+    val ch = operators.TextAnalysis.chi2Tokens(spark, sfDir)
+    assert(countScans(ch) <= 1, s"fs1 scans: ${countScans(ch)}")
+    // dd16: the fingerprint stream feeds the two join sides and the
+    // per-doc counts — the dd2 inverted-index budget (<= 3 scans), with
+    // the fan-out exchange pinned inside winnowPairs
+    val wn = operators.Dedup.winnowPairs(spark, sfDir)
+    assert(countScans(wn) <= 3, s"dd16 scans: ${countScans(wn)}")
+    Seq("ts9" -> planOf(mk), "corr3" -> planOf(sp), "fs1" -> planOf(ch),
+        "dd16" -> planOf(wn)).foreach {
+      case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
+    }
+  }
+
   test("round-15 additions: two corpus scans each, exchanges reused, no cartesians") {
     // pmi1: ONE unigram + ONE bigram pass; the w1/w2 joins and both
     // totals REUSE those aggregates' exchanges (the first cut's

@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand fixtures for the round-18 operators: ts9 (Mann–Kendall trend
+  * test), corr3 (Spearman rank correlation of the daily series), dd16
+  * (winnowing fingerprint pairs), fs1 (χ² token–source association).
+  * Each pins exact values computed by hand or by an INDEPENDENT
+  * implementation inside the spec (MessageDigest md5, textbook
+  * formulas) — the DuckDB oracle is the third anchor, checked by the
+  * driver gate.
+  */
+class Round18OpsSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def tsOfDay(d: Int): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(d.toLong * 86400))
+
+  private def rnd9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+
+  // === ts9 ================================================================
+
+  private def runMk(dailyVals: Seq[Seq[Double]]): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    val dir = tmp("ts9")
+    dailyVals.zipWithIndex
+      .flatMap { case (vs, d) => vs.map(v => (tsOfDay(d), v)) }
+      .toDF("ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val rows = Analytics.mannKendall(spark, dir).collect()
+    assert(rows.length == 1)
+    rows.head
+  }
+
+  test("ts9: rising series — S = C(n,2), no ties, continuity-corrected z") {
+    // day sums 1.0, 2.0, 3.0 (day 0 aggregates two events: 0.25 + 0.75)
+    val r = runMk(Seq(Seq(0.25, 0.75), Seq(2.0), Seq(3.0)))
+    assert(r.getLong(0) == 3L) // n_days
+    assert(r.getLong(1) == 3L) // S: every pair rises
+    assert(r.getLong(2) == 66L) // 18*Var = n(n-1)(2n+5) = 3*2*11
+    assert(r.getDouble(3) == rnd9(2.0 / math.sqrt(66.0 / 18.0)), s"z ${r.getDouble(3)}")
+  }
+
+  test("ts9: falling series mirrors the sign and the +1 continuity branch") {
+    val r = runMk(Seq(Seq(3.0), Seq(2.0), Seq(1.0)))
+    assert(r.getLong(1) == -3L)
+    assert(r.getLong(2) == 66L)
+    assert(r.getDouble(3) == rnd9(-2.0 / math.sqrt(66.0 / 18.0)))
+  }
+
+  test("ts9: tied values shrink Var(S) by t(t-1)(2t+5)") {
+    // day sums 1, 1, 2: S = 0 + 1 + 1 = 2; one tie group of 2 -> 18
+    val r = runMk(Seq(Seq(1.0), Seq(1.0), Seq(2.0)))
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 48L, "66 - 2*1*9")
+    assert(r.getDouble(3) == rnd9(1.0 / math.sqrt(48.0 / 18.0)))
+  }
+
+  test("ts9: constant series has zero variance and NULL z") {
+    val r = runMk(Seq(Seq(5.0), Seq(5.0), Seq(5.0)))
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == 0L)
+    assert(r.isNullAt(3), "all-tied series must report NULL z, not NaN/Inf")
+  }
+
+  test("ts9: agrees in sign with ts8's Theil-Sen slope on the shared frame") {
+    val mk = Analytics.mannKendall(spark, sfDir).collect().head
+    val ts = Analytics.theilSenTrend(spark, sfDir).collect().head
+    val slope = ts.getDouble(2)
+    val s = mk.getLong(1)
+    assert(mk.getLong(0) == ts.getLong(0), "both tests run on the identical daily frame")
+    // S > 0 <=> more rising than falling pairs; the median pairwise
+    // slope then cannot be negative (and vice versa)
+    if (s > 0) assert(slope >= 0.0, s"S=$s but Theil-Sen slope $slope")
+    if (s < 0) assert(slope <= 0.0, s"S=$s but Theil-Sen slope $slope")
+  }
+
+  // === corr3 ==============================================================
+
+  private def runSpearman(ev: Seq[Double], or: Seq[Double]): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    val dir = tmp("corr3")
+    ev.zipWithIndex.map { case (v, d) => (tsOfDay(d), v) }
+      .toDF("ts", "value").coalesce(1).write.parquet(s"$dir/events.parquet")
+    or.zipWithIndex.map { case (v, d) => (tsOfDay(d), v) }
+      .toDF("o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val rows = Analytics.spearmanDaily(spark, dir).collect()
+    assert(rows.length == 1)
+    rows.head
+  }
+
+  test("corr3: permutation ranks give the textbook 1 - 6*sum(d^2)/(n(n^2-1))") {
+    // x ranks [1,2,3], y ranks [3,1,2]: d^2 = 4+1+1 -> rho = 1 - 36/24 = -0.5
+    val r = runSpearman(Seq(1.0, 2.0, 3.0), Seq(30.0, 10.0, 20.0))
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == -0.5, s"rho ${r.getDouble(1)}")
+  }
+
+  test("corr3: perfect monotone agreement is exactly 1") {
+    val r = runSpearman(Seq(1.0, 2.0, 3.0, 4.0), Seq(10.0, 11.0, 12.0, 13.0))
+    assert(r.getDouble(1) == 1.0)
+  }
+
+  test("corr3: ties use average ranks (doubled-rank trick)") {
+    // x [1,2,3] -> r2 [2,4,6]; y [10,10,20] -> avg ranks [1.5,1.5,3] -> r2 [2,2,6]
+    // Pearson over avg ranks: 1.5 / (sqrt(2)*sqrt(1.5)) = 0.8660254...
+    val r = runSpearman(Seq(1.0, 2.0, 3.0), Seq(10.0, 10.0, 20.0))
+    val n = 3.0; val sx = 12.0; val sy = 10.0; val sxy = 48.0; val sxx = 56.0; val syy = 44.0
+    val want = rnd9((n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+    assert(r.getDouble(1) == want, s"rho ${r.getDouble(1)} want $want")
+    assert(math.abs(r.getDouble(1) - 0.866025404) < 1e-9)
+  }
+
+  test("corr3: a constant side is degenerate -> NULL") {
+    val r = runSpearman(Seq(1.0, 2.0, 3.0), Seq(10.0, 10.0, 10.0))
+    assert(r.isNullAt(1))
+  }
+
+  // === dd16 ===============================================================
+
+  /** Independent winnowing implementation: JDK MessageDigest md5 over the
+    * same 3-token shingles, min of every w-window, distinct set.
+    */
+  private def winnowRef(text: String, w: Int = 4): Set[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    if (toks.length < 3) return Set.empty
+    val hs = toks.sliding(3).map(g => md5hex(g.mkString(" "))).toVector
+    if (hs.length < w) return Set.empty
+    (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+  }
+
+  test("dd16: fingerprints and pair scores match the independent implementation") {
+    import spark.implicits._
+    val dir = tmp("dd16")
+    val a = "the quick brown fox jumps over the lazy dog tonight again"
+    val b = "the quick brown fox jumps over the lazy dog tomorrow morning maybe"
+    val c = "entirely different content with no shared trigrams at all here"
+    Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val fps = Map(1L -> winnowRef(a), 2L -> winnowRef(b), 3L -> winnowRef(c))
+    val expected = (for {
+      (da, db) <- Seq((1L, 2L), (1L, 3L), (2L, 3L))
+      shared = (fps(da) intersect fps(db)).size if shared >= 2
+    } yield (da, db) -> (shared.toLong, fps(da).size.toLong, fps(db).size.toLong,
+      shared.toDouble / math.min(fps(da).size, fps(db).size))).toMap
+    assert(expected.nonEmpty, "fixture must produce at least one >= 2-shared pair")
+    val got = Dedup.winnowPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got == expected, s"got $got want $expected")
+  }
+
+  test("dd16: the winnowing guarantee — a shared >= w+k-1 token run yields a shared fingerprint") {
+    // 7 shared tokens >= 6 = w+k-1: at least one window lies wholly
+    // inside the shared hash run on both sides, and equal windows of
+    // equal hashes select equal minima
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val x = s"$shared one two three"
+    val y = s"zero $shared nine ten"
+    assert((winnowRef(x) intersect winnowRef(y)).nonEmpty)
+  }
+
+  test("dd16: no fingerprints for documents shorter than w+k-1 tokens") {
+    assert(winnowRef("a b c d e").isEmpty) // 5 tokens -> 3 hashes < w
+    import spark.implicits._
+    val dir = tmp("dd16s")
+    Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    assert(Dedup.winnowPairs(spark, dir).collect().isEmpty)
+  }
+
+  // === fs1 ================================================================
+
+  test("fs1: hand-computed chi-squared on a 2-source corpus") {
+    import spark.implicits._
+    val dir = tmp("fs1")
+    Seq((1L, "x x y", "s1"), (2L, "y y", "s2"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // N=5, sources s1:3 s2:2; x: Nr=2 all in s1; y: Nr=3 split 1/2
+    // chi2_x = 5*(4/(2*3)) - 2 = 4/3; chi2_y = 5*(1/9 + 4/6) - 3 = 8/9
+    // classic form, y: E=(1.8,1.2) -> 0.64/1.8 + 0.64/1.2 = 8/9 (cross-check)
+    val rows = TextAnalysis.chi2Tokens(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(rows.keySet == Set("x", "y"))
+    assert(rows("x") == ((2L, 1L, 1333333L, 1.333333)), rows("x").toString)
+    assert(rows("y") == ((3L, 1L, 888888L, 0.888888)), rows("y").toString)
+  }
+
+  test("fs1: a token distributed exactly at the source shares scores zero") {
+    import spark.implicits._
+    val dir = tmp("fs1u")
+    Seq((1L, "x y", "s1"), (2L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.chi2Tokens(spark, dir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L, s"${r.getString(0)}: uniform split must score 0")
+      assert(r.getDouble(4) == 0.0)
+    }
+  }
+
+  test("fs1: chi2 tracks the classic per-cell formula on the real corpus") {
+    // recompute chi2 for every reported token from its contingency row
+    // with plain doubles — the exact-integer pipeline must agree to the
+    // documented error bound (< N*|sources|/1e12, far under 1e-3 here)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val cells = docs.groupBy(col("token"), col("source")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nr = cells.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+    val nc = cells.groupBy(_._1._2).map { case (s, m) => s -> m.values.sum }
+    val n = nc.values.sum.toDouble
+    val got = TextAnalysis.chi2Tokens(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val ref = nc.keys.map { s =>
+        val o = cells.getOrElse((t, s), 0L).toDouble
+        val e = nr(t) * nc(s) / n
+        (o - e) * (o - e) / e
+      }.sum
+      assert(math.abs(r.getDouble(4) - ref) < 1e-3, s"$t: got ${r.getDouble(4)} ref $ref")
+      assert(r.getLong(1) == nr(t), s"$t n_token")
+      assert(r.getLong(2) == nc.size - 1L, s"$t df")
+    }
+  }
+}
