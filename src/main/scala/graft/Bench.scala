@@ -627,6 +627,8 @@ object Bench {
       "kcore1_knn_core", // 9 eager localCheckpoint peels at construction
       "fld2_cluster_split", // dd7's eager union-find engine at construction
       "ts8_theil_sen_trend", // bounded per-day aggregate collected at construction
+      "ts9_mann_kendall", // same bounded per-day collect as ts8
+      "dd17_multitier_clusters", // dd7's eager components engine at construction
       "lm3_kneser_ney", // eager localCheckpoint + one-scalar count at construction
       "ev25_markov_stationary") // k×k transition matrix collected at construction
 

@@ -3046,6 +3046,93 @@ object Analytics {
              " / sqrt(CAST(var_x18 AS DOUBLE) / 18.0)", 9)} END AS mk_z
        |FROM v WHERE n >= 2""".stripMargin
 
+  /** exp5: Welch's unequal-variance t-test on per-user purchase value
+    * between exp1's md5-coin arms — the parametric significance readout
+    * for the experiment exp1 reports rates for (and exp4 tests
+    * nonparametrically). The SAME 'exp1'-salted coin splits users, so
+    * the three operators describe ONE experiment. Per-arm moments are
+    * exact integers (micros sums, micros² squares in DECIMAL(38,0));
+    * the t statistic, Welch–Satterthwaite df, and means are ONE fixed
+    * IEEE sequence over their correctly-rounded double images —
+    * bit-identical across engines. Degenerate arms (n < 2 or zero
+    * pooled variance) report NULL t/df.
+    * Shape at 100 TB: one events scan → user aggregate (map-side
+    * combinable) → ONE conditional-aggregation pass to a single moments
+    * row (the exp2/exp3 discipline); no window, no join.
+    */
+  def welchTTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", Exact.micros(col("value"))).otherwise(0L).as("vm"))
+      .groupBy(col("user_id")).agg(sum(col("vm")).as("x"))
+    val a = TextAnalysis.md5Frac(lit("exp1"), col("user_id")) < 0.5
+    val xd = col("x").cast(Exact.D380)
+    val m = perUser.agg(
+      coalesce(sum(when(a, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(!a, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+      sum(when(a, xd).otherwise(lit(0).cast(Exact.D380))).as("sxa"),
+      sum(when(!a, xd).otherwise(lit(0).cast(Exact.D380))).as("sxb"),
+      sum(when(a, xd * xd).otherwise(lit(0).cast(Exact.D380))).as("sxxa"),
+      sum(when(!a, xd * xd).otherwise(lit(0).cast(Exact.D380))).as("sxxb"))
+    def units(c: Column) = Exact.toUnits(c)
+    def units2(c: Column) = c.cast(DoubleType) / lit(1000000000000.0)
+    m.select({
+      val na = col("n_a").cast(DoubleType); val nb = col("n_b").cast(DoubleType)
+      val ma = units(col("sxa")) / na; val mb = units(col("sxb")) / nb
+      val va = (units2(col("sxxa")) - units(col("sxa")) * units(col("sxa")) / na) / (na - 1)
+      val vb = (units2(col("sxxb")) - units(col("sxb")) * units(col("sxb")) / nb) / (nb - 1)
+      val se2 = va / na + vb / nb
+      val tStat = (ma - mb) / sqrt(se2)
+      val df = (se2 * se2) / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+      val degenerate = col("n_a") < 2 || col("n_b") < 2 || se2 <= 0.0
+      // an EMPTY arm means 0/0 = NaN: Spark's non-ANSI NaN->long cast
+      // inside dround reads 0.0 while DuckDB's CAST(NaN AS BIGINT)
+      // errors — both sides must agree on NULL instead (the ts9/corr3
+      // NULL-parity discipline)
+      Seq(col("n_a"), col("n_b"),
+        when(col("n_a") < 1, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(ma, 6)).as("mean_a"),
+        when(col("n_b") < 1, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(mb, 6)).as("mean_b"),
+        when(degenerate, lit(null).cast(DoubleType)).otherwise(Exact.dround(tStat, 6)).as("t_stat"),
+        when(degenerate, lit(null).cast(DoubleType)).otherwise(Exact.dround(df, 3)).as("welch_df"))
+    }: _*)
+  }
+
+  val welchTTestSql: String = {
+    val coin = TextAnalysis.sqlMd5Frac("'exp1'", "CAST(user_id AS VARCHAR)")
+    val micros = Exact.sqlMicros("value")
+    def u(c: String) = Exact.sqlToUnits(c)
+    def u2(c: String) = s"(CAST(CAST($c AS VARCHAR) AS DOUBLE)/1000000000000.0)"
+    val na = "CAST(n_a AS DOUBLE)"; val nb = "CAST(n_b AS DOUBLE)"
+    val ma = s"(${u("sxa")} / $na)"; val mb = s"(${u("sxb")} / $nb)"
+    val va = s"((${u2("sxxa")} - ${u("sxa")} * ${u("sxa")} / $na) / ($na - 1))"
+    val vb = s"((${u2("sxxb")} - ${u("sxb")} * ${u("sxb")} / $nb) / ($nb - 1))"
+    val se2 = s"($va / $na + $vb / $nb)"
+    val tStat = s"(($ma - $mb) / sqrt($se2))"
+    val df = s"(($se2 * $se2) / (($va/$na)*($va/$na)/($na-1) + ($vb/$nb)*($vb/$nb)/($nb-1)))"
+    val degen = s"(n_a < 2 OR n_b < 2 OR $se2 <= 0.0)"
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN $micros ELSE 0 END) AS x
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT
+       |    COALESCE(SUM(CASE WHEN $coin < 0.5 THEN 1 ELSE 0 END), 0) AS n_a,
+       |    COALESCE(SUM(CASE WHEN $coin < 0.5 THEN 0 ELSE 1 END), 0) AS n_b,
+       |    SUM(CASE WHEN $coin < 0.5 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxa,
+       |    SUM(CASE WHEN $coin < 0.5 THEN 0 ELSE CAST(x AS HUGEINT) END) AS sxb,
+       |    SUM(CASE WHEN $coin < 0.5 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxxa,
+       |    SUM(CASE WHEN $coin < 0.5 THEN 0 ELSE CAST(x AS HUGEINT) * x END) AS sxxb
+       |  FROM pu)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CASE WHEN n_a < 1 THEN NULL ELSE ${Exact.sqlDround(ma, 6)} END AS mean_a,
+       |  CASE WHEN n_b < 1 THEN NULL ELSE ${Exact.sqlDround(mb, 6)} END AS mean_b,
+       |  CASE WHEN $degen THEN NULL ELSE ${Exact.sqlDround(tStat, 6)} END AS t_stat,
+       |  CASE WHEN $degen THEN NULL ELSE ${Exact.sqlDround(df, 3)} END AS welch_df
+       |FROM m""".stripMargin
+  }
+
   /** corr3: Spearman rank correlation between the two daily business
     * series — per-day event value total vs per-day order revenue
     * (inner-joined on calendar day). Ties use standard AVERAGE ranks,
@@ -3354,6 +3441,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exp5_welch_t" -> welchTTest _,
     "ts9_mann_kendall" -> mannKendall _,
     "corr3_spearman_daily" -> spearmanDaily _,
     "ev25_markov_stationary" -> ((s: SparkSession, d: String) => markovStationary(s, d)),
@@ -3410,6 +3498,7 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "exp5_welch_t" -> welchTTestSql,
     "ts9_mann_kendall" -> mannKendallSql,
     "corr3_spearman_daily" -> spearmanDailySql,
     "ev25_markov_stationary" -> markovStationarySql(),

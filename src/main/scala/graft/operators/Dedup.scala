@@ -34,17 +34,25 @@ object Dedup {
   private def fanOut(df: DataFrame): DataFrame = Par.fanOut(df)
 
   // === exact dedup =========================================================
+  /** The dd1 whitespace-normalization content hash — ONE definition per
+    * engine (Spark Column + SQL text), shared by every consumer of the
+    * exact tier (dd1/dd8/dd9/dd12/dd14-adjacent/dd17): a divergent copy
+    * would silently change one consumer's duplicate groups.
+    */
+  def canonicalHash: Column = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+  val canonicalHashSql: String = """md5(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents")
-      .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("content_hash"))
+      .groupBy(canonicalHash.as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("content_hash"))
   }
 
   val exactDedupSql: String =
-    """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
-      | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+    s"""SELECT $canonicalHashSql AS content_hash,
+       | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
   // === shared shingling ====================================================
   /** Distinct 3-token shingles per document (1-indexed element_at matches
@@ -287,20 +295,29 @@ object Dedup {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
+  /** Shared SQL fragment builders for the SimHash family — ONE
+    * definition consumed by the dd4 oracle and dd17's multi-tier oracle
+    * (a divergent copy would silently desynchronize dd17's oracle from
+    * the simhashPairs code its Spark side reuses — the kmv1/bf1 lesson).
+    */
+  private def simhashVotesSql: String = (0 until simhashBits)
+    .map(i => s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS v$i")
+    .mkString(",\n    ")
+  private def simhashExprSql: String = (0 until simhashBits)
+    .map(i => s"CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END")
+    .mkString(" + ")
+  private def simhashChunkSelectsSql: String = (0 until 4).map { c =>
+    s"SELECT doc_id, sim, $c AS chunk, (sim >> ${c * 15}) & 32767 AS chunk_val FROM sim"
+  }.mkString("\n  UNION ALL\n  ")
+
   /** dd4 oracle: DuckDB mirror of the portable-hash SimHash — identical
     * token split, md5-prefix hash, vote sums, pigeonhole chunks, and
     * Hamming filter, so the driver hash-checks the sketch end-to-end.
     */
   def simhashPairsSql: String = {
-    val votes = (0 until simhashBits)
-      .map(i => s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS v$i")
-      .mkString(",\n    ")
-    val simExpr = (0 until simhashBits)
-      .map(i => s"CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END")
-      .mkString(" + ")
-    val chunkSelects = (0 until 4).map { c =>
-      s"SELECT doc_id, sim, $c AS chunk, (sim >> ${c * 15}) & 32767 AS chunk_val FROM sim"
-    }.mkString("\n  UNION ALL\n  ")
+    val votes = simhashVotesSql
+    val simExpr = simhashExprSql
+    val chunkSelects = simhashChunkSelectsSql
     s"""WITH toks AS (
        |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents),
        |hashes AS (
@@ -504,7 +521,7 @@ object Dedup {
   def dedupKeepList(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"))
     val exactCanon = t(s, dir, "documents")
-      .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"))
+      .groupBy(canonicalHash.as("h"))
       .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("members"))
       .select(explode(col("members")).as("doc_id"), col("keep_id"))
     val near = duplicateClusters(s, dir)
@@ -592,7 +609,7 @@ object Dedup {
        |clusters AS (SELECT n AS doc_id, MIN(l) AS canonical_id FROM reach GROUP BY n),
        |exact_canon AS (
        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keep_id
-       |  FROM (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+       |  FROM (SELECT doc_id, ${canonicalHashSql} AS h
        |        FROM documents) t)
        |SELECT d.doc_id,
        |  ((d.doc_id = ec.keep_id) AND COALESCE(c.canonical_id = d.doc_id, TRUE)) AS keep,
@@ -619,7 +636,7 @@ object Dedup {
     val w = Window.partitionBy(col("content_hash"))
     t(s, dir, "documents")
       .select(col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("content_hash"))
+        canonicalHash.as("content_hash"))
       .withColumn("n_copies", count(lit(1)).over(w).cast(LongType))
       .select(col("doc_id"), col("n_copies"),
         (lit(1.0) / col("n_copies").cast(DoubleType)).as("weight"))
@@ -627,12 +644,12 @@ object Dedup {
   }
 
   val dupWeightsSql: String =
-    """SELECT doc_id,
-      | CAST(COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
-      |      AS BIGINT) AS n_copies,
-      | 1.0 / CAST(COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
-      |      AS DOUBLE) AS weight
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       | CAST(COUNT(*) OVER (PARTITION BY $canonicalHashSql)
+       |      AS BIGINT) AS n_copies,
+       | 1.0 / CAST(COUNT(*) OVER (PARTITION BY $canonicalHashSql)
+       |      AS DOUBLE) AS weight
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // === asymmetric containment near-dup pairs ===============================
   /** dd10: shingle containment pairs — the asymmetric cousin of dd2's
@@ -749,7 +766,7 @@ object Dedup {
   def incrementalDedup(s: SparkSession, dir: String,
       batchSource: String = "src19"): DataFrame = {
     val hx = t(s, dir, "documents").select(col("doc_id"), col("source"),
-      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"))
+      canonicalHash.as("h"))
     val batch = hx.filter(col("source") === batchSource).select(col("doc_id"), col("h"))
     val corpusH = hx.filter(col("source") =!= batchSource)
       .select(col("h")).distinct().withColumn("ic", lit(true))
@@ -804,7 +821,7 @@ object Dedup {
     s"""WITH $minhashLshSqlCtes,
        |hx AS (
        |  SELECT doc_id, source,
-       |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+       |    ${canonicalHashSql} AS h
        |  FROM documents),
        |batch AS (SELECT doc_id, h FROM hx WHERE source = '$batchSource'),
        |corpus_h AS (SELECT DISTINCT h FROM hx WHERE source <> '$batchSource'),
@@ -864,7 +881,7 @@ object Dedup {
     val near = minhashLsh(s, dir).filter(col("n_band_hits") >= 2)
       .select(col("doc_a"), col("doc_b"))
     val hx = t(s, dir, "documents").select(col("doc_id"),
-      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"))
+      canonicalHash.as("h"))
     val exactEdges = hx
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .filter(col("doc_id") =!= col("keep_id"))
@@ -885,7 +902,7 @@ object Dedup {
        |  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs WHERE n_band_hits >= 2
        |  UNION
        |  SELECT doc_b, doc_a FROM lsh_pairs WHERE n_band_hits >= 2),
-       |hx AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+       |hx AS (SELECT doc_id, ${canonicalHashSql} AS h
        |       FROM documents),
        |ek AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keep_id FROM hx),
        |eedges AS (
@@ -1154,7 +1171,166 @@ object Dedup {
        |WHERE n_shared >= 2
        |ORDER BY overlap DESC, doc_a, doc_b LIMIT 100""".stripMargin
 
+  // === dd18: MinHash sketch calibration ====================================
+  /** Sketch-accuracy monitoring: for every dd3 candidate pair, the
+    * MinHash ESTIMATE (signature agreement / k — exact by construction:
+    * an integer divided by the power-of-two 32) against the EXACT
+    * shingle Jaccard, aggregated into true-Jaccard deciles with
+    * count, mean estimate, mean exact, and mean |error| per bucket
+    * (Exact.davg — order-independent micros sums, engine-portable).
+    * The audit that tells a deployment when k or the band layout needs
+    * retuning (E|err| ≈ sqrt(J(1-J)/k) — the binomial envelope the
+    * spec checks). sim9 plays this role for the ANN index; dd18 for
+    * the dedup sketch.
+    * Shape at 100 TB: runs the dd2 inverted-index join and the dd3
+    * band join (both bucketed, never all-pairs) — an AUDIT tier run
+    * over a sample or partition slice at full scale, like sim9.
+    */
+  def sketchCalibration(s: SparkSession, dir: String): DataFrame = {
+    val est = minhashEstimate(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val shd = shingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .repartition(shuffleWidth(t(s, dir, "documents")), col("shingle"))
+    val counts = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = shd.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val exact = common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast(DoubleType)
+          / (col("n_a") + col("n_b") - col("n_common"))).as("exact_jaccard"))
+    est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .select(col("est_jaccard"), coalesce(col("exact_jaccard"), lit(0.0)).as("exact_jaccard"))
+      .withColumn("bucket", floor(col("exact_jaccard") * 10).cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Exact.davg(col("est_jaccard")).as("mean_est"),
+        Exact.davg(col("exact_jaccard")).as("mean_exact"),
+        Exact.davg(abs(col("est_jaccard") - col("exact_jaccard"))).as("mean_abs_err"))
+      .orderBy(col("bucket"))
+  }
+
+  def sketchCalibrationSql: String = {
+    val agree = (0 until minhashK).map(i =>
+      s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashLshSqlCtes,
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(($agree) AS DOUBLE) / $minhashK AS est_jaccard
+       |  FROM lsh_pairs p JOIN sig a ON a.doc_id = p.doc_a
+       |                   JOIN sig b ON b.doc_id = p.doc_b),
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS exact_jaccard
+       |  FROM common
+       |   JOIN counts ca ON ca.doc_id = doc_a
+       |   JOIN counts cb ON cb.doc_id = doc_b),
+       |j AS (
+       |  SELECT est_jaccard, COALESCE(exact_jaccard, 0.0) AS exact_jaccard,
+       |    CAST(FLOOR(COALESCE(exact_jaccard, 0.0) * 10) AS BIGINT) AS bucket
+       |  FROM est LEFT JOIN exact USING (doc_a, doc_b))
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ${Exact.sqlDavg("est_jaccard")} AS mean_est,
+       |  ${Exact.sqlDavg("exact_jaccard")} AS mean_exact,
+       |  ${Exact.sqlDavg("abs(est_jaccard - exact_jaccard)")} AS mean_abs_err
+       |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  // === dd17: multi-tier duplicate clusters =================================
+  /** The production composite of the DOCUMENT evidence tiers: exact
+    * (dd1's normalized-text hash), MinHash-LSH (dd3 at dd8's ≥ 2-band
+    * edge threshold) and SimHash (dd4's candidates at hamming ≤ 8 — a
+    * duplicate bar, tighter than dd4's ≤ 16 listing) edges UNIONED into
+    * one graph, then connected components. A pair caught by ANY tier
+    * lands in one cluster — the cross-evidence canonicalization a real
+    * pipeline runs (each tier has recall the others lack: exact catches
+    * whitespace-only mirrors LSH can miss at low shingle overlap,
+    * SimHash catches token-reorder near-dups banding can miss).
+    * Output: every clustered document with its canonical (min) id and
+    * cluster size.
+    * Shape at 100 TB: every tier is already bucketed/banded (none
+    * all-pairs); the union is edge-count-bounded input to the
+    * components engine (driver union-find ≤ 1 M edges, distributed
+    * min-label + pointer jumping above).
+    */
+  def multiTierClusters(s: SparkSession, dir: String): DataFrame = {
+    val exW = Window.partitionBy(col("h"))
+    val exactEdges = t(s, dir, "documents")
+      .select(col("doc_id"), canonicalHash.as("h"))
+      .withColumn("a", min(col("doc_id")).over(exW))
+      .filter(col("a") < col("doc_id"))
+      .select(col("a").as("doc_a"), col("doc_id").as("doc_b"))
+    val lshEdges = minhashLsh(s, dir).filter(col("n_band_hits") >= 2)
+      .select(col("doc_a"), col("doc_b"))
+    val shEdges = simhashPairs(s, dir).filter(col("hamming") <= 8)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(exactEdges.union(lshEdges).union(shEdges).distinct())
+    comp
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("component").as("canonical_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** dd17 oracle: the same three edge tiers (the dd3 CTE stack, dd4's
+    * SimHash rebuilt off the shared `toks`, the dd1 window) unioned into
+    * the recursive-CTE closure dd7 uses.
+    */
+  def multiTierClustersSql: String = {
+    val votes = simhashVotesSql
+    val simExpr = simhashExprSql
+    val chunkSelects = simhashChunkSelectsSql
+    s"""WITH RECURSIVE $minhashLshSqlCtes,
+       |hashes AS (
+       |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks) u),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hashes GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simExpr AS sim FROM votes),
+       |chunks AS (
+       |  $chunkSelects),
+       |sh_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sim, b.sim)) <= 8),
+       |exg AS (
+       |  SELECT doc_id,
+       |    MIN(doc_id) OVER (PARTITION BY h2) AS a
+       |  FROM (SELECT doc_id, ${canonicalHashSql} AS h2
+       |        FROM documents) e),
+       |all_e AS (
+       |  SELECT doc_a, doc_b FROM lsh_pairs WHERE n_band_hits >= 2
+       |  UNION SELECT doc_a, doc_b FROM sh_pairs
+       |  UNION SELECT a AS doc_a, doc_id AS doc_b FROM exg WHERE a < doc_id),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM all_e
+       |  UNION SELECT doc_b, doc_a FROM all_e),
+       |reach(n, l) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n),
+       |clusters AS (SELECT n AS doc_id, MIN(l) AS canonical_id FROM reach GROUP BY n)
+       |SELECT doc_id, CAST(canonical_id AS BIGINT) AS canonical_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
+       |FROM clusters ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd18_sketch_calibration" -> sketchCalibration _,
+    "dd17_multitier_clusters" -> multiTierClusters _,
     "dd16_winnow_pairs" -> ((s: SparkSession, d: String) => winnowPairs(s, d)),
     "leak1_split_leakage" -> splitLeakage _,
     "dd13_url_canonical" -> urlCanonicalDedup _,
@@ -1178,6 +1354,8 @@ object Dedup {
     * DuckDB oracle regenerates identical signatures.
     */
   val oracles: Map[String, String] = Map(
+    "dd18_sketch_calibration" -> sketchCalibrationSql,
+    "dd17_multitier_clusters" -> multiTierClustersSql,
     "dd16_winnow_pairs" -> winnowPairsSql(),
     "leak1_split_leakage" -> splitLeakageSql,
     "dd13_url_canonical" -> urlCanonicalDedupSql,

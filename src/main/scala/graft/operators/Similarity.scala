@@ -1638,6 +1638,65 @@ object Similarity {
        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
        |FROM nodes GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // === tri2: local clustering coefficient ==================================
+  /** Watts–Strogatz local clustering coefficient per node over the sim6
+    * mutual-kNN edges: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — tri1's
+    * triangle count normalized by the node's wedge capacity, the signal
+    * that separates dense semantic communities (cc → 1) from
+    * hub-and-spoke noise (cc → 0) node by node where tri1 only counts.
+    * T and deg are exact integers; cc is ONE IEEE division (9-dp
+    * rounded); degree-1 nodes have no wedge capacity → NULL.
+    * Shape at 100 TB: one cached subset-bounded edge list (sp1's
+    * residency argument — kilobytes, CacheManager-deduped) feeds both
+    * the degree aggregate and tri1's canonical a<b<c wedge join; mutual
+    * degree ≤ k bounds the wedge fan-out per edge.
+    */
+  def clusteringCoefficient(s: SparkSession, dir: String, k: Int = 5,
+      subset: Int = 200): DataFrame = {
+    import Par.BoundedOrder
+    val edges = mutualKnn(s, dir, k, subset).select(col("a"), col("b")).cache()
+    val deg = edges.select(col("a").as("vec_id"))
+      .unionByName(edges.select(col("b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    val wedges = edges.select(col("a"), col("b").as("m"))
+      .join(edges.select(col("a").as("m"), col("b").as("c")), "m")
+    val tris = wedges.join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(explode(array(col("a"), col("m"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tris, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(
+            (coalesce(col("n_triangles"), lit(0L)) * 2).cast(DoubleType)
+              / (col("degree") * (col("degree") - 1)).cast(DoubleType), 9))
+          .as("clustering_coeff"))
+      .orderedSmall(col("vec_id")) // bounded by the sim6 subset
+  }
+
+  def clusteringCoefficientSql(k: Int = 5, subset: Int = 200): String =
+    s"""WITH edges AS (
+       |  SELECT a, b FROM (${mutualKnnSql(k, subset)})),
+       |deg AS (
+       |  SELECT vec_id, COUNT(*) AS degree
+       |  FROM (SELECT a AS vec_id FROM edges UNION ALL SELECT b FROM edges) u
+       |  GROUP BY 1),
+       |tris AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.a = e1.b
+       |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tcnt AS (
+       |  SELECT vec_id, COUNT(*) AS n_triangles
+       |  FROM (SELECT UNNEST([a, b, c]) AS vec_id FROM tris) n GROUP BY 1)
+       |SELECT d.vec_id, CAST(degree AS BIGINT) AS degree,
+       |  CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CASE WHEN degree < 2 THEN NULL ELSE ${Exact.sqlDround(
+            "CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE) / CAST(degree * (degree - 1) AS DOUBLE)", 9)}
+       |  END AS clustering_coeff
+       |FROM deg d LEFT JOIN tcnt t ON t.vec_id = d.vec_id
+       |ORDER BY d.vec_id""".stripMargin
+
   // === sp1: bounded BFS hop distances ======================================
   val bfsMaxHops = 3
   val bfsSeeds = 5
@@ -1902,6 +1961,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tri1_knn_triangles" -> ((s: SparkSession, d: String) => knnTriangles(s, d)),
+    "tri2_clustering_coeff" -> ((s: SparkSession, d: String) => clusteringCoefficient(s, d)),
     "sp1_knn_hops" -> ((s: SparkSession, d: String) => knnHops(s, d)),
     "kcore1_knn_core" -> ((s: SparkSession, d: String) => knnKcore(s, d)),
     "sim11_diverse_select" -> ((s: SparkSession, d: String) => diverseSelect(s, d)),
@@ -1933,6 +1993,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "tri1_knn_triangles" -> knnTrianglesSql(),
+    "tri2_clustering_coeff" -> clusteringCoefficientSql(),
     "sp1_knn_hops" -> knnHopsSql(),
     "kcore1_knn_core" -> knnKcoreSql(),
     "sim11_diverse_select" -> diverseSelectSql(),

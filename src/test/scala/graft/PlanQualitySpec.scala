@@ -442,8 +442,24 @@ class PlanQualitySpec extends SparkTestBase {
     // the fan-out exchange pinned inside winnowPairs
     val wn = operators.Dedup.winnowPairs(spark, sfDir)
     assert(countScans(wn) <= 3, s"dd16 scans: ${countScans(wn)}")
+    // exp5: ONE events scan into the user aggregate, then one
+    // conditional-aggregation row — no join, no window
+    val wt = operators.Analytics.welchTTest(spark, sfDir)
+    assert(countScans(wt) <= 1, s"exp5 scans: ${countScans(wt)}")
+    // dd18: composes the dd2 inverted-index and dd3 band joins (audit
+    // tier — both bucketed, never all-pairs); budget = est side (sig +
+    // bands) + exact side (two join sides + counts)
+    val sc = operators.Dedup.sketchCalibration(spark, sfDir)
+    assert(countScans(sc) <= 7, s"dd18 scans: ${countScans(sc)}")
+    // tri2: the wedge join must stay keyed (BNLJ on the bounded subset
+    // is sim6's accepted shape; an unfiltered CartesianProduct is not)
+    val cc = operators.Similarity.clusteringCoefficient(spark, sfDir)
+    // dd17: components run eagerly at construction; the OUTPUT plan is
+    // the labels frame — only the cluster-size window may remain
+    val mt = operators.Dedup.multiTierClusters(spark, sfDir)
     Seq("ts9" -> planOf(mk), "corr3" -> planOf(sp), "fs1" -> planOf(ch),
-        "dd16" -> planOf(wn)).foreach {
+        "dd16" -> planOf(wn), "exp5" -> planOf(wt), "dd18" -> planOf(sc),
+        "tri2" -> planOf(cc), "dd17" -> planOf(mt)).foreach {
       case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
     }
   }

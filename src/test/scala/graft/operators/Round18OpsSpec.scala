@@ -177,6 +177,179 @@ class Round18OpsSpec extends SparkTestBase {
     assert(Dedup.winnowPairs(spark, dir).collect().isEmpty)
   }
 
+  // === dd17 ===============================================================
+
+  test("dd17: whitespace twins cluster through the exact tier; singletons stay out") {
+    import spark.implicits._
+    val dir = tmp("dd17")
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, s"$body one"), (2L, s"$body   one"), // exact dup modulo whitespace
+      (5L, "entirely unrelated content nothing shared whatsoever here today"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.multiTierClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.get(1L).contains((1L, 2L)))
+    assert(rows.get(2L).contains((1L, 2L)))
+    assert(!rows.contains(5L), "edge-free documents carry no cluster row")
+  }
+
+  test("dd17: equals an independent union-find over the three registered tiers") {
+    // the tiers themselves are independently anchored (dd1/dd3/dd4
+    // oracles); this pins the COMPOSITE: union of edges -> components
+    // -> sizes, against a from-scratch union-find in the spec
+    val exact = Dedup.exactDedup(spark, sfDir).collect()
+    val exactEdges = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h")).collect()
+      .map(r => (r.getString(1), r.getLong(0))).toSeq.groupBy(_._1)
+      .toSeq.flatMap { case (_, g) =>
+        val ids = g.map(_._2).sorted; ids.tail.map(b => (ids.head, b))
+      }
+    val lsh = Dedup.minhashLsh(spark, sfDir).collect()
+      .filter(_.getLong(2) >= 2).map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sh = Dedup.simhashPairs(spark, sfDir).collect()
+      .filter(_.getInt(2) <= 8).map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = (exactEdges ++ lsh ++ sh).distinct
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x; while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val want = nodes.map(n => n -> find(n)).toMap
+    val sizes = want.values.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
+    val got = Dedup.multiTierClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (d, (canon, size)) =>
+      assert(canon == want(d), s"doc $d: canonical $canon want ${want(d)}")
+      assert(size == sizes(want(d)), s"doc $d: size $size want ${sizes(want(d))}")
+    }
+    assert(exact.nonEmpty) // the exact tier genuinely participates
+  }
+
+  // === tri2 ===============================================================
+
+  test("tri2: hand-built path and triangle graphs pin degree, triangles, coefficient") {
+    import spark.implicits._
+    val dir = tmp("tri2")
+    def ray(deg: Double): (Float, Float) =
+      (math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    // path cluster in dims (1,2): angles 0,20,40,60,80 -> top-2 by cosine
+    // is i±1 (cos 20° = .94 beats cos 40° = .77); mutual edges = the path
+    val path = Seq(0, 20, 40, 60, 80).map(d => ray(d.toDouble))
+    // triangle cluster in dims (3,4), orthogonal to the path cluster
+    val tri = Seq(0, 1, 2).map(d => ray(d.toDouble))
+    val vecs =
+      path.zipWithIndex.map { case ((x, y), i) => (i.toLong, Array(x, y, 0f, 0f)) } ++
+        tri.zipWithIndex.map { case ((u, v), i) => (i + 5L, Array(0f, 0f, u, v)) }
+    vecs.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.clusteringCoefficient(spark, dir, k = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.keySet == (0L to 4L).toSet ++ (5L to 7L).toSet)
+    // path: ends deg 1 (NULL cc), middles deg 2 with no triangles
+    assert(got(0L) == ((1L, 0L, None)))
+    assert(got(4L) == ((1L, 0L, None)))
+    Seq(1L, 2L, 3L).foreach(i => assert(got(i) == ((2L, 0L, Some(0.0))), s"node $i"))
+    // triangle: K3 — every node closes its single wedge
+    Seq(5L, 6L, 7L).foreach(i => assert(got(i) == ((2L, 1L, Some(1.0))), s"node $i"))
+  }
+
+  test("tri2: agrees with tri1's triangle counts and stays within [0, 1]") {
+    val t1 = Similarity.knnTriangles(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Similarity.clusteringCoefficient(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == t1.getOrElse(r.getLong(0), 0L),
+        s"node ${r.getLong(0)}: triangles disagree with tri1")
+      if (!r.isNullAt(3))
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // tri1 lists only nodes IN triangles; tri2 must cover every node with
+    // an edge, a strict superset on any graph with an open wedge
+    assert(rows.length >= t1.size)
+  }
+
+  // === exp5 ===============================================================
+
+  test("exp5: matches an independent Welch computation over an independent md5 coin") {
+    // recompute from raw events with JDK MessageDigest (independent of
+    // Spark's md5/conv) and plain-double Welch formulas
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coin(id: Long): Double = {
+      val hex = md.digest(s"exp1#$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val perUser = graft.Engine.table(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        Exact.micros(col("value"))).otherwise(0L)).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val (a, b) = perUser.partition { case (id, _) => coin(id) < 0.5 }
+    def stats(xs: Array[Double]) = {
+      val n = xs.length.toDouble; val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = stats(a.map(_._2 / 1e6))
+    val (nb, mb, vb) = stats(b.map(_._2 / 1e6))
+    val se2 = va / na + vb / nb
+    val tRef = (ma - mb) / math.sqrt(se2)
+    val dfRef = se2 * se2 / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+    val r = Analytics.welchTTest(spark, sfDir).collect().head
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length,
+      "arm sizes must match the independent coin")
+    assert(math.abs(r.getDouble(2) - ma) < 1e-5)
+    assert(math.abs(r.getDouble(3) - mb) < 1e-5)
+    assert(math.abs(r.getDouble(4) - tRef) < 1e-4, s"t ${r.getDouble(4)} ref $tRef")
+    assert(math.abs(r.getDouble(5) - dfRef) < 1e-1, s"df ${r.getDouble(5)} ref $dfRef")
+    // Welch df is bounded by min(nA,nB)-1 below and nA+nB-2 above
+    assert(r.getDouble(5) >= math.min(na, nb) - 1 && r.getDouble(5) <= na + nb - 2)
+  }
+
+  // === dd18 ===============================================================
+
+  test("dd18: exact duplicates calibrate to bucket 10 with zero error") {
+    import spark.implicits._
+    val dir = tmp("dd18")
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq((1L, body), (2L, body),
+      (9L, "wholly unrelated text with nothing in common at all anywhere today"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.sketchCalibration(spark, dir).collect()
+    assert(rows.length == 1, rows.mkString(","))
+    val r = rows.head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0)
+  }
+
+  test("dd18: covers every dd3 candidate pair, errors inside the binomial envelope") {
+    val nPairs = Dedup.minhashLsh(spark, sfDir).count()
+    val rows = Dedup.sketchCalibration(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == nPairs, "one calibration row per candidate pair")
+    rows.foreach { r =>
+      val bucket = r.getLong(0); val j = r.getDouble(3)
+      assert(bucket == math.floor(j * 10).toLong || r.getLong(1) > 1,
+        s"bucket $bucket vs mean exact $j") // single-pair buckets must agree exactly
+      // E|err| for a k=32 binomial estimator is sqrt(J(1-J)/32) <= 0.089;
+      // allow 3x the envelope for small-bucket noise
+      assert(r.getDouble(4) <= 3 * math.sqrt(0.25 / 32) + 1e-9,
+        s"bucket $bucket mean_abs_err ${r.getDouble(4)} outside the envelope")
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 0.15,
+        s"bucket $bucket estimate drifted from exact")
+    }
+  }
+
   // === fs1 ================================================================
 
   test("fs1: hand-computed chi-squared on a 2-source corpus") {
