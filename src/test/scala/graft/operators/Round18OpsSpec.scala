@@ -168,6 +168,51 @@ class Round18OpsSpec extends SparkTestBase {
     assert((winnowRef(x) intersect winnowRef(y)).nonEmpty)
   }
 
+  test("ts9: randomized brute-force equivalence (S, Var, z) under a fixed seed") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 6).foreach { _ =>
+      val days = 3 + rnd.nextInt(8)
+      val vals = Seq.fill(days)((1 + rnd.nextInt(4)).toDouble) // small range forces ties
+      val r = runMk(vals.map(Seq(_)))
+      // brute force over the day-ordered series
+      val s = (for (i <- vals.indices; j <- i + 1 until vals.length)
+        yield math.signum(vals(j) - vals(i)).toLong).sum
+      val n = days.toLong
+      val ties = vals.groupBy(identity).values.map(_.size.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val varX18 = n * (n - 1) * (2 * n + 5) - ties
+      assert(r.getLong(0) == n && r.getLong(1) == s && r.getLong(2) == varX18,
+        s"series $vals: got (${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}) want ($n,$s,$varX18)")
+      if (varX18 == 0) assert(r.isNullAt(3))
+      else {
+        val zRef = rnd9((if (s > 0) s - 1.0 else if (s < 0) s + 1.0 else 0.0) /
+          math.sqrt(varX18.toDouble / 18.0))
+        assert(r.getDouble(3) == zRef, s"series $vals: z ${r.getDouble(3)} want $zRef")
+      }
+    }
+  }
+
+  test("dd16: randomized winnowing guarantee and sampling-density bounds") {
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = ('a' to 'z').map(_.toString)
+    def randToks(n: Int): Seq[String] = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    (1 to 30).foreach { _ =>
+      val shared = randToks(6 + rnd.nextInt(6)) // >= w+k-1 = 6 shared tokens
+      val x = (randToks(rnd.nextInt(8)) ++ shared ++ randToks(rnd.nextInt(8))).mkString(" ")
+      val y = (randToks(rnd.nextInt(8)) ++ shared ++ randToks(rnd.nextInt(8))).mkString(" ")
+      assert((winnowRef(x) intersect winnowRef(y)).nonEmpty,
+        s"guarantee violated for shared run '${shared.mkString(" ")}'")
+      // density: a selected min serves at most w consecutive windows, so
+      // |fp| >= ceil(nWindows / w); and never more than one per window
+      val toks = x.trim.split("\\s+").length
+      val nWin = toks - 2 - 4 + 1 // hashes = toks-2, windows = hashes-w+1
+      if (nWin > 0) {
+        val fp = winnowRef(x).size
+        assert(fp >= (nWin + 3) / 4 && fp <= nWin, s"density out of bounds: $fp of $nWin")
+      }
+    }
+  }
+
   test("dd16: no fingerprints for documents shorter than w+k-1 tokens") {
     assert(winnowRef("a b c d e").isEmpty) // 5 tokens -> 3 hashes < w
     import spark.implicits._
