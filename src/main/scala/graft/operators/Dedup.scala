@@ -36,11 +36,18 @@ object Dedup {
   // === exact dedup =========================================================
   /** The dd1 whitespace-normalization content hash — ONE definition per
     * engine (Spark Column + SQL text), shared by every consumer of the
-    * exact tier (dd1/dd8/dd9/dd12/dd14-adjacent/dd17): a divergent copy
-    * would silently change one consumer's duplicate groups.
+    * exact tier (dd1/dd8/dd9/dd12/dd17 and the streaming admission
+    * gate): a divergent copy would silently change one consumer's
+    * duplicate groups. NULL-safe: a NULL text canonicalizes like the
+    * empty string, so the hash is never NULL — a NULL hash silently
+    * drops the document from every hash-keyed JOIN consumer (NULL never
+    * equals NULL), which in the streaming gate meant a doc with neither
+    * an admit nor a reject verdict.
     */
-  def canonicalHash: Column = md5(regexp_replace(lower(col("text")), "\\s+", " "))
-  val canonicalHashSql: String = """md5(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  def canonicalHash: Column =
+    md5(regexp_replace(lower(coalesce(col("text"), lit(""))), "\\s+", " "))
+  val canonicalHashSql: String =
+    """md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))"""
 
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents")

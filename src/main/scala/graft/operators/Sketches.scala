@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Engine
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -105,12 +105,31 @@ object Sketches {
     * full distinct shingle set — a deployment drops it and keeps the
     * sketch.
     */
+  /** The shared HLL register derivation — md5-prefix hash, 6-bit
+    * bucket, 26-bit remainder rank. ONE definition for hll1 AND hll2
+    * (plus the SQL twins via [[hllRhoSql]]/[[hllBucketSql]]): a
+    * divergent copy desynchronizes the two sketches from each other
+    * and from their oracles — the exact drift the file header warns
+    * about.
+    */
+  private def hllHash: Column =
+    conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast(LongType)
+  private def hllBucket(h: Column): Column = h.bitwiseAND(lit((hllBuckets - 1).toLong))
+  private def hllRho(h: Column): Column = {
+    val v = shiftright(h, 6) // 26-bit remainder
+    when(v > 0, lit(hllValueBits) - length(bin(v))).otherwise(lit(hllValueBits))
+  }
+  private def hllHashSql(tok: String): String =
+    s"('0x' || substring(md5($tok), 1, 8))::BIGINT"
+  private def hllBucketSql(h: String): String = s"($h) % $hllBuckets"
+  private def hllRhoSql(h: String): String =
+    s"CASE WHEN (($h) >> 6) > 0 THEN $hllValueBits - length(bin(($h) >> 6)) ELSE $hllValueBits END"
+
   def hllSketch(s: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.sourceShingles(s, dir)
-      .withColumn("h", conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast(LongType))
-    val bucket = col("h").bitwiseAND(lit((hllBuckets - 1).toLong))
-    val v = shiftright(col("h"), 6) // 26-bit remainder
-    val rho = when(v > 0, lit(hllValueBits) - length(bin(v))).otherwise(lit(hllValueBits))
+      .withColumn("h", hllHash)
+    val bucket = hllBucket(col("h"))
+    val rho = hllRho(col("h"))
     val regs = toks
       .select(col("source"), bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("source"), col("bucket"))
@@ -138,10 +157,10 @@ object Sketches {
        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS tok
        |  FROM raw_toks WHERE len(t) >= 3),
        |h AS (
-       |  SELECT source, tok, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+       |  SELECT source, tok, ${hllHashSql("tok")} AS h FROM toks),
        |rho AS (
-       |  SELECT source, h % 64 AS bucket,
-       |    CASE WHEN (h >> 6) > 0 THEN 27 - length(bin(h >> 6)) ELSE 27 END AS rho
+       |  SELECT source, ${hllBucketSql("h")} AS bucket,
+       |    ${hllRhoSql("h")} AS rho
        |  FROM h),
        |regs AS (
        |  SELECT source, bucket, MAX(rho) AS m, COUNT(*) AS n_toks
@@ -275,11 +294,9 @@ object Sketches {
   def hllUnion(s: SparkSession, dir: String): DataFrame = {
     val sh = TextAnalysis.sourceShingles(s, dir)
       .filter(col("source").isin(hllUnionSources: _*))
-      .withColumn("h", conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast(LongType))
-    val bucket = col("h").bitwiseAND(lit((hllBuckets - 1).toLong))
-    val v = shiftright(col("h"), 6)
-    val rho = when(v > 0, lit(hllValueBits) - length(bin(v))).otherwise(lit(hllValueBits))
-    val keyed = sh.select(col("source"), col("shingle"), bucket.as("bucket"), rho.as("rho"))
+      .withColumn("h", hllHash)
+    val keyed = sh.select(col("source"), col("shingle"),
+      hllBucket(col("h")).as("bucket"), hllRho(col("h")).as("rho"))
     val regs = keyed.groupBy(col("source"), col("bucket"))
       .agg(max(col("rho")).as("m"), count(lit(1)).as("n_toks"))
     val srcs = regs.select(col("source")).distinct()
@@ -340,10 +357,8 @@ object Sketches {
        |  FROM raw_toks WHERE len(t) >= 3),
        |keyed AS (
        |  SELECT source, tok,
-       |    ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
-       |    CASE WHEN ((('0x' || substring(md5(tok), 1, 8))::BIGINT) >> 6) > 0
-       |      THEN 27 - length(bin((('0x' || substring(md5(tok), 1, 8))::BIGINT) >> 6))
-       |      ELSE 27 END AS rho
+       |    ${hllBucketSql(hllHashSql("tok"))} AS bucket,
+       |    ${hllRhoSql(hllHashSql("tok"))} AS rho
        |  FROM toks),
        |regs AS (
        |  SELECT source, bucket, MAX(rho) AS m, COUNT(*) AS n_toks

@@ -995,8 +995,63 @@ final class MutableTable private (
     require(schema.fieldNames.contains(keyCol), s"unknown column: $keyCol")
     val v = currentVersion
     loadStats(v) // keep carried-over stats in the manifest we are about to write
-    val all = readManifest(v)
-    if (all.isEmpty) return 0L
+    val (files, deleted, changed) = deleteKeysCore(v, keys, keyCol)
+    if (changed) commit(allocVersion(), files)
+    deleted
+  }
+
+  /** Atomic UPSERT by primary key: the batch's keys are deleted and its
+    * rows inserted in ONE version commit — a reader never observes the
+    * keys-absent intermediate state a delete-then-insert pair publishes,
+    * and a crash anywhere before the commit leaves the previous version
+    * intact (the streaming-sink shape). The key must be the table's
+    * primary key (or the table unkeyed): the delete removes every
+    * matching table row, so PK uniqueness after the combined commit
+    * follows from the batch's own per-key uniqueness — enforced here
+    * with one small aggregate. NULL keys are rejected (they can never
+    * match a table row, so "upsert by NULL" has no meaning). Returns
+    * (deletedRows, insertedRows).
+    */
+  def upsertKeys(rows: DataFrame, keyCol: String): (Long, Long) = writeLock.synchronized {
+    require(schema.fieldNames.contains(keyCol), s"unknown column: $keyCol")
+    require(primaryKey.forall(_ == keyCol),
+      s"upsertKeys requires the key to be the table's primary key (pk=$primaryKey, key=$keyCol)")
+    val base = currentVersion
+    loadStats(base)
+    val batch = rows.select(schema.fieldNames.toSeq.map(col): _*)
+    if (!batch.filter(col(keyCol).isNull).isEmpty)
+      throw new IllegalArgumentException(s"NULL key in upsert batch: $keyCol")
+    if (!batch.groupBy(col(keyCol)).agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty)
+      throw new DuplicateKeyException(s"duplicate key in upsert batch: $keyCol")
+    val (survivors, deleted, _) = deleteKeysCore(base, batch, keyCol)
+    val newFiles = stageWrite(batch)
+    try {
+      val inserted = newFiles.map(f =>
+        statsFor(f).values.headOption.map(_.rows).getOrElse(-1L)) match {
+        case rs if rs.nonEmpty && rs.forall(_ >= 0) => rs.sum
+        case _ if newFiles.isEmpty => 0L
+        case _ => dmlSession.read.schema(schema)
+          .parquet(newFiles.map(f => dataDir.resolve(f).toString): _*).count()
+      }
+      commit(allocVersion(), survivors ++ newFiles)
+      (deleted, inserted)
+    } catch {
+      case e: Throwable =>
+        newFiles.foreach { f =>
+          fileStats.remove(f)
+          Files.deleteIfExists(dataDir.resolve(f))
+        }
+        throw e
+    }
+  }
+
+  /** Core of [[deleteKeys]]: computes the post-delete file list WITHOUT
+    * committing, so [[upsertKeys]] can fold the delete and its insert
+    * into one atomic version. Returns (files, deletedRows, changed).
+    */
+  private def deleteKeysCore(base: Long, keys: DataFrame, keyCol: String): (Seq[String], Long, Boolean) = {
+    val all = readManifest(base)
+    if (all.isEmpty) return (all, 0L, false)
     val keySet = keys.select(col(keyCol)).distinct()
     // STATS PRUNING on the key batch's own bounds (the insert clash
     // check's trick, upsert-side): one tiny min/max job over the key
@@ -1020,7 +1075,7 @@ final class MutableTable private (
           all.filter(f => FileStats.mayMatch(statsFor(f), overlap))
         } catch { case _: Exception => all } // pruning never fails the statement
       }
-    if (candidates.isEmpty) return 0L
+    if (candidates.isEmpty) return (all, 0L, false)
     // file name must attach AT THE SCAN (input_file_name() evaluated
     // after the join runs outside the file-read task and yields "")
     val fileDf = dmlSession.read.schema(schema).parquet(candidates.map(f => dataDir.resolve(f).toString): _*)
@@ -1034,14 +1089,13 @@ final class MutableTable private (
     val hit = perFile.map(_.getString(0)).toSet
     val deleted = perFile.map(_.getLong(1)).sum
     val affected = all.filter(f => hit.exists(h => h.endsWith("/" + f) || h.endsWith(f)))
-    if (affected.isEmpty) return 0L
+    if (affected.isEmpty) return (all, 0L, false)
     val affectedDf = dmlSession.read.schema(schema)
       .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
     val survivors = affectedDf.join(keySet, Seq(keyCol), "left_anti")
       .select(schema.fieldNames.toSeq.map(col): _*)
     val replacement = if (survivors.isEmpty) Seq.empty else stageWrite(survivors)
-    commit(allocVersion(), all.filterNot(affected.contains) ++ replacement)
-    deleted
+    (all.filterNot(affected.contains) ++ replacement, deleted, true)
   }
 
   /** Copy-on-write UPDATE: SET col -> expression for rows matching `cond`;

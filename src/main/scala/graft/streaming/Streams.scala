@@ -60,25 +60,34 @@ object Streams {
 
   /** Streaming upsert into a PK-enforced mutable table: `foreachBatch`
     * gives each micro-batch transactional access to the copy-on-write
-    * layer — delete-then-insert per batch keyed on `pk` (the DoPut
+    * layer — the batch's keys and rows land via MutableTable.upsertKeys,
+    * ONE atomic version commit (a reader never observes the keys-absent
+    * state the old delete-then-insert pair published between versions,
+    * and a crash mid-batch leaves the previous version; the DoPut
     * appender path, A7, with DuckLake-style mutability instead of
-    * append-only). Exactly-once per batch via the checkpointed batch id.
+    * append-only). The one-row-per-key pick is a pure function of batch
+    * CONTENT: `dropDuplicates` keeps an arbitrary row (task order), so a
+    * replayed batch could commit a DIFFERENT row than its first attempt
+    * — instead rows rank deterministically per key by `orderBy` (pass an
+    * event-time column for latest-wins; default: every non-key column,
+    * descending). The key anti-join stays distributed — no key set ever
+    * reaches the driver, so batch size is bounded by the cluster.
     */
   def upsertStream(events: DataFrame, table: graft.sources.MutableTable,
-      pk: String, checkpointDir: String): StreamingQuery =
+      pk: String, checkpointDir: String, orderBy: Seq[String] = Nil): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // one row per key (arbitrary-latest within the micro-batch), so
-        // the PK check holds; existing rows leave via a distributed
-        // anti-join (deleteKeys) — no key set ever reaches the driver,
-        // so batch size is bounded by the cluster, not driver memory
-        val deduped = batch.dropDuplicates(pk).cache()
-        if (!deduped.isEmpty) {
-          table.deleteKeys(deduped, pk)
-          table.insert(deduped)
-        }
-        deduped.unpersist()
+        val ordCols = if (orderBy.nonEmpty) orderBy
+          else batch.columns.toSeq.filterNot(_ == pk)
+        val ord = (if (ordCols.nonEmpty) ordCols else Seq(pk)).map(col(_).desc)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(pk)).orderBy(ord: _*)
+        val deduped = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn").cache()
+        try {
+          if (!deduped.isEmpty) { table.upsertKeys(deduped, pk); () }
+        } finally deduped.unpersist()
         ()
       }
       .start()
@@ -103,6 +112,12 @@ object Streams {
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    // the 10-minute watermark below must not exceed the gap: then every
+    // in-watermark straggler lands within `gap` of the session START
+    // too (an event needing a farther-back session would already be
+    // below the watermark and filtered), so extending sessionStart
+    // backwards via min() reproduces exactly the batch (w2) sessions
+    require(gapMinutes >= 10, s"gap ($gapMinutes min) must cover the 10-minute watermark")
     val gapMs = gapMinutes * 60 * 1000L
 
     def update(userId: Long, batch: Iterator[Event],
@@ -119,7 +134,11 @@ object Streams {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.lastTs <= gapMs =>
-            cur = Some(s.copy(lastTs = math.max(s.lastTs, t), nEvents = s.nEvents + 1))
+            // a late-but-in-watermark event can precede the current
+            // session start — the session's true start moves DOWN, or
+            // the emitted session_start diverges from the batch twin
+            cur = Some(s.copy(sessionStart = math.min(s.sessionStart, t),
+              lastTs = math.max(s.lastTs, t), nEvents = s.nEvents + 1))
           case Some(s) =>
             closed ::= SessionOut(userId, new Timestamp(s.sessionStart), new Timestamp(s.lastTs), s.nEvents)
             cur = Some(SessionState(t, t, 1))
@@ -295,8 +314,14 @@ object Streams {
     import graft.operators.Dedup
     // idempotence: a restarted query can replay the last batch id
     if (!state.verdicts.df.filter(col("batch_id") === batchId).isEmpty) return
+    // the SHARED dd1 canonical hash (Dedup.canonicalHash — one
+    // definition; an inline copy here silently split exact-duplicate
+    // groups between the batch and streaming ingest paths the moment
+    // the canonical formula changed). NULL-safe by that definition, so
+    // a NULL-text doc hashes like empty text and keeps its verdict row
+    // instead of vanishing through the NULL-keyed joins below.
     val b = batch.select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .withColumn("h", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("h", Dedup.canonicalHash)
       .cache()
     try {
       val firstInBatch = b.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
@@ -371,14 +396,22 @@ object Streams {
     } finally b.unpersist()
   }
 
-  /** Watermarked stream-stream interval join: each purchase attributed to
-    * the click by the same user that preceded it within 30 minutes — the
-    * streaming face of the batch ev19 attribution query. Both sides carry
-    * watermarks and the join predicate bounds the event-time range in
-    * BOTH directions, so Spark derives finite state-retention for each
-    * side (per the Structured Streaming stream-stream join contract) and
-    * evicts click state 30 minutes + watermark past its event time. The
-    * join is key-partitioned on user_id — partition-parallel at any rate.
+  /** Watermarked stream-stream interval join: each purchase paired with
+    * EVERY click by the same user within its 30-minute lookback — the
+    * CANDIDATE stream a last-touch reducer consumes. This is
+    * deliberately NOT the batch ev19 reduction: picking "the latest
+    * click per purchase" inside the stream needs either post-join
+    * stateful dedup or an aggregation Structured Streaming restricts
+    * after a stream-stream join; the contract here is the bounded-state
+    * interval join itself, and a consumer (or the batch ev19 query over
+    * the sink) reduces pairs to last-touch — summing purchase_value over
+    * RAW pairs would multi-count a purchase with several clicks. Both
+    * sides carry watermarks and the join predicate bounds the event-time
+    * range in BOTH directions, so Spark derives finite state-retention
+    * for each side (per the Structured Streaming stream-stream join
+    * contract) and evicts click state 30 minutes + watermark past its
+    * event time. The join is key-partitioned on user_id —
+    * partition-parallel at any rate.
     */
   def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame =
     attributionJoin(clicks, purchases, "inner")

@@ -99,6 +99,33 @@ class StreamingDedupSpec extends SparkTestBase {
       s"one shared band each with two different corpus docs must admit: ${v.mkString}")
   }
 
+  test("admitBatch: a NULL-text document still gets a verdict (NULL-safe canonical hash)") {
+    // the old inline hash was NULL for NULL text, and the NULL key fell
+    // out of every hash-keyed join — the doc got NEITHER an admit nor a
+    // reject row, violating the every-doc-gets-a-verdict contract (and
+    // an all-NULL batch left no verdicts, so the replay guard never
+    // marked it processed). Dedup.canonicalHash now canonicalizes NULL
+    // like the empty string.
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_null")
+    val state = AdmissionState.create(spark, root)
+    val batch = Seq(
+      AdmitDoc(1L, null, "en", "c"),
+      AdmitDoc(2L, "", "en", "c"), // canonicalizes identically to NULL
+      AdmitDoc(3L, (1 to 40).map(i => s"nn$i").mkString(" "), "en", "c")).toDF()
+    Streams.admitBatch(batch, 11L, state)
+    val v = state.verdicts.df.collect().map(r =>
+      r.getLong(1) -> (r.getBoolean(2), Option(r.getString(3)).getOrElse(""))).toMap
+    assert(v.keySet == Set(1L, 2L, 3L), s"every doc needs a verdict row: ${v.keySet}")
+    assert(v(1L) == (true, ""), "first NULL/empty doc admits")
+    assert(v(2L) == (false, "exact_in_batch"), "empty text duplicates the NULL doc's canonical form")
+    assert(v(3L) == (true, ""))
+    // the replay guard sees the batch as processed even for degenerate batches
+    Streams.admitBatch(batch, 11L, state)
+    assert(state.verdicts.df.count() == 3)
+  }
+
   test("admitBatch: a crash inside the state writes applies NOTHING; replay is clean") {
     // r12 ADVICE: the old insert sequence could crash after corpus/
     // hashes/bands landed but before verdicts, so the replay re-judged

@@ -100,7 +100,7 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("upsertStream: per-batch delete-then-insert keyed on the PK, no driver key collect") {
+  test("upsertStream: per-batch atomic upsert keyed on the PK, no driver key collect") {
     val sparkS = spark
     import sparkS.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -154,6 +154,38 @@ class StreamsSpec extends SparkTestBase {
       val all = spark.table("sessions_out").as[SessionOut].collect()
       assert(all.exists(s => s.user_id == 1 && s.n_events == 1 &&
         s.session_start == Timestamp.valueOf("2026-01-01 11:00:00")))
+    } finally q.stop()
+  }
+
+  test("sessionize: a late-but-in-watermark event lowers session_start (batch parity)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 opens a session at 10:10; user 2's event at the
+      // same time sets the global watermark to 10:00
+      mem.addData(Event(1, ts(10), 1, "view", 1.0), Event(2, ts(10), 2, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1's out-of-order event at 10:05 — ABOVE the 10:00
+      // watermark, within the gap of the open session. The session's
+      // true start is now 10:05 (the batch w2 query would say so); the
+      // old merge kept 10:10.
+      mem.addData(Event(3, ts(5), 1, "view", 1.0))
+      q.processAllAvailable()
+      // push the watermark far forward so the session times out
+      mem.addData(Event(9, Timestamp.valueOf("2026-01-01 15:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, Timestamp.valueOf("2026-01-01 17:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val s1 = spark.table("sessions_late").as[SessionOut].collect()
+        .filter(_.user_id == 1)
+      assert(s1.length == 1, s1.mkString(","))
+      assert(s1.head.session_start == ts(5), s"start ${s1.head.session_start}")
+      assert(s1.head.session_end == ts(10) && s1.head.n_events == 2)
     } finally q.stop()
   }
 
