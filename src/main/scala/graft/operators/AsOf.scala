@@ -22,34 +22,58 @@ import org.apache.spark.sql.types._
   */
 object AsOf {
 
-  /** Left rows joined with the most recent right row at-or-before their
-    * time. `right` must carry `key`, `time`, and `valueCols`.
+  /** Left rows joined with the nearest right row at-or-before their
+    * time (`forward = false`, the default) or at-or-after it
+    * (`forward = true`). `right` must carry `key`, `time`, and
+    * `valueCols`; `carryRightTimeAs` additionally emits the matched
+    * right row's OWN timestamp under the given output name (the wait-
+    * time shape ev14 needs). ONE definition for both directions — the
+    * forward variant used to live as an inline copy in ev14, where a
+    * tie-ordering or schema-alignment fix to this helper would not have
+    * reached it.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String], forward: Boolean = false,
+      carryRightTimeAs: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    def slot(c: String) = s"__r_$c"
+    // carried slots: the requested value columns, plus (optionally) the
+    // right side's own time under a reserved slot name
+    val carrySlots: Seq[(String, Column, org.apache.spark.sql.types.DataType)] =
+      valueCols.map(c => (c, col(c), right.schema(c).dataType)) ++
+        carryRightTimeAs.map(_ => ("__rtime", col(time), right.schema(time).dataType))
     val tagged =
       left.withColumn("__is_left", lit(1))
         .select((leftCols.map(col) :+ col("__is_left")) ++
-          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+          carrySlots.map { case (c, _, dt) => lit(null).cast(dt).as(slot(c)) }: _*)
     val rightTagged = right
       .select((Seq(col(key), col(time)) :+ lit(0).as("__is_left")) ++
-        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+        carrySlots.map { case (c, src, _) => src.as(slot(c)) }: _*)
     // align schemas: left-only columns are null on right rows
     val fullCols = tagged.columns.toSeq
     val rightAligned = rightTagged.select(fullCols.map { c =>
       if (rightTagged.columns.contains(c)) col(c)
       else lit(null).cast(tagged.schema(c).dataType).as(c)
     }: _*)
-    // right rows sort BEFORE left rows at the same timestamp: at-or-before
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__is_left"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(tagged.unionByName(rightAligned)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    // tie order puts the right row INSIDE the frame at an equal
+    // timestamp in both directions: backward sorts right (0) before
+    // left (1) under asc, forward sorts left before right under desc —
+    // at-or-before / at-or-after
+    val w0 = Window.partitionBy(col(key))
+    val w =
+      if (forward) w0.orderBy(col(time), col("__is_left").desc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.orderBy(col(time), col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    def carry(c: Column) =
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
+    val carried = carrySlots.foldLeft(tagged.unionByName(rightAligned)) { (df, cs) =>
+      df.withColumn(slot(cs._1), carry(col(slot(cs._1))))
     }
     carried.filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__r_$c").as(c)): _*)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(slot(c)).as(c)) ++
+        carryRightTimeAs.map(n => col(slot("__rtime")).as(n)): _*)
   }
 
   /** Bucketized range join: `left.t` in `[right.t + lowerSec, right.t +
@@ -65,14 +89,23 @@ object AsOf {
       lowerSec: Long, upperSec: Long, rightCols: Seq[String]): DataFrame = {
     require(upperSec >= lowerSec, "empty range")
     val bucketSec = math.max(upperSec - lowerSec, 1L)
+    // bucket ids in EXACT integer micros (the ts8 floor-div pattern):
+    // the old double chain (unix_micros/1e6/bucketSec) carries ~2 ulp,
+    // which past ~2^51 micros (a year-9999 sentinel ts) can floor the
+    // left row and its covering right range into NON-overlapping
+    // buckets — a silently missing pair the fine filter can never
+    // repair. pmod keeps floor (not truncate-toward-zero) semantics for
+    // pre-1970 timestamps.
+    val bucketUs = bucketSec * 1000000L
+    def fdiv(e: String) = expr(s"(($e) - pmod(($e), $bucketUs)) div $bucketUs")
     val lb = left
-      .withColumn("__b", floor(unix_micros(col(time)) / 1e6 / bucketSec).cast(LongType))
       .withColumn("__lt", col(time))
+      .withColumn("__b", fdiv("unix_micros(__lt)"))
     val rb = right
       .select((col(key) +: col(time).as("__rt") +: rightCols.map(col)): _*)
       .withColumn("__b", explode(sequence(
-        floor((unix_micros(col("__rt")) / 1e6 + lowerSec) / bucketSec).cast(LongType),
-        floor((unix_micros(col("__rt")) / 1e6 + upperSec) / bucketSec).cast(LongType))))
+        fdiv(s"unix_micros(__rt) + ${lowerSec * 1000000L}"),
+        fdiv(s"unix_micros(__rt) + ${upperSec * 1000000L}"))))
     lb.join(rb, Seq(key, "__b"))
       .filter(unix_micros(col("__lt")) >= unix_micros(col("__rt")) + lowerSec * 1000000L &&
         unix_micros(col("__lt")) <= unix_micros(col("__rt")) + upperSec * 1000000L)
@@ -159,24 +192,11 @@ object AsOf {
     val purchases = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("value")).as("value"))
-    val tagged = views.withColumn("__is_left", lit(1))
-      .withColumn("__r_value", lit(null).cast(DoubleType))
-      .withColumn("__r_ts", lit(null).cast(views.schema("ts").dataType))
-    val rightAligned = purchases
-      .select(lit(null).cast(LongType).as("event_id"), col("user_id"), col("ts"),
-        lit(0).as("__is_left"), col("value").as("__r_value"), col("ts").as("__r_ts"))
-    // left rows sort BEFORE right rows at the same timestamp, so a
-    // same-instant purchase is inside the forward frame: at-or-after
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("__is_left").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    tagged.unionByName(rightAligned)
-      .withColumn("__next_value", first(col("__r_value"), ignoreNulls = true).over(w))
-      .withColumn("__next_ts", first(col("__r_ts"), ignoreNulls = true).over(w))
-      .filter(col("__is_left") === 1)
+    asofJoin(views, purchases, "user_id", "ts", Seq("value"),
+      forward = true, carryRightTimeAs = Some("__next_ts"))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
-        coalesce(col("__next_value"), lit(-1.0)).as("next_purchase_value"),
+        coalesce(col("value"), lit(-1.0)).as("next_purchase_value"),
         coalesce(unix_micros(col("__next_ts")) - unix_micros(col("ts")), lit(-1L))
           .as("wait_us"))
       .orderBy(col("event_id"))

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** The decontamination gate's default threshold — ONE constant for
+    * corpusManifest, manifestUnordered, the pipe1 oracle, and (through
+    * manifestUnordered's default) pipe2: a value restated per signature
+    * would let pipe2 pack a DIFFERENT survivor set than pipe1 reports
+    * while the memo silently caches both.
+    */
+  val defaultContamMax = 0.7
+
   /** The manifest is built once per (session, dir, threshold) and its
     * unordered form cached: pipe1 and pipe2 both consume it, and a
     * second build would re-run dd8's eager union-find stage plus every
@@ -52,22 +60,46 @@ object CorpusPipeline {
     * decontamination pass is for; a threshold below the background band
     * would silently discard most of the corpus.
     */
-  def corpusManifest(s: SparkSession, dir: String, contamMax: Double = 0.7): DataFrame =
+  def corpusManifest(s: SparkSession, dir: String, contamMax: Double = defaultContamMax): DataFrame =
     manifestUnordered(s, dir, contamMax).orderBy(col("doc_id"))
 
+  /** In-flight build guards: buildManifest eagerly executes dd8's
+    * iterative union-find Spark jobs, so it must run OUTSIDE the memo
+    * lock — holding `manifestMemo.synchronized` across it serialized
+    * every session (including pure cache hits for other keys) behind
+    * one cache miss. Only same-key callers wait, on a per-key latch.
+    */
+  private val manifestInFlight =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double),
+      java.util.concurrent.CountDownLatch]()
+
   private def manifestUnordered(s: SparkSession, dir: String,
-      contamMax: Double = 0.7): DataFrame = manifestMemo.synchronized {
-    // drop entries whose session has been stopped: they can never be
-    // served again, their unpersist would throw (and be swallowed) at
-    // LRU-eviction time, and a dead session + its cached DataFrames
-    // should not stay strongly referenced occupying cap slots
-    manifestMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      contamMax: Double = defaultContamMax): DataFrame = {
     val key = (s, dir, contamMax)
-    Option(manifestMemo.get(key)).getOrElse {
-      val m = buildManifest(s, dir, contamMax).cache()
-      manifestMemo.put(key, m)
-      m
+    while (true) {
+      manifestMemo.synchronized {
+        // drop entries whose session has been stopped: they can never be
+        // served again, their unpersist would throw (and be swallowed) at
+        // LRU-eviction time, and a dead session + its cached DataFrames
+        // should not stay strongly referenced occupying cap slots
+        manifestMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+        val hit = manifestMemo.get(key)
+        if (hit != null) return hit
+      }
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val prev = manifestInFlight.putIfAbsent(key, latch)
+      if (prev == null) {
+        try {
+          val m = buildManifest(s, dir, contamMax).cache()
+          manifestMemo.synchronized { manifestMemo.put(key, m) }
+          return m
+        } finally {
+          manifestInFlight.remove(key)
+          latch.countDown() // a failed build releases waiters to retry
+        }
+      } else prev.await() // same-key build in progress; loop re-checks
     }
+    throw new IllegalStateException("unreachable")
   }
 
   private def buildManifest(s: SparkSession, dir: String, contamMax: Double): DataFrame = {
@@ -110,7 +142,7 @@ object CorpusPipeline {
     * parenthesized subquery, so the stage CTE names cannot collide),
     * joined exactly as the Spark plan joins the stage outputs.
     */
-  def corpusManifestSql(contamMax: Double = 0.7): String =
+  def corpusManifestSql(contamMax: Double = defaultContamMax): String =
     s"""WITH q AS (SELECT doc_id, keep AS keep_quality, n_tokens
        |           FROM (${TextAnalysis.docQualityFilterSql}) tq),
        |c AS (SELECT doc_id, (contamination <= $contamMax) AS keep_decontam

@@ -32,9 +32,17 @@ object Skew {
     // `buckets` times — those shapes need the mirrored construction
     require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins, got $joinType")
-    // scatter: deterministic salt from the row content spreads hot keys
+    // scatter: content hash + a per-partition row counter. Content alone
+    // fails exactly on salting's target workload — byte-identical
+    // duplicate rows of a hot key (a frame projected to just the join
+    // key) all hash to ONE bucket and the hot slice never spreads. The
+    // row counter spreads duplicates round-robin; it is nondeterministic
+    // across retries, which is SAFE here because the join result is
+    // bucket-invariant (every salt meets a full small-side replica) —
+    // only the shuffle distribution moves, never a row's join partners.
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col).toIndexedSeq: _*)), lit(buckets)))
+      pmod(xxhash64(struct(large.columns.map(col).toIndexedSeq: _*))
+        + monotonically_increasing_id(), lit(buckets.toLong)))
     // replicate: small side joins every salt value
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1)).cast("array<bigint>")))

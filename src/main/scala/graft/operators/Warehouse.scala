@@ -55,9 +55,13 @@ object Warehouse {
   def scd2History(s: SparkSession, dir: String): DataFrame =
     islands(t(s, dir, "events"))
       // event_type tiebreak: two same-ts events of different types give two
-      // runs the same valid_from, and adjacent runs always differ in type,
-      // so (user, from, type) is a total order — (user, from) alone is not
-      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+      // runs the same valid_from, and adjacent runs always differ in type —
+      // but NON-adjacent same-type runs (A,B,A at one ts) can still tie on
+      // (user, from, type), so valid_to and n_events join the key (NULLS
+      // LAST explicitly: Spark's asc default is NULLS FIRST, DuckDB's is
+      // NULLS LAST — the oracle pins LAST)
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+        col("valid_to").asc_nulls_last, col("n_events"))
 
   def scd2HistorySql: String =
     """WITH flagged AS (
@@ -79,7 +83,8 @@ object Warehouse {
       |  n_events,
       |  CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
       |    IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
-      |FROM islands ORDER BY user_id, valid_from, event_type""".stripMargin
+      |FROM islands
+      |ORDER BY user_id, valid_from, event_type, valid_to ASC NULLS LAST, n_events""".stripMargin
 
   // === pit1: point-in-time join against the SCD2 intervals =================
   /** The feature-store lookup: every purchase joins the state interval
@@ -174,12 +179,29 @@ object Warehouse {
     * `repartitionByRange(col("zkey")).sortWithinPartitions("zkey")` —
     * a single range exchange.
     */
+  /** The z-space dimensions (8-bit buckets of custkey and epoch-day) —
+    * ONE definition for zord1's layout and zord2's audit (the audit's
+    * soundness bound holds only while its truth scan and the ledger
+    * bucket IDENTICALLY; a divergent copy silently voids the invariant
+    * the spec pins). [[zKeyedSqlCtes]] is the SQL twin.
+    */
+  private def zDimX: Column = col("o_custkey").bitwiseAND(255L)
+  private def zDimY: Column = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+    .cast(LongType).bitwiseAND(255L)
+  private def zKeyedSqlCtes: String = {
+    val zExpr = (0 until zDimBits).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""dims AS (
+       |  SELECT o_custkey & 255 AS x,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 255 AS y
+       |  FROM orders),
+       |keyed AS (SELECT x, y, ($zExpr) AS zkey FROM dims)""".stripMargin
+  }
+
   def zorderStats(s: SparkSession, dir: String): DataFrame = {
-    val x = col("o_custkey").bitwiseAND(255L)
-    val y = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
-      .cast(LongType).bitwiseAND(255L)
     t(s, dir, "orders")
-      .select(x.as("x"), y.as("y"))
+      .select(zDimX.as("x"), zDimY.as("y"))
       .withColumn("zkey", morton(col("x"), col("y")))
       .groupBy(shiftright(col("zkey"), zBlockShift).as("z_block"))
       .agg(count(lit(1)).as("n_rows"),
@@ -190,20 +212,12 @@ object Warehouse {
       .orderedSmall(col("z_block")) // domain-bounded: <= 1024 blocks at any SF
   }
 
-  def zorderStatsSql: String = {
-    val zExpr = (0 until zDimBits).map { i =>
-      s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
-    }.mkString(" | ")
-    s"""WITH dims AS (
-       |  SELECT o_custkey & 255 AS x,
-       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 255 AS y
-       |  FROM orders),
-       |keyed AS (SELECT x, y, ($zExpr) AS zkey FROM dims)
+  def zorderStatsSql: String =
+    s"""WITH $zKeyedSqlCtes
        |SELECT zkey >> $zBlockShift AS z_block, COUNT(*) AS n_rows,
        |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
        |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS bbox_area
        |FROM keyed GROUP BY z_block ORDER BY z_block""".stripMargin
-  }
 
   // === ivm1: incremental view maintenance by partial-aggregate merge =======
   val ivmSplit = "1997-01-01"
@@ -269,11 +283,8 @@ object Warehouse {
         sum(col("n_rows")).cast(LongType).as("rows_total"),
         sum(when(keep, 1L).otherwise(0L)).as("n_blocks_kept"),
         sum(when(keep, col("n_rows")).otherwise(0L)).cast(LongType).as("rows_scanned"))
-    val x = col("o_custkey").bitwiseAND(255L)
-    val y = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
-      .cast(LongType).bitwiseAND(255L)
     val truth = t(s, dir, "orders")
-      .select(x.as("x"), y.as("y"))
+      .select(zDimX.as("x"), zDimY.as("y"))
       .filter(col("x").between(zPredX._1, zPredX._2) &&
         col("y").between(zPredY._1, zPredY._2))
       .agg(count(lit(1)).as("rows_matching"))
@@ -285,14 +296,7 @@ object Warehouse {
   }
 
   def zorderPruneAuditSql: String = {
-    val zExpr = (0 until zDimBits).map { i =>
-      s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
-    }.mkString(" | ")
-    s"""WITH dims AS (
-       |  SELECT o_custkey & 255 AS x,
-       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 255 AS y
-       |  FROM orders),
-       |keyed AS (SELECT x, y, ($zExpr) AS zkey FROM dims),
+    s"""WITH $zKeyedSqlCtes,
        |blocks AS (
        |  SELECT zkey >> $zBlockShift AS z_block, COUNT(*) AS n_rows,
        |    MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
@@ -546,10 +550,15 @@ object Warehouse {
 
   def functionalDepsSql: String = {
     val branches = fdCandidates.map { case (tbl, det, dep) =>
+      // NULL parity: Spark's countDistinct(a, b) skips any-NULL tuples
+      // while DuckDB's COUNT(DISTINCT (a, b)) counts NULL-field structs
+      // — the CASE reproduces Spark's skip on the oracle side (latent on
+      // the NULL-free fixture; the NULL-parity discipline pins it anyway)
+      val pair = s"CASE WHEN $det IS NOT NULL AND $dep IS NOT NULL THEN ($det, $dep) END"
       s"""SELECT '$tbl' AS table_name, '$det' AS determinant, '$dep' AS dependent,
          |  CAST(COUNT(DISTINCT $det) AS BIGINT) AS n_det,
-         |  CAST(COUNT(DISTINCT ($det, $dep)) AS BIGINT) AS n_det_dep,
-         |  CAST(CASE WHEN COUNT(DISTINCT $det) = COUNT(DISTINCT ($det, $dep))
+         |  CAST(COUNT(DISTINCT $pair) AS BIGINT) AS n_det_dep,
+         |  CAST(CASE WHEN COUNT(DISTINCT $det) = COUNT(DISTINCT $pair)
          |    THEN 1 ELSE 0 END AS INTEGER) AS holds
          |FROM $tbl""".stripMargin
     }.mkString("\nUNION ALL\n")

@@ -135,6 +135,37 @@ class WarehouseSpec extends SparkTestBase {
     assert(r("c_nationkey") == 0, "25 nations cannot determine 5 segments x 25")
   }
 
+  test("fd1: any-NULL pairs are skipped from the pair-distinct count (NULL parity)") {
+    // Spark's countDistinct(det, dep) skips tuples with ANY null; the
+    // oracle's CASE-wrapped COUNT(DISTINCT ...) mirrors exactly that
+    // (DuckDB's bare COUNT(DISTINCT (a,b)) would COUNT null-field
+    // structs and flip the verdict). This fixture pins the Spark-side
+    // semantics the oracle text reproduces.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fd1n").toString
+    def save(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.parquet(s"$dir/$name.parquet")
+    save("orders", Seq(
+      (1L, "O", 10L, "P1"),
+      (2L, null.asInstanceOf[String], 10L, null.asInstanceOf[String]),
+      (3L, "F", 20L, "P2"))
+      .toDF("o_orderkey", "o_orderstatus", "o_custkey", "o_orderpriority"))
+    save("customer", Seq((10L, 0L, "SEG"), (20L, 1L, "SEG"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment"))
+    save("nation", Seq((0L, 0L), (1L, 0L)).toDF("n_nationkey", "n_regionkey"))
+    val r = Warehouse.functionalDeps(spark, dir).collect()
+      .map(row => (row.getAs[String]("determinant"),
+        (row.getAs[Long]("n_det"), row.getAs[Long]("n_det_dep"), row.getAs[Int]("holds"))))
+      .toMap
+    // o_custkey: dets {10, 20}; pairs skipping NULLs: (10,P1), (20,P2)
+    // -> 2 == 2, HOLDS (cust 10's NULL-priority row is skipped, exactly
+    // as the oracle's CASE form counts it)
+    assert(r("o_custkey") == ((2L, 2L, 1)), r("o_custkey").toString)
+    // o_orderkey: det 2's status is NULL -> pair skipped: 3 dets, 2 pairs
+    // -> does NOT hold under skip semantics (both engines agree)
+    assert(r("o_orderkey") == ((3L, 2L, 0)), r("o_orderkey").toString)
+  }
+
   test("ws1: sample is a deterministic subset, weight-monotone under equal hash") {
     val a = Warehouse.weightedSample(spark, sfDir).collect().toSeq
     val b = Warehouse.weightedSample(spark, sfDir).collect().toSeq
