@@ -628,6 +628,7 @@ object Bench {
       "fld2_cluster_split", // dd7's eager union-find engine at construction
       "ts8_theil_sen_trend", // bounded per-day aggregate collected at construction
       "ts9_mann_kendall", // same bounded per-day collect as ts8
+      "ts1_hourly_grid", // eager localCheckpoint of the cell aggregate
       "dd17_multitier_clusters", // dd7's eager components engine at construction
       "lm3_kneser_ney", // eager localCheckpoint + one-scalar count at construction
       "ev25_markov_stationary") // k×k transition matrix collected at construction

@@ -210,14 +210,12 @@ object Advanced {
   def q11(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
     // keep the EXACT integer-micros decimal per supplier (dsum's
-    // internals, pre-division): the global total below must be a
-    // decimal window sum — a double window-sum of the per-supplier
-    // dsum outputs would accumulate in shuffle order and differ from
-    // the oracle's scalar by ulps run-to-run
-    val u = when(rev >= 0, floor(rev)).otherwise(ceil(rev)).cast(LongType)
-    val f = Exact.micros(rev - u.cast(DoubleType))
+    // internals, pre-division, via the SHARED Exact.msumSplit): the
+    // global total below must be a decimal window sum — a double
+    // window-sum of the per-supplier dsum outputs would accumulate in
+    // shuffle order and differ from the oracle's scalar by ulps
     val perSupp = l.groupBy(col("l_suppkey"))
-      .agg((sum(u).cast(Exact.D380) * lit(1000000L) + sum(f).cast(Exact.D380)).as("rev_m"))
+      .agg(Exact.msumSplit(rev).as("rev_m"))
       .select(col("l_suppkey"), col("rev_m"),
         Exact.toUnits(col("rev_m")).as("supp_revenue"))
     // Threshold = 1.05x the MEAN supplier revenue (the "at least 5%
@@ -473,7 +471,11 @@ object Advanced {
           val nd = col("n").cast(DoubleType)
           val sxd = Exact.toUnits(col("sx"))
           val sxxd = Exact.toUnits(col("sxx"))
-          ((nd * sxxd - sxd * sxd) / (nd * (nd - lit(1.0)))).as("var_samp")
+          // n = 1 makes the denominator 0: DuckDB float x/0 is NULL,
+          // Spark emits NaN — agree on NULL (sample variance of one
+          // observation is undefined)
+          when(col("n") < 2, lit(null).cast(DoubleType))
+            .otherwise((nd * sxxd - sxd * sxd) / (nd * (nd - lit(1.0)))).as("var_samp")
         })
       .orderBy(col("l_returnflag"))
   }
@@ -481,8 +483,9 @@ object Advanced {
   val exactVarianceSql: String = {
     def u(m: String) = Exact.sqlToUnits(m)
     s"""SELECT l_returnflag, n, ${u("sx")} AS sum_x,
-       | ((CAST(n AS DOUBLE) * ${u("sxx")} - ${u("sx")} * ${u("sx")})
-       |   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS var_samp
+       | CASE WHEN n < 2 THEN NULL ELSE
+       |  ((CAST(n AS DOUBLE) * ${u("sxx")} - ${u("sx")} * ${u("sx")})
+       |   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS var_samp
        |FROM (
        |  SELECT l_returnflag, COUNT(*) AS n,
        |    ${Exact.sqlMsum("l_discount")} AS sx,

@@ -84,10 +84,19 @@ object Exact {
     * columns (1e5) up to ~10^13 rows per group. For squared or
     * otherwise wide-magnitude inputs use msum (exact at any scale).
     */
-  def dsum(c: Column): Column = {
+  def dsum(c: Column): Column = toUnits(msumSplit(c))
+
+  /** dsum's internals pre-division: the units/frac split summed to the
+    * exact integer-micros DECIMAL(38,0). ONE definition shared with any
+    * consumer that needs the exact decimal itself (q11's global window
+    * total) — an inlined copy could silently desync from dsum and break
+    * the Spark-vs-sqlDsum bit-parity contract. [[sqlMsumSplit]] is the
+    * oracle twin.
+    */
+  def msumSplit(c: Column): Column = {
     val u = when(c >= 0, floor(c)).otherwise(ceil(c)).cast(LongType) // trunc, exact
     val f = micros(c - u.cast(DoubleType)) // exact remainder (|c| < 2^52), rounded
-    toUnits(sum(u).cast(D380) * lit(1000000L) + sum(f).cast(D380))
+    sum(u).cast(D380) * lit(1000000L) + sum(f).cast(D380)
   }
 
   /** Order-independent fractional mean emitted as a bit-portable double.

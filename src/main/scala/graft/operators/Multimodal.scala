@@ -309,11 +309,15 @@ object Multimodal {
     * digests — the content-defined-chunking dedup a media lake runs,
     * simplified to fixed alignment (a real CDC swaps the splitter, the
     * join is identical). Candidates come from an inverted-index join
-    * on block digests (the dd2 shape applied to binary): only
-    * (digest, doc_id, n_blocks) ever shuffles — payload bytes stay at
-    * the scan, the invariant mm4/mm5 pin. Containment = shared blocks
-    * over the smaller payload's block count, the asymmetric score that
-    * catches embedded copies.
+    * on block digests (the dd2 shape applied to binary): from the
+    * digest step on, only (digest, doc_id, n_blocks) ever shuffles.
+    * The payload-bytes-stay-at-the-scan invariant (mm4/mm5's) holds at
+    * deployment scale, where the scan has ≥ shuffle-width splits and
+    * Par.fanOut is the identity; on a SINGLE-split bench file fanOut
+    * deliberately pays one payload exchange to buy width-way digest
+    * parallelism — the one scale where that exchange is cheap.
+    * Containment = shared blocks over the smaller payload's block
+    * count, the asymmetric score that catches embedded copies.
     */
   def blockNearDup(s: SparkSession, dir: String, blockSize: Int = 64): DataFrame = {
     val base = payloads(s, dir).filter(col("meta.n_bytes") > 0)

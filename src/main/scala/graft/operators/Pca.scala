@@ -121,6 +121,13 @@ object Pca {
   /** Map-only projection: each embedding centered against the broadcast
     * mean and dotted with each basis row (codegen'd DotProduct). Output:
     * the id column plus pc0..pc{k-1}.
+    *
+    * Vectors whose length differs from the model dimension are DROPPED
+    * (covariance() tolerates ragged corpora, so a shorter vector is
+    * legal input here — but zip_with null-pads it and DotProduct reads
+    * the null slots as 0.0, silently projecting the row as if its
+    * missing coordinates equaled the mean; an explicit filter beats a
+    * silently wrong pc).
     */
   def project(embeddings: DataFrame, idCol: String, vecCol: String,
       model: Model): DataFrame = {
@@ -130,6 +137,8 @@ object Pca {
     val pcs: Seq[Column] = model.basis.zipWithIndex.map { case (b, i) =>
       graft.functions.VectorFunctions.vecDot(centered, array(b.map(lit): _*)).as(s"pc$i")
     }.toSeq
-    embeddings.select(col(idCol) +: pcs: _*)
+    embeddings
+      .filter(size(col(vecCol)) === model.mean.length)
+      .select(col(idCol) +: pcs: _*)
   }
 }

@@ -418,13 +418,17 @@ object Relational {
       .select(col("event_type"),
         unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
       .groupBy(col("event_type"), col("hour_us")).agg(count(lit(1)).as("cnt"))
-    val stats = hours.groupBy(col("event_type")).agg(
-      count(lit(1)).cast(LongType).as("n_hours"),
-      sum(col("cnt")).cast(LongType).as("s1"),
-      sum(col("cnt") * col("cnt")).cast(LongType).as("s2"))
+    // per-type moments as WINDOWS over the already-aggregated hours —
+    // the agg-over-agg + join-back form re-scanned events and re-paid
+    // the (type, hour) shuffle twice (ReuseExchange measurably does not
+    // fire across the asymmetry; the q11 lesson applied here)
+    val wT = Window.partitionBy(col("event_type"))
     val mean = col("s1").cast(DoubleType) / col("n_hours").cast(DoubleType)
     val varc = col("s2").cast(DoubleType) / col("n_hours").cast(DoubleType) - mean * mean
-    hours.join(broadcast(stats), "event_type")
+    hours
+      .withColumn("n_hours", count(lit(1)).over(wT))
+      .withColumn("s1", sum(col("cnt")).over(wT))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(wT))
       .filter(varc > 0)
       .select(col("event_type"), col("hour_us"), col("cnt"),
         ((col("cnt").cast(DoubleType) - mean) / sqrt(varc)).as("z"))
@@ -623,8 +627,13 @@ object Relational {
       val sa = Exact.toUnits(col(s"s_$a")); val sb = Exact.toUnits(col(s"s_$b"))
       val saa = Exact.toUnits(col(s"p_${a}_$a")); val sbb = Exact.toUnits(col(s"p_${b}_$b"))
       val sab = Exact.toUnits(col(s"p_${a}_$b"))
-      Exact.dround((nd * sab - sa * sb) /
-        sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb)), 6).as(s"c_${a}_$b")
+      val den = (nd * saa - sa * sa) * (nd * sbb - sb * sb)
+      // zero-variance column -> 0 denominator: DuckDB float x/0 is NULL
+      // while Spark emits NaN/Inf (and ANSI dround would throw on the
+      // cast) — both engines must agree on NULL (same bits in `den`,
+      // so the branch decision is identical)
+      when(den <= 0.0, lit(null).cast(DoubleType))
+        .otherwise(Exact.dround((nd * sab - sa * sb) / sqrt(den), 6)).as(s"c_${a}_$b")
     }
     val stackArgs = cross.map { case (a, b) => s"'$a', '$b', c_${a}_$b" }.mkString(", ")
     t(s, dir, "lineitem")
@@ -645,12 +654,13 @@ object Relational {
     val cross = pairs.filter { case (a, b) => a != b }
     def u(m: String) = Exact.sqlToUnits(m)
     val rows = cross.map { case (a, b) =>
+      val den = s"""((CAST(n AS DOUBLE) * ${u(s"p_${a}_$a")} - ${u(s"s_$a")} * ${u(s"s_$a")})
+           |             * (CAST(n AS DOUBLE) * ${u(s"p_${b}_$b")} - ${u(s"s_$b")} * ${u(s"s_$b")}))""".stripMargin
       val corr = Exact.sqlDround(
         s"""(CAST(n AS DOUBLE) * ${u(s"p_${a}_$b")} - ${u(s"s_$a")} * ${u(s"s_$b")})
-           |      / sqrt((CAST(n AS DOUBLE) * ${u(s"p_${a}_$a")} - ${u(s"s_$a")} * ${u(s"s_$a")})
-           |             * (CAST(n AS DOUBLE) * ${u(s"p_${b}_$b")} - ${u(s"s_$b")} * ${u(s"s_$b")}))""".stripMargin, 6)
+           |      / sqrt($den)""".stripMargin, 6)
       s"""SELECT '$a' AS column_x, '$b' AS column_y, CAST(n AS BIGINT) AS n,
-         |  $corr AS corr FROM a""".stripMargin
+         |  CASE WHEN $den <= 0.0 THEN NULL ELSE $corr END AS corr FROM a""".stripMargin
     }
     s"""WITH a AS (SELECT COUNT(*) AS n, ${aggFrags.mkString(",\n  ")} FROM lineitem)
        |${rows.mkString("\nUNION ALL\n")}
@@ -658,16 +668,22 @@ object Relational {
   }
 
   // === events: JSON property extraction ====================================
+  // a props value NOT matching the pattern extracts '' — bare CAST
+  // aborts the whole statement on BOTH engines (Spark ANSI
+  // CAST_INVALID_INPUT; DuckDB ConversionException), so one dirty row
+  // would kill the query instead of yielding a NULL cell. NULLIF-gate
+  // the empty extract on both sides.
   def eventsJson(s: SparkSession, dir: String): DataFrame = {
+    val ex = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
     t(s, dir, "events").filter(col("event_id") < 1000)
       .select(col("event_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType).as("k_val"))
+        when(ex === "", lit(null)).otherwise(ex).cast(LongType).as("k_val"))
       .orderBy(col("event_id"))
   }
 
   val eventsJsonSql: String =
     """SELECT event_id,
-      | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
+      | CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k_val
       |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin
 
   // === window ranking-function battery =====================================
@@ -730,8 +746,12 @@ object Relational {
         val sxd = Exact.toUnits(col("sx")); val syd = Exact.toUnits(col("sy"))
         val sxxd = Exact.toUnits(col("sxx")); val syyd = Exact.toUnits(col("syy"))
         val sxyd = Exact.toUnits(col("sxy"))
-        Exact.dround((nd * sxyd - sxd * syd) /
-          sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6).as("corr_qty_price")
+        val den = (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
+        // a zero-variance side zeroes the denominator: DuckDB x/0.0 is
+        // NULL, Spark NaN (and ANSI dround throws) — agree on NULL
+        when(den <= 0.0, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround((nd * sxyd - sxd * syd) / sqrt(den), 6))
+          .as("corr_qty_price")
       })
       .orderBy(col("l_returnflag"))
   }
@@ -739,11 +759,13 @@ object Relational {
   val exactCorrelationSql: String = {
     def u(m: String) = Exact.sqlToUnits(m)
     s"""SELECT l_returnflag, n,
-       | ${Exact.sqlDround(
+       | CASE WHEN ((CAST(n AS DOUBLE) * ${u("sxx")} - ${u("sx")} * ${u("sx")})
+       |            * (CAST(n AS DOUBLE) * ${u("syy")} - ${u("sy")} * ${u("sy")})) <= 0.0
+       |   THEN NULL ELSE ${Exact.sqlDround(
              s"""(CAST(n AS DOUBLE) * ${u("sxy")} - ${u("sx")} * ${u("sy")})
        |      / sqrt((CAST(n AS DOUBLE) * ${u("sxx")} - ${u("sx")} * ${u("sx")})
        |             * (CAST(n AS DOUBLE) * ${u("syy")} - ${u("sy")} * ${u("sy")}))""", 6)}
-       |   AS corr_qty_price
+       |   END AS corr_qty_price
        |FROM (
        |  SELECT l_returnflag, COUNT(*) AS n,
        |    ${Exact.sqlMsum("l_quantity")} AS sx,
@@ -785,8 +807,8 @@ object Relational {
       | MIN(k_parsed) AS min_k,
       | MAX(k_parsed) AS max_k
       |FROM (SELECT event_type,
-      |        CAST(props::JSON->>'k' AS BIGINT) AS k_parsed,
-      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path
+      |        CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) AS k_parsed,
+      |        CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k_path
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -808,10 +830,17 @@ object Relational {
     val hourUs = 3600L * 1000000L
     val ev = t(s, dir, "events").select(col("event_type"),
       unix_micros(date_trunc("hour", col("ts"))).as("hour_us"), col("value"))
+    // ONE events scan: bounds and the type list derive from the
+    // already-aggregated calendar-bounded cells, which materialize once
+    // (localCheckpoint — the lm3 lineage-truncation precedent; without
+    // it each of the three consumers re-executes the scan+aggregate,
+    // since exchange reuse does not fire across differently-pruned
+    // aggregate subtrees — the round-11 lesson)
     val cells = ev.groupBy(col("event_type"), col("hour_us"))
       .agg(count(lit(1)).cast(LongType).as("n"), dsum(col("value")).as("v"))
-    val bounds = ev.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
-    val grid = ev.select(col("event_type")).distinct()
+      .localCheckpoint()
+    val bounds = cells.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+    val grid = cells.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hour_us"))
@@ -1215,8 +1244,11 @@ object Relational {
       .agg(count(lit(1)).cast(LongType).as("n"),
         sum(col("x").cast(Exact.D380)).as("sx"),
         sum(col("ym").cast(Exact.D380)).as("sy"),
-        sum((col("x") * col("ym")).cast(Exact.D380)).as("sxy"),
-        sum((col("x") * col("x")).cast(Exact.D380)).as("sxx"))
+        // widen BEFORE multiplying (the oracle multiplies HUGEINTs): a
+        // 64-bit x*ym product overflows at ~1e9-unit values * ~1e4-hour
+        // spans — ANSI throws, non-ANSI silently wraps
+        sum(col("x").cast(Exact.D380) * col("ym").cast(Exact.D380)).as("sxy"),
+        sum(col("x").cast(Exact.D380) * col("x").cast(Exact.D380)).as("sxx"))
     val nD = col("n").cast(DoubleType)
     val sxD = col("sx").cast(DoubleType)
     val syD = col("sy").cast(DoubleType)

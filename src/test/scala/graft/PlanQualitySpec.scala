@@ -464,6 +464,21 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("review-pass pins: ev11 single scan, ts1 reads its checkpointed cells") {
+    // ev11: per-type moments are windows over the hour aggregate — the
+    // old agg-over-agg + join-back paid the events scan twice
+    val ea = operators.Relational.eventAnomalies(spark, sfDir)
+    assert(countScans(ea) <= 1, s"ev11 scans: ${countScans(ea)}")
+    // ts1: bounds/types/join all read the localCheckpoint'd cells — a
+    // parquet scan here means a consumer re-executed the events chain
+    val hg = operators.Relational.hourlyGrid(spark, sfDir)
+    assert(!planOf(hg).contains("Scan parquet"),
+      "ts1 must read the checkpointed cells, not re-scan events")
+    Seq("ev11" -> planOf(ea), "ts1" -> planOf(hg)).foreach {
+      case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
+    }
+  }
+
   test("round-15 additions: two corpus scans each, exchanges reused, no cartesians") {
     // pmi1: ONE unigram + ONE bigram pass; the w1/w2 joins and both
     // totals REUSE those aggregates' exchanges (the first cut's

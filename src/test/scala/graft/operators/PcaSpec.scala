@@ -75,4 +75,18 @@ class PcaSpec extends SparkTestBase {
     val cross = xs0.zip(xs1).map { case (a, b) => (a - m0) * (b - m1) }.sum / n
     assert(math.abs(cross) <= 1e-6)
   }
+
+  test("project drops vectors whose length differs from the model dimension") {
+    import spark.implicits._
+    val k = 2
+    val model = Pca.fit(moments, k)
+    val ragged = Seq(
+      (1L, Array.fill(d)(0.5f)),
+      (2L, Array.fill(d - 1)(0.5f)), // short: zip_with would null-pad and
+      (3L, Array.fill(d + 3)(0.5f))) // DotProduct read the nulls as 0.0
+      .toDF("vec_id", "embedding")
+    val out = Pca.project(ragged, "vec_id", "embedding", model).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L),
+      "only the full-dimension vector may project; a silent mean-fill is worse than a drop")
+  }
 }

@@ -395,6 +395,34 @@ class Round18OpsSpec extends SparkTestBase {
     }
   }
 
+  // === review-pass NULL-parity legs =======================================
+
+  test("stat1: a single-observation group reports NULL sample variance") {
+    import spark.implicits._
+    val dir = tmp("stat1n")
+    Seq(("A", 0.04), ("B", 0.05), ("B", 0.07), ("B", 0.06))
+      .toDF("l_returnflag", "l_discount")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val rows = Advanced.exactVariance(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows("A").isEmpty, "n=1: sample variance undefined -> NULL (DuckDB x/0 parity)")
+    // B: var = (3*(25+49+36) - 18^2)/1e4 / (3*2) = (330-324)/1e4/6 = 1e-4
+    assert(math.abs(rows("B").get - 1e-4) < 1e-12, rows("B").toString)
+  }
+
+  test("ev3: a props value without the pattern yields NULL, not a cast abort") {
+    import spark.implicits._
+    val dir = tmp("ev3n")
+    Seq((1L, tsOfDay(0), """{"k": 7}"""), (2L, tsOfDay(0), "not json"),
+      (3L, tsOfDay(0), """{"k":9}""")) // no space: pattern miss -> NULL
+      .toDF("event_id", "ts", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val rows = Relational.eventsJson(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows == Map(1L -> Some(7L), 2L -> None, 3L -> None))
+  }
+
   // === fs1 ================================================================
 
   test("fs1: hand-computed chi-squared on a 2-source corpus") {
