@@ -45,6 +45,14 @@ object Exact {
   def micros(c: Column): Column =
     when(c >= 0, floor(c * 1000000L + 0.5)).otherwise(ceil(c * 1000000L - 0.5)).cast(LongType)
 
+  /** JVM scalar twin of [[micros]] — the SAME half-away rounding for
+    * driver-side exact arithmetic (PQ codebook means, collected-frame
+    * computations). A locally restated copy could silently desync from
+    * the column form and break a Spark-vs-oracle parity contract.
+    */
+  def microsOf(x: Double): Long =
+    (if (x >= 0) math.floor(x * 1000000L + 0.5) else math.ceil(x * 1000000L - 0.5)).toLong
+
   /** Deterministic scale-`s` rounding emitted as a double: the SAME
     * floor/ceil fixed-point formula on both engines (library round()
     * differs — Spark routes through BigDecimal HALF_UP while DuckDB

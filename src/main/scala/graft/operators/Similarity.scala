@@ -132,6 +132,7 @@ object Similarity {
        |  SELECT label, i AS pos, AVG(v[i]) AS c
        |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e,
        |       (SELECT UNNEST(generate_series(1, 64)) AS i) idx
+       |  WHERE i <= len(v)
        |  GROUP BY label, i)
        |SELECT label, ${Exact.sqlDround("sqrt(SUM(c*c))", 4)} AS centroid_norm,
        |       COUNT(*) AS n_dims
@@ -302,8 +303,18 @@ object Similarity {
       case Some(c) => c
       case None =>
         val e = t(s, dir, "embeddings").select(col("vec_id"), vecD("embedding").as("v"))
-        val seeds = e.filter(col("vec_id") < ivfCells).orderBy(col("vec_id"))
-          .collect().map(_.getSeq[Double](1).toArray)
+        val seedRows = e.filter(col("vec_id") < ivfCells).orderBy(col("vec_id")).collect()
+        // the cell key is POSITIONAL (lit(i) in cellOf) while the SQL
+        // oracle keys cells on the seed's vec_id — identical ONLY when
+        // the seed ids are exactly 0..K-1. A gapped or short corpus
+        // must fail LOUDLY here, not silently desync the two engines
+        // (the pq1 codebook carries vec_id for exactly this reason;
+        // keying cells by id the same way is the lift if a gapped
+        // corpus ever needs IVF)
+        require(seedRows.map(_.getLong(0)).sameElements(0L until ivfCells.toLong),
+          s"IVF requires contiguous seed vec_ids 0..${ivfCells - 1} " +
+            s"(got ${seedRows.map(_.getLong(0)).mkString(",")})")
+        val seeds = seedRows.map(_.getSeq[Double](1).toArray)
         val assigned = e.withColumn("cell", cellOf(col("v"), seeds))
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cell"), col("pos"))
@@ -311,8 +322,12 @@ object Similarity {
           .collect()
         val refined = Array.tabulate(ivfCells, maxDim)((c, _) => 0.0)
         assigned.foreach(r => refined(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("c"))
-        // cells that captured no vectors keep their seed
-        for (c <- 0 until ivfCells if refined(c).forall(_ == 0.0) && c < seeds.length)
+        // cells that captured no vectors keep their seed — detected by
+        // PRESENCE in the aggregate (a value test misread a legitimate
+        // all-zero refined mean, e.g. v and -v in one cell, as empty
+        // while the oracle's COALESCE kept the computed 0.0)
+        val present = assigned.map(_.getAs[Int]("cell")).toSet
+        for (c <- 0 until ivfCells if !present(c) && c < seeds.length)
           refined(c) = seeds(c)
         synchronized { centroidCache += dir -> refined }
         refined
@@ -571,13 +586,11 @@ object Similarity {
     pqCodebookCache.get(dir) match {
       case Some(cb) => cb
       case None =>
-        def toMicros(x: Double): Long =
-          (if (x >= 0) math.floor(x * 1000000L + 0.5) else math.ceil(x * 1000000L - 0.5)).toLong
         val cb = t(s, dir, "embeddings")
           .filter(col("vec_id") < pqCodes)
           .select(col("vec_id"), vecD("embedding").as("v"))
           .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray.map(toMicros)))
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray.map(Exact.microsOf)))
         synchronized { pqCodebookCache += dir -> cb }
         cb
     }
@@ -877,7 +890,12 @@ object Similarity {
     val oneMinusD = 1.0 - damping
     val kd = k.toDouble
     def damp(s: String) =
-      s"$oneMinusD/CAST(nn AS DOUBLE) + $damping*(CAST($s AS DOUBLE)/1000000000.0)"
+      // string-routed literals: bare doubles with >15 significant digits
+      // (e.g. 1.0 - 0.95) get typed DECIMAL by DuckDB and convert a ulp
+      // off the JVM double — CAST('…' AS DOUBLE) is its one
+      // correctly-rounded route (the imb2/dq3 rule)
+      s"CAST('$oneMinusD' AS DOUBLE)/CAST(nn AS DOUBLE) + " +
+        s"CAST('$damping' AS DOUBLE)*(CAST($s AS DOUBLE)/1000000000.0)"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |           WHERE vec_id < $subset),
        |n AS (SELECT COUNT(*) AS nn FROM e),
@@ -943,6 +961,7 @@ object Similarity {
        |dims AS (
        |  SELECT label, i AS pos, AVG(v[i]) AS c
        |  FROM e, (SELECT UNNEST(generate_series(1, $maxDim)) AS i) idx
+       |  WHERE i <= len(v)
        |  GROUP BY label, i),
        |cents AS (SELECT label, list(c ORDER BY pos) AS cv FROM dims GROUP BY label),
        |sc AS (
@@ -1202,7 +1221,7 @@ object Similarity {
        |  FROM (SELECT vec_id, cluster, v AS va FROM av) x
        |  JOIN (SELECT vec_id, cluster, v AS vb FROM av) y
        |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
-       |  WHERE ${Exact.sqlDround(pcos, 6)} >= $threshold
+       |  WHERE ${Exact.sqlDround(pcos, 6)} >= CAST('$threshold' AS DOUBLE)
        |  GROUP BY 1)
        |SELECT av.vec_id, cluster,
        |       COALESCE(n_close, 0) AS n_close,
@@ -1229,6 +1248,11 @@ object Similarity {
   def labelPropagation(s: SparkSession, dir: String, k: Int = 5, subset: Int = 200): DataFrame = {
     val e = Par.fanOut(t(s, dir, "embeddings")
       .filter(col("vec_id") < subset)
+      // only LABELED vectors vote or receive in this audit tier: a NULL
+      // label in the vote tie-break (ORDER BY n_votes DESC, lb) sorts
+      // NULLS FIRST on Spark but LAST on DuckDB — a silent parity break
+      // the moment an unlabeled vector lands in the subset
+      .filter(col("label").isNotNull)
       .select(col("vec_id"), vecD("embedding").as("v"), col("label")))
     val pairs = e.select(col("vec_id").as("a"), col("v").as("va"), col("label").as("la"))
       .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("label").as("lb")))
@@ -1252,7 +1276,7 @@ object Similarity {
 
   def labelPropagationSql(k: Int = 5, subset: Int = 200): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
-       |           WHERE vec_id < $subset),
+       |           WHERE vec_id < $subset AND label IS NOT NULL),
        |p AS (
        |  SELECT a.vec_id AS a, a.label AS la, b.vec_id AS b, b.label AS lb,
        |    list_dot_product(a.v, b.v)
@@ -1291,7 +1315,9 @@ object Similarity {
       .select(col("label"), col("n").cast(LongType).as("n_vectors"),
         share.as("share"),
         Exact.dround(-share * log(share), 6).as("surprisal"))
-      .orderedSmall(col("label"))
+      // explicit NULLS LAST: an unlabeled group is a legitimate balance
+      // row, but Spark's asc default is NULLS FIRST vs DuckDB's LAST
+      .orderedSmall(col("label").asc_nulls_last)
   }
 
   val labelBalanceSql: String = {
@@ -1300,7 +1326,7 @@ object Similarity {
        |t AS (SELECT SUM(n) AS nt FROM c)
        |SELECT label, CAST(n AS BIGINT) AS n_vectors, $share AS share,
        |  ${Exact.sqlDround(s"-($share) * ln($share)", 6)} AS surprisal
-       |FROM c CROSS JOIN t ORDER BY label""".stripMargin
+       |FROM c CROSS JOIN t ORDER BY label ASC NULLS LAST""".stripMargin
   }
 
   // === imb2: effective-number class weights ================================
@@ -1348,7 +1374,7 @@ object Similarity {
     s"""WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
        |b AS (
        |  SELECT label, n,
-       |    CAST(FLOOR(POWER($beta, CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+       |    CAST(FLOOR(POWER(CAST('$beta' AS DOUBLE), CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
        |      AS beta_n_micro
        |  FROM c),
        |e AS (
@@ -1495,7 +1521,11 @@ object Similarity {
     * table. Purity is one IEEE division of exact integers.
     */
   def clusterPurity(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    // purity is defined over LABELED members: a NULL label in the
+    // majority tie-break (ORDER BY n DESC, label) sorts NULLS FIRST on
+    // Spark but LAST on DuckDB — the oracle filters identically
     val labels = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      .filter(col("label").isNotNull)
     // cluster sizes ride along as a window sum — a separate sizes
     // aggregate joined back re-ran the whole assignment pass (the
     // round-11 plan-audit lesson)
@@ -1524,7 +1554,8 @@ object Similarity {
        |r AS (SELECT vec_id, label, cluster,
        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cluster) AS rnk
        |      FROM p),
-       |cl AS (SELECT cluster, label, COUNT(*) AS n FROM r WHERE rnk = 1 GROUP BY 1, 2),
+       |cl AS (SELECT cluster, label, COUNT(*) AS n
+       |       FROM r WHERE rnk = 1 AND label IS NOT NULL GROUP BY 1, 2),
        |sz AS (SELECT cluster, SUM(n) AS n_members FROM cl GROUP BY cluster),
        |top AS (SELECT cluster, label, n,
        |          ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS r
@@ -1583,8 +1614,9 @@ object Similarity {
   }
 
   def randomProjectionSql: String = {
-    val micros = "CAST(CASE WHEN CAST(x AS DOUBLE) >= 0 THEN FLOOR(CAST(x AS DOUBLE)*1000000+0.5) " +
-      "ELSE CEIL(CAST(x AS DOUBLE)*1000000-0.5) END AS BIGINT)"
+    // the SHARED micros rule (Exact.sqlMicros) — an inline restatement
+    // could silently desync from the Spark side's Exact.micros
+    val micros = Exact.sqlMicros("CAST(x AS DOUBLE)")
     val projs = (0 until rpDims).map { j =>
       val sum = (0 until rpInDims).map { i =>
         val sgn = if (rpSign(j, i) > 0) "+" else "-"
@@ -1865,25 +1897,38 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     val base = t(s, dir, "embeddings").filter(col("vec_id") < subset)
       .select(col("vec_id"), vecD("embedding").as("v"))
-    val seedRow = base.orderBy(col("vec_id")).limit(1).collect()(0)
+    // a subset with fewer than k vectors EXHAUSTS: emit the rows that
+    // exist, like the oracle's empty t_j CTEs — the old collect()(0)
+    // threw AIOOBE on the driver instead
+    val seedRows = base.orderBy(col("vec_id")).limit(1).collect()
+    if (seedRows.isEmpty)
+      return s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("sel_rank", IntegerType),
+          StructField("vec_id", LongType), StructField("min_dist", DoubleType))))
+    val seedRow = seedRows(0)
     var selected = Vector((seedRow.getLong(0), seedRow.getSeq[Double](1)))
     val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
       (0, seedRow.getLong(0), None))
-    for (i <- 1 until k) {
+    var exhausted = false
+    for (i <- 1 until k if !exhausted) {
       val selDf = s.createDataFrame(
         selected.map { case (id, v) => org.apache.spark.sql.Row(id, v) }.asJava,
         StructType(Seq(StructField("sid", LongType),
           StructField("sv", ArrayType(DoubleType)))))
-      val top = base
+      val tops = base
         .filter(!col("vec_id").isInCollection(selected.map(_._1)))
         .crossJoin(broadcast(selDf))
         .select(col("vec_id"), col("v"),
           Exact.dround(lit(1.0) - cosine(col("v"), col("sv")), 6).as("d"))
         .groupBy(col("vec_id")).agg(min(col("d")).as("md"), first(col("v")).as("v"))
         .orderBy(col("md").desc, col("vec_id"))
-        .limit(1).collect()(0)
-      selected :+= ((top.getLong(0), top.getSeq[Double](2)))
-      picks += ((i, top.getLong(0), Some(top.getDouble(1))))
+        .limit(1).collect()
+      if (tops.isEmpty) exhausted = true
+      else {
+        val top = tops(0)
+        selected :+= ((top.getLong(0), top.getSeq[Double](2)))
+        picks += ((i, top.getLong(0), Some(top.getDouble(1))))
+      }
     }
     s.createDataFrame(
       picks.map { case (r, id, d) =>

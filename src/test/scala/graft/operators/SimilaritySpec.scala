@@ -317,4 +317,16 @@ class SimilaritySpec extends SparkTestBase {
       assert(b <= a + 1e-12, s"max-min margins must not increase: $a -> $b")
     }
   }
+
+  test("sim11: a subset smaller than k exhausts gracefully (no driver crash)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sim11small").toFile.getPath
+    Seq((0L, Seq(1.0, 0.0), 1), (1L, Seq(0.0, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // k = 5 over 2 vectors: emit both, like the oracle's empty t_j CTEs
+    // (the old collect()(0) threw ArrayIndexOutOfBounds on the driver)
+    val rows = Similarity.diverseSelect(spark, dir, k = 5).collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1L), rows.mkString(","))
+  }
 }
