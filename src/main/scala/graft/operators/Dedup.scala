@@ -38,16 +38,19 @@ object Dedup {
     * engine (Spark Column + SQL text), shared by every consumer of the
     * exact tier (dd1/dd8/dd9/dd12/dd17 and the streaming admission
     * gate): a divergent copy would silently change one consumer's
-    * duplicate groups. NULL-safe: a NULL text canonicalizes like the
-    * empty string, so the hash is never NULL — a NULL hash silently
-    * drops the document from every hash-keyed JOIN consumer (NULL never
-    * equals NULL), which in the streaming gate meant a doc with neither
-    * an admit nor a reject verdict.
+    * duplicate groups. NULL-safe: a NULL text hashes to a SENTINEL group
+    * (never NULL — a NULL hash silently drops the document from every
+    * hash-keyed JOIN consumer, which in the streaming gate meant a doc
+    * with neither an admit nor a reject verdict). The sentinel is
+    * tab-delimited: normalization collapses every whitespace run to a
+    * single space, so no real document's canonical form can contain a
+    * tab — NULL-text docs form their own duplicate group, DISTINCT from
+    * the empty-string group (dd1 contract: NULL ≢ '').
     */
   def canonicalHash: Column =
-    md5(regexp_replace(lower(coalesce(col("text"), lit(""))), "\\s+", " "))
+    md5(coalesce(regexp_replace(lower(col("text")), "\\s+", " "), lit("\tnull\t")))
   val canonicalHashSql: String =
-    """md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))"""
+    """md5(coalesce(regexp_replace(lower(text), '\s+', ' ', 'g'), chr(9) || 'null' || chr(9)))"""
 
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents")
@@ -88,16 +91,103 @@ object Dedup {
     if (dedup) exploded.distinct() else exploded
   }
 
+  // === document-frequency guard for the inverted-index pair family ========
+  /** Posting-list df cap (VERDICT r17 #3): the inverted-index self-join
+    * (dd2/dd10/dd16/dd18-exact) fans each shingle shared by f documents
+    * into f²/2 candidate pairs — at 100 TB a stop-word shingle ("of the
+    * and") appearing in millions of documents is a quadratic blowout no
+    * exchange-width pin survives, and salting cannot shrink a pair
+    * FAN-OUT (it only moves a hot key between reducers). The standard
+    * guard: drop postings whose document frequency exceeds the cap
+    * BEFORE the self-join — a df-capped shingle carries ~zero Jaccard
+    * signal at the 0.05 threshold anyway (sharing only ubiquitous
+    * shingles cannot reach 5% overlap of either document's set), and
+    * PPJoin's prefix filter rests on the same observation. Both the
+    * pair numerators AND the per-doc set sizes are computed over the
+    * capped posting universe, so the similarity stays a true Jaccard/
+    * containment over the non-ubiquitous shingles on BOTH engines.
+    * The cap is NEVER silent: dd19_df_cap_audit reports the capped
+    * shingle count, dropped postings, and max df as an oracle-verified
+    * registry row (stronger than a log line), and DedupSpec pins that
+    * fixture-corpus pair recall at the 0.05 threshold is unchanged.
+    *
+    * Implementation: a count window over the posting key on the
+    * already-key-partitioned postings — the guard adds an in-partition
+    * sort but ZERO extra exchanges (PlanQualitySpec pins the filter
+    * below the join and the unchanged exchange count).
+    */
+  val postingDfCap = 256
+
+  /** Filter `postings` (one row per (doc, key)) to keys with document
+    * frequency ≤ cap. Postings must already be partitioned by `key` —
+    * the window then reuses that exchange.
+    */
+  def dfCapped(postings: DataFrame, key: String, cap: Int = postingDfCap): DataFrame =
+    postings
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col(key))))
+      .filter(col("__df") <= cap)
+      .drop("__df")
+
+  /** The oracle-side twin: wraps a postings CTE (`doc_id`, `key`) in the
+    * same df filter.
+    */
+  def dfCapSql(src: String, key: String = "shingle", cap: Int = postingDfCap): String =
+    s"""SELECT doc_id, $key FROM (
+       |  SELECT doc_id, $key, COUNT(*) OVER (PARTITION BY $key) AS df FROM $src)
+       |WHERE df <= $cap""".stripMargin
+
+  /** dd19: the df-cap ledger — posting-frequency profile of the shared
+    * 3-token shingle postings: total distinct shingles, how many exceed
+    * the cap (and would be dropped by the guard), the dropped posting
+    * count, and the hottest shingle's df. ONE row; the no-silent-caps
+    * record for the dd2/dd10/dd16/dd18 family, oracle-verified.
+    */
+  def dfCapAudit(s: SparkSession, dir: String): DataFrame = {
+    shingles(s, dir)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > postingDfCap, 1L).otherwise(0L)).as("n_capped_shingles"),
+        sum(when(col("df") > postingDfCap, col("df")).otherwise(0L)).as("n_dropped_postings"),
+        max(col("df")).as("max_df"))
+      .withColumn("df_cap", lit(postingDfCap.toLong))
+  }
+
+  val dfCapAuditSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+       |  FROM toks WHERE len(t) >= 3),
+       |dfs AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(SUM(CASE WHEN df > $postingDfCap THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |    AS n_capped_shingles,
+       |  CAST(COALESCE(SUM(CASE WHEN df > $postingDfCap THEN df ELSE 0 END), 0) AS BIGINT)
+       |    AS n_dropped_postings,
+       |  CAST(MAX(df) AS BIGINT) AS max_df,
+       |  CAST($postingDfCap AS BIGINT) AS df_cap
+       |FROM dfs""".stripMargin
+
   // === n-gram Jaccard near-dup pairs =======================================
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardCapped(s, dir, postingDfCap)
+
+  /** dd2 with an explicit df cap — DedupSpec pins that fixture-corpus
+    * recall at the 0.05 threshold is UNCHANGED vs the uncapped join.
+    */
+  def ngramJaccardCapped(s: SparkSession, dir: String, cap: Int): DataFrame = {
     // join on the 8-byte shingle hash, not the ~30-byte string: same
     // pairs (a 64-bit collision among ~10^5 shingles has p < 1e-9) with
     // a quarter of the shuffle bytes — at 100 TB the inverted-index
     // shuffle IS the cost of this operator
-    val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      // pinned width: the inverted-index self-join fans each shared
-      // shingle into pairs, which AQE's input-byte coalescing can't see
-      .repartition(shuffleWidth(t(s, dir, "documents")), col("shingle"))
+    val sh = dfCapped(
+      shingles(s, dir).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+        // pinned width: the inverted-index self-join fans each shared
+        // shingle into pairs, which AQE's input-byte coalescing can't see
+        .repartition(shuffleWidth(t(s, dir, "documents")), col("shingle")),
+      "shingle", cap)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -118,16 +208,17 @@ object Dedup {
   }
 
   val ngramJaccardSql: String =
-    """WITH toks AS (
+    ("""WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
       |  FROM toks WHERE len(t) >= 3),
-      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |shc AS (""" + dfCapSql("sh") + """),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
       |common AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, n_common,
       | (CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)) AS jaccard
@@ -135,7 +226,7 @@ object Dedup {
       | JOIN counts ca ON ca.doc_id = doc_a
       | JOIN counts cb ON cb.doc_id = doc_b
       |WHERE (CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)) >= 0.05
-      |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin
+      |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""").stripMargin
 
   // === MinHash + LSH =======================================================
   val minhashK = 32
@@ -671,8 +762,10 @@ object Dedup {
     * both engines.
     */
   def containmentPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .repartition(shuffleWidth(t(s, dir, "documents")), col("shingle"))
+    val sh = dfCapped( // hot-posting guard, see postingDfCap
+      shingles(s, dir).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+        .repartition(shuffleWidth(t(s, dir, "documents")), col("shingle")),
+      "shingle")
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
@@ -698,10 +791,11 @@ object Dedup {
        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
        |  FROM toks WHERE len(t) >= 3),
-       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shc AS (${dfCapSql("sh")}),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |sc AS (
        |  SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
@@ -1126,12 +1220,14 @@ object Dedup {
           i => md5(concat_ws(" ", el(i), el(i + 1), el(i + 2))))).as(Seq("pos", "h")))
     val perDoc = Window.partitionBy(col("doc_id"))
     val frame = perDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
-    val fp = hp
-      .withColumn("cnt", count(lit(1)).over(perDoc))
-      .withColumn("fp", min(col("h")).over(frame))
-      .filter(col("pos") <= col("cnt") - w) // full windows only (pos is 0-based)
-      .select(col("doc_id"), col("fp")).distinct()
-      .repartition(shuffleWidth(hp), col("fp"))
+    val fp = dfCapped( // hot-posting guard, see postingDfCap
+      hp
+        .withColumn("cnt", count(lit(1)).over(perDoc))
+        .withColumn("fp", min(col("h")).over(frame))
+        .filter(col("pos") <= col("cnt") - w) // full windows only (pos is 0-based)
+        .select(col("doc_id"), col("fp")).distinct()
+        .repartition(shuffleWidth(hp), col("fp")),
+      "fp")
     val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     fp.select(col("doc_id").as("doc_a"), col("fp"))
       .join(fp.select(col("doc_id").as("doc_b"), col("fp")), "fp")
@@ -1164,10 +1260,11 @@ object Dedup {
        |    COUNT(*) OVER (PARTITION BY doc_id) AS cnt
        |  FROM hp),
        |fp AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= cnt - $w + 1),
-       |nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY 1),
+       |fpc AS (${dfCapSql("fp", "fp")}),
+       |nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM fpc GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
        |  CAST(na.n_fp AS BIGINT) AS n_fp_a, CAST(nb.n_fp AS BIGINT) AS n_fp_b,
@@ -1196,9 +1293,11 @@ object Dedup {
   def sketchCalibration(s: SparkSession, dir: String): DataFrame = {
     val est = minhashEstimate(s, dir)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-    val shd = shingles(s, dir)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .repartition(shuffleWidth(t(s, dir, "documents")), col("shingle"))
+    val shd = dfCapped( // hot-posting guard, see postingDfCap
+      shingles(s, dir)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+        .repartition(shuffleWidth(t(s, dir, "documents")), col("shingle")),
+      "shingle")
     val counts = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = shd.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(shd.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
@@ -1232,10 +1331,11 @@ object Dedup {
        |  FROM lsh_pairs p JOIN sig a ON a.doc_id = p.doc_a
        |                   JOIN sig b ON b.doc_id = p.doc_b),
        |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
-       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY 1),
+       |shdc AS (${dfCapSql("shd")}),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shdc GROUP BY 1),
        |common AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-       |  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM shdc a JOIN shdc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |exact AS (
        |  SELECT doc_a, doc_b,
@@ -1336,6 +1436,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd19_df_cap_audit" -> dfCapAudit _,
     "dd18_sketch_calibration" -> sketchCalibration _,
     "dd17_multitier_clusters" -> multiTierClusters _,
     "dd16_winnow_pairs" -> ((s: SparkSession, d: String) => winnowPairs(s, d)),
@@ -1361,6 +1462,7 @@ object Dedup {
     * DuckDB oracle regenerates identical signatures.
     */
   val oracles: Map[String, String] = Map(
+    "dd19_df_cap_audit" -> dfCapAuditSql,
     "dd18_sketch_calibration" -> sketchCalibrationSql,
     "dd17_multitier_clusters" -> multiTierClustersSql,
     "dd16_winnow_pairs" -> winnowPairsSql(),

@@ -32,21 +32,38 @@ object Skew {
     // `buckets` times — those shapes need the mirrored construction
     require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins, got $joinType")
-    // scatter: content hash + a per-partition row counter. Content alone
-    // fails exactly on salting's target workload — byte-identical
-    // duplicate rows of a hot key (a frame projected to just the join
-    // key) all hash to ONE bucket and the hot slice never spreads. The
-    // row counter spreads duplicates round-robin; it is nondeterministic
-    // across retries, which is SAFE here because the join result is
-    // bucket-invariant (every salt meets a full small-side replica) —
-    // only the shuffle distribution moves, never a row's join partners.
-    val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col).toIndexedSeq: _*))
-        + monotonically_increasing_id(), lit(buckets.toLong)))
+    // Scatter must be DETERMINISTIC per row (ADVICE r17): the previous
+    // content-hash + monotonically_increasing_id salt could re-salt a
+    // row into a different reduce partition on a partial map-stage
+    // recompute after a shuffle fetch failure, while already-completed
+    // reducers kept its first-attempt copy — the SPARK-23207 class of
+    // duplicated/dropped rows. Content hash alone is deterministic but
+    // fails salting's worst case: byte-identical duplicate rows of a hot
+    // key all hash to ONE bucket. Resolution: collapse duplicates to
+    // (row, count) BEFORE the join — map-side partial aggregation means
+    // no reducer ever sees more rows per distinct value than there are
+    // map partitions, so the collapse shuffle is itself skew-proof — and
+    // re-explode by the count afterwards (narrow, no shuffle). Distinct
+    // rows of a hot key spread across buckets by content hash, which any
+    // recompute reproduces bit-identically.
+    val cols = large.columns.toIndexedSeq.map(col)
+    val grouped = large.groupBy(cols: _*).agg(count(lit(1)).as("__dup_n"))
+    val salted = grouped.withColumn("__salt",
+      pmod(xxhash64(struct(cols: _*)), lit(buckets.toLong)))
     // replicate: small side joins every salt value
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1)).cast("array<bigint>")))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    // two-level explode keeps the materialized sequence array bounded at
+    // max(CHUNK, n/CHUNK) elements — a single sequence(1, n) would build
+    // an n-element array in memory for a 10M-duplicate hot row
+    val CHUNK = 1L << 16
+    salted.join(replicated, Seq(key, "__salt"), joinType)
+      .withColumn("__chunk",
+        explode(sequence(lit(0L), ((col("__dup_n") - 1) / lit(CHUNK)).cast("long"))))
+      .withColumn("__i",
+        explode(sequence(lit(1L),
+          least(lit(CHUNK), col("__dup_n") - col("__chunk") * lit(CHUNK)))))
+      .drop("__salt", "__dup_n", "__chunk", "__i")
   }
 
   /** Top-N hottest values of `key` with their frequencies — the

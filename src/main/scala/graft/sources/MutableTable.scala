@@ -995,8 +995,9 @@ final class MutableTable private (
     require(schema.fieldNames.contains(keyCol), s"unknown column: $keyCol")
     val v = currentVersion
     loadStats(v) // keep carried-over stats in the manifest we are about to write
-    val (files, deleted, changed) = deleteKeysCore(v, keys, keyCol)
-    if (changed) commit(allocVersion(), files)
+    val (files, deleted, changed, staged) = deleteKeysCore(v, keys, keyCol)
+    try { if (changed) commit(allocVersion(), files) }
+    catch { case e: Throwable => dropStaged(staged); throw e }
     deleted
   }
 
@@ -1023,8 +1024,13 @@ final class MutableTable private (
       throw new IllegalArgumentException(s"NULL key in upsert batch: $keyCol")
     if (!batch.groupBy(col(keyCol)).agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty)
       throw new DuplicateKeyException(s"duplicate key in upsert batch: $keyCol")
-    val (survivors, deleted, _) = deleteKeysCore(base, batch, keyCol)
-    val newFiles = stageWrite(batch)
+    val (survivors, deleted, _, replStaged) = deleteKeysCore(base, batch, keyCol)
+    // from here, BOTH staged sets (the delete's survivor replacements and
+    // the fresh insert files) must die together on any failure: the old
+    // cleanup deleted only newFiles, orphaning replStaged on disk with
+    // stale fileStats entries whenever stageWrite or commit threw
+    val newFiles = try stageWrite(batch)
+      catch { case e: Throwable => dropStaged(replStaged); throw e }
     try {
       val inserted = newFiles.map(f =>
         statsFor(f).values.headOption.map(_.rows).getOrElse(-1L)) match {
@@ -1037,21 +1043,32 @@ final class MutableTable private (
       (deleted, inserted)
     } catch {
       case e: Throwable =>
-        newFiles.foreach { f =>
-          fileStats.remove(f)
-          Files.deleteIfExists(dataDir.resolve(f))
-        }
+        dropStaged(replStaged ++ newFiles)
         throw e
     }
   }
 
+  /** Remove staged-but-never-committed files and their stats entries —
+    * failure cleanup shared by the staged-write paths. Never throws (a
+    * cleanup failure must not mask the original error).
+    */
+  private def dropStaged(files: Seq[String]): Unit =
+    files.foreach { f =>
+      fileStats.remove(f)
+      try Files.deleteIfExists(dataDir.resolve(f))
+      catch { case _: Throwable => }
+    }
+
   /** Core of [[deleteKeys]]: computes the post-delete file list WITHOUT
     * committing, so [[upsertKeys]] can fold the delete and its insert
-    * into one atomic version. Returns (files, deletedRows, changed).
+    * into one atomic version. Returns (files, deletedRows, changed,
+    * stagedReplacements) — the caller owns cleanup of the staged
+    * survivor-replacement files if its commit never happens.
     */
-  private def deleteKeysCore(base: Long, keys: DataFrame, keyCol: String): (Seq[String], Long, Boolean) = {
+  private def deleteKeysCore(base: Long, keys: DataFrame,
+      keyCol: String): (Seq[String], Long, Boolean, Seq[String]) = {
     val all = readManifest(base)
-    if (all.isEmpty) return (all, 0L, false)
+    if (all.isEmpty) return (all, 0L, false, Nil)
     val keySet = keys.select(col(keyCol)).distinct()
     // STATS PRUNING on the key batch's own bounds (the insert clash
     // check's trick, upsert-side): one tiny min/max job over the key
@@ -1075,7 +1092,7 @@ final class MutableTable private (
           all.filter(f => FileStats.mayMatch(statsFor(f), overlap))
         } catch { case _: Exception => all } // pruning never fails the statement
       }
-    if (candidates.isEmpty) return (all, 0L, false)
+    if (candidates.isEmpty) return (all, 0L, false, Nil)
     // file name must attach AT THE SCAN (input_file_name() evaluated
     // after the join runs outside the file-read task and yields "")
     val fileDf = dmlSession.read.schema(schema).parquet(candidates.map(f => dataDir.resolve(f).toString): _*)
@@ -1089,13 +1106,13 @@ final class MutableTable private (
     val hit = perFile.map(_.getString(0)).toSet
     val deleted = perFile.map(_.getLong(1)).sum
     val affected = all.filter(f => hit.exists(h => h.endsWith("/" + f) || h.endsWith(f)))
-    if (affected.isEmpty) return (all, 0L, false)
+    if (affected.isEmpty) return (all, 0L, false, Nil)
     val affectedDf = dmlSession.read.schema(schema)
       .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
     val survivors = affectedDf.join(keySet, Seq(keyCol), "left_anti")
       .select(schema.fieldNames.toSeq.map(col): _*)
     val replacement = if (survivors.isEmpty) Seq.empty else stageWrite(survivors)
-    (all.filterNot(affected.contains) ++ replacement, deleted, true)
+    (all.filterNot(affected.contains) ++ replacement, deleted, true, replacement)
   }
 
   /** Copy-on-write UPDATE: SET col -> expression for rows matching `cond`;

@@ -464,6 +464,40 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("df-cap guard: filter runs below the pair join and adds ZERO exchanges") {
+    import org.apache.spark.sql.functions._
+    // 1) the guard itself: a count window over postings already
+    //    partitioned by the key must reuse that exchange — the capped
+    //    frame carries exactly the shuffles of the uncapped one
+    val postings = spark.range(200)
+      .select((col("id") % 40).as("doc_id"), (col("id") % 7).cast("string").as("shingle"))
+      .repartition(8, col("shingle"))
+    assert(countShuffles(operators.Dedup.dfCapped(postings, "shingle")) ==
+      countShuffles(postings),
+      "dfCapped must not add an exchange over key-partitioned postings")
+    // 2) in dd2 itself: the __df filter exists and sits BELOW the pair
+    //    self-join (tree printing is parent-first, so a larger line
+    //    index means deeper in the join's input), i.e. postings are
+    //    capped BEFORE any pair is generated
+    val p = planOf(operators.Dedup.ngramJaccard(spark, sfDir))
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(l => l.contains("Join") && l.contains("shingle"))
+    val dfIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("__df"))
+    assert(joinIdx >= 0, "dd2 pair join not found in plan")
+    assert(dfIdx > joinIdx, s"df-cap filter must run below the pair join (join@$joinIdx, filter@$dfIdx):\n$p")
+    // 3) the cap value changes nothing about plan SHAPE (same exchanges
+    //    capped vs uncapped — no data-dependent topology)
+    assert(countShuffles(operators.Dedup.ngramJaccard(spark, sfDir)) ==
+      countShuffles(operators.Dedup.ngramJaccardCapped(spark, sfDir, Int.MaxValue)))
+    // dd10/dd16/dd18 ride the same guard; pin presence there too
+    Seq(
+      "dd10" -> operators.Dedup.containmentPairs(spark, sfDir),
+      "dd16" -> operators.Dedup.winnowPairs(spark, sfDir),
+      "dd18" -> operators.Dedup.sketchCalibration(spark, sfDir)).foreach { case (n, df) =>
+      assert(planOf(df).contains("__df"), s"$n lost the df-cap guard")
+    }
+  }
+
   test("review-pass pins: ev11 single scan, ts1 reads its checkpointed cells") {
     // ev11: per-type moments are windows over the hour aggregate — the
     // old agg-over-agg + join-back paid the events scan twice

@@ -224,4 +224,51 @@ class DedupSpec extends SparkTestBase {
         s"near-dup pair (${r.getLong(0)}, ${r.getLong(1)}) straddles folds")
     }
   }
+
+  test("df-cap guard: fixture-corpus pair recall at the 0.05 threshold is unchanged") {
+    // VERDICT r17 #3 done-bar: the guard must not move a single pair on
+    // the fixture corpus (no shingle there approaches df=256; at scale
+    // only ubiquitous, signal-free shingles are dropped)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = pairs(Dedup.ngramJaccard(spark, sfDir))
+    val uncapped = pairs(Dedup.ngramJaccardCapped(spark, sfDir, Int.MaxValue))
+    assert(capped == uncapped, "df cap changed fixture pair recall")
+    assert(capped.nonEmpty, "vacuous recall check: no pairs at all")
+  }
+
+  test("dfCapped drops exactly the over-cap posting lists; a stop shingle cannot fan out") {
+    import spark.implicits._
+    // shingle "hot" in 5 docs (over cap=3), "warm" in 3 (at cap), "cold"
+    // in 2 — the guard must drop hot entirely and keep the rest intact
+    val postings = ((1 to 5).map(d => (d.toLong, "hot")) ++
+      (1 to 3).map(d => (d.toLong, "warm")) ++
+      (1 to 2).map(d => (d.toLong, "cold"))).toDF("doc_id", "shingle")
+    val kept = Dedup.dfCapped(postings.repartition(4, col("shingle")), "shingle", cap = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!kept.exists(_._2 == "hot"), "over-cap posting list must drop")
+    assert(kept.count(_._2 == "warm") == 3 && kept.count(_._2 == "cold") == 2,
+      s"at/under-cap postings must survive untouched: $kept")
+    // the pair fan-out the guard exists for: 5 docs sharing only "hot"
+    // would make C(5,2)=10 candidate pairs; with the guard the join
+    // emits none of them
+    val a = Dedup.dfCapped(postings.repartition(4, col("shingle")), "shingle", cap = 3)
+    val fan = a.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(a.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+    assert(fan.count() == (3 * 2 / 2 + 1), // warm C(3,2)=3 + cold C(2,2)=1
+      "guarded join must fan only the under-cap shingles")
+  }
+
+  test("dd19 audit row is internally consistent and ledgers the dd2-family cap") {
+    val r = Dedup.dfCapAudit(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (nSh, nCapped, nDropped, maxDf, cap) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(cap == Dedup.postingDfCap.toLong)
+    assert(nSh > 0 && maxDf >= 1)
+    assert((nCapped == 0) == (maxDf <= cap), "capped count must agree with max df")
+    assert(nDropped >= nCapped, "each capped shingle drops at least cap+1 postings")
+  }
 }

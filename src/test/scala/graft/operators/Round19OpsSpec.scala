@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand fixtures for the round-19 operators: priv3 (t-closeness EMD
+  * audit), corr4 (Kendall τ_b of the daily series), drift2 (month-over-
+  * month PSI), ev26 (per-user event-type entropy), plus the dd19 df-cap
+  * audit fixture legs living in DedupSpec. Each pins exact values
+  * computed by hand or by an INDEPENDENT implementation inside the spec
+  * (textbook formulas, brute-force pair loops) — the DuckDB oracle is
+  * the third anchor, checked by the driver gate.
+  */
+class Round19OpsSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rnd9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+  private def mic(x: Double): Double = // Exact.dsum's micros rounding
+    (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+
+  private def dateOf(s: String): java.sql.Date = java.sql.Date.valueOf(s)
+  private def tsOfDay(d: Int): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(d.toLong * 86400))
+
+  // === priv3 ===============================================================
+
+  /** orders/customer/nation fixture: ONE nation + segment + year, so a
+    * single QI group whose distribution IS the global one.
+    */
+  private def privFixture(prios: Seq[(String, Int)],
+      secondGroup: Option[Seq[(String, Int)]] = None): String = {
+    import spark.implicits._
+    val dir = tmp("priv3")
+    Seq((0L, "A", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.parquet(s"$dir/nation.parquet")
+    Seq((1L, 0L, "SEG"), (2L, 0L, "SG2")).toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    val g1 = prios.flatMap { case (p, n) => Seq.fill(n)((1L, p)) }
+    val g2 = secondGroup.toSeq.flatten.flatMap { case (p, n) => Seq.fill(n)((2L, p)) }
+    (g1 ++ g2).zipWithIndex
+      .map { case ((ck, p), i) => (i.toLong, ck, p, dateOf("1995-06-01"), 100.0) }
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("priv3: a lone QI group matches the global distribution — t = 0") {
+    val r = Analytics.tClosenessAudit(spark, privFixture(
+      Seq("1-URGENT" -> 3, "3-MEDIUM" -> 5, "5-LOW" -> 2))).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 10L) // n_groups, n_rows
+    assert(r(0).getDouble(2) == 0.0, s"t was ${r(0).getDouble(2)}")
+    assert(r(0).getLong(3) == 0L && r(0).getLong(4) == 0L)
+  }
+
+  test("priv3: hand-computed ordered EMD for a two-group skew") {
+    // group SEG: 4x URGENT; group SG2: 4x LOW. Global: p(URGENT)=0.5,
+    // p(LOW)=0.5, m=2. For SEG: diffs (1-0.5, 0-0.5) -> cums (0.5, 0.0)
+    // -> EMD = (0.5+0.0)/(2-1) = 0.5; symmetric for SG2.
+    val r = Analytics.tClosenessAudit(spark, privFixture(
+      Seq("1-URGENT" -> 4), secondGroup = Some(Seq("5-LOW" -> 4)))).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 2L && r(0).getLong(1) == 8L)
+    assert(r(0).getDouble(2) == 0.5, s"t was ${r(0).getDouble(2)}")
+    assert(r(0).getLong(3) == 2L, "both groups exceed t=0.2")
+    assert(r(0).getLong(4) == 8L)
+    assert(r(0).getDouble(5) == 1.0)
+  }
+
+  // === corr4 ===============================================================
+
+  private def runKendall(xs: Seq[Double], ys: Seq[Double]): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    val dir = tmp("corr4")
+    xs.zipWithIndex.map { case (v, d) => (tsOfDay(d), v) }.toDF("ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    ys.zipWithIndex.map { case (v, d) =>
+      (d.toLong, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)), v)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val rows = Analytics.kendallDaily(spark, dir).collect()
+    assert(rows.length == 1)
+    rows.head
+  }
+
+  test("corr4: perfect concordance reads tau = 1, discordance -1") {
+    val up = runKendall(Seq(1.0, 2.0, 3.0, 4.0), Seq(10.0, 20.0, 30.0, 40.0))
+    assert(up.getLong(0) == 4L && up.getLong(1) == 6L) // n, S = C(4,2)
+    assert(up.getDouble(4) == 1.0)
+    val down = runKendall(Seq(1.0, 2.0, 3.0), Seq(9.0, 8.0, 7.0))
+    assert(down.getLong(1) == -3L && down.getDouble(4) == -1.0)
+  }
+
+  test("corr4: ties enter tau_b's denominator, not S") {
+    // x = (1,1,2), y = (5,6,7): pairs (1,2): x tie -> 0; (1,3): +1;
+    // (2,3): +1 => S = 2. tie_pairs_x = 1, tie_pairs_y = 0.
+    // tau_b = 2 / sqrt((3-1)*3) = 2/sqrt(6) doubled form:
+    // 2*2 / sqrt((6-2)*(6-0)) = 4/sqrt(24) = 0.816496...
+    val r = runKendall(Seq(1.0, 1.0, 2.0), Seq(5.0, 6.0, 7.0))
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 0L)
+    assert(r.getDouble(4) == rnd9(4.0 / math.sqrt(24.0)), s"tau ${r.getDouble(4)}")
+  }
+
+  test("corr4: all-tied series has NULL tau (zero denominator)") {
+    val r = runKendall(Seq(2.0, 2.0, 2.0), Seq(1.0, 2.0, 3.0))
+    assert(r.getLong(1) == 0L)
+    assert(r.isNullAt(4), "d1 = 0 must yield NULL, not NaN/Inf")
+  }
+
+  test("corr4: randomized brute-force equivalence (fixed seed)") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 5).foreach { _ =>
+      val n = 2 + rnd.nextInt(9)
+      // coarse grid forces ties; money-scale values keep micros exact
+      val xs = Seq.fill(n)((rnd.nextInt(4) + 1) * 0.25)
+      val ys = Seq.fill(n)((rnd.nextInt(4) + 1) * 0.5)
+      val r = runKendall(xs, ys)
+      // independent O(n^2) implementation
+      var s = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        s += math.signum(xs(j).compare(xs(i))).toLong *
+          math.signum(ys(j).compare(ys(i))).toLong
+      val tx2 = xs.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+      val ty2 = ys.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+      val n2 = n.toLong * (n - 1)
+      assert(r.getLong(1) == s, s"S mismatch on $xs / $ys")
+      assert(r.getLong(2) == tx2 / 2 && r.getLong(3) == ty2 / 2)
+      if (n2 - tx2 > 0 && n2 - ty2 > 0)
+        assert(r.getDouble(4) ==
+          rnd9(s.toDouble * 2.0 / math.sqrt((n2 - tx2).toDouble * (n2 - ty2).toDouble)))
+      else assert(r.isNullAt(4))
+    }
+  }
+
+  // === drift2 ==============================================================
+
+  private def runPsi(monthOrders: Map[String, Seq[Double]]): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val dir = tmp("drift2")
+    monthOrders.toSeq.flatMap { case (ym, prices) => prices.map(ym -> _) }
+      .zipWithIndex
+      .map { case ((ym, p), i) => (i.toLong, dateOf(s"$ym-15"), p) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    Analytics.psiMonthly(spark, dir).collect().toSeq
+  }
+
+  test("drift2: identical adjacent months read PSI = 0; a gap month breaks the chain") {
+    val rows = runPsi(Map(
+      "1995-01" -> Seq(10000.0, 70000.0), // buckets 0 and 1
+      "1995-02" -> Seq(10000.0, 70000.0),
+      "1995-04" -> Seq(10000.0, 70000.0))) // March missing: no Apr row
+    assert(rows.length == 1, s"only Feb compares: $rows")
+    val feb = rows.head
+    assert(feb.getLong(1) == 2L) // n_orders
+    assert(feb.getDouble(2) == 0.0 && !feb.getBoolean(3))
+  }
+
+  test("drift2: hand-computed PSI for a full bucket shift") {
+    // Jan: 4 orders in bucket 0; Feb: 4 orders in bucket 9 (>= 540000).
+    // Smoothed p_b = (c+1)/14: Feb p0 = 1/14, p9 = 5/14; Jan q0 = 5/14,
+    // q9 = 1/14; other 8 buckets p = q = 1/14 -> zero terms.
+    // PSI = 2 * (4/14) * ln(5) with each term micros-rounded pre-sum.
+    val rows = runPsi(Map(
+      "1995-01" -> Seq.fill(4)(10000.0),
+      "1995-02" -> Seq.fill(4)(580000.0)))
+    assert(rows.length == 1)
+    val term = mic((5.0 / 14 - 1.0 / 14) * math.log(5.0)) // symmetric +/- pair
+    val expected = mic(term) + mic(term)
+    assert(rows.head.getDouble(2) == expected, s"psi ${rows.head.getDouble(2)} vs $expected")
+    assert(rows.head.getBoolean(3), "a full shift must alert (psi > 0.2)")
+  }
+
+  // === ev26 ================================================================
+
+  test("ev26: uniform two-type user reads ln 2; single-type user reads 0") {
+    import spark.implicits._
+    val dir = tmp("ev26")
+    (Seq.fill(3)((1L, "view")) ++ Seq.fill(3)((1L, "purchase")) ++
+      Seq.fill(5)((2L, "view")))
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t, tsOfDay(i), 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val rows = Analytics.typeEntropy(spark, dir).collect()
+    assert(rows.length == 2)
+    val byUser = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byUser(1L).getLong(1) == 6L && byUser(1L).getLong(2) == 2L)
+    // two micros-rounded terms of 0.5*ln2 each
+    assert(byUser(1L).getDouble(3) == mic(0.5 * math.log(2.0)) * 2)
+    assert(byUser(2L).getLong(2) == 1L && byUser(2L).getDouble(3) == 0.0)
+  }
+}

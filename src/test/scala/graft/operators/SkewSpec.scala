@@ -32,6 +32,32 @@ class SkewSpec extends SparkTestBase {
     assert(salts >= 1) // deterministic content hash; identical rows share a salt
   }
 
+  test("duplicate rows re-explode to exact multiplicity, incl. across chunk boundaries") {
+    import spark.implicits._
+    // 70000 > the 65536 explode chunk: multiplicity must survive the
+    // two-level explode exactly, and the join side must see ONE row for
+    // the collapsed duplicates (the deterministic-salt scheme: content
+    // hash on distinct rows, counts re-exploded after the join)
+    val hot = Seq.fill(3)(("hot", 1)).toDF("k", "v")
+      .union(spark.range(70000).select(lit("hot").as("k"), lit(2).as("v")))
+    val dim = Seq(("hot", "d"), ("cold", "c")).toDF("k", "d")
+    val out = Skew.saltedJoin(hot, dim, "k", buckets = 4)
+      .groupBy("v").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 3L, 2 -> 70000L))
+  }
+
+  test("salted join result is a pure function of content (retry-determinism)") {
+    import spark.implicits._
+    val l = (1 to 50).map(i => (s"k${i % 5}", i)).toDF("k", "v")
+    val r = (0 until 5).map(i => (s"k$i", s"d$i")).toDF("k", "d")
+    val a = Skew.saltedJoin(l, r, "k", buckets = 3).collect().map(_.toString).sorted.toSeq
+    val b = Skew.saltedJoin(l.repartition(7), r, "k", buckets = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val plain = l.join(r, Seq("k")).collect().map(_.toString).sorted.toSeq
+    assert(a == plain && b == plain)
+  }
+
   test("left joins preserve unmatched rows through salting") {
     import spark.implicits._
     val l = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
