@@ -104,26 +104,30 @@ class StreamingDedupSpec extends SparkTestBase {
     // out of every hash-keyed join — the doc got NEITHER an admit nor a
     // reject row, violating the every-doc-gets-a-verdict contract (and
     // an all-NULL batch left no verdicts, so the replay guard never
-    // marked it processed). Dedup.canonicalHash now canonicalizes NULL
-    // like the empty string.
+    // marked it processed). Dedup.canonicalHash hashes NULL to a
+    // tab-delimited sentinel group: never NULL, and DISTINCT from the
+    // empty string (dd1 contract, ADVICE r17: NULL ≢ '' — empty text is
+    // a real value; NULL-text docs duplicate only each other).
     val sparkS = spark
     import sparkS.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_admit_null")
     val state = AdmissionState.create(spark, root)
     val batch = Seq(
       AdmitDoc(1L, null, "en", "c"),
-      AdmitDoc(2L, "", "en", "c"), // canonicalizes identically to NULL
-      AdmitDoc(3L, (1 to 40).map(i => s"nn$i").mkString(" "), "en", "c")).toDF()
+      AdmitDoc(2L, "", "en", "c"), // a REAL (empty) value: its own group
+      AdmitDoc(3L, (1 to 40).map(i => s"nn$i").mkString(" "), "en", "c"),
+      AdmitDoc(4L, null, "en", "c")).toDF() // second NULL: dups doc 1
     Streams.admitBatch(batch, 11L, state)
     val v = state.verdicts.df.collect().map(r =>
       r.getLong(1) -> (r.getBoolean(2), Option(r.getString(3)).getOrElse(""))).toMap
-    assert(v.keySet == Set(1L, 2L, 3L), s"every doc needs a verdict row: ${v.keySet}")
-    assert(v(1L) == (true, ""), "first NULL/empty doc admits")
-    assert(v(2L) == (false, "exact_in_batch"), "empty text duplicates the NULL doc's canonical form")
+    assert(v.keySet == Set(1L, 2L, 3L, 4L), s"every doc needs a verdict row: ${v.keySet}")
+    assert(v(1L) == (true, ""), "first NULL doc admits")
+    assert(v(2L) == (true, ""), "empty text is NOT the NULL group — admits")
     assert(v(3L) == (true, ""))
+    assert(v(4L) == (false, "exact_in_batch"), "second NULL doc duplicates the first")
     // the replay guard sees the batch as processed even for degenerate batches
     Streams.admitBatch(batch, 11L, state)
-    assert(state.verdicts.df.count() == 3)
+    assert(state.verdicts.df.count() == 4)
   }
 
   test("admitBatch: a crash inside the state writes applies NOTHING; replay is clean") {
@@ -175,5 +179,32 @@ class StreamingDedupSpec extends SparkTestBase {
       val ids = spark.table("dedup_out").as[Event].collect().map(_.event_id).sorted.toSeq
       assert(ids == Seq(1L, 2L))
     } finally q.stop()
+  }
+
+  test("admission state: per-batch file growth folds under compact(); probe state intact") {
+    // the 100×-state shape (VERDICT r17 #7): state ROWS grow with the
+    // admitted corpus by design, but the per-batch INSERT pattern grows
+    // each state table's FILE count monotonically — compact() is the
+    // operational bound, and it must not change one verdict
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_compact")
+    val state = AdmissionState.create(spark, root)
+    (0 until 5).foreach { b =>
+      val text = (1 to 40).map(i => s"b${b}t$i").mkString(" ")
+      Streams.admitBatch(Seq(AdmitDoc(b.toLong, text, "en", "c")).toDF(), b.toLong, state)
+    }
+    val grown = state.stateFileCount
+    assert(grown >= 15, s"5 admitted batches stage >= 3 files each: $grown")
+    state.compact()
+    val folded = state.stateFileCount
+    assert(folded <= 4, s"compaction folds each state table to one file: $folded")
+    // the folded state still remembers batch 0's document: a verbatim
+    // replay under a NEW id and batch must reject exact_vs_corpus
+    val dup = (1 to 40).map(i => s"b0t$i").mkString(" ")
+    Streams.admitBatch(Seq(AdmitDoc(99L, dup, "en", "c")).toDF(), 50L, state)
+    val v = state.verdicts.df.filter($"doc_id" === 99L).collect()
+    assert(v.length == 1 && !v(0).getBoolean(2) && v(0).getString(3) == "exact_vs_corpus",
+      s"compacted state must still reject the corpus duplicate: ${v.mkString}")
   }
 }

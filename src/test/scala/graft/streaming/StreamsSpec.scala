@@ -336,6 +336,48 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("lastTouchStream: ONE ev19-consistent row per purchase — latest click wins, ties by id") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.lastTouchStream(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("lt_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: clicks at 10:00 / 10:10 / 10:10 (ids 101, 102, 103) —
+      // the pair stream emits THREE candidates for purchase 201, but the
+      // reduced surface must emit ONE row: latest ts (10:10), tie broken
+      // to the HIGHER id (103). user 3: organic purchase -> null / -1.
+      clicks.addData(
+        Event(101, tsAt(10, 0), 1, "click", 0.0),
+        Event(102, tsAt(10, 10), 1, "click", 0.0),
+        Event(103, tsAt(10, 10), 1, "click", 0.0))
+      purchases.addData(
+        Event(201, tsAt(10, 15), 1, "purchase", 9.0),
+        Event(203, tsAt(10, 20), 3, "purchase", 7.0))
+      q.processAllAvailable()
+      // advance both watermarks so the join windows AND the downstream
+      // aggregation windows finalize
+      clicks.addData(Event(199, tsAt(13, 0), 9, "click", 0.0))
+      purchases.addData(Event(299, tsAt(13, 0), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      clicks.addData(Event(198, tsAt(15, 0), 9, "click", 0.0))
+      purchases.addData(Event(298, tsAt(15, 0), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("lt_out").collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(4)) -1L else r.getLong(4)), r.getLong(5))).toMap
+      assert(rows.contains(201L) && rows.contains(203L), s"both purchases emit: $rows")
+      assert(spark.table("lt_out").collect()
+        .count(r => r.getLong(0) == 201L) == 1, "exactly ONE row per purchase")
+      assert(rows(201L)._1 == 103L, s"latest click, tie to higher id: $rows")
+      assert(rows(201L)._2 == 5L * 60 * 1000000, "gap = 5 min in micros")
+      assert(rows(203L) == (-1L, -1L), s"organic purchase: null id, -1 gap: $rows")
+    } finally q.stop()
+  }
+
   test("enrichEvents: stream-static lookup join keeps all facts and broadcasts the dim") {
     val sparkS = spark
     import sparkS.implicits._
