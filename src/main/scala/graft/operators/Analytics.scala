@@ -3440,7 +3440,331 @@ object Analytics {
        |ORDER BY event_type""".stripMargin
   }
 
+  // === priv3: t-closeness audit ============================================
+  val tCloseThreshold = 0.2 // the classic Li et al. 2007 working value
+
+  /** The third leg of the release-governance battery: k-anonymity
+    * (priv1) bounds group size, l-diversity (priv2) bounds distinct
+    * sensitive values, t-closeness bounds how much a QI group's
+    * sensitive DISTRIBUTION deviates from the table-wide one — an
+    * l-diverse group whose priorities skew 90/10 against a 50/50 global
+    * still leaks. Same QI tuple as priv2 (customer nation, market
+    * segment, order year); sensitive attribute = o_orderpriority, whose
+    * '1-URGENT'..'5-LOW' encoding makes lexicographic order the semantic
+    * order, so the ordered-attribute EMD applies: for m ordered values,
+    * EMD(p, q) = (Σ_i |Σ_{j<=i}(p_j − q_j)|) / (m − 1).
+    * Exactness: p and q are single IEEE divisions of exact counts, the
+    * cumulative diff is a window sum in the SAME fixed order on both
+    * engines, and the per-group |cum| total rides Exact.dsum (micros-
+    * rounded terms, order-independent), so the threshold compare can
+    * never disagree across engines. Output: one governance row —
+    * dataset t (max group EMD), groups/rows above t=0.2, risk share.
+    * Shape at 100 TB: orders→customer is the one real shuffle; the
+    * grid is QI-domain × m, attribute-domain-bounded.
+    */
+  def tClosenessAudit(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"),
+        year(col("o_orderdate")).cast(LongType).as("order_year"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy()
+    val wPrio = Window.partitionBy(col("prio"))
+    val wGrp = Window.partitionBy(col("n_name"), col("c_mktsegment"), col("order_year"))
+    // zero-fill grid: every QI group × every sensitive value (a missing
+    // cell is a REAL 0-vs-global divergence the EMD must see)
+    val groups = cnt.select(col("n_name"), col("c_mktsegment"), col("order_year")).distinct()
+    val prios = cnt.groupBy(col("prio")).agg(sum(col("c")).as("gc"))
+      .withColumn("n_total", sum(col("gc")).over(wAll))
+      .withColumn("m", count(lit(1)).over(wAll))
+    val grid = groups.crossJoin(broadcast(prios))
+      .join(cnt, Seq("n_name", "c_mktsegment", "order_year", "prio"), "left")
+      .select(col("n_name"), col("c_mktsegment"), col("order_year"), col("prio"),
+        col("gc"), col("n_total"), col("m"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("g_n", sum(col("c")).over(wGrp))
+    val diff = col("c").cast(DoubleType) / col("g_n").cast(DoubleType) -
+      col("gc").cast(DoubleType) / col("n_total").cast(DoubleType)
+    val cum = sum(diff).over(wGrp.orderBy(col("prio"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val perGroup = grid
+      .withColumn("cum_abs", abs(cum))
+      .groupBy(col("n_name"), col("c_mktsegment"), col("order_year"))
+      .agg(max(col("g_n")).as("g_n"), max(col("m")).as("m"),
+        Exact.dsum(col("cum_abs")).as("emd_raw"))
+      // m = 1 would divide 0 by 0: one sensitive value means every
+      // group's distribution IS the global one — EMD is exactly 0
+      .select(col("g_n"), when(col("m") === 1, lit(0.0))
+        .otherwise(col("emd_raw") / (col("m") - 1).cast(DoubleType)).as("emd"))
+    perGroup.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("g_n")).cast(LongType).as("n_rows"),
+      max(col("emd")).as("t_closeness"),
+      sum(when(col("emd") > tCloseThreshold, 1L).otherwise(0L)).as("groups_above_t"),
+      sum(when(col("emd") > tCloseThreshold, col("g_n")).otherwise(0L))
+        .cast(LongType).as("rows_above_t"))
+      .select(col("n_groups"), col("n_rows"), col("t_closeness"),
+        col("groups_above_t"), col("rows_above_t"),
+        (col("rows_above_t").cast(DoubleType) / col("n_rows").cast(DoubleType))
+          .as("leak_risk_share"))
+  }
+
+  val tClosenessAuditSql: String =
+    s"""WITH cnt AS (
+       |  SELECT n_name, c_mktsegment,
+       |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+       |    o_orderpriority AS prio, COUNT(*) AS c
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2, 3, 4),
+       |prios AS (
+       |  SELECT prio, SUM(c) AS gc, SUM(SUM(c)) OVER () AS n_total,
+       |    COUNT(*) OVER () AS m
+       |  FROM cnt GROUP BY prio),
+       |grid AS (
+       |  SELECT g.n_name, g.c_mktsegment, g.order_year, p.prio, p.gc,
+       |    p.n_total, p.m, COALESCE(cnt.c, 0) AS c
+       |  FROM (SELECT DISTINCT n_name, c_mktsegment, order_year FROM cnt) g
+       |  CROSS JOIN prios p
+       |  LEFT JOIN cnt ON cnt.n_name = g.n_name
+       |    AND cnt.c_mktsegment = g.c_mktsegment
+       |    AND cnt.order_year = g.order_year AND cnt.prio = p.prio),
+       |gt AS (
+       |  SELECT *, SUM(c) OVER (PARTITION BY n_name, c_mktsegment, order_year) AS g_n
+       |  FROM grid),
+       |cm AS (
+       |  SELECT *, ABS(SUM(CAST(c AS DOUBLE) / CAST(g_n AS DOUBLE)
+       |      - CAST(gc AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |    OVER (PARTITION BY n_name, c_mktsegment, order_year ORDER BY prio
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cum_abs
+       |  FROM gt),
+       |pg AS (
+       |  SELECT MAX(g_n) AS g_n,
+       |    CASE WHEN MAX(m) = 1 THEN 0.0
+       |         ELSE ${Exact.sqlDsum("cum_abs")} / CAST(MAX(m) - 1 AS DOUBLE)
+       |    END AS emd
+       |  FROM cm GROUP BY n_name, c_mktsegment, order_year)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(g_n) AS BIGINT) AS n_rows,
+       |  MAX(emd) AS t_closeness,
+       |  CAST(SUM(CASE WHEN emd > $tCloseThreshold THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS groups_above_t,
+       |  CAST(SUM(CASE WHEN emd > $tCloseThreshold THEN g_n ELSE 0 END) AS BIGINT)
+       |    AS rows_above_t,
+       |  CAST(SUM(CASE WHEN emd > $tCloseThreshold THEN g_n ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(g_n) AS DOUBLE) AS leak_risk_share
+       |FROM pg""".stripMargin
+
+  // === corr4: Kendall tau-b between the daily business series =============
+  /** corr4: Kendall's τ_b between daily event value and daily order
+    * revenue — the concordance-based third leg of the correlation trio
+    * (stat2 Pearson on exact moments, corr3 Spearman on ranks, corr4 on
+    * pair concordance; τ is the robust choice when the series have
+    * heavy ties or outliers): S = Σ_{i<j} sgn(x_i−x_j)·sgn(y_i−y_j),
+    * τ_b = S / √((n₀−n₁)(n₀−n₂)) with n₀ = n(n−1)/2 and n₁/n₂ the tie
+    * pair counts. S and the tie counts are exact integers over the
+    * SAME bounded daily frame ts9/corr3 use (collected at construction
+    * — the LocalRelation tier, so the pair join never touches a
+    * corpus-scale table); the τ value is one sqrt + one division.
+    */
+  def kendallDaily(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dayUs = 86400000000L
+    def day(c: Column) = expr(s"(unix_micros(${c.toString}) - pmod(unix_micros(${c.toString}), $dayUs)) div $dayUs")
+    val ev = t(s, dir, "events")
+      .select(day(col("ts")).as("day"), Exact.micros(col("value")).as("vm"))
+      .filter(col("day").isNotNull)
+      .groupBy(col("day")).agg(sum(col("vm").cast(Exact.D380)).as("xv"))
+      .filter(col("xv").isNotNull)
+    val or = t(s, dir, "orders")
+      .select(day(col("o_orderdate")).as("day"), Exact.micros(col("o_totalprice")).as("pm"))
+      .filter(col("day").isNotNull)
+      .groupBy(col("day")).agg(sum(col("pm").cast(Exact.D380)).as("yv"))
+      .filter(col("yv").isNotNull)
+    val daily = ev.join(or, "day").collect()
+    val outSchema = StructType(Seq(
+      StructField("n_days", LongType), StructField("s_stat", LongType),
+      StructField("tie_pairs_x", LongType), StructField("tie_pairs_y", LongType),
+      StructField("kendall_tau", DoubleType)))
+    if (daily.length < 2)
+      return s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    val baseSchema = StructType(Seq(StructField("day", LongType),
+      StructField("xv", Exact.D380), StructField("yv", Exact.D380)))
+    val base = s.createDataFrame(
+      daily.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getDecimal(1), r.getDecimal(2)))
+        .toSeq.asJava, baseSchema)
+    def sgn(a: Column, b: Column) =
+      when(b > a, lit(1L)).when(b < a, lit(-1L)).otherwise(lit(0L))
+    val sRow = base.as("a").join(base.as("b"), col("a.day") < col("b.day"))
+      .agg(coalesce(sum(sgn(col("a.xv"), col("b.xv")) * sgn(col("a.yv"), col("b.yv"))), lit(0L))
+        .as("s_stat"))
+    def tiePairs(v: String, out: String) = base.groupBy(col(v))
+      .agg(count(lit(1)).as("tt"))
+      .agg(coalesce(sum(col("tt") * (col("tt") - 1)), lit(0L)).as(out)) // doubled pair counts
+    val nRow = base.agg(count(lit(1)).as("n_days"))
+    val n = col("n_days")
+    nRow.crossJoin(sRow).crossJoin(tiePairs("xv", "tx2")).crossJoin(tiePairs("yv", "ty2"))
+      // n0/n1/n2 are kept DOUBLED (n(n−1), tt(tt−1)) so every value is an
+      // exact integer without a /2 — the √ divides the product by 2·2
+      .withColumn("d1", n * (n - 1) - col("tx2"))
+      .withColumn("d2", n * (n - 1) - col("ty2"))
+      .select(col("n_days"), col("s_stat"),
+        (col("tx2") / 2).cast(LongType).as("tie_pairs_x"),
+        (col("ty2") / 2).cast(LongType).as("tie_pairs_y"),
+        when(col("d1") <= 0 || col("d2") <= 0, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(
+            col("s_stat").cast(DoubleType) * 2.0 /
+              sqrt(col("d1").cast(DoubleType) * col("d2").cast(DoubleType)), 9))
+          .as("kendall_tau"))
+  }
+
+  val kendallDailySql: String =
+    s"""WITH ev AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) AS xv
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |  HAVING SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) IS NOT NULL),
+       |orr AS (
+       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+       |    SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) AS yv
+       |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+       |  HAVING SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) IS NOT NULL),
+       |j AS (SELECT ev.day, xv, yv FROM ev JOIN orr ON ev.day = orr.day),
+       |sp AS (
+       |  SELECT COALESCE(SUM(
+       |    (CASE WHEN b.xv > a.xv THEN 1 WHEN b.xv < a.xv THEN -1 ELSE 0 END)
+       |    * (CASE WHEN b.yv > a.yv THEN 1 WHEN b.yv < a.yv THEN -1 ELSE 0 END)), 0) AS s_stat
+       |  FROM j a JOIN j b ON a.day < b.day),
+       |tx AS (SELECT COALESCE(SUM(tt*(tt-1)), 0) AS tx2
+       |       FROM (SELECT COUNT(*) AS tt FROM j GROUP BY xv)),
+       |ty AS (SELECT COALESCE(SUM(tt*(tt-1)), 0) AS ty2
+       |       FROM (SELECT COUNT(*) AS tt FROM j GROUP BY yv)),
+       |nn AS (SELECT COUNT(*) AS n FROM j),
+       |v AS (SELECT n, s_stat, tx2, ty2,
+       |        n*(n-1) - tx2 AS d1, n*(n-1) - ty2 AS d2
+       |      FROM nn CROSS JOIN sp CROSS JOIN tx CROSS JOIN ty)
+       |SELECT CAST(n AS BIGINT) AS n_days, CAST(s_stat AS BIGINT) AS s_stat,
+       |  CAST(tx2 / 2 AS BIGINT) AS tie_pairs_x, CAST(ty2 / 2 AS BIGINT) AS tie_pairs_y,
+       |  CASE WHEN d1 <= 0 OR d2 <= 0 THEN NULL
+       |       ELSE ${Exact.sqlDround(
+             "CAST(s_stat AS DOUBLE) * 2.0 / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))", 9)}
+       |  END AS kendall_tau
+       |FROM v WHERE n >= 2""".stripMargin
+
+  // === drift2: month-over-month PSI of the order-value distribution =======
+  /** drift2: Population Stability Index of the order-value distribution,
+    * month over month — the industry drift gate (PSI > 0.2 ⇒ retrain /
+    * investigate) complementing drift1's vocabulary KL and ks1's rank
+    * test: PSI_m = Σ_b (p_b − q_b)·ln(p_b/q_b) over 10 fixed-width
+    * value buckets, q = the PREVIOUS calendar month, add-one smoothed
+    * (zero buckets stay finite). Only adjacent calendar months compare
+    * (a gap month breaks the chain rather than silently comparing
+    * across it). p/q are IEEE divisions of exact counts; each term is
+    * micros-rounded into Exact.dsum, absorbing last-ulp libm ln skew.
+    * Shape at 100 TB: ONE orders scan → (month, bucket) counts
+    * (map-side combinable, calendar × 10 keys) → zero-fill grid →
+    * adjacent-month self-join of the BOUNDED grid.
+    */
+  def psiMonthly(s: SparkSession, dir: String): DataFrame = {
+    val bucket = least(floor(col("o_totalprice") / 60000.0), lit(9.0)).cast(LongType)
+    val mi = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+      .cast(LongType)
+    val cnt = t(s, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(mi.as("mi"), bucket.as("b"))
+      .agg(count(lit(1)).as("c"))
+    val months = cnt.select(col("mi")).distinct()
+    val grid = months
+      .select(col("mi"), explode(sequence(lit(0L), lit(9L))).as("b"))
+      .join(cnt, Seq("mi", "b"), "left")
+      .select(col("mi"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("mn", sum(col("c")).over(Window.partitionBy(col("mi"))))
+    val cur = grid.select(col("mi"), col("b"), col("c"), col("mn"))
+    val prev = grid.select((col("mi") + 1).as("mi"), col("b"),
+      col("c").as("qc"), col("mn").as("qn"))
+    val p = (col("c") + 1).cast(DoubleType) / (col("mn") + 10).cast(DoubleType)
+    val q = (col("qc") + 1).cast(DoubleType) / (col("qn") + 10).cast(DoubleType)
+    cur.join(prev, Seq("mi", "b"))
+      .select(col("mi"), col("mn"), ((p - q) * log(p / q)).as("term"))
+      .groupBy(col("mi"))
+      .agg(max(col("mn")).cast(LongType).as("n_orders"),
+        Exact.dsum(col("term")).as("psi"))
+      .select(col("mi").as("month_index"), col("n_orders"), col("psi"),
+        (col("psi") > 0.2).as("drift_alert"))
+      .orderedSmall(col("month_index"))
+  }
+
+  val psiMonthlySql: String =
+    s"""WITH cnt AS (
+       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+       |              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS mi,
+       |    CAST(LEAST(FLOOR(o_totalprice / 60000.0), 9.0) AS BIGINT) AS b,
+       |    COUNT(*) AS c
+       |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT m.mi, gb.b, COALESCE(cnt.c, 0) AS c
+       |  FROM (SELECT DISTINCT mi FROM cnt) m
+       |  CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS b) gb
+       |  LEFT JOIN cnt ON cnt.mi = m.mi AND cnt.b = gb.b),
+       |gt AS (SELECT *, SUM(c) OVER (PARTITION BY mi) AS mn FROM grid),
+       |j AS (
+       |  SELECT cur.mi, cur.mn,
+       |    (CAST(cur.c + 1 AS DOUBLE) / CAST(cur.mn + 10 AS DOUBLE)
+       |     - CAST(prv.c + 1 AS DOUBLE) / CAST(prv.mn + 10 AS DOUBLE))
+       |    * ln((CAST(cur.c + 1 AS DOUBLE) / CAST(cur.mn + 10 AS DOUBLE))
+       |         / (CAST(prv.c + 1 AS DOUBLE) / CAST(prv.mn + 10 AS DOUBLE))) AS term
+       |  FROM gt cur JOIN gt prv ON prv.mi = cur.mi - 1 AND prv.b = cur.b)
+       |SELECT mi AS month_index, CAST(MAX(mn) AS BIGINT) AS n_orders,
+       |  ${Exact.sqlDsum("term")} AS psi,
+       |  ${Exact.sqlDsum("term")} > 0.2 AS drift_alert
+       |FROM j GROUP BY mi ORDER BY month_index""".stripMargin
+
+  // === ev26: per-user event-type entropy ===================================
+  /** ev26: Shannon entropy of each user's event-type distribution — the
+    * behavioral-diversity feature (a 0-entropy user does one thing; a
+    * log(k)-entropy user does everything equally) that feeds churn and
+    * bot models alongside ev13's RFM. H = −Σ p·ln(p) with p = one IEEE
+    * division of exact counts, terms micros-rounded into Exact.dsum.
+    * Shape at 100 TB: ONE events scan → (user, type) counts (map-side
+    * combinable) → per-user window totals — no join; per-user output,
+    * the ev13 contract.
+    */
+  def typeEntropy(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    val cnt = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+      .withColumn("un", sum(col("c")).over(wUser))
+    val p = col("c").cast(DoubleType) / col("un").cast(DoubleType)
+    cnt
+      .select(col("user_id"), col("un"), (-p * log(p)).as("term"))
+      .groupBy(col("user_id"))
+      .agg(max(col("un")).cast(LongType).as("n_events"),
+        count(lit(1)).as("n_types"),
+        Exact.dsum(col("term")).as("type_entropy"))
+      .orderBy(col("user_id"))
+  }
+
+  val typeEntropySql: String =
+    s"""WITH cnt AS (
+       |  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+       |gt AS (SELECT *, SUM(c) OVER (PARTITION BY user_id) AS un FROM cnt),
+       |terms AS (
+       |  SELECT user_id, un,
+       |    -(CAST(c AS DOUBLE) / CAST(un AS DOUBLE))
+       |      * ln(CAST(c AS DOUBLE) / CAST(un AS DOUBLE)) AS term
+       |  FROM gt)
+       |SELECT user_id, CAST(MAX(un) AS BIGINT) AS n_events,
+       |  CAST(COUNT(*) AS BIGINT) AS n_types,
+       |  ${Exact.sqlDsum("term")} AS type_entropy
+       |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv3_t_closeness" -> tClosenessAudit _,
+    "corr4_kendall_daily" -> kendallDaily _,
+    "drift2_psi_monthly" -> psiMonthly _,
+    "ev26_type_entropy" -> typeEntropy _,
     "exp5_welch_t" -> welchTTest _,
     "ts9_mann_kendall" -> mannKendall _,
     "corr3_spearman_daily" -> spearmanDaily _,
@@ -3498,6 +3822,10 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "priv3_t_closeness" -> tClosenessAuditSql,
+    "corr4_kendall_daily" -> kendallDailySql,
+    "drift2_psi_monthly" -> psiMonthlySql,
+    "ev26_type_entropy" -> typeEntropySql,
     "exp5_welch_t" -> welchTTestSql,
     "ts9_mann_kendall" -> mannKendallSql,
     "corr3_spearman_daily" -> spearmanDailySql,

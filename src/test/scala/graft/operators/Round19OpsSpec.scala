@@ -76,9 +76,9 @@ class Round19OpsSpec extends SparkTestBase {
     val dir = tmp("corr4")
     xs.zipWithIndex.map { case (v, d) => (tsOfDay(d), v) }.toDF("ts", "value")
       .coalesce(1).write.parquet(s"$dir/events.parquet")
-    ys.zipWithIndex.map { case (v, d) =>
-      (d.toLong, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)), v)
-    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    // testdata's o_orderdate is timestamp[us]; the fixture matches
+    ys.zipWithIndex.map { case (v, d) => (d.toLong, tsOfDay(d), v) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
       .coalesce(1).write.parquet(s"$dir/orders.parquet")
     val rows = Analytics.kendallDaily(spark, dir).collect()
     assert(rows.length == 1)
