@@ -27,7 +27,15 @@ object BenchLab {
     val flags = args.headOption.getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val windowSec = sys.env.getOrElse("LAB_WINDOW", "20").toInt
-    val spark = Engine.newSession("graft-lab", Engine.defaultCores)
+    // context-level levers (must land before SparkContext init):
+    // fair    — FAIR task scheduling across the 4 terminals (tail lever)
+    // offheap — Tungsten execution memory off the Java heap (GC lever)
+    val ctxConf =
+      (if (flags("fair")) Map("spark.scheduler.mode" -> "FAIR") else Map.empty[String, String]) ++
+      (if (flags("offheap")) Map(
+        "spark.memory.offHeap.enabled" -> "true",
+        "spark.memory.offHeap.size" -> "16g") else Map.empty[String, String])
+    val spark = Engine.newSession("graft-lab", Engine.defaultCores, extraConf = ctxConf)
 
     if (flags("ycsb")) {
       // the Bench YCSB phase alone — for iterating on the DML/point-read
@@ -234,15 +242,38 @@ object BenchLab {
     }
     warm.foreach(_.join())
 
+    // GC metering for the lab window (VERDICT r17 #1a: the G1-vs-Parallel
+    // A/B must be re-runnable at the driver's heap size with pause
+    // attribution in the output, not just rps)
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def gcN(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionCount)).sum
+    }
+    val gcNames = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getName).mkString("/")
+    }
+    val heap = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    val (gc0, gn0) = (gcMs(), gcN())
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val t0 = System.nanoTime()
     val threads = (0 until terminals).map { t =>
       val cs = sessions(t); val prepared = preparedPer(t)
       val th = new Thread(() => {
         var i = t
         while (System.nanoTime() - t0 < windowNanos) {
+          val r0 = System.nanoTime()
           try {
             rerun(cs, prepared(mix(i % mix.length))).collect()
             completed.incrementAndGet()
+            lat.add((System.nanoTime() - r0) / 1e6)
           } catch { case _: Throwable => }
           i += 1
         }
@@ -251,7 +282,15 @@ object BenchLab {
     }
     threads.foreach(_.join())
     val elapsed = (System.nanoTime() - t0) / 1e9
-    println(f"[lab] flags=${flags.toSeq.sorted.mkString("+")}%s rps=${completed.get() / elapsed}%.3f requests=${completed.get()}%d window=$elapsed%.1f")
+    val gcD = gcMs() - gc0
+    val lats = { import scala.jdk.CollectionConverters._; lat.asScala.toArray.sorted }
+    def pct(p: Double): Double =
+      if (lats.isEmpty) -1.0
+      else lats(math.min(lats.length - 1, math.max(0, math.ceil(p * lats.length).toInt - 1)))
+    println(f"[lab] flags=${flags.toSeq.sorted.mkString("+")}%s rps=${completed.get() / elapsed}%.3f " +
+      f"requests=${completed.get()}%d window=$elapsed%.1f " +
+      f"gc=$gcD%d ms (${100.0 * gcD / 1000.0 / elapsed}%.0f%% of wall, ${gcN() - gn0}%d collections, $gcNames) " +
+      f"heap_max=${heap.getMax >> 20}%d MB p50=${pct(0.5)}%.0f p99=${pct(0.99)}%.0f ms")
     spark.stop()
   }
 }
