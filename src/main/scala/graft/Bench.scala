@@ -684,7 +684,10 @@ object Bench {
       "dd17_multitier_clusters", // dd7's eager components engine at construction
       "lm3_kneser_ney", // eager localCheckpoint + one-scalar count at construction
       "ev25_markov_stationary", // k×k transition matrix collected at construction
-      "corr4_kendall_daily") // same bounded per-day collect as ts9
+      "corr4_kendall_daily", // same bounded per-day collect as ts9
+      "priv3_t_closeness", // eager localCheckpoint of the bounded QI counts
+      "drift2_psi_monthly", // eager localCheckpoint of the bounded month counts
+      "ev27_kaplan_meier") // bounded duration table collected; KM product in the driver
 
     val prepared = names.filterNot(driverStepped).flatMap { n =>
       try Some(n -> SparkEntry.queries(n)(spark, sfDir))

@@ -3463,6 +3463,11 @@ object Analytics {
     * grid is QI-domain × m, attribute-domain-bounded.
     */
   def tClosenessAudit(s: SparkSession, dir: String): DataFrame = {
+    // the (QI, prio) count table is attribute-domain-bounded (~900 × m
+    // rows) and feeds THREE consumers (group list, sensitive marginals,
+    // the zero-fill join) — eager localCheckpoint pays the orders scan
+    // ONCE instead of per consumer (the ts1/lm3 pattern; the round-11
+    // star-shape lesson)
     val cnt = t(s, dir, "orders")
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
@@ -3470,6 +3475,7 @@ object Analytics {
         year(col("o_orderdate")).cast(LongType).as("order_year"),
         col("o_orderpriority").as("prio"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val wAll = Window.partitionBy()
     val wPrio = Window.partitionBy(col("prio"))
     val wGrp = Window.partitionBy(col("n_name"), col("c_mktsegment"), col("order_year"))
@@ -3671,10 +3677,15 @@ object Analytics {
     val bucket = least(floor(col("o_totalprice") / 60000.0), lit(9.0)).cast(LongType)
     val mi = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
       .cast(LongType)
+    // the (month, bucket) count table is calendar-bounded and feeds the
+    // month list, the zero-fill join, and both sides of the adjacent-
+    // month self-join — eager localCheckpoint pays the orders scan ONCE
+    // (the ts1/lm3/priv3 pattern)
     val cnt = t(s, dir, "orders")
       .filter(col("o_orderdate").isNotNull)
       .groupBy(mi.as("mi"), bucket.as("b"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val months = cnt.select(col("mi")).distinct()
     val grid = months
       .select(col("mi"), explode(sequence(lit(0L), lit(9L))).as("b"))
@@ -3760,7 +3771,260 @@ object Analytics {
        |  ${Exact.sqlDsum("term")} AS type_entropy
        |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // === ev27: Kaplan–Meier time-to-first-purchase ===========================
+  /** ev27: the Kaplan–Meier survival estimator over time-to-first-
+    * purchase — the censoring-aware complement of ev22's conversion
+    * hazard (a user who never purchases is CENSORED at the corpus
+    * horizon, not dropped; dropping them biases conversion time low).
+    * Per user: entry = first event day, event = first purchase day,
+    * censor = the global max day. Per duration day i (events precede
+    * same-day censors, the standard convention): risk set
+    * n_i = N − Σ_{j<i}(d_j + c_j), survival S_k = Π_{i≤k}(1 − d_i/n_i).
+    * Exactness: d/n are exact integers; the product is a chain of IEEE
+    * multiplies in ascending-duration order — computed in the DRIVER
+    * over the collected duration table (bounded by the corpus day span,
+    * the ts9 LocalRelation tier) and mirrored in the oracle by a
+    * recursive CTE multiplying in the SAME order, so both engines run
+    * the identical IEEE sequence with no libm exp/ln (the qc1
+    * discipline). Output: one row per EVENT day.
+    */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dayUs = 86400000000L
+    def day(c: Column) = expr(s"(unix_micros(${c.toString}) - pmod(unix_micros(${c.toString}), $dayUs)) div $dayUs")
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"), day(col("ts")).as("day"), col("event_type"))
+      .filter(col("day").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("t0"),
+        min(when(col("event_type") === "purchase", col("day"))).as("tp"))
+    // the censor horizon is the global max EVENT day — its own one-row
+    // aggregate (a per-user max would single-task a corpus-wide window);
+    // the second narrow scan reads one column (the corr3 2-scan budget)
+    val durations = t(s, dir, "events")
+      .select(day(col("ts")).as("d")).filter(col("d").isNotNull)
+      .agg(max(col("d")).as("tmax"))
+      .crossJoin(perUser)
+      .select(
+        when(col("tp").isNotNull, col("tp") - col("t0"))
+          .otherwise(col("tmax") - col("t0")).as("dur"),
+        col("tp").isNotNull.as("evented"))
+      .groupBy(col("dur"))
+      .agg(sum(when(col("evented"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("evented"), 0L).otherwise(1L)).as("c"))
+      .orderBy(col("dur"))
+      .collect()
+    val outSchema = StructType(Seq(
+      StructField("duration_day", LongType), StructField("n_risk", LongType),
+      StructField("n_events", LongType), StructField("n_censored", LongType),
+      StructField("survival", DoubleType)))
+    val total = durations.map(r => r.getLong(1) + r.getLong(2)).sum
+    var atRisk = total
+    var surv = 1.0
+    val rows = durations.flatMap { r =>
+      val (dur, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val n = atRisk
+      surv *= (1.0 - d.toDouble / n.toDouble) // same IEEE chain as the oracle's recursive CTE
+      atRisk -= d + c
+      if (d > 0)
+        Some(org.apache.spark.sql.Row(dur, n, d, c,
+          math.floor(surv * 1e9 + 0.5).toLong.toDouble / 1e9)) // dround(9), survival >= 0
+      else None
+    }
+    s.createDataFrame(rows.toSeq.asJava, outSchema)
+  }
+
+  val kaplanMeierSql: String =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, event_type
+       |  FROM events WHERE ts IS NOT NULL),
+       |tm AS (SELECT MAX(day) AS tmax FROM ev),
+       |u AS (
+       |  SELECT user_id, MIN(day) AS t0,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS tp
+       |  FROM ev GROUP BY 1),
+       |durs AS (
+       |  SELECT CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tmax - t0 END AS dur,
+       |    (tp IS NOT NULL) AS evented
+       |  FROM u CROSS JOIN tm),
+       |g AS (
+       |  SELECT dur, SUM(CASE WHEN evented THEN 1 ELSE 0 END) AS d,
+       |    SUM(CASE WHEN evented THEN 0 ELSE 1 END) AS c
+       |  FROM durs GROUP BY dur),
+       |km AS (
+       |  SELECT dur, d, c,
+       |    SUM(d + c) OVER () -
+       |      COALESCE(SUM(d + c) OVER (ORDER BY dur
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+       |    ROW_NUMBER() OVER (ORDER BY dur) AS rn
+       |  FROM g),
+       |surv AS (
+       |  SELECT rn, dur, d, c, n,
+       |    1.0 * (1 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS sv
+       |  FROM km WHERE rn = 1
+       |  UNION ALL
+       |  SELECT km.rn, km.dur, km.d, km.c, km.n,
+       |    surv.sv * (1 - CAST(km.d AS DOUBLE) / CAST(km.n AS DOUBLE))
+       |  FROM surv JOIN km ON km.rn = surv.rn + 1)
+       |SELECT dur AS duration_day, CAST(n AS BIGINT) AS n_risk,
+       |  CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+       |  ${Exact.sqlDround("sv", 9)} AS survival
+       |FROM surv WHERE d > 0 ORDER BY duration_day""".stripMargin
+
+  // === ts10: seasonal-naive backtest (MASE) ================================
+  /** ts10: mean absolute error of the lag-7 seasonal-naive forecast of
+    * daily order revenue, scaled by the lag-1 naive's MAE — the MASE
+    * reading (Hyndman 2006) that tells a pipeline whether weekly
+    * seasonality carries real signal (mase < 1) before anyone trains a
+    * model. CALENDAR lags, not row lags: a gap day must not silently
+    * shift the season — the lagged value rides a RANGE frame pinned to
+    * exactly day−k, which both engines evaluate identically. Every
+    * |error| is an exact integer micros difference; the two MAEs and
+    * their ratio are the only IEEE steps. Shape at 100 TB: ONE orders
+    * scan → bounded daily aggregate → two window passes — no join, no
+    * second scan.
+    */
+  def seasonalNaiveMase(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    def day(c: Column) = expr(s"(unix_micros(${c.toString}) - pmod(unix_micros(${c.toString}), $dayUs)) div $dayUs")
+    val daily = t(s, dir, "orders")
+      .select(day(col("o_orderdate")).as("day"), Exact.micros(col("o_totalprice")).as("pm"))
+      .filter(col("day").isNotNull)
+      .groupBy(col("day")).agg(sum(col("pm").cast(Exact.D380)).as("rev"))
+    def lagAt(k: Int) =
+      max(col("rev")).over(Window.orderBy(col("day")).rangeBetween(-k, -k))
+    val err = daily
+      .withColumn("l1", lagAt(1)).withColumn("l7", lagAt(7))
+      .select(
+        when(col("l1").isNotNull, abs(col("rev") - col("l1"))).as("e1"),
+        when(col("l7").isNotNull, abs(col("rev") - col("l7"))).as("e7"))
+    err.agg(
+      count(col("e1")).as("n_lag1"), count(col("e7")).as("n_lag7"),
+      sum(col("e1")).as("s1"), sum(col("e7")).as("s7"))
+      .select(col("n_lag1"), col("n_lag7"),
+        when(col("n_lag1") === 0, lit(null).cast(DoubleType))
+          .otherwise(Exact.toUnits(col("s1")) / col("n_lag1")).as("mae_naive1"),
+        when(col("n_lag7") === 0, lit(null).cast(DoubleType))
+          .otherwise(Exact.toUnits(col("s7")) / col("n_lag7")).as("mae_seasonal7"),
+        when(col("n_lag1") === 0 || col("n_lag7") === 0 || col("s1") === 0,
+          lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(
+            (Exact.toUnits(col("s7")) / col("n_lag7")) /
+              (Exact.toUnits(col("s1")) / col("n_lag1")), 9)).as("mase"))
+  }
+
+  val seasonalNaiveMaseSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+       |    SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) AS rev
+       |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+       |lagged AS (
+       |  SELECT rev,
+       |    MAX(rev) OVER (ORDER BY day RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS l1,
+       |    MAX(rev) OVER (ORDER BY day RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS l7
+       |  FROM daily),
+       |err AS (
+       |  SELECT CASE WHEN l1 IS NOT NULL THEN ABS(rev - l1) END AS e1,
+       |    CASE WHEN l7 IS NOT NULL THEN ABS(rev - l7) END AS e7
+       |  FROM lagged),
+       |agg AS (
+       |  SELECT CAST(COUNT(e1) AS BIGINT) AS n_lag1, CAST(COUNT(e7) AS BIGINT) AS n_lag7,
+       |    SUM(e1) AS s1, SUM(e7) AS s7
+       |  FROM err)
+       |SELECT n_lag1, n_lag7,
+       |  CASE WHEN n_lag1 = 0 THEN NULL
+       |       ELSE CAST(s1 AS DOUBLE) / 1000000.0 / n_lag1 END AS mae_naive1,
+       |  CASE WHEN n_lag7 = 0 THEN NULL
+       |       ELSE CAST(s7 AS DOUBLE) / 1000000.0 / n_lag7 END AS mae_seasonal7,
+       |  CASE WHEN n_lag1 = 0 OR n_lag7 = 0 OR s1 = 0 THEN NULL
+       |       ELSE ${Exact.sqlDround(
+             "(CAST(s7 AS DOUBLE) / 1000000.0 / n_lag7) / (CAST(s1 AS DOUBLE) / 1000000.0 / n_lag1)", 9)}
+       |  END AS mase
+       |FROM agg""".stripMargin
+
+  // === imp2: ratio estimator vs Horvitz–Thompson ===========================
+  /** imp2: survey-sampling estimators of total order revenue from a
+    * deterministic 20% md5-coin order sample — the Horvitz–Thompson
+    * expansion (Σ_s y / f) against the RATIO estimator
+    * (Σ_s y / Σ_s x) · X with lineitem count per order as the auxiliary
+    * whose population total X IS known (the planner's row counts) — the
+    * classic variance-reduction pair imp1's HT leg lacks a benchmark
+    * for. Everything is exact integers (micros sums, HUGEINT counts)
+    * until the final divisions; relative errors are single IEEE
+    * expressions vs the exact full total. Shape at 100 TB: one orders
+    * scan + one lineitem scan joined on the order key (map-side
+    * combinable count), ONE conditional-aggregation row.
+    */
+  def ratioEstimate(s: SparkSession, dir: String): DataFrame = {
+    val f = 0.2
+    val items = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey")).agg(count(lit(1)).as("x"))
+    val joined = t(s, dir, "orders")
+      .select(col("o_orderkey"), Exact.micros(col("o_totalprice")).as("ym"))
+      .join(items, Seq("o_orderkey"), "left")
+      .select(col("ym"), coalesce(col("x"), lit(0L)).as("x"),
+        (TextAnalysis.md5Frac(lit("imp2"), col("o_orderkey")) < f).as("in_s"))
+    joined.agg(
+      sum(when(col("in_s"), 1L).otherwise(0L)).as("n_sample"),
+      count(lit(1)).as("n_orders"),
+      sum(col("x")).as("x_total"),
+      sum(when(col("in_s"), col("x")).otherwise(0L)).as("x_sample"),
+      sum(col("ym").cast(Exact.D380)).as("y_true_m"),
+      sum(when(col("in_s"), col("ym")).otherwise(0L).cast(Exact.D380)).as("y_sample_m"))
+      .select(col("n_sample"), col("n_orders"),
+        col("x_total").cast(LongType).as("x_total"),
+        Exact.toUnits(col("y_true_m")).as("y_true"),
+        (Exact.toUnits(col("y_sample_m")) / f).as("y_ht"),
+        when(col("x_sample") === 0, lit(null).cast(DoubleType))
+          .otherwise(Exact.toUnits(col("y_sample_m")) / col("x_sample") * col("x_total"))
+          .as("y_ratio"),
+        when(col("y_true_m") === 0, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(
+            abs(Exact.toUnits(col("y_sample_m")) / f - Exact.toUnits(col("y_true_m")))
+              / Exact.toUnits(col("y_true_m")), 9)).as("ht_rel_err"),
+        when(col("y_true_m") === 0 || col("x_sample") === 0, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(
+            abs(Exact.toUnits(col("y_sample_m")) / col("x_sample") * col("x_total")
+              - Exact.toUnits(col("y_true_m"))) / Exact.toUnits(col("y_true_m")), 9))
+          .as("ratio_rel_err"))
+  }
+
+  val ratioEstimateSql: String = {
+    val f = "0.2"
+    // parenthesized: these splice into larger expressions, and a bare
+    // `a / CAST(..) / 1000000.0` would divide by 1e6 a second time
+    val yS = "(CAST(y_sample_m AS DOUBLE) / 1000000.0)"
+    val yT = "(CAST(y_true_m AS DOUBLE) / 1000000.0)"
+    s"""WITH items AS (
+       |  SELECT l_orderkey AS o_orderkey, COUNT(*) AS x FROM lineitem GROUP BY 1),
+       |j AS (
+       |  SELECT ${Exact.sqlMicros("o_totalprice")} AS ym, COALESCE(items.x, 0) AS x,
+       |    (${TextAnalysis.sqlMd5Frac("'imp2'", "o_orderkey")} < $f) AS in_s
+       |  FROM orders LEFT JOIN items USING (o_orderkey)),
+       |agg AS (
+       |  SELECT CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |    SUM(x) AS x_total,
+       |    SUM(CASE WHEN in_s THEN x ELSE 0 END) AS x_sample,
+       |    SUM(CAST(ym AS HUGEINT)) AS y_true_m,
+       |    SUM(CASE WHEN in_s THEN CAST(ym AS HUGEINT) ELSE 0 END) AS y_sample_m
+       |  FROM j)
+       |SELECT n_sample, n_orders, CAST(x_total AS BIGINT) AS x_total,
+       |  $yT AS y_true,
+       |  $yS / $f AS y_ht,
+       |  CASE WHEN x_sample = 0 THEN NULL ELSE $yS / x_sample * x_total END AS y_ratio,
+       |  CASE WHEN y_true_m = 0 THEN NULL
+       |       ELSE ${Exact.sqlDround(s"ABS($yS / $f - $yT) / $yT", 9)} END AS ht_rel_err,
+       |  CASE WHEN y_true_m = 0 OR x_sample = 0 THEN NULL
+       |       ELSE ${Exact.sqlDround(s"ABS($yS / x_sample * x_total - $yT) / $yT", 9)}
+       |  END AS ratio_rel_err
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev27_kaplan_meier" -> kaplanMeier _,
+    "ts10_seasonal_mase" -> seasonalNaiveMase _,
+    "imp2_ratio_estimate" -> ratioEstimate _,
     "priv3_t_closeness" -> tClosenessAudit _,
     "corr4_kendall_daily" -> kendallDaily _,
     "drift2_psi_monthly" -> psiMonthly _,
@@ -3822,6 +4086,9 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "ev27_kaplan_meier" -> kaplanMeierSql,
+    "ts10_seasonal_mase" -> seasonalNaiveMaseSql,
+    "imp2_ratio_estimate" -> ratioEstimateSql,
     "priv3_t_closeness" -> tClosenessAuditSql,
     "corr4_kendall_daily" -> kendallDailySql,
     "drift2_psi_monthly" -> psiMonthlySql,

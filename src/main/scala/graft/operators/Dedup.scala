@@ -228,6 +228,73 @@ object Dedup {
       |WHERE (CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)) >= 0.05
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""").stripMargin
 
+  // === dd20: weighted (multiset) token Jaccard pairs =======================
+  /** dd20: bag-of-words weighted Jaccard —
+    * J_w(A,B) = Σ_t min(c_A(t), c_B(t)) / Σ_t max(c_A(t), c_B(t)) —
+    * the near-dup tier that catches token-REORDERED and internally-
+    * repeated documents dd2's positional shingles score low (a shuffled
+    * paragraph shares almost no 3-shingles but its token bag is
+    * identical: J_w = 1). Σmax needs no pair-side max: Σ_t max = |A| +
+    * |B| − Σ_t min. Same inverted-index join discipline as dd2, same
+    * df-cap guard applied BEFORE the self-join (both the min-sums and
+    * the doc totals run over the capped posting universe on BOTH
+    * engines), same pinned exchange width.
+    */
+  def weightedJaccard(s: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val tc = dfCapped( // hot-posting guard, see postingDfCap
+      fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), xxhash64(col("tok")).as("tok"))
+        .agg(count(lit(1)).as("c"))
+        .repartition(shuffleWidth(t(s, dir, "documents")), col("tok")),
+      "tok")
+    val totals = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tok"))
+    tc.select(col("doc_id").as("doc_a"), col("tok"), col("c").as("ca"))
+      .join(tc.select(col("doc_id").as("doc_b"), col("tok"), col("c").as("cb")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("sum_min"))
+      .join(totals.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a")), "doc_a")
+      .join(totals.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b")), "doc_b")
+      // one IEEE division over exact integers on both engines
+      .withColumn("w_jaccard", col("sum_min").cast(DoubleType)
+        / (col("n_a") + col("n_b") - col("sum_min")).cast(DoubleType))
+      .filter(col("w_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("sum_min").cast(LongType).as("sum_min"),
+        col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
+        col("w_jaccard"))
+      .orderBy(col("w_jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  def weightedJaccardSql(threshold: Double = 0.2): String =
+    s"""WITH tc0 AS (
+       |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+       |    SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents WHERE length(trim(text)) > 0)
+       |  GROUP BY 1, 2),
+       |tc AS (
+       |  SELECT doc_id, tok, c FROM (
+       |    SELECT doc_id, tok, c, COUNT(*) OVER (PARTITION BY tok) AS df FROM tc0)
+       |  WHERE df <= $postingDfCap),
+       |totals AS (SELECT doc_id, SUM(c) AS n_tok FROM tc GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    SUM(LEAST(a.c, b.c)) AS sum_min
+       |  FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(sum_min AS BIGINT) AS sum_min,
+       |  CAST(ta.n_tok AS BIGINT) AS n_a, CAST(tb.n_tok AS BIGINT) AS n_b,
+       |  CAST(sum_min AS DOUBLE) / CAST(ta.n_tok + tb.n_tok - sum_min AS DOUBLE) AS w_jaccard
+       |FROM pairs
+       | JOIN totals ta ON ta.doc_id = doc_a
+       | JOIN totals tb ON tb.doc_id = doc_b
+       |WHERE CAST(sum_min AS DOUBLE) / CAST(ta.n_tok + tb.n_tok - sum_min AS DOUBLE)
+       |      >= $threshold
+       |ORDER BY w_jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin
+
   // === MinHash + LSH =======================================================
   val minhashK = 32
   val lshBands = 8
@@ -1436,6 +1503,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd20_weighted_jaccard" -> ((s: SparkSession, d: String) => weightedJaccard(s, d)),
     "dd19_df_cap_audit" -> dfCapAudit _,
     "dd18_sketch_calibration" -> sketchCalibration _,
     "dd17_multitier_clusters" -> multiTierClusters _,
@@ -1462,6 +1530,7 @@ object Dedup {
     * DuckDB oracle regenerates identical signatures.
     */
   val oracles: Map[String, String] = Map(
+    "dd20_weighted_jaccard" -> weightedJaccardSql(),
     "dd19_df_cap_audit" -> dfCapAuditSql,
     "dd18_sketch_calibration" -> sketchCalibrationSql,
     "dd17_multitier_clusters" -> multiTierClustersSql,

@@ -464,6 +464,52 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("round-19 additions: scan counts bounded, LocalRelation pair joins, no cartesians") {
+    // priv3: the QI×priority count table is checkpointed at construction
+    // (3 consumers), so the OUTPUT plan re-scans nothing — the orders
+    // fact chain ran exactly once
+    val tc = operators.Analytics.tClosenessAudit(spark, sfDir)
+    assert(!planOf(tc).contains("Scan parquet"),
+      "priv3 must read the checkpointed counts, not re-scan orders")
+    // corr4: the S pair join reads the collected LocalRelation, like ts9
+    val kd = operators.Analytics.kendallDaily(spark, sfDir)
+    assert(!planOf(kd).contains("Scan parquet"),
+      "corr4 must not re-scan: pairs and ties read the LocalRelation")
+    // drift2: the (month, bucket) counts are checkpointed at
+    // construction (month list + grid + both self-join sides), so the
+    // OUTPUT plan re-scans nothing
+    val ps = operators.Analytics.psiMonthly(spark, sfDir)
+    assert(!planOf(ps).contains("Scan parquet"),
+      "drift2 must read the checkpointed counts, not re-scan orders")
+    // ev26: ONE events scan; entropy is windows over the count chain
+    val te = operators.Analytics.typeEntropy(spark, sfDir)
+    assert(countScans(te) <= 1, s"ev26 scans: ${countScans(te)}")
+    // dd19: ONE documents scan into the shingle df profile
+    val da = operators.Dedup.dfCapAudit(spark, sfDir)
+    assert(countScans(da) <= 1, s"dd19 scans: ${countScans(da)}")
+    // ev27: the KM product runs in the driver over the collected bounded
+    // duration table — the output is a LocalRelation
+    val km = operators.Analytics.kaplanMeier(spark, sfDir)
+    assert(!planOf(km).contains("Scan parquet"),
+      "ev27 must emit the LocalRelation, not re-scan events")
+    // ts10: ONE orders scan; both calendar lags are range frames over
+    // the bounded daily aggregate — no self-join, no second scan
+    val ms = operators.Analytics.seasonalNaiveMase(spark, sfDir)
+    assert(countScans(ms) <= 1, s"ts10 scans: ${countScans(ms)}")
+    // imp2: one orders scan + one lineitem scan, one aggregate row
+    val re = operators.Analytics.ratioEstimate(spark, sfDir)
+    assert(countScans(re) <= 2, s"imp2 scans: ${countScans(re)}")
+    // dd20: the dd2 inverted-index budget, df-cap guard present
+    val wj = operators.Dedup.weightedJaccard(spark, sfDir)
+    assert(countScans(wj) <= 3, s"dd20 scans: ${countScans(wj)}")
+    assert(planOf(wj).contains("__df"), "dd20 lost the df-cap guard")
+    Seq("priv3" -> planOf(tc), "corr4" -> planOf(kd), "drift2" -> planOf(ps),
+        "ev26" -> planOf(te), "dd19" -> planOf(da), "ev27" -> planOf(km),
+        "ts10" -> planOf(ms), "imp2" -> planOf(re), "dd20" -> planOf(wj)).foreach {
+      case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
+    }
+  }
+
   test("df-cap guard: filter runs below the pair join and adds ZERO exchanges") {
     import org.apache.spark.sql.functions._
     // 1) the guard itself: a count window over postings already

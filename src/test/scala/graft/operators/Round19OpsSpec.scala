@@ -174,6 +174,135 @@ class Round19OpsSpec extends SparkTestBase {
     assert(rows.head.getBoolean(3), "a full shift must alert (psi > 0.2)")
   }
 
+  // === ev27 ================================================================
+
+  private def runKm(events: Seq[(Long, Int, String)]): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val dir = tmp("ev27")
+    events.zipWithIndex
+      .map { case ((u, d, t), i) => (i.toLong, u, t, tsOfDay(d), 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    Analytics.kaplanMeier(spark, dir).collect().toSeq
+  }
+
+  test("ev27: hand-computed survival with censoring; censor-only days emit no step") {
+    // u1: entry day0, purchase day2 (dur 2). u2: entry day0, never
+    // purchases, horizon day4 (dur 4, censored). u3: entry day1,
+    // purchase day1 (dur 0).
+    val rows = runKm(Seq(
+      (1L, 0, "view"), (1L, 2, "purchase"),
+      (2L, 0, "view"), (2L, 4, "view"),
+      (3L, 1, "view"), (3L, 1, "purchase")))
+    assert(rows.map(_.getLong(0)) == Seq(0L, 2L), "event days only (censor day 4 is no step)")
+    val r0 = rows(0); val r2 = rows(1)
+    assert((r0.getLong(1), r0.getLong(2), r0.getLong(3)) == (3L, 1L, 0L))
+    assert(r0.getDouble(4) == rnd9(1.0 * (1.0 - 1.0 / 3.0)))
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == (2L, 1L, 0L))
+    assert(r2.getDouble(4) == rnd9(1.0 * (1.0 - 1.0 / 3.0) * (1.0 - 1.0 / 2.0)))
+  }
+
+  test("ev27: same-day events precede censoring (both stay in the risk set)") {
+    // u1: purchase at dur 1; u2: censored at dur 1 (horizon day1);
+    // u3: purchase at dur 0. Day-1 risk set must include BOTH u1 and u2.
+    val rows = runKm(Seq(
+      (1L, 0, "view"), (1L, 1, "purchase"),
+      (2L, 0, "view"),
+      (3L, 0, "purchase")))
+    assert(rows.map(_.getLong(0)) == Seq(0L, 1L))
+    val r1 = rows(1)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == (2L, 1L, 1L),
+      s"risk set 2 with 1 event + 1 same-day censor: $r1")
+    assert(r1.getDouble(4) == rnd9((1.0 - 1.0 / 3.0) * (1.0 - 1.0 / 2.0)))
+  }
+
+  // === ts10 ================================================================
+
+  test("ts10: calendar lags skip gap days; hand-computed MASE") {
+    import spark.implicits._
+    val dir = tmp("ts10")
+    // days 0..7 revenue 100+d, then a GAP at day 8, then day 9 at 200:
+    // lag-1 pairs = days 1..7 (day 9's calendar predecessor is missing),
+    // each |e| = 1 -> mae1 = 1. lag-7 pairs = day 7 (vs day 0, |e| = 7)
+    // and day 9 (vs day 2, |e| = 98) -> mae7 = 105/2 = 52.5.
+    val days = (0 to 7).map(d => (d, 100.0 + d)) :+ ((9, 200.0))
+    days.zipWithIndex.map { case ((d, v), i) => (i.toLong, tsOfDay(d), v) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val r = Analytics.seasonalNaiveMase(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 7L && r(0).getLong(1) == 2L, s"pair counts: ${r(0)}")
+    assert(r(0).getDouble(2) == 1.0 && r(0).getDouble(3) == 52.5)
+    assert(r(0).getDouble(4) == rnd9(52.5))
+  }
+
+  test("ts10: a flat series has zero lag-1 MAE — MASE is NULL, not Inf") {
+    import spark.implicits._
+    val dir = tmp("ts10f")
+    (0 to 9).map(d => (d.toLong, tsOfDay(d), 50.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val r = Analytics.seasonalNaiveMase(spark, dir).collect()(0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+    assert(r.isNullAt(4), "0/0 MASE must be NULL on both engines")
+  }
+
+  // === imp2 ================================================================
+
+  test("imp2: estimators match an independent md5-coin recomputation") {
+    import spark.implicits._
+    val dir = tmp("imp2")
+    val n = 200
+    (1 to n).map(k => (k.toLong, tsOfDay(k % 30), 10.0 * k))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    // order k carries (k % 4 + 1) lineitems
+    (1 to n).flatMap(k => (0 until (k % 4 + 1)).map(j => (k.toLong, j.toLong)))
+      .toDF("l_orderkey", "l_linenumber")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    // independent coin (exp5 discipline): MessageDigest md5 hex head
+    def frac(key: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"imp2#$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val sampled = (1 to n).filter(k => frac(k.toLong) < 0.2)
+    assert(sampled.nonEmpty, "fixture must sample some orders")
+    val ySample = sampled.map(k => 10.0 * k).sum
+    val xSample = sampled.map(k => k % 4 + 1).sum
+    val xTotal = (1 to n).map(k => k % 4 + 1).sum
+    val yTrue = (1 to n).map(k => 10.0 * k).sum
+    val r = Analytics.ratioEstimate(spark, dir).collect()(0)
+    assert(r.getLong(0) == sampled.size && r.getLong(1) == n.toLong)
+    assert(r.getLong(2) == xTotal.toLong)
+    assert(math.abs(r.getDouble(4) - ySample / 0.2) < 1e-6, s"HT ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - ySample / xSample * xTotal) < 1e-6,
+      s"ratio ${r.getDouble(5)}")
+    assert(r.getDouble(6) == rnd9(math.abs(ySample / 0.2 - yTrue) / yTrue))
+  }
+
+  // === dd20 ================================================================
+
+  test("dd20: token-reordered docs score 1.0; repetition enters via multiset min/max") {
+    import spark.implicits._
+    val dir = tmp("dd20")
+    Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // reorder: bag-identical
+      (3L, "alpha alpha beta"),
+      (4L, "alpha beta beta"), // min alpha 1 + beta 1 = 2; max = 3+3-2 = 4
+      (5L, "zq1 zq2 zq3 zq4 zq5")) // disjoint: no pair
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.weightedJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows((1L, 2L)) == (4L, 4L, 4L, 1.0), s"reordered pair: ${rows.get((1L, 2L))}")
+    assert(rows((3L, 4L)) == (2L, 3L, 3L, 0.5), s"repeated pair: ${rows.get((3L, 4L))}")
+    assert(!rows.keySet.exists(p => p._1 == 5L || p._2 == 5L), "disjoint doc pairs nothing")
+  }
+
   // === ev26 ================================================================
 
   test("ev26: uniform two-type user reads ln 2; single-type user reads 0") {
