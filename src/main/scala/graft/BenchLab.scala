@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
   * Flags: cacheDims (persist region/nation/customer/supplier/part),
   * cacheAll (persist every test table), noAqe (terminals disable AQE),
   * reopt (reuse optimized instead of analyzed plans), spN — e.g. sp4,
-  * sp8, sp16 — (terminals use N shuffle partitions), serial (skip the throughput window; instead
+  * sp8, sp16 — (terminals use N shuffle partitions), noFair (FIFO
+  * scheduling control arm), noOffheap (on-heap execution-memory control
+  * arm — FAIR and off-heap are Engine defaults, so the A/B arms are the
+  * disables), serial (skip the throughput window; instead
   * time each TPC-H query warm, min of 3 runs, under the flag set —
   * isolates the per-query latency floor). Window via LAB_WINDOW seconds
   * (default 20).
@@ -27,14 +30,19 @@ object BenchLab {
     val flags = args.headOption.getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val windowSec = sys.env.getOrElse("LAB_WINDOW", "20").toInt
-    // context-level levers (must land before SparkContext init):
-    // fair    — FAIR task scheduling across the 4 terminals (tail lever)
-    // offheap — Tungsten execution memory off the Java heap (GC lever)
+    // context-level CONTROL-ARM levers (must land before SparkContext
+    // init). Engine.newSession defaults both FAIR scheduling and 16g
+    // off-heap execution memory ON, so the A/B arms here are the
+    // DISABLE flags (a review pass caught the inverse spelling: an
+    // "enable" flag over an already-on default compares a config to
+    // itself and prints a bogus ~0 delta):
+    // noFair    — FIFO task scheduling (the pre-FAIR convoy behavior)
+    // noOffheap — Tungsten execution memory back on the Java heap
     val ctxConf =
-      (if (flags("fair")) Map("spark.scheduler.mode" -> "FAIR") else Map.empty[String, String]) ++
-      (if (flags("offheap")) Map(
-        "spark.memory.offHeap.enabled" -> "true",
-        "spark.memory.offHeap.size" -> "16g") else Map.empty[String, String])
+      (if (flags("noFair")) Map("spark.scheduler.mode" -> "FIFO")
+       else Map.empty[String, String]) ++
+      (if (flags("noOffheap")) Map("spark.memory.offHeap.enabled" -> "false")
+       else Map.empty[String, String])
     val spark = Engine.newSession("graft-lab", Engine.defaultCores, extraConf = ctxConf)
 
     if (flags("ycsb")) {

@@ -47,22 +47,25 @@ object Engine {
       // 8g heap even at 10k entries.
       .config("spark.sql.codegen.cache.maxEntries", codegenCacheEntries.toString)
       // Tungsten execution memory OFF the Java heap (r18 A/B at the
-      // driver's 80 GB heap, 40 s 4-terminal window): shuffle/agg/sort
-      // buffers are exactly the short-lived bulk that was eating
-      // 19-32% of wall in young-gen pauses; off-heap they cost the
-      // collector nothing (GC share 25% -> 3-4%, p99 3.0 s -> 0.6-1.0 s,
-      // with FAIR below 12.7 -> 14.2 req/s). This is also the standard
-      // cluster posture at 100 TB — executor memoryOverhead sized for
-      // it. SPARK_GRAFT_OFFHEAP overrides (a machine smaller than
-      // heap + 16g sets it lower).
-      .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size", sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "16g"))
-      // FAIR task scheduling across concurrent sessions (same A/B):
-      // under FIFO a q21-sized job holds the pool while sub-second
-      // queries convoy behind it — the bench's p99 was 4 terminals
-      // convoying, not slow plans. FAIR round-robins stage tasks, the
-      // exact contract a multi-client SQL gateway wants.
-      .config("spark.scheduler.mode", "FAIR")
+      // driver's 80 GB heap shape): shuffle/agg/sort buffers are exactly
+      // the short-lived bulk that was eating 19-32% of every full-bench
+      // window in young-gen pauses; off-heap they cost the collector
+      // nothing — full-bench GC share fell to 1.5-2.3%, the window rate
+      // rose 12.7 -> 16-19 req/s, and the concurrent p99 fell
+      // 3.0 s -> 0.44 s (the tail was GC landing on in-flight q21-size
+      // requests; FAIR scheduling was ALREADY on and is not the mover
+      // here). Also the standard cluster posture at 100 TB — executor
+      // memoryOverhead sized for it. SPARK_GRAFT_OFFHEAP overrides the
+      // size; "0"/"off" disables entirely (Spark rejects enabled=true
+      // with size=0, so a small-RAM host needs the paired switch).
+      .config("spark.memory.offHeap.enabled",
+        (!Set("0", "off", "false").contains(
+          sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "16g").trim.toLowerCase)).toString)
+      .config("spark.memory.offHeap.size", {
+        val v = sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "16g").trim
+        if (Set("0", "off", "false").contains(v.toLowerCase)) "1g" // ignored when disabled
+        else v
+      })
       // manifest-stats file pruning for micro-lake reads (graft.plans
       // .StatsPruneRule): conf-based so every newSession() clone — the
       // per-client gateway sessions — carries the rule

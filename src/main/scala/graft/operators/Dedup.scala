@@ -147,8 +147,13 @@ object Dedup {
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .agg(
         count(lit(1)).as("n_shingles"),
-        sum(when(col("df") > postingDfCap, 1L).otherwise(0L)).as("n_capped_shingles"),
-        sum(when(col("df") > postingDfCap, col("df")).otherwise(0L)).as("n_dropped_postings"),
+        // coalesce mirrors the oracle's COALESCE(SUM(...), 0): on an
+        // empty/all-short corpus Spark's SUM is NULL while the zero-
+        // wrapped oracle reads 0 (review catch; corr4's discipline)
+        coalesce(sum(when(col("df") > postingDfCap, 1L).otherwise(0L)), lit(0L))
+          .as("n_capped_shingles"),
+        coalesce(sum(when(col("df") > postingDfCap, col("df")).otherwise(0L)), lit(0L))
+          .as("n_dropped_postings"),
         max(col("df")).as("max_df"))
       .withColumn("df_cap", lit(postingDfCap.toLong))
   }

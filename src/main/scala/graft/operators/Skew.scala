@@ -45,21 +45,31 @@ object Skew {
     // map partitions, so the collapse shuffle is itself skew-proof — and
     // re-explode by the count afterwards (narrow, no shuffle). Distinct
     // rows of a hot key spread across buckets by content hash, which any
-    // recompute reproduces bit-identically.
+    // recompute reproduces bit-identically. Trade-off, documented: a
+    // mostly-DISTINCT large side pays one extra (combine-shrunk)
+    // exchange for the collapse — the price of the retry-determinism
+    // the r17 ADVICE required; callers with duplicate-free inputs and a
+    // stable row id can salt on hash(key, rowId) directly instead.
     val cols = large.columns.toIndexedSeq.map(col)
     val grouped = large.groupBy(cols: _*).agg(count(lit(1)).as("__dup_n"))
-    val salted = grouped.withColumn("__salt",
-      pmod(xxhash64(struct(cols: _*)), lit(buckets.toLong)))
+    // CHUNK decomposition happens BEFORE salting and the chunk index
+    // joins the salt (review catch): with the salt on content alone, a
+    // 10M-duplicate row's entire re-explosion would land in ONE task —
+    // the single-task hot spot salting exists to break. Each 65536-row
+    // chunk is its own deterministic salt unit, so a mega-duplicate
+    // spreads across buckets while recompute still reproduces every
+    // (row, chunk) -> bucket assignment bit-identically. The explode is
+    // narrow (ceil(n/65536) rows per distinct row) and the per-row
+    // sequence arrays stay bounded at max(CHUNK, n/CHUNK).
+    val CHUNK = 1L << 16
+    val chunked = grouped.withColumn("__chunk",
+      explode(sequence(lit(0L), ((col("__dup_n") - 1) / lit(CHUNK)).cast("long"))))
+    val salted = chunked.withColumn("__salt",
+      pmod(xxhash64(struct(cols: _*)) + col("__chunk"), lit(buckets.toLong)))
     // replicate: small side joins every salt value
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1)).cast("array<bigint>")))
-    // two-level explode keeps the materialized sequence array bounded at
-    // max(CHUNK, n/CHUNK) elements — a single sequence(1, n) would build
-    // an n-element array in memory for a 10M-duplicate hot row
-    val CHUNK = 1L << 16
     salted.join(replicated, Seq(key, "__salt"), joinType)
-      .withColumn("__chunk",
-        explode(sequence(lit(0L), ((col("__dup_n") - 1) / lit(CHUNK)).cast("long"))))
       .withColumn("__i",
         explode(sequence(lit(1L),
           least(lit(CHUNK), col("__dup_n") - col("__chunk") * lit(CHUNK)))))
