@@ -390,19 +390,20 @@ object Bench {
 
     // One measured window: 4 terminals hammer the prepared mix until the
     // clock expires. FIXED-WINDOW accounting (VERDICT r17 #1c): only
-    // completions INSIDE the 40 s cutoff count toward the window's rate
-    // and latency set — BenchBase semantics. Previously a straggler that
-    // started at t=39 s and ran 10 s stretched the denominator to 49 s
-    // while up to 3 terminals sat idle, deflating the window's rps by
-    // ~20% with no contamination flag (the BENCH_r17 window-6 3.2 req/s
-    // collapse rode exactly this: its slow q4/q8 requests land at
-    // at_sec 22.8 of the PRIOR window and drain into the next).
-    // Straggler completions still feed the slow-request attribution and
-    // the continuous (all-requests / all-wall) figure — they are real
-    // work, just not this window's rate.
-    // Returns (rps, inWindowReqs, fullElapsedSec, sorted in-window
-    // latencies ms, slowest named requests desc incl. stragglers,
-    // totalReqs).
+    // completions INSIDE the 40 s cutoff count toward the window's RATE
+    // — BenchBase semantics. Previously a straggler that started at
+    // t=39 s and ran 10 s stretched the denominator to 49 s while up to
+    // 3 terminals sat idle, deflating the window's rps by ~20% with no
+    // contamination flag (the BENCH_r17 window-6 3.2 req/s collapse
+    // rode exactly this: its slow q4/q8 requests land at at_sec 22.8 of
+    // the PRIOR window and drain into the next).
+    // LATENCIES are a different animal (review catch): a latency belongs
+    // to the REQUEST, so every request started in the window reports its
+    // latency here — including past-cutoff stragglers. Excluding them
+    // would structurally blind the graded p99 to exactly the slowest
+    // requests while the baseline's percentiles include theirs.
+    // Returns (rps, inWindowReqs, fullElapsedSec, sorted latencies ms of
+    // ALL started requests, slowest named requests desc, totalReqs).
     def runWindow(): (Double, Long, Double, Array[Double], Seq[SlowReq], Long) = {
       val inWindow = new java.util.concurrent.atomic.AtomicLong()
       val total = new java.util.concurrent.atomic.AtomicLong()
@@ -433,7 +434,7 @@ object Bench {
       threads.foreach(_.join())
       val elapsed = (System.nanoTime() - t0) / 1e9
       val all = { import scala.jdk.CollectionConverters._; latencies.asScala.toArray }
-      val latMs = all.collect { case (_, lat, _, true) => lat / 1e6 }.sorted
+      val latMs = all.map(_._2 / 1e6).sorted
       val slow = all.sortBy(-_._2).take(5)
         .map { case (n, lat, at, _) => SlowReq(n, lat / 1e6, at / 1e9) }.toSeq
       val stragglers = total.get() - inWindow.get()
@@ -687,7 +688,8 @@ object Bench {
       "corr4_kendall_daily", // same bounded per-day collect as ts9
       "priv3_t_closeness", // eager localCheckpoint of the bounded QI counts
       "drift2_psi_monthly", // eager localCheckpoint of the bounded month counts
-      "ev27_kaplan_meier") // bounded duration table collected; KM product in the driver
+      "ev27_kaplan_meier", // bounded duration table collected; KM product in the driver
+      "bs2_jackknife_se") // eager localCheckpoint of the 32-bucket aggregate
 
     val prepared = names.filterNot(driverStepped).flatMap { n =>
       try Some(n -> SparkEntry.queries(n)(spark, sfDir))
@@ -889,8 +891,9 @@ object Bench {
       s""""warmup_jit_drain_settled":$drained,""" +
       s""""warmup_jit_drain_last_delta_ms":$drainLastDelta,""" +
       s""""warmup_jit_drain_last_cores":$drainLastCores,""" +
-      // which collector actually ran (build.sbt picks G1 above 16g,
-      // Parallel below — r18 A/B; the artifact must prove the choice)
+      // which collector actually ran (build.sbt runs Parallel everywhere
+      // and caps the young gen at 3g above 16g heaps — r18 A/B; the
+      // artifact must prove the choice and the -Xmn actually applied)
       s""""jvm_gc_collectors":${SqlGateway.jstr({
         import scala.jdk.CollectionConverters._
         java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala

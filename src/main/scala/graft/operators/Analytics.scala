@@ -4021,7 +4021,89 @@ object Analytics {
        |FROM agg""".stripMargin
   }
 
+  // === bs2: grouped delete-one jackknife ===================================
+  /** bs2: the delete-one-group jackknife standard error of the mean
+    * purchase value over k=32 deterministic md5 user buckets — the
+    * closed-form uncertainty companion to bs1's Poisson bootstrap
+    * (same md5-coin determinism, no resampling replicas): leave-one-
+    * bucket-out means θ_(i) = (S − s_i)/(N − n_i),
+    * var_jack = (k−1)/k · Σ_i (θ_(i) − θ̄)². Bucket sums are exact
+    * integer micros; θ values are single IEEE expressions whose
+    * (θ−θ̄)² terms ride the micros-rounded exact sum, so the variance
+    * is order-independent and bit-portable. Shape at 100 TB: ONE events
+    * scan → 32-bucket aggregate (map-side combinable, eager
+    * localCheckpoint — three bounded consumers) → one summary row.
+    */
+  def jackknifeVariance(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val bucket = floor(TextAnalysis.md5Frac(lit("bs2"), col("user_id")) * k).cast(LongType)
+    val perBucket = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(bucket.as("b"))
+      .agg(sum(Exact.micros(col("value")).cast(Exact.D380)).as("sm"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    val wAll = Window.partitionBy()
+    val loo = perBucket
+      .withColumn("s_all", sum(col("sm")).over(wAll))
+      .withColumn("n_all", sum(col("n")).over(wAll))
+      .withColumn("theta",
+        when(col("n_all") === col("n"), lit(null).cast(DoubleType)) // lone bucket: no LOO mean
+          .otherwise(Exact.toUnits(col("s_all") - col("sm"))
+            / (col("n_all") - col("n")).cast(DoubleType)))
+    val tb = loo.agg(Exact.davg(col("theta")).as("theta_bar"))
+    loo.crossJoin(broadcast(tb))
+      .select(col("n_all"), col("s_all"), col("theta_bar"),
+        ((col("theta") - col("theta_bar")) * (col("theta") - col("theta_bar"))).as("term"))
+      .agg(count(lit(1)).as("k_buckets"),
+        max(col("n_all")).cast(LongType).as("n_purchases"),
+        max(Exact.toUnits(col("s_all")) / col("n_all").cast(DoubleType)).as("mean_value"),
+        max(col("theta_bar")).as("theta_bar"),
+        Exact.dsum(col("term")).as("ssq"))
+      .select(col("k_buckets"), col("n_purchases"), col("mean_value"), col("theta_bar"),
+        when(col("k_buckets") < 2, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(
+            (col("k_buckets") - 1).cast(DoubleType) / col("k_buckets").cast(DoubleType)
+              * col("ssq"), 9)).as("jack_var"),
+        when(col("k_buckets") < 2, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(sqrt(
+            (col("k_buckets") - 1).cast(DoubleType) / col("k_buckets").cast(DoubleType)
+              * col("ssq")), 9)).as("jack_se"))
+  }
+
+  val jackknifeVarianceSql: String = {
+    val theta = "CASE WHEN n_all = n THEN NULL ELSE " +
+      "CAST(s_all - sm AS DOUBLE) / 1000000.0 / CAST(n_all - n AS DOUBLE) END"
+    s"""WITH pb AS (
+       |  SELECT CAST(FLOOR(${TextAnalysis.sqlMd5Frac("'bs2'", "user_id")} * 32) AS BIGINT) AS b,
+       |    SUM(CAST(${Exact.sqlMicros("value")} AS HUGEINT)) AS sm, COUNT(*) AS n
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |w AS (SELECT *, SUM(sm) OVER () AS s_all, SUM(n) OVER () AS n_all FROM pb),
+       |loo AS (SELECT b, sm, n, s_all, n_all, $theta AS theta FROM w),
+       |tb AS (SELECT ${Exact.sqlDavg("theta")} AS theta_bar FROM loo),
+       |terms AS (
+       |  SELECT n_all, s_all, theta_bar,
+       |    (theta - theta_bar) * (theta - theta_bar) AS term
+       |  FROM loo CROSS JOIN tb),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k_buckets,
+       |    CAST(MAX(n_all) AS BIGINT) AS n_purchases,
+       |    MAX(CAST(s_all AS DOUBLE) / 1000000.0 / CAST(n_all AS DOUBLE)) AS mean_value,
+       |    MAX(theta_bar) AS theta_bar,
+       |    ${Exact.sqlDsum("term")} AS ssq
+       |  FROM terms)
+       |SELECT k_buckets, n_purchases, mean_value, theta_bar,
+       |  CASE WHEN k_buckets < 2 THEN NULL ELSE ${Exact.sqlDround(
+           "CAST(k_buckets - 1 AS DOUBLE) / CAST(k_buckets AS DOUBLE) * ssq", 9)}
+       |  END AS jack_var,
+       |  CASE WHEN k_buckets < 2 THEN NULL ELSE ${Exact.sqlDround(
+           "sqrt(CAST(k_buckets - 1 AS DOUBLE) / CAST(k_buckets AS DOUBLE) * ssq)", 9)}
+       |  END AS jack_se
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bs2_jackknife_se" -> jackknifeVariance _,
     "ev27_kaplan_meier" -> kaplanMeier _,
     "ts10_seasonal_mase" -> seasonalNaiveMase _,
     "imp2_ratio_estimate" -> ratioEstimate _,
@@ -4086,6 +4168,7 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "bs2_jackknife_se" -> jackknifeVarianceSql,
     "ev27_kaplan_meier" -> kaplanMeierSql,
     "ts10_seasonal_mase" -> seasonalNaiveMaseSql,
     "imp2_ratio_estimate" -> ratioEstimateSql,

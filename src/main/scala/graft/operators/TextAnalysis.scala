@@ -3251,7 +3251,67 @@ object TextAnalysis {
        |  CAST(chi2_micros AS DOUBLE) / 1000000.0 AS chi2
        |FROM fin ORDER BY chi2_micros DESC, token""".stripMargin
 
+  // === lm4: Good–Turing frequency-of-frequencies ===========================
+  /** lm4: Simple Good–Turing inputs over the corpus unigram counts —
+    * the frequency-of-frequencies table N_r (how many token types occur
+    * exactly r times), the adjusted count r* = (r+1)·N_{r+1}/N_r (the
+    * Good–Turing discount the Katz/SGT smoothers start from; NULL when
+    * N_{r+1} is absent — the regime where SGT switches to the fitted
+    * line), and each r's share of the corpus mass. The r=1 row's mass
+    * share IS the unseen-mass estimate p0 = N_1/N that lm3's Kneser–Ney
+    * discount approximates. Exact integers (token counts,
+    * N_r, r·N_r) until the two divisions. Shape at 100 TB: ONE
+    * wordcount shuffle → a count-of-counts aggregate whose key domain
+    * is the distinct FREQUENCY values (≪ vocabulary — Zipf packs most
+    * types into tiny r) → one lead window over that bounded table.
+    */
+  def goodTuring(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = dFan(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("r"))
+    val freqOfFreq = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val wAll = Window.partitionBy()
+    val wLead = Window.orderBy(col("r"))
+    freqOfFreq
+      .withColumn("total_tokens", sum(col("r") * col("n_r")).over(wAll))
+      .withColumn("r_next", lead(col("r"), 1).over(wLead))
+      .withColumn("n_r_next", lead(col("n_r"), 1).over(wLead))
+      .select(col("r"), col("n_r"),
+        // r* only from the ADJACENT count class: a gap in r means
+        // N_{r+1} = 0 and SGT falls to its fitted line — NULL here
+        when(col("r_next") === col("r") + 1,
+          Exact.dround((col("r") + 1).cast(DoubleType) * col("n_r_next").cast(DoubleType)
+            / col("n_r").cast(DoubleType), 9)).as("r_star"),
+        Exact.dround(
+          (col("r") * col("n_r")).cast(DoubleType) / col("total_tokens").cast(DoubleType), 9)
+          .as("mass_share"))
+      .orderBy(col("r"))
+  }
+
+  val goodTuringSql: String =
+    s"""WITH wc AS (
+       |  SELECT token, COUNT(*) AS r
+       |  FROM (SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+       |        FROM documents)
+       |  WHERE length(token) > 0 GROUP BY token),
+       |ff AS (SELECT r, COUNT(*) AS n_r FROM wc GROUP BY r),
+       |led AS (
+       |  SELECT r, n_r, SUM(r * n_r) OVER () AS total_tokens,
+       |    LEAD(r) OVER (ORDER BY r) AS r_next,
+       |    LEAD(n_r) OVER (ORDER BY r) AS n_r_next
+       |  FROM ff)
+       |SELECT CAST(r AS BIGINT) AS r, CAST(n_r AS BIGINT) AS n_r,
+       |  CASE WHEN r_next = r + 1 THEN ${Exact.sqlDround(
+           "CAST(r + 1 AS DOUBLE) * CAST(n_r_next AS DOUBLE) / CAST(n_r AS DOUBLE)", 9)}
+       |  END AS r_star,
+       |  ${Exact.sqlDround(
+           "CAST(r * n_r AS DOUBLE) / CAST(total_tokens AS DOUBLE)", 9)} AS mass_share
+       |FROM led ORDER BY r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm4_good_turing" -> ((s: SparkSession, d: String) => goodTuring(s, d)),
     "fs1_chi2_tokens" -> ((s: SparkSession, d: String) => chi2Tokens(s, d)),
     "tok8_truncation_loss" -> ((s: SparkSession, d: String) => truncationLoss(s, d)),
     "smp5_reservoir_sample" -> ((s: SparkSession, d: String) => reservoirSample(s, d)),
@@ -3315,6 +3375,7 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "lm4_good_turing" -> goodTuringSql,
     "fs1_chi2_tokens" -> chi2TokensSql(),
     "gram3_ngram_novelty" -> ngramNoveltySql(),
     "pmi1_collocations" -> pmiCollocationsSql(),

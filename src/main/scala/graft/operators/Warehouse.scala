@@ -567,6 +567,58 @@ object Warehouse {
        |ORDER BY table_name, determinant, dependent""".stripMargin
   }
 
+  // === fd4: approximate functional dependencies (g3 error) =================
+  /** fd4: the APPROXIMATE-FD readout for fd1's candidate list — the g3
+    * measure (Kivinen–Mannila / TANE): the minimum fraction of rows to
+    * remove for det → dep to hold exactly,
+    * g3 = 1 − (Σ_det max_dep |(det, dep)|) / N. fd1's boolean verdict
+    * says only holds/violated; g3 says HOW dirty — the number a data-
+    * contract gate thresholds (g3 ≤ 0.01 ⇒ "holds approximately").
+    * Any-NULL tuples are skipped on both engines (fd1's pair-skip
+    * parity). Exact integers until the single division; each candidate
+    * is one combinable (det, dep) count + a det-max rollup, attribute-
+    * domain-bounded output.
+    */
+  def approxFdG3(s: SparkSession, dir: String): DataFrame = {
+    val rows = fdCandidates.map { case (tbl, det, dep) =>
+      val pairs = t(s, dir, tbl)
+        .filter(col(det).isNotNull && col(dep).isNotNull)
+        .groupBy(col(det), col(dep)).agg(count(lit(1)).as("c"))
+      pairs
+        .groupBy(col(det)).agg(max(col("c")).as("keep"), sum(col("c")).as("n_det_rows"))
+        .agg(coalesce(sum(col("keep")), lit(0L)).cast(LongType).as("kept"),
+          coalesce(sum(col("n_det_rows")), lit(0L)).cast(LongType).as("n_rows"))
+        .select(lit(tbl).as("table_name"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("n_rows"), (col("n_rows") - col("kept"))
+            .as("rows_to_remove"),
+          when(col("n_rows") === 0, lit(null).cast(DoubleType))
+            .otherwise((col("n_rows") - col("kept")).cast(DoubleType)
+              / col("n_rows").cast(DoubleType)).as("g3_error"))
+    }
+    rows.reduce(_ unionByName _)
+      .orderedSmall(col("table_name"), col("determinant"), col("dependent"))
+  }
+
+  def approxFdG3Sql: String = {
+    val branches = fdCandidates.map { case (tbl, det, dep) =>
+      s"""SELECT '$tbl' AS table_name, '$det' AS determinant, '$dep' AS dependent,
+         |  CAST(COALESCE(SUM(n_det_rows), 0) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(SUM(n_det_rows), 0) - COALESCE(SUM(keep), 0) AS BIGINT)
+         |    AS rows_to_remove,
+         |  CASE WHEN COALESCE(SUM(n_det_rows), 0) = 0 THEN NULL
+         |       ELSE CAST(COALESCE(SUM(n_det_rows), 0) - COALESCE(SUM(keep), 0) AS DOUBLE)
+         |            / CAST(COALESCE(SUM(n_det_rows), 0) AS DOUBLE) END AS g3_error
+         |FROM (
+         |  SELECT $det, MAX(c) AS keep, SUM(c) AS n_det_rows FROM (
+         |    SELECT $det, $dep, COUNT(*) AS c FROM $tbl
+         |    WHERE $det IS NOT NULL AND $dep IS NOT NULL GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$branches)
+       |ORDER BY table_name, determinant, dependent""".stripMargin
+  }
+
   // === mad1: robust median/MAD outlier ledger ==============================
   /** Per-event-type robust center and spread: exact median, median
     * absolute deviation, and the count of 3-MAD outliers — the
@@ -671,6 +723,7 @@ object Warehouse {
     "zord2_prune_audit" -> zorderPruneAudit _,
     "cmp1_encoding_advisor" -> encodingAdvisor _,
     "fd1_functional_deps" -> functionalDeps _,
+    "fd4_approx_fd_g3" -> approxFdG3 _,
     "zord1_zorder_stats" -> zorderStats _,
     "ws1_weighted_sample" -> weightedSample _,
     "mad1_robust_outliers" -> robustOutliers _)
@@ -684,6 +737,7 @@ object Warehouse {
     "zord2_prune_audit" -> zorderPruneAuditSql,
     "cmp1_encoding_advisor" -> encodingAdvisorSql,
     "fd1_functional_deps" -> functionalDepsSql,
+    "fd4_approx_fd_g3" -> approxFdG3Sql,
     "zord1_zorder_stats" -> zorderStatsSql,
     "ws1_weighted_sample" -> weightedSampleSql,
     "mad1_robust_outliers" -> robustOutliersSql)

@@ -503,9 +503,22 @@ class PlanQualitySpec extends SparkTestBase {
     val wj = operators.Dedup.weightedJaccard(spark, sfDir)
     assert(countScans(wj) <= 3, s"dd20 scans: ${countScans(wj)}")
     assert(planOf(wj).contains("__df"), "dd20 lost the df-cap guard")
+    // lm4: ONE wordcount scan; frequency-of-frequencies and the lead
+    // window ride the bounded count-class table
+    val gt = operators.TextAnalysis.goodTuring(spark, sfDir)
+    assert(countScans(gt) <= 1, s"lm4 scans: ${countScans(gt)}")
+    // fd4: one scan per candidate TABLE slice (5 candidates)
+    val g3 = operators.Warehouse.approxFdG3(spark, sfDir)
+    assert(countScans(g3) <= 5, s"fd4 scans: ${countScans(g3)}")
+    // bs2: the 32-bucket aggregate is checkpointed at construction —
+    // the output plan re-scans nothing
+    val jk = operators.Analytics.jackknifeVariance(spark, sfDir)
+    assert(!planOf(jk).contains("Scan parquet"),
+      "bs2 must read the checkpointed buckets, not re-scan events")
     Seq("priv3" -> planOf(tc), "corr4" -> planOf(kd), "drift2" -> planOf(ps),
         "ev26" -> planOf(te), "dd19" -> planOf(da), "ev27" -> planOf(km),
-        "ts10" -> planOf(ms), "imp2" -> planOf(re), "dd20" -> planOf(wj)).foreach {
+        "ts10" -> planOf(ms), "imp2" -> planOf(re), "dd20" -> planOf(wj),
+        "lm4" -> planOf(gt), "fd4" -> planOf(g3), "bs2" -> planOf(jk)).foreach {
       case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
     }
   }

@@ -303,6 +303,90 @@ class Round19OpsSpec extends SparkTestBase {
     assert(!rows.keySet.exists(p => p._1 == 5L || p._2 == 5L), "disjoint doc pairs nothing")
   }
 
+  // === lm4 =================================================================
+
+  private def runGt(texts: Seq[String]): Map[Long, (Long, Option[Double], Double)] = {
+    import spark.implicits._
+    val dir = tmp("lm4")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    TextAnalysis.goodTuring(spark, dir).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getDouble(3)))).toMap
+  }
+
+  test("lm4: hand frequency-of-frequencies, adjusted counts, unseen mass") {
+    // counts: a:3 b:2 c:1 -> N_1=N_2=N_3=1, total mass 6
+    val gt = runGt(Seq("a a a b b c"))
+    assert(gt.keySet == Set(1L, 2L, 3L))
+    assert(gt(1L) == (1L, Some(2.0), rnd9(1.0 / 6)), s"r=1: ${gt(1L)}")
+    assert(gt(2L) == (1L, Some(3.0), rnd9(2.0 / 6)))
+    assert(gt(3L) == (1L, None, rnd9(3.0 / 6)), "top class has no N_{r+1}")
+  }
+
+  test("lm4: a gap in the count classes yields NULL r* (the SGT fitted-line regime)") {
+    // counts: a:3 b:1 -> classes {1, 3}; r=1 has no ADJACENT r=2 class
+    val gt = runGt(Seq("a a a b"))
+    assert(gt.keySet == Set(1L, 3L))
+    assert(gt(1L)._2.isEmpty, "N_2 = 0 must not borrow N_3")
+  }
+
+  // === fd4 =================================================================
+
+  test("fd4: g3 counts exactly the minimum rows to remove") {
+    import spark.implicits._
+    val dir = tmp("fd4")
+    // orders: o_orderkey unique (g3=0 for key->status);
+    // o_custkey->o_orderpriority: cust 1 has [H,H,H,L] (remove 1),
+    // cust 2 has [M,M] (clean) -> g3 = 1/6
+    Seq((1L, 1L, "O", "H"), (2L, 1L, "O", "H"), (3L, 1L, "F", "H"),
+      (4L, 1L, "F", "L"), (5L, 2L, "O", "M"), (6L, 2L, "F", "M"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    // customer: c_nationkey->c_mktsegment: nation 0 [A,A,B] (remove 1),
+    // nation 1 [C] -> g3 = 1/4
+    Seq((1L, 0L, "A"), (2L, 0L, "A"), (3L, 0L, "B"), (4L, 1L, "C"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    Seq((0L, "X", 0L), (1L, "Y", 1L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.parquet(s"$dir/nation.parquet")
+    val g3 = Warehouse.approxFdG3(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5)))).toMap
+    assert(g3(("orders", "o_orderkey")) == (6L, 0L, 0.0))
+    assert(g3(("orders", "o_custkey")) == (6L, 1L, 1.0 / 6.0), s"${g3(("orders", "o_custkey"))}")
+    assert(g3(("customer", "c_custkey")) == (4L, 0L, 0.0))
+    assert(g3(("customer", "c_nationkey")) == (4L, 1L, 0.25))
+    assert(g3(("nation", "n_nationkey")) == (2L, 0L, 0.0))
+  }
+
+  // === bs2 =================================================================
+
+  test("bs2: identical purchase values give zero jackknife variance; mean is exact") {
+    import spark.implicits._
+    val dir = tmp("bs2")
+    // 30 users, one purchase of 12.5 each: every leave-one-out mean is
+    // 12.5 regardless of the md5 bucketing -> var 0, se 0
+    (1 to 30).map(u => (u.toLong, u.toLong, "purchase", tsOfDay(u % 5), 12.5))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val r = Analytics.jackknifeVariance(spark, dir).collect()(0)
+    assert(r.getLong(0) >= 2L && r.getLong(1) == 30L)
+    assert(r.getDouble(2) == 12.5 && r.getDouble(3) == 12.5)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+  }
+
+  test("bs2: a single bucket cannot estimate variance — NULL, not 0/0") {
+    import spark.implicits._
+    val dir = tmp("bs2one")
+    Seq((1L, 7L, "purchase", tsOfDay(0), 99.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val r = Analytics.jackknifeVariance(spark, dir).collect()(0)
+    assert(r.getLong(0) == 1L)
+    assert(r.isNullAt(4) && r.isNullAt(5), s"k=1 must yield NULL var/se: $r")
+  }
+
   // === ev26 ================================================================
 
   test("ev26: uniform two-type user reads ln 2; single-type user reads 0") {
