@@ -21,4 +21,12 @@ private[graft] final class LruCache[K, V](max: Int) {
         synchronized(m.put(key, v))
         v
     }
+
+  /** Drop every entry whose key matches `p` — used when a prepared
+    * statement closes to release its cached physical scans.
+    */
+  def removeIf(p: K => Boolean): Unit = synchronized {
+    val it = m.keySet().iterator()
+    while (it.hasNext) if (p(it.next())) it.remove()
+  }
 }

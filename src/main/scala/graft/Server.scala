@@ -63,7 +63,14 @@ object Server {
 
     private[Server] def startTimers(cleanupPeriodSeconds: Long = 300L): Unit = {
       scheduler.scheduleAtFixedRate(
-        safely("idle-session cleanup")(registry.cleanupIdle()),
+        // commit roll-forward shares the sweep: a durable commit record
+        // whose inline recovery failed (transient IO mid-publish) now
+        // heals on the next tick instead of waiting for a restart —
+        // the listing is one directory stat when no record is pending
+        safely("idle-session cleanup") {
+          registry.cleanupIdle()
+          catalog.foreach(_.recoverPendingCommits())
+        },
         cleanupPeriodSeconds, cleanupPeriodSeconds, TimeUnit.SECONDS)
       config.checkpointPollSeconds.foreach(poll =>
         scheduler.scheduleAtFixedRate(

@@ -68,12 +68,15 @@ final class Session(val id: String, val spark: SparkSession,
     * (session/mod.rs:423-433).
     */
   private val invalidating =
-    Seq("CREATE", "DROP", "ALTER", "INSERT", "UPDATE", "DELETE", "ATTACH", "DETACH", "USE", "SET")
+    Set("CREATE", "DROP", "ALTER", "REPLACE", "INSERT", "UPDATE", "DELETE",
+      "ATTACH", "DETACH", "USE", "SET")
 
-  private def invalidatesSchemas(sql: String): Boolean = {
-    val u = sql.trim.toUpperCase
-    invalidating.exists(u.startsWith)
-  }
+  private def invalidatesSchemas(sql: String): Boolean =
+    // by the comment-aware LEADING KEYWORD, same as statement routing
+    // (review catch: a raw startsWith let "/* note */ ALTER TABLE ..."
+    // execute without clearing the cache — stale schemas for every
+    // later prepare); REPLACE (CREATE OR REPLACE's short form) added
+    invalidating.contains(SqlShim.leadingKeyword(sql))
 
   /** The reference's update-count answer shape: DuckDB DML returns a
     * one-row changed-rows count (connection.rs execute → usize); Spark
@@ -94,6 +97,16 @@ final class Session(val id: String, val spark: SparkSession,
     */
   def sql(sqlText: String): DataFrame = {
     touch()
+    // Statements on ONE session execute serially (stmtLock): the
+    // reference's session wraps one DuckDB connection, which is
+    // inherently single-threaded — and without the lock two concurrent
+    // requests pinned to the same session race the transaction state
+    // (review catch: a COMMIT could publish-and-clear the txn while a
+    // DML that already captured the same txn Option stages into the
+    // dead CatalogTxn — acknowledged but never published). Distinct
+    // sessions never share this lock, so gateway concurrency across
+    // clients is untouched.
+    stmtLock.synchronized {
     // aborted-transaction auto-recovery (transaction_recovery.rs:37-77):
     // a statement that errored inside an open transaction marks it
     // aborted; the NEXT statement detects that, rolls the transaction
@@ -142,6 +155,7 @@ final class Session(val id: String, val spark: SparkSession,
         }
       }
     }.last
+    } // stmtLock
   }
 
   // === prepared statements (A12/A21) =======================================
@@ -189,9 +203,22 @@ final class Session(val id: String, val spark: SparkSession,
     prepared.synchronized {
       prepared(handle) = p
       lastHandle = Some(handle)
+      // bounded registry (review catch: a prepare-per-statement client
+      // that never calls /close grew this map without limit for the
+      // session's lifetime). 1024 live handles is far past any driver's
+      // statement pool; beyond it the OLDEST statement evicts — its
+      // later execution fails with unknown-handle, the same contract as
+      // an explicit close, and its cached point scans release with it.
+      while (prepared.size > maxPreparedPerSession) {
+        val (oldest, _) = prepared.head
+        prepared.remove(oldest)
+        pointScans.removeIf(_._1 == oldest)
+      }
     }
     p
   }
+
+  private val maxPreparedPerSession = 1024
 
   /** Resolve a handle; an empty handle falls back to the last-created
     * statement (prepared.rs:44-60).
@@ -399,6 +426,9 @@ final class Session(val id: String, val spark: SparkSession,
 
   def closePrepared(handle: String): Unit = prepared.synchronized {
     prepared.remove(handle)
+    // release the handle's cached physical scans with it (review catch:
+    // the plan cache held the closed statement's scans until LRU churn)
+    pointScans.removeIf(_._1 == handle)
     if (lastHandle.contains(handle)) lastHandle = prepared.keys.lastOption
   }
 
@@ -419,6 +449,11 @@ final class Session(val id: String, val spark: SparkSession,
   @volatile private var txnAborted: Boolean = false
   @volatile private[graft] var txn: Option[graft.sources.CatalogTxn] = None
   def inTransaction: Boolean = txnActive
+  // serializes statement execution and transaction transitions on this
+  // session (one session = one connection, the reference's model); lock
+  // order is stmtLock -> catalog monitor -> table monitors, and nothing
+  // takes them in reverse
+  private val stmtLock = new Object
 
   /** An error inside an open transaction poisons it (DuckDB's aborted
     * state, which the reference surfaces and then auto-recovers from —
@@ -433,7 +468,7 @@ final class Session(val id: String, val spark: SparkSession,
   private def recoverIfAborted(): Unit =
     if (txnActive && txnAborted) rollback()
 
-  def begin(): Unit = {
+  def begin(): Unit = stmtLock.synchronized {
     touch()
     // a BEGIN against an aborted transaction first discards it, so the
     // client's new transaction actually opens (without this, the second
@@ -443,7 +478,7 @@ final class Session(val id: String, val spark: SparkSession,
     if (!txnActive) { txnActive = true; txnAborted = false; txn = catalog.map(_.beginTxn()) }
   }
 
-  def commit(): Unit = {
+  def commit(): Unit = stmtLock.synchronized {
     touch()
     // committing an ABORTED transaction discards it instead (the staged
     // chain includes no failed statement, but the reference's contract
@@ -457,7 +492,7 @@ final class Session(val id: String, val spark: SparkSession,
     finally { txn = None; txnActive = false }
   }
 
-  def rollback(): Unit = {
+  def rollback(): Unit = stmtLock.synchronized {
     touch()
     txn.foreach(x => catalog.foreach(_.rollbackTxn(x)))
     txn = None; txnActive = false; txnAborted = false

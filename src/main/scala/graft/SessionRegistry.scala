@@ -33,12 +33,22 @@ final class SessionRegistry(
   /** Get the peer's session, creating it if absent. Throws when at the cap
     * (registry.rs:57,73 semaphore).
     */
+  // serializes CREATION only (the hot lookup path stays lock-free): the
+  // cap check inside computeIfAbsent alone is racy — lambdas for
+  // distinct keys run under different ConcurrentHashMap bin locks, so a
+  // burst of new peers could all observe size() < max and overshoot the
+  // cap (review catch; the reference holds a semaphore, registry.rs:57)
+  private val createLock = new Object
+
   def getOrCreate(peerId: String): Session = {
-    val s = sessions.computeIfAbsent(peerId, { id =>
-      if (sessions.size() >= maxSessions) throw new TooManySessionsException
-      created.incrementAndGet()
-      new Session(id, root.newSession(), catalog)
-    })
+    var s = sessions.get(peerId)
+    if (s == null) createLock.synchronized {
+      s = sessions.computeIfAbsent(peerId, { id =>
+        if (sessions.size() >= maxSessions) throw new TooManySessionsException
+        created.incrementAndGet()
+        new Session(id, root.newSession(), catalog)
+      })
+    }
     s.touch()
     s
   }
@@ -85,11 +95,20 @@ final class SessionRegistry(
 
   /** Drop sessions idle longer than the timeout (registry.rs
     * `cleanup_idle_sessions`); returns how many were removed.
+    *
+    * Sessions with an OPEN TRANSACTION get a 4x grace period (review
+    * catch): evicting one rolls its staged writes back, and the
+    * client's next COMMIT would land on a FRESH session where
+    * commit-without-begin is the reference's tolerated no-op — the
+    * rolled-back writes would be acknowledged as committed. A paused
+    * transaction is alive client state, not idleness; only a truly
+    * abandoned one (4x the timeout) is reclaimed.
     */
   def cleanupIdle(nowMillis: Long = System.currentTimeMillis()): Int = {
     var removed = 0
     sessions.forEach { (id, s) =>
-      if (nowMillis - s.lastAccessMillis > idleTimeoutMillis)
+      val bar = if (s.inTransaction) idleTimeoutMillis * 4 else idleTimeoutMillis
+      if (nowMillis - s.lastAccessMillis > bar)
         if (sessions.remove(id, s)) { discard(s); removed += 1 }
     }
     removed

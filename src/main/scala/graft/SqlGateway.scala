@@ -141,12 +141,17 @@ object SqlGateway {
     * null).
     */
   private[graft] def parseExecBody(body: String): (String, Seq[Any]) = {
+    // keys are located at TOP LEVEL only (review catch: a bare
+    // findFirstMatchIn could bind a '"handle":"..."' occurrence INSIDE a
+    // string parameter — e.g. a client relaying JSON as a param value —
+    // and execute a different prepared statement with the wrong params)
     val handleRe = """"handle"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    val handle = handleRe.findFirstMatchIn(body)
+    val handle = Some(topLevelKey(body, "handle")).filter(_ >= 0)
+      .flatMap(i => handleRe.findFirstMatchIn(body.substring(i)))
       .map(m => unescape(m.group(1)))
       .getOrElse(throw new IllegalArgumentException(
         """exec body must be {"handle":"...","params":[...]}"""))
-    val paramsIdx = body.indexOf("\"params\"")
+    val paramsIdx = topLevelKey(body, "params")
     val params =
       if (paramsIdx < 0) Seq.empty[Any]
       else {
@@ -155,6 +160,34 @@ object SqlGateway {
         else parseJsonArray(body, open)
       }
     (handle, params)
+  }
+
+  /** Index of the top-level object key `"name"` — depth 1, outside any
+    * string, followed (after whitespace) by ':' — or -1 when absent.
+    */
+  private def topLevelKey(body: String, name: String): Int = {
+    val pat = "\"" + name + "\""
+    var i = 0; var depth = 0; var inStr = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' =>
+          if (depth == 1 && body.startsWith(pat, i)) {
+            var j = i + pat.length
+            while (j < body.length && body.charAt(j).isWhitespace) j += 1
+            if (j < body.length && body.charAt(j) == ':') return i
+          }
+          inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Parse a flat JSON scalar array starting at `open` ('['). */

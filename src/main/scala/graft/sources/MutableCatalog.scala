@@ -49,6 +49,23 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     tables.remove(name.toLowerCase)
     viewVersions.remove(name.toLowerCase)
     spark.catalog.dropTempView(name)
+    // every session that synced a view for this table must lose it too
+    // (review catch: syncViews iterates only LIVE tables, so a dropped
+    // table's temp view survived in other sessions and kept resolving
+    // the dead snapshot instead of TABLE_OR_VIEW_NOT_FOUND)
+    syncedBySession.synchronized {
+      val it = syncedBySession.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        // seen maps key by the table-registry name (lowercase); try both
+        // spellings so a mixed-case DROP still clears the marker
+        val dropped = e.getValue.synchronized(
+          e.getValue.remove(name).isDefined | e.getValue.remove(name.toLowerCase).isDefined)
+        if (dropped)
+          try e.getKey.catalog.dropTempView(name)
+          catch { case _: Throwable => () } // a torn-down session must not fail the drop
+      }
+    }
   }
 
   // === transactions (SURVEY §7.4 session-buffered commit points) ===========
@@ -77,6 +94,10 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   // table's pointer swap
   private[graft] var failBeforeCommitRecord: () => Unit = () => ()
   private[graft] var failBeforePublish: String => Unit = _ => ()
+  // crash-model injection for specs: a REAL crash kills the process
+  // before the inline roll-forward can run; throwing here simulates
+  // that, leaving the durable record for restart recovery
+  private[graft] var failBeforeRollForward: () => Unit = () => ()
 
   /** Commit the txn: conflict-check, write ONE durable commit record
     * covering every staged table, then swap each pointer. Committing an
@@ -135,12 +156,26 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
             // don't pin data files against vacuum forever (the Session
             // SQL path drops the txn without calling rollbackTxn)
             rollbackStaged(txn)
+            throw e
           } else {
-            // record durable: leave it — recoverPendingCommits rolls
-            // forward; only the txn's in-memory state retires
+            // Record durable ⇒ the transaction IS committed; a publish
+            // failure here must ROLL FORWARD, not strand the commit
+            // half-published until a process restart (review catch: a
+            // live server never re-ran recoverPendingCommits, so one
+            // failed publish broke cross-table atomicity for the rest
+            // of the process lifetime). Try the roll-forward inline —
+            // on success the commit has fully landed and the statement
+            // SUCCEEDS; only if recovery itself fails does the error
+            // surface (the record stays durable for the next recovery
+            // pass or restart — a retried COMMIT's no-op is then
+            // correct, because the commit record WILL apply).
             txn.clearAll()
+            try {
+              failBeforeRollForward()
+              recoverPendingCommits()
+              Nil // fully rolled forward: no conflicts, commit landed
+            } catch { case _: Throwable => throw e }
           }
-          throw e
       }
     if (conflicts.nonEmpty) {
       rollbackStaged(txn)

@@ -217,10 +217,14 @@ class ScenarioSpec extends SparkTestBase {
     s.begin()
     s.sql("INSERT INTO atomic_c VALUES (1, 'c', 1.0)")
     s.sql("INSERT INTO atomic_d VALUES (1, 'd', 1.0)")
-    // entries publish in sorted order: crash before the SECOND swap
+    // entries publish in sorted order: crash before the SECOND swap.
+    // A real crash also kills the inline roll-forward (r18: a LIVE
+    // publish failure heals in-place; only a process death leaves the
+    // record), so the crash model fails both.
     cat.failBeforePublish = n => if (n == "atomic_d") throw new RuntimeException("injected crash B")
+    cat.failBeforeRollForward = () => throw new RuntimeException("simulated process death")
     try intercept[RuntimeException](s.commit())
-    finally cat.failBeforePublish = _ => ()
+    finally { cat.failBeforePublish = _ => (); cat.failBeforeRollForward = () => () }
     assert(cat.get("atomic_c").get.df.count() == 1L, "first swap landed before the crash")
     assert(cat.get("atomic_d").get.df.count() == 0L, "second swap did not land yet")
     assert(cat.recoverPendingCommits() == 1, "one durable record to roll forward")
@@ -228,6 +232,29 @@ class ScenarioSpec extends SparkTestBase {
       "recovery must complete the crashed multi-table commit")
     assert(cat.recoverPendingCommits() == 0, "recovery is idempotent")
     cat.drop("atomic_c"); cat.drop("atomic_d")
+  }
+
+  test("a LIVE publish failure after the durable record rolls forward INLINE: commit succeeds") {
+    // r18 review catch: previously a transient publish failure after
+    // the commit record was durable left the txn half-published for the
+    // whole process lifetime (nothing in a live server re-ran recovery)
+    // and the thrown error told the client a committed txn had failed
+    val cat = MutableCatalog(spark)
+    cat.create("heal_a", usersSchema)
+    cat.create("heal_b", usersSchema)
+    val s = new Session("heal", spark.newSession(), Some(cat))
+    s.begin()
+    s.sql("INSERT INTO heal_a VALUES (1, 'a', 1.0)")
+    s.sql("INSERT INTO heal_b VALUES (1, 'b', 1.0)")
+    var once = true
+    cat.failBeforePublish = n =>
+      if (n == "heal_b" && once) { once = false; throw new RuntimeException("transient IO") }
+    try s.commit() // must NOT throw: the inline roll-forward completes it
+    finally cat.failBeforePublish = _ => ()
+    assert(cat.get("heal_a").get.df.count() == 1L && cat.get("heal_b").get.df.count() == 1L,
+      "both tables must advance — atomicity healed in-place")
+    assert(cat.recoverPendingCommits() == 0, "the record retired with the inline roll-forward")
+    cat.drop("heal_a"); cat.drop("heal_b")
   }
 
   // === cross-RESTART recovery: a fresh catalog instance over the same ====
@@ -244,8 +271,9 @@ class ScenarioSpec extends SparkTestBase {
     s.sql("INSERT INTO rst_a VALUES (1, 'a', 1.0)")
     s.sql("INSERT INTO rst_b VALUES (1, 'b', 1.0)")
     cat1.failBeforePublish = n => if (n == "rst_b") throw new RuntimeException("injected crash")
+    cat1.failBeforeRollForward = () => throw new RuntimeException("simulated process death")
     try intercept[RuntimeException](s.commit())
-    finally cat1.failBeforePublish = _ => ()
+    finally { cat1.failBeforePublish = _ => (); cat1.failBeforeRollForward = () => () }
     // "restart": construct a fresh catalog over the same root — its
     // constructor recovery must load both tables and finish the swap
     val cat2 = new MutableCatalog(spark, root)
@@ -334,9 +362,15 @@ class ScenarioSpec extends SparkTestBase {
     val s2 = reg.getOrCreate("evict-2")
     s2.begin()
     cat.create("evict_t2", usersSchema, txn = s2.txn)
+    // an open transaction gets a 4x grace period (r18 review: evicting a
+    // paused txn turns the client's next COMMIT into a wrong-success
+    // no-op on a fresh session) — past 1x it survives...
     s2.lastAccessMillis = System.currentTimeMillis() - reg.idleTimeoutMillis - 1000
+    assert(reg.cleanupIdle() == 0, "in-txn session survives the 1x bar")
+    // ...past 4x it is genuinely abandoned and still reclaims
+    s2.lastAccessMillis = System.currentTimeMillis() - reg.idleTimeoutMillis * 4 - 1000
     assert(reg.cleanupIdle() == 1)
     assert(cat.get("evict_t2").isEmpty,
-      "idle cleanup must roll back the open txn and drop its created table")
+      "idle cleanup must roll back the abandoned txn and drop its created table")
   }
 }

@@ -54,4 +54,39 @@ class SessionRegistrySpec extends SparkTestBase {
     assert(reg.size == 1)
     assert(reg.totalCreated == 1)
   }
+
+  test("a concurrent burst of DISTINCT new peers never overshoots the cap (r18 review)") {
+    // the cap check inside computeIfAbsent alone is racy across bin
+    // locks — creation now serializes on createLock
+    val reg = new SessionRegistry(spark, maxSessions = 4)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = Await.result(
+      Future.sequence((1 to 16).map(i => Future(
+        try { reg.getOrCreate(s"burst-$i"); 1 } catch { case _: IllegalStateException => 0 }))),
+      30.seconds)
+    pool.shutdown()
+    assert(reg.size == 4, s"registry overshot the cap: ${reg.size}")
+    assert(results.sum == 4, s"exactly cap-many creations succeed: ${results.sum}")
+  }
+
+  test("idle cleanup gives an OPEN TRANSACTION a 4x grace period (r18 review)") {
+    // evicting a merely-paused txn rolls its staged writes back while a
+    // later COMMIT on the recreated session no-ops with success — the
+    // writes would be acknowledged but gone
+    val reg = new SessionRegistry(spark, idleTimeoutMillis = 1000)
+    val t = reg.getOrCreate("txn"); t.begin()
+    val plain = reg.getOrCreate("plain")
+    val now = System.currentTimeMillis()
+    t.lastAccessMillis = now - 2500     // past 1x, inside 4x
+    plain.lastAccessMillis = now - 2500
+    assert(reg.cleanupIdle(now) == 1, "only the plain session evicts")
+    assert(reg.get("txn").isDefined && reg.get("plain").isEmpty)
+    t.lastAccessMillis = now - 5000     // past 4x: genuinely abandoned
+    assert(reg.cleanupIdle(now) == 1)
+    assert(reg.get("txn").isEmpty, "an abandoned transaction is still reclaimed")
+  }
 }

@@ -26,6 +26,40 @@ class SessionSpec extends SparkTestBase {
     assert(s.schemaCacheSize == 0)
   }
 
+  test("a leading comment does not defeat schema-cache invalidation (r18 review)") {
+    val s = newSession()
+    s.schemaForQuery("SELECT 1 AS x")
+    assert(s.schemaCacheSize == 1)
+    // the old raw startsWith saw "/*" and kept the stale cache while the
+    // DDL executed (statement routing was already comment-aware)
+    s.sql("/* migration */ CREATE OR REPLACE TEMP VIEW t_inval2 AS SELECT 2 AS y")
+    assert(s.schemaCacheSize == 0, "commented DDL must clear the cache")
+  }
+
+  test("the prepared registry is bounded; eviction and close release the handle (r18 review)") {
+    val s = newSession()
+    val first = s.createPrepared("SELECT 1 AS a").handle
+    (1 to 1024).foreach(i => s.createPrepared(s"SELECT $i AS v"))
+    assert(s.preparedCount == 1024, s"cap: ${s.preparedCount}")
+    assert(s.getPrepared(first).isEmpty, "the oldest handle evicts past the cap")
+  }
+
+  test("DROP clears the table's synced view in EVERY session (r18 review)") {
+    val cat = sources.MutableCatalog(spark)
+    val t = cat.create("drop_vis_t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+    t.insert(spark.range(3).toDF("id"))
+    val a = new Session("dv-a", spark.newSession(), Some(cat))
+    val b = new Session("dv-b", spark.newSession(), Some(cat))
+    assert(a.sql("SELECT COUNT(*) FROM drop_vis_t").collect()(0).getLong(0) == 3L)
+    assert(b.sql("SELECT COUNT(*) FROM drop_vis_t").collect()(0).getLong(0) == 3L)
+    cat.drop("drop_vis_t")
+    // previously b's temp view survived and kept reading the dead
+    // snapshot; now both sessions get TABLE_OR_VIEW_NOT_FOUND
+    intercept[Exception](a.sql("SELECT COUNT(*) FROM drop_vis_t").collect())
+    intercept[Exception](b.sql("SELECT COUNT(*) FROM drop_vis_t").collect())
+  }
+
   test("prepared statement lifecycle: create, execute, close (session/mod.rs:465-609)") {
     val s = newSession()
     val p = s.createPrepared("SELECT 41 + 1 AS answer")

@@ -128,6 +128,20 @@ class SqlGatewaySpec extends SparkTestBase {
     assert(ps == Seq("caf\u00e9", "A\\u", 3L), ps.toString)
   }
 
+  test("parseExecBody binds the TOP-LEVEL handle, not handle-shaped text inside a param (r18 review)") {
+    // a client relaying JSON as a string parameter, serialized with
+    // params BEFORE handle: the old findFirstMatchIn bound the escaped
+    // occurrence inside the param and executed the WRONG statement
+    val (h, ps) = SqlGateway.parseExecBody(
+      """{"params":["{\"handle\":\"sess-stmt-1\"}", 7],"handle":"sess-stmt-2"}""")
+    assert(h == "sess-stmt-2", s"bound $h")
+    assert(ps == Seq("""{"handle":"sess-stmt-1"}""", 7L), ps.toString)
+    // and params-shaped text inside a string must not hijack the array
+    val (h2, ps2) = SqlGateway.parseExecBody(
+      """{"handle":"s-9","params":["\"params\":[99]", 1]}""")
+    assert(h2 == "s-9" && ps2 == Seq("\"params\":[99]", 1L), s"$h2 / $ps2")
+  }
+
   test("concurrent /exec on one shared handle never crosses params (atomic bind+execute)") {
     withGateway { (port, _) =>
       // one session, one prepared echo statement, 4 threads x 25 execs:
