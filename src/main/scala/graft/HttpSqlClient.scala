@@ -24,28 +24,32 @@ final class HttpSqlClient(baseUrl: String,
 
   private def postTo(url: String, body: String): Array[Byte] = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    // bounded waits (review catch: the JDK default of 0 blocks forever
+    // on a wedged server) and a finally-disconnect (a reset mid-body
+    // previously skipped the disconnect and leaked the streams/fd)
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(120000) // covers long analytical results
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     conn.setRequestProperty("Accept", SqlGateway.arrowContentType)
     conn.setRequestProperty("X-Graft-Session", sessionKey)
-    conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
-    val code = conn.getResponseCode
-    if (code >= 400) {
-      val err = new String(
-        Option(conn.getErrorStream).map(_.readAllBytes()).getOrElse(Array.empty[Byte]),
-        StandardCharsets.UTF_8)
-      conn.disconnect()
-      // surface the server's message, not the raw JSON envelope; decode
-      // with the gateway's single-pass unescaper (the ordered-replace
-      // chain corrupted backslash-then-n sequences — ADVICE r14)
-      val msg = """"error":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(err)
-        .map(m => SqlGateway.unescape(m.group(1)))
-        .getOrElse(err)
-      throw new RuntimeException(s"server error (HTTP $code): $msg")
-    }
-    val response = conn.getInputStream.readAllBytes()
-    conn.disconnect()
-    response
+    try {
+      conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+      val code = conn.getResponseCode
+      if (code >= 400) {
+        val err = new String(
+          Option(conn.getErrorStream).map(_.readAllBytes()).getOrElse(Array.empty[Byte]),
+          StandardCharsets.UTF_8)
+        // surface the server's message, not the raw JSON envelope; decode
+        // with the gateway's single-pass unescaper (the ordered-replace
+        // chain corrupted backslash-then-n sequences — ADVICE r14)
+        val msg = """"error":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(err)
+          .map(m => SqlGateway.unescape(m.group(1)))
+          .getOrElse(err)
+        throw new RuntimeException(s"server error (HTTP $code): $msg")
+      }
+      conn.getInputStream.readAllBytes()
+    } finally conn.disconnect()
   }
 
   def query(sql: String): QueryResult = {

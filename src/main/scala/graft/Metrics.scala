@@ -57,13 +57,18 @@ final class Metrics(
     } catch {
       case e: Throwable =>
         recordError(sql, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
-        record(sql, (System.nanoTime() - t0) / 1000000, countError = false)
+        record(sql, (System.nanoTime() - t0) / 1000000, countQuery = false)
         throw e
     } finally inFlightGauge.decrementAndGet()
   }
 
-  def record(sql: String, millis: Long, rowCount: Long = 0, countError: Boolean = true): Unit = {
-    totalQueries.increment()
+  /** `countQuery = false` records the latency/slow-ring sample WITHOUT
+    * counting a query (the timed() error path: the failure already
+    * counts in totalErrors — review catch: the old `countError` flag
+    * was dead and errored calls inflated the queries counter).
+    */
+  def record(sql: String, millis: Long, rowCount: Long = 0, countQuery: Boolean = true): Unit = {
+    if (countQuery) totalQueries.increment()
     totalRows.add(rowCount)
     val idx = (latencyCount.getAndIncrement() % windowSize).toInt
     latencies.synchronized { latencies(idx) = millis }

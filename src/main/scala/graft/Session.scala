@@ -449,6 +449,11 @@ final class Session(val id: String, val spark: SparkSession,
   @volatile private var txnAborted: Boolean = false
   @volatile private[graft] var txn: Option[graft.sources.CatalogTxn] = None
   def inTransaction: Boolean = txnActive
+  // unique per-BEGIN token, handed to Flight clients as the transaction
+  // id and validated on endTransaction — a stale id must not
+  // commit/roll back a DIFFERENT transaction (review catch)
+  @volatile private var txnToken: Option[String] = None
+  def currentTxnToken: Option[String] = txnToken
   // serializes statement execution and transaction transitions on this
   // session (one session = one connection, the reference's model); lock
   // order is stmtLock -> catalog monitor -> table monitors, and nothing
@@ -475,7 +480,11 @@ final class Session(val id: String, val spark: SparkSession,
     // BEGIN was swallowed and its writes ran autocommit — surviving the
     // client's closing ROLLBACK)
     recoverIfAborted()
-    if (!txnActive) { txnActive = true; txnAborted = false; txn = catalog.map(_.beginTxn()) }
+    if (!txnActive) {
+      txnActive = true; txnAborted = false
+      txn = catalog.map(_.beginTxn())
+      txnToken = Some(s"$id-txn-${handleCounter.incrementAndGet()}")
+    }
   }
 
   def commit(): Unit = stmtLock.synchronized {
@@ -489,13 +498,13 @@ final class Session(val id: String, val spark: SparkSession,
     // record became durable rolls FORWARD via recoverPendingCommits —
     // either way the session must not be stuck txnActive retrying
     try txn.foreach(x => catalog.foreach(_.commitTxn(x)))
-    finally { txn = None; txnActive = false }
+    finally { txn = None; txnActive = false; txnToken = None }
   }
 
   def rollback(): Unit = stmtLock.synchronized {
     touch()
     txn.foreach(x => catalog.foreach(_.rollbackTxn(x)))
-    txn = None; txnActive = false; txnAborted = false
+    txn = None; txnActive = false; txnAborted = false; txnToken = None
   }
 }
 

@@ -66,7 +66,13 @@ object StatusServer {
         respond(ex, 200, "text/html", statusPage)
       else respond(ex, 404, "text/plain", "not found")
     })
-    server.setExecutor(null) // single-threaded dispatch: status traffic is trivial
+    // a SMALL pool, not single-threaded dispatch (review catch): with
+    // one dispatcher a single non-reading client blocks os.write and
+    // every later request — including /healthz, the liveness probe —
+    // queues behind it until an orchestrator restarts a healthy server
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-status"); t.setDaemon(true); t
+    }))
     server.start()
     Some(new StatusServer(server, prefix))
   }

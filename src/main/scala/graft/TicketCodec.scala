@@ -102,6 +102,10 @@ object TicketCodec {
       val n = n64.toInt
       val b = bytes.slice(i, i + n); i += n; b
     }
+    def skip(n: Int): Unit = {
+      if (n > bytes.length - i) throw MalformedTicketException("truncated fixed field")
+      i += n
+    }
     var t = Ticket(version = 0)
     while (i < bytes.length) {
       val key = varint()
@@ -115,6 +119,11 @@ object TicketCodec {
         case (5, 0) => t = t.copy(returnsRows = Some(varint() != 0))
         case (_, 0) => varint() // unknown varint field: skip
         case (_, 2) => lenDelim() // unknown bytes field: skip
+        // proto3 forward compatibility demands SKIPPING unknown fixed
+        // fields too (review catch: throwing here broke every DoGet the
+        // moment a future ticket version added a fixed64/double field)
+        case (_, 1) => skip(8) // fixed64/double
+        case (_, 5) => skip(4) // fixed32/float
         case _ => throw MalformedTicketException(s"unsupported wire type $wire")
       }
     }

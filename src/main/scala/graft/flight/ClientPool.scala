@@ -199,28 +199,43 @@ final class FlightSqlPool(producer: FlightSqlProducer,
     * NonLocalReturnControl throwable that a `catch Throwable` would
     * swallow.
     */
-  def acquire(): FlightSqlClient = lock.synchronized {
+  def acquire(): FlightSqlClient = {
     val deadline = System.currentTimeMillis() + config.acquireTimeoutMs
-    var out: FlightSqlClient = null
-    while (out == null) {
-      evictIdleLocked(System.currentTimeMillis())
-      if (idle.nonEmpty) out = idle.remove(idle.size - 1).client
-      else if (total.get() < config.maxSize) {
-        total.incrementAndGet()
-        // create under the lock: in-proc creation is cheap and this keeps
-        // the count/create pairing atomic
-        out =
-          try newClient()
-          catch { case t: Throwable => total.decrementAndGet(); throw t }
-      } else {
-        val remaining = deadline - System.currentTimeMillis()
-        if (remaining <= 0) throw new IllegalStateException(
-          s"timed out waiting for pool connection (maxSize=${config.maxSize}, " +
-            s"acquireTimeoutMs=${config.acquireTimeoutMs})")
-        lock.wait(remaining)
+    while (true) {
+      var mustCreate = false
+      // the lock covers only the COUNT reservation and idle-list pop;
+      // connection creation runs OUTSIDE it (review catch: newClient's
+      // constructor healthcheck plans and executes a real query, and
+      // holding the monitor through it serialized every acquire AND
+      // release behind connection creation exactly under burst load —
+      // the reservation keeps the count/create pairing safe instead)
+      val fromIdle: FlightSqlClient = lock.synchronized {
+        evictIdleLocked(System.currentTimeMillis())
+        if (idle.nonEmpty) idle.remove(idle.size - 1).client
+        else if (total.get() < config.maxSize) {
+          total.incrementAndGet(); mustCreate = true; null
+        } else {
+          val remaining = deadline - System.currentTimeMillis()
+          if (remaining <= 0) throw new IllegalStateException(
+            s"timed out waiting for pool connection (maxSize=${config.maxSize}, " +
+              s"acquireTimeoutMs=${config.acquireTimeoutMs})")
+          lock.wait(remaining)
+          null // woke: re-check idle/cap on the next loop pass
+        }
       }
+      if (fromIdle != null) return fromIdle
+      if (mustCreate)
+        return try newClient()
+        catch {
+          case t: Throwable =>
+            // release the reservation AND wake a waiter that may now
+            // be allowed to create in our place
+            total.decrementAndGet()
+            lock.synchronized(lock.notify())
+            throw t
+        }
     }
-    out
+    throw new IllegalStateException("unreachable")
   }
 
   /** Return a connection; after an error it must pass the healthcheck

@@ -92,6 +92,11 @@ final class FlightSqlProducer(
     val schema: Option[DataFrame] =
       if (!multi && returnsRows) {
         s.ensureCatalogViews() // micro-lake tables resolve in this session
+        // metadata views must exist BEFORE the eager analyze (review
+        // catch: Session.sql registers them, but GetFlightInfo precedes
+        // any DoGet on a fresh session — an info-schema query failed
+        // here with TABLE_OR_VIEW_NOT_FOUND while executing fine later)
+        if (InfoSchema.referencesInfoSchema(clean)) InfoSchema.register(s.spark)
         val df = s.spark.sql(InfoSchema.rewriteInfoSchema(SqlShim.rewritePragma(clean)))
         returnsRows = true
         Some(df)
@@ -329,11 +334,22 @@ final class FlightSqlProducer(
   def beginTransaction(peer: String): Array[Byte] = wrap {
     val s = session(peer)
     s.begin()
-    s.id.getBytes(StandardCharsets.UTF_8)
+    // the handle is the PER-TRANSACTION token, not the session id
+    // (review catch: with the session id, a stale handle from a reaped
+    // or retried transaction committed whatever txn the session
+    // currently held — acknowledging writes the caller never issued)
+    s.currentTxnToken.getOrElse(s.id).getBytes(StandardCharsets.UTF_8)
   }
 
   def endTransaction(peer: String, transactionId: Array[Byte], commit: Boolean): Unit = wrap {
     val s = session(peer)
+    val handed = new String(transactionId, StandardCharsets.UTF_8)
+    // an empty id keeps the lenient SQL-level COMMIT semantics; a
+    // NON-empty id must name the session's CURRENT transaction
+    if (handed.nonEmpty && !s.currentTxnToken.contains(handed))
+      throw new IllegalArgumentException(
+        s"unknown or stale transaction id: $handed " +
+          "(the transaction it names is no longer this session's open transaction)")
     if (commit) s.commit() else s.rollback()
   }
 }

@@ -90,15 +90,26 @@ object ArrowWire {
     out => {
       val batches = ArrowConverters.toBatchIterator(
         rows, schema, maxRecordsPerBatch.toLong, tz, true, false, TaskContext.get())
-      val ch = new WriteChannel(Channels.newChannel(out))
-      MessageSerializer.serialize(ch, ArrowUtils.toArrowSchema(schema, tz, true, false))
-      var n = 0L
-      batches.foreach { b => ch.write(b); n += 1 }
-      // end-of-stream: continuation token + zero length — the
-      // completeness seal (only reached when every batch is out)
-      ch.writeIntLittleEndian(MessageSerializer.IPC_CONTINUATION_TOKEN)
-      ch.writeIntLittleEndian(0)
-      n
+      // the batch iterator owns a VectorSchemaRoot + child allocator it
+      // releases only on exhaustion (or via a TaskContext listener that
+      // does not exist on this driver thread) — a client disconnect
+      // mid-write would otherwise leak Arrow direct memory per aborted
+      // download (review catch); it is AutoCloseable, so close on ANY
+      // early exit
+      try {
+        val ch = new WriteChannel(Channels.newChannel(out))
+        MessageSerializer.serialize(ch, ArrowUtils.toArrowSchema(schema, tz, true, false))
+        var n = 0L
+        batches.foreach { b => ch.write(b); n += 1 }
+        // end-of-stream: continuation token + zero length — the
+        // completeness seal (only reached when every batch is out)
+        ch.writeIntLittleEndian(MessageSerializer.IPC_CONTINUATION_TOKEN)
+        ch.writeIntLittleEndian(0)
+        n
+      } finally batches match {
+        case c: AutoCloseable => try c.close() catch { case _: Throwable => () }
+        case _ => ()
+      }
     }
   }
 
@@ -120,6 +131,11 @@ object ArrowWire {
       // parallelize job to re-fetch rows the driver already holds would
       // dominate a point read's latency
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      // SHOW/DESCRIBE/DDL answers: CommandResult already holds its rows
+      // on the driver — doExecute would parallelize them into a
+      // one-round-trip Spark job per metadata query (review catch; same
+      // rationale as the LocalRelation arm above)
+      case _: org.apache.spark.sql.catalyst.plans.logical.CommandResult => true
       case _ => false
     }
     if (topLimited) return df.queryExecution.executedPlan.executeCollect().iterator
@@ -200,14 +216,36 @@ object ArrowWire {
       while (reader.loadNextBatch()) {
         val cols = root.getFieldVectors.asScala
         for (r <- 0 until root.getRowCount)
-          rows += Row.fromSeq(cols.map(v => fromArrow(v.getObject(r))).toSeq)
+          rows += Row.fromSeq(cols.zipWithIndex.map { case (v, i) =>
+            fromArrow(v.getObject(r), sparkSchema(i).dataType)
+          }.toSeq)
       }
       (sparkSchema, rows.toArray)
     } finally { reader.close(); allocator.close() }
   }
 
-  private def fromArrow(v: Any): Any = v match {
-    case t: org.apache.arrow.vector.util.Text => t.toString
-    case other => other
+  /** Arrow getObject → the external JVM type the declared Spark field
+    * expects (review catch: Text alone was converted, so timestamp/date
+    * vectors decoded to raw Long/Integer that violated the schema —
+    * row.getTimestamp threw, and the DoPut ingest path could never bind
+    * a timestamp/date parameter column). Scalars only: the wire carries
+    * the engine's flat result/param batches; nested types stay the
+    * documented out-of-scope of this codec.
+    */
+  private def fromArrow(v: Any, dt: org.apache.spark.sql.types.DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (t: org.apache.arrow.vector.util.Text, _) => t.toString
+    case (l: java.lang.Long, org.apache.spark.sql.types.TimestampType) =>
+      // TZ-bearing micro vector: epoch micros
+      val seconds = Math.floorDiv(l.longValue(), 1000000L)
+      val micros = Math.floorMod(l.longValue(), 1000000L)
+      val ts = new java.sql.Timestamp(seconds * 1000L)
+      ts.setNanos((micros * 1000L).toInt)
+      ts
+    case (ldt: java.time.LocalDateTime, org.apache.spark.sql.types.TimestampType) =>
+      java.sql.Timestamp.valueOf(ldt) // TZ-less micro vector
+    case (i: java.lang.Integer, org.apache.spark.sql.types.DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case (other, _) => other
   }
 }
