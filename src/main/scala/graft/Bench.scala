@@ -284,15 +284,22 @@ object Bench {
     // windows climbed 1.21 → 2.94 → 5.14 — a warmup-shaped signature).
     val warmupNanos = 30L * 1000 * 1000 * 1000
     val warmT0 = System.nanoTime()
-    val warm = sessions.zip(preparedPer).map { case (cs, prepared) =>
+    // STAGGERED starts (VERDICT r18 #3): the measured window offsets
+    // terminal t to mix(t), so its concurrent interleaves pair DIFFERENT
+    // queries across terminals — a lockstep warmup (all terminals at
+    // mix(0)) never exercises those shapes, and BENCH_r18's four slowest
+    // requests of the whole phase were window-1 q13/q16 first-flights at
+    // 2.0-2.16 s. Warm with the window's own offsets.
+    val warm = sessions.zip(preparedPer).zipWithIndex.map { case ((cs, prepared), t) =>
       val th = new Thread(() => {
-        var i = 0
+        var i = t
+        var n = 0
         // at least one full pass of the mix per terminal, then keep
         // hammering until the 30 s wall clock expires
-        while (i < mix.length || System.nanoTime() - warmT0 < warmupNanos) {
+        while (n < mix.length || System.nanoTime() - warmT0 < warmupNanos) {
           try org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, prepared(mix(i % mix.length))).collect()
           catch { case _: Throwable => }
-          i += 1
+          i += 1; n += 1
         }
       })
       th.start(); th
@@ -333,8 +340,11 @@ object Bench {
     while (!drained && System.nanoTime() - drain0 < jitDrainCapNanos) {
       val j0 = jitMs()
       val p0 = System.nanoTime()
-      val ths = sessions.zip(preparedPer).map { case (cs, prepared) =>
-        val th = new Thread(() => mix.foreach { n =>
+      // drain passes ride the window's stagger too (terminal t starts at
+      // mix(t)) so the settled state covers the measured interleaves
+      val ths = sessions.zip(preparedPer).zipWithIndex.map { case ((cs, prepared), t) =>
+        val th = new Thread(() => mix.indices.foreach { k =>
+          val n = mix((k + t) % mix.length)
           try org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, prepared(n)).collect()
           catch { case _: Throwable => }
         })
@@ -760,8 +770,9 @@ object Bench {
     //  - every other registry query runs ADAPTIVELY: one measured run,
     //    accepted if it sits within 25% of its own warm-floor pass
     //    (contamination only inflates, so a run AT its floor is already
-    //    the robust answer); otherwise a second run, min of the two if
-    //    they agree within 30%; otherwise a third and the median. A
+    //    the robust answer); otherwise a second run, the second (warmer)
+    //    of the two if they agree within 30%; otherwise a third and the
+    //    median. A
     //    settled host takes ~1.05 passes instead of 3 — the driver-
     //    visible phase drops from ~360 s toward the ~130 s single-pass
     //    floor while a one-off GC/IO burst still cannot print itself as
@@ -786,7 +797,11 @@ object Bench {
         else {
           val r2 = execute(n)
           if (r2 < 0) n -> -1.0
-          else if (math.max(r1, r2) <= 1.30 * math.min(r1, r2)) n -> math.min(r1, r2)
+          // two agreeing runs -> report the SECOND (warmer) one, not the
+          // min (ADVICE r18: min is biased low by up to ~23% under
+          // ordinary noise; contamination-only-inflates justifies
+          // accepting a floor-consistent single run, never best-of-two)
+          else if (math.max(r1, r2) <= 1.30 * math.min(r1, r2)) n -> r2
           else {
             val r3 = execute(n)
             if (r3 < 0) n -> -1.0 else n -> Seq(r1, r2, r3).sorted.apply(1)

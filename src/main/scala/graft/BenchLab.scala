@@ -196,6 +196,64 @@ object BenchLab {
       return
     }
 
+    if (flags("q16floor")) {
+      // VERDICT r18 #1: decompose one prepared q16 re-execution — the
+      // plan is A/B-exhausted, so find where the per-execution floor
+      // lives: optimizer re-run? AQE re-planning? job/stage scheduling?
+      import org.apache.spark.sql.graft.PlanReuse
+      val cs = spark.newSession()
+      val jobs = new java.util.concurrent.atomic.AtomicLong()
+      val stages = new java.util.concurrent.atomic.AtomicLong()
+      val tasks = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobs.incrementAndGet(); () }
+        override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          { stages.incrementAndGet(); () }
+        override def onTaskStart(e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+          { tasks.incrementAndGet(); () }
+      })
+      val name = sys.env.getOrElse("LAB_QUERY", "q16_supplier_cnt")
+      val df = SparkEntry.queries(name)(cs, sfDir)
+      (1 to 7).foreach(_ => PlanReuse.reanalyzed(cs, df).collect()) // settle JIT/codegen
+      def measure(label: String, mk: () => org.apache.spark.sql.DataFrame, reps: Int = 15): Double = {
+        (1 to 3).foreach(_ => mk().collect())
+        Thread.sleep(200)
+        val j0 = jobs.get(); val s0 = stages.get(); val k0 = tasks.get()
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); mk().collect(); (System.nanoTime() - t0) / 1e6
+        }.sorted
+        Thread.sleep(300)
+        println(f"[lab-q16] $label%-24s med=${times(reps / 2)}%6.1f ms  min=${times.head}%6.1f  " +
+          f"jobs/x=${(jobs.get() - j0).toDouble / reps}%4.1f  stages/x=${(stages.get() - s0).toDouble / reps}%4.1f  " +
+          f"tasks/x=${(tasks.get() - k0).toDouble / reps}%5.1f")
+        times(reps / 2)
+      }
+      // plan-time alone (no execution): optimizer + strategies + preps
+      def planMs(mk: () => org.apache.spark.sql.DataFrame, reps: Int = 15): Double = {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); PlanReuse.forcePlanned(mk()); (System.nanoTime() - t0) / 1e6
+        }.sorted
+        times(reps / 2)
+      }
+      measure("reanalyzed+aqe", () => PlanReuse.reanalyzed(cs, df))
+      println(f"[lab-q16] plan-only (reanalyzed)    med=${planMs(() => PlanReuse.reanalyzed(cs, df))}%6.1f ms")
+      val opt = PlanReuse.optimizedPlan(df)
+      measure("reoptimized+aqe", () => PlanReuse.execute(cs, opt))
+      println(f"[lab-q16] plan-only (reoptimized)   med=${planMs(() => PlanReuse.execute(cs, opt))}%6.1f ms")
+      cs.conf.set("spark.sql.adaptive.enabled", "false")
+      measure("reanalyzed+noaqe", () => PlanReuse.reanalyzed(cs, df))
+      measure("reoptimized+noaqe", () => PlanReuse.execute(cs, opt))
+      cs.conf.set("spark.sql.adaptive.enabled", "true")
+      // scheduling floor on this session, for reference
+      val bare = (1 to 15).map { _ =>
+        val t0 = System.nanoTime(); cs.range(32).repartition(2).count(); (System.nanoTime() - t0) / 1e6
+      }.sorted
+      println(f"[lab-q16] 1-shuffle scheduling floor med=${bare(7)}%6.1f ms")
+      spark.stop()
+      return
+    }
+
     if (flags("serial")) {
       val cs = spark.newSession()
       if (flags("noAqe")) cs.conf.set("spark.sql.adaptive.enabled", "false")

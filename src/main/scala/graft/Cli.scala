@@ -58,14 +58,21 @@ object Cli {
         val client = new HttpSqlClient(u)
         val shell = new Shell(client, out, errOut, debug)
         var failed = false
-        oneShot match {
-          case Some(sql) =>
-            try shell.executeAndDisplay(sql)
-            catch { case t: Throwable => shell.displayError(t); failed = true }
-          case None =>
-            out.println("Connected successfully!\n")
-            val hist = Paths.get(sys.props.getOrElse("user.home", "."), ".graft_history")
-            shell.runInteractive(new BufferedReader(new InputStreamReader(System.in)), Some(hist))
+        // release the server-side session on exit (r19 review: the
+        // reference's client drop closes the TCP conn; without the
+        // disconnect the gateway session lingered until idle eviction)
+        try {
+          oneShot match {
+            case Some(sql) =>
+              try shell.executeAndDisplay(sql)
+              catch { case t: Throwable => shell.displayError(t); failed = true }
+            case None =>
+              out.println("Connected successfully!\n")
+              val hist = Paths.get(sys.props.getOrElse("user.home", "."), ".graft_history")
+              shell.runInteractive(new BufferedReader(new InputStreamReader(System.in)), Some(hist))
+          }
+        } finally {
+          try client.disconnect() catch { case _: Throwable => () }
         }
         if (failed) sys.exit(1)
         return

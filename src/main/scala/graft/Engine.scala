@@ -58,12 +58,18 @@ object Engine {
       // memoryOverhead sized for it. SPARK_GRAFT_OFFHEAP overrides the
       // size; "0"/"off" disables entirely (Spark rejects enabled=true
       // with size=0, so a small-RAM host needs the paired switch).
+      // DEFAULT size is RAM-aware (ADVICE r18): a fixed 16g on a small
+      // host could push heap + direct memory past physical RAM and get
+      // the process OOM-killed — so the unset default is
+      // clamp(25% of physical RAM, 1g..16g), and an EXPLICIT size is
+      // honored verbatim (the operator asserted they have the room).
       .config("spark.memory.offHeap.enabled",
         (!Set("0", "off", "false").contains(
-          sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "16g").trim.toLowerCase)).toString)
+          sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "on").trim.toLowerCase)).toString)
       .config("spark.memory.offHeap.size", {
-        val v = sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "16g").trim
-        if (Set("0", "off", "false").contains(v.toLowerCase)) "1g" // ignored when disabled
+        val v = sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "").trim
+        if (v.isEmpty || Set("on", "true").contains(v.toLowerCase)) defaultOffHeapSize
+        else if (Set("0", "off", "false").contains(v.toLowerCase)) "1g" // ignored when disabled
         else v
       })
       // manifest-stats file pruning for micro-lake reads (graft.plans
@@ -133,6 +139,23 @@ object Engine {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  /** RAM-aware off-heap default: clamp(25% of physical RAM, 1g..16g).
+    * 16g is the measured sweet spot on the 128 GiB bench host (r18 A/B);
+    * 25% keeps heap + direct memory under physical RAM on smaller hosts
+    * (the ADVICE r18 OOM-kill scenario). Falls back to 4g when the
+    * platform bean cannot report physical memory.
+    */
+  private[graft] def defaultOffHeapSize: String = {
+    val physMb =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getTotalMemorySize / (1024L * 1024L)
+        case _ => -1L
+      } catch { case _: Throwable => -1L }
+    if (physMb <= 0) "4g"
+    else s"${math.max(1024L, math.min(16384L, physMb / 4))}m"
   }
 
   /** Whole-stage-codegen class-cache size derived from the registry:

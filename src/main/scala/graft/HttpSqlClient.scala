@@ -121,8 +121,11 @@ final class HttpSqlClient(baseUrl: String,
   def closePrepared(handle: String): Unit =
     postTo(baseUrl.stripSuffix("/") + "/close", handle)
 
-  /** The server reaps the session by idle timeout; nothing to tear
-    * down client-side (HTTP is connectionless here).
+  /** Release the server session eagerly via /bye (best-effort — the
+    * server also reaps by idle timeout, so a lost request only delays
+    * the cleanup it used to wait for unconditionally).
     */
-  def disconnect(): Unit = ()
+  def disconnect(): Unit =
+    try { postTo(baseUrl.stripSuffix("/") + "/bye", ""); () }
+    catch { case _: Throwable => () }
 }

@@ -387,7 +387,13 @@ final class Session(val id: String, val spark: SparkSession,
       sortDesc = pr.sortDesc, inList = pr.inList > 0))
   }
 
-  private def runPrepared(p: Prepared, params: Seq[Any]): DataFrame = {
+  // stmtLock: prepared executions serialize with sql()/begin()/commit()
+  // on the same session exactly like plain statements do — without it a
+  // concurrent COMMIT could publish-and-clear the txn while this
+  // execution's captured `txn` Option stages DML into the dead
+  // CatalogTxn (acknowledged but never published). The monitor is
+  // reentrant, so the native-path fallback through sql() below is safe.
+  private def runPrepared(p: Prepared, params: Seq[Any]): DataFrame = stmtLock.synchronized {
     val n = ParamInference.countPlaceholders(p.sql)
     val padded = params.padTo(n, null)
     val expectedParams = p.pointRead.map(_.paramCount).getOrElse(1)

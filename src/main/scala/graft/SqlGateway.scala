@@ -63,6 +63,12 @@ object SqlGateway {
       (ex: HttpExchange) => handleExec(ex, registry, metrics, sessionKey))
     server.createContext(s"$prefix/close",
       (ex: HttpExchange) => handleClose(ex, registry, metrics, sessionKey))
+    // explicit session release — the TCP-drop analogue for a
+    // connectionless transport (r19 review: clients could only wait
+    // out the idle TTL, so every short-lived CLI/one-shot run held a
+    // registry seat for minutes after exiting)
+    server.createContext(s"$prefix/bye",
+      (ex: HttpExchange) => handleBye(ex, registry, sessionKey))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
       val t = new Thread(r, "graft-sql-gateway"); t.setDaemon(true); t
     })
@@ -113,6 +119,27 @@ object SqlGateway {
       respond(ex, 200, "application/json",
         """{"closed":true}""".getBytes(StandardCharsets.UTF_8))
     } catch { case t: Throwable => respondError(ex, metrics, handle, t) }
+  }
+
+  /** BYE: releases the caller's server session immediately — the
+    * TCP-drop analogue (the reference server drops a session with its
+    * gRPC connection; over connectionless HTTP the client says so
+    * explicitly). Unknown or already-reaped sessions are a tolerated
+    * no-op, like /close.
+    */
+  private def handleBye(ex: HttpExchange, registry: SessionRegistry,
+      sessionKey: String => String): Unit = {
+    if (!requirePost(ex)) return
+    ex.getRequestBody.readAllBytes()
+    try {
+      registry.remove(peerKey(ex, sessionKey))
+      respond(ex, 200, "application/json",
+        """{"closed":true}""".getBytes(StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      respond(ex, 500, "application/json",
+        s"""{"error":${jstr(Option(t.getMessage).getOrElse(t.getClass.getName))}}"""
+          .getBytes(StandardCharsets.UTF_8))
+    }
   }
 
   /** EXEC: body is `{"handle":"...","params":[...]}` (params optional);

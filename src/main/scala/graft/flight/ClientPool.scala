@@ -139,7 +139,14 @@ object FlightSqlClient {
       healthcheckSql: String = "SELECT 1"): FlightSqlClient = {
     producer.handshake(peer, 1L)
     val c = new FlightSqlClient(producer, peer)
-    require(c.healthcheck(healthcheckSql), s"connect healthcheck failed for $peer")
+    if (!c.healthcheck(healthcheckSql)) {
+      // don't leak the handshake's server session (r19 review: the
+      // registry is capped, but each failed connect held a seat until
+      // idle eviction)
+      try producer.registry.remove(peer) catch { case _: Throwable => () }
+      throw new IllegalArgumentException(
+        s"requirement failed: connect healthcheck failed for $peer")
+    }
     c
   }
 }
@@ -240,9 +247,22 @@ final class FlightSqlPool(producer: FlightSqlProducer,
 
   /** Return a connection; after an error it must pass the healthcheck
     * or be dropped (pool.rs release_connection:196-215).
+    *
+    * State hygiene (r19 review): a connection returned with an OPEN
+    * transaction must not leak it into the pool — the next borrower
+    * would stage its DML into a transaction nobody will ever commit
+    * (an exclusive [[PooledSession]] that began-but-never-ended, or a
+    * pooled `update("BEGIN")`). Roll it back here, the reference's
+    * SessionHandle-drop semantics; a failed rollback marks the
+    * connection suspect so the healthcheck-or-drop path decides.
     */
   def release(client: FlightSqlClient, hadError: Boolean = false): Unit = {
-    if (hadError && !client.healthcheck(config.healthcheckSql)) {
+    var suspect = hadError
+    try {
+      val s = client.producer.registry.getOrCreate(client.peer)
+      if (s.inTransaction) s.rollback()
+    } catch { case _: Throwable => suspect = true }
+    if (suspect && !client.healthcheck(config.healthcheckSql)) {
       client.disconnect()
       total.decrementAndGet()
       lock.synchronized(lock.notify())

@@ -3659,6 +3659,106 @@ object Analytics {
        |  END AS kendall_tau
        |FROM v WHERE n >= 2""".stripMargin
 
+  /** corr4 registry siting (VERDICT r18 #2): [[kendallDaily]]'s
+    * events×orders day join is EMPTY on the testdata calendars
+    * (2025-era event timestamps vs 1992–1998 order dates), so its
+    * oracle row was a vacuous 0-row match — both engines agreed on
+    * nothing. The registry query re-sites τ_b on series that overlap
+    * BY CONSTRUCTION: per calendar month, daily ORDER COUNT vs daily
+    * ORDER REVENUE (both from orders; integer counts carry heavy ties,
+    * so the tie-pair legs of τ_b are exercised for real, and the
+    * ~84-month output gives the oracle a non-trivial frame). Same math
+    * and same bounded-daily-frame tier as [[kendallDaily]] (collected
+    * at construction; the pair join reads the LocalRelation, ≤31 days
+    * per month ⇒ ≤465 pairs per group). [[kendallDaily]] stays as the
+    * cross-table variant the hand fixtures anchor.
+    */
+  def kendallMonthly(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dayUs = 86400000000L
+    def day(c: Column) = expr(s"(unix_micros(${c.toString}) - pmod(unix_micros(${c.toString}), $dayUs)) div $dayUs")
+    val mi = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast(LongType)
+    val daily = t(s, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .select(mi.as("m"), day(col("o_orderdate")).as("day"),
+        Exact.micros(col("o_totalprice")).as("pm"))
+      .groupBy(col("m"), col("day"))
+      .agg(count(lit(1)).as("xv"), sum(col("pm").cast(Exact.D380)).as("yv"))
+      .collect()
+    val outSchema = StructType(Seq(
+      StructField("month_idx", LongType), StructField("n_days", LongType),
+      StructField("s_stat", LongType),
+      StructField("tie_pairs_x", LongType), StructField("tie_pairs_y", LongType),
+      StructField("kendall_tau", DoubleType)))
+    if (daily.isEmpty)
+      return s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    val baseSchema = StructType(Seq(StructField("m", LongType), StructField("day", LongType),
+      StructField("xv", LongType), StructField("yv", Exact.D380)))
+    val base = s.createDataFrame(
+      daily.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+        .toSeq.asJava, baseSchema)
+    def sgn(a: Column, b: Column) =
+      when(b > a, lit(1L)).when(b < a, lit(-1L)).otherwise(lit(0L))
+    val sStat = base.as("a").join(base.as("b"),
+        col("a.m") === col("b.m") && col("a.day") < col("b.day"))
+      .groupBy(col("a.m").as("m"))
+      .agg(sum(sgn(col("a.xv"), col("b.xv")) * sgn(col("a.yv"), col("b.yv"))).as("s_stat"))
+    // doubled tie-pair counts (tt(tt−1)), exact integers without a /2
+    def tiePairs(v: String, out: String) = base.groupBy(col("m"), col(v))
+      .agg(count(lit(1)).as("tt"))
+      .groupBy(col("m"))
+      .agg(coalesce(sum(col("tt") * (col("tt") - 1)), lit(0L)).as(out))
+    val n = col("n_days")
+    base.groupBy(col("m")).agg(count(lit(1)).as("n_days"))
+      // left: a 1-day month has no pairs — S is 0, not a dropped row
+      .join(sStat, Seq("m"), "left")
+      .join(tiePairs("xv", "tx2"), Seq("m"))
+      .join(tiePairs("yv", "ty2"), Seq("m"))
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("d1", n * (n - 1) - col("tx2"))
+      .withColumn("d2", n * (n - 1) - col("ty2"))
+      .select(col("m").as("month_idx"), col("n_days"), col("s_stat"),
+        (col("tx2") / 2).cast(LongType).as("tie_pairs_x"),
+        (col("ty2") / 2).cast(LongType).as("tie_pairs_y"),
+        when(col("d1") <= 0 || col("d2") <= 0, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(
+            col("s_stat").cast(DoubleType) * 2.0 /
+              sqrt(col("d1").cast(DoubleType) * col("d2").cast(DoubleType)), 9))
+          .as("kendall_tau"))
+      .orderedSmall(col("month_idx"))
+  }
+
+  val kendallMonthlySql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+       |              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+       |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+       |    COUNT(*) AS xv,
+       |    SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) AS yv
+       |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT a.m AS m, SUM(
+       |    (CASE WHEN b.xv > a.xv THEN 1 WHEN b.xv < a.xv THEN -1 ELSE 0 END)
+       |    * (CASE WHEN b.yv > a.yv THEN 1 WHEN b.yv < a.yv THEN -1 ELSE 0 END)) AS s_stat
+       |  FROM d a JOIN d b ON a.m = b.m AND a.day < b.day GROUP BY 1),
+       |tx AS (SELECT m, SUM(tt*(tt-1)) AS tx2
+       |       FROM (SELECT m, xv, COUNT(*) AS tt FROM d GROUP BY 1, 2) GROUP BY m),
+       |ty AS (SELECT m, SUM(tt*(tt-1)) AS ty2
+       |       FROM (SELECT m, yv, COUNT(*) AS tt FROM d GROUP BY 1, 2) GROUP BY m),
+       |nn AS (SELECT m, COUNT(*) AS n FROM d GROUP BY m),
+       |v AS (SELECT nn.m AS m, n, COALESCE(s_stat, 0) AS s_stat, tx2, ty2,
+       |        n*(n-1) - tx2 AS d1, n*(n-1) - ty2 AS d2
+       |      FROM nn LEFT JOIN sp ON sp.m = nn.m
+       |        JOIN tx ON tx.m = nn.m JOIN ty ON ty.m = nn.m)
+       |SELECT CAST(m AS BIGINT) AS month_idx, CAST(n AS BIGINT) AS n_days,
+       |  CAST(s_stat AS BIGINT) AS s_stat,
+       |  CAST(tx2 / 2 AS BIGINT) AS tie_pairs_x, CAST(ty2 / 2 AS BIGINT) AS tie_pairs_y,
+       |  CASE WHEN d1 <= 0 OR d2 <= 0 THEN NULL
+       |       ELSE ${Exact.sqlDround(
+             "CAST(s_stat AS DOUBLE) * 2.0 / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))", 9)}
+       |  END AS kendall_tau
+       |FROM v ORDER BY month_idx""".stripMargin
+
   // === drift2: month-over-month PSI of the order-value distribution =======
   /** drift2: Population Stability Index of the order-value distribution,
     * month over month — the industry drift gate (PSI > 0.2 ⇒ retrain /
@@ -4108,7 +4208,7 @@ object Analytics {
     "ts10_seasonal_mase" -> seasonalNaiveMase _,
     "imp2_ratio_estimate" -> ratioEstimate _,
     "priv3_t_closeness" -> tClosenessAudit _,
-    "corr4_kendall_daily" -> kendallDaily _,
+    "corr4_kendall_daily" -> kendallMonthly _,
     "drift2_psi_monthly" -> psiMonthly _,
     "ev26_type_entropy" -> typeEntropy _,
     "exp5_welch_t" -> welchTTest _,
@@ -4173,7 +4273,7 @@ object Analytics {
     "ts10_seasonal_mase" -> seasonalNaiveMaseSql,
     "imp2_ratio_estimate" -> ratioEstimateSql,
     "priv3_t_closeness" -> tClosenessAuditSql,
-    "corr4_kendall_daily" -> kendallDailySql,
+    "corr4_kendall_daily" -> kendallMonthlySql,
     "drift2_psi_monthly" -> psiMonthlySql,
     "ev26_type_entropy" -> typeEntropySql,
     "exp5_welch_t" -> welchTTestSql,

@@ -24,10 +24,32 @@ object Skew {
   /** Equi-join `large` ⋈ `small` on `key`, salting the large side into
     * `buckets` sub-keys. Use when `key`'s distribution is hot enough
     * that one reducer would own a partition-sized slice.
+    *
+    * Schema constraints (from the retry-deterministic collapse below):
+    * every `large` column must be GROUPABLE — MapType columns are
+    * rejected up front with a clear error rather than failing deep in
+    * analysis. Floating-point columns are grouped, which normalizes
+    * `-0.0` to `0.0` and collapses distinct NaN bit patterns to one NaN
+    * (Spark's standard grouping semantics) — output VALUES can differ
+    * bitwise from the input rows in exactly those two cases.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       buckets: Int = 16, joinType: String = "inner"): DataFrame = {
     require(buckets > 1, "salting needs at least 2 buckets")
+    locally {
+      import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+      def groupable(dt: DataType): Boolean = dt match {
+        case _: MapType     => false
+        case a: ArrayType   => groupable(a.elementType)
+        case st: StructType => st.fields.forall(f => groupable(f.dataType))
+        case _              => true
+      }
+      val bad = large.schema.fields.filterNot(f => groupable(f.dataType)).map(_.name)
+      require(bad.isEmpty,
+        s"saltedJoin requires groupable large-side columns (retry-deterministic " +
+          s"collapse groups the full row); MapType column(s) ${bad.mkString(", ")} " +
+          s"are not — drop or serialize them (e.g. to_json) before salting")
+    }
     // right/full outer would surface each unmatched replicated row
     // `buckets` times — those shapes need the mirrored construction
     require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),

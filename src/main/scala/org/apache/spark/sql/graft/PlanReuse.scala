@@ -49,4 +49,13 @@ object PlanReuse {
   def execute(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Forces physical planning (optimizer + strategies + preparations)
+    * WITHOUT executing — the lab hook for splitting a prepared
+    * re-execution into plan-time vs run-time.
+    */
+  def forcePlanned(df: DataFrame): Unit = {
+    df.asInstanceOf[ClassicDataFrame].queryExecution.executedPlan
+    ()
+  }
 }

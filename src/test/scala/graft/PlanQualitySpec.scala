@@ -471,8 +471,9 @@ class PlanQualitySpec extends SparkTestBase {
     val tc = operators.Analytics.tClosenessAudit(spark, sfDir)
     assert(!planOf(tc).contains("Scan parquet"),
       "priv3 must read the checkpointed counts, not re-scan orders")
-    // corr4: the S pair join reads the collected LocalRelation, like ts9
-    val kd = operators.Analytics.kendallDaily(spark, sfDir)
+    // corr4 (monthly registry siting, r19): the S pair join reads the
+    // collected LocalRelation, like ts9
+    val kd = operators.Analytics.kendallMonthly(spark, sfDir)
     assert(!planOf(kd).contains("Scan parquet"),
       "corr4 must not re-scan: pairs and ties read the LocalRelation")
     // drift2: the (month, bucket) counts are checkpointed at

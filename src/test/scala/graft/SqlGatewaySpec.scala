@@ -48,6 +48,25 @@ class SqlGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("POST /bye releases the server session; repeat bye is a no-op (r19 review)") {
+    val catalog = sources.MutableCatalog(spark)
+    val registry = new SessionRegistry(spark, catalog = Some(catalog))
+    val gw = SqlGateway.start(registry, new Metrics(), identity)
+    try {
+      val port = gw.boundPort
+      val client = new HttpSqlClient(s"http://127.0.0.1:$port")
+      assert(client.query("SELECT 1 AS x").rows.head.getInt(0) == 1)
+      assert(registry.get(client.sessionKey).isDefined)
+      client.disconnect()
+      assert(registry.get(client.sessionKey).isEmpty,
+        "/bye must drop the session instead of waiting out the idle TTL")
+      client.disconnect() // already-reaped session: tolerated no-op
+      // a later request simply materializes a fresh session
+      assert(client.query("SELECT 2 AS x").rows.head.getInt(0) == 2)
+      assert(registry.get(client.sessionKey).isDefined)
+    } finally gw.stop()
+  }
+
   test("prepared lifecycle over the socket: prepare, exec with params, DML routing, close") {
     withGateway { (port, catalog) =>
       import org.apache.spark.sql.types._

@@ -111,6 +111,49 @@ class ClientPoolSpec extends SparkTestBase {
     assert(pool.idleConnections >= 1, "closed session returns its connection")
   }
 
+  test("a session closed with an OPEN transaction rolls back before pooling (r19 review)") {
+    val cat = graft.sources.MutableCatalog(spark)
+    cat.create("fl_txn_leak_t", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    val producer = new FlightSqlProducer(new SessionRegistry(spark, catalog = Some(cat)))
+    val pool = new FlightSqlPool(producer, PoolConfig(minIdle = 0, maxSize = 1))
+    val s = pool.acquireSession()
+    s.beginTransaction()
+    s.update("INSERT INTO fl_txn_leak_t VALUES (1, 1)")
+    s.close() // begin-without-end: release must roll the txn back
+    // the SAME connection (maxSize = 1) serves the next borrower: it
+    // must be in autocommit (no inherited open txn) and the staged
+    // insert must be gone
+    val c = pool.acquire()
+    assert(!producer.registry.getOrCreate(c.peer).inTransaction,
+      "pooled connection inherited an open transaction")
+    pool.release(c)
+    val n = pool.query("SELECT COUNT(*) AS c FROM fl_txn_leak_t").rows.head.getLong(0)
+    assert(n == 0, s"staged insert from the abandoned txn leaked: $n rows")
+    // and an autocommit write on the recycled connection works normally
+    pool.update("INSERT INTO fl_txn_leak_t VALUES (2, 2)")
+    assert(pool.query("SELECT COUNT(*) AS c FROM fl_txn_leak_t").rows.head.getLong(0) == 1)
+    cat.drop("fl_txn_leak_t")
+  }
+
+  test("a pooled update(BEGIN) cannot leak an open txn into the idle stack (r19 review)") {
+    val pool = newPool(PoolConfig(minIdle = 0, maxSize = 1))
+    pool.update("BEGIN") // returns the connection with release()
+    val c = pool.acquire()
+    assert(!c.producer.registry.getOrCreate(c.peer).inTransaction,
+      "update(BEGIN) left the pooled connection inside a transaction")
+    pool.release(c)
+  }
+
+  test("a failed connect healthcheck releases the handshake session (r19 review)") {
+    val producer = new FlightSqlProducer(new SessionRegistry(spark))
+    intercept[IllegalArgumentException](
+      FlightSqlClient.connect(producer, peer = "hc-fail-peer",
+        healthcheckSql = "SELECT * FROM no_such_table_hc"))
+    assert(producer.registry.get("hc-fail-peer").isEmpty,
+      "failed connect must not leak its registry session")
+  }
+
   test("concurrent pooled clients mutate and read the shared micro-lake consistently") {
     val cat = graft.sources.MutableCatalog(spark)
     cat.create("fl_conc_t", StructType(Seq(

@@ -110,6 +110,35 @@ class Round19OpsSpec extends SparkTestBase {
     assert(r.isNullAt(4), "d1 = 0 must yield NULL, not NaN/Inf")
   }
 
+  test("corr4 registry siting: per-month tau_b over (daily count, daily revenue)") {
+    import spark.implicits._
+    val dir = tmp("corr4m")
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // Jan 1995 daily series: day1 (1 order, 10.0), day2 (2 orders, 15.0),
+    // day3 (2 orders, 20.0) -> x=(1,2,2), y=(10,15,20): pairs (1,2) +1,
+    // (1,3) +1, (2,3) x-tie -> S=2, tie_x=1, tie_y=0,
+    // tau = 2*2/sqrt((6-2)*6) = 4/sqrt(24). Mar 1995: one day -> no
+    // pairs, d1=0 -> NULL tau (the 1-day-month left-join leg).
+    Seq(
+      (1L, ts("1995-01-01T00:00:00Z"), 10.0),
+      (2L, ts("1995-01-02T00:00:00Z"), 5.0),
+      (3L, ts("1995-01-02T01:00:00Z"), 10.0),
+      (4L, ts("1995-01-03T00:00:00Z"), 8.0),
+      (5L, ts("1995-01-03T02:00:00Z"), 12.0),
+      (6L, ts("1995-03-10T00:00:00Z"), 50.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val out = Analytics.kendallMonthly(spark, dir).collect()
+    assert(out.length == 2, s"two months expected: ${out.toSeq}")
+    val jan = out(0); val mar = out(1)
+    assert(jan.getLong(0) == 1995L * 12) // Jan 1995 month index
+    assert((jan.getLong(1), jan.getLong(2), jan.getLong(3), jan.getLong(4)) ==
+      (3L, 2L, 1L, 0L), s"jan: $jan")
+    assert(jan.getDouble(5) == rnd9(4.0 / math.sqrt(24.0)), s"tau ${jan.getDouble(5)}")
+    assert(mar.getLong(0) == 1995L * 12 + 2 && mar.getLong(1) == 1L)
+    assert(mar.getLong(2) == 0L && mar.isNullAt(5), s"1-day month: $mar")
+  }
+
   test("corr4: randomized brute-force equivalence (fixed seed)") {
     val rnd = new scala.util.Random(20260816L)
     (1 to 5).foreach { _ =>
