@@ -3161,7 +3161,16 @@ object Analytics {
       .filter(col("day").isNotNull)
       .groupBy(col("day")).agg(sum(col("pm").cast(Exact.D380)).as("yv"))
       .filter(col("yv").isNotNull)
-    val joined = ev.join(or, "day")
+    spearmanOf(ev.join(or, "day"))
+  }
+
+  /** Shared Spearman tail over a (day, xv, yv) daily frame — doubled
+    * average ranks (exact integers via exp4's trick), Pearson over the
+    * doubled ranks from exact integer power sums, stat2's fixed IEEE
+    * tail. Used by [[spearmanDaily]] (cross-table fixture variant) and
+    * [[spearmanOrders]] (the registry siting).
+    */
+  private def spearmanOf(joined: DataFrame): DataFrame = {
     def r2(v: String) = // doubled average rank: 2*rank + (tiecount - 1)
       rank().over(Window.orderBy(col(v))) * 2 +
         count(lit(1)).over(Window.partitionBy(col(v))) - 1
@@ -3197,6 +3206,61 @@ object Analytics {
        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
        |  HAVING SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) IS NOT NULL),
        |j AS (SELECT ev.day, xv, yv FROM ev JOIN orr ON ev.day = orr.day),
+       |ranked AS (
+       |  SELECT day,
+       |    CAST(2 * rank() OVER (ORDER BY xv) + COUNT(*) OVER (PARTITION BY xv) - 1 AS BIGINT) AS rx,
+       |    CAST(2 * rank() OVER (ORDER BY yv) + COUNT(*) OVER (PARTITION BY yv) - 1 AS BIGINT) AS ry
+       |  FROM j),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+       |    CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+       |    CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+       |    CAST(SUM(ry * ry) AS BIGINT) AS syy
+       |  FROM ranked)
+       |SELECT n_days,
+       |  CASE WHEN n_days < 2
+       |         OR CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+       |         OR CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
+       |    THEN NULL ELSE ${Exact.sqlDround(
+           """(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |       / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |          * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin, 9)}
+       |  END AS spearman_rho
+       |FROM agg""".stripMargin
+
+  /** corr3 registry siting (r19, the corr4 discipline): the
+    * events×orders day join is EMPTY on the testdata calendars
+    * (2025-era event timestamps vs 1992–1998 order dates), so the
+    * registry row was a degenerate n=0 / NULL-ρ match — both engines
+    * agreeing on nothing. Re-sited on series that overlap BY
+    * CONSTRUCTION: Spearman ρ between daily ORDER COUNT and daily
+    * ORDER REVENUE across the full orders calendar (~2.4k days; the
+    * integer counts carry heavy ties, so the doubled-average-rank leg
+    * is exercised for real). [[spearmanDaily]] stays as the cross-table
+    * variant the hand fixtures anchor; both ride [[spearmanOf]].
+    */
+  def spearmanOrders(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    def day(c: Column) = expr(s"(unix_micros(${c.toString}) - pmod(unix_micros(${c.toString}), $dayUs)) div $dayUs")
+    spearmanOf(t(s, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .select(day(col("o_orderdate")).as("day"), Exact.micros(col("o_totalprice")).as("pm"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("xv"), sum(col("pm").cast(Exact.D380)).as("yv")))
+  }
+
+  val spearmanOrdersSql: String =
+    s"""WITH j AS (
+       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+       |    COUNT(*) AS xv,
+       |    SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) AS yv
+       |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
        |ranked AS (
        |  SELECT day,
        |    CAST(2 * rank() OVER (ORDER BY xv) + COUNT(*) OVER (PARTITION BY xv) - 1 AS BIGINT) AS rx,
@@ -4202,7 +4266,410 @@ object Analytics {
        |FROM agg""".stripMargin
   }
 
+  // === ts11: fixed-grid periodogram of the daily revenue series ===========
+  /** ts11: spectral power of the mean-centered daily order revenue at
+    * candidate periods 2..14 days — the periodicity SCREEN that ts2's
+    * day-of-week profile assumes and ts10's lag-7 MASE hard-codes
+    * (weekly seasonality should dominate the grid; the scan proves it
+    * instead of presuming it). For period p: c = Σ_d v'_d·cos(2πd/p),
+    * s = Σ_d v'_d·sin(2πd/p), I(p) = (c² + s²)/n — the classical
+    * Schuster periodogram on a fixed grid. Exactness: v' = toUnits of
+    * the exact daily micros sum minus toUnits(exact total)/n — one IEEE
+    * sequence over correctly-rounded images; the cos/sin argument uses
+    * (d mod p)/p so the libm input stays in [0, 2π); each trig TERM is
+    * micros-rounded into Exact.dsum (the drift1/zipf1 libm-skew
+    * discipline — a 1-ulp cos divergence is ~1e-10 at these magnitudes,
+    * far under the rounding grain). Shape at 100 TB: ONE orders scan →
+    * calendar-bounded daily frame → ×13 periods via explode (bounded) →
+    * 13-row aggregate.
+    */
+  def periodogram(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    def day(c: Column) = expr(s"(unix_micros(${c.toString}) - pmod(unix_micros(${c.toString}), $dayUs)) div $dayUs")
+    val daily = t(s, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .select(day(col("o_orderdate")).as("day"), Exact.micros(col("o_totalprice")).as("pm"))
+      .groupBy(col("day")).agg(sum(col("pm").cast(Exact.D380)).as("vm"))
+    val wAll = Window.partitionBy()
+    val centered = daily
+      .withColumn("vtot", sum(col("vm")).over(wAll))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .select(col("day"), col("nd"),
+        (Exact.toUnits(col("vm")) - Exact.toUnits(col("vtot")) / col("nd").cast(DoubleType))
+          .as("vc"))
+    val theta = lit(2.0 * math.Pi) *
+      pmod(col("day"), col("p")).cast(DoubleType) / col("p").cast(DoubleType)
+    centered
+      .select(col("day"), col("nd"), col("vc"), explode(sequence(lit(2L), lit(14L))).as("p"))
+      .select(col("p"), col("nd"),
+        (col("vc") * cos(theta)).as("ct"), (col("vc") * sin(theta)).as("st"))
+      .groupBy(col("p"))
+      .agg(max(col("nd")).cast(LongType).as("n_days"),
+        Exact.dsum(col("ct")).as("cs"), Exact.dsum(col("st")).as("ss"))
+      .select(col("p").as("period_days"), col("n_days"),
+        Exact.dround(col("cs"), 6).as("cos_sum"),
+        Exact.dround(col("ss"), 6).as("sin_sum"),
+        Exact.dround((col("cs") * col("cs") + col("ss") * col("ss"))
+          / col("n_days").cast(DoubleType), 4).as("power"))
+      .orderedSmall(col("period_days"))
+  }
+
+  val periodogramSql: String =
+    s"""WITH d AS (
+       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+       |    SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) AS vm
+       |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+       |c AS (
+       |  SELECT day, COUNT(*) OVER () AS nd,
+       |    CAST(vm AS DOUBLE) / 1000000.0
+       |      - (CAST(SUM(vm) OVER () AS DOUBLE) / 1000000.0) / (COUNT(*) OVER ()) AS vc
+       |  FROM d),
+       |terms AS (
+       |  SELECT p, nd,
+       |    vc * cos(2 * pi() * CAST(day % p AS DOUBLE) / CAST(p AS DOUBLE)) AS ct,
+       |    vc * sin(2 * pi() * CAST(day % p AS DOUBLE) / CAST(p AS DOUBLE)) AS st
+       |  FROM c CROSS JOIN (SELECT UNNEST(generate_series(2, 14)) AS p) g),
+       |agg AS (
+       |  SELECT p, CAST(MAX(nd) AS BIGINT) AS n_days,
+       |    ${Exact.sqlDsum("ct")} AS cs, ${Exact.sqlDsum("st")} AS ss
+       |  FROM terms GROUP BY p)
+       |SELECT CAST(p AS BIGINT) AS period_days, n_days,
+       |  ${Exact.sqlDround("cs", 6)} AS cos_sum,
+       |  ${Exact.sqlDround("ss", 6)} AS sin_sum,
+       |  ${Exact.sqlDround("(cs * cs + ss * ss) / CAST(n_days AS DOUBLE)", 4)} AS power
+       |FROM agg ORDER BY period_days""".stripMargin
+
+  // === dq4: Cramér's V field association ===================================
+  /** dq4: Cramér's V between o_orderpriority and o_orderstatus — the
+    * categorical-association strength the prof2 numeric correlation
+    * matrix has no analogue for (a data-contract audit flags field
+    * pairs whose V drifts; independence reads ~0). χ² over the exact
+    * contingency counts with expected = row·col/n (IEEE from exact
+    * longs, micros-rounded terms into Exact.dsum);
+    * V = √(χ²/(n·(min(r,c)−1))). Degenerate tables (either field
+    * constant) read NULL. Shape at 100 TB: ONE orders scan → (r×c)
+    * contingency cells (map-side combinable, vocabulary-bounded) →
+    * bounded joins of the cell table with its own margins.
+    */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val observed = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("a"), col("o_orderstatus").as("b"))
+      .agg(count(lit(1)).as("c"))
+      // the grid zero-fill feeds margins, dims, AND the term join —
+      // eager localCheckpoint pays the orders scan once (drift2 pattern)
+      .localCheckpoint()
+    val ra = observed.groupBy(col("a")).agg(sum(col("c")).as("ra"))
+    val cb = observed.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    // ZERO-FILL the r×c grid (the drift2 discipline): χ² sums over
+    // EVERY cell of the contingency table — an unobserved (a, b) pair
+    // still contributes (0−exp)²/exp, and dropping those cells is the
+    // classic underestimate (a perfect 2×2 association would read
+    // V ≈ 0.71 instead of 1)
+    val cells = ra.select(col("a")).crossJoin(cb.select(col("b")))
+      .join(observed, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val dims = observed.agg(countDistinct(col("a")).as("r_levels"),
+      countDistinct(col("b")).as("c_levels"), sum(col("c")).as("n"))
+    val exp = col("ra").cast(DoubleType) * col("cb").cast(DoubleType) / col("n").cast(DoubleType)
+    val obs = col("c").cast(DoubleType)
+    cells.join(ra, "a").join(cb, "b").crossJoin(broadcast(dims))
+      .select(col("r_levels"), col("c_levels"), col("n"),
+        ((obs - exp) * (obs - exp) / exp).as("term"))
+      .groupBy(col("r_levels"), col("c_levels"), col("n"))
+      .agg(Exact.dsum(col("term")).as("chi2"))
+      .select(col("n").cast(LongType).as("n_orders"),
+        col("r_levels"), col("c_levels"),
+        Exact.dround(col("chi2"), 6).as("chi2"),
+        when(least(col("r_levels"), col("c_levels")) < 2, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(sqrt(col("chi2") / (col("n").cast(DoubleType)
+            * (least(col("r_levels"), col("c_levels")) - 1).cast(DoubleType))), 9))
+          .as("cramers_v"))
+  }
+
+  val cramersVSql: String =
+    s"""WITH observed AS (
+       |  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS c
+       |  FROM orders GROUP BY 1, 2),
+       |ra AS (SELECT a, SUM(c) AS ra FROM observed GROUP BY 1),
+       |cb AS (SELECT b, SUM(c) AS cb FROM observed GROUP BY 1),
+       |cells AS (
+       |  SELECT ra.a, cb.b, COALESCE(observed.c, 0) AS c
+       |  FROM ra CROSS JOIN cb
+       |  LEFT JOIN observed ON observed.a = ra.a AND observed.b = cb.b),
+       |dims AS (SELECT COUNT(DISTINCT a) AS r_levels, COUNT(DISTINCT b) AS c_levels,
+       |                SUM(c) AS n FROM observed),
+       |terms AS (
+       |  SELECT r_levels, c_levels, n,
+       |    (CAST(c AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+       |    * (CAST(c AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+       |    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+       |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN dims),
+       |agg AS (
+       |  SELECT r_levels, c_levels, n, ${Exact.sqlDsum("term")} AS chi2
+       |  FROM terms GROUP BY 1, 2, 3)
+       |SELECT CAST(n AS BIGINT) AS n_orders,
+       |  CAST(r_levels AS BIGINT) AS r_levels, CAST(c_levels AS BIGINT) AS c_levels,
+       |  ${Exact.sqlDround("chi2", 6)} AS chi2,
+       |  CASE WHEN LEAST(r_levels, c_levels) < 2 THEN NULL
+       |       ELSE ${Exact.sqlDround(
+             "sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(LEAST(r_levels, c_levels) - 1 AS DOUBLE)))", 9)}
+       |  END AS cramers_v
+       |FROM agg""".stripMargin
+
+  // === exp6: effect size of the exp1 experiment ============================
+  /** exp6: Cohen's d (pooled-SD standardized mean difference) with the
+    * Hedges small-sample correction between exp1's md5-coin arms on
+    * per-user purchase totals — the MAGNITUDE readout completing the
+    * experiment battery (exp1 rates, exp4 nonparametric significance,
+    * exp5 parametric significance; a significant-but-tiny effect is the
+    * decision trap d exists to catch). The SAME 'exp1'-salted coin, the
+    * SAME per-user exact moments as exp5; d, pooled SD, and
+    * g = d·(1 − 3/(4N−9)) are one fixed IEEE sequence. Degenerate arms
+    * (n < 2 or zero pooled variance) read NULL.
+    * Shape at 100 TB: one events scan → user aggregate (map-side
+    * combinable) → ONE conditional-aggregation row; no window, no join.
+    */
+  def effectSize(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", Exact.micros(col("value"))).otherwise(0L).as("vm"))
+      .groupBy(col("user_id")).agg(sum(col("vm")).as("x"))
+    val a = TextAnalysis.md5Frac(lit("exp1"), col("user_id")) < 0.5
+    val xd = col("x").cast(Exact.D380)
+    val m = perUser.agg(
+      coalesce(sum(when(a, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(!a, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+      sum(when(a, xd).otherwise(lit(0).cast(Exact.D380))).as("sxa"),
+      sum(when(!a, xd).otherwise(lit(0).cast(Exact.D380))).as("sxb"),
+      sum(when(a, xd * xd).otherwise(lit(0).cast(Exact.D380))).as("sxxa"),
+      sum(when(!a, xd * xd).otherwise(lit(0).cast(Exact.D380))).as("sxxb"))
+    def units(c: Column) = Exact.toUnits(c)
+    def units2(c: Column) = c.cast(DoubleType) / lit(1000000000000.0)
+    m.select({
+      val na = col("n_a").cast(DoubleType); val nb = col("n_b").cast(DoubleType)
+      val ma = units(col("sxa")) / na; val mb = units(col("sxb")) / nb
+      val ssa = units2(col("sxxa")) - units(col("sxa")) * units(col("sxa")) / na
+      val ssb = units2(col("sxxb")) - units(col("sxb")) * units(col("sxb")) / nb
+      val sp2 = (ssa + ssb) / (na + nb - 2.0)
+      val d = (ma - mb) / sqrt(sp2)
+      val g = d * (lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9.0))
+      val degenerate = col("n_a") < 2 || col("n_b") < 2 || sp2 <= 0.0
+      Seq(col("n_a"), col("n_b"),
+        when(degenerate, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(ma - mb, 6)).as("mean_diff"),
+        when(degenerate, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(sqrt(sp2), 6)).as("pooled_sd"),
+        when(degenerate, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(d, 9)).as("cohens_d"),
+        when(degenerate, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(g, 9)).as("hedges_g"))
+    }: _*)
+  }
+
+  val effectSizeSql: String = {
+    val coin = TextAnalysis.sqlMd5Frac("'exp1'", "CAST(user_id AS VARCHAR)")
+    val micros = Exact.sqlMicros("value")
+    def u(c: String) = Exact.sqlToUnits(c)
+    def u2(c: String) = s"(CAST(CAST($c AS VARCHAR) AS DOUBLE)/1000000000000.0)"
+    val na = "CAST(n_a AS DOUBLE)"; val nb = "CAST(n_b AS DOUBLE)"
+    val ma = s"(${u("sxa")} / $na)"; val mb = s"(${u("sxb")} / $nb)"
+    val ssa = s"(${u2("sxxa")} - ${u("sxa")} * ${u("sxa")} / $na)"
+    val ssb = s"(${u2("sxxb")} - ${u("sxb")} * ${u("sxb")} / $nb)"
+    val sp2 = s"(($ssa + $ssb) / ($na + $nb - 2.0))"
+    val d = s"(($ma - $mb) / sqrt($sp2))"
+    val g = s"($d * (1.0 - 3.0 / (4.0 * ($na + $nb) - 9.0)))"
+    val degen = s"(n_a < 2 OR n_b < 2 OR $sp2 <= 0.0)"
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN $micros ELSE 0 END) AS x
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT
+       |    COALESCE(SUM(CASE WHEN $coin < 0.5 THEN 1 ELSE 0 END), 0) AS n_a,
+       |    COALESCE(SUM(CASE WHEN $coin < 0.5 THEN 0 ELSE 1 END), 0) AS n_b,
+       |    SUM(CASE WHEN $coin < 0.5 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxa,
+       |    SUM(CASE WHEN $coin < 0.5 THEN 0 ELSE CAST(x AS HUGEINT) END) AS sxb,
+       |    SUM(CASE WHEN $coin < 0.5 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxxa,
+       |    SUM(CASE WHEN $coin < 0.5 THEN 0 ELSE CAST(x AS HUGEINT) * x END) AS sxxb
+       |  FROM pu)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CASE WHEN $degen THEN NULL ELSE ${Exact.sqlDround(s"($ma - $mb)", 6)} END AS mean_diff,
+       |  CASE WHEN $degen THEN NULL ELSE ${Exact.sqlDround(s"sqrt($sp2)", 6)} END AS pooled_sd,
+       |  CASE WHEN $degen THEN NULL ELSE ${Exact.sqlDround(d, 9)} END AS cohens_d,
+       |  CASE WHEN $degen THEN NULL ELSE ${Exact.sqlDround(g, 9)} END AS hedges_g
+       |FROM m""".stripMargin
+  }
+
+  // === imp3: post-stratified estimator =====================================
+  /** imp3: the post-stratified expansion of imp2's survey — the SAME
+    * 'imp2'-salted 20% order coin, with the sample means re-weighted by
+    * the KNOWN per-stratum population counts (strata = order priority):
+    * ŷ_post = Σ_h N_h·ȳ_s,h. The classic fix when a sample lands
+    * unevenly across strata; an empty sampled stratum contributes
+    * nothing and is COUNTED (`n_empty_strata` — the no-silent-caps
+    * record). All counts and sums are exact integers until the final
+    * divisions; per-stratum contributions are micros-rounded into
+    * Exact.dsum. Shape at 100 TB: ONE orders scan → priority-bounded
+    * stratum aggregate → one summary row.
+    */
+  def postStratified(s: SparkSession, dir: String): DataFrame = {
+    val f = 0.2
+    val strata = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("h"),
+        Exact.micros(col("o_totalprice")).as("ym"),
+        (TextAnalysis.md5Frac(lit("imp2"), col("o_orderkey")) < f).as("in_s"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(when(col("in_s"), 1L).otherwise(0L)).as("n_sh"),
+        sum(col("ym").cast(Exact.D380)).as("y_true_h"),
+        sum(when(col("in_s"), col("ym")).otherwise(0L).cast(Exact.D380)).as("y_sh"))
+    val contrib = when(col("n_sh") === 0, lit(0.0))
+      .otherwise(col("n_h").cast(DoubleType) * Exact.toUnits(col("y_sh"))
+        / col("n_sh").cast(DoubleType))
+    strata
+      .select(col("n_h"), col("n_sh"), col("y_true_h"), col("y_sh"), contrib.as("contrib"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(when(col("n_sh") === 0, 1L).otherwise(0L)).as("n_empty_strata"),
+        sum(col("n_h")).cast(LongType).as("n_orders"),
+        sum(col("n_sh")).cast(LongType).as("n_sample"),
+        sum(col("y_true_h")).as("y_true_m"),
+        sum(col("y_sh")).as("y_sample_m"),
+        Exact.dsum(col("contrib")).as("y_post"))
+      .select(col("n_strata"), col("n_empty_strata"), col("n_orders"), col("n_sample"),
+        Exact.toUnits(col("y_true_m")).as("y_true"),
+        (Exact.toUnits(col("y_sample_m")) / f).as("y_ht"),
+        col("y_post"),
+        when(col("y_true_m") === 0, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(abs(col("y_post") - Exact.toUnits(col("y_true_m")))
+            / Exact.toUnits(col("y_true_m")), 9)).as("post_rel_err"))
+  }
+
+  val postStratifiedSql: String = {
+    val f = "0.2"
+    val yT = "(CAST(y_true_m AS DOUBLE) / 1000000.0)"
+    s"""WITH strata AS (
+       |  SELECT o_orderpriority AS h, COUNT(*) AS n_h,
+       |    SUM(CASE WHEN ${TextAnalysis.sqlMd5Frac("'imp2'", "o_orderkey")} < $f
+       |             THEN 1 ELSE 0 END) AS n_sh,
+       |    SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) AS y_true_h,
+       |    SUM(CASE WHEN ${TextAnalysis.sqlMd5Frac("'imp2'", "o_orderkey")} < $f
+       |             THEN CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)
+       |             ELSE 0 END) AS y_sh
+       |  FROM orders GROUP BY 1),
+       |terms AS (
+       |  SELECT n_h, n_sh, y_true_h, y_sh,
+       |    CASE WHEN n_sh = 0 THEN 0.0
+       |         ELSE CAST(n_h AS DOUBLE) * (CAST(y_sh AS DOUBLE) / 1000000.0)
+       |              / CAST(n_sh AS DOUBLE) END AS contrib
+       |  FROM strata),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+       |    CAST(SUM(CASE WHEN n_sh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_strata,
+       |    CAST(SUM(n_h) AS BIGINT) AS n_orders,
+       |    CAST(SUM(n_sh) AS BIGINT) AS n_sample,
+       |    SUM(y_true_h) AS y_true_m, SUM(y_sh) AS y_sample_m,
+       |    ${Exact.sqlDsum("contrib")} AS y_post
+       |  FROM terms)
+       |SELECT n_strata, n_empty_strata, n_orders, n_sample,
+       |  $yT AS y_true,
+       |  (CAST(y_sample_m AS DOUBLE) / 1000000.0) / $f AS y_ht,
+       |  y_post,
+       |  CASE WHEN y_true_m = 0 THEN NULL
+       |       ELSE ${Exact.sqlDround(s"ABS(y_post - $yT) / $yT", 9)} END AS post_rel_err
+       |FROM agg""".stripMargin
+  }
+
+  // === ev28: per-state conditional entropy of the behavior chain ==========
+  /** ev28: per-state conditional entropy of ev10's transition matrix —
+    * H(next|prev=s) = −Σ_t P(t|s)·ln P(t|s), with each state's share of
+    * all transitions alongside (so Σ_s share·H(·|s) IS the empirical
+    * entropy rate of the behavior chain — the sequence-compressibility
+    * number that sizes a behavior-cloning vocabulary; ev26 is the
+    * i.i.d. analogue per user). Same (epoch-micros, event_id) ordering
+    * convention as ev10; p is one IEEE division of exact counts, terms
+    * micros-rounded into Exact.dsum. Shape at 100 TB: one events scan →
+    * user-keyed lag window → vocabulary²-bounded count table → bounded
+    * window sums.
+    */
+  def entropyRate(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(seq))
+      .filter(col("prev_type").isNotNull)
+    val c2 = pairs.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_from", sum(col("n_pairs")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("n_all", sum(col("n_pairs")).over(Window.partitionBy()))
+    val p = col("n_pairs").cast(DoubleType) / col("n_from").cast(DoubleType)
+    c2.select(col("prev_type"), col("n_from"), col("n_all"), (-p * log(p)).as("term"))
+      .groupBy(col("prev_type"))
+      .agg(max(col("n_from")).cast(LongType).as("n_out"),
+        Exact.dround(max(col("n_from")).cast(DoubleType)
+          / max(col("n_all")).cast(DoubleType), 9).as("out_share"),
+        Exact.dsum(col("term")).as("cond_entropy"))
+      .orderedSmall(col("prev_type"))
+  }
+
+  val entropyRateSql: String =
+    s"""WITH seqd AS (
+       |  SELECT user_id, event_type,
+       |    LAG(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+       |  FROM events),
+       |c2 AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n_pairs
+       |       FROM seqd WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |w AS (SELECT *, SUM(n_pairs) OVER (PARTITION BY prev_type) AS n_from,
+       |             SUM(n_pairs) OVER () AS n_all
+       |      FROM c2),
+       |terms AS (
+       |  SELECT prev_type, n_from, n_all,
+       |    -(CAST(n_pairs AS DOUBLE) / CAST(n_from AS DOUBLE))
+       |      * ln(CAST(n_pairs AS DOUBLE) / CAST(n_from AS DOUBLE)) AS term
+       |  FROM w)
+       |SELECT prev_type, CAST(MAX(n_from) AS BIGINT) AS n_out,
+       |  ${Exact.sqlDround("CAST(MAX(n_from) AS DOUBLE) / CAST(MAX(n_all) AS DOUBLE)", 9)}
+       |    AS out_share,
+       |  ${Exact.sqlDsum("term")} AS cond_entropy
+       |FROM terms GROUP BY prev_type ORDER BY prev_type""".stripMargin
+
+  // === smp6: hash-interval systematic sample ===============================
+  /** smp6: systematic sampling in hash space — documents whose md5
+    * bucket (of 10 000) falls on the every-7th interval grid are kept,
+    * the deterministic equal-spaced design survey practice prefers over
+    * Bernoulli coins when the frame order is arbitrary (hash space IS
+    * the frame order here, so the technique is map-only and scale-free
+    * — no global row_number sort, which would single-task at 100 TB;
+    * the smp5 reservoir covers the exact-k case instead). Expected
+    * rate = ceil(10000/7)/10000 ≈ 14.29%.
+    */
+  def systematicSample(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 10000L
+    val bucket = floor(TextAnalysis.md5Frac(lit("smp6"), col("doc_id")) * buckets)
+      .cast(LongType)
+    t(s, dir, "documents")
+      .select(col("doc_id"), bucket.as("hash_bucket"))
+      .filter(pmod(col("hash_bucket"), lit(7L)) === 0)
+      .orderedSmall(col("doc_id"))
+  }
+
+  val systematicSampleSql: String =
+    s"""SELECT doc_id,
+       |  CAST(FLOOR(${TextAnalysis.sqlMd5Frac("'smp6'", "doc_id")} * 10000) AS BIGINT)
+       |    AS hash_bucket
+       |FROM documents
+       |WHERE CAST(FLOOR(${TextAnalysis.sqlMd5Frac("'smp6'", "doc_id")} * 10000) AS BIGINT)
+       |      % 7 = 0
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts11_periodogram" -> periodogram _,
+    "dq4_cramers_v" -> cramersV _,
+    "exp6_effect_size" -> effectSize _,
+    "imp3_poststratified" -> postStratified _,
+    "ev28_entropy_rate" -> entropyRate _,
+    "smp6_systematic_sample" -> systematicSample _,
     "bs2_jackknife_se" -> jackknifeVariance _,
     "ev27_kaplan_meier" -> kaplanMeier _,
     "ts10_seasonal_mase" -> seasonalNaiveMase _,
@@ -4213,7 +4680,7 @@ object Analytics {
     "ev26_type_entropy" -> typeEntropy _,
     "exp5_welch_t" -> welchTTest _,
     "ts9_mann_kendall" -> mannKendall _,
-    "corr3_spearman_daily" -> spearmanDaily _,
+    "corr3_spearman_daily" -> spearmanOrders _,
     "ev25_markov_stationary" -> ((s: SparkSession, d: String) => markovStationary(s, d)),
     "cal3_calibration_error" -> calibrationError _,
     "fd3_inclusion_deps" -> inclusionDeps _,
@@ -4268,6 +4735,12 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "ts11_periodogram" -> periodogramSql,
+    "dq4_cramers_v" -> cramersVSql,
+    "exp6_effect_size" -> effectSizeSql,
+    "imp3_poststratified" -> postStratifiedSql,
+    "ev28_entropy_rate" -> entropyRateSql,
+    "smp6_systematic_sample" -> systematicSampleSql,
     "bs2_jackknife_se" -> jackknifeVarianceSql,
     "ev27_kaplan_meier" -> kaplanMeierSql,
     "ts10_seasonal_mase" -> seasonalNaiveMaseSql,
@@ -4278,7 +4751,7 @@ object Analytics {
     "ev26_type_entropy" -> typeEntropySql,
     "exp5_welch_t" -> welchTTestSql,
     "ts9_mann_kendall" -> mannKendallSql,
-    "corr3_spearman_daily" -> spearmanDailySql,
+    "corr3_spearman_daily" -> spearmanOrdersSql,
     "ev25_markov_stationary" -> markovStationarySql(),
     "cal3_calibration_error" -> calibrationErrorSql,
     "fd3_inclusion_deps" -> inclusionDepsSql,

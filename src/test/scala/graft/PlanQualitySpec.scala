@@ -428,10 +428,10 @@ class PlanQualitySpec extends SparkTestBase {
     val mk = operators.Analytics.mannKendall(spark, sfDir)
     assert(!planOf(mk).contains("Scan parquet"),
       "ts9 must not re-scan events: pairs and ties read the LocalRelation")
-    // corr3: ONE events scan + ONE orders scan into per-day aggregates;
-    // ranks and moments ride the day-bounded joined frame
-    val sp = operators.Analytics.spearmanDaily(spark, sfDir)
-    assert(countScans(sp) <= 2, s"corr3 scans: ${countScans(sp)}")
+    // corr3 (orders registry siting, r19): ONE orders scan into the
+    // per-day aggregate; ranks and moments ride the day-bounded frame
+    val sp = operators.Analytics.spearmanOrders(spark, sfDir)
+    assert(countScans(sp) <= 1, s"corr3 scans: ${countScans(sp)}")
     // fs1: ONE corpus scan; every total is a window over the SAME
     // vocabulary-bounded (token, source) chain (separate groupBys would
     // re-scan the corpus per consumer — the round-11 star-shape lesson)
@@ -522,6 +522,38 @@ class PlanQualitySpec extends SparkTestBase {
         "lm4" -> planOf(gt), "fd4" -> planOf(g3), "bs2" -> planOf(jk)).foreach {
       case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
     }
+  }
+
+  test("round-20 additions: scan counts bounded, checkpointed cells, no unbounded cartesians") {
+    // ts11: ONE orders scan; centering windows + the 13-period explode
+    // ride the calendar-bounded daily frame
+    val pg = operators.Analytics.periodogram(spark, sfDir)
+    assert(countScans(pg) <= 1, s"ts11 scans: ${countScans(pg)}")
+    assert(!planOf(pg).contains("CartesianProduct"), "ts11 degenerated to a cartesian")
+    // dq4: the contingency cells are checkpointed at construction (the
+    // drift2 pattern) — the OUTPUT plan re-scans nothing; its crossJoins
+    // pair the vocabulary-bounded margins and the 1-row dims, sanctioned
+    val cv = operators.Analytics.cramersV(spark, sfDir)
+    assert(!planOf(cv).contains("Scan parquet"),
+      "dq4 must read the checkpointed cells, not re-scan orders")
+    // exp6: ONE events scan into the user aggregate, then one
+    // conditional-aggregation row — the exp5 shape (no join, no window)
+    val es = operators.Analytics.effectSize(spark, sfDir)
+    assert(countScans(es) <= 1, s"exp6 scans: ${countScans(es)}")
+    assert(!planOf(es).contains("CartesianProduct"), "exp6 degenerated to a cartesian")
+    // imp3: ONE orders scan -> priority-bounded stratum aggregate
+    val ps2 = operators.Analytics.postStratified(spark, sfDir)
+    assert(countScans(ps2) <= 1, s"imp3 scans: ${countScans(ps2)}")
+    assert(!planOf(ps2).contains("CartesianProduct"), "imp3 degenerated to a cartesian")
+    // ev28: ONE events scan -> lag window -> vocab²-bounded count table
+    val er = operators.Analytics.entropyRate(spark, sfDir)
+    assert(countScans(er) <= 1, s"ev28 scans: ${countScans(er)}")
+    assert(!planOf(er).contains("CartesianProduct"), "ev28 degenerated to a cartesian")
+    // smp6: map-only hash-interval filter — ONE scan, no exchange other
+    // than the bounded output sort
+    val ss = operators.Analytics.systematicSample(spark, sfDir)
+    assert(countScans(ss) <= 1, s"smp6 scans: ${countScans(ss)}")
+    // corr3 orders siting: covered in the round-18 block (spearmanOrders)
   }
 
   test("df-cap guard: filter runs below the pair join and adds ZERO exchanges") {
