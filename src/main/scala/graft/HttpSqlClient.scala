@@ -123,9 +123,23 @@ final class HttpSqlClient(baseUrl: String,
 
   /** Release the server session eagerly via /bye (best-effort — the
     * server also reaps by idle timeout, so a lost request only delays
-    * the cleanup it used to wait for unconditionally).
+    * the cleanup it used to wait for unconditionally). Fire-and-forget:
+    * rides SHORT timeouts (r19 review — a wedged server must not stall
+    * a CLI exit for the 120 s long-query read timeout).
     */
   def disconnect(): Unit =
-    try { postTo(baseUrl.stripSuffix("/") + "/bye", ""); () }
-    catch { case _: Throwable => () }
+    try {
+      val conn = new URL(baseUrl.stripSuffix("/") + "/bye")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(2000)
+      conn.setReadTimeout(2000)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("X-Graft-Session", sessionKey)
+      try {
+        conn.getOutputStream.write(Array.empty[Byte])
+        conn.getResponseCode
+        ()
+      } finally conn.disconnect()
+    } catch { case _: Throwable => () }
 }

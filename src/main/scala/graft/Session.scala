@@ -509,8 +509,13 @@ final class Session(val id: String, val spark: SparkSession,
 
   def rollback(): Unit = stmtLock.synchronized {
     touch()
-    txn.foreach(x => catalog.foreach(_.rollbackTxn(x)))
-    txn = None; txnActive = false; txnAborted = false; txnToken = None
+    // leave the transaction even if rollbackTxn throws (r19 review —
+    // commit() already had this): a failed staged-manifest cleanup must
+    // not strand the session txnActive, where the NEXT statement would
+    // stage into a transaction nobody can ever end (staged files leak
+    // to the vacuum sweep instead, the lesser evil)
+    try txn.foreach(x => catalog.foreach(_.rollbackTxn(x)))
+    finally { txn = None; txnActive = false; txnAborted = false; txnToken = None }
   }
 }
 

@@ -258,10 +258,19 @@ final class FlightSqlPool(producer: FlightSqlProducer,
     */
   def release(client: FlightSqlClient, hadError: Boolean = false): Unit = {
     var suspect = hadError
-    try {
-      val s = client.producer.registry.getOrCreate(client.peer)
-      if (s.inTransaction) s.rollback()
-    } catch { case _: Throwable => suspect = true }
+    // probe with get, NOT getOrCreate (r19 review): a reaped session
+    // must not be re-created just to read a flag — and at the registry
+    // cap getOrCreate THROWS, which would falsely mark a healthy
+    // connection suspect. A missing session trivially has no open
+    // transaction. rollback() clears the txn state even when the
+    // catalog's staged cleanup throws (Session.rollback's try/finally),
+    // so a throw here means a cleanup failure on an already-ended txn —
+    // flag it and let the healthcheck-or-drop path decide.
+    client.producer.registry.get(client.peer).foreach { s =>
+      if (s.inTransaction) {
+        try s.rollback() catch { case _: Throwable => suspect = true }
+      }
+    }
     if (suspect && !client.healthcheck(config.healthcheckSql)) {
       client.disconnect()
       total.decrementAndGet()

@@ -3639,6 +3639,46 @@ object Analytics {
     * — the LocalRelation tier, so the pair join never touches a
     * corpus-scale table); the τ value is one sqrt + one division.
     */
+  /** Shared τ_b core over a (m, day, xv, yv) frame — ONE definition of
+    * the concordance sum, doubled tie-pair counts, and the dround-9 τ
+    * formula (r19 review: an inlined copy in the monthly variant could
+    * silently desync from the daily one and break oracle parity, the
+    * Exact.scala warning class). Per group m: S via the day-ordered
+    * pair join, n₀/n₁/n₂ kept DOUBLED (n(n−1), tt(tt−1)) so every
+    * value is an exact integer without a /2 — the √ divides the
+    * product by 2·2. A 1-day group has no pairs: S is 0, τ is NULL.
+    * [[kendallDaily]] runs it with a constant group;
+    * [[kendallMonthly]] groups by calendar month.
+    */
+  private def kendallOf(base: DataFrame): DataFrame = {
+    def sgn(a: Column, b: Column) =
+      when(b > a, lit(1L)).when(b < a, lit(-1L)).otherwise(lit(0L))
+    val sStat = base.as("a").join(base.as("b"),
+        col("a.m") === col("b.m") && col("a.day") < col("b.day"))
+      .groupBy(col("a.m").as("m"))
+      .agg(sum(sgn(col("a.xv"), col("b.xv")) * sgn(col("a.yv"), col("b.yv"))).as("s_stat"))
+    def tiePairs(v: String, out: String) = base.groupBy(col("m"), col(v))
+      .agg(count(lit(1)).as("tt"))
+      .groupBy(col("m"))
+      .agg(coalesce(sum(col("tt") * (col("tt") - 1)), lit(0L)).as(out))
+    val n = col("n_days")
+    base.groupBy(col("m")).agg(count(lit(1)).as("n_days"))
+      .join(sStat, Seq("m"), "left")
+      .join(tiePairs("xv", "tx2"), Seq("m"))
+      .join(tiePairs("yv", "ty2"), Seq("m"))
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("d1", n * (n - 1) - col("tx2"))
+      .withColumn("d2", n * (n - 1) - col("ty2"))
+      .select(col("m"), col("n_days"), col("s_stat"),
+        (col("tx2") / 2).cast(LongType).as("tie_pairs_x"),
+        (col("ty2") / 2).cast(LongType).as("tie_pairs_y"),
+        when(col("d1") <= 0 || col("d2") <= 0, lit(null).cast(DoubleType))
+          .otherwise(Exact.dround(
+            col("s_stat").cast(DoubleType) * 2.0 /
+              sqrt(col("d1").cast(DoubleType) * col("d2").cast(DoubleType)), 9))
+          .as("kendall_tau"))
+  }
+
   def kendallDaily(s: SparkSession, dir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val dayUs = 86400000000L
@@ -3660,34 +3700,12 @@ object Analytics {
       StructField("kendall_tau", DoubleType)))
     if (daily.length < 2)
       return s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
-    val baseSchema = StructType(Seq(StructField("day", LongType),
+    val baseSchema = StructType(Seq(StructField("m", LongType), StructField("day", LongType),
       StructField("xv", Exact.D380), StructField("yv", Exact.D380)))
     val base = s.createDataFrame(
-      daily.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getDecimal(1), r.getDecimal(2)))
+      daily.map(r => org.apache.spark.sql.Row(0L, r.getLong(0), r.getDecimal(1), r.getDecimal(2)))
         .toSeq.asJava, baseSchema)
-    def sgn(a: Column, b: Column) =
-      when(b > a, lit(1L)).when(b < a, lit(-1L)).otherwise(lit(0L))
-    val sRow = base.as("a").join(base.as("b"), col("a.day") < col("b.day"))
-      .agg(coalesce(sum(sgn(col("a.xv"), col("b.xv")) * sgn(col("a.yv"), col("b.yv"))), lit(0L))
-        .as("s_stat"))
-    def tiePairs(v: String, out: String) = base.groupBy(col(v))
-      .agg(count(lit(1)).as("tt"))
-      .agg(coalesce(sum(col("tt") * (col("tt") - 1)), lit(0L)).as(out)) // doubled pair counts
-    val nRow = base.agg(count(lit(1)).as("n_days"))
-    val n = col("n_days")
-    nRow.crossJoin(sRow).crossJoin(tiePairs("xv", "tx2")).crossJoin(tiePairs("yv", "ty2"))
-      // n0/n1/n2 are kept DOUBLED (n(n−1), tt(tt−1)) so every value is an
-      // exact integer without a /2 — the √ divides the product by 2·2
-      .withColumn("d1", n * (n - 1) - col("tx2"))
-      .withColumn("d2", n * (n - 1) - col("ty2"))
-      .select(col("n_days"), col("s_stat"),
-        (col("tx2") / 2).cast(LongType).as("tie_pairs_x"),
-        (col("ty2") / 2).cast(LongType).as("tie_pairs_y"),
-        when(col("d1") <= 0 || col("d2") <= 0, lit(null).cast(DoubleType))
-          .otherwise(Exact.dround(
-            col("s_stat").cast(DoubleType) * 2.0 /
-              sqrt(col("d1").cast(DoubleType) * col("d2").cast(DoubleType)), 9))
-          .as("kendall_tau"))
+    kendallOf(base).drop("m")
   }
 
   val kendallDailySql: String =
@@ -3761,34 +3779,8 @@ object Analytics {
     val base = s.createDataFrame(
       daily.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
         .toSeq.asJava, baseSchema)
-    def sgn(a: Column, b: Column) =
-      when(b > a, lit(1L)).when(b < a, lit(-1L)).otherwise(lit(0L))
-    val sStat = base.as("a").join(base.as("b"),
-        col("a.m") === col("b.m") && col("a.day") < col("b.day"))
-      .groupBy(col("a.m").as("m"))
-      .agg(sum(sgn(col("a.xv"), col("b.xv")) * sgn(col("a.yv"), col("b.yv"))).as("s_stat"))
-    // doubled tie-pair counts (tt(tt−1)), exact integers without a /2
-    def tiePairs(v: String, out: String) = base.groupBy(col("m"), col(v))
-      .agg(count(lit(1)).as("tt"))
-      .groupBy(col("m"))
-      .agg(coalesce(sum(col("tt") * (col("tt") - 1)), lit(0L)).as(out))
-    val n = col("n_days")
-    base.groupBy(col("m")).agg(count(lit(1)).as("n_days"))
-      // left: a 1-day month has no pairs — S is 0, not a dropped row
-      .join(sStat, Seq("m"), "left")
-      .join(tiePairs("xv", "tx2"), Seq("m"))
-      .join(tiePairs("yv", "ty2"), Seq("m"))
-      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
-      .withColumn("d1", n * (n - 1) - col("tx2"))
-      .withColumn("d2", n * (n - 1) - col("ty2"))
-      .select(col("m").as("month_idx"), col("n_days"), col("s_stat"),
-        (col("tx2") / 2).cast(LongType).as("tie_pairs_x"),
-        (col("ty2") / 2).cast(LongType).as("tie_pairs_y"),
-        when(col("d1") <= 0 || col("d2") <= 0, lit(null).cast(DoubleType))
-          .otherwise(Exact.dround(
-            col("s_stat").cast(DoubleType) * 2.0 /
-              sqrt(col("d1").cast(DoubleType) * col("d2").cast(DoubleType)), 9))
-          .as("kendall_tau"))
+    kendallOf(base)
+      .withColumnRenamed("m", "month_idx")
       .orderedSmall(col("month_idx"))
   }
 
@@ -4651,7 +4643,10 @@ object Analytics {
     t(s, dir, "documents")
       .select(col("doc_id"), bucket.as("hash_bucket"))
       .filter(pmod(col("hash_bucket"), lit(7L)) === 0)
-      .orderedSmall(col("doc_id"))
+      // distributed range sort, NOT orderedSmall (r19 review): the kept
+      // set is ~14.3% of the corpus — data-proportional, so the
+      // coalesce(1) bounded-output helper would single-task it at scale
+      .orderBy(col("doc_id"))
   }
 
   val systematicSampleSql: String =

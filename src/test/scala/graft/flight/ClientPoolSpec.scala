@@ -145,6 +145,17 @@ class ClientPoolSpec extends SparkTestBase {
     pool.release(c)
   }
 
+  test("release() of a connection whose session was reaped does not re-create it (r19 review)") {
+    val producer = new FlightSqlProducer(new SessionRegistry(spark))
+    val pool = new FlightSqlPool(producer, PoolConfig(minIdle = 0, maxSize = 2))
+    val c = pool.acquire()
+    producer.registry.remove(c.peer) // the idle-reap sweep's effect
+    pool.release(c)
+    assert(producer.registry.get(c.peer).isEmpty,
+      "release must probe with get, not getOrCreate — no session re-created as a side effect")
+    assert(pool.idleConnections == 1, "the connection itself still returns to the pool")
+  }
+
   test("a failed connect healthcheck releases the handshake session (r19 review)") {
     val producer = new FlightSqlProducer(new SessionRegistry(spark))
     intercept[IllegalArgumentException](
