@@ -711,6 +711,7 @@ object Bench {
       "priv3_t_closeness", // eager localCheckpoint of the bounded QI counts
       "drift2_psi_monthly", // eager localCheckpoint of the bounded month counts
       "dq4_cramers_v", // eager localCheckpoint of the bounded contingency cells
+      "lm5_stupid_backoff", // eager 5-row checkpoint of the top unigrams
       "ev27_kaplan_meier", // bounded duration table collected; KM product in the driver
       "bs2_jackknife_se") // eager localCheckpoint of the 32-bucket aggregate
 

@@ -4626,6 +4626,72 @@ object Analytics {
        |  ${Exact.sqlDsum("term")} AS cond_entropy
        |FROM terms GROUP BY prev_type ORDER BY prev_type""".stripMargin
 
+  // === ev29: inter-arrival burstiness per user =============================
+  /** ev29: the Goh–Barabási burstiness coefficient of each user's
+    * inter-event gaps — B = (σ−μ)/(σ+μ) over the per-user inter-arrival
+    * times, the bot/automation fingerprint ev12's global histogram
+    * cannot see (B → −1 periodic cron-like traffic, B ≈ 0 Poisson,
+    * B → 1 heavy-tailed human bursts). Gaps are exact integer MICROS
+    * (the ev10 (epoch-micros, event_id) ordering convention); Σd and
+    * Σd² accumulate in DECIMAL(38,0) (a 30-day gap squares past int64),
+    * and σ/μ/B are one fixed IEEE sequence over the varchar-routed
+    * double images (the exp5 u2 discipline). Users with < 2 gaps or a
+    * σ+μ of zero read NULL. Shape at 100 TB: one events scan →
+    * user-keyed lag window → per-user moment aggregate (map-side
+    * combinable); per-user output, the ev13 contract.
+    */
+  def userBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gaps = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("d", col("us") - lag(col("us"), 1).over(seq))
+      .filter(col("d").isNotNull)
+    val dd = col("d").cast(Exact.D380)
+    val m = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(dd).as("sd"), sum(dd * dd).as("sdd"))
+    val n = col("n_gaps").cast(DoubleType)
+    // exact decimals -> double via the varchar-safe image (numbers this
+    // size round identically, but the cast route must match the oracle)
+    val sdD = col("sd").cast(DoubleType)
+    val sddD = col("sdd").cast(DoubleType)
+    val mu = sdD / n
+    // clamp at 0: near-constant gaps can cancel to -1e-10 and sqrt to
+    // NaN — a periodic user must read B = -1, not NaN
+    val variance = greatest(sddD / n - mu * mu, lit(0.0))
+    val sigma = sqrt(variance)
+    val b = (sigma - mu) / (sigma + mu)
+    m.select(col("user_id"), col("n_gaps"),
+      Exact.dround(mu / 1000000.0, 6).as("mean_gap_sec"),
+      when(col("n_gaps") < 2 || (sigma + mu) <= 0.0, lit(null).cast(DoubleType))
+        .otherwise(Exact.dround(b, 9)).as("burstiness"))
+      .orderedSmall(col("user_id"))
+  }
+
+  val userBurstinessSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP))
+       |      - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+       |          PARTITION BY user_id
+       |          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS d
+       |  FROM events),
+       |m AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       |    SUM(CAST(d AS HUGEINT)) AS sd,
+       |    SUM(CAST(d AS HUGEINT) * d) AS sdd
+       |  FROM g WHERE d IS NOT NULL GROUP BY user_id),
+       |v AS (
+       |  SELECT user_id, n_gaps,
+       |    CAST(sd AS DOUBLE) / n_gaps AS mu,
+       |    sqrt(GREATEST(CAST(CAST(sdd AS VARCHAR) AS DOUBLE) / n_gaps
+       |         - (CAST(sd AS DOUBLE) / n_gaps) * (CAST(sd AS DOUBLE) / n_gaps), 0.0)) AS sigma
+       |  FROM m)
+       |SELECT user_id, n_gaps,
+       |  ${Exact.sqlDround("mu / 1000000.0", 6)} AS mean_gap_sec,
+       |  CASE WHEN n_gaps < 2 OR (sigma + mu) <= 0.0 THEN NULL
+       |       ELSE ${Exact.sqlDround("(sigma - mu) / (sigma + mu)", 9)} END AS burstiness
+       |FROM v ORDER BY user_id""".stripMargin
+
   // === smp6: hash-interval systematic sample ===============================
   /** smp6: systematic sampling in hash space — documents whose md5
     * bucket (of 10 000) falls on the every-7th interval grid are kept,
@@ -4664,6 +4730,7 @@ object Analytics {
     "exp6_effect_size" -> effectSize _,
     "imp3_poststratified" -> postStratified _,
     "ev28_entropy_rate" -> entropyRate _,
+    "ev29_user_burstiness" -> userBurstiness _,
     "smp6_systematic_sample" -> systematicSample _,
     "bs2_jackknife_se" -> jackknifeVariance _,
     "ev27_kaplan_meier" -> kaplanMeier _,
@@ -4735,6 +4802,7 @@ object Analytics {
     "exp6_effect_size" -> effectSizeSql,
     "imp3_poststratified" -> postStratifiedSql,
     "ev28_entropy_rate" -> entropyRateSql,
+    "ev29_user_burstiness" -> userBurstinessSql,
     "smp6_systematic_sample" -> systematicSampleSql,
     "bs2_jackknife_se" -> jackknifeVarianceSql,
     "ev27_kaplan_meier" -> kaplanMeierSql,

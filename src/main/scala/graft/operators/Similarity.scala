@@ -2004,7 +2004,75 @@ object Similarity {
        |  CAST(SUM(CASE WHEN in_ex IS NOT NULL AND in_ann IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $k.0 AS recall
        |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin
 
+  // === cl2: silhouette of the label clustering =============================
+  /** cl2: mean silhouette coefficient per label over the sim6 vector
+    * subset (Rousseeuw 1987) — the internal clustering-quality score
+    * complementing cl1's external purity: s(i) = (b−a)/max(a,b) with
+    * a = mean distance to same-label others and b = the closest other
+    * label's mean distance. Distances are euclidean via the identity
+    * d = √(⟨x,x⟩ − 2⟨x,y⟩ + ⟨y,y⟩) over the SAME sequential-fold dot
+    * both engines run (sqrt is IEEE-exact, so d is bit-identical);
+    * per-(point, label) means ride Exact.davg (order-independent
+    * micros means), and min/max over those rounded means compare
+    * exactly. Label singletons have no a(i) — they are EXCLUDED and
+    * COUNTED (`n_scored` < `n_vecs`, the no-silent-drop record).
+    * Exact all-pairs is the bounded correctness tier (the sim6
+    * argument); the 100 TB path samples pairs per label and keeps the
+    * same tail.
+    */
+  def silhouette(s: SparkSession, dir: String, subset: Int = 200): DataFrame = {
+    val e = Par.fanOut(t(s, dir, "embeddings")
+      .filter(col("vec_id") < subset)
+      .select(col("vec_id"), col("label"), vecD("embedding").as("v")))
+    val pairs = e.select(col("vec_id").as("a"), col("label").as("la"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("b"), col("label").as("lb"), col("v").as("vb")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("la"), col("lb"),
+        sqrt(dot(col("va"), col("va")) - lit(2.0) * dot(col("va"), col("vb"))
+          + dot(col("vb"), col("vb"))).as("d"))
+    val perLabel = pairs.groupBy(col("a"), col("la"), col("lb"))
+      .agg(Exact.davg(col("d")).as("md"))
+    val ab = perLabel.groupBy(col("a"), col("la"))
+      .agg(max(when(col("la") === col("lb"), col("md"))).as("a_dist"),
+        min(when(col("la") =!= col("lb"), col("md"))).as("b_dist"))
+    val sil = when(col("a_dist").isNull || col("b_dist").isNull, lit(null).cast(DoubleType))
+      .otherwise(when(greatest(col("a_dist"), col("b_dist")) <= 0.0, lit(0.0))
+        .otherwise((col("b_dist") - col("a_dist")) / greatest(col("a_dist"), col("b_dist"))))
+    ab.select(col("la").cast(LongType).as("label"), sil.as("sil"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("sil")).as("n_scored"),
+        Exact.dround(Exact.davg(col("sil")), 9).as("mean_silhouette"))
+      .orderedSmall(col("label"))
+  }
+
+  def silhouetteSql(subset: Int = 200): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id < $subset),
+       |p AS (
+       |  SELECT a.vec_id AS a, a.label AS la, b.label AS lb,
+       |    sqrt(list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, b.v)
+       |         + list_dot_product(b.v, b.v)) AS d
+       |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |pl AS (SELECT a, la, lb, ${Exact.sqlDavg("d")} AS md FROM p GROUP BY a, la, lb),
+       |ab AS (
+       |  SELECT a, la,
+       |    MAX(CASE WHEN la = lb THEN md END) AS a_dist,
+       |    MIN(CASE WHEN la <> lb THEN md END) AS b_dist
+       |  FROM pl GROUP BY a, la),
+       |sv AS (
+       |  SELECT la, CASE
+       |    WHEN a_dist IS NULL OR b_dist IS NULL THEN NULL
+       |    WHEN GREATEST(a_dist, b_dist) <= 0.0 THEN 0.0
+       |    ELSE (b_dist - a_dist) / GREATEST(a_dist, b_dist) END AS sil
+       |  FROM ab)
+       |SELECT CAST(la AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(COUNT(sil) AS BIGINT) AS n_scored,
+       |  ${Exact.sqlDround(Exact.sqlDavg("sil"), 9)} AS mean_silhouette
+       |FROM sv GROUP BY la ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cl2_silhouette" -> ((s: SparkSession, d: String) => silhouette(s, d)),
     "tri1_knn_triangles" -> ((s: SparkSession, d: String) => knnTriangles(s, d)),
     "tri2_clustering_coeff" -> ((s: SparkSession, d: String) => clusteringCoefficient(s, d)),
     "sp1_knn_hops" -> ((s: SparkSession, d: String) => knnHops(s, d)),
@@ -2037,6 +2105,7 @@ object Similarity {
     "emb2_isotropy_audit" -> isotropyAudit _)
 
   val oracles: Map[String, String] = Map(
+    "cl2_silhouette" -> silhouetteSql(),
     "tri1_knn_triangles" -> knnTrianglesSql(),
     "tri2_clustering_coeff" -> clusteringCoefficientSql(),
     "sp1_knn_hops" -> knnHopsSql(),

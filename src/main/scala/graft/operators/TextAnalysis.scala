@@ -3310,7 +3310,131 @@ object TextAnalysis {
            "CAST(r * n_r AS DOUBLE) / CAST(total_tokens AS DOUBLE)", 9)} AS mass_share
        |FROM led ORDER BY r""".stripMargin
 
+  // === lm5: stupid backoff scores ==========================================
+  /** lm5: stupid-backoff bigram scores (Brants et al. 2007 — the
+    * smoothing web-scale n-gram LMs actually shipped) over the grid of
+    * the top-5 context × top-5 successor unigrams: S(w2|w1) =
+    * c(w1w2)/c(w1·) when the bigram was seen, else α·c(w2)/N with
+    * α = 0.4 — unlike lm3's Kneser–Ney, the backoff branch is a real
+    * control-flow fork, and the fixed top-k×top-k grid guarantees BOTH
+    * branches execute (frequent unigrams that never co-occur back off).
+    * Scores are exact-integer divisions, dround 9; `used_backoff`
+    * records the branch per cell. Shape at 100 TB: two map-only corpus
+    * extractions (unigrams, adjacent pairs) into vocabulary-bounded
+    * count tables; the 25-cell grid rides an eager 5-row checkpoint of
+    * the top unigrams (one corpus scan for the unigram chain, not two).
+    */
+  def stupidBackoff(s: SparkSession, dir: String, kTop: Int = 5,
+      alpha: Double = 0.4): DataFrame = {
+    val uni = dFan(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .withColumn("n_tokens", sum(col("c1")).over(Window.partitionBy()))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("c1").desc, col("w"))))
+      .filter(col("rnk") <= kTop)
+      .localCheckpoint() // 5 rows feed BOTH grid sides — one scan, not two
+    val pairs = dFan(s, dir)
+      .select(tokens(col("text")).as("toks")).filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
+      .withColumn("ctx_n", sum(col("pair_n")).over(Window.partitionBy(col("w1"))))
+    val grid = uni.select(col("w").as("w1"))
+      .crossJoin(uni.select(col("w").as("w2"), col("c1").as("c1_w2"), col("n_tokens")))
+    grid.join(c2, Seq("w1", "w2"), "left")
+      .select(col("w1"), col("w2"),
+        coalesce(col("pair_n"), lit(0L)).as("pair_n"),
+        coalesce(col("pair_n"), lit(0L)).equalTo(0L).as("used_backoff"),
+        Exact.dround(
+          when(coalesce(col("pair_n"), lit(0L)) > 0,
+            col("pair_n").cast(DoubleType) / col("ctx_n").cast(DoubleType))
+            .otherwise(lit(alpha) * col("c1_w2").cast(DoubleType)
+              / col("n_tokens").cast(DoubleType)), 9).as("score"))
+      .orderedSmall(col("w1"), col("w2"))
+  }
+
+  def stupidBackoffSql(kTop: Int = 5, alpha: Double = 0.4): String =
+    s"""WITH toksl AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |uniall AS (SELECT UNNEST(t) AS w FROM toksl),
+       |uni AS (SELECT w, COUNT(*) AS c1 FROM uniall GROUP BY 1),
+       |top AS (SELECT w, c1, SUM(c1) OVER () AS n_tokens,
+       |          ROW_NUMBER() OVER (ORDER BY c1 DESC, w) AS rnk
+       |        FROM uni QUALIFY rnk <= $kTop),
+       |pr AS (SELECT UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
+       |       FROM toksl WHERE len(t) >= 2),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS pair_n FROM pr GROUP BY 1, 2),
+       |cw AS (SELECT *, SUM(pair_n) OVER (PARTITION BY w1) AS ctx_n FROM c2),
+       |grid AS (
+       |  SELECT a.w AS w1, b.w AS w2, b.c1 AS c1_w2, b.n_tokens
+       |  FROM top a CROSS JOIN top b)
+       |SELECT grid.w1, grid.w2,
+       |  CAST(COALESCE(pair_n, 0) AS BIGINT) AS pair_n,
+       |  COALESCE(pair_n, 0) = 0 AS used_backoff,
+       |  ${Exact.sqlDround(
+         s"""CASE WHEN COALESCE(pair_n, 0) > 0
+       |          THEN CAST(pair_n AS DOUBLE) / CAST(ctx_n AS DOUBLE)
+       |          ELSE $alpha * CAST(c1_w2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |     END""".stripMargin, 9)} AS score
+       |FROM grid LEFT JOIN cw ON cw.w1 = grid.w1 AND cw.w2 = grid.w2
+       |ORDER BY grid.w1, grid.w2""".stripMargin
+
+  // === txt18: term burstiness / clumping ===================================
+  /** txt18: term burstiness for the top-20 collection-frequency terms —
+    * cf/df (mean occurrences per CONTAINING doc, Church & Gale's
+    * burstiness) and the ratio of observed df to the Poisson-expected
+    * df* = N·(1 − e^(−cf/N)): content words clump (ratio < 1 — far
+    * fewer docs contain them than a uniform scatter predicts) while
+    * function words don't, the classic stopword-vs-content signal a
+    * quality/weighting pipeline reads next to txt12's tf-idf. cf/df are
+    * exact integers; e^(−cf/N) is one libm exp over an identical IEEE
+    * quotient, micros-rounded (the drift1 ln discipline). Shape at
+    * 100 TB: one corpus scan → (term, doc) pairs → two-phase
+    * count/countDistinct into a vocabulary-bounded table; N_docs is a
+    * second, count-only documents scan broadcast to the 20-row grid
+    * (budget ≤ 2 scans).
+    */
+  def termBurstiness(s: SparkSession, dir: String, kTop: Int = 20): DataFrame = {
+    val nDocs = broadcast(dFan(s, dir).agg(count(lit(1)).as("n_docs")))
+    val terms = dFan(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cf").desc, col("w"))))
+      .filter(col("rnk") <= kTop)
+    val nd = col("n_docs").cast(DoubleType)
+    val dfExp = nd * (lit(1.0) - exp(-col("cf").cast(DoubleType) / nd))
+    terms.crossJoin(nDocs)
+      .select(col("w").as("term"), col("cf"), col("df"),
+        Exact.dround(col("cf").cast(DoubleType) / col("df").cast(DoubleType), 9)
+          .as("burstiness"),
+        Exact.dround(col("df").cast(DoubleType) / dfExp, 6).as("df_vs_poisson"))
+      .orderedSmall(col("cf").desc, col("term"))
+  }
+
+  def termBurstinessSql(kTop: Int = 20): String =
+    s"""WITH td AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |terms AS (
+       |  SELECT w, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
+       |  FROM td GROUP BY w QUALIFY rnk <= $kTop),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT w AS term, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+       |  ${Exact.sqlDround("CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)", 9)} AS burstiness,
+       |  ${Exact.sqlDround(
+         "CAST(df AS DOUBLE) / (CAST(n_docs AS DOUBLE) * " +
+           "(1.0 - exp(-CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE))))", 6)}
+       |    AS df_vs_poisson
+       |FROM terms CROSS JOIN nd
+       |ORDER BY cf DESC, term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm5_stupid_backoff" -> ((s: SparkSession, d: String) => stupidBackoff(s, d)),
+    "txt18_term_burstiness" -> ((s: SparkSession, d: String) => termBurstiness(s, d)),
     "lm4_good_turing" -> ((s: SparkSession, d: String) => goodTuring(s, d)),
     "fs1_chi2_tokens" -> ((s: SparkSession, d: String) => chi2Tokens(s, d)),
     "tok8_truncation_loss" -> ((s: SparkSession, d: String) => truncationLoss(s, d)),
@@ -3375,6 +3499,8 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "lm5_stupid_backoff" -> stupidBackoffSql(),
+    "txt18_term_burstiness" -> termBurstinessSql(),
     "lm4_good_turing" -> goodTuringSql,
     "fs1_chi2_tokens" -> chi2TokensSql(),
     "gram3_ngram_novelty" -> ngramNoveltySql(),

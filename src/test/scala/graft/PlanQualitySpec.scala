@@ -554,6 +554,24 @@ class PlanQualitySpec extends SparkTestBase {
     val ss = operators.Analytics.systematicSample(spark, sfDir)
     assert(countScans(ss) <= 1, s"smp6 scans: ${countScans(ss)}")
     // corr3 orders siting: covered in the round-18 block (spearmanOrders)
+    // lm5: the top-unigram chain rides an eager 5-row checkpoint, so the
+    // OUTPUT plan scans the corpus once (the pair chain) — two map-only
+    // extractions total, never a third
+    val sb = operators.TextAnalysis.stupidBackoff(spark, sfDir)
+    assert(countScans(sb) <= 2, s"lm5 scans: ${countScans(sb)}")
+    // txt18: one (term, doc) extraction + the count-only N_docs scan
+    val tb = operators.TextAnalysis.termBurstiness(spark, sfDir)
+    assert(countScans(tb) <= 2, s"txt18 scans: ${countScans(tb)}")
+    assert(!planOf(tb).contains("CartesianProduct") ||
+      planOf(tb).contains("Broadcast"), "txt18's 20x1 cross must broadcast")
+    // ev29: ONE events scan -> user-keyed lag window -> moment aggregate
+    val ub = operators.Analytics.userBurstiness(spark, sfDir)
+    assert(countScans(ub) <= 1, s"ev29 scans: ${countScans(ub)}")
+    assert(!planOf(ub).contains("CartesianProduct"), "ev29 degenerated to a cartesian")
+    // cl2: the all-pairs distance join over the bounded subset is the
+    // sim6 accepted shape (BNLJ on <=200 vectors); two embedding scans
+    val si = operators.Similarity.silhouette(spark, sfDir)
+    assert(countScans(si) <= 2, s"cl2 scans: ${countScans(si)}")
   }
 
   test("df-cap guard: filter runs below the pair join and adds ZERO exchanges") {

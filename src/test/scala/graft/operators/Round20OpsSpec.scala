@@ -209,6 +209,91 @@ class Round20OpsSpec extends SparkTestBase {
     assert(v.getDouble(3) == 2 * mic(0.5 * math.log(2.0)), s"H(.|view) ${v.getDouble(3)}")
   }
 
+  // === lm5 =================================================================
+
+  test("lm5: seen bigrams score MLE, unseen back off to alpha * unigram") {
+    import spark.implicits._
+    val dir = tmp("lm5")
+    Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // unigrams a:3 b:1 c:1 (N=5); pairs (a,a),(a,b),(a,c) with ctx(a)=3
+    val rows = TextAnalysis.stupidBackoff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getDouble(4)))).toMap
+    assert(rows.size == 9, s"3x3 grid expected: ${rows.keySet}")
+    assert(rows(("a", "a")) == (1L, false, rnd9(1.0 / 3)))
+    assert(rows(("a", "b")) == (1L, false, rnd9(1.0 / 3)))
+    assert(rows(("b", "a")) == (0L, true, rnd9(0.4 * 3.0 / 5)), s"${rows(("b", "a"))}")
+    assert(rows(("c", "b")) == (0L, true, rnd9(0.4 * 1.0 / 5)))
+  }
+
+  // === txt18 ===============================================================
+
+  test("txt18: burstiness cf/df and the Poisson-expected df ratio by hand") {
+    import spark.implicits._
+    val dir = tmp("txt18")
+    Seq((1L, "x x x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def pois(df: Long, cf: Long) = {
+      val e = 3.0 * (1.0 - math.exp(-cf.toDouble / 3.0))
+      math.floor(df.toDouble / e * 1e6 + 0.5) / 1e6 // dround 6
+    }
+    val rows = TextAnalysis.termBurstiness(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+    assert(rows.map(_._1).toSeq == Seq("x", "y", "z"), "cf-desc order")
+    val byT = rows.toMap
+    assert(byT("x") == (4L, 2L, 2.0, pois(2, 4)), s"x: ${byT("x")}")
+    assert(byT("y") == (2L, 2L, 1.0, pois(2, 2)))
+    assert(byT("z") == (1L, 1L, 1.0, pois(1, 1)))
+  }
+
+  // === ev29 ================================================================
+
+  test("ev29: periodic user reads B = -1; hand two-gap case; 1-gap user reads NULL") {
+    import spark.implicits._
+    val dir = tmp("ev29")
+    def at(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val events =
+      (0 to 3).map(d => (d.toLong, 1L, "view", at(d.toLong * 86400), 1.0)) ++ // equal gaps
+        Seq((10L, 2L, "view", at(0), 1.0), (11L, 2L, "view", at(1), 1.0),
+          (12L, 2L, "view", at(4), 1.0)) ++ // gaps 1s, 3s
+        Seq((20L, 3L, "view", at(7), 1.0), (21L, 3L, "view", at(9), 1.0)) // one gap
+    events.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val rows = Analytics.userBurstiness(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) == 3L && rows(1L).getDouble(3) == -1.0,
+      s"periodic must read -1: ${rows(1L)}")
+    assert(rows(1L).getDouble(2) == 86400.0)
+    // gaps (1e6, 3e6) us: mu=2e6, sigma=1e6 -> B = -1/3
+    assert(rows(2L).getLong(1) == 2L)
+    assert(rows(2L).getDouble(3) == rnd9(-1.0 / 3.0), s"${rows(2L)}")
+    assert(rows(3L).getLong(1) == 1L && rows(3L).isNullAt(3), "one gap: NULL B")
+  }
+
+  // === cl2 =================================================================
+
+  test("cl2: hand 1-D clusters; singleton label excluded and counted") {
+    import spark.implicits._
+    val dir = tmp("cl2")
+    Seq(
+      (0L, Array(0.0f), 0), (1L, Array(1.0f), 0),
+      (2L, Array(10.0f), 1), (3L, Array(11.0f), 1),
+      (4L, Array(100.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.silhouette(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // label 0: s(0) = (10.5-1)/10.5, s(1) = (9.5-1)/9.5; davg micros-rounds each
+    val s0 = mic(9.5 / 10.5); val s1 = mic(8.5 / 9.5)
+    val expected = rnd9((s0 + s1) / 2)
+    assert(rows(0L).getLong(1) == 2L && rows(0L).getLong(2) == 2L)
+    assert(rows(0L).getDouble(3) == expected, s"label0 ${rows(0L).getDouble(3)} vs $expected")
+    assert(rows(1L).getDouble(3) == expected, "symmetric geometry")
+    assert(rows(2L).getLong(1) == 1L && rows(2L).getLong(2) == 0L && rows(2L).isNullAt(3),
+      s"singleton label: ${rows(2L)}")
+  }
+
   // === smp6 ================================================================
 
   test("smp6: kept set equals the independent hash-interval recomputation") {
