@@ -36,6 +36,7 @@ final class Maintenance(intervalMillis: Long = 24L * 3600 * 1000) {
   def unregister(name: String): Unit = {
     tables.remove(name)
     lastCheckpoint.remove(name)
+    checkpoints.remove(name)
   }
 
   def registered: Seq[String] = {
@@ -43,24 +44,44 @@ final class Maintenance(intervalMillis: Long = 24L * 3600 * 1000) {
     tables.keySet.asScala.toSeq.sorted
   }
 
-  def checkpointCount(name: String): Long =
-    if (lastCheckpoint.containsKey(name)) 1L else 0L
+  // true per-table counters (r19 review: the old containsKey probe
+  // reported existence, never exceeding 1 — a caller asserting "N
+  // sweeps ran" got a false pass for N=1), the ducklake_checkpoints
+  // registry row count analogue
+  private val checkpoints = new ConcurrentHashMap[String, java.lang.Long]()
+
+  def checkpointCount(name: String): Long = checkpoints.getOrDefault(name, 0L)
 
   def lastCheckpointAt(name: String): Option[Long] = Option(lastCheckpoint.get(name))
 
   /** One maintenance sweep: checkpoint every registered table whose
     * interval has elapsed, each under the advisory lock. Returns the
     * names checkpointed this tick.
+    *
+    * Per-table FAULT ISOLATION (r19 review): one table's checkpoint
+    * failure (dropped directory racing the Server's registration sync,
+    * a transient IO error) must not abort the sweep and starve every
+    * table later in iteration order — persistently so if the failure
+    * repeats each tick. A failed table is skipped this tick (stderr
+    * notes it) and retried on the next; lastCheckpoint is only advanced
+    * on success.
     */
   def tick(nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
     val done = Seq.newBuilder[String]
     tables.forEach { (name, reg) =>
       val last = lastCheckpoint.getOrDefault(name, 0L)
       if (nowMillis - last >= intervalMillis) {
-        withAdvisoryLock(reg.table.root) {
-          reg.table.checkpoint(reg.targetFiles)
-          lastCheckpoint.put(name, nowMillis)
-          done += name
+        try {
+          withAdvisoryLock(reg.table.root) {
+            reg.table.checkpoint(reg.targetFiles)
+            lastCheckpoint.put(name, nowMillis)
+            checkpoints.merge(name, 1L, (a, b) => a + b)
+            done += name
+          }
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"[maintenance] checkpoint of $name failed " +
+              s"(retried next tick): ${t.getMessage}")
         }
       }
     }
@@ -68,16 +89,23 @@ final class Maintenance(intervalMillis: Long = 24L * 3600 * 1000) {
   }
 
   /** Cross-process advisory lock on the table directory (lock.rs
-    * analogue). Non-blocking: if another process holds the lock, this
-    * tick skips the table — the same "someone else is checkpointing"
-    * semantics as the reference's `pg_try_advisory_lock`.
+    * analogue). Non-blocking: if another holder exists, this tick skips
+    * the table — the same "someone else is checkpointing" semantics as
+    * the reference's `pg_try_advisory_lock`. Same-JVM contention throws
+    * OverlappingFileLockException instead of returning null (r19
+    * review: the skip mapping lived only in the SPEC's catch block, so
+    * two Maintenance instances over one table root — or a manual tick
+    * racing the scheduler — crashed the sweep); both shapes now map to
+    * the documented skip.
     */
   def withAdvisoryLock[T](tableRoot: Path)(f: => T): Option[T] = {
     val lockFile = tableRoot.resolve("_maintenance.lock")
     val ch = FileChannel.open(lockFile,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     try {
-      val lock = ch.tryLock()
+      val lock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
       if (lock == null) None
       else try Some(f) finally lock.release()
     } finally ch.close()

@@ -36,19 +36,33 @@ object AsOf {
       valueCols: Seq[String], forward: Boolean = false,
       carryRightTimeAs: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    def slot(c: String) = s"__r_$c"
-    // carried slots: the requested value columns, plus (optionally) the
-    // right side's own time under a reserved slot name
-    val carrySlots: Seq[(String, Column, org.apache.spark.sql.types.DataType)] =
-      valueCols.map(c => (c, col(c), right.schema(c).dataType)) ++
-        carryRightTimeAs.map(_ => ("__rtime", col(time), right.schema(time).dataType))
+    // ONE carried slot: a STRUCT of the matched right row's payload,
+    // carried atomically (r19 review: the previous independent
+    // per-column carries each used ignoreNulls, so a NULL right-side
+    // VALUE made that column skip back to an older right row while the
+    // other columns kept the nearer one — output fields mixed from
+    // DIFFERENT right rows. DuckDB's ASOF JOIN matches a ROW; so must
+    // we. Left rows carry a NULL struct, which ignoreNulls skips; right
+    // rows carry a non-null struct whose FIELDS may be null.)
+    val payloadFields =
+      valueCols.map(c => StructField(c, right.schema(c).dataType)) ++
+        carryRightTimeAs.map(_ => StructField("__rtime", right.schema(time).dataType))
+    val payloadType = StructType(payloadFields)
+    val payload = struct(valueCols.map(c => col(c).as(c)) ++
+      carryRightTimeAs.map(_ => col(time).as("__rtime")): _*)
     val tagged =
       left.withColumn("__is_left", lit(1))
-        .select((leftCols.map(col) :+ col("__is_left")) ++
-          carrySlots.map { case (c, _, dt) => lit(null).cast(dt).as(slot(c)) }: _*)
+        .select((leftCols.map(col) :+ col("__is_left")) :+
+          lit(null).cast(payloadType).as("__r_pay"): _*)
+    // NULL semantics match the oracle's ASOF equi-join (r19 review):
+    // `ON l.key = r.key AND l.t >= r.t` never matches a NULL key or a
+    // NULL right timestamp — filtered here, so a NULL-key left row
+    // carries NULL instead of matching the NULL-key right partition,
+    // and a NULL-timestamp right row never sorts to the frame's front.
     val rightTagged = right
-      .select((Seq(col(key), col(time)) :+ lit(0).as("__is_left")) ++
-        carrySlots.map { case (c, src, _) => src.as(slot(c)) }: _*)
+      .filter(col(key).isNotNull && col(time).isNotNull)
+      .select(Seq(col(key), col(time), lit(0).as("__is_left"),
+        payload.as("__r_pay")): _*)
     // align schemas: left-only columns are null on right rows
     val fullCols = tagged.columns.toSeq
     val rightAligned = rightTagged.select(fullCols.map { c =>
@@ -57,23 +71,23 @@ object AsOf {
     }: _*)
     // tie order puts the right row INSIDE the frame at an equal
     // timestamp in both directions: backward sorts right (0) before
-    // left (1) under asc, forward sorts left before right under desc —
-    // at-or-before / at-or-after
+    // left (1) under asc, forward sorts right before left under the
+    // reversed sort — at-or-before / at-or-after. NULL LEFT timestamps
+    // sort to the FRONT in both directions (asc nulls-first default;
+    // desc_nulls_first explicitly), where the preceding frame holds no
+    // right rows — they carry NULL, the oracle's no-match answer.
     val w0 = Window.partitionBy(col(key))
     val w =
-      if (forward) w0.orderBy(col(time), col("__is_left").desc)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      if (forward) w0.orderBy(col(time).desc_nulls_first, col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
       else w0.orderBy(col(time), col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
-    def carry(c: Column) =
-      if (forward) first(c, ignoreNulls = true).over(w)
-      else last(c, ignoreNulls = true).over(w)
-    val carried = carrySlots.foldLeft(tagged.unionByName(rightAligned)) { (df, cs) =>
-      df.withColumn(slot(cs._1), carry(col(slot(cs._1))))
-    }
+    val carried = tagged.unionByName(rightAligned)
+      .withColumn("__r_pay", last(col("__r_pay"), ignoreNulls = true).over(w))
     carried.filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(slot(c)).as(c)) ++
-        carryRightTimeAs.map(n => col(slot("__rtime")).as(n)): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("__r_pay").getField(c).as(c)) ++
+        carryRightTimeAs.map(n => col("__r_pay").getField("__rtime").as(n)): _*)
   }
 
   /** Bucketized range join: `left.t` in `[right.t + lowerSec, right.t +
@@ -109,7 +123,9 @@ object AsOf {
     lb.join(rb, Seq(key, "__b"))
       .filter(unix_micros(col("__lt")) >= unix_micros(col("__rt")) + lowerSec * 1000000L &&
         unix_micros(col("__lt")) <= unix_micros(col("__rt")) + upperSec * 1000000L)
-      .drop("__b", "__lt")
+      // __rt included (r19 review: it leaked into every caller's output,
+      // and a left side already carrying a __rt column would collide)
+      .drop("__b", "__lt", "__rt")
   }
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)

@@ -240,7 +240,13 @@ object Warehouse {
     def partial(df: DataFrame) = df
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), Exact.msum(col("o_totalprice")).as("rev_m"))
-    val base = partial(orders.filter(col("o_orderdate") < lit(ivmSplit)))
+    // NULL dates ride the BASE partial (r19 review: `< split` and
+    // `>= split` both fail for NULL, silently dropping such rows while
+    // the oracle's unfiltered recompute counts them — breaking the
+    // operator's own merge == recompute identity on any data with
+    // unknown dates; TPC-H happens to be NULL-free, so this was latent)
+    val base = partial(orders.filter(
+      col("o_orderdate") < lit(ivmSplit) || col("o_orderdate").isNull))
     val delta = partial(orders.filter(col("o_orderdate") >= lit(ivmSplit)))
     base.unionByName(delta)
       .groupBy(col("o_orderpriority"))
@@ -410,9 +416,34 @@ object Warehouse {
     }
     val ests = cum.groupBy(col("grp"))
       .agg(max(col("n")).as("n"), estFor(0.5).as("est_p50"), estFor(0.95).as("est_p95"))
-    val exact = base.groupBy(col("grp"))
-      .agg((percentile(col("m"), lit(0.5)) / 1000000.0).as("exact_p50"),
-        (percentile(col("m"), lit(0.95)) / 1000000.0).as("exact_p95"))
+    // exact percentiles by EXPLICIT bracketing interpolation (r19
+    // review: Spark's percentile() and DuckDB's quantile_cont() may
+    // differ by 1 ulp in their lerp formulations — mad1's integer
+    // doubling only covers p = 0.5, and p95's fraction is arbitrary.
+    // ONE spelled formula over the exact integer micros brackets runs
+    // identically on both engines: h = p(n−1), a = v[⌊h⌋+1],
+    // b = v[⌊h⌋+2], result = a + (b−a)(h−⌊h⌋).)
+    val ranked = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("m"))))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    def kOf(p: Double) =
+      floor(lit(p) * (col("nn") - 1).cast(DoubleType)).cast(LongType)
+    val brackets = ranked.groupBy(col("grp"))
+      .agg(max(col("nn")).as("nn"),
+        max(when(col("rn") === kOf(0.5) + 1, col("m"))).as("a50"),
+        max(when(col("rn") === kOf(0.5) + 2, col("m"))).as("b50"),
+        max(when(col("rn") === kOf(0.95) + 1, col("m"))).as("a95"),
+        max(when(col("rn") === kOf(0.95) + 2, col("m"))).as("b95"))
+    def lerp(a: Column, b: Column, p: Double) = {
+      val h = lit(p) * (col("nn") - 1).cast(DoubleType)
+      val frac = h - floor(h)
+      (a.cast(DoubleType) +
+        (coalesce(b, a).cast(DoubleType) - a.cast(DoubleType)) * frac) / 1000000.0
+    }
+    val exact = brackets.select(col("grp"),
+      lerp(col("a50"), col("b50"), 0.5).as("exact_p50"),
+      lerp(col("a95"), col("b95"), 0.95).as("exact_p95"))
     ests.join(exact, "grp")
       .select(col("grp"), col("n"), col("est_p50"), col("exact_p50"),
         col("est_p95"), col("exact_p95"))
@@ -447,11 +478,31 @@ object Warehouse {
        |    ${est(0.5)} AS est_p50,
        |    ${est(0.95)} AS est_p95
        |  FROM cum GROUP BY grp),
+       |ranked AS (
+       |  SELECT grp, m,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY m) AS rn,
+       |    COUNT(*) OVER (PARTITION BY grp) AS nn
+       |  FROM base),
+       |brackets AS (
+       |  SELECT grp, MAX(nn) AS nn,
+       |    MAX(CASE WHEN rn = CAST(FLOOR(0.5 * CAST(nn - 1 AS DOUBLE)) AS BIGINT) + 1
+       |        THEN m END) AS a50,
+       |    MAX(CASE WHEN rn = CAST(FLOOR(0.5 * CAST(nn - 1 AS DOUBLE)) AS BIGINT) + 2
+       |        THEN m END) AS b50,
+       |    MAX(CASE WHEN rn = CAST(FLOOR(0.95 * CAST(nn - 1 AS DOUBLE)) AS BIGINT) + 1
+       |        THEN m END) AS a95,
+       |    MAX(CASE WHEN rn = CAST(FLOOR(0.95 * CAST(nn - 1 AS DOUBLE)) AS BIGINT) + 2
+       |        THEN m END) AS b95
+       |  FROM ranked GROUP BY grp),
        |exact AS (
        |  SELECT grp,
-       |    quantile_cont(m, 0.5) / 1000000.0 AS exact_p50,
-       |    quantile_cont(m, 0.95) / 1000000.0 AS exact_p95
-       |  FROM base GROUP BY grp)
+       |    (CAST(a50 AS DOUBLE) + (CAST(COALESCE(b50, a50) AS DOUBLE) - CAST(a50 AS DOUBLE))
+       |      * (0.5 * CAST(nn - 1 AS DOUBLE) - FLOOR(0.5 * CAST(nn - 1 AS DOUBLE))))
+       |      / 1000000.0 AS exact_p50,
+       |    (CAST(a95 AS DOUBLE) + (CAST(COALESCE(b95, a95) AS DOUBLE) - CAST(a95 AS DOUBLE))
+       |      * (0.95 * CAST(nn - 1 AS DOUBLE) - FLOOR(0.95 * CAST(nn - 1 AS DOUBLE))))
+       |      / 1000000.0 AS exact_p95
+       |  FROM brackets)
        |SELECT e.grp, n, est_p50, exact_p50, est_p95, exact_p95
        |FROM ests e JOIN exact ON e.grp = exact.grp
        |ORDER BY e.grp""".stripMargin

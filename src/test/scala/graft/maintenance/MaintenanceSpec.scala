@@ -38,15 +38,44 @@ class MaintenanceSpec extends SparkTestBase {
   test("advisory lock: second holder skips (lock.rs try-lock semantics)") {
     val t = mkTable()
     val m = new Maintenance()
+    // same-JVM contention throws OverlappingFileLockException instead of
+    // tryLock's null; PRODUCTION maps both shapes to the documented skip
+    // (r19 review: this mapping used to live only in this spec's catch
+    // block, so a manual tick racing the scheduler crashed the sweep)
     val outer = m.withAdvisoryLock(t.root) {
-      // same-process relock via a second channel is non-blocking denied on
-      // POSIX only across processes; emulate contention by asserting the
-      // inner call either skips (None) or would have to wait — the
-      // OverlappingFileLockException maps to "skip"
-      try m.withAdvisoryLock(t.root)(fail("inner lock must not be granted"))
-      catch { case _: java.nio.channels.OverlappingFileLockException => None }
+      m.withAdvisoryLock(t.root)(fail("inner lock must not be granted"))
     }
     assert(outer.contains(None))
+  }
+
+  test("tick isolates per-table faults: one broken table cannot starve the rest (r19 review)") {
+    val good = mkTable()
+    val broken = mkTable()
+    val m = new Maintenance(intervalMillis = 1)
+    m.register("broken", broken)
+    m.register("good", good)
+    // break the table AFTER registration (the dropped-directory race
+    // with Server's registration sync): its checkpoint now throws
+    org.apache.commons.io.FileUtils.deleteDirectory(broken.root.toFile)
+    val done = m.tick(nowMillis = 100)
+    assert(done.contains("good"), s"good table must still checkpoint: $done")
+    assert(!done.contains("broken"))
+    // the failure is retried (lastCheckpoint not advanced), not wedged
+    assert(m.lastCheckpointAt("broken").isEmpty)
+    assert(m.lastCheckpointAt("good").contains(100L))
+  }
+
+  test("checkpointCount is a real counter, not an existence probe (r19 review)") {
+    val t = mkTable()
+    val m = new Maintenance(intervalMillis = 10)
+    m.register("cnt", t)
+    assert(m.checkpointCount("cnt") == 0L)
+    m.tick(nowMillis = 10)
+    m.tick(nowMillis = 15) // within interval: no-op
+    m.tick(nowMillis = 25)
+    assert(m.checkpointCount("cnt") == 2L, s"got ${m.checkpointCount("cnt")}")
+    m.unregister("cnt")
+    assert(m.checkpointCount("cnt") == 0L)
   }
 
   test("checkpoint registry records completion times (ducklake_checkpoints analogue)") {

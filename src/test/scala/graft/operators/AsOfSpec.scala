@@ -46,6 +46,54 @@ class AsOfSpec extends SparkTestBase {
     assert(out(3).isNullAt(2))
   }
 
+  test("asofJoin carries the matched right ROW atomically: a NULL value never mixes rows (r19 review)") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // right rows: (10:00, v=5.0, tag=old) then (10:10, v=NULL, tag=new).
+    // A left row at 10:20 matches the 10:10 ROW: v must be NULL (that
+    // row's field), NOT 5.0 skipped back from 10:00 — and the carried
+    // right time must be 10:10 alongside it.
+    val left = Seq((1L, ts(20))).toDF("k", "t")
+    val right = Seq((1L, ts(0), Some(5.0), "old"), (1L, ts(10), None, "new"))
+      .toDF("k", "t", "v", "tag")
+    val out = AsOf.asofJoin(left, right, "k", "t", Seq("v", "tag"),
+      carryRightTimeAs = Some("rt")).collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(2), s"v must be the matched row's NULL, got ${out(0)}")
+    assert(out(0).getString(3) == "new")
+    assert(out(0).getTimestamp(4) == ts(10))
+  }
+
+  test("asofJoin NULL keys and NULL timestamps never match (ASOF equi-join semantics, r19 review)") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val left = Seq((Option(1L), Option(ts(20))), (Option.empty[Long], Option(ts(20))),
+      (Option(1L), Option.empty[Timestamp]))
+      .toDF("k", "t")
+    val right = Seq((Option(1L), Option(ts(0)), "real"),
+      (Option.empty[Long], Option(ts(5)), "nullkey"),
+      (Option(1L), Option.empty[Timestamp], "nullts"))
+      .toDF("k", "t", "v")
+    val back = AsOf.asofJoin(left, right, "k", "t", Seq("v")).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)).isDefined) -> Option(r.getString(2))).toMap
+    assert(back((Some(1L), true)) == Some("real"), "real key/ts matches the real row")
+    assert(back((None, true)).isEmpty, "NULL-key left row must not match the NULL-key right row")
+    assert(back((Some(1L), false)).isEmpty, "NULL-ts left row matches nothing")
+    val fwd = AsOf.asofJoin(left, right, "k", "t", Seq("v"), forward = true).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)).isDefined) -> Option(r.getString(2))).toMap
+    assert(fwd((None, true)).isEmpty && fwd((Some(1L), false)).isEmpty,
+      s"forward NULLs must not match either: $fwd")
+  }
+
+  test("rangeJoin output carries exactly left columns + rightCols (no __rt leak, r19 review)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val left = Seq((1L, t0)).toDF("k", "t")
+    val right = Seq((1L, t0, "x")).toDF("k", "t", "v")
+    val out = AsOf.rangeJoin(left, right, "k", "t", 0L, 3600L, Seq("v"))
+    assert(out.columns.toSeq == Seq("k", "t", "v"), s"got ${out.columns.toSeq}")
+  }
+
   test("rangeJoin: integer bucket ids keep far-future (year-9999) pairs joined") {
     import spark.implicits._
     // past ~2^51 us the old double bucket chain could floor a pair into

@@ -212,6 +212,44 @@ class WarehouseSpec extends SparkTestBase {
     }
   }
 
+  test("ivm1: NULL order dates ride the base partial — merge still equals recompute (r19 review)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_null").toString
+    Seq(
+      (1L, Option(java.sql.Timestamp.valueOf("1996-06-01 00:00:00")), "1-URGENT", 100.0),
+      (2L, Option(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")), "1-URGENT", 50.0),
+      (3L, Option.empty[java.sql.Timestamp], "1-URGENT", 25.0)) // neither < nor >= split
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val r = Warehouse.partialMerge(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_orders") == 3L,
+      s"NULL-date row must not vanish from the merge: ${r(0)}")
+    assert(r(0).getAs[Double]("revenue") == 175.0)
+  }
+
+  test("prof3: explicit bracketing lerp equals the textbook percentile on sorted micros (r19 review)") {
+    // independently recompute exact_p50/p95 from the sorted micros of
+    // each group: h = p(n-1), lerp between v[floor(h)] and v[floor(h)+1]
+    val base = graft.Engine.table(spark, sfDir, "orders")
+      .select(col("o_orderpriority").as("grp"), Exact.micros(col("o_totalprice")).as("m"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    def textbook(vs: Array[Long], p: Double): Double = {
+      val h = p * (vs.length - 1).toDouble
+      val k = math.floor(h).toInt
+      val a = vs(k).toDouble
+      val b = (if (k + 1 < vs.length) vs(k + 1) else vs(k)).toDouble
+      (a + (b - a) * (h - math.floor(h))) / 1000000.0
+    }
+    Warehouse.histogramProfile(spark, sfDir).collect().foreach { row =>
+      val vs = base(row.getAs[String]("grp"))
+      assert(row.getAs[Double]("exact_p50") == textbook(vs, 0.5),
+        s"p50 ${row.getAs[Double]("exact_p50")} vs ${textbook(vs, 0.5)}")
+      assert(row.getAs[Double]("exact_p95") == textbook(vs, 0.95),
+        s"p95 ${row.getAs[Double]("exact_p95")} vs ${textbook(vs, 0.95)}")
+    }
+  }
+
   test("prof3: histogram quantile estimates bracket the exact values within a bucket width") {
     val width = Warehouse.histHi / Warehouse.histBuckets
     val r = Warehouse.histogramProfile(spark, sfDir).collect()
