@@ -937,6 +937,24 @@ object Analytics {
     * identical on both engines, and far below ACF's meaningful digits.
     */
   def revenueAutocorr(s: SparkSession, dir: String, maxLag: Int = 14): DataFrame = {
+    val agg = acfMomentsRow(s, dir, maxLag)
+    val acfs = (1 to maxLag).map { l =>
+      struct(lit(l).as("lag"),
+        (col(s"t_$l").cast(DoubleType) / col("t0").cast(DoubleType)).as("acf"))
+    }
+    agg
+      .select(explode(array(acfs: _*)).as("x"))
+      .select(col("x.lag").cast(IntegerType).as("lag"), col("x.acf").as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** Shared single-row ACF moment frame — n_days, t0 (Σ dev², unit-
+    * rounded exact integers) and t_1..t_maxLag (Σ lagged deviation
+    * products): ts3's construction factored out so ts12's
+    * Durbin–Levinson recursion and ts13's Ljung–Box statistic consume
+    * the IDENTICAL arithmetic (one orders scan + one window sort each).
+    */
+  private def acfMomentsRow(s: SparkSession, dir: String, maxLag: Int): DataFrame = {
     val daily = t(s, dir, "orders")
       .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
       .groupBy(col("day"))
@@ -958,15 +976,7 @@ object Analytics {
     }
     val t0 = sum(unitRound((col("r") - col("m")) * (col("r") - col("m"))))
       .cast(Exact.D380).as("t0")
-    val agg = withLags.agg(t0, terms: _*)
-    val acfs = (1 to maxLag).map { l =>
-      struct(lit(l).as("lag"),
-        (col(s"t_$l").cast(DoubleType) / col("t0").cast(DoubleType)).as("acf"))
-    }
-    agg
-      .select(explode(array(acfs: _*)).as("x"))
-      .select(col("x.lag").cast(IntegerType).as("lag"), col("x.acf").as("acf"))
-      .orderBy(col("lag"))
+    withLags.agg(count(lit(1)).as("n_days"), (t0 +: terms): _*)
   }
 
   def revenueAutocorrSql(maxLag: Int = 14): String = {
@@ -995,6 +1005,133 @@ object Analytics {
        |a AS (
        |  SELECT SUM($dev0) AS t0, $termSelects FROM lagged)
        |SELECT CAST(lag AS INTEGER) AS lag, acf FROM ($unions) ORDER BY lag""".stripMargin
+  }
+
+  // === ts12: partial autocorrelation (Durbin–Levinson) =====================
+  /** ts12: partial autocorrelation of the daily revenue series at lags
+    * 1–3 via the Durbin–Levinson recursion — the AR-order picker read
+    * NEXT to ts3's ACF (an AR(p) process cuts the PACF off after lag p
+    * while its ACF tails forever; reading ts3 alone over-orders the
+    * model): φ₁₁ = r₁, φ₂₂ = (r₂−r₁²)/(1−r₁²), and φ₃₃ from the
+    * level-2 coefficients φ₂₁ = r₁(1−φ₂₂). The r_k ride the SAME
+    * unit-rounded exact moment row as ts3 ([[acfMomentsRow]]), so the
+    * recursion is one fixed IEEE chain over identical doubles on both
+    * engines; zero denominators (and a constant series' t0 = 0) read
+    * NULL. Shape at 100 TB: ts3's — one orders scan, one window sort
+    * over the calendar-bounded daily grid, one moment row.
+    */
+  def pacf(s: SparkSession, dir: String): DataFrame = {
+    val agg = acfMomentsRow(s, dir, maxLag = 3)
+    def rk(l: Int) = when(col("t0") === 0, lit(null).cast(DoubleType))
+      .otherwise(col(s"t_$l").cast(DoubleType) / col("t0").cast(DoubleType))
+    val v = agg.select(col("n_days"), rk(1).as("r1"), rk(2).as("r2"), rk(3).as("r3"))
+    val den2 = lit(1.0) - col("r1") * col("r1")
+    val p22 = when(den2 === 0.0, lit(null).cast(DoubleType))
+      .otherwise((col("r2") - col("r1") * col("r1")) / den2)
+    val v2 = v.select(col("n_days"), col("r1"), col("r2"), col("r3"), p22.as("p22"))
+      .withColumn("p21", col("r1") * (lit(1.0) - col("p22")))
+    val den3 = lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2")
+    val p33 = when(den3 === 0.0, lit(null).cast(DoubleType))
+      .otherwise((col("r3") - col("p21") * col("r2") - col("p22") * col("r1")) / den3)
+    val rows = Seq(
+      struct(lit(1L).as("lag"), Exact.dround(col("r1"), 9).as("pacf")),
+      struct(lit(2L).as("lag"), Exact.dround(col("p22"), 9).as("pacf")),
+      struct(lit(3L).as("lag"), Exact.dround(p33, 9).as("pacf")))
+    v2.select(col("n_days"), explode(array(rows: _*)).as("x"))
+      .select(col("x.lag").as("lag"), col("n_days"), col("x.pacf").as("pacf"))
+      .orderBy(col("lag"))
+  }
+
+  val pacfSql: String = {
+    def rk(l: Int) =
+      s"CASE WHEN t0 = 0 THEN NULL ELSE CAST(CAST(t_$l AS VARCHAR) AS DOUBLE) / CAST(CAST(t0 AS VARCHAR) AS DOUBLE) END"
+    s"""WITH ${acfMomentsSqlCtes(3)},
+       |v AS (SELECT n_days, ${rk(1)} AS r1, ${rk(2)} AS r2, ${rk(3)} AS r3 FROM a),
+       |p2 AS (SELECT *, CASE WHEN 1.0 - r1 * r1 = 0.0 THEN NULL
+       |         ELSE (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p22 FROM v),
+       |p2b AS (SELECT *, r1 * (1.0 - p22) AS p21 FROM p2),
+       |p3 AS (SELECT *, CASE WHEN 1.0 - p21 * r1 - p22 * r2 = 0.0 THEN NULL
+       |         ELSE (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+       |       END AS p33 FROM p2b)
+       |SELECT lag, n_days, pacf FROM (
+       |  SELECT CAST(1 AS BIGINT) AS lag, n_days, ${Exact.sqlDround("r1", 9)} AS pacf FROM p3
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), n_days, ${Exact.sqlDround("p22", 9)} FROM p3
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), n_days, ${Exact.sqlDround("p33", 9)} FROM p3)
+       |ORDER BY lag""".stripMargin
+  }
+
+  // === ts13: Ljung–Box portmanteau test =====================================
+  /** ts13: the Ljung–Box Q statistic over ts3's first 7 autocorrelation
+    * lags — Q = n(n+2)·Σ_k r_k²/(n−k) — the "is this series white
+    * noise at all" gate run before any ts2/ts11 seasonality claim (a
+    * flat ACF at every lag reads Q below the χ²₀.₀₅,₇ critical value
+    * and the seasonality story dies). The seven terms add in fixed
+    * ascending-lag order on both engines; r_k come from the SAME
+    * unit-rounded moment row as ts3/ts12. A constant series (t0 = 0)
+    * or n ≤ 7 reads NULL. Shape at 100 TB: ts3's.
+    */
+  def ljungBox(s: SparkSession, dir: String, lags: Int = 7): DataFrame = {
+    // P(χ²₇ > 14.067140449340169) = 0.05 — the fixed critical value,
+    // hardcoded identically in both engines (no p-value libm chain)
+    val crit = 14.067140449340169
+    val agg = acfMomentsRow(s, dir, maxLag = lags)
+    def rk(l: Int) = col(s"t_$l").cast(DoubleType) / col("t0").cast(DoubleType)
+    val n = col("n_days").cast(DoubleType)
+    val sumTerms = (1 to lags).map(k => rk(k) * rk(k) / (n - k)).reduce(_ + _)
+    val q = when(col("t0") === 0 || col("n_days") <= lags, lit(null).cast(DoubleType))
+      .otherwise(Exact.dround(n * (n + 2.0) * sumTerms, 6))
+    agg.select(col("n_days"), lit(lags.toLong).as("df"), q.as("q_stat"),
+      when(q.isNull, lit(null).cast("boolean")).otherwise(q > crit).as("reject_white_noise"))
+  }
+
+  val ljungBoxSql: String = {
+    val lags = 7
+    def rk(l: Int) =
+      s"(CAST(CAST(t_$l AS VARCHAR) AS DOUBLE) / CAST(CAST(t0 AS VARCHAR) AS DOUBLE))"
+    val sumTerms = (1 to lags).map(k =>
+      s"${rk(k)} * ${rk(k)} / (CAST(n_days AS DOUBLE) - $k)").mkString(" + ")
+    val q = s"""CASE WHEN t0 = 0 OR n_days <= $lags THEN NULL
+       |  ELSE ${Exact.sqlDround(
+         s"CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0) * ($sumTerms)", 6)}
+       |END""".stripMargin
+    s"""WITH ${acfMomentsSqlCtes(lags)}
+       |SELECT n_days, CAST($lags AS BIGINT) AS df, $q AS q_stat,
+       |  CASE WHEN ($q) IS NULL THEN NULL
+       |       ELSE ($q) > 14.067140449340169 END AS reject_white_noise
+       |FROM a""".stripMargin
+  }
+
+  /** The DuckDB twin of [[acfMomentsRow]] as CTE text ending in `a`
+    * (n_days, t0, t_1..t_maxLag) — ONE definition consumed by the ts12
+    * and ts13 oracles (ts3's inline copy predates the factoring and
+    * carries the identical arithmetic).
+    */
+  private def acfMomentsSqlCtes(maxLag: Int): String = {
+    val r = Exact.sqlToUnits("rev_m")
+    val m = s"(${Exact.sqlToUnits("SUM(rev_m) OVER ()")} / COUNT(*) OVER ())"
+    def unitRound(e: String) =
+      s"CAST(CASE WHEN ($e) >= 0 THEN FLOOR(($e)+0.5) ELSE CEIL(($e)-0.5) END AS HUGEINT)"
+    val devProd = (l: Int) =>
+      s"CASE WHEN r_$l IS NOT NULL THEN ${unitRound(s"(r - m) * (r_$l - m)")} END"
+    val dev0 = unitRound("(r - m) * (r - m)")
+    val lagSelects = (1 to maxLag).map(l =>
+      s"LAG(r, $l) OVER (ORDER BY day_num) AS r_$l").mkString(", ")
+    val termSelects = (1 to maxLag).map(l =>
+      s"SUM(${devProd(l)}) AS t_$l").mkString(", ")
+    s"""daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    ${Exact.sqlMsum("o_totalprice")} AS rev_m,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+       |  FROM orders GROUP BY 1, 3),
+       |base AS (
+       |  SELECT day_num, $r AS r, $m AS m FROM daily),
+       |lagged AS (
+       |  SELECT r, m, $lagSelects FROM base),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, SUM($dev0) AS t0, $termSelects
+       |  FROM lagged)""".stripMargin
   }
 
   // === ev21: latest-event-per-key compaction ===============================
@@ -4731,6 +4868,8 @@ object Analytics {
     "imp3_poststratified" -> postStratified _,
     "ev28_entropy_rate" -> entropyRate _,
     "ev29_user_burstiness" -> userBurstiness _,
+    "ts12_pacf" -> pacf _,
+    "ts13_ljung_box" -> ((s: SparkSession, d: String) => ljungBox(s, d)),
     "smp6_systematic_sample" -> systematicSample _,
     "bs2_jackknife_se" -> jackknifeVariance _,
     "ev27_kaplan_meier" -> kaplanMeier _,
@@ -4803,6 +4942,8 @@ object Analytics {
     "imp3_poststratified" -> postStratifiedSql,
     "ev28_entropy_rate" -> entropyRateSql,
     "ev29_user_burstiness" -> userBurstinessSql,
+    "ts12_pacf" -> pacfSql,
+    "ts13_ljung_box" -> ljungBoxSql,
     "smp6_systematic_sample" -> systematicSampleSql,
     "bs2_jackknife_se" -> jackknifeVarianceSql,
     "ev27_kaplan_meier" -> kaplanMeierSql,

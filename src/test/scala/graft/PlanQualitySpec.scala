@@ -572,6 +572,14 @@ class PlanQualitySpec extends SparkTestBase {
     // sim6 accepted shape (BNLJ on <=200 vectors); two embedding scans
     val si = operators.Similarity.silhouette(spark, sfDir)
     assert(countScans(si) <= 2, s"cl2 scans: ${countScans(si)}")
+    // ts12/ts13: ts3's one-scan moment row, consumed twice over
+    val pa = operators.Analytics.pacf(spark, sfDir)
+    assert(countScans(pa) <= 1, s"ts12 scans: ${countScans(pa)}")
+    val lb = operators.Analytics.ljungBox(spark, sfDir)
+    assert(countScans(lb) <= 1, s"ts13 scans: ${countScans(lb)}")
+    Seq("ts12" -> planOf(pa), "ts13" -> planOf(lb)).foreach {
+      case (n, p) => assert(!p.contains("CartesianProduct"), s"$n degenerated to a cartesian")
+    }
   }
 
   test("df-cap guard: filter runs below the pair join and adds ZERO exchanges") {

@@ -294,6 +294,67 @@ class Round20OpsSpec extends SparkTestBase {
       s"singleton label: ${rows(2L)}")
   }
 
+  // === ts12 / ts13 =========================================================
+
+  /** The impl's unit-rounded ACF moment, recomputed independently. */
+  private def acfT(vs: Seq[Double], l: Int): Long = {
+    val m = vs.sum / vs.length
+    (l until vs.length).map { i =>
+      val p = (vs(i) - m) * (vs(i - l) - m)
+      (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)).toLong
+    }.sum
+  }
+
+  private def writeDaily(dir: String, vs: Seq[Double]): Unit = {
+    import spark.implicits._
+    vs.zipWithIndex.map { case (v, d) => (d.toLong, tsOfDay(d), v) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+  }
+
+  test("ts12: Durbin-Levinson pacf matches the textbook recursion on a hand series") {
+    val dir = tmp("ts12")
+    val vs = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0) // integer dev products
+    writeDaily(dir, vs)
+    val t0 = acfT(vs, 0).toDouble
+    val r1 = acfT(vs, 1) / t0; val r2 = acfT(vs, 2) / t0; val r3 = acfT(vs, 3) / t0
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 * (1.0 - p22)
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    val rows = Analytics.pacf(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).getLong(1) == 6L)
+    assert(rows(0).getDouble(2) == rnd9(r1), s"p11 ${rows(0).getDouble(2)} vs ${rnd9(r1)}")
+    assert(rows(1).getDouble(2) == rnd9(p22), s"p22 ${rows(1).getDouble(2)} vs ${rnd9(p22)}")
+    assert(rows(2).getDouble(2) == rnd9(p33), s"p33 ${rows(2).getDouble(2)} vs ${rnd9(p33)}")
+  }
+
+  test("ts12: a constant series reads NULL pacf at every lag (t0 = 0)") {
+    val dir = tmp("ts12c")
+    writeDaily(dir, Seq.fill(6)(42.0))
+    val rows = Analytics.pacf(spark, dir).collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(2)), s"${rows.toSeq}")
+  }
+
+  test("ts13: Ljung-Box Q matches the hand formula; short/constant series read NULL") {
+    val dir = tmp("ts13")
+    val vs = (1 to 10).map(_ * 10.0)
+    writeDaily(dir, vs)
+    val t0 = acfT(vs, 0).toDouble
+    val n = vs.length.toDouble
+    val q = n * (n + 2.0) *
+      (1 to 7).map(k => { val r = acfT(vs, k) / t0; r * r / (n - k) }).sum
+    val row = Analytics.ljungBox(spark, dir).collect()(0)
+    assert(row.getLong(0) == 10L && row.getLong(1) == 7L)
+    assert(math.abs(row.getDouble(2) - q) < 1e-5, s"Q ${row.getDouble(2)} vs $q")
+    assert(row.getBoolean(3) == (q > 14.067140449340169))
+    // n <= 7: NULL, not a bogus statistic
+    val short = tmp("ts13s")
+    writeDaily(short, Seq(1.0, 2.0, 3.0))
+    val sr = Analytics.ljungBox(spark, short).collect()(0)
+    assert(sr.isNullAt(2) && sr.isNullAt(3), s"short series: $sr")
+  }
+
   // === smp6 ================================================================
 
   test("smp6: kept set equals the independent hash-interval recomputation") {
