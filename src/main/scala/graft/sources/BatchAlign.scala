@@ -63,10 +63,14 @@ object BatchAlign {
   def reshapePositional(spark: SparkSession, df: DataFrame, width: Int): DataFrame = {
     val schema = df.schema
     if (!hasPositionalFieldNames(schema) || width <= 0 ||
-        schema.length % width != 0 || schema.length == width || df.count() != 1)
+        schema.length % width != 0 || schema.length == width)
       return df
+    // ONE probe job for the is-single-row check AND the row itself
+    // (r19 review: count() + head() ran two jobs per DoPut batch)
+    val probe = df.take(2)
+    if (probe.length != 1) return df
     val nRows = schema.length / width
-    val row = df.head()
+    val row = probe(0)
     val outFields = (0 until width).map(j => StructField((j + 1).toString, schema(j).dataType, nullable = true))
     // type check: repeated tuples must agree with the first tuple's types
     for (r <- 1 until nRows; j <- 0 until width)
@@ -100,10 +104,15 @@ object BatchAlign {
     */
   def appendParamBatch(spark: SparkSession, table: String, batch: DataFrame,
       explicitCols: Option[Seq[String]] = None): Long = {
+    // cache so the plan executes ONCE: the write materializes the
+    // blocks and the count reads them back (r19 review: count + write
+    // re-executed the aligned plan twice per DoPut batch)
     val aligned = shapeParamBatch(spark, batch, spark.table(table).schema, explicitCols)
-    val appended = aligned.count()
-    aligned.write.mode("append").insertInto(table)
-    appended
+      .persist()
+    try {
+      aligned.write.mode("append").insertInto(table)
+      aligned.count()
+    } finally { aligned.unpersist(); () }
   }
 
   /** The shaping half of the appender path, target-storage-agnostic:

@@ -46,7 +46,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   def names: Seq[String] = tables.keys.toSeq.sorted
 
   def drop(name: String): Unit = {
-    tables.remove(name.toLowerCase)
+    val removed = tables.remove(name.toLowerCase)
     viewVersions.remove(name.toLowerCase)
     spark.catalog.dropTempView(name)
     // every session that synced a view for this table must lose it too
@@ -66,7 +66,23 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
           catch { case _: Throwable => () } // a torn-down session must not fail the drop
       }
     }
+    // reclaim the directory so the NAME is reusable (r19 review:
+    // MutableTable.create requires a fresh root, so a dropped — or
+    // created-then-rolled-back — table name was permanently unusable in
+    // this catalog root). Best-effort: a leftover surfaces on the next
+    // create() with its normal error.
+    removed.foreach { t =>
+      try deleteTree(t.root) catch { case _: Throwable => () }
+    }
   }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]()).iterator().asScala
+        .foreach(q => Files.deleteIfExists(q))
+      finally st.close()
+    }
 
   // === transactions (SURVEY §7.4 session-buffered commit points) ===========
   // A transaction is a PER-SESSION staging area (A22, the reference's
@@ -110,6 +126,15 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   def commitTxn(txn: CatalogTxn): Unit = txn.synchronized { synchronized {
     if (txn.staged.isEmpty) { txn.clearAll(); return }
     val entries = txn.staged.toSeq.sortBy(_._1)
+    // SNAPSHOT the retirement inputs up front (r19 review: the inline
+    // roll-forward branch clears the txn BEFORE the retirement loop ran,
+    // so intermediate staged manifests survived forever, pinning their
+    // superseded data files against every future vacuum)
+    val finalsSnap = txn.staged.toMap
+    val allStagedSnap = txn.allStaged.toList
+    def retireIntermediates(): Unit = allStagedSnap.foreach { case (n, v) =>
+      if (!finalsSnap.get(n).contains(v)) tables.get(n).foreach(_.discardStaged(v))
+    }
     val locked = entries.flatMap { case (n, v) => tables.get(n).map(t => (n, t, v)) }
     // Hold EVERY staged table's writer monitor (sorted order — autocommit
     // writers take a single monitor, so no acquisition cycle exists)
@@ -173,6 +198,9 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
             try {
               failBeforeRollForward()
               recoverPendingCommits()
+              // the commit landed: intermediates retire here too (the
+              // snapshot survives clearAll — r19 review)
+              retireIntermediates()
               Nil // fully rolled forward: no conflicts, commit landed
             } catch { case _: Throwable => throw e }
           }
@@ -185,11 +213,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     }
     // retire intermediate staged manifests (every staged version that is
     // not the published final one) and the commit record
-    val finals = txn.staged.toMap
-    txn.allStaged.foreach { case (n, v) =>
-      if (!finals.get(n).contains(v))
-        tables.get(n).foreach(_.discardStaged(v))
-    }
+    retireIntermediates()
     recordWritten.foreach(Files.deleteIfExists(_))
     txn.clearAll()
   }}
@@ -228,12 +252,9 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     */
   def recoverPendingCommits(): Int = synchronized {
     if (!Files.isDirectory(root)) return 0
-    val records = {
-      val st = Files.list(root)
-      try st.iterator().asScala.toSeq.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("commit-") && n.endsWith(".json")
-      } finally st.close()
+    val records = MutableTable.listDir(root).filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("commit-") && n.endsWith(".json")
     }
     var completed = 0
     records.foreach { rec =>
@@ -260,8 +281,16 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
           case Some(t) =>
             // roll FORWARD only: never regress a pointer a later commit
             // already advanced past the crashed one
-            if (t.currentVersion < version && t.hasManifest(version)) {
-              t.publish(version); refresh(name)
+            if (t.currentVersion >= version) ()
+            else if (t.hasManifest(version)) { t.publish(version); refresh(name) }
+            else {
+              // pointer behind AND the staged manifest is gone: the
+              // record CANNOT complete — keep it and surface, instead of
+              // deleting it as applied (r19 review: that silently landed
+              // one table of two, the exact outcome the record prevents)
+              allApplied = false
+              System.err.println(s"[catalog] commit record ${rec.getFileName}: " +
+                s"table $name is missing manifest v$version; record retained")
             }
           case None => allApplied = false
         }
@@ -379,8 +408,11 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
 
   private val insertRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+([A-Za-z_][\\w]*)\\s*(\\([^)]*\\))?\\s*VALUES\\s*(.+?);?\\s*$".r
+  // the SET tail is captured WHOLE and split on the top-level WHERE by
+  // a quote-aware scanner (r19 review: the lazy regex split matched a
+  // ' where ' INSIDE a string literal, failing valid statements)
   private val updateRe =
-    "(?is)^\\s*UPDATE\\s+([A-Za-z_][\\w]*)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?;?\\s*$".r
+    "(?is)^\\s*UPDATE\\s+([A-Za-z_][\\w]*)\\s+SET\\s+(.+?);?\\s*$".r
   private val deleteRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][\\w]*)(?:\\s+WHERE\\s+(.+?))?;?\\s*$".r
 
@@ -403,8 +435,12 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
       case insertRe(table, colsOpt, values) =>
         get(table).map { t =>
           val tv0 = System.nanoTime()
+          // strip identifier backticks HERE (r19 review: the planned
+          // path's batch.toDF named columns with LITERAL backticks, so
+          // alignToSchema matched nothing and NULL-filled every target
+          // column — an all-NULL row committed instead of the values)
           val explicitFast = Option(colsOpt).map(_.stripPrefix("(").stripSuffix(")")
-            .split(",").map(_.trim).toSeq)
+            .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
           // driver-side literal fast path (VERDICT r15 #3): a pure-
           // literal VALUES batch into a supported-schema table skips the
           // SQL parse, the alignment analysis, and the Spark write job —
@@ -445,11 +481,12 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
               n
           }
         }
-      case updateRe(table, setClause, whereOpt) =>
+      case updateRe(table, setTail) =>
         get(table).map { t =>
           val tv0 = System.nanoTime()
+          val (setClause, whereOpt) = splitSetWhere(setTail)
           val assignments = splitAssignments(setClause).map { case (k, v) => k -> expr(v) }.toMap
-          val cond = Option(whereOpt).map(expr).getOrElse(lit(true))
+          val cond = whereOpt.map(expr).getOrElse(lit(true))
           val tv1 = System.nanoTime()
           txn match {
             case Some(x) => stageInTxn(table, t, x)(bv => t.stageUpdate(bv, cond, assignments))
@@ -474,19 +511,64 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     }
   }
 
-  /** Split `a = 1, b = 'x,y'` on top-level commas (quote-aware). */
+  /** Advance past position `i` inside a single-quoted literal: handles
+    * the backslash escape (Spark's default parser mode accepts `\'`)
+    * and the SQL-standard `''` doubling (r19 review: the old scanners
+    * treated `\'` as the terminator, mis-splitting valid statements).
+    * Returns the index AFTER the consumed char(s); `inStr` semantics
+    * live in the callers.
+    */
+  private def scanLiteralChar(s: String, i: Int): (Int, Boolean) = {
+    val c = s.charAt(i)
+    if (c == '\\' && i + 1 < s.length) (i + 2, true) // escaped char: stay in string
+    else if (c == '\'') {
+      if (i + 1 < s.length && s.charAt(i + 1) == '\'') (i + 2, true) // '' doubling
+      else (i + 1, false) // terminator
+    } else (i + 1, true)
+  }
+
+  /** Split an UPDATE's post-SET tail into (assignments, whereOpt) at the
+    * TOP-LEVEL `WHERE` keyword — quote/paren-aware with word boundaries.
+    */
+  private def splitSetWhere(tail: String): (String, Option[String]) = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < tail.length) {
+      if (inStr) { val (ni, still) = scanLiteralChar(tail, i); i = ni; inStr = still }
+      else {
+        val c = tail.charAt(i)
+        c match {
+          case '\'' => inStr = true; i += 1
+          case '(' => depth += 1; i += 1
+          case ')' => depth -= 1; i += 1
+          case 'w' | 'W' if depth == 0 &&
+              tail.regionMatches(true, i, "WHERE", 0, 5) &&
+              (i == 0 || Character.isWhitespace(tail.charAt(i - 1))) &&
+              (i + 5 >= tail.length || Character.isWhitespace(tail.charAt(i + 5))) =>
+            return (tail.substring(0, i).trim, Some(tail.substring(i + 5).trim))
+          case _ => i += 1
+        }
+      }
+    }
+    (tail.trim, None)
+  }
+
+  /** Split `a = 1, b = 'x,y'` on top-level commas (quote-aware,
+    * escape-aware — see [[scanLiteralChar]]).
+    */
   private def splitAssignments(s: String): Seq[(String, String)] = {
     val parts = mutable.Buffer.empty[String]
-    var depth = 0; var inStr = false; var start = 0
-    for (i <- s.indices) {
-      val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1
-        case _ =>
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      if (inStr) { val (ni, still) = scanLiteralChar(s, i); i = ni; inStr = still }
+      else {
+        s.charAt(i) match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1
+          case _ =>
+        }
+        i += 1
       }
     }
     parts += s.substring(start)

@@ -92,14 +92,10 @@ final class MutableTable private (
 
   private def manifestPath(v: Long): Path = root.resolve(s"manifest-$v.json")
 
-  /** Files.list with the stream CLOSED: the returned java Stream holds an
-    * open DirectoryStream until close(), so iterating it bare leaks one
-    * fd per call until finalization.
-    */
-  private def listDir(p: Path): Seq[Path] = {
-    val st = Files.list(p)
-    try st.iterator().asScala.toSeq finally st.close()
-  }
+  // fd-leak-safe directory listing — ONE definition in the companion
+  // (r19 review: MutableCatalog.recoverPendingCommits re-implemented
+  // the stream-closing boilerplate inline)
+  private def listDir(p: Path): Seq[Path] = MutableTable.listDir(p)
 
   private def readManifest(v: Long): Seq[String] = {
     val txt = new String(Files.readAllBytes(manifestPath(v)))
@@ -169,6 +165,18 @@ final class MutableTable private (
     writeManifest(newVersion, files)
     publish(newVersion)
   }
+
+  /** commit/writeManifest with orphan cleanup (r19 review): a publish
+    * that fails AFTER its manifest landed — or a torn manifest write —
+    * must not leave manifest-nv on disk, where it would (a) pin data
+    * files the caller's cleanup is about to delete as "live" against
+    * vacuum and (b) let restore(nv)/asOf(nv) commit a version whose
+    * reads throw. The unpublished manifest is safe to delete: no
+    * pointer references it.
+    */
+  private def commitOrClean(nv: Long, files: Seq[String], publishNow: Boolean): Unit =
+    try { if (publishNow) commit(nv, files) else writeManifest(nv, files) }
+    catch { case e: Throwable => Files.deleteIfExists(manifestPath(nv)); throw e }
 
   /** Atomically swing the version pointer to an already-written manifest
     * — the §7.4 commit point. Used directly by the catalog's transaction
@@ -336,8 +344,7 @@ final class MutableTable private (
             .parquet(newFiles.map(f => dataDir.resolve(f).toString): _*).count()
       }
       val nv = allocVersion()
-      if (publishNow) commit(nv, readManifest(base) ++ newFiles)
-      else writeManifest(nv, readManifest(base) ++ newFiles)
+      commitOrClean(nv, readManifest(base) ++ newFiles, publishNow)
       (nv, n)
     } catch {
       case e: Throwable =>
@@ -584,7 +591,14 @@ final class MutableTable private (
     * a staged row is a violation; staged-count > 1 distinguishes the
     * in-batch message (checked first, like the pre-write shape did).
     */
-  private def pkCheck(base: Long, newFiles: Seq[String], pk: String): Unit = {
+  /** `oldOverride`: the table-side file set to clash-check against —
+    * defaults to the base manifest (INSERT), while an UPDATE that
+    * assigns the pk passes the manifest MINUS the rewritten files (the
+    * base set would false-clash every unchanged key against its own
+    * pre-image; r19 review).
+    */
+  private def pkCheck(base: Long, newFiles: Seq[String], pk: String,
+      oldOverride: Option[Seq[String]] = None): Unit = {
     if (newFiles.isEmpty) return
     loadStats(base)
     val newBounds = newFiles.map(f => statsFor(f).get(pk))
@@ -593,7 +607,7 @@ final class MutableTable private (
     // overlap test — degenerate data falls back to the full check)
     val boundsKnown = newBounds.forall(_.exists(s =>
       s.min.isDefined && s.max.isDefined && s.nulls == 0))
-    val old = readManifest(base)
+    val old = oldOverride.getOrElse(readManifest(base))
     val oldCandidates =
       if (!boundsKnown) old
       else old.filter { f =>
@@ -979,7 +993,7 @@ final class MutableTable private (
       else stageWrite(survivors, knownBytes = Some(bytesOf(affected)))
     val nv = allocVersion()
     val files = all.filterNot(affected.contains) ++ replacement
-    if (publishNow) commit(nv, files) else writeManifest(nv, files)
+    commitOrClean(nv, files, publishNow)
     (nv, deleted)
   }
 
@@ -1130,7 +1144,12 @@ final class MutableTable private (
       publishNow: Boolean): (Long, Long) = {
     require(set.nonEmpty, "UPDATE requires at least one assignment")
     set.keys.foreach(k => require(schema.fieldNames.contains(k), s"unknown column: $k"))
-    driverRewrite(base, cond, Some(set), publishNow).foreach(return _)
+    // a PK-ASSIGNING update must re-validate uniqueness (r19 review:
+    // both rewrite paths persisted duplicate PKs — UPDATE t SET k = 5
+    // WHERE k = 6 silently committed two k=5 rows); the driver rewrite
+    // has no check, so those updates take the planned path below
+    val touchesPk = primaryKey.exists(set.contains)
+    if (!touchesPk) driverRewrite(base, cond, Some(set), publishNow).foreach(return _)
     val t0 = System.nanoTime()
     val all = readManifest(base)
     val (affected, updated) = affectedStats(base, cond)
@@ -1145,10 +1164,24 @@ final class MutableTable private (
       }
     }: _*)
     val replacement = stageWrite(rewritten, knownBytes = Some(bytesOf(affected)))
+    val untouched = all.filterNot(affected.contains)
+    // pk-assigning update: the rewritten files must be unique in-batch
+    // AND against the untouched files (NOT the base manifest, whose
+    // affected files hold every unchanged key's pre-image)
+    if (touchesPk) primaryKey.foreach { pk =>
+      try pkCheck(base, replacement, pk, oldOverride = Some(untouched))
+      catch {
+        case e: Throwable =>
+          replacement.foreach { f =>
+            fileStats.remove(f); Files.deleteIfExists(dataDir.resolve(f))
+          }
+          throw e
+      }
+    }
     val t2 = System.nanoTime()
     val nv = allocVersion()
-    val files = all.filterNot(affected.contains) ++ replacement
-    if (publishNow) commit(nv, files) else writeManifest(nv, files)
+    val files = untouched ++ replacement
+    commitOrClean(nv, files, publishNow)
     if (graft.Engine.dmlTrace)
       System.err.println(f"[dml-trace] update discovery=${(t1 - t0) / 1e6}%.0f rewrite=${(t2 - t1) / 1e6}%.0f commit=${(System.nanoTime() - t2) / 1e6}%.0f ms")
     (nv, updated)
@@ -1218,6 +1251,16 @@ final class MutableTable private (
 }
 
 object MutableTable {
+
+  /** Files.list with the stream CLOSED: the returned java Stream holds
+    * an open DirectoryStream until close(), so iterating it bare leaks
+    * one fd per call until finalization.
+    */
+  private[sources] def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
 
   /** Create an empty table at `path` (errors if one exists). */
   def create(spark: SparkSession, path: String, schema: StructType,

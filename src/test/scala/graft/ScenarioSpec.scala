@@ -257,6 +257,45 @@ class ScenarioSpec extends SparkTestBase {
     cat.drop("heal_a"); cat.drop("heal_b")
   }
 
+  test("inline roll-forward retires intermediate staged manifests (r19 review)") {
+    // the roll-forward branch used to clearAll() BEFORE the retirement
+    // loop, so a multi-statement txn's intermediate staged manifests
+    // survived forever, pinning superseded data files against vacuum
+    val cat = MutableCatalog(spark)
+    cat.create("ret_t", usersSchema)
+    val s = new Session("ret", spark.newSession(), Some(cat))
+    s.begin()
+    s.sql("INSERT INTO ret_t VALUES (1, 'a', 1.0)") // staged v1
+    s.sql("INSERT INTO ret_t VALUES (2, 'b', 2.0)") // staged v2, chained
+    var once = true
+    cat.failBeforePublish = _ =>
+      if (once) { once = false; throw new RuntimeException("transient IO") }
+    try s.commit() // heals inline
+    finally cat.failBeforePublish = _ => ()
+    val t = cat.get("ret_t").get
+    assert(t.df.count() == 2L)
+    assert(!java.nio.file.Files.exists(t.root.resolve("manifest-1.json")),
+      "the intermediate staged manifest must retire on the roll-forward path too")
+    assert(java.nio.file.Files.exists(t.root.resolve("manifest-2.json")))
+    cat.drop("ret_t")
+  }
+
+  test("recovery RETAINS a commit record whose staged manifest is missing (r19 review)") {
+    val cat = MutableCatalog(spark)
+    val t = cat.create("recm_t", usersSchema)
+    cat.route("INSERT INTO recm_t VALUES (1, 'a', 1.0)")
+    val root = t.root.getParent
+    // forge a record pointing past the published version with no manifest
+    java.nio.file.Files.write(root.resolve("commit-forged.json"),
+      """{"txn": "forged", "tables": {"recm_t": 99}}""".getBytes)
+    assert(cat.recoverPendingCommits() == 0,
+      "an incompletable record must not count as applied")
+    assert(java.nio.file.Files.exists(root.resolve("commit-forged.json")),
+      "the record must be retained for a later recovery, not deleted")
+    java.nio.file.Files.delete(root.resolve("commit-forged.json"))
+    cat.drop("recm_t")
+  }
+
   // === cross-RESTART recovery: a fresh catalog instance over the same ====
   // root must load the record's tables from disk and complete the
   // commit (the constructor-time recovery previously ran against an

@@ -111,6 +111,67 @@ class MutableTableSpec extends SparkTestBase {
     assert(t.currentVersion == v)
   }
 
+  test("UPDATE assigning the primary key re-validates uniqueness (r19 review)") {
+    val t = mkTable()
+    t.insert(rows((5L, "a", 1.0), (6L, "b", 2.0)))
+    val v = t.currentVersion
+    // both the driver-rewrite-eligible literal form and the planned form
+    // must refuse to mint a duplicate PK
+    intercept[RuntimeException](t.update(col("id") === 6L, Map("id" -> lit(5L))))
+    assert(t.currentVersion == v, "nothing committed after the refused update")
+    assert(t.df.filter(col("id") === 5L).count() == 1)
+    // a pk-assigning update to a FREE key value succeeds
+    assert(t.update(col("id") === 6L, Map("id" -> lit(7L))) == 1L)
+    assert(t.df.filter(col("id") === 7L).count() == 1)
+    assert(t.df.count() == 2)
+    // an in-batch clash: two rows rewritten onto the same new key
+    t.insert(rows((8L, "c", 3.0)))
+    intercept[RuntimeException](t.update(col("id").isin(5L, 7L), Map("id" -> lit(9L))))
+    assert(t.df.count() == 3)
+  }
+
+  test("catalog UPDATE/INSERT parsing survives literals with WHERE/commas/escapes and backticks (r19 review)") {
+    val cat = MutableCatalog(spark)
+    cat.create("parse_t", StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType), StructField("n", LongType))))
+    // backticked explicit column list with an expression forces the
+    // PLANNED insert path: values must land, not an all-NULL row
+    assert(cat.route("INSERT INTO parse_t (`k`, `s`, `n`) VALUES (1, upper('x'), 1 + 1)")
+      .contains(1L))
+    val r0 = spark.table("parse_t").collect()
+    assert(r0.length == 1 && r0(0).getLong(0) == 1L && r0(0).getString(1) == "X"
+      && r0(0).getLong(2) == 2L, s"backticked planned insert corrupted: ${r0.toSeq}")
+    // a string literal containing ' where ' must not split the SET tail
+    assert(cat.route("UPDATE parse_t SET s = 'a where b' WHERE k = 1").contains(1L))
+    assert(spark.table("parse_t").collect()(0).getString(1) == "a where b")
+    // commas and doubled-quote escapes inside literals must not split
+    // assignments
+    assert(cat.route("UPDATE parse_t SET s = 'it''s, fine', n = 9 WHERE k = 1").contains(1L))
+    val r1 = spark.table("parse_t").collect()(0)
+    assert(r1.getString(1) == "it's, fine" && r1.getLong(2) == 9L, s"$r1")
+    cat.drop("parse_t")
+  }
+
+  test("drop reclaims the table directory so the name is reusable (r19 review)") {
+    val cat = MutableCatalog(spark)
+    val t1 = cat.create("reuse_t", schema, primaryKey = Some("id"))
+    t1.insert(rows((1L, "a", 1.0)))
+    cat.drop("reuse_t")
+    // re-creating the dropped name must work and start empty
+    val t2 = cat.create("reuse_t", schema, primaryKey = Some("id"))
+    assert(t2.df.count() == 0)
+    t2.insert(rows((2L, "b", 2.0))) // direct table insert: no view refresh
+    assert(t2.df.count() == 1)
+    cat.drop("reuse_t")
+    // the rollback-of-created-table path rides the same reclaim
+    val txn = cat.beginTxn()
+    cat.create("reuse_t", schema, txn = Some(txn))
+    cat.rollbackTxn(txn)
+    val t3 = cat.create("reuse_t", schema)
+    assert(t3.df.count() == 0)
+    cat.drop("reuse_t")
+  }
+
   test("snapshot time travel: asOf reads historic versions") {
     val t = mkTable()
     t.insert(rows((1L, "a", 1.0)))
