@@ -89,6 +89,20 @@ object CorpusPipeline {
       val latch = new java.util.concurrent.CountDownLatch(1)
       val prev = manifestInFlight.putIfAbsent(key, latch)
       if (prev == null) {
+        // RE-CHECK the memo after winning the in-flight slot (r19
+        // review): a thread that missed the memo before a completed
+        // build removed its latch would otherwise rebuild — re-running
+        // dd8's eager union-find jobs — and its put() displaced the
+        // memoized entry without unpersisting it, pinning cached blocks
+        // until the ContextCleaner happened to collect them.
+        val already = manifestMemo.synchronized(Option(manifestMemo.get(key)))
+        already match {
+          case Some(m) =>
+            manifestInFlight.remove(key)
+            latch.countDown()
+            return m
+          case None => ()
+        }
         try {
           val m = buildManifest(s, dir, contamMax).cache()
           manifestMemo.synchronized { manifestMemo.put(key, m) }

@@ -146,13 +146,17 @@ object Relational {
         coalesce(nullif(col("p_type"), lit("PROMO")), lit("OTHER")).as("coal"),
         when(col("p_size") < 10, "S").when(col("p_size") < 30, "M").otherwise("L").as("size_class"),
         (col("p_size") % 7).as("size_mod7"),
-        round(col("p_retailprice"), 1).as("price_r1"),
+        // dround, not round() (r19 review: Spark's HALF_UP BigDecimal
+        // round vs DuckDB's float std::round can differ an ulp apart
+        // near halfway points — the exact divergence Exact.dround's doc
+        // names; every other rounding here already rides it)
+        Exact.dround(col("p_retailprice"), 1).as("price_r1"),
         greatest(col("p_size"), lit(25)).as("size_floor25"))
       .orderBy(col("p_partkey"))
   }
 
   val scalarStringsSql: String =
-    """SELECT p_partkey,
+    s"""SELECT p_partkey,
       | upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
       | substring(p_type, 1, 4) AS type4,
       | CAST(length(p_name) AS INTEGER) AS name_len,
@@ -161,7 +165,7 @@ object Relational {
       | coalesce(nullif(p_type, 'PROMO'), 'OTHER') AS coal,
       | CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class,
       | p_size % 7 AS size_mod7,
-      | round(p_retailprice, 1) AS price_r1,
+      | ${Exact.sqlDround("p_retailprice", 1)} AS price_r1,
       | greatest(p_size, 25) AS size_floor25
       |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin
 
@@ -311,11 +315,22 @@ object Relational {
       .orderedSmall(col("cohort_week"), col("week_offset"))
   }
 
+  // the oracle's week bucket mirrors Spark's pmod FLOOR construction
+  // exactly (r19 review, empirically checked: DuckDB's `//` TRUNCATES
+  // toward zero on negatives — the comment that claimed it floors was
+  // wrong — so a bare `us // wk` would disagree for pre-1970 events;
+  // subtracting the nonnegative mod first makes the operand an exact
+  // multiple, where truncate == floor)
+  private def sqlWeekOf(e: String): String = {
+    val wk = "604800000000"
+    s"(($e - (($e % $wk + $wk) % $wk)) // $wk)"
+  }
+
   val cohortRetentionSql: String =
-    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
       |f AS (SELECT user_id, MIN(us) AS first_us FROM e GROUP BY 1)
-      |SELECT first_us // 604800000000 AS cohort_week,
-      |  (us // 604800000000) - (first_us // 604800000000) AS week_offset,
+      |SELECT ${sqlWeekOf("first_us")} AS cohort_week,
+      |  ${sqlWeekOf("us")} - ${sqlWeekOf("first_us")} AS week_offset,
       |  COUNT(DISTINCT e.user_id) AS active_users, COUNT(*) AS n_events
       |FROM e JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -519,7 +534,12 @@ object Relational {
       .agg(count(lit(1)).as("n_gaps"),
         min(col("gap_us")).as("min_gap_us"),
         max(col("gap_us")).as("max_gap_us"),
-        (sum(col("gap_us")).cast(DoubleType) / count(lit(1))).as("avg_gap_us"))
+        // DECIMAL(38,0)-widened sum (r19 review: the oracle sums in
+        // HUGEINT; a raw long sum overflows at ~1e12 gaps of ~1e7 us —
+        // the exact scale the docstring advertises — where ANSI throws
+        // instead of averaging; the valueTrend widening discipline)
+        (sum(col("gap_us").cast(Exact.D380)).cast(DoubleType) / count(lit(1)))
+          .as("avg_gap_us"))
       .select(col("event_type"), col("n_gaps").cast(LongType),
         col("min_gap_us").cast(LongType).as("min_gap_us"),
         col("max_gap_us").cast(LongType).as("max_gap_us"), col("avg_gap_us"))
@@ -785,7 +805,10 @@ object Relational {
     val parsed = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
     t(s, dir, "events")
       .withColumn("k_parsed", parsed.getField("k"))
-      .withColumn("k_path", get_json_object(col("props"), "$.k").cast(LongType))
+      // try_cast, not cast (r19 review — the ev3 dirty-row discipline):
+      // one non-integer k value (12.5, "abc") must yield a NULL cell,
+      // not abort the statement under ANSI; from_json already nulls
+      .withColumn("k_path", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("k_parsed")).as("sum_k"),
@@ -807,8 +830,8 @@ object Relational {
       | MIN(k_parsed) AS min_k,
       | MAX(k_parsed) AS max_k
       |FROM (SELECT event_type,
-      |        CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) AS k_parsed,
-      |        CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k_path
+      |        TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) AS k_parsed,
+      |        TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k_path
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -1125,8 +1148,13 @@ object Relational {
       when(col("digit") === d, lit(expected(d))).otherwise(acc)
     }
     val wAll = Window.partitionBy()
+    // filter on the MICROS integer, not the raw price (r19 review: a
+    // price in (0, 5e-7) passes `> 0` but rounds to micros 0, whose
+    // leading digit '0' has NO Benford expectation — Spark's foldLeft
+    // default read 0.0 and divided by it while the oracle's CASE
+    // returned NULL; sub-micro magnitudes simply have no leading digit)
     val base = t(s, dir, "orders")
-      .filter(col("o_totalprice") > 0)
+      .filter(Exact.micros(col("o_totalprice")) > 0)
       .select(substring(Exact.micros(col("o_totalprice")).cast(StringType), 1, 1)
         .cast(IntegerType).as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
@@ -1151,7 +1179,7 @@ object Relational {
     s"""WITH b AS (
        |  SELECT CAST(substring(CAST(${Exact.sqlMicros("o_totalprice")} AS VARCHAR), 1, 1)
        |    AS INTEGER) AS digit
-       |  FROM orders WHERE o_totalprice > 0),
+       |  FROM orders WHERE ${Exact.sqlMicros("o_totalprice")} > 0),
        |c AS (SELECT digit, COUNT(*) AS n FROM b GROUP BY digit),
        |tt AS (SELECT digit, n, SUM(n) OVER () AS total FROM c),
        |e AS (SELECT digit, n, total,
