@@ -79,7 +79,10 @@ final class Maintenance(intervalMillis: Long = 24L * 3600 * 1000) {
             done += name
           }
         } catch {
-          case t: Throwable =>
+          // NonFatal only (r19 advice): an OutOfMemoryError/LinkageError
+          // must propagate, not be downgraded to a stderr line while the
+          // sweep keeps running in a possibly corrupt JVM
+          case scala.util.control.NonFatal(t) =>
             System.err.println(s"[maintenance] checkpoint of $name failed " +
               s"(retried next tick): ${t.getMessage}")
         }

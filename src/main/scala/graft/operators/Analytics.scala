@@ -23,6 +23,18 @@ object Analytics {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Engine.table(s, dir, n)
 
+  /** FLOOR day bucket for oracle SQL: DuckDB `//` truncates toward zero
+    * on negatives while the Spark side uses pmod/floor (same divergence
+    * class the week buckets hit — Relational.sqlWeekOf); subtracting the
+    * nonnegative mod first makes the operand an exact multiple, where
+    * truncate == floor. Latent for TPC-H dates (1992+), real for any
+    * pre-1970 timestamp.
+    */
+  private def sqlDayOf(e: String): String = {
+    val d = "86400000000"
+    s"(($e - (($e % $d + $d) % $d)) // $d)"
+  }
+
   // === bsk1: market-basket brand co-occurrence =============================
   /** Top co-purchased brand pairs: for each order, the distinct set of
     * part brands on its lines; count orders containing each unordered
@@ -3394,7 +3406,7 @@ object Analytics {
 
   val spearmanOrdersSql: String =
     s"""WITH j AS (
-       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+       |  SELECT ${sqlDayOf("epoch_us(CAST(o_orderdate AS TIMESTAMP))")} AS day,
        |    COUNT(*) AS xv,
        |    SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) AS yv
        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
@@ -3925,7 +3937,7 @@ object Analytics {
     s"""WITH d AS (
        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
        |              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
-       |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+       |    ${sqlDayOf("epoch_us(CAST(o_orderdate AS TIMESTAMP))")} AS day,
        |    COUNT(*) AS xv,
        |    SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) AS yv
        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
@@ -4445,7 +4457,7 @@ object Analytics {
 
   val periodogramSql: String =
     s"""WITH d AS (
-       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+       |  SELECT ${sqlDayOf("epoch_us(CAST(o_orderdate AS TIMESTAMP))")} AS day,
        |    SUM(CAST(${Exact.sqlMicros("o_totalprice")} AS HUGEINT)) AS vm
        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
        |c AS (
@@ -4455,8 +4467,8 @@ object Analytics {
        |  FROM d),
        |terms AS (
        |  SELECT p, nd,
-       |    vc * cos(2 * pi() * CAST(day % p AS DOUBLE) / CAST(p AS DOUBLE)) AS ct,
-       |    vc * sin(2 * pi() * CAST(day % p AS DOUBLE) / CAST(p AS DOUBLE)) AS st
+       |    vc * cos(2 * pi() * CAST((day % p + p) % p AS DOUBLE) / CAST(p AS DOUBLE)) AS ct,
+       |    vc * sin(2 * pi() * CAST((day % p + p) % p AS DOUBLE) / CAST(p AS DOUBLE)) AS st
        |  FROM c CROSS JOIN (SELECT UNNEST(generate_series(2, 14)) AS p) g),
        |agg AS (
        |  SELECT p, CAST(MAX(nd) AS BIGINT) AS n_days,

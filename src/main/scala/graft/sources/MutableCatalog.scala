@@ -48,6 +48,7 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   def drop(name: String): Unit = {
     val removed = tables.remove(name.toLowerCase)
     viewVersions.remove(name.toLowerCase)
+    versionClock.incrementAndGet() // plan-cache fingerprints must move
     spark.catalog.dropTempView(name)
     // every session that synced a view for this table must lose it too
     // (review catch: syncViews iterates only LIVE tables, so a dropped
@@ -70,9 +71,22 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     // MutableTable.create requires a fresh root, so a dropped — or
     // created-then-rolled-back — table name was permanently unusable in
     // this catalog root). Best-effort: a leftover surfaces on the next
-    // create() with its normal error.
+    // create() with its normal error. DEFERRED while any live txn has
+    // staged DML on this table (r19 advice: eager deletion pulled that
+    // txn's staged manifests/data out from under it mid-operation) —
+    // the staged files then outlive the drop until the holder finishes,
+    // like the pre-reclaim behavior, and the name stays unusable until
+    // then, surfacing on create() as before.
     removed.foreach { t =>
-      try deleteTree(t.root) catch { case _: Throwable => () }
+      val lc = name.toLowerCase
+      val busy = liveTxns.synchronized {
+        val it = liveTxns.keySet().iterator()
+        var found = false
+        while (!found && it.hasNext) found = it.next().stagedTables.contains(lc)
+        found
+      }
+      if (!busy)
+        try deleteTree(t.root) catch { case _: Throwable => () }
     }
   }
 
@@ -100,7 +114,18 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   // one table of two. ROLLBACK deletes every staged manifest (so vacuum
   // can reclaim their data files) and drops tables created inside the
   // txn.
-  def beginTxn(): CatalogTxn = new CatalogTxn
+  def beginTxn(): CatalogTxn = {
+    val t = new CatalogTxn
+    liveTxns.synchronized(liveTxns.put(t, java.lang.Boolean.TRUE))
+    t
+  }
+
+  // Live (unfinished) transactions, weakly held: a session evicted with
+  // an open txn releases its reference and the entry self-clears, so
+  // an abandoned txn cannot pin drop()'s deferral forever. Committed /
+  // rolled-back txns report an empty stagedTables, so no explicit
+  // unregister is needed. All access synchronizes on the map itself.
+  private val liveTxns = new java.util.WeakHashMap[CatalogTxn, java.lang.Boolean]()
 
   final class TransactionConflictException(msg: String)
     extends IllegalStateException(msg)
@@ -309,6 +334,12 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
   // sessions.
   private val viewVersions = scala.collection.concurrent.TrieMap.empty[String, Long]
   private val versionClock = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Catalog-wide snapshot clock: moves on every published table
+    * refresh AND on drop — the prepared-plan-cache fingerprint (a
+    * cached plan over a dropped or republished table must miss).
+    */
+  def snapshotClock: Long = versionClock.get()
   private val syncedBySession = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, mutable.Map[String, Long]]())
 
@@ -439,8 +470,10 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
           // path's batch.toDF named columns with LITERAL backticks, so
           // alignToSchema matched nothing and NULL-filled every target
           // column — an all-NULL row committed instead of the values)
-          val explicitFast = Option(colsOpt).map(_.stripPrefix("(").stripSuffix(")")
-            .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+          // split on commas OUTSIDE backticks (r19 advice class: a
+          // backticked column name containing ',' split mid-identifier)
+          val explicitFast = Option(colsOpt).map(c =>
+            splitIdentList(c.stripPrefix("(").stripSuffix(")")))
           // driver-side literal fast path (VERDICT r15 #3): a pure-
           // literal VALUES batch into a supported-schema table skips the
           // SQL parse, the alignment analysis, and the Spark write job —
@@ -531,19 +564,26 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     * TOP-LEVEL `WHERE` keyword — quote/paren-aware with word boundaries.
     */
   private def splitSetWhere(tail: String): (String, Option[String]) = {
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var inStr = false; var inTick = false; var i = 0
     while (i < tail.length) {
       if (inStr) { val (ni, still) = scanLiteralChar(tail, i); i = ni; inStr = still }
+      else if (inTick) { if (tail.charAt(i) == '`') inTick = false; i += 1 }
       else {
         val c = tail.charAt(i)
         c match {
           case '\'' => inStr = true; i += 1
+          // backtick-quoted identifiers can contain ' where ' (r19
+          // advice: the scanner tracked only single-quoted spans, so a
+          // backticked column name split inside the identifier)
+          case '`' => inTick = true; i += 1
           case '(' => depth += 1; i += 1
           case ')' => depth -= 1; i += 1
           case 'w' | 'W' if depth == 0 &&
               tail.regionMatches(true, i, "WHERE", 0, 5) &&
               (i == 0 || Character.isWhitespace(tail.charAt(i - 1))) &&
-              (i + 5 >= tail.length || Character.isWhitespace(tail.charAt(i + 5))) =>
+              // '(' is a valid right boundary: `UPDATE t SET a=1 WHERE(k=1)`
+              (i + 5 >= tail.length || Character.isWhitespace(tail.charAt(i + 5)) ||
+                tail.charAt(i + 5) == '(') =>
             return (tail.substring(0, i).trim, Some(tail.substring(i + 5).trim))
           case _ => i += 1
         }
@@ -552,17 +592,37 @@ final class MutableCatalog(spark: SparkSession, root: Path) {
     (tail.trim, None)
   }
 
+  /** Split a column-identifier list on commas outside backticks and
+    * strip the backticks: `` `k`, `c, d` `` → Seq("k", "c, d").
+    */
+  private def splitIdentList(s: String): Seq[String] = {
+    val parts = mutable.Buffer.empty[String]
+    var inTick = false; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '`' => inTick = !inTick
+        case ',' if !inTick => parts += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += s.substring(start)
+    parts.toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+  }
+
   /** Split `a = 1, b = 'x,y'` on top-level commas (quote-aware,
     * escape-aware — see [[scanLiteralChar]]).
     */
   private def splitAssignments(s: String): Seq[(String, String)] = {
     val parts = mutable.Buffer.empty[String]
-    var depth = 0; var inStr = false; var start = 0; var i = 0
+    var depth = 0; var inStr = false; var inTick = false; var start = 0; var i = 0
     while (i < s.length) {
       if (inStr) { val (ni, still) = scanLiteralChar(s, i); i = ni; inStr = still }
+      else if (inTick) { if (s.charAt(i) == '`') inTick = false; i += 1 }
       else {
         s.charAt(i) match {
           case '\'' => inStr = true
+          case '`' => inTick = true // backticked names can contain ','
           case '(' => depth += 1
           case ')' => depth -= 1
           case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1

@@ -149,7 +149,43 @@ class MutableTableSpec extends SparkTestBase {
     assert(cat.route("UPDATE parse_t SET s = 'it''s, fine', n = 9 WHERE k = 1").contains(1L))
     val r1 = spark.table("parse_t").collect()(0)
     assert(r1.getString(1) == "it's, fine" && r1.getLong(2) == 9L, s"$r1")
+    // WHERE immediately followed by '(' is a valid boundary (r19 advice)
+    assert(cat.route("UPDATE parse_t SET n = 3 WHERE(k = 1)").contains(1L))
+    assert(spark.table("parse_t").collect()(0).getLong(2) == 3L)
     cat.drop("parse_t")
+  }
+
+  test("backtick-quoted identifiers containing ' where '/commas parse (r19 advice)") {
+    val cat = MutableCatalog(spark)
+    cat.create("bt_t", StructType(Seq(
+      StructField("k", LongType), StructField("a where b", LongType),
+      StructField("c, d", StringType))))
+    assert(cat.route("INSERT INTO bt_t (`k`, `a where b`, `c, d`) VALUES (1, 2, 'x')")
+      .contains(1L))
+    // the SET tail's backticked identifier contains ' where ': the
+    // splitter must find the REAL top-level WHERE after it
+    assert(cat.route("UPDATE bt_t SET `a where b` = 5 WHERE k = 1").contains(1L))
+    val r = spark.table("bt_t").collect()(0)
+    assert(r.getLong(1) == 5L && r.getString(2) == "x", s"$r")
+    cat.drop("bt_t")
+  }
+
+  test("drop defers directory reclaim while a live txn has staged DML (r19 advice)") {
+    val cat = MutableCatalog(spark)
+    val t = cat.create("defer_t", schema, primaryKey = Some("id"))
+    t.insert(rows((1L, "a", 1.0)))
+    val txn = cat.beginTxn()
+    assert(cat.route("DELETE FROM defer_t WHERE id = 1", Some(txn)).contains(1L))
+    cat.drop("defer_t")
+    assert(cat.get("defer_t").isEmpty, "drop must deregister immediately")
+    assert(Files.exists(t.root),
+      "staged txn's files must survive the drop until the txn finishes")
+    // finishing the txn is a tolerated no-op for the dropped table
+    cat.rollbackTxn(txn)
+    // with no staged holder, a fresh drop cycle reclaims eagerly
+    val t2 = cat.create("defer_e", schema)
+    cat.drop("defer_e")
+    assert(!Files.exists(t2.root), "unstaged drop still reclaims the directory")
   }
 
   test("drop reclaims the table directory so the name is reusable (r19 review)") {
