@@ -267,24 +267,42 @@ object Bench {
     // session model (engine/factory.rs:72-93); a shared session
     // serializes on SQLConf/analysis state (~20% throughput measured)
     val sessions = (0 until terminals).map(_ => spark.newSession())
-    // PINNED re-execution (VERDICT r18 #1, the q16 floor ledger in
-    // BenchLab q16floor): a prepared statement's Nth execution re-runs
-    // the plan decided at prepare time — the reference caches the
-    // optimized plan and never re-plans per EXECUTE (prepared.rs:
-    // 344-372) — so adaptive re-planning is OFF on the terminal
-    // sessions. AQE's per-execution cost here is one extra job
-    // submission + stage-stats round per shuffle (q16: 4 jobs -> 3,
-    // med 377 -> 265 ms; full 4-terminal window 10.2 -> 13.4 req/s,
-    // p99 1314 -> 1104 ms, A/B'd via BenchLab base vs noAqe). Plans
-    // are still BUILT (and the engine still serves ad-hoc SQL) with
-    // AQE on — only measured prepared re-executions pin.
-    sessions.foreach(_.conf.set("spark.sql.adaptive.enabled", "false"))
+    // PINNED re-execution (VERDICT r18 #1 q16 floor ledger; r19 #2 made
+    // the pin a DECISION PER PLAN): a prepared statement's Nth execution
+    // re-runs the plan decided at prepare time — the reference caches
+    // the optimized plan and never re-plans per EXECUTE (prepared.rs:
+    // 344-372) — so adaptive re-planning is OFF for re-executions of
+    // plans whose join strategy is statically decided (AQE there is one
+    // extra job + stage-stats round per shuffle: q16 4 jobs -> 3, med
+    // 377 -> 265 ms, window 10.2 -> 13.4 req/s, BenchLab base vs noAqe)
+    // and KEPT for plans where only runtime stats can broadcast a
+    // grouped-aggregate join side (q18's HAVING set regressed 372 ->
+    // 455 ms under the r19 blanket pin; at 100 TB the same miss is a
+    // fact-table shuffle). The policy is PreparedPlans.pinnable — the
+    // SAME decision Session.runPrepared's plan cache ships, so this
+    // phase measures the served regime, not a bench-only one.
     // prepared statements, as BenchBase drives them: parse + analyze
     // once per terminal, then each execution replans and re-runs every
-    // stage from the analyzed plan (PlanReuse — re-collecting a single
-    // Dataset would reuse its shuffle outputs, i.e. cache results)
+    // stage from the analyzed plan (PreparedPlans.reexec — re-collecting
+    // a single Dataset would reuse its shuffle outputs, i.e. cache
+    // results)
     val preparedPer = sessions.map { cs =>
       mix.map(n => n -> SparkEntry.queries(n)(cs, sfDir)).toMap
+    }
+    // per-query pin decision, computed once on the driver thread (the
+    // plan shape is identical across terminal sessions)
+    val keepAqeByName: Map[String, Boolean] = mix.distinct.map { n =>
+      n -> !org.apache.spark.sql.graft.PreparedPlans.pinnable(
+        org.apache.spark.sql.graft.PlanReuse.optimizedPlan(preparedPer.head(n)))
+    }.toMap
+    System.err.println(s"[bench] AQE kept for re-executions of: " +
+      keepAqeByName.filter(_._2).keys.toSeq.sorted.mkString(", "))
+    def reexecPrepared(cs: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      org.apache.spark.sql.graft.PreparedPlans.reexec(cs,
+        org.apache.spark.sql.graft.PreparedPlans.analyzedPlan(df),
+        keepAqeByName.getOrElse(name, true)).collect()
+      ()
     }
     // per-terminal warmup BEFORE the clock starts: a fixed 30 s
     // WALL-CLOCK throughput run of the same 4-terminal mix — the
@@ -309,7 +327,7 @@ object Bench {
         // at least one full pass of the mix per terminal, then keep
         // hammering until the 30 s wall clock expires
         while (n < mix.length || System.nanoTime() - warmT0 < warmupNanos) {
-          try org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, prepared(mix(i % mix.length))).collect()
+          try reexecPrepared(cs, prepared(mix(i % mix.length)), mix(i % mix.length))
           catch { case _: Throwable => }
           i += 1; n += 1
         }
@@ -357,7 +375,7 @@ object Bench {
       val ths = sessions.zip(preparedPer).zipWithIndex.map { case ((cs, prepared), t) =>
         val th = new Thread(() => mix.indices.foreach { k =>
           val n = mix((k + t) % mix.length)
-          try org.apache.spark.sql.graft.PlanReuse.reanalyzed(cs, prepared(n)).collect()
+          try reexecPrepared(cs, prepared(n), n)
           catch { case _: Throwable => }
         })
         th.start(); th
@@ -440,8 +458,7 @@ object Bench {
             val name = mix(i % mix.length)
             val r0 = System.nanoTime()
             try {
-              org.apache.spark.sql.graft.PlanReuse
-                .reanalyzed(clientSession, prepared(name)).collect()
+              reexecPrepared(clientSession, prepared(name), name)
               val done = System.nanoTime()
               total.incrementAndGet()
               val in = done - t0 <= windowNanos
@@ -729,14 +746,25 @@ object Bench {
     // serial entry that rebuilds from scratch, so the composite entries
     // report the composite's incremental cost, not a re-billing of
     // stages already measured. The headline q* mix caches nothing.
-    // prepared re-executions run PINNED (adaptive off — see the
+    // prepared re-executions run under the per-plan pin policy (see the
     // terminal-session comment in the throughput phase; same ledger):
-    // the toggle is scoped to the collect so driverStepped builds and
-    // everything else on the root session keep AQE.
+    // adaptive off for statically-decided plans, kept where only runtime
+    // stats can broadcast a grouped-aggregate join side. The toggle is
+    // scoped to the physical planning (PreparedPlans.reexec restores the
+    // PRIOR conf value — r19 advice: a root session configured with AQE
+    // off was silently flipped on after the first serial-phase query),
+    // so driverStepped builds and everything else on the root session
+    // keep their regime.
+    val keepAqeSerial = new java.util.IdentityHashMap[org.apache.spark.sql.DataFrame, java.lang.Boolean]()
     def pinnedCollect(df: org.apache.spark.sql.DataFrame): Unit = {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try { org.apache.spark.sql.graft.PlanReuse.reanalyzed(spark, df).collect(); () }
-      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      import org.apache.spark.sql.graft.{PlanReuse, PreparedPlans}
+      var keep = keepAqeSerial.get(df)
+      if (keep == null) {
+        keep = java.lang.Boolean.valueOf(!PreparedPlans.pinnable(PlanReuse.optimizedPlan(df)))
+        keepAqeSerial.put(df, keep)
+      }
+      PreparedPlans.reexec(spark, PreparedPlans.analyzedPlan(df), keep.booleanValue()).collect()
+      ()
     }
     def execute(name: String): Double = {
       val t0 = System.nanoTime()
@@ -959,7 +987,7 @@ object Bench {
       s""""serial_cgroup_throttled_ms":$serialCgThrottled,""" +
       s""""serial_heap_post_gc_mb":${if (serialPostGc < 0) -1L else serialPostGc >> 20},""" +
       s""""serial_elapsed_sec":$serialElapsed,""" +
-      s""""serial_methodology":"tpch_last_median_of_5__registry_adaptive_1to3_vs_warm_floor__after_tiny_sf_codegen_warmup__prepared_reexec_pinned_noaqe",""" +
+      s""""serial_methodology":"tpch_last_median_of_5__registry_adaptive_1to3_vs_warm_floor__after_tiny_sf_codegen_warmup__prepared_reexec_perplan_pin_shared_with_served_path",""" +
       s""""windows_disk_busy_frac":$windowsDiskJson,""" +
       s""""iowait_threshold_cores":$ioWaitThresholdCores,""" +
       s""""disk_busy_threshold_frac":$diskBusyThresholdFrac,""" +
@@ -974,7 +1002,7 @@ object Bench {
       // headline definition: MEDIAN of the three 40 s windows (the
       // reference's BENCHMARK.md number is ONE 180 s window — when
       // comparing, read the per-window array, not just the median)
-      s""""throughput_methodology":"median_of_clean_fixed_cutoff_40s_windows_after_30s_warmup_target_${windowCount}_max_${windowCount + maxExtraWindows}_prepared_reexec_pinned_noaqe",""" +
+      s""""throughput_methodology":"median_of_clean_fixed_cutoff_40s_windows_after_30s_warmup_target_${windowCount}_max_${windowCount + maxExtraWindows}_prepared_reexec_perplan_pin_shared_with_served_path",""" +
       // samples are taken before window 1..N plus one after the last
       // window; loadavg is the whole worker (neighbors included),
       // proc_cpu_sec is this JVM's cumulative CPU time

@@ -254,6 +254,45 @@ object BenchLab {
       return
     }
 
+    if (flags("pinpolicy")) {
+      // VERDICT r19 #2 ledger: per-TPC-H-query A/B of prepared
+      // re-execution under AQE kept vs pinned off, against the shared
+      // PreparedPlans.pinnable decision — validates that the per-plan
+      // policy picks the faster regime for each query (and quantifies
+      // the residual where it deliberately keeps AQE for scale safety).
+      import org.apache.spark.sql.graft.{PlanReuse, PreparedPlans}
+      val cs = spark.newSession()
+      val names = SparkEntry.queries.keys.filter(_.matches("q\\d+_.*")).toSeq.sorted
+      val reps = sys.env.getOrElse("LAB_REPS", "9").toInt
+      println(f"[lab-pin] ${"query"}%-24s policy    aqe_med  noaqe_med  verdict")
+      var agree = 0; var total = 0
+      names.foreach { n =>
+        val df = SparkEntry.queries(n)(cs, sfDir)
+        val keepAqe = !PreparedPlans.pinnable(PlanReuse.optimizedPlan(df))
+        (1 to 4).foreach(_ => PlanReuse.reanalyzed(cs, df).collect()) // settle codegen
+        def med(aqe: Boolean): Double = {
+          cs.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+          try {
+            (1 to 2).foreach(_ => PlanReuse.reanalyzed(cs, df).collect())
+            val ts = (1 to reps).map { _ =>
+              val t0 = System.nanoTime()
+              PlanReuse.reanalyzed(cs, df).collect()
+              (System.nanoTime() - t0) / 1e6
+            }.sorted
+            ts(reps / 2)
+          } finally cs.conf.set("spark.sql.adaptive.enabled", "true")
+        }
+        val on = med(true); val off = med(false)
+        val fasterIsChosen = if (keepAqe) on <= off * 1.05 else off <= on * 1.05
+        total += 1; if (fasterIsChosen) agree += 1
+        println(f"[lab-pin] $n%-24s ${if (keepAqe) "keep-aqe" else "pin-off "}  $on%7.1f    $off%7.1f  " +
+          (if (fasterIsChosen) "OK" else f"POLICY-SLOWER by ${math.abs(on - off)}%.0f ms"))
+      }
+      println(s"[lab-pin] policy picked the faster regime (within 5%) for $agree/$total")
+      spark.stop()
+      return
+    }
+
     if (flags("serial")) {
       val cs = spark.newSession()
       if (flags("noAqe")) cs.conf.set("spark.sql.adaptive.enabled", "false")

@@ -114,8 +114,13 @@ final class Session(val id: String, val spark: SparkSession,
     recoverIfAborted()
     val statements = SqlShim.splitStatements(sqlText)
     require(statements.nonEmpty, "empty SQL script")
-    if (statements.exists(invalidatesSchemas))
+    if (statements.exists(invalidatesSchemas)) {
       schemaCache.synchronized(schemaCache.clear())
+      // cross-session invalidation for cached prepared PLANS: any
+      // session's DDL/DML/SET must flip every session's plan-cache
+      // fingerprint (over-invalidation is safe; a stale plan is not)
+      Session.globalDdlEpoch.incrementAndGet()
+    }
     statements.map { s =>
       val clean = SqlShim.rewritePragma(SqlShim.stripSelectLocks(s))
       // transaction-control statements route to the session's txn state
@@ -172,6 +177,23 @@ final class Session(val id: String, val spark: SparkSession,
     def paramCount: Int = if (range) 2 else if (inList > 0) inList else 1
   }
 
+  /** One cached prepared plan: the ANALYZED logical plan (parse +
+    * catalog resolution amortized; the optimizer still runs per
+    * execution so current_timestamp()/current_date() re-fold — see
+    * [[org.apache.spark.sql.graft.PreparedPlans]]), valid only while
+    * the fingerprint (global DDL epoch, catalog snapshot clock) and
+    * the bound parameter values are unchanged. Parameters are BOUND
+    * INTO the plan (they were literals at analysis), so a changed
+    * value re-plans — the price of letting the optimizer constant-fold
+    * and push the literals into parquet scans, which a value-agnostic
+    * plan template could never do.
+    */
+  final case class CachedPlan(
+      fingerprint: (Long, Long),
+      params: Seq[Any],
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      keepAqe: Boolean)
+
   final case class Prepared(
       handle: String,
       sql: String,
@@ -179,7 +201,11 @@ final class Session(val id: String, val spark: SparkSession,
       ephemeral: Boolean,
       paramSchema: StructType = new StructType(),
       var pendingParams: Option[Seq[Any]] = None,
-      pointRead: Option[PointRead] = None)
+      pointRead: Option[PointRead] = None) {
+    // written only under stmtLock (runPrepared); volatile so close /
+    // diagnostics on other threads read a settled reference
+    @volatile private[graft] var plan: Option[CachedPlan] = None
+  }
 
   private val prepared = mutable.LinkedHashMap.empty[String, Prepared]
   private val handleCounter = new AtomicLong()
@@ -409,8 +435,19 @@ final class Session(val id: String, val spark: SparkSession,
         abortTxnOnError(pointReadFast(p, padded.take(n)))
       else None
     fast.foreach { df => if (p.ephemeral) closePrepared(p.handle); return df }
+    val single = SqlShim.statementCount(p.sql) == 1
+    // generic prepared QUERY: serve from the handle's cached analyzed
+    // plan when valid (the r19 gap: only the bench pinned re-executions;
+    // the served path re-ran parse+analyze+optimize+AQE per execute).
+    // Plain queries only — SHOW/DESCRIBE/EXPLAIN/PRAGMA are isQuery but
+    // ride the shim path (PRAGMA rewrite, per-query metadata recompute)
+    if (single && cacheableVerbs.contains(SqlShim.leadingKeyword(p.sql)))
+      cachedQuery(p, padded.take(n)).foreach { df =>
+        if (p.ephemeral) closePrepared(p.handle)
+        return df
+      }
     val out =
-      if (n > 0 && SqlShim.statementCount(p.sql) == 1) abortTxnOnError {
+      if (n > 0 && single) abortTxnOnError {
         // catalog-managed DML binds literals engine-side and routes
         // (connection.rs:279-295 Value binding); everything else uses
         // Spark's native parameterized-SQL path
@@ -426,8 +463,76 @@ final class Session(val id: String, val spark: SparkSession,
         }
       }
       else sql(SqlParams.bind(p.sql, padded))
+    // a prepared DML/DDL invalidates cached schemas and plans exactly
+    // like the sql() path's trigger list (session/mod.rs:423-433) — the
+    // n>0 single-statement branch above bypasses sql(), so a prepared
+    // INSERT/UPDATE/DELETE otherwise left stale schema AND plan caches
+    if (invalidatesSchemas(p.sql)) {
+      schemaCache.synchronized(schemaCache.clear())
+      Session.globalDdlEpoch.incrementAndGet()
+    }
     if (p.ephemeral) closePrepared(p.handle)
     out
+  }
+
+  // === prepared-plan cache (A21, prepared.rs:344-372) =======================
+  // Serve a prepared single-statement query from its handle's cached
+  // ANALYZED plan: parse + catalog resolution are amortized across
+  // executions; the optimizer and physical planning re-run per execution
+  // (fresh stages, query-time functions re-fold), with adaptive
+  // execution pinned off per the shared per-plan policy — the SAME
+  // regime Bench.scala measures, so the headline throughput now
+  // describes the code path the server ships.
+  private[graft] val planCacheHits = new AtomicLong()
+  private[graft] val planCacheMisses = new AtomicLong()
+  private val cacheableVerbs = Set("SELECT", "WITH", "VALUES", "TABLE", "FROM")
+
+  /** Cache fingerprint: any engine-wide DDL/DML/SET (global epoch) or
+    * any published micro-lake snapshot (catalog clock) invalidates.
+    */
+  private def planFingerprint: (Long, Long) =
+    (Session.globalDdlEpoch.get(), catalog.map(_.snapshotClock).getOrElse(0L))
+
+  /** None = not servable from the cache path (caller falls through to
+    * the generic path). Some(df) on both hit AND miss — the miss runs
+    * the generic execution and then populates the cache from its plans.
+    */
+  private def cachedQuery(p: Prepared, bound: Seq[Any]): Option[DataFrame] = {
+    import org.apache.spark.sql.graft.{PlanReuse, PreparedPlans}
+    // bypass: read-your-writes inside a txn with staged DML resolves
+    // views to the session's STAGED snapshots — fingerprints track only
+    // published state; and information_schema views recompute per query
+    // (metadata.rs:26-34), so their plans must never be frozen
+    if (txn.exists(_.stagedTables.nonEmpty)) return None
+    if (InfoSchema.referencesInfoSchema(p.sql)) return None
+    val fp = planFingerprint
+    p.plan match {
+      case Some(cp) if cp.fingerprint == fp && cp.params == bound =>
+        planCacheHits.incrementAndGet()
+        Some(abortTxnOnError {
+          ensureCatalogViews() // steady-state: one version compare per table
+          PreparedPlans.reexec(spark, cp.analyzed, cp.keepAqe)
+        })
+      case _ =>
+        planCacheMisses.incrementAndGet()
+        val df = abortTxnOnError {
+          ensureCatalogViews()
+          if (bound.nonEmpty) spark.sql(p.sql, bound.toArray) else spark.sql(p.sql)
+        }
+        // populate the cache from the executed plans (analysis +
+        // optimization run here; the caller's collect reuses the same
+        // memoized QueryExecution, so nothing is planned twice). A
+        // params vector holding arrays (binary) never compares equal —
+        // it just re-plans, which is slower, never wrong.
+        try {
+          val analyzed = PreparedPlans.analyzedPlan(df)
+          if (PreparedPlans.cacheable(analyzed)) {
+            val keepAqe = !PreparedPlans.pinnable(PlanReuse.optimizedPlan(df))
+            p.plan = Some(CachedPlan(fp, bound, analyzed, keepAqe))
+          }
+        } catch { case scala.util.control.NonFatal(_) => () } // caching must never fail the query
+        Some(df)
+    }
   }
 
   def closePrepared(handle: String): Unit = prepared.synchronized {
@@ -517,6 +622,17 @@ final class Session(val id: String, val spark: SparkSession,
     try txn.foreach(x => catalog.foreach(_.rollbackTxn(x)))
     finally { txn = None; txnActive = false; txnAborted = false; txnToken = None }
   }
+}
+
+object Session {
+  /** Engine-wide DDL epoch: bumped by EVERY session's invalidating
+    * statements (the schema-cache trigger list — CREATE/DROP/ALTER/
+    * INSERT/UPDATE/DELETE/ATTACH/DETACH/USE/SET), read into every
+    * cached prepared plan's fingerprint. One atomic read per execution,
+    * one increment per DDL; a SET on one session over-invalidates
+    * others' plans, which is safe and rare.
+    */
+  private[graft] val globalDdlEpoch = new AtomicLong()
 }
 
 /** Positional-parameter literal binding: replace each top-level `?` with

@@ -92,6 +92,39 @@ class SqlGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("Nth gateway /exec of one handle serves from the session's plan cache (VERDICT r19 #1)") {
+    val catalog = sources.MutableCatalog(spark)
+    val registry = new SessionRegistry(spark, catalog = Some(catalog))
+    val gw = SqlGateway.start(registry, new Metrics(), identity)
+    try {
+      import org.apache.spark.sql.types._
+      catalog.create("gw_pc", StructType(Seq(
+        StructField("g", LongType), StructField("v", LongType))))
+      val client = new HttpSqlClient(s"http://127.0.0.1:${gw.boundPort}")
+      client.update("INSERT INTO gw_pc VALUES (1, 10), (1, 20), (2, 30)")
+      // a grouped query with no PK shape: rides the GENERIC prepared
+      // path, not the point-read fast path
+      val sel = client.prepare("SELECT g, SUM(v) AS sv FROM gw_pc GROUP BY g ORDER BY g")
+      val first = client.executeQuery(sel, Seq.empty).rows
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(first == Seq((1L, 30L), (2L, 30L)))
+      val session = registry.get(client.sessionKey).getOrElse(fail("session not pinned"))
+      val h0 = session.planCacheHits.get()
+      (1 to 3).foreach { _ =>
+        assert(client.executeQuery(sel, Seq.empty).rows
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq == first)
+      }
+      assert(session.planCacheHits.get() >= h0 + 3,
+        s"gateway re-executions must hit the plan cache (${session.planCacheHits.get()} vs $h0)")
+      // DML through the gateway invalidates: the next /exec re-plans and
+      // sees the new row
+      client.update("INSERT INTO gw_pc VALUES (2, 5)")
+      assert(client.executeQuery(sel, Seq.empty).rows
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 30L), (2L, 35L)))
+      client.update("DROP TABLE gw_pc")
+    } finally gw.stop()
+  }
+
   test("unicode escapes require ASCII hex digits (ADVICE r15)") {
     // JSON forbids non-ASCII digits in \uXXXX escapes; Character.digit
     // accepts them (e.g. Arabic-Indic '\u0661'), so a malformed escape
