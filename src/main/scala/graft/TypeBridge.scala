@@ -48,16 +48,20 @@ object TypeBridge {
       case "UTINYINT"                                              => ShortType
       case "VARCHAR" | "CHAR" | "BPCHAR" | "TEXT" | "STRING"       => StringType
       case "BOOLEAN" | "BOOL" | "LOGICAL"                          => BooleanType
-      case "DOUBLE" | "FLOAT8"                                     => DoubleType
+      case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT8"                => DoubleType
       case "FLOAT" | "FLOAT4" | "REAL"                             => FloatType
       case "DATE"                                                  => DateType
       case "TIME"                                                  => LongType // micros; no TimeType pre-4.1 wire
       case "TIMESTAMP" | "DATETIME"                                => TimestampNTZType
       case "TIMESTAMPTZ" | "TIMESTAMP WITH TIME ZONE"              => TimestampType
-      case "BLOB" | "BYTEA" | "BINARY" | "VARBINARY" | "BIT"       => BinaryType
+      case "BLOB" | "BYTEA" | "BINARY" | "VARBINARY" | "BIT" | "BITSTRING" => BinaryType
       case "UUID"                                                  => StringType // canonical text form
       case "JSON"                                                  => StringType
-      case "INTERVAL"                                              => DayTimeIntervalType()
+      // the reference PREFIX-matches INTERVAL (types.rs:72), accepting
+      // qualified forms like INTERVAL DAY TO SECOND / INTERVAL YEAR
+      case iv if iv == "INTERVAL" || iv.startsWith("INTERVAL ") =>
+        if (iv.contains("YEAR") || iv.contains("MONTH")) YearMonthIntervalType()
+        else DayTimeIntervalType()
       case "DECIMAL" | "NUMERIC" =>
         args match {
           case Some((p, sc)) => DecimalType(math.min(p, DecimalType.MAX_PRECISION), math.min(sc, math.min(p, DecimalType.MAX_PRECISION)))

@@ -30,9 +30,20 @@ class TypeBridgeSpec extends AnyFunSuite {
       .foreach(t => assert(TypeBridge.toSpark(t) == StringType, t))
     Seq("BOOLEAN", "BOOL", "LOGICAL").foreach(t => assert(TypeBridge.toSpark(t) == BooleanType))
     assert(TypeBridge.toSpark("DOUBLE") == DoubleType)
+    // the multi-word alias the reference accepts (types.rs:50) — missed
+    // until the r20 wire review
+    assert(TypeBridge.toSpark("DOUBLE PRECISION") == DoubleType)
     assert(TypeBridge.toSpark("FLOAT4") == FloatType)
-    Seq("BLOB", "BYTEA", "BINARY", "VARBINARY", "BIT")
+    Seq("BLOB", "BYTEA", "BINARY", "VARBINARY", "BIT", "BITSTRING")
       .foreach(t => assert(TypeBridge.toSpark(t) == BinaryType))
+  }
+
+  test("INTERVAL prefix-matches like the reference (types.rs:72)") {
+    assert(TypeBridge.toSpark("INTERVAL") == DayTimeIntervalType())
+    assert(TypeBridge.toSpark("INTERVAL DAY TO SECOND") == DayTimeIntervalType())
+    assert(TypeBridge.toSpark("INTERVAL HOUR") == DayTimeIntervalType())
+    assert(TypeBridge.toSpark("INTERVAL YEAR TO MONTH") == YearMonthIntervalType())
+    assert(TypeBridge.toSpark("INTERVAL MONTH") == YearMonthIntervalType())
   }
 
   test("temporal types: naive vs tz timestamps (types.rs:53-62)") {

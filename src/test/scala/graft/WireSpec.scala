@@ -214,7 +214,16 @@ class MetricsSpec extends AnyFunSuite {
 class SqlInfoSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("SqlInfo constants mirror the reference (sql_info.rs:20-36)") {
     assert(SqlInfo.values(SqlInfo.FLIGHT_SQL_SERVER_READ_ONLY) == false)
+    // the spec id for server transaction support is 8 (FlightSql.proto
+    // 0-9 server block; r20 wire review — it was advertised at a
+    // nonexistent 514, invisible to any ADBC client)
+    assert(SqlInfo.FLIGHT_SQL_SERVER_TRANSACTION == 8)
     assert(SqlInfo.values(SqlInfo.FLIGHT_SQL_SERVER_TRANSACTION) == 1)
+    // all four reference-advertised infos are present
+    assert(SqlInfo.values(SqlInfo.SQL_TRANSACTIONS_SUPPORTED) == true)
+    assert(SqlInfo.values(SqlInfo.SQL_DEFAULT_TRANSACTION_ISOLATION) ==
+      SqlInfo.serializableIsolation)
+    assert(SqlInfo.values(SqlInfo.SQL_SUPPORTED_TRANSACTIONS_ISOLATION_LEVELS) == 0x1e)
     assert(SqlInfo.isolationMask == 0x1e)
     assert(SqlInfo.values(SqlInfo.SQL_IDENTIFIER_QUOTE_CHAR) == "\"")
   }
