@@ -254,6 +254,71 @@ object BenchLab {
       return
     }
 
+    if (flags("gwtpch")) {
+      // VERDICT r19 #1 done-criterion + #7: drive TPC-H-class prepared
+      // statements THROUGH the HTTP gateway (the served path: /prepare
+      // once, /exec N — Session.runPrepared's plan cache + pin underneath)
+      // and ledger per-execution latency against the same SQL re-executed
+      // in-process. The delta IS the gateway+Arrow wire overhead; the
+      // cache-hit counters prove the served path skips re-planning.
+      val registry = new SessionRegistry(spark)
+      val gw = SqlGateway.start(registry, new Metrics(), identity)
+      val port = gw.boundPort
+      def tbl(n: String) = s"parquet.`$sfDir/$n.parquet`"
+      val qs: Seq[(String, String)] = Seq(
+        "q6_class" ->
+          s"""SELECT SUM(l_extendedprice * l_discount) AS revenue
+             |FROM ${tbl("lineitem")}
+             |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+             |  AND l_shipdate < TIMESTAMP '1995-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+        "q16_class" ->
+          s"""SELECT p_brand, p_type, p_size,
+             |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+             |FROM ${tbl("partsupp")} JOIN ${tbl("part")} ON p_partkey = ps_partkey
+             |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM POLISHED%'
+             |  AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+             |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM ${tbl("supplier")}
+             |                         WHERE s_comment LIKE '%Customer%Complaints%')
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+        "q18_class" ->
+          s"""SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+             |FROM ${tbl("customer")} JOIN ${tbl("orders")} ON c_custkey = o_custkey
+             |JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+             |      FROM ${tbl("lineitem")} GROUP BY l_orderkey
+             |      HAVING SUM(l_quantity) > 120) big ON o_orderkey = big.l_orderkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+      val client = new HttpSqlClient(s"http://127.0.0.1:$port")
+      val reps = sys.env.getOrElse("LAB_REPS", "15").toInt
+      println(f"[lab-gw] ${"query"}%-10s  gw_med_ms  gw_min  inproc_med  inproc_min  " +
+        "cache_hits  overhead_med")
+      qs.foreach { case (name, sqlText) =>
+        val handle = client.prepare(sqlText)
+        (1 to 5).foreach(_ => client.executeQuery(handle, Seq.empty)) // warm + populate cache
+        val gwTs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          client.executeQuery(handle, Seq.empty)
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        // in-process twin: the same SQL re-executed through a Session on
+        // the same engine (plan cache + pin, no HTTP/Arrow wire)
+        val s = registry.get(client.sessionKey).get
+        val inTs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          s.executePrepared(handle, Seq.empty).collect()
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        val hits = s.planCacheHits.get()
+        println(f"[lab-gw] $name%-10s  ${gwTs(reps / 2)}%8.1f  ${gwTs.head}%7.1f  " +
+          f"${inTs(reps / 2)}%9.1f  ${inTs.head}%9.1f  $hits%10d  " +
+          f"${gwTs(reps / 2) - inTs(reps / 2)}%8.1f")
+      }
+      gw.stop()
+      spark.stop()
+      return
+    }
+
     if (flags("pinpolicy")) {
       // VERDICT r19 #2 ledger: per-TPC-H-query A/B of prepared
       // re-execution under AQE kept vs pinned off, against the shared
@@ -262,31 +327,41 @@ object BenchLab {
       // the residual where it deliberately keeps AQE for scale safety).
       import org.apache.spark.sql.graft.{PlanReuse, PreparedPlans}
       val cs = spark.newSession()
-      val names = SparkEntry.queries.keys.filter(_.matches("q\\d+_.*")).toSeq.sorted
+      // LAB_QUERIES=txt5_rolling_hash,... widens the arm to any registry
+      // query (r20: txt5's regression turned out to be regime-shaped)
+      val names = sys.env.get("LAB_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(SparkEntry.queries.keys.filter(_.matches("q\\d+_.*")).toSeq.sorted)
       val reps = sys.env.getOrElse("LAB_REPS", "9").toInt
-      println(f"[lab-pin] ${"query"}%-24s policy    aqe_med  noaqe_med  verdict")
+      println(f"[lab-pin] ${"query"}%-24s prior     calib     aqe_med  noaqe_med  jobs_on/off  verdict")
       var agree = 0; var total = 0
       names.foreach { n =>
         val df = SparkEntry.queries(n)(cs, sfDir)
-        val keepAqe = !PreparedPlans.pinnable(PlanReuse.optimizedPlan(df))
+        val prior = !PreparedPlans.pinnable(PlanReuse.optimizedPlan(df))
         (1 to 4).foreach(_ => PlanReuse.reanalyzed(cs, df).collect()) // settle codegen
+        val (keepAqe, _, _) = PreparedPlans.calibrate(cs, PreparedPlans.analyzedPlan(df), reps = 2)
+        var jobsOn = 0L; var jobsOff = 0L
         def med(aqe: Boolean): Double = {
           cs.conf.set("spark.sql.adaptive.enabled", aqe.toString)
           try {
             (1 to 2).foreach(_ => PlanReuse.reanalyzed(cs, df).collect())
+            val j0 = cs.sparkContext.statusTracker.getJobIdsForGroup(null).length
             val ts = (1 to reps).map { _ =>
               val t0 = System.nanoTime()
               PlanReuse.reanalyzed(cs, df).collect()
               (System.nanoTime() - t0) / 1e6
             }.sorted
+            val dj = (cs.sparkContext.statusTracker.getJobIdsForGroup(null).length - j0) / reps
+            if (aqe) jobsOn = dj else jobsOff = dj
             ts(reps / 2)
           } finally cs.conf.set("spark.sql.adaptive.enabled", "true")
         }
         val on = med(true); val off = med(false)
         val fasterIsChosen = if (keepAqe) on <= off * 1.05 else off <= on * 1.05
         total += 1; if (fasterIsChosen) agree += 1
-        println(f"[lab-pin] $n%-24s ${if (keepAqe) "keep-aqe" else "pin-off "}  $on%7.1f    $off%7.1f  " +
-          (if (fasterIsChosen) "OK" else f"POLICY-SLOWER by ${math.abs(on - off)}%.0f ms"))
+        def lbl(k: Boolean) = if (k) "keep-aqe" else "pin-off "
+        println(f"[lab-pin] $n%-24s ${lbl(prior)}  ${lbl(keepAqe)}  $on%7.1f    $off%7.1f  $jobsOn%4d/$jobsOff%-4d  " +
+          (if (fasterIsChosen) "OK" else f"CALIB-SLOWER by ${math.abs(on - off)}%.0f ms"))
       }
       println(s"[lab-pin] policy picked the faster regime (within 5%) for $agree/$total")
       spark.stop()

@@ -121,6 +121,30 @@ object HostLoad {
     if (matched) sum else -1L
   }
 
+  /** Cumulative hypervisor steal jiffies (field 8 after the "cpu"
+    * label in /proc/stat: user nice system idle iowait irq softirq
+    * STEAL); -1 when unavailable. Steal is the FIFTH contamination
+    * mode (r20: windows declined 13.5 → 6.8 req/s and even the pure-
+    * arithmetic canary dropped 17% while external CPU, iowait, disk,
+    * run-delay and PSI all read clean — the hypervisor was taking ~2
+    * cores. Run-delay cannot see it: a stolen vCPU's task is "running"
+    * from the guest scheduler's view, the vCPU itself is preempted).
+    */
+  def stealJiffies(): Long =
+    try {
+      val line = java.nio.file.Files.lines(java.nio.file.Paths.get("/proc/stat"))
+        .filter(_.startsWith("cpu ")).findFirst().orElse("")
+      val f = line.trim.split("\\s+")
+      if (f.length >= 9) f(8).toLong else -1L
+    } catch { case _: Throwable => -1L }
+
+  /** Average cores' worth of hypervisor steal over the window (-1 when
+    * the meter is unavailable).
+    */
+  def stealCores(before: Long, after: Long, elapsedSec: Double): Double =
+    if (before < 0 || after < 0 || elapsedSec <= 0) -1.0
+    else math.max(0L, after - before) / (elapsedSec * UserHz)
+
   /** Average cores' worth of threads parked in IO wait over the window. */
   def ioWaitCores(before: IoSample, after: IoSample, elapsedSec: Double): Double =
     if (elapsedSec <= 0) 0.0

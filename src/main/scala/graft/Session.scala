@@ -192,7 +192,13 @@ final class Session(val id: String, val spark: SparkSession,
       fingerprint: (Long, Long),
       params: Seq[Any],
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      keepAqe: Boolean)
+      @volatile var keepAqe: Boolean) {
+    // hits served so far; the pin is CALIBRATED (measured, not the
+    // structural prior) once the handle proves hot — see calibratePlan
+    val hits = new AtomicLong()
+    @volatile var calibrated: Boolean = false
+    @volatile var calibrationQueued: Boolean = false
+  }
 
   final case class Prepared(
       handle: String,
@@ -509,6 +515,7 @@ final class Session(val id: String, val spark: SparkSession,
     p.plan match {
       case Some(cp) if cp.fingerprint == fp && cp.params == bound =>
         planCacheHits.incrementAndGet()
+        maybeCalibrate(cp)
         Some(abortTxnOnError {
           ensureCatalogViews() // steady-state: one version compare per table
           PreparedPlans.reexec(spark, cp.analyzed, cp.keepAqe)
@@ -533,6 +540,48 @@ final class Session(val id: String, val spark: SparkSession,
         } catch { case scala.util.control.NonFatal(_) => () } // caching must never fail the query
         Some(df)
     }
+  }
+
+  // === pin calibration ======================================================
+  // The structural prior (PreparedPlans.pinnable) guesses the pin from
+  // the plan shape, but whether AQE's ~110 ms re-planning overhead pays
+  // for itself depends on runtime cardinalities statics cannot see
+  // (q18's 300-row HAVING set vs q21's 100k-row co-partitioned
+  // aggregate — BenchLab pinpolicy ledger). A handle that proves HOT
+  // (2nd cache hit) gets ONE background calibration: both regimes
+  // execute once on a CLONED session (conf isolation; the analyzed-plan
+  // transplant is the same trick syncViews uses), timed to completion
+  // without driver-side materialization, and the faster regime is fixed
+  // — off the request path, so no client ever pays for it. Bounded: one
+  // calibration per CachedPlan instance, capped sessions-wide by the
+  // single calibration thread; invalidation (DDL/snapshot) makes a new
+  // CachedPlan, which re-earns calibration by getting hot again.
+  private def maybeCalibrate(cp: CachedPlan): Unit = {
+    if (cp.hits.incrementAndGet() == 2 && Session.autoCalibratePin &&
+        !cp.calibrated && !cp.calibrationQueued) {
+      cp.calibrationQueued = true
+      Session.calibrationPool.submit(new Runnable {
+        override def run(): Unit =
+          try calibrateNow(cp)
+          catch { case scala.util.control.NonFatal(_) => () } // best-effort: the prior stands
+      })
+      ()
+    }
+  }
+
+  /** Synchronous calibration of a cached plan (the background task's
+    * body; specs call it directly for determinism). Runs on a session
+    * CLONE so the conf toggles never race this session's statements.
+    */
+  private[graft] def calibrateNow(cp: CachedPlan): Unit = {
+    val clone = spark.newSession()
+    catalog.foreach(_.syncViews(clone, None)) // published snapshots only
+    val (keep, pinnedMs, keptMs) =
+      org.apache.spark.sql.graft.PreparedPlans.calibrate(clone, cp.analyzed)
+    cp.keepAqe = keep
+    cp.calibrated = true
+    if (graft.Engine.dmlTrace)
+      System.err.println(f"[pin-calibrate] keepAqe=$keep pinned=$pinnedMs%.0f ms kept=$keptMs%.0f ms")
   }
 
   def closePrepared(handle: String): Unit = prepared.synchronized {
@@ -633,6 +682,23 @@ object Session {
     * others' plans, which is safe and rare.
     */
   private[graft] val globalDdlEpoch = new AtomicLong()
+
+  /** Auto-calibrate the AQE pin of hot prepared plans in the background
+    * (one measured A/B per hot handle). Off = the structural prior
+    * stands; specs that need deterministic pin state flip this.
+    */
+  @volatile private[graft] var autoCalibratePin: Boolean = true
+
+  /** ONE daemon thread for all sessions' pin calibrations: calibration
+    * is a convergence optimization, never urgent — a single queue
+    * bounds the speculative re-execution load engine-wide.
+    */
+  private[graft] lazy val calibrationPool =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-pin-calibration")
+      t.setDaemon(true)
+      t
+    })
 }
 
 /** Positional-parameter literal binding: replace each top-level `?` with

@@ -36,6 +36,9 @@ object WindowVerdict {
   val diskBusyThresholdFrac = 0.5
   val achievedDropFrac = 0.35
   val runDelayThresholdCores = 8.0
+  // hypervisor steal (r20: ~2 stolen cores halved window rps while
+  // every other external meter read clean; healthy windows read ~0)
+  val stealThresholdCores = 1.0
   // internal-stall floors (r15/r16 ledger: healthy windows run ~1.5 s
   // GC in 40 s = 4% and <0.5 compile cores once warm; the r16 driver
   // contamination read 45–68% GC and 0.7–2.9 compile cores)
@@ -50,7 +53,8 @@ object WindowVerdict {
       externalCores: Double, ioWaitCores: Double, diskBusy: Double,
       achievedCores: Double, runDelayCores: Double,
       gcPauseMs: Long, jitCompileMs: Long,
-      slowest: Option[(String, Double)])
+      slowest: Option[(String, Double)],
+      stealCores: Double = -1.0) // -1 = meter unavailable
 
   def gcFrac(w: Meters): Double = w.gcPauseMs / math.max(1.0, w.elapsedSec * 1000.0)
 
@@ -64,7 +68,8 @@ object WindowVerdict {
     w.externalCores <= extLoadThresholdCores &&
       w.ioWaitCores <= ioWaitThresholdCores &&
       (w.diskBusy < 0 || w.diskBusy <= diskBusyThresholdFrac) &&
-      (w.runDelayCores < 0 || w.runDelayCores <= runDelayThresholdCores)
+      (w.runDelayCores < 0 || w.runDelayCores <= runDelayThresholdCores) &&
+      (w.stealCores < 0 || w.stealCores <= stealThresholdCores)
 
   /** External verdict: absolute meters plus the relative achieved-cores
     * drop vs the round's best (`maxAchieved` <= 0 = unavailable).

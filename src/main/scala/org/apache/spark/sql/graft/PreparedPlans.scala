@@ -130,10 +130,30 @@ object PreparedPlans {
     }
     var pinnedMs = Double.MaxValue
     var keptMs = Double.MaxValue
-    (1 to reps).foreach { _ =>
-      pinnedMs = math.min(pinnedMs, run(keepAqe = false))
-      keptMs = math.min(keptMs, run(keepAqe = true))
+    // COUNTERBALANCED order (A B B A …): within a naive A,B round the
+    // second regime always runs warmer (JIT/codegen/page cache), which
+    // systematically biased the decision toward whichever ran last
+    (0 until 2 * reps).foreach { i =>
+      val pinned = (i % 4) == 0 || (i % 4) == 3
+      if (pinned) pinnedMs = math.min(pinnedMs, run(keepAqe = false))
+      else keptMs = math.min(keptMs, run(keepAqe = true))
     }
-    (keptMs < pinnedMs, pinnedMs, keptMs)
+    (keepDecision(pinnedMs, keptMs), pinnedMs, keptMs)
   }
+
+  /** THE keep-AQE policy, shared by [[calibrate]] (the server's
+    * background path) and the bench's collect-based calibration: keep
+    * AQE only when it pays a ≥10% margin. A raw keptMs<pinnedMs
+    * comparison flips coin-toss queries to keep-AQE on run noise, and
+    * the two regimes are not symmetric costs: a kept decision pays
+    * AQE's driver-side re-planning on EVERY future re-execution and
+    * contends for the scheduler under concurrent terminals (r20 lab:
+    * serial calibration picked keep-AQE for q16/q21-class plans inside
+    * noise, and the 4-terminal window dropped 19.3 → 14.8 req/s on
+    * that mix). Calibration runs at the deployment's own data scale,
+    * so where AQE genuinely pays (q15's partition coalescing, 18%; a
+    * 100 TB broadcast flip) it clears the margin easily.
+    */
+  def keepDecision(pinnedMs: Double, keptMs: Double): Boolean =
+    keptMs < pinnedMs * 0.9
 }

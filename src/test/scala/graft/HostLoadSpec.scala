@@ -106,6 +106,21 @@ class HostLoadSpec extends AnyFunSuite {
     assert(HostLoad.achievedCores(s0, s1, 0.0) == -1.0)
   }
 
+  test("steal metering: live /proc/stat counter, deltas, unavailability sentinel") {
+    val s0 = HostLoad.stealJiffies()
+    assert(s0 >= -1L)
+    if (s0 >= 0) {
+      val s1 = HostLoad.stealJiffies()
+      assert(s1 >= s0, "steal counter is cumulative")
+      // a 10 s window with a 100-jiffy delta is 0.1 cores at USER_HZ=100
+      assert(math.abs(HostLoad.stealCores(1000L, 1100L, 10.0) - 0.1) < 1e-9)
+    }
+    assert(HostLoad.stealCores(-1L, 100L, 1.0) == -1.0)
+    assert(HostLoad.stealCores(100L, -1L, 1.0) == -1.0)
+    assert(HostLoad.stealCores(100L, 200L, 0.0) == -1.0)
+    assert(HostLoad.stealCores(200L, 100L, 1.0) == 0.0, "counter regression clamps to zero")
+  }
+
   test("live io sampling parses this host's real /proc files") {
     val s = HostLoad.ioSample()
     assert(s.iowaitJiffies >= 0L)

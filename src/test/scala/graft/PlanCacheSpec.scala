@@ -142,6 +142,36 @@ class PlanCacheSpec extends SparkTestBase {
       s"cached ANALYZED plan must re-fold query time per execution ($t1 vs $t2)")
   }
 
+  test("hot handles earn a measured pin calibration; results stay identical") {
+    val s = mkSession("pc-cal")
+    s.sql("CREATE OR REPLACE TEMP VIEW pc_cal AS SELECT id, id % 7 AS g FROM RANGE(5000)")
+    val p = s.createPrepared("SELECT g, COUNT(*) AS c FROM pc_cal GROUP BY g ORDER BY g")
+    val first = s.executePrepared(p.handle, Seq.empty).collect().map(_.toString).toSeq
+    val cp = p.plan.getOrElse(fail("plan not cached"))
+    assert(!cp.calibrated && !cp.calibrationQueued, "cold handles are not calibrated")
+    // synchronous body (what the background task runs): fixes a MEASURED
+    // regime and marks the plan calibrated
+    s.calibrateNow(cp)
+    assert(cp.calibrated)
+    val after = s.executePrepared(p.handle, Seq.empty).collect().map(_.toString).toSeq
+    assert(after == first, "the calibrated regime must not change results")
+    // the async trigger queues exactly once, on the 2nd HIT of an
+    // uncalibrated plan
+    val q = s.createPrepared("SELECT COUNT(*) AS c FROM pc_cal WHERE g = 3")
+    s.executePrepared(q.handle, Seq.empty).collect() // miss
+    val cq = q.plan.getOrElse(fail("plan not cached"))
+    s.executePrepared(q.handle, Seq.empty).collect() // hit 1
+    assert(!cq.calibrationQueued)
+    s.executePrepared(q.handle, Seq.empty).collect() // hit 2 -> queue
+    assert(cq.calibrationQueued, "the 2nd hit must queue background calibration")
+    // the single calibration thread completes it shortly (bounded poll)
+    val deadline = System.currentTimeMillis() + 30000
+    while (!cq.calibrated && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(cq.calibrated, "background calibration must land")
+    assert(s.executePrepared(q.handle, Seq.empty).collect()(0).getLong(0) ==
+      5000L / 7 + (if (3 < 5000 % 7) 1 else 0))
+  }
+
   test("multi-statement scripts and commands stay off the cache path") {
     val s = mkSession("pc-script")
     val p = s.createPrepared("CREATE OR REPLACE TEMP VIEW pc_s AS SELECT 1 AS x; SELECT * FROM pc_s")

@@ -15,8 +15,22 @@ class WindowVerdictSpec extends AnyFunSuite {
   private def win(rps: Double, gcMs: Long, jitMs: Long,
       elapsed: Double = 40.3, ext: Double = 0.05, iow: Double = 0.01,
       disk: Double = 0.001, ach: Double = 29.0, rdl: Double = 0.5,
-      slowest: Option[(String, Double)] = None): Meters =
-    Meters(rps, elapsed, ext, iow, disk, ach, rdl, gcMs, jitMs, slowest)
+      slowest: Option[(String, Double)] = None, steal: Double = -1.0): Meters =
+    Meters(rps, elapsed, ext, iow, disk, ach, rdl, gcMs, jitMs, slowest, steal)
+
+  test("hypervisor steal over the threshold flags a window externally (r20 fifth lens)") {
+    // the r20 signature: every other external meter clean, ~2 stolen
+    // cores, window rps halved — the old classifier passed it clean
+    val stolen = win(6.75, 1284, 6479, steal = 2.1)
+    assert(!metersClean(stolen), "2.1 stolen cores must not read clean")
+    val healthy = win(19.2, 743, 16444, steal = 0.02)
+    assert(metersClean(healthy))
+    val meterless = win(19.2, 743, 16444) // steal = -1: unavailable, never auto-flags
+    assert(metersClean(meterless))
+    val v = judge(Seq(stolen, healthy, healthy), targetCleanCount = 3)
+    assert(v.cleanIdx == Seq(1, 2))
+    assert(v.internalSuspect)
+  }
 
   test("BENCH_r16 driver windows: uniformly GC-crushed run flags all three and the run") {
     // the exact driver-run figures from BENCH_r16 / VERDICT r16: GC
