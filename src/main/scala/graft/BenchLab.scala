@@ -273,13 +273,15 @@ object BenchLab {
              |  AND l_shipdate < TIMESTAMP '1995-01-01'
              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
         "q16_class" ->
+          // the repo's q16 shape (TESTDATA.md has no partsupp — supplier
+          // sets come from lineitem like operators/Tpch.q16)
           s"""SELECT p_brand, p_type, p_size,
-             |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
-             |FROM ${tbl("partsupp")} JOIN ${tbl("part")} ON p_partkey = ps_partkey
-             |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM POLISHED%'
-             |  AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
-             |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM ${tbl("supplier")}
-             |                         WHERE s_comment LIKE '%Customer%Complaints%')
+             |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM ${tbl("lineitem")} JOIN ${tbl("part")} ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+             |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM ${tbl("supplier")}
+             |                        WHERE s_acctbal < 0)
              |GROUP BY p_brand, p_type, p_size
              |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
         "q18_class" ->
