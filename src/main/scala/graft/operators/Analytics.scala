@@ -4873,7 +4873,147 @@ object Analytics {
        |      % 7 = 0
        |ORDER BY doc_id""".stripMargin
 
+  // === stat4: grouped weighted median ======================================
+  /** stat4: the weighted median of l_extendedprice per return flag with
+    * l_quantity as the weight — the robust "typical traded price"
+    * (an unweighted median over line items overweights small-quantity
+    * lines; a mean is outlier-dragged). Definition: the lowest price
+    * level whose cumulative weight reaches half the group's total —
+    * deterministic because weights aggregate per DISTINCT price level
+    * first, so no within-tie ordering exists to disagree on, and all
+    * arithmetic is exact DECIMAL. Shape at 100 TB: one map-side-
+    * combinable (flag, price) aggregate, then a per-flag ordered
+    * window over distinct price LEVELS — bounded by the price grid
+    * (cents), not row count; the true at-scale path for an unbounded
+    * value domain is a fixed-width histogram sketch, with this exact
+    * tier as its correctness anchor.
+    */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val grp = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity")).as("w"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    grp
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("weighted_median_price"),
+        max(col("tot")).as("total_qty"))
+      .orderedSmall(col("l_returnflag"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH grp AS (
+      |  SELECT l_returnflag, l_extendedprice, SUM(l_quantity) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM grp)
+      |SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median_price,
+      |  MAX(tot) AS total_qty
+      |FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // === ev31: pre-purchase activity =========================================
+  /** ev31: per converting user, how much activity preceded the FIRST
+    * purchase — the count of events strictly before it and the
+    * microsecond gap from the user's first event. The feature-
+    * engineering complement of ev22 (hazard) and ev27 (Kaplan–Meier):
+    * those model WHEN conversion happens, this measures what it took.
+    * Events at exactly the first-purchase timestamp are not counted as
+    * "before". Shape at 100 TB: one events scan → per-user window min →
+    * per-user aggregate, no join; output bounded by converting users.
+    */
+  def prepurchaseActivity(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("fp_us",
+        min(when(col("event_type") === "purchase", col("us"))).over(wU))
+      .filter(col("fp_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("us") < col("fp_us"), 1)).as("n_before"),
+        (max(col("fp_us")) - min(col("us"))).as("gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val prepurchaseActivitySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |u AS (
+      |  SELECT user_id, us,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN us END)
+      |      OVER (PARTITION BY user_id) AS fp_us
+      |  FROM e)
+      |SELECT user_id,
+      |  CAST(COUNT(CASE WHEN us < fp_us THEN 1 END) AS BIGINT) AS n_before,
+      |  CAST(MAX(fp_us) - MIN(us) AS BIGINT) AS gap_us
+      |FROM u WHERE fp_us IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // === ts14: spectral entropy ==============================================
+  /** ts14: Shannon entropy of ts11's normalized periodogram — ONE
+    * number for "how concentrated is the revenue series' periodicity"
+    * (0 bits = a single pure period, log2(13) ≈ 3.7 bits = white
+    * noise across the probed grid). Shares ts11's frame end-to-end:
+    * the probabilities are built from ts11's ROUNDED power column, so
+    * both engines normalize identical inputs, and the power total is
+    * summed as exact DECIMAL before the one IEEE division per term
+    * (entropy terms micros-rounded into Exact.dsum, ln/ln2 on both
+    * engines — the ev26/txt19 parity rules). Bounded: 13 rows in,
+    * one row out.
+    */
+  def spectralEntropy(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val pg = periodogram(s, dir).select(col("period_days"), col("power"))
+    // the power total crosses engines through an EXACT integer domain:
+    // power is 4-decimal by construction, so round(power*1e4) is the
+    // same long on both engines, and the long sum is order-free — a
+    // plain double sum differed at ulp(5e12) ≈ 0.001 (visible in the
+    // 4th decimal), and DECIMAL(38,4) casts of the same double also
+    // disagreed in their last digit between engines
+    val pr = col("power") / (col("ptot_u").cast(DoubleType) / lit(1e4))
+    pg
+      .withColumn("ptot_u",
+        sum(round(col("power") * lit(1e4)).cast(LongType)).over(wAll))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .filter(col("power") > 0.0)
+      .select(col("ptot_u"), col("np"),
+        (-pr * log(pr) / lit(math.log(2.0))).as("term"))
+      .groupBy()
+      .agg(max(col("np")).cast(LongType).as("n_periods"),
+        count(lit(1)).as("n_nonzero"),
+        (max(col("ptot_u")).cast(DoubleType) / lit(1e4)).as("total_power"),
+        Exact.dsum(col("term")).as("spectral_entropy_bits"))
+  }
+
+  val spectralEntropySql: String =
+    s"""WITH pg AS ($periodogramSql),
+       |w AS (
+       |  SELECT period_days, power,
+       |    SUM(CAST(round(power * 10000) AS BIGINT)) OVER () AS ptot_u,
+       |    COUNT(*) OVER () AS np
+       |  FROM pg),
+       |terms AS (
+       |  SELECT np, ptot_u,
+       |    -(power / (CAST(ptot_u AS DOUBLE) / 10000.0))
+       |      * ln(power / (CAST(ptot_u AS DOUBLE) / 10000.0)) / ln(2.0) AS term
+       |  FROM w WHERE power > 0.0)
+       |SELECT CAST(MAX(np) AS BIGINT) AS n_periods,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+       |  CAST(MAX(ptot_u) AS DOUBLE) / 10000.0 AS total_power,
+       |  ${Exact.sqlDsum("term")} AS spectral_entropy_bits
+       |FROM terms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat4_weighted_median" -> weightedMedian _,
+    "ev31_prepurchase_activity" -> prepurchaseActivity _,
+    "ts14_spectral_entropy" -> spectralEntropy _,
     "ts11_periodogram" -> periodogram _,
     "dq4_cramers_v" -> cramersV _,
     "exp6_effect_size" -> effectSize _,
@@ -4948,6 +5088,9 @@ object Analytics {
     "qf2_gopher_rules" -> gopherRules _)
 
   val oracles: Map[String, String] = Map(
+    "stat4_weighted_median" -> weightedMedianSql,
+    "ev31_prepurchase_activity" -> prepurchaseActivitySql,
+    "ts14_spectral_entropy" -> spectralEntropySql,
     "ts11_periodogram" -> periodogramSql,
     "dq4_cramers_v" -> cramersVSql,
     "exp6_effect_size" -> effectSizeSql,

@@ -3432,7 +3432,63 @@ object TextAnalysis {
        |FROM terms CROSS JOIN nd
        |ORDER BY cf DESC, term""".stripMargin
 
+  // === txt19: corpus character-bigram entropy ==============================
+  /** txt19: Shannon entropy of the corpus's character-BIGRAM
+    * distribution over the whitespace-normalized lower-cased text — the
+    * corpus-level compressibility/diversity signal (natural language
+    * sits near 3.5–4.5 bits/bigram; machine-generated or template text
+    * collapses toward its repeated transitions; random bytes approach
+    * log2 of the alphabet²). Complements txt5's per-doc fingerprint and
+    * txt13's unigram char classes with the TRANSITION distribution.
+    * H = −Σ p·log2(p), p one IEEE division of exact counts, terms
+    * micros-rounded into Exact.dsum (the ev26 discipline, so the sum is
+    * order-independent and oracle-identical). Shape at 100 TB: map-only
+    * bigram explode → one map-side-combinable count shuffle over a
+    * bounded key domain (alphabet², a few thousand) → one-row reduce.
+    */
+  def charBigramEntropy(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val counts = dFan(s, dir)
+      .select(norm.as("t"))
+      .select(expr(
+        "CASE WHEN char_length(t) >= 2 THEN " +
+          "transform(sequence(1, char_length(t) - 1), i -> substring(t, i, 2)) " +
+          "ELSE array() END").as("bs"))
+      .select(explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy(lit(1))
+    val p = col("c").cast(DoubleType) / col("tot").cast(DoubleType)
+    // log2 via ln/ln2 on BOTH engines (a native log2 vs ln/ln2 can
+    // differ in the last ulp; same-libm-call parity is the ev26 rule)
+    counts
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .select(col("tot"), (-p * log(p) / lit(math.log(2.0))).as("term"))
+      .groupBy()
+      .agg(max(col("tot")).cast(LongType).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        Exact.dsum(col("term")).as("entropy_bits"))
+  }
+
+  val charBigramEntropySql: String =
+    s"""WITH nt AS (
+       |  SELECT regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents),
+       |bg AS (
+       |  SELECT UNNEST(list_transform(range(1, length(t)), i -> substr(t, i, 2))) AS b
+       |  FROM nt),
+       |cnt AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+       |wt AS (SELECT c, SUM(c) OVER () AS tot FROM cnt),
+       |terms AS (
+       |  SELECT tot,
+       |    -(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+       |      * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) / ln(2.0) AS term
+       |  FROM wt)
+       |SELECT CAST(MAX(tot) AS BIGINT) AS n_bigrams,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |  ${Exact.sqlDsum("term")} AS entropy_bits
+       |FROM terms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt19_char_bigram_entropy" -> ((s: SparkSession, d: String) => charBigramEntropy(s, d)),
     "lm5_stupid_backoff" -> ((s: SparkSession, d: String) => stupidBackoff(s, d)),
     "txt18_term_burstiness" -> ((s: SparkSession, d: String) => termBurstiness(s, d)),
     "lm4_good_turing" -> ((s: SparkSession, d: String) => goodTuring(s, d)),
@@ -3499,6 +3555,7 @@ object TextAnalysis {
     "mm1_payload_stats" -> mmPayloadStats _)
 
   val oracles: Map[String, String] = Map(
+    "txt19_char_bigram_entropy" -> charBigramEntropySql,
     "lm5_stupid_backoff" -> stupidBackoffSql(),
     "txt18_term_burstiness" -> termBurstinessSql(),
     "lm4_good_turing" -> goodTuringSql,
