@@ -3448,13 +3448,23 @@ object TextAnalysis {
     */
   def charBigramEntropy(s: SparkSession, dir: String): DataFrame = {
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    // explode_OUTER, not explode: a plain explode makes the optimizer
+    // infer `size(bs) > 0 AND isnotnull(bs)` and push it below the
+    // fan-out exchange, substituting the array expression into the
+    // filter — the whole bigram transform (regexp_replace inlined into
+    // the per-element substring lambda) re-ran per ELEMENT, twice, in
+    // ONE task: 28.2 s at sf0.1. With the outer generate no filter is
+    // inferred; short docs emit one NULL row dropped right after the
+    // generate. Same rows out, 0.35 s (guide §7.2 "duplicated
+    // subtrees"; plans/r20/txt19_char_bigram_entropy_{before,after}).
     val counts = dFan(s, dir)
       .select(norm.as("t"))
       .select(expr(
         "CASE WHEN char_length(t) >= 2 THEN " +
           "transform(sequence(1, char_length(t) - 1), i -> substring(t, i, 2)) " +
           "ELSE array() END").as("bs"))
-      .select(explode(col("bs")).as("b"))
+      .select(explode_outer(col("bs")).as("b"))
+      .filter(col("b").isNotNull)
       .groupBy(col("b")).agg(count(lit(1)).as("c"))
     val wAll = Window.partitionBy(lit(1))
     val p = col("c").cast(DoubleType) / col("tot").cast(DoubleType)
