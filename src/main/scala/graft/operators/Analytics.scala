@@ -2543,8 +2543,13 @@ object Analytics {
     // 2^63 at any scale) and combine into DECIMAL(38,0) once per group
     val hexCols = (0 until bootReplicas / 4).map(g =>
       md5(concat_ws("#", lit("bs"), lit(g), col("o_orderkey"))).as(s"hx_$g"))
-    val base = t(s, dir, "orders")
-      .select(Seq(col("o_orderkey"), Exact.micros(col("o_totalprice")).as("m")) ++ hexCols: _*)
+    // fan the single-split bench scan out BEFORE the 8 md5s + 32 hex
+    // parses per row: computed inside the scan stage they ran in ONE
+    // task (5.1 s warm at sf0.1; guide §2.5 input skew / §1.2 step 1).
+    // Only (o_orderkey, m) cross the exchange; identity at scale.
+    val base = Par.fanOutWide(t(s, dir, "orders")
+        .select(col("o_orderkey"), Exact.micros(col("o_totalprice")).as("m")))
+      .select(Seq(col("o_orderkey"), col("m")) ++ hexCols: _*)
       .withColumn("mu", expr("m DIV 1000000"))
       .withColumn("mf", expr("m % 1000000"))
     // the uniforms PROJECT once per row: inside the Poisson CASE chain

@@ -29,6 +29,20 @@ object Par {
     if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
   }
 
+  /** fanOut to the MACHINE width (defaultParallelism), not the shuffle
+    * width: the shuffle width is cores/4 so four concurrent terminals
+    * saturate the pool, but a CPU-bound hash/codec map stage in a
+    * single-query context (bs1's 8 md5 + 32 hex parses per row) leaves
+    * 3/4 of the machine idle at cores/4 tasks. Same identity-at-scale
+    * guard as fanOut — a real deployment's scan already has more
+    * splits, and local follow-up exchanges re-narrow to shuffle width.
+    */
+  def fanOutWide(df: DataFrame): DataFrame = {
+    val target = math.max(shuffleWidth(df),
+      df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+
   /** Bounded-domain result ordering: results whose cardinality is fixed
     * by the query's value domain (a few hundred rows at ANY scale
     * factor) sort in one task instead of paying a rangepartitioning
