@@ -4894,15 +4894,22 @@ object Analytics {
     * tier as its correctness anchor.
     */
   def weightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val grp = t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(sum(col("l_quantity")).as("w"))
+    // One exchange instead of two, no 600 k-group hash aggregates
+    // (guide §2.4): the per-price-LEVEL cumulative weight is computed
+    // directly on raw rows with the default RANGE frame (UNBOUNDED
+    // PRECEDING .. CURRENT ROW over ties) — every row of a price level
+    // carries Σ w(price ≤ level), exactly the value the old
+    // per-level pre-aggregate + ROWS frame produced, so the filter and
+    // the min() pick the identical level. Quantities are whole numbers
+    // far below 2^53, so the double sums are exact integers and
+    // order-independent (the q17 argument). A/B at sf0.1 (reanalyzed,
+    // min of 7): 2.36 s -> see OPTIMIZATION_r20.md.
     val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(col("l_returnflag"))
-    grp
-      .withColumn("cum", sum(col("w")).over(wCum))
-      .withColumn("tot", sum(col("w")).over(wTot))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .withColumn("cum", sum(col("l_quantity")).over(wCum))
+      .withColumn("tot", sum(col("l_quantity")).over(wTot))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("weighted_median_price"),
