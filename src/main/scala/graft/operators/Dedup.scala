@@ -615,8 +615,16 @@ object Dedup {
     // the corpus (LSH already pruned it); below the threshold a driver
     // union-find beats log(n) distributed rounds of stage overhead. The
     // loop below stays the path for genuinely huge edge sets.
+    // The count() doubles as the cache materialization (parallel); the
+    // node set is then derived from the collected edges in the driver,
+    // dropping the old edges.select(src).distinct() job + exchange per
+    // build — dd7/dd8/dd17/fld2/pipe1/2 all pay this (guide §1.2 fewer
+    // passes). A limit(threshold+1)-collect single-job variant was
+    // A/B'd and rejected: CollectLimit's incremental single-threaded
+    // gather read 2.13 -> 2.47 s on dd7.
     val nEdges = edges.count()
     if (nEdges <= driverThreshold) {
+      val fetched = edges.collect()
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -626,12 +634,16 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.collect().foreach { r =>
+      // nodes = distinct src over BOTH directions (the edge list is
+      // already symmetrized), derived from the collected rows — same
+      // set the old edges.select(src).distinct() job produced
+      val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+      fetched.foreach { r =>
         val (a, b) = (r.getLong(0), r.getLong(1))
+        nodes += a
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
       }
-      val nodes = edges.select(col("src")).distinct().collect().map(_.getLong(0))
       edges.unpersist()
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
