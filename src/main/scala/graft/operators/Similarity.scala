@@ -1798,10 +1798,46 @@ object Similarity {
     * node of the input graph with its core membership and its degree
     * inside the final core.
     */
-  def kcoreOf(edges: DataFrame, k: Int = kcoreK, rounds: Int = kcoreRounds): DataFrame = {
+  def kcoreOf(edges: DataFrame, k: Int = kcoreK, rounds: Int = kcoreRounds,
+      driverThreshold: Long = 1000000L): DataFrame = {
     val und = edges.select(col("a").as("vec_id"), col("b").as("o"))
       .unionByName(edges.select(col("b").as("vec_id"), col("a").as("o")))
       .cache() // each peel round references it (the sp1 residency argument)
+    // Bounded driver tier (the connectedComponents pattern): below the
+    // edge threshold the FIXED-round peel runs in the driver — each
+    // distributed round was two joins + an aggregate + an eager
+    // localCheckpoint job, ~9 jobs of stage overhead for a ≤1000-edge
+    // graph on the sim6 subset tier (guide §1.2: remove passes).
+    // Identical computation: same fixed `rounds`, same degree-among-
+    // survivors rule; the loop below stays the path for huge graphs.
+    val nEdges = und.count()
+    if (nEdges <= driverThreshold) {
+      val spark = edges.sparkSession
+      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      und.unpersist()
+      val allNodes = es.map(_._1).distinct.sorted
+      var alive = allNodes.toSet
+      for (_ <- 1 to rounds) {
+        val deg = scala.collection.mutable.Map.empty[Long, Long]
+        es.foreach { case (s0, d0) =>
+          if (alive(s0) && alive(d0)) deg(s0) = deg.getOrElse(s0, 0L) + 1L
+        }
+        alive = deg.collect { case (n, d) if d >= k => n }.toSet
+      }
+      val coreDeg = scala.collection.mutable.Map.empty[Long, Long]
+      es.foreach { case (s0, d0) =>
+        if (alive(s0) && alive(d0)) coreDeg(s0) = coreDeg.getOrElse(s0, 0L) + 1L
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          allNodes.toSeq.map(n =>
+            Row(n, coreDeg.contains(n), coreDeg.getOrElse(n, 0L))), 1),
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("in_core", BooleanType),
+          StructField("core_degree", LongType))))
+    }
     val all = und.select(col("vec_id")).distinct()
     var nodes = all.localCheckpoint()
     for (_ <- 1 to rounds) {
