@@ -1942,28 +1942,53 @@ object Similarity {
         StructType(Seq(StructField("sel_rank", IntegerType),
           StructField("vec_id", LongType), StructField("min_dist", DoubleType))))
     val seedRow = seedRows(0)
-    var selected = Vector((seedRow.getLong(0), seedRow.getSeq[Double](1)))
     val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
       (0, seedRow.getLong(0), None))
+    // Bounded driver tier: the candidate set is subset-bounded BY
+    // DECLARATION (≤ `subset` vectors at any scale factor), so the
+    // whole greedy cascade runs in the driver from ONE collect — the
+    // old loop paid one crossJoin + aggregate + top-1 collect job per
+    // round (k-1 jobs of stage overhead for ≤200 rows; guide §1.2).
+    // Arithmetic is replicated bit-for-bit: the same sequential-fold
+    // dot (VectorExpressions.DotProduct's left fold), the same
+    // cosine = dot/sqrt(dot*dot), the same Exact.dround(·, 6), min via
+    // Double.compare (Spark's double total ordering, NaN largest) and
+    // the argmax tie broken by (md desc, vec_id asc) exactly as the
+    // old orderBy did. At 100 TB the same loop runs over IVF/LSH
+    // candidates with the selected set broadcast — unchanged story.
+    val all = base.orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dotd(x: Array[Double], y: Array[Double]): Double = {
+      val n = math.min(x.length, y.length)
+      var acc = 0.0; var j = 0
+      while (j < n) { acc += x(j) * y(j); j += 1 }
+      acc
+    }
+    def dround6(x: Double): Double = {
+      val p = 1e6
+      (if (x >= 0) math.floor(x * p + 0.5) else math.ceil(x * p - 0.5)).toLong.toDouble / p
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Double]]
+    all.foreach { case (id, v) => if (id != seedRow.getLong(0)) remaining(id) = v }
+    val md = scala.collection.mutable.Map.empty[Long, Double]
+    var newest: Array[Double] = all.find(_._1 == seedRow.getLong(0)).get._2
     var exhausted = false
     for (i <- 1 until k if !exhausted) {
-      val selDf = s.createDataFrame(
-        selected.map { case (id, v) => org.apache.spark.sql.Row(id, v) }.asJava,
-        StructType(Seq(StructField("sid", LongType),
-          StructField("sv", ArrayType(DoubleType)))))
-      val tops = base
-        .filter(!col("vec_id").isInCollection(selected.map(_._1)))
-        .crossJoin(broadcast(selDf))
-        .select(col("vec_id"), col("v"),
-          Exact.dround(lit(1.0) - cosine(col("v"), col("sv")), 6).as("d"))
-        .groupBy(col("vec_id")).agg(min(col("d")).as("md"), first(col("v")).as("v"))
-        .orderBy(col("md").desc, col("vec_id"))
-        .limit(1).collect()
-      if (tops.isEmpty) exhausted = true
+      remaining.foreach { case (id, v) =>
+        val d = dround6(1.0 - dotd(v, newest) / math.sqrt(dotd(v, v) * dotd(newest, newest)))
+        val cur = md.get(id)
+        if (cur.isEmpty || java.lang.Double.compare(d, cur.get) < 0) md(id) = d
+      }
+      if (remaining.isEmpty) exhausted = true
       else {
-        val top = tops(0)
-        selected :+= ((top.getLong(0), top.getSeq[Double](2)))
-        picks += ((i, top.getLong(0), Some(top.getDouble(1))))
+        val (topId, topD) = remaining.keysIterator
+          .map(id => (id, md(id)))
+          .reduceLeft { (a, b) =>
+            val c = java.lang.Double.compare(b._2, a._2)
+            if (c > 0 || (c == 0 && b._1 < a._1)) b else a
+          }
+        newest = remaining.remove(topId).get
+        picks += ((i, topId, Some(topD)))
       }
     }
     s.createDataFrame(
