@@ -970,21 +970,35 @@ object Dedup {
       .filter(col("n_band_hits") >= 2)
       .join(srcOf.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
       .join(srcOf.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
-    val nearCorpus = cand
-      .filter(col("src_a") === batchSource && col("src_b") =!= batchSource)
-      .select(col("doc_a").as("doc_id"))
-      .union(cand.filter(col("src_b") === batchSource && col("src_a") =!= batchSource)
-        .select(col("doc_b").as("doc_id")))
-      .distinct().withColumn("nc", lit(true))
-    val nearBatch = cand
-      .filter(col("src_a") === batchSource && col("src_b") === batchSource)
-      .select(col("doc_b").as("doc_id")) // doc_a < doc_b: the later one drops
-      .distinct().withColumn("nb", lit(true))
+    // ONE pass over cand instead of three filtered branches: each
+    // reference to cand re-expanded the whole band-join subtree in the
+    // plan — with bands referenced twice inside cand, the minhash
+    // signature pipeline (shingles → 32 md5 mins → band keys) was
+    // planned and EXECUTED six times per run (24 SortAggregates in the
+    // before plan; guide §7.2 duplicated subtrees). The per-pair flag
+    // explode classifies both near-dup kinds in a single subtree: a
+    // batch doc paired with a corpus doc is near_vs_corpus (either
+    // side), a batch-batch pair drops its later (greater) doc_id —
+    // identical sets to the old union/distinct branches.
+    val nearFlags = cand
+      .select(explode(array(
+        when(col("src_a") === batchSource && col("src_b") =!= batchSource,
+          struct(col("doc_a").as("doc_id"), lit(true).as("isNc"))),
+        when(col("src_b") === batchSource && col("src_a") =!= batchSource,
+          struct(col("doc_b").as("doc_id"), lit(true).as("isNc"))),
+        when(col("src_a") === batchSource && col("src_b") === batchSource,
+          struct(col("doc_b").as("doc_id"), lit(false).as("isNc"))))).as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy(col("x.doc_id").as("doc_id"))
+      .agg(max(when(col("x.isNc"), lit(true)).otherwise(lit(false))).as("hasNc"),
+        max(when(!col("x.isNc"), lit(true)).otherwise(lit(false))).as("hasNb"))
+      .select(col("doc_id"),
+        when(col("hasNc"), lit(true)).as("nc"),
+        when(col("hasNb"), lit(true)).as("nb"))
     batch
       .join(corpusH, Seq("h"), "left")
       .join(firstInBatch, "h")
-      .join(nearCorpus, Seq("doc_id"), "left")
-      .join(nearBatch, Seq("doc_id"), "left")
+      .join(nearFlags, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("ic"), lit(false)).as("exact_dup_corpus"),
         (col("doc_id") > col("first_id")).as("exact_dup_batch"),
