@@ -1400,7 +1400,13 @@ object TextAnalysis {
     */
   def memorizationRisk(s: SparkSession, dir: String, n: Int = 5,
       minDocs: Int = 3): DataFrame = {
+    // one pinned shingle exchange shared by BOTH consumers (guide
+    // §2.4): the df aggregate and the probe side of the join each
+    // need hashpartitioning(shingle), so planning them over the same
+    // repartitioned child lets ReusedExchange compute the tokenize +
+    // explode map phase once instead of twice.
     val sh = Dedup.shingles(s, dir, n)
+      .repartition(Par.shuffleWidth(t(s, dir, "documents")), col("shingle"))
     val gramDocs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gram_docs"))
     val perDoc = sh.join(gramDocs, "shingle")
       .groupBy(col("doc_id"))
