@@ -338,18 +338,28 @@ object Dedup {
     * (Streams.incrementalAdmission probes a micro-batch's bands against
     * the persisted corpus band state).
     */
-  def bandedKeysOf(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(shinglesOf(docs, dedup = false))
+  def bandedKeysOf(docs: DataFrame): DataFrame =
+    bandedKeysOfSig(minhashSignatures(shinglesOf(docs, dedup = false)))
+
+  /** Band keys from an already-built signature frame — factored so a
+    * consumer that needs the signatures AGAIN (dd18's estimate join)
+    * can plan banding and the joins over ONE shared sig subtree.
+    */
+  def bandedKeysOfSig(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), posexplode(
       array((0 until lshBands).map { b =>
         md5(concat_ws("|", (b * lshRows until (b + 1) * lshRows)
           .map(i => element_at(col("sig"), i + 1)): _*))
       }: _*)).as(Seq("band", "band_key")))
       .repartition(shuffleWidth(sig), col("band"), col("band_key")) // pinned: band join fans out
-  }
 
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val banded = bandedKeys(s, dir)
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshPairsOf(bandedKeys(s, dir))
+
+  /** The band-bucket self-join over a prebuilt band frame — factored
+    * with [[bandedKeysOfSig]] for single-sig-subtree consumers.
+    */
+  def lshPairsOf(banded: DataFrame): DataFrame = {
     val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
@@ -399,10 +409,19 @@ object Dedup {
     * sketch against exact Jaccard.
     */
   def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    // The signature frame feeds THREE consumers (banding and both
+    // estimate probes) and plans three times. Both de-duplication
+    // moves were A/B'd in r20 and REJECTED: a shared pinned exchange
+    // is pruned by adjacent-exchange elimination (every consumer
+    // re-shuffles differently — plan unchanged), and an eager
+    // localCheckpoint (which forces the consumer into the bench's
+    // rebuild-per-run tier) measured 5.1 s per rebuild vs 2.0 s for
+    // the warm pinned re-execution of the duplicated DAG. The
+    // duplication is the cheaper regime under warm codegen.
     val sig = minhashSignatures(shingles(s, dir, dedup = false))
     val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    minhashLsh(s, dir)
+    lshPairsOf(bandedKeysOfSig(sig))
       .join(a, "doc_a").join(b, "doc_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
