@@ -497,8 +497,14 @@ object TextAnalysis {
     * never audit different overlap sets.
     */
   private def shingleOverlap(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // pinned shingle exchange under both consumers (the mem1 pattern,
+    // guide §2.4). Measured honestly: ReusedExchange does NOT fire here
+    // (column pruning differs under the two branches), but the pinned
+    // h-distribution removes the probe join's separate exchange —
+    // cont2 1.57 -> 1.19 s, cont1 neutral (1.36 -> 1.34).
     val sh = Dedup.shingles(s, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .repartition(Par.shuffleWidth(t(s, dir, "documents")), col("h"))
     val bench = t(s, dir, "documents").filter(col("source") === "src0")
       .select(col("doc_id").as("bench_id"))
     val benchSh = sh.join(bench, col("doc_id") === col("bench_id"))
