@@ -756,29 +756,10 @@ object Bench {
     // the final pass. They rebuild from scratch every measured run —
     // and are therefore never prepared below (building them in the
     // prepare loop would run their driver stages once for nothing).
-    val driverStepped = Set("dd7_duplicate_clusters", "dd8_dedup_keep_list",
-      "sim4_ann_ivf_topk", "pct1_price_percentiles",
-      "pipe1_corpus_manifest", "pipe2_training_mix", // compose dd8's union-find stage
-      "ivf2_posting_balance", // sim4's centroid tier at construction
-      "pq1_product_quantization", // codebook collect at construction
-      "bpe2_merge_training", // per-iteration top-pair collect at construction
-      "tok5_bpe_encode", // consumes bpe2's merge table at construction
-      "sim11_diverse_select", // per-round argmax collect at construction
-      "kcore1_knn_core", // 9 eager localCheckpoint peels at construction
-      "fld2_cluster_split", // dd7's eager union-find engine at construction
-      "ts8_theil_sen_trend", // bounded per-day aggregate collected at construction
-      "ts9_mann_kendall", // same bounded per-day collect as ts8
-      "ts1_hourly_grid", // eager localCheckpoint of the cell aggregate
-      "dd17_multitier_clusters", // dd7's eager components engine at construction
-      "lm3_kneser_ney", // eager localCheckpoint + one-scalar count at construction
-      "ev25_markov_stationary", // k×k transition matrix collected at construction
-      "corr4_kendall_daily", // same bounded per-day collect as ts9
-      "priv3_t_closeness", // eager localCheckpoint of the bounded QI counts
-      "drift2_psi_monthly", // eager localCheckpoint of the bounded month counts
-      "dq4_cramers_v", // eager localCheckpoint of the bounded contingency cells
-      "lm5_stupid_backoff", // eager 5-row checkpoint of the top unigrams
-      "ev27_kaplan_meier", // bounded duration table collected; KM product in the driver
-      "bs2_jackknife_se") // eager localCheckpoint of the 32-bucket aggregate
+    // Derived from the registry (VERDICT r20 #4: the bench's own copy
+    // had drifted — cc1's union-find ran at construction but escaped
+    // the rebuild tier). DriverSteppedSpec keeps the flag honest.
+    val driverStepped = SparkEntry.driverStepped
 
     val prepared = names.filterNot(driverStepped).flatMap { n =>
       try Some(n -> SparkEntry.queries(n)(spark, sfDir))
@@ -997,7 +978,18 @@ object Bench {
         s"""{"error":${SqlGateway.jstr(Option(e.getMessage).getOrElse(e.getClass.getName))}}"""
       }
 
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // The driver captures only a ~2000-char stdout TAIL and parses the
+    // grading JSON out of it. One line carrying the per-query map AND
+    // ~80 telemetry fields grew to ~14 KB, so the line's head (the
+    // "metric"/"value" keys) fell outside the captured window and
+    // PERF_r19/r20 got `parsed: null` (VERDICT r20 #1). Split: the full
+    // telemetry record goes on a PRECEDING line (first key "telemetry",
+    // so a scanner looking for the grading object cannot match it) and
+    // the contract line {"metric","value","unit","queries","sf"} prints
+    // LAST and as small as the contract allows (3-decimal seconds ≈ ms
+    // resolution — far below scheduler noise; full 17-digit doubles for
+    // every query live on in the telemetry line and BENCH_LAST.json).
+    val jsonLine = s"""{"telemetry":"bench","value":$total,"unit":"sec","queries":$qs,""" +
       s""""ycsb":$ycsbJson,""" +
       s""""throughput_rps":$rps,"throughput_terminals":$terminals,""" +
       s""""throughput_requests":$reqs,"throughput_window_sec":$elapsed,""" +
@@ -1123,6 +1115,17 @@ object Bench {
       s""""latency_p95_ms":${pct(0.95)},"latency_p99_ms":${pct(0.99)},""" +
       s""""sf":"$sfDir"}"""
     println(jsonLine)
+    // the driver-gradable contract line — LAST on stdout, nothing after
+    // it but the launcher's own epilogue. Locale-safe formatting: BigDecimal
+    // setScale + toPlainString (no %f — the f-interpolator is locale-
+    // sensitive and a comma decimal separator would corrupt the JSON).
+    def d3(v: Double): String =
+      if (v < 0) "-1" // failed-query sentinel, kept exact
+      else java.math.BigDecimal.valueOf(v).setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
+    val gradingLine =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir"}"""
+    println(gradingLine)
     // ALSO persist the full line: the driver's artifact keeps only a
     // 2000-char stdout tail, which truncates the per-query map once the
     // registry grew past ~60 queries (BENCH_r10/r11 lost ~150 timings
