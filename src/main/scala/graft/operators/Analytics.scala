@@ -4885,31 +4885,42 @@ object Analytics {
     * lines; a mean is outlier-dragged). Definition: the lowest price
     * level whose cumulative weight reaches half the group's total —
     * deterministic because weights aggregate per DISTINCT price level
-    * first, so no within-tie ordering exists to disagree on, and all
-    * arithmetic is exact DECIMAL. Shape at 100 TB: one map-side-
-    * combinable (flag, price) aggregate, then a per-flag ordered
-    * window over distinct price LEVELS — bounded by the price grid
-    * (cents), not row count; the true at-scale path for an unbounded
-    * value domain is a fixed-width histogram sketch, with this exact
-    * tier as its correctness anchor.
+    * first, so no within-tie ordering exists to disagree on. Shape at
+    * 100 TB: one PINNED (flag, price) exchange feeding the level
+    * aggregate — raw rows fan across the grid-wide key, so the
+    * reduction is parallel and no task ever holds more than the price
+    * grid — then a per-flag ordered window over distinct price LEVELS,
+    * bounded by the grid (cents), not row count; the true at-scale
+    * path for an unbounded value domain is a fixed-width histogram
+    * sketch, with this exact tier as its correctness anchor.
     */
   def weightedMedian(s: SparkSession, dir: String): DataFrame = {
-    // One exchange instead of two, no 600 k-group hash aggregates
-    // (guide §2.4): the per-price-LEVEL cumulative weight is computed
-    // directly on raw rows with the default RANGE frame (UNBOUNDED
-    // PRECEDING .. CURRENT ROW over ties) — every row of a price level
-    // carries Σ w(price ≤ level), exactly the value the old
-    // per-level pre-aggregate + ROWS frame produced, so the filter and
-    // the min() pick the identical level. Quantities are whole numbers
-    // far below 2^53, so the double sums are exact integers and
-    // order-independent (the q17 argument). A/B at sf0.1 (reanalyzed,
-    // min of 7): 2.36 s -> see OPTIMIZATION_r20.md.
+    // r20 windowed the RAW rows per flag (1 exchange, fastest at
+    // sf0.1) — but partitionBy(l_returnflag) funnels every lineitem
+    // row of a flag into ONE window-sort task, unbounded at 100 TB
+    // (VERDICT r20 #2). Restored bound: aggregate to price LEVELS
+    // first. The naive groupBy plans its partial aggregate inside the
+    // single-row-group scan task (594 k mostly-distinct groups,
+    // serial — the r19 2.36 s shape); pinning a (flag, price) exchange
+    // FIRST makes both aggregate halves run parallel above it and
+    // leaves the flag exchange level-bounded. A/B sf0.1 warm-min:
+    // raw-row 1.36-1.54 s, naive pre-agg 2.27 s, THIS 1.56-1.59 s —
+    // the scale bound costs ~0.1 s here. Level weights regroup the
+    // same whole-number quantities (< 2^53), so the double sums are
+    // exact integers and order-independent (the q17 argument); the
+    // RANGE frame over distinct levels gives each level its
+    // tie-inclusive cumulative weight, so filter and min() pick the
+    // identical price.
     val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
     val wTot = Window.partitionBy(col("l_returnflag"))
     t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
-      .withColumn("cum", sum(col("l_quantity")).over(wCum))
-      .withColumn("tot", sum(col("l_quantity")).over(wTot))
+      .repartition(Par.shuffleWidth(t(s, dir, "lineitem")),
+        col("l_returnflag"), col("l_extendedprice"))
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity")).as("w"))
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("weighted_median_price"),

