@@ -552,7 +552,13 @@ object Dedup {
     // norms once per vector, not twice per candidate pair — sqrt(na*nb)
     // over the same doubles is bit-identical to the inline cosine
     val en = e.withColumn("nrm", Similarity.dot(col("v"), col("v")))
-    val np = shuffleWidth(e)
+    // both pinned exchanges at wideWidth (r21): the bucket join's
+    // candidate fan-out and the pair dedup are CPU-bound single-query
+    // stages — at cores/4 tasks they left 3/4 of the machine idle
+    // (A/B sf0.1 warm-min 1.18 -> 0.83 s; the bs1 fanOutWide
+    // precedent, keyed form). At cluster scale shuffle.partitions
+    // dominates the max and this is the plain shuffleWidth pin.
+    val np = Par.wideWidth(e)
     val idx = Similarity.lshBuckets(e, ndTables, ndPlanes)
       .select(col("vec_id"), col("tbl"), col("bucket"))
       .repartition(np, col("tbl"), col("bucket")) // pinned: bucket join fans out

@@ -43,6 +43,17 @@ object Par {
     if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
   }
 
+  /** Width for a PINNED exchange whose downstream stage is CPU-bound in
+    * a single-query context (dd5's candidate fan-out + pair dedup):
+    * max(shuffle width, machine width) — the keyed sibling of
+    * [[fanOutWide]]. At cluster scale shuffle.partitions dominates the
+    * max and this is exactly the shuffleWidth pin; in local mode it
+    * stops a fan-out stage from running at cores/4 tasks on a
+    * cores-wide machine.
+    */
+  def wideWidth(df: DataFrame): Int =
+    math.max(shuffleWidth(df), df.sparkSession.sparkContext.defaultParallelism)
+
   /** Bounded-domain result ordering: results whose cardinality is fixed
     * by the query's value domain (a few hundred rows at ANY scale
     * factor) sort in one task instead of paying a rangepartitioning

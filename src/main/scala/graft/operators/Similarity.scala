@@ -203,12 +203,35 @@ object Similarity {
 
   /** (table, bucket) rows per vector — the multi-table LSH index.
     * `tables * planes` must stay <= maxPlanes.
+    *
+    * Shape (r21): the planes ride a TABLES-row broadcast relation (one
+    * row per LSH table, carrying its `planes` hyperplanes), and the
+    * bucket is `planes` small vec_dots per joined row. The old form —
+    * posexplode over an array of `tables` signature expressions, each
+    * inlining `planes` 64-double literal arrays — generated one
+    * ~128-dot mega-expression whose method blows past the JIT compile
+    * limit into interpreted bytecode (the pq1 codebook pathology,
+    * measured 950-1300 ms for a 64 k-row index at sf0.1; ~0.2 s
+    * compiled). Same (vec_id, v, tbl, bucket) rows, same IEEE dot fold,
+    * same bit packing — only the expression granularity changes.
     */
   def lshBuckets(e: DataFrame, tables: Int = lshTables, planes: Int = lshPlanes): DataFrame = {
     require(tables * planes <= maxPlanes, s"need ${tables * planes} planes > $maxPlanes")
-    e.select(col("vec_id"), col("v"), posexplode(
-      array((0 until tables).map(tb => lshSignature(col("v"), tb, planes)): _*))
-      .as(Seq("tbl", "bucket")))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    val planesDf = e.sparkSession.createDataFrame(
+      (0 until tables).map { tb =>
+        Row(tb, (0 until planes).map(p => allPlanes(tb * planes + p).toSeq))
+      }.asJava,
+      StructType(Seq(
+        StructField("tbl", IntegerType, nullable = false),
+        StructField("pl", ArrayType(ArrayType(DoubleType)), nullable = false))))
+    val bucket = (0 until planes).map { p =>
+      when(graft.functions.VectorFunctions.vecDot(
+        col("v"), element_at(col("pl"), p + 1)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    e.crossJoin(broadcast(planesDf))
+      .select(col("vec_id"), col("v"), col("tbl"), bucket.as("bucket"))
   }
 
   /** ANN top-k: candidates = union over tables of the query's bucket
