@@ -386,7 +386,17 @@ object Analytics {
     */
   def associationRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // pinned orderkey exchange ahead of the grouped-sets aggregate
+    // (r21, the stat4 pattern): the naive groupBy plans its partial
+    // collect_set inside the single-row-group scan task (serial over
+    // every lineitem) and AQE coalesces the ensure exchange to ~3
+    // tasks; pinning runs ONE complete aggregate + token explode +
+    // count partials parallel above the exchange. A/B sf0.1 warm-min
+    // (rebuild, the driver-stepped regime bsk2 is measured in):
+    // 2.09 -> 0.81 s; a wideWidth pin measured WORSE (2.65 s) and was
+    // rejected.
+    val li0 = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val li = li0.repartition(graft.operators.Par.shuffleWidth(li0), col("l_orderkey"))
     val part = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
     val sets = li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
