@@ -78,10 +78,20 @@ object Dedup {
   /** DataFrame-based shingling — same definition, usable on a streaming
     * micro-batch (the incremental-admission ingest) as well as the
     * corpus table.
+    *
+    * `wide=true` fans the doc scan to MACHINE width instead of shuffle
+    * width — for consumers whose downstream per-shingle work is
+    * CPU-bound in a single-query context (the 32-md5 MinHash partial
+    * aggregate; bs1's fanOutWide precedent). Per-consumer, A/B'd —
+    * NOT blanket: the r20 family-wide attempt cost dd18 +20% in its
+    * join phases. Identity at scale either way (fanOut* guards).
     */
-  def shinglesOf(docs: DataFrame, n: Int = 3, dedup: Boolean = true): DataFrame = {
+  def shinglesOf(docs: DataFrame, n: Int = 3, dedup: Boolean = true,
+      wide: Boolean = false): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val exploded = fanOut(docs.select(col("doc_id"), col("text")))
+    val fanned = if (wide) Par.fanOutWide(docs.select(col("doc_id"), col("text")))
+                 else fanOut(docs.select(col("doc_id"), col("text")))
+    val exploded = fanned
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(
@@ -331,15 +341,15 @@ object Dedup {
     * batch-restricted probe (a divergent copy would silently change
     * both candidate sets).
     */
-  def bandedKeys(s: SparkSession, dir: String): DataFrame =
-    bandedKeysOf(t(s, dir, "documents"))
+  def bandedKeys(s: SparkSession, dir: String, wide: Boolean = false): DataFrame =
+    bandedKeysOf(t(s, dir, "documents"), wide)
 
   /** DataFrame-based banding — shared with the streaming admission path
     * (Streams.incrementalAdmission probes a micro-batch's bands against
     * the persisted corpus band state).
     */
-  def bandedKeysOf(docs: DataFrame): DataFrame =
-    bandedKeysOfSig(minhashSignatures(shinglesOf(docs, dedup = false)))
+  def bandedKeysOf(docs: DataFrame, wide: Boolean = false): DataFrame =
+    bandedKeysOfSig(minhashSignatures(shinglesOf(docs, dedup = false, wide = wide)))
 
   /** Band keys from an already-built signature frame — factored so a
     * consumer that needs the signatures AGAIN (dd18's estimate join)
@@ -353,8 +363,8 @@ object Dedup {
       }: _*)).as(Seq("band", "band_key")))
       .repartition(shuffleWidth(sig), col("band"), col("band_key")) // pinned: band join fans out
 
-  def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    lshPairsOf(bandedKeys(s, dir))
+  def minhashLsh(s: SparkSession, dir: String, wide: Boolean = false): DataFrame =
+    lshPairsOf(bandedKeys(s, dir, wide))
 
   /** The band-bucket self-join over a prebuilt band frame — factored
     * with [[bandedKeysOfSig]] for single-sig-subtree consumers.
@@ -444,8 +454,9 @@ object Dedup {
     * 16-char parse overflows signed BIGINT — Spark's conv would wrap
     * while DuckDB errors.
     */
-  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val toks = fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+  def simhashSignatures(s: SparkSession, dir: String, wide: Boolean = false): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = (if (wide) Par.fanOutWide(docs) else fanOut(docs))
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
     val votes = (0 until simhashBits).map { i =>
@@ -462,8 +473,8 @@ object Dedup {
     * pigeonhole band join (any pair with distance <= 3 must agree on at
     * least one 15-bit chunk).
     */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSignatures(s, dir)
+  def simhashPairs(s: SparkSession, dir: String, wide: Boolean = false): DataFrame = {
+    val sig = simhashSignatures(s, dir, wide)
     val chunks = sig.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until 4).map(c => shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(0x7FFF)): _*))
       .as(Seq("chunk", "chunk_val")))
@@ -715,7 +726,7 @@ object Dedup {
     * (doc_id, canonical_id) for every document in a near-dup cluster.
     */
   def duplicateClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(minhashLsh(s, dir).filter(col("n_band_hits") >= 2))
+    connectedComponents(minhashLsh(s, dir, wide = true).filter(col("n_band_hits") >= 2))
       .select(col("doc_id"), col("component").as("canonical_id"))
       .orderBy(col("doc_id"))
 
@@ -982,7 +993,7 @@ object Dedup {
       .select(col("h")).distinct().withColumn("ic", lit(true))
     val firstInBatch = batch.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
     val srcOf = hx.select(col("doc_id"), col("source"))
-    val bands = bandedKeys(s, dir)
+    val bands = bandedKeys(s, dir, wide = true)
     val batchBands = bands.join(batch.select(col("doc_id")), "doc_id")
     val cand = batchBands.select(col("doc_id").as("p"), col("band"), col("band_key"))
       .join(bands.select(col("doc_id").as("q"), col("band"), col("band_key")),
@@ -1102,7 +1113,7 @@ object Dedup {
     * coin is the cluster-invariant md5 fraction.
     */
   def clusterSplit(s: SparkSession, dir: String, k: Int = clusterFolds): DataFrame = {
-    val near = minhashLsh(s, dir).filter(col("n_band_hits") >= 2)
+    val near = minhashLsh(s, dir, wide = true).filter(col("n_band_hits") >= 2)
       .select(col("doc_a"), col("doc_b"))
     val hx = t(s, dir, "documents").select(col("doc_id"),
       canonicalHash.as("h"))
@@ -1282,7 +1293,7 @@ object Dedup {
     * matrix is ≤ C(folds+1, 2) rows, so the share window is driver-tiny.
     */
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = minhashLsh(s, dir, wide = true).select(col("doc_a"), col("doc_b"))
     val folds = Analytics.kfoldSplit(s, dir).select(col("doc_id"), col("fold"))
     val wAll = Window.partitionBy()
     pairs
@@ -1501,9 +1512,9 @@ object Dedup {
       .withColumn("a", min(col("doc_id")).over(exW))
       .filter(col("a") < col("doc_id"))
       .select(col("a").as("doc_a"), col("doc_id").as("doc_b"))
-    val lshEdges = minhashLsh(s, dir).filter(col("n_band_hits") >= 2)
+    val lshEdges = minhashLsh(s, dir, wide = true).filter(col("n_band_hits") >= 2)
       .select(col("doc_a"), col("doc_b"))
-    val shEdges = simhashPairs(s, dir).filter(col("hamming") <= 8)
+    val shEdges = simhashPairs(s, dir, wide = true).filter(col("hamming") <= 8)
       .select(col("doc_a"), col("doc_b"))
     val comp = connectedComponents(exactEdges.union(lshEdges).union(shEdges).distinct())
     comp
@@ -1574,8 +1585,12 @@ object Dedup {
     "dd10_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "dd1_exact_dedup" -> exactDedup _,
     "dd2_ngram_jaccard" -> ngramJaccard _,
-    "dd3_minhash_lsh" -> minhashLsh _,
-    "dd4_simhash_pairs" -> simhashPairs _,
+    "dd3_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLsh(s, d, wide = true)),
+    // dd4 wide A/B'd and REJECTED (1.33 -> 1.45 s): the distinct+orderBy
+    // tail pays the extra map-side shuffle blocks more than the token
+    // md5 map gains (dd17's hamming<=8 sub-filter tier DOES win wide —
+    // its downstream is a bare union into CC, not a full sort).
+    "dd4_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dd5_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
     "dd6_fuzzy_name_pairs" -> ((s: SparkSession, d: String) => fuzzyNamePairs(s, d)),
     "dd7_duplicate_clusters" -> duplicateClusters _,
