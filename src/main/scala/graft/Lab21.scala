@@ -389,6 +389,23 @@ object Lab21 {
       .orderedSmall(col("l_returnflag"))
   }
 
+  /** Split a prepared re-execution into plan-time vs run-time: usage
+    * runMain graft.Lab21 split:<query> [reps]
+    */
+  def splitProbe(spark: SparkSession, sfDir: String, q: String, reps: Int): Unit = {
+    import org.apache.spark.sql.graft.PlanReuse
+    val df = SparkEntry.queries(q)(spark, sfDir)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val re = PlanReuse.reanalyzed(spark, df)
+      PlanReuse.forcePlanned(re)
+      val t1 = System.nanoTime()
+      re.collect()
+      val t2 = System.nanoTime()
+      println(f"SPLIT $q rep$i plan ${(t1 - t0) / 1e6}%.1f ms  exec ${(t2 - t1) / 1e6}%.1f ms")
+    }
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bsk2A" -> (bsk2A _),
     "bsk2Full" -> ((s: SparkSession, d: String) => {
@@ -446,6 +463,10 @@ object Lab21 {
     val spark = Engine.newSession("graft-lab21", Engine.defaultCores,
       extraConf = if (explain) Map("spark.sql.adaptive.enabled" -> "false") else Map.empty)
     spark.sparkContext.setLogLevel("ERROR")
+    if (names.forall(_.startsWith("split:"))) {
+      names.foreach(n => splitProbe(spark, sfDir, n.stripPrefix("split:"), reps))
+      spark.stop(); return
+    }
     if (explain) {
       names.foreach { n =>
         println(s"===== $n =====")

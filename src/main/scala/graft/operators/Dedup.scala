@@ -72,8 +72,9 @@ object Dedup {
     * aggregate is duplicate-insensitive (MinHash's `min` — one less
     * full-data shuffle on the 100 TB path).
     */
-  def shingles(s: SparkSession, dir: String, n: Int = 3, dedup: Boolean = true): DataFrame =
-    shinglesOf(t(s, dir, "documents"), n, dedup)
+  def shingles(s: SparkSession, dir: String, n: Int = 3, dedup: Boolean = true,
+      wide: Boolean = false): DataFrame =
+    shinglesOf(t(s, dir, "documents"), n, dedup, wide)
 
   /** DataFrame-based shingling — same definition, usable on a streaming
     * micro-batch (the incremental-admission ingest) as well as the
