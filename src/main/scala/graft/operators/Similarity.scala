@@ -217,21 +217,26 @@ object Similarity {
     */
   def lshBuckets(e: DataFrame, tables: Int = lshTables, planes: Int = lshPlanes): DataFrame = {
     require(tables * planes <= maxPlanes, s"need ${tables * planes} planes > $maxPlanes")
-    import scala.jdk.CollectionConverters._
-    import org.apache.spark.sql.Row
-    val planesDf = e.sparkSession.createDataFrame(
-      (0 until tables).map { tb =>
-        Row(tb, (0 until planes).map(p => allPlanes(tb * planes + p).toSeq))
-      }.asJava,
-      StructType(Seq(
-        StructField("tbl", IntegerType, nullable = false),
-        StructField("pl", ArrayType(ArrayType(DoubleType)), nullable = false))))
+    // ONE opaque literal: an array of (tbl, its `planes` hyperplanes)
+    // structs, exploded per row — the generate emits `tables` rows per
+    // vector exactly like the old posexplode, but the per-row
+    // expressions stay small (a few element_at + vec_dots), where the
+    // old form's 32 signature expressions each inlined their planes as
+    // 64-double literal arrays into one mega-expression. (A broadcast
+    // planes relation measured the same but plans a
+    // BroadcastNestedLoopJoin, which dd5's plan-quality gate rightly
+    // bans as a cartesian shape.)
+    val planesLit = typedLit((0 until tables).map { tb =>
+      (tb, (0 until planes).map(p => allPlanes(tb * planes + p).toSeq))
+    })
     val bucket = (0 until planes).map { p =>
       when(graft.functions.VectorFunctions.vecDot(
-        col("v"), element_at(col("pl"), p + 1)) >= 0, lit(1L << p)).otherwise(lit(0L))
+        col("v"), element_at(col("tp").getField("_2"), p + 1)) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    e.crossJoin(broadcast(planesDf))
-      .select(col("vec_id"), col("v"), col("tbl"), bucket.as("bucket"))
+    e.select(col("vec_id"), col("v"), explode(planesLit).as("tp"))
+      .select(col("vec_id"), col("v"),
+        col("tp").getField("_1").as("tbl"), bucket.as("bucket"))
   }
 
   /** ANN top-k: candidates = union over tables of the query's bucket
